@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query at sf0.001;
+``queries()``/``oracle_sql()`` are the correctness gate — each Spark query is
+compared against its DuckDB oracle at sf0.01 (row-count + schema +
+order-insensitive value-hash).
 """
 
 from __future__ import annotations
@@ -13,26 +12,29 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from bears_spark.queries import tpch
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
+    return tpch.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": tpch.q1_pricing_summary,
+        "q3_shipping_priority": tpch.q3_shipping_priority,
+        "q5_local_supplier_volume": tpch.q5_local_supplier_volume,
+        "q6_revenue_change": tpch.q6_revenue_change,
+        "q10_returned_items": tpch.q10_returned_items,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": tpch.Q1_SQL,
+        "q3_shipping_priority": tpch.Q3_SQL,
+        "q5_local_supplier_volume": tpch.Q5_SQL,
+        "q6_revenue_change": tpch.Q6_SQL,
+        "q10_returned_items": tpch.Q10_SQL,
+    }

@@ -1,0 +1,748 @@
+"""SparkFrame / SparkColumn — the pandas-flavored lazy frame surface.
+
+Reference parity: ScalableDataFrame / ScalableSeries
+(src/bears/core/frame/ScalableDataFrame.py:84, ScalableSeries.py:49). bears
+wraps one of several physical layouts and dispatches eagerly; here there is a
+single layout (the Spark DataFrame) and every method extends the Catalyst
+logical plan lazily — equivalent to bears' DASK path
+(DaskScalableDataFrame.py:47) where nothing runs until persist/compute.
+
+API rules carried over:
+- ``of()`` accepts pandas / list-of-dicts / dict-of-arrays / Spark DataFrame
+  (detect_layout priority, ScalableDataFrame.py:180-199).
+- ``sdf[col]`` -> column facade; ``sdf[[c1,c2]]`` -> projection; boolean-mask
+  filter; ``sdf[col] = expr`` -> withColumn.
+- Frame-level sum/mean raise, pointing to the Series (ScalableDataFrame.py:1489).
+- ``concat`` unions by name filling missing columns with null
+  (DictScalableDataFrame.py:222-242 fills NaN).
+- ``merge`` reproduces pandas suffix/indicator semantics on top of Spark joins
+  (ScalableDataFrame.py:1820-1836 delegates to pandas.merge).
+
+Scale notes: every method is a narrow/declarative plan transformation; the only
+driver-side materializations are explicit (``to_pandas``, ``collect``,
+``compute``) or tiny-by-construction (scalar aggregates).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Iterable, List, Mapping, Optional, Sequence, Union
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bears_spark.types import MLTypeSchema, mltype_schema_to_struct
+
+RawData = Union[pd.DataFrame, DataFrame, List[dict], Dict[str, Any], "SparkFrame"]
+
+
+def _normalize_nan_to_null(df: DataFrame) -> DataFrame:
+    """Engine rule (SURVEY.md §7 known-hard #1): bears conflates NaN/None via
+    pd.isnull; Spark distinguishes. We normalize float NaN -> null at ingest so
+    isna/fillna/dropna behave like the reference."""
+    exprs = []
+    changed = False
+    for f in df.schema.fields:
+        if f.dataType.typeName() in ("double", "float"):
+            exprs.append(F.when(F.isnan(F.col(f.name)), F.lit(None)).otherwise(F.col(f.name)).alias(f.name))
+            changed = True
+        else:
+            exprs.append(F.col(f.name))
+    return df.select(*exprs) if changed else df
+
+
+class SparkColumn:
+    """Lazy 1-D facade: a Column expression bound to a parent DataFrame.
+
+    Comparison/arith operators build Column predicates (ScalableSeries.py:728-836);
+    reductions execute a single tiny aggregation and return a Python scalar.
+    """
+
+    def __init__(self, df: DataFrame, col: Column, name: str | None = None):
+        self._df = df
+        self._col = col
+        self.name = name
+
+    # -- expression builders (lazy) ------------------------------------
+    def _wrap(self, col: Column) -> "SparkColumn":
+        return SparkColumn(self._df, col, self.name)
+
+    def __lt__(self, other):
+        return self._wrap(self._col < _unwrap(other))
+
+    def __le__(self, other):
+        return self._wrap(self._col <= _unwrap(other))
+
+    def __gt__(self, other):
+        return self._wrap(self._col > _unwrap(other))
+
+    def __ge__(self, other):
+        return self._wrap(self._col >= _unwrap(other))
+
+    def __eq__(self, other):  # type: ignore[override]
+        return self._wrap(self._col == _unwrap(other))
+
+    def __ne__(self, other):  # type: ignore[override]
+        return self._wrap(self._col != _unwrap(other))
+
+    def __add__(self, other):
+        return self._wrap(self._col + _unwrap(other))
+
+    def __radd__(self, other):
+        return self._wrap(_unwrap(other) + self._col)
+
+    def __sub__(self, other):
+        return self._wrap(self._col - _unwrap(other))
+
+    def __rsub__(self, other):
+        return self._wrap(F.lit(other) - self._col)
+
+    def __mul__(self, other):
+        return self._wrap(self._col * _unwrap(other))
+
+    def __rmul__(self, other):
+        return self._wrap(_unwrap(other) * self._col)
+
+    def __truediv__(self, other):
+        return self._wrap(self._col / _unwrap(other))
+
+    def __floordiv__(self, other):
+        return self._wrap(F.floor(self._col / _unwrap(other)))
+
+    def __mod__(self, other):
+        return self._wrap(self._col % _unwrap(other))
+
+    def __pow__(self, other):
+        return self._wrap(F.pow(self._col, _unwrap(other)))
+
+    def __and__(self, other):
+        return self._wrap(self._col & _unwrap(other))
+
+    def __or__(self, other):
+        return self._wrap(self._col | _unwrap(other))
+
+    def __invert__(self):
+        return self._wrap(~self._col)
+
+    def __neg__(self):
+        return self._wrap(-self._col)
+
+    def isin(self, values: Iterable[Any]) -> "SparkColumn":
+        return self._wrap(self._col.isin(list(values)))
+
+    def between(self, lower, upper) -> "SparkColumn":
+        return self._wrap(self._col.between(lower, upper))
+
+    def clip(self, lower=None, upper=None) -> "SparkColumn":
+        c = self._col
+        if lower is not None:
+            c = F.greatest(c, F.lit(lower))
+        if upper is not None:
+            c = F.least(c, F.lit(upper))
+        return self._wrap(c)
+
+    def abs(self) -> "SparkColumn":
+        return self._wrap(F.abs(self._col))
+
+    def round(self, decimals: int = 0) -> "SparkColumn":
+        return self._wrap(F.round(self._col, decimals))
+
+    def astype(self, dtype: str) -> "SparkColumn":
+        _MAP = {"int": "long", "int64": "long", "float": "double", "float64": "double", "str": "string", "bool": "boolean"}
+        return self._wrap(self._col.cast(_MAP.get(dtype, dtype)))
+
+    def isna(self) -> "SparkColumn":
+        return self._wrap(self._col.isNull())
+
+    isnull = isna
+
+    def notna(self) -> "SparkColumn":
+        return self._wrap(self._col.isNotNull())
+
+    notnull = notna
+
+    def fillna(self, value: Any) -> "SparkColumn":
+        return self._wrap(F.coalesce(self._col, F.lit(value)))
+
+    def map(self, mapping: Mapping[Any, Any] | Callable, na_action: str | None = "ignore") -> "SparkColumn":
+        """Dict map compiles to a literal MAP lookup (broadcast-free for small
+        dicts; JVM-side) — ScalableSeries.map (ScalableSeries.py:855-867)."""
+        if callable(mapping):
+            return self.apply(mapping)
+        pairs: list = []
+        for k, v in mapping.items():
+            pairs.extend([F.lit(k), F.lit(v)])
+        m = F.create_map(*pairs)
+        return self._wrap(m.getItem(self._col))
+
+    def apply(self, func: Callable, returnType: str = "string") -> "SparkColumn":
+        """Row-at-a-time escape hatch; prefer built-ins (slow-path warning)."""
+        return self._wrap(F.udf(func, returnType)(self._col))
+
+    # -- string accessor-ish helpers -----------------------------------
+    def lower(self) -> "SparkColumn":
+        return self._wrap(F.lower(self._col))
+
+    def upper(self) -> "SparkColumn":
+        return self._wrap(F.upper(self._col))
+
+    def strip(self) -> "SparkColumn":
+        return self._wrap(F.trim(self._col))
+
+    def contains(self, pat: str) -> "SparkColumn":
+        return self._wrap(self._col.contains(pat))
+
+    def startswith(self, pat: str) -> "SparkColumn":
+        return self._wrap(self._col.startswith(pat))
+
+    def endswith(self, pat: str) -> "SparkColumn":
+        return self._wrap(self._col.endswith(pat))
+
+    # -- reductions (single tiny agg action) ---------------------------
+    def _agg(self, expr: Column) -> Any:
+        return self._df.select(expr.alias("v")).first()["v"]
+
+    def sum(self):
+        return self._agg(F.sum(self._col))
+
+    def mean(self):
+        return self._agg(F.avg(self._col))
+
+    def min(self):
+        return self._agg(F.min(self._col))
+
+    def max(self):
+        return self._agg(F.max(self._col))
+
+    def std(self, ddof: int = 1):
+        return self._agg(F.stddev_samp(self._col) if ddof else F.stddev_pop(self._col))
+
+    def var(self, ddof: int = 1):
+        return self._agg(F.var_samp(self._col) if ddof else F.var_pop(self._col))
+
+    def median(self):
+        return self._agg(F.median(self._col))
+
+    def prod(self):
+        return self._agg(F.product(self._col))
+
+    def mode(self):
+        return self._agg(F.mode(self._col))
+
+    def quantile(self, q: float = 0.5):
+        return self._agg(F.percentile(self._col, F.lit(q)))
+
+    def count(self) -> int:
+        return int(self._agg(F.count(self._col)))
+
+    def nunique(self, approx: bool = False) -> int:
+        # exact by default (parity with pandas nunique); approx_count_distinct
+        # is the 100TB-scale path the caller opts into.
+        return int(self._agg(F.approx_count_distinct(self._col) if approx else F.countDistinct(self._col)))
+
+    def unique(self) -> list:
+        return [r["v"] for r in self._df.select(self._col.alias("v")).distinct().collect()]
+
+    def all(self) -> bool:
+        return bool(self._agg(F.coalesce(F.bool_and(self._col.cast("boolean")), F.lit(True))))
+
+    def any(self) -> bool:
+        return bool(self._agg(F.coalesce(F.bool_or(self._col.cast("boolean")), F.lit(False))))
+
+    def hasnans(self) -> bool:
+        return bool(self._agg(F.max(self._col.isNull())))
+
+    def is_unique(self) -> bool:
+        row = self._df.select(F.count(self._col).alias("n"), F.countDistinct(self._col).alias("d")).first()
+        return row["n"] == row["d"]
+
+    def skew(self):
+        return self._agg(F.skewness(self._col))
+
+    def kurt(self):
+        return self._agg(F.kurtosis(self._col))
+
+    def idxmax(self, idx_col: str = "__row_id__"):
+        return self._agg(F.max_by(F.col(idx_col), self._col))
+
+    def idxmin(self, idx_col: str = "__row_id__"):
+        return self._agg(F.min_by(F.col(idx_col), self._col))
+
+    def value_counts(self, ascending: bool = False) -> pd.DataFrame:
+        df = self._df.select(self._col.alias("value")).groupBy("value").count()
+        df = df.orderBy(F.asc("count") if ascending else F.desc("count"))
+        return df.toPandas()
+
+    def nlargest(self, n: int = 5) -> list:
+        # Catalyst TakeOrderedAndProject — distributed top-k, no full sort.
+        return [r["v"] for r in self._df.select(self._col.alias("v")).orderBy(F.desc("v")).limit(n).collect()]
+
+    def nsmallest(self, n: int = 5) -> list:
+        return [r["v"] for r in self._df.select(self._col.alias("v")).orderBy(F.asc("v")).limit(n).collect()]
+
+    def to_pandas(self) -> pd.Series:
+        name = self.name or "values"
+        return self._df.select(self._col.alias(name)).toPandas()[name]
+
+    @property
+    def spark(self) -> Column:
+        return self._col
+
+
+def _unwrap(x):
+    return x._col if isinstance(x, SparkColumn) else x
+
+
+class _GroupBy:
+    """df.groupby(...) facade -> Spark groupBy with pandas-style agg dict."""
+
+    _FN = {
+        "sum": F.sum,
+        "mean": F.avg,
+        "avg": F.avg,
+        "min": F.min,
+        "max": F.max,
+        "count": F.count,
+        "std": F.stddev_samp,
+        "var": F.var_samp,
+        "median": F.median,
+        "nunique": F.countDistinct,
+        "first": F.first,
+        "last": F.last,
+        "collect_list": F.collect_list,
+        "collect_set": F.collect_set,
+    }
+
+    def __init__(self, frame: "SparkFrame", by: list[str]):
+        self._frame = frame
+        self._by = by
+
+    def agg(self, spec: Mapping[str, str | list[str]] | None = None, **named) -> "SparkFrame":
+        exprs: list[Column] = []
+        if spec:
+            for col, fns in spec.items():
+                for fn in [fns] if isinstance(fns, str) else fns:
+                    exprs.append(self._FN[fn](F.col(col)).alias(f"{col}_{fn}"))
+        for out_name, (col, fn) in named.items():
+            exprs.append(self._FN[fn](F.col(col)).alias(out_name))
+        return SparkFrame(self._frame.df.groupBy(*self._by).agg(*exprs))
+
+    def size(self) -> "SparkFrame":
+        return SparkFrame(self._frame.df.groupBy(*self._by).count())
+
+    def count(self) -> "SparkFrame":
+        return self.size()
+
+    def apply_in_pandas(self, func: Callable, schema) -> "SparkFrame":
+        return SparkFrame(self._frame.df.groupBy(*self._by).applyInPandas(func, schema))
+
+    def __getattr__(self, fn_name: str):
+        if fn_name not in self._FN:
+            raise AttributeError(fn_name)
+
+        def _apply(*cols: str) -> "SparkFrame":
+            targets = list(cols) or [
+                f.name
+                for f in self._frame.df.schema.fields
+                if f.name not in self._by and f.dataType.typeName() in ("long", "integer", "double", "float", "short")
+            ]
+            exprs = [self._FN[fn_name](F.col(c)).alias(c) for c in targets]
+            return SparkFrame(self._frame.df.groupBy(*self._by).agg(*exprs))
+
+        return _apply
+
+
+class SparkFrame:
+    """Lazy 2-D frame: thin wrapper over a pyspark DataFrame + MLType metadata."""
+
+    # Methods bears deliberately blocks (ScalableDataFrame.py:1320-1472) that we
+    # *do* support natively because Spark has them (free capability gain) are
+    # simply implemented; nothing here needs a blocklist.
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    # ---------------- construction ----------------
+    @classmethod
+    def of(cls, data: RawData, spark: SparkSession | None = None, schema: MLTypeSchema | None = None) -> "SparkFrame":
+        """Layout auto-detect (ScalableDataFrame.of, :127-173): accepts Spark
+        DataFrame / pandas / list-of-dicts / dict-of-arrays / SparkFrame."""
+        if isinstance(data, SparkFrame):
+            return cls(data.df)
+        if isinstance(data, DataFrame):
+            return cls(_normalize_nan_to_null(data))
+        if spark is None:
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                from bears_spark.session import get_session
+
+                spark = get_session()
+        struct = mltype_schema_to_struct(schema) if schema else None
+        if isinstance(data, pd.DataFrame):
+            if isinstance(data.index, pd.MultiIndex):
+                raise ValueError("MultiIndex DataFrames are not supported")  # parity: PandasScalableDataFrame.py:25
+            df = spark.createDataFrame(data, schema=struct)
+        elif isinstance(data, dict):
+            df = spark.createDataFrame(pd.DataFrame(data), schema=struct)
+        elif isinstance(data, (list, tuple)):
+            if len(data) and isinstance(data[0], dict):
+                # sparse columns allowed: union of keys, missing -> null
+                # (ListOfDictScalableDataFrame.py:54-59)
+                df = spark.createDataFrame(pd.DataFrame(list(data)), schema=struct)
+            else:
+                raise ValueError("list input must be list-of-dicts")
+        else:
+            raise TypeError(f"cannot construct SparkFrame from {type(data)}")
+        return cls(_normalize_nan_to_null(df))
+
+    # ---------------- schema / metadata ----------------
+    @property
+    def columns(self) -> list[str]:
+        return self.df.columns
+
+    @property
+    def columns_set(self) -> frozenset:
+        return frozenset(self.df.columns)
+
+    @property
+    def schema(self):
+        return self.df.schema
+
+    @property
+    def mltype_schema(self) -> MLTypeSchema:
+        from bears_spark.types import struct_to_mltype_schema
+
+        return struct_to_mltype_schema(self.df.schema)
+
+    def __len__(self) -> int:
+        return self.df.count()
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (len(self), len(self.df.columns))
+
+    @property
+    def npartitions(self) -> int:
+        return self.df.rdd.getNumPartitions()
+
+    # ---------------- projection / filter / mutation ----------------
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return SparkColumn(self.df, F.col(key), key)
+        if isinstance(key, (list, tuple)) and all(isinstance(k, str) for k in key):
+            return SparkFrame(self.df.select(*key))
+        if isinstance(key, SparkColumn):
+            return SparkFrame(self.df.filter(key.spark))
+        if isinstance(key, Column):
+            return SparkFrame(self.df.filter(key))
+        raise KeyError(f"unsupported key {key!r}")
+
+    def __setitem__(self, name: str, value) -> None:
+        if isinstance(value, SparkColumn):
+            col = value.spark
+        elif isinstance(value, Column):
+            col = value
+        else:
+            col = F.lit(value)
+        self.df = self.df.withColumn(name, col)
+
+    def select(self, *cols) -> "SparkFrame":
+        return SparkFrame(self.df.select(*[_unwrap(c) for c in cols]))
+
+    def filter(self, cond) -> "SparkFrame":
+        return SparkFrame(self.df.filter(_unwrap(cond)))
+
+    where = filter
+    query = filter
+
+    def assign(self, **exprs) -> "SparkFrame":
+        df = self.df
+        for name, v in exprs.items():
+            df = df.withColumn(name, _unwrap(v) if isinstance(v, (SparkColumn, Column)) else F.lit(v))
+        return SparkFrame(df)
+
+    def rename(self, columns: Mapping[str, str]) -> "SparkFrame":
+        df = self.df
+        for old, new in columns.items():
+            df = df.withColumnRenamed(old, new)
+        return SparkFrame(df)
+
+    def drop(self, columns: str | Sequence[str]) -> "SparkFrame":
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        return SparkFrame(self.df.drop(*cols))
+
+    def head(self, n: int = 5) -> "SparkFrame":
+        return SparkFrame(self.df.limit(n))
+
+    def limit(self, n: int) -> "SparkFrame":
+        return SparkFrame(self.df.limit(n))
+
+    # ---------------- aggregation ----------------
+    def groupby(self, by: str | Sequence[str], **_) -> _GroupBy:
+        return _GroupBy(self, [by] if isinstance(by, str) else list(by))
+
+    groupBy = groupby
+
+    def agg(self, spec: Mapping[str, str | list[str]]) -> "SparkFrame":
+        exprs = []
+        for col, fns in spec.items():
+            for fn in [fns] if isinstance(fns, str) else fns:
+                exprs.append(_GroupBy._FN[fn](F.col(col)).alias(f"{col}_{fn}"))
+        return SparkFrame(self.df.agg(*exprs))
+
+    # parity: frame-level reductions raise, pointing at the series
+    # (ScalableDataFrame.py:1489-1525)
+    def sum(self):
+        raise NotImplementedError("use frame[col].sum() — reductions live on the series")
+
+    mean = median = min = max = std = var = sum  # type: ignore[assignment]
+
+    # ---------------- joins ----------------
+    def merge(
+        self,
+        right: "SparkFrame | DataFrame",
+        on: str | Sequence[str] | None = None,
+        how: str = "inner",
+        left_on: str | Sequence[str] | None = None,
+        right_on: str | Sequence[str] | None = None,
+        suffixes: tuple[str, str] = ("_x", "_y"),
+        indicator: bool = False,
+        broadcast: bool = False,
+    ) -> "SparkFrame":
+        """pandas.merge semantics on Spark joins (ScalableDataFrame.py:1820-1836).
+
+        Collision columns get pandas-style suffixes; ``indicator`` adds a
+        ``_merge`` provenance column. ``broadcast=True`` hints the right side
+        (use for dimension tables; Catalyst also auto-broadcasts under the
+        configured threshold)."""
+        rdf = right.df if isinstance(right, SparkFrame) else right
+        ldf = self.df
+        how_map = {"inner": "inner", "left": "left", "right": "right", "outer": "full", "cross": "cross"}
+        spark_how = how_map[how]
+
+        if on is not None:
+            keys = [on] if isinstance(on, str) else list(on)
+            lkeys = rkeys = keys
+        elif left_on is not None and right_on is not None:
+            lkeys = [left_on] if isinstance(left_on, str) else list(left_on)
+            rkeys = [right_on] if isinstance(right_on, str) else list(right_on)
+        else:
+            raise ValueError("merge requires `on` or `left_on`/`right_on`")
+
+        # pandas-style suffixes for non-key collisions
+        collisions = (set(ldf.columns) & set(rdf.columns)) - (set(lkeys) & set(rkeys))
+        for c in collisions:
+            ldf = ldf.withColumnRenamed(c, c + suffixes[0])
+            rdf = rdf.withColumnRenamed(c, c + suffixes[1])
+
+        if indicator:
+            ldf = ldf.withColumn("__l__", F.lit(True))
+            rdf = rdf.withColumn("__r__", F.lit(True))
+
+        if broadcast:
+            rdf = F.broadcast(rdf)
+
+        if lkeys == rkeys:
+            joined = ldf.join(rdf, on=lkeys, how=spark_how)
+        else:
+            cond = None
+            for lk, rk in zip(lkeys, rkeys):
+                c = ldf[lk] == rdf[rk]
+                cond = c if cond is None else (cond & c)
+            joined = ldf.join(rdf, on=cond, how=spark_how)
+
+        if indicator:
+            joined = joined.withColumn(
+                "_merge",
+                F.when(F.col("__l__").isNotNull() & F.col("__r__").isNotNull(), F.lit("both"))
+                .when(F.col("__l__").isNotNull(), F.lit("left_only"))
+                .otherwise(F.lit("right_only")),
+            ).drop("__l__", "__r__")
+        return SparkFrame(joined)
+
+    def join(self, *a, **k):
+        raise NotImplementedError("use .merge() (parity: ScalableDataFrame.py:1486)")
+
+    # ---------------- set ops ----------------
+    @staticmethod
+    def concat(frames: Sequence["SparkFrame"], reset_index: bool = True) -> "SparkFrame":
+        """Row-wise union by name, missing columns -> null
+        (ScalableDataFrame.concat :1838-1868; DICT layout fills NaN)."""
+        dfs = [f.df for f in frames]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return SparkFrame(out)
+
+    def drop_duplicates(self, subset: Sequence[str] | None = None) -> "SparkFrame":
+        return SparkFrame(self.df.dropDuplicates(list(subset)) if subset else self.df.dropDuplicates())
+
+    def duplicated(self, subset: Sequence[str] | None = None, out_col: str = "duplicated") -> "SparkFrame":
+        keys = list(subset) if subset else self.df.columns
+        w = Window.partitionBy(*keys)
+        return SparkFrame(self.df.withColumn(out_col, F.count(F.lit(1)).over(w) > 1))
+
+    def intersect(self, other: "SparkFrame") -> "SparkFrame":
+        return SparkFrame(self.df.intersect(other.df))
+
+    def except_all(self, other: "SparkFrame") -> "SparkFrame":
+        return SparkFrame(self.df.exceptAll(other.df))
+
+    def equals(self, other: "SparkFrame") -> bool:
+        if self.df.schema != other.df.schema:
+            return False
+        return self.df.exceptAll(other.df).isEmpty() and other.df.exceptAll(self.df).isEmpty()
+
+    # ---------------- missing data ----------------
+    def isna(self) -> "SparkFrame":
+        return SparkFrame(self.df.select(*[F.col(c).isNull().alias(c) for c in self.df.columns]))
+
+    def dropna(self, how: str = "any", thresh: int | None = None, subset: Sequence[str] | None = None) -> "SparkFrame":
+        return SparkFrame(self.df.na.drop(how=how, thresh=thresh, subset=list(subset) if subset else None))
+
+    def fillna(self, value: Any | Mapping[str, Any]) -> "SparkFrame":
+        return SparkFrame(self.df.na.fill(value if isinstance(value, dict) else value))
+
+    def replace(self, to_replace, value=None, subset: Sequence[str] | None = None) -> "SparkFrame":
+        return SparkFrame(self.df.na.replace(to_replace, value, subset=list(subset) if subset else None))
+
+    def ffill(self, order_col: str, cols: Sequence[str], partition_by: Sequence[str] | None = None) -> "SparkFrame":
+        """Forward-fill needs an explicit ordering column in a distributed
+        engine (ScalableSeries.py:1048-1091 has implicit row order)."""
+        w = (Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()).orderBy(order_col).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        df = self.df
+        for c in cols:
+            df = df.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+        return SparkFrame(df)
+
+    # ---------------- sorting / sampling ----------------
+    def sort_values(self, by: str | Sequence[str], ascending: bool | Sequence[bool] = True, na_position: str = "last") -> "SparkFrame":
+        by = [by] if isinstance(by, str) else list(by)
+        asc = [ascending] * len(by) if isinstance(ascending, bool) else list(ascending)
+        cols = []
+        for c, a in zip(by, asc):
+            if a:
+                cols.append(F.asc_nulls_last(c) if na_position == "last" else F.asc_nulls_first(c))
+            else:
+                cols.append(F.desc_nulls_last(c) if na_position == "last" else F.desc_nulls_first(c))
+        return SparkFrame(self.df.orderBy(*cols))
+
+    def sample(self, n: int | None = None, frac: float | None = None, replace: bool = False, random_state: int | None = None) -> "SparkFrame":
+        if frac is not None:
+            return SparkFrame(self.df.sample(withReplacement=replace, fraction=frac, seed=random_state))
+        if n is not None:
+            # exact-n: seeded random order + limit (one shuffle; fine for feeds)
+            return SparkFrame(self.df.orderBy(F.rand(random_state) if random_state is not None else F.rand()).limit(n))
+        raise ValueError("sample requires n or frac")
+
+    def shuffle(self, seed: int | None = None) -> "SparkFrame":
+        """Seeded-deterministic within-engine (documented divergence from
+        numpy RandomState bit-order, SURVEY.md §7 known-hard #3)."""
+        return SparkFrame(self.df.orderBy(F.rand(seed) if seed is not None else F.rand()))
+
+    # ---------------- function application ----------------
+    def applymap(self, func: Callable, returnType: str = "string") -> "SparkFrame":
+        return SparkFrame(self.df.select(*[F.udf(func, returnType)(F.col(c)).alias(c) for c in self.df.columns]))
+
+    def apply(self, func: Callable, axis: int = 1, schema=None) -> "SparkFrame":
+        """Row-wise apply via mapInPandas (Arrow-batched; stays on executors)."""
+        if axis != 1:
+            raise ValueError("only axis=1 (row-wise) supported")
+        out_schema = schema or self.df.schema
+
+        def _fn(batches):
+            for pdf in batches:
+                yield func(pdf)
+
+        return SparkFrame(self.df.mapInPandas(_fn, out_schema))
+
+    def map_in_pandas(self, func: Callable, schema) -> "SparkFrame":
+        return SparkFrame(self.df.mapInPandas(func, schema))
+
+    # ---------------- materialization / layout edges ----------------
+    def persist(self, wait: bool = False) -> "SparkFrame":
+        self.df = self.df.persist()
+        if wait:
+            self.df.count()
+        return self
+
+    def unpersist(self) -> "SparkFrame":
+        self.df = self.df.unpersist()
+        return self
+
+    def compute(self) -> pd.DataFrame:
+        return self.to_pandas()
+
+    @property
+    def is_lazy(self) -> bool:
+        return True
+
+    def repartition(self, npartitions: int | None = None, nrows: int | None = None, by: Sequence[str] | None = None) -> "SparkFrame":
+        """nrows -> ceil(count/nrows) partitions (DaskScalableDataFrame.py:183-209)."""
+        if by is not None:
+            return SparkFrame(self.df.repartition(*(by if npartitions is None else [npartitions, *by])))
+        if nrows is not None:
+            import math
+
+            npartitions = max(1, math.ceil(self.df.count() / nrows))
+        return SparkFrame(self.df.repartition(npartitions))
+
+    def to_pandas(self) -> pd.DataFrame:
+        return self.df.toPandas()
+
+    pandas = property(to_pandas)
+
+    def to_list_of_dict(self) -> list[dict]:
+        return [r.asDict(recursive=True) for r in self.df.collect()]
+
+    def to_dict(self) -> dict[str, list]:
+        pdf = self.to_pandas()
+        return {c: pdf[c].tolist() for c in pdf.columns}
+
+    def collect(self):
+        return self.df.collect()
+
+    def to_parquet(self, path: str, **kw) -> None:
+        from bears_spark.io.writer import write
+
+        write(self, path, file_format="parquet", **kw)
+
+    def to_csv(self, path: str, **kw) -> None:
+        from bears_spark.io.writer import write
+
+        write(self, path, file_format="csv", **kw)
+
+    def to_json(self, path: str, **kw) -> None:
+        from bears_spark.io.writer import write
+
+        write(self, path, file_format="jsonlines", **kw)
+
+    # ---------------- streaming feed ----------------
+    def stream(self, **kw):
+        from bears_spark.stream import stream_frame
+
+        return stream_frame(self, **kw)
+
+    # ---------------- misc ----------------
+    def valid(self, validator: Callable[[pd.DataFrame], "pd.Series"], sample_frac: float | None = None) -> bool:
+        """Sampled element-wise validation (ScalableDataFrame.valid :298-334):
+        validator gets pandas batches, returns boolean Series; True iff all pass."""
+        df = self.df.sample(fraction=sample_frac) if sample_frac else self.df
+
+        def _check(batches):
+            for pdf in batches:
+                ok = validator(pdf)
+                yield pd.DataFrame({"bad": [int((~ok).sum())]})
+
+        import pyspark.sql.types as T
+
+        bad = df.mapInPandas(_check, T.StructType([T.StructField("bad", T.LongType())])).agg(F.sum("bad").alias("bad")).first()["bad"]
+        return (bad or 0) == 0
+
+    def explain(self, mode: str = "formatted") -> None:
+        self.df.explain(mode)
+
+    def __repr__(self) -> str:
+        return f"SparkFrame[{', '.join(f'{f.name}: {f.dataType.simpleString()}' for f in self.df.schema.fields)}]"

@@ -1,0 +1,60 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs ``local[N]``; the same config block is what we'd ship to a
+1000-executor cluster job: AQE on (runtime partition coalescing, skew-join
+splitting, dynamic broadcast), Arrow for any pandas-UDF boundary, and shuffle
+partitions sized to the parallelism at hand rather than Spark's legacy 200.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Tuned for correctness at small SF and sane behavior at 100 TB:
+# - AQE handles partition-count right-sizing at runtime, so a static
+#   shuffle.partitions only needs to be an upper bound ~ cluster cores.
+# - autoBroadcastJoinThreshold stays default (10 MB) — dimension tables
+#   (region/nation/supplier/part/customer at most SFs) broadcast automatically;
+#   we additionally hint F.broadcast() in queries where we KNOW the side is a dim.
+# - maxPartitionBytes 128 MB keeps scan partitions executor-memory friendly.
+_BASE_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # NaN-vs-null rule (SURVEY.md §7 known-hard #1): bears conflates NaN/None;
+    # we normalize NaN->null at ingest (see io/reader.py) and keep Spark's
+    # distinction internally.
+    "spark.sql.shuffle.partitions": str(max(os.cpu_count() or 8, 8)),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    "spark.driver.maxResultSize": "8g",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_session(app_name: str = "bears_spark", master: str | None = None, **extra_conf: str) -> SparkSession:
+    """Get or create the shared SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster the caller leaves it None and spark-submit supplies the master.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in {**_BASE_CONF, **extra_conf}.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_session() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

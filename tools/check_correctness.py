@@ -1,0 +1,87 @@
+"""Local replica of the driver's correctness gate: run each queries() entry on
+Spark and its oracle_sql() on DuckDB at the same SF, compare row count, column
+names, and order-insensitive value hash. Usage:
+
+    python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import pandas as pd
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].apply(lambda v: tuple(round(float(x), 6) for x in v) if isinstance(v, (list, tuple)) else v)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> tuple[bool, str]:
+    if len(spark_pdf) != len(oracle_pdf):
+        return False, f"row count {len(spark_pdf)} vs {len(oracle_pdf)}"
+    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
+        return False, f"columns {sorted(spark_pdf.columns)} vs {sorted(oracle_pdf.columns)}"
+    a, b = _canon(spark_pdf), _canon(oracle_pdf)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            ok = all(
+                (pd.isna(x) and pd.isna(y)) or (not pd.isna(x) and not pd.isna(y) and math.isclose(float(x), float(y), rel_tol=1e-6, abs_tol=1e-9))
+                for x, y in zip(av, bv)
+            )
+        else:
+            ok = av.astype(str).tolist() == bv.astype(str).tolist()
+        if not ok:
+            bad = next(i for i in range(len(av)) if str(av.iloc[i]) != str(bv.iloc[i]))
+            return False, f"column {c} differs, e.g. row {bad}: {av.iloc[bad]!r} vs {bv.iloc[bad]!r}"
+    return True, "ok"
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from bears_spark.session import get_session
+    from bears_spark.queries.tables import TABLE_NAMES
+
+    spark = get_session("correctness-check")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        spark_pdf = fn(spark, sf_dir).toPandas()
+        if name not in oracles:
+            print(f"  {name}: NO ORACLE (rows-only) rows={len(spark_pdf)}")
+            continue
+        oracle_pdf = con.sql(oracles[name]).df()
+        ok, msg = compare(spark_pdf, oracle_pdf)
+        print(f"  {name}: {'PASS' if ok else 'FAIL — ' + msg} (rows={len(spark_pdf)})")
+        if not ok:
+            failures.append(name)
+    if failures:
+        print(f"FAILED: {failures}")
+        return 1
+    print("ALL PASS")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
