@@ -12,7 +12,45 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from bears_spark.queries import events as ev
+from bears_spark.queries import relational as rel
+from bears_spark.queries import textops as tx
 from bears_spark.queries import tpch
+
+_TPCH_QUERIES = {
+    "q1_pricing_summary": tpch.q1_pricing_summary,
+    "q3_shipping_priority": tpch.q3_shipping_priority,
+    "q5_local_supplier_volume": tpch.q5_local_supplier_volume,
+    "q6_revenue_change": tpch.q6_revenue_change,
+    "q10_returned_items": tpch.q10_returned_items,
+}
+
+_TPCH_ORACLES = {
+    "q1_pricing_summary": tpch.Q1_SQL,
+    "q3_shipping_priority": tpch.Q3_SQL,
+    "q5_local_supplier_volume": tpch.Q5_SQL,
+    "q6_revenue_change": tpch.Q6_SQL,
+    "q10_returned_items": tpch.Q10_SQL,
+}
+
+
+# headline queries bench.py times at sf0.1 — one per operator family
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_change",
+    "q10_returned_items",
+    "orders_rollup",
+    "top3_customers_per_nation",
+    "ev_daily_activity",
+    "ev_sessionize",
+    "ev_running_sum",
+    "text_stats",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -21,20 +59,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        "q1_pricing_summary": tpch.q1_pricing_summary,
-        "q3_shipping_priority": tpch.q3_shipping_priority,
-        "q5_local_supplier_volume": tpch.q5_local_supplier_volume,
-        "q6_revenue_change": tpch.q6_revenue_change,
-        "q10_returned_items": tpch.q10_returned_items,
-    }
+    return {**_TPCH_QUERIES, **rel.QUERIES, **ev.QUERIES, **tx.QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
-        "q1_pricing_summary": tpch.Q1_SQL,
-        "q3_shipping_priority": tpch.Q3_SQL,
-        "q5_local_supplier_volume": tpch.Q5_SQL,
-        "q6_revenue_change": tpch.Q6_SQL,
-        "q10_returned_items": tpch.Q10_SQL,
-    }
+    return {**_TPCH_ORACLES, **rel.ORACLES, **ev.ORACLES, **tx.ORACLES}

@@ -1,0 +1,225 @@
+"""Deduplication strategies for web-scale corpora, Spark-first.
+
+The reference offers only exact ``drop_duplicates`` (delegated;
+src/bears/core/frame/ScalableDataFrame.py:1732-1738). For 100 TB training-data
+work we add the standard near-dup ladder:
+
+- exact:   hash-groupBy on a normalized fingerprint — one shuffle on a 60-bit
+           key; at scale this is the cheapest possible dedup.
+- minhash+LSH: shingle -> minhash signature -> band -> bucket-join. Candidate
+           generation is an equi-join on (band_idx, band_hash) — a shuffle on
+           a well-distributed key, never an O(n²) cross product.
+- simhash: 60-bit sketch; near-dups = small hamming distance. Candidates via
+           band-equality of bit ranges keeps it join-based.
+- n-gram Jaccard: exact similarity on candidate pairs (verification step after
+           LSH, or standalone for small corpora via shared-ngram blocking).
+- embedding cosine: semantic dedup over array<float>; blocked by coarse key
+           (e.g. a cluster/label) to avoid the n² explosion.
+
+Every function returns a DataFrame plan — no driver-side materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bears_spark.functions.hashing import minhash_signature, simhash64, hamming64
+from bears_spark.functions.text import char_shingles, fingerprint64, tokenize, word_ngrams
+from bears_spark.functions.vectors import cosine_similarity
+
+
+def exact_dedup(df: DataFrame, text_col: str, keep_col: str) -> DataFrame:
+    """Keep one row per normalized-text fingerprint (the min of ``keep_col``).
+
+    groupBy on the fingerprint (uniform 60-bit key → no skew), min_by for the
+    survivor: single shuffle, map-side partial agg.
+    """
+    fp = fingerprint64(text_col).alias("__fp__")
+    return (
+        df.select(F.col(keep_col), fp)
+        .groupBy("__fp__")
+        .agg(F.min(keep_col).alias(keep_col))
+        .select(keep_col)
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) from banded MinHash over word
+    n-grams.
+
+    rows_per_band = num_hashes / bands; two docs become candidates iff some
+    band of their signatures matches exactly (P = 1-(1-j^rpb)^bands). Word
+    n-grams (not char shingles) keep the token space discriminative on
+    low-vocabulary corpora; rows_per_band >= 4 keeps bucket sizes near 1 for
+    non-duplicates, so the self-equi-join on (band_idx, band_sig) stays
+    linear — a giant bucket means a real duplicate cluster, the one skew risk,
+    handled by AQE skew-join or an upstream bucket-size cap.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    grams = F.array_distinct(word_ngrams(text_col, ngram_n))
+    # docs too short for any n-gram are excluded (an empty token set would
+    # otherwise bucket all short docs together via the null signature)
+    with_sig = (
+        df.select(F.col(id_col), grams.alias("__grams__"))
+        .filter(F.size("__grams__") > 0)
+        .select(id_col, minhash_signature(F.col("__grams__"), num_hashes).alias("__sig__"))
+    )
+
+    banded = with_sig.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.array_join(
+                        F.transform(
+                            F.slice("__sig__", b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                        "_",
+                    ).alias("sig"),
+                ),
+            )
+        ).alias("bs"),
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("band_sig"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, on=["band", "band_sig"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def simhash_sketch(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """Attach a SimHash sketch column ``simhash`` (token-level)."""
+    return df.select(F.col(id_col), simhash64(tokenize(text_col), bits).alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, bits: int = 32, bands: int = 4
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, candidates via band
+    bit-range equality (Charikar-style): any pair within hamming<=bands-1 must
+    agree on at least one of ``bands`` disjoint bit bands — an equi-join, not n².
+    """
+    band_bits = bits // bands
+    sk = simhash_sketch(df, id_col, text_col, bits)
+    bands_df = sk.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright(F.col("simhash"), i * band_bits).bitwiseAND(F.lit((1 << band_bits) - 1)).alias("chunk"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("bc"),
+    ).select(id_col, "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    a, b = bands_df.alias("a"), bands_df.alias("b")
+    return (
+        a.join(b, on=["band", "chunk"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for pairs sharing >=1 n-gram.
+
+    Blocking on shared n-grams turns the n² similarity into: explode n-grams →
+    self-join on the n-gram → count shared per pair → Jaccard from set sizes.
+    The n-gram key is long-tailed; very common n-grams create hot join keys —
+    at scale add a document-frequency cap (drop n-grams in >X docs) which also
+    improves precision.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"),
+    )
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+
+    a, b = grams.alias("a"), grams.alias("b")
+    shared = (
+        a.join(b, on="gram")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str | None = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Semantic near-dup pairs by embedding cosine >= threshold.
+
+    ``block_col`` (a cluster id / coarse LSH bucket / label) bounds the join:
+    with blocking this is an equi-join per block; without it a cross join —
+    only acceptable for small n. At 100 TB: pre-cluster (KMeans or
+    random-hyperplane bucket) then block.
+    """
+    cols = [F.col(id_col), F.col(vec_col)] + ([F.col(block_col)] if block_col else [])
+    base = df.select(*cols)
+    a, b = base.alias("a"), base.alias("b")
+    if block_col:
+        joined = a.join(b, on=[block_col])
+    else:
+        joined = a.crossJoin(b)
+    return (
+        joined.filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def duplicate_clusters(pairs: DataFrame, survivors_only: bool = False) -> DataFrame:
+    """Union near-dup pairs into clusters via min-id label propagation
+    (small fixed iteration count — pair graphs from dedup are shallow)."""
+    labels = pairs.select(F.col("id_a").alias("id"), F.least("id_a", "id_b").alias("root")).unionByName(
+        pairs.select(F.col("id_b").alias("id"), F.least("id_a", "id_b").alias("root"))
+    )
+    return labels.groupBy("id").agg(F.min("root").alias("cluster_root"))

@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — a single scan + distributed
+  TakeOrderedAndProject; the right baseline and often the right answer even at
+  scale when k is small (no index build, perfect recall).
+- ``lsh_topk``: random-hyperplane LSH bucket search — probes only rows whose
+  sign-bucket matches the query's, trading recall for a >10x candidate cut.
+  Hyperplanes are seeded-deterministic (md5 of (plane, dim)), so results are
+  reproducible across runs and engines.
+- ``ivf_topk``: IVF-style two-stage search against precomputed centroids.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bears_spark.functions.vectors import cosine_similarity, dot, l2_norm
+
+
+def _query_lit(query_vec: Sequence[float]):
+    return F.array(*[F.lit(float(v)) for v in query_vec])
+
+
+def cosine_topk(df: DataFrame, id_col: str, vec_col: str, query_vec: Sequence[float], k: int = 10) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query_vec``.
+
+    orderBy+limit compiles to TakeOrderedAndProject: each partition keeps its
+    local top-k, driver merges — no global sort, no shuffle of the data.
+    """
+    q = _query_lit(query_vec)
+    return (
+        df.select(
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col), q).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplane(plane_idx: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: component j = centered value
+    from md5(plane_idx:j). Matches nothing engine-specific — pure Python at
+    plan-build time, baked into the plan as literals."""
+    import hashlib
+
+    comps = []
+    for j in range(dim):
+        h = int(hashlib.md5(f"{plane_idx}:{j}".encode()).hexdigest()[:15], 16)
+        comps.append((h / float(1 << 60)) - 0.5)
+    return comps
+
+
+def signature_bits(vec_col, planes: list[list[float]]):
+    """Sign-bucket of a vector vs a set of hyperplanes -> int bucket id."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        d = dot(vec_col, F.array(*[F.lit(c) for c in plane]))
+        bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    num_planes: int = 4,
+) -> DataFrame:
+    """Approximate top-k: search only the query's random-hyperplane bucket.
+
+    At scale the bucket column is precomputed & the table bucketed/partitioned
+    by it, turning every query into a partition-pruned scan of ~n/2^planes
+    rows. Here the bucket is computed on the fly from the same plan.
+    """
+    dim = len(query_vec)
+    planes = [_hyperplane(i, dim) for i in range(num_planes)]
+    q_bucket = 0
+    for i, plane in enumerate(planes):
+        if sum(p * float(v) for p, v in zip(plane, query_vec)) > 0:
+            q_bucket |= 1 << i
+    q = _query_lit(query_vec)
+    return (
+        df.withColumn("__bucket__", signature_bits(F.col(vec_col), planes))
+        .filter(F.col("__bucket__") == q_bucket)
+        .select(F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: Sequence[float],
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF search: assign rows to nearest centroid (broadcast join — centroid
+    set is tiny), then scan only the ``nprobe`` centroids nearest the query.
+
+    ``centroids``: DataFrame(centroid_id int, centroid array<double>) — from
+    KMeans or any coarse quantizer, precomputed once per corpus.
+    """
+    q = _query_lit(query_vec)
+    cent = centroids.select(
+        F.col("centroid_id"), F.col("centroid"), cosine_similarity(F.col("centroid"), q).alias("qsim")
+    )
+    probe_ids = [r["centroid_id"] for r in cent.orderBy(F.desc("qsim")).limit(nprobe).collect()]
+
+    assigned = (
+        df.crossJoin(F.broadcast(centroids))
+        .withColumn("csim", cosine_similarity(F.col(vec_col), F.col("centroid")))
+        .withColumn("rn", F.row_number().over(__import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(id_col).orderBy(F.desc("csim"))))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        assigned.filter(F.col("centroid_id").isin(probe_ids))
+        .select(F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,144 @@
+"""Text-analysis expressions for large-scale training-data pipelines:
+tokenization, quality scoring, language ID, fingerprinting, shingling.
+
+All pure Column expressions (JVM-side). The heuristics are deliberately
+simple/deterministic so a DuckDB oracle can reproduce them bit-for-bit;
+swap in fastText/KenLM-style scorers via pandas UDFs when quality matters
+more than verifiability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword sets for the n-gram/stopword language heuristic.
+# Deliberately short so the oracle SQL stays writable.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "es": ("el", "la", "que", "es", "los"),
+}
+
+EN_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as")
+
+_PUNCT_RE = r"[^\p{L}\p{N}\s]"  # spark regex; oracle uses an ASCII-equivalent
+PUNCT_CHARS = r"""!"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~"""
+
+
+def tokenize(col: Column | str) -> Column:
+    """Whitespace tokenization -> array<string>; empty strings removed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokenize(col))
+
+
+def avg_token_len(col: Column | str) -> Column:
+    toks = tokenize(col)
+    return F.when(
+        F.size(toks) > 0,
+        F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)).cast("double") / F.size(toks),
+    ).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are ASCII punctuation."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    stripped = F.length(F.regexp_replace(c, f"[{PUNCT_CHARS}]", ""))
+    return F.when(n > 0, (n - stripped).cast("double") / n).otherwise(F.lit(0.0))
+
+
+def _isin_pred(words: tuple[str, ...]):
+    """Single-arg lambda factory: pyspark binds EVERY lambda parameter as a
+    lambda variable (a 2-arg filter lambda receives (element, index)), so
+    default-arg closures like ``lambda t, sw=sw`` silently get the index
+    Column — close over values with a factory instead."""
+    return lambda t: t.isin(*words)
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    toks = tokenize(F.lower(F.col(col) if isinstance(col, str) else col))
+    n = F.size(toks)
+    sw = F.size(F.filter(toks, _isin_pred(stopwords)))
+    return F.when(n > 0, sw.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence +
+    low punctuation + token-length sanity. A C4/Gopher-style filter skeleton."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c).cast("double")
+    length_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.25)).otherwise(F.lit(0.0))
+    sw_ok = F.when(stopword_ratio(c) >= 0.05, F.lit(0.25)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(c) <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+    tl = avg_token_len(c)
+    tl_ok = F.when((tl >= 2.0) & (tl <= 12.0), F.lit(0.25)).otherwise(F.lit(0.0))
+    return length_ok + sw_ok + punct_ok + tl_ok
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-vote language ID over LANG_STOPWORDS + CJK-codepoint check.
+
+    Returns the language with the most stopword hits ('zh' if CJK chars
+    dominate, 'unk' when no signal). Ties break by fixed language order
+    en > de > fr > es (greatest-of chain evaluates in that order).
+    """
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    toks = tokenize(c)
+    scores = {lang: F.size(F.filter(toks, _isin_pred(sw))) for lang, sw in LANG_STOPWORDS.items()}
+    cjk = F.length(F.regexp_replace(c, r"[^一-鿿]", ""))
+    best = F.lit("unk")
+    best_score = F.lit(0)
+    for lang in ("es", "fr", "de", "en"):  # reverse priority; later wins ties via >=
+        s = scores[lang]
+        cond = s >= F.greatest(best_score, F.lit(1))
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.greatest(best_score, s)
+    return F.when(cjk > 0, F.lit("zh")).otherwise(best)
+
+
+def fingerprint64(col: Column | str) -> Column:
+    """Document fingerprint: 60-bit hash of whitespace-normalized lowercase
+    text. Normalization makes trivially-reformatted duplicates collide."""
+    from bears_spark.functions.hashing import md5_hash64
+
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return md5_hash64(normalized)
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Word n-grams as array<string> (space-joined).
+
+    Built as a zip_with chain over n shifted slices — NOT transform over a
+    position sequence: a positional lambda would inline (and re-evaluate) the
+    whole tokenize expression per index, turning this O(tokens) op into
+    O(tokens²) per row (Catalyst does not CSE inside lambdas)."""
+    toks = tokenize(col)
+    cnt = F.size(toks)
+    m = cnt - (n - 1)
+    out = F.slice(toks, 1, m)
+    for k in range(1, n):
+        out = F.zip_with(out, F.slice(toks, k + 1, m), lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(cnt >= n, out).otherwise(F.array().cast("array<string>"))
+
+
+def char_shingles(col: Column | str, k: int = 5) -> Column:
+    """Character k-shingles of normalized text -> array<string>.
+
+    Same zip_with-chain construction as word_ngrams (a positional lambda
+    would re-normalize the whole string per position — O(chars²))."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    chars = F.split(normalized, "")
+    n = F.length(normalized)
+    m = n - (k - 1)
+    out = F.slice(chars, 1, m)
+    for j in range(1, k):
+        out = F.zip_with(out, F.slice(chars, j + 1, m), lambda a, b: F.concat(a, b))
+    return F.when(n >= k, out).otherwise(F.array().cast("array<string>"))

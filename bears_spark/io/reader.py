@@ -1,0 +1,164 @@
+"""Reader registry: format-dispatched reads returning SparkFrame.
+
+Reference parity: Reader.of(format) registry + storage dispatch
+(src/bears/reader/Reader.py:81-116), CsvReader/ParquetReader/JsonLinesReader/
+NpzReader (src/bears/reader/dataframe/*.py). Multi-file parallel read with
+retry (DataFrameReader.py:210-316) is Spark-native: a glob/directory path
+parallelizes per-file across tasks with task-level retry — nothing to build.
+
+Schema-based column pruning (``data_schema``) compiles to ``.select`` which
+Catalyst pushes into the scan (ReadSchema) — same effect as the reference's
+usecols/columns pruning (CsvReader.py:50-52, ParquetReader.py:32-35), with
+missing-column tolerance handled by intersecting with the actual schema
+(ParquetReader.detect_columns parity, ParquetReader.py:99-115).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bears_spark.frame import SparkFrame, _normalize_nan_to_null
+from bears_spark.io.metadata import FileFormat, FileMetadata, to_spark_path
+from bears_spark.types import MLTypeSchema, mltype_schema_to_struct
+
+_READERS: Dict[FileFormat, Callable[..., DataFrame]] = {}
+
+
+def register_reader(fmt: FileFormat):
+    def deco(fn):
+        _READERS[fmt] = fn
+        return fn
+
+    return deco
+
+
+@register_reader(FileFormat.CSV)
+def _read_csv(spark: SparkSession, path: str, schema=None, sep: str = ",", header: bool = True, **opts) -> DataFrame:
+    return spark.read.csv(
+        path,
+        sep=sep,
+        header=header,
+        schema=schema,
+        inferSchema=schema is None,
+        quote=opts.get("quote", '"'),
+        escape=opts.get("escape", "\\"),
+        nullValue=opts.get("nullValue"),
+        timestampFormat=opts.get("timestampFormat"),
+    )
+
+
+@register_reader(FileFormat.TSV)
+def _read_tsv(spark: SparkSession, path: str, schema=None, **opts) -> DataFrame:
+    opts.pop("sep", None)
+    return _read_csv(spark, path, schema=schema, sep="\t", **opts)
+
+
+@register_reader(FileFormat.PARQUET)
+def _read_parquet(spark: SparkSession, path: str, schema=None, **opts) -> DataFrame:
+    df = spark.read.parquet(path)
+    return df
+
+
+@register_reader(FileFormat.ORC)
+def _read_orc(spark: SparkSession, path: str, schema=None, **opts) -> DataFrame:
+    return spark.read.orc(path)
+
+
+@register_reader(FileFormat.JSONLINES)
+def _read_jsonlines(spark: SparkSession, path: str, schema=None, **opts) -> DataFrame:
+    return spark.read.json(path, schema=schema)
+
+
+@register_reader(FileFormat.JSON)
+def _read_json(spark: SparkSession, path: str, schema=None, **opts) -> DataFrame:
+    # non-lines JSON (array-of-objects documents) -> multiLine
+    return spark.read.json(path, schema=schema, multiLine=True)
+
+
+@register_reader(FileFormat.TEXT)
+def _read_text(spark: SparkSession, path: str, schema=None, **opts) -> DataFrame:
+    return spark.read.text(path)
+
+
+@register_reader(FileFormat.NPZ)
+def _read_npz(spark: SparkSession, path: str, schema=None, columns: list[str] | None = None, **opts) -> DataFrame:
+    """NPZ (numpy archive of named 1-D arrays = columns) has no Spark source
+    (NpzReader parity, src/bears/reader/dataframe/NpzReader.py:13-109).
+
+    Distributed path: binaryFile source -> mapInPandas(np.load) so each .npz
+    file decodes on an executor, not the driver. One npz = one task — fine for
+    many-file datasets; a single giant npz is inherently unsplittable.
+    """
+    import io as _io
+
+    import numpy as np
+    import pandas as pd
+
+    binary = spark.read.format("binaryFile").load(path)
+
+    # peek one file on the driver for the schema (cheap: metadata-only read)
+    sample_path = binary.select("path").first()["path"]
+    local = sample_path.removeprefix("file:")
+    with np.load(local) as z:
+        keys = columns or list(z.files)
+        sample_pdf = pd.DataFrame({k: z[k][:1] for k in keys})
+    out_schema = spark.createDataFrame(sample_pdf).schema
+
+    def _decode(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                with np.load(_io.BytesIO(row["content"])) as z:
+                    yield pd.DataFrame({k: z[k] for k in keys})
+
+    return binary.select("path", "content").mapInPandas(_decode, out_schema)
+
+
+@register_reader(FileFormat.BINARY)
+def _read_binary(spark: SparkSession, path: str, schema=None, **opts) -> DataFrame:
+    """Asset reader (image/audio/pdf parity — src/bears/reader/asset/): binary
+    payload + path + length; decode via bears_spark.functions.multimodal."""
+    return spark.read.format("binaryFile").load(path)
+
+
+class Reader:
+    """Format registry facade: Reader.of('csv').read(path) (Reader.py:81)."""
+
+    def __init__(self, fmt: FileFormat | str):
+        self.format = FileFormat(fmt) if not isinstance(fmt, FileFormat) else fmt
+
+    @classmethod
+    def of(cls, fmt: FileFormat | str) -> "Reader":
+        return cls(fmt)
+
+    def read(
+        self,
+        path: str,
+        spark: SparkSession | None = None,
+        data_schema: MLTypeSchema | None = None,
+        **opts: Any,
+    ) -> SparkFrame:
+        if spark is None:
+            from bears_spark.session import get_session
+
+            spark = get_session()
+        struct = mltype_schema_to_struct(data_schema) if data_schema else None
+        fn = _READERS.get(self.format)
+        if fn is None:
+            raise ValueError(f"no reader registered for format {self.format}")
+        df = fn(spark, to_spark_path(path), schema=struct, **opts)
+        if data_schema:
+            # schema-pruning with missing-column tolerance: select only columns
+            # present in the file (Catalyst pushes the pruning into the scan)
+            keep = [c for c in data_schema if c in df.columns]
+            df = df.select(*keep)
+        return SparkFrame(_normalize_nan_to_null(df))
+
+
+def read(path: str, file_format: str | FileFormat | None = None, **kw) -> SparkFrame:
+    """Top-level read with format auto-detect from extension."""
+    meta = FileMetadata(path, format=FileFormat(file_format) if file_format else None)
+    if meta.format is None:
+        raise ValueError(f"cannot detect format from path {path!r}; pass file_format=")
+    return Reader.of(meta.format).read(path, **kw)

@@ -1,0 +1,230 @@
+"""Window-function / date-time / sessionization queries over the events table.
+
+The reference has NO window functions or temporal operators (SURVEY.md §2.5,
+§2.11 — rolling/shift/resample all raise) — this module is the Spark-native
+capability gain, exercised as first-class graded queries.
+
+Scale notes: every window partitions by user_id (high-cardinality, uniform) —
+one shuffle, no skew; tumbling aggregations are plain groupBys with partial
+aggregation. Event-time streaming variants of these live in
+bears_spark/streaming/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bears_spark.queries.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# ev_daily_activity: tumbling daily per-user aggregation (groupBy on
+# (user, day) — map-side partial agg keeps the shuffle proportional to groups).
+def ev_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("user_id"), F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+EV_DAILY_SQL = """
+SELECT user_id, date_trunc('day', ts)::DATE AS day,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value,
+       count(DISTINCT event_type) AS n_types
+FROM events GROUP BY 1, 2 ORDER BY user_id, day
+"""
+
+
+# --------------------------------------------------------------------------
+# ev_running_sum: per-user running total ordered by event time (analytic
+# window: rows unbounded-preceding..current).
+def ev_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 6).alias("running_value"),
+        F.row_number().over(Window.partitionBy("user_id").orderBy("ts", "event_id")).alias("seq"),
+    ).orderBy("event_id")
+
+
+EV_RUNNING_SQL = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+FROM events ORDER BY event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# ev_sessionize: 30-minute-gap sessionization via lag + cumulative sum —
+# the canonical batch sessionization (streaming variant: session windows).
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    with_new = ev.withColumn("is_new", F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0))
+    with_sess = with_new.withColumn("session_seq", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        with_sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("session_value"),
+            F.unix_micros(F.min("ts")).alias("start_us"),
+            F.unix_micros(F.max("ts")).alias("end_us"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+EV_SESSIONIZE_SQL = """
+WITH lagged AS (
+  SELECT user_id, event_id, ts, value,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
+  FROM lagged
+), sess AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       count(*) AS n_events,
+       round(sum(value), 6) AS session_value,
+       epoch_us(min(ts)) AS start_us,
+       epoch_us(max(ts)) AS end_us
+FROM sess GROUP BY 1, 2 ORDER BY user_id, session_seq
+"""
+
+
+# --------------------------------------------------------------------------
+# ev_hourly_by_type: tumbling hourly window per event type.
+def ev_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .orderBy("hour_us", "event_type")
+    )
+
+
+EV_HOURLY_SQL = """
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+       count(*) AS n, round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# ev_top3_per_type: top-3 events by value per type — ranking window
+# (row_number over partition; Spark's WindowGroupLimit pushes the limit
+# into the sort, so no full per-partition materialization).
+def ev_top3_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("event_type", "rk", "event_id", F.round("value", 6).alias("value"))
+        .orderBy("event_type", "rk")
+    )
+
+
+EV_TOP3_SQL = """
+SELECT event_type, rk, event_id, round(value, 6) AS value
+FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rk
+  FROM events
+)
+WHERE rk <= 3 ORDER BY event_type, rk
+"""
+
+
+# --------------------------------------------------------------------------
+# ev_lag_lead_delta: per-user event-to-event value deltas + time deltas
+# (lag/lead/diff — all absent in the reference, ScalableSeries.py:351-417).
+def ev_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") - F.lag("value").over(w), 6).alias("value_delta"),
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .orderBy("event_id")
+    )
+
+
+EV_LAG_LEAD_SQL = """
+SELECT event_id, user_id,
+       round(value - lag(value) OVER w, 6) AS value_delta,
+       epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us,
+       lead(event_type) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# ev_json_extract: JSON parsing of the props column (get_json_object) +
+# datetime parts extraction.
+def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+            F.dayofweek("ts").alias("dow"),
+            F.hour("ts").alias("hour"),
+        )
+        .filter(F.col("prop_k") > 50)
+        .orderBy("event_id")
+    )
+
+
+EV_JSON_SQL = """
+SELECT event_id,
+       json_extract(props, '$.k')::BIGINT AS prop_k,
+       dayofweek(ts) + 1 AS dow,
+       hour(ts) AS hour
+FROM events
+WHERE json_extract(props, '$.k')::BIGINT > 50
+ORDER BY event_id
+"""
+
+QUERIES = {
+    "ev_daily_activity": ev_daily_activity,
+    "ev_running_sum": ev_running_sum,
+    "ev_sessionize": ev_sessionize,
+    "ev_hourly_by_type": ev_hourly_by_type,
+    "ev_top3_per_type": ev_top3_per_type,
+    "ev_lag_lead_delta": ev_lag_lead_delta,
+    "ev_json_extract": ev_json_extract,
+}
+
+ORACLES = {
+    "ev_daily_activity": EV_DAILY_SQL,
+    "ev_running_sum": EV_RUNNING_SQL,
+    "ev_sessionize": EV_SESSIONIZE_SQL,
+    "ev_hourly_by_type": EV_HOURLY_SQL,
+    "ev_top3_per_type": EV_TOP3_SQL,
+    "ev_lag_lead_delta": EV_LAG_LEAD_SQL,
+    "ev_json_extract": EV_JSON_SQL,
+}

@@ -1,0 +1,287 @@
+"""Relational operator coverage beyond the TPC-H five: semi/anti joins,
+rollup/cube grouping sets, set ops, statistical aggregates, dedup, top-k per
+group — the SURVEY.md §2.3/2.4/2.6/2.7 inventory exercised as graded queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bears_spark.queries.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# customers_without_orders: left-anti join (absent in the reference — merge
+# supports inner/left/right/outer only, ScalableDataFrame.py:1820-1836).
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+CUST_NO_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# big_spender_customers: left-semi join with a pushed-down filter.
+def big_spender_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+BIG_SPENDER_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+ORDER BY c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# orders_rollup: ROLLUP grouping sets over status × priority (absent in the
+# reference — pivot_table raises, ScalableDataFrame.py:1421).
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+        .orderBy(F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority"))
+    )
+
+
+ORDERS_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 4) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+# --------------------------------------------------------------------------
+# orders_cube: CUBE over the same dimensions.
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+        .orderBy(F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority"))
+    )
+
+
+ORDERS_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+# --------------------------------------------------------------------------
+# segment_stats: statistical aggregate battery per market segment
+# (ScalableSeries sum/mean/std/var/corr surface, ScalableSeries.py:896-961).
+def segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("c_acctbal"), 6).alias("mean_bal"),
+            F.round(F.stddev_samp("c_acctbal"), 6).alias("std_bal"),
+            F.round(F.var_samp("c_acctbal"), 6).alias("var_bal"),
+            F.round(F.min("c_acctbal"), 6).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 6).alias("max_bal"),
+            F.round(F.median("c_acctbal"), 6).alias("median_bal"),
+            F.round(F.sum("c_acctbal"), 6).alias("sum_bal"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SEGMENT_STATS_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n,
+       round(avg(c_acctbal), 6) AS mean_bal,
+       round(stddev_samp(c_acctbal), 6) AS std_bal,
+       round(var_samp(c_acctbal), 6) AS var_bal,
+       round(min(c_acctbal), 6) AS min_bal,
+       round(max(c_acctbal), 6) AS max_bal,
+       round(median(c_acctbal), 6) AS median_bal,
+       round(sum(c_acctbal), 6) AS sum_bal,
+       count(DISTINCT c_nationkey) AS n_nations
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# part_corr: corr/covar between part size and retail price per brand.
+def part_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.round(F.corr("p_size", "p_retailprice"), 6).alias("corr_size_price"),
+            F.round(F.covar_samp("p_size", "p_retailprice"), 6).alias("covar_size_price"),
+            F.round(F.percentile("p_retailprice", F.lit(0.9)), 6).alias("p90_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+PART_CORR_SQL = """
+SELECT p_brand,
+       round(corr(p_size, p_retailprice), 6) AS corr_size_price,
+       round(covar_samp(p_size, p_retailprice), 6) AS covar_size_price,
+       round(quantile_cont(p_retailprice, 0.9), 6) AS p90_price
+FROM part GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# top3_customers_per_nation: ranking window, deterministic tiebreak.
+def top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("n_name", "rk", "c_custkey", F.round("c_acctbal", 6).alias("acctbal"))
+        .orderBy("n_name", "rk")
+    )
+
+
+TOP3_PER_NATION_SQL = """
+SELECT n_name, rk, c_custkey, round(c_acctbal, 6) AS acctbal
+FROM (
+  SELECT n_name, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+WHERE rk <= 3 ORDER BY n_name, rk
+"""
+
+
+# --------------------------------------------------------------------------
+# lineitem_dedup_keys: dropDuplicates on a key subset
+# (ScalableDataFrame.py:1732-1738) — count survivors per returnflag.
+def lineitem_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.dropDuplicates(["l_orderkey", "l_returnflag"])
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_unique_orders"))
+        .orderBy("l_returnflag")
+    )
+
+
+LINEITEM_DEDUP_SQL = """
+SELECT l_returnflag, count(*) AS n_unique_orders
+FROM (SELECT DISTINCT l_orderkey, l_returnflag FROM lineitem)
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# mktsegment_value_counts: value_counts parity (ScalableSeries.py:991).
+def mktsegment_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy(F.col("c_mktsegment").alias("value"))
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.desc("count"), F.asc("value"))
+    )
+
+
+VALUE_COUNTS_SQL = """
+SELECT c_mktsegment AS value, count(*) AS count
+FROM customer GROUP BY 1 ORDER BY count DESC, value ASC
+"""
+
+
+# --------------------------------------------------------------------------
+# nations_set_ops: intersect/except coverage — nations having customers but
+# no suppliers (exceptAll) and both (intersect).
+def nations_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    both = cust.intersect(supp).withColumn("relation", F.lit("both"))
+    cust_only = cust.exceptAll(supp).withColumn("relation", F.lit("customer_only"))
+    return both.unionByName(cust_only).orderBy("relation", "nationkey")
+
+
+NATIONS_SET_OPS_SQL = """
+WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+     s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+SELECT nationkey, 'both' AS relation FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+UNION ALL
+SELECT nationkey, 'customer_only' AS relation FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+ORDER BY relation, nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# order_fill_missing: missing-data surface — coalesce/fillna + conditional
+# null creation (isna/fillna parity, ScalableDataFrame.py:1784-1808).
+def order_fill_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # create nulls deterministically (prices on 'F' orders), then repair
+    with_null = orders.withColumn(
+        "price_or_null", F.when(F.col("o_orderstatus") == "F", F.lit(None).cast("double")).otherwise(F.col("o_totalprice"))
+    )
+    return (
+        with_null.select(
+            "o_orderkey",
+            F.col("price_or_null").isNull().alias("was_null"),
+            F.round(F.coalesce("price_or_null", F.lit(0.0)), 6).alias("price_filled"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+ORDER_FILL_SQL = """
+SELECT o_orderkey,
+       (CASE WHEN o_orderstatus = 'F' THEN NULL ELSE o_totalprice END) IS NULL AS was_null,
+       round(coalesce(CASE WHEN o_orderstatus = 'F' THEN NULL ELSE o_totalprice END, 0.0), 6) AS price_filled
+FROM orders ORDER BY o_orderkey
+"""
+
+QUERIES = {
+    "customers_without_orders": customers_without_orders,
+    "big_spender_customers": big_spender_customers,
+    "orders_rollup": orders_rollup,
+    "orders_cube": orders_cube,
+    "segment_stats": segment_stats,
+    "part_corr": part_corr,
+    "top3_customers_per_nation": top3_customers_per_nation,
+    "lineitem_dedup_keys": lineitem_dedup_keys,
+    "mktsegment_value_counts": mktsegment_value_counts,
+    "nations_set_ops": nations_set_ops,
+    "order_fill_missing": order_fill_missing,
+}
+
+ORACLES = {
+    "customers_without_orders": CUST_NO_ORDERS_SQL,
+    "big_spender_customers": BIG_SPENDER_SQL,
+    "orders_rollup": ORDERS_ROLLUP_SQL,
+    "orders_cube": ORDERS_CUBE_SQL,
+    "segment_stats": SEGMENT_STATS_SQL,
+    "part_corr": PART_CORR_SQL,
+    "top3_customers_per_nation": TOP3_PER_NATION_SQL,
+    "lineitem_dedup_keys": LINEITEM_DEDUP_SQL,
+    "mktsegment_value_counts": VALUE_COUNTS_SQL,
+    "nations_set_ops": NATIONS_SET_OPS_SQL,
+    "order_fill_missing": ORDER_FILL_SQL,
+}

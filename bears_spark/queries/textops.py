@@ -1,0 +1,342 @@
+"""Text-analysis / dedup / similarity queries over documents+embeddings, each
+with a DuckDB oracle reproducing the identical deterministic algorithm
+(md5-based hashing — see functions/hashing.py — makes the engines agree
+bit-for-bit on every hash value).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bears_spark.functions import dedup as dd
+from bears_spark.functions import similarity as sim
+from bears_spark.functions.text import (
+    LANG_STOPWORDS,
+    avg_token_len,
+    fingerprint64,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from bears_spark.queries.tables import load_table
+
+# shared SQL fragments for the oracles
+_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+def _hex2int(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+# --------------------------------------------------------------------------
+# text_stats: per-document token stats + quality score (C4/Gopher-style).
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.round(avg_token_len("text"), 6).alias("avg_token_len"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
+        F.round(quality_score("text"), 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+_SW_LIST = "['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as']"
+_PUNCT_SQL = """length(text) - length(regexp_replace(text, '[!"#$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]', '', 'g'))"""
+
+TEXT_STATS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+              ELSE 0.0 END AS atl,
+         CASE WHEN length(text) > 0
+              THEN ({_PUNCT_SQL})::DOUBLE / length(text)
+              ELSE 0.0 END AS pr,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(list_transform(toks, x -> lower(x)), x -> list_contains({_SW_LIST}, x)))::DOUBLE / len(toks)
+              ELSE 0.0 END AS swr
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       round(atl, 6) AS avg_token_len,
+       round(pr, 6) AS punct_ratio,
+       round(swr, 6) AS stopword_ratio,
+       round((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.25 ELSE 0 END)
+           + (CASE WHEN swr >= 0.05 THEN 0.25 ELSE 0 END)
+           + (CASE WHEN pr <= 0.2 THEN 0.25 ELSE 0 END)
+           + (CASE WHEN atl BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0 END), 6) AS quality
+FROM s ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# lang_id_confusion: stopword-vote language ID vs the labeled lang column.
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+_TOKS_LOWER = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')"
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ",".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return f"len(list_filter({_TOKS_LOWER}, x -> list_contains([{words}], x)))"
+
+
+LANG_ID_SQL = f"""
+WITH s AS (
+  SELECT lang,
+         {_lang_score_sql('en')} AS s_en,
+         {_lang_score_sql('de')} AS s_de,
+         {_lang_score_sql('fr')} AS s_fr,
+         {_lang_score_sql('es')} AS s_es,
+         length(regexp_replace(lower(trim(text)), '[^一-鿿]', '', 'g')) AS cjk
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN cjk > 0 THEN 'zh'
+            WHEN s_en >= greatest(s_de, s_fr, s_es, 1) THEN 'en'
+            WHEN s_de >= greatest(s_fr, s_es, 1) THEN 'de'
+            WHEN s_fr >= greatest(s_es, 1) THEN 'fr'
+            WHEN s_es >= 1 THEN 'es'
+            ELSE 'unk' END AS predicted,
+       count(*) AS n
+FROM s GROUP BY 1, 2 ORDER BY lang, predicted
+"""
+
+
+# --------------------------------------------------------------------------
+# doc_fingerprint: 60-bit normalized-text fingerprints (rolling-hash family).
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint64("text").alias("fingerprint")).orderBy("doc_id")
+
+
+DOC_FINGERPRINT_SQL = f"""
+SELECT doc_id, {_hex2int("'0:' || " + _NORM)} AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup_exact: survivors of exact (normalized-fingerprint) dedup.
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs, "text", "doc_id").orderBy("doc_id")
+
+
+DEDUP_EXACT_SQL = f"""
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY {_hex2int(_NORM)} ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup_ngram_jaccard: near-dup pairs by word-trigram Jaccard >= 0.5.
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy("id_a", "id_b")
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS grams
+  FROM toks WHERE len(t) >= 3
+), e AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g
+), sz AS (
+  SELECT doc_id, count(*) AS n_grams FROM e GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(inter::DOUBLE / (sa.n_grams + sb.n_grams - inter), 6) AS jaccard
+FROM shared
+JOIN sz sa ON shared.id_a = sa.doc_id
+JOIN sz sb ON shared.id_b = sb.doc_id
+WHERE inter::DOUBLE / (sa.n_grams + sb.n_grams - inter) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup_minhash_lsh: banded-MinHash candidate pairs (16 hashes, 4 bands,
+# word-trigram tokens).
+_NUM_HASHES, _BANDS, _NGRAM_N = 16, 4, 3
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS, ngram_n=_NGRAM_N
+    ).orderBy("id_a", "id_b")
+
+
+def _minhash_sql() -> str:
+    from bears_spark.functions.hashing import MINHASH_P, minhash_coeffs
+
+    rpb = _NUM_HASHES // _BANDS
+    sig_terms = ",\n         ".join(
+        f"list_min(list_transform(bh, x -> (x * {a} + {b}) % {MINHASH_P})) AS h{i}"
+        for i, (a, b) in ((i, minhash_coeffs(i)) for i in range(_NUM_HASHES))
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, concat_ws('_', {', '.join(f'h{b * rpb + j}' for j in range(rpb))}) AS band_sig FROM sig"
+        for b in range(_BANDS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), sh_t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM toks WHERE len(t) >= {_NGRAM_N}
+), bh_t AS (
+  SELECT doc_id, list_transform(sh, s -> {_hex2int('s')} % {MINHASH_P}) AS bh
+  FROM sh_t WHERE len(sh) > 0
+), sig AS (
+  SELECT doc_id,
+         {sig_terms}
+  FROM bh_t
+), banded AS (
+{band_rows}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+MINHASH_LSH_SQL = _minhash_sql()
+
+
+# --------------------------------------------------------------------------
+# dedup_simhash: 32-bit SimHash near-pairs (hamming <= 3, 4x8-bit bands).
+_SIMHASH_BITS = 32
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3, bits=_SIMHASH_BITS, bands=4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _simhash_sql() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(h, x -> CASE WHEN (x >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN {1 << b}::BIGINT ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    band_bits = _SIMHASH_BITS // 4
+    mask = (1 << band_bits) - 1
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {i} AS band, (simhash >> {i * band_bits}) & {mask} AS chunk FROM sk" for i in range(4)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), ht AS (
+  SELECT doc_id, list_transform(toks, s -> {_hex2int('s')}) AS h FROM t
+), sk AS (
+  SELECT doc_id, ({bit_terms}) AS simhash FROM ht
+), banded AS (
+{band_rows}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM banded a JOIN banded b ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+SIMHASH_SQL = _simhash_sql()
+
+
+# --------------------------------------------------------------------------
+# dedup_embedding_cosine: semantic near-dup pairs (cosine >= 0.4, blocked by
+# label to bound the join).
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dd.embedding_cosine_pairs(emb, "vec_id", "embedding", block_col="label", threshold=0.4)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine")).orderBy("id_a", "id_b")
+
+
+_DOT = "list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE))"
+_NA = "sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+_NB = "sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+
+EMB_COSINE_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_DOT} / ({_NA} * {_NB}), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_DOT} / ({_NA} * {_NB}) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
+# ann_cosine_topk: exact brute-force top-10 neighbours of vec_id=0.
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    top = sim.cosine_topk(emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", qvec, k=10)
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+_QDOT = "list_sum(list_transform(list_zip(e.embedding, q.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE))"
+_QNA = "sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+_QNB = "sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+
+ANN_TOPK_SQL = f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id AS vec_id,
+       round({_QDOT} / ({_QNA} * {_QNB}), 6) AS cosine
+FROM embeddings e, q
+WHERE e.vec_id != 0
+ORDER BY {_QDOT} / ({_QNA} * {_QNB}) DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+QUERIES = {
+    "text_stats": text_stats,
+    "lang_id_confusion": lang_id_confusion,
+    "doc_fingerprint": doc_fingerprint,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "ann_cosine_topk": ann_cosine_topk,
+}
+
+ORACLES = {
+    "text_stats": TEXT_STATS_SQL,
+    "lang_id_confusion": LANG_ID_SQL,
+    "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
+    "dedup_minhash_lsh": MINHASH_LSH_SQL,
+    "dedup_simhash": SIMHASH_SQL,
+    "dedup_embedding_cosine": EMB_COSINE_SQL,
+    "ann_cosine_topk": ANN_TOPK_SQL,
+}

@@ -28,6 +28,10 @@ _BASE_CONF = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.session.timeZone": "UTC",
+    # Parquet TIMESTAMP(NANOS) (e.g. pandas datetime64[ns] writers) is illegal
+    # in vanilla Spark 4; read as int64 nanos and convert in the loader
+    # (bears_spark/queries/tables.py) — lossless when sub-µs bits are zero.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # NaN-vs-null rule (SURVEY.md §7 known-hard #1): bears conflates NaN/None;
     # we normalize NaN->null at ingest (see io/reader.py) and keep Spark's
     # distinction internally.
