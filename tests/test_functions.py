@@ -1,0 +1,148 @@
+"""Text/hashing/vector/dedup/similarity function tests."""
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bears_spark.functions import dedup as dd
+from bears_spark.functions import similarity as sim
+from bears_spark.functions.hashing import md5_hash64, MINHASH_P
+from bears_spark.functions.text import (
+    char_shingles,
+    fingerprint64,
+    lang_id,
+    quality_score,
+    token_count,
+    tokenize,
+    word_ngrams,
+)
+from bears_spark.functions.vectors import cosine_similarity, dot, l2_norm
+
+
+def _one(spark, expr, **cols):
+    df = spark.createDataFrame(pd.DataFrame({k: [v] for k, v in cols.items()}))
+    return df.select(expr.alias("out")).first()["out"]
+
+
+def test_tokenize(spark):
+    assert _one(spark, tokenize("t"), t="  a  b\tc ") == ["a", "b", "c"]
+    assert _one(spark, token_count("t"), t="x y") == 2
+    assert _one(spark, token_count("t"), t="   ") == 0
+
+
+def test_word_ngrams(spark):
+    assert _one(spark, word_ngrams("t", 2), t="a b c") == ["a b", "b c"]
+    assert _one(spark, word_ngrams("t", 3), t="a b") == []
+
+
+def test_char_shingles(spark):
+    assert _one(spark, char_shingles("t", 3), t="AB  cd") == ["ab ", "b c", " cd"]
+    assert _one(spark, char_shingles("t", 9), t="short") == []
+
+
+def test_md5_hash64_matches_python(spark):
+    # cross-engine determinism: matches hashlib
+    expected = int(hashlib.md5(b"0:hello").hexdigest()[:15], 16)
+    assert _one(spark, md5_hash64(F.col("t")), t="hello") == expected
+
+
+def test_fingerprint_normalization(spark):
+    a = _one(spark, fingerprint64("t"), t="Hello   World")
+    b = _one(spark, fingerprint64("t"), t="  hello world ")
+    assert a == b
+
+
+def test_lang_id(spark):
+    assert _one(spark, lang_id("t"), t="the cat is on the mat and it is fine") == "en"
+    assert _one(spark, lang_id("t"), t="der Hund ist und das war") == "de"
+    assert _one(spark, lang_id("t"), t="你好世界") == "zh"
+    assert _one(spark, lang_id("t"), t="xyzzy plugh") == "unk"
+
+
+def test_quality_score_range(spark):
+    good = _one(spark, quality_score("t"), t="the quick brown fox jumps over the lazy dog and runs far away today")
+    assert good == 1.0
+    empty = _one(spark, quality_score("t"), t="")
+    assert empty <= 0.5
+
+
+def test_vector_ops(spark):
+    pdf = pd.DataFrame({"a": [[1.0, 2.0, 2.0]], "b": [[1.0, 2.0, 2.0]]})
+    df = spark.createDataFrame(pdf)
+    row = df.select(
+        dot("a", "b").alias("dot"), l2_norm("a").alias("na"), cosine_similarity("a", "b").alias("cos")
+    ).first()
+    assert row["dot"] == 9.0
+    assert row["na"] == 3.0
+    assert row["cos"] == pytest.approx(1.0)
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2, 3], "t": ["Hello  World", "hello world", "different"]})
+    )
+    survivors = [r["id"] for r in dd.exact_dedup(df, "t", "id").orderBy("id").collect()]
+    assert survivors == [1, 3]  # normalized dup keeps min id
+
+
+def test_minhash_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today ok"
+    near = base.replace("today", "tonight")
+    texts = [base, near, "completely different words entirely unrelated content here now then"]
+    df = spark.createDataFrame(pd.DataFrame({"id": [1, 2, 3], "t": texts}))
+    pairs = {(r["id_a"], r["id_b"]) for r in dd.minhash_lsh_candidates(df, "id", "t").collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2], "t": ["a b c d e", "a b c d x"]})
+    )
+    rows = dd.ngram_jaccard_pairs(df, "id", "t", n=3, threshold=0.1).collect()
+    assert len(rows) == 1
+    assert rows[0]["jaccard"] == pytest.approx(2 / 4)  # grams: {abc,bcd} shared of union 4
+
+
+def test_simhash_identical_zero_distance(spark):
+    df = spark.createDataFrame(pd.DataFrame({"id": [1, 2], "t": ["same tokens here", "same tokens here"]}))
+    pairs = dd.simhash_near_pairs(df, "id", "t", max_hamming=0).collect()
+    assert len(pairs) == 1 and pairs[0]["hamming"] == 0
+
+
+def test_embedding_cosine_pairs_blocked(spark):
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 2, 3],
+            "vec": [[1.0, 0.0], [0.99, 0.1], [0.0, 1.0]],
+            "blk": [0, 0, 0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    pairs = dd.embedding_cosine_pairs(df, "id", "vec", block_col="blk", threshold=0.9).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_cosine_topk(spark):
+    pdf = pd.DataFrame({"id": [1, 2, 3], "vec": [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0]]})
+    df = spark.createDataFrame(pdf)
+    top = sim.cosine_topk(df, "id", "vec", [1.0, 0.0], k=2).collect()
+    assert [r["id"] for r in top] == [1, 2]
+
+
+def test_lsh_topk_recalls_exact_neighbor(spark):
+    pdf = pd.DataFrame({"id": list(range(20)), "vec": [[float(i), 1.0, float(i % 3)] for i in range(20)]})
+    df = spark.createDataFrame(pdf)
+    q = [5.0, 1.0, 2.0]
+    exact = [r["id"] for r in sim.cosine_topk(df, "id", "vec", q, k=1).collect()]
+    approx = [r["id"] for r in sim.lsh_topk(df, "id", "vec", q, k=5, num_planes=2).collect()]
+    assert exact[0] in approx  # query's own bucket contains its nearest
+
+
+def test_duplicate_clusters(spark):
+    pairs = spark.createDataFrame(pd.DataFrame({"id_a": [1, 2, 5], "id_b": [2, 3, 6]}))
+    clusters = {r["id"]: r["cluster_root"] for r in dd.duplicate_clusters(pairs).collect()}
+    assert clusters[2] == 1 and clusters[3] == 2  # single-pass min-label
+    assert clusters[6] == 5

@@ -1,0 +1,155 @@
+"""Processor semantics tests — pinned against reference behavior
+(label-encoding order, imputation values, concat ordering; SURVEY.md §5)."""
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bears_spark.frame import SparkFrame
+from bears_spark.processor import get_processor
+from bears_spark.processor.categorical import LabelEncoding
+
+
+def _apply1(spark, proc, values, name="c"):
+    df = spark.createDataFrame(pd.DataFrame({name: values}))
+    if not proc.is_fitted:
+        proc.fit(df, [name])
+    return [r["out"] for r in proc.apply(df, name, "out").select("out").collect()]
+
+
+def test_case_transformation(spark):
+    assert _apply1(spark, get_processor("case", case="upper"), ["ab", None]) == ["AB", None]
+    assert _apply1(spark, get_processor("case", case="lower"), ["AB"]) == ["ab"]
+
+
+def test_html_tag_removal(spark):
+    assert _apply1(spark, get_processor("striphtml"), ["<b>hi</b> there<br/>"]) == ["hi there"]
+
+
+def test_punctuation_cleaner(spark):
+    assert _apply1(spark, get_processor("punctuationcleaner"), ["a,b.c!"]) == ["a b c "]
+
+
+def test_regex_substitution(spark):
+    proc = get_processor("regexsub", substitutions=[("[0-9]+", "#"), ("\\s+", "_")], ignorecase=True)
+    assert _apply1(spark, proc, ["a 12 b34"]) == ["a_#_b#"]
+
+
+def test_string_removal(spark):
+    assert _apply1(spark, get_processor("stringremoval", removals=["foo", "-"]), ["a-foo-b"]) == ["ab"]
+
+
+def test_label_affix(spark):
+    proc = get_processor("labelaffix", prefix="<", suffix=">")
+    assert _apply1(spark, proc, ["x", None]) == ["<x>", None]
+
+
+def test_label_encoding_sorted_order(spark):
+    # np.unique sort order parity (_LabelEncoding.py:126-151)
+    proc = LabelEncoding(encoding_range="one_to_n")
+    df = spark.createDataFrame(pd.DataFrame({"c": ["banana", "apple", "cherry", "apple"]}))
+    proc.fit(df, ["c"])
+    assert proc.label_map_ == {"apple": 1, "banana": 2, "cherry": 3}
+    out = [r["out"] for r in proc.apply(df, "c", "out").select("out").collect()]
+    assert out == [2, 1, 3, 1]
+
+
+def test_label_encoding_unknown_sentinel(spark):
+    proc = LabelEncoding(encoding_range="one_to_n")
+    proc.fit(spark.createDataFrame(pd.DataFrame({"c": ["a", "b"]})), ["c"])
+    test_df = spark.createDataFrame(pd.DataFrame({"c": ["a", "zzz"]}))
+    out = [r["out"] for r in proc.apply(test_df, "c", "out").select("out").collect()]
+    assert out == [1, 0]  # unknown -> 0 for one_to_n
+
+
+def test_label_encoding_ranges(spark):
+    df = spark.createDataFrame(pd.DataFrame({"c": ["n", "y"]}))
+    pm = LabelEncoding(encoding_range="binary_plus_minus_one")
+    pm.fit(df, ["c"])
+    assert pm.label_map_ == {"n": -1, "y": 1}
+    z = LabelEncoding(encoding_range="zero_to_n_minus_one")
+    z.fit(df, ["c"])
+    assert z.label_map_ == {"n": 0, "y": 1}
+    with pytest.raises(ValueError):
+        LabelEncoding(encoding_range="binary_zero_one").fit(
+            spark.createDataFrame(pd.DataFrame({"c": ["a", "b", "c"]})), ["c"]
+        )
+
+
+def test_label_encoding_inverse(spark):
+    proc = LabelEncoding(encoding_range="one_to_n")
+    df = spark.createDataFrame(pd.DataFrame({"c": ["a", "b"]}))
+    proc.fit(df, ["c"])
+    enc = proc.apply(df, "c", "enc")
+    dec = enc.withColumn("dec", proc.inverse_transform_expr(F.col("enc")))
+    assert [r["dec"] for r in dec.select("dec").collect()] == ["a", "b"]
+
+
+def test_categorical_imputation_mode(spark):
+    proc = get_processor("catimpute", strategy="mode")
+    assert _apply1(spark, proc, ["a", "b", "b", None]) == ["a", "b", "b", "b"]
+
+
+def test_numeric_imputation(spark):
+    vals = [1.0, 2.0, None, 4.0]
+    assert _apply1(spark, get_processor("numimpute", strategy="mean"), vals)[2] == pytest.approx(7 / 3)
+    assert _apply1(spark, get_processor("numimpute", strategy="median"), vals)[2] == 2.0
+    assert _apply1(spark, get_processor("numimpute", strategy="min"), vals)[2] == 1.0
+    assert _apply1(spark, get_processor("numimpute", strategy="max"), vals)[2] == 4.0
+    assert _apply1(spark, get_processor("numimpute", strategy="constant", fill_value=-1.0), vals)[2] == -1.0
+    assert _apply1(spark, get_processor("numimpute", strategy="mode"), [1.0, 1.0, None])[2] == 1.0
+
+
+def test_text_concatenation_orders(spark):
+    df = spark.createDataFrame(pd.DataFrame({"long": ["aaaaaa"], "sh": ["b"], "mid": ["ccc"]}))
+    proc = get_processor("textconcat", sep="|", order="shortest_first")
+    proc.fit(df, ["long", "sh", "mid"])
+    expr = proc.transform_expr([F.col(c) for c in ["long", "sh", "mid"]], ["long", "sh", "mid"])
+    out = df.withColumn("out", expr).first()["out"]
+    assert out == "b|ccc|aaaaaa"
+    # nulls -> '' and name ordering
+    df2 = spark.createDataFrame(pd.DataFrame({"b_col": [None], "a_col": ["x"]}))
+    p2 = get_processor("textconcat", sep="-", order="name_asc")
+    p2.fit(df2, ["b_col", "a_col"])
+    out2 = df2.withColumn("out", p2.transform_expr([F.col("b_col"), F.col("a_col")], ["b_col", "a_col"])).first()["out"]
+    assert out2 == "x-"
+
+
+def test_tfidf_sklearn_semantics(spark):
+    texts = ["the cat sat", "the dog sat", "a bird flew"]
+    df = spark.createDataFrame(pd.DataFrame({"t": texts}))
+    proc = get_processor("tfidf", max_features=16)
+    proc.fit(df, ["t"])
+    out = proc.apply(df, "t", "vec").select("vec").collect()
+    vecs = [r["vec"] for r in out]
+    # vocabulary: sorted terms with len>=2 (sklearn token_pattern)
+    assert proc.vocab_ == sorted(["the", "cat", "sat", "dog", "bird", "flew"])
+    # l2 norm == 1 for non-empty docs
+    for v in vecs:
+        assert math.isqrt(0) == 0 and abs(sum(x * x for x in v) - 1.0) < 1e-9
+    # idf: term in all docs has lowest weight
+    n = 3
+    idf_the = math.log((1 + n) / (1 + 2)) + 1
+    idf_cat = math.log((1 + n) / (1 + 1)) + 1
+    i_the, i_cat, i_sat = proc.vocab_.index("the"), proc.vocab_.index("cat"), proc.vocab_.index("sat")
+    raw = [idf_cat, idf_the, idf_the * 0 + (math.log((1 + n) / (1 + 2)) + 1)]  # cat, the, sat for doc0
+    norm = math.sqrt(sum(x * x for x in raw))
+    assert vecs[0][i_cat] == pytest.approx(idf_cat / norm)
+    assert vecs[0][i_the] == pytest.approx(idf_the / norm)
+
+
+def test_vector_assembler(spark):
+    pdf = pd.DataFrame({"b_arr": [[1.0, 2.0]], "a_num": [3]})
+    df = spark.createDataFrame(pdf)
+    proc = get_processor("vectorassembler")
+    out = proc.apply(df, ["b_arr", "a_num"], "vec").first()["vec"]
+    assert out == [3.0, 1.0, 2.0]  # sorted by name: a_num then b_arr
+
+
+def test_vector_densifier_struct(spark):
+    df = spark.sql("SELECT named_struct('size', 4, 'indices', array(1, 3), 'values', array(5.0, 7.0)) AS sv")
+    proc = get_processor("densify")
+    out = proc.apply(df, "sv", "dense").first()["dense"]
+    assert out == [0.0, 5.0, 0.0, 7.0]

@@ -1,0 +1,90 @@
+"""Chunked feed surface tests (stream/shard/split — ScalableDataFrame.stream parity)."""
+
+import pandas as pd
+import pytest
+
+from bears_spark.frame import SparkFrame
+from bears_spark.stream import map_distributed, shard, split_named, stream_frame
+
+
+@pytest.fixture()
+def sf(spark):
+    return SparkFrame.of(pd.DataFrame({"id": range(100), "v": [i * 0.5 for i in range(100)]}), spark)
+
+
+def test_stream_num_rows_exact(sf):
+    chunks = list(stream_frame(sf, num_rows=32))
+    assert [len(c) for c in chunks] == [32, 32, 32, 4]
+
+
+def test_stream_drop_last(sf):
+    chunks = list(stream_frame(sf, num_rows=32, drop_last=True))
+    assert [len(c) for c in chunks] == [32, 32, 32]
+
+
+def test_stream_num_chunks(sf):
+    chunks = list(stream_frame(sf, num_chunks=4))
+    assert sum(len(c) for c in chunks) == 100
+    assert len(chunks) == 4
+
+
+def test_stream_validation(sf):
+    with pytest.raises(ValueError):
+        list(stream_frame(sf, num_rows=10, num_chunks=2))
+    with pytest.raises(ValueError):
+        list(stream_frame(sf))
+
+
+def test_stream_as_layouts(sf):
+    d = next(stream_frame(sf, num_rows=10, stream_as="dict"))
+    assert set(d) == {"id", "v"} and len(d["id"]) == 10
+    lod = next(stream_frame(sf, num_rows=3, stream_as="list_of_dict"))
+    assert isinstance(lod, list) and isinstance(lod[0], dict)
+
+
+def test_stream_shuffle_deterministic(sf):
+    a = [c["id"].tolist() for c in stream_frame(sf, num_rows=50, shuffle=True, seed=7)]
+    b = [c["id"].tolist() for c in stream_frame(sf, num_rows=50, shuffle=True, seed=7)]
+    assert a == b
+    assert a[0] != sorted(a[0])  # actually shuffled
+
+
+def test_stream_map(sf):
+    chunks = list(stream_frame(sf, num_rows=50, map=lambda pdf: pdf.assign(v2=pdf["v"] * 2)))
+    assert "v2" in chunks[0].columns
+
+
+def test_shard_partition_complete(sf):
+    shards = [shard(sf.df, r, 4, id_col="id") for r in range(4)]
+    counts = [s.count() for s in shards]
+    assert sum(counts) == 100 and all(c == 25 for c in counts)
+    # disjoint
+    ids = set()
+    for s in shards:
+        got = {r["id"] for r in s.select("id").collect()}
+        assert not (ids & got)
+        ids |= got
+
+
+def test_shard_rank_validation(sf):
+    with pytest.raises(ValueError):
+        shard(sf.df, 4, 4)
+
+
+def test_stream_sharded(sf):
+    total = 0
+    for rank in range(4):
+        for chunk in stream_frame(sf, num_rows=10, shard_rank=rank, world_size=4):
+            total += len(chunk)
+    assert total == 100
+
+
+def test_map_distributed(sf):
+    out = map_distributed(sf, lambda pdf: pdf.assign(v=pdf["v"] + 1), "id long, v double")
+    assert out.df.agg({"v": "min"}).first()[0] == 1.0
+
+
+def test_split_named(sf):
+    parts = split_named(sf, 4)
+    assert sorted(parts) == ["part-0", "part-1", "part-2", "part-3"]
+    assert sum(p.count() for p in parts.values()) == 100

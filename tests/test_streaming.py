@@ -1,0 +1,69 @@
+"""Structured Streaming job tests: run each job on a real stream (file source
+with maxFilesPerTrigger) and pin semantics against batch equivalents."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from bears_spark.streaming import dedup_stream, hourly_counts_stream, read_events_stream, sessionize_stream
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    # re-write sf0.001 events as µs timestamps so the stream schema matches
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    shutil.rmtree(d)
+    from bears_spark.session import get_session
+    from bears_spark.queries.tables import load_table
+
+    spark = get_session()
+    load_table(spark, "/root/testdata/sf0.001", "events").repartition(3).write.parquet(d)
+    return d
+
+
+def _run_stream(stream_df, mode="append"):
+    q = stream_df.writeStream.format("memory").queryName("t_out").outputMode(mode).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    spark = stream_df.sparkSession
+    out = spark.sql("SELECT * FROM t_out").collect()
+    spark.catalog.dropTempView("t_out")
+    return out
+
+
+def test_hourly_counts_stream(spark, events_dir):
+    # single micro-batch: the fixture's files are not time-ordered, so
+    # per-file triggers would drop cross-file late events (watermark
+    # semantics, correct but not what this test pins)
+    ev = read_events_stream(spark, events_dir, max_files_per_trigger=100)
+    rows = _run_stream(hourly_counts_stream(ev), mode="append")
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    got = {(r["hour"], r["event_type"]): r["n"] for r in rows}
+    want = {(r["hour"], r["event_type"]): r["n"] for r in batch}
+    # watermark may hold back the tail window; everything emitted must match
+    assert got, "stream produced no rows"
+    for k, v in got.items():
+        assert want[k] == v
+
+
+def test_sessionize_stream(spark, events_dir):
+    ev = read_events_stream(spark, events_dir, max_files_per_trigger=100)
+    rows = _run_stream(sessionize_stream(ev, gap="30 minutes"), mode="append")
+    assert rows, "no sessions emitted"
+    for r in rows:
+        assert r["session_start"] <= r["session_end"]
+        assert r["n_events"] >= 1
+
+
+def test_dedup_stream(spark, events_dir):
+    ev = read_events_stream(spark, events_dir, max_files_per_trigger=100)
+    rows = _run_stream(dedup_stream(ev), mode="append")
+    total = spark.read.parquet(events_dir).count()
+    assert len(rows) == total  # event_ids are unique -> nothing dropped
+    ids = [r["event_id"] for r in rows]
+    assert len(ids) == len(set(ids))
