@@ -285,3 +285,123 @@ ORACLES = {
     "nations_set_ops": NATIONS_SET_OPS_SQL,
     "order_fill_missing": ORDER_FILL_SQL,
 }
+
+# --------------------------------------------------------------------------
+# ev_pivot_user_type: pivot — absent in the reference (pivot_table raises,
+# ScalableDataFrame.py:1421); Spark groupBy().pivot() with explicit values
+# (explicit value list avoids the extra distinct-scan job and keeps the
+# plan a single aggregation).
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def ev_pivot_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("user_id")
+    )
+
+
+EV_PIVOT_SQL = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click') AS click,
+       count(*) FILTER (event_type = 'error') AS error,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup') AS signup,
+       count(*) FILTER (event_type = 'view') AS view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# part_melt: unpivot/melt — also absent in the reference (explode raises,
+# ScalableDataFrame.py:1432). Spark native unpivot.
+def part_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select("p_partkey", F.col("p_size").cast("double").alias("p_size"), "p_retailprice")
+        .unpivot("p_partkey", ["p_size", "p_retailprice"], "variable", "value")
+        .orderBy("p_partkey", "variable")
+    )
+
+
+PART_MELT_SQL = """
+SELECT p_partkey, 'p_size' AS variable, p_size::DOUBLE AS value FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS variable, p_retailprice AS value FROM part
+ORDER BY p_partkey, variable
+"""
+
+
+# --------------------------------------------------------------------------
+# q18_big_orders: HAVING-subquery shape (TPC-H Q18): orders whose lineitems
+# sum above a threshold, joined back for customer detail. The inner
+# aggregation shuffles on l_orderkey once; the semi-join back is on the same
+# key so AQE reuses the partitioning.
+def q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("total_qty")).filter(F.col("total_qty") > 150)
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", F.round("total_qty", 6).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       round(total_qty, 6) AS total_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# orders_above_cust_avg: correlated-subquery shape (each order vs its
+# customer's average) — decorrelated into a window average, one shuffle on
+# o_custkey instead of a per-row subquery.
+def orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 6).alias("o_totalprice"), F.round("cust_avg", 6).alias("cust_avg"))
+        .orderBy("o_orderkey")
+    )
+
+
+ORDERS_ABOVE_AVG_SQL = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS o_totalprice, round(cust_avg, 6) AS cust_avg
+FROM (SELECT *, avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg FROM orders)
+WHERE o_totalprice > cust_avg
+ORDER BY o_orderkey
+"""
+
+QUERIES.update(
+    {
+        "ev_pivot_user_type": ev_pivot_user_type,
+        "part_melt": part_melt,
+        "q18_big_orders": q18_big_orders,
+        "orders_above_cust_avg": orders_above_cust_avg,
+    }
+)
+
+ORACLES.update(
+    {
+        "ev_pivot_user_type": EV_PIVOT_SQL,
+        "part_melt": PART_MELT_SQL,
+        "q18_big_orders": Q18_SQL,
+        "orders_above_cust_avg": ORDERS_ABOVE_AVG_SQL,
+    }
+)
