@@ -741,6 +741,13 @@ class SparkFrame:
         bad = df.mapInPandas(_check, T.StructType([T.StructField("bad", T.LongType())])).agg(F.sum("bad").alias("bad")).first()["bad"]
         return (bad or 0) == 0
 
+    def describe(self, *cols: str) -> pd.DataFrame:
+        """summary() stats for numeric columns (count/mean/std/min/quartiles/max)."""
+        target = list(cols) or [
+            f.name for f in self.df.schema.fields if f.dataType.typeName() in ("long", "integer", "double", "float", "short")
+        ]
+        return self.df.select(*target).summary().toPandas()
+
     def explain(self, mode: str = "formatted") -> None:
         self.df.explain(mode)
 

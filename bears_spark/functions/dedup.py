@@ -51,6 +51,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     ngram_n: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) from banded MinHash over word
     n-grams.
@@ -93,6 +94,12 @@ def minhash_lsh_candidates(
         ).alias("bs"),
     ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("band_sig"))
 
+    if materialize:
+        # the self-join consumes this subtree twice; persist so signatures
+        # compute once (at cluster scale: write the signature table once and
+        # join it with itself — same principle)
+        banded = banded.persist()
+
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -110,7 +117,13 @@ def simhash_sketch(df: DataFrame, id_col: str, text_col: str, bits: int = 32) ->
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, bits: int = 32, bands: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = 32,
+    bands: int = 4,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, candidates via band
     bit-range equality (Charikar-style): any pair within hamming<=bands-1 must
@@ -131,6 +144,8 @@ def simhash_near_pairs(
             ])
         ).alias("bc"),
     ).select(id_col, "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    if materialize:
+        bands_df = bands_df.persist()
     a, b = bands_df.alias("a"), bands_df.alias("b")
     return (
         a.join(b, on=["band", "chunk"])
@@ -151,6 +166,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity for pairs sharing >=1 n-gram.
 
@@ -164,6 +180,9 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"),
     )
+    if materialize:
+        # consumed three times (self-join both sides + sizes)
+        grams = grams.persist()
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
 
     a, b = grams.alias("a"), grams.alias("b")

@@ -186,3 +186,9 @@ def test_conversions(sf):
 def test_repartition(sf):
     assert sf.repartition(2).npartitions == 2
     assert sf.repartition(nrows=2).npartitions == 3  # ceil(5/2)
+
+
+def test_describe(sf):
+    d = sf.describe()
+    assert "a" in d.columns and "summary" in d.columns
+    assert "mean" in d["summary"].tolist()

@@ -146,3 +146,16 @@ def test_duplicate_clusters(spark):
     clusters = {r["id"]: r["cluster_root"] for r in dd.duplicate_clusters(pairs).collect()}
     assert clusters[2] == 1 and clusters[3] == 2  # single-pass min-label
     assert clusters[6] == 5
+
+
+def test_ivf_topk(spark):
+    import pandas as pd
+    pdf = pd.DataFrame({"id": list(range(12)), "vec": [[float(i % 4), float(i // 4)] for i in range(12)]})
+    df = spark.createDataFrame(pdf)
+    cents = spark.createDataFrame(
+        pd.DataFrame({"centroid_id": [0, 1], "centroid": [[1.0, 0.0], [0.0, 1.0]]})
+    )
+    out = sim.ivf_topk(df, "id", "vec", [3.0, 0.5], cents, k=3, nprobe=1)
+    rows = out.collect()
+    assert len(rows) == 3
+    assert rows[0]["cosine"] >= rows[-1]["cosine"]
