@@ -23,6 +23,9 @@ _TPCH_QUERIES = {
     "q5_local_supplier_volume": tpch.q5_local_supplier_volume,
     "q6_revenue_change": tpch.q6_revenue_change,
     "q10_returned_items": tpch.q10_returned_items,
+    "q4_order_priority": tpch.q4_order_priority,
+    "q12_priority_class": tpch.q12_priority_class,
+    "q14_promo_effect": tpch.q14_promo_effect,
 }
 
 _TPCH_ORACLES = {
@@ -31,6 +34,9 @@ _TPCH_ORACLES = {
     "q5_local_supplier_volume": tpch.Q5_SQL,
     "q6_revenue_change": tpch.Q6_SQL,
     "q10_returned_items": tpch.Q10_SQL,
+    "q4_order_priority": tpch.Q4_SQL,
+    "q12_priority_class": tpch.Q12_SQL,
+    "q14_promo_effect": tpch.Q14_SQL,
 }
 
 

@@ -228,3 +228,34 @@ ORACLES = {
     "ev_lag_lead_delta": EV_LAG_LEAD_SQL,
     "ev_json_extract": EV_JSON_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# ev_zscore_anomaly: per-type z-score outliers — two-pass shape expressed as
+# window aggregates (one shuffle on event_type; stats and scoring in the same
+# partitioning, no second scan).
+def ev_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return (
+        ev.withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 3.0)
+        .select("event_id", "event_type", F.round("value", 6).alias("value"), F.round("z", 6).alias("z"))
+        .orderBy("event_id")
+    )
+
+
+EV_ZSCORE_SQL = """
+SELECT event_id, event_type, round(value, 6) AS value, round(z, 6) AS z
+FROM (
+  SELECT event_id, event_type, value,
+         (value - avg(value) OVER (PARTITION BY event_type))
+         / stddev_samp(value) OVER (PARTITION BY event_type) AS z
+  FROM events
+)
+WHERE abs(z) > 3.0 ORDER BY event_id
+"""
+
+QUERIES["ev_zscore_anomaly"] = ev_zscore_anomaly
+ORACLES["ev_zscore_anomaly"] = EV_ZSCORE_SQL

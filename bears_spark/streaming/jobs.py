@@ -62,3 +62,44 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup on event_id within the watermark horizon
     (dropDuplicates keeps state per key until the watermark passes)."""
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
+
+
+def running_user_totals_stream(events: DataFrame, timeout_minutes: int = 120) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    event count + value total maintained as explicit state across
+    micro-batches (the arbitrary-state API the built-in aggregations can't
+    express — e.g. emit a row per BATCH with the cumulative value).
+
+    State per user: (n_events, total_value). GroupStateTimeout evicts idle
+    users after ``timeout_minutes`` of processing time, bounding state.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = "user_id long, batch_events long, cum_events long, cum_value double"
+    state_schema = "n long, total double"
+
+    def _update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        batch_n = 0
+        for pdf in pdfs:
+            batch_n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        n += batch_n
+        state.update((n, total))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            [{"user_id": user_id, "batch_events": batch_n, "cum_events": n, "cum_value": total}]
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=output_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

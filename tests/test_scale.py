@@ -1,0 +1,72 @@
+"""Scale-strategy tests: bucketed co-located joins, broadcast behavior,
+partition controls — the SCALE.md claims, asserted on real plans."""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from bears_spark.bucketing import is_exchange_free_join, read_table, write_bucketed
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_quantity", "l_extendedprice")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    write_bucketed(li, "li_bucketed", "l_orderkey", 8, sort_cols="l_orderkey")
+    write_bucketed(orders, "orders_bucketed", "o_custkey", 8)  # different key on purpose
+    write_bucketed(orders.withColumnRenamed("o_orderkey", "o_orderkey"), "orders_by_okey", "o_orderkey", 8, sort_cols="o_orderkey")
+    yield
+    for t in ("li_bucketed", "orders_bucketed", "orders_by_okey"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_join_is_exchange_free(spark, bucketed_tables):
+    li = read_table(spark, "li_bucketed")
+    orders = read_table(spark, "orders_by_okey")
+    joined = li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+    assert is_exchange_free_join(joined), _plan(joined)[:2000]
+    # and it actually runs correctly
+    n = joined.count()
+    plain = (
+        spark.table("li_bucketed")
+        .join(spark.table("orders_by_okey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .count()
+    )
+    assert n == plain
+
+
+def test_mismatched_bucket_keys_shuffle(spark, bucketed_tables):
+    li = read_table(spark, "li_bucketed")
+    orders = read_table(spark, "orders_bucketed")  # bucketed by custkey, not orderkey
+    joined = li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+    assert not is_exchange_free_join(joined)  # at least one side must shuffle
+
+
+def test_broadcast_join_no_shuffle_of_big_side(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    joined = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey).join(
+        F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey
+    )
+    import re
+
+    plan = _plan(joined)
+    assert "BroadcastHashJoin" in plan
+    # fact side never shuffles: no hash-partitioned Exchange node anywhere
+    assert not (re.search(r"\(\d+\) Exchange", plan) and "hashpartitioning" in plan), plan[:1500]
+
+
+def test_repartition_by_key(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    parted = li.repartition(8, "l_orderkey")
+    assert parted.rdd.getNumPartitions() == 8

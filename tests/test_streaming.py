@@ -67,3 +67,23 @@ def test_dedup_stream(spark, events_dir):
     assert len(rows) == total  # event_ids are unique -> nothing dropped
     ids = [r["event_id"] for r in rows]
     assert len(ids) == len(set(ids))
+
+
+def test_running_user_totals_stateful(spark, events_dir):
+    from bears_spark.streaming.jobs import running_user_totals_stream
+
+    # two triggers -> state carries across micro-batches
+    ev = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    rows = _run_stream(running_user_totals_stream(ev), mode="append")
+    assert rows, "stateful op emitted nothing"
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r)
+    batch = spark.read.parquet(events_dir).groupBy("user_id").count().collect()
+    want = {r["user_id"]: r["count"] for r in batch}
+    for uid, emitted in per_user.items():
+        # cumulative count from the last emission must equal the batch total
+        last = max(emitted, key=lambda r: r["cum_events"])
+        assert last["cum_events"] == want[uid]
+        # batch_events across emissions sums to the total too
+        assert sum(r["batch_events"] for r in emitted) == want[uid]
