@@ -741,6 +741,30 @@ class SparkFrame:
         bad = df.mapInPandas(_check, T.StructType([T.StructField("bad", T.LongType())])).agg(F.sum("bad").alias("bad")).first()["bad"]
         return (bad or 0) == 0
 
+    def pivot(self, index: str, columns: str, values: str, aggfunc: str = "sum", pivot_values: list | None = None) -> "SparkFrame":
+        """pivot_table (raises in the reference, ScalableDataFrame.py:1421 —
+        capability gain). Pass ``pivot_values`` when known: skips the extra
+        distinct-scan job and keeps the plan a single aggregation."""
+        g = self.df.groupBy(index)
+        p = g.pivot(columns, pivot_values) if pivot_values else g.pivot(columns)
+        return SparkFrame(p.agg(_GroupBy._FN[aggfunc](F.col(values))))
+
+    def melt(self, id_vars: Sequence[str], value_vars: Sequence[str], var_name: str = "variable", value_name: str = "value") -> "SparkFrame":
+        """unpivot (melt raises in the reference — capability gain)."""
+        return SparkFrame(self.df.unpivot(list(id_vars), list(value_vars), var_name, value_name))
+
+    def iloc_range(self, start: int, stop: int, order_by: str | Sequence[str]) -> "SparkFrame":
+        """Positional row slice under an EXPLICIT order (distributed frames
+        have no implicit row order — the reference's iloc assumes one;
+        we require the caller to name it). Half-open [start, stop)."""
+        by = [order_by] if isinstance(order_by, str) else list(order_by)
+        w = Window.orderBy(*by)
+        return SparkFrame(
+            self.df.withColumn("__pos__", F.row_number().over(w) - 1)
+            .filter((F.col("__pos__") >= start) & (F.col("__pos__") < stop))
+            .drop("__pos__")
+        )
+
     def describe(self, *cols: str) -> pd.DataFrame:
         """summary() stats for numeric columns (count/mean/std/min/quartiles/max)."""
         target = list(cols) or [

@@ -237,8 +237,51 @@ def embedding_cosine_pairs(
 
 def duplicate_clusters(pairs: DataFrame, survivors_only: bool = False) -> DataFrame:
     """Union near-dup pairs into clusters via min-id label propagation
-    (small fixed iteration count — pair graphs from dedup are shallow)."""
+    (single pass — exact when clusters are star-shaped, which LSH output
+    mostly is; see connected_components for the fixpoint version)."""
     labels = pairs.select(F.col("id_a").alias("id"), F.least("id_a", "id_b").alias("root")).unionByName(
         pairs.select(F.col("id_b").alias("id"), F.least("id_a", "id_b").alias("root"))
     )
     return labels.groupBy("id").agg(F.min("root").alias("cluster_root"))
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Exact connected components over the pair graph: iterate min-label
+    propagation to fixpoint (id, component).
+
+    Each round: every node adopts the min label in its neighborhood
+    (including its own). Converges in O(graph diameter) rounds — dup-pair
+    graphs are shallow (chains of a few hops), so typically 2-4 rounds.
+    Labels are checkpointed per round to cut the growing lineage — at
+    cluster scale use localCheckpoint(eager=True) exactly as here.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id")).localCheckpoint()
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.alias("n").join(
+            labels.alias("o"), on="id"
+        ).filter(F.col("n.comp") != F.col("o.comp")).limit(1).count()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("comp").alias("component"))

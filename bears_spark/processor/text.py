@@ -228,3 +228,57 @@ class TFIDFVectorization(SingleColumnProcessor):
             )
         )
         return out.drop("__tf__", "__tfidf__", "__norm__")
+
+
+@register_processor
+class SparkMLTFIDF(SingleColumnProcessor):
+    """Large-vocabulary TF-IDF via pyspark.ml (CountVectorizer + IDF).
+
+    The expression-based TFIDFVectorization collects its vocab to the driver
+    and inlines it into the plan — right for vocab <= a few thousand. This
+    variant keeps the vocabulary distributed inside Spark ML models (fit:
+    two distributed passes; transform: JVM-side, VectorUDT sparse output
+    densified to array<double> at the edge). Semantics differ from sklearn:
+    Spark ML idf = ln((n+1)/(df+1)) with no +1 addend and no l2 norm — pin
+    with tests, don't mix the two variants in one pipeline.
+    """
+
+    aliases = ("sparkmltfidf", "tfidfml")
+    output_mltype = "VECTOR"
+
+    def __init__(self, vocab_size: int = 1 << 18, min_df: float = 1.0, **params):
+        super().__init__(vocab_size=vocab_size, min_df=min_df, **params)
+        self.vocab_size = vocab_size
+        self.min_df = min_df
+        self._model = None
+
+    def _fit(self, df: DataFrame, cols: list[str]) -> None:
+        from pyspark.ml import Pipeline
+        from pyspark.ml.feature import IDF, CountVectorizer, RegexTokenizer
+
+        (col_name,) = cols
+        pipe = Pipeline(
+            stages=[
+                RegexTokenizer(inputCol=col_name, outputCol="__toks__", pattern=r"\W+", minTokenLength=2),
+                CountVectorizer(inputCol="__toks__", outputCol="__tf__", vocabSize=self.vocab_size, minDF=self.min_df),
+                IDF(inputCol="__tf__", outputCol="__tfidf__"),
+            ]
+        )
+        self._model = pipe.fit(df.select(col_name))
+
+    def transform_expr(self, col: Column) -> Column:
+        raise NotImplementedError("SparkMLTFIDF transforms whole frames — use apply()")
+
+    def apply(self, df: DataFrame, in_col: str, out_col: str) -> DataFrame:
+        from pyspark.ml.functions import vector_to_array
+
+        if self._model is None:
+            raise RuntimeError("SparkMLTFIDF must be fit first")
+        out = self._model.transform(df)
+        return out.withColumn(out_col, vector_to_array(F.col("__tfidf__"))).drop("__toks__", "__tf__", "__tfidf__")
+
+    @property
+    def vocabulary(self) -> list[str]:
+        if self._model is None:
+            raise RuntimeError("not fitted")
+        return self._model.stages[1].vocabulary

@@ -1,0 +1,78 @@
+"""Skew mitigation: salting for hot keys in aggregations and joins.
+
+AQE's skew-join handles moderate skew at runtime (enabled in session.py);
+salting is the explicit tool for pathological key distributions — the
+Zipf-shaped keys of web-corpus dedup and clickstream aggregation.
+
+- salted aggregation: two-phase — aggregate on (key, salt) then re-aggregate
+  on key. Works for any algebraic aggregate (sum/count/min/max; avg via
+  sum+count).
+- salted broadcast-skew join: replicate the small side per salt so the hot
+  key's rows spread over N partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, num_salts: int, salt_col: str = "__salt__") -> DataFrame:
+    """Uniform random salt in [0, num_salts) — deterministic per run is not
+    required for aggregation correctness (the second phase removes it)."""
+    return df.withColumn(salt_col, (F.rand() * num_salts).cast("int"))
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, str],
+    num_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation: phase 1 on (keys + salt) spreads a hot
+    key over ``num_salts`` reducers; phase 2 combines per-salt partials.
+
+    ``aggs``: {column: fn} with fn in sum/count/min/max/avg. Output columns
+    are ``{col}_{fn}`` (avg decomposes into sum+count internally)."""
+    salted = with_salt(df, num_salts)
+    phase1_exprs: list[Column] = []
+    phase2_exprs: list[Column] = []
+    for col, fn in aggs.items():
+        out = f"{col}_{fn}"
+        if fn == "sum":
+            phase1_exprs.append(F.sum(col).alias(out))
+            phase2_exprs.append(F.sum(out).alias(out))
+        elif fn == "count":
+            phase1_exprs.append(F.count(col).alias(out))
+            phase2_exprs.append(F.sum(out).alias(out))
+        elif fn == "min":
+            phase1_exprs.append(F.min(col).alias(out))
+            phase2_exprs.append(F.min(out).alias(out))
+        elif fn == "max":
+            phase1_exprs.append(F.max(col).alias(out))
+            phase2_exprs.append(F.max(out).alias(out))
+        elif fn == "avg":
+            phase1_exprs.append(F.sum(col).alias(f"__{col}_s"))
+            phase1_exprs.append(F.count(col).alias(f"__{col}_c"))
+            phase2_exprs.append((F.sum(f"__{col}_s") / F.sum(f"__{col}_c")).alias(out))
+        else:
+            raise ValueError(f"unsupported agg {fn!r} for salting")
+    partial = salted.groupBy(*keys, "__salt__").agg(*phase1_exprs)
+    return partial.groupBy(*keys).agg(*phase2_exprs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    num_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew join: salt the big side, replicate the small side once per salt
+    value (explode over sequence), join on (key, salt). Small side grows
+    ``num_salts``×, so keep it broadcast-sized."""
+    big_s = with_salt(big, num_salts)
+    small_r = small.withColumn(
+        "__salt__", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    )
+    return big_s.join(F.broadcast(small_r), on=[on, "__salt__"], how=how).drop("__salt__")

@@ -192,3 +192,20 @@ def test_describe(sf):
     d = sf.describe()
     assert "a" in d.columns and "summary" in d.columns
     assert "mean" in d["summary"].tolist()
+
+
+def test_pivot_melt_roundtripish(spark):
+    sf = SparkFrame.of(
+        pd.DataFrame({"k": ["a", "a", "b"], "t": ["x", "y", "x"], "v": [1.0, 2.0, 3.0]}), spark
+    )
+    p = sf.pivot("k", "t", "v", pivot_values=["x", "y"]).to_pandas().set_index("k").sort_index()
+    assert p.loc["a", "x"] == 1.0 and p.loc["a", "y"] == 2.0 and p.loc["b", "x"] == 3.0
+    m = sf.melt(["k"], ["v"], "var", "val")
+    assert m.shape == (3, 3)
+    assert set(m.to_pandas()["var"]) == {"v"}
+
+
+def test_iloc_range(spark):
+    sf = SparkFrame.of(pd.DataFrame({"x": [30, 10, 20, 50, 40]}), spark)
+    out = sf.iloc_range(1, 3, "x").to_pandas()["x"].tolist()
+    assert out == [20, 30]  # positions 1..2 under ascending x order

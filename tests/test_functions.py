@@ -159,3 +159,12 @@ def test_ivf_topk(spark):
     rows = out.collect()
     assert len(rows) == 3
     assert rows[0]["cosine"] >= rows[-1]["cosine"]
+
+
+def test_connected_components_chain(spark):
+    import pandas as pd
+    # chain 1-2-3-4 plus isolated pair 10-11: single-pass min-label would
+    # leave 3->2; the fixpoint must pull the whole chain to 1
+    pairs = spark.createDataFrame(pd.DataFrame({"id_a": [1, 2, 3, 10], "id_b": [2, 3, 4, 11]}))
+    comp = {r["id"]: r["component"] for r in dd.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}

@@ -153,3 +153,17 @@ def test_vector_densifier_struct(spark):
     proc = get_processor("densify")
     out = proc.apply(df, "sv", "dense").first()["dense"]
     assert out == [0.0, 5.0, 0.0, 7.0]
+
+
+def test_sparkml_tfidf(spark):
+    df = spark.createDataFrame(pd.DataFrame({"t": ["cat dog cat", "dog bird", "cat cat cat"]}))
+    proc = get_processor("tfidfml", vocab_size=16)
+    proc.fit(df, ["t"])
+    assert set(proc.vocabulary) == {"cat", "dog", "bird"}
+    out = proc.apply(df, "t", "vec").select("vec").collect()
+    dim = len(out[0]["vec"])
+    assert dim == 3
+    # doc 2 ("cat cat cat") has weight only on 'cat'
+    cat_idx = proc.vocabulary.index("cat")
+    v2 = out[2]["vec"]
+    assert v2[cat_idx] >= 0 and sum(1 for x in v2 if x != 0.0) == 1

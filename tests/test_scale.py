@@ -70,3 +70,32 @@ def test_repartition_by_key(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     parted = li.repartition(8, "l_orderkey")
     assert parted.rdd.getNumPartitions() == 8
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    from bears_spark.skew import salted_agg
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    salted = salted_agg(li, ["l_returnflag"], {"l_quantity": "sum", "l_extendedprice": "avg", "l_orderkey": "count"}, num_salts=8)
+    plain = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("l_quantity_sum"),
+        F.avg("l_extendedprice").alias("l_extendedprice_avg"),
+        F.count("l_orderkey").alias("l_orderkey_count"),
+    )
+    s = {r["l_returnflag"]: r for r in salted.collect()}
+    p = {r["l_returnflag"]: r for r in plain.collect()}
+    assert set(s) == set(p)
+    for k in s:
+        assert s[k]["l_quantity_sum"] == pytest.approx(p[k]["l_quantity_sum"])
+        assert s[k]["l_extendedprice_avg"] == pytest.approx(p[k]["l_extendedprice_avg"])
+        assert s[k]["l_orderkey_count"] == p[k]["l_orderkey_count"]
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    from bears_spark.skew import salted_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(F.col("o_custkey").alias("k"), "o_totalprice")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(F.col("c_custkey").alias("k"), "c_name")
+    n_salted = salted_join(orders, cust, on="k", num_salts=4).count()
+    n_plain = orders.join(cust, on="k").count()
+    assert n_salted == n_plain

@@ -88,3 +88,15 @@ def test_split_named(sf):
     parts = split_named(sf, 4)
     assert sorted(parts) == ["part-0", "part-1", "part-2", "part-3"]
     assert sum(p.count() for p in parts.values()) == 100
+
+
+def test_frame_iterable_no_torch(sf):
+    from bears_spark.torch_bridge import FrameIterable
+
+    it = FrameIterable(sf, batch_rows=32, drop_last=True, stream_as="dict")
+    batches = list(it)
+    assert len(batches) == 3  # 100 rows -> 3 full batches of 32
+    assert all(len(b["id"]) == 32 for b in batches)
+    # transform hook
+    it2 = FrameIterable(sf, batch_rows=50, drop_last=False, transform=lambda d: len(d["id"]))
+    assert list(it2) == [50, 50]
