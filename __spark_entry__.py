@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from bears_spark.queries import events as ev
+from bears_spark.queries import pipelineops as po
 from bears_spark.queries import relational as rel
 from bears_spark.queries import textops as tx
 from bears_spark.queries import tpch
@@ -65,8 +66,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {**_TPCH_QUERIES, **rel.QUERIES, **ev.QUERIES, **tx.QUERIES}
+    return {**_TPCH_QUERIES, **rel.QUERIES, **ev.QUERIES, **tx.QUERIES, **po.QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**_TPCH_ORACLES, **rel.ORACLES, **ev.ORACLES, **tx.ORACLES}
+    return {**_TPCH_ORACLES, **rel.ORACLES, **ev.ORACLES, **tx.ORACLES, **po.ORACLES}
