@@ -173,7 +173,7 @@ class SparkColumn:
         for k, v in mapping.items():
             pairs.extend([F.lit(k), F.lit(v)])
         m = F.create_map(*pairs)
-        return self._wrap(m.getItem(self._col))
+        return self._wrap(m[self._col])
 
     def apply(self, func: Callable, returnType: str = "string") -> "SparkColumn":
         """Row-at-a-time escape hatch; prefer built-ins (slow-path warning)."""
@@ -615,6 +615,16 @@ class SparkFrame:
         df = self.df
         for c in cols:
             df = df.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+        return SparkFrame(df)
+
+    def bfill(self, order_col: str, cols: Sequence[str], partition_by: Sequence[str] | None = None) -> "SparkFrame":
+        """Backward-fill: first non-null looking forward under the order."""
+        w = (Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()).orderBy(order_col).rowsBetween(
+            0, Window.unboundedFollowing
+        )
+        df = self.df
+        for c in cols:
+            df = df.withColumn(c, F.first(F.col(c), ignorenulls=True).over(w))
         return SparkFrame(df)
 
     # ---------------- sorting / sampling ----------------

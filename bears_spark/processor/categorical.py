@@ -84,7 +84,7 @@ class LabelEncoding(SingleColumnProcessor):
         for k, v in self.label_map_.items():
             pairs.extend([F.lit(k), F.lit(v)])
         m = F.create_map(*pairs) if pairs else F.create_map()
-        looked_up = m.getItem(col.cast("string"))
+        looked_up = m[col.cast("string")]
         encoded = F.coalesce(looked_up, F.lit(unknown))
         if self.missing_fill is not None:
             return F.when(col.isNull(), F.lit(self.missing_fill)).otherwise(encoded).cast("long")
@@ -96,7 +96,7 @@ class LabelEncoding(SingleColumnProcessor):
         pairs: list[Column] = []
         for k, v in self.label_map_.items():
             pairs.extend([F.lit(v), F.lit(k)])
-        return F.create_map(*pairs).getItem(col.cast("long"))
+        return F.create_map(*pairs)[col.cast("long")]
 
 
 @register_processor

@@ -231,7 +231,7 @@ MINHASH_LSH_SQL = _minhash_sql()
 
 # --------------------------------------------------------------------------
 # dedup_simhash: 32-bit SimHash near-pairs (hamming <= 3, 4x8-bit bands).
-_SIMHASH_BITS = 32
+_SIMHASH_BITS = 48
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

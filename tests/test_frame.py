@@ -209,3 +209,9 @@ def test_iloc_range(spark):
     sf = SparkFrame.of(pd.DataFrame({"x": [30, 10, 20, 50, 40]}), spark)
     out = sf.iloc_range(1, 3, "x").to_pandas()["x"].tolist()
     assert out == [20, 30]  # positions 1..2 under ascending x order
+
+
+def test_bfill(spark):
+    sf = SparkFrame.of(pd.DataFrame({"t": [1, 2, 3, 4], "v": [1.0, None, None, 4.0]}), spark)
+    out = sf.bfill("t", ["v"]).sort_values("t").to_pandas()
+    assert out["v"].tolist() == [1.0, 4.0, 4.0, 4.0]
