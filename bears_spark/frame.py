@@ -256,6 +256,24 @@ class SparkColumn:
         row = self._df.select(F.count(self._col).alias("n"), F.countDistinct(self._col).alias("d")).first()
         return row["n"] == row["d"]
 
+    def mad(self):
+        """Mean absolute deviation around the mean (ScalableSeries.py:959) —
+        two chained tiny aggregations (mean, then avg|x-mean|)."""
+        m = self.mean()
+        if m is None:
+            return None
+        return self._agg(F.avg(F.abs(self._col - F.lit(m))))
+
+    def sem(self, ddof: int = 1):
+        """Standard error of the mean: std/sqrt(n)."""
+        row = self._df.select(
+            (F.stddev_samp(self._col) if ddof else F.stddev_pop(self._col)).alias("s"),
+            F.count(self._col).alias("n"),
+        ).first()
+        if row["s"] is None or not row["n"]:
+            return None
+        return row["s"] / (row["n"] ** 0.5)
+
     def skew(self):
         return self._agg(F.skewness(self._col))
 

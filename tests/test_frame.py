@@ -215,3 +215,10 @@ def test_bfill(spark):
     sf = SparkFrame.of(pd.DataFrame({"t": [1, 2, 3, 4], "v": [1.0, None, None, 4.0]}), spark)
     out = sf.bfill("t", ["v"]).sort_values("t").to_pandas()
     assert out["v"].tolist() == [1.0, 4.0, 4.0, 4.0]
+
+
+def test_mad_sem(sf):
+    import numpy as np
+    a = pd.Series([1, 2, 3, 4, 5], dtype=float)
+    assert sf["a"].mad() == pytest.approx((a - a.mean()).abs().mean())
+    assert sf["a"].sem() == pytest.approx(a.sem())

@@ -109,3 +109,23 @@ def test_schema_pruned_read(sample, tmp_path):
 def test_testdata_parquet_read(spark, sf_dir):
     sf = read(f"{sf_dir}/lineitem.parquet")
     assert sf.shape[0] == 6000
+
+
+def test_config_roundtrip(tmp_path):
+    from bears_spark.io.config import read_config, write_config, read_pickle, write_pickle
+
+    cfg = {"pipeline": [{"input": "a", "transformer": "case"}], "n": 3}
+    j = str(tmp_path / "c.json")
+    write_config(cfg, j)
+    assert read_config(j) == cfg
+    try:
+        import yaml  # noqa: F401
+
+        y = str(tmp_path / "c.yaml")
+        write_config(cfg, y)
+        assert read_config(y) == cfg
+    except ImportError:
+        pass
+    p = str(tmp_path / "o.pkl")
+    write_pickle({"x": [1, 2]}, p)
+    assert read_pickle(p) == {"x": [1, 2]}
