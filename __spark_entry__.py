@@ -27,6 +27,7 @@ _TPCH_QUERIES = {
     "q4_order_priority": tpch.q4_order_priority,
     "q12_priority_class": tpch.q12_priority_class,
     "q14_promo_effect": tpch.q14_promo_effect,
+    "q13_customer_distribution": tpch.q13_customer_distribution,
 }
 
 _TPCH_ORACLES = {
@@ -38,6 +39,7 @@ _TPCH_ORACLES = {
     "q4_order_priority": tpch.Q4_SQL,
     "q12_priority_class": tpch.Q12_SQL,
     "q14_promo_effect": tpch.Q14_SQL,
+    "q13_customer_distribution": tpch.Q13_SQL,
 }
 
 
