@@ -100,7 +100,7 @@ WITH lagged AS (
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
   FROM flagged
 )
-SELECT user_id, session_seq,
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        count(*) AS n_events,
        round(sum(value), 6) AS session_value,
        epoch_us(min(ts)) AS start_us,

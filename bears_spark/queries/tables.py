@@ -23,14 +23,20 @@ TABLE_NAMES = (
     "embeddings",
 )
 
-# Tables small enough (at any SF — they scale sub-linearly or are capped) to
-# broadcast in joins. customer/part scale linearly but stay far under typical
-# executor memory through sf100; at true 100TB runs the auto-broadcast
-# threshold decides instead of this hint.
-DIM_TABLES = frozenset({"region", "nation", "supplier"})
+# Tables with a constant (SF-independent) row count — always safe to
+# broadcast in joins. customer/part/supplier scale linearly with SF, so the
+# AQE auto-broadcast threshold decides for them at runtime instead of a
+# forced hint that would OOM at 100x scale.
+DIM_TABLES = frozenset({"region", "nation"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS), which vanilla Spark 4
+        # rejects (PARQUET_TYPE_ILLEGAL). The conf is runtime-settable, and
+        # callers (e.g. the correctness driver) may hand us a session that
+        # wasn't built by bears_spark.session — set it here, not only there.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as int64 via nanosAsLong (see session.py);

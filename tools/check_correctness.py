@@ -36,6 +36,15 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> tuple[bool, st
     a, b = _canon(spark_pdf), _canon(oracle_pdf)
     for c in a.columns:
         av, bv = a[c], b[c]
+        # The driver hashes STRINGIFIED values, so an int64 Spark column vs a
+        # float64 oracle column ("1085" vs "1085.0") is a hard fail there even
+        # when numerically equal — typically DuckDB sum(<int>) → HUGEINT →
+        # pandas float64. Mirror that strictness here.
+        if pd.api.types.is_float_dtype(av) != pd.api.types.is_float_dtype(bv):
+            return False, (
+                f"column {c} dtype kind differs: spark={av.dtype} vs oracle={bv.dtype} "
+                "(driver stringify-hash would fail; CAST the oracle column)"
+            )
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             ok = all(
                 (pd.isna(x) and pd.isna(y)) or (not pd.isna(x) and not pd.isna(y) and math.isclose(float(x), float(y), rel_tol=1e-6, abs_tol=1e-9))
@@ -54,10 +63,22 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
-    from bears_spark.session import get_session
     from bears_spark.queries.tables import TABLE_NAMES
 
-    spark = get_session("correctness-check")
+    # Deliberately a VANILLA session (not bears_spark.session.get_session):
+    # the driver's harness builds its own plain SparkSession, so any conf our
+    # queries need (e.g. nanosAsLong for events.parquet) must be set at
+    # runtime by the query path itself. Mirroring that here catches
+    # session-dependence locally (the round-1 10-query failure mode).
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("correctness-check-vanilla")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
