@@ -167,14 +167,21 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     materialize: bool = True,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity for pairs sharing >=1 n-gram.
 
     Blocking on shared n-grams turns the n² similarity into: explode n-grams →
     self-join on the n-gram → count shared per pair → Jaccard from set sizes.
-    The n-gram key is long-tailed; very common n-grams create hot join keys —
-    at scale add a document-frequency cap (drop n-grams in >X docs) which also
-    improves precision.
+
+    The n-gram key is long-tailed; a stop-phrase gram appearing in X docs
+    yields X² join rows, which is quadratic in the hottest key at web scale.
+    ``max_doc_freq`` drops grams appearing in more than that many documents
+    from BOTH the intersection and the set sizes, so ``jaccard`` remains an
+    exact Jaccard over the capped gram space (a well-defined, deterministic
+    similarity that also improves precision — boilerplate phrases stop
+    counting as overlap). The hot-gram set is tiny by construction, so the
+    exclusion is a broadcast anti-join — no extra shuffle of the gram table.
     """
     grams = df.select(
         F.col(id_col),
@@ -183,6 +190,18 @@ def ngram_jaccard_pairs(
     if materialize:
         # consumed three times (self-join both sides + sizes)
         grams = grams.persist()
+    if max_doc_freq is not None:
+        # grams are distinct per doc, so count(*) per gram == document
+        # frequency; the >cap survivors are few — broadcast them.
+        hot = (
+            grams.groupBy("gram")
+            .agg(F.count("*").alias("__df__"))
+            .filter(F.col("__df__") > max_doc_freq)
+            .select("gram")
+        )
+        grams = grams.join(F.broadcast(hot), on="gram", how="left_anti")
+        if materialize:
+            grams = grams.persist()
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
 
     a, b = grams.alias("a"), grams.alias("b")

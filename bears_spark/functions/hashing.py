@@ -71,21 +71,32 @@ def simhash64(tokens: Column, bits: int = 60) -> Column:
 
     Expressed as aggregate-over-transform (JVM-side). 60 bits keeps the
     result in a signed int64.
+
+    All ``bits`` bit votes accumulate in ONE aggregate pass with an
+    array<bigint> accumulator — per-bit aggregate passes would each re-inline
+    (and re-evaluate) the md5 transform, since Catalyst does no CSE across
+    sibling expressions (the trap behind the 310s minhash regression).
     """
     # per-token 60-bit hash once
     h = F.transform(
         tokens,
         lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
     )
-    def _vote(bit: int):
-        return lambda acc, x: acc + F.when(F.shiftright(x, bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
-
-    out = F.lit(0).cast("bigint")
-    for b in range(bits):
-        # vote_b = sum over tokens of (bit_b(hash) ? 1 : -1)
-        votes = F.aggregate(h, F.lit(0).cast("bigint"), _vote(b))
-        out = out + F.when(votes > 0, F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0))
-    return out
+    masks = F.array(*[F.lit(1 << b).cast("bigint") for b in range(bits)])
+    # votes[b] = sum over tokens of (bit_b(hash) ? +1 : -1)
+    votes = F.aggregate(
+        h,
+        F.array_repeat(F.lit(0).cast("bigint"), bits),
+        lambda acc, x: F.zip_with(
+            acc, masks, lambda v, m: v + F.when(x.bitwiseAND(m) != F.lit(0), F.lit(1)).otherwise(F.lit(-1))
+        ),
+    )
+    # sketch = OR of masks where the vote is positive (sum — masks are disjoint)
+    return F.aggregate(
+        F.zip_with(votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("bigint"))),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:

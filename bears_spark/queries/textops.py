@@ -146,10 +146,12 @@ SELECT min(doc_id) AS doc_id FROM documents GROUP BY {_hex2int(_NORM)} ORDER BY 
 
 
 # --------------------------------------------------------------------------
-# dedup_ngram_jaccard: near-dup pairs by word-trigram Jaccard >= 0.5.
+# dedup_ngram_jaccard: near-dup pairs by word-trigram Jaccard >= 0.5, with a
+# document-frequency cap (grams in >100 docs dropped — the hot-join-key guard
+# that keeps the gram self-join linear at web scale).
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=100)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy("id_a", "id_b")
 
 
@@ -160,8 +162,12 @@ WITH toks AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS grams
   FROM toks WHERE len(t) >= 3
-), e AS (
+), e0 AS (
   SELECT doc_id, unnest(grams) AS gram FROM g
+), hot AS (
+  SELECT gram FROM e0 GROUP BY gram HAVING count(*) > 100
+), e AS (
+  SELECT e0.* FROM e0 ANTI JOIN hot USING (gram)
 ), sz AS (
   SELECT doc_id, count(*) AS n_grams FROM e GROUP BY doc_id
 ), shared AS (

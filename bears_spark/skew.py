@@ -70,7 +70,17 @@ def salted_join(
 ) -> DataFrame:
     """Skew join: salt the big side, replicate the small side once per salt
     value (explode over sequence), join on (key, salt). Small side grows
-    ``num_salts``×, so keep it broadcast-sized."""
+    ``num_salts``×, so keep it broadcast-sized.
+
+    ``how`` is restricted to joins where unmatched SMALL-side rows don't
+    surface: under right/full-outer, a small-side key absent from the big
+    side would survive as ``num_salts`` duplicate null-extended rows. Flip
+    the sides (salt the other input) to get those semantics."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports how in inner/left/left_semi/left_anti, got {how!r}: "
+            "right/outer would emit num_salts duplicates of unmatched small-side keys"
+        )
     big_s = with_salt(big, num_salts)
     small_r = small.withColumn(
         "__salt__", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))

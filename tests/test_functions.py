@@ -106,6 +106,19 @@ def test_ngram_jaccard(spark):
     assert rows[0]["jaccard"] == pytest.approx(2 / 4)  # grams: {abc,bcd} shared of union 4
 
 
+def test_ngram_jaccard_doc_freq_cap(spark):
+    # "a b c" appears in all 3 docs; cap at 2 drops it from intersection AND
+    # sizes, so docs 1/2 (grams {abc,bcd} vs {abc,bcx}) share nothing after
+    # the cap and doc 3 keeps its unique gram set.
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2, 3], "t": ["a b c d", "a b c x", "a b c y"]})
+    )
+    uncapped = dd.ngram_jaccard_pairs(df, "id", "t", n=3, threshold=0.1).collect()
+    assert len(uncapped) == 3  # every pair shares the hot gram "a b c"
+    capped = dd.ngram_jaccard_pairs(df, "id", "t", n=3, threshold=0.1, max_doc_freq=2).collect()
+    assert capped == []
+
+
 def test_simhash_identical_zero_distance(spark):
     df = spark.createDataFrame(pd.DataFrame({"id": [1, 2], "t": ["same tokens here", "same tokens here"]}))
     pairs = dd.simhash_near_pairs(df, "id", "t", max_hamming=0).collect()

@@ -99,3 +99,15 @@ def test_salted_join_matches_plain(spark, sf_dir):
     n_salted = salted_join(orders, cust, on="k", num_salts=4).count()
     n_plain = orders.join(cust, on="k").count()
     assert n_salted == n_plain
+
+
+def test_salted_join_rejects_right_outer(spark, sf_dir):
+    import pytest
+
+    from bears_spark.skew import salted_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(F.col("o_custkey").alias("k"))
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(F.col("c_custkey").alias("k"))
+    for how in ("right", "outer", "full"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(orders, cust, on="k", how=how)
