@@ -36,6 +36,26 @@ from bears_spark.types import MLTypeSchema, mltype_schema_to_struct
 RawData = Union[pd.DataFrame, DataFrame, List[dict], Dict[str, Any], "SparkFrame"]
 
 
+class MergeError(ValueError):
+    """Raised by merge(validate=...) when key uniqueness is violated
+    (mirrors pandas.errors.MergeError)."""
+
+
+def _elementwise_pandas_udf(func: Callable, returnType: str):
+    """Wrap a scalar Python function as an Arrow-batched pandas_udf.
+
+    nulls reach ``func`` as None (matching row-UDF semantics), not pandas NaN.
+    """
+
+    def _vec(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [func(None if v is None or v is pd.NA or (isinstance(v, float) and pd.isna(v)) else v) for v in s],
+            dtype=object,
+        )
+
+    return F.pandas_udf(_vec, returnType)
+
+
 def _normalize_nan_to_null(df: DataFrame) -> DataFrame:
     """Engine rule (SURVEY.md §7 known-hard #1): bears conflates NaN/None via
     pd.isnull; Spark distinguishes. We normalize float NaN -> null at ingest so
@@ -176,8 +196,10 @@ class SparkColumn:
         return self._wrap(m[self._col])
 
     def apply(self, func: Callable, returnType: str = "string") -> "SparkColumn":
-        """Row-at-a-time escape hatch; prefer built-ins (slow-path warning)."""
-        return self._wrap(F.udf(func, returnType)(self._col))
+        """Arbitrary-Python escape hatch; prefer built-ins. Compiles to an
+        Arrow-batched pandas_udf (ArrowEvalPython), not a row-at-a-time
+        PythonUDF — same semantics, ~10-100x less serialization overhead."""
+        return self._wrap(_elementwise_pandas_udf(func, returnType)(self._col))
 
     # -- string accessor-ish helpers -----------------------------------
     def lower(self) -> "SparkColumn":
@@ -279,6 +301,56 @@ class SparkColumn:
 
     def kurt(self):
         return self._agg(F.kurtosis(self._col))
+
+    def is_monotonic_increasing(self, order_col: str = "__row_id__") -> bool:
+        """True iff values never decrease along ``order_col`` order
+        (ScalableSeries.py:971-979). Nulls → False, empty → True (pandas)."""
+        return self._is_monotonic(order_col, decreasing=False)
+
+    def is_monotonic_decreasing(self, order_col: str = "__row_id__") -> bool:
+        """True iff values never increase along ``order_col`` order
+        (ScalableSeries.py:981-988)."""
+        return self._is_monotonic(order_col, decreasing=True)
+
+    def _is_monotonic(self, order_col: str, decreasing: bool, num_buckets: int = 64) -> bool:
+        """Distributed monotonicity: a global-order lag would sort everything
+        into ONE partition, so instead range-bucket ``order_col`` (numeric,
+        unique), lag WITHIN each bucket in parallel, and compare the
+        ``num_buckets`` bucket boundaries (first/last value per bucket) in a
+        second, tiny window."""
+        df = self._df.select(F.col(order_col).alias("__o__"), self._col.alias("__v__"))
+        head = df.agg(
+            F.min("__o__").alias("lo"),
+            F.max("__o__").alias("hi"),
+            F.coalesce(F.max(F.col("__v__").isNull()), F.lit(False)).alias("nulls"),
+        ).first()
+        if head["nulls"]:
+            return False
+        if head["lo"] is None or head["lo"] == head["hi"]:
+            return True  # empty or single row
+        df = df.withColumn(
+            "__b__",
+            F.width_bucket(F.col("__o__").cast("double"), F.lit(float(head["lo"])), F.lit(float(head["hi"])), F.lit(num_buckets)),
+        )
+        w = Window.partitionBy("__b__").orderBy("__o__")
+        prev = F.lag("__v__").over(w)
+        viol = (F.col("__v__") > prev) if decreasing else (F.col("__v__") < prev)
+        per_bucket = (
+            df.withColumn("__viol__", F.coalesce(viol, F.lit(False)))
+            .groupBy("__b__")
+            .agg(
+                F.max("__viol__").alias("any_viol"),
+                F.min_by("__v__", "__o__").alias("first_v"),
+                F.max_by("__v__", "__o__").alias("last_v"),
+            )
+        )
+        wb = Window.orderBy("__b__")  # <= num_buckets+1 rows: single partition is fine
+        prev_last = F.lag("last_v").over(wb)
+        bviol = (F.col("first_v") > prev_last) if decreasing else (F.col("first_v") < prev_last)
+        bad = per_bucket.select(
+            (F.col("any_viol") | F.coalesce(bviol, F.lit(False))).alias("bad")
+        ).agg(F.max("bad").alias("bad")).first()
+        return not bool(bad["bad"])
 
     def idxmax(self, idx_col: str = "__row_id__"):
         return self._agg(F.max_by(F.col(idx_col), self._col))
@@ -526,13 +598,17 @@ class SparkFrame:
         suffixes: tuple[str, str] = ("_x", "_y"),
         indicator: bool = False,
         broadcast: bool = False,
+        validate: str | None = None,
     ) -> "SparkFrame":
         """pandas.merge semantics on Spark joins (ScalableDataFrame.py:1820-1836).
 
         Collision columns get pandas-style suffixes; ``indicator`` adds a
         ``_merge`` provenance column. ``broadcast=True`` hints the right side
         (use for dimension tables; Catalyst also auto-broadcasts under the
-        configured threshold)."""
+        configured threshold). ``validate`` ('1:1'/'1:m'/'m:1'/'m:m' and the
+        spelled-out pandas aliases) eagerly checks key uniqueness on the
+        constrained side(s) and raises MergeError — each check is one
+        short-circuiting groupBy-count action, not a full materialization."""
         rdf = right.df if isinstance(right, SparkFrame) else right
         ldf = self.df
         how_map = {"inner": "inner", "left": "left", "right": "right", "outer": "full", "cross": "cross"}
@@ -546,6 +622,28 @@ class SparkFrame:
             rkeys = [right_on] if isinstance(right_on, str) else list(right_on)
         else:
             raise ValueError("merge requires `on` or `left_on`/`right_on`")
+
+        if validate is not None:
+            _VALIDATE = {
+                "1:1": (True, True), "one_to_one": (True, True),
+                "1:m": (True, False), "one_to_many": (True, False),
+                "m:1": (False, True), "many_to_one": (False, True),
+                "m:m": (False, False), "many_to_many": (False, False),
+            }
+            if validate not in _VALIDATE:
+                raise ValueError(f"invalid validate argument {validate!r}")
+            left_unique, right_unique = _VALIDATE[validate]
+
+            def _has_dup_keys(df: DataFrame, keys: list[str]) -> bool:
+                return (
+                    df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n__"))
+                    .filter(F.col("__n__") > 1).limit(1).count() > 0
+                )
+
+            if left_unique and _has_dup_keys(ldf, lkeys):
+                raise MergeError(f"Merge keys are not unique in left dataset; not a {validate} merge")
+            if right_unique and _has_dup_keys(rdf, rkeys):
+                raise MergeError(f"Merge keys are not unique in right dataset; not a {validate} merge")
 
         # pandas-style suffixes for non-key collisions
         collisions = (set(ldf.columns) & set(rdf.columns)) - (set(lkeys) & set(rkeys))
@@ -672,7 +770,8 @@ class SparkFrame:
 
     # ---------------- function application ----------------
     def applymap(self, func: Callable, returnType: str = "string") -> "SparkFrame":
-        return SparkFrame(self.df.select(*[F.udf(func, returnType)(F.col(c)).alias(c) for c in self.df.columns]))
+        udf = _elementwise_pandas_udf(func, returnType)
+        return SparkFrame(self.df.select(*[udf(F.col(c)).alias(c) for c in self.df.columns]))
 
     def apply(self, func: Callable, axis: int = 1, schema=None) -> "SparkFrame":
         """Row-wise apply via mapInPandas (Arrow-batched; stays on executors)."""

@@ -108,6 +108,25 @@ def test_merge_suffixes_indicator(spark):
     assert lr.shape[0] == 2
 
 
+def test_merge_validate(spark):
+    from bears_spark.frame import MergeError
+
+    uniq = SparkFrame.of(pd.DataFrame({"k": ["a", "b"], "v": [1, 2]}), spark)
+    dup = SparkFrame.of(pd.DataFrame({"k": ["a", "a", "b"], "w": [1, 2, 3]}), spark)
+    # passing modes
+    assert uniq.merge(dup, on="k", validate="1:m").shape[0] == 3
+    assert dup.merge(uniq, on="k", validate="m:1").shape[0] == 3
+    assert uniq.merge(uniq.rename({"v": "v2"}), on="k", validate="one_to_one").shape[0] == 2
+    assert dup.merge(dup.rename({"w": "w2"}), on="k", validate="m:m").shape[0] == 5
+    # raising paths
+    with pytest.raises(MergeError, match="left"):
+        dup.merge(uniq, on="k", validate="1:m")
+    with pytest.raises(MergeError, match="right"):
+        uniq.merge(dup, on="k", validate="1:1")
+    with pytest.raises(ValueError, match="validate"):
+        uniq.merge(dup, on="k", validate="bogus")
+
+
 def test_join_raises(sf):
     with pytest.raises(NotImplementedError):
         sf.join(sf)
@@ -163,6 +182,44 @@ def test_apply_and_applymap(spark):
     sf = SparkFrame.of(pd.DataFrame({"a": [1, 2], "b": [3, 4]}), spark)
     doubled = sf.apply(lambda pdf: pdf * 2)
     assert doubled.to_pandas()["a"].tolist() == [2, 4]
+
+
+def test_elementwise_apply_is_arrow_vectorized(spark):
+    sf = SparkFrame.of(pd.DataFrame({"a": [1, 2, None], "b": ["x", "y", "z"]}), spark)
+    s = sf["a"].apply(lambda v: -1 if v is None else v * 10, returnType="long")
+    vals = sorted(s.to_pandas().tolist())
+    assert vals == [-1, 10, 20]
+    mm = sf.applymap(lambda v: str(v).upper())
+    assert sorted(mm.to_pandas()["b"].tolist()) == ["X", "Y", "Z"]
+    # the escape hatch must compile to the Arrow path, not row-at-a-time
+    plan = sf.df.select(s.spark)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_is_monotonic(spark):
+    inc = SparkFrame.of(pd.DataFrame({"o": [1, 2, 3, 4], "v": [1.0, 1.0, 2.0, 9.0]}), spark)
+    assert inc["v"].is_monotonic_increasing(order_col="o")
+    assert not inc["v"].is_monotonic_decreasing(order_col="o")
+    dec = SparkFrame.of(pd.DataFrame({"o": [1, 2, 3], "v": [3, 2, 2]}), spark)
+    assert dec["v"].is_monotonic_decreasing(order_col="o")
+    assert not dec["v"].is_monotonic_increasing(order_col="o")
+    wiggle = SparkFrame.of(pd.DataFrame({"o": [1, 2, 3], "v": [1, 3, 2]}), spark)
+    assert not wiggle["v"].is_monotonic_increasing(order_col="o")
+    assert not wiggle["v"].is_monotonic_decreasing(order_col="o")
+    withnull = SparkFrame.of(pd.DataFrame({"o": [1, 2], "v": [1.0, None]}), spark)
+    assert not withnull["v"].is_monotonic_increasing(order_col="o")
+    single = SparkFrame.of(pd.DataFrame({"o": [1], "v": [5]}), spark)
+    assert single["v"].is_monotonic_increasing(order_col="o")
+    # multi-bucket: 2000 rows spread across all 64 range buckets, with the
+    # lone violation landing ON a bucket boundary path
+    big = pd.DataFrame({"o": range(2000), "v": list(range(2000))})
+    bf = SparkFrame.of(big, spark)
+    assert bf["v"].is_monotonic_increasing(order_col="o")
+    big2 = big.copy()
+    big2.loc[1000, "v"] = 0  # dip in the middle
+    bf2 = SparkFrame.of(big2, spark)
+    assert not bf2["v"].is_monotonic_increasing(order_col="o")
 
 
 def test_series_map(sf):
