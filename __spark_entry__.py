@@ -28,6 +28,10 @@ _TPCH_QUERIES = {
     "q12_priority_class": tpch.q12_priority_class,
     "q14_promo_effect": tpch.q14_promo_effect,
     "q13_customer_distribution": tpch.q13_customer_distribution,
+    "q7_nation_volume": tpch.q7_nation_volume,
+    "q8_market_share": tpch.q8_market_share,
+    "q9_product_profit": tpch.q9_product_profit,
+    "q2_min_cost_supplier": tpch.q2_min_cost_supplier,
 }
 
 _TPCH_ORACLES = {
@@ -40,6 +44,10 @@ _TPCH_ORACLES = {
     "q12_priority_class": tpch.Q12_SQL,
     "q14_promo_effect": tpch.Q14_SQL,
     "q13_customer_distribution": tpch.Q13_SQL,
+    "q7_nation_volume": tpch.Q7_SQL,
+    "q8_market_share": tpch.Q8_SQL,
+    "q9_product_profit": tpch.Q9_SQL,
+    "q2_min_cost_supplier": tpch.Q2_SQL,
 }
 
 
