@@ -113,12 +113,21 @@ def ivf_topk(
     cent = centroids.select(
         F.col("centroid_id"), F.col("centroid"), cosine_similarity(F.col("centroid"), q).alias("qsim")
     )
-    probe_ids = [r["centroid_id"] for r in cent.orderBy(F.desc("qsim")).limit(nprobe).collect()]
+    probe_ids = [r["centroid_id"] for r in cent.orderBy(F.desc("qsim"), F.asc("centroid_id")).limit(nprobe).collect()]
+
+    from pyspark.sql import Window
 
     assigned = (
         df.crossJoin(F.broadcast(centroids))
         .withColumn("csim", cosine_similarity(F.col(vec_col), F.col("centroid")))
-        .withColumn("rn", F.row_number().over(__import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(id_col).orderBy(F.desc("csim"))))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                # centroid_id tie-break keeps assignment deterministic (and
+                # oracle-reproducible) when two centroids are equidistant
+                Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("centroid_id"))
+            ),
+        )
         .filter(F.col("rn") == 1)
     )
     return (

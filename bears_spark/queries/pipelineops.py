@@ -129,11 +129,154 @@ WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
 SELECT _merge, count(*) AS n FROM j GROUP BY _merge ORDER BY _merge
 """
 
+# --------------------------------------------------------------------------
+# tfidf_doc_terms: TFIDFVectorization fit+transform (sklearn-compatible
+# smooth idf + l2 norm), exploded to (doc_id, term, weight) rows so the
+# vector is graded scalar-by-scalar. Vocab = top-16 terms by document
+# frequency (ties broken by term) — the oracle recomputes fit AND transform.
+def tfidf_doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.processor.text import TFIDFVectorization
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = TFIDFVectorization(max_features=16)
+    tf.fit(docs, ["text"])
+    vocab_arr = F.array(*[F.lit(t) for t in tf.vocab_])
+    vec = tf.apply(docs, "text", "tfidf")
+    return (
+        vec.select("doc_id", F.posexplode("tfidf").alias("pos", "weight"))
+        .filter(F.col("weight") != 0)
+        .select(
+            "doc_id",
+            F.element_at(vocab_arr, F.col("pos") + 1).alias("term"),
+            F.round("weight", 6).alias("weight"),
+        )
+        .orderBy("doc_id", "term")
+    )
+
+
+TFIDF_DOC_TERMS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\b\w\w+\b') AS t FROM documents
+), n AS (SELECT count(*) AS n_docs FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+vocab AS (SELECT term, df FROM dfreq ORDER BY df DESC, term ASC LIMIT 16),
+idf AS (SELECT term, ln((1 + n_docs) / (1 + df)) + 1.0 AS idf FROM vocab, n),
+tfc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+w AS (SELECT t.doc_id, i.term, t.tf * i.idf AS w FROM tfc t JOIN idf i USING (term)),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id)
+SELECT w.doc_id, w.term, round(w.w / nrm.nrm, 6) AS weight
+FROM w JOIN nrm USING (doc_id)
+ORDER BY doc_id, term
+"""
+
+
+# --------------------------------------------------------------------------
+# assembled_features: VectorAssembler over (array + scalar) inputs — inputs
+# sorted by name, scalars cast to double — graded via size/first/last.
+def assembled_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.processor.vector import VectorAssembler
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    va = VectorAssembler()
+    out = va.apply(emb, ["embedding", "label"], "feat")
+    return out.select(
+        "vec_id",
+        F.size("feat").alias("n_features"),
+        F.round(F.element_at(F.col("feat"), 1), 6).alias("f_first"),
+        F.round(F.element_at(F.col("feat"), -1), 6).alias("f_last"),
+    ).orderBy("vec_id")
+
+
+ASSEMBLED_FEATURES_SQL = """
+SELECT vec_id, len(embedding) + 1 AS n_features,
+       round(embedding[1]::DOUBLE, 6) AS f_first,
+       round(label::DOUBLE, 6) AS f_last
+FROM embeddings ORDER BY vec_id
+"""
+
+
+# --------------------------------------------------------------------------
+# stream_shard_keys: deterministic pmod sharding (stream.shard, the DDP
+# worker-shard primitive) — rank 1 of 4 on o_orderkey.
+def stream_shard_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.stream import shard
+
+    orders = load_table(spark, sf_dir, "orders")
+    return shard(orders, rank=1, world_size=4, id_col="o_orderkey").select("o_orderkey").orderBy("o_orderkey")
+
+
+STREAM_SHARD_SQL = """
+SELECT o_orderkey FROM orders WHERE o_orderkey % 4 = 1 ORDER BY o_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# ann_ivf_label_topk: IVF two-stage ANN with a deterministic coarse quantizer
+# (per-label mean embedding, rounded to 6dp so both engines see identical
+# centroids) — assignment via broadcast-centroid join, probe the 3 centroids
+# nearest the query, exact top-10 within probed cells.
+def ann_ivf_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("m"))
+        .groupBy("label")
+        .agg(F.transform(F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]).alias("centroid"))
+        .select(F.col("label").alias("centroid_id"), "centroid")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return ivf_topk(
+        emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", q, cent, k=10, nprobe=3
+    ).select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+_DOT_EQ = "list_sum(list_transform(list_zip(e.embedding, q.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE))"
+_N_E = "sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+_N_Q = "sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+_DOT_EC = "list_sum(list_transform(list_zip(e.embedding, c.centroid), x -> x[1]::DOUBLE * x[2]))"
+_N_C = "sqrt(list_sum(list_transform(c.centroid, x -> x * x)))"
+_DOT_CQ = "list_sum(list_transform(list_zip(c.centroid, q.embedding), x -> x[1] * x[2]::DOUBLE))"
+
+ANN_IVF_SQL = f"""
+WITH cent0 AS (
+  SELECT label, t.pos AS pos, round(avg(embedding[t.pos]::DOUBLE), 6) AS m
+  FROM embeddings CROSS JOIN range(1, 65) t(pos)
+  GROUP BY label, t.pos
+), cent AS (
+  SELECT label AS centroid_id, list(m ORDER BY pos) AS centroid FROM cent0 GROUP BY label
+), q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT e.vec_id, c.centroid_id, {_DOT_EC} / ({_N_E} * {_N_C}) AS csim
+  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id <> 0
+), assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id ASC) AS rn
+    FROM sims) WHERE rn = 1
+), probes AS (
+  SELECT c.centroid_id FROM cent c, q
+  ORDER BY {_DOT_CQ} / ({_N_C} * {_N_Q}) DESC, c.centroid_id ASC LIMIT 3
+)
+SELECT e.vec_id AS vec_id, round({_DOT_EQ} / ({_N_E} * {_N_Q}), 6) AS cosine
+FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id, q
+WHERE a.centroid_id IN (SELECT centroid_id FROM probes)
+ORDER BY {_DOT_EQ} / ({_N_E} * {_N_Q}) DESC, e.vec_id ASC
+LIMIT 10
+"""
+
 QUERIES = {
     "pipeline_text_clean": pipeline_text_clean,
     "lang_label_encode": lang_label_encode,
     "value_mean_imputation": value_mean_imputation,
     "merge_indicator_counts": merge_indicator_counts,
+    "tfidf_doc_terms": tfidf_doc_terms,
+    "assembled_features": assembled_features,
+    "stream_shard_keys": stream_shard_keys,
+    "ann_ivf_label_topk": ann_ivf_label_topk,
 }
 
 ORACLES = {
@@ -141,4 +284,8 @@ ORACLES = {
     "lang_label_encode": LANG_LABEL_ENCODE_SQL,
     "value_mean_imputation": VALUE_MEAN_IMPUTATION_SQL,
     "merge_indicator_counts": MERGE_INDICATOR_SQL,
+    "tfidf_doc_terms": TFIDF_DOC_TERMS_SQL,
+    "assembled_features": ASSEMBLED_FEATURES_SQL,
+    "stream_shard_keys": STREAM_SHARD_SQL,
+    "ann_ivf_label_topk": ANN_IVF_SQL,
 }
