@@ -7,10 +7,11 @@ FitzPdfReader.py:17). The engine treats assets as opaque ``binary`` columns
 with a struct metadata column; decode / resize / frame-sample run as
 Arrow-batched pandas functions over mapInPandas.
 
-The decode kernels themselves are STUBBED (image/audio libraries are not in
-this container): ``decode_image`` raises NotImplementedError unless
-``fake=True``, which produces a deterministic fake decode so the Spark-side
-plumbing — schema, batching, partitioning — is fully real and tested.
+Decode paths: PPM(P6) and uncompressed 24-bit BMP decode natively (pure
+numpy — no external libraries); jpeg/png/gif route through Pillow when
+importable, else raise NotImplementedError. ``fake=True`` substitutes a
+deterministic content-hash-seeded decode so the Spark-side plumbing —
+schema, batching, partitioning — stays testable for every format.
 """
 
 from __future__ import annotations
@@ -49,6 +50,8 @@ _MAGIC = {
     b"GIF8": "gif",
     b"RIFF": "riff",  # wav/webp — disambiguated at decode
     b"%PDF": "pdf",
+    b"P6": "ppm",
+    b"BM": "bmp",
 }
 
 
@@ -62,14 +65,84 @@ def detect_format(content_col) -> "F.Column":
     return out
 
 
+def decode_ppm(content: bytes) -> np.ndarray:
+    """Pure-numpy decode of binary PPM (P6, maxval<=255) -> HxWx3 uint8.
+
+    Header: 'P6' <ws> width <ws> height <ws> maxval <single ws> raw RGB.
+    '#' comments allowed between tokens (PPM spec)."""
+    if not content.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":  # comment to end of line
+            pos = content.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(content[start:pos]))
+    pos += 1  # exactly one whitespace byte after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    pix = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return pix.reshape(h, w, 3).copy()
+
+
+def decode_bmp(content: bytes) -> np.ndarray:
+    """Pure-numpy decode of uncompressed 24-bit BMP -> HxWx3 uint8 (RGB).
+
+    Handles the standard BITMAPINFOHEADER layout: bottom-up row order,
+    rows padded to 4 bytes, BGR channel order."""
+    if not content.startswith(b"BM"):
+        raise ValueError("not a BMP payload")
+    data_offset = int.from_bytes(content[10:14], "little")
+    header_size = int.from_bytes(content[14:18], "little")
+    if header_size < 40:
+        raise ValueError("BITMAPCOREHEADER not supported")
+    w = int.from_bytes(content[18:22], "little", signed=True)
+    h = int.from_bytes(content[22:26], "little", signed=True)
+    bpp = int.from_bytes(content[28:30], "little")
+    compression = int.from_bytes(content[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp}, compression={compression})")
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3  # rows padded to 4-byte boundary
+    raw = np.frombuffer(content, dtype=np.uint8, count=row_bytes * h, offset=data_offset)
+    rows = raw.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[..., ::-1].copy()  # BGR -> RGB
+
+
 def decode_image_batch(content: bytes, fake: bool = False) -> np.ndarray:
     """Decode one image payload -> HxWx3 uint8 array.
 
-    STUB: real decode needs Pillow/opencv (not in this container). With
-    fake=True, returns a deterministic 8x8x3 array seeded by the content
-    hash — stable across runs/engines, so tests can assert values."""
+    Real decode paths: PPM(P6) and 24-bit BMP are pure numpy (always
+    available); other formats use Pillow when importable. jpeg/png decode in
+    a Pillow-less container raises unless ``fake=True``, which produces a
+    deterministic 8x8x3 array seeded by the content hash — stable across
+    runs/engines, so the Spark plumbing stays testable for every format."""
     if not fake:
-        raise NotImplementedError("image decode requires Pillow/opencv — not available in this environment")
+        if content.startswith(b"P6"):
+            return decode_ppm(content)
+        if content.startswith(b"BM"):
+            return decode_bmp(content)
+        try:
+            import io
+
+            from PIL import Image  # type: ignore[import-not-found]
+
+            arr = np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
+            return arr
+        except ImportError:
+            raise NotImplementedError(
+                "jpeg/png decode requires Pillow (absent here); PPM/BMP decode natively"
+            ) from None
     seed = int(hashlib.md5(content).hexdigest()[:8], 16)
     rng = np.random.RandomState(seed)
     return rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)

@@ -59,6 +59,65 @@ def test_extract_image_features(spark, asset_dir):
     assert again["png"]["mean_r"] == rows["png"]["mean_r"]
 
 
+def _make_ppm(arr):
+    h, w, _ = arr.shape
+    return b"P6\n# comment\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def _make_bmp(arr):
+    import struct
+
+    h, w, _ = arr.shape
+    row_bytes = (w * 3 + 3) & ~3
+    img = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = arr[y, :, ::-1].tobytes()  # RGB -> BGR
+        img += row + b"\x00" * (row_bytes - len(row))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(img), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img), 2835, 2835, 0, 0)
+    return header + info + bytes(img)
+
+
+def test_decode_ppm_roundtrip():
+    import numpy as np
+
+    from bears_spark.functions.multimodal import decode_ppm
+
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    out = decode_ppm(_make_ppm(arr))
+    assert (out == arr).all()
+    # the generic entrypoint routes P6 to the real decoder without fake=
+    assert (decode_image_batch(_make_ppm(arr)) == arr).all()
+
+
+def test_decode_bmp_roundtrip():
+    import numpy as np
+
+    from bears_spark.functions.multimodal import decode_bmp
+
+    rng = np.random.RandomState(8)
+    arr = rng.randint(0, 256, size=(4, 5, 3), dtype=np.uint8)  # w=5 forces row padding
+    out = decode_bmp(_make_bmp(arr))
+    assert (out == arr).all()
+    assert (decode_image_batch(_make_bmp(arr)) == arr).all()
+
+
+def test_extract_image_features_real_decode(spark, tmp_path):
+    import numpy as np
+
+    arr = np.zeros((6, 4, 3), dtype=np.uint8)
+    arr[..., 0] = 200  # pure-red image: mean_r=200, mean_g=mean_b=0
+    (tmp_path / "red.ppm").write_bytes(_make_ppm(arr))
+    (tmp_path / "red.bmp").write_bytes(_make_bmp(arr))
+    feats = extract_image_features(load_assets(spark, str(tmp_path)), fake=False)
+    rows = {r["fmt"]: r for r in feats.collect()}
+    assert set(rows) == {"ppm", "bmp"}
+    for r in rows.values():
+        assert r["mean_r"] == 200.0 and r["mean_g"] == 0.0 and r["mean_b"] == 0.0
+        assert r["h"] == 6 and r["w"] == 4
+
+
 def test_sample_frames(spark, asset_dir):
     frames = sample_frames(load_assets(spark, asset_dir), every_n=10, fake=True)
     pdf = frames.toPandas()
