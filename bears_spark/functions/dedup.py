@@ -192,7 +192,10 @@ def ngram_jaccard_pairs(
         grams = grams.persist()
     if max_doc_freq is not None:
         # grams are distinct per doc, so count(*) per gram == document
-        # frequency; the >cap survivors are few — broadcast them.
+        # frequency; the >cap survivors are few — broadcast them. The
+        # filtered view is NOT persisted: each consumer applies the cheap
+        # broadcast anti-join over the already-persisted gram table, which
+        # beats materializing a second near-copy of it.
         hot = (
             grams.groupBy("gram")
             .agg(F.count("*").alias("__df__"))
@@ -200,8 +203,6 @@ def ngram_jaccard_pairs(
             .select("gram")
         )
         grams = grams.join(F.broadcast(hot), on="gram", how="left_anti")
-        if materialize:
-            grams = grams.persist()
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
 
     a, b = grams.alias("a"), grams.alias("b")

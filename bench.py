@@ -2,9 +2,11 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
 line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
-Each query is executed once warm-up-free per run but the session itself is
-shared, so JVM/codegen startup is excluded from per-query numbers via a
-throwaway warm-up action.
+Each headline query is first run once at sf0.001 (untimed warm-up: JVM JIT,
+whole-stage-codegen compilation, broadcast infra), then timed at the target
+SF. Timed numbers therefore approximate steady-state engine throughput, not
+first-action cold-start. Run-to-run noise at sf0.1 is still ±30% under
+background load — rerun before believing a regression.
 """
 
 from __future__ import annotations
@@ -25,12 +27,21 @@ def main() -> None:
     spark = get_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm up JVM / parquet footer cache so q1 isn't charged for session start
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-
     all_qs = entrymod.queries()
     names = getattr(entrymod, "HEADLINE", None) or list(all_qs)
     qs = {n: all_qs[n] for n in names}
+
+    # Warm-up: run every headline query once at the smallest SF (untimed).
+    # Whole-stage-codegen compiles per generated-code shape, so this absorbs
+    # JIT/codegen/broadcast-infra cold-start into the warm-up instead of
+    # charging it (noisily, load-dependently) to the first timed queries.
+    warm_dir = "/root/testdata/sf0.001"
+    warm_src = warm_dir if os.path.isdir(warm_dir) else sf_dir
+    for name, fn in qs.items():
+        try:
+            fn(spark, warm_src).count()
+        except Exception as exc:  # never let warm-up kill the bench
+            print(f"# warmup {name} failed: {exc}", file=sys.stderr)
     timings: dict[str, float] = {}
     t_total0 = time.perf_counter()
     for name, fn in qs.items():
