@@ -77,6 +77,21 @@ def _write_npz(df: DataFrame, path: str, **opts) -> None:
     np.savez(path, **{c: pdf[c].to_numpy() for c in pdf.columns})
 
 
+@register_writer(FileFormat.AVRO)
+def _write_avro(df: DataFrame, path: str, **opts) -> None:
+    """Gated like the avro reader: spark-avro is an external module absent in
+    this container; raises a clear error unless the package is deployed."""
+    try:
+        df.write.mode(opts.get("mode", "overwrite")).format("avro").save(path)
+    except Exception as exc:
+        if "avro" in str(exc).lower():
+            raise NotImplementedError(
+                "avro requires the spark-avro package "
+                "(--packages org.apache.spark:spark-avro_2.13:<spark version>); not deployed here"
+            ) from exc
+        raise
+
+
 class Writer:
     def __init__(self, fmt: FileFormat | str):
         self.format = FileFormat(fmt) if not isinstance(fmt, FileFormat) else fmt
