@@ -229,14 +229,25 @@ def embedding_cosine_pairs(
     vec_col: str,
     block_col: str | None = None,
     threshold: float = 0.95,
+    max_unblocked_rows: int = 100_000,
 ) -> DataFrame:
     """Semantic near-dup pairs by embedding cosine >= threshold.
 
     ``block_col`` (a cluster id / coarse LSH bucket / label) bounds the join:
-    with blocking this is an equi-join per block; without it a cross join —
-    only acceptable for small n. At 100 TB: pre-cluster (KMeans or
-    random-hyperplane bucket) then block.
+    with blocking this is an equi-join per block; without it a cross join.
+    The unblocked path HARD-FAILS above ``max_unblocked_rows`` (probed with a
+    limit-bounded count, not a full scan): an accidental 10M-row cross join
+    is 10^14 pairs. At 100 TB: pre-cluster (KMeans or random-hyperplane
+    bucket) then block.
     """
+    if block_col is None:
+        probe = df.limit(max_unblocked_rows + 1).count()
+        if probe > max_unblocked_rows:
+            raise ValueError(
+                f"embedding_cosine_pairs without block_col is a cross join; input exceeds "
+                f"{max_unblocked_rows} rows — pass block_col (coarse cluster / LSH bucket) "
+                "or raise max_unblocked_rows explicitly"
+            )
     cols = [F.col(id_col), F.col(vec_col)] + ([F.col(block_col)] if block_col else [])
     base = df.select(*cols)
     a, b = base.alias("a"), base.alias("b")

@@ -323,6 +323,78 @@ ORDER BY {_QDOT} / ({_QNA} * {_QNB}) DESC, e.vec_id ASC
 LIMIT 10
 """
 
+# --------------------------------------------------------------------------
+# dedup_components: exact connected components over the MinHash candidate
+# pairs — the distributed fixpoint min-label propagation graded against a
+# DuckDB recursive-CTE transitive closure of the same pair set.
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS, ngram_n=_NGRAM_N
+    )
+    return dd.connected_components(pairs).orderBy("id")
+
+
+DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE pairs AS ({MINHASH_LSH_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk (id, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.comp FROM walk w JOIN edges e ON w.id = e.dst
+)
+SELECT id, min(comp) AS component FROM walk GROUP BY id ORDER BY id
+"""
+
+
+# --------------------------------------------------------------------------
+# ann_lsh_topk: random-hyperplane LSH bucket search — candidates restricted
+# to the query's sign-bucket. Hyperplanes are md5-seeded literals, so the
+# oracle regenerates the identical planes and bucket arithmetic.
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    top = sim.lsh_topk(emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", qvec, k=10, num_planes=4)
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def _lsh_sql(num_planes: int = 4, dim: int = 64) -> str:
+    from bears_spark.functions.similarity import _hyperplane
+
+    def plane_lit(p: list[float]) -> str:
+        return "[" + ", ".join(repr(c) for c in p) + "]"
+
+    planes = [_hyperplane(i, dim) for i in range(num_planes)]
+
+    def bucket_expr(alias: str) -> str:
+        terms = []
+        for i, p in enumerate(planes):
+            dot = f"list_sum(list_transform(list_zip({alias}.embedding, {plane_lit(p)}), x -> x[1]::DOUBLE * x[2]))"
+            terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+        return " + ".join(terms)
+
+    return f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT {bucket_expr('q')} AS bucket FROM q),
+cand AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e, qb
+  WHERE e.vec_id <> 0 AND ({bucket_expr('e')}) = qb.bucket
+)
+SELECT e.vec_id AS vec_id,
+       round({_QDOT} / ({_QNA} * {_QNB}), 6) AS cosine
+FROM cand e, q
+ORDER BY {_QDOT} / ({_QNA} * {_QNB}) DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+ANN_LSH_SQL = _lsh_sql()
+
+
 QUERIES = {
     "text_stats": text_stats,
     "lang_id_confusion": lang_id_confusion,
@@ -333,6 +405,8 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_cosine_topk": ann_cosine_topk,
+    "dedup_components": dedup_components,
+    "ann_lsh_topk": ann_lsh_topk,
 }
 
 ORACLES = {
@@ -345,4 +419,6 @@ ORACLES = {
     "dedup_simhash": SIMHASH_SQL,
     "dedup_embedding_cosine": EMB_COSINE_SQL,
     "ann_cosine_topk": ANN_TOPK_SQL,
+    "dedup_components": DEDUP_COMPONENTS_SQL,
+    "ann_lsh_topk": ANN_LSH_SQL,
 }

@@ -125,6 +125,16 @@ def test_simhash_identical_zero_distance(spark):
     assert len(pairs) == 1 and pairs[0]["hamming"] == 0
 
 
+def test_embedding_cosine_requires_blocking_above_threshold(spark):
+    pdf = pd.DataFrame({"id": range(50), "vec": [[1.0, 0.0]] * 50})
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="block_col"):
+        dd.embedding_cosine_pairs(df, "id", "vec", max_unblocked_rows=10)
+    # under the threshold the unblocked path still works
+    small = spark.createDataFrame(pd.DataFrame({"id": [1, 2], "vec": [[1.0, 0.0], [1.0, 0.0]]}))
+    assert dd.embedding_cosine_pairs(small, "id", "vec", max_unblocked_rows=10).count() == 1
+
+
 def test_embedding_cosine_pairs_blocked(spark):
     pdf = pd.DataFrame(
         {
