@@ -32,6 +32,10 @@ _TPCH_QUERIES = {
     "q8_market_share": tpch.q8_market_share,
     "q9_product_profit": tpch.q9_product_profit,
     "q2_min_cost_supplier": tpch.q2_min_cost_supplier,
+    "q15_top_supplier": tpch.q15_top_supplier,
+    "q16_parts_supplier_cnt": tpch.q16_parts_supplier_cnt,
+    "q17_small_quantity": tpch.q17_small_quantity,
+    "q19_discounted_revenue": tpch.q19_discounted_revenue,
 }
 
 _TPCH_ORACLES = {
@@ -48,6 +52,10 @@ _TPCH_ORACLES = {
     "q8_market_share": tpch.Q8_SQL,
     "q9_product_profit": tpch.Q9_SQL,
     "q2_min_cost_supplier": tpch.Q2_SQL,
+    "q15_top_supplier": tpch.Q15_SQL,
+    "q16_parts_supplier_cnt": tpch.Q16_SQL,
+    "q17_small_quantity": tpch.Q17_SQL,
+    "q19_discounted_revenue": tpch.Q19_SQL,
 }
 
 

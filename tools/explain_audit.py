@@ -29,8 +29,10 @@ CHECKS = {
 }
 
 FORBIDDEN = ["CartesianProduct", "BroadcastNestedLoopJoin"]
-# embedding pairs use a blocked equi-join; only flag cartesian where unexpected
-FORBIDDEN_EXEMPT = {"dedup_embedding_cosine"}
+# embedding pairs use a blocked equi-join; IVF assignment is a deliberate
+# broadcast cross join against the tiny centroid set (rows x ~10 centroids) —
+# only flag cartesian/NLJ where unexpected
+FORBIDDEN_EXEMPT = {"dedup_embedding_cosine", "ann_ivf_label_topk"}
 
 
 def plan_text(df) -> str:
