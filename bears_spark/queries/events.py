@@ -259,3 +259,71 @@ WHERE abs(z) > 3.0 ORDER BY event_id
 
 QUERIES["ev_zscore_anomaly"] = ev_zscore_anomaly
 ORACLES["ev_zscore_anomaly"] = EV_ZSCORE_SQL
+
+
+# --------------------------------------------------------------------------
+# streaming_sessionize: the Structured Streaming session_window job run to
+# completion (availableNow trigger, memory sink) and graded against the same
+# DuckDB oracle family as the batch sessionization. session_window(gap) puts
+# two events in one session iff their windows [ts, ts+gap) overlap, i.e.
+# gap_us <= 30min — the batch lag/cumsum query splits on gap_us > 30min, so
+# the session SETS are identical (exact-30min gaps don't occur in µs data);
+# session_end = max(ts) + gap by definition.
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.streaming.jobs import sessionize_stream
+
+    # nanos timestamps: the stream schema declares ts AS LONG (nanosAsLong)
+    # and converts — same contract as the batch load_table.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema("event_id long, ts long, user_id long, event_type string, value double, props string")
+        # file streaming sources take directories/globs, not bare files
+        .parquet(f"{sf_dir}/events.parque*")
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sess = sessionize_stream(ev, gap="30 minutes")
+    sink = "streaming_sessionize_sink"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")  # emit every session; append would hold back
+        # sessions newer than the watermark at end-of-input
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    # memory sink collects to the driver — gate/test scale only; production
+    # sinks are kafka/parquet/delta via the same writeStream plan.
+    return spark.table(sink).select(
+        "user_id",
+        F.unix_micros(F.col("session_start")).alias("start_us"),
+        F.unix_micros(F.col("session_end")).alias("end_us"),
+        "n_events",
+        F.round("session_value", 6).alias("session_value"),
+    )
+
+
+STREAMING_SESSIONIZE_SQL = """
+WITH lagged AS (
+  SELECT user_id, event_id, ts, value,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
+  FROM lagged
+), sess AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS start_us,
+       epoch_us(max(ts)) + 1800 * 1000000 AS end_us,
+       count(*) AS n_events,
+       round(sum(value), 6) AS session_value
+FROM sess GROUP BY user_id, session_seq
+"""
+
+QUERIES["streaming_sessionize"] = streaming_sessionize
+ORACLES["streaming_sessionize"] = STREAMING_SESSIONIZE_SQL
