@@ -36,6 +36,9 @@ _TPCH_QUERIES = {
     "q16_parts_supplier_cnt": tpch.q16_parts_supplier_cnt,
     "q17_small_quantity": tpch.q17_small_quantity,
     "q19_discounted_revenue": tpch.q19_discounted_revenue,
+    "q21_waiting_supplier": tpch.q21_waiting_supplier,
+    "q22_sales_opportunity": tpch.q22_sales_opportunity,
+    "q20_excess_stock": tpch.q20_excess_stock,
 }
 
 _TPCH_ORACLES = {
@@ -56,6 +59,9 @@ _TPCH_ORACLES = {
     "q16_parts_supplier_cnt": tpch.Q16_SQL,
     "q17_small_quantity": tpch.Q17_SQL,
     "q19_discounted_revenue": tpch.Q19_SQL,
+    "q21_waiting_supplier": tpch.Q21_SQL,
+    "q22_sales_opportunity": tpch.Q22_SQL,
+    "q20_excess_stock": tpch.Q20_SQL,
 }
 
 

@@ -652,3 +652,126 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 
    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
 """
+
+
+# --------------------------------------------------------------------------
+# q21: waiting-supplier shape (TPC-H Q21, adapted: no commit/receipt dates in
+# the synthetic schema, so "late" = linestatus 'F'). The signature EXISTS +
+# NOT-EXISTS correlated pair compiles to a left_semi and a left_anti join on
+# the same orderkey with a suppkey-inequality residual — both hash joins.
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = load_table(spark, sf_dir, "supplier")
+    l1 = li.filter(F.col("l_linestatus") == "F").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = li.filter(F.col("l_linestatus") == "F").select("l_orderkey", "l_suppkey").alias("l3")
+    return (
+        l1.join(orders, F.col("l1.l_orderkey") == orders.o_orderkey)
+        .join(
+            l2,
+            (F.col("l2.l_orderkey") == F.col("l1.l_orderkey")) & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l3.l_orderkey") == F.col("l1.l_orderkey")) & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_anti",
+        )
+        .join(supp, F.col("l1.l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F' AND l1.l_linestatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_linestatus = 'F')
+GROUP BY s_name ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# q22: global sales opportunity (TPC-H Q22, adapted: no phone column — the
+# country code is derived from c_nationkey % 10). Scalar-avg subquery +
+# NOT-EXISTS anti-join against orders.
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "cntrycode", F.pmod(F.col("c_nationkey"), F.lit(10))
+    )
+    codes = [1, 2, 3, 4, 5]
+    pool = cust.filter(F.col("cntrycode").isin(codes))
+    avg_bal = pool.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).first()[0]
+    # every customer has orders in the synthetic data, so the anti-join is
+    # against URGENT orders only — same NOT-EXISTS shape, non-vacuous result
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    return (
+        pool.filter(F.col("c_acctbal") > avg_bal)
+        .join(orders, pool.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(F.count("*").alias("numcust"), F.round(F.sum("c_acctbal"), 6).alias("totacctbal"))
+        .orderBy("cntrycode")
+    )
+
+
+Q22_SQL = """
+SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 6) AS totacctbal
+FROM (
+  SELECT c_nationkey % 10 AS cntrycode, c_acctbal, c_custkey
+  FROM customer
+  WHERE c_nationkey % 10 IN (1, 2, 3, 4, 5)
+    AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                     WHERE c_acctbal > 0 AND c_nationkey % 10 IN (1, 2, 3, 4, 5))
+    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+)
+GROUP BY cntrycode ORDER BY cntrycode
+"""
+
+
+# --------------------------------------------------------------------------
+# q20: excess-stock supplier shape (TPC-H Q20, adapted: no partsupp/availqty
+# — the inner relation is shipped quantity per supplier over a name-LIKE part
+# filter). Nested semi-join: supplier IN (aggregated subquery).
+def q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    heavy = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("shipped_qty"))
+        .filter(F.col("shipped_qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_name", F.round("s_acctbal", 6).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = """
+SELECT s_name, round(s_acctbal, 6) AS s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY l_suppkey HAVING sum(l_quantity) > 50
+  )
+ORDER BY s_name
+"""
