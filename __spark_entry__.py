@@ -39,6 +39,7 @@ _TPCH_QUERIES = {
     "q21_waiting_supplier": tpch.q21_waiting_supplier,
     "q22_sales_opportunity": tpch.q22_sales_opportunity,
     "q20_excess_stock": tpch.q20_excess_stock,
+    "q11_important_stock": tpch.q11_important_stock,
 }
 
 _TPCH_ORACLES = {
@@ -62,6 +63,7 @@ _TPCH_ORACLES = {
     "q21_waiting_supplier": tpch.Q21_SQL,
     "q22_sales_opportunity": tpch.Q22_SQL,
     "q20_excess_stock": tpch.Q20_SQL,
+    "q11_important_stock": tpch.Q11_SQL,
 }
 
 

@@ -775,3 +775,41 @@ WHERE n_name = 'NATION_3'
   )
 ORDER BY s_name
 """
+
+
+# --------------------------------------------------------------------------
+# q11: important stock value (TPC-H Q11 shape, adapted: part value = shipped
+# extendedprice via lineitem, no partsupp). The HAVING-fraction-of-global
+# scalar subquery compiles to a window total over the per-part aggregate —
+# the joined fact is scanned ONCE (global sum == sum of per-part sums).
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    per_part = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("val"))
+    )
+    return (
+        per_part.withColumn("total", F.sum("val").over(Window.partitionBy()))
+        .filter(F.col("val") > F.col("total") * 0.001)
+        .select("l_partkey", F.round("val", 6).alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+Q11_SQL = """
+SELECT l_partkey, round(sum(l_extendedprice), 6) AS value
+FROM lineitem, supplier, nation
+WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
+GROUP BY l_partkey
+HAVING sum(l_extendedprice) > (
+  SELECT sum(l_extendedprice) * 0.001 FROM lineitem, supplier, nation
+  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
+)
+ORDER BY value DESC, l_partkey
+"""
