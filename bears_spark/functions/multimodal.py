@@ -148,6 +148,65 @@ def decode_image_batch(content: bytes, fake: bool = False) -> np.ndarray:
     return rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
 
 
+def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
+    """Pure-stdlib decode of PCM WAV -> (samples[frames, channels] float64 in
+    [-1, 1], sample_rate). Handles 8/16/32-bit integer PCM via the ``wave``
+    module — no external audio libraries required."""
+    import io as _io
+    import wave
+
+    with wave.open(_io.BytesIO(content), "rb") as w:
+        n_ch, sampwidth, rate, n_frames = w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
+        raw = w.readframes(n_frames)
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sampwidth)
+    if dtype is None:
+        raise ValueError(f"unsupported WAV sample width {sampwidth}")
+    arr = np.frombuffer(raw, dtype=dtype).reshape(-1, n_ch).astype(np.float64)
+    if sampwidth == 1:  # 8-bit WAV is unsigned, centered at 128
+        arr = (arr - 128.0) / 128.0
+    else:
+        arr = arr / float(1 << (8 * sampwidth - 1))
+    return arr, rate
+
+
+_AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+    ]
+)
+
+
+def extract_audio_features(assets: DataFrame) -> DataFrame:
+    """WAV decode + loudness features via mapInPandas — same binary-in,
+    narrow-features-out pattern as images; decode is real (stdlib wave)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr, rate = decode_wav(bytes(r["content"]))
+                rows.append(
+                    {
+                        "path": r["path"],
+                        "sample_rate": rate,
+                        "n_channels": arr.shape[1],
+                        "n_frames": arr.shape[0],
+                        "duration_sec": arr.shape[0] / rate if rate else 0.0,
+                        "rms": float(np.sqrt((arr**2).mean())) if arr.size else 0.0,
+                        "peak": float(np.abs(arr).max()) if arr.size else 0.0,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _AUDIO_FEATURES_SCHEMA.fields])
+
+    return assets.select("path", "content").mapInPandas(_extract, _AUDIO_FEATURES_SCHEMA)
+
+
 _FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("path", T.StringType()),

@@ -123,3 +123,48 @@ def test_sample_frames(spark, asset_dir):
     pdf = frames.toPandas()
     assert len(pdf) > 2  # multiple frames per asset
     assert (pdf.groupby("path")["frame_idx"].min() == 0).all()
+
+
+def _make_wav(freq=440.0, rate=8000, dur=0.25, channels=1):
+    import io as _io
+    import math
+    import struct
+    import wave
+
+    buf = _io.BytesIO()
+    n = int(rate * dur)
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        frames = b"".join(
+            struct.pack("<" + "h" * channels, *([int(20000 * math.sin(2 * math.pi * freq * i / rate))] * channels))
+            for i in range(n)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_decode_wav_roundtrip():
+    from bears_spark.functions.multimodal import decode_wav
+
+    arr, rate = decode_wav(_make_wav(rate=8000, dur=0.25, channels=2))
+    assert rate == 8000
+    assert arr.shape == (2000, 2)
+    assert abs(arr).max() <= 1.0
+    # a full-scale-ish sine has rms near 1/sqrt(2) of its peak
+    import numpy as np
+
+    assert 0.5 < np.sqrt((arr**2).mean()) / abs(arr).max() < 0.9
+
+
+def test_extract_audio_features(spark, tmp_path):
+    from bears_spark.functions.multimodal import extract_audio_features
+
+    (tmp_path / "tone.wav").write_bytes(_make_wav(rate=8000, dur=0.5))
+    (tmp_path / "hi.wav").write_bytes(_make_wav(rate=16000, dur=0.25, channels=2))
+    feats = {r["sample_rate"]: r for r in extract_audio_features(load_assets(spark, str(tmp_path))).collect()}
+    assert feats[8000]["n_frames"] == 4000 and feats[8000]["n_channels"] == 1
+    assert feats[16000]["n_frames"] == 4000 and feats[16000]["n_channels"] == 2
+    assert abs(feats[8000]["duration_sec"] - 0.5) < 1e-9
+    assert 0 < feats[8000]["rms"] < 1 and 0 < feats[8000]["peak"] <= 1
