@@ -722,6 +722,77 @@ class SparkFrame:
     def replace(self, to_replace, value=None, subset: Sequence[str] | None = None) -> "SparkFrame":
         return SparkFrame(self.df.na.replace(to_replace, value, subset=list(subset) if subset else None))
 
+    # ---------------- ordered-window sugar (capability gain: the reference
+    # raises on rolling/shift/resample — ScalableSeries.py:351-417) ---------
+    _ROLL_FNS = {"mean": F.avg, "sum": F.sum, "min": F.min, "max": F.max, "count": F.count, "std": F.stddev_samp}
+
+    def rolling_agg(
+        self,
+        order_col: str,
+        window_size: int,
+        aggs: Mapping[str, str | list[str]],
+        partition_by: Sequence[str] | None = None,
+        min_periods: int = 1,
+    ) -> "SparkFrame":
+        """Trailing-window aggregates over the last ``window_size`` rows in
+        ``order_col`` order (pandas rolling semantics: window includes the
+        current row). ``aggs``: {col: fn or [fns]} with fn in mean/sum/min/
+        max/count/std; outputs ``{col}_rolling_{fn}``. Partition for
+        parallelism — an unpartitioned global order sorts into one task at
+        scale."""
+        w = (
+            (Window.partitionBy(*partition_by) if partition_by else Window.partitionBy())
+            .orderBy(order_col)
+            .rowsBetween(-(window_size - 1), 0)
+        )
+        df = self.df
+        for c, fns in aggs.items():
+            for fn in [fns] if isinstance(fns, str) else fns:
+                if fn not in self._ROLL_FNS:
+                    raise ValueError(f"unsupported rolling agg {fn!r}")
+                expr = self._ROLL_FNS[fn](F.col(c)).over(w)
+                if min_periods > 1:
+                    expr = F.when(F.count(F.col(c)).over(w) >= min_periods, expr)
+                df = df.withColumn(f"{c}_rolling_{fn}", expr)
+        return SparkFrame(df)
+
+    def shift(
+        self,
+        order_col: str,
+        cols: Sequence[str],
+        periods: int = 1,
+        partition_by: Sequence[str] | None = None,
+        suffix: str = "_shift",
+    ) -> "SparkFrame":
+        """pandas shift under an explicit order: positive periods lag (value
+        from ``periods`` rows earlier), negative lead."""
+        w = (Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()).orderBy(order_col)
+        df = self.df
+        for c in cols:
+            shifted = F.lag(F.col(c), periods).over(w) if periods >= 0 else F.lead(F.col(c), -periods).over(w)
+            df = df.withColumn(f"{c}{suffix}", shifted)
+        return SparkFrame(df)
+
+    def resample(
+        self,
+        ts_col: str,
+        freq: str,
+        aggs: Mapping[str, str | list[str]],
+        partition_by: Sequence[str] | None = None,
+    ) -> "SparkFrame":
+        """Time-bucket aggregation: ``freq`` is a date_trunc unit (minute/
+        hour/day/week/month/year). Compiles to a plain groupBy on the
+        truncated timestamp — map-side partial aggregation, no window."""
+        bucket = F.date_trunc(freq, F.col(ts_col)).alias(ts_col)
+        keys = ([*partition_by] if partition_by else []) + [bucket]
+        exprs = []
+        for c, fns in aggs.items():
+            for fn in [fns] if isinstance(fns, str) else fns:
+                if fn not in self._ROLL_FNS:
+                    raise ValueError(f"unsupported resample agg {fn!r}")
+                exprs.append(self._ROLL_FNS[fn](F.col(c)).alias(f"{c}_{fn}"))
+        return SparkFrame(self.df.groupBy(*keys).agg(*exprs))
+
     def ffill(self, order_col: str, cols: Sequence[str], partition_by: Sequence[str] | None = None) -> "SparkFrame":
         """Forward-fill needs an explicit ordering column in a distributed
         engine (ScalableSeries.py:1048-1091 has implicit row order)."""

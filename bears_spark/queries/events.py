@@ -327,3 +327,34 @@ FROM sess GROUP BY user_id, session_seq
 
 QUERIES["streaming_sessionize"] = streaming_sessionize
 ORACLES["streaming_sessionize"] = STREAMING_SESSIONIZE_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_rolling_stats: per-user trailing-5-row rolling mean/max via the
+# SparkFrame.rolling_agg sugar (pandas rolling semantics; partitioned by
+# user so the sort parallelizes).
+def ev_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.frame import SparkFrame
+
+    ev = load_table(spark, sf_dir, "events")
+    sf = SparkFrame(ev.select("event_id", "user_id", "ts", "value"))
+    rolled = sf.rolling_agg("ts", window_size=5, aggs={"value": ["mean", "max"]}, partition_by=["user_id"]).df
+    return rolled.select(
+        "event_id",
+        "user_id",
+        F.round("value_rolling_mean", 6).alias("roll_mean"),
+        F.round("value_rolling_max", 6).alias("roll_max"),
+    ).orderBy("event_id")
+
+
+EV_ROLLING_SQL = """
+SELECT event_id, user_id,
+       round(avg(value) OVER w, 6) AS roll_mean,
+       round(max(value) OVER w, 6) AS roll_max
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+QUERIES["ev_rolling_stats"] = ev_rolling_stats
+ORACLES["ev_rolling_stats"] = EV_ROLLING_SQL

@@ -279,3 +279,25 @@ def test_mad_sem(sf):
     a = pd.Series([1, 2, 3, 4, 5], dtype=float)
     assert sf["a"].mad() == pytest.approx((a - a.mean()).abs().mean())
     assert sf["a"].sem() == pytest.approx(a.sem())
+
+
+def test_rolling_shift_resample(spark):
+    pdf = pd.DataFrame({"t": range(1, 9), "g": ["a"] * 4 + ["b"] * 4, "v": [1.0, 2.0, 3.0, 4.0, 10.0, 20.0, 30.0, 40.0]})
+    sf = SparkFrame.of(pdf, spark)
+    # rolling matches pandas groupby-rolling
+    out = sf.rolling_agg("t", 3, {"v": ["mean", "sum"]}, partition_by=["g"]).sort_values("t").to_pandas()
+    expected_mean = pdf.groupby("g")["v"].rolling(3, min_periods=1).mean().reset_index(level=0, drop=True)
+    assert out["v_rolling_mean"].tolist() == pytest.approx(expected_mean.sort_index().tolist())
+    assert out.loc[out["t"] == 4, "v_rolling_sum"].iloc[0] == 9.0  # 2+3+4
+    # min_periods nulls short windows
+    mp = sf.rolling_agg("t", 3, {"v": "mean"}, partition_by=["g"], min_periods=3).sort_values("t").to_pandas()
+    assert mp["v_rolling_mean"].isna().sum() == 4  # first two rows of each group
+    # shift lag and lead
+    sh = sf.shift("t", ["v"], periods=1, partition_by=["g"]).sort_values("t").to_pandas()
+    assert pd.isna(sh.loc[sh["t"] == 1, "v_shift"].iloc[0]) and sh.loc[sh["t"] == 2, "v_shift"].iloc[0] == 1.0
+    ld = sf.shift("t", ["v"], periods=-1, partition_by=["g"]).sort_values("t").to_pandas()
+    assert ld.loc[ld["t"] == 1, "v_shift"].iloc[0] == 2.0 and pd.isna(ld.loc[ld["t"] == 4, "v_shift"].iloc[0])
+    # resample over timestamps
+    ts = pd.DataFrame({"ts": pd.date_range("2024-01-01", periods=6, freq="30min"), "v": [1.0] * 6})
+    rs = SparkFrame.of(ts, spark).resample("ts", "hour", {"v": ["sum", "count"]}).sort_values("ts").to_pandas()
+    assert rs["v_sum"].tolist() == [2.0, 2.0, 2.0] and rs["v_count"].tolist() == [2, 2, 2]
