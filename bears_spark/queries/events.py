@@ -337,8 +337,14 @@ def ev_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bears_spark.frame import SparkFrame
 
     ev = load_table(spark, sf_dir, "events")
-    sf = SparkFrame(ev.select("event_id", "user_id", "ts", "value"))
-    rolled = sf.rolling_agg("ts", window_size=5, aggs={"value": ["mean", "max"]}, partition_by=["user_id"]).df
+    # __ord__ makes the trailing window deterministic under (ts, event_id)
+    # even if two events of one user ever share a timestamp
+    sf = SparkFrame(
+        ev.select("event_id", "user_id", "ts", "value").withColumn(
+            "__ord__", F.struct(F.col("ts"), F.col("event_id"))
+        )
+    )
+    rolled = sf.rolling_agg("__ord__", window_size=5, aggs={"value": ["mean", "max"]}, partition_by=["user_id"]).df
     return rolled.select(
         "event_id",
         "user_id",
@@ -352,7 +358,7 @@ SELECT event_id, user_id,
        round(avg(value) OVER w, 6) AS roll_mean,
        round(max(value) OVER w, 6) AS roll_max
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 ORDER BY event_id
 """
 
