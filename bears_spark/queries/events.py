@@ -364,3 +364,90 @@ ORDER BY event_id
 
 QUERIES["ev_rolling_stats"] = ev_rolling_stats
 ORACLES["ev_rolling_stats"] = EV_ROLLING_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_asof_purchase: as-of join — each event gets its user's most recent
+# purchase value (exact-ts matches allowed, pre-first-purchase rows null).
+# Implemented join-free (union + one window carry); the oracle uses DuckDB's
+# native ASOF LEFT JOIN, so the operator is verified against an independent
+# as-of implementation.
+def ev_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("pval")
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts", "value"),
+        purchases,
+        on="ts",
+        by="user_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("pval_asof", 6).alias("last_purchase_value"),
+    ).orderBy("event_id")
+
+
+EV_ASOF_SQL = """
+SELECT e.event_id, e.user_id, round(p.pval, 6) AS last_purchase_value
+FROM events e
+ASOF LEFT JOIN (
+  SELECT user_id, ts, value AS pval FROM events WHERE event_type = 'purchase'
+) p ON e.user_id = p.user_id AND e.ts >= p.ts
+ORDER BY e.event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# ev_range_window_counts: range join — events bucketed into synthetic
+# half-open maintenance windows [hour+5min, hour+35min) derived from the
+# distinct event hours. The bucketed equi-join + residual filter is the
+# scale shape; the oracle does the naive non-equi join directly.
+def ev_range_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.temporal import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    windows = (
+        ev.select(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .distinct()
+        .select(
+            (F.col("h") + F.expr("INTERVAL 5 MINUTES")).alias("w_start"),
+            (F.col("h") + F.expr("INTERVAL 35 MINUTES")).alias("w_end"),
+        )
+    )
+    joined = range_join(
+        ev.select("event_id", "ts", "value"),
+        windows,
+        point_col="ts",
+        start_col="w_start",
+        end_col="w_end",
+        bucket_width_us=3_600_000_000,
+    )
+    return (
+        joined.groupBy(F.unix_micros("w_start").alias("w_start_us"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+        .orderBy("w_start_us")
+    )
+
+
+EV_RANGE_SQL = """
+WITH w AS (
+  SELECT DISTINCT date_trunc('hour', ts) + INTERVAL 5 MINUTE AS w_start,
+                  date_trunc('hour', ts) + INTERVAL 35 MINUTE AS w_end
+  FROM events
+)
+SELECT epoch_us(w.w_start) AS w_start_us,
+       count(*) AS n_events,
+       round(sum(e.value), 6) AS total_value
+FROM events e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY w.w_start ORDER BY w_start_us
+"""
+
+QUERIES["ev_asof_purchase"] = ev_asof_purchase
+ORACLES["ev_asof_purchase"] = EV_ASOF_SQL
+QUERIES["ev_range_window_counts"] = ev_range_window_counts
+ORACLES["ev_range_window_counts"] = EV_RANGE_SQL

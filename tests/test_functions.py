@@ -191,3 +191,65 @@ def test_connected_components_chain(spark):
     pairs = spark.createDataFrame(pd.DataFrame({"id_a": [1, 2, 3, 10], "id_b": [2, 3, 4, 11]}))
     comp = {r["id"]: r["component"] for r in dd.connected_components(pairs).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_asof_join_semantics(spark):
+    import datetime as dt
+
+    from bears_spark.functions.temporal import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 1, 2], "ts": [t0, t0 + dt.timedelta(minutes=10), t0 + dt.timedelta(minutes=30), t0], "x": [1, 2, 3, 4]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "ts": [t0 + dt.timedelta(minutes=10), t0 + dt.timedelta(minutes=20)], "v": [100.0, 200.0]})
+    )
+    out = {r["x"]: r["v_asof"] for r in asof_join(left, right, on="ts", by="k").collect()}
+    assert out[1] is None            # before any right row
+    assert out[2] == 100.0           # exact-ts tie matches
+    assert out[3] == 200.0           # latest earlier row wins
+    assert out[4] is None            # key with no right rows
+    # tolerance: 30min-old match nulled under a 5-minute horizon
+    tol = {r["x"]: r["v_asof"] for r in asof_join(left, right, on="ts", by="k", tolerance_us=5 * 60 * 1_000_000).collect()}
+    assert tol[2] == 100.0 and tol[3] is None
+
+
+def test_asof_join_row_atomic_payload(spark):
+    import datetime as dt
+
+    from bears_spark.functions.temporal import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    # newest right row has a NULL payload column: the match must NOT mix in
+    # the older row's non-null value for that column
+    left = spark.createDataFrame(pd.DataFrame({"k": [1], "ts": [t0 + dt.timedelta(hours=2)], "x": [1]}))
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "ts": [t0, t0 + dt.timedelta(hours=1)], "a": [11.0, None], "b": [1.0, 2.0]})
+    )
+    row = asof_join(left, right, on="ts", by="k").collect()[0]
+    assert row["b_asof"] == 2.0 and row["a_asof"] is None
+
+
+def test_range_join_buckets(spark):
+    import datetime as dt
+
+    from bears_spark.functions.temporal import range_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"ts": [t0 + dt.timedelta(minutes=m) for m in (0, 30, 90, 240)], "pid": [0, 1, 2, 3]})
+    )
+    ivs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "s": [t0, t0 + dt.timedelta(minutes=60)],
+                "e": [t0 + dt.timedelta(minutes=60), t0 + dt.timedelta(minutes=180)],
+                "iid": [0, 1],
+            }
+        )
+    )
+    out = {(r["pid"], r["iid"]) for r in range_join(pts, ivs, "ts", "s", "e", bucket_width_us=60 * 60 * 1_000_000).collect()}
+    # half-open: minute 0 and 30 in interval 0; minute 90 in interval 1 (which
+    # spans two buckets); minute 240 matches nothing; boundary 60 excluded from iv0
+    assert out == {(0, 0), (1, 0), (2, 1)}
