@@ -793,6 +793,104 @@ class SparkFrame:
                 exprs.append(self._ROLL_FNS[fn](F.col(c)).alias(f"{c}_{fn}"))
         return SparkFrame(self.df.groupBy(*keys).agg(*exprs))
 
+    _CUM_FNS = {"sum": F.sum, "max": F.max, "min": F.min, "prod": F.product, "count": F.count}
+
+    def cumagg(
+        self,
+        order_col: str,
+        aggs: Mapping[str, str | list[str]],
+        partition_by: Sequence[str] | None = None,
+    ) -> "SparkFrame":
+        """Cumulative (expanding) aggregates under an explicit order:
+        cumsum/cummax/cummin/cumprod/cumcount as ``{col}_cum{fn}`` columns.
+        (pandas cum* — in the reference's not-implemented set,
+        ScalableSeries.py:351-417.)"""
+        w = (
+            (Window.partitionBy(*partition_by) if partition_by else Window.partitionBy())
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        df = self.df
+        for c, fns in aggs.items():
+            for fn in [fns] if isinstance(fns, str) else fns:
+                if fn not in self._CUM_FNS:
+                    raise ValueError(f"unsupported cumulative agg {fn!r}")
+                df = df.withColumn(f"{c}_cum{fn}", self._CUM_FNS[fn](F.col(c)).over(w))
+        return SparkFrame(df)
+
+    def diff(
+        self, order_col: str, cols: Sequence[str], periods: int = 1, partition_by: Sequence[str] | None = None
+    ) -> "SparkFrame":
+        """Row-to-row difference under explicit order (pandas diff)."""
+        w = (Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()).orderBy(order_col)
+        df = self.df
+        for c in cols:
+            prev = F.lag(F.col(c), periods).over(w) if periods >= 0 else F.lead(F.col(c), -periods).over(w)
+            df = df.withColumn(f"{c}_diff", F.col(c) - prev)
+        return SparkFrame(df)
+
+    def pct_change(
+        self, order_col: str, cols: Sequence[str], periods: int = 1, partition_by: Sequence[str] | None = None
+    ) -> "SparkFrame":
+        """Fractional change vs the row ``periods`` earlier (pandas
+        pct_change)."""
+        w = (Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()).orderBy(order_col)
+        df = self.df
+        for c in cols:
+            prev = F.lag(F.col(c), periods).over(w)
+            df = df.withColumn(f"{c}_pct_change", F.col(c) / prev - 1)
+        return SparkFrame(df)
+
+    def rank(
+        self,
+        order_col: str,
+        method: str = "min",
+        ascending: bool = True,
+        partition_by: Sequence[str] | None = None,
+        out_col: str = "rank",
+    ) -> "SparkFrame":
+        """Rank rows by ``order_col`` (pandas rank methods min/dense/first)."""
+        fns = {"min": F.rank, "dense": F.dense_rank, "first": F.row_number}
+        if method not in fns:
+            raise ValueError(f"unsupported rank method {method!r}")
+        order = F.asc(order_col) if ascending else F.desc(order_col)
+        w = (Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()).orderBy(order)
+        return SparkFrame(self.df.withColumn(out_col, fns[method]().over(w)))
+
+    def ewm_mean(
+        self,
+        order_col: str,
+        cols: Sequence[str],
+        alpha: float,
+        partition_by: Sequence[str] | None = None,
+        adjust: bool = True,
+    ) -> "SparkFrame":
+        """Exponentially weighted mean (pandas ewm(alpha).mean()) as
+        ``{col}_ewm``. The recursive formula doesn't decompose into an
+        associative window aggregate, so this is the one ordered operator
+        that runs as a grouped Arrow applyInPandas — per-partition pandas
+        ewm over rows sorted by ``order_col``. Partition for parallelism:
+        without ``partition_by`` all rows pass through one group."""
+        import pandas as pd  # noqa: PLC0415 — worker-side import by design
+
+        out_fields = ", ".join(f"{c}_ewm double" for c in cols)
+        in_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in self.df.schema.fields)
+        schema = f"{in_fields}, {out_fields}"
+
+        def _ewm(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(order_col)
+            for c in cols:
+                pdf[f"{c}_ewm"] = pdf[c].ewm(alpha=alpha, adjust=adjust).mean()
+            return pdf
+
+        if partition_by:
+            grouped = self.df.groupBy(*partition_by)
+        else:
+            grouped = self.df.withColumn("__g__", F.lit(0)).groupBy("__g__")
+
+        out = grouped.applyInPandas(lambda pdf: _ewm(pdf.drop(columns=["__g__"], errors="ignore")), schema)
+        return SparkFrame(out)
+
     def ffill(self, order_col: str, cols: Sequence[str], partition_by: Sequence[str] | None = None) -> "SparkFrame":
         """Forward-fill needs an explicit ordering column in a distributed
         engine (ScalableSeries.py:1048-1091 has implicit row order)."""

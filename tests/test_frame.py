@@ -301,3 +301,27 @@ def test_rolling_shift_resample(spark):
     ts = pd.DataFrame({"ts": pd.date_range("2024-01-01", periods=6, freq="30min"), "v": [1.0] * 6})
     rs = SparkFrame.of(ts, spark).resample("ts", "hour", {"v": ["sum", "count"]}).sort_values("ts").to_pandas()
     assert rs["v_sum"].tolist() == [2.0, 2.0, 2.0] and rs["v_count"].tolist() == [2, 2, 2]
+
+
+def test_cumagg_diff_pct_rank_ewm(spark):
+    pdf = pd.DataFrame({"t": [1, 2, 3, 4], "v": [1.0, 3.0, 2.0, 4.0]})
+    sf = SparkFrame.of(pdf, spark)
+    cum = sf.cumagg("t", {"v": ["sum", "max", "prod"]}).sort_values("t").to_pandas()
+    assert cum["v_cumsum"].tolist() == [1.0, 4.0, 6.0, 10.0]
+    assert cum["v_cummax"].tolist() == [1.0, 3.0, 3.0, 4.0]
+    assert cum["v_cumprod"].tolist() == [1.0, 3.0, 6.0, 24.0]
+    d = sf.diff("t", ["v"]).sort_values("t").to_pandas()
+    assert pd.isna(d["v_diff"].iloc[0]) and d["v_diff"].tolist()[1:] == [2.0, -1.0, 2.0]
+    p = sf.pct_change("t", ["v"]).sort_values("t").to_pandas()
+    assert p["v_pct_change"].tolist()[1:] == pytest.approx([2.0, -1 / 3, 1.0])
+    rk = sf.rank("v", method="min").sort_values("t").to_pandas()
+    assert rk["rank"].tolist() == [1, 3, 2, 4]
+    # ewm matches pandas exactly (computed BY pandas inside applyInPandas)
+    ew = sf.ewm_mean("t", ["v"], alpha=0.5).sort_values("t").to_pandas()
+    expected = pdf.sort_values("t")["v"].ewm(alpha=0.5).mean()
+    assert ew["v_ewm"].tolist() == pytest.approx(expected.tolist())
+    # partitioned ewm
+    pdf2 = pd.DataFrame({"g": ["a", "a", "b", "b"], "t": [1, 2, 1, 2], "v": [1.0, 2.0, 10.0, 20.0]})
+    ew2 = SparkFrame.of(pdf2, spark).ewm_mean("t", ["v"], alpha=0.3, partition_by=["g"]).sort_values(["g", "t"]).to_pandas()
+    exp2 = pdf2.groupby("g")["v"].apply(lambda s: s.ewm(alpha=0.3).mean()).reset_index(drop=True)
+    assert ew2["v_ewm"].tolist() == pytest.approx(exp2.tolist())
