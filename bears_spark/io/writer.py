@@ -28,6 +28,13 @@ from bears_spark.types import MLTypeSchema
 _WRITERS: Dict[FileFormat, Callable[..., None]] = {}
 
 
+def _base(df: DataFrame, opts: dict):
+    """Shared writer entry: mode + optional hive partitioning."""
+    w = df.write.mode(opts.get("mode", "overwrite"))
+    pc = opts.get("partition_cols")
+    return w.partitionBy(*pc) if pc else w
+
+
 def register_writer(fmt: FileFormat):
     def deco(fn):
         _WRITERS[fmt] = fn
@@ -38,7 +45,7 @@ def register_writer(fmt: FileFormat):
 
 @register_writer(FileFormat.CSV)
 def _write_csv(df: DataFrame, path: str, compression: str | None = None, sep: str = ",", header: bool = True, **opts) -> None:
-    df.write.mode(opts.get("mode", "overwrite")).csv(path, sep=sep, header=header, compression=compression)
+    _base(df, opts).csv(path, sep=sep, header=header, compression=compression)
 
 
 @register_writer(FileFormat.TSV)
@@ -51,17 +58,17 @@ def _write_tsv(df: DataFrame, path: str, **opts) -> None:
 def _write_parquet(df: DataFrame, path: str, compression: str = "gzip", **opts) -> None:
     # gzip default for parity (ParquetWriter.py:18); pass compression='snappy'
     # or 'zstd' for the speed-optimized path
-    df.write.mode(opts.get("mode", "overwrite")).parquet(path, compression=compression)
+    _base(df, opts).parquet(path, compression=compression)
 
 
 @register_writer(FileFormat.ORC)
 def _write_orc(df: DataFrame, path: str, **opts) -> None:
-    df.write.mode(opts.get("mode", "overwrite")).orc(path)
+    _base(df, opts).orc(path)
 
 
 @register_writer(FileFormat.JSONLINES)
 def _write_jsonlines(df: DataFrame, path: str, compression: str | None = None, **opts) -> None:
-    df.write.mode(opts.get("mode", "overwrite")).json(path, compression=compression)
+    _base(df, opts).json(path, compression=compression)
 
 
 @register_writer(FileFormat.NPZ)
@@ -108,10 +115,16 @@ class Writer:
         num_rows: int | None = None,
         num_chunks: int | None = None,
         data_schema: MLTypeSchema | None = None,
+        partition_cols: list[str] | None = None,
         **opts: Any,
     ) -> None:
         """num_rows/num_chunks are the chunked-write aliases batch_size /
-        num_files (DataFrameWriter.py:58-87); exactly one may be given."""
+        num_files (DataFrameWriter.py:58-87); exactly one may be given.
+
+        ``partition_cols`` writes a hive-partitioned directory layout
+        (``col=value/``) — at 100 TB this is what makes date/tenant
+        predicates prune entire directories at scan time (PartitionFilters
+        in the plan) instead of reading and filtering."""
         from bears_spark.frame import SparkFrame
 
         df = data.df if isinstance(data, SparkFrame) else data
@@ -126,6 +139,12 @@ class Writer:
             df = df.repartition(num_chunks)
         if single_file:
             df = df.coalesce(1)
+        if partition_cols:
+            if single_file:
+                raise ValueError("partition_cols and single_file are mutually exclusive")
+            if self.format not in (FileFormat.PARQUET, FileFormat.ORC, FileFormat.CSV, FileFormat.TSV, FileFormat.JSONLINES):
+                raise ValueError(f"partitioned writes unsupported for {self.format}")
+            opts = {**opts, "partition_cols": partition_cols}
 
         fn = _WRITERS.get(self.format)
         if fn is None:

@@ -192,3 +192,36 @@ def test_avro_gated(spark, tmp_path):
         Writer.of("avro").write(df, str(tmp_path / "t.avro"))
     with _pytest.raises(NotImplementedError, match="spark-avro"):
         Reader.of("avro").read(str(tmp_path / "t.avro"), spark=spark)
+
+
+def test_partitioned_write_and_pruned_read(spark, tmp_path):
+    """Hive-partitioned parquet layout: a partition-key predicate must show
+    up as PartitionFilters (directory pruning), not a post-scan filter."""
+    from bears_spark.io.writer import Writer
+
+    df = spark.range(100).selectExpr("id", "id % 4 AS part", "id * 2.0 AS v")
+    out = str(tmp_path / "parts")
+    Writer.of("parquet").write(df, out, partition_cols=["part"], compression="snappy")
+    import os
+
+    assert sorted(d for d in os.listdir(out) if d.startswith("part=")) == [f"part={i}" for i in range(4)]
+    back = spark.read.parquet(out).filter("part = 2")
+    assert back.count() == 25
+    import io as _io
+    from contextlib import redirect_stdout
+
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        back.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "part" in plan
+
+
+def test_partitioned_write_guards(spark, tmp_path):
+    from bears_spark.io.writer import Writer
+
+    df = spark.range(4).selectExpr("id", "id % 2 AS p")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        Writer.of("parquet").write(df, str(tmp_path / "x"), partition_cols=["p"], single_file=True)
+    with pytest.raises(ValueError, match="unsupported"):
+        Writer.of("npz").write(df, str(tmp_path / "y.npz"), partition_cols=["p"])
