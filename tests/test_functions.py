@@ -119,6 +119,27 @@ def test_ngram_jaccard_doc_freq_cap(spark):
     assert capped == []
 
 
+def test_ngram_jaccard_prefix_filter_equivalent(spark):
+    # prefix filtering is a lossless plan optimization: identical pairs and
+    # jaccard values on a corpus with real dups, near-dups, and disjoint docs
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "the quick brown fox jumps over the lazy dog tonight",
+        "a completely different document about databases and queries",
+        "a completely different document about databases and engines",
+        "unrelated text with entirely novel words everywhere always",
+        "the quick brown fox jumps over the lazy dog today",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"id": range(len(texts)), "t": texts}))
+    kw = dict(n=3, threshold=0.3)
+    naive = {(r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in dd.ngram_jaccard_pairs(df, "id", "t", **kw).collect()}
+    pref = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in dd.ngram_jaccard_pairs(df, "id", "t", prefix_filter=True, **kw).collect()
+    }
+    assert naive == pref and len(naive) >= 3
+
+
 def test_simhash_identical_zero_distance(spark):
     df = spark.createDataFrame(pd.DataFrame({"id": [1, 2], "t": ["same tokens here", "same tokens here"]}))
     pairs = dd.simhash_near_pairs(df, "id", "t", max_hamming=0).collect()
