@@ -47,6 +47,12 @@ def asof_join(
     The right payload is carried as ONE struct through
     ``last(..., ignorenulls=True)``, so the match is row-atomic even when
     payload columns contain nulls.
+
+    Caveat: if the right side has DUPLICATE (by, on) rows, which of them
+    wins is unspecified (the window has no further tiebreak) — pandas
+    merge_asof has the same ambiguity resolved by input order, which a
+    distributed engine doesn't have. Deduplicate the right side first if it
+    matters.
     """
     rcols = right_cols if right_cols is not None else [c for c in right.columns if c not in (on, by)]
     rdtypes = dict(right.dtypes)

@@ -1,0 +1,88 @@
+"""Property-based tests (hypothesis): randomized equivalence of the
+trickiest ordered operators against pandas reference implementations.
+
+Few examples per property (Spark jobs are ~100ms each); the value is the
+randomized shapes — empty sides, all-one-key, interleaved timestamps —
+not the example count.
+"""
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from bears_spark.frame import SparkFrame
+from bears_spark.functions.temporal import asof_join
+
+_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+_keys = st.integers(min_value=1, max_value=3)
+_ts = st.integers(min_value=0, max_value=50)
+_val = st.floats(min_value=-100, max_value=100, allow_nan=False, width=32)
+
+
+@st.composite
+def _asof_case(draw):
+    left = draw(st.lists(st.tuples(_keys, _ts), min_size=1, max_size=25))
+    # unique (key, ts) on the right: duplicate right timestamps are
+    # documented as unspecified-winner in both pandas and asof_join
+    right_pairs = draw(st.lists(st.tuples(_keys, _ts), min_size=0, max_size=25, unique=True))
+    right_vals = draw(st.lists(_val, min_size=len(right_pairs), max_size=len(right_pairs)))
+    return left, [(k, t, v) for (k, t), v in zip(right_pairs, right_vals)]
+
+
+@given(_asof_case())
+@_settings
+def test_asof_join_matches_pandas_merge_asof(spark, case):
+    left_rows, right_rows = case
+    lpdf = pd.DataFrame(left_rows, columns=["k", "ts"])
+    lpdf["ts"] = pd.to_datetime(lpdf["ts"], unit="m")
+    lpdf["rid"] = range(len(lpdf))
+    rpdf = pd.DataFrame(right_rows, columns=["k", "ts", "v"]) if right_rows else pd.DataFrame(
+        {"k": pd.Series(dtype="int64"), "ts": pd.Series(dtype="int64"), "v": pd.Series(dtype="float64")}
+    )
+    rpdf["ts"] = pd.to_datetime(rpdf["ts"], unit="m")
+
+    expected = pd.merge_asof(
+        lpdf.sort_values(["ts", "rid"]), rpdf.sort_values("ts"), on="ts", by="k", direction="backward"
+    ).set_index("rid")["v"]
+
+    rdf = spark.createDataFrame(rpdf, schema="k bigint, ts timestamp, v double")
+    out = asof_join(
+        spark.createDataFrame(lpdf), rdf, on="ts", by="k", suffix="_a"
+    ).toPandas().set_index("rid")["v_a"]
+
+    for rid in lpdf["rid"]:
+        e, o = expected.loc[rid], out.loc[rid]
+        assert (pd.isna(e) and pd.isna(o)) or e == pytest.approx(o)
+
+
+@st.composite
+def _rolling_case(draw):
+    n = draw(st.integers(min_value=1, max_value=30))
+    vals = draw(st.lists(_val, min_size=n, max_size=n))
+    groups = draw(st.lists(st.integers(min_value=0, max_value=2), min_size=n, max_size=n))
+    window = draw(st.integers(min_value=1, max_value=6))
+    return vals, groups, window
+
+
+@given(_rolling_case())
+@_settings
+def test_rolling_matches_pandas(spark, case):
+    vals, groups, window = case
+    pdf = pd.DataFrame({"t": range(len(vals)), "g": groups, "v": vals})
+    sf = SparkFrame.of(pdf, spark)
+    out = (
+        sf.rolling_agg("t", window, {"v": ["mean", "min"]}, partition_by=["g"])
+        .sort_values("t")
+        .to_pandas()
+    )
+    roll = pdf.groupby("g")["v"].rolling(window, min_periods=1)
+    exp_mean = roll.mean().reset_index(level=0, drop=True).sort_index()
+    exp_min = roll.min().reset_index(level=0, drop=True).sort_index()
+    assert out["v_rolling_mean"].tolist() == pytest.approx(exp_mean.tolist())
+    assert out["v_rolling_min"].tolist() == pytest.approx(exp_min.tolist())
