@@ -268,6 +268,35 @@ ORDER BY {_DOT_EQ} / ({_N_E} * {_N_Q}) DESC, e.vec_id ASC
 LIMIT 10
 """
 
+# --------------------------------------------------------------------------
+# segment_zscore_grouped_map: the grouped-map surface (GroupBy.apply_in_pandas
+# — Arrow batches per group on executors) graded against a window-SQL oracle:
+# per-mktsegment z-score of customer balances computed BY pandas inside the
+# UDF, matching stddev_samp semantics.
+def segment_zscore_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+
+    def _z(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu, sd = pdf["c_acctbal"].mean(), pdf["c_acctbal"].std(ddof=1)
+        pdf["z"] = ((pdf["c_acctbal"] - mu) / sd).round(6)
+        return pdf[["c_custkey", "c_mktsegment", "z"]]
+
+    sf = SparkFrame(cust)
+    out = sf.groupby("c_mktsegment").apply_in_pandas(_z, "c_custkey long, c_mktsegment string, z double")
+    return out.df.orderBy("c_custkey")
+
+
+SEGMENT_ZSCORE_SQL = """
+SELECT c_custkey, c_mktsegment,
+       round((c_acctbal - avg(c_acctbal) OVER w) / stddev_samp(c_acctbal) OVER w, 6) AS z
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment)
+ORDER BY c_custkey
+"""
+
+
 QUERIES = {
     "pipeline_text_clean": pipeline_text_clean,
     "lang_label_encode": lang_label_encode,
@@ -277,6 +306,7 @@ QUERIES = {
     "assembled_features": assembled_features,
     "stream_shard_keys": stream_shard_keys,
     "ann_ivf_label_topk": ann_ivf_label_topk,
+    "segment_zscore_grouped_map": segment_zscore_grouped_map,
 }
 
 ORACLES = {
@@ -288,4 +318,5 @@ ORACLES = {
     "assembled_features": ASSEMBLED_FEATURES_SQL,
     "stream_shard_keys": STREAM_SHARD_SQL,
     "ann_ivf_label_topk": ANN_IVF_SQL,
+    "segment_zscore_grouped_map": SEGMENT_ZSCORE_SQL,
 }
