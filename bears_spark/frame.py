@@ -135,6 +135,16 @@ class SparkColumn:
     def __pow__(self, other):
         return self._wrap(F.pow(self._col, _unwrap(other)))
 
+    def __divmod__(self, other):
+        o = _unwrap(other)
+        return (self._wrap(F.floor(self._col / o)), self._wrap(self._col % o))
+
+    def dot(self, other) -> Any:
+        """Series dot product (ScalableSeries.py:838-847): one aggregate —
+        sum of the elementwise product. Both columns must come from the same
+        frame (aligned rows)."""
+        return self._agg(F.sum(self._col * _unwrap(other)))
+
     def __and__(self, other):
         return self._wrap(self._col & _unwrap(other))
 

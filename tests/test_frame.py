@@ -325,3 +325,11 @@ def test_cumagg_diff_pct_rank_ewm(spark):
     ew2 = SparkFrame.of(pdf2, spark).ewm_mean("t", ["v"], alpha=0.3, partition_by=["g"]).sort_values(["g", "t"]).to_pandas()
     exp2 = pdf2.groupby("g")["v"].apply(lambda s: s.ewm(alpha=0.3).mean()).reset_index(drop=True)
     assert ew2["v_ewm"].tolist() == pytest.approx(exp2.tolist())
+
+
+def test_dot_and_divmod(spark):
+    sf = SparkFrame.of(pd.DataFrame({"a": [1.0, 2.0, 3.0], "b": [4.0, 5.0, 6.0]}), spark)
+    assert sf["a"].dot(sf["b"]) == 32.0  # 4 + 10 + 18
+    q, r = divmod(sf["a"] * 10, 7)
+    assert q.to_pandas().tolist() == [1.0, 2.0, 4.0]
+    assert r.to_pandas().tolist() == [3.0, 6.0, 2.0]
