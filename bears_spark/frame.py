@@ -211,6 +211,19 @@ class SparkColumn:
         PythonUDF — same semantics, ~10-100x less serialization overhead."""
         return self._wrap(_elementwise_pandas_udf(func, returnType)(self._col))
 
+    # -- pandas-style accessor namespaces ------------------------------
+    @property
+    def str(self) -> "_StrAccessor":
+        """pandas .str namespace (reference gets it via pandas delegation on
+        the PANDAS layout; here every method compiles to a Column expr)."""
+        return _StrAccessor(self)
+
+    @property
+    def dt(self) -> "_DtAccessor":
+        """pandas .dt namespace — a capability gain (the reference has the
+        TIMESTAMP MLType but no temporal operators, ScalableSeries.py:405-417)."""
+        return _DtAccessor(self)
+
     # -- string accessor-ish helpers -----------------------------------
     def lower(self) -> "SparkColumn":
         return self._wrap(F.lower(self._col))
@@ -391,6 +404,126 @@ class SparkColumn:
 
 def _unwrap(x):
     return x._col if isinstance(x, SparkColumn) else x
+
+
+class _StrAccessor:
+    """pandas Series.str surface over a SparkColumn (expression-compiled)."""
+
+    def __init__(self, col: "SparkColumn"):
+        self._c = col
+
+    def _w(self, expr: Column) -> "SparkColumn":
+        return self._c._wrap(expr)
+
+    def lower(self):
+        return self._w(F.lower(self._c._col))
+
+    def upper(self):
+        return self._w(F.upper(self._c._col))
+
+    def strip(self):
+        return self._w(F.trim(self._c._col))
+
+    def lstrip(self):
+        return self._w(F.ltrim(self._c._col))
+
+    def rstrip(self):
+        return self._w(F.rtrim(self._c._col))
+
+    def len(self):
+        return self._w(F.length(self._c._col))
+
+    def contains(self, pat: str, regex: bool = False):
+        return self._w(self._c._col.rlike(pat) if regex else self._c._col.contains(pat))
+
+    def startswith(self, pat: str):
+        return self._w(self._c._col.startswith(pat))
+
+    def endswith(self, pat: str):
+        return self._w(self._c._col.endswith(pat))
+
+    def replace(self, pat: str, repl: str, regex: bool = True):
+        if regex:
+            return self._w(F.regexp_replace(self._c._col, pat, repl))
+        return self._w(F.replace(self._c._col, F.lit(pat), F.lit(repl)))
+
+    def slice(self, start: int = 0, stop: int | None = None):
+        length = (stop - start) if stop is not None else (1 << 30)
+        return self._w(F.substring(self._c._col, start + 1, length))
+
+    def split(self, pat: str = r"\s+"):
+        return self._w(F.split(self._c._col, pat))
+
+    def pad(self, width: int, side: str = "left", fillchar: str = " "):
+        fn = F.lpad if side == "left" else F.rpad
+        return self._w(fn(self._c._col, width, fillchar))
+
+    def zfill(self, width: int):
+        return self._w(F.lpad(self._c._col, width, "0"))
+
+    def extract(self, pat: str, group: int = 1):
+        return self._w(F.regexp_extract(self._c._col, pat, group))
+
+
+class _DtAccessor:
+    """pandas Series.dt surface over a timestamp SparkColumn."""
+
+    def __init__(self, col: "SparkColumn"):
+        self._c = col
+
+    def _w(self, expr: Column) -> "SparkColumn":
+        return self._c._wrap(expr)
+
+    @property
+    def year(self):
+        return self._w(F.year(self._c._col))
+
+    @property
+    def month(self):
+        return self._w(F.month(self._c._col))
+
+    @property
+    def day(self):
+        return self._w(F.dayofmonth(self._c._col))
+
+    @property
+    def hour(self):
+        return self._w(F.hour(self._c._col))
+
+    @property
+    def minute(self):
+        return self._w(F.minute(self._c._col))
+
+    @property
+    def second(self):
+        return self._w(F.second(self._c._col))
+
+    @property
+    def date(self):
+        return self._w(self._c._col.cast("date"))
+
+    @property
+    def dayofweek(self):
+        # pandas: Monday=0..Sunday=6; Spark dayofweek: Sunday=1..Saturday=7
+        return self._w((F.dayofweek(self._c._col) + 5) % 7)
+
+    @property
+    def dayofyear(self):
+        return self._w(F.dayofyear(self._c._col))
+
+    @property
+    def week(self):
+        return self._w(F.weekofyear(self._c._col))
+
+    @property
+    def quarter(self):
+        return self._w(F.quarter(self._c._col))
+
+    def floor(self, freq: str):
+        return self._w(F.date_trunc(freq, self._c._col))
+
+    def strftime(self, fmt: str):
+        return self._w(F.date_format(self._c._col, fmt))
 
 
 class _GroupBy:

@@ -333,3 +333,33 @@ def test_dot_and_divmod(spark):
     q, r = divmod(sf["a"] * 10, 7)
     assert q.to_pandas().tolist() == [1.0, 2.0, 4.0]
     assert r.to_pandas().tolist() == [3.0, 6.0, 2.0]
+
+
+def test_str_accessor(spark):
+    sf = SparkFrame.of(pd.DataFrame({"s": ["  Hello World  ", "abc-123", "xyz"]}), spark)
+    s = sf["s"]
+    assert s.str.strip().str.lower().to_pandas().tolist()[0] == "hello world"
+    assert s.str.len().to_pandas().tolist() == [15, 7, 3]
+    assert s.str.contains("123").to_pandas().tolist() == [False, True, False]
+    assert s.str.contains(r"\d+", regex=True).to_pandas().tolist() == [False, True, False]
+    assert s.str.replace("-", "_", regex=False).to_pandas().tolist()[1] == "abc_123"
+    assert s.str.extract(r"([a-z]+)-(\d+)", 2).to_pandas().tolist()[1] == "123"
+    assert s.str.slice(0, 3).to_pandas().tolist()[2] == "xyz"
+    assert s.str.zfill(5).to_pandas().tolist()[2] == "00xyz"
+    # matches pandas on the same inputs
+    pds = pd.Series(["  Hello World  ", "abc-123", "xyz"])
+    assert s.str.strip().to_pandas().tolist() == pds.str.strip().tolist()
+
+
+def test_dt_accessor(spark):
+    ts = pd.to_datetime(["2024-03-15 14:30:45", "2023-12-31 23:59:59"])
+    sf = SparkFrame.of(pd.DataFrame({"t": ts}), spark)
+    t = sf["t"]
+    assert t.dt.year.to_pandas().tolist() == ts.year.tolist()
+    assert t.dt.month.to_pandas().tolist() == ts.month.tolist()
+    assert t.dt.day.to_pandas().tolist() == ts.day.tolist()
+    assert t.dt.hour.to_pandas().tolist() == ts.hour.tolist()
+    assert t.dt.dayofweek.to_pandas().tolist() == ts.dayofweek.tolist()  # pandas Monday=0
+    assert t.dt.quarter.to_pandas().tolist() == ts.quarter.tolist()
+    assert t.dt.strftime("yyyy-MM").to_pandas().tolist() == ["2024-03", "2023-12"]
+    assert str(t.dt.date.to_pandas().tolist()[0]) == "2024-03-15"
