@@ -297,6 +297,51 @@ ORDER BY c_custkey
 """
 
 
+# --------------------------------------------------------------------------
+# ev_resample_hourly: SparkFrame.resample (date_trunc groupBy) under the gate.
+def ev_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sf = SparkFrame(ev.select("ts", "value"))
+    out = sf.resample("ts", "hour", {"value": ["sum", "count"]}).df
+    return out.select(
+        F.unix_micros("ts").alias("hour_us"),
+        F.round("value_sum", 6).alias("value_sum"),
+        F.col("value_count").alias("n"),
+    ).orderBy("hour_us")
+
+
+EV_RESAMPLE_SQL = """
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+       round(sum(value), 6) AS value_sum,
+       count(value) AS n
+FROM events GROUP BY 1 ORDER BY hour_us
+"""
+
+
+# --------------------------------------------------------------------------
+# customer_name_parse: the .str accessor surface (regex extract + casing)
+# graded against DuckDB string functions.
+def customer_name_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = SparkFrame(load_table(spark, sf_dir, "customer"))
+    name = cust["c_name"]
+    out = cust.df.select(
+        "c_custkey",
+        name.str.extract(r"Customer#(\d+)", 1).spark.cast("bigint").alias("name_num"),
+        name.str.upper().spark.alias("name_upper"),
+        name.str.len().spark.alias("name_len"),
+    )
+    return out.orderBy("c_custkey")
+
+
+CUSTOMER_NAME_PARSE_SQL = """
+SELECT c_custkey,
+       regexp_extract(c_name, 'Customer#(\\d+)', 1)::BIGINT AS name_num,
+       upper(c_name) AS name_upper,
+       length(c_name) AS name_len
+FROM customer ORDER BY c_custkey
+"""
+
+
 QUERIES = {
     "pipeline_text_clean": pipeline_text_clean,
     "lang_label_encode": lang_label_encode,
@@ -307,6 +352,8 @@ QUERIES = {
     "stream_shard_keys": stream_shard_keys,
     "ann_ivf_label_topk": ann_ivf_label_topk,
     "segment_zscore_grouped_map": segment_zscore_grouped_map,
+    "ev_resample_hourly": ev_resample_hourly,
+    "customer_name_parse": customer_name_parse,
 }
 
 ORACLES = {
@@ -319,4 +366,6 @@ ORACLES = {
     "stream_shard_keys": STREAM_SHARD_SQL,
     "ann_ivf_label_topk": ANN_IVF_SQL,
     "segment_zscore_grouped_map": SEGMENT_ZSCORE_SQL,
+    "ev_resample_hourly": EV_RESAMPLE_SQL,
+    "customer_name_parse": CUSTOMER_NAME_PARSE_SQL,
 }
