@@ -1158,6 +1158,13 @@ class SparkFrame:
 
         write(self, path, file_format="jsonlines", **kw)
 
+    def to_npz(self, path: str, **kw) -> None:
+        """ScalableDataFrame.to_npz parity (ScalableDataFrame.py:2006-2017) —
+        driver-side single archive; use write(num_chunks=) for distributed."""
+        from bears_spark.io.writer import write
+
+        write(self, path, file_format="npz", **kw)
+
     # ---------------- streaming feed ----------------
     def stream(self, **kw):
         from bears_spark.stream import stream_frame

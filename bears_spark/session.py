@@ -15,9 +15,10 @@ from pyspark.sql import SparkSession
 # Tuned for correctness at small SF and sane behavior at 100 TB:
 # - AQE handles partition-count right-sizing at runtime, so a static
 #   shuffle.partitions only needs to be an upper bound ~ cluster cores.
-# - autoBroadcastJoinThreshold stays default (10 MB) — dimension tables
-#   (region/nation/supplier/part/customer at most SFs) broadcast automatically;
-#   we additionally hint F.broadcast() in queries where we KNOW the side is a dim.
+# - autoBroadcastJoinThreshold stays default (10 MB) — small tables broadcast
+#   automatically at runtime (AQE can demote SMJ to broadcast); explicit
+#   F.broadcast() hints go ONLY on constant-cardinality dims (region/nation) —
+#   a hint on a linearly-scaling table is an OOM at 100x SF.
 # - maxPartitionBytes 128 MB keeps scan partitions executor-memory friendly.
 _BASE_CONF = {
     "spark.sql.adaptive.enabled": "true",

@@ -26,6 +26,18 @@ CHECKS = {
     "ev_top3_per_type": ["WindowGroupLimit"],
     "ann_cosine_topk": ["TakeOrderedAndProject"],
     "dedup_minhash_lsh": ["HashAggregate"],
+    # round-2 queries: nation lookups broadcast; part/brand filters pushed
+    "q7_nation_volume": ["BroadcastHashJoin", "PushedFilters"],
+    "q8_market_share": ["BroadcastHashJoin", "PushedFilters"],
+    "q9_product_profit": ["BroadcastHashJoin", "PushedFilters"],
+    "q19_discounted_revenue": ["PushedFilters"],
+    # EXISTS/NOT-EXISTS must compile to hash semi/anti joins, never BNLJ
+    "q21_waiting_supplier": ["LeftSemi", "LeftAnti"],
+    "q22_sales_opportunity": ["LeftAnti"],
+    # top-3 events: ranking limit pushed into sort
+    "ev_rolling_stats": ["Window"],
+    # as-of is the union+window plan: exactly one Window, a Union, and NO join
+    "ev_asof_purchase": ["Window", "Union"],
 }
 
 FORBIDDEN = ["CartesianProduct", "BroadcastNestedLoopJoin"]
