@@ -447,6 +447,41 @@ FROM events e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
 GROUP BY w.w_start ORDER BY w_start_us
 """
 
+# --------------------------------------------------------------------------
+# ev_ewm_value: per-user exponentially weighted mean of value (alpha=0.1,
+# adjust=True — pandas computes it inside a grouped applyInPandas). The
+# oracle uses the closed form ewm_t = sum(v_i*(1-a)^(t-i)) / sum((1-a)^(t-i))
+# factored as running sums of v_i*(1-a)^(-i) scaled by (1-a)^t: with a=0.1
+# the weight ratio across a user's ~70 events stays ~1e3, so double
+# precision holds and both engines agree to 6dp.
+def ev_ewm_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.frame import SparkFrame
+
+    ev = load_table(spark, sf_dir, "events")
+    sf = SparkFrame(ev.select("event_id", "user_id", "ts", "value"))
+    out = sf.ewm_mean("ts", ["value"], alpha=0.1, partition_by=["user_id"]).df
+    return out.select("event_id", F.round("value_ewm", 6).alias("ewm_value")).orderBy("event_id")
+
+
+EV_EWM_SQL = """
+WITH ordered AS (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i
+  FROM events
+), parts AS (
+  SELECT event_id, user_id, i,
+         sum(value * pow(0.9, -i)) OVER w AS num_scaled,
+         sum(pow(0.9, -i)) OVER w AS den_scaled
+  FROM ordered
+  WINDOW w AS (PARTITION BY user_id ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, round(num_scaled / den_scaled, 6) AS ewm_value
+FROM parts ORDER BY event_id
+"""
+
+QUERIES["ev_ewm_value"] = ev_ewm_value
+ORACLES["ev_ewm_value"] = EV_EWM_SQL
+
 QUERIES["ev_asof_purchase"] = ev_asof_purchase
 ORACLES["ev_asof_purchase"] = EV_ASOF_SQL
 QUERIES["ev_range_window_counts"] = ev_range_window_counts
