@@ -274,7 +274,12 @@ class SparkColumn:
     def mode(self):
         return self._agg(F.mode(self._col))
 
-    def quantile(self, q: float = 0.5):
+    def quantile(self, q: float = 0.5, approx: bool = False, accuracy: int = 10000):
+        """Exact percentile by default; ``approx=True`` uses
+        percentile_approx (Greenwald-Khanna) — the 100TB-scale path where an
+        exact percentile would shuffle every value."""
+        if approx:
+            return self._agg(F.percentile_approx(self._col, F.lit(q), F.lit(accuracy)))
         return self._agg(F.percentile(self._col, F.lit(q)))
 
     def count(self) -> int:

@@ -94,6 +94,36 @@ def lsh_topk(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str,
+    k: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Coarse quantizer for IVF: seeded pyspark.ml KMeans over the embedding
+    column -> DataFrame(centroid_id int, centroid array<double>).
+
+    At corpus scale, fit on a sample (``sample_fraction``) — centroid quality
+    saturates long before the full data is seen, and the assignment step in
+    ivf_topk touches every row anyway. Deterministic per (seed, Spark
+    version); build once per corpus and persist the (tiny) result.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    src = df.sample(fraction=sample_fraction, seed=seed) if sample_fraction else df
+    feats = src.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    spark = df.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "centroid_id int, centroid array<double>",
+    )
+    return cents
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,

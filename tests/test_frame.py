@@ -363,3 +363,11 @@ def test_dt_accessor(spark):
     assert t.dt.quarter.to_pandas().tolist() == ts.quarter.tolist()
     assert t.dt.strftime("yyyy-MM").to_pandas().tolist() == ["2024-03", "2023-12"]
     assert str(t.dt.date.to_pandas().tolist()[0]) == "2024-03-15"
+
+
+def test_quantile_approx(spark):
+    sf = SparkFrame.of(pd.DataFrame({"v": list(range(1, 1001))}), spark)
+    exact = sf["v"].quantile(0.9)
+    approx = sf["v"].quantile(0.9, approx=True)
+    assert exact == pytest.approx(900.1, abs=1)
+    assert abs(approx - exact) <= 2  # GK sketch within accuracy bound

@@ -274,3 +274,23 @@ def test_range_join_buckets(spark):
     # half-open: minute 0 and 30 in interval 0; minute 90 in interval 1 (which
     # spans two buckets); minute 240 matches nothing; boundary 60 excluded from iv0
     assert out == {(0, 0), (1, 0), (2, 1)}
+
+
+def test_kmeans_ivf_end_to_end(spark):
+    from bears_spark.functions.similarity import cosine_topk, ivf_topk, kmeans_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = kmeans_centroids(emb, "embedding", k=8, seed=42)
+    assert cents.count() == 8
+    assert len(cents.first()["centroid"]) == 64
+    # deterministic across builds with the same seed
+    again = kmeans_centroids(emb, "embedding", k=8, seed=42)
+    a = sorted(tuple(round(x, 9) for x in r["centroid"]) for r in cents.collect())
+    b = sorted(tuple(round(x, 9) for x in r["centroid"]) for r in again.collect())
+    assert a == b
+    # IVF with generous nprobe recalls most of the exact top-10
+    q = emb.filter("vec_id = 0").first()["embedding"]
+    rest = emb.filter("vec_id != 0")
+    exact = {r["vec_id"] for r in cosine_topk(rest, "vec_id", "embedding", q, k=10).collect()}
+    approx = {r["vec_id"] for r in ivf_topk(rest, "vec_id", "embedding", q, cents, k=10, nprobe=4).collect()}
+    assert len(exact & approx) >= 5
