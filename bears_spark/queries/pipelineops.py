@@ -342,6 +342,45 @@ FROM customer ORDER BY c_custkey
 """
 
 
+# --------------------------------------------------------------------------
+# doc_concat_affix: TextConcatenation (shortest_first fit order) + LabelAffix
+# through the DataPipeline executor, graded against concat_ws SQL. The
+# shortest-first order is fit from per-column average lengths, which the
+# oracle recomputes.
+def doc_concat_affix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pipe = DataPipeline(
+        [
+            PipelineStepConfig(
+                input=["lang", "source", "text"],
+                transformer="textconcat",
+                output="joined",
+                params={"sep": " | ", "order": "shortest_first"},
+            ),
+            PipelineStepConfig(input="lang", transformer="labelaffix", output="lang_tag", params={"prefix": "<", "suffix": ">"}),
+        ]
+    )
+    out = pipe.fit_transform(docs)
+    return out.select("doc_id", F.length("joined").alias("joined_len"), "lang_tag").orderBy("doc_id")
+
+
+DOC_CONCAT_AFFIX_SQL = """
+WITH avglen AS (
+  SELECT avg(length(lang)) AS l_lang, avg(length(source)) AS l_source, avg(length(text)) AS l_text
+  FROM documents
+)
+SELECT doc_id,
+       -- shortest_first: lang/source/text ordered by fitted avg length (the
+       -- synthetic data always orders lang < source < text; assert via the
+       -- avglen CTE so the oracle fails loudly if that ever changes)
+       CASE WHEN (SELECT l_lang <= l_source AND l_source <= l_text FROM avglen)
+            THEN length(concat_ws(' | ', lang, source, text))
+       END AS joined_len,
+       '<' || lang || '>' AS lang_tag
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "pipeline_text_clean": pipeline_text_clean,
     "lang_label_encode": lang_label_encode,
@@ -354,6 +393,7 @@ QUERIES = {
     "segment_zscore_grouped_map": segment_zscore_grouped_map,
     "ev_resample_hourly": ev_resample_hourly,
     "customer_name_parse": customer_name_parse,
+    "doc_concat_affix": doc_concat_affix,
 }
 
 ORACLES = {
@@ -368,4 +408,5 @@ ORACLES = {
     "segment_zscore_grouped_map": SEGMENT_ZSCORE_SQL,
     "ev_resample_hourly": EV_RESAMPLE_SQL,
     "customer_name_parse": CUSTOMER_NAME_PARSE_SQL,
+    "doc_concat_affix": DOC_CONCAT_AFFIX_SQL,
 }
