@@ -330,6 +330,47 @@ ORACLES["streaming_sessionize"] = STREAMING_SESSIONIZE_SQL
 
 
 # --------------------------------------------------------------------------
+# streaming_hourly_counts: the watermarked tumbling-window streaming job run
+# to completion — grades hourly_counts_stream against plain GROUP BY SQL.
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.streaming.jobs import hourly_counts_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema("event_id long, ts long, user_id long, event_type string, value double, props string")
+        .parquet(f"{sf_dir}/events.parque*")
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = hourly_counts_stream(ev, watermark="2 hours")
+    sink = "streaming_hourly_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(sink).select(
+        F.unix_micros(F.col("hour")).alias("hour_us"),
+        "event_type",
+        "n",
+        F.round("total_value", 6).alias("total_value"),
+    )
+
+
+STREAMING_HOURLY_SQL = """
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+       count(*) AS n, round(sum(value), 6) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+QUERIES["streaming_hourly_counts"] = streaming_hourly_counts
+ORACLES["streaming_hourly_counts"] = STREAMING_HOURLY_SQL
+
+
+# --------------------------------------------------------------------------
 # ev_rolling_stats: per-user trailing-5-row rolling mean/max via the
 # SparkFrame.rolling_agg sugar (pandas rolling semantics; partitioned by
 # user so the sort parallelizes).

@@ -381,6 +381,33 @@ FROM documents ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# lang_mode_imputation: CategoricalMissingValueImputation(mode) over a lang
+# column with deterministically-injected nulls (src1* sources, ~30% of docs)
+# — the oracle recomputes the deterministic mode (max count, ties smallest).
+def lang_mode_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.processor.categorical import CategoricalMissingValueImputation
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "l", F.when(F.col("source").like("src1%"), F.lit(None).cast("string")).otherwise(F.col("lang"))
+    )
+    imp = CategoricalMissingValueImputation(strategy="mode")
+    imp.fit(docs, ["l"])
+    return imp.apply(docs, "l", "l_filled").select("doc_id", "l_filled").orderBy("doc_id")
+
+
+LANG_MODE_IMPUTATION_SQL = """
+WITH masked AS (
+  SELECT doc_id, CASE WHEN source LIKE 'src1%' THEN NULL ELSE lang END AS l FROM documents
+), m AS (
+  SELECT l AS mode_l FROM masked WHERE l IS NOT NULL
+  GROUP BY l ORDER BY count(*) DESC, l ASC LIMIT 1
+)
+SELECT doc_id, coalesce(l, mode_l) AS l_filled
+FROM masked, m ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "pipeline_text_clean": pipeline_text_clean,
     "lang_label_encode": lang_label_encode,
@@ -394,6 +421,7 @@ QUERIES = {
     "ev_resample_hourly": ev_resample_hourly,
     "customer_name_parse": customer_name_parse,
     "doc_concat_affix": doc_concat_affix,
+    "lang_mode_imputation": lang_mode_imputation,
 }
 
 ORACLES = {
@@ -409,4 +437,5 @@ ORACLES = {
     "ev_resample_hourly": EV_RESAMPLE_SQL,
     "customer_name_parse": CUSTOMER_NAME_PARSE_SQL,
     "doc_concat_affix": DOC_CONCAT_AFFIX_SQL,
+    "lang_mode_imputation": LANG_MODE_IMPUTATION_SQL,
 }
