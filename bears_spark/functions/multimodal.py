@@ -169,6 +169,63 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
     return arr, rate
 
 
+def extract_pdf_text(content: bytes) -> str:
+    """Pure-stdlib text extraction from simple PDFs (FitzPdfReader parity,
+    src/bears/reader/asset/document/FitzPdfReader.py:17 — fitz absent here).
+
+    Handles the common generated-PDF shape: content streams stored raw or
+    FlateDecode-compressed (zlib is stdlib), text drawn with Tj / TJ
+    operators and parenthesized literal strings. Not a full PDF parser —
+    encrypted, CFF-subset, or hex-string documents need a real library; the
+    point is a REAL decode path for the simple case, not a stub.
+    """
+    import re
+    import zlib
+
+    texts: list[str] = []
+    # every stream object: "stream\r?\n ... endstream"
+    for m in re.finditer(rb"stream\r?\n(.*?)endstream", content, re.DOTALL):
+        data = m.group(1)
+        try:
+            data = zlib.decompress(data)
+        except zlib.error:
+            pass  # raw (uncompressed) stream
+        # Tj: "(text) Tj"; TJ: "[(a) -120 (b)] TJ" — pull every literal
+        for s in re.finditer(rb"\((?:[^()\\]|\\.)*\)", data):
+            token = s.group(0)[1:-1]
+            # unescape the PDF literal-string escapes we produce/encounter
+            token = re.sub(rb"\\([()\\])", rb"\1", token)
+            texts.append(token.decode("latin-1"))
+    return " ".join(texts)
+
+
+def extract_pdf_features(assets: DataFrame) -> DataFrame:
+    """PDF text + length features via mapInPandas (same narrow-features-out
+    pattern as image/audio)."""
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("n_chars", T.IntegerType()),
+            T.StructField("n_streams", T.IntegerType()),
+        ]
+    )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = bytes(r["content"])
+                text = extract_pdf_text(content)
+                n_streams = len(re.findall(rb"stream\r?\n", content))
+                rows.append({"path": r["path"], "text": text, "n_chars": len(text), "n_streams": n_streams})
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return assets.select("path", "content").mapInPandas(_extract, schema)
+
+
 _AUDIO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("path", T.StringType()),

@@ -27,16 +27,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def shard(df: DataFrame, rank: int, world_size: int, id_col: str | None = None) -> DataFrame:
+def shard(df: DataFrame, rank: int, world_size: int, id_col: str | None = None, reverse: bool = False) -> DataFrame:
     """Deterministic 1/world_size shard. With ``id_col``: pmod(id, n) == rank
-    (stable across runs); else pmod over a stable row hash of all columns."""
+    (stable across runs); else pmod over a stable row hash of all columns.
+    ``reverse=True`` returns the COMPLEMENT (everything except the shard) —
+    the reference's reverse_sharding, i.e. the K-fold train split when the
+    shard itself is the validation fold (ScalableDataFrame.py:416-598)."""
     if not 0 <= rank < world_size:
         raise ValueError(f"rank {rank} outside [0, {world_size})")
     if id_col is not None:
         key = F.col(id_col).cast("bigint")
     else:
         key = F.xxhash64(*[F.col(c) for c in df.columns])
-    return df.filter(F.pmod(key, F.lit(world_size)) == rank)
+    cond = F.pmod(key, F.lit(world_size)) == rank
+    return df.filter(~cond if reverse else cond)
 
 
 def stream_frame(

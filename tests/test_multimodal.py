@@ -168,3 +168,50 @@ def test_extract_audio_features(spark, tmp_path):
     assert feats[16000]["n_frames"] == 4000 and feats[16000]["n_channels"] == 2
     assert abs(feats[8000]["duration_sec"] - 0.5) < 1e-9
     assert 0 < feats[8000]["rms"] < 1 and 0 < feats[8000]["peak"] <= 1
+
+
+def _make_pdf(text, compress=True):
+    import zlib
+
+    content = f"BT /F1 12 Tf 72 720 Td ({text}) Tj ET".encode("latin-1")
+    if compress:
+        stream = zlib.compress(content)
+        filt = b"/Filter /FlateDecode "
+    else:
+        stream, filt = content, b""
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj",
+        b"4 0 obj << " + filt + b"/Length " + str(len(stream)).encode() + b" >> stream\n" + stream + b"endstream endobj",
+    ]
+    return b"%PDF-1.4\n" + b"\n".join(objs) + b"\ntrailer << /Root 1 0 R >>\n%%EOF"
+
+
+def test_extract_pdf_text():
+    from bears_spark.functions.multimodal import extract_pdf_text
+
+    assert extract_pdf_text(_make_pdf("Hello PDF world")) == "Hello PDF world"
+    assert extract_pdf_text(_make_pdf("raw stream", compress=False)) == "raw stream"
+    # escaped parens inside the literal
+    assert extract_pdf_text(_make_pdf(r"a \(b\) c")) == "a (b) c"
+
+
+def test_extract_pdf_features(spark, tmp_path):
+    from bears_spark.functions.multimodal import extract_pdf_features
+
+    (tmp_path / "a.pdf").write_bytes(_make_pdf("first document"))
+    (tmp_path / "b.pdf").write_bytes(_make_pdf("second one"))
+    rows = {r["text"]: r for r in extract_pdf_features(load_assets(spark, str(tmp_path))).collect()}
+    assert set(rows) == {"first document", "second one"}
+    assert rows["first document"]["n_chars"] == 14 and rows["first document"]["n_streams"] == 1
+
+
+def test_shard_reverse_complement(spark):
+    from bears_spark.stream import shard
+
+    df = spark.range(100)
+    fold = shard(df, 1, 4, id_col="id")
+    rest = shard(df, 1, 4, id_col="id", reverse=True)
+    assert fold.count() == 25 and rest.count() == 75
+    assert fold.intersect(rest).count() == 0
