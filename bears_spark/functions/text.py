@@ -37,6 +37,22 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokenize(col))
 
 
+# GPT-2-style pre-tokenizer shape: contraction suffixes, letter runs, digit
+# runs, punctuation runs (each optionally space-prefixed), whitespace runs.
+# \p{L}/\p{N} are identical in Java regex (Spark) and RE2 (DuckDB), so the
+# count is oracle-reproducible. A real BPE then splits these further against
+# a merges table; this pre-token count is the standard cheap proxy for
+# "LLM token count" in corpus accounting.
+BPE_PRETOKEN_RE = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Count of GPT-style pre-tokens (excluding pure-whitespace matches)."""
+    c = F.col(col) if isinstance(col, str) else col
+    matches = F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_RE), 0)
+    return F.size(F.filter(matches, lambda m: F.trim(m) != ""))
+
+
 def avg_token_len(col: Column | str) -> Column:
     toks = tokenize(col)
     return F.when(

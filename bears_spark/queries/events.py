@@ -370,8 +370,6 @@ QUERIES["streaming_hourly_counts"] = streaming_hourly_counts
 ORACLES["streaming_hourly_counts"] = STREAMING_HOURLY_SQL
 
 
-
-
 # --------------------------------------------------------------------------
 # ev_rolling_stats: per-user trailing-5-row rolling mean/max via the
 # SparkFrame.rolling_agg sugar (pandas rolling semantics; partitioned by

@@ -422,3 +422,30 @@ ORACLES = {
     "dedup_components": DEDUP_COMPONENTS_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# doc_token_counts: whitespace vs BPE-ish pre-token counts per document —
+# the LLM-corpus accounting pair; \p{L}/\p{N} regex classes match in Java
+# regex and RE2, so both engines count identically.
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.text import bpe_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        bpe_token_count("text").alias("bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+DOC_TOKEN_COUNTS_SQL = r"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS ws_tokens,
+       len(list_filter(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+', 0),
+                       m -> trim(m) <> '')) AS bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+QUERIES["doc_token_counts"] = doc_token_counts
+ORACLES["doc_token_counts"] = DOC_TOKEN_COUNTS_SQL

@@ -294,3 +294,13 @@ def test_kmeans_ivf_end_to_end(spark):
     exact = {r["vec_id"] for r in cosine_topk(rest, "vec_id", "embedding", q, k=10).collect()}
     approx = {r["vec_id"] for r in ivf_topk(rest, "vec_id", "embedding", q, cents, k=10, nprobe=4).collect()}
     assert len(exact & approx) >= 5
+
+
+def test_bpe_token_count(spark):
+    from bears_spark.functions.text import bpe_token_count
+
+    # "it's" -> [it]['s]; "2024-01" -> [2024][-][01]; space-prefixed runs
+    assert _one(spark, bpe_token_count(F.col("t")), t="it's fine") == 3
+    assert _one(spark, bpe_token_count(F.col("t")), t="2024-01") == 3
+    assert _one(spark, bpe_token_count(F.col("t")), t="hello world") == 2
+    assert _one(spark, bpe_token_count(F.col("t")), t="") == 0
