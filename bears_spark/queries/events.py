@@ -24,7 +24,7 @@ from bears_spark.queries.tables import load_table
 def ev_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.groupBy(F.col("user_id"), F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        ev.groupBy(F.col("user_id"), F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"))
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 6).alias("total_value"),
@@ -35,7 +35,7 @@ def ev_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EV_DAILY_SQL = """
-SELECT user_id, date_trunc('day', ts)::DATE AS day,
+SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        count(*) AS n_events,
        round(sum(value), 6) AS total_value,
        count(DISTINCT event_type) AS n_types
@@ -115,14 +115,31 @@ def ev_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"), F.col("event_type"))
-        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        # The rounded average is computed entirely in integer arithmetic:
+        # sum the exact micro-scaled values (value has <=6dp, non-negative),
+        # then half-up round to 4dp via (s + 50n) div (100n). round(double, 4)
+        # is NOT portable — when the true mean lands exactly on a .00005
+        # boundary (possible whenever n divides the 6dp sum), Spark's
+        # BigDecimal HALF_UP and DuckDB's multiply-and-round disagree.
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("value").cast("decimal(18,6)") * 1000000).cast("long")).alias("s_micro"),
+        )
+        .select(
+            "hour_us",
+            "event_type",
+            "n",
+            (F.expr("(s_micro + 50 * n) div (100 * n)") / F.lit(10000.0)).alias("avg_value"),
+        )
         .orderBy("hour_us", "event_type")
     )
 
 
 EV_HOURLY_SQL = """
 SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
-       count(*) AS n, round(avg(value), 6) AS avg_value
+       count(*) AS n,
+       ((CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT)
+         + 50 * count(*)) // (100 * count(*))) / 10000.0 AS avg_value
 FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type
 """
 

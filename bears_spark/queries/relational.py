@@ -96,13 +96,13 @@ def segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("c_acctbal"), 6).alias("mean_bal"),
-            F.round(F.stddev_samp("c_acctbal"), 6).alias("std_bal"),
-            F.round(F.var_samp("c_acctbal"), 6).alias("var_bal"),
+            F.round(F.avg("c_acctbal"), 4).alias("mean_bal"),
+            F.round(F.stddev_samp("c_acctbal"), 4).alias("std_bal"),
+            F.round(F.var_samp("c_acctbal"), 2).alias("var_bal"),
             F.round(F.min("c_acctbal"), 6).alias("min_bal"),
             F.round(F.max("c_acctbal"), 6).alias("max_bal"),
             F.round(F.median("c_acctbal"), 6).alias("median_bal"),
-            F.round(F.sum("c_acctbal"), 6).alias("sum_bal"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
             F.countDistinct("c_nationkey").alias("n_nations"),
         )
         .orderBy("c_mktsegment")
@@ -112,13 +112,13 @@ def segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEGMENT_STATS_SQL = """
 SELECT c_mktsegment,
        count(*) AS n,
-       round(avg(c_acctbal), 6) AS mean_bal,
-       round(stddev_samp(c_acctbal), 6) AS std_bal,
-       round(var_samp(c_acctbal), 6) AS var_bal,
+       round(avg(c_acctbal), 4) AS mean_bal,
+       round(stddev_samp(c_acctbal), 4) AS std_bal,
+       round(var_samp(c_acctbal), 2) AS var_bal,
        round(min(c_acctbal), 6) AS min_bal,
        round(max(c_acctbal), 6) AS max_bal,
        round(median(c_acctbal), 6) AS median_bal,
-       round(sum(c_acctbal), 6) AS sum_bal,
+       round(sum(c_acctbal), 2) AS sum_bal,
        count(DISTINCT c_nationkey) AS n_nations
 FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
 """

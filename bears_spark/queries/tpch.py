@@ -112,14 +112,20 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        # exact decimal summation (see q7): per-nation sums span ~100k rows at
+        # sf0.1 and drift a few ulps between engines otherwise
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)"))
+            .cast("double")
+            .alias("revenue")
+        )
         .orderBy(F.desc("revenue"), "n_name")
     )
 
 
 Q5_SQL = """
 SELECT n_name,
-       sum(l_extendedprice * (1 - l_discount)) AS revenue
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey
   AND l_orderkey = o_orderkey
@@ -343,13 +349,21 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        # exact decimal summation: double sums over thousand-row groups differ
+        # in the last ulp BETWEEN ENGINES (summation order), which can straddle
+        # any rounding boundary; decimal addition is order-independent, so both
+        # engines produce the identical total before the cast back to double
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)"))
+            .cast("double")
+            .alias("revenue")
+        )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
 
 Q7_SQL = """
-SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+SELECT supp_nation, cust_nation, l_year, CAST(sum(CAST(volume AS DECIMAL(30,6))) AS DOUBLE) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          year(l_shipdate) AS l_year,
@@ -440,13 +454,18 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_profit"))
+        # exact decimal summation — see q7 for why (cross-engine ulp drift)
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)"))
+            .cast("double")
+            .alias("sum_profit")
+        )
         .orderBy("nation", F.desc("o_year"))
     )
 
 
 Q9_SQL = """
-SELECT nation, o_year, sum(amount) AS sum_profit
+SELECT nation, o_year, CAST(sum(CAST(amount AS DECIMAL(30,6))) AS DOUBLE) AS sum_profit
 FROM (
   SELECT n_name AS nation, year(o_orderdate) AS o_year,
          l_extendedprice * (1 - l_discount) AS amount

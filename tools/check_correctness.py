@@ -17,14 +17,16 @@ import pandas as pd
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    # NO float rounding here: the driver stringifies RAW values, so any
+    # tolerance must come from the queries themselves (round(...) on both
+    # sides). Only dtype-level normalization that doesn't change the
+    # rendered string for our data (ns->us timestamps are all µs-exact).
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(6)
-        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == object:
-            df[c] = df[c].apply(lambda v: tuple(round(float(x), 6) for x in v) if isinstance(v, (list, tuple)) else v)
+            df[c] = df[c].apply(lambda v: tuple(float(x) for x in v) if isinstance(v, (list, tuple)) else v)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
@@ -36,25 +38,29 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> tuple[bool, st
     a, b = _canon(spark_pdf), _canon(oracle_pdf)
     for c in a.columns:
         av, bv = a[c], b[c]
-        # The driver hashes STRINGIFIED values, so an int64 Spark column vs a
-        # float64 oracle column ("1085" vs "1085.0") is a hard fail there even
-        # when numerically equal — typically DuckDB sum(<int>) → HUGEINT →
-        # pandas float64. Mirror that strictness here.
+        # The driver hashes STRINGIFIED values — the verdict here is strict
+        # per-value str() equality, exactly as the driver sees it. Two
+        # failure modes this catches that tolerant compares hide:
+        #  - dtype-kind mismatch ("1085" vs "1085.0"): DuckDB sum(<int>) →
+        #    HUGEINT → pandas float64; CAST the oracle column.
+        #  - last-ulp float sums that round/stringify differently: round the
+        #    aggregate on BOTH sides to a coarser precision.
         if pd.api.types.is_float_dtype(av) != pd.api.types.is_float_dtype(bv):
             return False, (
                 f"column {c} dtype kind differs: spark={av.dtype} vs oracle={bv.dtype} "
                 "(driver stringify-hash would fail; CAST the oracle column)"
             )
-        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
-            ok = all(
-                (pd.isna(x) and pd.isna(y)) or (not pd.isna(x) and not pd.isna(y) and math.isclose(float(x), float(y), rel_tol=1e-6, abs_tol=1e-9))
-                for x, y in zip(av, bv)
-            )
-        else:
-            ok = av.astype(str).tolist() == bv.astype(str).tolist()
-        if not ok:
-            bad = next(i for i in range(len(av)) if str(av.iloc[i]) != str(bv.iloc[i]))
-            return False, f"column {c} differs, e.g. row {bad}: {av.iloc[bad]!r} vs {bv.iloc[bad]!r}"
+        sa, sb = [str(x) for x in av], [str(x) for x in bv]
+        if sa != sb:
+            bad = next(i for i in range(len(sa)) if sa[i] != sb[i])
+            x, y = av.iloc[bad], bv.iloc[bad]
+            near = ""
+            try:
+                if math.isclose(float(x), float(y), rel_tol=1e-6, abs_tol=1e-9):
+                    near = " (numerically close — stringification/rounding artifact)"
+            except (TypeError, ValueError):
+                pass
+            return False, f"column {c} differs, e.g. row {bad}: {x!r} vs {y!r}{near}"
     return True, "ok"
 
 
