@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from bears_spark.queries import events as ev
 from bears_spark.queries import pipelineops as po
+from bears_spark.queries import qualityops as ql
 from bears_spark.queries import relational as rel
 from bears_spark.queries import textops as tx
 from bears_spark.queries import tpch
@@ -92,8 +93,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {**_TPCH_QUERIES, **rel.QUERIES, **ev.QUERIES, **tx.QUERIES, **po.QUERIES}
+    return {**_TPCH_QUERIES, **rel.QUERIES, **ev.QUERIES, **tx.QUERIES, **po.QUERIES, **ql.QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**_TPCH_ORACLES, **rel.ORACLES, **ev.ORACLES, **tx.ORACLES, **po.ORACLES}
+    return {**_TPCH_ORACLES, **rel.ORACLES, **ev.ORACLES, **tx.ORACLES, **po.ORACLES, **ql.ORACLES}

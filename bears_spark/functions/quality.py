@@ -1,0 +1,132 @@
+"""Gopher/C4-style corpus quality filters for training-data pipelines.
+
+Implements the standard document-quality rule families from published
+corpus-construction recipes — word-count bands, mean-word-length bands,
+stopword-presence, vocabulary diversity (unique-word fraction), and
+top-n-gram repetition (Rae et al. 2021 "Gopher" §A1.1; Raffel et al. 2020
+"C4") — plus deterministic hash-based sampling for held-out splits.
+
+Reference parity: the reference ships per-string text processors
+(src/bears/processor/data/text/) but no corpus-level quality filters;
+these are the training-data-pipeline extensions a 100 TB corpus build
+needs on top of that surface.
+
+Scale notes
+-----------
+* All per-document metrics are pure Column expressions over a PRE-STAGED
+  token array: callers tokenize once into a column and every metric reads
+  it. Catalyst performs no common-subexpression elimination across
+  projection elements, so passing ``tokenize(text)`` four times would
+  re-split the document four times (see [[catalyst-perf-traps]]).
+* ``top_ngram_repetition`` is explode + two partial-aggregated groupBys on
+  (doc_id, gram) then doc_id — per-document cardinality is bounded by
+  document length, so no hot keys regardless of corpus size.
+* ``hash_sample`` filters on a deterministic per-row hash: no shuffle, no
+  sort, stable under repartitioning and re-runs — the property a 100 TB
+  train/held-out split actually requires (``df.sample`` is seed-stable
+  only for a fixed partitioning).
+
+The heuristics are deliberately exact-reproducible (integer comparisons,
+single IEEE divisions — no float summation, no round()) so a DuckDB oracle
+can verify them bit-for-bit; see queries/qualityops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bears_spark.functions.hashing import md5_hash64
+from bears_spark.functions.text import EN_STOPWORDS, _isin_pred, tokenize, word_ngrams
+
+# Gopher-style keep-rule bounds (integer-comparison form; see gopher_keep).
+MIN_WORDS = 10
+MAX_WORDS = 100_000
+MIN_MEAN_WORD_LEN = 3  # mean word length in [3, 10]
+MAX_MEAN_WORD_LEN = 10
+MIN_STOPWORD_PCT = 2  # >= 2% stopwords
+MIN_UNIQUE_PCT = 20  # >= 20% unique words
+
+
+def word_quality_stats(tokens: Column) -> Column:
+    """Per-document word statistics as a struct over a pre-staged,
+    lowercased token array: n_words, total word chars, stopword count,
+    distinct-word count. All bigint — downstream ratios are single
+    int/int divisions, which are bit-identical across engines (unlike
+    float summation or round())."""
+    return F.struct(
+        F.size(tokens).cast("bigint").alias("n_words"),
+        F.aggregate(tokens, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)).alias("total_chars"),
+        F.size(F.filter(tokens, _isin_pred(EN_STOPWORDS))).cast("bigint").alias("n_stop"),
+        F.size(F.array_distinct(tokens)).cast("bigint").alias("n_distinct"),
+    )
+
+
+def gopher_keep(stats: Column) -> Column:
+    """Gopher-style keep flag from a word_quality_stats struct.
+
+    Every rule is an exact integer comparison (e.g. mean word length in
+    [3, 10] is ``3*n <= total_chars <= 10*n``), so Spark and any oracle
+    agree exactly — thresholds never sit on a float-rounding boundary."""
+    n = stats["n_words"]
+    return (
+        (n >= MIN_WORDS)
+        & (n <= MAX_WORDS)
+        & (stats["total_chars"] >= MIN_MEAN_WORD_LEN * n)
+        & (stats["total_chars"] <= MAX_MEAN_WORD_LEN * n)
+        & (stats["n_stop"] * 100 >= MIN_STOPWORD_PCT * n)
+        & (stats["n_distinct"] * 100 >= MIN_UNIQUE_PCT * n)
+    )
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document Gopher quality metrics + keep flag.
+
+    Tokens are staged once in a projection; the stats struct is staged
+    once more before being fanned out into columns (no CSE across
+    projection elements otherwise re-runs the aggregate per column)."""
+    staged = df.select(id_col, tokenize(F.lower(F.col(text_col))).alias("__toks__"))
+    with_stats = staged.select(id_col, word_quality_stats(F.col("__toks__")).alias("__s__"))
+    s = F.col("__s__")
+    return with_stats.select(
+        id_col,
+        s["n_words"].alias("n_words"),
+        s["n_distinct"].alias("n_distinct"),
+        s["n_stop"].alias("n_stop"),
+        s["total_chars"].alias("total_chars"),
+        (s["total_chars"] / s["n_words"]).alias("mean_word_len"),
+        (s["n_stop"] / s["n_words"]).alias("stop_frac"),
+        (s["n_distinct"] / s["n_words"]).alias("uniq_frac"),
+        gopher_keep(s).alias("keep"),
+    )
+
+
+def top_ngram_repetition(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2) -> DataFrame:
+    """Gopher repetition rule: fraction of a document's word n-grams
+    occupied by its single most frequent n-gram.
+
+    explode -> count per (doc, gram) -> max/sum per doc. Both groupBys
+    are partially aggregated map-side, and key cardinality per document
+    is bounded by document length — no hot keys at corpus scale. Returns
+    (id, n_grams, top_count, top_frac)."""
+    grams = df.select(F.col(id_col), F.explode(word_ngrams(F.lower(F.col(text_col)), n)).alias("__g__"))
+    per_gram = grams.groupBy(id_col, "__g__").agg(F.count("*").alias("__c__"))
+    return per_gram.groupBy(id_col).agg(
+        F.sum("__c__").alias("n_grams"),
+        F.max("__c__").alias("top_count"),
+    ).select(
+        id_col,
+        "n_grams",
+        "top_count",
+        (F.col("top_count") / F.col("n_grams")).alias("top_frac"),
+    )
+
+
+def hash_sample(df: DataFrame, id_col: str, pct: int, salt: int | str = 0) -> DataFrame:
+    """Deterministic ~pct% sample: keep rows where a 60-bit md5 hash of the
+    id falls in the first pct of 100 buckets. Pure filter — no shuffle, no
+    seed-vs-partitioning coupling — and the complement (``>= pct``) is an
+    exact disjoint split, which is what a train/held-out cut needs."""
+    if not 0 <= pct <= 100:
+        raise ValueError(f"pct must be in [0, 100], got {pct}")
+    return df.filter(md5_hash64(F.col(id_col), salt=salt) % 100 < pct)

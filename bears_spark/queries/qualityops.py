@@ -1,0 +1,167 @@
+"""Graded corpus-quality queries: Gopher/C4-style filters, n-gram
+repetition, and deterministic hash sampling over the documents table,
+each verified against an independent DuckDB re-implementation.
+
+Cross-engine exactness strategy (see tools/check_correctness.py): every
+ratio is a single int/int IEEE division (bit-identical across engines);
+every keep-rule is an integer comparison; the sampling hash is the shared
+md5-based scheme from functions/hashing.py. No float summation, no
+round() — nothing that can straddle a rounding boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bears_spark.functions.quality import (
+    MAX_MEAN_WORD_LEN,
+    MAX_WORDS,
+    MIN_MEAN_WORD_LEN,
+    MIN_STOPWORD_PCT,
+    MIN_UNIQUE_PCT,
+    MIN_WORDS,
+    gopher_quality,
+    hash_sample,
+    top_ngram_repetition,
+)
+from bears_spark.functions.text import EN_STOPWORDS
+from bears_spark.queries.tables import load_table
+
+# DuckDB tokenization mirroring functions/text.py tokenize(lower(text)).
+_DUCK_TOKS = r"list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')"
+_DUCK_STOPWORDS = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+# --------------------------------------------------------------------------
+# doc_gopher_quality: per-document Gopher rule metrics + keep flag.
+def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_quality(docs, "text", "doc_id").orderBy("doc_id")
+
+
+DOC_GOPHER_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS w FROM documents
+), stats AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT) AS total_chars,
+         CAST(len(list_filter(w, x -> x IN ({_DUCK_STOPWORDS}))) AS BIGINT) AS n_stop,
+         CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct
+  FROM toks
+)
+SELECT doc_id, n_words, n_distinct, n_stop, total_chars,
+       total_chars / n_words AS mean_word_len,
+       n_stop / n_words AS stop_frac,
+       n_distinct / n_words AS uniq_frac,
+       (n_words >= {MIN_WORDS} AND n_words <= {MAX_WORDS}
+        AND total_chars >= {MIN_MEAN_WORD_LEN} * n_words
+        AND total_chars <= {MAX_MEAN_WORD_LEN} * n_words
+        AND n_stop * 100 >= {MIN_STOPWORD_PCT} * n_words
+        AND n_distinct * 100 >= {MIN_UNIQUE_PCT} * n_words) AS keep
+FROM stats ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# doc_top2gram_repetition: Gopher repetition rule — fraction of a doc's
+# word bigrams occupied by its most frequent bigram.
+def doc_top2gram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return top_ngram_repetition(docs, "text", "doc_id", n=2).orderBy("doc_id")
+
+
+DOC_TOP2GRAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS w FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS g
+  FROM toks WHERE len(w) >= 2
+), per_gram AS (
+  SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_grams,
+       CAST(max(c) AS BIGINT) AS top_count,
+       CAST(max(c) AS BIGINT) / CAST(sum(c) AS BIGINT) AS top_frac
+FROM per_gram GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# doc_hash_sample_rates: deterministic md5-bucket sampling (25% at salt 7);
+# per-language total vs kept counts. The Spark side goes through the
+# hash_sample API (filter + groupBy + left join back onto totals).
+_SAMPLE_PCT = 25
+_SAMPLE_SALT = 7
+
+
+def doc_hash_sample_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.groupBy("lang").agg(F.count("*").alias("n_total"))
+    kept = (
+        hash_sample(docs, "doc_id", _SAMPLE_PCT, salt=_SAMPLE_SALT)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        total.join(kept, "lang", "left")
+        .select("lang", "n_total", F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"))
+        .orderBy("lang")
+    )
+
+
+DOC_HASH_SAMPLE_SQL = f"""
+SELECT lang,
+       count(*) AS n_total,
+       CAST(count(*) FILTER (
+         WHERE ('0x' || substr(md5('{_SAMPLE_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < {_SAMPLE_PCT}
+       ) AS BIGINT) AS n_kept
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# nation_top_customer: max_by with an explicit (value, key) struct
+# tie-break — the idxmax/arg-max aggregation family. Oracle uses a ranking
+# window instead of arg_max, so the implementations are independent.
+def nation_top_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.max_by("c_custkey", F.struct("c_acctbal", "c_custkey")).alias("top_custkey"),
+            F.max("c_acctbal").alias("top_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+NATION_TOP_CUSTOMER_SQL = """
+WITH ranked AS (
+  SELECT n_name, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT n_name, c_custkey AS top_custkey, c_acctbal AS top_bal
+FROM ranked WHERE rn = 1 ORDER BY n_name
+"""
+
+
+QUERIES = {
+    "doc_gopher_quality": doc_gopher_quality,
+    "doc_top2gram_repetition": doc_top2gram_repetition,
+    "doc_hash_sample_rates": doc_hash_sample_rates,
+    "nation_top_customer": nation_top_customer,
+}
+
+ORACLES = {
+    "doc_gopher_quality": DOC_GOPHER_SQL,
+    "doc_top2gram_repetition": DOC_TOP2GRAM_SQL,
+    "doc_hash_sample_rates": DOC_HASH_SAMPLE_SQL,
+    "nation_top_customer": NATION_TOP_CUSTOMER_SQL,
+}

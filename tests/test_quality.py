@@ -1,0 +1,69 @@
+"""Gopher/C4-style quality filters, hash sampling, and the idxmax/replace
+surfaces (functions/quality.py + frame.py)."""
+
+import pandas as pd
+import pytest
+
+from bears_spark.frame import SparkFrame
+from bears_spark.functions.quality import gopher_quality, hash_sample, top_ngram_repetition
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        # good: 12 words, mean len in band, stopwords present, all unique
+        (0, "the quick brown fox jumps over a lazy dog near riverbank today"),
+        (1, "short doc"),  # < MIN_WORDS
+        (2, "word " * 20),  # one distinct word -> uniq_frac 5% < 20%
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),  # no stopwords
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_gopher_quality_rules(docs):
+    out = {r["doc_id"]: r for r in gopher_quality(docs, "text", "doc_id").collect()}
+    assert out[0]["keep"] is True
+    assert out[0]["n_words"] == 12 and out[0]["n_distinct"] == 12
+    assert out[1]["keep"] is False  # too short
+    assert out[2]["keep"] is False  # repetition: uniq_frac = 1/20
+    assert out[2]["uniq_frac"] == pytest.approx(0.05)
+    assert out[3]["keep"] is False  # no stopwords
+    assert out[3]["stop_frac"] == 0.0
+
+
+def test_top_ngram_repetition(spark):
+    df = spark.createDataFrame([(1, "a b a b a")], ["doc_id", "text"])
+    row = top_ngram_repetition(df, "text", "doc_id", n=2).collect()[0]
+    # bigrams: "a b", "b a", "a b", "b a" -> top 2 of 4
+    assert row["n_grams"] == 4 and row["top_count"] == 2
+    assert row["top_frac"] == pytest.approx(0.5)
+
+
+def test_hash_sample_deterministic_and_monotone(spark):
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    assert hash_sample(df, "k", 0).count() == 0
+    assert hash_sample(df, "k", 100).count() == 1000
+    k10 = {r["k"] for r in hash_sample(df, "k", 10, salt=3).collect()}
+    k30 = {r["k"] for r in hash_sample(df, "k", 30, salt=3).collect()}
+    assert k10 <= k30  # bucket predicate is monotone in pct
+    assert 0 < len(k10) < len(k30) < 1000
+    # deterministic: same ids on a re-run and under repartitioning
+    again = {r["k"] for r in hash_sample(df.repartition(7), "k", 10, salt=3).collect()}
+    assert again == k10
+    with pytest.raises(ValueError):
+        hash_sample(df, "k", 101)
+
+
+def test_idxmax_idxmin(spark):
+    sf = SparkFrame.of(pd.DataFrame({"o": [10, 20, 30, 40], "v": [5.0, 9.0, 1.0, 9.0]}), spark)
+    # ties broken by max_by/min_by pick; v=9.0 at o=20/40 — accept either
+    assert sf["v"].idxmax(idx_col="o") in (20, 40)
+    assert sf["v"].idxmin(idx_col="o") == 30
+
+
+def test_frame_replace(spark):
+    sf = SparkFrame.of(pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "x"]}), spark)
+    out = sf.replace("x", "z").to_pandas()
+    assert out["b"].tolist() == ["z", "y", "z"]
+    out2 = sf.replace({1: 100, 3: 300}, subset=["a"]).to_pandas()
+    assert out2["a"].tolist() == [100, 2, 300]
