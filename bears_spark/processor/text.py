@@ -82,6 +82,46 @@ class RegexSubstitution(SingleColumnProcessor):
 
 
 @register_processor
+class PIIRedaction(SingleColumnProcessor):
+    """Redact common PII patterns — emails, NANP-style phone numbers, IPv4
+    addresses — with typed sentinels: the standard scrub pass a training-data
+    pipeline runs before tokenization.
+
+    Beyond-reference capability (the reference's _text/ processors have no
+    PII pass). Patterns deliberately use only syntax with identical
+    semantics in Java regex (Spark) and RE2 (DuckDB) — ASCII \\d, \\b,
+    simple classes — so redaction is oracle-verifiable cross-engine.
+    Replacement order matters: emails first (their local part would
+    otherwise be visibly mangled by the phone pass), then phones, then
+    IPv4 (alpha-TLD requirement stops the email pattern claiming IPs)."""
+
+    aliases = ("piiredaction", "piiredact", "redactpii")
+    output_mltype = "TEXT"
+
+    PATTERNS: tuple[tuple[str, str], ...] = (
+        ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+        ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"),
+        ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    )
+
+    def __init__(self, kinds: tuple[str, ...] | list[str] = ("email", "phone", "ipv4"), sentinel: str = "<{kind}>", **params):
+        super().__init__(kinds=tuple(kinds), sentinel=sentinel, **params)
+        known = {k for k, _ in self.PATTERNS}
+        unknown = set(kinds) - known
+        if unknown:
+            raise ValueError(f"unknown PII kinds {sorted(unknown)}; known: {sorted(known)}")
+        self.kinds = tuple(kinds)
+        self.sentinel = sentinel
+
+    def transform_expr(self, col: Column) -> Column:
+        out = col
+        for kind, pattern in self.PATTERNS:  # fixed order, independent of `kinds` order
+            if kind in self.kinds:
+                out = F.regexp_replace(out, pattern, self.sentinel.format(kind=kind))
+        return out
+
+
+@register_processor
 class StringRemoval(SingleColumnProcessor):
     """Remove literal substrings (_text/_StringRemoval.py:10-33)."""
 

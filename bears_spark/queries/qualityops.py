@@ -152,11 +152,66 @@ FROM ranked WHERE rn = 1 ORDER BY n_name
 """
 
 
+# --------------------------------------------------------------------------
+# pii_redact_contacts: the PIIRedaction processor over synthetic contact
+# strings built deterministically from customer rows (the documents table
+# contains no PII, so the query manufactures emails/phones/IPs to redact —
+# every row exercises all three patterns). Oracle regexes are generated
+# from the same PIIRedaction.PATTERNS constants; both engines use ASCII
+# \d/\b semantics so Java regex and RE2 agree.
+def pii_redact_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.processor.text import PIIRedaction
+
+    cust = load_table(spark, sf_dir, "customer")
+    contact = F.concat(
+        F.col("c_name"),
+        F.lit(" <"),
+        F.lower(F.regexp_replace(F.col("c_name"), "#", "")),
+        F.lit("@example.com> ph 555-"),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."),
+        (F.col("c_custkey") % 256).cast("string"),
+        F.lit(".1"),
+    )
+    staged = cust.select("c_custkey", contact.alias("contact"))
+    redacted = PIIRedaction().apply(staged, "contact", "redacted")
+    email_only = PIIRedaction(kinds=("email",)).apply(redacted, "contact", "email_redacted")
+    return email_only.select("c_custkey", "redacted", "email_redacted").orderBy("c_custkey")
+
+
+def _pii_sql() -> str:
+    from bears_spark.processor.text import PIIRedaction
+
+    expr = "contact"
+    for kind, pattern in PIIRedaction.PATTERNS:
+        expr = "regexp_replace({}, '{}', '<{}>', 'g')".format(expr, pattern, kind)
+    email_pat = dict(PIIRedaction.PATTERNS)["email"]
+    email_expr = "regexp_replace(contact, '{}', '<email>', 'g')".format(email_pat)
+    return """
+WITH c AS (
+  SELECT c_custkey,
+         c_name || ' <' || lower(replace(c_name, '#', '')) || '@example.com> ph 555-' ||
+         lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+         lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+         ' ip 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.1' AS contact
+  FROM customer
+)
+SELECT c_custkey, {} AS redacted, {} AS email_redacted
+FROM c ORDER BY c_custkey
+""".format(expr, email_expr)
+
+
+PII_REDACT_SQL = _pii_sql()
+
+
 QUERIES = {
     "doc_gopher_quality": doc_gopher_quality,
     "doc_top2gram_repetition": doc_top2gram_repetition,
     "doc_hash_sample_rates": doc_hash_sample_rates,
     "nation_top_customer": nation_top_customer,
+    "pii_redact_contacts": pii_redact_contacts,
 }
 
 ORACLES = {
@@ -164,4 +219,5 @@ ORACLES = {
     "doc_top2gram_repetition": DOC_TOP2GRAM_SQL,
     "doc_hash_sample_rates": DOC_HASH_SAMPLE_SQL,
     "nation_top_customer": NATION_TOP_CUSTOMER_SQL,
+    "pii_redact_contacts": PII_REDACT_SQL,
 }

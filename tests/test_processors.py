@@ -41,6 +41,21 @@ def test_string_removal(spark):
     assert _apply1(spark, get_processor("stringremoval", removals=["foo", "-"]), ["a-foo-b"]) == ["ab"]
 
 
+def test_pii_redaction(spark):
+    text = "mail a.b+c@mail.co or 555-123-4567, host 192.168.0.1 end"
+    assert _apply1(spark, get_processor("piiredact"), [text]) == [
+        "mail <email> or <phone>, host <ipv4> end"
+    ]
+    # kinds subset: phones/IPs survive when only email is requested
+    assert _apply1(spark, get_processor("piiredact", kinds=("email",)), [text]) == [
+        "mail <email> or 555-123-4567, host 192.168.0.1 end"
+    ]
+    # custom sentinel + null passthrough
+    assert _apply1(spark, get_processor("piiredact", sentinel="[{kind}]"), [None]) == [None]
+    with pytest.raises(ValueError):
+        get_processor("piiredact", kinds=("ssn",))
+
+
 def test_label_affix(spark):
     proc = get_processor("labelaffix", prefix="<", suffix=">")
     assert _apply1(spark, proc, ["x", None]) == ["<x>", None]
