@@ -130,3 +130,42 @@ def hash_sample(df: DataFrame, id_col: str, pct: int, salt: int | str = 0) -> Da
     if not 0 <= pct <= 100:
         raise ValueError(f"pct must be in [0, 100], got {pct}")
     return df.filter(md5_hash64(F.col(id_col), salt=salt) % 100 < pct)
+
+
+def stratified_hash_sample(
+    df: DataFrame, id_col: str, stratum_col: str, pct_by: dict[str, int], default_pct: int = 0, salt: int | str = 0
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the mixture-weighting step of
+    corpus construction (downsample web text, keep all books, ...).
+
+    Same md5-bucket scheme as hash_sample with a per-stratum keep
+    percentage; strata absent from ``pct_by`` get ``default_pct``. Still a
+    pure filter: the rate map compiles into the predicate (a chained CASE),
+    so no join, no shuffle, and the same row set regardless of partitioning
+    — at 100 TB this is a map-only pass."""
+    for k, pct in pct_by.items():
+        if not 0 <= pct <= 100:
+            raise ValueError(f"pct for stratum {k!r} must be in [0, 100], got {pct}")
+    if not 0 <= default_pct <= 100:
+        raise ValueError(f"default_pct must be in [0, 100], got {default_pct}")
+    rate = F.lit(default_pct)
+    for k, pct in sorted(pct_by.items()):
+        rate = F.when(F.col(stratum_col) == k, F.lit(pct)).otherwise(rate)
+    return df.filter(md5_hash64(F.col(id_col), salt=salt) % 100 < rate)
+
+
+def vocabulary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus vocabulary table: per-term total frequency (tf) and document
+    frequency (df) — the input to BPE-merge selection, stopword discovery,
+    and Zipf-curve corpus diagnostics.
+
+    explode -> one partially-aggregated groupBy(term). Output cardinality is
+    the vocabulary size, not the corpus size, so downstream ranking/joins
+    operate on the (much smaller) aggregate. For top-k views, sort+limit
+    (TakeOrderedAndProject) rather than a global rank window — ranking the
+    ENTIRE vocabulary globally would funnel it through one partition."""
+    toks = df.select(F.col(id_col), F.explode(tokenize(F.lower(F.col(text_col)))).alias("term"))
+    return toks.groupBy("term").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct(id_col).alias("df"),
+    )

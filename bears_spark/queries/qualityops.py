@@ -206,12 +206,81 @@ FROM c ORDER BY c_custkey
 PII_REDACT_SQL = _pii_sql()
 
 
+# --------------------------------------------------------------------------
+# doc_stratified_sample: per-language mixture weighting (downsample en,
+# keep de, default rate elsewhere) via the join-free CASE-compiled filter.
+_STRATA_PCTS = {"en": 10, "de": 50}
+_STRATA_DEFAULT = 25
+_STRATA_SALT = 11
+
+
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.quality import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.groupBy("lang").agg(F.count("*").alias("n_total"))
+    kept = (
+        stratified_hash_sample(docs, "doc_id", "lang", _STRATA_PCTS, default_pct=_STRATA_DEFAULT, salt=_STRATA_SALT)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        total.join(kept, "lang", "left")
+        .select("lang", "n_total", F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"))
+        .orderBy("lang")
+    )
+
+
+def _strata_sql() -> str:
+    cases = " ".join(f"WHEN '{k}' THEN {p}" for k, p in sorted(_STRATA_PCTS.items()))
+    return f"""
+SELECT lang,
+       count(*) AS n_total,
+       CAST(count(*) FILTER (
+         WHERE ('0x' || substr(md5('{_STRATA_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+               < CASE lang {cases} ELSE {_STRATA_DEFAULT} END
+       ) AS BIGINT) AS n_kept
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+DOC_STRATIFIED_SQL = _strata_sql()
+
+
+# --------------------------------------------------------------------------
+# doc_vocabulary_topk: corpus vocabulary (tf, df) with Zipf rank for the
+# top 50 terms. The rank window runs AFTER sort+limit (50 rows), so the
+# plan is scan -> partial agg -> TakeOrderedAndProject, never a global
+# window over the full vocabulary.
+def doc_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from bears_spark.functions.quality import vocabulary
+
+    docs = load_table(spark, sf_dir, "documents")
+    top = vocabulary(docs, "text", "doc_id").orderBy(F.desc("tf"), "term").limit(50)
+    return top.withColumn("zipf_rank", F.row_number().over(Window.orderBy(F.desc("tf"), "term")))
+
+
+DOC_VOCAB_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents
+), per AS (
+  SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+)
+SELECT term, tf, df, row_number() OVER (ORDER BY tf DESC, term) AS zipf_rank
+FROM per ORDER BY tf DESC, term LIMIT 50
+"""
+
+
 QUERIES = {
     "doc_gopher_quality": doc_gopher_quality,
     "doc_top2gram_repetition": doc_top2gram_repetition,
     "doc_hash_sample_rates": doc_hash_sample_rates,
     "nation_top_customer": nation_top_customer,
     "pii_redact_contacts": pii_redact_contacts,
+    "doc_stratified_sample": doc_stratified_sample,
+    "doc_vocabulary_topk": doc_vocabulary_topk,
 }
 
 ORACLES = {
@@ -220,4 +289,6 @@ ORACLES = {
     "doc_hash_sample_rates": DOC_HASH_SAMPLE_SQL,
     "nation_top_customer": NATION_TOP_CUSTOMER_SQL,
     "pii_redact_contacts": PII_REDACT_SQL,
+    "doc_stratified_sample": DOC_STRATIFIED_SQL,
+    "doc_vocabulary_topk": DOC_VOCAB_SQL,
 }

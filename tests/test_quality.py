@@ -3,6 +3,7 @@ surfaces (functions/quality.py + frame.py)."""
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from bears_spark.frame import SparkFrame
 from bears_spark.functions.quality import gopher_quality, hash_sample, top_ngram_repetition
@@ -52,6 +53,27 @@ def test_hash_sample_deterministic_and_monotone(spark):
     assert again == k10
     with pytest.raises(ValueError):
         hash_sample(df, "k", 101)
+
+
+def test_stratified_hash_sample(spark):
+    from bears_spark.functions.quality import stratified_hash_sample
+
+    df = spark.range(600).selectExpr("id AS k", "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' ELSE 'c' END AS s")
+    out = stratified_hash_sample(df, "k", "s", {"a": 100, "b": 0}, default_pct=50, salt=1)
+    by = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert by.get("a") == 200  # pct 100: all kept
+    assert "b" not in by  # pct 0: none kept
+    assert 0 < by.get("c", 0) < 200  # default rate ~50%
+    with pytest.raises(ValueError):
+        stratified_hash_sample(df, "k", "s", {"a": 200})
+
+
+def test_vocabulary(spark):
+    from bears_spark.functions.quality import vocabulary
+
+    df = spark.createDataFrame([(1, "a b a"), (2, "b c")], ["doc_id", "text"])
+    out = {r["term"]: (r["tf"], r["df"]) for r in vocabulary(df, "text", "doc_id").collect()}
+    assert out == {"a": (2, 1), "b": (2, 2), "c": (1, 1)}
 
 
 def test_idxmax_idxmin(spark):
