@@ -574,6 +574,21 @@ class _GroupBy:
     def apply_in_pandas(self, func: Callable, schema) -> "SparkFrame":
         return SparkFrame(self._frame.df.groupBy(*self._by).applyInPandas(func, schema))
 
+    def transform(self, spec: Mapping[str, str | list[str]]) -> "SparkFrame":
+        """pandas groupby().transform parity: broadcast each group aggregate
+        back onto every row as ``{col}_{fn}``. Compiles to unbounded window
+        aggregates over partitionBy(keys) — ONE shuffle on the group keys,
+        no join back, no second pass; all requested aggregates share the
+        same window partitioning."""
+        w = Window.partitionBy(*self._by)
+        out = self._frame.df
+        for col, fns in spec.items():
+            for fn in [fns] if isinstance(fns, str) else fns:
+                if fn not in self._FN:
+                    raise ValueError(f"unsupported transform fn {fn!r}; known: {sorted(self._FN)}")
+                out = out.withColumn(f"{col}_{fn}", self._FN[fn](F.col(col)).over(w))
+        return SparkFrame(out)
+
     def __getattr__(self, fn_name: str):
         if fn_name not in self._FN:
             raise AttributeError(fn_name)

@@ -388,12 +388,48 @@ WHERE o_totalprice > cust_avg
 ORDER BY o_orderkey
 """
 
+# --------------------------------------------------------------------------
+# segment_demeaned_balance: the SparkFrame groupby().transform surface
+# (pandas transform parity — group aggregate broadcast back to rows via an
+# unbounded window, one shuffle, no join back). The mean is derived from an
+# exact decimal window SUM divided by the window COUNT, so both engines
+# compute bit-identical doubles (a raw avg() window drifts in summation
+# order between engines).
+def segment_demeaned_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.frame import SparkFrame
+
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_dec", F.col("c_acctbal").cast("decimal(18,2)")
+    )
+    t = SparkFrame(cust).groupby("c_mktsegment").transform({"bal_dec": ["sum", "count"]})
+    return (
+        t.df.select(
+            "c_custkey",
+            "c_mktsegment",
+            (
+                F.col("c_acctbal")
+                - F.col("bal_dec_sum").cast("double") / F.col("bal_dec_count")
+            ).alias("demeaned"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+SEGMENT_DEMEANED_SQL = """
+SELECT c_custkey, c_mktsegment,
+       c_acctbal - CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+                   / (count(*) OVER (PARTITION BY c_mktsegment)) AS demeaned
+FROM customer ORDER BY c_custkey
+"""
+
+
 QUERIES.update(
     {
         "ev_pivot_user_type": ev_pivot_user_type,
         "part_melt": part_melt,
         "q18_big_orders": q18_big_orders,
         "orders_above_cust_avg": orders_above_cust_avg,
+        "segment_demeaned_balance": segment_demeaned_balance,
     }
 )
 
@@ -403,5 +439,6 @@ ORACLES.update(
         "part_melt": PART_MELT_SQL,
         "q18_big_orders": Q18_SQL,
         "orders_above_cust_avg": ORDERS_ABOVE_AVG_SQL,
+        "segment_demeaned_balance": SEGMENT_DEMEANED_SQL,
     }
 )

@@ -94,6 +94,17 @@ def test_groupby(sf):
     assert sf.groupby("k").size().shape == (3, 2)
 
 
+def test_groupby_transform(sf):
+    # pandas groupby().transform parity: aggregate broadcast back to rows
+    out = sf.groupby("k").transform({"a": ["sum", "count"], "b": "max"}).to_pandas()
+    assert len(out) == 5  # row count preserved
+    x_rows = out[out["k"] == "x"]
+    assert set(x_rows["a_sum"]) == {9} and set(x_rows["a_count"]) == {3}
+    assert set(x_rows["b_max"]) == {5.0}
+    with pytest.raises(ValueError):
+        sf.groupby("k").transform({"a": "cumsum"})
+
+
 def test_merge_suffixes_indicator(spark):
     left = SparkFrame.of(pd.DataFrame({"k": ["a", "b", "c"], "v": [1, 2, 3]}), spark)
     right = SparkFrame.of(pd.DataFrame({"k": ["b", "c", "d"], "v": [20, 30, 40]}), spark)

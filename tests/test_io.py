@@ -48,6 +48,11 @@ def test_parquet_roundtrip(sample, tmp_path):
     pd.testing.assert_frame_equal(orig, back[orig.columns])
 
 
+def test_orc_roundtrip(sample, tmp_path):
+    orig, back = _roundtrip(sample, str(tmp_path / "t.orc"), "orc")
+    pd.testing.assert_frame_equal(orig, back[orig.columns])
+
+
 def test_csv_roundtrip(sample, tmp_path):
     orig, back = _roundtrip(sample, str(tmp_path / "t.csv"), "csv")
     assert back["i"].tolist() == [1, 2, 3]
