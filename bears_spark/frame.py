@@ -872,6 +872,40 @@ class SparkFrame:
             return False
         return self.df.exceptAll(other.df).isEmpty() and other.df.exceptAll(self.df).isEmpty()
 
+    def combine_first(self, other: "SparkFrame", on: str | Sequence[str]) -> "SparkFrame":
+        """pandas combine_first with an explicit key (Spark has no implicit
+        row index; the reference delegates the pandas method,
+        ScalableDataFrame.py:1370): NULL holes in self are patched from
+        ``other``, the row set is the key-union, and columns align as
+        self's columns then other's extras — the CDC/upsert-apply shape.
+
+        Plan: ONE full-outer equi-join on the key + a coalesce projection;
+        with both sides bucketed/pre-partitioned on the key it is
+        exchange-free. Scales as any key-partitioned join — no windows, no
+        driver-side alignment."""
+        keys = [on] if isinstance(on, str) else list(on)
+        left, right = self.df.alias("__l__"), other.df.alias("__r__")
+        cond = None
+        for k in keys:
+            c = F.col(f"__l__.{k}").eqNullSafe(F.col(f"__r__.{k}"))
+            cond = c if cond is None else (cond & c)
+        joined = left.join(right, on=cond, how="full_outer")
+        l_cols, r_cols = set(self.df.columns), set(other.df.columns)
+        out: list[Column] = []
+        for k in keys:
+            out.append(F.coalesce(F.col(f"__l__.{k}"), F.col(f"__r__.{k}")).alias(k))
+        for c in self.df.columns:
+            if c in keys:
+                continue
+            if c in r_cols:
+                out.append(F.coalesce(F.col(f"__l__.{c}"), F.col(f"__r__.{c}")).alias(c))
+            else:
+                out.append(F.col(f"__l__.{c}").alias(c))
+        for c in other.df.columns:
+            if c not in keys and c not in l_cols:
+                out.append(F.col(f"__r__.{c}").alias(c))
+        return SparkFrame(joined.select(*out))
+
     # ---------------- missing data ----------------
     def isna(self) -> "SparkFrame":
         return SparkFrame(self.df.select(*[F.col(c).isNull().alias(c) for c in self.df.columns]))

@@ -423,6 +423,72 @@ FROM customer ORDER BY c_custkey
 """
 
 
+# --------------------------------------------------------------------------
+# orders_combine_first: the CDC/upsert-apply shape — NULL holes in a base
+# frame patched from an updates frame, key-union row set, passthrough of
+# columns absent from the updates side (pandas combine_first with an
+# explicit key; one full-outer join).
+def orders_combine_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.frame import SparkFrame
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    upd = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", (F.col("o_totalprice") + 1000).alias("o_totalprice")
+    )
+    return SparkFrame(base).combine_first(SparkFrame(upd), on="o_orderkey").df.orderBy("o_orderkey")
+
+
+ORDERS_COMBINE_FIRST_SQL = """
+WITH base AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS o_totalprice,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+), upd AS (
+  SELECT o_orderkey, o_totalprice + 1000 AS o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT coalesce(b.o_orderkey, u.o_orderkey) AS o_orderkey,
+       coalesce(b.o_totalprice, u.o_totalprice) AS o_totalprice,
+       b.o_orderpriority
+FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+ORDER BY o_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# pruned_scan_customer: the Reader registry's schema-pruned scan with
+# missing-column tolerance — data_schema requests two real columns plus one
+# absent from the file; the select pushes column pruning into the parquet
+# scan (ReadSchema shows only the two) and the absent column is dropped.
+def pruned_scan_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.io.reader import Reader
+    from bears_spark.types import MLType
+
+    sfr = Reader.of("parquet").read(
+        f"{sf_dir}/customer.parquet",
+        spark=spark,
+        data_schema={
+            "c_custkey": MLType.INT,
+            "c_mktsegment": MLType.CATEGORICAL,
+            "c_not_in_file": MLType.TEXT,
+        },
+    )
+    return sfr.df.orderBy("c_custkey")
+
+
+PRUNED_SCAN_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer ORDER BY c_custkey
+"""
+
+
 QUERIES.update(
     {
         "ev_pivot_user_type": ev_pivot_user_type,
@@ -430,6 +496,8 @@ QUERIES.update(
         "q18_big_orders": q18_big_orders,
         "orders_above_cust_avg": orders_above_cust_avg,
         "segment_demeaned_balance": segment_demeaned_balance,
+        "orders_combine_first": orders_combine_first,
+        "pruned_scan_customer": pruned_scan_customer,
     }
 )
 
@@ -440,5 +508,7 @@ ORACLES.update(
         "q18_big_orders": Q18_SQL,
         "orders_above_cust_avg": ORDERS_ABOVE_AVG_SQL,
         "segment_demeaned_balance": SEGMENT_DEMEANED_SQL,
+        "orders_combine_first": ORDERS_COMBINE_FIRST_SQL,
+        "pruned_scan_customer": PRUNED_SCAN_SQL,
     }
 )

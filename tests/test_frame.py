@@ -94,6 +94,17 @@ def test_groupby(sf):
     assert sf.groupby("k").size().shape == (3, 2)
 
 
+def test_combine_first(spark):
+    base = SparkFrame.of(pd.DataFrame({"k": [1, 2, 3], "v": [10.0, None, 30.0], "o": ["a", "b", "c"]}), spark)
+    upd = SparkFrame.of(pd.DataFrame({"k": [2, 4], "v": [200.0, 400.0], "extra": ["x", "y"]}), spark)
+    out = base.combine_first(upd, on="k").to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(out.columns) == ["k", "v", "o", "extra"]  # self cols then other's extras
+    assert out["k"].tolist() == [1, 2, 3, 4]  # key-union row set
+    assert out["v"].tolist() == [10.0, 200.0, 30.0, 400.0]  # hole patched, self wins elsewhere
+    assert out["o"].tolist() == ["a", "b", "c", None]  # passthrough col null for update-only row
+    assert out["extra"].tolist() == [None, "x", None, "y"]
+
+
 def test_groupby_transform(sf):
     # pandas groupby().transform parity: aggregate broadcast back to rows
     out = sf.groupby("k").transform({"a": ["sum", "count"], "b": "max"}).to_pandas()
