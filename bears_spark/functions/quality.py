@@ -122,14 +122,60 @@ def top_ngram_repetition(df: DataFrame, text_col: str = "text", id_col: str = "d
     )
 
 
-def hash_sample(df: DataFrame, id_col: str, pct: int, salt: int | str = 0) -> DataFrame:
+def hash_sample(df: DataFrame, id_col: str, pct: int, salt: int | str = 0, complement: bool = False) -> DataFrame:
     """Deterministic ~pct% sample: keep rows where a 60-bit md5 hash of the
     id falls in the first pct of 100 buckets. Pure filter — no shuffle, no
-    seed-vs-partitioning coupling — and the complement (``>= pct``) is an
-    exact disjoint split, which is what a train/held-out cut needs."""
+    seed-vs-partitioning coupling. ``complement=True`` returns exactly the
+    OTHER rows (buckets >= pct), so the two calls form an exact disjoint
+    train/held-out split."""
     if not 0 <= pct <= 100:
         raise ValueError(f"pct must be in [0, 100], got {pct}")
-    return df.filter(md5_hash64(F.col(id_col), salt=salt) % 100 < pct)
+    bucket = md5_hash64(F.col(id_col), salt=salt) % 100
+    return df.filter(bucket >= pct if complement else bucket < pct)
+
+
+def ngram_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Train/test decontamination: per test document, how many distinct word
+    n-grams it shares with the train corpus and how many distinct train
+    documents share them — the standard benchmark-leakage check run before
+    training (n=8..13 word grams in common recipes).
+
+    Shape: explode distinct n-grams on both sides -> equi-join on the gram
+    -> per-test-doc distinct counts. Never pairwise over documents; cost is
+    the gram join. ``max_doc_freq`` drops grams appearing in more than that
+    many TRAIN docs before the join (broadcast anti-join against the tiny
+    hot set) — at web scale boilerplate grams are both quadratic join keys
+    and meaningless as leakage evidence. Test docs with no overlap are
+    absent from the output (inner join): at corpus scale the clean set is
+    the overwhelming majority and materializing explicit zeros for it is
+    pure waste; left-join a zero default at the call site if needed."""
+    tr = train.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(F.array_distinct(word_ngrams(F.lower(F.col(text_col)), n))).alias("gram"),
+    )
+    if max_doc_freq is not None:
+        hot = (
+            tr.groupBy("gram")
+            .agg(F.count("*").alias("__df__"))
+            .filter(F.col("__df__") > max_doc_freq)
+            .select("gram")
+        )
+        tr = tr.join(F.broadcast(hot), on="gram", how="left_anti")
+    te = test.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.lower(F.col(text_col)), n))).alias("gram"),
+    )
+    return te.join(tr, on="gram").groupBy(id_col).agg(
+        F.countDistinct("gram").alias("n_hit_grams"),
+        F.countDistinct("train_id").alias("n_train_docs"),
+    )
 
 
 def stratified_hash_sample(

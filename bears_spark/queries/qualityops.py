@@ -273,6 +273,36 @@ FROM per ORDER BY tf DESC, term LIMIT 50
 """
 
 
+# --------------------------------------------------------------------------
+# doc_decontaminate: train/test leakage check — split the corpus with the
+# deterministic hash (25% test at salt 7), then per test doc count distinct
+# word trigrams shared with the train side and distinct train docs sharing
+# them. Never doc-pairwise: one equi-join on the gram.
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.quality import ngram_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    test = hash_sample(docs, "doc_id", _SAMPLE_PCT, salt=_SAMPLE_SALT)
+    train = hash_sample(docs, "doc_id", _SAMPLE_PCT, salt=_SAMPLE_SALT, complement=True)
+    return ngram_contamination(train, test, "text", "doc_id", n=3).orderBy("doc_id")
+
+
+DOC_DECONTAMINATE_SQL = f"""
+WITH grams AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('{_SAMPLE_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < {_SAMPLE_PCT} AS is_test,
+         unnest(list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS gram
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS w FROM documents) WHERE len(w) >= 3
+)
+SELECT t.doc_id,
+       count(DISTINCT t.gram) AS n_hit_grams,
+       count(DISTINCT r.doc_id) AS n_train_docs
+FROM (SELECT * FROM grams WHERE is_test) t
+JOIN (SELECT * FROM grams WHERE NOT is_test) r USING (gram)
+GROUP BY t.doc_id ORDER BY 1
+"""
+
+
 QUERIES = {
     "doc_gopher_quality": doc_gopher_quality,
     "doc_top2gram_repetition": doc_top2gram_repetition,
@@ -281,6 +311,7 @@ QUERIES = {
     "pii_redact_contacts": pii_redact_contacts,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_vocabulary_topk": doc_vocabulary_topk,
+    "doc_decontaminate": doc_decontaminate,
 }
 
 ORACLES = {
@@ -291,4 +322,5 @@ ORACLES = {
     "pii_redact_contacts": PII_REDACT_SQL,
     "doc_stratified_sample": DOC_STRATIFIED_SQL,
     "doc_vocabulary_topk": DOC_VOCAB_SQL,
+    "doc_decontaminate": DOC_DECONTAMINATE_SQL,
 }

@@ -68,6 +68,34 @@ def test_stratified_hash_sample(spark):
         stratified_hash_sample(df, "k", "s", {"a": 200})
 
 
+def test_hash_sample_complement_is_exact_split(spark):
+    from bears_spark.functions.quality import hash_sample
+
+    df = spark.range(500).withColumnRenamed("id", "k")
+    kept = {r["k"] for r in hash_sample(df, "k", 30, salt=5).collect()}
+    rest = {r["k"] for r in hash_sample(df, "k", 30, salt=5, complement=True).collect()}
+    assert kept | rest == set(range(500)) and not (kept & rest)
+
+
+def test_ngram_contamination(spark):
+    from bears_spark.functions.quality import ngram_contamination
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "dogs bark at the moon")], ["doc_id", "text"]
+    )
+    test = spark.createDataFrame(
+        [(10, "the cat sat quietly"), (11, "fish swim in water"), (12, "cat sat on cushions")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in ngram_contamination(train, test, n=3).collect()}
+    assert out[10]["n_hit_grams"] == 1 and out[10]["n_train_docs"] == 1  # "the cat sat"
+    assert out[12]["n_hit_grams"] == 1  # "cat sat on"
+    assert 11 not in out  # clean doc absent (inner join)
+    # df-cap: a gram in >max_doc_freq train docs stops counting as evidence
+    capped = ngram_contamination(train, test, n=3, max_doc_freq=0).count()
+    assert capped == 0
+
+
 def test_vocabulary(spark):
     from bears_spark.functions.quality import vocabulary
 
