@@ -303,6 +303,32 @@ GROUP BY t.doc_id ORDER BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# doc_pack_sequences: GPT-style sequence packing — concatenate docs per
+# hash shard in doc_id order, chunk into 256-token bins, report each doc's
+# (shard, bin, offset). Pure integer window arithmetic, exact cross-engine.
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.text import token_count
+    from bears_spark.stream import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").withColumn("n_tok", token_count("text"))
+    return pack_sequences(docs, "doc_id", "n_tok", capacity=256, num_shards=4).orderBy("doc_id")
+
+
+DOC_PACK_SQL = r"""
+WITH t AS (
+  SELECT doc_id, doc_id % 4 AS shard,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, shard,
+         CAST(sum(n) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS strt
+  FROM t
+)
+SELECT doc_id, shard, strt // 256 AS bin, strt % 256 AS offset FROM c ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "doc_gopher_quality": doc_gopher_quality,
     "doc_top2gram_repetition": doc_top2gram_repetition,
@@ -312,6 +338,7 @@ QUERIES = {
     "doc_stratified_sample": doc_stratified_sample,
     "doc_vocabulary_topk": doc_vocabulary_topk,
     "doc_decontaminate": doc_decontaminate,
+    "doc_pack_sequences": doc_pack_sequences,
 }
 
 ORACLES = {
@@ -323,4 +350,5 @@ ORACLES = {
     "doc_stratified_sample": DOC_STRATIFIED_SQL,
     "doc_vocabulary_topk": DOC_VOCAB_SQL,
     "doc_decontaminate": DOC_DECONTAMINATE_SQL,
+    "doc_pack_sequences": DOC_PACK_SQL,
 }

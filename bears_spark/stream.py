@@ -43,6 +43,49 @@ def shard(df: DataFrame, rank: int, world_size: int, id_col: str | None = None, 
     return df.filter(~cond if reverse else cond)
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    capacity: int,
+    num_shards: int = 1,
+    order_col: str | None = None,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in a deterministic
+    order and chunk the token stream into fixed-``capacity`` training bins;
+    report each document's (shard, bin, offset).
+
+    Parallelized by hash-sharding: docs go to ``pmod(id, num_shards)``
+    shards, and packing runs independently per shard as ONE window pass
+    (cumulative token sum in ``order_col`` order; bin = start-position div
+    capacity, offset = start mod capacity — a doc may straddle bins, as the
+    concatenate-and-chunk recipe does). All integer arithmetic — exactly
+    reproducible on any engine. At scale the shard count bounds window
+    partition size; an unsharded call funnels the corpus through one task,
+    so pick num_shards ≈ corpus_tokens / (executor-sized chunk)."""
+    from pyspark.sql import Window
+
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    if num_shards <= 0:
+        raise ValueError(f"num_shards must be positive, got {num_shards}")
+    order = order_col or id_col
+    staged = df.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col).cast("bigint"), F.lit(num_shards)).alias("shard"),
+        F.col(token_count_col).cast("bigint").alias("__t__"),
+        *([F.col(order)] if order != id_col else []),
+    )
+    w = Window.partitionBy("shard").orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
+    with_start = staged.withColumn("__start__", F.sum("__t__").over(w) - F.col("__t__"))
+    return with_start.select(
+        id_col,
+        "shard",
+        F.expr(f"__start__ div {int(capacity)}").alias("bin"),
+        (F.col("__start__") % capacity).alias("offset"),
+    )
+
+
 def stream_frame(
     frame,
     num_rows: int | None = None,

@@ -96,6 +96,22 @@ def test_ngram_contamination(spark):
     assert capped == 0
 
 
+def test_pack_sequences(spark):
+    from bears_spark.stream import pack_sequences
+
+    df = spark.createDataFrame(
+        [(0, 100), (2, 100), (4, 100), (1, 50)], ["doc_id", "n_tok"]
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(df, "doc_id", "n_tok", capacity=256, num_shards=2).collect()}
+    # shard 0 packs ids 0,2,4 in order: starts 0,100,200 -> bins 0,0,0; offsets 0,100,200
+    assert (out[0]["shard"], out[0]["bin"], out[0]["offset"]) == (0, 0, 0)
+    assert (out[2]["bin"], out[2]["offset"]) == (0, 100)
+    assert (out[4]["bin"], out[4]["offset"]) == (0, 200)  # straddles into bin 1
+    assert (out[1]["shard"], out[1]["bin"], out[1]["offset"]) == (1, 0, 0)
+    with pytest.raises(ValueError):
+        pack_sequences(df, "doc_id", "n_tok", capacity=0)
+
+
 def test_vocabulary(spark):
     from bears_spark.functions.quality import vocabulary
 
