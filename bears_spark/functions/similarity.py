@@ -42,6 +42,54 @@ def cosine_topk(df: DataFrame, id_col: str, vec_col: str, query_vec: Sequence[fl
     )
 
 
+def rp_signs(dim: int, out_dim: int, salt: int = 0) -> list[list[int]]:
+    """Deterministic ±1 (Achlioptas-style) random-projection matrix: sign of
+    component (i, j) from the low bit of md5. Pure Python at plan-build
+    time — baked into the plan as literals, reproducible on any engine."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"rp{salt}:{i}:{j}".encode()).hexdigest()[:15], 16) & 1 else -1
+            for j in range(dim)
+        ]
+        for i in range(out_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame, id_col: str, vec_col: str, dim: int, out_dim: int = 8, salt: int = 0, scale: int = 1_000_000
+) -> DataFrame:
+    """Signed ±1 random projection — the cheap Johnson-Lindenstrauss
+    dimensionality reduction used to shrink embeddings before clustering or
+    coarse ANN. Components come out as exact integers in 1/``scale`` units:
+    vectors are quantized with floor(v*scale) (floor of an identical IEEE
+    double is bit-deterministic on every engine, unlike round()'s
+    tie-breaking) and each output is a ±sum of quantized components —
+    integer arithmetic end to end, so an independent engine reproduces it
+    exactly.
+
+    Plan shape: one staged quantization projection (the token-array rule:
+    stage once, read out_dim times — no CSE across projection elements),
+    then out_dim zip_with/aggregate passes over the staged array. Map-only;
+    no shuffle; O(dim*out_dim) per row."""
+    signs = rp_signs(dim, out_dim, salt)
+    staged = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: F.floor(x * F.lit(float(scale))).cast("long")).alias("__q__"),
+    )
+    outs = []
+    for i, row in enumerate(signs):
+        srow = F.array(*[F.lit(s) for s in row])
+        comp = F.aggregate(
+            F.zip_with(F.col("__q__"), srow, lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        outs.append(comp.alias(f"p{i}"))
+    return staged.select(id_col, *outs)
+
+
 def _hyperplane(plane_idx: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane: component j = centered value
     from md5(plane_idx:j). Matches nothing engine-specific — pure Python at

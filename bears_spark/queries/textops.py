@@ -449,3 +449,42 @@ FROM documents ORDER BY doc_id
 
 QUERIES["doc_token_counts"] = doc_token_counts
 ORACLES["doc_token_counts"] = DOC_TOKEN_COUNTS_SQL
+
+
+# --------------------------------------------------------------------------
+# emb_random_projection: signed ±1 Johnson-Lindenstrauss projection of the
+# 64-d embeddings to 8 exact-integer components (floor-quantized micros;
+# floor of an identical IEEE double is bit-deterministic cross-engine,
+# round() is not). Oracle SQL is GENERATED from the same rp_signs matrix —
+# the minhash-coefficient precedent.
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.similarity import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return random_projection(emb, "vec_id", "embedding", dim=64, out_dim=8, salt=3).orderBy("vec_id")
+
+
+def _rp_sql() -> str:
+    from bears_spark.functions.similarity import rp_signs
+
+    comps = []
+    for i, row in enumerate(rp_signs(64, 8, salt=3)):
+        terms = "".join(
+            ("+" if s > 0 else "-") + f" v[{j + 1}] " for j, s in enumerate(row)
+        ).lstrip("+ ")
+        comps.append(f"CAST({terms} AS BIGINT) AS p{i}")
+    cols = ",\n       ".join(comps)
+    return f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+  FROM embeddings
+)
+SELECT vec_id, {cols}
+FROM q ORDER BY vec_id
+"""
+
+
+EMB_RP_SQL = _rp_sql()
+
+QUERIES["emb_random_projection"] = emb_random_projection
+ORACLES["emb_random_projection"] = EMB_RP_SQL

@@ -176,6 +176,22 @@ def test_cosine_topk(spark):
     assert [r["id"] for r in top] == [1, 2]
 
 
+def test_random_projection_matches_numpy(spark):
+    import numpy as np
+
+    vecs = [[0.5, -1.25, 2.0], [0.1, 0.2, 0.3]]
+    df = spark.createDataFrame(pd.DataFrame({"id": [1, 2], "vec": vecs}))
+    out = {r["id"]: [r[f"p{i}"] for i in range(4)] for r in sim.random_projection(df, "id", "vec", dim=3, out_dim=4, salt=3).collect()}
+    signs = np.array(sim.rp_signs(3, 4, salt=3))
+    assert set(signs.flatten()) <= {-1, 1}
+    for rid, v in zip([1, 2], vecs):
+        q = np.floor(np.array(v, dtype=np.float64) * 1_000_000).astype(np.int64)
+        assert out[rid] == list(signs @ q)
+    # deterministic matrix: same salt same signs, different salt differs
+    assert sim.rp_signs(3, 4, salt=3) == sim.rp_signs(3, 4, salt=3)
+    assert sim.rp_signs(3, 4, salt=4) != sim.rp_signs(3, 4, salt=3)
+
+
 def test_lsh_topk_recalls_exact_neighbor(spark):
     pdf = pd.DataFrame({"id": list(range(20)), "vec": [[float(i), 1.0, float(i % 3)] for i in range(20)]})
     df = spark.createDataFrame(pdf)
