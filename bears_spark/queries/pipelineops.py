@@ -439,3 +439,41 @@ ORACLES = {
     "doc_concat_affix": DOC_CONCAT_AFFIX_SQL,
     "lang_mode_imputation": LANG_MODE_IMPUTATION_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# cust_balance_quartiles: QuantileBinning fit+transform — exact interior
+# quartile boundaries baked as literals, per-customer bin assignment plus
+# per-bin counts. Oracle recomputes quantile_cont boundaries independently;
+# bin ASSIGNMENTS are engine-exact because an interpolated boundary lies
+# strictly between two data values (see QuantileBinning docstring).
+def cust_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.processor.numeric import QuantileBinning
+
+    cust = load_table(spark, sf_dir, "customer")
+    binner = QuantileBinning(num_bins=4)
+    binner.fit(cust, ["c_acctbal"])
+    return (
+        binner.apply(cust, "c_acctbal", "bal_bin")
+        .select("c_custkey", "bal_bin")
+        .orderBy("c_custkey")
+    )
+
+
+CUST_BALANCE_QUARTILES_SQL = """
+WITH b AS (
+  SELECT quantile_cont(c_acctbal, 0.25) AS q1,
+         quantile_cont(c_acctbal, 0.50) AS q2,
+         quantile_cont(c_acctbal, 0.75) AS q3
+  FROM customer
+)
+SELECT c_custkey,
+       CAST(CASE WHEN c_acctbal <= q1 THEN 0
+                 WHEN c_acctbal <= q2 THEN 1
+                 WHEN c_acctbal <= q3 THEN 2
+                 ELSE 3 END AS INTEGER) AS bal_bin
+FROM customer, b ORDER BY c_custkey
+"""
+
+QUERIES["cust_balance_quartiles"] = cust_balance_quartiles
+ORACLES["cust_balance_quartiles"] = CUST_BALANCE_QUARTILES_SQL

@@ -41,6 +41,23 @@ def test_string_removal(spark):
     assert _apply1(spark, get_processor("stringremoval", removals=["foo", "-"]), ["a-foo-b"]) == ["ab"]
 
 
+def test_quantile_binning(spark):
+    vals = [float(i) for i in range(1, 101)]  # 1..100
+    df = spark.createDataFrame(pd.DataFrame({"c": vals + [None]}))
+    proc = get_processor("qbin", num_bins=4)
+    proc.fit(df, ["c"])
+    # R-7 quartiles of 1..100: 25.75 / 50.5 / 75.25
+    assert proc.boundaries_ == [25.75, 50.5, 75.25]
+    out = {r["c"]: r["out"] for r in proc.apply(df, "c", "out").collect()}
+    assert out[25.0] == 0 and out[26.0] == 1 and out[50.0] == 1
+    assert out[51.0] == 2 and out[76.0] == 3 and out[100.0] == 3
+    assert out[None] is None
+    with pytest.raises(ValueError):
+        get_processor("qbin", num_bins=1)
+    with pytest.raises(RuntimeError):
+        get_processor("qbin").transform_expr(F.col("c"))
+
+
 def test_pii_redaction(spark):
     text = "mail a.b+c@mail.co or 555-123-4567, host 192.168.0.1 end"
     assert _apply1(spark, get_processor("piiredact"), [text]) == [
