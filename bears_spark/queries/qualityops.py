@@ -352,3 +352,39 @@ ORACLES = {
     "doc_decontaminate": DOC_DECONTAMINATE_SQL,
     "doc_pack_sequences": DOC_PACK_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# doc_balanced_sample: exactly-k-per-stratum deterministic sampling —
+# row_number over (md5 hash, id) per language, keep rn <= 20. The
+# hash-order makes the pick uniform-ish but fully reproducible; rn <= k
+# compiles to WindowGroupLimit (per-group top-k pruning before the sort).
+def doc_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from bears_spark.functions.hashing import md5_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(md5_hash64(F.col("doc_id"), salt=13).asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "doc_id", "rn")
+        .orderBy("lang", "rn")
+    )
+
+
+DOC_BALANCED_SAMPLE_SQL = """
+WITH ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5('13:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn FROM ranked WHERE rn <= 20 ORDER BY lang, rn
+"""
+
+QUERIES["doc_balanced_sample"] = doc_balanced_sample
+ORACLES["doc_balanced_sample"] = DOC_BALANCED_SAMPLE_SQL
