@@ -388,3 +388,54 @@ SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn FROM ranked WHERE rn <= 20 ORDER B
 
 QUERIES["doc_balanced_sample"] = doc_balanced_sample
 ORACLES["doc_balanced_sample"] = DOC_BALANCED_SAMPLE_SQL
+
+
+# --------------------------------------------------------------------------
+# corpus_mixture_by_source: per-source document and token accounting with
+# corpus shares — the mixture table a training run reports. The corpus
+# totals use the broadcast-fit pattern (persist the tiny per-source
+# aggregate, collect the one-row total, bake it into the projection as
+# literals — same as processor fit state): a join of a 1-row side plans
+# as BroadcastNestedLoopJoin (audit-forbidden) and a constant-key
+# equi-join constant-folds back to it, while an unpartitioned window
+# would funnel everything through one task. Shares are single int/int
+# divisions.
+def corpus_mixture_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").withColumn("n_tok", token_count("text").cast("bigint"))
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+    per = per.persist()
+    trow = per.agg(
+        F.sum("n_docs").alias("t_docs"),
+        F.sum("n_tokens").alias("t_tokens"),
+    ).first()
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_docs") / F.lit(int(trow["t_docs"]))).alias("doc_share"),
+        (F.col("n_tokens") / F.lit(int(trow["t_tokens"]))).alias("token_share"),
+    ).orderBy("source")
+
+
+CORPUS_MIXTURE_SQL = r"""
+WITH per AS (
+  SELECT source,
+         count(*) AS n_docs,
+         CAST(sum(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), total AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs, CAST(sum(n_tokens) AS BIGINT) AS t_tokens FROM per
+)
+SELECT source, n_docs, n_tokens,
+       n_docs / t_docs AS doc_share,
+       n_tokens / t_tokens AS token_share
+FROM per, total ORDER BY source
+"""
+
+QUERIES["corpus_mixture_by_source"] = corpus_mixture_by_source
+ORACLES["corpus_mixture_by_source"] = CORPUS_MIXTURE_SQL
