@@ -19,6 +19,16 @@ from bears_spark.functions.text import (
 )
 from bears_spark.functions.hashing import md5_hash64, minhash_signature, simhash64
 from bears_spark.functions.vectors import cosine_similarity, dot, l2_norm
+from bears_spark.functions.quality import (
+    gopher_quality,
+    gopher_keep,
+    word_quality_stats,
+    top_ngram_repetition,
+    hash_sample,
+    stratified_hash_sample,
+    ngram_contamination,
+    vocabulary,
+)
 
 __all__ = [
     "tokenize",
@@ -37,4 +47,12 @@ __all__ = [
     "cosine_similarity",
     "dot",
     "l2_norm",
+    "gopher_quality",
+    "gopher_keep",
+    "word_quality_stats",
+    "top_ngram_repetition",
+    "hash_sample",
+    "stratified_hash_sample",
+    "ngram_contamination",
+    "vocabulary",
 ]
