@@ -380,3 +380,34 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             break
     edges.unpersist()
     return labels.select("id", F.col("comp").alias("component"))
+
+
+def levenshtein_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Exact edit-distance VERIFY stage for the dedup ladder: given candidate
+    pairs (from MinHash/SimHash/Jaccard blocking), attach the true
+    Levenshtein distance and keep pairs within ``max_distance``.
+
+    Levenshtein is O(len_a * len_b) per pair — never run it corpus-pairwise
+    (measured: blocking the raw corpus on (lang, token_count) at sf0.1 cost
+    65 s for 4 survivors); run it on the candidate set, which sketch-based
+    blocking has already cut to near the true-duplicate count. Two
+    broadcast-sized hash joins fetch the texts; the distance itself is a
+    JVM built-in (F.levenshtein), identical integer semantics in DuckDB.
+    """
+    texts_a = docs.select(F.col(id_col).alias(id_a), F.col(text_col).alias("__ta__"))
+    texts_b = docs.select(F.col(id_col).alias(id_b), F.col(text_col).alias("__tb__"))
+    return (
+        pairs.join(texts_a, id_a)
+        .join(texts_b, id_b)
+        .withColumn("edit_dist", F.levenshtein(F.col("__ta__"), F.col("__tb__")))
+        .filter(F.col("edit_dist") <= max_distance)
+        .select(id_a, id_b, "edit_dist")
+    )

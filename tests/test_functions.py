@@ -97,6 +97,16 @@ def test_minhash_finds_near_dups(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_levenshtein_verify(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today ok"
+    near = base.replace("today", "tonight")
+    texts = [base, near, "completely different words entirely unrelated content here now then"]
+    df = spark.createDataFrame(pd.DataFrame({"id": [1, 2, 3], "t": texts}))
+    cands = spark.createDataFrame(pd.DataFrame({"id_a": [1, 1], "id_b": [2, 3]}))
+    out = {(r["id_a"], r["id_b"]): r["edit_dist"] for r in dd.levenshtein_verify(cands, df, "id", "t", max_distance=10).collect()}
+    assert out == {(1, 2): 5}  # today->tonight is 5 edits; (1,3) filtered
+
+
 def test_ngram_jaccard(spark):
     df = spark.createDataFrame(
         pd.DataFrame({"id": [1, 2], "t": ["a b c d e", "a b c d x"]})
