@@ -488,3 +488,43 @@ EMB_RP_SQL = _rp_sql()
 
 QUERIES["emb_random_projection"] = emb_random_projection
 ORACLES["emb_random_projection"] = EMB_RP_SQL
+
+
+# --------------------------------------------------------------------------
+# dedup_verified_pairs: the full two-stage dedup ladder under the gate —
+# MinHash-LSH candidate generation followed by the exact Levenshtein
+# verify stage (sketches to cut the corpus to candidates, exact distance
+# only on candidates). Oracle composes the generated MinHash SQL as a CTE
+# with DuckDB's levenshtein (identical integer semantics to Spark's).
+_VERIFY_MAX_DIST = 40
+
+
+def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cands = dd.minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS, ngram_n=_NGRAM_N
+    )
+    return dd.levenshtein_verify(cands, docs, "doc_id", "text", max_distance=_VERIFY_MAX_DIST).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _verified_pairs_sql() -> str:
+    cand_body = MINHASH_LSH_SQL.rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH cand AS (
+{cand_body}
+)
+SELECT c.id_a, c.id_b, levenshtein(a.text, b.text) AS edit_dist
+FROM cand c
+JOIN documents a ON a.doc_id = c.id_a
+JOIN documents b ON b.doc_id = c.id_b
+WHERE levenshtein(a.text, b.text) <= {_VERIFY_MAX_DIST}
+ORDER BY c.id_a, c.id_b
+"""
+
+
+DEDUP_VERIFIED_SQL = _verified_pairs_sql()
+
+QUERIES["dedup_verified_pairs"] = dedup_verified_pairs
+ORACLES["dedup_verified_pairs"] = DEDUP_VERIFIED_SQL
