@@ -128,6 +128,39 @@ def fingerprint64(col: Column | str) -> Column:
     return md5_hash64(normalized)
 
 
+def winnow_fingerprints(df, text_col: str, id_col: str, k: int = 5, window: int = 4):
+    """Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm): hash every character k-shingle, take the minimum hash in
+    each sliding window of ``window`` consecutive shingles, and keep the
+    distinct minima. Guarantees a shared fingerprint for any match of
+    length >= k + window - 1 while storing ~2/(window+1) of the shingles —
+    the standard local fingerprinting scheme for overlap/plagiarism
+    detection at corpus scale (index the exploded (fingerprint, doc) pairs
+    and candidate pairs come from an equi-join, like the dedup ladder).
+
+    Frame-level on purpose: the shingle-hash array is STAGED in its own
+    projection, because the windowed-min chain references it window+1
+    times and Catalyst does no CSE across those references (a pure-Column
+    version would recompute shingles+md5 per reference). Minima are a
+    zip_with chain of least over shifted slices. Returns (id, fingerprints
+    array<bigint>); docs shorter than one window fall back to their
+    distinct shingle hashes. All md5-based integer hashing — exactly
+    reproducible cross-engine."""
+    from bears_spark.functions.hashing import md5_hash64
+
+    staged = df.select(
+        F.col(id_col),
+        F.transform(char_shingles(text_col, k), lambda s: md5_hash64(s)).alias("__h__"),
+    )
+    h = F.col("__h__")
+    m = F.size(h) - (window - 1)
+    mins = F.slice(h, 1, m)
+    for j in range(1, window):
+        mins = F.zip_with(mins, F.slice(h, j + 1, m), lambda a, b: F.least(a, b))
+    fp = F.when(F.size(h) >= window, F.array_distinct(mins)).otherwise(F.array_distinct(h))
+    return staged.select(id_col, fp.alias("fingerprints"))
+
+
 def word_ngrams(col: Column | str, n: int = 3) -> Column:
     """Word n-grams as array<string> (space-joined).
 

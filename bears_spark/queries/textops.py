@@ -528,3 +528,37 @@ DEDUP_VERIFIED_SQL = _verified_pairs_sql()
 
 QUERIES["dedup_verified_pairs"] = dedup_verified_pairs
 ORACLES["dedup_verified_pairs"] = DEDUP_VERIFIED_SQL
+
+
+# --------------------------------------------------------------------------
+# doc_winnow_fingerprints: winnowing (MOSS) local fingerprints — windowed
+# minima over md5 shingle hashes, exploded to (doc, fingerprint) rows.
+# Every doc in the test corpus exceeds k + window - 1 chars, so the oracle
+# skips the short-doc fallback branch the function carries.
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.text import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = winnow_fingerprints(docs, "text", "doc_id", k=5, window=4)
+    return wf.select("doc_id", F.explode("fingerprints").alias("fp")).orderBy("doc_id", "fp")
+
+
+DOC_WINNOW_SQL = f"""
+WITH norm AS (
+  SELECT doc_id, {_NORM} AS s FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_transform(range(1, length(s) - 3), i -> substr(s, i, 5)) AS shingles
+  FROM norm WHERE length(s) >= 8
+), h_t AS (
+  SELECT doc_id, list_transform(shingles, x -> {_hex2int("'0:' || x")}) AS h FROM sh
+), mins AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(h) - 2), i -> least(h[i], h[i+1], h[i+2], h[i+3]))) AS fps
+  FROM h_t
+)
+SELECT doc_id, unnest(fps) AS fp FROM mins ORDER BY doc_id, fp
+"""
+
+QUERIES["doc_winnow_fingerprints"] = doc_winnow_fingerprints
+ORACLES["doc_winnow_fingerprints"] = DOC_WINNOW_SQL

@@ -97,6 +97,22 @@ def test_minhash_finds_near_dups(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_winnow_fingerprints(spark):
+    from bears_spark.functions.text import winnow_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog and keeps running onward"
+    texts = [base, "PREFIX padding here " + base, "zz"]  # shared region; short doc
+    df = spark.createDataFrame(pd.DataFrame({"id": [1, 2, 3], "t": texts}))
+    out = {r["id"]: set(r["fingerprints"]) for r in winnow_fingerprints(df, "t", "id").collect()}
+    # winnowing guarantee: a shared substring >= k+window-1 chars shares fingerprints
+    assert out[1] & out[2]
+    # short doc falls back to distinct shingle hashes ("zz" has none at k=5)
+    assert out[3] == set()
+    # deterministic across calls
+    again = {r["id"]: set(r["fingerprints"]) for r in winnow_fingerprints(df, "t", "id").collect()}
+    assert again == out
+
+
 def test_levenshtein_verify(spark):
     base = "the quick brown fox jumps over the lazy dog again and again today ok"
     near = base.replace("today", "tonight")
