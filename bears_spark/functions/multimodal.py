@@ -7,9 +7,10 @@ FitzPdfReader.py:17). The engine treats assets as opaque ``binary`` columns
 with a struct metadata column; decode / resize / frame-sample run as
 Arrow-batched pandas functions over mapInPandas.
 
-Decode paths: PPM(P6) and uncompressed 24-bit BMP decode natively (pure
-numpy — no external libraries); jpeg/png/gif route through Pillow when
-importable, else raise NotImplementedError. ``fake=True`` substitutes a
+Decode paths: PPM(P6), uncompressed 24-bit BMP, and 8-bit PNG (all color
+types, stdlib zlib inflate + spec §9 unfiltering) decode natively — no
+external libraries; jpeg/gif route through Pillow when importable, else
+raise NotImplementedError. ``fake=True`` substitutes a
 deterministic content-hash-seeded decode so the Spark-side plumbing —
 schema, batching, partitioning — stays testable for every format.
 """
@@ -119,19 +120,108 @@ def decode_bmp(content: bytes) -> np.ndarray:
     return rows[..., ::-1].copy()  # BGR -> RGB
 
 
+def _png_unfilter(filt: int, row: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """Reverse one PNG scanline filter (spec §9): 0 None, 1 Sub, 2 Up,
+    3 Average, 4 Paeth. ``row`` is the filtered bytes, ``prev`` the
+    reconstructed prior scanline (zeros for the first)."""
+    if filt == 0:
+        return row
+    if filt == 2:  # Up — fully vectorized
+        return (row + prev).astype(np.uint8)
+    if filt == 1:  # Sub — cumulative sum per byte position within pixel
+        cols = row.reshape(-1, bpp).astype(np.int64)
+        return (np.cumsum(cols, axis=0) % 256).astype(np.uint8).reshape(-1)
+    out = np.zeros_like(row)
+    for x in range(len(row)):
+        a = int(out[x - bpp]) if x >= bpp else 0  # left
+        b = int(prev[x])  # up
+        if filt == 3:  # Average
+            out[x] = (int(row[x]) + (a + b) // 2) & 0xFF
+        else:  # Paeth
+            c = int(prev[x - bpp]) if x >= bpp else 0  # upper-left
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[x] = (int(row[x]) + pred) & 0xFF
+    return out
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decode -> HxWx3 uint8 RGB (no Pillow).
+
+    zlib (stdlib) inflates the concatenated IDAT stream; scanline filters
+    None/Sub/Up/Average/Paeth are reversed per spec §9. Supports bit depth 8
+    with color types 0 (gray), 2 (RGB), 3 (palette via PLTE), 4 (gray+alpha),
+    6 (RGBA) and non-interlaced layout — the shape every standard encoder
+    emits by default. Alpha is dropped (decoders here feed RGB feature
+    extraction); Adam7 interlace and 16-bit depth raise.
+    """
+    import zlib
+
+    if not content.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = bytearray()
+    plte: np.ndarray | None = None
+    w = h = depth = color = interlace = None
+    while pos + 8 <= len(content):
+        length = int.from_bytes(content[pos : pos + 4], "big")
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # skip CRC
+        if ctype == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, color, interlace = data[8], data[9], data[12]
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or interlace != 0:
+        raise ValueError(f"only 8-bit non-interlaced PNG supported (depth={depth}, interlace={interlace})")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {color}")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * channels
+    raw = raw.reshape(h, stride + 1)  # each scanline: 1 filter byte + pixels
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        prev = _png_unfilter(int(raw[y, 0]), raw[y, 1:].copy(), prev, channels)
+        out[y] = prev
+    px = out.reshape(h, w, channels)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        return plte[px[..., 0]].copy()
+    if color == 0:
+        return np.repeat(px, 3, axis=2).copy()
+    if color == 4:
+        return np.repeat(px[..., :1], 3, axis=2).copy()
+    return px[..., :3].copy()  # RGB / RGBA (alpha dropped)
+
+
 def decode_image_batch(content: bytes, fake: bool = False) -> np.ndarray:
     """Decode one image payload -> HxWx3 uint8 array.
 
-    Real decode paths: PPM(P6) and 24-bit BMP are pure numpy (always
-    available); other formats use Pillow when importable. jpeg/png decode in
-    a Pillow-less container raises unless ``fake=True``, which produces a
-    deterministic 8x8x3 array seeded by the content hash — stable across
-    runs/engines, so the Spark plumbing stays testable for every format."""
+    Real decode paths: PPM(P6), 24-bit BMP, and 8-bit PNG are pure
+    numpy/stdlib (always available); other formats use Pillow when
+    importable. jpeg decode in a Pillow-less container raises unless
+    ``fake=True``, which produces a deterministic 8x8x3 array seeded by the
+    content hash — stable across runs/engines, so the Spark plumbing stays
+    testable for every format."""
     if not fake:
         if content.startswith(b"P6"):
             return decode_ppm(content)
         if content.startswith(b"BM"):
             return decode_bmp(content)
+        if content.startswith(b"\x89PNG"):
+            return decode_png(content)
         try:
             import io
 
@@ -141,7 +231,7 @@ def decode_image_batch(content: bytes, fake: bool = False) -> np.ndarray:
             return arr
         except ImportError:
             raise NotImplementedError(
-                "jpeg/png decode requires Pillow (absent here); PPM/BMP decode natively"
+                "jpeg decode requires Pillow (absent here); PPM/BMP/PNG decode natively"
             ) from None
     seed = int(hashlib.md5(content).hexdigest()[:8], 16)
     rng = np.random.RandomState(seed)

@@ -9,6 +9,7 @@ more than verifiability.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -191,3 +192,26 @@ def char_shingles(col: Column | str, k: int = 5) -> Column:
     for j in range(1, k):
         out = F.zip_with(out, F.slice(chars, j + 1, m), lambda a, b: F.concat(a, b))
     return F.when(n >= k, out).otherwise(F.array().cast("array<string>"))
+
+
+def unicode_normalize(col: Column | str, form: str = "NFC") -> Column:
+    """Unicode normalization (NFC/NFD/NFKC/NFKD) of a string column.
+
+    Spark SQL has no built-in Unicode normalizer, so this is the canonical
+    pandas-UDF escape hatch: Arrow-batched ``unicodedata.normalize`` — never
+    a row-at-a-time Python UDF. Essential corpus hygiene before any
+    fingerprint/dedup pass: visually-identical strings with composed vs
+    decomposed accents (e.g. ``é`` vs ``e``+U+0301) hash differently until
+    normalized. DuckDB's ``nfc_normalize`` reproduces the NFC form exactly
+    (same Unicode tables), so the op is oracle-gradeable cross-engine.
+    """
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @F.pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda x: unicodedata.normalize(form, x) if x is not None else None)
+
+    return _norm(F.col(col) if isinstance(col, str) else col)

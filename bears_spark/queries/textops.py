@@ -562,3 +562,45 @@ SELECT doc_id, unnest(fps) AS fp FROM mins ORDER BY doc_id, fp
 
 QUERIES["doc_winnow_fingerprints"] = doc_winnow_fingerprints
 ORACLES["doc_winnow_fingerprints"] = DOC_WINNOW_SQL
+
+
+# --- Unicode NFC normalization (corpus hygiene before fingerprint/dedup) ---
+# The synthetic corpus is pure ASCII (NFC would be the identity), so the query
+# appends a decomposed-accent suffix (e + U+0301, i + U+0308, A + U+030A) to
+# every document; composing them shrinks the char count by exactly 3 and the
+# hashed tail verifies the composed output bytes, not just lengths.
+_NFC_SUFFIX = " café naïve Å"
+
+
+def doc_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.text import unicode_normalize
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(F.col("text"), F.lit(_NFC_SUFFIX))
+    nfc = unicode_normalize(aug, "NFC")
+    return (
+        docs.select(
+            "doc_id",
+            F.length(aug).alias("n_chars_raw"),
+            F.length(nfc).alias("n_chars_nfc"),
+            F.substring(nfc, -13, 13).alias("norm_tail"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_NFC_SQL = """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' cafe' || chr(769) || ' nai' || chr(776) || 've A' || chr(778) AS s
+  FROM documents
+)
+SELECT doc_id,
+       length(s) AS n_chars_raw,
+       length(nfc_normalize(s)) AS n_chars_nfc,
+       substr(nfc_normalize(s), -13, 13) AS norm_tail
+FROM aug ORDER BY doc_id
+"""
+
+QUERIES["doc_nfc_normalize"] = doc_nfc_normalize
+ORACLES["doc_nfc_normalize"] = DOC_NFC_SQL

@@ -346,3 +346,25 @@ def test_bpe_token_count(spark):
     assert _one(spark, bpe_token_count(F.col("t")), t="2024-01") == 3
     assert _one(spark, bpe_token_count(F.col("t")), t="hello world") == 2
     assert _one(spark, bpe_token_count(F.col("t")), t="") == 0
+
+
+def test_unicode_normalize_forms(spark):
+    import pytest as _pytest
+
+    from bears_spark.functions.text import unicode_normalize
+
+    df = spark.createDataFrame(
+        [("café",), ("ﬁne",), (None,)], ["t"]  # e+combining acute; fi ligature
+    )
+    out = df.select(
+        unicode_normalize("t", "NFC").alias("nfc"),
+        unicode_normalize("t", "NFKC").alias("nfkc"),
+        unicode_normalize("t", "NFD").alias("nfd"),
+    ).collect()
+    assert out[0]["nfc"] == "café"  # composed
+    assert out[0]["nfd"] == "café"  # stays decomposed
+    assert out[1]["nfc"] == "ﬁne"  # NFC keeps compatibility ligature
+    assert out[1]["nfkc"] == "fine"  # NFKC folds it
+    assert out[2]["nfc"] is None
+    with _pytest.raises(ValueError, match="normalization form"):
+        unicode_normalize("t", "NFX")

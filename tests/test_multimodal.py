@@ -103,6 +103,108 @@ def test_decode_bmp_roundtrip():
     assert (decode_image_batch(_make_bmp(arr)) == arr).all()
 
 
+def _png_chunk(ctype, data):
+    import struct
+    import zlib
+
+    return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", zlib.crc32(ctype + data))
+
+
+def _make_png(arr, color_type=2, filters=None, palette=None):
+    """Minimal PNG encoder (8-bit, non-interlaced) with per-row filter choice
+    — lets the test exercise every unfilter branch of the decoder."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    ch = arr.shape[2] if arr.ndim == 3 else 1
+    px = arr.reshape(h, w * ch).astype(np.int64)
+    filters = filters or [0] * h
+    out = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        raw, f = px[y], filters[y]
+        if f == 0:
+            filt = raw
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(ch, dtype=np.int64), raw[:-ch]])
+            filt = raw - left
+        elif f == 2:  # Up
+            filt = raw - prev
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(ch, dtype=np.int64), raw[:-ch]])
+            filt = raw - (left + prev) // 2
+        else:  # Paeth
+            filt = np.zeros(w * ch, dtype=np.int64)
+            for x in range(w * ch):
+                a = int(raw[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[x] = raw[x] - pred
+        out += bytes([f]) + (filt % 256).astype(np.uint8).tobytes()
+        prev = raw
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    png = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        png += _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    png += _png_chunk(b"IDAT", zlib.compress(bytes(out))) + _png_chunk(b"IEND", b"")
+    return png
+
+
+def test_decode_png_rgb_all_filters():
+    import numpy as np
+
+    from bears_spark.functions.multimodal import decode_png
+
+    rng = np.random.RandomState(9)
+    arr = rng.randint(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    out = decode_png(_make_png(arr, color_type=2, filters=[0, 1, 2, 3, 4]))
+    assert (out == arr).all()
+    assert (decode_image_batch(_make_png(arr, color_type=2)) == arr).all()
+
+
+def test_decode_png_rgba_gray_palette():
+    import numpy as np
+
+    from bears_spark.functions.multimodal import decode_png
+
+    rng = np.random.RandomState(10)
+    rgba = rng.randint(0, 256, size=(3, 4, 4), dtype=np.uint8)
+    assert (decode_png(_make_png(rgba, color_type=6, filters=[4, 1, 3])) == rgba[..., :3]).all()
+    gray = rng.randint(0, 256, size=(4, 3), dtype=np.uint8)
+    out = decode_png(_make_png(gray, color_type=0, filters=[0, 2, 1, 4]))
+    assert (out == np.repeat(gray[..., None], 3, axis=2)).all()
+    pal = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, size=(3, 5), dtype=np.uint8)
+    assert (decode_png(_make_png(idx, color_type=3, palette=pal)) == pal[idx]).all()
+
+
+def test_decode_png_rejects_16bit_and_interlace():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from bears_spark.functions.multimodal import decode_png
+
+    arr = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = _make_png(arr)
+    # flip depth byte to 16 in IHDR (offset: 8 sig + 8 chunk hdr + 8 w/h)
+    bad_depth = bytearray(good)
+    bad_depth[24] = 16
+    with pytest.raises(ValueError, match="only 8-bit"):
+        decode_png(bytes(bad_depth))
+    bad_il = bytearray(good)
+    bad_il[28] = 1  # interlace byte
+    with pytest.raises(ValueError, match="only 8-bit"):
+        decode_png(bytes(bad_il))
+
+
 def test_extract_image_features_real_decode(spark, tmp_path):
     import numpy as np
 
@@ -110,9 +212,10 @@ def test_extract_image_features_real_decode(spark, tmp_path):
     arr[..., 0] = 200  # pure-red image: mean_r=200, mean_g=mean_b=0
     (tmp_path / "red.ppm").write_bytes(_make_ppm(arr))
     (tmp_path / "red.bmp").write_bytes(_make_bmp(arr))
+    (tmp_path / "red.png").write_bytes(_make_png(arr, filters=[1, 4, 2, 3, 0, 4]))
     feats = extract_image_features(load_assets(spark, str(tmp_path)), fake=False)
     rows = {r["fmt"]: r for r in feats.collect()}
-    assert set(rows) == {"ppm", "bmp"}
+    assert set(rows) == {"ppm", "bmp", "png"}
     for r in rows.values():
         assert r["mean_r"] == 200.0 and r["mean_g"] == 0.0 and r["mean_b"] == 0.0
         assert r["h"] == 6 and r["w"] == 4
