@@ -16,6 +16,7 @@ from bears_spark.queries import events as ev
 from bears_spark.queries import pipelineops as po
 from bears_spark.queries import qualityops as ql
 from bears_spark.queries import relational as rel
+from bears_spark.queries import sketchops as sk
 from bears_spark.queries import textops as tx
 from bears_spark.queries import tpch
 
@@ -93,8 +94,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {**_TPCH_QUERIES, **rel.QUERIES, **ev.QUERIES, **tx.QUERIES, **po.QUERIES, **ql.QUERIES}
+    return {**_TPCH_QUERIES, **rel.QUERIES, **ev.QUERIES, **tx.QUERIES, **po.QUERIES, **ql.QUERIES, **sk.QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**_TPCH_ORACLES, **rel.ORACLES, **ev.ORACLES, **tx.ORACLES, **po.ORACLES, **ql.ORACLES}
+    return {**_TPCH_ORACLES, **rel.ORACLES, **ev.ORACLES, **tx.ORACLES, **po.ORACLES, **ql.ORACLES, **sk.ORACLES}

@@ -1,0 +1,271 @@
+"""Sketch-based approximate aggregation + data-layout operators.
+
+Fixed-size-state summaries are the scale path for 100 TB interactive
+analytics: a HyperLogLog register table is 2^p rows no matter how many
+input rows it summarizes, a count-min sketch is depth*width counters, a
+Bloom filter is m bits. Each operator here is a *deterministic* sketch
+built from the shared md5 hash family (``functions/hashing.md5_hash64``),
+so an independent engine (the DuckDB oracle) reproduces the sketch — and
+its estimates — bit-for-bit. Spark's own ``approx_count_distinct`` /
+``count_min_sketch`` builtins are faster but engine-opaque; these exist to
+make the *algorithm* a first-class, verifiable operator.
+
+The reference has no sketches (beyond-scope capability per SURVEY.md §2 —
+its nearest surface is ``ScalableSeries.nunique`` which is exact-only,
+src/bears/core/frame/ScalableSeries.py:968); these follow the published
+algorithms: HLL (Flajolet et al. 2007), CMS (Cormode & Muthukrishnan
+2005), Bloom (1970), Z-order (Morton 1966).
+
+Cross-engine exactness strategy: every sketch register is computed in
+signed-int64 arithmetic (md5 → 60-bit int, mod/shift/mask); the only
+floating-point step is the final HLL estimate, a single
+literal/int64 IEEE division that is bit-identical everywhere. No float
+summation anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bears_spark.functions.hashing import md5_hash64
+
+# --------------------------------------------------------------------------
+# HyperLogLog
+
+HLL_HASH_BITS = 60  # md5_hash64 yields values in [0, 2^60)
+
+
+def hll_alpha(m: int) -> float:
+    """Standard HLL bias-correction constant (Flajolet et al. 2007 Fig. 3)."""
+    if m >= 128:
+        return 0.7213 / (1 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+
+
+def hll_registers(
+    df: DataFrame,
+    col: str,
+    p: int = 10,
+    out_bucket: str = "bucket",
+    out_rho: str = "rho",
+    with_exact: bool = False,
+) -> DataFrame:
+    """HLL register table: 2^p rows of (bucket, max leading-zero rank).
+
+    bucket = low p bits of the 60-bit hash; rho = 1 + leading zeros of the
+    remaining (60-p)-bit word. Bit length is computed as
+    ``length(bin(w))`` — exact integer arithmetic, no log2 float round-off
+    (DuckDB mirrors with ``length(bin(w))``).
+
+    One shuffle on a uniform 2^p-ary key with map-side partial max — the
+    classic mergeable-sketch shape; at 100 TB the reduce state is still
+    2^p rows.
+    """
+    m = 1 << p
+    h = md5_hash64(F.col(col))
+    # h div 2^p via shiftright — h is a 60-bit value, so going through the
+    # Column `/` operator (double division) would lose bits past 2^53.
+    w = F.shiftright(h, p)
+    wbits = HLL_HASH_BITS - p
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(F.lit(wbits + 1) - F.length(F.bin(w)))
+    aggs = [F.max(out_rho).alias(out_rho)]
+    if with_exact:
+        # every key lands in exactly one bucket (bucket = f(hash(key))), so
+        # per-bucket distinct counts sum to the global exact distinct —
+        # lets callers get sketch + ground truth from ONE scan, no join
+        aggs.append(F.countDistinct(col).alias("nd"))
+    return (
+        df.select(F.col(col), (h % m).alias(out_bucket), rho.cast("int").alias(out_rho))
+        .groupBy(out_bucket)
+        .agg(*aggs)
+    )
+
+
+def hll_estimate(df: DataFrame, col: str, p: int = 10, with_exact: bool = False) -> DataFrame:
+    """One-row DataFrame: deterministic raw-HLL distinct estimate of ``col``.
+
+    Columns: ``n_buckets_hit`` (registers with data), ``sum_scaled``
+    (integer-exact sum of 2^(S-rho), S = 61-p, empty registers contribute
+    2^S), ``hll_estimate`` (alpha * m^2 / sum 2^-rho).
+
+    The scaled sum keeps all 2^-rho mass in int64 (max m * 2^S = 2^61), so
+    register-merge order can't perturb the result; the estimate is then a
+    single literal/int64 division — IEEE-identical across engines. Raw
+    estimator only (no small-range linear-counting branch): deterministic
+    for any input, accurate for n >> 2.5*m.
+    """
+    m = 1 << p
+    s = HLL_HASH_BITS + 1 - p  # max rho, so 2^(S-rho) >= 1 stays integral
+    regs = hll_registers(df, col, p, with_exact=with_exact)
+    numer = hll_alpha(m) * m * m * (1 << s)  # exact double literal, same in SQL
+    aggs = [
+        F.count("*").alias("n_buckets_hit"),
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {s} - rho)"))
+            + (F.lit(m) - F.count("*")) * F.lit(1 << s).cast("bigint")
+        ).alias("sum_scaled"),
+    ]
+    out = ["n_buckets_hit", "sum_scaled", (F.lit(numer) / F.col("sum_scaled")).alias("hll_estimate")]
+    if with_exact:
+        aggs.append(F.sum("nd").alias("exact_distinct"))
+        out.append("exact_distinct")
+    return regs.agg(*aggs).select(*out)
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch
+
+
+def cms_build(df: DataFrame, col: str, depth: int = 4, width: int = 512) -> DataFrame:
+    """Count-min sketch of ``col`` frequencies: (row, bucket, cnt) counters.
+
+    Row i uses hash h_i(x) = md5('i:'||x) % width. One explode (depth rows
+    per input) + one shuffle on (row, bucket) with map-side partial count;
+    reduce state is depth*width counters regardless of input size. Counters
+    are exact int64 — the sketch is deterministic, only lookups are
+    approximate (over-counting from collisions).
+    """
+    hashes = F.array(
+        *[
+            F.struct(F.lit(i).alias("row"), (md5_hash64(F.col(col), salt=i) % width).alias("bucket"))
+            for i in range(depth)
+        ]
+    )
+    cell = F.explode(hashes).alias("cell")
+    return (
+        df.select(cell)
+        .select(F.col("cell.row").alias("row"), F.col("cell.bucket").alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_lookup(sketch: DataFrame, probes: DataFrame, col: str, depth: int = 4, width: int = 512) -> DataFrame:
+    """Point-estimate frequencies for ``probes[col]`` from a cms_build sketch.
+
+    est(x) = min over rows i of sketch[i, h_i(x)] — the classic CMS lookup;
+    guaranteed >= true count, over by at most ~n/width w.h.p. The sketch is
+    tiny (depth*width rows) so Spark broadcast-joins it to the probes.
+    """
+    hashes = F.array(
+        *[
+            F.struct(F.lit(i).alias("row"), (md5_hash64(F.col(col), salt=i) % width).alias("bucket"))
+            for i in range(depth)
+        ]
+    )
+    probed = probes.select(F.col(col), F.explode(hashes).alias("cell")).select(
+        col, F.col("cell.row").alias("row"), F.col("cell.bucket").alias("bucket")
+    )
+    return (
+        probed.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0).cast("bigint"))).alias("cms_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter join pruning
+
+
+def bloom_positions(key: Column, m_bits: int, k: int) -> Column:
+    """array<bigint> of the k Bloom bit positions for a key."""
+    return F.array(*[md5_hash64(key, salt=i) % m_bits for i in range(k)])
+
+
+def bloom_build(small: DataFrame, key: str, m_bits: int = 4096, k: int = 3) -> set[int]:
+    """Fit phase: the set of Bloom bit positions lit by the build side.
+
+    Driver-side state is bounded by m_bits (<= m_bits/8 bytes as a bitmap)
+    regardless of build-side row count — the standard fit→broadcast pattern
+    (same shape as LabelEncoding/TFIDF fit). The distinct() runs
+    distributed; only <= m_bits ints are collected.
+    """
+    rows = (
+        small.select(F.explode(bloom_positions(F.col(key), m_bits, k)).alias("pos")).distinct().collect()
+    )
+    return {r["pos"] for r in rows}
+
+
+def bloom_prune(big: DataFrame, key: str, positions: set[int], m_bits: int = 4096, k: int = 3) -> DataFrame:
+    """Filter ``big`` to rows whose key passes the Bloom membership test.
+
+    The bitmap becomes a literal array<boolean> of m_bits entries; each row
+    costs k (hash, mod, element_at) integer ops — pure codegen'd
+    expressions, no Python, no join. False positives pass (removed by the
+    real join that follows); false negatives are impossible, so
+    ``bloom_prune(big) JOIN small == big JOIN small`` exactly.
+
+    At scale this cuts the shuffle *before* it happens: a selective build
+    side (e.g. one nation's suppliers) prunes the fact-table shuffle by the
+    filter's selectivity — the same job AQE's runtime bloom filter does,
+    but usable explicitly, with a tunable m/k, and above any expression
+    (AQE's requires a join the optimizer can already see).
+    """
+    bitmap = F.array(*[F.lit(i in positions) for i in range(m_bits)])
+    cond = None
+    for i in range(k):
+        probe = F.element_at(bitmap, (md5_hash64(F.col(key), salt=i) % m_bits).cast("int") + 1)
+        cond = probe if cond is None else (cond & probe)
+    return big.filter(cond)
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) clustering
+
+
+def zorder_quantize(col: Column, vmin: Column | int, vmax: Column | int, bits: int) -> Column:
+    """Scale an integer column into [0, 2^bits): ((v-min)*(2^bits-1)) div (max-min).
+
+    All-integer arithmetic — no float division that could round differently
+    across engines. Degenerate max==min maps to 0.
+    """
+    vmin_c = F.lit(vmin) if isinstance(vmin, int) else vmin
+    vmax_c = F.lit(vmax) if isinstance(vmax, int) else vmax
+    span = (vmax_c - vmin_c).cast("bigint")
+    scaled = (col.cast("bigint") - vmin_c.cast("bigint")) * F.lit((1 << bits) - 1).cast("bigint")
+    # Exact integer floor-division without `div` (Column `/` is double
+    # division, which can round a just-below-integer quotient up): subtract
+    # the remainder first so the quotient is an exact multiple — IEEE
+    # division of exactly-divisible <2^53 values is then exact.
+    exact_q = ((scaled - F.pmod(scaled, span)) / span).cast("bigint")
+    return F.when(span == 0, F.lit(0).cast("bigint")).otherwise(exact_q)
+
+
+def zorder_key(cols: list[Column], bits: int = 8) -> Column:
+    """Interleave the low ``bits`` bits of each (already-quantized) column
+    into one Morton key: bit j of column c lands at position j*n_cols + c.
+
+    Built as a sum of (bit << target) terms — integer-exact, reproducible in
+    any engine with div/mod.
+    """
+    n = len(cols)
+    terms = []
+    for ci, c in enumerate(cols):
+        cb = c.cast("bigint")
+        for j in range(bits):
+            terms.append(
+                F.when(cb.bitwiseAND(F.lit(1 << j).cast("bigint")) != 0, F.lit(1 << (j * n + ci)).cast("bigint")).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def zorder_layout(df: DataFrame, quantized_cols: list[Column], bits: int = 8, num_partitions: int | None = None) -> DataFrame:
+    """Cluster ``df`` by the Morton key of the given quantized columns:
+    range-partition + sort-within-partition on the z-value.
+
+    The write-side payoff: parquet row-group min/max on EVERY interleaved
+    dimension becomes selective, so point/range predicates on any of the
+    dimensions prune row groups (multi-dimensional data skipping), where a
+    plain sort only skips on its leading column. ``repartitionByRange``
+    samples the key distribution, so partition bounds adapt to skew.
+    """
+    z = zorder_key(quantized_cols, bits).alias("__zorder__")
+    with_z = df.withColumn("__zorder__", z)
+    n = num_partitions or with_z.rdd.getNumPartitions()
+    return with_z.repartitionByRange(n, "__zorder__").sortWithinPartitions("__zorder__").drop("__zorder__")

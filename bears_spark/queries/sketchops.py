@@ -1,0 +1,206 @@
+"""Graded sketch/layout queries: HyperLogLog, count-min sketch, Bloom-pruned
+join, and Z-order clustering keys — each verified against an independent
+DuckDB re-implementation of the same published algorithm.
+
+Cross-engine exactness: all sketch state is signed-int64 arithmetic over the
+shared md5 hash family (functions/hashing.py); the only float op is HLL's
+final literal/int64 division (single IEEE op, bit-identical). See
+functions/sketch.py for the 100 TB rationale per operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bears_spark.functions.sketch import (
+    HLL_HASH_BITS,
+    bloom_build,
+    bloom_prune,
+    cms_build,
+    cms_lookup,
+    hll_alpha,
+    hll_estimate,
+    zorder_key,
+    zorder_quantize,
+)
+from bears_spark.queries.tables import load_table
+
+# DuckDB text of md5_hash64(x, salt) — keep in lockstep with hashing.py.
+def _duck_h64(expr: str, salt: str) -> str:
+    return f"('0x' || substr(md5({salt} || ':' || CAST({expr} AS VARCHAR)), 1, 15))::BIGINT"
+
+
+# --------------------------------------------------------------------------
+# hll_distinct_orderkeys: deterministic HyperLogLog estimate of
+# count(DISTINCT l_orderkey), alongside the exact answer.
+_HLL_P = 10
+_HLL_M = 1 << _HLL_P
+_HLL_S = HLL_HASH_BITS + 1 - _HLL_P  # 51
+_HLL_NUMER = hll_alpha(_HLL_M) * _HLL_M * _HLL_M * (1 << _HLL_S)
+
+
+def hll_distinct_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # with_exact: the register aggregation also carries per-bucket distinct
+    # counts, whose sum is the exact global distinct — sketch + ground truth
+    # from one scan, no join in the plan
+    return hll_estimate(li, "l_orderkey", p=_HLL_P, with_exact=True)
+
+
+_HLL_WBITS = HLL_HASH_BITS - _HLL_P
+HLL_DISTINCT_SQL = f"""
+WITH h AS (
+  SELECT l_orderkey, {_duck_h64("l_orderkey", "'0'")} AS hv FROM lineitem
+), regs AS (
+  SELECT hv % {_HLL_M} AS bucket,
+         max(CASE WHEN hv // {_HLL_M} = 0 THEN {_HLL_WBITS + 1}
+                  ELSE {_HLL_WBITS + 1} - length(bin(hv // {_HLL_M})) END) AS rho,
+         count(DISTINCT l_orderkey) AS nd
+  FROM h GROUP BY 1
+), agg AS (
+  SELECT count(*) AS n_buckets_hit,
+         CAST(sum((1::BIGINT) << ({_HLL_S} - rho)) AS BIGINT)
+           + ({_HLL_M} - count(*)) * ((1::BIGINT) << {_HLL_S}) AS sum_scaled,
+         CAST(sum(nd) AS BIGINT) AS exact_distinct
+  FROM regs
+)
+SELECT n_buckets_hit, sum_scaled,
+       {_HLL_NUMER!r} / sum_scaled AS hll_estimate,
+       exact_distinct
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# cms_user_counts: count-min sketch of per-user event frequencies, probed at
+# the 10 most active users; estimate >= exact always (one-sided error).
+_CMS_D = 4
+_CMS_W = 512
+
+
+def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_cnt"))
+    probes = exact.orderBy(F.desc("exact_cnt"), F.asc("user_id")).limit(10)
+    sketch = cms_build(ev, "user_id", depth=_CMS_D, width=_CMS_W)
+    est = cms_lookup(sketch, probes.select("user_id"), "user_id", depth=_CMS_D, width=_CMS_W)
+    return probes.join(est, "user_id").select("user_id", "exact_cnt", "cms_cnt").orderBy("user_id")
+
+
+CMS_USER_SQL = f"""
+WITH exact AS (
+  SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1
+), probes AS (
+  SELECT user_id, exact_cnt FROM exact ORDER BY exact_cnt DESC, user_id LIMIT 10
+), cells AS (
+  SELECT t.i AS row, {_duck_h64("user_id", "CAST(t.i AS VARCHAR)")} % {_CMS_W} AS bucket
+  FROM events, range({_CMS_D}) t(i)
+), sketch AS (
+  SELECT row, bucket, CAST(count(*) AS BIGINT) AS c FROM cells GROUP BY 1, 2
+), lookups AS (
+  SELECT p.user_id,
+         min(s.c) AS cms_cnt
+  FROM probes p
+  CROSS JOIN range({_CMS_D}) t(i)
+  JOIN sketch s
+    ON s.row = t.i
+   AND s.bucket = {_duck_h64("p.user_id", "CAST(t.i AS VARCHAR)")} % {_CMS_W}
+  GROUP BY 1
+)
+SELECT p.user_id, p.exact_cnt, l.cms_cnt
+FROM probes p JOIN lookups l USING (user_id)
+ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# bloom_pruned_nation_volume: shipped volume per supplier of one nation,
+# with the lineitem scan Bloom-pruned on l_suppkey BEFORE the join shuffle.
+# The oracle is the PLAIN join — Bloom false negatives are impossible, so
+# pruned-then-joined must equal joined exactly.
+_BLOOM_M = 4096
+_BLOOM_K = 3
+_BLOOM_NATION = 3
+
+
+def bloom_pruned_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == _BLOOM_NATION)
+    li = load_table(spark, sf_dir, "lineitem")
+    positions = bloom_build(sup, "s_suppkey", m_bits=_BLOOM_M, k=_BLOOM_K)
+    pruned = bloom_prune(li, "l_suppkey", positions, m_bits=_BLOOM_M, k=_BLOOM_K)
+    return (
+        pruned.join(sup, pruned["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("s_suppkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double").alias("sum_qty"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+BLOOM_NATION_SQL = f"""
+SELECT s_suppkey, count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+WHERE s_nationkey = {_BLOOM_NATION}
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# orders_zorder_keys: Morton (Z-order) clustering key over
+# (o_custkey, days(o_orderdate)) at 8 bits per dimension — the layout key
+# zorder_layout() range-partitions by for multi-dimensional data skipping.
+_Z_BITS = 8
+
+
+def orders_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).cast("bigint")
+    base = o.select("o_orderkey", F.col("o_custkey").alias("ck"), day.alias("day"))
+    mm = base.agg(F.min("ck"), F.max("ck"), F.min("day"), F.max("day")).first()
+    q_cust = zorder_quantize(F.col("ck"), int(mm[0]), int(mm[1]), _Z_BITS)
+    q_day = zorder_quantize(F.col("day"), int(mm[2]), int(mm[3]), _Z_BITS)
+    quantized = base.select("o_orderkey", q_cust.alias("q_cust"), q_day.alias("q_day"))
+    zval = zorder_key([F.col("q_cust"), F.col("q_day")], bits=_Z_BITS)
+    return quantized.select("o_orderkey", "q_cust", "q_day", zval.alias("zval"))
+
+
+_Z_TERMS = " + ".join(
+    f"(((q_cust >> {j}) & 1) << {2 * j}) + (((q_day >> {j}) & 1) << {2 * j + 1})"
+    for j in range(_Z_BITS)
+)
+ORDERS_ZORDER_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey AS ck,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+  FROM orders
+), mm AS (
+  SELECT min(ck) AS cmin, max(ck) AS cmax, min(day) AS dmin, max(day) AS dmax FROM base
+), q AS (
+  SELECT o_orderkey,
+         CASE WHEN cmax = cmin THEN CAST(0 AS BIGINT)
+              ELSE ((ck - cmin) * {(1 << _Z_BITS) - 1}) // (cmax - cmin) END AS q_cust,
+         CASE WHEN dmax = dmin THEN CAST(0 AS BIGINT)
+              ELSE ((day - dmin) * {(1 << _Z_BITS) - 1}) // (dmax - dmin) END AS q_day
+  FROM base, mm
+)
+SELECT o_orderkey, q_cust, q_day, CAST({_Z_TERMS} AS BIGINT) AS zval FROM q
+"""
+
+
+QUERIES = {
+    "hll_distinct_orderkeys": hll_distinct_orderkeys,
+    "cms_user_counts": cms_user_counts,
+    "bloom_pruned_nation_volume": bloom_pruned_nation_volume,
+    "orders_zorder_keys": orders_zorder_keys,
+}
+
+ORACLES = {
+    "hll_distinct_orderkeys": HLL_DISTINCT_SQL,
+    "cms_user_counts": CMS_USER_SQL,
+    "bloom_pruned_nation_volume": BLOOM_NATION_SQL,
+    "orders_zorder_keys": ORDERS_ZORDER_SQL,
+}

@@ -1,0 +1,116 @@
+"""Sketch + layout operator tests: HLL, CMS, Bloom pruning, Z-order."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bears_spark.functions.sketch import (
+    bloom_build,
+    bloom_prune,
+    cms_build,
+    cms_lookup,
+    hll_estimate,
+    hll_registers,
+    zorder_key,
+    zorder_layout,
+    zorder_quantize,
+)
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    # 5000 rows over 1000 distinct keys, skewed: key k appears (k % 10) + 1 times
+    rows = [(k,) for k in range(1000) for _ in range((k % 10) + 1)]
+    return spark.createDataFrame(rows, "key: bigint")
+
+
+def test_hll_registers_shape(spark, keyed):
+    regs = hll_registers(keyed, "key", p=6).toPandas()
+    assert len(regs) <= 64
+    assert (regs["rho"] >= 1).all() and (regs["rho"] <= 55).all()
+
+
+def test_hll_estimate_accuracy(spark):
+    # raw HLL is accurate only for n >> 2.5*m (below that the published
+    # algorithm switches to linear counting, which we deliberately omit to
+    # stay deterministic) — so test in its regime: n=20000 vs m=1024.
+    df = spark.range(20000).select(F.col("id").alias("key"))
+    row = hll_estimate(df, "key", p=10).first()
+    rel_err = abs(row["hll_estimate"] - 20000) / 20000
+    assert rel_err < 0.10  # expected sigma = 1.04/sqrt(1024) ~ 3.3%
+    assert row["n_buckets_hit"] <= 1024
+
+
+def test_hll_deterministic(spark, keyed):
+    a = hll_estimate(keyed, "key", p=8).first()["hll_estimate"]
+    b = hll_estimate(keyed.repartition(7), "key", p=8).first()["hll_estimate"]
+    assert a == b  # partitioning/merge order cannot perturb the integer sum
+
+
+def test_cms_overestimates_never_under(spark, keyed):
+    exact = {r["key"]: r["cnt"] for r in keyed.groupBy("key").agg(F.count("*").alias("cnt")).collect()}
+    sketch = cms_build(keyed, "key", depth=4, width=256)
+    probes = spark.createDataFrame([(k,) for k in range(0, 1000, 97)], "key: bigint")
+    est = {r["key"]: r["cms_cnt"] for r in cms_lookup(sketch, probes, "key", depth=4, width=256).collect()}
+    assert set(est) == {k for k in range(0, 1000, 97)}
+    for k, e in est.items():
+        assert e >= exact[k]  # CMS error is one-sided
+        assert e <= exact[k] + 5000 * 4 / 256  # ~n*e/w bound, loose
+
+
+def test_cms_sketch_size_fixed(spark, keyed):
+    sketch = cms_build(keyed, "key", depth=4, width=64)
+    assert sketch.count() <= 4 * 64
+
+
+def test_bloom_prune_no_false_negatives(spark, keyed):
+    small = keyed.filter(F.col("key") % 100 == 3).select(F.col("key").alias("k")).distinct()
+    positions = bloom_build(small, "k", m_bits=1024, k=3)
+    assert 0 < len(positions) <= min(1024, 3 * 10)
+    pruned = bloom_prune(keyed, "key", positions, m_bits=1024, k=3)
+    joined_pruned = pruned.join(small, pruned["key"] == small["k"]).groupBy("key").count()
+    joined_plain = keyed.join(small, keyed["key"] == small["k"]).groupBy("key").count()
+    a = {(r["key"], r["count"]) for r in joined_pruned.collect()}
+    b = {(r["key"], r["count"]) for r in joined_plain.collect()}
+    assert a == b
+
+
+def test_bloom_prune_selectivity(spark, keyed):
+    small = keyed.filter(F.col("key") < 10).select(F.col("key").alias("k")).distinct()
+    positions = bloom_build(small, "k", m_bits=4096, k=3)
+    kept = bloom_prune(keyed, "key", positions, m_bits=4096, k=3).count()
+    # 10 true keys -> 55 matching rows; false-positive rate at 30/4096 bits
+    # set is ~4e-8, so the pruned count should be (nearly) exactly the match
+    assert kept <= 100
+
+
+def test_zorder_quantize_exact_bounds(spark):
+    df = spark.createDataFrame([(v,) for v in range(0, 1001)], "v: bigint")
+    q = df.select(zorder_quantize(F.col("v"), 0, 1000, 8).alias("q")).toPandas()["q"]
+    assert q.min() == 0 and q.max() == 255
+    assert (q == (pd.Series(range(0, 1001)) * 255 // 1000)).all()
+
+
+def test_zorder_key_interleaves(spark):
+    df = spark.createDataFrame([(0, 0), (1, 0), (0, 1), (3, 3), (255, 255)], "a: bigint, b: bigint")
+    z = df.select("a", "b", zorder_key([F.col("a"), F.col("b")], bits=8).alias("z")).collect()
+    got = {(r["a"], r["b"]): r["z"] for r in z}
+    assert got[(0, 0)] == 0
+    assert got[(1, 0)] == 1  # bit 0 of col a -> z bit 0
+    assert got[(0, 1)] == 2  # bit 0 of col b -> z bit 1
+    assert got[(3, 3)] == 15
+    assert got[(255, 255)] == 65535
+
+
+def test_zorder_layout_partitions_disjoint(spark):
+    df = spark.createDataFrame([(i % 317, (i * 7) % 253) for i in range(3000)], "x: bigint, y: bigint")
+    qx = zorder_quantize(F.col("x"), 0, 316, 8)
+    qy = zorder_quantize(F.col("y"), 0, 252, 8)
+    out = zorder_layout(df, [qx, qy], bits=8, num_partitions=4)
+    assert out.columns == ["x", "y"]  # layout key dropped
+    # partitions hold disjoint z-ranges: recompute z per partition, compare bounds
+    z = out.withColumn("z", zorder_key([qx, qy], bits=8)).withColumn("pid", F.spark_partition_id())
+    bounds = z.groupBy("pid").agg(F.min("z").alias("lo"), F.max("z").alias("hi")).orderBy("lo").collect()
+    assert len(bounds) > 1
+    for prev, cur in zip(bounds, bounds[1:]):
+        assert prev["hi"] <= cur["lo"]
