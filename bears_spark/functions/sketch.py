@@ -50,6 +50,7 @@ def hll_registers(
     out_bucket: str = "bucket",
     out_rho: str = "rho",
     with_exact: bool = False,
+    by: tuple[str, ...] = (),
 ) -> DataFrame:
     """HLL register table: 2^p rows of (bucket, max leading-zero rank).
 
@@ -76,13 +77,15 @@ def hll_registers(
         # lets callers get sketch + ground truth from ONE scan, no join
         aggs.append(F.countDistinct(col).alias("nd"))
     return (
-        df.select(F.col(col), (h % m).alias(out_bucket), rho.cast("int").alias(out_rho))
-        .groupBy(out_bucket)
+        df.select(*by, F.col(col), (h % m).alias(out_bucket), rho.cast("int").alias(out_rho))
+        .groupBy(*by, out_bucket)
         .agg(*aggs)
     )
 
 
-def hll_estimate(df: DataFrame, col: str, p: int = 10, with_exact: bool = False) -> DataFrame:
+def hll_estimate(
+    df: DataFrame, col: str, p: int = 10, with_exact: bool = False, by: tuple[str, ...] = ()
+) -> DataFrame:
     """One-row DataFrame: deterministic raw-HLL distinct estimate of ``col``.
 
     Columns: ``n_buckets_hit`` (registers with data), ``sum_scaled``
@@ -94,10 +97,15 @@ def hll_estimate(df: DataFrame, col: str, p: int = 10, with_exact: bool = False)
     single literal/int64 division — IEEE-identical across engines. Raw
     estimator only (no small-range linear-counting branch): deterministic
     for any input, accurate for n >> 2.5*m.
+
+    When ``by`` is given, one estimate row per group — the registers shuffle
+    on (group, bucket) with map-side partial max, i.e. the sketch is
+    mergeable per group (the same shape a 1000-executor rollup of
+    pre-aggregated per-partition sketches takes).
     """
     m = 1 << p
     s = HLL_HASH_BITS + 1 - p  # max rho, so 2^(S-rho) >= 1 stays integral
-    regs = hll_registers(df, col, p, with_exact=with_exact)
+    regs = hll_registers(df, col, p, with_exact=with_exact, by=by)
     numer = hll_alpha(m) * m * m * (1 << s)  # exact double literal, same in SQL
     aggs = [
         F.count("*").alias("n_buckets_hit"),
@@ -106,11 +114,11 @@ def hll_estimate(df: DataFrame, col: str, p: int = 10, with_exact: bool = False)
             + (F.lit(m) - F.count("*")) * F.lit(1 << s).cast("bigint")
         ).alias("sum_scaled"),
     ]
-    out = ["n_buckets_hit", "sum_scaled", (F.lit(numer) / F.col("sum_scaled")).alias("hll_estimate")]
+    out = [*by, "n_buckets_hit", "sum_scaled", (F.lit(numer) / F.col("sum_scaled")).alias("hll_estimate")]
     if with_exact:
         aggs.append(F.sum("nd").alias("exact_distinct"))
         out.append("exact_distinct")
-    return regs.agg(*aggs).select(*out)
+    return regs.groupBy(*by).agg(*aggs).select(*out)
 
 
 # --------------------------------------------------------------------------

@@ -544,3 +544,84 @@ QUERIES["ev_asof_purchase"] = ev_asof_purchase
 ORACLES["ev_asof_purchase"] = EV_ASOF_SQL
 QUERIES["ev_range_window_counts"] = ev_range_window_counts
 ORACLES["ev_range_window_counts"] = EV_RANGE_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_funnel_conversion: windowed funnel view -> click -> purchase within 6 h
+# of the first view (ClickHouse windowFunnel min-chain semantics). Spark
+# computes it in ONE shuffle via functions/analytics.window_funnel's sorted-
+# array state machine; the oracle derives the identical min-chain with
+# sequential FILTER/JOIN steps — two totally different plans, same answer.
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+_FUNNEL_WINDOW_US = 6 * 3600 * 1_000_000
+
+
+def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.analytics import window_funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = window_funnel(
+        ev, "user_id", "ts", "event_type", _FUNNEL_STEPS, window_micros=_FUNNEL_WINDOW_US
+    )
+    return (
+        per_user.groupBy("funnel_step")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("funnel_step")
+    )
+
+
+EV_FUNNEL_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t, event_type AS y FROM events
+), s1 AS (
+  SELECT user_id, min(t) FILTER (WHERE y = '{_FUNNEL_STEPS[0]}') AS t1
+  FROM ev GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(e.t) AS t2
+  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+  WHERE s1.t1 IS NOT NULL AND e.y = '{_FUNNEL_STEPS[1]}'
+    AND e.t > s1.t1 AND e.t <= s1.t1 + {_FUNNEL_WINDOW_US}
+  GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(e.t) AS t3
+  FROM ev e JOIN s2 ON e.user_id = s2.user_id JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.y = '{_FUNNEL_STEPS[2]}'
+    AND e.t > s2.t2 AND e.t <= s1.t1 + {_FUNNEL_WINDOW_US}
+  GROUP BY 1
+)
+SELECT funnel_step, count(*) AS n_users FROM (
+  SELECT CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                   WHEN s2.user_id IS NOT NULL THEN 2
+                   WHEN s1.t1 IS NOT NULL THEN 1
+                   ELSE 0 END AS BIGINT) AS funnel_step
+  FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+) GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["ev_funnel_conversion"] = ev_funnel_conversion
+ORACLES["ev_funnel_conversion"] = EV_FUNNEL_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_cohort_retention: users grouped by first-active day; distinct active
+# users per (cohort_day, day_offset) — the standard retention triangle.
+def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.analytics import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts").orderBy("cohort_day", "day_offset")
+
+
+EV_COHORT_SQL = """
+WITH first AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS cohort FROM events GROUP BY 1
+)
+SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', f.cohort, date_trunc('day', e.ts)) AS BIGINT) AS day_offset,
+       count(DISTINCT e.user_id) AS n_active
+FROM events e JOIN first f ON e.user_id = f.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["ev_cohort_retention"] = ev_cohort_retention
+ORACLES["ev_cohort_retention"] = EV_COHORT_SQL

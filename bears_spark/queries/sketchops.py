@@ -191,8 +191,62 @@ SELECT o_orderkey, q_cust, q_day, CAST({_Z_TERMS} AS BIGINT) AS zval FROM q
 """
 
 
+# --------------------------------------------------------------------------
+# ev_hll_users_by_type: GROUPED HyperLogLog — per event_type, estimated
+# distinct (user, day) pairs with the exact count side-by-side. The grouped
+# register table shuffles on (event_type, bucket) with partial max — the
+# mergeable-sketch rollup shape (per-partition sketches union into per-group
+# registers; state is groups x 2^p rows however big the input).
+_GHLL_P = 8
+_GHLL_M = 1 << _GHLL_P
+_GHLL_S = HLL_HASH_BITS + 1 - _GHLL_P
+_GHLL_WBITS = HLL_HASH_BITS - _GHLL_P
+_GHLL_NUMER = hll_alpha(_GHLL_M) * _GHLL_M * _GHLL_M * (1 << _GHLL_S)
+
+
+def ev_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_type",
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(":"),
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd"),
+        ).alias("user_day"),
+    )
+    return hll_estimate(keyed, "user_day", p=_GHLL_P, with_exact=True, by=("event_type",)).orderBy(
+        "event_type"
+    )
+
+
+EV_HLL_BY_TYPE_SQL = f"""
+WITH keyed AS (
+  SELECT event_type,
+         CAST(user_id AS VARCHAR) || ':' || strftime(date_trunc('day', ts), '%Y-%m-%d') AS user_day
+  FROM events
+), h AS (
+  SELECT event_type, user_day, {_duck_h64("user_day", "'0'")} AS hv FROM keyed
+), regs AS (
+  SELECT event_type, hv % {_GHLL_M} AS bucket,
+         max(CASE WHEN hv // {_GHLL_M} = 0 THEN {_GHLL_WBITS + 1}
+                  ELSE {_GHLL_WBITS + 1} - length(bin(hv // {_GHLL_M})) END) AS rho,
+         count(DISTINCT user_day) AS nd
+  FROM h GROUP BY 1, 2
+)
+SELECT event_type,
+       count(*) AS n_buckets_hit,
+       CAST(sum((1::BIGINT) << ({_GHLL_S} - rho)) AS BIGINT)
+         + ({_GHLL_M} - count(*)) * ((1::BIGINT) << {_GHLL_S}) AS sum_scaled,
+       {_GHLL_NUMER!r} / (CAST(sum((1::BIGINT) << ({_GHLL_S} - rho)) AS BIGINT)
+         + ({_GHLL_M} - count(*)) * ((1::BIGINT) << {_GHLL_S})) AS hll_estimate,
+       CAST(sum(nd) AS BIGINT) AS exact_distinct
+FROM regs GROUP BY 1 ORDER BY event_type
+"""
+
+
 QUERIES = {
     "hll_distinct_orderkeys": hll_distinct_orderkeys,
+    "ev_hll_users_by_type": ev_hll_users_by_type,
     "cms_user_counts": cms_user_counts,
     "bloom_pruned_nation_volume": bloom_pruned_nation_volume,
     "orders_zorder_keys": orders_zorder_keys,
@@ -200,6 +254,7 @@ QUERIES = {
 
 ORACLES = {
     "hll_distinct_orderkeys": HLL_DISTINCT_SQL,
+    "ev_hll_users_by_type": EV_HLL_BY_TYPE_SQL,
     "cms_user_counts": CMS_USER_SQL,
     "bloom_pruned_nation_volume": BLOOM_NATION_SQL,
     "orders_zorder_keys": ORDERS_ZORDER_SQL,
