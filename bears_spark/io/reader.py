@@ -124,18 +124,36 @@ def _read_binary(spark: SparkSession, path: str, schema=None, **opts) -> DataFra
 
 @register_reader(FileFormat.AVRO)
 def _read_avro(spark: SparkSession, path: str, schema=None, **opts) -> DataFrame:
-    """Avro is an external Spark module (org.apache.spark:spark-avro); this
-    container ships without the jar, so the registration is gated: it works
-    when the package is deployed and raises a clear error otherwise."""
+    """Avro reader: the spark-avro JVM source when deployed, else the
+    pure-stdlib container codec (io/avro_codec.py) over the binaryFile
+    source — one container file decodes per task, schema peeked from the
+    first file's header on the driver (a bounded metadata read)."""
     try:
         return spark.read.format("avro").load(path)
     except Exception as exc:  # AnalysisException: failed to find data source
-        if "avro" in str(exc).lower():
-            raise NotImplementedError(
-                "avro requires the spark-avro package "
-                "(--packages org.apache.spark:spark-avro_2.13:<spark version>); not deployed here"
-            ) from exc
-        raise
+        if "avro" not in str(exc).lower():
+            raise
+
+    from bears_spark.io.avro_codec import avro_schema_to_spark, decode_container, read_header
+
+    import os as _os
+
+    src = path.removeprefix("file:")
+    if _os.path.isdir(src):
+        src = src.rstrip("/") + "/*.avro"
+    binary = spark.read.format("binaryFile").load(src)
+
+    sample = binary.select("path").first()["path"].removeprefix("file:")
+    with open(sample, "rb") as f:
+        avro_schema, _sync = read_header(f)
+    out_schema = avro_schema_to_spark(avro_schema)
+
+    def _decode(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                yield decode_container(row["content"])
+
+    return binary.select("content").mapInPandas(_decode, out_schema)
 
 
 class Reader:

@@ -86,17 +86,41 @@ def _write_npz(df: DataFrame, path: str, **opts) -> None:
 
 @register_writer(FileFormat.AVRO)
 def _write_avro(df: DataFrame, path: str, **opts) -> None:
-    """Gated like the avro reader: spark-avro is an external module absent in
-    this container; raises a clear error unless the package is deployed."""
+    """Avro writer: spark-avro JVM sink when deployed, else the pure-stdlib
+    container codec — each partition Arrow-batches through mapInPandas and
+    writes its own part-NNNNN.avro (parallel, one container per task).
+
+    The fallback writes through POSIX paths (local/NFS-mounted storage);
+    object stores (s3a:// etc.) need the JVM sink."""
     try:
         df.write.mode(opts.get("mode", "overwrite")).format("avro").save(path)
+        return
     except Exception as exc:
-        if "avro" in str(exc).lower():
-            raise NotImplementedError(
-                "avro requires the spark-avro package "
-                "(--packages org.apache.spark:spark-avro_2.13:<spark version>); not deployed here"
-            ) from exc
-        raise
+        if "avro" not in str(exc).lower():
+            raise
+
+    from bears_spark.io.avro_codec import encode_container, spark_schema_to_avro
+
+    local = path.removeprefix("file:")
+    if opts.get("mode", "overwrite") == "overwrite" and os.path.isdir(local):
+        shutil.rmtree(local)
+    os.makedirs(local, exist_ok=True)
+    avro_schema = spark_schema_to_avro(df.schema)
+
+    def _enc(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        part = os.path.join(local, f"part-{TaskContext.get().partitionId():05d}.avro")
+        with open(part, "wb") as f:
+            f.write(encode_container(pdf, avro_schema))
+        yield pd.DataFrame({"path": [part], "n_rows": [len(pdf)]})
+
+    df.mapInPandas(_enc, "path string, n_rows long").collect()
 
 
 class Writer:
