@@ -277,3 +277,58 @@ def zorder_layout(df: DataFrame, quantized_cols: list[Column], bits: int = 8, nu
     with_z = df.withColumn("__zorder__", z)
     n = num_partitions or with_z.rdd.getNumPartitions()
     return with_z.repartitionByRange(n, "__zorder__").sortWithinPartitions("__zorder__").drop("__zorder__")
+
+
+# --------------------------------------------------------------------------
+# Deterministic equi-width histogram + interpolated quantiles
+
+
+def equiwidth_histogram(df: DataFrame, col: str, bins: int, vmin: float, vmax: float) -> DataFrame:
+    """Fixed-state distribution sketch: (bin, cnt) with
+    bin = clamp(floor((v - vmin) / (vmax - vmin) * bins), 0, bins-1).
+
+    ``bins`` rows of state regardless of input size, one partial-agg
+    shuffle — the scale path for percentile dashboards where
+    ``percentile_approx``'s engine-internal sketch can't be reproduced by
+    an independent checker. Every arithmetic step is a fixed IEEE op
+    sequence, so any engine rebuilding it gets identical buckets.
+    """
+    span = vmax - vmin  # python-float subtraction == SQL double subtraction
+    pos = F.floor((F.col(col) - F.lit(vmin)) / F.lit(span) * F.lit(bins))
+    b = F.least(F.greatest(pos, F.lit(0).cast("bigint")), F.lit(bins - 1).cast("bigint"))
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    hist: list[tuple[int, int]], qs: list[float], bins: int, vmin: float, vmax: float
+) -> list[tuple[float, float]]:
+    """Interpolated quantiles from a collected equi-width histogram
+    (driver-side fit-state math over <= ``bins`` rows).
+
+    For each q: find the first bin whose cumulative count reaches q*n, then
+    interpolate uniformly inside it:
+    value = vmin + (bin + (q*n - cum_before)/cnt) * (vmax - vmin)/bins.
+    The op sequence is documented because independent engines must replay
+    it exactly (see queries/sketchops.py oracle).
+    """
+    rows = sorted(hist)
+    n = sum(c for _, c in rows)
+    width = (vmax - vmin) / bins
+    out = []
+    for q in qs:
+        target = q * n
+        cum_before = 0
+        for b, cnt in rows:
+            if cum_before + cnt >= target:
+                frac = (target - cum_before) / cnt
+                out.append((q, vmin + (b + frac) * width))
+                break
+            cum_before += cnt
+        else:
+            out.append((q, vmax))
+    return out

@@ -244,9 +244,87 @@ FROM regs GROUP BY 1 ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# orders_incremental_rollup: continuous-aggregate maintenance — rollup
+# states built on two arbitrary halves of orders (even/odd orderkey) and
+# MERGED must equal the direct aggregate over the whole table, exactly
+# (decimal sums make the merge algebraic, not approximate). The oracle IS
+# the direct aggregate — it never sees the split.
+def orders_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.rollup import merge_rollup_states, rollup_result, rollup_state
+
+    o = load_table(spark, sf_dir, "orders")
+    even = o.filter(F.col("o_orderkey") % 2 == 0)
+    odd = o.filter(F.col("o_orderkey") % 2 == 1)
+    s1 = rollup_state(even, ["o_orderpriority"], "o_totalprice")
+    s2 = rollup_state(odd, ["o_orderpriority"], "o_totalprice")
+    return rollup_result(merge_rollup_states(s1, s2)).orderBy("o_orderpriority")
+
+
+ORDERS_INCR_ROLLUP_SQL = """
+SELECT o_orderpriority,
+       count(o_totalprice) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / count(o_totalprice), 6) AS avg,
+       min(o_totalprice) AS min_v,
+       max(o_totalprice) AS max_v
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# ev_value_hist_quantiles: p50/p90/p99 of events.value from a 100-bin
+# equi-width histogram — bounded-state quantiles whose full arithmetic
+# (binning + interpolation) an independent engine replays step by step.
+_HQ_BINS = 100
+_HQ_QS = [0.5, 0.9, 0.99]
+
+
+def ev_value_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.sketch import equiwidth_histogram, histogram_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    mm = ev.filter(F.col("value").isNotNull()).agg(F.min("value"), F.max("value")).first()
+    vmin, vmax = float(mm[0]), float(mm[1])
+    hist = equiwidth_histogram(ev, "value", _HQ_BINS, vmin, vmax)
+    rows = [(int(r["bin"]), int(r["cnt"])) for r in hist.collect()]  # <= bins rows (fit state)
+    qv = histogram_quantiles(rows, _HQ_QS, _HQ_BINS, vmin, vmax)
+    out = spark.createDataFrame(qv, "q double, value double")
+    return out.select("q", F.round("value", 6).alias("value")).orderBy("q")
+
+
+EV_HIST_QUANTILES_SQL = f"""
+WITH vals AS (
+  SELECT value FROM events WHERE value IS NOT NULL
+), mm AS (
+  SELECT min(value) AS vmin, max(value) AS vmax, count(*) AS n FROM vals
+), h AS (
+  SELECT CAST(least(greatest(floor((value - vmin) / (vmax - vmin) * {_HQ_BINS}), 0), {_HQ_BINS - 1}) AS BIGINT) AS bin,
+         count(*) AS cnt
+  FROM vals, mm GROUP BY 1
+), c AS (
+  SELECT bin, CAST(cnt AS BIGINT) AS cnt,
+         CAST(coalesce(sum(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb,
+         CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum
+  FROM h
+), qs AS (
+  SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q
+), pick AS (
+  SELECT qs.q, min(c.bin) AS bin
+  FROM qs, c, mm WHERE c.cum >= qs.q * mm.n GROUP BY 1
+)
+SELECT p.q,
+       round(mm.vmin + (p.bin + (p.q * mm.n - c.cumb) / c.cnt) * ((mm.vmax - mm.vmin) / {_HQ_BINS}), 6) AS value
+FROM pick p JOIN c ON c.bin = p.bin, mm
+ORDER BY q
+"""
+
+
 QUERIES = {
     "hll_distinct_orderkeys": hll_distinct_orderkeys,
     "ev_hll_users_by_type": ev_hll_users_by_type,
+    "orders_incremental_rollup": orders_incremental_rollup,
+    "ev_value_hist_quantiles": ev_value_hist_quantiles,
     "cms_user_counts": cms_user_counts,
     "bloom_pruned_nation_volume": bloom_pruned_nation_volume,
     "orders_zorder_keys": orders_zorder_keys,
@@ -255,6 +333,8 @@ QUERIES = {
 ORACLES = {
     "hll_distinct_orderkeys": HLL_DISTINCT_SQL,
     "ev_hll_users_by_type": EV_HLL_BY_TYPE_SQL,
+    "orders_incremental_rollup": ORDERS_INCR_ROLLUP_SQL,
+    "ev_value_hist_quantiles": EV_HIST_QUANTILES_SQL,
     "cms_user_counts": CMS_USER_SQL,
     "bloom_pruned_nation_volume": BLOOM_NATION_SQL,
     "orders_zorder_keys": ORDERS_ZORDER_SQL,

@@ -103,3 +103,39 @@ def running_user_totals_stream(events: DataFrame, timeout_minutes: int = 120) ->
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def purchase_attribution_stream(
+    views: DataFrame,
+    purchases: DataFrame,
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the same
+    user's preceding view within ``max_delay``.
+
+    Both sides are watermarked so Spark bounds the join state: a view is
+    held only until (its event time + max_delay + watermark) passes, then
+    evicted — without the time bound the state would grow forever. The
+    equi-key (user_id) routes both streams to the same state partition; the
+    range predicate trims within it. Works identically on batch frames
+    (how the test pins semantics).
+    """
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("view_ts") < F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_delay}"))
+    )
+    return p.join(v, cond, "inner").select(
+        F.col("p_user").alias("user_id"), "purchase_id", "purchase_ts", "view_id", "view_ts"
+    )

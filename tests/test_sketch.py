@@ -114,3 +114,51 @@ def test_zorder_layout_partitions_disjoint(spark):
     assert len(bounds) > 1
     for prev, cur in zip(bounds, bounds[1:]):
         assert prev["hi"] <= cur["lo"]
+
+
+def test_rollup_merge_equals_direct(spark):
+    from bears_spark.functions.rollup import merge_rollup_states, rollup_result, rollup_state
+
+    df = spark.createDataFrame(
+        [(i % 3, float(i) * 1.1) for i in range(1000)], "k: bigint, v: double"
+    )
+    parts = [df.filter(F.col("v") < 300), df.filter((F.col("v") >= 300) & (F.col("v") < 700)), df.filter(F.col("v") >= 700)]
+    merged = rollup_result(merge_rollup_states(*[rollup_state(p, ["k"], "v") for p in parts]))
+    direct = rollup_result(rollup_state(df, ["k"], "v"))
+    a = {tuple(r) for r in merged.collect()}
+    b = {tuple(r) for r in direct.collect()}
+    assert a == b  # decimal sums: merge is EXACT, not approximately equal
+
+
+def test_rollup_merge_associative(spark):
+    from bears_spark.functions.rollup import merge_rollup_states, rollup_result, rollup_state
+
+    df = spark.createDataFrame([(1, float(i)) for i in range(100)], "k: bigint, v: double")
+    s1 = rollup_state(df.limit(30), ["k"], "v")
+    # (s1 + s1) + s1 == s1 + (s1 + s1)
+    left = rollup_result(merge_rollup_states(merge_rollup_states(s1, s1), s1)).collect()
+    right = rollup_result(merge_rollup_states(s1, merge_rollup_states(s1, s1))).collect()
+    assert left == right
+
+
+def test_histogram_fixed_state_and_quantiles(spark):
+    from bears_spark.functions.sketch import equiwidth_histogram, histogram_quantiles
+
+    df = spark.createDataFrame([(float(i),) for i in range(10000)], "v: double")
+    hist = equiwidth_histogram(df, "v", 100, 0.0, 9999.0)
+    rows = [(int(r["bin"]), int(r["cnt"])) for r in hist.collect()]
+    assert len(rows) <= 100
+    assert sum(c for _, c in rows) == 10000
+    got = dict(histogram_quantiles(rows, [0.5, 0.9], 100, 0.0, 9999.0))
+    # uniform data: interpolated quantiles land within one bin width of truth
+    assert abs(got[0.5] - 4999.5) < 100
+    assert abs(got[0.9] - 8999.1) < 100
+
+
+def test_histogram_null_and_clamp(spark):
+    from bears_spark.functions.sketch import equiwidth_histogram
+
+    df = spark.createDataFrame([(0.0,), (5.0,), (10.0,), (None,)], "v: double")
+    rows = {r["bin"]: r["cnt"] for r in equiwidth_histogram(df, "v", 10, 0.0, 10.0).collect()}
+    assert sum(rows.values()) == 3  # null dropped
+    assert rows.get(9) == 1  # max value clamps into the last bin

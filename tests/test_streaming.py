@@ -87,3 +87,50 @@ def test_running_user_totals_stateful(spark, events_dir):
         assert last["cum_events"] == want[uid]
         # batch_events across emissions sums to the total too
         assert sum(r["batch_events"] for r in emitted) == want[uid]
+
+
+def test_purchase_attribution_stream(spark, events_dir):
+    from bears_spark.streaming.jobs import purchase_attribution_stream, read_events_stream
+
+    views_s = read_events_stream(spark, events_dir, max_files_per_trigger=100).filter(
+        F.col("event_type") == "view"
+    )
+    buys_s = read_events_stream(spark, events_dir, max_files_per_trigger=100).filter(
+        F.col("event_type") == "purchase"
+    )
+    out = purchase_attribution_stream(views_s, buys_s, max_delay="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_attr")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM t_attr").collect()
+    spark.catalog.dropTempView("t_attr")
+
+    ev = spark.read.parquet(events_dir)
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    batch = (
+        p.join(
+            v,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("view_ts") < F.col("purchase_ts"))
+            & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 hour")),
+        )
+        .select("purchase_id", "view_id")
+        .collect()
+    )
+    got = {(r["purchase_id"], r["view_id"]) for r in rows}
+    want = {(r["purchase_id"], r["view_id"]) for r in batch}
+    # a single availableNow pass may withhold tail-of-stream matches behind
+    # the watermark; everything emitted must be a true match, and the bulk
+    # of the batch answer must be present
+    assert got <= want
+    assert len(got) >= int(0.8 * len(want)), (len(got), len(want))
