@@ -625,3 +625,33 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES["ev_cohort_retention"] = ev_cohort_retention
 ORACLES["ev_cohort_retention"] = EV_COHORT_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_hopping_windows: sliding 1-hour window every 15 minutes (each event
+# belongs to 4 overlapping windows). Spark's F.window(slide) expands
+# windows natively; the oracle reconstructs the epoch-aligned hops with
+# time_bucket - k*15min. One groupBy with partial aggregation — output is
+# window-count-sized, not events-sized.
+def ev_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(F.unix_micros(F.col("w.start")).alias("w_start_us"), "n_events", "total_value")
+        .orderBy("w_start_us")
+    )
+
+
+EV_HOPPING_SQL = """
+WITH hops AS (
+  SELECT epoch_us(time_bucket(INTERVAL 15 MINUTE, ts) - t.k * INTERVAL 15 MINUTE) AS w_start_us,
+         value
+  FROM events, range(4) t(k)
+)
+SELECT w_start_us, count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM hops GROUP BY 1 ORDER BY w_start_us
+"""
+
+QUERIES["ev_hopping_windows"] = ev_hopping_windows
+ORACLES["ev_hopping_windows"] = EV_HOPPING_SQL

@@ -512,3 +512,59 @@ ORACLES.update(
         "pruned_scan_customer": PRUNED_SCAN_SQL,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# orders_constraint_report: declarative data-quality gate — six constraints
+# (completeness, uniqueness, range, set membership, regex) checked in ONE
+# aggregation pass (functions/validate.py); report is constraint-sized.
+# in_range(o_totalprice, 0, 100000) is deliberately violated so the report
+# exercises the failing path.
+def orders_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.validate import (
+        check_constraints,
+        in_range,
+        isin_set,
+        matches,
+        not_null,
+        unique,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    report = check_constraints(
+        o,
+        [
+            not_null("o_orderkey"),
+            unique("o_orderkey"),
+            not_null("o_custkey"),
+            in_range("o_totalprice", 0, 100000),
+            isin_set("o_orderstatus", ["O", "F", "P"]),
+            matches("o_orderpriority", "^[1-5]-"),
+        ],
+    )
+    return report.orderBy("constraint")
+
+
+ORDERS_CONSTRAINT_SQL = """
+WITH agg AS (
+  SELECT count(*) AS n,
+         count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS v_nn_ok,
+         count(o_orderkey) - count(DISTINCT o_orderkey) AS v_uniq,
+         count(CASE WHEN o_custkey IS NULL THEN 1 END) AS v_nn_ck,
+         count(CASE WHEN o_totalprice IS NOT NULL AND NOT (o_totalprice BETWEEN 0 AND 100000) THEN 1 END) AS v_range,
+         count(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F','P') THEN 1 END) AS v_isin,
+         count(CASE WHEN o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 END) AS v_re
+  FROM orders
+)
+SELECT * FROM (
+  SELECT 'not_null(o_orderkey)' AS "constraint", n AS n_rows, v_nn_ok AS n_violations, v_nn_ok = 0 AS passed FROM agg
+  UNION ALL SELECT 'unique(o_orderkey)', n, v_uniq, v_uniq = 0 FROM agg
+  UNION ALL SELECT 'not_null(o_custkey)', n, v_nn_ck, v_nn_ck = 0 FROM agg
+  UNION ALL SELECT 'in_range(o_totalprice,0,100000)', n, v_range, v_range = 0 FROM agg
+  UNION ALL SELECT 'isin(o_orderstatus)', n, v_isin, v_isin = 0 FROM agg
+  UNION ALL SELECT 'matches(o_orderpriority)', n, v_re, v_re = 0 FROM agg
+) ORDER BY "constraint"
+"""
+
+QUERIES["orders_constraint_report"] = orders_constraint_report
+ORACLES["orders_constraint_report"] = ORDERS_CONSTRAINT_SQL
