@@ -29,6 +29,29 @@ from bears_spark.functions.quality import (
     ngram_contamination,
     vocabulary,
 )
+from bears_spark.functions.sketch import (
+    hll_estimate,
+    hll_registers,
+    cms_build,
+    cms_lookup,
+    bloom_build,
+    bloom_prune,
+    zorder_key,
+    zorder_layout,
+    zorder_quantize,
+    equiwidth_histogram,
+    histogram_quantiles,
+)
+from bears_spark.functions.analytics import window_funnel, cohort_retention
+from bears_spark.functions.rollup import merge_rollup_states, rollup_result, rollup_state
+from bears_spark.functions.validate import (
+    check_constraints,
+    not_null,
+    unique,
+    in_range,
+    isin_set,
+    matches,
+)
 
 __all__ = [
     "tokenize",
@@ -55,4 +78,26 @@ __all__ = [
     "stratified_hash_sample",
     "ngram_contamination",
     "vocabulary",
+    "hll_estimate",
+    "hll_registers",
+    "cms_build",
+    "cms_lookup",
+    "bloom_build",
+    "bloom_prune",
+    "zorder_key",
+    "zorder_layout",
+    "zorder_quantize",
+    "equiwidth_histogram",
+    "histogram_quantiles",
+    "window_funnel",
+    "cohort_retention",
+    "merge_rollup_states",
+    "rollup_result",
+    "rollup_state",
+    "check_constraints",
+    "not_null",
+    "unique",
+    "in_range",
+    "isin_set",
+    "matches",
 ]

@@ -348,7 +348,9 @@ def q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("total_qty")).filter(F.col("total_qty") > 150)
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer scales linearly with SF — no forced broadcast; AQE
+        # auto-broadcasts under the threshold at small SF and shuffles at 100x.
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", F.round("total_qty", 6).alias("total_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)

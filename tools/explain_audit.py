@@ -38,6 +38,13 @@ CHECKS = {
     "ev_rolling_stats": ["Window"],
     # as-of is the union+window plan: exactly one Window, a Union, and NO join
     "ev_asof_purchase": ["Window", "Union"],
+    # sketches: partial-agg shuffles; CMS lookup broadcasts the tiny sketch
+    "hll_distinct_orderkeys": ["HashAggregate"],
+    "cms_user_counts": ["BroadcastHashJoin"],
+    # funnel is the one-shuffle array state machine: no join, no window
+    "ev_funnel_conversion": ["ObjectHashAggregate"],
+    "ev_hopping_windows": ["HashAggregate"],
+    "orders_incremental_rollup": ["HashAggregate"],
 }
 
 FORBIDDEN = ["CartesianProduct", "BroadcastNestedLoopJoin"]
