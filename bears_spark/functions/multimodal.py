@@ -209,12 +209,12 @@ def decode_png(content: bytes) -> np.ndarray:
 def decode_image_batch(content: bytes, fake: bool = False) -> np.ndarray:
     """Decode one image payload -> HxWx3 uint8 array.
 
-    Real decode paths: PPM(P6), 24-bit BMP, and 8-bit PNG are pure
-    numpy/stdlib (always available); other formats use Pillow when
-    importable. jpeg decode in a Pillow-less container raises unless
-    ``fake=True``, which produces a deterministic 8x8x3 array seeded by the
-    content hash — stable across runs/engines, so the Spark plumbing stays
-    testable for every format."""
+    Real decode paths: PPM(P6), 24-bit BMP, 8-bit PNG, and baseline JPEG
+    (functions/jpeg.py — huffman + IDCT, pure numpy/stdlib) are always
+    available; progressive JPEG / GIF route through Pillow when importable,
+    else raise NotImplementedError. ``fake=True`` produces a deterministic
+    8x8x3 array seeded by the content hash — stable across runs/engines, so
+    the Spark plumbing stays testable for every format."""
     if not fake:
         if content.startswith(b"P6"):
             return decode_ppm(content)
@@ -222,6 +222,13 @@ def decode_image_batch(content: bytes, fake: bool = False) -> np.ndarray:
             return decode_bmp(content)
         if content.startswith(b"\x89PNG"):
             return decode_png(content)
+        if content.startswith(b"\xff\xd8"):
+            from bears_spark.functions.jpeg import decode_jpeg
+
+            try:
+                return decode_jpeg(content)
+            except NotImplementedError:
+                pass  # progressive/12-bit: fall through to Pillow if present
         try:
             import io
 
@@ -231,7 +238,8 @@ def decode_image_batch(content: bytes, fake: bool = False) -> np.ndarray:
             return arr
         except ImportError:
             raise NotImplementedError(
-                "jpeg decode requires Pillow (absent here); PPM/BMP/PNG decode natively"
+                "progressive-jpeg/gif decode requires Pillow (absent here); "
+                "PPM/BMP/PNG/baseline-JPEG decode natively"
             ) from None
     seed = int(hashlib.md5(content).hexdigest()[:8], 16)
     rng = np.random.RandomState(seed)

@@ -15,7 +15,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from bears_spark.queries.tables import load_table
+from bears_spark.queries.tables import events_ts_encoding, load_table
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over events.parquet with ts normalized to TIMESTAMP.
+
+    Mirrors the batch ``load_table`` contract exactly — one ts-decoding path,
+    chosen by footer sniff, never two divergent ones. File streaming sources
+    take directories/globs, not bare files, hence the trailing wildcard.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    enc = events_ts_encoding(f"{sf_dir}/events.parquet")
+    glob = f"{sf_dir}/events.parque*"
+    if enc == "ns":
+        # TIMESTAMP(NANOS): surfaces as int64 under nanosAsLong; div to µs.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, value double, props string"
+        ).parquet(glob)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if enc == "tz":
+        return spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        ).parquet(glob)
+    # naive µs (the driver's current encoding): declare NTZ, cast under the
+    # pinned-UTC session — instant-preserving, matches the naive oracle.
+    raw = spark.readStream.schema(
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    ).parquet(glob)
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # --------------------------------------------------------------------------
@@ -289,15 +318,7 @@ ORACLES["ev_zscore_anomaly"] = EV_ZSCORE_SQL
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bears_spark.streaming.jobs import sessionize_stream
 
-    # nanos timestamps: the stream schema declares ts AS LONG (nanosAsLong)
-    # and converts — same contract as the batch load_table.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema("event_id long, ts long, user_id long, event_type string, value double, props string")
-        # file streaming sources take directories/globs, not bare files
-        .parquet(f"{sf_dir}/events.parque*")
-    )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = _events_stream(spark, sf_dir)
     sess = sessionize_stream(ev, gap="30 minutes")
     sink = "streaming_sessionize_sink"
     q = (
@@ -352,12 +373,7 @@ ORACLES["streaming_sessionize"] = STREAMING_SESSIONIZE_SQL
 def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bears_spark.streaming.jobs import hourly_counts_stream
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema("event_id long, ts long, user_id long, event_type string, value double, props string")
-        .parquet(f"{sf_dir}/events.parque*")
-    )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = _events_stream(spark, sf_dir)
     agg = hourly_counts_stream(ev, watermark="2 hours")
     sink = "streaming_hourly_sink"
     q = (

@@ -30,19 +30,69 @@ TABLE_NAMES = (
 DIM_TABLES = frozenset({"region", "nation"})
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS), which vanilla Spark 4
-        # rejects (PARQUET_TYPE_ILLEGAL). The conf is runtime-settable, and
-        # callers (e.g. the correctness driver) may hand us a session that
-        # wasn't built by bears_spark.session — set it here, not only there.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as int64 via nanosAsLong (see session.py);
-        # integer-divide to µs (never float: ns epochs exceed double precision).
+def events_ts_encoding(path: str) -> str:
+    """Sniff how ``ts`` is encoded in an events parquet file/directory.
+
+    Returns one of ``"ns"`` (TIMESTAMP(NANOS) — illegal in vanilla Spark 4,
+    needs the nanosAsLong conf), ``"ntz"`` (naive timestamp, any sub-second
+    unit), ``"tz"`` (instant timestamp), or ``"unknown"`` if the footer can't
+    be read. Footer-only: no data pages are touched.
+    """
+    try:
+        import pyarrow.dataset as ds
+
+        t = ds.dataset(path, format="parquet").schema.field("ts").type
+        unit = getattr(t, "unit", None)
+        tz = getattr(t, "tz", None)
+        if unit == "ns" and tz is None:
+            return "ns"
+        if tz is None and unit is not None:
+            return "ntz"
+        if unit is not None:
+            return "tz"
+    except Exception:
+        pass
+    return "unknown"
+
+
+def _normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the ``ts`` column to TIMESTAMP, whatever the file carried.
+
+    Three encodings appear in the wild (the driver's generator has shipped
+    two of them across rounds):
+      * bigint        — TIMESTAMP(NANOS) surfaced as int64 via nanosAsLong;
+                        integer-divide to µs (never float: ns epochs exceed
+                        double precision).
+      * timestamp_ntz — naive µs wall time; under a UTC session tz the cast
+                        to TIMESTAMP is instant-preserving and matches the
+                        DuckDB oracle, which treats NTZ as naive-UTC.
+      * timestamp     — already an instant; pass through.
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    if name != "events":
+        return spark.read.parquet(path)
+    # Event-time semantics are wall-clock-naive: the DuckDB oracle reads the
+    # same parquet as naive TIMESTAMP and does naive arithmetic. Pin the
+    # session tz to UTC so every instant-based function downstream
+    # (unix_micros, date_trunc, window()) agrees with the oracle — a vanilla
+    # caller session uses the JVM-local tz, which would shift instants (and
+    # non-constantly, under DST). Deliberate, documented session mutation.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if events_ts_encoding(path) in ("ns", "unknown"):
+        # Only TIMESTAMP(NANOS) files need the legacy conf (vanilla Spark 4
+        # rejects them with PARQUET_TYPE_ILLEGAL); it is a no-op for µs
+        # files, so "unknown" (unreadable footer) errs on the side of set.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _normalize_event_ts(spark.read.parquet(path))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -45,29 +45,37 @@ def main() -> None:
     # best-of-2 per query: this host shows 2-3x wall-clock swings from
     # ambient load; the min measures the code rather than the neighbor.
     timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
     for name, fn in qs.items():
         runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()  # force full execution
-            runs.append(time.perf_counter() - t0)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                n = df.count()  # force full execution
+                runs.append(time.perf_counter() - t0)
+        except Exception as exc:
+            # One broken query must never zero the whole bench (round-2
+            # lesson): record the failure, keep timing the rest, and still
+            # emit the JSON line at the end.
+            failures[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: FAILED {failures[name]}", file=sys.stderr)
+            continue
         timings[name] = round(min(runs), 4)
         print(f"# {name}: {timings[name]:.3f}s (runs: {', '.join(f'{r:.3f}' for r in runs)}) rows={n}", file=sys.stderr)
     total = round(sum(timings.values()), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

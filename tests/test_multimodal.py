@@ -318,3 +318,68 @@ def test_shard_reverse_complement(spark):
     rest = shard(df, 1, 4, id_col="id", reverse=True)
     assert fold.count() == 25 and rest.count() == 75
     assert fold.intersect(rest).count() == 0
+
+
+# --------------------------------------------------------------------------
+# baseline JPEG codec (functions/jpeg.py) — real decode, no Pillow
+
+
+def test_jpeg_roundtrip_flat_and_gradient():
+    import numpy as np
+
+    from bears_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    flat = np.full((24, 24, 3), 120, dtype=np.uint8)
+    assert (decode_jpeg(encode_jpeg(flat, quality=90)) == flat).all()
+
+    yy, xx = np.mgrid[0:37, 0:53]  # non-multiple-of-8 dims
+    grad = np.stack([(yy * 3) % 256, (xx * 2) % 256, (yy + xx) % 256], axis=-1).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(grad, quality=95))
+    assert dec.shape == grad.shape
+    err = np.abs(dec.astype(int) - grad.astype(int))
+    assert err.mean() < 2.0 and err.max() <= 12
+
+
+def test_jpeg_roundtrip_noise_and_gray():
+    import numpy as np
+
+    from bears_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(11)
+    noise = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(noise, quality=95))
+    # DCT quantization loss on pure noise: bounded, not exact
+    assert np.abs(dec.astype(int) - noise.astype(int)).mean() < 8.0
+
+    gray = (rng.randint(0, 256, size=(19, 21))).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(gray, quality=95))
+    assert dec.shape == (19, 21, 3)
+    assert np.abs(dec[..., 0].astype(int) - gray.astype(int)).mean() < 8.0
+    # all three channels identical for grayscale input
+    assert (dec[..., 0] == dec[..., 1]).all() and (dec[..., 1] == dec[..., 2]).all()
+
+
+def test_jpeg_rejects_progressive():
+    import pytest as _pytest
+
+    from bears_spark.functions.jpeg import decode_jpeg
+
+    # minimal stream with an SOF2 (progressive) marker
+    sof2 = b"\xff\xd8" + b"\xff\xc2" + (17).to_bytes(2, "big") + bytes(15) + b"\xff\xd9"
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(sof2)
+
+
+def test_extract_image_features_real_jpeg(spark, tmp_path):
+    import numpy as np
+
+    from bears_spark.functions.jpeg import encode_jpeg
+    from bears_spark.functions.multimodal import extract_image_features
+
+    red = np.zeros((16, 16, 3), dtype=np.uint8)
+    red[..., 0] = 200
+    (tmp_path / "red.jpg").write_bytes(encode_jpeg(red, quality=90))
+    feats = extract_image_features(load_assets(spark, str(tmp_path)), fake=False)
+    row = feats.collect()[0]
+    assert row["fmt"] == "jpeg" and row["h"] == 16 and row["w"] == 16
+    assert abs(row["mean_r"] - 200) < 3 and row["mean_g"] < 6 and row["mean_b"] < 6
