@@ -209,10 +209,10 @@ def decode_png(content: bytes) -> np.ndarray:
 def decode_image_batch(content: bytes, fake: bool = False) -> np.ndarray:
     """Decode one image payload -> HxWx3 uint8 array.
 
-    Real decode paths: PPM(P6), 24-bit BMP, 8-bit PNG, and baseline JPEG
-    (functions/jpeg.py — huffman + IDCT, pure numpy/stdlib) are always
-    available; progressive JPEG / GIF route through Pillow when importable,
-    else raise NotImplementedError. ``fake=True`` produces a deterministic
+    Real decode paths: PPM(P6), 24-bit BMP, 8-bit PNG, baseline JPEG
+    (functions/jpeg.py — huffman + IDCT) and GIF (functions/gif.py — LZW)
+    are pure numpy/stdlib, always available; progressive JPEG routes through
+    Pillow when importable, else raises NotImplementedError. ``fake=True`` produces a deterministic
     8x8x3 array seeded by the content hash — stable across runs/engines, so
     the Spark plumbing stays testable for every format."""
     if not fake:
@@ -229,6 +229,10 @@ def decode_image_batch(content: bytes, fake: bool = False) -> np.ndarray:
                 return decode_jpeg(content)
             except NotImplementedError:
                 pass  # progressive/12-bit: fall through to Pillow if present
+        if content[:6] in (b"GIF87a", b"GIF89a"):
+            from bears_spark.functions.gif import decode_gif
+
+            return decode_gif(content)
         try:
             import io
 

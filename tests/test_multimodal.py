@@ -383,3 +383,45 @@ def test_extract_image_features_real_jpeg(spark, tmp_path):
     row = feats.collect()[0]
     assert row["fmt"] == "jpeg" and row["h"] == 16 and row["w"] == 16
     assert abs(row["mean_r"] - 200) < 3 and row["mean_g"] < 6 and row["mean_b"] < 6
+
+
+# --------------------------------------------------------------------------
+# GIF decoder (functions/gif.py) — LZW, pure stdlib
+
+
+def test_gif_roundtrip_exact():
+    import numpy as np
+
+    from bears_spark.functions.gif import decode_gif, encode_gif
+
+    rng = np.random.RandomState(3)
+    # <=256 distinct colors: palette round-trip is lossless
+    palette = rng.randint(0, 256, size=(64, 3), dtype=np.uint8)
+    idx = rng.randint(0, 64, size=(23, 31))
+    img = palette[idx]
+    assert (decode_gif(encode_gif(img)) == img).all()
+
+
+def test_gif_dictionary_reset_path():
+    import numpy as np
+
+    from bears_spark.functions.gif import decode_gif, encode_gif
+
+    rng = np.random.RandomState(9)
+    # large noisy image forces the LZW dictionary past 4096 -> clear/reset
+    palette = rng.randint(0, 256, size=(256, 3), dtype=np.uint8)
+    palette = np.unique(palette, axis=0)
+    idx = rng.randint(0, len(palette), size=(128, 128))
+    img = palette[idx]
+    assert (decode_gif(encode_gif(img)) == img).all()
+
+
+def test_gif_via_decode_image_batch():
+    import numpy as np
+
+    from bears_spark.functions.gif import encode_gif
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[..., 1] = 255
+    out = decode_image_batch(encode_gif(img), fake=False)
+    assert (out == img).all()
