@@ -84,14 +84,27 @@ def _write_npz(df: DataFrame, path: str, **opts) -> None:
     np.savez(path, **{c: pdf[c].to_numpy() for c in pdf.columns})
 
 
+def _resolve_fs(path: str):
+    """(pyarrow filesystem, path-within-fs) for a POSIX path or object-store
+    URI. pyarrow.fs speaks s3://, gs://, hdfs:// natively (creds from the
+    standard env/instance chains); Hadoop's s3a:// spelling is normalized.
+    Reconstructed per-executor from the path string — never serialized."""
+    from pyarrow import fs as pafs
+
+    if "://" in path and not path.startswith("file:"):
+        return pafs.FileSystem.from_uri(path.replace("s3a://", "s3://", 1))
+    return pafs.LocalFileSystem(), path.removeprefix("file:")
+
+
 @register_writer(FileFormat.AVRO)
 def _write_avro(df: DataFrame, path: str, **opts) -> None:
     """Avro writer: spark-avro JVM sink when deployed, else the pure-stdlib
     container codec — each partition Arrow-batches through mapInPandas and
     writes its own part-NNNNN.avro (parallel, one container per task).
 
-    The fallback writes through POSIX paths (local/NFS-mounted storage);
-    object stores (s3a:// etc.) need the JVM sink."""
+    The fallback writes through pyarrow.fs, so local paths AND object-store
+    URIs (s3://, gs://, hdfs://) both work — parity with the reference's
+    every-format-to-S3 writer (DataFrameWriter.py:99-307)."""
     try:
         df.write.mode(opts.get("mode", "overwrite")).format("avro").save(path)
         return
@@ -101,10 +114,13 @@ def _write_avro(df: DataFrame, path: str, **opts) -> None:
 
     from bears_spark.io.avro_codec import encode_container, spark_schema_to_avro
 
-    local = path.removeprefix("file:")
-    if opts.get("mode", "overwrite") == "overwrite" and os.path.isdir(local):
-        shutil.rmtree(local)
-    os.makedirs(local, exist_ok=True)
+    fs, root = _resolve_fs(path)
+    if opts.get("mode", "overwrite") == "overwrite":
+        try:
+            fs.delete_dir(root)
+        except FileNotFoundError:
+            pass
+    fs.create_dir(root, recursive=True)
     avro_schema = spark_schema_to_avro(df.schema)
 
     def _enc(batches):
@@ -115,8 +131,9 @@ def _write_avro(df: DataFrame, path: str, **opts) -> None:
         if not pdfs:
             return
         pdf = pd.concat(pdfs, ignore_index=True)
-        part = os.path.join(local, f"part-{TaskContext.get().partitionId():05d}.avro")
-        with open(part, "wb") as f:
+        part_fs, part_root = _resolve_fs(path)
+        part = f"{part_root.rstrip('/')}/part-{TaskContext.get().partitionId():05d}.avro"
+        with part_fs.open_output_stream(part) as f:
             f.write(encode_container(pdf, avro_schema))
         yield pd.DataFrame({"path": [part], "n_rows": [len(pdf)]})
 

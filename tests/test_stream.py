@@ -100,3 +100,43 @@ def test_frame_iterable_no_torch(sf):
     # transform hook
     it2 = FrameIterable(sf, batch_rows=50, drop_last=False, transform=lambda d: len(d["id"]))
     assert list(it2) == [50, 50]
+
+
+# --------------------------------------------------------------------------
+# tensor bridge (tensor_bridge.py)
+
+
+def test_tensor_stream_numpy_backend(spark, sf_dir):
+    import numpy as np
+
+    from bears_spark.tensor_bridge import tensor_stream
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    batches = list(tensor_stream(df, batch_rows=64, columns=["vec_id", "embedding"]))
+    assert all(set(b) == {"vec_id", "embedding"} for b in batches)
+    total = sum(len(b["vec_id"]) for b in batches)
+    assert total > 0 and total % 64 == 0  # drop_last=True
+    v = batches[0]["embedding"]
+    assert isinstance(v, np.ndarray) and v.ndim == 2 and v.dtype == np.float32
+
+
+def test_as_tensors_stacks_and_gates():
+    import numpy as np
+    import pytest as _pytest
+
+    from bears_spark.tensor_bridge import as_tensors
+
+    chunk = {
+        "x": np.array([1.0, 2.0]),
+        "vec": np.array([np.array([1.0, 2.0]), np.array([3.0, 4.0])], dtype=object),
+    }
+    out = as_tensors(chunk, backend="numpy")
+    assert out["vec"].shape == (2, 2) and out["x"].shape == (2,)
+    with _pytest.raises(ValueError):
+        as_tensors(chunk, backend="paddle")
+    for absent in ("torch", "tensorflow", "jax"):
+        try:
+            __import__(absent if absent != "jax" else "jax.numpy")
+        except ImportError:
+            with _pytest.raises(ImportError):
+                as_tensors(chunk, backend=absent)
