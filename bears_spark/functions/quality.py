@@ -160,6 +160,9 @@ def ngram_contamination(
         F.col(id_col).alias("train_id"),
         F.explode(F.array_distinct(word_ngrams(F.lower(F.col(text_col)), n))).alias("gram"),
     )
+    # join/shuffle fixed-width hashed keys, not gram strings (see the
+    # ngram_jaccard_pairs note in dedup.py — same trade, same ~1e-8 risk)
+    tr = tr.select("train_id", F.xxhash64("gram").alias("gram"))
     if max_doc_freq is not None:
         hot = (
             tr.groupBy("gram")
@@ -172,6 +175,7 @@ def ngram_contamination(
         F.col(id_col),
         F.explode(F.array_distinct(word_ngrams(F.lower(F.col(text_col)), n))).alias("gram"),
     )
+    te = te.select(id_col, F.xxhash64("gram").alias("gram"))
     return te.join(tr, on="gram").groupBy(id_col).agg(
         F.countDistinct("gram").alias("n_hit_grams"),
         F.countDistinct("train_id").alias("n_train_docs"),
