@@ -1,0 +1,112 @@
+"""Distributed global prefix (cumulative) aggregates.
+
+The pandas-parity ``cum_agg`` in frame.py uses an unpartitioned window —
+semantically right, but Spark executes a global ORDER BY window in ONE task,
+which is the canonical 100-TB bottleneck. This module is the scale path:
+
+    1. ``repartitionByRange(order_cols)``  — one shuffle, ranges are ordered
+       across partitions;
+    2. ``sortWithinPartitions``            — local sort, no movement;
+    3. per-partition totals (tiny agg)     — collected to the driver
+       (#partitions rows, bounded) and prefix-summed into offsets;
+    4. ``mapInPandas`` local cumsum + the partition's broadcast offset —
+       Arrow-batched, no second shuffle, carries the running value across
+       batches inside each partition.
+
+Every partition works in parallel; the only serial state is the
+#partitions-sized offset table. The caller must supply a TOTAL order
+(include a unique tiebreaker column) — with duplicate keys straddling a
+range boundary the tie order, and therefore intermediate prefix values,
+would be partitioning-dependent.
+
+No reference parity line: the reference has no cumulative aggregates at all
+(ScalableSeries.py:351-417 raises) — this is part of the engine's capability
+gain, built scale-first.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _cum_field_type(dt: T.DataType) -> T.DataType:
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return T.LongType()
+    if isinstance(dt, T.DecimalType):
+        # widen like Spark's sum() does, capped at the max precision
+        return T.DecimalType(min(38, dt.precision + 10), dt.scale)
+    return T.DoubleType()
+
+
+def partitioned_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_cols: list[str],
+    num_partitions: int | None = None,
+    suffix: str = "_cumsum",
+) -> DataFrame:
+    """Global running sum of each ``value_cols`` under ``order_cols`` (a
+    total order — include a unique tiebreaker), computed with partition-level
+    parallelism. Adds ``{col}{suffix}`` columns; row order within the result
+    follows the range partitioning (add .orderBy for a presentation sort).
+
+    The ranged input is persisted: the offsets pass and the main pass must
+    see the SAME partition boundaries (range sampling is not re-run)."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .persist()
+    )
+    totals = (
+        ranged.groupBy(F.spark_partition_id().alias("__pid__"))
+        .agg(*[F.sum(c).alias(c) for c in value_cols])
+        .collect()
+    )
+    offsets: dict[int, dict[str, float]] = {}
+    acc = {c: 0 for c in value_cols}
+    for row in sorted(totals, key=lambda r: r["__pid__"]):
+        offsets[row["__pid__"]] = dict(acc)
+        for c in value_cols:
+            acc[c] += row[c] or 0
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(c + suffix, _cum_field_type(df.schema[c].dataType)) for c in value_cols]
+    )
+
+    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        running = dict(offsets.get(pid, {c: 0 for c in value_cols}))
+        for pdf in batches:
+            for c in value_cols:
+                cs = pdf[c].cumsum() + running[c]
+                pdf[c + suffix] = cs
+                if len(cs):
+                    running[c] = cs.iloc[-1]
+            yield pdf
+
+    return ranged.mapInPandas(_scan, out_schema)
+
+
+def select_until_budget(
+    df: DataFrame,
+    order_cols: list[str],
+    cost_col: str,
+    budget: float,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Take documents in priority order until the cumulative cost exhausts
+    ``budget`` — the data-mixing step of a training pipeline ("highest
+    quality first, stop at N tokens"). The row that would cross the budget
+    is excluded. Adds ``{cost_col}_cumsum`` so callers can audit the cut."""
+    cum = partitioned_cumsum(df, order_cols, [cost_col], num_partitions=num_partitions)
+    return cum.filter(F.col(cost_col + "_cumsum") <= budget)

@@ -408,6 +408,51 @@ FROM masked, m ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# orders_global_cumsum: distributed global running total (functions/prefix.py
+# — range partition + local Arrow scan + prefix offsets, never a one-task
+# global window). Prices go through exact integer cents so the running sum is
+# associative and hash-exact against the oracle's sequential window.
+def orders_global_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.prefix import partitioned_cumsum
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    out = partitioned_cumsum(orders, ["o_orderkey"], ["cents"])
+    return out.select("o_orderkey", F.col("cents_cumsum").alias("cum_cents")).orderBy("o_orderkey")
+
+
+ORDERS_GLOBAL_CUMSUM_SQL = """
+SELECT o_orderkey,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+         OVER (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+FROM orders ORDER BY o_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# doc_budget_selection: take documents in doc_id order until a 500k-char
+# budget is spent (select_until_budget — the "stop at N tokens" mixing step),
+# exact integer cumsum so the cut point is deterministic.
+def doc_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.prefix import select_until_budget
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = select_until_budget(docs, ["doc_id"], "n_chars", budget=500_000)
+    return out.select("doc_id", "n_chars", F.col("n_chars_cumsum").alias("cum_chars")).orderBy("doc_id")
+
+
+DOC_BUDGET_SELECTION_SQL = """
+WITH c AS (
+  SELECT doc_id, n_chars,
+         CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_chars
+  FROM documents
+)
+SELECT doc_id, n_chars, cum_chars FROM c WHERE cum_chars <= 500000 ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "pipeline_text_clean": pipeline_text_clean,
     "lang_label_encode": lang_label_encode,
@@ -422,6 +467,8 @@ QUERIES = {
     "customer_name_parse": customer_name_parse,
     "doc_concat_affix": doc_concat_affix,
     "lang_mode_imputation": lang_mode_imputation,
+    "orders_global_cumsum": orders_global_cumsum,
+    "doc_budget_selection": doc_budget_selection,
 }
 
 ORACLES = {
@@ -438,6 +485,8 @@ ORACLES = {
     "customer_name_parse": CUSTOMER_NAME_PARSE_SQL,
     "doc_concat_affix": DOC_CONCAT_AFFIX_SQL,
     "lang_mode_imputation": LANG_MODE_IMPUTATION_SQL,
+    "orders_global_cumsum": ORDERS_GLOBAL_CUMSUM_SQL,
+    "doc_budget_selection": DOC_BUDGET_SELECTION_SQL,
 }
 
 

@@ -1,0 +1,42 @@
+"""Distributed global prefix aggregates (functions/prefix.py)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def test_partitioned_cumsum_matches_global_window(spark):
+    from pyspark.sql import Window
+
+    from bears_spark.functions.prefix import partitioned_cumsum
+
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 97).alias("v"), (F.col("id") % 7).cast("double").alias("d")
+    )
+    out = partitioned_cumsum(df, ["id"], ["v", "d"], num_partitions=8)
+    # multiple partitions genuinely participated
+    assert out.rdd.getNumPartitions() == 8
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    expected = df.select("id", F.sum("v").over(w).alias("ev"), F.sum("d").over(w).alias("ed"))
+    joined = out.join(expected, "id")
+    bad = joined.filter((F.col("v_cumsum") != F.col("ev")) | (F.abs(F.col("d_cumsum") - F.col("ed")) > 1e-6))
+    assert bad.count() == 0
+
+
+def test_partitioned_cumsum_empty_and_single_row(spark):
+    from bears_spark.functions.prefix import partitioned_cumsum
+
+    empty = spark.range(0).select(F.col("id"), F.lit(1).alias("v"))
+    assert partitioned_cumsum(empty, ["id"], ["v"], num_partitions=4).count() == 0
+    one = spark.range(1).select(F.col("id"), F.lit(42).alias("v"))
+    row = partitioned_cumsum(one, ["id"], ["v"], num_partitions=4).collect()[0]
+    assert row["v_cumsum"] == 42
+
+
+def test_select_until_budget_exact_cut(spark):
+    from bears_spark.functions.prefix import select_until_budget
+
+    df = spark.range(100).select(F.col("id"), F.lit(10).alias("cost"))
+    out = select_until_budget(df, ["id"], "cost", budget=255, num_partitions=4)
+    rows = sorted(r["id"] for r in out.collect())
+    # 25 * 10 = 250 <= 255; the 26th would cross
+    assert rows == list(range(25))
