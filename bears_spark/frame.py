@@ -1219,6 +1219,106 @@ class SparkFrame:
 
         write(self, path, file_format="npz", **kw)
 
+    # ---------------- reference-compat surface ----------------
+    # Thin aliases + small ops so a reference (bears) user's call sites work
+    # verbatim. Layout predicates/conversions (is_dask/as_layout/...) are
+    # deliberately out of scope — Spark has exactly one layout (SURVEY §1.2).
+    def tail(self, n: int, order_by: str | Sequence[str]) -> "SparkFrame":
+        """Last n rows under an EXPLICIT order (the reference's tail assumes
+        an implicit row order; a distributed frame has none). Executes as a
+        reversed TakeOrderedAndProject — no global sort."""
+        by = [order_by] if isinstance(order_by, str) else list(order_by)
+        rev = self.df.orderBy(*[F.col(c).desc() for c in by]).limit(n)
+        return SparkFrame(rev.orderBy(*by))
+
+    def corr_matrix(self, *cols: str) -> pd.DataFrame:
+        """Pairwise Pearson correlation matrix over numeric columns, computed
+        in ONE aggregation pass (all column pairs as agg expressions — one
+        scan, partial-aggregated; never a per-pair job)."""
+        return self._pairwise(F.corr, list(cols))
+
+    def cov_matrix(self, *cols: str) -> pd.DataFrame:
+        """Pairwise sample covariance matrix — same one-pass shape."""
+        return self._pairwise(F.covar_samp, list(cols))
+
+    def _pairwise(self, fn, cols: list[str]) -> pd.DataFrame:
+        import numpy as np
+
+        target = cols or [
+            f.name for f in self.df.schema.fields if f.dataType.typeName() in ("long", "integer", "double", "float", "short")
+        ]
+        exprs = [fn(a, b).alias(f"{i}_{j}") for i, a in enumerate(target) for j, b in enumerate(target) if i <= j]
+        row = self.df.agg(*exprs).first()
+        m = np.zeros((len(target), len(target)))
+        for i in range(len(target)):
+            for j in range(len(target)):
+                m[i, j] = row[f"{min(i, j)}_{max(i, j)}"]
+        return pd.DataFrame(m, index=target, columns=target)
+
+    def update(self, other: "SparkFrame | DataFrame", on: str | Sequence[str]) -> "SparkFrame":
+        """pandas df.update parity under an explicit key: for every column
+        both sides share, non-null values from ``other`` overwrite ours.
+        One left join on the key — the mirror image of combine_first."""
+        odf = other.df if isinstance(other, SparkFrame) else other
+        keys = [on] if isinstance(on, str) else list(on)
+        shared = [c for c in self.df.columns if c in odf.columns and c not in keys]
+        right = odf.select(*keys, *[F.col(c).alias(f"__u_{c}__") for c in shared])
+        out = self.df.join(right, on=keys, how="left")
+        for c in shared:
+            out = out.withColumn(c, F.coalesce(F.col(f"__u_{c}__"), F.col(c)))
+        return SparkFrame(out.drop(*[f"__u_{c}__" for c in shared]))
+
+    @property
+    def empty(self) -> bool:
+        return self.df.isEmpty()
+
+    @property
+    def ndim(self) -> int:
+        return 2
+
+    def copy(self) -> "SparkFrame":
+        return SparkFrame(self.df)  # plans are immutable — no data copy
+
+    def items(self):
+        for c in self.df.columns:
+            yield c, self[c]
+
+    @property
+    def loc(self) -> "_LocIndexer":
+        return _LocIndexer(self)
+
+    # conversion aliases (reference as_* spellings); all driver-side collects
+    # by contract, same as the reference's non-lazy layouts
+    def as_pandas(self) -> pd.DataFrame:
+        return self.to_pandas()
+
+    def as_dict(self) -> dict[str, list]:
+        return self.to_dict()
+
+    def as_list_of_dict(self) -> list[dict]:
+        return self.to_list_of_dict()
+
+    def to_numpy(self, *cols: str):
+        return (self.df.select(*cols) if cols else self.df).toPandas().to_numpy()
+
+    def to_set(self, col: str) -> set:
+        return {r[0] for r in self.df.select(col).distinct().collect()}
+
+    def to_tensor(self, backend: str = "numpy", *cols: str) -> dict:
+        """Whole-frame tensor conversion (TensorScalableSeries parity) —
+        driver-side; for batched training feeds use tensor_bridge.tensor_stream."""
+        from bears_spark.tensor_bridge import as_tensors
+
+        import numpy as np
+
+        pdf = (self.df.select(*cols) if cols else self.df).toPandas()
+        return as_tensors({c: pdf[c].to_numpy() for c in pdf.columns}, backend=backend)
+
+    def compress(self, codec: str = "gzip", base64: bool = False) -> bytes | str:
+        from bears_spark.compress import compress
+
+        return compress(self, codec=codec, base64=base64)
+
     # ---------------- streaming feed ----------------
     def stream(self, **kw):
         from bears_spark.stream import stream_frame
@@ -1277,3 +1377,32 @@ class SparkFrame:
 
     def __repr__(self) -> str:
         return f"SparkFrame[{', '.join(f'{f.name}: {f.dataType.simpleString()}' for f in self.df.schema.fields)}]"
+
+
+class _LocIndexer:
+    """Minimal pandas .loc: ``df.loc[mask]`` and ``df.loc[mask, cols]``
+    (boolean-mask row selection + column projection — the shapes reference
+    call sites actually use; label-based row loc needs an index, which a
+    distributed frame doesn't have)."""
+
+    def __init__(self, frame: SparkFrame):
+        self._frame = frame
+
+    def __getitem__(self, key):
+        if isinstance(key, tuple):
+            mask, cols = key
+            cols = [cols] if isinstance(cols, str) else list(cols)
+            return self._frame[mask][cols]
+        return self._frame[key]
+
+
+# reference-spelling aliases (kept outside the class body so each points at
+# the canonical def without forward references)
+SparkFrame.aggregate = SparkFrame.agg
+SparkFrame.isnull = SparkFrame.isna
+SparkFrame.notna = lambda self: SparkFrame(self.df.select(*[F.col(c).isNotNull().alias(c) for c in self.df.columns]))
+SparkFrame.notnull = SparkFrame.notna
+SparkFrame.backfill = SparkFrame.bfill
+SparkColumn.kurtosis = SparkColumn.kurt
+SparkColumn.tolist = lambda self: self.to_pandas().tolist()
+SparkColumn.to_list = SparkColumn.tolist

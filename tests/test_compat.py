@@ -1,0 +1,72 @@
+"""Reference-spelling compat surface on SparkFrame (aliases, tail, corr/cov
+matrices, update, loc, conversions)."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from bears_spark.frame import SparkFrame
+
+
+@pytest.fixture()
+def frame(spark):
+    return SparkFrame(
+        spark.createDataFrame(
+            [(1, 10.0, "a"), (2, None, "b"), (3, 30.0, "a"), (4, 25.0, "c")],
+            "id long, v double, tag string",
+        )
+    )
+
+
+def test_tail_explicit_order(frame):
+    rows = frame.tail(2, order_by="id").df.collect()
+    assert [r["id"] for r in rows] == [3, 4]
+
+
+def test_corr_cov_matrix_one_pass(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"x": [1.0, 2.0, 3.0, 4.0], "y": [2.0, 4.1, 5.9, 8.2], "z": [4.0, 3.0, 2.0, 1.0]})
+    sf = SparkFrame(spark.createDataFrame(pdf))
+    got = sf.corr_matrix()
+    exp = pdf.corr()
+    assert np.allclose(got.to_numpy(), exp.to_numpy(), atol=1e-9)
+    gotc = sf.cov_matrix()
+    assert np.allclose(gotc.to_numpy(), pdf.cov().to_numpy(), atol=1e-9)
+
+
+def test_update_overwrites_nonnull(spark, frame):
+    other = SparkFrame(spark.createDataFrame([(2, 99.0), (3, None)], "id long, v double"))
+    out = {r["id"]: r["v"] for r in frame.update(other, on="id").df.collect()}
+    assert out[2] == 99.0       # null filled from other
+    assert out[3] == 30.0       # other's null does NOT erase ours
+    assert out[1] == 10.0 and out[4] == 25.0
+
+
+def test_loc_mask_and_cols(frame):
+    out = frame.loc[frame["v"] > 20, ["id", "v"]].df.collect()
+    assert sorted((r["id"], r["v"]) for r in out) == [(3, 30.0), (4, 25.0)]
+    out2 = frame.loc[frame["tag"] == "a"]
+    assert out2.df.count() == 2
+
+
+def test_aliases_and_conversions(frame):
+    assert frame.aggregate({"v": "max"}).df.first()[0] == 30.0
+    assert frame.isnull().df.columns == frame.df.columns
+    assert not frame.empty and frame.ndim == 2
+    assert frame.copy().df is frame.df
+    assert dict(frame.items())["v"].max() == 30.0
+    assert frame.to_set("tag") == {"a", "b", "c"}
+    arr = frame.to_numpy("id")
+    assert arr.shape == (4, 1)
+    t = frame.to_tensor("numpy", "id", "v")
+    assert set(t) == {"id", "v"} and t["id"].shape == (4,)
+    assert frame["id"].tolist() == [1, 2, 3, 4]
+    blob = frame.compress()
+    assert isinstance(blob, bytes) and len(blob) > 0
+
+
+def test_empty_frame_and_single_partition(spark):
+    sf = SparkFrame(spark.createDataFrame([], "id long, v double"))
+    assert sf.empty
+    assert sf.tail(3, order_by="id").df.count() == 0
