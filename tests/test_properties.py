@@ -86,3 +86,57 @@ def test_rolling_matches_pandas(spark, case):
     exp_min = roll.min().reset_index(level=0, drop=True).sort_index()
     assert out["v_rolling_mean"].tolist() == pytest.approx(exp_mean.tolist())
     assert out["v_rolling_min"].tolist() == pytest.approx(exp_min.tolist())
+
+
+@st.composite
+def _cumsum_case(draw):
+    n = draw(st.integers(min_value=0, max_value=60))
+    vals = draw(st.lists(st.integers(min_value=-1000, max_value=1000), min_size=n, max_size=n))
+    parts = draw(st.integers(min_value=1, max_value=6))
+    return vals, parts
+
+
+@given(_cumsum_case())
+@_settings
+def test_partitioned_cumsum_matches_pandas(spark, case):
+    from bears_spark.functions.prefix import partitioned_cumsum
+
+    vals, parts = case
+    pdf = pd.DataFrame({"id": range(len(vals)), "v": vals})
+    if pdf.empty:
+        df = spark.createDataFrame([], "id long, v long")
+    else:
+        df = spark.createDataFrame(pdf)
+    out = partitioned_cumsum(df, ["id"], ["v"], num_partitions=parts)
+    got = {r["id"]: r["v_cumsum"] for r in out.collect()}
+    exp = pdf["v"].cumsum()
+    assert got == {i: int(exp.iloc[i]) for i in range(len(vals))}
+
+
+@st.composite
+def _jpeg_case(draw):
+    h = draw(st.integers(min_value=1, max_value=24))
+    w = draw(st.integers(min_value=1, max_value=24))
+    seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+    return h, w, seed
+
+
+@given(_jpeg_case())
+@_settings
+def test_jpeg_roundtrip_bounded_error(case):
+    import numpy as np
+
+    from bears_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    h, w, seed = case
+    rng = np.random.RandomState(seed)
+    # smooth-ish image: random low-frequency gradient (JPEG's design center)
+    base = rng.randint(0, 256, size=(2, 2, 3))
+    yy = np.linspace(0, 1, h)[:, None, None]
+    xx = np.linspace(0, 1, w)[None, :, None]
+    img = (base[0, 0] * (1 - yy) * (1 - xx) + base[0, 1] * (1 - yy) * xx
+           + base[1, 0] * yy * (1 - xx) + base[1, 1] * yy * xx).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=95))
+    assert dec.shape == (h, w, 3)
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 6.0
