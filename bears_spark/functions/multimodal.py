@@ -328,6 +328,47 @@ def extract_pdf_features(assets: DataFrame) -> DataFrame:
     return assets.select("path", "content").mapInPandas(_extract, schema)
 
 
+def extract_pdf_pages(assets: DataFrame) -> DataFrame:
+    """One row per PDF page (path, page_idx, text, n_chars) — parity with the
+    reference's Document/Pdf.pages (src/bears/document.py:21-27), as a UDTF
+    shape: 1 document row -> N page rows, decoded on executors.
+
+    Page boundaries follow content-stream order (the 1:1 mapping every
+    simple generator emits); multi-stream pages need a real PDF library."""
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("page_idx", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("n_chars", T.IntegerType()),
+        ]
+    )
+
+    def _pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+        import zlib
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = bytes(r["content"])
+                for idx, m in enumerate(re.finditer(rb"stream\r?\n(.*?)endstream", content, re.DOTALL)):
+                    data = m.group(1)
+                    try:
+                        data = zlib.decompress(data)
+                    except zlib.error:
+                        pass
+                    parts = []
+                    for s in re.finditer(rb"\((?:[^()\\]|\\.)*\)", data):
+                        token = re.sub(rb"\\([()\\])", rb"\1", s.group(0)[1:-1])
+                        parts.append(token.decode("latin-1"))
+                    text = " ".join(parts)
+                    rows.append({"path": r["path"], "page_idx": idx, "text": text, "n_chars": len(text)})
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return assets.select("path", "content").mapInPandas(_pages, schema)
+
+
 _AUDIO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("path", T.StringType()),

@@ -425,3 +425,13 @@ def test_gif_via_decode_image_batch():
     img[..., 1] = 255
     out = decode_image_batch(encode_gif(img), fake=False)
     assert (out == img).all()
+
+
+def test_extract_pdf_pages(spark, tmp_path):
+    from bears_spark.functions.multimodal import extract_pdf_pages
+
+    (tmp_path / "two.pdf").write_bytes(_make_pdf("page one here") + _make_pdf("page two", compress=False)[9:])
+    rows = extract_pdf_pages(load_assets(spark, str(tmp_path))).orderBy("page_idx").collect()
+    assert [r["page_idx"] for r in rows] == [0, 1]
+    assert rows[0]["text"] == "page one here" and rows[1]["text"] == "page two"
+    assert rows[0]["n_chars"] == 13
