@@ -134,3 +134,27 @@ def test_purchase_attribution_stream(spark, events_dir):
     # of the batch answer must be present
     assert got <= want
     assert len(got) >= int(0.8 * len(want)), (len(got), len(want))
+
+
+def test_run_to_parquet_exactly_once(spark, sf_dir, tmp_path):
+    """Production parquet sink: append-mode windowed agg lands closed windows
+    exactly once under availableNow, and the output re-reads as a plain
+    batch table."""
+    from bears_spark.queries.events import _events_stream
+    from bears_spark.streaming.jobs import hourly_counts_stream, run_to_parquet
+
+    ev = _events_stream(spark, sf_dir)
+    agg = hourly_counts_stream(ev, watermark="2 hours")
+    out = str(tmp_path / "hourly")
+    q = run_to_parquet(agg, out, str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination()
+    q.stop()
+    written = spark.read.parquet(out)
+    assert {"hour", "event_type", "n", "total_value"} <= set(written.columns)
+    # append emits only watermark-closed windows: a subset of the batch truth
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .count()
+    )
+    assert 0 < written.count() <= batch.agg({"count": "sum"}).first()[0]
