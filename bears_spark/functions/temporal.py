@@ -34,26 +34,32 @@ def asof_join(
     right_cols: list[str] | None = None,
     suffix: str = "_asof",
     tolerance_us: int | None = None,
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
-    """Backward as-of join (pandas merge_asof direction='backward',
-    allow_exact_matches=True; DuckDB `ASOF JOIN ... ON l.on >= r.on`).
+    """As-of join, full pandas merge_asof parity: ``direction`` backward /
+    forward / nearest, ``allow_exact_matches``; DuckDB `ASOF JOIN` ==
+    (backward, exact).
 
-    For every left row, attach the most recent right row whose ``on`` value
-    (timestamp) is <= the left's, matching on the optional ``by`` key. Right
-    payload columns come back as ``{col}{suffix}``; left rows with no prior
-    right row get nulls. ``tolerance_us`` nulls matches older than the given
-    microsecond horizon.
+    backward attaches the most recent right row with on <= left.on (strict <
+    when exact matches are off); forward the earliest with on >= left.on;
+    nearest whichever side is closer (tie -> backward, as pandas). Matching
+    is per optional ``by`` key; right payload columns come back as
+    ``{col}{suffix}``; unmatched left rows get nulls. ``tolerance_us`` nulls
+    matches further than the horizon (µs for timestamps, column units for
+    numeric ``on``).
 
-    The right payload is carried as ONE struct through
-    ``last(..., ignorenulls=True)``, so the match is row-atomic even when
-    payload columns contain nulls.
+    Implemented WITHOUT a join: union both sides with a side tag, then ONE
+    window per key ordered by (on, tag) carries the nearest right payload
+    onto left rows — one shuffle, no join explosion, scale-correct. The
+    payload travels as a single struct through last/first(ignorenulls), so
+    the match is row-atomic even when payload columns contain nulls.
 
-    Caveat: if the right side has DUPLICATE (by, on) rows, which of them
-    wins is unspecified (the window has no further tiebreak) — pandas
-    merge_asof has the same ambiguity resolved by input order, which a
-    distributed engine doesn't have. Deduplicate the right side first if it
-    matters.
+    Caveat: duplicate right (by, on) rows have an unspecified winner (pandas
+    resolves by input order, which a distributed engine doesn't have).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
     rcols = right_cols if right_cols is not None else [c for c in right.columns if c not in (on, by)]
     rdtypes = dict(right.dtypes)
     ldtypes = dict(left.dtypes)
@@ -72,30 +78,61 @@ def asof_join(
             rhs = rhs.withColumn(c, F.lit(None).cast(ldtypes[c]))
     both = lhs.unionByName(rhs.select(*lhs.columns))
 
-    # right rows sort before left rows at equal `on` (side 0 < 1) -> exact
-    # timestamps match; the struct is non-null exactly on right rows
-    w = (
-        (Window.partitionBy(by) if by else Window.partitionBy())
-        .orderBy(on, "__side__")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    payload = F.when(
-        F.col("__side__") == 0,
-        F.struct(F.col(on).alias("__on__"), *[F.col(c + suffix).alias(c + suffix) for c in rcols]),
-    )
-    carried = F.last(payload, ignorenulls=True).over(w).alias("__match__")
-    out = both.select(*[F.col(c) for c in left.columns], F.col("__side__"), carried).filter(
+    # Tiebreak ordinal at equal `on`: left rows always 1; right rows sort
+    # BEFORE left (0) when they should be visible to the backward frame /
+    # hidden from the forward frame, AFTER (2) in the opposite cases.
+    #   backward exact: right=0   backward no-exact: right=2
+    #   forward  exact: right=2   forward  no-exact: right=0
+    # nearest needs BOTH frames with exact-match semantics on both sides,
+    # which 0 (backward-visible) + a separate forward carry over ord-agnostic
+    # frames can't express with one ordinal — so nearest uses exact ordinals
+    # per side frame below.
+    def _carry(back: bool, exact: bool):
+        right_ord = (0 if exact else 2) if back else (2 if exact else 0)
+        ordc = F.when(F.col("__side__") == 0, F.lit(right_ord)).otherwise(F.lit(1))
+        base = Window.partitionBy(by) if by else Window.partitionBy()
+        payload = F.when(
+            F.col("__side__") == 0,
+            F.struct(F.col(on).alias("__on__"), *[F.col(c + suffix).alias(c + suffix) for c in rcols]),
+        )
+        if back:
+            w = base.orderBy(F.col(on), ordc).rowsBetween(Window.unboundedPreceding, 0)
+            return F.last(payload, ignorenulls=True).over(w)
+        w = base.orderBy(F.col(on), ordc).rowsBetween(0, Window.unboundedFollowing)
+        return F.first(payload, ignorenulls=True).over(w)
+
+    if direction == "nearest":
+        carried = [
+            _carry(True, allow_exact_matches).alias("__mb__"),
+            _carry(False, allow_exact_matches).alias("__mf__"),
+        ]
+    else:
+        carried = [_carry(direction == "backward", allow_exact_matches).alias("__match__")]
+    out = both.select(*[F.col(c) for c in left.columns], F.col("__side__"), *carried).filter(
         F.col("__side__") == 1
     )
+    if direction == "nearest":
+        gb = _abs_gap(on, ldtypes[on], "__mb__")
+        gf = _abs_gap(on, ldtypes[on], "__mf__")
+        pick_f = F.col("__mb__").isNull() | (F.col("__mf__").isNotNull() & (gf < gb))
+        out = out.withColumn("__match__", F.when(pick_f, F.col("__mf__")).otherwise(F.col("__mb__")))
     match_ok = F.col("__match__").isNotNull()
     if tolerance_us is not None:
-        match_ok = match_ok & (
-            (F.unix_micros(F.col(on)) - F.unix_micros(F.col("__match__.__on__"))) <= F.lit(tolerance_us)
-        )
+        match_ok = match_ok & (_abs_gap(on, ldtypes[on], "__match__") <= F.lit(tolerance_us))
     return out.select(
         *[F.col(c) for c in left.columns],
         *[F.when(match_ok, F.col(f"__match__.{c}{suffix}")).alias(c + suffix) for c in rcols],
     )
+
+
+def _abs_gap(on: str, dtype: str, match_name: str) -> F.Column:
+    """|left.on - match.on| in µs (timestamps, NTZ tz-safe) or column units."""
+    if dtype == "timestamp":
+        return F.abs(F.unix_micros(F.col(on)) - F.unix_micros(F.col(f"{match_name}.__on__")))
+    if dtype == "timestamp_ntz":
+        e = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {})"
+        return F.abs(F.expr(e.format(on)) - F.expr(e.format(f"{match_name}.__on__")))
+    return F.abs(F.col(on).cast("double") - F.col(f"{match_name}.__on__").cast("double"))
 
 
 def range_join(

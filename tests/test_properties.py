@@ -140,3 +140,51 @@ def test_jpeg_roundtrip_bounded_error(case):
     assert dec.shape == (h, w, 3)
     err = np.abs(dec.astype(int) - img.astype(int))
     assert err.mean() < 6.0
+
+
+@st.composite
+def _asof_dir_case(draw):
+    left = draw(st.lists(st.tuples(_keys, _ts), min_size=1, max_size=20))
+    right_pairs = draw(st.lists(st.tuples(_keys, _ts), min_size=0, max_size=20, unique=True))
+    right_vals = draw(st.lists(_val, min_size=len(right_pairs), max_size=len(right_pairs)))
+    direction = draw(st.sampled_from(["backward", "forward", "nearest"]))
+    exact = draw(st.booleans())
+    return left, [(k, t, v) for (k, t), v in zip(right_pairs, right_vals)], direction, exact
+
+
+@given(_asof_dir_case())
+@_settings
+def test_asof_directions_match_pandas(spark, case):
+    from bears_spark.functions.temporal import asof_join
+
+    left_rows, right_rows, direction, exact = case
+    lpdf = pd.DataFrame(left_rows, columns=["k", "t"]).sort_values(["t", "k"]).reset_index(drop=True)
+    rpdf = pd.DataFrame(right_rows, columns=["k", "t", "v"]).sort_values(["t", "k"]).reset_index(drop=True)
+    rpdf = rpdf.astype({"k": "int64", "t": "int64", "v": "float64"})
+    ldf = spark.createDataFrame(lpdf)
+    rdf = (
+        spark.createDataFrame(rpdf)
+        if len(rpdf)
+        else spark.createDataFrame([], "k bigint, t bigint, v float")
+    )
+    got = (
+        asof_join(ldf, rdf, on="t", by="k", direction=direction, allow_exact_matches=exact)
+        .toPandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        lpdf.sort_values("t"),
+        rpdf.sort_values("t"),
+        on="t",
+        by="k",
+        direction=direction,
+        allow_exact_matches=exact,
+    ).sort_values(["k", "t"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    for (_, g), (_, e) in zip(got.iterrows(), exp.iterrows()):
+        gv, ev = g["v_asof"], e["v"]
+        if pd.isna(ev):
+            assert pd.isna(gv), (g, e)
+        else:
+            assert gv == pytest.approx(ev), (g, e)
