@@ -44,6 +44,37 @@ def exact_dedup(df: DataFrame, text_col: str, keep_col: str) -> DataFrame:
     )
 
 
+def incremental_dedup(
+    batch: DataFrame,
+    store: DataFrame | None,
+    text_col: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Streaming-ingest dedup: filter an incoming batch against a historical
+    fingerprint store, then against itself.
+
+    Returns ``(survivors, new_store)``: survivors are batch rows whose
+    normalized fingerprint is neither in the store nor claimed by an earlier
+    (min ``id_col``) row of the same batch; new_store is the store with this
+    batch's fingerprints folded in — write it back each ingest cycle and the
+    pipeline never rescans history. The store is one slim (fingerprint)
+    column: 8 bytes/doc forever vs re-fingerprinting the corpus per batch.
+
+    Plan shape: within-batch groupBy (uniform 60-bit key) + left_anti join
+    against the store on the fingerprint — both shuffle only fingerprints,
+    and at cluster scale the store side can be bucketed on __fp__ to kill
+    the shuffle entirely.
+    """
+    fps = batch.select(F.col(id_col), fingerprint64(text_col).alias("__fp__"))
+    first_per_fp = fps.groupBy("__fp__").agg(F.min(id_col).alias(id_col))
+    if store is not None:
+        first_per_fp = first_per_fp.join(store.select("__fp__"), on="__fp__", how="left_anti")
+    survivors = batch.join(first_per_fp.select(id_col), on=id_col, how="left_semi")
+    batch_fps = first_per_fp.select("__fp__")
+    new_store = batch_fps if store is None else store.select("__fp__").union(batch_fps).distinct()
+    return survivors, new_store
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,

@@ -368,3 +368,29 @@ def test_unicode_normalize_forms(spark):
     assert out[2]["nfc"] is None
     with _pytest.raises(ValueError, match="normalization form"):
         unicode_normalize("t", "NFX")
+
+
+def test_incremental_dedup_across_batches(spark):
+    from bears_spark.functions.dedup import incremental_dedup
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "Alpha  TEXT")],  # 3 dups 1 after normalization
+        "doc_id long, text string",
+    )
+    s1, store1 = incremental_dedup(b1, None, "text", "doc_id")
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    assert ids1 == [1, 2]  # 3 is a normalized dup of 1
+    assert store1.count() == 2
+
+    b2 = spark.createDataFrame(
+        [(4, "beta text"), (5, "gamma text"), (6, "gamma text")],
+        "doc_id long, text string",
+    )
+    s2, store2 = incremental_dedup(b2, store1, "text", "doc_id")
+    ids2 = sorted(r["doc_id"] for r in s2.collect())
+    assert ids2 == [5]  # 4 dups history; 6 dups 5 within batch
+    assert store2.count() == 3
+
+    # idempotent: re-ingesting batch 2 yields nothing new
+    s3, store3 = incremental_dedup(b2, store2, "text", "doc_id")
+    assert s3.count() == 0 and store3.count() == 3
