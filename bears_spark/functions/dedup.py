@@ -262,18 +262,29 @@ def ngram_jaccard_pairs(
     if prefix_filter:
         return _ngram_jaccard_prefix(grams, sizes, id_col, threshold)
 
-    a, b = grams.alias("a"), grams.alias("b")
-    shared = (
-        a.join(b, on="gram")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+    # Carry each doc's gram-set size ON its gram rows (one small equi-join
+    # BEFORE the self-join) so jaccard computes inside the pair aggregation
+    # via first(na)/first(nb) — this removes TWO shuffled joins of the
+    # (potentially huge) pair table against the sizes table. The size also
+    # enables the LOSSLESS length-ratio filter in the join condition:
+    # jaccard >= t requires min(|A|,|B|)/max(|A|,|B|) >= t, so size-
+    # incompatible pairs are dropped before they reach the aggregation.
+    gs = grams.join(sizes, id_col)
+    a, b = gs.alias("a"), gs.alias("b")
+    cond = (
+        (F.col("a.gram") == F.col("b.gram"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & (F.col("b.n_grams") >= F.lit(threshold) * F.col("a.n_grams"))
+        & (F.col("b.n_grams") <= F.col("a.n_grams") / F.lit(threshold))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"))
     return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
+        a.join(b, cond)
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("a.n_grams").alias("na"),  # constant within the group
+            F.first("b.n_grams").alias("nb"),
+        )
         .withColumn("jaccard", F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
