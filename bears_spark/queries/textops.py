@@ -604,3 +604,36 @@ FROM aug ORDER BY doc_id
 
 QUERIES["doc_nfc_normalize"] = doc_nfc_normalize
 ORACLES["doc_nfc_normalize"] = DOC_NFC_SQL
+
+
+# --------------------------------------------------------------------------
+# dedup_incremental: two-cycle ingest — the first half of the corpus (by
+# doc_id) is already in the fingerprint store; grade the SURVIVORS of
+# ingesting the second half (absent from history, first of their fingerprint
+# within the batch). Exercises functions/dedup.incremental_dedup end-to-end.
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    hist = docs.filter(F.col("doc_id") <= mid)
+    batch = docs.filter(F.col("doc_id") > mid)
+    _, store = dd.incremental_dedup(hist, None, "text", "doc_id")
+    survivors, _ = dd.incremental_dedup(batch, store, "text", "doc_id")
+    return survivors.select("doc_id").orderBy("doc_id")
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH fp AS (
+  SELECT doc_id, {_hex2int(_NORM)} AS f FROM documents
+), mid AS (
+  SELECT quantile_cont(doc_id, 0.5) AS m FROM fp
+), hist AS (
+  SELECT DISTINCT f FROM fp, mid WHERE doc_id <= m
+), batch AS (
+  SELECT doc_id, f FROM fp, mid WHERE doc_id > m
+)
+SELECT min(doc_id) AS doc_id FROM batch ANTI JOIN hist USING (f)
+GROUP BY f ORDER BY doc_id
+"""
+
+QUERIES["dedup_incremental"] = dedup_incremental
+ORACLES["dedup_incremental"] = DEDUP_INCREMENTAL_SQL
