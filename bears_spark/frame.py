@@ -1356,13 +1356,17 @@ class SparkFrame:
     def iloc_range(self, start: int, stop: int, order_by: str | Sequence[str]) -> "SparkFrame":
         """Positional row slice under an EXPLICIT order (distributed frames
         have no implicit row order — the reference's iloc assumes one;
-        we require the caller to name it). Half-open [start, stop)."""
+        we require the caller to name it). Half-open [start, stop).
+
+        Positions come from functions/prefix.distributed_row_number — range
+        partition + offset table — NOT a global window, so the slice stays
+        parallel at any input size."""
+        from bears_spark.functions.prefix import distributed_row_number
+
         by = [order_by] if isinstance(order_by, str) else list(order_by)
-        w = Window.orderBy(*by)
+        numbered = distributed_row_number(self.df, by)
         return SparkFrame(
-            self.df.withColumn("__pos__", F.row_number().over(w) - 1)
-            .filter((F.col("__pos__") >= start) & (F.col("__pos__") < stop))
-            .drop("__pos__")
+            numbered.filter((F.col("__pos__") >= start) & (F.col("__pos__") < stop)).drop("__pos__")
         )
 
     def describe(self, *cols: str) -> pd.DataFrame:

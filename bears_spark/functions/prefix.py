@@ -97,6 +97,44 @@ def partitioned_cumsum(
     return ranged.mapInPandas(_scan, out_schema)
 
 
+def distributed_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "__pos__",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 0-based row position under a total order, without the one-task
+    global window: range partition -> per-partition counts -> offset table ->
+    local row_number + offset. Same machinery as partitioned_cumsum with a
+    constant-1 value, but counts come from the cheap groupBy, not a scan."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .persist()
+    )
+    counts = ranged.groupBy(F.spark_partition_id().alias("__pid__")).count().collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["__pid__"]):
+        offsets[row["__pid__"]] = acc
+        acc += row["count"]
+
+    out_schema = T.StructType(list(df.schema.fields) + [T.StructField(out_col, T.LongType())])
+
+    def _number(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pos = offsets.get(TaskContext.get().partitionId(), 0)
+        for pdf in batches:
+            pdf[out_col] = range(pos, pos + len(pdf))
+            pos += len(pdf)
+            yield pdf
+
+    return ranged.mapInPandas(_number, out_schema)
+
+
 def select_until_budget(
     df: DataFrame,
     order_cols: list[str],

@@ -40,3 +40,23 @@ def test_select_until_budget_exact_cut(spark):
     rows = sorted(r["id"] for r in out.collect())
     # 25 * 10 = 250 <= 255; the 26th would cross
     assert rows == list(range(25))
+
+
+def test_distributed_row_number_matches_window(spark):
+    from pyspark.sql import Window
+
+    from bears_spark.functions.prefix import distributed_row_number
+
+    df = spark.range(5_000).select((F.col("id") * 37 % 4999).alias("k"), F.col("id"))
+    out = distributed_row_number(df, ["k", "id"], num_partitions=8)
+    w = Window.orderBy("k", "id")
+    exp = df.select("k", "id", (F.row_number().over(w) - 1).alias("p"))
+    assert out.join(exp, ["k", "id"]).filter(F.col("__pos__") != F.col("p")).count() == 0
+
+
+def test_iloc_range_distributed(spark):
+    from bears_spark.frame import SparkFrame
+
+    sf = SparkFrame(spark.range(1000).select(F.col("id")))
+    rows = sorted(r["id"] for r in sf.iloc_range(100, 110, "id").df.collect())
+    assert rows == list(range(100, 110))
