@@ -1001,7 +1001,12 @@ class SparkFrame:
         """Cumulative (expanding) aggregates under an explicit order:
         cumsum/cummax/cummin/cumprod/cumcount as ``{col}_cum{fn}`` columns.
         (pandas cum* — in the reference's not-implemented set,
-        ScalableSeries.py:351-417.)"""
+        ScalableSeries.py:351-417.)
+
+        Scale note: WITHOUT partition_by this compiles to a one-task global
+        window — fine for small/medium frames; for a global cumsum over a
+        large frame use functions/prefix.partitioned_cumsum (range partition
+        + offset table, fully parallel)."""
         w = (
             (Window.partitionBy(*partition_by) if partition_by else Window.partitionBy())
             .orderBy(order_col)
