@@ -97,6 +97,97 @@ def partitioned_cumsum(
     return ranged.mapInPandas(_scan, out_schema)
 
 
+_SCAN_FNS = {
+    "sum": (F.sum, lambda acc, x: acc + x, 0),
+    "max": (F.max, max, None),
+    "min": (F.min, min, None),
+    "count": (F.count, lambda acc, x: acc + x, 0),
+}
+
+
+def partitioned_scan(
+    df: DataFrame,
+    order_cols: list[str],
+    aggs: dict[str, list[str]],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Generalized distributed prefix scan: running sum/max/min/count per
+    value column under a total order, as ``{col}_cum{fn}`` columns — the
+    fully-parallel form of frame.cum_agg's unpartitioned path. Any
+    ASSOCIATIVE combine works with the same offset algebra; prod is omitted
+    (overflow makes the offset algebra lossy in floats).
+    """
+    for c, fns in aggs.items():
+        for fn in fns:
+            if fn not in _SCAN_FNS:
+                raise ValueError(f"unsupported scan fn {fn!r} (have {sorted(_SCAN_FNS)})")
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .persist()
+    )
+    total_exprs = [
+        _SCAN_FNS[fn][0](c).alias(f"{c}__{fn}") for c, fns in aggs.items() for fn in fns
+    ]
+    totals = ranged.groupBy(F.spark_partition_id().alias("__pid__")).agg(*total_exprs).collect()
+    # per-partition offset = combine of all PRIOR partitions' totals
+    offsets: dict[int, dict[str, object]] = {}
+    acc: dict[str, object] = {}
+    for row in sorted(totals, key=lambda r: r["__pid__"]):
+        offsets[row["__pid__"]] = dict(acc)
+        for c, fns in aggs.items():
+            for fn in fns:
+                key = f"{c}__{fn}"
+                v = row[key]
+                if v is None:
+                    continue
+                _, combine, init = _SCAN_FNS[fn]
+                acc[key] = combine(acc[key], v) if key in acc else (combine(init, v) if init is not None else v)
+
+    def _out_type(c: str, fn: str) -> T.DataType:
+        if fn == "count":
+            return T.LongType()
+        return _cum_field_type(df.schema[c].dataType)
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(f"{c}_cum{fn}", _out_type(c, fn)) for c, fns in aggs.items() for fn in fns]
+    )
+
+    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        off = dict(offsets.get(TaskContext.get().partitionId(), {}))
+        for pdf in batches:
+            for c, fns in aggs.items():
+                for fn in fns:
+                    key = f"{c}__{fn}"
+                    if fn == "sum":
+                        local = pdf[c].cumsum()
+                    elif fn == "max":
+                        local = pdf[c].cummax()
+                    elif fn == "min":
+                        local = pdf[c].cummin()
+                    else:  # count
+                        local = pdf[c].notna().cumsum()
+                    if key in off:
+                        _, combine, _init = _SCAN_FNS[fn]
+                        if fn in ("sum", "count"):
+                            local = local + off[key]
+                        elif fn == "max":
+                            local = local.clip(lower=off[key])
+                        else:
+                            local = local.clip(upper=off[key])
+                    pdf[f"{c}_cum{fn}"] = local
+                    if len(local):
+                        off[key] = local.iloc[-1]
+            yield pdf
+
+    return ranged.mapInPandas(_scan, out_schema)
+
+
 def distributed_row_number(
     df: DataFrame,
     order_cols: list[str],

@@ -60,3 +60,30 @@ def test_iloc_range_distributed(spark):
     sf = SparkFrame(spark.range(1000).select(F.col("id")))
     rows = sorted(r["id"] for r in sf.iloc_range(100, 110, "id").df.collect())
     assert rows == list(range(100, 110))
+
+
+def test_partitioned_scan_all_fns(spark):
+    from pyspark.sql import Window
+
+    from bears_spark.functions.prefix import partitioned_scan
+
+    df = spark.range(3_000).select(
+        F.col("id"), ((F.col("id") * 31 + 7) % 100 - 50).alias("v")
+    )
+    out = partitioned_scan(df, ["id"], {"v": ["sum", "max", "min", "count"]}, num_partitions=6)
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    exp = df.select(
+        "id",
+        F.sum("v").over(w).alias("es"),
+        F.max("v").over(w).alias("ex"),
+        F.min("v").over(w).alias("en"),
+        F.count("v").over(w).alias("ec"),
+    )
+    j = out.join(exp, "id")
+    bad = j.filter(
+        (F.col("v_cumsum") != F.col("es"))
+        | (F.col("v_cummax") != F.col("ex"))
+        | (F.col("v_cummin") != F.col("en"))
+        | (F.col("v_cumcount") != F.col("ec"))
+    )
+    assert bad.count() == 0
