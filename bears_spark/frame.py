@@ -1324,6 +1324,34 @@ class SparkFrame:
 
         return compress(self, codec=codec, base64=base64)
 
+    def merge_asof(
+        self,
+        other: "SparkFrame | DataFrame",
+        on: str,
+        by: str | None = None,
+        direction: str = "backward",
+        allow_exact_matches: bool = True,
+        tolerance_us: int | None = None,
+        suffix: str = "_asof",
+    ) -> "SparkFrame":
+        """pandas merge_asof, frame-spelled — delegates to
+        functions/temporal.asof_join (union+window plan, one shuffle)."""
+        from bears_spark.functions.temporal import asof_join
+
+        odf = other.df if isinstance(other, SparkFrame) else other
+        return SparkFrame(
+            asof_join(
+                self.df,
+                odf,
+                on=on,
+                by=by,
+                direction=direction,
+                allow_exact_matches=allow_exact_matches,
+                tolerance_us=tolerance_us,
+                suffix=suffix,
+            )
+        )
+
     # ---------------- streaming feed ----------------
     def stream(self, **kw):
         from bears_spark.stream import stream_frame

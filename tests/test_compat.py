@@ -70,3 +70,13 @@ def test_empty_frame_and_single_partition(spark):
     sf = SparkFrame(spark.createDataFrame([], "id long, v double"))
     assert sf.empty
     assert sf.tail(3, order_by="id").df.count() == 0
+
+
+def test_merge_asof_frame_method(spark):
+    left = SparkFrame(spark.createDataFrame([(1, 10), (1, 20), (2, 15)], "k long, t long"))
+    right = SparkFrame(spark.createDataFrame([(1, 9, 1.0), (1, 18, 2.0), (2, 16, 3.0)], "k long, t long, v double"))
+    out = {(r["k"], r["t"]): r["v_asof"] for r in left.merge_asof(right, on="t", by="k").df.collect()}
+    assert out[(1, 10)] == 1.0 and out[(1, 20)] == 2.0 and out[(2, 15)] is None
+    fwd = {(r["k"], r["t"]): r["v_asof"] for r in
+           left.merge_asof(right, on="t", by="k", direction="forward").df.collect()}
+    assert fwd[(2, 15)] == 3.0
