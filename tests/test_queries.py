@@ -25,3 +25,40 @@ def test_query_runs(spark, sf_dir, name):
     assert n >= 0
     # schema must be stable (no unresolved columns)
     assert df.columns
+
+
+def test_load_table_normalizes_all_ts_encodings(spark, tmp_path):
+    """load_table must yield identical TIMESTAMP instants for nanos, naive-µs,
+    and tz-aware parquet encodings of the same wall times."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bears_spark.queries.tables import events_ts_encoding, load_table
+
+    wall_us = [1704067200_000_000, 1704070800_500_000]  # 2024-01-01 00:00 / 01:00.5 UTC
+    base = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([1, 1], pa.int64()),
+        "event_type": pa.array(["a", "b"]),
+        "value": pa.array([1.0, 2.0]),
+        "props": pa.array(["{}", "{}"]),
+    }
+    cases = {
+        "ns": pa.array([u * 1000 for u in wall_us], pa.timestamp("ns")),
+        "ntz": pa.array(wall_us, pa.timestamp("us")),
+        "tz": pa.array(wall_us, pa.timestamp("us", tz="UTC")),
+    }
+    got = {}
+    for name, ts_arr in cases.items():
+        d = tmp_path / name
+        d.mkdir()
+        tbl = pa.table({"event_id": base["event_id"], "ts": ts_arr, "user_id": base["user_id"],
+                        "event_type": base["event_type"], "value": base["value"], "props": base["props"]})
+        pq.write_table(tbl, str(d / "events.parquet"))
+        assert events_ts_encoding(str(d / "events.parquet")) == name
+        df = load_table(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        from pyspark.sql import functions as F
+
+        got[name] = [r[0] for r in df.select(F.unix_micros("ts")).orderBy("event_id").collect()]
+    assert got["ns"] == got["ntz"] == got["tz"] == wall_us
