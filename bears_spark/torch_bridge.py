@@ -44,6 +44,7 @@ class FrameIterable(_BASE):
         drop_last: bool = True,
         transform: Callable[[Any], Any] | None = None,
         stream_as: str = "dict",
+        tensor_backend: str | None = None,
     ):
         self.frame = frame
         self.batch_rows = batch_rows
@@ -54,6 +55,9 @@ class FrameIterable(_BASE):
         self.drop_last = drop_last
         self.transform = transform
         self.stream_as = stream_as
+        # tensor_backend="torch"/"tensorflow"/"jax"/"numpy" converts each
+        # dict chunk via tensor_bridge.as_tensors before any transform
+        self.tensor_backend = tensor_backend
 
     def _shard_params(self) -> tuple[int | None, int | None]:
         rank, world = self.rank, self.world_size
@@ -82,4 +86,8 @@ class FrameIterable(_BASE):
             drop_last=self.drop_last,
         )
         for chunk in it:
+            if self.tensor_backend is not None:
+                from bears_spark.tensor_bridge import as_tensors
+
+                chunk = as_tensors(chunk, backend=self.tensor_backend)
             yield self.transform(chunk) if self.transform else chunk

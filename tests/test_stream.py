@@ -140,3 +140,15 @@ def test_as_tensors_stacks_and_gates():
         except ImportError:
             with _pytest.raises(ImportError):
                 as_tensors(chunk, backend=absent)
+
+
+def test_frame_iterable_tensor_backend(spark, sf_dir):
+    import numpy as np
+
+    from bears_spark.frame import SparkFrame
+    from bears_spark.torch_bridge import FrameIterable
+
+    sf = SparkFrame(spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding"))
+    it = FrameIterable(sf, batch_rows=32, tensor_backend="numpy")
+    chunk = next(iter(it))
+    assert isinstance(chunk["embedding"], np.ndarray) and chunk["embedding"].ndim == 2
