@@ -7,14 +7,17 @@ DCT) decode path, plus a matching encoder so tests can round-trip real JPEG
 bytes without external fixtures.
 
 Scope (documented gates, not stubs):
-  * decode: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr,
-    any sampling factors (4:4:4 / 4:2:2 / 4:2:0 ...), restart markers,
-    tables read from the file's own DQT/DHT segments.
-  * progressive (SOF2) / arithmetic coding / 12-bit raise NotImplementedError
-    — callers fall back to ``fake=True`` plumbing or Pillow when present.
-  * encode: baseline, 4:4:4, quality-scaled Annex-K-style tables. The tables
-    are embedded in the output stream per the spec, so decode correctness
-    never depends on transcription fidelity of the constants.
+  * decode: baseline sequential (SOF0/SOF1) AND progressive (SOF2) huffman
+    DCT, 8-bit, grayscale or YCbCr, any sampling factors (4:4:4 / 4:2:2 /
+    4:2:0 ...), restart markers, spectral selection + successive
+    approximation with EOB runs, tables read from the file's own DQT/DHT
+    segments. Arithmetic coding / lossless / 12-bit raise.
+  * encode: baseline (encode_jpeg) and progressive (encode_jpeg_progressive,
+    4-scan SA script) at 4:4:4. Tables are embedded in the output stream per
+    the spec, so decode correctness never depends on transcription fidelity
+    of the constants. Fuzzed: progressive decode is bit-identical to
+    baseline decode of the same quantized coefficients across random
+    sizes/qualities.
 
 Performance note: this codec runs inside Arrow-batched ``mapInPandas``
 workers (functions/multimodal.py) — per-image Python cost is the accepted
@@ -274,8 +277,10 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("only baseline sequential JPEG (SOF0/SOF1) is supported")
+        elif marker == 0xC2:  # progressive — dedicated multi-scan decoder
+            return _decode_progressive(content)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("only baseline/progressive huffman JPEG (SOF0/1/2) is supported")
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(seg):
@@ -524,4 +529,486 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) decoder + encoder
+#
+# Multi-scan coefficient accumulation per ITU-T T.81 Annex G: DC/AC spectral
+# selection, successive approximation (first + refinement passes), EOB runs.
+# Algorithms follow the public spec (G.1.2.1-G.1.2.3) and the well-known
+# libjpeg structure. The progressive encoder exists so the decoder's every
+# path — DC refine, AC refine correction bits, EOBRUN buffering — is
+# exercised by round-trip tests without external fixtures.
+
+
+class _ScanState:
+    __slots__ = ("eobrun",)
+
+    def __init__(self) -> None:
+        self.eobrun = 0
+
+
+def _dc_scan_block(reader, blk, dc_table, dc_pred, ci, ah, al):
+    if ah == 0:
+        size = _huff_decode(reader, dc_table)
+        diff = _extend(reader.read_bits(size), size)
+        dc_pred[ci] += diff
+        blk[0] = dc_pred[ci] << al
+    else:  # refinement: one raw bit appends bit `al` of the two's complement
+        if reader.read_bit():
+            blk[0] |= 1 << al
+    return dc_pred
+
+
+def _ac_first_block(reader, blk, ac_table, ss, se, al, state):
+    if state.eobrun > 0:
+        state.eobrun -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, ac_table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            state.eobrun = (1 << r) - 1
+            if r:
+                state.eobrun += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC coefficient index out of band")
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+
+
+def _ac_refine_block(reader, blk, ac_table, ss, se, al, state):
+    # mirrors libjpeg jdphuff decode_mcu_AC_refine; Python ints give the
+    # same two's-complement & semantics as C
+    p1, m1 = 1 << al, -1 << al
+
+    def _correct(k: int) -> None:
+        if reader.read_bit():
+            if (blk[k] & p1) == 0:
+                blk[k] += p1 if blk[k] >= 0 else m1
+
+    # EOBRUN convention (as libjpeg): the count INCLUDES the current block;
+    # every block that consumes the run — the one that read the EOBn symbol
+    # and each subsequent skipped block — applies its correction tail then
+    # decrements by one.
+    k = ss
+    if state.eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(reader, ac_table)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    state.eobrun = (1 << r) + (reader.read_bits(r) if r else 0)
+                    break
+                # r == 15: run of 16 zero-HISTORY coefficients
+            else:
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    _correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if state.eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                _correct(k)
+            k += 1
+        state.eobrun -= 1
+
+
+def _decode_progressive(content: bytes) -> np.ndarray:
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict[tuple[int, int], int]] = {}
+    huff_ac: dict[int, dict[tuple[int, int], int]] = {}
+    frame = None
+    restart_interval = 0
+    coefs: list[np.ndarray] | None = None  # per comp: (by, bx, 64) zigzag-order ints
+    geoms: list[tuple[int, int, int, int]] = []  # per comp: padded (bh, bw), true (tbh, tbw)
+
+    while pos + 2 <= len(content):
+        if content[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = content[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        seglen = struct.unpack(">H", content[pos + 2 : pos + 4])[0]
+        seg = content[pos + 4 : pos + 2 + seglen]
+        nxt = pos + 2 + seglen
+        if marker == 0xDB:
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                raw = (
+                    np.frombuffer(seg[i : i + 64], dtype=np.uint8).astype(np.int64)
+                    if pq == 0
+                    else np.frombuffer(seg[i : i + 128], dtype=">u2").astype(np.int64)
+                )
+                i += 64 if pq == 0 else 128
+                q = np.zeros(64, dtype=np.int64)
+                q[ZIGZAG] = raw
+                quant[tq] = q.reshape(8, 8)
+        elif marker == 0xC4:
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1 : i + 17])
+                nvals = sum(bits)
+                table = _build_decode_table(bits, list(seg[i + 17 : i + 17 + nvals]))
+                (huff_dc if tc == 0 else huff_ac)[th] = table
+                i += 17 + nvals
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", seg[0:2])[0]
+        elif marker == 0xC2:
+            if seg[0] != 8:
+                raise NotImplementedError("12-bit progressive JPEG not supported")
+            h = struct.unpack(">H", seg[1:3])[0]
+            w = struct.unpack(">H", seg[3:5])[0]
+            comps = []
+            for c in range(seg[5]):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h, w, comps)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            coefs = []
+            for _, hs, vs, _ in comps:
+                bh, bw = mcus_y * vs, mcus_x * hs  # padded (interleaved) grid
+                cw = (w * hs + hmax - 1) // hmax
+                ch = (h * vs + vmax - 1) // vmax
+                tbh, tbw = (ch + 7) // 8, (cw + 7) // 8  # true grid
+                coefs.append(np.zeros((bh, bw, 64), dtype=np.int64))
+                geoms.append((bh, bw, tbh, tbw))
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("mixed/unsupported frame type inside progressive decode")
+        elif marker == 0xDA:
+            if frame is None or coefs is None:
+                raise ValueError("SOS before SOF2")
+            h, w, comps = frame
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            ns = seg[0]
+            cids = [c[0] for c in comps]
+            sc = []
+            for c in range(ns):
+                cs, tda = seg[1 + 2 * c], seg[2 + 2 * c]
+                sc.append((cids.index(cs), tda >> 4, tda & 0x0F))
+            ss_, se_, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            reader = _BitReader(content, nxt)
+            state = _ScanState()
+            dc_pred = [0] * len(comps)
+            unit = 0  # MCU (interleaved) / block (non-interleaved) counter
+
+            def _restart_if_due() -> None:
+                nonlocal dc_pred
+                if restart_interval and unit and unit % restart_interval == 0:
+                    reader.align_to_marker()
+                    m = reader.data[reader.pos + 1] if reader.pos + 1 < len(reader.data) else 0
+                    if 0xD0 <= m <= 0xD7:
+                        reader.pos += 2
+                    dc_pred[:] = [0] * len(comps)
+                    state.eobrun = 0
+
+            if len(sc) > 1:  # interleaved — DC scans only, per spec
+                if ss_ != 0:
+                    raise ValueError("interleaved progressive AC scan is illegal")
+                mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+                mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        _restart_if_due()
+                        for ci, dc_id, _ in sc:
+                            _, hs, vs, _tq = comps[ci]
+                            for by in range(vs):
+                                for bx in range(hs):
+                                    blk = coefs[ci][my * vs + by, mx * hs + bx]
+                                    _dc_scan_block(reader, blk, huff_dc.get(dc_id, {}), dc_pred, ci, ah, al)
+                        unit += 1
+            else:
+                ci, dc_id, ac_id = sc[0]
+                _, _, tbh, tbw = geoms[ci]
+                for by in range(tbh):
+                    for bx in range(tbw):
+                        _restart_if_due()
+                        blk = coefs[ci][by, bx]
+                        if ss_ == 0:
+                            _dc_scan_block(reader, blk, huff_dc.get(dc_id, {}), dc_pred, ci, ah, al)
+                        elif ah == 0:
+                            _ac_first_block(reader, blk, huff_ac[ac_id], ss_, se_, al, state)
+                        else:
+                            _ac_refine_block(reader, blk, huff_ac[ac_id], ss_, se_, al, state)
+                        unit += 1
+            reader.align_to_marker()
+            pos = reader.pos
+            continue
+        pos = nxt
+
+    if frame is None or coefs is None:
+        raise ValueError("progressive JPEG missing SOF2/SOS")
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    planes = []
+    for ci, (_, hs, vs, tq) in enumerate(comps):
+        bh, bw, _, _ = geoms[ci]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        q = quant[tq]
+        for by in range(bh):
+            for bx in range(bw):
+                cz = np.zeros(64, dtype=np.float64)
+                cz[ZIGZAG] = coefs[ci][by, bx]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _C.T @ (cz.reshape(8, 8) * q) @ _C + 128.0
+        if hs != hmax or vs != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        y = np.clip(planes[0], 0, 255).astype(np.uint8)
+        return np.repeat(y[..., None], 3, axis=2)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+# Progressive AC scans emit EOBn symbols (r<<4, r=1..14) that the Annex K
+# baseline tables don't define, so the progressive encoder ships a "flat"
+# AC table covering ALL 256 symbols: 255 codes of length 8 + 1 of length 9
+# (canonical order keeps the all-ones code word unassigned, as T.81 C.2
+# requires). ~0.5 bit/symbol worse than an optimized table — irrelevant for
+# fixture generation, and decoders just read whatever DHT declares.
+FLAT_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0]
+FLAT_AC_VALS = list(range(255)) + [255]
+
+
+class _RefineWriter:
+    """Bit emission for progressive scans: symbols via huffman codes, plus
+    the EOBRUN + buffered-correction-bit discipline of Annex G encoders."""
+
+    def __init__(self, writer: _BitWriter, ac_codes: dict[int, tuple[int, int]]):
+        self.w = writer
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.bits: list[int] = []  # correction bits buffered during an EOB run
+
+    def emit_eobrun(self) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            code, length = self.ac[r << 4]
+            self.w.write(code, length)
+            if r:
+                self.w.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.bits:
+            self.w.write(b, 1)
+        self.bits = []
+
+
+def _encode_dc_first(writer, dc_codes, vals, preds, ci, al):
+    v = int(vals) >> al  # arithmetic shift: DC point transform per G.1.2.1
+    diff = v - preds[ci]
+    preds[ci] = v
+    size = _size_of(diff)
+    code, length = dc_codes[size]
+    writer.write(code, length)
+    if size:
+        writer.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+
+
+def _encode_ac_first(rw: _RefineWriter, band, al) -> None:
+    """One block's AC first-pass scan (Ah=0) with EOBRUN accumulation."""
+    shifted = [(0 if c == 0 else (abs(int(c)) >> al) * (1 if c > 0 else -1)) for c in band]
+    last_nz = max((i for i, v in enumerate(shifted) if v != 0), default=-1)
+    if last_nz < 0:
+        rw.eobrun += 1
+        if rw.eobrun == 0x7FFF:
+            rw.emit_eobrun()
+        return
+    rw.emit_eobrun()
+    run = 0
+    for i in range(last_nz + 1):
+        v = shifted[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = rw.ac[0xF0]
+            rw.w.write(code, length)
+            run -= 16
+        size = _size_of(v)
+        code, length = rw.ac[(run << 4) | size]
+        rw.w.write(code, length)
+        rw.w.write(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last_nz < len(band) - 1:
+        rw.eobrun += 1
+        if rw.eobrun == 0x7FFF:
+            rw.emit_eobrun()
+
+
+def _encode_ac_refine(rw: _RefineWriter, band, al) -> None:
+    """One block's AC refinement scan (Ah=Al+1, emitting bit Al) — the
+    buffered-correction-bit algorithm of Annex G / libjpeg jcphuff."""
+    absv = [abs(int(c)) >> al for c in band]
+    eob = max((i for i, t in enumerate(absv) if t == 1), default=-1)
+    run = 0
+    pend: list[int] = []  # correction bits awaiting the next emitted symbol
+    for i, t in enumerate(absv):
+        if t == 0:
+            run += 1
+            continue
+        # ZRLs (unless foldable into the EOB) are emitted at ANY nonzero —
+        # including correction-bit coefficients — so the buffered correction
+        # bits stay interleaved exactly as the decoder's walk consumes them
+        while run > 15 and i <= eob:
+            rw.emit_eobrun()
+            code, length = rw.ac[0xF0]
+            rw.w.write(code, length)
+            run -= 16
+            for b in pend:
+                rw.w.write(b, 1)
+            pend = []
+        if t > 1:  # previously significant: correction bit, run unaffected
+            pend.append(absv[i] & 1)
+            continue
+        # newly significant (t == 1)
+        rw.emit_eobrun()
+        code, length = rw.ac[(run << 4) | 1]
+        rw.w.write(code, length)
+        rw.w.write(1 if band[i] > 0 else 0, 1)
+        for b in pend:
+            rw.w.write(b, 1)
+        pend = []
+        run = 0
+    if run > 0 or pend:
+        rw.eobrun += 1
+        rw.bits.extend(pend)
+        if rw.eobrun == 0x7FFF:
+            rw.emit_eobrun()
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
+    """Encode HxWx3 / HxW uint8 as a PROGRESSIVE (SOF2) JPEG, 4:4:4.
+
+    Scan script (exercises every Annex G decoder path):
+      1. DC, interleaved, Al=1        3. DC refinement (raw bits), Al=0
+      2. AC 1..63 per comp, Al=1      4. AC refinement per comp, Al=0
+    """
+    arr = np.asarray(arr, dtype=np.float64)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if gray:
+        planes = [arr]
+    else:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    ql = _scale_quant(QUANT_LUMA, quality)
+    qc = _scale_quant(QUANT_CHROMA, quality)
+    quant_for = [ql] + [qc] * (len(planes) - 1)
+
+    blocks_y, blocks_x = (h + 7) // 8, (w + 7) // 8
+    zz_blocks: list[list[np.ndarray]] = []  # per comp: zigzag coef arrays
+    for ci, p in enumerate(planes):
+        pp = np.pad(p, ((0, blocks_y * 8 - h), (0, blocks_x * 8 - w)), mode="edge")
+        blks = []
+        for by in range(blocks_y):
+            for bx in range(blocks_x):
+                block = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                qz = np.round((_C @ (block - 128.0) @ _C.T) / quant_for[ci]).astype(np.int64)
+                blks.append(qz.reshape(-1)[ZIGZAG])
+        zz_blocks.append(blks)
+
+    out = bytearray(b"\xff\xd8")
+    for tq, q in enumerate([ql] if gray else [ql, qc]):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + q.reshape(-1)[ZIGZAG].astype(np.uint8).tobytes()
+    ncomp = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    tables = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, FLAT_AC_BITS, FLAT_AC_VALS)]
+    if not gray:
+        tables += [(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS), (0x11, FLAT_AC_BITS, FLAT_AC_VALS)]
+    for tid, bits, vals in tables:
+        payload = bytes([tid]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+    dc_l = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    dc_c = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    flat = _canonical_codes(FLAT_AC_BITS, FLAT_AC_VALS)
+    dc_for = [dc_l] + [dc_c] * (ncomp - 1)
+    ac_for = [flat] * ncomp
+
+    def _sos(comps: list[int], ss, se, ah, al) -> bytes:
+        body = bytes([len(comps)])
+        for ci in comps:
+            body += bytes([ci + 1, (0x00 if ci == 0 else 0x11) if ss == 0 else (0x00 if ci == 0 else 0x11)])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    # scan 1: DC first, interleaved, Al=1
+    out += _sos(list(range(ncomp)), 0, 0, 0, 1)
+    wtr = _BitWriter()
+    preds = [0] * ncomp
+    for bi in range(blocks_y * blocks_x):
+        for ci in range(ncomp):
+            _encode_dc_first(wtr, dc_for[ci], zz_blocks[ci][bi][0], preds, ci, 1)
+    wtr.flush()
+    out += wtr.out
+    # scan 2: AC first per comp, Al=1
+    for ci in range(ncomp):
+        out += _sos([ci], 1, 63, 0, 1)
+        wtr = _BitWriter()
+        rw = _RefineWriter(wtr, ac_for[ci])
+        for blk in zz_blocks[ci]:
+            _encode_ac_first(rw, blk[1:], 1)
+        rw.emit_eobrun()
+        wtr.flush()
+        out += wtr.out
+    # scan 3: DC refinement, raw bits, Al=0
+    out += _sos(list(range(ncomp)), 0, 0, 1, 0)
+    wtr = _BitWriter()
+    for bi in range(blocks_y * blocks_x):
+        for ci in range(ncomp):
+            wtr.write(int(zz_blocks[ci][bi][0]) & 1, 1)
+    wtr.flush()
+    out += wtr.out
+    # scan 4: AC refinement per comp, Al=0
+    for ci in range(ncomp):
+        out += _sos([ci], 1, 63, 1, 0)
+        wtr = _BitWriter()
+        rw = _RefineWriter(wtr, ac_for[ci])
+        for blk in zz_blocks[ci]:
+            _encode_ac_refine(rw, blk[1:], 0)
+        rw.emit_eobrun()
+        wtr.flush()
+        out += wtr.out
+    out += b"\xff\xd9"
     return bytes(out)

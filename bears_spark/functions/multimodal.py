@@ -7,12 +7,13 @@ FitzPdfReader.py:17). The engine treats assets as opaque ``binary`` columns
 with a struct metadata column; decode / resize / frame-sample run as
 Arrow-batched pandas functions over mapInPandas.
 
-Decode paths: PPM(P6), uncompressed 24-bit BMP, and 8-bit PNG (all color
-types, stdlib zlib inflate + spec §9 unfiltering) decode natively — no
-external libraries; jpeg/gif route through Pillow when importable, else
-raise NotImplementedError. ``fake=True`` substitutes a
-deterministic content-hash-seeded decode so the Spark-side plumbing —
-schema, batching, partitioning — stays testable for every format.
+Decode paths: PPM(P6), uncompressed 24-bit BMP, 8-bit PNG (all color
+types, stdlib zlib inflate + spec §9 unfiltering), baseline + progressive
+JPEG (functions/jpeg.py) and GIF (functions/gif.py) all decode natively —
+no external libraries; only arithmetic-coded/12-bit JPEG and video remain
+gated on Pillow/ffmpeg. ``fake=True`` substitutes a deterministic
+content-hash-seeded decode so the Spark-side plumbing — schema, batching,
+partitioning — stays testable for every format.
 """
 
 from __future__ import annotations
@@ -209,10 +210,11 @@ def decode_png(content: bytes) -> np.ndarray:
 def decode_image_batch(content: bytes, fake: bool = False) -> np.ndarray:
     """Decode one image payload -> HxWx3 uint8 array.
 
-    Real decode paths: PPM(P6), 24-bit BMP, 8-bit PNG, baseline JPEG
-    (functions/jpeg.py — huffman + IDCT) and GIF (functions/gif.py — LZW)
-    are pure numpy/stdlib, always available; progressive JPEG routes through
-    Pillow when importable, else raises NotImplementedError. ``fake=True`` produces a deterministic
+    Real decode paths: PPM(P6), 24-bit BMP, 8-bit PNG, baseline AND
+    progressive JPEG (functions/jpeg.py — huffman + IDCT + Annex G
+    multi-scan), and GIF (functions/gif.py — LZW) are pure numpy/stdlib,
+    always available; only exotica (arithmetic-coded/12-bit JPEG, video)
+    route through Pillow/ffmpeg when importable, else raise. ``fake=True`` produces a deterministic
     8x8x3 array seeded by the content hash — stable across runs/engines, so
     the Spark plumbing stays testable for every format."""
     if not fake:
@@ -228,7 +230,7 @@ def decode_image_batch(content: bytes, fake: bool = False) -> np.ndarray:
             try:
                 return decode_jpeg(content)
             except NotImplementedError:
-                pass  # progressive/12-bit: fall through to Pillow if present
+                pass  # arithmetic/12-bit: fall through to Pillow if present
         if content[:6] in (b"GIF87a", b"GIF89a"):
             from bears_spark.functions.gif import decode_gif
 
@@ -242,8 +244,8 @@ def decode_image_batch(content: bytes, fake: bool = False) -> np.ndarray:
             return arr
         except ImportError:
             raise NotImplementedError(
-                "progressive-jpeg/gif decode requires Pillow (absent here); "
-                "PPM/BMP/PNG/baseline-JPEG decode natively"
+                "arithmetic/12-bit JPEG decode requires Pillow (absent here); "
+                "PPM/BMP/PNG/JPEG(baseline+progressive)/GIF decode natively"
             ) from None
     seed = int(hashlib.md5(content).hexdigest()[:8], 16)
     rng = np.random.RandomState(seed)

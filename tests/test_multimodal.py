@@ -435,3 +435,35 @@ def test_extract_pdf_pages(spark, tmp_path):
     assert [r["page_idx"] for r in rows] == [0, 1]
     assert rows[0]["text"] == "page one here" and rows[1]["text"] == "page two"
     assert rows[0]["n_chars"] == 13
+
+
+# --------------------------------------------------------------------------
+# progressive JPEG (Annex G multi-scan)
+
+
+def test_progressive_jpeg_matches_baseline_decode():
+    import numpy as np
+
+    from bears_spark.functions.jpeg import decode_jpeg, encode_jpeg, encode_jpeg_progressive
+
+    rng = np.random.RandomState(21)
+    for shape, q in [((24, 24, 3), 90), ((37, 53, 3), 95), ((19, 21), 70), ((16, 16, 3), 50)]:
+        img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        prog = decode_jpeg(encode_jpeg_progressive(img, q))
+        base = decode_jpeg(encode_jpeg(img, q))
+        # same quantized coefficients -> bit-identical reconstruction
+        assert (prog == base).all(), (shape, q)
+
+
+def test_progressive_jpeg_via_decode_image_batch(spark, tmp_path):
+    import numpy as np
+
+    from bears_spark.functions.jpeg import encode_jpeg_progressive
+    from bears_spark.functions.multimodal import extract_image_features
+
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[..., 0] = 180
+    (tmp_path / "p.jpg").write_bytes(encode_jpeg_progressive(img, quality=92))
+    row = extract_image_features(load_assets(spark, str(tmp_path)), fake=False).collect()[0]
+    assert row["fmt"] == "jpeg" and row["h"] == 16 and row["w"] == 16
+    assert abs(row["mean_r"] - 180) < 3 and row["mean_g"] < 6

@@ -126,7 +126,7 @@ def _jpeg_case(draw):
 def test_jpeg_roundtrip_bounded_error(case):
     import numpy as np
 
-    from bears_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from bears_spark.functions.jpeg import decode_jpeg, encode_jpeg, encode_jpeg_progressive
 
     h, w, seed = case
     rng = np.random.RandomState(seed)
@@ -140,6 +140,8 @@ def test_jpeg_roundtrip_bounded_error(case):
     assert dec.shape == (h, w, 3)
     err = np.abs(dec.astype(int) - img.astype(int))
     assert err.mean() < 6.0
+    # progressive carries the same quantized coefficients -> identical decode
+    assert (decode_jpeg(encode_jpeg_progressive(img, quality=95)) == dec).all()
 
 
 @st.composite
