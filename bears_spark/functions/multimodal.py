@@ -422,7 +422,7 @@ _FEATURES_SCHEMA = T.StructType(
 )
 
 
-def extract_image_features(assets: DataFrame, fake: bool = True) -> DataFrame:
+def extract_image_features(assets: DataFrame, fake: bool = False) -> DataFrame:
     """Decode + per-channel mean features via mapInPandas (Arrow batches stay
     on executors; one Python worker per core). The canonical multimodal
     pattern: binary in, narrow typed features out — never ship decoded
