@@ -457,11 +457,17 @@ def _encode_block(
     return dc
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
+def encode_jpeg(arr: np.ndarray, quality: int = 90, subsampling: str = "444") -> bytes:
     """Encode HxWx3 (RGB) or HxW (grayscale) uint8 -> baseline JPEG bytes
-    (4:4:4, huffman, tables embedded)."""
+    (huffman, tables embedded). ``subsampling``: "444" (default) or "420"
+    (2x2 box-mean chroma — the dominant real-world layout; exercises the
+    decoder's multi-block interleaved-MCU path)."""
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     arr = np.asarray(arr, dtype=np.float64)
     gray = arr.ndim == 2
+    if subsampling == "420" and not gray:
+        return _encode_jpeg_420(arr, quality)
     h, w = arr.shape[:2]
     if gray:
         planes = [arr]
@@ -529,6 +535,63 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _encode_jpeg_420(arr: np.ndarray, quality: int) -> bytes:
+    """4:2:0 baseline encode: Y at full resolution (sampling 2x2), Cb/Cr
+    2x2 box-mean downsampled (1x1). MCU = 16x16 px: 4 Y blocks + Cb + Cr."""
+    h, w = arr.shape[:2]
+    r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    mcus_y, mcus_x = (h + 15) // 16, (w + 15) // 16
+    ph, pw = mcus_y * 16, mcus_x * 16
+    pad = lambda p: np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")  # noqa: E731
+    yp = pad(y)
+    cbs = pad(cb).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    crs = pad(cr).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+
+    ql = _scale_quant(QUANT_LUMA, quality)
+    qc = _scale_quant(QUANT_CHROMA, quality)
+
+    out = bytearray(b"\xff\xd8")
+    for tq, q in enumerate([ql, qc]):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + q.reshape(-1)[ZIGZAG].astype(np.uint8).tobytes()
+    sof = struct.pack(">BHHB", 8, h, w, 3) + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tid, bits, vals in [
+        (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
+        (0x10, AC_LUMA_BITS, AC_LUMA_VALS),
+        (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+        (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
+    ]:
+        payload = bytes([tid]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    dc_l = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_l = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    writer = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for sy in range(2):
+                for sx in range(2):
+                    y0, x0 = my * 16 + sy * 8, mx * 16 + sx * 8
+                    preds[0] = _encode_block(writer, yp[y0 : y0 + 8, x0 : x0 + 8], ql, dc_l, ac_l, preds[0])
+            cy, cx = my * 8, mx * 8
+            preds[1] = _encode_block(writer, cbs[cy : cy + 8, cx : cx + 8], qc, dc_c, ac_c, preds[1])
+            preds[2] = _encode_block(writer, crs[cy : cy + 8, cx : cx + 8], qc, dc_c, ac_c, preds[2])
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"
     return bytes(out)
 
 

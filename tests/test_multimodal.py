@@ -467,3 +467,19 @@ def test_progressive_jpeg_via_decode_image_batch(spark, tmp_path):
     row = extract_image_features(load_assets(spark, str(tmp_path)), fake=False).collect()[0]
     assert row["fmt"] == "jpeg" and row["h"] == 16 and row["w"] == 16
     assert abs(row["mean_r"] - 180) < 3 and row["mean_g"] < 6
+
+
+def test_jpeg_420_subsampled_roundtrip():
+    import numpy as np
+
+    from bears_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:35, 0:49]
+    img = np.stack([(yy * 4) % 256, (xx * 3) % 256, ((yy + xx) * 2) % 256], axis=-1).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=95, subsampling="420"))
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 3.0  # includes 2x2 chroma box-mean loss
+
+    flat = np.full((20, 28, 3), 99, dtype=np.uint8)
+    assert (decode_jpeg(encode_jpeg(flat, quality=90, subsampling="420")) == flat).all()
