@@ -457,16 +457,22 @@ def _encode_block(
     return dc
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 90, subsampling: str = "444") -> bytes:
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 90, subsampling: str = "444", restart_interval: int = 0
+) -> bytes:
     """Encode HxWx3 (RGB) or HxW (grayscale) uint8 -> baseline JPEG bytes
     (huffman, tables embedded). ``subsampling``: "444" (default) or "420"
     (2x2 box-mean chroma — the dominant real-world layout; exercises the
-    decoder's multi-block interleaved-MCU path)."""
+    decoder's multi-block interleaved-MCU path). ``restart_interval`` > 0
+    emits DRI + RSTn markers every N MCUs (what camera firmware writes for
+    error resilience — and the decoder path that needs testing)."""
     if subsampling not in ("444", "420"):
         raise ValueError("subsampling must be '444' or '420'")
     arr = np.asarray(arr, dtype=np.float64)
     gray = arr.ndim == 2
     if subsampling == "420" and not gray:
+        if restart_interval:
+            raise ValueError("restart_interval is supported on the 4:4:4 path")
         return _encode_jpeg_420(arr, quality)
     h, w = arr.shape[:2]
     if gray:
@@ -500,6 +506,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, subsampling: str = "444") ->
     for tid, bits, vals in tables:
         payload = bytes([tid]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
     sos = bytes([ncomp])
     for c in range(ncomp):
@@ -524,14 +532,20 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, subsampling: str = "444") ->
 
     writer = _BitWriter()
     dc_pred = [0] * len(planes)
+    mcu_index = 0
     # 4:4:4 -> MCU == one 8x8 block per component, interleaved
     for by in range(blocks_y):
         for bx in range(blocks_x):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                writer.flush()  # pad to byte boundary before the marker
+                writer.out += bytes([0xFF, 0xD0 + ((mcu_index // restart_interval - 1) % 8)])
+                dc_pred = [0] * len(planes)
             for ci, plane in enumerate(padded):
                 block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
                 dc_pred[ci] = _encode_block(
                     writer, block, quant_for[ci], codes_for[ci][0], codes_for[ci][1], dc_pred[ci]
                 )
+            mcu_index += 1
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI

@@ -483,3 +483,15 @@ def test_jpeg_420_subsampled_roundtrip():
 
     flat = np.full((20, 28, 3), 99, dtype=np.uint8)
     assert (decode_jpeg(encode_jpeg(flat, quality=90, subsampling="420")) == flat).all()
+
+
+def test_jpeg_restart_markers_roundtrip():
+    import numpy as np
+
+    from bears_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(8)
+    img = rng.randint(0, 256, size=(24, 40, 3), dtype=np.uint8)
+    plain = decode_jpeg(encode_jpeg(img, 92))
+    for ri in (1, 2, 5):
+        assert (decode_jpeg(encode_jpeg(img, 92, restart_interval=ri)) == plain).all()
