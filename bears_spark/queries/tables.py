@@ -97,3 +97,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_tables(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
+    """Register every table as a temp view (``{prefix}{name}``) so raw
+    ``spark.sql(...)`` works over the dataset — same normalized ts contract
+    as load_table."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(f"{prefix}{name}")

@@ -62,3 +62,14 @@ def test_load_table_normalizes_all_ts_encodings(spark, tmp_path):
 
         got[name] = [r[0] for r in df.select(F.unix_micros("ts")).orderBy("event_id").collect()]
     assert got["ns"] == got["ntz"] == got["tz"] == wall_us
+
+
+def test_register_tables_sql_passthrough(spark, sf_dir):
+    from bears_spark.queries.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    n = spark.sql("SELECT count(*) AS n FROM orders JOIN customer ON o_custkey = c_custkey").first()["n"]
+    assert n > 0
+    # ts arrives normalized for SQL users too
+    t = spark.sql("SELECT min(unix_micros(ts)) AS m FROM events").first()["m"]
+    assert t > 1_600_000_000_000_000
