@@ -987,12 +987,15 @@ def _encode_ac_refine(rw: _RefineWriter, band, al) -> None:
             rw.emit_eobrun()
 
 
-def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90, restart_interval: int = 0) -> bytes:
     """Encode HxWx3 / HxW uint8 as a PROGRESSIVE (SOF2) JPEG, 4:4:4.
 
     Scan script (exercises every Annex G decoder path):
       1. DC, interleaved, Al=1        3. DC refinement (raw bits), Al=0
       2. AC 1..63 per comp, Al=1      4. AC refinement per comp, Al=0
+
+    ``restart_interval`` > 0 emits RSTn every N MCUs in every scan (with the
+    per-scan EOBRUN + predictor reset the spec requires).
     """
     arr = np.asarray(arr, dtype=np.float64)
     gray = arr.ndim == 2
@@ -1050,11 +1053,28 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
         body += bytes([ss, se, (ah << 4) | al])
         return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
 
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    rst_counter = [0]  # marker index shared across restarts within a scan
+
+    def _maybe_restart(wtr: _BitWriter, unit: int, rw: "_RefineWriter | None", preds: list | None) -> None:
+        if restart_interval and unit and unit % restart_interval == 0:
+            if rw is not None:
+                rw.emit_eobrun()  # EOBRUN must not span a restart
+            wtr.flush()
+            wtr.out += bytes([0xFF, 0xD0 + (rst_counter[0] % 8)])
+            rst_counter[0] += 1
+            if preds is not None:
+                preds[:] = [0] * len(preds)
+
     # scan 1: DC first, interleaved, Al=1
     out += _sos(list(range(ncomp)), 0, 0, 0, 1)
     wtr = _BitWriter()
     preds = [0] * ncomp
+    rst_counter[0] = 0
     for bi in range(blocks_y * blocks_x):
+        _maybe_restart(wtr, bi, None, preds)
         for ci in range(ncomp):
             _encode_dc_first(wtr, dc_for[ci], zz_blocks[ci][bi][0], preds, ci, 1)
     wtr.flush()
@@ -1064,7 +1084,9 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
         out += _sos([ci], 1, 63, 0, 1)
         wtr = _BitWriter()
         rw = _RefineWriter(wtr, ac_for[ci])
-        for blk in zz_blocks[ci]:
+        rst_counter[0] = 0
+        for bi, blk in enumerate(zz_blocks[ci]):
+            _maybe_restart(wtr, bi, rw, None)
             _encode_ac_first(rw, blk[1:], 1)
         rw.emit_eobrun()
         wtr.flush()
@@ -1072,7 +1094,9 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
     # scan 3: DC refinement, raw bits, Al=0
     out += _sos(list(range(ncomp)), 0, 0, 1, 0)
     wtr = _BitWriter()
+    rst_counter[0] = 0
     for bi in range(blocks_y * blocks_x):
+        _maybe_restart(wtr, bi, None, None)
         for ci in range(ncomp):
             wtr.write(int(zz_blocks[ci][bi][0]) & 1, 1)
     wtr.flush()
@@ -1082,7 +1106,9 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
         out += _sos([ci], 1, 63, 1, 0)
         wtr = _BitWriter()
         rw = _RefineWriter(wtr, ac_for[ci])
-        for blk in zz_blocks[ci]:
+        rst_counter[0] = 0
+        for bi, blk in enumerate(zz_blocks[ci]):
+            _maybe_restart(wtr, bi, rw, None)
             _encode_ac_refine(rw, blk[1:], 0)
         rw.emit_eobrun()
         wtr.flush()

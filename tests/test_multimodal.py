@@ -495,3 +495,15 @@ def test_jpeg_restart_markers_roundtrip():
     plain = decode_jpeg(encode_jpeg(img, 92))
     for ri in (1, 2, 5):
         assert (decode_jpeg(encode_jpeg(img, 92, restart_interval=ri)) == plain).all()
+
+
+def test_progressive_jpeg_restart_markers():
+    import numpy as np
+
+    from bears_spark.functions.jpeg import decode_jpeg, encode_jpeg, encode_jpeg_progressive
+
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, size=(20, 26, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, 90))
+    for ri in (1, 3):
+        assert (decode_jpeg(encode_jpeg_progressive(img, 90, restart_interval=ri)) == base).all()
