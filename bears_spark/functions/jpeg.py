@@ -466,14 +466,14 @@ def encode_jpeg(
     decoder's multi-block interleaved-MCU path). ``restart_interval`` > 0
     emits DRI + RSTn markers every N MCUs (what camera firmware writes for
     error resilience — and the decoder path that needs testing)."""
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError("subsampling must be '444', '422' or '420'")
     arr = np.asarray(arr, dtype=np.float64)
     gray = arr.ndim == 2
-    if subsampling == "420" and not gray:
+    if subsampling in ("420", "422") and not gray:
         if restart_interval:
             raise ValueError("restart_interval is supported on the 4:4:4 path")
-        return _encode_jpeg_420(arr, quality)
+        return _encode_jpeg_subsampled(arr, quality, vsub=2 if subsampling == "420" else 1)
     h, w = arr.shape[:2]
     if gray:
         planes = [arr]
@@ -552,21 +552,23 @@ def encode_jpeg(
     return bytes(out)
 
 
-def _encode_jpeg_420(arr: np.ndarray, quality: int) -> bytes:
-    """4:2:0 baseline encode: Y at full resolution (sampling 2x2), Cb/Cr
-    2x2 box-mean downsampled (1x1). MCU = 16x16 px: 4 Y blocks + Cb + Cr."""
+def _encode_jpeg_subsampled(arr: np.ndarray, quality: int, vsub: int = 2) -> bytes:
+    """Chroma-subsampled baseline encode. vsub=2 -> 4:2:0 (Y sampling 2x2,
+    MCU 16x16: 4 Y blocks + Cb + Cr); vsub=1 -> 4:2:2 (Y sampling 2x1,
+    MCU 16x8: 2 Y blocks + Cb + Cr). Chroma is box-mean downsampled."""
     h, w = arr.shape[:2]
     r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
     y = 0.299 * r + 0.587 * g + 0.114 * b
     cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
     cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
 
-    mcus_y, mcus_x = (h + 15) // 16, (w + 15) // 16
-    ph, pw = mcus_y * 16, mcus_x * 16
+    mcu_h = 8 * vsub
+    mcus_y, mcus_x = (h + mcu_h - 1) // mcu_h, (w + 15) // 16
+    ph, pw = mcus_y * mcu_h, mcus_x * 16
     pad = lambda p: np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")  # noqa: E731
     yp = pad(y)
-    cbs = pad(cb).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-    crs = pad(cr).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    cbs = pad(cb).reshape(ph // vsub, vsub, pw // 2, 2).mean(axis=(1, 3))
+    crs = pad(cr).reshape(ph // vsub, vsub, pw // 2, 2).mean(axis=(1, 3))
 
     ql = _scale_quant(QUANT_LUMA, quality)
     qc = _scale_quant(QUANT_CHROMA, quality)
@@ -574,7 +576,8 @@ def _encode_jpeg_420(arr: np.ndarray, quality: int) -> bytes:
     out = bytearray(b"\xff\xd8")
     for tq, q in enumerate([ql, qc]):
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + q.reshape(-1)[ZIGZAG].astype(np.uint8).tobytes()
-    sof = struct.pack(">BHHB", 8, h, w, 3) + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    y_hv = 0x20 | vsub  # (2, vsub) sampling for Y
+    sof = struct.pack(">BHHB", 8, h, w, 3) + bytes([1, y_hv, 0, 2, 0x11, 1, 3, 0x11, 1])
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     for tid, bits, vals in [
         (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
@@ -596,9 +599,9 @@ def _encode_jpeg_420(arr: np.ndarray, quality: int) -> bytes:
     preds = [0, 0, 0]
     for my in range(mcus_y):
         for mx in range(mcus_x):
-            for sy in range(2):
+            for sy in range(vsub):
                 for sx in range(2):
-                    y0, x0 = my * 16 + sy * 8, mx * 16 + sx * 8
+                    y0, x0 = my * mcu_h + sy * 8, mx * 16 + sx * 8
                     preds[0] = _encode_block(writer, yp[y0 : y0 + 8, x0 : x0 + 8], ql, dc_l, ac_l, preds[0])
             cy, cx = my * 8, mx * 8
             preds[1] = _encode_block(writer, cbs[cy : cy + 8, cx : cx + 8], qc, dc_c, ac_c, preds[1])

@@ -507,3 +507,17 @@ def test_progressive_jpeg_restart_markers():
     base = decode_jpeg(encode_jpeg(img, 90))
     for ri in (1, 3):
         assert (decode_jpeg(encode_jpeg_progressive(img, 90, restart_interval=ri)) == base).all()
+
+
+def test_jpeg_422_subsampled_roundtrip():
+    import numpy as np
+
+    from bears_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:35, 0:49]
+    img = np.stack([(yy * 4) % 256, (xx * 3) % 256, ((yy + xx) * 2) % 256], axis=-1).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=95, subsampling="422"))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 2.0
+    flat = np.full((20, 28, 3), 99, dtype=np.uint8)
+    assert (decode_jpeg(encode_jpeg(flat, quality=90, subsampling="422")) == flat).all()
