@@ -1402,6 +1402,49 @@ class SparkFrame:
             numbered.filter((F.col("__pos__") >= start) & (F.col("__pos__") < stop)).drop("__pos__")
         )
 
+    def profile(self, *cols: str, distinct_rsd: float = 0.05) -> pd.DataFrame:
+        """One-pass column profile: count / nulls / approx-distinct / min /
+        max (+ mean/std for numerics), ALL columns in a SINGLE aggregation —
+        one scan + one tiny reduce regardless of table size, unlike
+        per-column describe loops. Returns a pandas frame (one row per
+        column) — the profile is bounded by #columns, never by #rows."""
+        fields = [f for f in self.df.schema.fields if not cols or f.name in cols]
+        numeric = {"long", "integer", "double", "float", "short", "byte", "decimal"}
+        exprs: list = []
+        for f in fields:
+            c = f.name
+            exprs += [
+                F.count(F.col(c)).alias(f"{c}__n"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+                F.approx_count_distinct(c, rsd=distinct_rsd).alias(f"{c}__distinct"),
+            ]
+            if f.dataType.typeName() in numeric:
+                exprs += [
+                    F.min(c).alias(f"{c}__min"),
+                    F.max(c).alias(f"{c}__max"),
+                    F.mean(c).alias(f"{c}__mean"),
+                    F.stddev_samp(c).alias(f"{c}__std"),
+                ]
+            elif f.dataType.typeName() in ("string", "date", "timestamp", "timestamp_ntz"):
+                exprs += [F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max")]
+        row = self.df.agg(*exprs).first()
+        out = []
+        for f in fields:
+            c = f.name
+            rec = {
+                "column": c,
+                "dtype": f.dataType.simpleString(),
+                "count": row[f"{c}__n"],
+                "nulls": row[f"{c}__nulls"],
+                "approx_distinct": row[f"{c}__distinct"],
+                "min": row.asDict().get(f"{c}__min"),
+                "max": row.asDict().get(f"{c}__max"),
+                "mean": row.asDict().get(f"{c}__mean"),
+                "std": row.asDict().get(f"{c}__std"),
+            }
+            out.append(rec)
+        return pd.DataFrame(out)
+
     def describe(self, *cols: str) -> pd.DataFrame:
         """summary() stats for numeric columns (count/mean/std/min/quartiles/max)."""
         target = list(cols) or [

@@ -80,3 +80,14 @@ def test_merge_asof_frame_method(spark):
     fwd = {(r["k"], r["t"]): r["v_asof"] for r in
            left.merge_asof(right, on="t", by="k", direction="forward").df.collect()}
     assert fwd[(2, 15)] == 3.0
+
+
+def test_profile_single_pass(spark, frame):
+    prof = frame.profile().set_index("column")
+    assert prof.loc["v", "nulls"] == 1 and prof.loc["v", "count"] == 3
+    assert prof.loc["id", "approx_distinct"] == 4
+    assert prof.loc["v", "min"] == 10.0 and prof.loc["v", "max"] == 30.0
+    assert prof.loc["tag", "mean"] is None or str(prof.loc["tag", "mean"]) == "nan"
+    # column subset
+    sub = frame.profile("id")
+    assert list(sub["column"]) == ["id"]
