@@ -129,6 +129,31 @@ def fingerprint64(col: Column | str) -> Column:
     return md5_hash64(normalized)
 
 
+def hashing_vectorize(df, text_col: str, out_col: str = "features", dim: int = 64, lowercase: bool = True):
+    """Feature hashing (HashingVectorizer): token counts folded into a
+    fixed-``dim`` array<double> by ``hash(token) % dim`` — NO vocabulary fit
+    pass, which is what makes it the 100 TB alternative to TFIDF: one
+    map-only projection, no job-wide vocab state, new tokens never
+    invalidate the space. The md5-based bucket hash is reproducible in
+    DuckDB, so the operator is oracle-gradeable bit-for-bit.
+
+    The bucket array is STAGED as its own projection (one md5 per token);
+    inlining it into the per-dimension count lambda would recompute the
+    hashes dim times — no CSE inside higher-order-function lambdas
+    (SURVEY.md §7 known-hard; same pattern as TFIDF's staging)."""
+    from bears_spark.functions.hashing import md5_hash64
+
+    c = F.col(text_col)
+    toks = tokenize(F.lower(c) if lowercase else c)
+    bcol = f"__{out_col}_buckets__"
+    staged = df.withColumn(bcol, F.transform(toks, lambda t: F.pmod(md5_hash64(t), F.lit(dim)).cast("int")))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.size(F.filter(F.col(bcol), lambda b: b == i)).cast("double"),
+    )
+    return staged.withColumn(out_col, vec).drop(bcol)
+
+
 def winnow_fingerprints(df, text_col: str, id_col: str, k: int = 5, window: int = 4):
     """Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
     algorithm): hash every character k-shingle, take the minimum hash in

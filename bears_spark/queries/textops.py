@@ -637,3 +637,49 @@ GROUP BY f ORDER BY doc_id
 
 QUERIES["dedup_incremental"] = dedup_incremental
 ORACLES["dedup_incremental"] = DEDUP_INCREMENTAL_SQL
+
+
+# --------------------------------------------------------------------------
+# doc_hashed_features: fit-free feature hashing (HashingVectorizer) — token
+# counts folded into 16 buckets by the cross-engine md5 hash; the scale
+# alternative to TFIDF (no vocabulary pass, map-only).
+def doc_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.text import hashing_vectorize
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = hashing_vectorize(docs, "text", out_col="features", dim=16)
+    # arrays grade via integer-exact scalar projections (repo pattern:
+    # assembled_features): total, max, and an index-weighted checksum pin
+    # the whole vector without array-typed hash-compare
+    idx_weighted = F.aggregate(
+        F.zip_with(F.col("features"), F.sequence(F.lit(0), F.lit(15)), lambda v, i: v * i.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return out.select(
+        "doc_id",
+        F.aggregate("features", F.lit(0.0), lambda a, x: a + x).cast("bigint").alias("n_tokens"),
+        F.array_max("features").cast("bigint").alias("max_bucket"),
+        idx_weighted.cast("bigint").alias("checksum"),
+    ).orderBy("doc_id")
+
+
+DOC_HASHED_FEATURES_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_transform({_TOKS.replace("trim(text)", "trim(lower(text))")},
+                                t -> ('0x' || substr(md5('0:' || t), 1, 15))::BIGINT % 16) AS buckets
+  FROM documents
+), v AS (
+  SELECT doc_id,
+         list_transform(range(0, 16), i -> CAST(len(list_filter(buckets, b -> b = i)) AS DOUBLE)) AS features
+  FROM toks
+)
+SELECT doc_id,
+       CAST(list_sum(features) AS BIGINT) AS n_tokens,
+       CAST(list_max(features) AS BIGINT) AS max_bucket,
+       CAST(list_sum(list_transform(range(0, 16), i -> features[i+1] * i)) AS BIGINT) AS checksum
+FROM v ORDER BY doc_id
+"""
+
+QUERIES["doc_hashed_features"] = doc_hashed_features
+ORACLES["doc_hashed_features"] = DOC_HASHED_FEATURES_SQL

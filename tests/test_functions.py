@@ -394,3 +394,19 @@ def test_incremental_dedup_across_batches(spark):
     # idempotent: re-ingesting batch 2 yields nothing new
     s3, store3 = incremental_dedup(b2, store2, "text", "doc_id")
     assert s3.count() == 0 and store3.count() == 3
+
+
+def test_hashing_vectorize_deterministic_and_fitless(spark):
+    from pyspark.sql import functions as F
+
+    from bears_spark.functions.text import hashing_vectorize
+
+    df = spark.createDataFrame([(1, "a b a c"), (2, ""), (3, "A  a")], "id long, text string")
+    out = hashing_vectorize(df, "text", dim=8).orderBy("id").collect()
+    v1, v2, v3 = [r["features"] for r in out]
+    assert len(v1) == 8 and sum(v1) == 4.0  # 4 tokens
+    assert sum(v2) == 0.0                   # empty doc -> zero vector
+    assert sum(v3) == 2.0                   # lowercase: 'A' folds into 'a'
+    # same token always lands in the same bucket
+    a_bucket = [i for i, v in enumerate(v1) if v >= 2.0]
+    assert len(a_bucket) == 1 and v3[a_bucket[0]] == 2.0
