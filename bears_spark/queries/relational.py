@@ -570,3 +570,50 @@ SELECT * FROM (
 
 QUERIES["orders_constraint_report"] = orders_constraint_report
 ORACLES["orders_constraint_report"] = ORDERS_CONSTRAINT_SQL
+
+
+# --------------------------------------------------------------------------
+# orders_profile: the one-pass column profiler shape under the gate — per
+# column (count, nulls, distinct, min, max) from a SINGLE aggregation over
+# the table (exact countDistinct here so the DuckDB oracle matches
+# bit-for-bit; frame.profile uses approx_count_distinct for scale).
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    exprs = []
+    for c in cols:
+        exprs += [
+            F.count(F.col(c)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    row = orders.agg(*exprs).first()
+    rows = [
+        (c, row[f"{c}__n"], row[f"{c}__nulls"], row[f"{c}__distinct"], row[f"{c}__min"], row[f"{c}__max"])
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        rows, "col_name string, n bigint, nulls bigint, n_distinct bigint, min_s string, max_s string"
+    ).orderBy("col_name")
+
+
+ORDERS_PROFILE_SQL = """
+SELECT * FROM (
+  SELECT 'o_orderkey' AS col_name, count(o_orderkey) AS n, CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+         count(DISTINCT o_orderkey) AS n_distinct, min(o_orderkey::VARCHAR) AS min_s, max(o_orderkey::VARCHAR) AS max_s FROM orders
+  UNION ALL
+  SELECT 'o_custkey', count(o_custkey), CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         count(DISTINCT o_custkey), min(o_custkey::VARCHAR), max(o_custkey::VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', count(o_orderstatus), CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus) FROM orders
+  UNION ALL
+  SELECT 'o_totalprice', count(o_totalprice), CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         count(DISTINCT o_totalprice), min(o_totalprice::VARCHAR), max(o_totalprice::VARCHAR) FROM orders
+) ORDER BY col_name
+"""
+
+QUERIES["orders_profile"] = orders_profile
+ORACLES["orders_profile"] = ORDERS_PROFILE_SQL
