@@ -180,6 +180,14 @@ class _BitReader:
         self.nbits -= n
         return (self.bitbuf >> self.nbits) & ((1 << n) - 1)
 
+    def peek_bits(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        return (self.bitbuf >> (self.nbits - n)) & ((1 << n) - 1)
+
+    def skip_bits(self, n: int) -> None:
+        self.nbits -= n
+
     def align_to_marker(self) -> None:
         """Drop buffered bits and position at the next marker (for RSTn)."""
         self.bitbuf = 0
@@ -189,25 +197,45 @@ class _BitReader:
             self.pos += 1
 
 
-def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol."""
-    table: dict[tuple[int, int], int] = {}
+_FAST_BITS = 9  # first-level lookup width (covers every code of the flat
+# progressive table and the overwhelmingly common Annex K symbols)
+
+
+def _build_decode_table(bits: list[int], vals: list[int]) -> dict:
+    """Decode structure: {'slow': {(length, code): symbol}, 'fast': list} —
+    fast[prefix] = (symbol, length) for codes <= _FAST_BITS, else None and
+    the per-bit walk takes over. One table build per DHT segment."""
+    slow: dict[tuple[int, int], int] = {}
+    fast: list = [None] * (1 << _FAST_BITS)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
+            slow[(length, code)] = vals[k]
+            if length <= _FAST_BITS:
+                base = code << (_FAST_BITS - length)
+                entry = (vals[k], length)
+                for suffix in range(1 << (_FAST_BITS - length)):
+                    fast[base | suffix] = entry
             code += 1
             k += 1
         code <<= 1
-    return table
+    return {"slow": slow, "fast": fast}
 
 
-def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+def _huff_decode(reader: _BitReader, table: dict) -> int:
+    entry = table["fast"][reader.peek_bits(_FAST_BITS)]
+    if entry is not None:
+        sym, length = entry
+        reader.skip_bits(length)
+        return sym
+    slow = table["slow"]
     code = 0
     for length in range(1, 17):
         code = (code << 1) | reader.read_bit()
-        sym = table.get((length, code))
+        if length <= _FAST_BITS:
+            continue  # already known not to terminate within the fast width
+        sym = slow.get((length, code))
         if sym is not None:
             return sym
     raise ValueError("invalid huffman code in entropy stream")
