@@ -219,3 +219,71 @@ def vocabulary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         F.count("*").alias("tf"),
         F.countDistinct(id_col).alias("df"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 rules (Raffel et al. 2020 §2.2) — the line/sentence-structural filters
+# that complement the Gopher word statistics above. All pure expressions.
+
+C4_MIN_SENTENCES = 3
+C4_MIN_WORDS_PER_LINE = 5
+_TERMINAL = (".", "!", "?", '"', "'")
+
+
+def c4_doc_flags(text_col: Column | str) -> Column:
+    """Per-document C4 signals as a struct:
+      n_sentences          — terminal-punctuation splits ('.', '!', '?')
+      has_lorem            — boilerplate placeholder text
+      has_brace            — '{' (C4 drops pages with code)
+      n_lines / n_short_lines — newline structure; short = <5 words
+      frac_terminal_lines_x1000 — integer per-mille of lines ending in
+                             terminal punctuation (int-exact, oracle-safe)
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    sentences = F.filter(F.split(c, r"[.!?]"), lambda s: F.length(F.trim(s)) > 0)
+    lines = F.filter(F.split(c, r"\n"), lambda s: F.length(F.trim(s)) > 0)
+    def _is_terminal(line):
+        out = F.lit(False)
+        for t in _TERMINAL:
+            out = out | F.endswith(F.trim(line), F.lit(t))
+        return out
+
+    n_lines = F.size(lines).cast("bigint")
+    n_terminal = F.size(F.filter(lines, _is_terminal)).cast("bigint")
+    short = F.size(
+        F.filter(lines, lambda ln: F.size(F.filter(F.split(F.trim(ln), r"\s+"), lambda w: w != "")) < C4_MIN_WORDS_PER_LINE)
+    ).cast("bigint")
+    return F.struct(
+        F.size(sentences).cast("bigint").alias("n_sentences"),
+        F.lower(c).contains("lorem ipsum").alias("has_lorem"),
+        c.contains("{").alias("has_brace"),
+        n_lines.alias("n_lines"),
+        short.alias("n_short_lines"),
+        F.when(n_lines > 0, (n_terminal * 1000 / n_lines).cast("bigint")).otherwise(F.lit(0)).alias(
+            "frac_terminal_lines_x1000"
+        ),
+    )
+
+
+def c4_keep(flags: Column) -> Column:
+    """C4 keep rule: >=3 sentences, no lorem-ipsum boilerplate, no code
+    braces. (Line-level removal — short lines, non-terminal lines — is a
+    transform, not a drop; see c4_quality's n_short_lines output.)"""
+    return (flags["n_sentences"] >= C4_MIN_SENTENCES) & ~flags["has_lorem"] & ~flags["has_brace"]
+
+
+def c4_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document C4 structural metrics + keep flag (staged struct — one
+    evaluation, fanned into columns)."""
+    staged = df.select(id_col, c4_doc_flags(text_col).alias("__c4__"))
+    s = F.col("__c4__")
+    return staged.select(
+        id_col,
+        s["n_sentences"].alias("n_sentences"),
+        s["has_lorem"].alias("has_lorem"),
+        s["has_brace"].alias("has_brace"),
+        s["n_lines"].alias("n_lines"),
+        s["n_short_lines"].alias("n_short_lines"),
+        s["frac_terminal_lines_x1000"].alias("frac_terminal_lines_x1000"),
+        c4_keep(s).alias("keep"),
+    )

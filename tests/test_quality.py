@@ -133,3 +133,25 @@ def test_frame_replace(spark):
     assert out["b"].tolist() == ["z", "y", "z"]
     out2 = sf.replace({1: 100, 3: 300}, subset=["a"]).to_pandas()
     assert out2["a"].tolist() == [100, 2, 300]
+
+
+def test_c4_quality_rules(spark):
+    from bears_spark.functions.quality import c4_quality
+
+    docs = spark.createDataFrame(
+        [
+            (1, "First sentence. Second one! Third here? And a fourth.\nA full line ends here."),
+            (2, "lorem ipsum dolor sit amet. More text. Third sentence."),
+            (3, "code { return 1; } plus words. Another. Third."),
+            (4, "Too short. Only two"),
+            (5, "line one has five words here.\nshort line\nanother full line with words."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_quality(docs).collect()}
+    assert out[1]["keep"] and out[1]["n_sentences"] == 5
+    assert not out[2]["keep"] and out[2]["has_lorem"]
+    assert not out[3]["keep"] and out[3]["has_brace"]
+    assert not out[4]["keep"]  # < 3 sentences
+    assert out[5]["n_lines"] == 3 and out[5]["n_short_lines"] == 1
+    assert out[5]["frac_terminal_lines_x1000"] == 666  # 2 of 3 lines terminal
