@@ -240,3 +240,62 @@ def unicode_normalize(col: Column | str, form: str = "NFC") -> Column:
         return s.map(lambda x: unicodedata.normalize(form, x) if x is not None else None)
 
     return _norm(F.col(col) if isinstance(col, str) else col)
+
+
+# ---------------------------------------------------------------------------
+# mojibake repair (ftfy-lite): reverse the classic UTF-8-bytes-read-as-
+# cp1252/latin-1 corruption (e.g. an e-acute becoming "\u00c3\u00a9").
+# Heuristic + deterministic: only strings carrying the telltale lead bytes
+# are touched, and a candidate repair is kept only if it round-trips cleanly
+# and strictly reduces the mojibake marker count. Python-side (mapInPandas):
+# the encode/decode pair is not expressible as Catalyst expressions.
+
+_MOJIBAKE_MARKERS = ("\u00c3", "\u00c2", "\u00e2", "\u00ef\u00bf\u00bd")
+
+
+def _marker_count(s: str) -> int:
+    return sum(s.count(m) for m in _MOJIBAKE_MARKERS)
+
+
+def fix_mojibake(s: str, max_rounds: int = 2) -> str:
+    """Repair one string; returns the input unchanged when no telltale
+    sequences exist or no decoding strictly improves it. ``max_rounds``
+    handles doubly-encoded text."""
+    if s is None:
+        return s
+    for _ in range(max_rounds):
+        before = _marker_count(s)
+        if before == 0:
+            break
+        repaired = None
+        for codec in ("cp1252", "latin-1"):
+            try:
+                candidate = s.encode(codec).decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                continue
+            if _marker_count(candidate) < before:
+                repaired = candidate
+                break
+        if repaired is None:
+            break
+        s = repaired
+    return s
+
+
+def repair_text(df, text_col: str, out_col: str | None = None):
+    """Column-level mojibake repair over Arrow batches (mapInPandas keeps
+    every executor's batch local - no shuffle, no driver involvement)."""
+    from pyspark.sql import types as T
+
+    out_col = out_col or text_col
+    fields = list(df.schema.fields)
+    if out_col not in df.columns:
+        fields = fields + [T.StructField(out_col, T.StringType())]
+    schema = T.StructType(fields)
+
+    def _fix(batches):
+        for pdf in batches:
+            pdf[out_col] = pdf[text_col].map(lambda v: fix_mojibake(v) if isinstance(v, str) else v)
+            yield pdf
+
+    return df.mapInPandas(_fix, schema)

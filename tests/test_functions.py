@@ -410,3 +410,19 @@ def test_hashing_vectorize_deterministic_and_fitless(spark):
     # same token always lands in the same bucket
     a_bucket = [i for i, v in enumerate(v1) if v >= 2.0]
     assert len(a_bucket) == 1 and v3[a_bucket[0]] == 2.0
+
+
+def test_fix_mojibake_repair_and_idempotence(spark):
+    from bears_spark.functions.text import fix_mojibake, repair_text
+
+    good = "caf\u00e9 \u2014 d\u00e9j\u00e0 vu"
+    broken = good.encode("utf-8").decode("latin-1")
+    double = good.encode("utf-8").decode("latin-1").encode("utf-8").decode("latin-1")
+    assert fix_mojibake(broken) == good
+    assert fix_mojibake(double) == good  # two rounds
+    assert fix_mojibake(good) == good  # untouched
+    assert fix_mojibake("plain ascii!") == "plain ascii!"
+
+    df = spark.createDataFrame([(1, broken), (2, "ok"), (3, None)], "id long, text string")
+    out = {r["id"]: r["text"] for r in repair_text(df, "text").collect()}
+    assert out[1] == good and out[2] == "ok" and out[3] is None
