@@ -332,3 +332,62 @@ def histogram_quantiles(
         else:
             out.append((q, vmax))
     return out
+
+
+def hilbert_key_2d(x_col: Column, y_col: Column, bits: int = 16) -> Column:
+    """Hilbert-curve key for two pre-quantized integer columns (each in
+    [0, 2^bits)) — better multi-dimensional locality than the Morton/Z key
+    (no quadrant jumps), so parquet min/max row-group stats prune tighter on
+    range predicates over BOTH dimensions.
+
+    The per-level rotate/reflect recurrence isn't expressible as Catalyst
+    expressions without exponential tree growth (each level references the
+    rotated coordinates twice), so this is a vectorized Arrow pandas_udf —
+    numpy bit ops over the whole batch, no per-row Python."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies them
+    # and pandas_udf's hint resolver can't see the local pd import
+    @pandas_udf("bigint")
+    def _hilbert(xs, ys):
+        x = xs.to_numpy(dtype=np.int64, na_value=0).copy()
+        y = ys.to_numpy(dtype=np.int64, na_value=0).copy()
+        d = np.zeros_like(x)
+        s = np.int64(1) << (bits - 1)
+        while s > 0:
+            rx = ((x & s) > 0).astype(np.int64)
+            ry = ((y & s) > 0).astype(np.int64)
+            d += s * s * ((3 * rx) ^ ry)
+            # rotate quadrant: where ry==0 (and reflect where rx==1)
+            rot = ry == 0
+            refl = rot & (rx == 1)
+            x_r = np.where(refl, s - 1 - x, x)
+            y_r = np.where(refl, s - 1 - y, y)
+            x, y = np.where(rot, y_r, x_r), np.where(rot, x_r, y_r)
+            s >>= 1
+        return pd.Series(d)
+
+    return _hilbert(x_col, y_col)
+
+
+def hilbert_layout(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    bits: int = 16,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Rewrite a table in 2-D Hilbert order (quantize both columns from
+    their global min/max, key, range-partition + sort) — drop-in alternative
+    to the Z-order layout with strictly better curve locality."""
+    bounds = df.agg(
+        F.min(col_a).alias("a_min"), F.max(col_a).alias("a_max"),
+        F.min(col_b).alias("b_min"), F.max(col_b).alias("b_max"),
+    ).first()
+    qa = zorder_quantize(F.col(col_a), int(bounds["a_min"]), int(bounds["a_max"]), bits)
+    qb = zorder_quantize(F.col(col_b), int(bounds["b_min"]), int(bounds["b_max"]), bits)
+    keyed = df.withColumn("__hkey__", hilbert_key_2d(qa, qb, bits))
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return keyed.repartitionByRange(n, "__hkey__").sortWithinPartitions("__hkey__").drop("__hkey__")

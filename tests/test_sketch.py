@@ -162,3 +162,52 @@ def test_histogram_null_and_clamp(spark):
     rows = {r["bin"]: r["cnt"] for r in equiwidth_histogram(df, "v", 10, 0.0, 10.0).collect()}
     assert sum(rows.values()) == 3  # null dropped
     assert rows.get(9) == 1  # max value clamps into the last bin
+
+
+def test_hilbert_key_matches_reference(spark):
+    import pyspark.sql.functions as F
+
+    from bears_spark.functions.sketch import hilbert_key_2d
+
+    def xy2d(n_bits, x, y):  # classic scalar reference
+        d, s = 0, 1 << (n_bits - 1)
+        while s > 0:
+            rx = 1 if x & s else 0
+            ry = 1 if y & s else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s >>= 1
+        return d
+
+    pts = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {(r["x"], r["y"]): r["h"] for r in df.select("x", "y", hilbert_key_2d(F.col("x"), F.col("y"), 3).alias("h")).collect()}
+    for x, y in pts:
+        assert got[(x, y)] == xy2d(3, x, y), (x, y)
+    # the curve visits every cell exactly once
+    assert sorted(got.values()) == list(range(64))
+
+
+def test_hilbert_layout_locality(spark):
+    import pyspark.sql.functions as F
+
+    from bears_spark.functions.sketch import hilbert_layout
+
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("a"), (F.col("id") / 64).cast("long").alias("b"), F.col("id")
+    )
+    out = hilbert_layout(df, "a", "b", bits=6, num_partitions=8)
+    assert out.count() == 4096 and set(out.columns) == {"a", "b", "id"}
+    # locality: within each partition, the bounding box of (a,b) is far
+    # smaller than the full 64x64 domain for at least most partitions
+    stats = (
+        out.withColumn("p", F.spark_partition_id())
+        .groupBy("p")
+        .agg((F.max("a") - F.min("a")).alias("da"), (F.max("b") - F.min("b")).alias("db"))
+        .collect()
+    )
+    tight = sum(1 for r in stats if r["da"] * r["db"] <= 64 * 64 / 4)
+    assert tight >= len(stats) * 0.75
