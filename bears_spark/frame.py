@@ -1239,8 +1239,15 @@ class SparkFrame:
     def corr_matrix(self, *cols: str) -> pd.DataFrame:
         """Pairwise Pearson correlation matrix over numeric columns, computed
         in ONE aggregation pass (all column pairs as agg expressions — one
-        scan, partial-aggregated; never a per-pair job)."""
-        return self._pairwise(F.corr, list(cols))
+        scan, partial-aggregated; never a per-pair job). Built from
+        try_divide(covar_pop, sqrt(var_pop*var_pop)) rather than F.corr so a
+        constant column yields NaN (pandas parity) instead of the ANSI-mode
+        DIVIDE_BY_ZERO error."""
+
+        def _corr(a, b):
+            return F.try_divide(F.covar_pop(a, b), F.sqrt(F.var_pop(a) * F.var_pop(b)))
+
+        return self._pairwise(_corr, list(cols))
 
     def cov_matrix(self, *cols: str) -> pd.DataFrame:
         """Pairwise sample covariance matrix — same one-pass shape."""
@@ -1257,7 +1264,10 @@ class SparkFrame:
         m = np.zeros((len(target), len(target)))
         for i in range(len(target)):
             for j in range(len(target)):
-                m[i, j] = row[f"{min(i, j)}_{max(i, j)}"]
+                v = row[f"{min(i, j)}_{max(i, j)}"]
+                # null aggregate (constant column, empty frame) -> NaN,
+                # matching pandas corr/cov
+                m[i, j] = np.nan if v is None else v
         return pd.DataFrame(m, index=target, columns=target)
 
     def update(self, other: "SparkFrame | DataFrame", on: str | Sequence[str]) -> "SparkFrame":

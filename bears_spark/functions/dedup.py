@@ -83,6 +83,7 @@ def minhash_lsh_candidates(
     bands: int = 4,
     ngram_n: int = 3,
     materialize: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) from banded MinHash over word
     n-grams.
@@ -92,8 +93,19 @@ def minhash_lsh_candidates(
     n-grams (not char shingles) keep the token space discriminative on
     low-vocabulary corpora; rows_per_band >= 4 keeps bucket sizes near 1 for
     non-duplicates, so the self-equi-join on (band_idx, band_sig) stays
-    linear — a giant bucket means a real duplicate cluster, the one skew risk,
-    handled by AQE skew-join or an upstream bucket-size cap.
+    linear.
+
+    ``max_bucket_size`` caps the one skew risk: a giant (band, band_sig)
+    bucket is a real duplicate cluster, and its all-pairs output is quadratic
+    (10^6 boilerplate near-identical docs sharing a band signature emit
+    ~10^12 pairs — AQE splits the shuffle, not the output). Buckets above the
+    cap switch from all-pairs to a STAR: every member pairs with the bucket's
+    min id. That keeps the output linear in bucket size while leaving the
+    downstream connected-components clustering IDENTICAL (the star spans the
+    bucket), at the cost of some non-representative pairs for pairwise
+    verification — the standard web-dedup trade. Oversized buckets are few by
+    definition, so the routing join is a broadcast. Set it at 100 TB; the
+    default None keeps exact all-pairs semantics for modest corpora.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -131,15 +143,34 @@ def minhash_lsh_candidates(
         # join it with itself — same principle)
         banded = banded.persist()
 
-    a = banded.alias("a")
-    b = banded.alias("b")
+    if max_bucket_size is not None:
+        big_keys = (
+            banded.groupBy("band", "band_sig")
+            .agg(F.count("*").alias("__bsz__"))
+            .filter(F.col("__bsz__") > max_bucket_size)
+            .select("band", "band_sig")
+        )
+        small = banded.join(F.broadcast(big_keys), on=["band", "band_sig"], how="left_anti")
+        big = banded.join(F.broadcast(big_keys), on=["band", "band_sig"], how="left_semi")
+        reps = big.groupBy("band", "band_sig").agg(F.min(id_col).alias("__rep__"))
+        star = (
+            big.join(F.broadcast(reps), on=["band", "band_sig"])
+            .filter(F.col(id_col) > F.col("__rep__"))
+            .select(F.col("__rep__").alias("id_a"), F.col(id_col).alias("id_b"))
+        )
+    else:
+        small, star = banded, None
+
+    a = small.alias("a")
+    b = small.alias("b")
     pairs = (
         a.join(b, on=["band", "band_sig"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
     )
-    return pairs
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def simhash_sketch(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:

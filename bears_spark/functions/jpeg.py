@@ -326,6 +326,14 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
             cids = [c[0] for c in frame[2]]
+            if ns < len(cids):
+                # Legal non-interleaved multi-scan baseline (ns < ncomp):
+                # decoding only the first scan would leave the remaining
+                # planes zero (heavily tinted image). Gate honestly instead.
+                raise NotImplementedError(
+                    f"non-interleaved multi-scan baseline JPEG (first SOS covers "
+                    f"{ns}/{len(cids)} components) is not supported"
+                )
             for c in range(ns):
                 cs, tda = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_comps.append((cids.index(cs), tda >> 4, tda & 0x0F))

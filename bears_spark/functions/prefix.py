@@ -33,6 +33,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Caching contract: each scan persists its range-partitioned input so the
+# offsets pass and the main pass see identical partition boundaries. To keep
+# repeated calls (select_until_budget / iloc_range in a loop) from
+# accumulating cached partitions until eviction, only the MOST RECENT scan's
+# cache is retained — starting a new scan unpersists the previous one.
+# Callers should therefore materialize a scan's result before starting the
+# next scan; ``release_scan_caches()`` drops everything eagerly.
+_SCAN_CACHE: list[DataFrame] = []
+
+
+def _cache_ranged(ranged: DataFrame) -> DataFrame:
+    while _SCAN_CACHE:
+        _SCAN_CACHE.pop().unpersist(blocking=False)
+    _SCAN_CACHE.append(ranged.persist())
+    return ranged
+
+
+def release_scan_caches() -> None:
+    """Unpersist every range cache still held by this module."""
+    while _SCAN_CACHE:
+        _SCAN_CACHE.pop().unpersist(blocking=False)
+
+
+def _carry(series: pd.Series, prev):
+    """Null-safe running carry: the last non-null cumulative value, or the
+    previous carry when the batch tail (or whole batch) is null — matching
+    Spark window-agg semantics where nulls are ignored, not propagated."""
+    valid = series.dropna()
+    return valid.iloc[-1] if len(valid) else prev
+
 
 def _cum_field_type(dt: T.DataType) -> T.DataType:
     if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
@@ -59,10 +89,8 @@ def partitioned_cumsum(
     see the SAME partition boundaries (range sampling is not re-run)."""
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
-        .sortWithinPartitions(*order_cols)
-        .persist()
+    ranged = _cache_ranged(
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols]).sortWithinPartitions(*order_cols)
     )
     totals = (
         ranged.groupBy(F.spark_partition_id().alias("__pid__"))
@@ -90,8 +118,7 @@ def partitioned_cumsum(
             for c in value_cols:
                 cs = pdf[c].cumsum() + running[c]
                 pdf[c + suffix] = cs
-                if len(cs):
-                    running[c] = cs.iloc[-1]
+                running[c] = _carry(cs, running[c])
             yield pdf
 
     return ranged.mapInPandas(_scan, out_schema)
@@ -123,10 +150,8 @@ def partitioned_scan(
                 raise ValueError(f"unsupported scan fn {fn!r} (have {sorted(_SCAN_FNS)})")
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
-        .sortWithinPartitions(*order_cols)
-        .persist()
+    ranged = _cache_ranged(
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols]).sortWithinPartitions(*order_cols)
     )
     total_exprs = [
         _SCAN_FNS[fn][0](c).alias(f"{c}__{fn}") for c, fns in aggs.items() for fn in fns
@@ -181,8 +206,9 @@ def partitioned_scan(
                         else:
                             local = local.clip(upper=off[key])
                     pdf[f"{c}_cum{fn}"] = local
-                    if len(local):
-                        off[key] = local.iloc[-1]
+                    carried = _carry(local, off.get(key))
+                    if carried is not None:
+                        off[key] = carried
             yield pdf
 
     return ranged.mapInPandas(_scan, out_schema)
@@ -200,10 +226,8 @@ def distributed_row_number(
     constant-1 value, but counts come from the cheap groupBy, not a scan."""
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
-        .sortWithinPartitions(*order_cols)
-        .persist()
+    ranged = _cache_ranged(
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols]).sortWithinPartitions(*order_cols)
     )
     counts = ranged.groupBy(F.spark_partition_id().alias("__pid__")).count().collect()
     offsets: dict[int, int] = {}

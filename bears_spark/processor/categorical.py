@@ -57,17 +57,38 @@ class LabelEncoding(SingleColumnProcessor):
     aliases = ("labelencoding", "labelencoder")
     output_mltype = "INT"
 
-    def __init__(self, encoding_range: str = "one_to_n", missing_fill: Any = None, **params):
+    def __init__(
+        self,
+        encoding_range: str = "one_to_n",
+        missing_fill: Any = None,
+        max_cardinality: int = 100_000,
+        **params,
+    ):
         super().__init__(encoding_range=encoding_range, missing_fill=missing_fill, **params)
         if encoding_range not in _ENCODING_RANGES:
             raise ValueError(f"bad encoding_range {encoding_range!r}")
         self.encoding_range = encoding_range
         self.missing_fill = missing_fill
+        self.max_cardinality = max_cardinality
         self.label_map_: dict[str, int] | None = None
 
     def _fit(self, df: DataFrame, cols: list[str]) -> None:
         (col_name,) = cols
         start, step, _ = _ENCODING_RANGES[self.encoding_range]
+        # Cardinality guard: the fit collects every distinct label to the
+        # driver and compiles a create_map literal — right for CATEGORICAL
+        # columns, but a high-cardinality column (ids, free text) would
+        # silently OOM the driver and explode the plan. One cheap
+        # approx_count_distinct (±5%) before the collect fails fast instead.
+        approx = df.agg(F.approx_count_distinct(col_name).alias("n")).first()["n"]
+        if approx > self.max_cardinality:
+            raise ValueError(
+                f"LabelEncoding.fit: column {col_name!r} has ~{approx} distinct "
+                f"values (> max_cardinality={self.max_cardinality}); a literal "
+                "label map does not scale. Use encode_labels_join() for "
+                "high-cardinality vocabularies (label table + broadcast/shuffle "
+                "join), or raise max_cardinality deliberately."
+            )
         labels = [
             r["v"]
             for r in df.select(F.col(col_name).cast("string").alias("v")).filter(F.col("v").isNotNull()).distinct().collect()
@@ -97,6 +118,50 @@ class LabelEncoding(SingleColumnProcessor):
         for k, v in self.label_map_.items():
             pairs.extend([F.lit(v), F.lit(k)])
         return F.create_map(*pairs)[col.cast("long")]
+
+
+def encode_labels_join(
+    df: DataFrame,
+    col_name: str,
+    encoding_range: str = "one_to_n",
+    output_col: str | None = None,
+    fit_df: DataFrame | None = None,
+) -> DataFrame:
+    """High-cardinality LabelEncoding: the label->code mapping lives in a
+    TABLE joined to the data, never a driver-side literal map.
+
+    Same semantics as LabelEncoding (np.unique lexicographic order over the
+    stringified labels, the four encoding ranges, unknown -> sentinel), but
+    the code assignment is computed distributed: distinct labels are globally
+    numbered in sorted order via functions/prefix.distributed_row_number
+    (range partition + offset table — no one-task global window), then joined
+    back. Spark broadcasts the label table when it is small and falls back to
+    a shuffle join when it is not — either way the driver never holds the
+    vocabulary. ``fit_df`` fits the mapping on a different frame (train) than
+    the one being transformed; unseen labels get the range's sentinel.
+    """
+    if encoding_range not in _ENCODING_RANGES:
+        raise ValueError(f"bad encoding_range {encoding_range!r}")
+    from bears_spark.functions.prefix import distributed_row_number
+
+    start, step, unknown = _ENCODING_RANGES[encoding_range]
+    out = output_col or col_name
+    src = fit_df if fit_df is not None else df
+    labels = (
+        src.select(F.col(col_name).cast("string").alias("__label__"))
+        .filter(F.col("__label__").isNotNull())
+        .distinct()
+    )
+    codes = distributed_row_number(labels, ["__label__"], out_col="__pos__").select(
+        "__label__", (F.lit(start) + F.col("__pos__") * F.lit(step)).alias("__code__")
+    )
+    joined = df.withColumn("__label__", F.col(col_name).cast("string")).join(
+        codes, on="__label__", how="left"
+    )
+    encoded = F.when(F.col("__label__").isNull(), F.lit(None).cast("long")).otherwise(
+        F.coalesce(F.col("__code__"), F.lit(unknown)).cast("long")
+    )
+    return joined.withColumn(out, encoded).drop("__label__", "__code__")
 
 
 @register_processor

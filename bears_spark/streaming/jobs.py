@@ -105,13 +105,22 @@ def maintain_rollup_stream(
     from bears_spark.functions.rollup import merge_rollup_states, rollup_state
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         new_state = rollup_state(batch_df, keys, value_col)
         jvm_path = state_path
         try:
             prev = spark.read.parquet(jvm_path)
             merged = merge_rollup_states(prev, new_state)
-        except Exception:  # first batch: no prior state
+        except AnalysisException as exc:
+            # Only the missing-path first-batch case may start fresh; any
+            # other read error (corrupt footer, permission, transient IO)
+            # must NOT silently discard accumulated history.
+            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+                raise
             merged = new_state
         tmp = jvm_path.rstrip("/") + f".__batch{batch_id}__"
         merged.write.mode("overwrite").parquet(tmp)
@@ -120,6 +129,7 @@ def maintain_rollup_stream(
         # — same fold, transactional swap for free.)
         final = spark.read.parquet(tmp)
         final.write.mode("overwrite").parquet(jvm_path)
+        shutil.rmtree(tmp.removeprefix("file:"), ignore_errors=True)
 
     w = events.writeStream.foreachBatch(_fold).option("checkpointLocation", checkpoint)
     if available_now:

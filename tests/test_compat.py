@@ -91,3 +91,18 @@ def test_profile_single_pass(spark, frame):
     # column subset
     sub = frame.profile("id")
     assert list(sub["column"]) == ["id"]
+
+
+def test_corr_matrix_constant_column_nan(spark):
+    """Constant column makes corr() null — must surface as NaN like pandas,
+    not TypeError (ADVICE r3)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({"x": [1.0, 2.0, 3.0], "c": [5.0, 5.0, 5.0]})
+    sf = SparkFrame(spark.createDataFrame(pdf))
+    got = sf.corr_matrix()
+    assert np.isnan(got.loc["c", "x"]) and np.isnan(got.loc["x", "c"]) and np.isnan(got.loc["c", "c"])
+    assert got.loc["x", "x"] == 1.0
+    # fully-empty frame: every entry NaN, no crash
+    empty = SparkFrame(spark.createDataFrame([], "x double, y double"))
+    assert np.isnan(empty.corr_matrix().to_numpy()).all()

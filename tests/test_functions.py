@@ -426,3 +426,32 @@ def test_fix_mojibake_repair_and_idempotence(spark):
     df = spark.createDataFrame([(1, broken), (2, "ok"), (3, None)], "id long, text string")
     out = {r["id"]: r["text"] for r in repair_text(df, "text").collect()}
     assert out[1] == good and out[2] == "ok" and out[3] is None
+
+
+def test_minhash_lsh_bucket_cap_bounds_output(spark):
+    """Adversarial identical-band cluster: 400 near-identical docs share every
+    band signature. Uncapped, that bucket emits ~80k all-pairs; with
+    max_bucket_size the bucket switches to a star (member -> bucket-min), so
+    output is linear while the cluster stays CONNECTED for components."""
+    import bears_spark.functions.dedup as dd
+
+    n = 400
+    rows = [(i, "the quick brown fox jumps over the lazy dog again and again") for i in range(n)]
+    rows += [(1000 + i, f"totally unrelated document number {i} with unique words {i*7} {i*13}") for i in range(8)]
+    df = spark.createDataFrame(rows, "id long, t string")
+
+    capped = dd.minhash_lsh_candidates(df, "id", "t", max_bucket_size=50)
+    got = capped.collect()
+    # star: exactly n-1 pairs for the giant cluster (plus nothing for the
+    # unrelated docs) — not C(400,2)=79800
+    assert len(got) == n - 1
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(0, i) for i in range(1, n)}
+
+    # connected components over the star still yield ONE cluster of 400
+    comp = dd.connected_components(capped.select("id_a", "id_b"))
+    sizes = comp.groupBy("component").count().collect()
+    assert {r["count"] for r in sizes} == {n}
+
+    # default (no cap) semantics unchanged: all-pairs
+    uncapped = dd.minhash_lsh_candidates(df.filter(F.col("id") < 20), "id", "t")
+    assert uncapped.count() == 19 * 20 // 2

@@ -521,3 +521,27 @@ def test_jpeg_422_subsampled_roundtrip():
     assert np.abs(dec.astype(int) - img.astype(int)).mean() < 2.0
     flat = np.full((20, 28, 3), 99, dtype=np.uint8)
     assert (decode_jpeg(encode_jpeg(flat, quality=90, subsampling="422")) == flat).all()
+
+
+def test_jpeg_multiscan_baseline_gated():
+    """A baseline JPEG whose first SOS covers fewer components than the frame
+    declares (legal non-interleaved multi-scan) must raise, not decode a
+    tinted image (ADVICE r3)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from bears_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg(img))
+    sos_at = data.find(b"\xff\xda")
+    assert sos_at > 0
+    # rewrite the SOS header to declare a single-component scan (Y only)
+    patched = bytes(data[:sos_at]) + b"\xff\xda" + struct.pack(">H", 2 + 1 + 2 + 3) + bytes(
+        [1, 1, 0x00, 0, 63, 0]
+    )
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        decode_jpeg(patched)

@@ -87,3 +87,71 @@ def test_partitioned_scan_all_fns(spark):
         | (F.col("v_cumcount") != F.col("ec"))
     )
     assert bad.count() == 0
+
+
+def test_partitioned_cumsum_null_carry(spark):
+    """A null at a partition/batch tail must not poison the carry: Spark
+    window-sum semantics ignore nulls, so rows AFTER a null keep accumulating
+    (ADVICE r3: the carry used to become NaN and nullify the rest)."""
+    from pyspark.sql import Window
+
+    from bears_spark.functions.prefix import partitioned_cumsum
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        df = spark.range(2_000).select(
+            F.col("id"),
+            F.when(F.col("id") % 50 == 49, F.lit(None)).otherwise(F.col("id") % 13).alias("v"),
+        )
+        out = partitioned_cumsum(df, ["id"], ["v"], num_partitions=4)
+        w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+        exp = df.select("id", "v", F.sum("v").over(w).alias("ev"))
+        j = out.join(exp.drop("v"), "id")
+        # null input rows keep pandas-cumsum NaN output; every NON-null row
+        # must equal the null-ignoring window sum
+        bad = j.filter(F.col("v").isNotNull() & (F.col("v_cumsum") != F.col("ev")))
+        assert bad.count() == 0
+        all_null_after = j.filter((F.col("id") > 49) & F.col("v").isNotNull() & F.col("v_cumsum").isNull())
+        assert all_null_after.count() == 0
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_partitioned_scan_null_carry(spark):
+    from pyspark.sql import Window
+
+    from bears_spark.functions.prefix import partitioned_scan
+
+    df = spark.range(1_000).select(
+        F.col("id"),
+        F.when(F.col("id") % 7 == 6, F.lit(None)).otherwise((F.col("id") * 31) % 100 - 50).alias("v"),
+    )
+    out = partitioned_scan(df, ["id"], {"v": ["sum", "max", "count"]}, num_partitions=5)
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    exp = df.select(
+        "id", "v",
+        F.sum("v").over(w).alias("es"),
+        F.max("v").over(w).alias("ex"),
+        F.count("v").over(w).alias("ec"),
+    )
+    j = out.join(exp.drop("v"), "id").filter(F.col("v").isNotNull())
+    bad = j.filter(
+        (F.col("v_cumsum") != F.col("es"))
+        | (F.col("v_cummax") != F.col("ex"))
+        | (F.col("v_cumcount") != F.col("ec"))
+    )
+    assert bad.count() == 0
+
+
+def test_scan_cache_bounded(spark):
+    """Only the most recent scan's range cache is retained (ADVICE r3:
+    repeated calls used to accumulate persisted partitions)."""
+    from bears_spark.functions import prefix
+
+    df = spark.range(100).select(F.col("id"), F.lit(1).alias("v"))
+    for _ in range(3):
+        prefix.partitioned_cumsum(df, ["id"], ["v"], num_partitions=2).count()
+    assert len(prefix._SCAN_CACHE) == 1
+    prefix.release_scan_caches()
+    assert len(prefix._SCAN_CACHE) == 0

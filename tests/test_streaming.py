@@ -189,3 +189,36 @@ def test_maintain_rollup_stream_matches_batch(spark, sf_dir, tmp_path):
     for k in exp:
         assert got[k][0] == exp[k][0]
         assert abs(got[k][1] - exp[k][1]) < 1e-6
+
+
+def test_maintain_rollup_stream_cleans_tmp_and_raises_on_corrupt_state(spark, sf_dir, tmp_path):
+    """ADVICE r3: per-batch tmp dirs must be deleted after the swap, and a
+    CORRUPT prior state must raise, not silently restart history."""
+    import os
+
+    from bears_spark.queries.events import _events_stream
+    from bears_spark.streaming.jobs import maintain_rollup_stream
+
+    ev = _events_stream(spark, sf_dir)
+    state = str(tmp_path / "state")
+    q = maintain_rollup_stream(
+        ev, state, str(tmp_path / "ckpt"), keys=["event_type"], value_col="value", available_now=True
+    )
+    q.awaitTermination()
+    q.stop()
+    leftovers = [d for d in os.listdir(tmp_path) if "__batch" in d]
+    assert leftovers == []
+
+    # corrupt state: a file that exists but is not parquet -> fold must raise
+    bad_state = tmp_path / "bad_state"
+    bad_state.mkdir()
+    (bad_state / "part-00000.parquet").write_bytes(b"not a parquet file")
+    ev2 = _events_stream(spark, sf_dir)
+    q2 = maintain_rollup_stream(
+        ev2, str(bad_state), str(tmp_path / "ckpt2"), keys=["event_type"], value_col="value", available_now=True
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        q2.awaitTermination()
+    q2.stop()
