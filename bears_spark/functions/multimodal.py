@@ -207,16 +207,52 @@ def decode_png(content: bytes) -> np.ndarray:
     return px[..., :3].copy()  # RGB / RGBA (alpha dropped)
 
 
+_PIL_IMAGE = None
+_PIL_PROBED = False
+
+
+def _pil_image():
+    """Probe for Pillow ONCE per process; None when absent. Native libjpeg /
+    giflib decode is ~2 orders of magnitude faster than the pure-stdlib
+    codecs — on a 100 TB image corpus the decode stage is the whole job, so
+    when Pillow is importable it is preferred for JPEG/GIF and the stdlib
+    codecs (bit-compat fuzz-tested in test_multimodal) stay the
+    zero-dependency fallback."""
+    global _PIL_IMAGE, _PIL_PROBED
+    if not _PIL_PROBED:
+        _PIL_PROBED = True
+        try:
+            from PIL import Image  # type: ignore[import-not-found]
+
+            _PIL_IMAGE = Image
+        except ImportError:
+            _PIL_IMAGE = None
+    return _PIL_IMAGE
+
+
+def _pil_decode(content: bytes) -> "np.ndarray | None":
+    pil = _pil_image()
+    if pil is None:
+        return None
+    try:
+        import io
+
+        return np.asarray(pil.open(io.BytesIO(content)).convert("RGB")).copy()
+    except Exception:
+        return None  # truncated/exotic payload: let the stdlib codec try
+
+
 def decode_image_batch(content: bytes, fake: bool = False) -> np.ndarray:
     """Decode one image payload -> HxWx3 uint8 array.
 
-    Real decode paths: PPM(P6), 24-bit BMP, 8-bit PNG, baseline AND
-    progressive JPEG (functions/jpeg.py — huffman + IDCT + Annex G
-    multi-scan), and GIF (functions/gif.py — LZW) are pure numpy/stdlib,
-    always available; only exotica (arithmetic-coded/12-bit JPEG, video)
-    route through Pillow/ffmpeg when importable, else raise. ``fake=True`` produces a deterministic
-    8x8x3 array seeded by the content hash — stable across runs/engines, so
-    the Spark plumbing stays testable for every format."""
+    Standard JPEG/GIF prefer Pillow when importable (native decode speed —
+    see _pil_image); PPM(P6), 24-bit BMP, 8-bit PNG, baseline AND progressive
+    JPEG (functions/jpeg.py — huffman + IDCT + Annex G multi-scan), and GIF
+    (functions/gif.py — LZW) decode pure numpy/stdlib with no dependency at
+    all. Exotica (arithmetic-coded/12-bit JPEG, video) REQUIRE Pillow/ffmpeg,
+    else raise. ``fake=True`` produces a deterministic 8x8x3 array seeded by
+    the content hash — stable across runs/engines, so the Spark plumbing
+    stays testable for every format."""
     if not fake:
         if content.startswith(b"P6"):
             return decode_ppm(content)
@@ -225,28 +261,31 @@ def decode_image_batch(content: bytes, fake: bool = False) -> np.ndarray:
         if content.startswith(b"\x89PNG"):
             return decode_png(content)
         if content.startswith(b"\xff\xd8"):
+            native = _pil_decode(content)
+            if native is not None:
+                return native
             from bears_spark.functions.jpeg import decode_jpeg
 
             try:
                 return decode_jpeg(content)
-            except NotImplementedError:
-                pass  # arithmetic/12-bit: fall through to Pillow if present
+            except NotImplementedError as exc:
+                raise NotImplementedError(
+                    f"{exc} — install Pillow for non-baseline/progressive JPEG codings"
+                ) from None
         if content[:6] in (b"GIF87a", b"GIF89a"):
+            native = _pil_decode(content)
+            if native is not None:
+                return native
             from bears_spark.functions.gif import decode_gif
 
             return decode_gif(content)
-        try:
-            import io
-
-            from PIL import Image  # type: ignore[import-not-found]
-
-            arr = np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
-            return arr
-        except ImportError:
-            raise NotImplementedError(
-                "arithmetic/12-bit JPEG decode requires Pillow (absent here); "
-                "PPM/BMP/PNG/JPEG(baseline+progressive)/GIF decode natively"
-            ) from None
+        native = _pil_decode(content)
+        if native is not None:
+            return native
+        raise NotImplementedError(
+            "unrecognized image format (and Pillow absent); "
+            "PPM/BMP/PNG/JPEG(baseline+progressive)/GIF decode natively"
+        )
     seed = int(hashlib.md5(content).hexdigest()[:8], 16)
     rng = np.random.RandomState(seed)
     return rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)

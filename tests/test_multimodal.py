@@ -545,3 +545,48 @@ def test_jpeg_multiscan_baseline_gated():
     )
     with pytest.raises(NotImplementedError, match="multi-scan"):
         decode_jpeg(patched)
+
+
+def test_decode_image_batch_prefers_native_decoder(monkeypatch):
+    """When Pillow is importable it is preferred for standard JPEG/GIF
+    (VERDICT r3 #3); stdlib codecs remain the fallback when it is absent or
+    fails on a payload. Simulated with an injected fake PIL so the test runs
+    identically with and without Pillow installed."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from bears_spark.functions import multimodal as mm
+    from bears_spark.functions.jpeg import encode_jpeg
+
+    jpeg_bytes = encode_jpeg(np.full((8, 8, 3), 64, dtype=np.uint8))
+    sentinel = np.full((4, 4, 3), 7, dtype=np.uint8)
+
+    class _FakeImg:
+        def convert(self, mode):
+            assert mode == "RGB"
+            return sentinel
+
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = types.SimpleNamespace(open=lambda buf: _FakeImg())
+    monkeypatch.setattr(mm, "_PIL_PROBED", False)
+    monkeypatch.setattr(mm, "_PIL_IMAGE", None)
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    assert (mm.decode_image_batch(jpeg_bytes) == 7).all()
+
+    # PIL present but failing on this payload -> stdlib decode still works
+    def _boom(buf):
+        raise OSError("truncated")
+
+    fake_pil.Image = types.SimpleNamespace(open=_boom)
+    monkeypatch.setattr(mm, "_PIL_PROBED", False)
+    monkeypatch.setattr(mm, "_PIL_IMAGE", None)
+    out = mm.decode_image_batch(jpeg_bytes)
+    assert out.shape == (8, 8, 3) and abs(int(out.mean()) - 64) <= 2
+
+    # PIL absent entirely -> stdlib decode
+    monkeypatch.setattr(mm, "_PIL_PROBED", True)
+    monkeypatch.setattr(mm, "_PIL_IMAGE", None)
+    out2 = mm.decode_image_batch(jpeg_bytes)
+    assert (out2 == out).all()
