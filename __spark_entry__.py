@@ -71,74 +71,70 @@ _TPCH_ORACLES = {
 
 # --------------------------------------------------------------------------
 # The driver grades the FIRST 50 queries() entries in iteration order, so
-# order is a coverage budget. The window below spends it deliberately:
-#   * 10 TPC-H representatives (scan, join, semi/anti, scalar-subquery,
-#     grouped-agg shapes) — the other 11 stay implemented + pytest-covered
-#     past position 50 and were all driver-green in round 2.
-#   * the 4 queries that were red in round 2 (ts-encoding bug, now fixed) —
-#     they must re-grade green.
-#   * one representative per otherwise-ungraded family: dedup ladder, ANN,
-#     text/quality/decontamination, sketches, rollup maintenance, temporal
-#     joins, window sugar, processors, sharding, imputation, pipeline.
+# order is a coverage budget. Round-4 rotation (VERDICT r3 "Next round" #1):
+#   * the 21 queries that never earned a driver CORRECTNESS row (all were
+#     green under the judge's local replica of the gate in round 3),
+#   * 10 regression anchors spanning every major family (TPC-H agg/join,
+#     event-time windows, streaming, dedup, ANN, rollup, pipeline),
+#   * the 6 queries whose last driver-green row was round 1,
+#   * remaining slots: round-2-stale re-grades, progressively replaced by
+#     queries added this round.
 GRADED_WINDOW = [
-    # TPC-H representatives
+    # --- never driver-graded (21) ---
+    "orders_profile",
+    "ann_lsh_topk",
+    "doc_token_counts",
+    "emb_random_projection",
+    "doc_winnow_fingerprints",
+    "doc_nfc_normalize",
+    "dedup_incremental",
+    "doc_hashed_features",
+    "doc_concat_affix",
+    "lang_mode_imputation",
+    "orders_global_cumsum",
+    "doc_budget_selection",
+    "doc_top2gram_repetition",
+    "doc_hash_sample_rates",
+    "nation_top_customer",
+    "doc_stratified_sample",
+    "doc_vocabulary_topk",
+    "corpus_mixture_by_source",
+    "ev_hll_users_by_type",
+    "bloom_pruned_nation_volume",
+    "orders_zorder_keys",
+    # --- regression anchors (10) ---
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
     "q6_revenue_change",
-    "q9_product_profit",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q20_excess_stock",
-    "q21_waiting_supplier",
-    # red in round 2 — ts-encoding fix must be proven
     "ev_sessionize",
-    "ev_lag_lead_delta",
     "streaming_sessionize",
     "streaming_hourly_counts",
-    # dedup ladder + ANN
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_verified_pairs",
-    "dedup_components",
     "ann_cosine_topk",
-    "ann_ivf_label_topk",
-    # text / quality / decontamination / packing / sampling
-    "text_stats",
-    "doc_gopher_quality",
-    "doc_decontaminate",
-    "doc_pack_sequences",
-    "doc_balanced_sample",
-    # sketches + incremental rollup
-    "hll_distinct_orderkeys",
-    "cms_user_counts",
-    "orders_incremental_rollup",
-    "ev_value_hist_quantiles",
-    # event-time analytics + temporal joins + window sugar
-    "ev_funnel_conversion",
-    "ev_cohort_retention",
-    "ev_asof_purchase",
-    "ev_range_window_counts",
-    "ev_rolling_stats",
-    "ev_ewm_value",
-    "ev_resample_hourly",
-    "ev_hopping_windows",
-    # processors / pipeline / sharding
-    "tfidf_doc_terms",
-    "assembled_features",
-    "customer_name_parse",
-    "segment_zscore_grouped_map",
-    "stream_shard_keys",
-    "value_mean_imputation",
-    "lang_label_encode",
-    "cust_balance_quartiles",
-    "pipeline_text_clean",
-    "pii_redact_contacts",
-    # relational family representatives
     "orders_rollup",
-    "part_melt",
-    "nations_set_ops",
+    "pipeline_text_clean",
+    # --- last driver-green in round 1 (6) ---
+    "lang_id_confusion",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "merge_indicator_counts",
+    # --- round-2-stale re-grades (13; swapped out as new queries land) ---
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q16_parts_supplier_cnt",
+    "q19_discounted_revenue",
+    "q22_sales_opportunity",
+    "q11_important_stock",
+    "ev_top3_per_type",
+    "ev_zscore_anomaly",
+    "orders_combine_first",
+    "segment_demeaned_balance",
+    "orders_constraint_report",
+    # --- new in round 4: stream-stream join + arbitrary-state operator ---
+    "streaming_purchase_attribution",
+    "streaming_running_totals",
 ]
 assert len(GRADED_WINDOW) == 50, len(GRADED_WINDOW)
 
@@ -159,6 +155,11 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "ann_cosine_topk",
+    # round-4 additions: one per round-3 family (VERDICT r3 #6)
+    "orders_global_cumsum",
+    "doc_pack_sequences",
+    "ev_funnel_conversion",
+    "doc_decontaminate",
 ]
 
 

@@ -404,6 +404,88 @@ ORACLES["streaming_hourly_counts"] = STREAMING_HOURLY_SQL
 
 
 # --------------------------------------------------------------------------
+# streaming_purchase_attribution: the stream-stream interval join run to
+# completion and graded against the equivalent batch interval join in DuckDB.
+# availableNow delivers the whole file in micro-batches; inner stream-stream
+# joins emit matches as soon as both sides arrive (no watermark hold-back for
+# inner joins), so end-of-input output == the batch join result.
+def streaming_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.streaming.jobs import purchase_attribution_stream
+
+    ev = _events_stream(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    out = purchase_attribution_stream(views, buys, max_delay="1 hour", watermark="2 hours")
+    sink = "streaming_attribution_sink"
+    q = out.writeStream.format("memory").queryName(sink).outputMode("append").trigger(availableNow=True).start()
+    q.awaitTermination()
+    q.stop()
+    return spark.table(sink).select(
+        "user_id",
+        "purchase_id",
+        F.unix_micros(F.col("purchase_ts")).alias("purchase_us"),
+        "view_id",
+        F.unix_micros(F.col("view_ts")).alias("view_us"),
+    )
+
+
+STREAMING_ATTRIBUTION_SQL = """
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       epoch_us(p.ts) AS purchase_us,
+       v.event_id AS view_id,
+       epoch_us(v.ts) AS view_us
+FROM events p
+JOIN events v
+  ON v.user_id = p.user_id
+ AND v.ts < p.ts
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+"""
+
+QUERIES["streaming_purchase_attribution"] = streaming_purchase_attribution
+ORACLES["streaming_purchase_attribution"] = STREAMING_ATTRIBUTION_SQL
+
+
+# --------------------------------------------------------------------------
+# streaming_running_totals: the applyInPandasWithState arbitrary-state
+# operator run to completion. Delivered as ONE micro-batch (availableNow over
+# a single file), each user emits exactly one state row whose cumulative
+# totals equal the plain GROUP BY — grading the custom stateful path against
+# SQL. Multi-batch accumulation semantics are pinned separately in
+# tests/test_streaming.py.
+def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.streaming.jobs import running_user_totals_stream
+
+    ev = _events_stream(spark, sf_dir)
+    out = running_user_totals_stream(ev, timeout_minutes=None)  # availableNow: see jobs.py docstring
+    sink = "streaming_running_totals_sink"
+    q = out.writeStream.format("memory").queryName(sink).outputMode("append").trigger(availableNow=True).start()
+    q.awaitTermination()
+    q.stop()
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.sum("batch_events").alias("n_events"),
+            # cum_value at the highest cum_events = the final state (robust to
+            # multi-batch delivery and to negative values, unlike max())
+            F.round(F.expr("max_by(cum_value, cum_events)"), 6).alias("total_value"),
+        )
+    )
+
+
+STREAMING_RUNNING_TOTALS_SQL = """
+SELECT user_id, count(*) AS n_events,
+       round(sum(coalesce(value, 0)), 6) AS total_value
+FROM events GROUP BY user_id
+"""
+
+QUERIES["streaming_running_totals"] = streaming_running_totals
+ORACLES["streaming_running_totals"] = STREAMING_RUNNING_TOTALS_SQL
+
+
+# --------------------------------------------------------------------------
 # ev_rolling_stats: per-user trailing-5-row rolling mean/max via the
 # SparkFrame.rolling_agg sugar (pandas rolling semantics; partitioned by
 # user so the sort parallelizes).

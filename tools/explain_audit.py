@@ -81,8 +81,49 @@ def main() -> int:
         if missing or bad:
             failures.append(name)
             print(txt[:3000])
+    if not only or "bucketed_join" in only:
+        ok = audit_bucketed_join(spark)
+        print(f"  bucketed_join(q3-shape, exchange-free): {'OK' if ok else 'FAIL'}")
+        if not ok:
+            failures.append("bucketed_join")
     print("AUDIT", "PASS" if not failures else f"FAIL {failures}")
     return 1 if failures else 0
+
+
+def audit_bucketed_join(spark) -> bool:
+    """SCALE.md claims bucketBy removes the q3-shape lineitem join orderkey
+    shuffle. Prove it on the physical plan: write lineitem and orders bucketed
+    by orderkey, join on it, and assert the joint plan contains a
+    SortMergeJoin but NO shuffle Exchange (both scans are pre-bucketed)."""
+    from pyspark.sql import functions as F
+
+    from bears_spark.bucketing import is_exchange_free_join, write_bucketed
+    from bears_spark.queries.tables import load_table
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    # disable auto-broadcast so the join genuinely exercises the
+    # bucketed SMJ path (at 100 TB neither fact side broadcasts)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+        od = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+        write_bucketed(li, "audit_li_b", "l_orderkey", 8, sort_cols="l_orderkey")
+        write_bucketed(od.withColumnRenamed("o_orderkey", "l_orderkey"), "audit_od_b", "l_orderkey", 8, sort_cols="l_orderkey")
+        joined = (
+            spark.table("audit_li_b")
+            .join(spark.table("audit_od_b"), "l_orderkey")
+            # grouping on the bucket key: HashPartitioning(l_orderkey)
+            # satisfies the agg's ClusteredDistribution too, so the whole
+            # join+agg pipeline is exchange-free
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        )
+        return is_exchange_free_join(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS audit_li_b")
+        spark.sql("DROP TABLE IF EXISTS audit_od_b")
 
 
 if __name__ == "__main__":
