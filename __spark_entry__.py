@@ -123,18 +123,18 @@ GRADED_WINDOW = [
     # --- round-2-stale re-grades (13; swapped out as new queries land) ---
     "q2_min_cost_supplier",
     "q8_market_share",
-    "q16_parts_supplier_cnt",
-    "q19_discounted_revenue",
-    "q22_sales_opportunity",
-    "q11_important_stock",
     "ev_top3_per_type",
     "ev_zscore_anomaly",
     "orders_combine_first",
     "segment_demeaned_balance",
     "orders_constraint_report",
-    # --- new in round 4: stream-stream join + arbitrary-state operator ---
-    "streaming_purchase_attribution",
-    "streaming_running_totals",
+    # --- new in round 4 ---
+    "streaming_purchase_attribution",  # stream-stream interval join
+    "streaming_running_totals",  # applyInPandasWithState operator
+    "kmv_partkey_overlap",  # theta-sketch set algebra
+    "doc_heavy_hitter_words",  # Misra-Gries + exact recount
+    "cust_priority_scd2",  # SCD-2 interval build
+    "orders_value_ntile",  # ntile/percent_rank/cume_dist
 ]
 assert len(GRADED_WINDOW) == 50, len(GRADED_WINDOW)
 

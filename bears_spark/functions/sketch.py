@@ -391,3 +391,162 @@ def hilbert_layout(
     keyed = df.withColumn("__hkey__", hilbert_key_2d(qa, qb, bits))
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     return keyed.repartitionByRange(n, "__hkey__").sortWithinPartitions("__hkey__").drop("__hkey__")
+
+
+# --------------------------------------------------------------------------
+# KMV theta sketch (k-minimum values) + set algebra
+
+
+KMV_RANGE = 1 << HLL_HASH_BITS  # hash values are uniform in [0, 2^60)
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 256, prefilter_min_distinct: int | None = None) -> DataFrame:
+    """K-minimum-values sketch: the k smallest distinct 60-bit hashes of
+    ``col`` (Bar-Yossef et al. 2002 / the Theta sketch of Dasgupta et al.).
+
+    Plan shape: hash -> map-side-dedup HashAggregate -> TakeOrderedAndProject
+    (partial per-partition top-k, then a k-row merge on the driver side of
+    the exchange) — never a global sort. The distinct shuffle carries only
+    per-partition-distinct hashes; when the caller can lower-bound the
+    distinct count, ``prefilter_min_distinct`` cuts that to ~8k rows total by
+    discarding hashes that cannot be among the k global minima
+    (P[h < 8k/n_min * 2^60 for a uniform hash] covers the k minima with
+    overwhelming margin; the safety factor 8 makes the miss probability
+    < e^-k by Chernoff — at k=256 that is ~1e-111, i.e. never).
+    """
+    h = md5_hash64(F.col(col))
+    out = df.select(h.alias("hv")).where(F.col("hv").isNotNull())
+    if prefilter_min_distinct and prefilter_min_distinct > 8 * k:
+        cap = (8 * k * KMV_RANGE) // prefilter_min_distinct
+        out = out.where(F.col("hv") < F.lit(cap))
+    return out.distinct().orderBy("hv").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int) -> DataFrame:
+    """One-row distinct-count estimate from a KMV sketch: (k-1) / U(h_k)
+    where U normalizes the k-th smallest hash to (0,1]. If the sketch holds
+    fewer than k hashes the set was smaller than k and the count is EXACT.
+    Single float division at the end — deterministic cross-engine."""
+    agg = sketch.agg(F.count("*").alias("n"), F.max("hv").alias("theta"))
+    return agg.select(
+        F.when(F.col("n") < k, F.col("n").cast("double"))
+        .otherwise(F.lit(float(k - 1)) * F.lit(float(KMV_RANGE)) / F.col("theta"))
+        .alias("kmv_estimate"),
+        "n",
+        "theta",
+    )
+
+
+def kmv_set_algebra(sketch_a: DataFrame, sketch_b: DataFrame, k: int = 256) -> DataFrame:
+    """Theta-sketch union / intersection / Jaccard estimates from two KMV
+    sketches built with the same k and hash family.
+
+    theta = min(theta_a, theta_b) (the stricter of the two sampling
+    thresholds; a sketch with fewer than k values is exhaustive, its theta
+    is the full hash range). Below theta every distinct hash of either set
+    is retained, so the retained region is a uniform sample of the union:
+      union_est     = |A' U B'| / U(theta)
+      intersect_est = |A' ∩ B'| / U(theta)
+      jaccard_est   = |A' ∩ B'| / |A' U B'|
+    All counting is exact int64 over <= 2k rows (broadcast-joined); the two
+    trailing divisions are single IEEE ops. Sketches merge associatively, so
+    a 1000-executor rollup unions per-partition sketches first and pays one
+    k-row reduce."""
+    a = sketch_a.select(F.col("hv").alias("hv"))
+    b = sketch_b.select(F.col("hv").alias("hv"))
+
+    def _theta(s: DataFrame) -> DataFrame:
+        return s.agg(
+            F.when(F.count("*") < k, F.lit(KMV_RANGE).cast("bigint")).otherwise(F.max("hv")).alias("theta")
+        )
+
+    theta = (
+        _theta(a).crossJoin(_theta(b).withColumnRenamed("theta", "theta_b"))
+        .select(F.least("theta", "theta_b").alias("theta"))
+    )
+    merged = a.unionByName(b).distinct()
+    both = a.join(b, "hv", "left_semi")
+    # theta is one row — broadcast it under both counts (2k-row frames)
+    kept = merged.crossJoin(F.broadcast(theta)).where(F.col("hv") < F.col("theta"))
+    kept_both = both.crossJoin(F.broadcast(theta)).where(F.col("hv") < F.col("theta"))
+    cu = kept.agg(F.count("*").alias("n_union"), F.max(F.col("theta")).alias("theta"))
+    ci = kept_both.agg(F.count("*").alias("n_intersect"))
+    return cu.crossJoin(ci).select(
+        "n_union",
+        "n_intersect",
+        "theta",
+        (F.col("n_union") * F.lit(float(KMV_RANGE)) / F.col("theta")).alias("union_est"),
+        (F.col("n_intersect") * F.lit(float(KMV_RANGE)) / F.col("theta")).alias("intersect_est"),
+        (F.col("n_intersect").cast("double") / F.col("n_union")).alias("jaccard_est"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Heavy hitters: Misra-Gries candidates + exact recount (two-pass exact top-k
+# in bounded memory)
+
+
+def misra_gries_candidates(df: DataFrame, col: str, capacity: int = 64) -> DataFrame:
+    """Per-partition Misra-Gries summaries, merged into a global candidate
+    set with frequency lower/upper bounds.
+
+    Guarantee (Misra & Gries 1982): any value with partition frequency
+    > n_p/capacity survives that partition's summary; by pigeonhole, any
+    value with GLOBAL frequency > N/capacity survives in >= 1 partition — so
+    the union of per-partition candidates is a superset of every global
+    heavy hitter. State is ``capacity`` counters per partition, emitted rows
+    <= capacity * n_partitions. Output: value, count_lb (sum of surviving MG
+    counters: a lower bound), decrement_ub (sum of per-partition decrement
+    bounds: count <= count_lb + decrement_ub).
+    """
+    import pandas as pd
+
+    def _mg(batches):
+        counters: dict = {}
+        decremented = 0
+        for pdf in batches:
+            for v in pdf[col].dropna():
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < capacity:
+                    counters[v] = 1
+                else:
+                    decremented += 1
+                    dead = []
+                    for kk in counters:
+                        counters[kk] -= 1
+                        if counters[kk] == 0:
+                            dead.append(kk)
+                    for kk in dead:
+                        del counters[kk]
+        if counters:
+            yield pd.DataFrame(
+                {col: list(counters), "count_lb": list(counters.values()), "decrement_ub": decremented}
+            )
+
+    field = df.schema[col]
+    out_schema = f"`{col}` {field.dataType.simpleString()}, count_lb long, decrement_ub long"
+    per_part = df.select(col).mapInPandas(_mg, schema=out_schema)
+    return per_part.groupBy(col).agg(
+        F.sum("count_lb").alias("count_lb"), F.sum("decrement_ub").alias("decrement_ub")
+    )
+
+
+def heavy_hitters_exact_topk(df: DataFrame, col: str, k: int = 10, capacity: int = 64) -> DataFrame:
+    """Exact global top-k frequencies in two bounded-memory passes:
+    (1) Misra-Gries candidate sweep (capacity counters/partition), (2) exact
+    recount of ONLY the candidates via a broadcast semi-join, then top-k.
+
+    Exactness condition: the true k-th frequency must exceed N/capacity
+    (candidates are guaranteed to include every such value). With Zipf-like
+    data and capacity >= ~8k this always holds; the caller can verify from
+    the output since count_k and N are both known. At 100 TB the recount
+    shuffles only rows matching <= capacity * n_partitions candidate values.
+    Ties at the k boundary break deterministically by value."""
+    cand = misra_gries_candidates(df, col, capacity).select(col)
+    exact = (
+        df.join(F.broadcast(cand), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count("*").alias("cnt"))
+    )
+    return exact.orderBy(F.col("cnt").desc(), F.col(col)).limit(k)

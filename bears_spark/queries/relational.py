@@ -617,3 +617,102 @@ SELECT * FROM (
 
 QUERIES["orders_profile"] = orders_profile
 ORACLES["orders_profile"] = ORDERS_PROFILE_SQL
+
+
+# --------------------------------------------------------------------------
+# cust_priority_scd2: slowly-changing-dimension type-2 build — compress each
+# customer's order history into validity intervals of o_orderpriority
+# (valid_from = first order date at that priority run, valid_to = start of
+# the next run, NULL on the current run). The standard warehouse dimension
+# maintenance pattern, expressed as two windows over one shuffle on custkey
+# (lag to mark change points, then a running change-count partitions runs;
+# lead on the aggregated runs closes the intervals).
+def cust_priority_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changed = F.when(
+        F.lag("o_orderpriority").over(w).isNull()
+        | (F.col("o_orderpriority") != F.lag("o_orderpriority").over(w)),
+        1,
+    ).otherwise(0)
+    runs = (
+        orders.select("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+        .withColumn("chg", changed)
+        .withColumn("run_id", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("o_custkey", "run_id")
+        .agg(
+            F.min("o_orderpriority").alias("priority"),  # constant within a run
+            F.min("o_orderdate").alias("valid_from"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("run_id")
+    return runs.select(
+        "o_custkey",
+        "run_id",
+        "priority",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_orders",
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )
+
+
+CUST_SCD2_SQL = """
+WITH marked AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+         CASE WHEN lag(o_orderpriority) OVER w IS NULL
+                OR o_orderpriority <> lag(o_orderpriority) OVER w THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), runs_src AS (
+  SELECT *, sum(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM marked
+), runs AS (
+  SELECT o_custkey, CAST(run_id AS BIGINT) AS run_id,
+         min(o_orderpriority) AS priority,
+         min(o_orderdate) AS valid_from,
+         count(*) AS n_orders
+  FROM runs_src GROUP BY 1, 2
+)
+SELECT o_custkey, run_id, priority, valid_from,
+       lead(valid_from) OVER w2 AS valid_to,
+       n_orders,
+       lead(valid_from) OVER w2 IS NULL AS is_current
+FROM runs
+WINDOW w2 AS (PARTITION BY o_custkey ORDER BY run_id)
+"""
+
+QUERIES["cust_priority_scd2"] = cust_priority_scd2
+ORACLES["cust_priority_scd2"] = CUST_SCD2_SQL
+
+
+# --------------------------------------------------------------------------
+# orders_value_ntile: distribution-rank window sugar — ntile quartiles,
+# percent_rank and cume_dist of order value within each priority class. The
+# ordering key is (o_totalprice, o_orderkey): unique, so tile assignment at
+# ties is deterministic and both engines agree bit-for-bit.
+def orders_value_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+ORDERS_NTILE_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+QUERIES["orders_value_ntile"] = orders_value_ntile
+ORACLES["orders_value_ntile"] = ORDERS_NTILE_SQL

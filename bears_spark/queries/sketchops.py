@@ -320,6 +320,107 @@ ORDER BY q
 """
 
 
+# --------------------------------------------------------------------------
+# kmv_partkey_overlap: theta-sketch set algebra — estimate the union /
+# intersection / Jaccard of the distinct part sets shipped in 1995 vs 1996
+# from two fixed-size KMV sketches, next to the exact answers from a
+# distinct-count scan. The oracle re-implements the identical KMV algorithm
+# in DuckDB over the same md5 hash family.
+_KMV_K = 128
+_KMV_RANGE_LIT = "1152921504606846976"  # 2^60, exact as a double (power of two)
+
+
+def kmv_partkey_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.sketch import kmv_set_algebra, kmv_sketch
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.year("l_shipdate") == 1995)
+    b = li.filter(F.year("l_shipdate") == 1996)
+    sk = kmv_set_algebra(
+        kmv_sketch(a, "l_partkey", k=_KMV_K), kmv_sketch(b, "l_partkey", k=_KMV_K), k=_KMV_K
+    )
+    exact = (
+        a.select("l_partkey").unionByName(b.select("l_partkey")).agg(
+            F.countDistinct("l_partkey").alias("exact_union")
+        )
+        .crossJoin(
+            a.select("l_partkey").join(b.select("l_partkey").distinct(), "l_partkey", "left_semi")
+            .agg(F.countDistinct("l_partkey").alias("exact_intersect"))
+        )
+    )
+    return sk.crossJoin(F.broadcast(exact)).select(
+        "n_union",
+        "n_intersect",
+        "theta",
+        F.round("union_est", 4).alias("union_est"),
+        F.round("intersect_est", 4).alias("intersect_est"),
+        F.round("jaccard_est", 6).alias("jaccard_est"),
+        "exact_union",
+        "exact_intersect",
+    )
+
+
+def _kmv_duck_sketch(year: int) -> str:
+    h = _duck_h64("l_partkey", "'0'")
+    return f"""(
+  SELECT DISTINCT {h} AS hv FROM lineitem WHERE year(l_shipdate) = {year}
+  ORDER BY hv LIMIT {_KMV_K}
+)"""
+
+
+KMV_PARTKEY_SQL = f"""
+WITH ka AS {_kmv_duck_sketch(1995)},
+kb AS {_kmv_duck_sketch(1996)},
+theta AS (
+  SELECT least(
+    (SELECT CASE WHEN count(*) < {_KMV_K} THEN {_KMV_RANGE_LIT} ELSE max(hv) END FROM ka),
+    (SELECT CASE WHEN count(*) < {_KMV_K} THEN {_KMV_RANGE_LIT} ELSE max(hv) END FROM kb)
+  ) AS theta
+),
+merged AS (SELECT hv FROM ka UNION SELECT hv FROM kb),
+inter AS (SELECT hv FROM ka INTERSECT SELECT hv FROM kb),
+cu AS (SELECT count(*) AS n_union FROM merged, theta WHERE hv < theta),
+ci AS (SELECT count(*) AS n_intersect FROM inter, theta WHERE hv < theta),
+ex AS (
+  SELECT count(DISTINCT l_partkey) AS exact_union
+  FROM lineitem WHERE year(l_shipdate) IN (1995, 1996)
+),
+ei AS (
+  SELECT count(DISTINCT a.l_partkey) AS exact_intersect
+  FROM lineitem a WHERE year(a.l_shipdate) = 1995
+    AND EXISTS (SELECT 1 FROM lineitem b
+                WHERE b.l_partkey = a.l_partkey AND year(b.l_shipdate) = 1996)
+)
+SELECT cu.n_union, ci.n_intersect, theta.theta,
+       round(cu.n_union * {_KMV_RANGE_LIT}.0 / theta.theta, 4) AS union_est,
+       round(ci.n_intersect * {_KMV_RANGE_LIT}.0 / theta.theta, 4) AS intersect_est,
+       round(CAST(ci.n_intersect AS DOUBLE) / cu.n_union, 6) AS jaccard_est,
+       ex.exact_union, ei.exact_intersect
+FROM cu, ci, theta, ex, ei
+"""
+
+
+# --------------------------------------------------------------------------
+# doc_heavy_hitter_words: exact global top-10 words by the two-pass
+# bounded-memory path (Misra-Gries candidate sweep -> broadcast-semi-join
+# exact recount) graded against the plain exact top-10.
+def doc_heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.sketch import heavy_hitters_exact_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word")).where(F.col("word") != "")
+    return heavy_hitters_exact_topk(words, "word", k=10, capacity=64)
+
+
+DOC_HEAVY_HITTERS_SQL = """
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT word, count(*) AS cnt FROM w WHERE word <> ''
+GROUP BY 1 ORDER BY cnt DESC, word LIMIT 10
+"""
+
+
 QUERIES = {
     "hll_distinct_orderkeys": hll_distinct_orderkeys,
     "ev_hll_users_by_type": ev_hll_users_by_type,
@@ -328,6 +429,8 @@ QUERIES = {
     "cms_user_counts": cms_user_counts,
     "bloom_pruned_nation_volume": bloom_pruned_nation_volume,
     "orders_zorder_keys": orders_zorder_keys,
+    "kmv_partkey_overlap": kmv_partkey_overlap,
+    "doc_heavy_hitter_words": doc_heavy_hitter_words,
 }
 
 ORACLES = {
@@ -338,4 +441,6 @@ ORACLES = {
     "cms_user_counts": CMS_USER_SQL,
     "bloom_pruned_nation_volume": BLOOM_NATION_SQL,
     "orders_zorder_keys": ORDERS_ZORDER_SQL,
+    "kmv_partkey_overlap": KMV_PARTKEY_SQL,
+    "doc_heavy_hitter_words": DOC_HEAVY_HITTERS_SQL,
 }

@@ -211,3 +211,86 @@ def test_hilbert_layout_locality(spark):
     )
     tight = sum(1 for r in stats if r["da"] * r["db"] <= 64 * 64 / 4)
     assert tight >= len(stats) * 0.75
+
+
+# --------------------------------------------------------------------------
+# KMV theta sketch + Misra-Gries heavy hitters
+
+
+def test_kmv_exact_mode_small_set(spark):
+    from bears_spark.functions.sketch import kmv_estimate, kmv_sketch
+
+    df = spark.createDataFrame([(k % 50,) for k in range(500)], "key: bigint")
+    sk = kmv_sketch(df, "key", k=256)
+    est = kmv_estimate(sk, 256).first()
+    # fewer distinct values than k -> sketch is exhaustive, estimate is EXACT
+    assert est["n"] == 50
+    assert est["kmv_estimate"] == 50.0
+
+
+def test_kmv_estimate_accuracy(spark, keyed):
+    from bears_spark.functions.sketch import kmv_estimate, kmv_sketch
+
+    est = kmv_estimate(kmv_sketch(keyed, "key", k=256), 256).first()["kmv_estimate"]
+    # KMV relative error ~ 1/sqrt(k-1) ~ 6%; allow 3 sigma
+    assert abs(est - 1000) / 1000 < 0.2, est
+
+
+def test_kmv_prefilter_matches_unfiltered(spark, keyed):
+    from bears_spark.functions.sketch import kmv_sketch
+
+    plain = [r["hv"] for r in kmv_sketch(keyed, "key", k=64).collect()]
+    pre = [r["hv"] for r in kmv_sketch(keyed, "key", k=64, prefilter_min_distinct=900).collect()]
+    assert plain == pre
+
+
+def test_kmv_set_algebra_union_intersect(spark):
+    from bears_spark.functions.sketch import kmv_set_algebra, kmv_sketch
+
+    a = spark.createDataFrame([(k,) for k in range(800)], "key: bigint")
+    b = spark.createDataFrame([(k,) for k in range(400, 1200)], "key: bigint")
+    out = kmv_set_algebra(kmv_sketch(a, "key", k=256), kmv_sketch(b, "key", k=256), k=256).first()
+    assert abs(out["union_est"] - 1200) / 1200 < 0.25, out
+    assert abs(out["intersect_est"] - 400) / 400 < 0.4, out
+    assert 0.15 < out["jaccard_est"] < 0.55, out
+
+
+def test_kmv_sketch_merge_associative(spark):
+    # union-of-sketches == sketch-of-union (k smallest distinct commute)
+    from bears_spark.functions.sketch import kmv_sketch
+
+    a = spark.createDataFrame([(k,) for k in range(600)], "key: bigint")
+    b = spark.createDataFrame([(k,) for k in range(300, 900)], "key: bigint")
+    merged_direct = [r["hv"] for r in kmv_sketch(a.unionByName(b), "key", k=64).collect()]
+    sk_union = (
+        kmv_sketch(a, "key", k=64).unionByName(kmv_sketch(b, "key", k=64))
+        .distinct().orderBy("hv").limit(64)
+    )
+    assert merged_direct == [r["hv"] for r in sk_union.collect()]
+
+
+def test_misra_gries_superset_guarantee(spark):
+    from bears_spark.functions.sketch import misra_gries_candidates
+
+    # adversarial: 3 heavy values drowned in 10k distinct light ones, spread
+    # over many partitions; capacity 16 << distinct count
+    rows = [("heavy%d" % (i % 3),) for i in range(6000)] + [("light%d" % i,) for i in range(10000)]
+    df = spark.createDataFrame(rows, "word: string").repartition(16)
+    cand = {r["word"] for r in misra_gries_candidates(df, "word", capacity=16).collect()}
+    # N/capacity = 1000; each heavy value has freq 2000 > N/capacity
+    assert {"heavy0", "heavy1", "heavy2"} <= cand
+    # and the sweep kept bounded state: far fewer candidates than distinct values
+    assert len(cand) <= 16 * 16  # capacity * n_partitions
+
+
+def test_heavy_hitters_exact_topk(spark):
+    from bears_spark.functions.sketch import heavy_hitters_exact_topk
+
+    rows = [("w%03d" % (i % 40),) for i in range(4000) for _ in range((i % 40 < 5) * 4 + 1)]
+    df = spark.createDataFrame(rows, "word: string").repartition(8)
+    got = [(r["word"], r["cnt"]) for r in heavy_hitters_exact_topk(df, "word", k=7, capacity=64).collect()]
+    exact = (
+        df.groupBy("word").agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "word").limit(7).collect()
+    )
+    assert got == [(r["word"], r["cnt"]) for r in exact]
