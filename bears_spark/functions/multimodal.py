@@ -51,6 +51,7 @@ _MAGIC = {
     b"\x89PNG": "png",
     b"GIF8": "gif",
     b"RIFF": "riff",  # wav/webp — disambiguated at decode
+    b"fLaC": "flac",
     b"%PDF": "pdf",
     b"P6": "ppm",
     b"BM": "bmp",
@@ -312,6 +313,20 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
     return arr, rate
 
 
+def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
+    """Format-dispatching audio decode -> (samples[frames, channels] float64
+    in [-1, 1], sample_rate). WAV via the stdlib ``wave`` module, FLAC via
+    the pure-stdlib codec in functions/flac.py. Like the image path, a
+    native decoder (soundfile/libFLAC) would be preferred at scale when
+    importable; the stdlib codecs are the zero-dependency guarantee."""
+    if content[:4] == b"fLaC":
+        from bears_spark.functions.flac import decode_flac
+
+        arr, rate, bps = decode_flac(content)
+        return arr.astype(np.float64) / float(1 << (bps - 1)), rate
+    return decode_wav(content)
+
+
 def extract_pdf_text(content: bytes) -> str:
     """Pure-stdlib text extraction from simple PDFs (FitzPdfReader parity,
     src/bears/reader/asset/document/FitzPdfReader.py:17 — fitz absent here).
@@ -424,14 +439,15 @@ _AUDIO_FEATURES_SCHEMA = T.StructType(
 
 
 def extract_audio_features(assets: DataFrame) -> DataFrame:
-    """WAV decode + loudness features via mapInPandas — same binary-in,
-    narrow-features-out pattern as images; decode is real (stdlib wave)."""
+    """Audio decode (WAV or FLAC) + loudness features via mapInPandas — same
+    binary-in, narrow-features-out pattern as images; both decodes are real
+    (stdlib wave / functions/flac.py)."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                arr, rate = decode_wav(bytes(r["content"]))
+                arr, rate = decode_audio(bytes(r["content"]))
                 rows.append(
                     {
                         "path": r["path"],
