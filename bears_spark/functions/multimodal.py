@@ -531,3 +531,58 @@ def sample_frames(video_df: DataFrame, every_n: int = 30, fake: bool = True) -> 
             yield pd.DataFrame(rows, columns=["path", "frame_idx", "frame"])
 
     return video_df.select("path", "content").mapInPandas(_sample, schema)
+
+
+_METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("orientation", T.IntegerType()),
+        T.StructField("make", T.StringType()),
+        T.StructField("model", T.StringType()),
+        T.StructField("datetime", T.StringType()),
+        T.StructField("exposure_time", T.DoubleType()),
+        T.StructField("f_number", T.DoubleType()),
+        T.StructField("iso", T.IntegerType()),
+    ]
+)
+
+
+def extract_image_metadata(assets: DataFrame) -> DataFrame:
+    """EXIF / header metadata without pixel decode (functions/exif.py): walks
+    JPEG segment tables and PNG chunks only, reading a few KB per payload
+    regardless of image size. The 100 TB pipeline shape is metadata-filter
+    FIRST (cheap scan), then decode only the survivors — this operator is
+    that first stage."""
+    from bears_spark.functions.exif import parse_image_metadata
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = bytes(r["content"])
+                md = parse_image_metadata(content)
+                fmt = next((n for m, n in _MAGIC.items() if content.startswith(m)), "unknown")
+                rows.append(
+                    {
+                        "path": r["path"],
+                        "fmt": fmt,
+                        "width": md.get("width") or md.get("pixel_x_dimension"),
+                        "height": md.get("height") or md.get("pixel_y_dimension"),
+                        "orientation": md.get("orientation"),
+                        "make": md.get("make"),
+                        "model": md.get("model"),
+                        "datetime": md.get("datetime_original") or md.get("datetime"),
+                        "exposure_time": md.get("exposure_time"),
+                        "f_number": md.get("f_number"),
+                        "iso": md.get("iso"),
+                    }
+                )
+            out = pd.DataFrame(rows, columns=[f.name for f in _METADATA_SCHEMA.fields])
+            for c in ("width", "height", "orientation", "iso"):
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return assets.select("path", "content").mapInPandas(_extract, _METADATA_SCHEMA)
