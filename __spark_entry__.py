@@ -124,8 +124,6 @@ GRADED_WINDOW = [
     "q2_min_cost_supplier",
     "q8_market_share",
     "ev_top3_per_type",
-    "ev_zscore_anomaly",
-    "orders_combine_first",
     "segment_demeaned_balance",
     "orders_constraint_report",
     # --- new in round 4 ---
@@ -135,6 +133,8 @@ GRADED_WINDOW = [
     "doc_heavy_hitter_words",  # Misra-Gries + exact recount
     "cust_priority_scd2",  # SCD-2 interval build
     "orders_value_ntile",  # ntile/percent_rank/cume_dist
+    "ev_salted_type_stats",  # two-phase salted aggregation
+    "doc_unigram_logprob",  # CCNet-style unigram-LM quality scoring
 ]
 assert len(GRADED_WINDOW) == 50, len(GRADED_WINDOW)
 

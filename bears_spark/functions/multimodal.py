@@ -313,12 +313,39 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
     return arr, rate
 
 
+_SOUNDFILE = False
+
+
+def _soundfile():
+    """Probe for the native decoder (soundfile/libsndfile) once per process —
+    same pattern as _pil_image; the stdlib codecs remain the zero-dependency
+    fallback and the safety net when a payload trips the native path."""
+    global _SOUNDFILE
+    if _SOUNDFILE is False:
+        try:
+            import soundfile  # type: ignore[import-not-found]
+
+            _SOUNDFILE = soundfile
+        except ImportError:
+            _SOUNDFILE = None
+    return _SOUNDFILE
+
+
 def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
     """Format-dispatching audio decode -> (samples[frames, channels] float64
-    in [-1, 1], sample_rate). WAV via the stdlib ``wave`` module, FLAC via
-    the pure-stdlib codec in functions/flac.py. Like the image path, a
-    native decoder (soundfile/libFLAC) would be preferred at scale when
-    importable; the stdlib codecs are the zero-dependency guarantee."""
+    in [-1, 1], sample_rate). Prefers native soundfile/libsndfile when
+    importable (it also unlocks ogg/mp3-family containers); falls back to
+    the pure-stdlib codecs — WAV via the ``wave`` module, FLAC via
+    functions/flac.py."""
+    sf = _soundfile()
+    if sf is not None:
+        try:
+            import io as _io
+
+            arr, rate = sf.read(_io.BytesIO(content), dtype="float64", always_2d=True)
+            return arr, rate
+        except Exception:
+            pass  # unrecognized/truncated payload: stdlib codecs try next
     if content[:4] == b"fLaC":
         from bears_spark.functions.flac import decode_flac
 

@@ -753,3 +753,39 @@ FROM hops GROUP BY 1 ORDER BY w_start_us
 
 QUERIES["ev_hopping_windows"] = ev_hopping_windows
 ORACLES["ev_hopping_windows"] = EV_HOPPING_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_salted_type_stats: the two-phase salted aggregation (skew.py) graded
+# against a plain GROUP BY — proves the salt/unsalt pipeline is lossless.
+# event_type has only 5 hot values, the exact pathological shape salting
+# exists for: phase 1 spreads each hot key over 8 reducers, phase 2
+# combines 40 partial rows. Sums run in DECIMAL(18,6) so regrouping the
+# addition under salt cannot perturb the result (decimal addition is
+# associative; double addition is not).
+def ev_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select(
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        "event_id",
+    )
+    out = salted_agg(src, ["event_type"], {"v": "sum", "event_id": "count"}, num_salts=8)
+    return out.select(
+        "event_type",
+        F.col("v_sum").cast("double").alias("total_value"),
+        F.col("event_id_count").alias("n"),
+    )
+
+
+EV_SALTED_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       count(event_id) AS n
+FROM events GROUP BY 1
+"""
+
+QUERIES["ev_salted_type_stats"] = ev_salted_type_stats
+ORACLES["ev_salted_type_stats"] = EV_SALTED_SQL

@@ -439,3 +439,48 @@ FROM per, total ORDER BY source
 
 QUERIES["corpus_mixture_by_source"] = corpus_mixture_by_source
 ORACLES["corpus_mixture_by_source"] = CORPUS_MIXTURE_SQL
+
+
+# --------------------------------------------------------------------------
+# doc_unigram_logprob: CCNet-style language-model quality scoring with a
+# corpus-trained unigram LM — per-document mean log-probability of its
+# tokens under the corpus word distribution (the cheap stand-in for the
+# KenLM perplexity filter; low scores = boilerplate/outlier text). Plan:
+# one explode + one vocab aggregation, then a broadcast join of the
+# (bounded: CCNet caps LM vocab) frequency table back onto the token
+# stream and a per-doc aggregation — two shuffles total at any scale.
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w")).where(F.col("w") != "")
+    freq = words.groupBy("w").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    lm = freq.crossJoin(F.broadcast(total)).select("w", F.log(F.col("c") / F.col("t")).alias("logp"))
+    return (
+        words.join(F.broadcast(lm), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("logp"), 6).alias("mean_logprob"),
+        )
+    )
+
+
+DOC_UNIGRAM_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), w2 AS (
+  SELECT doc_id, w FROM words WHERE w <> ''
+), freq AS (
+  SELECT w, count(*) AS c FROM w2 GROUP BY 1
+), tot AS (
+  SELECT sum(c) AS t FROM freq
+), lm AS (
+  SELECT w, ln(c / t) AS logp FROM freq, tot
+)
+SELECT doc_id, count(*) AS n_tokens, round(avg(logp), 6) AS mean_logprob
+FROM w2 JOIN lm USING (w)
+GROUP BY doc_id
+"""
+
+QUERIES["doc_unigram_logprob"] = doc_unigram_logprob
+ORACLES["doc_unigram_logprob"] = DOC_UNIGRAM_SQL

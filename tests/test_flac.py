@@ -215,7 +215,6 @@ def test_decode_mid_side_stereo():
 
 def test_decode_multi_partition_rice_and_escape():
     n = 64
-    resid = list(range(-16, 16)) * 1  # 32 values after order-0... use order 0 fixed
     resid = [((i * 37) % 23) - 11 for i in range(n)]
     samples = np.asarray(resid, dtype=np.int64)[:, None]
     hdr = _frame_header(0, 16, n)
@@ -286,3 +285,39 @@ def test_audio_features_flac_and_wav(spark, tmp_path):
     # identical PCM -> identical loudness features
     assert abs(fl["rms"] - wv_["rms"]) < 1e-9
     assert abs(fl["peak"] - wv_["peak"]) < 1e-9
+
+
+def test_native_soundfile_preferred_and_fallback(monkeypatch):
+    """decode_audio prefers soundfile when importable, falls back to the
+    stdlib codecs when it fails or is absent — injected fake, so the test
+    runs identically with and without libsndfile installed."""
+    import sys
+    import types
+
+    from bears_spark.functions import multimodal as mm
+
+    pcm = (1000 * np.sin(np.arange(256) / 9)).astype(np.int64)[:, None]
+    flac_bytes = encode_flac(pcm, 8000, 16)
+    sentinel = np.full((5, 1), 0.25)
+
+    fake_sf = types.ModuleType("soundfile")
+    fake_sf.read = lambda buf, dtype, always_2d: (sentinel, 999)
+    monkeypatch.setattr(mm, "_SOUNDFILE", False)
+    monkeypatch.setitem(sys.modules, "soundfile", fake_sf)
+    arr, rate = mm.decode_audio(flac_bytes)
+    assert rate == 999 and (arr == sentinel).all()
+
+    # native present but failing on this payload -> stdlib FLAC decode
+    def _boom(buf, dtype, always_2d):
+        raise RuntimeError("unsupported")
+
+    fake_sf.read = _boom
+    monkeypatch.setattr(mm, "_SOUNDFILE", False)
+    arr2, rate2 = mm.decode_audio(flac_bytes)
+    assert rate2 == 8000 and arr2.shape == (256, 1)
+    assert np.allclose(arr2[:, 0] * (1 << 15), pcm[:, 0])
+
+    # native absent entirely -> stdlib decode
+    monkeypatch.setattr(mm, "_SOUNDFILE", None)
+    arr3, rate3 = mm.decode_audio(flac_bytes)
+    assert rate3 == 8000 and np.array_equal(arr2, arr3)
