@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from bears_spark.queries import events as ev
+from bears_spark.queries import graphops as gr
 from bears_spark.queries import pipelineops as po
 from bears_spark.queries import qualityops as ql
 from bears_spark.queries import relational as rel
@@ -123,8 +124,6 @@ GRADED_WINDOW = [
     # --- round-2-stale re-grades (13; swapped out as new queries land) ---
     "q2_min_cost_supplier",
     "q8_market_share",
-    "ev_top3_per_type",
-    "segment_demeaned_balance",
     "orders_constraint_report",
     # --- new in round 4 ---
     "streaming_purchase_attribution",  # stream-stream interval join
@@ -135,6 +134,8 @@ GRADED_WINDOW = [
     "orders_value_ntile",  # ntile/percent_rank/cume_dist
     "ev_salted_type_stats",  # two-phase salted aggregation
     "doc_unigram_logprob",  # CCNet-style unigram-LM quality scoring
+    "supplier_pagerank",  # iterative PageRank fixpoint loop
+    "doc_weighted_sample",  # Efraimidis-Spirakis weighted sampling
 ]
 assert len(GRADED_WINDOW) == 50, len(GRADED_WINDOW)
 
@@ -177,7 +178,7 @@ def _ordered(mapping: dict) -> dict:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    allq = {**_TPCH_QUERIES, **rel.QUERIES, **ev.QUERIES, **tx.QUERIES, **po.QUERIES, **ql.QUERIES, **sk.QUERIES}
+    allq = {**_TPCH_QUERIES, **rel.QUERIES, **ev.QUERIES, **tx.QUERIES, **po.QUERIES, **ql.QUERIES, **sk.QUERIES, **gr.QUERIES}
     missing = [n for n in GRADED_WINDOW if n not in allq]
     assert not missing, f"GRADED_WINDOW names unknown queries: {missing}"
     return _ordered(allq)
@@ -185,5 +186,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return _ordered(
-        {**_TPCH_ORACLES, **rel.ORACLES, **ev.ORACLES, **tx.ORACLES, **po.ORACLES, **ql.ORACLES, **sk.ORACLES}
+        {**_TPCH_ORACLES, **rel.ORACLES, **ev.ORACLES, **tx.ORACLES, **po.ORACLES, **ql.ORACLES, **sk.ORACLES, **gr.ORACLES}
     )

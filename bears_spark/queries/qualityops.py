@@ -26,6 +26,7 @@ from bears_spark.functions.quality import (
     top_ngram_repetition,
 )
 from bears_spark.functions.text import EN_STOPWORDS
+from bears_spark.queries.sketchops import _duck_h64
 from bears_spark.queries.tables import load_table
 
 # DuckDB tokenization mirroring functions/text.py tokenize(lower(text)).
@@ -484,3 +485,30 @@ GROUP BY doc_id
 
 QUERIES["doc_unigram_logprob"] = doc_unigram_logprob
 ORACLES["doc_unigram_logprob"] = DOC_UNIGRAM_SQL
+
+
+# --------------------------------------------------------------------------
+# doc_weighted_sample: Efraimidis-Spirakis weighted sampling without
+# replacement, weight = document length — the quality/length-weighted corpus
+# sampling primitive. Deterministic because u comes from the md5 hash family,
+# so DuckDB reproduces the exact same 25-doc sample.
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.quality import weighted_sample_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = weighted_sample_topk(docs, "doc_id", "n_chars", k=25)
+    return out.select("doc_id", "n_chars", F.round("es_key", 9).alias("es_key"))
+
+
+DOC_WEIGHTED_SAMPLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         ln(({_duck_h64("doc_id", "'0'")} + 1) / 1152921504606846976.0) / n_chars AS es_key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, round(es_key, 9) AS es_key
+FROM keyed ORDER BY es_key DESC, doc_id LIMIT 25
+"""
+
+QUERIES["doc_weighted_sample"] = doc_weighted_sample
+ORACLES["doc_weighted_sample"] = DOC_WEIGHTED_SAMPLE_SQL

@@ -155,3 +155,18 @@ def test_c4_quality_rules(spark):
     assert not out[4]["keep"]  # < 3 sentences
     assert out[5]["n_lines"] == 3 and out[5]["n_short_lines"] == 1
     assert out[5]["frac_terminal_lines_x1000"] == 666  # 2 of 3 lines terminal
+
+
+def test_weighted_sample_topk_properties(spark):
+    """E-S sampling: deterministic across runs, inclusion monotone in weight
+    on average, zero/negative weights excluded."""
+    from bears_spark.functions.quality import weighted_sample_topk
+
+    rows = [(i, 1000 if i < 10 else 1) for i in range(200)] + [(900, 0), (901, -5)]
+    df = spark.createDataFrame(rows, "id: bigint, w: bigint")
+    got1 = [r["id"] for r in weighted_sample_topk(df, "id", "w", 20).collect()]
+    got2 = [r["id"] for r in weighted_sample_topk(df, "id", "w", 20).collect()]
+    assert got1 == got2  # reproducible: the draw is hash-derived
+    assert 900 not in got1 and 901 not in got1
+    # weight 1000 vs 1: nearly all of the 10 heavy ids must be sampled
+    assert len([i for i in got1 if i < 10]) >= 8
