@@ -1,0 +1,119 @@
+"""Lakehouse-style table maintenance: MERGE INTO and snapshot diff (CDC).
+
+Both are expressed as ONE full-outer equi-join on the key — the exact plan a
+Delta/Iceberg MERGE lowers to — so Catalyst handles broadcast/skew/AQE and
+the operator scales like any join. No driver-side row handling anywhere.
+
+The reference's nearest surfaces are update-by-assignment and combine_first
+(frame.py cites them); MERGE's matched/not-matched clause algebra and the
+added/removed/changed CDC diff are beyond-reference capability.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    on: str | Sequence[str],
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    when_not_matched_by_source: str = "keep",
+    matched_condition: Column | None = None,
+) -> DataFrame:
+    """SQL MERGE semantics as a single full-outer join.
+
+    - ``when_matched``: 'update' (source row wins), 'keep' (target row
+      wins), or 'delete' (drop the row). ``matched_condition`` (evaluated
+      over the joined row) restricts which matched rows the action applies
+      to — unmatched-by-condition rows keep the target version.
+    - ``when_not_matched``: 'insert' or 'ignore' — source-only rows.
+    - ``when_not_matched_by_source``: 'keep' or 'delete' — target-only rows.
+
+    Requires source keys to be unique (MERGE's standard multi-match error is
+    the caller's contract; validate with merge validate='1:m' upstream).
+    Both inputs must share the key columns; value columns are aligned by
+    name — a column present on one side only carries null on the other.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    for m, allowed in (
+        (when_matched, ("update", "keep", "delete")),
+        (when_not_matched, ("insert", "ignore")),
+        (when_not_matched_by_source, ("keep", "delete")),
+    ):
+        if m not in allowed:
+            raise ValueError(f"invalid MERGE action {m!r}; expected one of {allowed}")
+
+    cols = list(dict.fromkeys([*target.columns, *source.columns]))  # ordered union
+    value_cols = [c for c in cols if c not in keys]
+    # key columns survive a full outer USING-join coalesced; presence flags
+    # need a column that's never-null per side — use a marker added pre-join
+    t2 = target.withColumn("__t_present__", F.lit(1)).alias("t")
+    s2 = source.withColumn("__s_present__", F.lit(1)).alias("s")
+    joined = t2.join(s2, keys, "full_outer")
+    in_t = F.col("__t_present__").isNotNull()
+    in_s = F.col("__s_present__").isNotNull()
+
+    matched = in_t & in_s
+    if matched_condition is not None:
+        apply_matched = matched & matched_condition
+    else:
+        apply_matched = matched
+
+    keep = F.lit(True)
+    if when_matched == "delete":
+        keep = keep & ~apply_matched
+    if when_not_matched == "ignore":
+        keep = keep & ~(in_s & ~in_t)
+    if when_not_matched_by_source == "delete":
+        keep = keep & ~(in_t & ~in_s)
+
+    def _pick(c: str) -> Column:
+        t_c = F.col(f"t.{c}") if c in target.columns else F.lit(None)
+        s_c = F.col(f"s.{c}") if c in source.columns else F.lit(None)
+        if when_matched == "update":
+            matched_val = F.when(apply_matched, s_c).otherwise(t_c)
+        else:  # keep (delete rows are filtered out)
+            matched_val = t_c
+        return (
+            F.when(matched, matched_val)
+            .when(in_s, s_c)  # source-only insert
+            .otherwise(t_c)  # target-only keep
+            .alias(c)
+        )
+
+    out = joined.where(keep).select(*keys, *[_pick(c) for c in value_cols])
+    return out
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    on: str | Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """CDC diff of two table snapshots -> key columns + ``change_type`` in
+    ('added', 'removed', 'changed') — unchanged rows are dropped.
+
+    One full-outer join; change detection hashes the compared columns with
+    a null-safe struct equality (<=> over a struct), so NULL == NULL counts
+    as unchanged, matching SQL MERGE/EXCEPT semantics."""
+    keys = [on] if isinstance(on, str) else list(on)
+    cols = compare_cols or [c for c in old.columns if c in new.columns and c not in keys]
+    o = old.select(*keys, F.struct(*[F.col(c) for c in cols]).alias("__o_vals__"))
+    n = new.select(*keys, F.struct(*[F.col(c) for c in cols]).alias("__n_vals__"))
+    j = o.join(n, keys, "full_outer")
+    change = (
+        F.when(F.col("__o_vals__").isNull(), F.lit("added"))
+        .when(F.col("__n_vals__").isNull(), F.lit("removed"))
+        .when(~F.col("__o_vals__").eqNullSafe(F.col("__n_vals__")), F.lit("changed"))
+        .otherwise(F.lit(None))
+    )
+    return j.withColumn("change_type", change).where(F.col("change_type").isNotNull()).select(
+        *keys, "change_type"
+    )

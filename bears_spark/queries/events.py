@@ -789,3 +789,45 @@ FROM events GROUP BY 1
 
 QUERIES["ev_salted_type_stats"] = ev_salted_type_stats
 ORACLES["ev_salted_type_stats"] = EV_SALTED_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_concurrency_timeline: interval-overlap counting by sweep-line — treat
+# each event as a 5-minute activity interval and compute, per event type,
+# the number of concurrently-active intervals at every boundary instant.
+# The classic room-scheduling/peak-load shape: explode intervals into
+# +1/-1 boundary deltas, aggregate per instant, running-sum the net. Ends
+# sort with starts at the same instant but deltas are pre-aggregated per
+# instant so tie order cannot matter. One groupBy + one window, both
+# partitioned by event_type.
+def ev_concurrency_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.select("event_type", F.col("ts").alias("t"), F.lit(1).alias("d")).unionByName(
+        ev.select("event_type", (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t"), F.lit(-1).alias("d"))
+    )
+    net = bounds.groupBy("event_type", "t").agg(F.sum("d").alias("net"))
+    w = Window.partitionBy("event_type").orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return net.select(
+        "event_type",
+        F.unix_micros("t").alias("t_us"),
+        "net",
+        F.sum("net").over(w).alias("concurrency"),
+    )
+
+
+EV_CONCURRENCY_SQL = """
+WITH bounds AS (
+  SELECT event_type, ts AS t, 1 AS d FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL 5 MINUTE, -1 FROM events
+), net AS (
+  SELECT event_type, t, CAST(sum(d) AS BIGINT) AS net FROM bounds GROUP BY 1, 2
+)
+SELECT event_type, epoch_us(t) AS t_us, net,
+       CAST(sum(net) OVER (PARTITION BY event_type ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS concurrency
+FROM net
+"""
+
+QUERIES["ev_concurrency_timeline"] = ev_concurrency_timeline
+ORACLES["ev_concurrency_timeline"] = EV_CONCURRENCY_SQL

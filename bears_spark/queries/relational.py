@@ -716,3 +716,105 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
 
 QUERIES["orders_value_ntile"] = orders_value_ntile
 ORACLES["orders_value_ntile"] = ORDERS_NTILE_SQL
+
+
+# --------------------------------------------------------------------------
+# orders_merge_upsert: SQL MERGE semantics (functions/cdc.merge_into) graded
+# against the equivalent full-outer-join CASE expression. Scenario: the
+# "source" is a corrected feed of high-value orders (price +1, one synthetic
+# new order); matched rows update, source-only rows insert, target-only
+# rows survive. The output is the post-merge orders table (keys + status +
+# price), deterministic and fully SQL-expressible.
+def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.cdc import merge_into
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    src = (
+        orders.where(F.col("o_totalprice") > 300000)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            F.round(F.col("o_totalprice") + 1, 2).alias("o_totalprice"),
+        )
+        .unionByName(
+            spark.range(1).select(
+                F.lit(-1).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.lit(9.99).alias("o_totalprice"),
+            )
+        )
+    )
+    out = merge_into(orders, src, on="o_orderkey", when_matched="update", when_not_matched="insert")
+    return out.select("o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
+ORDERS_MERGE_SQL = """
+WITH src AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus, round(o_totalprice + 1, 2) AS o_totalprice
+  FROM orders WHERE o_totalprice > 300000
+  UNION ALL
+  SELECT -1, 'N', 9.99
+), t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders)
+SELECT coalesce(t.o_orderkey, src.o_orderkey) AS o_orderkey,
+       CASE WHEN src.o_orderkey IS NOT NULL THEN src.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+       round(CASE WHEN src.o_orderkey IS NOT NULL THEN src.o_totalprice ELSE t.o_totalprice END, 2) AS o_totalprice
+FROM t FULL OUTER JOIN src ON t.o_orderkey = src.o_orderkey
+"""
+
+QUERIES["orders_merge_upsert"] = orders_merge_upsert
+ORACLES["orders_merge_upsert"] = ORDERS_MERGE_SQL
+
+
+# --------------------------------------------------------------------------
+# orders_snapshot_diff: CDC diff between the orders table and a simulated
+# next snapshot (drop the F-status rows, bump prices above 200k, add one
+# order) -> (key, change_type) for added/removed/changed rows only.
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.cdc import snapshot_diff
+
+    old = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    new = (
+        old.where(F.col("o_orderstatus") != "F")
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_totalprice") > 200000, F.round(F.col("o_totalprice") * 2, 2)).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            spark.range(1).select(
+                F.lit(-7).alias("o_orderkey"),
+                F.lit("O").alias("o_orderstatus"),
+                F.lit(1.0).alias("o_totalprice"),
+            )
+        )
+    )
+    return snapshot_diff(old, new, on="o_orderkey")
+
+
+ORDERS_DIFF_SQL = """
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+), new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_totalprice > 200000 THEN round(o_totalprice * 2, 2) ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderstatus <> 'F'
+  UNION ALL
+  SELECT -7, 'O', 1.0
+)
+SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+       CASE WHEN old.o_orderkey IS NULL THEN 'added'
+            WHEN new.o_orderkey IS NULL THEN 'removed'
+            WHEN old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+              OR old.o_totalprice IS DISTINCT FROM new.o_totalprice THEN 'changed'
+       END AS change_type
+FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+WHERE CASE WHEN old.o_orderkey IS NULL THEN 'added'
+           WHEN new.o_orderkey IS NULL THEN 'removed'
+           WHEN old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+             OR old.o_totalprice IS DISTINCT FROM new.o_totalprice THEN 'changed'
+      END IS NOT NULL
+"""
+
+QUERIES["orders_snapshot_diff"] = orders_snapshot_diff
+ORACLES["orders_snapshot_diff"] = ORDERS_DIFF_SQL
