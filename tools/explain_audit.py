@@ -45,6 +45,17 @@ CHECKS = {
     "ev_funnel_conversion": ["ObjectHashAggregate"],
     "ev_hopping_windows": ["HashAggregate"],
     "orders_incremental_rollup": ["HashAggregate"],
+    # round-4 queries
+    "kmv_partkey_overlap": ["TakeOrderedAndProject", "PushedFilters"],
+    "doc_heavy_hitter_words": ["BroadcastHashJoin", "LeftSemi"],  # recount only candidates
+    "doc_weighted_sample": ["TakeOrderedAndProject"],
+    "doc_unigram_logprob": ["BroadcastHashJoin"],  # LM table broadcast onto tokens
+    "cust_priority_scd2": ["Window"],
+    "orders_value_ntile": ["Window"],
+    "ev_salted_type_stats": ["HashAggregate"],
+    "orders_merge_upsert": ["FullOuter"],
+    "orders_snapshot_diff": ["FullOuter"],
+    "ev_concurrency_timeline": ["Window", "HashAggregate"],
 }
 
 FORBIDDEN = ["CartesianProduct", "BroadcastNestedLoopJoin"]
