@@ -91,3 +91,38 @@ ORDER BY rank DESC, id LIMIT 20
 
 QUERIES["supplier_pagerank"] = supplier_pagerank
 ORACLES["supplier_pagerank"] = _pagerank_sql()
+
+
+# --------------------------------------------------------------------------
+# supplier_triangles: triangle count on the supplier co-purchase graph
+# (suppliers adjacent iff some order contains lineitems from both). The
+# canonical ordered two-join formulation; oracle = the same three-way SQL
+# join over canonicalized distinct edges.
+def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
+    )
+    return triangle_count(edges)
+
+
+SUPPLIER_TRIANGLES_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_suppkey AS x, b.l_suppkey AS y
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey < b.l_suppkey
+)
+SELECT count(*) AS n_triangles
+FROM pairs e1
+JOIN pairs e2 ON e1.y = e2.x
+JOIN pairs e3 ON e3.x = e1.x AND e3.y = e2.y
+"""
+
+QUERIES["supplier_triangles"] = supplier_triangles
+ORACLES["supplier_triangles"] = SUPPLIER_TRIANGLES_SQL

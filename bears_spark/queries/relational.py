@@ -818,3 +818,58 @@ WHERE CASE WHEN old.o_orderkey IS NULL THEN 'added'
 
 QUERIES["orders_snapshot_diff"] = orders_snapshot_diff
 ORACLES["orders_snapshot_diff"] = ORDERS_DIFF_SQL
+
+
+# --------------------------------------------------------------------------
+# lineitem_skew_report: the skew diagnostic that decides whether a join/agg
+# key needs salting — per-key count distribution (max, p50, p99 via exact
+# ordered selection) and the max/mean skew factor, one row per candidate
+# key column. Exact percentiles over the per-key count table (cardinality
+# = #distinct keys, small relative to data); everything integer until the
+# final two divisions.
+def lineitem_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    reports = []
+    for key in ("l_suppkey", "l_partkey", "l_returnflag"):
+        counts = li.groupBy(F.col(key).cast("string").alias("k")).agg(F.count("*").alias("c"))
+        reports.append(
+            counts.agg(
+                F.lit(key).alias("key_col"),
+                F.count("*").alias("n_keys"),
+                F.sum("c").alias("n_rows"),
+                F.max("c").alias("max_per_key"),
+                F.expr("percentile(c, 0.5)").alias("p50"),
+                F.expr("percentile(c, 0.99)").alias("p99"),
+                (F.max("c") / (F.sum("c") / F.count("*"))).alias("skew_factor"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "key_col", "n_keys", "n_rows", "max_per_key",
+        F.round("p50", 6).alias("p50"), F.round("p99", 6).alias("p99"),
+        F.round("skew_factor", 6).alias("skew_factor"),
+    )
+
+
+LINEITEM_SKEW_SQL = """
+WITH per AS (
+  SELECT key_col, k, count(*) AS c FROM (
+    SELECT 'l_suppkey' AS key_col, CAST(l_suppkey AS VARCHAR) AS k FROM lineitem
+    UNION ALL SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+    UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
+  ) GROUP BY 1, 2
+)
+SELECT key_col,
+       count(*) AS n_keys,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       max(c) AS max_per_key,
+       round(quantile_cont(c, 0.5), 6) AS p50,
+       round(quantile_cont(c, 0.99), 6) AS p99,
+       round(max(c) / (sum(c) / count(*)), 6) AS skew_factor
+FROM per GROUP BY key_col
+"""
+
+QUERIES["lineitem_skew_report"] = lineitem_skew_report
+ORACLES["lineitem_skew_report"] = LINEITEM_SKEW_SQL

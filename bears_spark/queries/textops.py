@@ -683,3 +683,34 @@ FROM v ORDER BY doc_id
 
 QUERIES["doc_hashed_features"] = doc_hashed_features
 ORACLES["doc_hashed_features"] = DOC_HASHED_FEATURES_SQL
+
+
+# --------------------------------------------------------------------------
+# doc_inverted_index: search-index build — term -> (document frequency,
+# sorted posting list). explode + one groupBy with collect_list; postings
+# sorted in-expression so the array is deterministic. At corpus scale the
+# posting list of a stop-term is the classic skew risk: cap/segment hot
+# terms upstream with the same df-cap machinery as the dedup blocking.
+def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    return words.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.array_join(F.transform(F.sort_array(F.collect_list("doc_id")), lambda d: d.cast("string")), ",").alias("postings"),
+    )
+
+
+DOC_INVERTED_INDEX_SQL = """
+WITH words AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT term, count(*) AS df, list_aggregate(list_sort(list(doc_id)), 'string_agg', ',') AS postings
+FROM words WHERE term <> '' GROUP BY term
+"""
+
+QUERIES["doc_inverted_index"] = doc_inverted_index
+ORACLES["doc_inverted_index"] = DOC_INVERTED_INDEX_SQL

@@ -62,7 +62,14 @@ FORBIDDEN = ["CartesianProduct", "BroadcastNestedLoopJoin"]
 # embedding pairs use a blocked equi-join; IVF assignment is a deliberate
 # broadcast cross join against the tiny centroid set (rows x ~10 centroids) —
 # only flag cartesian/NLJ where unexpected
-FORBIDDEN_EXEMPT = {"dedup_embedding_cosine", "ann_ivf_label_topk"}
+FORBIDDEN_EXEMPT = {
+    "dedup_embedding_cosine",
+    "ann_ivf_label_topk",
+    # deliberate 1-row scalar crossJoins (KMV theta, LM token total, exact
+    # side-channels): a BNLJ whose build side is a single aggregate row
+    "kmv_partkey_overlap",
+    "doc_unigram_logprob",
+}
 
 
 def plan_text(df) -> str:
