@@ -714,3 +714,30 @@ FROM words WHERE term <> '' GROUP BY term
 
 QUERIES["doc_inverted_index"] = doc_inverted_index
 ORACLES["doc_inverted_index"] = DOC_INVERTED_INDEX_SQL
+
+
+# --------------------------------------------------------------------------
+# doc_bpe_tokens: BPE train + apply (functions/bpe.py) graded through the
+# saturation property: with merges >= total type chars (138 + 31 EOW marks
+# here; 200 used), every word type collapses to a single token, so the
+# token count must equal the whitespace word count — which IS
+# SQL-computable. This grades the full train->broadcast->apply pipeline
+# end-to-end (losslessness + word alignment); merge ORDER correctness is
+# pinned by hand-checked merges in tests/test_bpe.py.
+def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.bpe import bpe_apply, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=200)
+    return bpe_apply(docs, merges).select("doc_id", "n_words", "n_tokens")
+
+
+DOC_BPE_SQL = """
+SELECT doc_id,
+       length(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
+       length(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+FROM documents
+"""
+
+QUERIES["doc_bpe_tokens"] = doc_bpe_tokens
+ORACLES["doc_bpe_tokens"] = DOC_BPE_SQL
