@@ -831,3 +831,47 @@ FROM net
 
 QUERIES["ev_concurrency_timeline"] = ev_concurrency_timeline
 ORACLES["ev_concurrency_timeline"] = EV_CONCURRENCY_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_value_winsorized: outlier capping at exact p01/p99 (two-pass: exact
+# percentiles on one aggregation, broadcast the two scalars back as a CASE
+# clip). The robust-statistics companion to z-score anomaly detection —
+# per event type so the percentile state is per-group.
+def ev_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("lo"),
+        F.expr("percentile(value, 0.99)").alias("hi"),
+    )
+    clipped = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        F.greatest(F.least(F.col("value"), F.col("hi")), F.col("lo")).alias("w"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("w"), 6).alias("min_w"),
+        F.round(F.max("w"), 6).alias("max_w"),
+        F.round(F.sum(F.col("w").cast("decimal(28,10)")).cast("double") / F.count("*"), 6).alias("mean_w"),
+    )
+
+
+EV_WINSORIZE_SQL = """
+WITH src AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL
+), b AS (
+  SELECT event_type, quantile_cont(value, 0.01) AS lo, quantile_cont(value, 0.99) AS hi
+  FROM src GROUP BY 1
+), c AS (
+  SELECT src.event_type, greatest(least(value, hi), lo) AS w
+  FROM src JOIN b ON src.event_type = b.event_type
+)
+SELECT event_type, count(*) AS n,
+       round(min(w), 6) AS min_w,
+       round(max(w), 6) AS max_w,
+       round(CAST(sum(CAST(w AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS mean_w
+FROM c GROUP BY 1
+"""
+
+QUERIES["ev_value_winsorized"] = ev_value_winsorized
+ORACLES["ev_value_winsorized"] = EV_WINSORIZE_SQL

@@ -873,3 +873,34 @@ FROM per GROUP BY key_col
 
 QUERIES["lineitem_skew_report"] = lineitem_skew_report
 ORACLES["lineitem_skew_report"] = LINEITEM_SKEW_SQL
+
+
+# --------------------------------------------------------------------------
+# orders_keyset_page: keyset (cursor) pagination — "the page after cursor
+# (date, key)" as a sargable composite-compare filter + TakeOrdered, the
+# OFFSET-free pagination every large-result API needs (OFFSET n re-scans
+# and re-sorts n rows; a keyset filter pushes down and reads one page).
+def orders_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cur_date, cur_key = "1996-06-01", 4000
+    after = (F.col("o_orderdate") > F.lit(cur_date).cast("timestamp")) | (
+        (F.col("o_orderdate") == F.lit(cur_date).cast("timestamp")) & (F.col("o_orderkey") > cur_key)
+    )
+    return (
+        orders.where(after)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(20)
+    )
+
+
+ORDERS_KEYSET_SQL = """
+SELECT o_orderkey, o_orderdate, o_totalprice
+FROM orders
+WHERE o_orderdate > TIMESTAMP '1996-06-01'
+   OR (o_orderdate = TIMESTAMP '1996-06-01' AND o_orderkey > 4000)
+ORDER BY o_orderdate, o_orderkey LIMIT 20
+"""
+
+QUERIES["orders_keyset_page"] = orders_keyset_page
+ORACLES["orders_keyset_page"] = ORDERS_KEYSET_SQL
