@@ -214,3 +214,104 @@ def ivf_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011) — the ANN ladder's compression
+# rung: split each vector into m subvectors, vector-quantize each subspace
+# with its own 2^nbits-centroid codebook, store m small codes per vector
+# (64-dim float32 -> m=8 bytes is a 32x cut). Search uses asymmetric
+# distance (ADC): per query, an m x 2^nbits lookup table of exact
+# query-subvector-to-centroid distances; a database vector's distance is m
+# table lookups + adds — pure Spark expressions over the codes column, no
+# Python in the scan path.
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str,
+    m: int = 8,
+    nbits: int = 4,
+    seed: int = 42,
+    max_iter: int = 20,
+    sample_fraction: float | None = None,
+) -> list[list[list[float]]]:
+    """Train m per-subspace codebooks (2^nbits centroids each) with the same
+    seeded KMeans as the IVF coarse quantizer. Returns
+    codebooks[m][2^nbits][dim/m] — a few KB, broadcast by value. Fit on a
+    sample at corpus scale; codebook quality saturates early."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(first["d"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    k = 1 << nbits
+    src = df.sample(fraction=sample_fraction, seed=seed) if sample_fraction else df
+    src = src.select(F.col(vec_col).cast("array<double>").alias("v")).persist()
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        sub = src.select(array_to_vector(F.slice("v", s * dsub + 1, dsub)).alias("features"))
+        model = KMeans(k=k, seed=seed + s, maxIter=max_iter).fit(sub)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    src.unpersist()
+    return books
+
+
+def pq_encode(df: DataFrame, id_col: str, vec_col: str, codebooks: list[list[list[float]]]) -> DataFrame:
+    """Encode vectors -> (id, codes array<int>): per subspace, index of the
+    nearest codebook centroid (L2, ties to the lowest index). Vectorized
+    numpy over Arrow batches — one pass, map-only."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    cents = np.asarray(codebooks)  # [m, k, dsub]
+
+    @pandas_udf("array<int>")
+    def _enc(vecs):
+        out = []
+        for v in vecs:
+            x = np.asarray(v, dtype=np.float64).reshape(m, dsub)
+            # [m, k] squared distances; argmin takes the first (lowest) index
+            d = ((cents - x[:, None, :]) ** 2).sum(axis=2)
+            out.append(d.argmin(axis=1).astype("int32").tolist())
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), _enc(F.col(vec_col).cast("array<double>")).alias("codes"))
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC search over PQ codes: build the query's m x 2^nbits distance
+    table driver-side (exact float math, tiny), embed it as a literal
+    nested array, and score each row with m element_at lookups + adds —
+    whole-stage-codegen expressions, then TakeOrderedAndProject."""
+    import numpy as np
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    q = np.asarray(list(query_vec), dtype=np.float64).reshape(m, dsub)
+    cents = np.asarray(codebooks)  # [m, k, dsub]
+    table = ((cents - q[:, None, :]) ** 2).sum(axis=2)  # [m, k]
+    tbl_lit = F.array(*[F.array(*[F.lit(float(d)) for d in row]) for row in table])
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(F.element_at(tbl_lit, i + F.lit(1)), F.element_at(F.col("codes"), i + F.lit(1)) + F.lit(1)),
+    )
+    return (
+        codes_df.select(F.col(id_col), dist.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )
