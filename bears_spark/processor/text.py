@@ -322,3 +322,17 @@ class SparkMLTFIDF(SingleColumnProcessor):
         if self._model is None:
             raise RuntimeError("not fitted")
         return self._model.stages[1].vocabulary
+
+
+def pseudonymize(col: Column | str, secret: str, length: int = 16) -> Column:
+    """Deterministic keyed pseudonymization of a PII column: salted SHA-256
+    truncated to ``length`` hex chars. Same input + secret -> same token, so
+    joins and group-bys still work on the pseudonymized column (the property
+    plain redaction destroys); without the secret the mapping is not
+    invertible or linkable across datasets keyed with different secrets.
+    Pure expression (JVM sha2 intrinsic) — codegen-friendly at any scale.
+    NULL stays NULL (no spurious token for missing data)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(
+        c.isNotNull(), F.substring(F.sha2(F.concat(F.lit(secret), F.lit(":"), c.cast("string")), 256), 1, length)
+    )

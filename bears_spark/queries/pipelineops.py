@@ -526,3 +526,41 @@ FROM customer, b ORDER BY c_custkey
 
 QUERIES["cust_balance_quartiles"] = cust_balance_quartiles
 ORACLES["cust_balance_quartiles"] = CUST_BALANCE_QUARTILES_SQL
+
+
+# --------------------------------------------------------------------------
+# customer_pseudonymize: keyed deterministic tokenization of the PII column
+# (processor/text.pseudonymize) — unlike redaction, the token preserves
+# joinability/groupability (same name -> same token under one secret). The
+# oracle recomputes the identical salted SHA-256 in DuckDB; the grouped
+# re-aggregation on the TOKEN proves linkage survives pseudonymization.
+def customer_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.processor.text import pseudonymize
+
+    cust = load_table(spark, sf_dir, "customer")
+    tok = cust.select(
+        pseudonymize("c_name", secret="graded-secret").alias("name_token"),
+        "c_mktsegment",
+        "c_acctbal",
+    )
+    return tok.groupBy("name_token", "c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2).alias("bal"),
+    )
+
+
+CUSTOMER_PSEUDO_SQL = """
+WITH tok AS (
+  SELECT substr(sha256('graded-secret' || ':' || c_name), 1, 16) AS name_token,
+         c_mktsegment, c_acctbal
+  FROM customer WHERE c_name IS NOT NULL
+  UNION ALL
+  SELECT NULL, c_mktsegment, c_acctbal FROM customer WHERE c_name IS NULL
+)
+SELECT name_token, c_mktsegment, count(*) AS n,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS bal
+FROM tok GROUP BY 1, 2
+"""
+
+QUERIES["customer_pseudonymize"] = customer_pseudonymize
+ORACLES["customer_pseudonymize"] = CUSTOMER_PSEUDO_SQL
