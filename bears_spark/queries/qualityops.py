@@ -512,3 +512,45 @@ FROM keyed ORDER BY es_key DESC, doc_id LIMIT 25
 
 QUERIES["doc_weighted_sample"] = doc_weighted_sample
 ORACLES["doc_weighted_sample"] = DOC_WEIGHTED_SAMPLE_SQL
+
+
+# --------------------------------------------------------------------------
+# lang_source_chisq: Pearson chi-square independence test of document lang
+# vs source — the corpus-balance diagnostic ("is language stratified across
+# sources?"). One contingency aggregation (integer counts), marginals by
+# window sums, expected = row_total*col_total/n, then the chi2 statistic.
+# All counts integer; the statistic is float but each term is a single
+# (obs-exp)^2/exp with exp = exact-integer product / n — engine-identical,
+# and the final sum is rounded to 6.
+def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("obs"))
+    row_m = cells.groupBy("lang").agg(F.sum("obs").alias("row_total"))
+    col_m = cells.groupBy("source").agg(F.sum("obs").alias("col_total"))
+    n = docs.count()
+    joined = cells.join(F.broadcast(row_m), "lang").join(F.broadcast(col_m), "source")
+    exp = (F.col("row_total") * F.col("col_total")).cast("double") / F.lit(float(n))
+    term = (F.col("obs") - exp) * (F.col("obs") - exp) / exp
+    return joined.agg(
+        F.count("*").alias("n_cells"),
+        F.lit(n).alias("n_docs"),
+        F.round(F.sum(term), 6).alias("chi2"),
+    )
+
+
+LANG_SOURCE_CHISQ_SQL = """
+WITH cells AS (
+  SELECT lang, source, count(*) AS obs FROM documents GROUP BY 1, 2
+), rm AS (SELECT lang, sum(obs) AS row_total FROM cells GROUP BY 1),
+cm AS (SELECT source, sum(obs) AS col_total FROM cells GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       (SELECT n FROM nn) AS n_docs,
+       round(sum((obs - CAST(row_total * col_total AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM nn))
+                 * (obs - CAST(row_total * col_total AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM nn))
+                 / (CAST(row_total * col_total AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM nn))), 6) AS chi2
+FROM cells JOIN rm USING (lang) JOIN cm USING (source)
+"""
+
+QUERIES["lang_source_chisq"] = lang_source_chisq
+ORACLES["lang_source_chisq"] = LANG_SOURCE_CHISQ_SQL

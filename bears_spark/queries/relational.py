@@ -904,3 +904,44 @@ ORDER BY o_orderdate, o_orderkey LIMIT 20
 
 QUERIES["orders_keyset_page"] = orders_keyset_page
 ORACLES["orders_keyset_page"] = ORDERS_KEYSET_SQL
+
+
+# --------------------------------------------------------------------------
+# orders_table_fingerprint: content-addressed, ORDER-INVARIANT table
+# fingerprint — count + sum and xor of per-row md5 hashes over canonically
+# stringified columns. Two replicas agree iff the fingerprints agree,
+# regardless of partitioning/row order; the workhorse check after a
+# migration/replication/CDC apply. Integer-exact everywhere (bit_xor is
+# associative+commutative; sum wraps in int64 deterministically... sum is
+# kept exact by hashing into 60-bit values: 15k rows x 2^60 < 2^74, so the
+# sum column uses DECIMAL(38,0) on both engines).
+def orders_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.hashing import md5_hash64
+
+    orders = load_table(spark, sf_dir, "orders")
+    # integer/string columns only: float-to-string formatting is not
+    # portable across engines (HALF_UP vs banker's rounding, shortest-repr)
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+    )
+    h = md5_hash64(row_str)
+    return orders.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(h.cast("decimal(38,0)")).cast("string").alias("hash_sum"),
+    )
+
+
+ORDERS_FINGERPRINT_SQL = """
+SELECT count(*) AS n_rows,
+       sum(CAST(('0x' || substr(md5('0' || ':' ||
+             o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' ||
+             o_orderpriority), 1, 15))::BIGINT AS DECIMAL(38,0)))::VARCHAR AS hash_sum
+FROM orders
+"""
+
+QUERIES["orders_table_fingerprint"] = orders_table_fingerprint
+ORACLES["orders_table_fingerprint"] = ORDERS_FINGERPRINT_SQL
