@@ -117,3 +117,29 @@ def snapshot_diff(
     return j.withColumn("change_type", change).where(F.col("change_type").isNotNull()).select(
         *keys, "change_type"
     )
+
+
+def incremental_join_apply(
+    old_result: DataFrame,
+    delta: DataFrame,
+    dim: DataFrame,
+    pk: str | Sequence[str],
+    join_key: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Incremental view maintenance for a fact ⋈ dim join: given the OLD
+    materialized join result, a batch of replaced fact rows (``delta``,
+    keyed by the fact primary key), and the dimension, produce the new
+    result WITHOUT rescanning the fact table:
+
+        new = (old_result ANTI-JOIN delta on pk) UNION (delta ⋈ dim)
+
+    Cost scales with |delta| (anti-join broadcast when delta is small — the
+    nightly-upsert shape), not with |fact|: the 100 TB materialized view
+    refreshes in minutes instead of a full recompute. The dim side is
+    assumed current; a dim-side delta is the symmetric call with the roles
+    swapped. ``old_result`` must carry the pk columns."""
+    keys = [pk] if isinstance(pk, str) else list(pk)
+    kept = old_result.join(F.broadcast(delta.select(*keys).distinct()), keys, "left_anti")
+    recomputed = delta.join(dim, join_key, how)
+    return kept.unionByName(recomputed.select(*old_result.columns))

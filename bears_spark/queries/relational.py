@@ -945,3 +945,39 @@ FROM orders
 
 QUERIES["orders_table_fingerprint"] = orders_table_fingerprint
 ORACLES["orders_table_fingerprint"] = ORDERS_FINGERPRINT_SQL
+
+
+# --------------------------------------------------------------------------
+# orders_ivm_join: incremental view maintenance — the materialized
+# orders ⋈ customer view refreshed with a delta batch (high-value orders
+# re-priced) via anti-join + delta-join (functions/cdc.py), graded against
+# the full recompute of the post-delta join. Proves delta-apply == rebuild.
+def orders_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.cdc import incremental_join_apply
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    dim = cust.withColumnRenamed("c_custkey", "o_custkey")
+    old_view = orders.join(dim, "o_custkey").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"), "c_mktsegment"
+    )
+    delta = (
+        orders.where(F.col("o_totalprice") > 250000)
+        .select("o_orderkey", "o_custkey", F.round(F.col("o_totalprice") + 1, 2).alias("price"))
+    )
+    return incremental_join_apply(old_view, delta, dim, pk="o_orderkey", join_key="o_custkey")
+
+
+ORDERS_IVM_SQL = """
+WITH updated AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_totalprice > 250000 THEN round(o_totalprice + 1, 2)
+              ELSE round(o_totalprice, 2) END AS price
+  FROM orders
+)
+SELECT u.o_orderkey, u.o_custkey, u.price, c.c_mktsegment
+FROM updated u JOIN customer c ON u.o_custkey = c.c_custkey
+"""
+
+QUERIES["orders_ivm_join"] = orders_ivm_join
+ORACLES["orders_ivm_join"] = ORDERS_IVM_SQL

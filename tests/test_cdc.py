@@ -57,3 +57,26 @@ def test_snapshot_diff_null_safe(spark):
     got = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, on="k").collect()}
     # k=1: NULL == NULL -> unchanged (absent); 2 changed, 3 removed, 4 added
     assert got == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_incremental_join_apply_equals_recompute(spark):
+    from bears_spark.functions.cdc import incremental_join_apply
+
+    fact = spark.createDataFrame(
+        [(1, 10, 100.0), (2, 10, 200.0), (3, 20, 300.0), (4, 30, 400.0)],
+        "pk: bigint, k: bigint, v: double",
+    )
+    dim = spark.createDataFrame([(10, "x"), (20, "y"), (30, "z")], "k: bigint, attr: string")
+    old_view = fact.join(dim, "k").select("pk", "k", "v", "attr")
+    # delta replaces pk 2 and 4
+    delta = spark.createDataFrame([(2, 20, 999.0), (4, 30, 888.0)], "pk: bigint, k: bigint, v: double")
+    new_view = incremental_join_apply(old_view, delta, dim, pk="pk", join_key="k")
+    # full recompute of the post-delta fact
+    merged_fact = fact.where(~F.col("pk").isin(2, 4)).unionByName(delta)
+    want = merged_fact.join(dim, "k").select("pk", "k", "v", "attr")
+    got = sorted(tuple(r) for r in new_view.collect())
+    exp = sorted(tuple(r) for r in want.collect())
+    assert got == exp
+    # pk 2 moved dimension (10 -> 20): attr must update too
+    row2 = dict((r["pk"], r["attr"]) for r in new_view.collect())[2]
+    assert row2 == "y"
