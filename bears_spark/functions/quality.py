@@ -33,6 +33,8 @@ can verify them bit-for-bit; see queries/qualityops.py.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -311,4 +313,28 @@ def weighted_sample_topk(df: DataFrame, id_col: str, weight_col: str, k: int) ->
         .withColumn("es_key", key)
         .orderBy(F.col("es_key").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def weighted_sample_per_group(
+    df: DataFrame, group_cols: Sequence[str] | str, id_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Per-group Efraimidis-Spirakis weighted sampling without replacement:
+    k rows per group, inclusion probability proportional to weight within
+    the group. Same hash-derived deterministic draw as weighted_sample_topk
+    but ranked with a per-group window (WindowGroupLimit pushes the top-k
+    into the sort) instead of a global TakeOrdered — the stratified-corpus
+    shape ('k docs per language, length-weighted')."""
+    from pyspark.sql import Window
+
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    u = (md5_hash64(F.col(id_col)) + F.lit(1).cast("bigint")) / F.lit(float(1 << 60))
+    key = F.log(u) / F.col(weight_col)
+    w = Window.partitionBy(*groups).orderBy(F.desc("es_key"), F.asc(id_col))
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("es_key", key)
+        .withColumn("es_rank", F.row_number().over(w))
+        .where(F.col("es_rank") <= k)
+        .drop("es_rank")
     )

@@ -554,3 +554,33 @@ FROM cells JOIN rm USING (lang) JOIN cm USING (source)
 
 QUERIES["lang_source_chisq"] = lang_source_chisq
 ORACLES["lang_source_chisq"] = LANG_SOURCE_CHISQ_SQL
+
+
+# --------------------------------------------------------------------------
+# doc_weighted_sample_per_lang: stratified weighted sampling — 5 docs per
+# source, length-weighted, deterministic (hash-derived draws). The window
+# formulation keeps one shuffle on the group key; WindowGroupLimit caps the
+# per-group sort at k.
+def doc_weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.quality import weighted_sample_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = weighted_sample_per_group(docs, "source", "doc_id", "n_chars", k=5)
+    return out.select("source", "doc_id", "n_chars", F.round("es_key", 9).alias("es_key"))
+
+
+DOC_WEIGHTED_PER_LANG_SQL = f"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         ln(({_duck_h64("doc_id", "'0'")} + 1) / 1152921504606846976.0) / n_chars AS es_key
+  FROM documents WHERE n_chars > 0
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY es_key DESC, doc_id ASC) AS rk
+  FROM keyed
+)
+SELECT source, doc_id, n_chars, round(es_key, 9) AS es_key
+FROM ranked WHERE rk <= 5
+"""
+
+QUERIES["doc_weighted_sample_per_lang"] = doc_weighted_sample_per_lang
+ORACLES["doc_weighted_sample_per_lang"] = DOC_WEIGHTED_PER_LANG_SQL

@@ -981,3 +981,37 @@ FROM updated u JOIN customer c ON u.o_custkey = c.c_custkey
 
 QUERIES["orders_ivm_join"] = orders_ivm_join
 ORACLES["orders_ivm_join"] = ORDERS_IVM_SQL
+
+
+# --------------------------------------------------------------------------
+# part_copurchase_pairs: market-basket co-occurrence — the top-20 part
+# pairs appearing together in the most orders. The pair-generation join is
+# the triangle-count edge builder (canonical a<b ordering dedups); at scale
+# the per-order explosion is quadratic in basket size, so production runs
+# cap basket length first (documented; TPC-H baskets are <=7 lines).
+def part_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b"))
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+PART_COPURCHASE_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b LIMIT 20
+"""
+
+QUERIES["part_copurchase_pairs"] = part_copurchase_pairs
+ORACLES["part_copurchase_pairs"] = PART_COPURCHASE_SQL

@@ -8,6 +8,7 @@ not the example count.
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -190,3 +191,58 @@ def test_asof_directions_match_pandas(spark, case):
             assert pd.isna(gv), (g, e)
         else:
             assert gv == pytest.approx(ev), (g, e)
+
+
+# --------------------------------------------------------------------------
+# MERGE INTO vs a pandas reference model
+
+
+@st.composite
+def _merge_case(draw):
+    keys = st.integers(min_value=0, max_value=8)
+    vals = st.integers(min_value=-100, max_value=100)
+    target = draw(st.dictionaries(keys, vals, min_size=0, max_size=6))
+    source = draw(st.dictionaries(keys, vals, min_size=0, max_size=6))
+    wm = draw(st.sampled_from(["update", "keep", "delete"]))
+    wnm = draw(st.sampled_from(["insert", "ignore"]))
+    wnmbs = draw(st.sampled_from(["keep", "delete"]))
+    return target, source, wm, wnm, wnmbs
+
+
+def _merge_model(target: dict, source: dict, wm: str, wnm: str, wnmbs: str) -> dict:
+    out = {}
+    for k, v in target.items():
+        if k in source:
+            if wm == "update":
+                out[k] = source[k]
+            elif wm == "keep":
+                out[k] = v
+            # delete: drop
+        else:
+            if wnmbs == "keep":
+                out[k] = v
+    for k, v in source.items():
+        if k not in target and wnm == "insert":
+            out[k] = v
+    return out
+
+
+@given(_merge_case())
+@_settings
+def test_merge_into_matches_model(spark, case):
+    from bears_spark.functions.cdc import merge_into
+
+    target, source, wm, wnm, wnmbs = case
+    t = spark.createDataFrame(list(target.items()) or [(None, None)], "k: bigint, v: bigint").where(
+        F.col("k").isNotNull()
+    )
+    s = spark.createDataFrame(list(source.items()) or [(None, None)], "k: bigint, v: bigint").where(
+        F.col("k").isNotNull()
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in merge_into(
+            t, s, on="k", when_matched=wm, when_not_matched=wnm, when_not_matched_by_source=wnmbs
+        ).collect()
+    }
+    assert got == _merge_model(target, source, wm, wnm, wnmbs)
