@@ -564,3 +564,40 @@ FROM tok GROUP BY 1, 2
 
 QUERIES["customer_pseudonymize"] = customer_pseudonymize
 ORACLES["customer_pseudonymize"] = CUSTOMER_PSEUDO_SQL
+
+
+# --------------------------------------------------------------------------
+# emb_covariance_sample: grades the distributed Gram/covariance reduction
+# behind PCA (functions/pca.py) — sampled covariance-matrix entries from
+# the partial-Gram path must equal DuckDB's covar_samp on the same element
+# pairs. The d x d eigendecomposition itself is driver-side numpy (not
+# SQL-expressible); projection quality is pinned in test_functions.
+def emb_covariance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from bears_spark.functions.pca import gram_and_mean
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    gram, mean, n = gram_and_mean(emb, "embedding")
+    cov = (gram - n * np.outer(mean, mean)) / (n - 1)
+    pairs = [(0, 0), (0, 1), (2, 3), (10, 40), (63, 63)]
+    rows = [(int(i), int(j), float(round(cov[i, j], 8))) for i, j in pairs]
+    return spark.createDataFrame(rows, "i int, j int, cov double")
+
+
+EMB_COVARIANCE_SQL = """
+SELECT * FROM (
+  SELECT 0 AS i, 0 AS j, round(covar_samp(embedding[1]::DOUBLE, embedding[1]::DOUBLE), 8) AS cov FROM embeddings
+  UNION ALL
+  SELECT 0, 1, round(covar_samp(embedding[1]::DOUBLE, embedding[2]::DOUBLE), 8) FROM embeddings
+  UNION ALL
+  SELECT 2, 3, round(covar_samp(embedding[3]::DOUBLE, embedding[4]::DOUBLE), 8) FROM embeddings
+  UNION ALL
+  SELECT 10, 40, round(covar_samp(embedding[11]::DOUBLE, embedding[41]::DOUBLE), 8) FROM embeddings
+  UNION ALL
+  SELECT 63, 63, round(covar_samp(embedding[64]::DOUBLE, embedding[64]::DOUBLE), 8) FROM embeddings
+)
+"""
+
+QUERIES["emb_covariance_sample"] = emb_covariance_sample
+ORACLES["emb_covariance_sample"] = EMB_COVARIANCE_SQL

@@ -536,3 +536,51 @@ def test_pq_dim_guard(spark):
     df = spark.createDataFrame([(1, [0.0] * 10)], "vec_id: bigint, embedding: array<double>")
     with _pytest.raises(ValueError, match="not divisible"):
         pq_train(df, "embedding", m=4)
+
+
+# --------------------------------------------------------------------------
+# Distributed PCA
+
+
+def test_pca_recovers_planted_subspace(spark):
+    import numpy as np
+
+    from bears_spark.functions.pca import pca_fit, pca_transform
+
+    rng = np.random.RandomState(11)
+    # data lives (almost) in a planted 2-D subspace of R^8
+    basis = np.linalg.qr(rng.randn(8, 2))[0]  # orthonormal [8,2]
+    z = rng.randn(400, 2) * [5.0, 2.0]
+    x = z @ basis.T + rng.randn(400, 8) * 0.01 + 3.0  # offset tests centering
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id: bigint, embedding: array<double>",
+    ).repartition(7)
+
+    comps, ev, mean = pca_fit(df, "embedding", k=2)
+    assert comps.shape == (2, 8)
+    assert ev[0] >= ev[1] > 1.0  # planted variances ~25 and ~4
+    # the fitted plane spans the planted basis: projector distance ~ 0
+    p_fit = comps.T @ comps
+    p_true = basis @ basis.T
+    assert np.abs(p_fit - p_true).max() < 0.01
+    # transform: variance of first pc ~ 25, centered
+    out = pca_transform(df, "vec_id", "embedding", comps, mean).collect()
+    pcs = np.asarray([r["pca"] for r in out])
+    assert abs(pcs.mean(axis=0)).max() < 1e-9
+    assert abs(pcs[:, 0].var(ddof=1) - ev[0]) < 1e-6
+
+
+def test_pca_partition_invariant(spark):
+    import numpy as np
+
+    from bears_spark.functions.pca import gram_and_mean
+
+    rng = np.random.RandomState(5)
+    rows = [(i, [float(v) for v in rng.randn(6)]) for i in range(123)]
+    df = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<double>")
+    g1, m1, n1 = gram_and_mean(df.repartition(1), "embedding")
+    g2, m2, n2 = gram_and_mean(df.repartition(16), "embedding")
+    assert n1 == n2 == 123
+    assert np.abs(g1 - g2).max() < 1e-9
+    assert np.abs(m1 - m2).max() < 1e-12
