@@ -78,8 +78,8 @@ _TPCH_ORACLES = {
 #   * 10 regression anchors spanning every major family (TPC-H agg/join,
 #     event-time windows, streaming, dedup, ANN, rollup, pipeline),
 #   * the 6 queries whose last driver-green row was round 1,
-#   * remaining slots: round-2-stale re-grades, progressively replaced by
-#     queries added this round.
+#   * remaining slots: queries added this round (every slot spent on a
+#     query with no prior driver row).
 GRADED_WINDOW = [
     # --- never driver-graded (21) ---
     "orders_profile",
@@ -121,11 +121,10 @@ GRADED_WINDOW = [
     "dedup_simhash",
     "dedup_embedding_cosine",
     "merge_indicator_counts",
-    # --- round-2-stale re-grades (13; swapped out as new queries land) ---
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "orders_constraint_report",
     # --- new in round 4 ---
+    "orders_merge_upsert",  # MERGE INTO clause algebra
+    "orders_ivm_join",  # incremental view maintenance
+    "doc_bpe_tokens",  # BPE tokenizer train+apply
     "streaming_purchase_attribution",  # stream-stream interval join
     "streaming_running_totals",  # applyInPandasWithState operator
     "kmv_partkey_overlap",  # theta-sketch set algebra
