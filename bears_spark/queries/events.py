@@ -875,3 +875,28 @@ FROM c GROUP BY 1
 
 QUERIES["ev_value_winsorized"] = ev_value_winsorized
 ORACLES["ev_value_winsorized"] = EV_WINSORIZE_SQL
+
+
+# --------------------------------------------------------------------------
+# streaming_dedup_events: the watermarked streaming exact-dedup job run to
+# completion — event_ids are unique in the corpus, so end-of-input output
+# must be exactly the full id set (nothing dropped, nothing duplicated by
+# the state machinery).
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.streaming.jobs import dedup_stream
+
+    ev = _events_stream(spark, sf_dir)
+    out = dedup_stream(ev, watermark="1 hour")
+    sink = "streaming_dedup_sink"
+    q = out.writeStream.format("memory").queryName(sink).outputMode("append").trigger(availableNow=True).start()
+    q.awaitTermination()
+    q.stop()
+    return spark.table(sink).select("event_id", "user_id", "event_type")
+
+
+STREAMING_DEDUP_SQL = """
+SELECT event_id, user_id, event_type FROM events
+"""
+
+QUERIES["streaming_dedup_events"] = streaming_dedup_events
+ORACLES["streaming_dedup_events"] = STREAMING_DEDUP_SQL
