@@ -1015,3 +1015,32 @@ GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b LIMIT 20
 
 QUERIES["part_copurchase_pairs"] = part_copurchase_pairs
 ORACLES["part_copurchase_pairs"] = PART_COPURCHASE_SQL
+
+
+# --------------------------------------------------------------------------
+# join_cardinality_prediction: planner diagnostic — predict |lineitem ⋈
+# orders| on orderkey from the two per-key count tables (sum of count
+# products) and emit it next to the actual join count. Exact integers; the
+# prediction costs two aggregations + a join of count tables (cardinality =
+# #distinct keys), far cheaper than the join it sizes — the estimate a
+# planner uses to pick shuffle partition counts / broadcast eligibility.
+def join_cardinality_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    ca = li.groupBy(F.col("l_orderkey").alias("k")).agg(F.count("*").alias("ca"))
+    cb = orders.groupBy(F.col("o_orderkey").alias("k")).agg(F.count("*").alias("cb"))
+    pred = ca.join(cb, "k").agg(F.sum(F.col("ca") * F.col("cb")).alias("predicted"))
+    actual = li.join(orders, li.l_orderkey == orders.o_orderkey).agg(F.count("*").alias("actual"))
+    return pred.crossJoin(actual)
+
+
+JOIN_CARD_SQL = """
+WITH ca AS (SELECT l_orderkey AS k, count(*) AS ca FROM lineitem GROUP BY 1),
+cb AS (SELECT o_orderkey AS k, count(*) AS cb FROM orders GROUP BY 1),
+p AS (SELECT CAST(sum(ca * cb) AS BIGINT) AS predicted FROM ca JOIN cb USING (k)),
+a AS (SELECT count(*) AS actual FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+SELECT p.predicted, a.actual FROM p, a
+"""
+
+QUERIES["join_cardinality_prediction"] = join_cardinality_prediction
+ORACLES["join_cardinality_prediction"] = JOIN_CARD_SQL

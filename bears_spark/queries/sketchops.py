@@ -444,3 +444,65 @@ ORACLES = {
     "kmv_partkey_overlap": KMV_PARTKEY_SQL,
     "doc_heavy_hitter_words": DOC_HEAVY_HITTERS_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# hll_merge_proof: sketch mergeability as a graded fact — per-year HLL
+# register tables for l_orderkey merged by per-bucket MAX must yield
+# EXACTLY the direct whole-table sketch (registers and estimate), because
+# max is associative/commutative. This is the 1000-executor rollup
+# contract: partial sketches union at register cost, never rescanning.
+def hll_merge_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.sketch import HLL_HASH_BITS, hll_alpha, hll_registers
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = _HLL_P
+    m = 1 << p
+    s = HLL_HASH_BITS + 1 - p
+    numer = hll_alpha(m) * m * m * (1 << s)
+
+    def _estimate(regs, label):
+        return regs.groupBy().agg(
+            F.lit(label).alias("variant"),
+            (
+                F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {s} - rho)"))
+                + (F.lit(m) - F.count("*")) * F.lit(1 << s).cast("bigint")
+            ).alias("sum_scaled"),
+        ).select("variant", "sum_scaled", (F.lit(numer) / F.col("sum_scaled")).alias("estimate"))
+
+    direct = hll_registers(li, "l_orderkey", p)
+    by_year = hll_registers(li.withColumn("yr", F.year("l_shipdate")), "l_orderkey", p, by=("yr",))
+    merged = by_year.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    return _estimate(direct, "direct").unionByName(_estimate(merged, "merged"))
+
+
+_HMP_S = 51  # HLL_HASH_BITS + 1 - p for p=10
+HLL_MERGE_SQL = f"""
+WITH h AS (
+  SELECT l_orderkey, year(l_shipdate) AS yr, {_duck_h64("l_orderkey", "'0'")} AS hv FROM lineitem
+), regs AS (
+  SELECT hv % {_HLL_M} AS bucket,
+         max(CASE WHEN hv // {_HLL_M} = 0 THEN {_HLL_WBITS + 1}
+                  ELSE {_HLL_WBITS + 1} - length(bin(hv // {_HLL_M})) END) AS rho
+  FROM h GROUP BY 1
+), regs_yr AS (
+  SELECT yr, hv % {_HLL_M} AS bucket,
+         max(CASE WHEN hv // {_HLL_M} = 0 THEN {_HLL_WBITS + 1}
+                  ELSE {_HLL_WBITS + 1} - length(bin(hv // {_HLL_M})) END) AS rho
+  FROM h GROUP BY 1, 2
+), merged AS (
+  SELECT bucket, max(rho) AS rho FROM regs_yr GROUP BY 1
+), est AS (
+  SELECT 'direct' AS variant,
+         CAST(sum(CAST(2 AS BIGINT) ** ({_HMP_S} - rho)) + ({_HLL_M} - count(*)) * (CAST(2 AS BIGINT) ** {_HMP_S}) AS BIGINT) AS sum_scaled
+  FROM regs
+  UNION ALL
+  SELECT 'merged',
+         CAST(sum(CAST(2 AS BIGINT) ** ({_HMP_S} - rho)) + ({_HLL_M} - count(*)) * (CAST(2 AS BIGINT) ** {_HMP_S}) AS BIGINT)
+  FROM merged
+)
+SELECT variant, sum_scaled, {_HLL_NUMER!r}::DOUBLE / sum_scaled AS estimate FROM est
+"""
+
+QUERIES["hll_merge_proof"] = hll_merge_proof
+ORACLES["hll_merge_proof"] = HLL_MERGE_SQL
