@@ -584,3 +584,66 @@ FROM ranked WHERE rk <= 5
 
 QUERIES["doc_weighted_sample_per_lang"] = doc_weighted_sample_per_lang
 ORACLES["doc_weighted_sample_per_lang"] = DOC_WEIGHTED_PER_LANG_SQL
+
+
+# --------------------------------------------------------------------------
+# doc_negative_pairs: deterministic negative sampling for contrastive
+# training — for each document, 2 pseudo-random partner docs derived from
+# the hash family ((h(id*salt) mod n, skipping self) — map-only, no join,
+# no shuffle, and reproducible across engines/runs (the property a resumed
+# 100 TB pair-generation job needs). n_docs is one scalar aggregate.
+def doc_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.hashing import md5_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()  # doc_ids are 0..n-1 (generator contract; asserted by oracle equality)
+    outs = []
+    for salt in (1, 2):
+        neg = md5_hash64(F.col("doc_id"), salt=salt) % F.lit(n)
+        # skip self deterministically: shift by one (mod n) on collision
+        neg = F.when(neg == F.col("doc_id"), (neg + 1) % F.lit(n)).otherwise(neg)
+        outs.append(docs.select("doc_id", F.lit(salt).alias("salt"), neg.alias("neg_id")))
+    return outs[0].unionByName(outs[1])
+
+
+def _neg_sql() -> str:
+    parts = []
+    for salt in (1, 2):
+        h = _duck_h64("doc_id", f"'{salt}'")
+        parts.append(f"""
+SELECT doc_id, {salt} AS salt,
+       CASE WHEN {h} % nn.n = doc_id THEN ({h} % nn.n + 1) % nn.n
+            ELSE {h} % nn.n END AS neg_id
+FROM documents, (SELECT count(*) AS n FROM documents) nn""")
+    return " UNION ALL ".join(parts)
+
+
+QUERIES["doc_negative_pairs"] = doc_negative_pairs
+ORACLES["doc_negative_pairs"] = _neg_sql()
+
+
+# --------------------------------------------------------------------------
+# doc_three_way_split: deterministic stratified train/val/test assignment
+# (80/10/10 by hash buckets) with per-source counts — the split that stays
+# stable under repartition, re-runs, and incremental ingest (a doc's split
+# is a pure function of its id).
+def doc_three_way_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.hashing import md5_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = md5_hash64(F.col("doc_id"), salt="split") % 10
+    split = F.when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test")
+    return docs.groupBy("source", split.alias("split")).agg(F.count("*").alias("n"))
+
+
+DOC_SPLIT_SQL = f"""
+SELECT source,
+       CASE WHEN {_duck_h64("doc_id", "'split'")} % 10 < 8 THEN 'train'
+            WHEN {_duck_h64("doc_id", "'split'")} % 10 < 9 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n
+FROM documents GROUP BY 1, 2
+"""
+
+QUERIES["doc_three_way_split"] = doc_three_way_split
+ORACLES["doc_three_way_split"] = DOC_SPLIT_SQL

@@ -1044,3 +1044,58 @@ SELECT p.predicted, a.actual FROM p, a
 
 QUERIES["join_cardinality_prediction"] = join_cardinality_prediction
 ORACLES["join_cardinality_prediction"] = JOIN_CARD_SQL
+
+
+# --------------------------------------------------------------------------
+# orders_pit_priority: point-in-time (feature-store) join — each order
+# joined to the SCD-2 priority interval ACTIVE at its order date
+# (valid_from <= date < valid_to, NULL valid_to = open). Equi-join on
+# custkey carries the interval filter, so it shuffles once on the key like
+# any fact-dim join; the graded check is self-consistency: the interval
+# active at an order's date must carry that order's own priority, so
+# n_mismatch must be 0 and every order must match exactly one interval.
+def orders_pit_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    runs = cust_priority_scd2(spark, sf_dir)
+    j = orders.join(
+        runs,
+        (orders.o_custkey == runs.o_custkey)
+        & (orders.o_orderdate >= runs.valid_from)
+        & (runs.valid_to.isNull() | (orders.o_orderdate < runs.valid_to)),
+    )
+    return j.agg(
+        F.count("*").alias("n_matched"),
+        F.countDistinct(orders.o_orderkey).alias("n_orders"),
+        F.sum(F.when(orders.o_orderpriority != runs.priority, 1).otherwise(0)).alias("n_mismatch"),
+    )
+
+
+ORDERS_PIT_SQL = """
+WITH marked AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+         CASE WHEN lag(o_orderpriority) OVER w IS NULL
+                OR o_orderpriority <> lag(o_orderpriority) OVER w THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), runs_src AS (
+  SELECT *, sum(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM marked
+), runs AS (
+  SELECT o_custkey, run_id, min(o_orderpriority) AS priority, min(o_orderdate) AS valid_from
+  FROM runs_src GROUP BY 1, 2
+), iv AS (
+  SELECT o_custkey, priority, valid_from, lead(valid_from) OVER w2 AS valid_to
+  FROM runs WINDOW w2 AS (PARTITION BY o_custkey ORDER BY run_id)
+)
+SELECT count(*) AS n_matched,
+       count(DISTINCT o.o_orderkey) AS n_orders,
+       CAST(sum(CASE WHEN o.o_orderpriority <> iv.priority THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+FROM orders o JOIN iv
+  ON o.o_custkey = iv.o_custkey
+ AND o.o_orderdate >= iv.valid_from
+ AND (iv.valid_to IS NULL OR o.o_orderdate < iv.valid_to)
+"""
+
+QUERIES["orders_pit_priority"] = orders_pit_priority
+ORACLES["orders_pit_priority"] = ORDERS_PIT_SQL
