@@ -601,3 +601,39 @@ SELECT * FROM (
 
 QUERIES["emb_covariance_sample"] = emb_covariance_sample
 ORACLES["emb_covariance_sample"] = EMB_COVARIANCE_SQL
+
+
+# --------------------------------------------------------------------------
+# emb_dimension_stats: per-dimension embedding health check — mean/std/
+# min/max per vector position via one posexplode + groupBy (dead or
+# exploding dimensions are the classic embedding-pipeline defect). At
+# corpus scale this is the mapInPandas partial-moments shape
+# (functions/pca.gram_and_mean); the explode form here is the verifiable
+# small-d variant.
+def emb_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("v"), 6).alias("mean_v"),
+            F.round(F.stddev_samp("v"), 6).alias("std_v"),
+            F.round(F.min("v"), 6).alias("min_v"),
+            F.round(F.max("v"), 6).alias("max_v"),
+        )
+    )
+
+
+EMB_DIM_STATS_SQL = """
+SELECT t.pos - 1 AS pos, count(*) AS n,
+       round(avg(embedding[t.pos]::DOUBLE), 6) AS mean_v,
+       round(stddev_samp(embedding[t.pos]::DOUBLE), 6) AS std_v,
+       round(min(embedding[t.pos]::DOUBLE), 6) AS min_v,
+       round(max(embedding[t.pos]::DOUBLE), 6) AS max_v
+FROM embeddings CROSS JOIN range(1, 65) t(pos)
+GROUP BY t.pos
+"""
+
+QUERIES["emb_dimension_stats"] = emb_dimension_stats
+ORACLES["emb_dimension_stats"] = EMB_DIM_STATS_SQL

@@ -647,3 +647,43 @@ FROM documents GROUP BY 1, 2
 
 QUERIES["doc_three_way_split"] = doc_three_way_split
 ORACLES["doc_three_way_split"] = DOC_SPLIT_SQL
+
+
+# --------------------------------------------------------------------------
+# source_lang_kl: distribution-drift detection — KL divergence of each
+# source's language distribution from the corpus-wide distribution
+# (with-in-vocabulary: every lang present overall; zero per-source cells
+# contribute 0 by the 0*log(0/q)=0 convention). The per-slice drift score
+# that flags a crawl source gone bad. All counts integer; each KL term is
+# p*ln(p/q) with p,q exact count ratios.
+def source_lang_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cell = docs.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    src_tot = cell.groupBy("source").agg(F.sum("c").alias("st"))
+    lang_tot = cell.groupBy("lang").agg(F.sum("c").alias("lt"))
+    n = docs.count()
+    j = cell.join(F.broadcast(src_tot), "source").join(F.broadcast(lang_tot), "lang")
+    p = F.col("c").cast("double") / F.col("st")
+    q = F.col("lt").cast("double") / F.lit(float(n))
+    term = p * F.log(p / q)
+    return (
+        j.groupBy("source")
+        .agg(F.round(F.sum(term), 6).alias("kl"), F.count("*").alias("n_langs"))
+    )
+
+
+SOURCE_LANG_KL_SQL = """
+WITH cell AS (
+  SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2
+), stot AS (SELECT source, sum(c) AS st FROM cell GROUP BY 1),
+ltot AS (SELECT lang, sum(c) AS lt FROM cell GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+SELECT source,
+       round(sum((CAST(c AS DOUBLE) / st) * ln((CAST(c AS DOUBLE) / st) / (CAST(lt AS DOUBLE) / nn.n))), 6) AS kl,
+       count(*) AS n_langs
+FROM cell JOIN stot USING (source) JOIN ltot USING (lang), nn
+GROUP BY source
+"""
+
+QUERIES["source_lang_kl"] = source_lang_kl
+ORACLES["source_lang_kl"] = SOURCE_LANG_KL_SQL
