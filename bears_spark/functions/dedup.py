@@ -491,3 +491,56 @@ def levenshtein_verify(
         .filter(F.col("edit_dist") <= max_distance)
         .select(id_a, id_b, "edit_dist")
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    materialize: bool = True,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup detection by n-gram CONTAINMENT (Broder 1997):
+    c(A→B) = |A∩B| / |A|. Catches what Jaccard misses — a short document
+    wholly quoted inside a much longer one scores c≈1 while its Jaccard is
+    tiny. Emits pairs where either direction reaches ``threshold``, with
+    both directional scores.
+
+    Same blocking discipline as ngram_jaccard_pairs (hashed gram equi-join,
+    optional df-cap broadcast anti-join); deliberately NO length-ratio
+    prune — the asymmetric size gap is exactly the signal. At web scale the
+    df-cap is the mandatory guard here, since boilerplate grams pair every
+    wrapper page with every wrapped one."""
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"),
+    ).select(id_col, F.xxhash64("gram").alias("gram"))
+    if materialize:
+        grams = grams.persist()
+    if max_doc_freq is not None:
+        hot = (
+            grams.groupBy("gram")
+            .agg(F.count("*").alias("__df__"))
+            .filter(F.col("__df__") > max_doc_freq)
+            .select("gram")
+        )
+        grams = grams.join(F.broadcast(hot), on="gram", how="left_anti")
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    gs = grams.join(sizes, id_col)
+    a, b = gs.alias("a"), gs.alias("b")
+    cond = (F.col("a.gram") == F.col("b.gram")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    return (
+        a.join(b, cond)
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("a.n_grams").alias("na"),
+            F.first("b.n_grams").alias("nb"),
+        )
+        .withColumn("containment_ab", F.col("inter").cast("double") / F.col("na"))
+        .withColumn("containment_ba", F.col("inter").cast("double") / F.col("nb"))
+        .filter(F.greatest("containment_ab", "containment_ba") >= threshold)
+        .select("id_a", "id_b", "containment_ab", "containment_ba")
+    )

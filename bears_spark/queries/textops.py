@@ -741,3 +741,59 @@ FROM documents
 
 QUERIES["doc_bpe_tokens"] = doc_bpe_tokens
 ORACLES["doc_bpe_tokens"] = DOC_BPE_SQL
+
+
+# --------------------------------------------------------------------------
+# dedup_containment: asymmetric containment near-dup pass over documents —
+# synthetic containment case built by pairing each doc with its own prefix
+# (the "short doc quoted inside a long one" shape Jaccard misses). Top-25
+# pairs by containment for a bounded graded output.
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # add prefix-halves as synthetic contained docs (id + 1_000_000)
+    halves = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.substring("text", 1, 80).alias("text"),
+    ).where(F.length("text") >= 60)
+    corpus = docs.unionByName(halves)
+    pairs = dd.ngram_containment_pairs(corpus, "doc_id", "text", n=3, threshold=0.9)
+    return (
+        pairs.select(
+            "id_a", "id_b",
+            F.round("containment_ab", 6).alias("c_ab"),
+            F.round("containment_ba", 6).alias("c_ba"),
+        )
+        .orderBy(F.desc(F.greatest("c_ab", "c_ba")), "id_a", "id_b")
+        .limit(25)
+    )
+
+
+DEDUP_CONTAINMENT_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, substr(text, 1, 80) FROM documents WHERE length(substr(text, 1, 80)) >= 60
+), toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM corpus
+), grams AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+  FROM toks CROSS JOIN range(1, 10000) t(i)
+  WHERE i + 2 <= length(ws)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(inter AS DOUBLE) / sa.n_grams, 6) AS c_ab,
+       round(CAST(inter AS DOUBLE) / sb.n_grams, 6) AS c_ba
+FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE greatest(CAST(inter AS DOUBLE) / sa.n_grams, CAST(inter AS DOUBLE) / sb.n_grams) >= 0.9
+ORDER BY greatest(round(CAST(inter AS DOUBLE) / sa.n_grams, 6), round(CAST(inter AS DOUBLE) / sb.n_grams, 6)) DESC, id_a, id_b
+LIMIT 25
+"""
+
+QUERIES["dedup_containment"] = dedup_containment
+ORACLES["dedup_containment"] = DEDUP_CONTAINMENT_SQL

@@ -584,3 +584,17 @@ def test_pca_partition_invariant(spark):
     assert n1 == n2 == 123
     assert np.abs(g1 - g2).max() < 1e-9
     assert np.abs(m1 - m2).max() < 1e-12
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    long = " ".join(f"w{i}" for i in range(60))
+    short = " ".join(f"w{i}" for i in range(12))  # strict prefix of long
+    df = spark.createDataFrame(pd.DataFrame({"id": [1, 2], "t": [long, short]}))
+    jac = dd.ngram_jaccard_pairs(df, "id", "t", n=3, threshold=0.5).collect()
+    assert jac == []  # tiny Jaccard: shared grams / union is ~10/58
+    cont = dd.ngram_containment_pairs(df, "id", "t", n=3, threshold=0.9).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    # every gram of the short doc is inside the long one
+    assert r["containment_ba"] == pytest.approx(1.0)
+    assert r["containment_ab"] < 0.5
