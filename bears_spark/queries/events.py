@@ -900,3 +900,44 @@ SELECT event_id, user_id, event_type FROM events
 
 QUERIES["streaming_dedup_events"] = streaming_dedup_events
 ORACLES["streaming_dedup_events"] = STREAMING_DEDUP_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_robust_anomaly: robust outlier detection via the modified z-score
+# (Iglewicz-Hoaglin): |x - median| / (1.4826 * MAD) > 3.5, per event type.
+# Unlike the mean/stddev z-score (ev_zscore_anomaly) this doesn't let the
+# outliers inflate their own threshold. Two exact-percentile passes:
+# median per group, then median absolute deviation per group — each a
+# single aggregation; the small per-group stats broadcast back.
+def ev_robust_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn("adev", F.abs(F.col("value") - F.col("med")))
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    scored = dev.join(F.broadcast(mad), "event_type").withColumn(
+        "mz", F.col("adev") / (F.lit(1.4826) * F.col("mad"))
+    )
+    return (
+        scored.where(F.col("mz") > 3.5)
+        .select("event_id", "event_type", F.round("value", 6).alias("value"), F.round("mz", 6).alias("mz"))
+    )
+
+
+EV_ROBUST_ANOMALY_SQL = """
+WITH src AS (
+  SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL
+), med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM src GROUP BY 1
+), dev AS (
+  SELECT src.*, abs(value - med) AS adev FROM src JOIN med USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1
+)
+SELECT event_id, dev.event_type, round(value, 6) AS value,
+       round(adev / (1.4826 * mad.mad), 6) AS mz
+FROM dev JOIN mad ON dev.event_type = mad.event_type
+WHERE adev / (1.4826 * mad.mad) > 3.5
+"""
+
+QUERIES["ev_robust_anomaly"] = ev_robust_anomaly
+ORACLES["ev_robust_anomaly"] = EV_ROBUST_ANOMALY_SQL

@@ -687,3 +687,54 @@ GROUP BY source
 
 QUERIES["source_lang_kl"] = source_lang_kl
 ORACLES["source_lang_kl"] = SOURCE_LANG_KL_SQL
+
+
+# --------------------------------------------------------------------------
+# corpus_build_mixture: build a training mixture to per-source token
+# budgets — within each source, take documents in deterministic
+# hash-priority order until the source's token budget fills (first doc
+# crossing the boundary is included, matching select_until_budget's
+# semantics). One window per source; at 100 TB the per-source cumsum rides
+# the distributed prefix scan exactly like doc_budget_selection.
+_MIX_BUDGET = 3000  # tokens per source
+
+
+def corpus_build_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from bears_spark.functions.hashing import md5_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim("text"), r"\s+"))
+    pri = md5_hash64(F.col("doc_id"), salt="mix")
+    w = Window.partitionBy("source").orderBy(pri, "doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    keyed = docs.select("doc_id", "source", toks.alias("n_tok"), pri.alias("pri"))
+    cum = keyed.withColumn("cum_tok", F.sum("n_tok").over(w))
+    kept = cum.where((F.col("cum_tok") - F.col("n_tok")) < _MIX_BUDGET)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.max("cum_tok").alias("final_cum"),
+    )
+
+
+CORPUS_MIXTURE_BUILD_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         length(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS n_tok,
+         {_duck_h64("doc_id", "'mix'")} AS pri
+  FROM documents
+), cum AS (
+  SELECT *, sum(n_tok) OVER (PARTITION BY source ORDER BY pri, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+  FROM keyed
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(max(cum_tok) AS BIGINT) AS final_cum
+FROM cum WHERE cum_tok - n_tok < {_MIX_BUDGET}
+GROUP BY source
+"""
+
+QUERIES["corpus_build_mixture"] = corpus_build_mixture
+ORACLES["corpus_build_mixture"] = CORPUS_MIXTURE_BUILD_SQL
