@@ -66,9 +66,11 @@ FORBIDDEN_EXEMPT = {
     "dedup_embedding_cosine",
     "ann_ivf_label_topk",
     # deliberate 1-row scalar crossJoins (KMV theta, LM token total, exact
-    # side-channels): a BNLJ whose build side is a single aggregate row
+    # side-channels, predicted-vs-actual cardinality): a BNLJ whose build
+    # side is a single aggregate row
     "kmv_partkey_overlap",
     "doc_unigram_logprob",
+    "join_cardinality_prediction",
 }
 
 
