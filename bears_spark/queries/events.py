@@ -941,3 +941,51 @@ WHERE adev / (1.4826 * mad.mad) > 3.5
 
 QUERIES["ev_robust_anomaly"] = ev_robust_anomaly
 ORACLES["ev_robust_anomaly"] = EV_ROBUST_ANOMALY_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_hourly_gap_filled: time-series densification — per event type, EVERY
+# hour between the series' min and max, zero-filled where no events fall.
+# sequence() + explode generates the hour spine per type (one row per
+# type, then an array explode — no driver loop, no cross join); a left
+# join brings in the sparse aggregates. The resample-with-fill shape every
+# dashboard and forecasting pipeline needs.
+def ev_hourly_gap_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    actual = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("n")
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour"),
+    )
+    return (
+        spine.join(actual, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            F.unix_micros("hour").alias("hour_us"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+
+
+EV_GAP_FILLED_SQL = """
+WITH actual AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events GROUP BY 1
+), spine AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+)
+SELECT s.event_type, epoch_us(s.hour) AS hour_us, coalesce(a.n, 0) AS n
+FROM spine s LEFT JOIN actual a ON s.event_type = a.event_type AND s.hour = a.hour
+"""
+
+QUERIES["ev_hourly_gap_filled"] = ev_hourly_gap_filled
+ORACLES["ev_hourly_gap_filled"] = EV_GAP_FILLED_SQL

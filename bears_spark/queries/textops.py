@@ -797,3 +797,54 @@ LIMIT 25
 
 QUERIES["dedup_containment"] = dedup_containment
 ORACLES["dedup_containment"] = DEDUP_CONTAINMENT_SQL
+
+
+# --------------------------------------------------------------------------
+# source_characteristic_terms: c-TF-IDF-style corpus exploration — for each
+# source, the 3 terms most over-represented vs the corpus, scored by
+# smoothed log-odds ln((tf_s + 1)/(tf_corpus + 1)) normalized by source
+# size; ties break lexicographically. One term-frequency aggregation per
+# level + a broadcast join of the (bounded) corpus term table.
+def source_characteristic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("source", F.explode(F.split("text", " ")).alias("w")).where(F.col("w") != "")
+    per_src = words.groupBy("source", "w").agg(F.count("*").alias("tf"))
+    corpus = words.groupBy("w").agg(F.count("*").alias("ctf"))
+    src_tot = per_src.groupBy("source").agg(F.sum("tf").alias("st"))
+    scored = (
+        per_src.join(F.broadcast(corpus), "w")
+        .join(F.broadcast(src_tot), "source")
+        .withColumn(
+            "score",
+            F.log((F.col("tf") + 1).cast("double") / (F.col("ctf") + 1)) - F.log(F.col("st").cast("double")),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), "w")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("source", "rk", "w", F.round("score", 6).alias("score"))
+    )
+
+
+SOURCE_TERMS_SQL = """
+WITH words AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+), w2 AS (SELECT source, w FROM words WHERE w <> ''),
+per_src AS (SELECT source, w, count(*) AS tf FROM w2 GROUP BY 1, 2),
+corpus AS (SELECT w, count(*) AS ctf FROM w2 GROUP BY 1),
+stot AS (SELECT source, sum(tf) AS st FROM per_src GROUP BY 1),
+scored AS (
+  SELECT p.source, p.w,
+         ln(CAST(p.tf + 1 AS DOUBLE) / (c.ctf + 1)) - ln(CAST(s.st AS DOUBLE)) AS score
+  FROM per_src p JOIN corpus c USING (w) JOIN stot s USING (source)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, w) AS rk FROM scored
+)
+SELECT source, rk, w, round(score, 6) AS score FROM ranked WHERE rk <= 3
+"""
+
+QUERIES["source_characteristic_terms"] = source_characteristic_terms
+ORACLES["source_characteristic_terms"] = SOURCE_TERMS_SQL
