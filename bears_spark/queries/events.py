@@ -989,3 +989,36 @@ FROM spine s LEFT JOIN actual a ON s.event_type = a.event_type AND s.hour = a.ho
 
 QUERIES["ev_hourly_gap_filled"] = ev_hourly_gap_filled
 ORACLES["ev_hourly_gap_filled"] = EV_GAP_FILLED_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_value_trend: per-type trend regression — OLS slope/intercept/r2 of
+# value against event-time hours via the closed-form regr_* aggregates
+# (one pass, no iteration). The drift-monitoring primitive: "is this
+# metric trending?" x is hours-since-epoch so slopes are per-hour units.
+def ev_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    x = (F.unix_micros("ts") / F.lit(3.6e9)).alias("x")  # hours, double
+    src = ev.select("event_type", F.col("value").alias("y"), x)
+    return src.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("regr_slope(y, x)"), 6).alias("slope_per_hour"),
+        F.round(F.expr("regr_intercept(y, x)"), 4).alias("intercept"),
+        F.round(F.expr("regr_r2(y, x)"), 6).alias("r2"),
+    )
+
+
+EV_TREND_SQL = """
+WITH src AS (
+  SELECT event_type, value AS y, epoch_us(ts) / 3600000000.0 AS x
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, count(*) AS n,
+       round(regr_slope(y, x), 6) AS slope_per_hour,
+       round(regr_intercept(y, x), 4) AS intercept,
+       round(regr_r2(y, x), 6) AS r2
+FROM src GROUP BY 1
+"""
+
+QUERIES["ev_value_trend"] = ev_value_trend
+ORACLES["ev_value_trend"] = EV_TREND_SQL

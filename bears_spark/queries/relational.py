@@ -1099,3 +1099,48 @@ FROM orders o JOIN iv
 
 QUERIES["orders_pit_priority"] = orders_pit_priority
 ORACLES["orders_pit_priority"] = ORDERS_PIT_SQL
+
+
+# --------------------------------------------------------------------------
+# orders_benford_digits: Benford's-law first-digit audit of order values —
+# observed first-significant-digit counts vs the Benford expectation
+# log10(1 + 1/d); the classic fabricated-data / corrupted-feed smell test.
+# First digit extracted integer-exactly from the string form (no float
+# log10 on the data path); only the expected share is a float constant.
+def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    d = F.substring(F.regexp_replace(F.format_number(F.col("o_totalprice"), 4), r"[0.,]", ""), 1, 1)
+    obs = orders.groupBy(d.cast("int").alias("digit")).agg(F.count("*").alias("n"))
+    total = orders.count()
+    expected = {dd: math.log10(1 + 1 / dd) for dd in range(1, 10)}
+    exp_df = spark.createDataFrame([(k, float(round(v, 6))) for k, v in expected.items()], "digit int, benford double")
+    return (
+        obs.join(F.broadcast(exp_df), "digit")
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.lit(float(total)), 6).alias("observed_share"),
+            "benford",
+        )
+    )
+
+
+ORDERS_BENFORD_SQL = """
+WITH src AS (
+  SELECT o_totalprice FROM orders WHERE o_totalprice > 0
+), digits AS (
+  SELECT CAST(substr(regexp_replace(format('{:.4f}', o_totalprice), '[0.,]', '', 'g'), 1, 1) AS INT) AS digit
+  FROM src
+), obs AS (
+  SELECT digit, count(*) AS n FROM digits GROUP BY 1
+), nn AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM src)
+SELECT digit, n,
+       round(n / nn.total, 6) AS observed_share,
+       round(log10(1 + 1.0 / digit), 6) AS benford
+FROM obs, nn
+"""
+
+QUERIES["orders_benford_digits"] = orders_benford_digits
+ORACLES["orders_benford_digits"] = ORDERS_BENFORD_SQL
