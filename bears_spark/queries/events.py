@@ -1022,3 +1022,38 @@ FROM src GROUP BY 1
 
 QUERIES["ev_value_trend"] = ev_value_trend
 ORACLES["ev_value_trend"] = EV_TREND_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_type_transitions: behavioral Markov chain — per-user event-type
+# transition counts and conditional probabilities P(next | current) from a
+# lag window over each user's ordered stream. One user-partitioned window
+# + one aggregation; the session-flow model behind funnel design.
+def ev_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    counts = pairs.groupBy("cur", "nxt").agg(F.count("*").alias("n"))
+    totals = counts.groupBy("cur").agg(F.sum("n").alias("tot"))
+    return counts.join(F.broadcast(totals), "cur").select(
+        "cur", "nxt", "n", F.round(F.col("n") / F.col("tot"), 6).alias("p")
+    )
+
+
+EV_TRANSITIONS_SQL = """
+WITH pairs AS (
+  SELECT event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+), cnt AS (
+  SELECT cur, nxt, count(*) AS n FROM pairs WHERE nxt IS NOT NULL GROUP BY 1, 2
+), tot AS (SELECT cur, sum(n) AS tot FROM cnt GROUP BY 1)
+SELECT cur, nxt, n, round(CAST(n AS DOUBLE) / tot, 6) AS p
+FROM cnt JOIN tot USING (cur)
+"""
+
+QUERIES["ev_type_transitions"] = ev_type_transitions
+ORACLES["ev_type_transitions"] = EV_TRANSITIONS_SQL

@@ -1144,3 +1144,50 @@ FROM obs, nn
 
 QUERIES["orders_benford_digits"] = orders_benford_digits
 ORACLES["orders_benford_digits"] = ORDERS_BENFORD_SQL
+
+
+# --------------------------------------------------------------------------
+# cust_rfm_scores: classic RFM segmentation — per customer recency (days
+# since last order, vs corpus max date), frequency (order count), monetary
+# (total spend), each bucketed into quartiles by ntile over a unique
+# ordering. One aggregation + three windows; the canonical CRM cohorting.
+def cust_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("mx")).first()["mx"]
+    base = orders.groupBy("o_custkey").agg(
+        F.datediff(F.lit(anchor), F.max("o_orderdate")).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).alias("monetary"),
+    )
+    wr = Window.orderBy("recency_days", "o_custkey")
+    wf = Window.orderBy(F.desc("frequency"), "o_custkey")
+    wm = Window.orderBy(F.desc("monetary"), "o_custkey")
+    return base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(wr).alias("r_quartile"),
+        F.ntile(4).over(wf).alias("f_quartile"),
+        F.ntile(4).over(wm).alias("m_quartile"),
+    )
+
+
+CUST_RFM_SQL = """
+WITH anchor AS (SELECT max(o_orderdate) AS mx FROM orders),
+base AS (
+  SELECT o_custkey,
+         date_diff('day', max(o_orderdate), (SELECT mx FROM anchor)) AS recency_days,
+         count(*) AS frequency,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS monetary
+  FROM orders GROUP BY 1
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r_quartile,
+       ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_quartile,
+       ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_quartile
+FROM base
+"""
+
+QUERIES["cust_rfm_scores"] = cust_rfm_scores
+ORACLES["cust_rfm_scores"] = CUST_RFM_SQL
