@@ -1057,3 +1057,68 @@ FROM cnt JOIN tot USING (cur)
 
 QUERIES["ev_type_transitions"] = ev_type_transitions
 ORACLES["ev_type_transitions"] = EV_TRANSITIONS_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_top_session_paths: behavioral path mining — the 10 most common
+# 3-step event-type openings of user sessions (sessionized by the same
+# 30-minute gap rule as ev_sessionize). Session assembly is one
+# sort-within-group aggregation (array_sort over (seq, type) structs keeps
+# the order deterministic); paths are the first three steps joined.
+def ev_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    sess = (
+        ev.withColumn("is_new", F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0))
+        .withColumn("session_seq", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("step", F.row_number().over(Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")))
+    )
+    paths = (
+        sess.where(F.col("step") <= 3)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(F.struct("step", "event_type"))), lambda x: x["event_type"]),
+                ">",
+            ).alias("path"),
+            F.count("*").alias("plen"),
+        )
+        .where(F.col("plen") == 3)  # full 3-step openings only
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(10)
+    )
+
+
+EV_TOP_PATHS_SQL = """
+WITH lagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), flagged AS (
+  SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
+  FROM lagged
+), sess AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+), stepped AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, session_seq ORDER BY ts, event_id) AS step
+  FROM sess
+), paths AS (
+  SELECT user_id, session_seq,
+         string_agg(event_type, '>' ORDER BY step) AS path,
+         count(*) AS plen
+  FROM stepped WHERE step <= 3 GROUP BY 1, 2
+)
+SELECT path, count(*) AS n_sessions
+FROM paths WHERE plen = 3
+GROUP BY path ORDER BY n_sessions DESC, path LIMIT 10
+"""
+
+QUERIES["ev_top_session_paths"] = ev_top_session_paths
+ORACLES["ev_top_session_paths"] = EV_TOP_PATHS_SQL
