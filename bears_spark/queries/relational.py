@@ -1191,3 +1191,70 @@ FROM base
 
 QUERIES["cust_rfm_scores"] = cust_rfm_scores
 ORACLES["cust_rfm_scores"] = CUST_RFM_SQL
+
+
+# --------------------------------------------------------------------------
+# cust_cohort_ltv: cohort lifetime-value curve — customers cohorted by
+# first-order month; for each (cohort, age-in-months) the cumulative spend
+# per cohort member so far. The companion to the retention triangle: one
+# min-window for the cohort, one groupBy for the (cohort, age) cells, one
+# ordered window for the running cumulative. Decimal sums keep the
+# cumulative exact under any aggregation order.
+def cust_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    with_cohort = orders.withColumn(
+        "cohort", F.date_format(F.min("o_orderdate").over(w), "yyyy-MM")
+    ).withColumn(
+        "age_months",
+        (F.year("o_orderdate") - F.year(F.min("o_orderdate").over(w))) * 12
+        + (F.month("o_orderdate") - F.month(F.min("o_orderdate").over(w))),
+    )
+    cohort_sizes = with_cohort.groupBy("cohort").agg(F.countDistinct("o_custkey").alias("n_members"))
+    cells = with_cohort.groupBy("cohort", "age_months").agg(
+        # exact integer cents: portable across engines (see ev_hourly_by_type
+        # for the pattern rationale — round(double, n) ties are NOT portable)
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")).alias("spend_cents")
+    )
+    wc = Window.partitionBy("cohort").orderBy("age_months").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        cells.withColumn("cum_cents", F.sum("spend_cents").over(wc))
+        .join(F.broadcast(cohort_sizes), "cohort")
+        .select(
+            "cohort",
+            "age_months",
+            "n_members",
+            (F.col("cum_cents") / F.lit(100.0)).alias("cum_spend"),
+            # 4dp half-up in pure integer arithmetic, then one exact division
+            (F.expr("(cum_cents * 100 + n_members div 2) div n_members") / F.lit(10000.0)).alias("ltv_per_member"),
+        )
+    )
+
+
+CUST_LTV_SQL = """
+WITH wc AS (
+  SELECT o_custkey, o_orderdate, o_totalprice,
+         strftime(min(o_orderdate) OVER (PARTITION BY o_custkey), '%Y-%m') AS cohort,
+         (year(o_orderdate) - year(min(o_orderdate) OVER (PARTITION BY o_custkey))) * 12
+         + (month(o_orderdate) - month(min(o_orderdate) OVER (PARTITION BY o_custkey))) AS age_months
+  FROM orders
+), sizes AS (
+  SELECT cohort, count(DISTINCT o_custkey) AS n_members FROM wc GROUP BY 1
+), cells AS (
+  SELECT cohort, CAST(age_months AS BIGINT) AS age_months,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS spend_cents
+  FROM wc GROUP BY 1, 2
+), cum AS (
+  SELECT cohort, age_months,
+         CAST(sum(spend_cents) OVER (PARTITION BY cohort ORDER BY age_months
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+  FROM cells
+)
+SELECT c.cohort, c.age_months, s.n_members,
+       c.cum_cents / 100.0 AS cum_spend,
+       ((c.cum_cents * 100 + s.n_members // 2) // s.n_members) / 10000.0 AS ltv_per_member
+FROM cum c JOIN sizes s USING (cohort)
+"""
+
+QUERIES["cust_cohort_ltv"] = cust_cohort_ltv
+ORACLES["cust_cohort_ltv"] = CUST_LTV_SQL
