@@ -848,3 +848,55 @@ SELECT source, rk, w, round(score, 6) AS score FROM ranked WHERE rk <= 3
 
 QUERIES["source_characteristic_terms"] = source_characteristic_terms
 ORACLES["source_characteristic_terms"] = SOURCE_TERMS_SQL
+
+
+# --------------------------------------------------------------------------
+# dedup_representatives: the dedup ladder's final act — collapse each
+# duplicate CLUSTER (connected components over MinHash candidates) to one
+# representative, chosen by quality (longest text, doc_id tie-break), and
+# report per-cluster membership. Composition of connected_components +
+# max_by; the "which docs survive dedup" answer a corpus build actually
+# ships. Oracle extends the recursive-CTE closure with arg_max.
+def dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS, ngram_n=_NGRAM_N
+    )
+    comp = dd.connected_components(pairs).withColumnRenamed("component", "comp")
+    member = comp.join(docs, comp.id == docs.doc_id).select("comp", "doc_id", F.length("text").alias("len"))
+    return member.groupBy("comp").agg(
+        F.count("*").alias("n_members"),
+        # longest doc wins; ties to the SMALLEST doc_id — scalar composite
+        # key because DuckDB's arg_max takes no struct ordering
+        F.expr("max_by(doc_id, len * 1000000 - doc_id)").alias("rep_id"),
+        F.max("len").alias("rep_len"),
+    )
+
+
+DEDUP_REPRESENTATIVES_SQL = f"""
+WITH RECURSIVE pairs AS ({MINHASH_LSH_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk (id, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.comp FROM walk w JOIN edges e ON w.id = e.dst
+),
+comp AS (
+  SELECT id, min(comp) AS comp FROM walk GROUP BY id
+),
+member AS (
+  SELECT c.comp, d.doc_id, length(d.text) AS len
+  FROM comp c JOIN documents d ON c.id = d.doc_id
+)
+SELECT comp, count(*) AS n_members,
+       arg_max(doc_id, len * 1000000 - doc_id) AS rep_id,
+       max(len) AS rep_len
+FROM member GROUP BY comp
+"""
+
+QUERIES["dedup_representatives"] = dedup_representatives
+ORACLES["dedup_representatives"] = DEDUP_REPRESENTATIVES_SQL
