@@ -8,7 +8,18 @@ order-insensitive value-hash).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# Pin Python workers to the driver's interpreter at import time, before any
+# SparkSession exists: an inherited PYSPARK_PYTHON (e.g. `python` resolving to
+# an unrelated conda install) fails every pandas-UDF/mapInPandas stage with
+# [PYTHON_VERSION_MISMATCH]. bears_spark.session.get_session does the same for
+# sessions it creates; this covers harnesses that build their own session
+# after importing this module.
+os.environ["PYSPARK_PYTHON"] = sys.executable
+os.environ["PYSPARK_DRIVER_PYTHON"] = sys.executable
 
 from pyspark.sql import DataFrame, SparkSession
 

@@ -9,6 +9,7 @@ partitions sized to the parallelism at hand rather than Spark's legacy 200.
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
 
@@ -50,6 +51,14 @@ def get_session(app_name: str = "bears_spark", master: str | None = None, **extr
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
     cluster the caller leaves it None and spark-submit supplies the master.
     """
+    # Pin Python workers to the interpreter running the driver — set
+    # unconditionally: an inherited PYSPARK_PYTHON (or bare `python3` on a
+    # PATH shadowed by an unrelated install, e.g. a conda base env) gives
+    # [PYTHON_VERSION_MISMATCH] and fails every Python-worker stage
+    # (pandas UDF / mapInPandas). Driver == worker interpreter is the only
+    # configuration this repo supports.
+    os.environ["PYSPARK_PYTHON"] = sys.executable
+    os.environ["PYSPARK_DRIVER_PYTHON"] = sys.executable
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
