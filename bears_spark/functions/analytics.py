@@ -16,7 +16,7 @@ without array HOFs would need is O(k) shuffles instead.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -62,6 +62,38 @@ def window_funnel(
     # chain property: set slots form a prefix, so depth = count of set slots
     depth = F.size(F.filter(state, lambda x: x != -1))
     return df.groupBy(entity_col).agg(depth.cast("bigint").alias(out_col))
+
+
+def cusum_scores(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    partition_cols: list[str],
+    k: float = 0.25,
+    out_col: str = "cusum",
+) -> DataFrame:
+    """One-sided (upward-shift) CUSUM changepoint score per partition, exactly,
+    without the sequential recursion.
+
+    The textbook form S_i = max(0, S_{i-1} + (x_i - mu - k*sigma)) looks
+    iterative, but it has a closed scan form:
+
+        y_i = x_i - mu - k*sigma;   C_i = sum_{j<=i} y_j
+        S_i = C_i - min(0, min_{j<=i} C_j)
+
+    so a running sum plus a running min — two ordered-window prefixes over the
+    SAME (partition, order) — compute it in one shuffle, no loop, no Python.
+    mu/sigma are whole-partition aggregates (an unordered window on the same
+    key, so Catalyst reuses the exchange). Returns ``df`` plus ``out_col``
+    (the S_i score) and ``{out_col}_sigma`` (the partition sigma, for the
+    caller's `S > h*sigma` alarm rule).
+    """
+    pw = Window.partitionBy(*partition_cols)
+    ow = Window.partitionBy(*partition_cols).orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, 0)
+    staged = df.withColumn("__mu__", F.avg(value_col).over(pw)).withColumn("__sd__", F.stddev_samp(value_col).over(pw))
+    staged = staged.withColumn("__c__", F.sum(F.col(value_col) - F.col("__mu__") - F.lit(k) * F.col("__sd__")).over(ow))
+    staged = staged.withColumn(out_col, F.col("__c__") - F.least(F.lit(0.0), F.min("__c__").over(ow)))
+    return staged.drop("__mu__", "__c__").withColumnRenamed("__sd__", f"{out_col}_sigma")
 
 
 def cohort_retention(

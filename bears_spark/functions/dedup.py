@@ -544,3 +544,55 @@ def ngram_containment_pairs(
         .filter(F.greatest("containment_ab", "containment_ba") >= threshold)
         .select("id_a", "id_b", "containment_ab", "containment_ba")
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 4,
+    threshold: float = 0.5,
+    block_chars: int = 2,
+    key_chars: int = 40,
+) -> DataFrame:
+    """Sorted-neighborhood dedup blocking (Hernandez-Stolfo merge/purge):
+    sort records by a normalized key and compare each record only to its next
+    ``window`` neighbors, verified by token-set Jaccard.
+
+    Scale shape: the sort runs WITHIN blocks (the first ``block_chars`` chars
+    of the normalized key partition the window), never globally — one shuffle
+    on the block key, forward-only ``lead()`` per block, then a pure-expression
+    Jaccard over the exploded neighbor list. Candidate volume is linear
+    (``window`` per record) vs the quadratic all-pairs a naive merge/purge
+    implies. The trade: near-dups whose keys diverge inside the first
+    ``block_chars`` chars are missed by construction — standard SNM practice
+    is a second pass with a rotated key for recall.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = df.select(
+        F.col(id_col),
+        F.substring(norm, 1, block_chars).alias("__blk__"),
+        F.substring(norm, 1, key_chars).alias("__key__"),
+        F.array_distinct(tokenize(text_col)).alias("__toks__"),
+    )
+    w = Window.partitionBy("__blk__").orderBy("__key__", id_col)
+    neigh = F.array_compact(
+        F.array(
+            *[
+                F.lead(F.struct(F.col(id_col).alias("nid"), F.col("__toks__").alias("ntoks")), i).over(w)
+                for i in range(1, window + 1)
+            ]
+        )
+    )
+    pairs = base.withColumn("__n__", neigh).select(id_col, "__toks__", F.explode("__n__").alias("nb"))
+    inter = F.size(F.array_intersect("__toks__", F.col("nb.ntoks")))
+    union = F.size("__toks__") + F.size(F.col("nb.ntoks")) - inter
+    return (
+        pairs.withColumn("__j__", inter.cast("double") / union)
+        .filter(F.col("__j__") >= threshold)
+        .select(
+            F.least(F.col(id_col), F.col("nb.nid")).alias("id_a"),
+            F.greatest(F.col(id_col), F.col("nb.nid")).alias("id_b"),
+            F.col("__j__").alias("jaccard"),
+        )
+    )

@@ -315,3 +315,57 @@ def pq_topk(
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram_n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """All-pairs sparse TF-IDF cosine similarity over word n-gram terms
+    (Bayardo et al.'s all-pairs problem, solved with the same blocking
+    discipline as ``dedup.ngram_jaccard_pairs``): weighted overlap instead of
+    set Jaccard, so heavily-repeated shared phrases count more than
+    incidental ones.
+
+    Plan shape: per-doc term frequencies (one explode + groupBy), an idf dim
+    joined back (ln(N/df)), a document-frequency cap dropping terms in more
+    than ``max_doc_freq`` docs (the hot-join-key guard that keeps the term
+    self-join linear at web scale), then a self equi-join on the term key
+    accumulating dot products — never a cross product. Norms are computed
+    over the SAME capped term space, so cosine stays in [0, 1] and an
+    independent engine reproduces it term-for-term. The output filter
+    compares on round(cosine, 6), making the borderline decision identical
+    in any engine that agrees to 6 decimals.
+    """
+    from bears_spark.functions.text import word_ngrams
+
+    terms = df.select(F.col(id_col), F.explode(word_ngrams(text_col, ngram_n)).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.count("*").alias("n"))
+    wgt = (
+        tf.join(docfreq.filter(F.col("df") <= max_doc_freq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(id_col, "term", (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("wt"))
+    )
+    wgt = wgt.persist()
+    norms = wgt.groupBy(id_col).agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"))
+    a, b = wgt.alias("a"), wgt.alias("b")
+    dots = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.sum(F.col("a.wt") * F.col("b.wt")).alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("cosine", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

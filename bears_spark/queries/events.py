@@ -1122,3 +1122,47 @@ GROUP BY path ORDER BY n_sessions DESC, path LIMIT 10
 
 QUERIES["ev_top_session_paths"] = ev_top_session_paths
 ORACLES["ev_top_session_paths"] = EV_TOP_PATHS_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_cusum_alarm: CUSUM changepoint alarms per event type. The sequential
+# CUSUM recursion is computed exactly as two window prefixes (running sum +
+# running min) — see functions/analytics.py::cusum_scores. The alarm rule
+# compares on round(S - h*sigma, 6) so the borderline decision is identical
+# in any engine that agrees to 6 decimals.
+_CUSUM_K, _CUSUM_H = 0.25, 3.0
+
+
+def ev_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.analytics import cusum_scores
+
+    ev = load_table(spark, sf_dir, "events")
+    scored = cusum_scores(ev, "value", ["ts", "event_id"], ["event_type"], k=_CUSUM_K)
+    return (
+        scored.filter(F.round(F.col("cusum") - _CUSUM_H * F.col("cusum_sigma"), 6) > 0)
+        .select("event_id", "event_type", F.round("cusum", 6).alias("cusum"))
+        .orderBy("event_id")
+    )
+
+
+EV_CUSUM_SQL = f"""
+WITH base AS (
+  SELECT event_id, event_type, ts, value,
+         avg(value) OVER (PARTITION BY event_type) AS mu,
+         stddev_samp(value) OVER (PARTITION BY event_type) AS sd
+  FROM events
+), cum AS (
+  SELECT *, sum(value - mu - {_CUSUM_K} * sd) OVER w AS c
+  FROM base
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), s AS (
+  SELECT *, c - least(0, min(c) OVER w) AS cusum
+  FROM cum
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, event_type, round(cusum, 6) AS cusum
+FROM s WHERE round(cusum - {_CUSUM_H} * sd, 6) > 0 ORDER BY event_id
+"""
+
+QUERIES["ev_cusum_alarm"] = ev_cusum_alarm
+ORACLES["ev_cusum_alarm"] = EV_CUSUM_SQL

@@ -738,3 +738,136 @@ GROUP BY source
 
 QUERIES["corpus_build_mixture"] = corpus_build_mixture
 ORACLES["corpus_build_mixture"] = CORPUS_MIXTURE_BUILD_SQL
+
+
+# --------------------------------------------------------------------------
+# doc_bigram_logprob: interpolated bigram language-model scoring (the CCNet
+# perplexity-filter pattern, one order up from doc_unigram_logprob):
+# P(w2|w1) = lam * c(w1 w2)/c(w1 .) + (1-lam) * c(w2)/N, score = mean ln P
+# over the doc's bigrams. Count tables are corpus-level groupBys; scoring is
+# three equi-joins on word keys (the count dims broadcast when small; at
+# 100 TB they shuffle-join on a well-distributed vocabulary key).
+_LM_LAMBDA = 0.75
+
+
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.text import tokenize, word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select("doc_id", F.explode(word_ngrams("text", 2)).alias("bg"))
+    bg = bg.withColumn("w1", F.split("bg", " ")[0]).withColumn("w2", F.split("bg", " ")[1])
+    c12 = bg.groupBy("bg").agg(F.count("*").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    uni = docs.select(F.explode(tokenize("text")).alias("w2"))
+    c2 = uni.groupBy("w2").agg(F.count("*").alias("c2"))
+    tot = uni.agg(F.count("*").alias("n"))
+    logp = F.log(
+        F.lit(_LM_LAMBDA) * (F.col("c12") / F.col("c1")) + F.lit(1 - _LM_LAMBDA) * (F.col("c2") / F.col("n"))
+    )
+    return (
+        bg.join(c12, "bg")
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("logp", logp)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.round(F.avg("logp"), 6).alias("mean_logprob"))
+    )
+
+
+DOC_BIGRAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM toks WHERE len(t) >= 2
+), sp AS (
+  SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2 FROM bg
+), c12 AS (
+  SELECT bg, count(*) AS c12 FROM sp GROUP BY 1
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM sp GROUP BY 1
+), uni AS (
+  SELECT unnest(t) AS w2 FROM toks
+), c2 AS (
+  SELECT w2, count(*) AS c2 FROM uni GROUP BY 1
+), tot AS (
+  SELECT count(*) AS n FROM uni
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(ln({_LM_LAMBDA} * (c12 / c1) + {1 - _LM_LAMBDA} * (c2 / n))), 6) AS mean_logprob
+FROM sp JOIN c12 USING (bg) JOIN c1 USING (w1) JOIN c2 USING (w2), tot
+GROUP BY doc_id
+"""
+
+QUERIES["doc_bigram_logprob"] = doc_bigram_logprob
+ORACLES["doc_bigram_logprob"] = DOC_BIGRAM_SQL
+
+
+# --------------------------------------------------------------------------
+# corpus_pmi_bigrams: top collocations by pointwise mutual information —
+# PMI = ln( p(w1 w2) / (p(w1) p(w2)) ) with bigram probability over the
+# bigram total and word probabilities over the unigram total; min support 5.
+# Two corpus groupBys + two vocabulary joins + TakeOrderedAndProject; the
+# tie-break (rounded PMI desc, then words) makes the global top-k cut
+# engine-reproducible.
+_PMI_MIN_COUNT, _PMI_TOPK = 5, 25
+
+
+def corpus_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.text import tokenize, word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select(F.explode(word_ngrams("text", 2)).alias("bg"))
+    c12 = bg.groupBy("bg").agg(F.count("*").alias("c12"))
+    nb = bg.agg(F.count("*").alias("nb"))
+    uni = docs.select(F.explode(tokenize("text")).alias("w"))
+    cu = uni.groupBy("w").agg(F.count("*").alias("cu"))
+    nu = uni.agg(F.count("*").alias("nu"))
+    pmi = F.log((F.col("c12") / F.col("nb")) / ((F.col("c1") / F.col("nu")) * (F.col("c2") / F.col("nu"))))
+    return (
+        c12.filter(F.col("c12") >= _PMI_MIN_COUNT)
+        .withColumn("w1", F.split("bg", " ")[0])
+        .withColumn("w2", F.split("bg", " ")[1])
+        .join(cu.select(F.col("w").alias("w1"), F.col("cu").alias("c1")), "w1")
+        .join(cu.select(F.col("w").alias("w2"), F.col("cu").alias("c2")), "w2")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+        .withColumn("pmi", F.round(pmi, 6))
+        .select("w1", "w2", F.col("c12").alias("pair_count"), "pmi")
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(_PMI_TOPK)
+    )
+
+
+CORPUS_PMI_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+), bg AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM toks WHERE len(t) >= 2
+), c12 AS (
+  SELECT bg, count(*) AS c12 FROM bg GROUP BY 1
+), nb AS (
+  SELECT count(*) AS nb FROM bg
+), uni AS (
+  SELECT unnest(t) AS w FROM toks
+), cu AS (
+  SELECT w, count(*) AS cu FROM uni GROUP BY 1
+), nu AS (
+  SELECT count(*) AS nu FROM uni
+), sp AS (
+  SELECT bg, c12, string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+  FROM c12 WHERE c12 >= {_PMI_MIN_COUNT}
+)
+SELECT w1, w2, c12 AS pair_count,
+       round(ln((c12 / nb) / ((a.cu / nu) * (b.cu / nu))), 6) AS pmi
+FROM sp
+JOIN cu a ON sp.w1 = a.w
+JOIN cu b ON sp.w2 = b.w, nb, nu
+ORDER BY pmi DESC, w1, w2 LIMIT {_PMI_TOPK}
+"""
+
+QUERIES["corpus_pmi_bigrams"] = corpus_pmi_bigrams
+ORACLES["corpus_pmi_bigrams"] = CORPUS_PMI_SQL

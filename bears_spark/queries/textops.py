@@ -900,3 +900,102 @@ FROM member GROUP BY comp
 
 QUERIES["dedup_representatives"] = dedup_representatives
 ORACLES["dedup_representatives"] = DEDUP_REPRESENTATIVES_SQL
+
+
+# --------------------------------------------------------------------------
+# dedup_sorted_neighbors: sorted-neighborhood (merge/purge) blocking — sort by
+# a normalized key inside coarse blocks, compare each doc to its next W
+# neighbors only, verify with token-set Jaccard.
+_SNM_W, _SNM_THRESHOLD, _SNM_BLOCK, _SNM_KEY = 4, 0.8, 2, 40
+
+
+def dedup_sorted_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.sorted_neighborhood_pairs(
+        docs, "doc_id", "text", window=_SNM_W, threshold=_SNM_THRESHOLD,
+        block_chars=_SNM_BLOCK, key_chars=_SNM_KEY,
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy("id_a", "id_b")
+
+
+def _snm_sql() -> str:
+    norm = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+    branches = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, toks, lead(doc_id, {i}) OVER w{i} AS nid, lead(toks, {i}) OVER w{i} AS ntoks"
+        f" FROM base WINDOW w{i} AS (PARTITION BY blk ORDER BY skey, doc_id)"
+        for i in range(1, _SNM_W + 1)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         substr({norm}, 1, {_SNM_BLOCK}) AS blk,
+         substr({norm}, 1, {_SNM_KEY}) AS skey,
+         list_distinct({_TOKS}) AS toks
+  FROM documents
+), led AS (
+{branches}
+), pairs AS (
+  SELECT least(doc_id, nid) AS id_a, greatest(doc_id, nid) AS id_b,
+         len(list_intersect(toks, ntoks))::DOUBLE
+           / (len(toks) + len(ntoks) - len(list_intersect(toks, ntoks))) AS jaccard
+  FROM led WHERE nid IS NOT NULL
+)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+FROM pairs WHERE jaccard >= {_SNM_THRESHOLD} ORDER BY id_a, id_b
+"""
+
+
+SNM_SQL = _snm_sql()
+
+QUERIES["dedup_sorted_neighbors"] = dedup_sorted_neighbors
+ORACLES["dedup_sorted_neighbors"] = SNM_SQL
+
+
+# --------------------------------------------------------------------------
+# tfidf_cosine_pairs: all-pairs sparse TF-IDF cosine over word trigrams —
+# the weighted counterpart of dedup_ngram_jaccard (shared phrases weighted by
+# rarity), same df-cap blocking discipline, self equi-join on the term key.
+_TC_N, _TC_THRESHOLD, _TC_MAXDF = 3, 0.5, 100
+
+
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = sim.tfidf_cosine_pairs(
+        docs, "doc_id", "text", ngram_n=_TC_N, threshold=_TC_THRESHOLD, max_doc_freq=_TC_MAXDF
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+TFIDF_COSINE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS grams
+  FROM toks WHERE len(t) >= {_TC_N}
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(grams) AS term FROM g) GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), nd AS (
+  SELECT count(*) AS n FROM documents
+), wgt AS (
+  SELECT tf.doc_id, tf.term, tf.tf * ln(n / df) AS wt
+  FROM tf JOIN dfreq USING (term), nd
+  WHERE df <= {_TC_MAXDF}
+), nrm AS (
+  SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM wgt GROUP BY 1
+), dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.wt * b.wt) AS dot
+  FROM wgt a JOIN wgt b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots JOIN nrm na ON id_a = na.doc_id JOIN nrm nb ON id_b = nb.doc_id
+WHERE round(dot / (na.nrm * nb.nrm), 6) >= {_TC_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+QUERIES["tfidf_cosine_pairs"] = tfidf_cosine_pairs
+ORACLES["tfidf_cosine_pairs"] = TFIDF_COSINE_SQL

@@ -92,3 +92,77 @@ def test_funnel_single_shuffle_plan(spark):
     plan = window_funnel(df, "user_id", "ts", "event_type", STEPS)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+# ----------------------------------------------------------------------------
+# cusum_scores: closed-form scan must equal the textbook sequential recursion.
+def test_cusum_matches_sequential_recursion(spark):
+    import math
+
+    from bears_spark.functions.analytics import cusum_scores
+
+    vals = [10.0, 11.0, 9.0, 10.5, 30.0, 31.0, 29.5, 30.2, 10.0, 9.8]
+    df = spark.createDataFrame(
+        [(i, "a", v) for i, v in enumerate(vals)], "seq: bigint, grp: string, value: double"
+    )
+    got = {
+        r["seq"]: (r["cusum"], r["cusum_sigma"])
+        for r in cusum_scores(df, "value", ["seq"], ["grp"], k=0.25).collect()
+    }
+    n = len(vals)
+    mu = sum(vals) / n
+    sd = math.sqrt(sum((v - mu) ** 2 for v in vals) / (n - 1))
+    s = 0.0
+    for i, v in enumerate(vals):
+        s = max(0.0, s + (v - mu - 0.25 * sd))
+        assert got[i][0] == pytest.approx(s, abs=1e-9)
+        assert got[i][1] == pytest.approx(sd, abs=1e-9)
+
+
+def test_cusum_resets_after_downward_drift(spark):
+    from bears_spark.functions.analytics import cusum_scores
+
+    # long low run then a level shift: score must be ~0 during the low run
+    # (max(0, .) clamps) and climb after the shift
+    vals = [0.0] * 20 + [10.0] * 5
+    df = spark.createDataFrame(
+        [(i, "a", v) for i, v in enumerate(vals)], "seq: bigint, grp: string, value: double"
+    )
+    rows = {r["seq"]: r["cusum"] for r in cusum_scores(df, "value", ["seq"], ["grp"]).collect()}
+    assert rows[19] == pytest.approx(0.0, abs=1e-9)  # clamped at zero pre-shift
+    assert rows[24] > rows[21] > 0  # monotone climb after the shift
+
+
+# ----------------------------------------------------------------------------
+# sorted_neighborhood_pairs: candidate volume is linear (<= window per row),
+# near-identical neighbors are found, and far-apart keys are never compared.
+def test_sorted_neighborhood_finds_adjacent_near_dups(spark):
+    from bears_spark.functions.dedup import sorted_neighborhood_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta zeta"),     # near-dup of 1, same prefix
+            (3, "alpha beta gamma delta epsilon"),  # exact dup of 1
+            (4, "zz totally unrelated words here"), # different block
+        ],
+        "doc_id: bigint, text: string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(docs, "doc_id", "text", window=2, threshold=0.6).collect()
+    }
+    assert (1, 3) in pairs and ((1, 2) in pairs or (2, 3) in pairs)
+    assert all(4 not in p for p in pairs)  # other block never compared
+
+
+def test_sorted_neighborhood_candidates_linear(spark):
+    from bears_spark.functions.dedup import sorted_neighborhood_pairs
+
+    # 50 identical docs: all-pairs would be 1225; SNM emits <= window per doc
+    docs = spark.createDataFrame(
+        [(i, "same words every time") for i in range(50)], "doc_id: bigint, text: string"
+    )
+    n = sorted_neighborhood_pairs(docs, "doc_id", "text", window=3, threshold=0.9).count()
+    assert n <= 50 * 3
+    assert n == 49 * 3 - 3  # forward-only leads: (n-1)+(n-2)+(n-3) pairs... per window arithmetic

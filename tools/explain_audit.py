@@ -71,6 +71,10 @@ FORBIDDEN_EXEMPT = {
     "kmv_partkey_overlap",
     "doc_unigram_logprob",
     "join_cardinality_prediction",
+    # same 1-row scalar pattern: bigram-LM / PMI totals, TF-IDF doc count
+    "doc_bigram_logprob",
+    "corpus_pmi_bigrams",
+    "tfidf_cosine_pairs",
 }
 
 
