@@ -171,6 +171,9 @@ HEADLINE = [
     "doc_pack_sequences",
     "ev_funnel_conversion",
     "doc_decontaminate",
+    # round-4 late additions: weighted all-pairs + window-scan families
+    "tfidf_cosine_pairs",
+    "ev_cusum_alarm",
 ]
 
 

@@ -1166,3 +1166,53 @@ FROM s WHERE round(cusum - {_CUSUM_H} * sd, 6) > 0 ORDER BY event_id
 
 QUERIES["ev_cusum_alarm"] = ev_cusum_alarm
 ORACLES["ev_cusum_alarm"] = EV_CUSUM_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_seasonal_profile: day-of-week x hour-of-day seasonal baseline per event
+# type, then the 50 events deviating most from their seasonal mean. The
+# baseline is a bounded dim (types x 7 x 24) — an explicit broadcast is safe
+# at any corpus size; the deviation ordering compares on round(.,6) with an
+# event_id tiebreak so the global top-50 cut is engine-reproducible.
+def ev_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),  # 0 = Sunday, as date_part('dow')
+        F.hour("ts").cast("long").alias("hod"),
+    )
+    base = keyed.groupBy("event_type", "dow", "hod").agg(F.avg("value").alias("seasonal_avg"))
+    return (
+        keyed.join(F.broadcast(base), ["event_type", "dow", "hod"])
+        .select(
+            "event_id",
+            "event_type",
+            "dow",
+            "hod",
+            F.round("seasonal_avg", 6).alias("seasonal_avg"),
+            F.round(F.abs(F.col("value") - F.col("seasonal_avg")), 6).alias("abs_dev"),
+        )
+        .orderBy(F.desc("abs_dev"), "event_id")
+        .limit(50)
+    )
+
+
+EV_SEASONAL_SQL = """
+WITH keyed AS (
+  SELECT event_id, event_type, value,
+         date_part('dow', ts)::BIGINT AS dow, date_part('hour', ts)::BIGINT AS hod
+  FROM events
+), base AS (
+  SELECT event_type, dow, hod, avg(value) AS seasonal_avg FROM keyed GROUP BY 1, 2, 3
+)
+SELECT event_id, event_type, dow, hod,
+       round(seasonal_avg, 6) AS seasonal_avg,
+       round(abs(value - seasonal_avg), 6) AS abs_dev
+FROM keyed JOIN base USING (event_type, dow, hod)
+ORDER BY abs_dev DESC, event_id LIMIT 50
+"""
+
+QUERIES["ev_seasonal_profile"] = ev_seasonal_profile
+ORACLES["ev_seasonal_profile"] = EV_SEASONAL_SQL

@@ -126,3 +126,54 @@ JOIN pairs e3 ON e3.x = e1.x AND e3.y = e2.y
 
 QUERIES["supplier_triangles"] = supplier_triangles
 ORACLES["supplier_triangles"] = SUPPLIER_TRIANGLES_SQL
+
+
+# --------------------------------------------------------------------------
+# supplier_two_hop_reach: k-hop neighborhood size (k=2) on the undirected
+# supplier co-purchase graph — the classic reachability primitive between
+# triangle counting and full BFS. One edge self-join + distinct; the
+# distinct-union bounds the pair explosion to actual 2-hop pairs.
+def supplier_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
+        .select(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
+        .distinct()
+    )
+    e1, e2 = und.alias("e1"), und.alias("e2")
+    two = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).select(
+        F.col("e1.src").alias("src"), F.col("e2.dst").alias("dst")
+    )
+    reach = (
+        und.unionByName(two)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .groupBy("src")
+        .agg(F.count("*").alias("reach_2hop"))
+    )
+    return (
+        reach.select(F.col("src").alias("suppkey"), "reach_2hop")
+        .orderBy(F.desc("reach_2hop"), "suppkey")
+        .limit(20)
+    )
+
+
+TWO_HOP_SQL = """
+WITH und AS (
+  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey <> b.l_suppkey
+), two AS (
+  SELECT e1.src, e2.dst FROM und e1 JOIN und e2 ON e1.dst = e2.src
+), reach AS (
+  SELECT src, count(*) AS reach_2hop
+  FROM (SELECT DISTINCT src, dst FROM (SELECT * FROM und UNION ALL SELECT * FROM two) WHERE src <> dst)
+  GROUP BY src
+)
+SELECT src AS suppkey, reach_2hop FROM reach ORDER BY reach_2hop DESC, suppkey LIMIT 20
+"""
+
+QUERIES["supplier_two_hop_reach"] = supplier_two_hop_reach
+ORACLES["supplier_two_hop_reach"] = TWO_HOP_SQL

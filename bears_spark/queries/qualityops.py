@@ -871,3 +871,57 @@ ORDER BY pmi DESC, w1, w2 LIMIT {_PMI_TOPK}
 
 QUERIES["corpus_pmi_bigrams"] = corpus_pmi_bigrams
 ORACLES["corpus_pmi_bigrams"] = CORPUS_PMI_SQL
+
+
+# --------------------------------------------------------------------------
+# doc_quality_balanced_corpus: quality-balanced corpus selection — stratify
+# documents into quartiles of their unigram-LM score (so low-, mid-, and
+# high-perplexity text are all represented) and take a deterministic
+# hash-ordered sample of 25 per stratum. Quartile assignment uses the
+# distributed global row number (range partition + offsets — no one-task
+# window); per-stratum selection is a WindowGroupLimit over 4 partitions.
+_QBC_SALT, _QBC_PER_STRATUM = 7, 25
+
+
+def doc_quality_balanced_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from bears_spark.functions.hashing import md5_hash64
+    from bears_spark.functions.prefix import distributed_row_number
+
+    lm = doc_unigram_logprob(spark, sf_dir).select("doc_id", "mean_logprob").persist()
+    total = lm.count()
+    pos = distributed_row_number(lm, ["mean_logprob", "doc_id"], out_col="pos")
+    strat = pos.select(
+        "doc_id",
+        (F.expr("pos * 4") / F.lit(total)).cast("long").alias("stratum_0"),
+        md5_hash64("doc_id", salt=_QBC_SALT).alias("h"),
+    ).withColumn("stratum", F.col("stratum_0") + 1)
+    w = Window.partitionBy("stratum").orderBy("h", "doc_id")
+    return (
+        strat.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _QBC_PER_STRATUM)
+        .select("stratum", "doc_id", "rnk")
+        .orderBy("stratum", "rnk")
+    )
+
+
+DOC_QBC_SQL = f"""
+WITH lm AS (
+  SELECT doc_id, mean_logprob FROM ({DOC_UNIGRAM_SQL}) u
+), pos AS (
+  SELECT doc_id, row_number() OVER (ORDER BY mean_logprob, doc_id) - 1 AS pos,
+         count(*) OVER () AS n
+  FROM lm
+), strat AS (
+  SELECT doc_id, (pos * 4) // n + 1 AS stratum,
+         {_duck_h64("doc_id", str(_QBC_SALT))} AS h
+  FROM pos
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY stratum ORDER BY h, doc_id) AS rnk FROM strat
+)
+SELECT stratum, doc_id, rnk FROM ranked WHERE rnk <= {_QBC_PER_STRATUM} ORDER BY stratum, rnk
+"""
+
+QUERIES["doc_quality_balanced_corpus"] = doc_quality_balanced_corpus
+ORACLES["doc_quality_balanced_corpus"] = DOC_QBC_SQL

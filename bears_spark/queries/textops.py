@@ -999,3 +999,47 @@ ORDER BY id_a, id_b
 
 QUERIES["tfidf_cosine_pairs"] = tfidf_cosine_pairs
 ORACLES["tfidf_cosine_pairs"] = TFIDF_COSINE_SQL
+
+
+# --------------------------------------------------------------------------
+# lsh_recall_report: measure, don't guess — candidate recall of the banded
+# MinHash LSH against exact n-gram-Jaccard ground truth (same shingling and
+# df cap), as one summary row. The join of two pair sets is a left-semi on
+# (id_a, id_b); the three counts are 1-row aggregates combined by scalar
+# crossJoins (audit-exempt 1-row BNLJ pattern).
+def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    truth = dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=100
+    ).select("id_a", "id_b")
+    cand = dd.minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS, ngram_n=_NGRAM_N
+    ).select("id_a", "id_b")
+    hit = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    t = truth.agg(F.count("*").alias("n_true"))
+    c = cand.agg(F.count("*").alias("n_candidates"))
+    h = hit.agg(F.count("*").alias("n_hit"))
+    return (
+        t.crossJoin(c)
+        .crossJoin(h)
+        .withColumn("recall", F.round(F.col("n_hit") / F.col("n_true"), 6))
+    )
+
+
+LSH_RECALL_SQL = f"""
+WITH truth AS (
+  SELECT id_a, id_b FROM ({NGRAM_JACCARD_SQL}) tq
+), cand AS (
+  SELECT id_a, id_b FROM ({MINHASH_LSH_SQL}) cq
+), hit AS (
+  SELECT t.id_a, t.id_b FROM truth t
+  WHERE EXISTS (SELECT 1 FROM cand c WHERE c.id_a = t.id_a AND c.id_b = t.id_b)
+)
+SELECT (SELECT count(*) FROM truth) AS n_true,
+       (SELECT count(*) FROM cand) AS n_candidates,
+       (SELECT count(*) FROM hit) AS n_hit,
+       round((SELECT count(*) FROM hit)::DOUBLE / (SELECT count(*) FROM truth), 6) AS recall
+"""
+
+QUERIES["lsh_recall_report"] = lsh_recall_report
+ORACLES["lsh_recall_report"] = LSH_RECALL_SQL

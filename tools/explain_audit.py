@@ -71,10 +71,14 @@ FORBIDDEN_EXEMPT = {
     "kmv_partkey_overlap",
     "doc_unigram_logprob",
     "join_cardinality_prediction",
-    # same 1-row scalar pattern: bigram-LM / PMI totals, TF-IDF doc count
+    # same 1-row scalar pattern: bigram-LM / PMI totals, TF-IDF doc count,
+    # LSH recall summary (three 1-row aggregates combined)
     "doc_bigram_logprob",
     "corpus_pmi_bigrams",
     "tfidf_cosine_pairs",
+    "lsh_recall_report",
+    # reuses doc_unigram_logprob (and its 1-row token-total crossJoin)
+    "doc_quality_balanced_corpus",
 }
 
 
