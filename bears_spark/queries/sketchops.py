@@ -506,3 +506,56 @@ SELECT variant, sum_scaled, {_HLL_NUMER!r}::DOUBLE / sum_scaled AS estimate FROM
 
 QUERIES["hll_merge_proof"] = hll_merge_proof
 ORACLES["hll_merge_proof"] = HLL_MERGE_SQL
+
+
+# --------------------------------------------------------------------------
+# hist_merge_proof: mergeability proof for the equi-width histogram state —
+# per-event-type partial histograms (same global bin layout) summed
+# bin-by-bin must equal the direct global histogram exactly. This is the
+# property that makes the histogram a valid distributed/streaming sketch
+# (partials combine associatively across executors or micro-batches).
+def hist_merge_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    mm = ev.agg(F.min("value"), F.max("value")).first()
+    vmin, vmax = float(mm[0]), float(mm[1])
+    b = _HQ_BINS
+    bin_expr = F.least(
+        F.greatest(F.floor((F.col("value") - F.lit(vmin)) / F.lit(vmax - vmin) * b), F.lit(0)),
+        F.lit(b - 1),
+    ).cast("bigint")
+    direct = ev.groupBy(bin_expr.alias("bin")).agg(F.count("*").alias("cnt_direct"))
+    merged = (
+        ev.groupBy("event_type", bin_expr.alias("bin"))
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt_merged"))
+    )
+    return (
+        direct.join(merged, "bin")
+        .select("bin", "cnt_direct", "cnt_merged", (F.col("cnt_direct") == F.col("cnt_merged")).alias("merge_exact"))
+        .orderBy("bin")
+    )
+
+
+HIST_MERGE_SQL = f"""
+WITH vals AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL
+), mm AS (
+  SELECT min(value) AS vmin, max(value) AS vmax FROM vals
+), binned AS (
+  SELECT event_type,
+         CAST(least(greatest(floor((value - vmin) / (vmax - vmin) * {_HQ_BINS}), 0), {_HQ_BINS - 1}) AS BIGINT) AS bin
+  FROM vals, mm
+), direct AS (
+  SELECT bin, count(*) AS cnt_direct FROM binned GROUP BY 1
+), partials AS (
+  SELECT event_type, bin, count(*) AS cnt FROM binned GROUP BY 1, 2
+), merged AS (
+  SELECT bin, CAST(sum(cnt) AS BIGINT) AS cnt_merged FROM partials GROUP BY 1
+)
+SELECT bin, cnt_direct, cnt_merged, cnt_direct = cnt_merged AS merge_exact
+FROM direct JOIN merged USING (bin) ORDER BY bin
+"""
+
+QUERIES["hist_merge_proof"] = hist_merge_proof
+ORACLES["hist_merge_proof"] = HIST_MERGE_SQL

@@ -1043,3 +1043,62 @@ SELECT (SELECT count(*) FROM truth) AS n_true,
 
 QUERIES["lsh_recall_report"] = lsh_recall_report
 ORACLES["lsh_recall_report"] = LSH_RECALL_SQL
+
+
+# --------------------------------------------------------------------------
+# dedup_surviving_corpus: the END-TO-END dedup pipeline output — MinHash LSH
+# candidates -> connected components -> representative per cluster -> the
+# surviving document set (non-clustered docs + one representative per
+# cluster). This is the query a user actually ships: "give me the deduped
+# corpus". One left-anti join against the loser set; all upstream stages are
+# the audited bucketed equi-joins.
+def dedup_surviving_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS, ngram_n=_NGRAM_N
+    )
+    comp = dd.connected_components(pairs).withColumnRenamed("component", "comp")
+    member = comp.join(docs, comp.id == docs.doc_id).select("comp", "doc_id", F.length("text").alias("len"))
+    reps = member.groupBy("comp").agg(F.expr("max_by(doc_id, len * 1000000 - doc_id)").alias("rep_id"))
+    losers = (
+        member.join(reps, "comp").where(F.col("doc_id") != F.col("rep_id")).select("doc_id")
+    )
+    return (
+        docs.join(losers, "doc_id", "left_anti")
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_SURVIVING_SQL = f"""
+WITH RECURSIVE pairs AS ({MINHASH_LSH_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk (id, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.comp FROM walk w JOIN edges e ON w.id = e.dst
+),
+comp AS (
+  SELECT id, min(comp) AS comp FROM walk GROUP BY id
+),
+member AS (
+  SELECT c.comp, d.doc_id, length(d.text) AS len
+  FROM comp c JOIN documents d ON c.id = d.doc_id
+),
+rep AS (
+  SELECT comp, arg_max(doc_id, len * 1000000 - doc_id) AS rep_id FROM member GROUP BY comp
+),
+losers AS (
+  SELECT m.doc_id FROM member m JOIN rep r ON m.comp = r.comp WHERE m.doc_id <> r.rep_id
+)
+SELECT d.doc_id, d.source, d.lang
+FROM documents d ANTI JOIN losers l USING (doc_id)
+ORDER BY doc_id
+"""
+
+QUERIES["dedup_surviving_corpus"] = dedup_surviving_corpus
+ORACLES["dedup_surviving_corpus"] = DEDUP_SURVIVING_SQL

@@ -246,3 +246,33 @@ def test_merge_into_matches_model(spark, case):
         ).collect()
     }
     assert got == _merge_model(target, source, wm, wnm, wnmbs)
+
+
+# ----------------------------------------------------------------------------
+# cusum_scores closed-form scan == textbook sequential recursion, on arbitrary
+# float sequences (negatives, repeats, constant runs).
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
+        min_size=2,
+        max_size=40,
+    )
+)
+@_settings
+def test_cusum_closed_form_equals_recursion(spark, vals):
+    import math
+
+    from bears_spark.functions.analytics import cusum_scores
+
+    df = spark.createDataFrame(
+        [(i, "g", float(v)) for i, v in enumerate(vals)], "seq: bigint, grp: string, value: double"
+    )
+    got = {r["seq"]: r["cusum"] for r in cusum_scores(df, "value", ["seq"], ["grp"], k=0.5).collect()}
+    n = len(vals)
+    mu = sum(vals) / n
+    var = sum((v - mu) ** 2 for v in vals) / (n - 1)
+    sd = math.sqrt(var)
+    s = 0.0
+    for i, v in enumerate(vals):
+        s = max(0.0, s + (v - mu - 0.5 * sd))
+        assert math.isclose(got[i], s, rel_tol=1e-9, abs_tol=1e-6)
