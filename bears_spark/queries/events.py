@@ -1216,3 +1216,64 @@ ORDER BY abs_dev DESC, event_id LIMIT 50
 
 QUERIES["ev_seasonal_profile"] = ev_seasonal_profile
 ORACLES["ev_seasonal_profile"] = EV_SEASONAL_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_funnel_latency: time-to-convert percentiles for the full funnel chain —
+# the natural companion to ev_funnel_conversion (how MANY convert) answering
+# how FAST. Same min-chain semantics expressed as three filtered groupBy-min
+# joins (each stage's table shrinks, so the chain is three cheap shuffles);
+# exact interpolated percentiles at the end.
+def ev_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t"), F.col("event_type").alias("y")
+    )
+    s1 = ev.where(F.col("y") == _FUNNEL_STEPS[0]).groupBy("user_id").agg(F.min("t").alias("t1"))
+    s2 = (
+        ev.where(F.col("y") == _FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .where((F.col("t") > F.col("t1")) & (F.col("t") <= F.col("t1") + _FUNNEL_WINDOW_US))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t2"), F.min("t1").alias("t1"))
+    )
+    s3 = (
+        ev.where(F.col("y") == _FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .where((F.col("t") > F.col("t2")) & (F.col("t") <= F.col("t1") + _FUNNEL_WINDOW_US))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t3"), F.min("t1").alias("t1"))
+    )
+    lat = s3.select(((F.col("t3") - F.col("t1")) / F.lit(1_000_000.0)).alias("sec"))
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.expr("percentile(sec, 0.5)"), 6).alias("p50_sec"),
+        F.round(F.expr("percentile(sec, 0.9)"), 6).alias("p90_sec"),
+    )
+
+
+EV_FUNNEL_LATENCY_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t, event_type AS y FROM events
+), s1 AS (
+  SELECT user_id, min(t) AS t1 FROM ev WHERE y = '{_FUNNEL_STEPS[0]}' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(e.t) AS t2, min(s1.t1) AS t1
+  FROM ev e JOIN s1 USING (user_id)
+  WHERE e.y = '{_FUNNEL_STEPS[1]}' AND e.t > s1.t1 AND e.t <= s1.t1 + {_FUNNEL_WINDOW_US}
+  GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(e.t) AS t3, min(s2.t1) AS t1
+  FROM ev e JOIN s2 USING (user_id)
+  WHERE e.y = '{_FUNNEL_STEPS[2]}' AND e.t > s2.t2 AND e.t <= s2.t1 + {_FUNNEL_WINDOW_US}
+  GROUP BY 1
+), lat AS (
+  SELECT (t3 - t1) / 1000000.0 AS sec FROM s3
+)
+SELECT count(*) AS n_converted,
+       round(quantile_cont(sec, 0.5), 6) AS p50_sec,
+       round(quantile_cont(sec, 0.9), 6) AS p90_sec
+FROM lat
+"""
+
+QUERIES["ev_funnel_latency"] = ev_funnel_latency
+ORACLES["ev_funnel_latency"] = EV_FUNNEL_LATENCY_SQL

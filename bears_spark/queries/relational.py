@@ -1258,3 +1258,57 @@ FROM cum c JOIN sizes s USING (cohort)
 
 QUERIES["cust_cohort_ltv"] = cust_cohort_ltv
 ORACLES["cust_cohort_ltv"] = CUST_LTV_SQL
+
+
+# --------------------------------------------------------------------------
+# fk_integrity_report: referential-integrity audit across the star schema —
+# orphan counts for every FK edge, as one small report. Each check is a
+# left-anti join (the dim side broadcasts when small); a clean corpus
+# reports all zeros, and any non-zero row names the broken edge directly.
+def fk_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    checks = [
+        ("customer.c_nationkey -> nation", cust.join(nation, cust.c_nationkey == nation.n_nationkey, "left_anti")),
+        ("lineitem.l_orderkey -> orders", li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")),
+        ("lineitem.l_partkey -> part", li.join(part, li.l_partkey == part.p_partkey, "left_anti")),
+        ("lineitem.l_suppkey -> supplier", li.join(supp, li.l_suppkey == supp.s_suppkey, "left_anti")),
+        ("orders.o_custkey -> customer", orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")),
+        ("supplier.s_nationkey -> nation", supp.join(nation, supp.s_nationkey == nation.n_nationkey, "left_anti")),
+    ]
+    out = None
+    for name, orphans in checks:
+        row = orphans.groupBy().agg(F.count("*").alias("n_orphans")).select(
+            F.lit(name).alias("fk"), "n_orphans"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fk")
+
+
+FK_INTEGRITY_SQL = """
+SELECT 'customer.c_nationkey -> nation' AS fk,
+       (SELECT count(*) FROM customer c ANTI JOIN nation n ON c.c_nationkey = n.n_nationkey) AS n_orphans
+UNION ALL
+SELECT 'lineitem.l_orderkey -> orders',
+       (SELECT count(*) FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey)
+UNION ALL
+SELECT 'lineitem.l_partkey -> part',
+       (SELECT count(*) FROM lineitem l ANTI JOIN part p ON l.l_partkey = p.p_partkey)
+UNION ALL
+SELECT 'lineitem.l_suppkey -> supplier',
+       (SELECT count(*) FROM lineitem l ANTI JOIN supplier s ON l.l_suppkey = s.s_suppkey)
+UNION ALL
+SELECT 'orders.o_custkey -> customer',
+       (SELECT count(*) FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT 'supplier.s_nationkey -> nation',
+       (SELECT count(*) FROM supplier s ANTI JOIN nation n ON s.s_nationkey = n.n_nationkey)
+ORDER BY fk
+"""
+
+QUERIES["fk_integrity_report"] = fk_integrity_report
+ORACLES["fk_integrity_report"] = FK_INTEGRITY_SQL
