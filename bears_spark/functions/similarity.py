@@ -350,11 +350,17 @@ def tfidf_cosine_pairs(
     wgt = (
         tf.join(docfreq.filter(F.col("df") <= max_doc_freq), "term")
         .crossJoin(F.broadcast(n_docs))
-        .select(id_col, "term", (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("wt"))
+        .select(id_col, "term", "df", (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("wt"))
     )
     wgt = wgt.persist()
     norms = wgt.groupBy(id_col).agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"))
-    a, b = wgt.alias("a"), wgt.alias("b")
+    # a term in exactly one document can never match in the self-join, and
+    # on a real web corpus most n-grams are df=1 — dropping them shrinks the
+    # join input several-fold for free (df is already on the row). Norms are
+    # computed ABOVE this filter, over the full capped term space, so the
+    # cosine value is unchanged.
+    shared = wgt.filter(F.col("df") >= 2)
+    a, b = shared.alias("a"), shared.alias("b")
     dots = (
         a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
