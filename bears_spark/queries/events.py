@@ -1277,3 +1277,63 @@ FROM lat
 
 QUERIES["ev_funnel_latency"] = ev_funnel_latency
 ORACLES["ev_funnel_latency"] = EV_FUNNEL_LATENCY_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_attribution_touch: first-touch vs last-touch marketing attribution —
+# for each user who purchased, credit the first and the last pre-purchase
+# event type before their FIRST purchase. Window row_number in both
+# directions (one shuffle on user_id, the same sort serves both) instead of
+# arg_min/arg_max so the tiebreak (ts, event_id) is total and
+# engine-reproducible.
+def ev_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").groupBy("user_id").agg(F.min("ts").alias("pt"))
+    pre = ev.join(p, "user_id").where((F.col("ts") < F.col("pt")) & (F.col("event_type") != "purchase"))
+    w_first = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_last = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    fl = pre.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w_first).alias("rf"),
+        F.row_number().over(w_last).alias("rl"),
+    )
+    first = fl.where(F.col("rf") == 1).groupBy("event_type").agg(F.count("*").alias("n_first_touch"))
+    last = fl.where(F.col("rl") == 1).groupBy("event_type").agg(F.count("*").alias("n_last_touch"))
+    return (
+        first.join(last, "event_type", "full_outer")
+        .select(
+            "event_type",
+            F.coalesce("n_first_touch", F.lit(0)).alias("n_first_touch"),
+            F.coalesce("n_last_touch", F.lit(0)).alias("n_last_touch"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EV_ATTRIBUTION_SQL = """
+WITH p AS (
+  SELECT user_id, min(ts) AS pt FROM events WHERE event_type = 'purchase' GROUP BY 1
+), pre AS (
+  SELECT e.user_id, e.event_type, e.ts, e.event_id
+  FROM events e JOIN p USING (user_id)
+  WHERE e.ts < p.pt AND e.event_type <> 'purchase'
+), fl AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rf,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rl
+  FROM pre
+), first AS (
+  SELECT event_type, count(*) AS n_first_touch FROM fl WHERE rf = 1 GROUP BY 1
+), last AS (
+  SELECT event_type, count(*) AS n_last_touch FROM fl WHERE rl = 1 GROUP BY 1
+)
+SELECT COALESCE(f.event_type, l.event_type) AS event_type,
+       COALESCE(n_first_touch, 0) AS n_first_touch,
+       COALESCE(n_last_touch, 0) AS n_last_touch
+FROM first f FULL OUTER JOIN last l ON f.event_type = l.event_type
+ORDER BY event_type
+"""
+
+QUERIES["ev_attribution_touch"] = ev_attribution_touch
+ORACLES["ev_attribution_touch"] = EV_ATTRIBUTION_SQL

@@ -1102,3 +1102,49 @@ ORDER BY doc_id
 
 QUERIES["dedup_surviving_corpus"] = dedup_surviving_corpus
 ORACLES["dedup_surviving_corpus"] = DEDUP_SURVIVING_SQL
+
+
+# --------------------------------------------------------------------------
+# doc_shared_passages: cross-document repeated-passage detection — document
+# pairs sharing >= K winnowing fingerprints (each shared fingerprint
+# witnesses a shared character run of length >= k + window - 1, so K of
+# them indicate substantial copied passages, not chance shingle overlap).
+# Same blocking discipline as the dedup ladder: hot fingerprints df-capped
+# via broadcast anti-join, candidates from the fp equi-join.
+_SP_MIN_SHARED, _SP_MAX_DF = 40, 100
+
+
+def doc_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.text import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = winnow_fingerprints(docs, "text", "doc_id", k=5, window=4)
+    fps = wf.select("doc_id", F.explode("fingerprints").alias("fp"))
+    hot = fps.groupBy("fp").agg(F.count("*").alias("d")).filter(F.col("d") > _SP_MAX_DF).select("fp")
+    fps = fps.join(F.broadcast(hot), "fp", "left_anti").persist()
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= _SP_MIN_SHARED)
+        .orderBy("id_a", "id_b")
+    )
+
+
+DOC_SHARED_PASSAGES_SQL = f"""
+WITH fps0 AS (
+  SELECT doc_id, fp FROM ({DOC_WINNOW_SQL}) w
+), hot AS (
+  SELECT fp FROM fps0 GROUP BY fp HAVING count(*) > {_SP_MAX_DF}
+), fps AS (
+  SELECT f.* FROM fps0 f ANTI JOIN hot USING (fp)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {_SP_MIN_SHARED}
+ORDER BY id_a, id_b
+"""
+
+QUERIES["doc_shared_passages"] = doc_shared_passages
+ORACLES["doc_shared_passages"] = DOC_SHARED_PASSAGES_SQL
