@@ -153,8 +153,8 @@ assert len(GRADED_WINDOW) == 50, len(GRADED_WINDOW)
 # this round's window, complement against queries()). The 48 queries below
 # will still have NO driver CORRECTNESS row after round 4 — they fill the
 # round-5 window exactly, with 2 slots left for regression anchors
-# (suggest q1_pricing_summary, dedup_minhash_lsh). All 46 are green under tools/check_correctness.py
-# (this session's full 169/169 local gate run).
+# (suggest q1_pricing_summary, dedup_minhash_lsh). All are green under
+# tools/check_correctness.py (this session's full local gate run).
 ROUND5_NEVER_GRADED = [
     "corpus_build_mixture", "corpus_pmi_bigrams", "cust_cohort_ltv",
     "cust_rfm_scores", "customer_pseudonymize", "dedup_containment",

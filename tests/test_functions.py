@@ -598,3 +598,29 @@ def test_containment_catches_what_jaccard_misses(spark):
     # every gram of the short doc is inside the long one
     assert r["containment_ba"] == pytest.approx(1.0)
     assert r["containment_ab"] < 0.5
+
+
+# ----------------------------------------------------------------------------
+# tfidf_cosine_pairs: exact value check against a hand-computed corpus.
+def test_tfidf_cosine_pairs_hand_computed(spark):
+    import math
+
+    from bears_spark.functions.similarity import tfidf_cosine_pairs
+
+    # Unigram terms (ngram_n=1) on a 3-doc corpus. df: a=2 docs, b=2, c=1, d=1.
+    # With max_doc_freq=100 nothing is capped; idf = ln(3/df).
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b b"), (3, "c d")],
+        "doc_id: bigint, text: string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(docs, "doc_id", "text", ngram_n=1, threshold=0.0).collect()
+    }
+    ia = math.log(3 / 2)  # idf for a and b
+    # doc1: wt(a)=2*ia, wt(b)=1*ia; doc2: wt(a)=1*ia, wt(b)=2*ia
+    dot = 2 * ia * ia + 2 * ia * ia
+    nrm = math.sqrt((2 * ia) ** 2 + ia * ia)
+    expected = round(dot / (nrm * nrm), 6)
+    assert got == {(1, 2): expected}  # doc3 shares no term -> no pair
+    assert 0 < expected < 1

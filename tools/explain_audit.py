@@ -56,6 +56,16 @@ CHECKS = {
     "orders_merge_upsert": ["FullOuter"],
     "orders_snapshot_diff": ["FullOuter"],
     "ev_concurrency_timeline": ["Window", "HashAggregate"],
+    # round-4 late additions
+    "ev_cusum_alarm": ["Window"],  # two prefix windows, one shuffle
+    "dedup_sorted_neighbors": ["Window"],  # block-partitioned leads
+    "corpus_pmi_bigrams": ["TakeOrderedAndProject"],  # global top-k, no sort
+    "ev_seasonal_profile": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+    "supplier_two_hop_reach": ["TakeOrderedAndProject", "HashAggregate"],
+    "doc_quality_balanced_corpus": ["WindowGroupLimit"],  # per-stratum top-k
+    "fk_integrity_report": ["LeftAnti"],  # every FK check is an anti join
+    "ev_attribution_touch": ["Window", "FullOuter"],
+    "doc_shared_passages": ["HashAggregate"],
 }
 
 FORBIDDEN = ["CartesianProduct", "BroadcastNestedLoopJoin"]
