@@ -172,7 +172,7 @@ ROUND5_NEVER_GRADED = [
     "orders_snapshot_diff", "orders_table_fingerprint", "part_copurchase_pairs",
     "source_characteristic_terms", "source_lang_kl", "streaming_dedup_events",
     "supplier_triangles", "supplier_two_hop_reach", "tfidf_cosine_pairs",
-    "ev_attribution_touch", "doc_shared_passages",
+    "ev_attribution_touch", "doc_shared_passages", "orders_snapshot_timetravel",
 ]
 
 

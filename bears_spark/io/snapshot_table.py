@@ -1,0 +1,222 @@
+"""Snapshot-versioned parquet tables: atomic commits, time travel, and
+manifest-driven data skipping — the lakehouse table-format layer the reference
+leaves to raw directories (src/bears/writer/dataframe/DataFrameWriter.py:30
+writes files; nothing versions them or indexes their contents).
+
+Layout on disk (local fs or any fsspec/pyarrow-visible store)::
+
+    <table>/
+      _manifests/v00000001.json    one immutable manifest per committed version
+      _current                     tiny pointer file naming the live version
+      data/<uuid>/part-*.parquet   immutable data files, never rewritten
+
+A manifest lists the table's data files with per-file, per-column min/max
+stats harvested from the parquet footers. Commits are O(delta): an append
+writes only the new files and a manifest that references the parent's file
+list; the pointer swap (os.replace) is atomic, so readers always see a
+complete version. Single-writer semantics (documented, not enforced) — the
+multi-writer story at cluster scale is a compare-and-swap on the pointer,
+which object stores provide natively (put-if-absent of v<N+1>).
+
+Data skipping: ``read(where=...)`` prunes whole files whose [min, max] range
+cannot satisfy the predicate BEFORE Spark plans the scan — on a 100 TB table
+sorted or clustered by the predicate column (see functions/sketch.py Z-order
+/ Hilbert layouts) this is the difference between scanning everything and
+scanning a handful of files. Row-group-level pruning inside surviving files
+still happens via Spark's normal parquet filter pushdown.
+
+``delete_where`` is copy-on-write: files provably outside the predicate are
+carried over untouched; only overlapping files are rewritten filtered. Cost
+is proportional to the data that actually changes, never the table size.
+"""
+
+from __future__ import annotations
+
+import json
+import operator
+import os
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+_OPS = {
+    "=": operator.eq, "==": operator.eq, "<": operator.lt, "<=": operator.le,
+    ">": operator.gt, ">=": operator.ge,
+}
+
+
+@dataclass
+class FileEntry:
+    path: str
+    rows: int
+    stats: dict = field(default_factory=dict)  # col -> {"min": v, "max": v}
+
+    def may_match(self, col: str, op: str, value) -> bool:
+        """False only when NO row in this file can satisfy ``col op value``.
+        Missing stats (absent column, all-null chunk) conservatively match."""
+        s = self.stats.get(col)
+        if not s or s.get("min") is None or s.get("max") is None:
+            return True
+        lo, hi = s["min"], s["max"]
+        if op in ("=", "=="):
+            return lo <= value <= hi
+        if op == "<":
+            return lo < value
+        if op == "<=":
+            return lo <= value
+        if op == ">":
+            return hi > value
+        if op == ">=":
+            return hi >= value
+        raise ValueError(f"unsupported operator {op!r}")
+
+
+class SnapshotTable:
+    """Handle to a snapshot-versioned parquet table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # -- commit protocol ----------------------------------------------------
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.path, "_manifests", f"v{version:08d}.json")
+
+    def current_version(self) -> int:
+        try:
+            with open(os.path.join(self.path, "_current")) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def _load_manifest(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        if v == 0:
+            return {"version": 0, "operation": "empty", "files": []}
+        with open(self._manifest_path(v)) as f:
+            return json.load(f)
+
+    def _write_files(self, df: DataFrame) -> list[FileEntry]:
+        """Write df as immutable parquet files under data/<uuid>/ and harvest
+        per-file row counts + column min/max from the footers (driver-side
+        metadata reads — bytes proportional to file count, not data size)."""
+        import pyarrow.parquet as pq
+
+        subdir = os.path.join(self.path, "data", uuid.uuid4().hex)
+        df.write.mode("overwrite").parquet(subdir)
+        entries = []
+        for name in sorted(os.listdir(subdir)):
+            if not name.endswith(".parquet"):
+                continue
+            fpath = os.path.join(subdir, name)
+            md = pq.ParquetFile(fpath).metadata
+            stats: dict = {}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    if c.statistics is None or not c.statistics.has_min_max:
+                        continue
+                    col = c.path_in_schema
+                    mn, mx = c.statistics.min, c.statistics.max
+                    # manifests are JSON: keep only JSON-native stat types
+                    # (int/float/str/bool). date/timestamp/decimal/binary
+                    # stats are dropped — those columns conservatively match
+                    # every predicate instead of mis-serializing.
+                    if type(mn) not in (int, float, str, bool):
+                        continue
+                    cur = stats.setdefault(col, {"min": mn, "max": mx})
+                    cur["min"] = min(cur["min"], mn)
+                    cur["max"] = max(cur["max"], mx)
+            entries.append(FileEntry(path=fpath, rows=md.num_rows, stats=stats))
+        return entries
+
+    def _commit(self, operation: str, files: list[FileEntry]) -> int:
+        parent = self.current_version()
+        version = parent + 1
+        os.makedirs(os.path.join(self.path, "_manifests"), exist_ok=True)
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "operation": operation,
+            "files": [vars(e) for e in files],
+        }
+        mp = self._manifest_path(version)
+        tmp = mp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mp)  # manifest becomes visible whole
+        ptr_tmp = os.path.join(self.path, "_current.tmp")
+        with open(ptr_tmp, "w") as f:
+            f.write(str(version))
+        os.replace(ptr_tmp, os.path.join(self.path, "_current"))  # atomic swap
+        return version
+
+    # -- write operations ---------------------------------------------------
+    def overwrite(self, df: DataFrame) -> int:
+        return self._commit("overwrite", self._write_files(df))
+
+    def append(self, df: DataFrame) -> int:
+        prior = [FileEntry(**e) for e in self._load_manifest()["files"]]
+        return self._commit("append", prior + self._write_files(df))
+
+    def delete_where(self, col: str, op: str, value) -> int:
+        """Copy-on-write delete of rows matching ``col op value``: files whose
+        stats prove no match are carried over by reference; overlapping files
+        are rewritten with the matching rows filtered out."""
+        from pyspark.sql import functions as F
+
+        prior = [FileEntry(**e) for e in self._load_manifest()["files"]]
+        keep = [e for e in prior if not e.may_match(col, op, value)]
+        rewrite = [e for e in prior if e.may_match(col, op, value)]
+        new = []
+        if rewrite:
+            survivors = self.spark.read.parquet(*[e.path for e in rewrite]).filter(
+                ~_OPS[op](F.col(col), F.lit(value))
+            )
+            new = self._write_files(survivors)
+        return self._commit("delete", keep + new)
+
+    # -- read operations ----------------------------------------------------
+    def read(self, version: int | None = None, where: tuple | None = None) -> DataFrame:
+        """Read a snapshot (latest by default). ``where=(col, op, value)``
+        prunes files by manifest stats AND applies the predicate (pruning is
+        an optimization, never a semantic change)."""
+        from pyspark.sql import functions as F
+
+        all_entries = [FileEntry(**e) for e in self._load_manifest(version)["files"]]
+        if not all_entries:
+            raise ValueError("snapshot has no data files")
+        entries = all_entries
+        if where is not None:
+            entries = [e for e in entries if e.may_match(*where)]
+            if not entries:
+                # every file provably excluded: empty result, correct schema
+                return self.spark.read.parquet(all_entries[0].path).limit(0)
+        df = self.spark.read.parquet(*[e.path for e in entries])
+        if where is not None:
+            col, op, value = where
+            df = df.filter(_OPS[op](F.col(col), F.lit(value)))
+        return df
+
+    def files(self, version: int | None = None, where: tuple | None = None) -> list[FileEntry]:
+        entries = [FileEntry(**e) for e in self._load_manifest(version)["files"]]
+        if where is not None:
+            entries = [e for e in entries if e.may_match(*where)]
+        return entries
+
+    def snapshots(self) -> list[dict]:
+        """Version history: (version, operation, file count, row count)."""
+        out = []
+        for v in range(1, self.current_version() + 1):
+            m = self._load_manifest(v)
+            out.append(
+                {
+                    "version": v,
+                    "operation": m["operation"],
+                    "n_files": len(m["files"]),
+                    "n_rows": sum(e["rows"] for e in m["files"]),
+                }
+            )
+        return out

@@ -1312,3 +1312,63 @@ ORDER BY fk
 
 QUERIES["fk_integrity_report"] = fk_integrity_report
 ORACLES["fk_integrity_report"] = FK_INTEGRITY_SQL
+
+
+# --------------------------------------------------------------------------
+# orders_snapshot_timetravel: end-to-end exercise of the snapshot table
+# format (io/snapshot_table.py) — overwrite, O(delta) append, copy-on-write
+# delete, then time-travel reads of all three versions. The oracle recomputes
+# each version's (row count, decimal-exact total) directly from orders, so a
+# wrong manifest, a lost file, or a broken delete shows up as a hash
+# mismatch. The table lives in a throwaway tempdir; aggregates are collected
+# before cleanup.
+_STT_DELETE_BELOW = 1000
+
+
+def orders_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders")
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="snaptbl_"))
+    try:
+        t.overwrite(o.filter(F.col("o_orderkey") % 10 != 0))
+        t.append(o.filter(F.col("o_orderkey") % 10 == 0))
+        t.delete_where("o_orderkey", "<", _STT_DELETE_BELOW)
+        rows = []
+        for v in (1, 2, 3):
+            agg = (
+                t.read(version=v)
+                .agg(
+                    F.count("*").alias("n_rows"),
+                    F.round(
+                        F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double"), 6
+                    ).alias("total"),
+                )
+                .first()
+            )
+            rows.append((v, agg["n_rows"], float(agg["total"])))
+    finally:
+        shutil.rmtree(t.path, ignore_errors=True)
+    return spark.createDataFrame(rows, "version bigint, n_rows bigint, total double")
+
+
+ORDERS_SNAPSHOT_TT_SQL = f"""
+SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 6) AS total
+FROM orders WHERE o_orderkey % 10 <> 0
+UNION ALL
+SELECT CAST(2 AS BIGINT), count(*),
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 6)
+FROM orders
+UNION ALL
+SELECT CAST(3 AS BIGINT), count(*),
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 6)
+FROM orders WHERE o_orderkey >= {_STT_DELETE_BELOW}
+ORDER BY version
+"""
+
+QUERIES["orders_snapshot_timetravel"] = orders_snapshot_timetravel
+ORACLES["orders_snapshot_timetravel"] = ORDERS_SNAPSHOT_TT_SQL

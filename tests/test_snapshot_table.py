@@ -1,0 +1,82 @@
+"""Snapshot-versioned table format: commits, time travel, data skipping,
+copy-on-write delete (bears_spark/io/snapshot_table.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bears_spark.io.snapshot_table import SnapshotTable
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return SnapshotTable(spark, str(tmp_path / "tbl"))
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") % 7).alias("bucket"), (F.col("id") * 2).alias("v")
+    )
+
+
+def test_overwrite_append_and_time_travel(spark, table):
+    v1 = table.overwrite(_df(spark, 0, 100))
+    v2 = table.append(_df(spark, 100, 150))
+    assert (v1, v2) == (1, 2)
+    assert table.read(version=1).count() == 100
+    assert table.read(version=2).count() == 150
+    assert table.read().count() == 150  # latest
+    hist = table.snapshots()
+    assert [h["operation"] for h in hist] == ["overwrite", "append"]
+    assert [h["n_rows"] for h in hist] == [100, 150]
+
+
+def test_append_is_o_delta(spark, table):
+    table.overwrite(_df(spark, 0, 100))
+    files_v1 = {e.path for e in table.files(version=1)}
+    table.append(_df(spark, 100, 120))
+    files_v2 = {e.path for e in table.files(version=2)}
+    # v1's files carried by reference, not rewritten
+    assert files_v1 <= files_v2
+    assert len(files_v2) > len(files_v1)
+
+
+def test_stats_pruning_skips_files(spark, table):
+    # write three disjoint id ranges as separate commits -> separate files
+    table.overwrite(_df(spark, 0, 100).coalesce(1))
+    table.append(_df(spark, 100, 200).coalesce(1))
+    table.append(_df(spark, 200, 300).coalesce(1))
+    all_files = table.files()
+    pruned = table.files(where=("id", ">=", 250))
+    assert len(pruned) < len(all_files)  # manifest stats skipped whole files
+    got = table.read(where=("id", ">=", 250))
+    assert got.count() == 50
+    assert got.agg(F.min("id")).first()[0] == 250
+
+
+def test_pruning_is_semantically_invisible(spark, table):
+    table.overwrite(_df(spark, 0, 100).coalesce(1))
+    table.append(_df(spark, 100, 200).coalesce(1))
+    for where in [("id", "<", 50), ("id", "=", 150), ("id", ">", 199), ("bucket", "<=", 2)]:
+        col, op, val = where
+        expect = {"<": "id < 50", "=": "id = 150", ">": "id > 199", "<=": "bucket <= 2"}[op]
+        assert table.read(where=where).count() == table.read().filter(expect).count()
+
+
+def test_delete_where_copy_on_write(spark, table):
+    table.overwrite(_df(spark, 0, 100).coalesce(1))
+    table.append(_df(spark, 100, 200).coalesce(1))
+    files_before = {e.path for e in table.files()}
+    table.delete_where("id", ">=", 150)
+    after = table.files()
+    # the [0,100) file is untouched (provably outside the predicate)...
+    untouched = {e.path for e in after} & files_before
+    assert untouched
+    # ...and the data is correct, with history intact
+    assert table.read().count() == 150
+    assert table.read().agg(F.max("id")).first()[0] == 149
+    assert table.read(version=2).count() == 200  # pre-delete snapshot preserved
+
+
+def test_read_empty_snapshot_raises(spark, table):
+    with pytest.raises(ValueError):
+        table.read()
