@@ -132,7 +132,7 @@ class SnapshotTable:
             entries.append(FileEntry(path=fpath, rows=md.num_rows, stats=stats))
         return entries
 
-    def _commit(self, operation: str, files: list[FileEntry]) -> int:
+    def _commit(self, operation: str, files: list[FileEntry], batch_id: int | None = None) -> int:
         parent = self.current_version()
         version = parent + 1
         os.makedirs(os.path.join(self.path, "_manifests"), exist_ok=True)
@@ -142,6 +142,8 @@ class SnapshotTable:
             "operation": operation,
             "files": [vars(e) for e in files],
         }
+        if batch_id is not None:
+            manifest["batch_id"] = batch_id
         mp = self._manifest_path(version)
         tmp = mp + ".tmp"
         with open(tmp, "w") as f:
@@ -177,6 +179,53 @@ class SnapshotTable:
             )
             new = self._write_files(survivors)
         return self._commit("delete", keep + new)
+
+    def compact(self, target_rows_per_file: int = 1_000_000) -> int:
+        """Small-file maintenance: bin-pack files below the target into
+        ~target-sized replacements, carrying already-large files by
+        reference. Commits a new version; every prior snapshot still reads
+        its original files (data files are immutable). On a streaming-fed
+        100 TB table this is the job that keeps file counts — and therefore
+        planning time and open-file overhead — bounded."""
+        import math
+
+        entries = [FileEntry(**e) for e in self._load_manifest()["files"]]
+        small = [e for e in entries if e.rows < target_rows_per_file]
+        if len(small) <= 1:
+            return self.current_version()  # nothing to gain
+        big = [e for e in entries if e.rows >= target_rows_per_file]
+        merged = self.spark.read.parquet(*[e.path for e in small])
+        n_out = max(1, math.ceil(sum(e.rows for e in small) / target_rows_per_file))
+        new = self._write_files(merged.repartition(n_out))
+        return self._commit("compact", big + new)
+
+    # -- streaming ingest ---------------------------------------------------
+    def committed_batch_ids(self) -> set[int]:
+        ids = set()
+        for v in range(1, self.current_version() + 1):
+            m = self._load_manifest(v)
+            if "batch_id" in m:
+                ids.add(m["batch_id"])
+        return ids
+
+    def streaming_append(self, stream_df: DataFrame, checkpoint_dir: str, available_now: bool = True):
+        """Exactly-once streaming ingest via foreachBatch: each micro-batch
+        commits an append manifest stamped with its epoch id, and a replayed
+        batch (checkpoint recovery re-delivers the last epoch) is detected by
+        that stamp and skipped — the commit, not the write, is the
+        idempotency point. Returns the StreamingQuery (await it, or it runs
+        to completion under available_now)."""
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_id in self.committed_batch_ids():
+                return  # replay after checkpoint recovery: already committed
+            prior = [FileEntry(**e) for e in self._load_manifest()["files"]]
+            self._commit("stream-append", prior + self._write_files(batch_df), batch_id=batch_id)
+
+        w = stream_df.writeStream.foreachBatch(_sink).option("checkpointLocation", checkpoint_dir)
+        if available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
 
     # -- read operations ----------------------------------------------------
     def read(self, version: int | None = None, where: tuple | None = None) -> DataFrame:

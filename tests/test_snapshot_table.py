@@ -80,3 +80,50 @@ def test_delete_where_copy_on_write(spark, table):
 def test_read_empty_snapshot_raises(spark, table):
     with pytest.raises(ValueError):
         table.read()
+
+
+def test_compact_bounds_file_count_preserving_data(spark, table):
+    for i in range(5):
+        fn = table.overwrite if i == 0 else table.append
+        fn(_df(spark, i * 20, (i + 1) * 20).coalesce(1))
+    assert len(table.files()) == 5
+    v = table.compact(target_rows_per_file=100)
+    assert v == 6
+    assert len(table.files()) < 5
+    assert table.read().count() == 100
+    assert {r["id"] for r in table.read().collect()} == set(range(100))
+    # pre-compaction snapshot still readable from its original files
+    assert table.read(version=5).count() == 100
+
+
+def test_streaming_append_exactly_once(spark, table, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(pa.table({"id": list(range(50)), "v": [i * 2 for i in range(50)]}),
+                   str(src / "a.parquet"))
+    stream = (
+        spark.readStream.schema("id long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/")
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = table.streaming_append(stream, ckpt)
+    q.awaitTermination(120)
+    assert table.read().count() == 50
+    assert table.committed_batch_ids() == {0}
+    # a second availableNow run on the SAME checkpoint sees no new source
+    # files -> no new batches -> no commits (and any replayed epoch would be
+    # skipped by the batch-id stamp: the commit is the idempotency point)
+    before = table.current_version()
+    q2 = table.streaming_append(stream, ckpt)
+    q2.awaitTermination(120)
+    assert table.current_version() == before
+    assert table.read().count() == 50
+    # new source file -> exactly one more committed batch
+    pq.write_table(pa.table({"id": [100, 101], "v": [1, 2]}), str(src / "b.parquet"))
+    q3 = table.streaming_append(stream, ckpt)
+    q3.awaitTermination(120)
+    assert table.read().count() == 52
