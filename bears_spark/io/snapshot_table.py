@@ -180,6 +180,28 @@ class SnapshotTable:
             new = self._write_files(survivors)
         return self._commit("delete", keep + new)
 
+    def overwrite_clustered(self, df: DataFrame, cluster_cols: list[str], bits: int = 8, num_files: int | None = None) -> int:
+        """Z-order-clustered overwrite: quantize the cluster columns from
+        their global min/max, lay rows out along the Morton curve
+        (functions/sketch.py zorder_layout — one output file per range
+        partition), and commit. The payoff is at read time: per-file min/max
+        stats become tight on EVERY cluster column, so ``read(where=...)``
+        prunes files on any of them — multi-dimensional data skipping, where
+        a plain sort only skips on its leading column."""
+        from pyspark.sql import functions as F
+
+        from bears_spark.functions.sketch import zorder_layout, zorder_quantize
+
+        bounds = df.agg(
+            *[f for c in cluster_cols for f in (F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max"))]
+        ).first()
+        qcols = [
+            zorder_quantize(F.col(c), int(bounds[f"{c}__min"]), int(bounds[f"{c}__max"]), bits)
+            for c in cluster_cols
+        ]
+        laid = zorder_layout(df, qcols, bits=bits, num_partitions=num_files)
+        return self._commit("overwrite-clustered", self._write_files(laid))
+
     def compact(self, target_rows_per_file: int = 1_000_000) -> int:
         """Small-file maintenance: bin-pack files below the target into
         ~target-sized replacements, carrying already-large files by

@@ -127,3 +127,28 @@ def test_streaming_append_exactly_once(spark, table, tmp_path):
     q3 = table.streaming_append(stream, ckpt)
     q3.awaitTermination(120)
     assert table.read().count() == 52
+
+
+def test_clustered_overwrite_enables_multidim_skipping(spark, table, tmp_path):
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    # 2-D grid in shuffled order: an unclustered layout gives every file the
+    # full [0,32) range on both axes, so stats prune nothing
+    grid = (
+        spark.range(0, 1024)
+        .select((F.col("id") % 32).alias("x"), (F.col("id") / 32).cast("long").alias("y"))
+        .orderBy(F.xxhash64("id"))  # destroy natural order
+    )
+    plain = SnapshotTable(spark, str(tmp_path / "plain"))
+    plain.overwrite(grid.repartition(8))
+    assert len(plain.files(where=("x", "<", 4))) == len(plain.files())
+
+    table.overwrite_clustered(grid, ["x", "y"], bits=5, num_files=8)
+    n_all = len(table.files())
+    assert n_all >= 4
+    # Z-order clustering makes stats selective on BOTH dimensions
+    assert len(table.files(where=("x", "<", 4))) < n_all
+    assert len(table.files(where=("y", "<", 4))) < n_all
+    # and pruning never changes results
+    assert table.read(where=("x", "<", 4)).count() == 4 * 32
+    assert table.read(where=("y", "<", 4)).count() == 32 * 4
