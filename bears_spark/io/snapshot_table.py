@@ -202,6 +202,38 @@ class SnapshotTable:
         laid = zorder_layout(df, qcols, bits=bits, num_partitions=num_files)
         return self._commit("overwrite-clustered", self._write_files(laid))
 
+    def merge(self, source: DataFrame, key: str) -> int:
+        """MERGE INTO this table (upsert): source rows update matching target
+        rows and insert new ones — SQL MERGE semantics via
+        functions/cdc.py merge_into, made copy-on-write by the manifest.
+
+        Files whose ``key`` stats provably cannot contain any source key are
+        carried by reference; only the overlapping files join the source.
+        With source keys clustered (a CDC batch usually is) and the table
+        written clustered/compacted on the key, the rewrite set is a sliver
+        of the table — the Delta/Iceberg MERGE cost model, reproduced with a
+        manifest and a full-outer join."""
+        from pyspark.sql import functions as F
+
+        from bears_spark.functions.cdc import merge_into
+
+        b = source.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+        prior = [FileEntry(**e) for e in self._load_manifest()["files"]]
+        if b["lo"] is None:  # empty source: MERGE is a no-op version
+            return self._commit("merge", prior)
+
+        def overlaps(e: FileEntry) -> bool:
+            return e.may_match(key, ">=", b["lo"]) and e.may_match(key, "<=", b["hi"])
+
+        keep = [e for e in prior if not overlaps(e)]
+        hit = [e for e in prior if overlaps(e)]
+        if hit:
+            target = self.spark.read.parquet(*[e.path for e in hit])
+            merged = merge_into(target, source, on=key)
+        else:
+            merged = source
+        return self._commit("merge", keep + self._write_files(merged))
+
     def compact(self, target_rows_per_file: int = 1_000_000) -> int:
         """Small-file maintenance: bin-pack files below the target into
         ~target-sized replacements, carrying already-large files by

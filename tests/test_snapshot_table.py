@@ -152,3 +152,24 @@ def test_clustered_overwrite_enables_multidim_skipping(spark, table, tmp_path):
     # and pruning never changes results
     assert table.read(where=("x", "<", 4)).count() == 4 * 32
     assert table.read(where=("y", "<", 4)).count() == 32 * 4
+
+
+def test_merge_upsert_copy_on_write(spark, table):
+    table.overwrite(_df(spark, 0, 100).coalesce(1))
+    table.append(_df(spark, 100, 200).coalesce(1))
+    files_before = {e.path for e in table.files()}
+    # CDC batch: update ids 150/160, insert id 500 — all outside [0,100)
+    src = spark.createDataFrame(
+        [(150, 150 % 7, -1), (160, 160 % 7, -2), (500, 500 % 7, -3)],
+        "id: bigint, bucket: bigint, v: bigint",
+    )
+    table.merge(src, key="id")
+    # the [0,100) file provably contains no source key: carried by reference
+    assert {e.path for e in table.files()} & files_before
+    got = {r["id"]: r["v"] for r in table.read().collect()}
+    assert len(got) == 201  # 200 originals + 1 insert, no duplicates
+    assert got[150] == -1 and got[160] == -2 and got[500] == -3
+    assert got[151] == 302  # neighbors untouched
+    assert got[0] == 0
+    # pre-merge snapshot intact
+    assert table.read(version=2).count() == 200
