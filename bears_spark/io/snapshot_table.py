@@ -257,7 +257,10 @@ class SnapshotTable:
     def committed_batch_ids(self) -> set[int]:
         ids = set()
         for v in range(1, self.current_version() + 1):
-            m = self._load_manifest(v)
+            try:
+                m = self._load_manifest(v)
+            except FileNotFoundError:
+                continue  # expired snapshot
             if "batch_id" in m:
                 ids.add(m["batch_id"])
         return ids
@@ -297,7 +300,10 @@ class SnapshotTable:
             if not entries:
                 # every file provably excluded: empty result, correct schema
                 return self.spark.read.parquet(all_entries[0].path).limit(0)
-        df = self.spark.read.parquet(*[e.path for e in entries])
+        # mergeSchema: appends may evolve the schema (new nullable columns);
+        # older files surface nulls for columns they predate, and a
+        # time-travel read of an old version sees that version's schema.
+        df = self.spark.read.option("mergeSchema", "true").parquet(*[e.path for e in entries])
         if where is not None:
             col, op, value = where
             df = df.filter(_OPS[op](F.col(col), F.lit(value)))
@@ -309,11 +315,55 @@ class SnapshotTable:
             entries = [e for e in entries if e.may_match(*where)]
         return entries
 
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Drop the manifests of all but the newest ``keep_last`` versions
+        (time travel to expired versions stops working; the live version is
+        untouched). Returns the expired version numbers. Run vacuum() after
+        to reclaim the data files only the expired versions referenced."""
+        cur = self.current_version()
+        expired = [v for v in range(1, max(cur - keep_last, 0) + 1)]
+        for v in expired:
+            try:
+                os.remove(self._manifest_path(v))
+            except FileNotFoundError:
+                pass  # already expired
+        return expired
+
+    def vacuum(self) -> int:
+        """Delete data files referenced by NO remaining manifest (files only
+        expired snapshots pointed at — immutable data files are otherwise
+        never removed). Returns the number of files deleted. The
+        expire-then-vacuum split is the standard two-phase safety protocol:
+        readers of still-live versions never lose a file underneath them."""
+        live: set[str] = set()
+        for v in range(1, self.current_version() + 1):
+            try:
+                live |= {e["path"] for e in self._load_manifest(v)["files"]}
+            except FileNotFoundError:
+                continue  # expired manifest
+        removed = 0
+        data_root = os.path.join(self.path, "data")
+        for sub in os.listdir(data_root) if os.path.isdir(data_root) else []:
+            subdir = os.path.join(data_root, sub)
+            for name in os.listdir(subdir):
+                fpath = os.path.join(subdir, name)
+                if name.endswith(".parquet") and fpath not in live:
+                    os.remove(fpath)
+                    removed += 1
+            if not any(n.endswith(".parquet") for n in os.listdir(subdir)):
+                import shutil
+
+                shutil.rmtree(subdir, ignore_errors=True)
+        return removed
+
     def snapshots(self) -> list[dict]:
         """Version history: (version, operation, file count, row count)."""
         out = []
         for v in range(1, self.current_version() + 1):
-            m = self._load_manifest(v)
+            try:
+                m = self._load_manifest(v)
+            except FileNotFoundError:
+                continue  # expired snapshot
             out.append(
                 {
                     "version": v,

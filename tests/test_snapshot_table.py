@@ -173,3 +173,30 @@ def test_merge_upsert_copy_on_write(spark, table):
     assert got[0] == 0
     # pre-merge snapshot intact
     assert table.read(version=2).count() == 200
+
+
+def test_expire_and_vacuum_reclaims_only_dead_files(spark, table):
+    table.overwrite(_df(spark, 0, 100).coalesce(1))
+    table.overwrite(_df(spark, 0, 50).coalesce(1))   # v2 orphans v1's file
+    table.append(_df(spark, 50, 60).coalesce(1))     # v3
+    live_files = {e.path for e in table.files()}
+    assert table.expire_snapshots(keep_last=2) == [1]
+    removed = table.vacuum()
+    assert removed == 1  # exactly v1's now-unreferenced file
+    # live version (and the retained v2) fully intact
+    assert {e.path for e in table.files()} == live_files
+    assert table.read().count() == 60
+    assert table.read(version=2).count() == 50
+    assert [h["version"] for h in table.snapshots()] == [2, 3]
+
+
+def test_schema_evolution_on_append(spark, table):
+    table.overwrite(_df(spark, 0, 10).coalesce(1))
+    evolved = _df(spark, 10, 20).withColumn("extra", F.lit("new")).coalesce(1)
+    table.append(evolved)
+    latest = table.read()
+    assert "extra" in latest.columns
+    assert latest.count() == 20
+    assert latest.filter(F.col("extra").isNull()).count() == 10  # old files -> null
+    # time travel sees the pre-evolution schema
+    assert "extra" not in table.read(version=1).columns
