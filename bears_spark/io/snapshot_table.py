@@ -3,7 +3,9 @@ manifest-driven data skipping — the lakehouse table-format layer the reference
 leaves to raw directories (src/bears/writer/dataframe/DataFrameWriter.py:30
 writes files; nothing versions them or indexes their contents).
 
-Layout on disk (local fs or any fsspec/pyarrow-visible store)::
+Layout on disk (this implementation targets a shared/local filesystem — the
+manifest/pointer protocol is store-agnostic, and the object-store port swaps
+``open``/``os.replace``/``os.listdir`` for put-if-absent + list calls)::
 
     <table>/
       _manifests/v00000001.json    one immutable manifest per committed version
@@ -59,6 +61,8 @@ class FileEntry:
         if not s or s.get("min") is None or s.get("max") is None:
             return True
         lo, hi = s["min"], s["max"]
+        if isinstance(value, (int, float)) != isinstance(lo, (int, float)):
+            return True  # stat/value type mismatch: conservatively match
         if op in ("=", "=="):
             return lo <= value <= hi
         if op == "<":
