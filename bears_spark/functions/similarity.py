@@ -353,7 +353,13 @@ def tfidf_cosine_pairs(
         .select(id_col, "term", "df", (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("wt"))
     )
     wgt = wgt.persist()
-    norms = wgt.groupBy(id_col).agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"))
+    # a doc whose every term is corpus-ubiquitous has idf 0 everywhere -> a
+    # zero vector with no defined angle; exclude it rather than divide by 0
+    norms = (
+        wgt.groupBy(id_col)
+        .agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"))
+        .filter(F.col("nrm") > 0)
+    )
     # a term in exactly one document can never match in the self-join, and
     # on a real web corpus most n-grams are df=1 — dropping them shrinks the
     # join input several-fold for free (df is already on the row). Norms are

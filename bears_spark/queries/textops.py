@@ -985,7 +985,7 @@ WITH toks AS (
   FROM tf JOIN dfreq USING (term), nd
   WHERE df <= {_TC_MAXDF}
 ), nrm AS (
-  SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM wgt GROUP BY 1
+  SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM wgt GROUP BY 1 HAVING sqrt(sum(wt * wt)) > 0
 ), dots AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.wt * b.wt) AS dot
   FROM wgt a JOIN wgt b ON a.term = b.term AND a.doc_id < b.doc_id

@@ -276,3 +276,51 @@ def test_cusum_closed_form_equals_recursion(spark, vals):
     for i, v in enumerate(vals):
         s = max(0.0, s + (v - mu - 0.5 * sd))
         assert math.isclose(got[i], s, rel_tol=1e-9, abs_tol=1e-6)
+
+
+# ----------------------------------------------------------------------------
+# tfidf_cosine_pairs == pure-python reference on random small corpora
+# (unigram terms, no df cap in range): weights tf*ln(n/df), norms over all
+# terms, dot over shared terms.
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=1, max_size=8),
+        min_size=2,
+        max_size=5,
+    )
+)
+@_settings
+def test_tfidf_cosine_matches_python_reference(spark, docs_words):
+    import math
+    from collections import Counter
+    from itertools import combinations
+
+    from bears_spark.functions.similarity import tfidf_cosine_pairs
+
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    sdf = spark.createDataFrame(docs, "doc_id: bigint, text: string")
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(sdf, "doc_id", "text", ngram_n=1, threshold=0.0).collect()
+    }
+
+    n = len(docs)
+    tfs = [Counter(ws) for ws in docs_words]
+    df = Counter(w for tf in tfs for w in tf)
+    wts = [{w: c * math.log(n / df[w]) for w, c in tf.items()} for tf in tfs]
+    expected = {}
+    for i, j in combinations(range(n), 2):
+        shared = set(wts[i]) & set(wts[j])
+        if not shared:
+            continue
+        dot = sum(wts[i][w] * wts[j][w] for w in shared)
+        na = math.sqrt(sum(v * v for v in wts[i].values()))
+        nb = math.sqrt(sum(v * v for v in wts[j].values()))
+        if na == 0 or nb == 0:
+            continue  # all-shared-vocab doc (every idf 0): no defined angle
+        cos = dot / (na * nb)
+        if round(cos, 6) >= 0.0:
+            expected[(i, j)] = round(cos, 6)
+    assert set(got) == set(expected)
+    for k in got:
+        assert got[k] == pytest.approx(expected[k], abs=2e-6)
