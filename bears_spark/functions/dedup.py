@@ -605,8 +605,10 @@ def sorted_neighborhood_pairs(
     pairs = base.withColumn("__n__", neigh).select(id_col, "__toks__", F.explode("__n__").alias("nb"))
     inter = F.size(F.array_intersect("__toks__", F.col("nb.ntoks")))
     union = F.size("__toks__") + F.size(F.col("nb.ntoks")) - inter
+    # two empty-token docs give union 0: no defined similarity (and ANSI
+    # mode would error on the division) -> null, dropped by the filter
     return (
-        pairs.withColumn("__j__", inter.cast("double") / union)
+        pairs.withColumn("__j__", F.when(union > 0, inter.cast("double") / union))
         .filter(F.col("__j__") >= threshold)
         .select(
             F.least(F.col(id_col), F.col("nb.nid")).alias("id_a"),

@@ -1022,7 +1022,9 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.crossJoin(c)
         .crossJoin(h)
-        .withColumn("recall", F.round(F.col("n_hit") / F.col("n_true"), 6))
+        # empty ground truth -> no defined recall (null), not an ANSI
+        # divide-by-zero error
+        .withColumn("recall", F.when(F.col("n_true") > 0, F.round(F.col("n_hit") / F.col("n_true"), 6)))
     )
 
 

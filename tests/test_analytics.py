@@ -166,3 +166,16 @@ def test_sorted_neighborhood_candidates_linear(spark):
     n = sorted_neighborhood_pairs(docs, "doc_id", "text", window=3, threshold=0.9).count()
     assert n <= 50 * 3
     assert n == 49 * 3 - 3  # forward-only leads: (n-1)+(n-2)+(n-3) pairs... per window arithmetic
+
+
+def test_sorted_neighborhood_empty_docs_no_error(spark):
+    from bears_spark.functions.dedup import sorted_neighborhood_pairs
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real words here"), (4, "real words here")],
+        "doc_id: bigint, text: string",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             sorted_neighborhood_pairs(docs, "doc_id", "text", window=3, threshold=0.5).collect()}
+    assert (3, 4) in pairs
+    assert all(1 not in p and 2 not in p for p in pairs)  # empty docs: no defined similarity
