@@ -200,3 +200,17 @@ def test_schema_evolution_on_append(spark, table):
     assert latest.filter(F.col("extra").isNull()).count() == 10  # old files -> null
     # time travel sees the pre-evolution schema
     assert "extra" not in table.read(version=1).columns
+
+
+def test_roundtrip_preserves_values_and_nulls(spark, tmp_path):
+    # nulls, negatives, empty strings, unicode — commit protocol must be
+    # value-transparent
+    rows = [
+        (1, None, "a"), (2, -5, ""), (3, 0, None), (4, 2**40, "日本語"), (5, None, None),
+    ]
+    df = spark.createDataFrame(rows, "id: bigint, v: bigint, s: string")
+    t = SnapshotTable(spark, str(tmp_path / "rt"))
+    t.overwrite(df.filter(F.col("id") <= 3))
+    t.append(df.filter(F.col("id") > 3))
+    got = sorted(tuple(r) for r in t.read().collect())
+    assert got == sorted(rows)
