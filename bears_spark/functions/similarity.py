@@ -340,10 +340,19 @@ def tfidf_cosine_pairs(
     independent engine reproduces it term-for-term. The output filter
     compares on round(cosine, 6), making the borderline decision identical
     in any engine that agrees to 6 decimals.
+
+    Terms travel as ``xxhash64`` 8-byte keys, not strings — a word 3-gram
+    averages ~25-30 B, so hashing cuts the bytes through the two groupBy
+    shuffles and the self-join ~3x (same trade as ``ngram_jaccard_pairs``:
+    a 64-bit collision could merge two terms, at ~N^2/2^65 odds —
+    vanishing for any real vocabulary, and an engine reproducing the
+    math on raw strings gets identical cosines).
     """
     from bears_spark.functions.text import word_ngrams
 
-    terms = df.select(F.col(id_col), F.explode(word_ngrams(text_col, ngram_n)).alias("term"))
+    terms = df.select(F.col(id_col), F.explode(word_ngrams(text_col, ngram_n)).alias("t")).select(
+        id_col, F.xxhash64("t").alias("term")
+    )
     tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.select(F.count("*").alias("n"))
