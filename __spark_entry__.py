@@ -150,12 +150,12 @@ GRADED_WINDOW = [
 assert len(GRADED_WINDOW) == 50, len(GRADED_WINDOW)
 
 # ROUND-5 ROTATION LEDGER (mechanical: union of CORRECTNESS_r01..r03 keys +
-# this round's window, complement against queries()). The 49 queries below
+# this round's window, complement against queries()). The 50 queries below
 # will still have NO driver CORRECTNESS row after round 4 — they fill the
-# round-5 window exactly, with 1 slot left for a regression anchor
-# (suggest q1_pricing_summary). All are green under
+# round-5 window exactly. All are green under
 # tools/check_correctness.py (this session's full local gate runs).
 ROUND5_NEVER_GRADED = [
+    "part_price_scaled",
     "corpus_build_mixture", "corpus_pmi_bigrams", "cust_cohort_ltv",
     "cust_rfm_scores", "customer_pseudonymize", "dedup_containment",
     "dedup_representatives", "dedup_sorted_neighbors", "dedup_surviving_corpus",

@@ -453,8 +453,47 @@ SELECT doc_id, n_chars, cum_chars FROM c WHERE cum_chars <= 500000 ORDER BY doc_
 """
 
 
+# --------------------------------------------------------------------------
+# part_price_scaled: the three fitted scalers (standard / min-max / robust)
+# over p_retailprice — fit = one aggregation each, transform = one fused
+# projection. Oracle recomputes mean/stddev_pop/min/max/quantile_cont
+# independently; round(...,6) on both sides absorbs last-ulp formula
+# differences between engines.
+def part_price_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.processor.numeric import MinMaxScaling, RobustScaling, StandardScaling
+
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    std = StandardScaling().fit(part, ["p_retailprice"])
+    mm = MinMaxScaling().fit(part, ["p_retailprice"])
+    rb = RobustScaling().fit(part, ["p_retailprice"])
+    price = F.col("p_retailprice")
+    return part.select(
+        "p_partkey",
+        F.round(std.transform_expr(price), 6).alias("price_z"),
+        F.round(mm.transform_expr(price), 6).alias("price_minmax"),
+        F.round(rb.transform_expr(price), 6).alias("price_robust"),
+    ).orderBy("p_partkey")
+
+
+PART_PRICE_SCALED_SQL = """
+WITH s AS (
+  SELECT avg(p_retailprice) AS m, stddev_pop(p_retailprice) AS sd,
+         min(p_retailprice) AS lo, max(p_retailprice) AS hi,
+         quantile_cont(p_retailprice, 0.5) AS med,
+         quantile_cont(p_retailprice, 0.75) - quantile_cont(p_retailprice, 0.25) AS iqr
+  FROM part
+)
+SELECT p_partkey,
+       round((p_retailprice - m) / (CASE WHEN sd > 0 THEN sd ELSE 1 END), 6) AS price_z,
+       round((p_retailprice - lo) * (CASE WHEN hi > lo THEN 1.0 / (hi - lo) ELSE 0 END), 6) AS price_minmax,
+       round((p_retailprice - med) / (CASE WHEN iqr > 0 THEN iqr ELSE 1 END), 6) AS price_robust
+FROM part, s ORDER BY p_partkey
+"""
+
+
 QUERIES = {
     "pipeline_text_clean": pipeline_text_clean,
+    "part_price_scaled": part_price_scaled,
     "lang_label_encode": lang_label_encode,
     "value_mean_imputation": value_mean_imputation,
     "merge_indicator_counts": merge_indicator_counts,
@@ -473,6 +512,7 @@ QUERIES = {
 
 ORACLES = {
     "pipeline_text_clean": PIPELINE_TEXT_CLEAN_SQL,
+    "part_price_scaled": PART_PRICE_SCALED_SQL,
     "lang_label_encode": LANG_LABEL_ENCODE_SQL,
     "value_mean_imputation": VALUE_MEAN_IMPUTATION_SQL,
     "merge_indicator_counts": MERGE_INDICATOR_SQL,

@@ -242,3 +242,64 @@ def test_encode_labels_join_matches_literal_map(spark):
     assert join_out["a"] == 1 and join_out["c"] == 3  # a=1,b=2,c=3
     assert join_out["zz"] == 0  # unknown sentinel for one_to_n
     assert join_out[None] is None
+
+
+# ---------------------------------------------------------------------------
+# scalers (beyond-reference: StandardScaling / MinMaxScaling / RobustScaling)
+
+
+def _scaled(spark, proc, values, col="v"):
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(float(v),) if v is not None else (None,) for v in values], f"{col} double")
+    proc.fit(df, [col])
+    return [r["out"] for r in df.select(proc.transform_expr(F.col(col)).alias("out")).collect()]
+
+
+def test_standard_scaling_matches_sklearn_semantics(spark):
+    """Population std (ddof=0), null passthrough, constant column -> 0."""
+    from bears_spark.processor.numeric import StandardScaling
+
+    import numpy as np
+
+    vals = [1.0, 2.0, 3.0, 4.0, None]
+    out = _scaled(spark, StandardScaling(), vals)
+    arr = np.array([v for v in vals if v is not None])
+    expect = (arr - arr.mean()) / arr.std()  # numpy default ddof=0 == sklearn
+    assert out[-1] is None
+    assert np.allclose(out[:4], expect)
+    # constant column: scale_ falls back to 1 -> all zeros, no div-by-zero
+    assert _scaled(spark, StandardScaling(), [5.0, 5.0, 5.0]) == [0.0, 0.0, 0.0]
+
+
+def test_minmax_scaling_range_and_constant(spark):
+    from bears_spark.processor.numeric import MinMaxScaling
+
+    out = _scaled(spark, MinMaxScaling(), [0.0, 5.0, 10.0, None])
+    assert out == [0.0, 0.5, 1.0, None]
+    out = _scaled(spark, MinMaxScaling(feature_range=(-1.0, 1.0)), [0.0, 5.0, 10.0])
+    assert out == [-1.0, 0.0, 1.0]
+    # constant column maps everything to range low (sklearn convention)
+    assert _scaled(spark, MinMaxScaling(feature_range=(2.0, 3.0)), [7.0, 7.0]) == [2.0, 2.0]
+    import pytest
+
+    with pytest.raises(ValueError):
+        MinMaxScaling(feature_range=(1.0, 1.0))
+
+
+def test_robust_scaling_iqr_and_zero_iqr(spark):
+    from bears_spark.processor.numeric import RobustScaling
+
+    # median=2.5, q1=1.75, q3=3.25 -> iqr=1.5 (linear interpolation)
+    out = _scaled(spark, RobustScaling(), [1.0, 2.0, 3.0, 4.0])
+    assert out == [(-1.5) / 1.5, (-0.5) / 1.5, 0.5 / 1.5, 1.5 / 1.5]
+    # >half-constant column: iqr=0 -> scale 1, outlier keeps its offset
+    out = _scaled(spark, RobustScaling(), [5.0, 5.0, 5.0, 5.0, 9.0])
+    assert out == [0.0, 0.0, 0.0, 0.0, 4.0]
+
+
+def test_scalers_in_registry(spark):
+    from bears_spark.processor.base import get_processor
+
+    for name in ("zscale", "min_max_scaler", "RobustScaling"):
+        assert get_processor(name) is not None
