@@ -28,3 +28,66 @@ def l2_norm(a: Column | str) -> Column:
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     # nullif: zero-norm vectors yield null, not an ANSI divide-by-zero error
     return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# Scalar (int8-style) quantization: the memory-side complement to product
+# quantization (similarity.py PQ). Per-dimension min/max fit over the corpus,
+# then code_i = round((x_i - min_i) * (levels-1)/(max_i - min_i)) clamped to
+# [0, levels-1]. 64 float32 dims (256 B) compress to 64 int8 codes + a
+# shared 2*ndim-double codebook — a 4x memory cut for ANN working sets.
+#
+# Scale: the fit is ONE posexplode + groupBy(dim) aggregation — partial
+# aggregation reduces each partition to ndim rows before the shuffle, and
+# the collected state is 2*ndim doubles regardless of corpus size. The
+# transform is a pure higher-order-function expression (no UDF, no shuffle).
+# Cross-engine: min/max select exact float32 values, the scale/step doubles
+# are computed once from them, and every downstream op (subtract, multiply,
+# round-half-up on non-negatives) is IEEE-identical in any engine that
+# follows the same expression shape — codes are integer-exact.
+
+
+def fit_scalar_quantization(df, vec_col: str) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, max) over an array column. Returns two ndim lists."""
+    stats = (
+        df.select(F.posexplode(_c(vec_col)).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min(F.col("x").cast("double")).alias("lo"), F.max(F.col("x").cast("double")).alias("hi"))
+        .orderBy("i")
+        .collect()
+    )
+    return [r["lo"] for r in stats], [r["hi"] for r in stats]
+
+
+def scalar_quantize_expr(vec_col: Column | str, mins: list[float], maxs: list[float], levels: int = 256) -> Column:
+    """array<int> codes in [0, levels-1]; constant dimensions code to 0."""
+    top = levels - 1
+    lo = F.array(*[F.lit(float(v)) for v in mins])
+    scale = F.array(
+        *[F.lit(float(top) / (hi - lo_) if hi > lo_ else 0.0) for lo_, hi in zip(mins, maxs)]
+    )
+    return F.transform(
+        _c(vec_col),
+        lambda x, i: F.least(
+            F.lit(top),
+            F.greatest(
+                F.lit(0),
+                F.round(
+                    (x.cast("double") - F.element_at(lo, i + 1)) * F.element_at(scale, i + 1), 0
+                ).cast("int"),
+            ),
+        ),
+    )
+
+
+def scalar_dequantize_expr(code_col: Column | str, mins: list[float], maxs: list[float], levels: int = 256) -> Column:
+    """array<double> reconstruction: min_i + code_i * (max_i - min_i)/(levels-1)."""
+    top = levels - 1
+    lo = F.array(*[F.lit(float(v)) for v in mins])
+    step = F.array(
+        *[F.lit((hi - lo_) / float(top) if hi > lo_ else 0.0) for lo_, hi in zip(mins, maxs)]
+    )
+    return F.transform(
+        _c(code_col),
+        lambda c, i: F.element_at(lo, i + 1) + c.cast("double") * F.element_at(step, i + 1),
+    )

@@ -395,8 +395,58 @@ LIMIT 10
 ANN_LSH_SQL = _lsh_sql()
 
 
+# --------------------------------------------------------------------------
+# emb_int8_codes: corpus-fit scalar quantization of embeddings — per-vector
+# integer-exact code sum plus max reconstruction error. The codes are
+# engine-exact (see vectors.py scalar-quantization note), so the oracle
+# recomputes the whole codec independently; only the float error column
+# needs round(...,6).
+def emb_int8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.vectors import (
+        fit_scalar_quantization,
+        scalar_dequantize_expr,
+        scalar_quantize_expr,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mins, maxs = fit_scalar_quantization(emb, "embedding")
+    coded = emb.select(
+        "vec_id",
+        F.col("embedding"),
+        scalar_quantize_expr("embedding", mins, maxs).alias("codes"),
+    ).withColumn("recon", scalar_dequantize_expr("codes", mins, maxs))
+    err = F.zip_with("embedding", "recon", lambda x, r: F.abs(x.cast("double") - r))
+    return coded.select(
+        "vec_id",
+        F.aggregate("codes", F.lit(0).cast("bigint"), lambda acc, c: acc + c).alias("code_sum"),
+        F.round(F.array_max(err), 6).alias("max_abs_err"),
+    ).orderBy("vec_id")
+
+
+EMB_INT8_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+), s AS (
+  SELECT i, min(x) AS lo, max(x) AS hi FROM e GROUP BY i
+), c AS (
+  SELECT vec_id, x, lo,
+         LEAST(255, GREATEST(0, CAST(round(
+           (x - lo) * (CASE WHEN hi > lo THEN 255.0 / (hi - lo) ELSE 0 END)
+         ) AS INT))) AS code,
+         CASE WHEN hi > lo THEN (hi - lo) / 255.0 ELSE 0 END AS step
+  FROM e JOIN s USING (i)
+)
+SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
+       round(max(abs(x - (lo + code * step))), 6) AS max_abs_err
+FROM c GROUP BY vec_id ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
+    "emb_int8_codes": emb_int8_codes,
     "lang_id_confusion": lang_id_confusion,
     "doc_fingerprint": doc_fingerprint,
     "dedup_exact": dedup_exact,
@@ -411,6 +461,7 @@ QUERIES = {
 
 ORACLES = {
     "text_stats": TEXT_STATS_SQL,
+    "emb_int8_codes": EMB_INT8_SQL,
     "lang_id_confusion": LANG_ID_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,

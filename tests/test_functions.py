@@ -624,3 +624,40 @@ def test_tfidf_cosine_pairs_hand_computed(spark):
     expected = round(dot / (nrm * nrm), 6)
     assert got == {(1, 2): expected}  # doc3 shares no term -> no pair
     assert 0 < expected < 1
+
+
+def test_scalar_quantization_roundtrip_and_edges(spark):
+    """int8 codec: codes in range, reconstruction within half a step per
+    dimension, constant dims code to 0 and reconstruct exactly, out-of-fit
+    values clamp instead of overflowing."""
+    from bears_spark.functions.vectors import (
+        fit_scalar_quantization,
+        scalar_dequantize_expr,
+        scalar_quantize_expr,
+    )
+
+    rows = [(0, [0.0, -1.0, 7.5]), (1, [10.0, 1.0, 7.5]), (2, [2.5, 0.25, 7.5])]
+    df = spark.createDataFrame(rows, "vec_id int, v array<float>")
+    mins, maxs = fit_scalar_quantization(df, "v")
+    assert mins == [0.0, -1.0, 7.5] and maxs == [10.0, 1.0, 7.5]
+
+    out = df.select(
+        "vec_id",
+        scalar_quantize_expr("v", mins, maxs).alias("codes"),
+    ).withColumn("recon", scalar_dequantize_expr("codes", mins, maxs))
+    got = {r["vec_id"]: (r["codes"], r["recon"]) for r in out.collect()}
+    # extremes hit the code endpoints exactly
+    assert got[0][0] == [0, 0, 0] and got[1][0] == [255, 255, 0]
+    # constant dim reconstructs exactly from code 0
+    assert all(got[i][1][2] == 7.5 for i in range(3))
+    # every reconstruction within half a quantization step
+    for vid, (codes, recon) in got.items():
+        orig = dict(rows)[vid]
+        for d in range(3):
+            step = (maxs[d] - mins[d]) / 255.0
+            assert abs(orig[d] - recon[d]) <= step / 2 + 1e-12
+            assert 0 <= codes[d] <= 255
+    # clamp: applying the fitted codec to an out-of-range vector saturates
+    oob = spark.createDataFrame([(9, [99.0, -99.0, 7.5])], "vec_id int, v array<float>")
+    (r,) = oob.select(scalar_quantize_expr("v", mins, maxs).alias("c")).collect()
+    assert r["c"] == [255, 0, 0]
