@@ -324,6 +324,65 @@ LIMIT 10
 """
 
 # --------------------------------------------------------------------------
+# ann_sq_topk: ADC-style top-k over int8-quantized embeddings — the codes
+# from emb_int8_codes actually driving search: corpus vectors are stored as
+# codes (4x smaller working set), reconstructed on the fly inside one
+# projection, and scored asymmetrically against the RAW query vector. The
+# plan is scan + TakeOrderedAndProject, same as ann_cosine_topk; only the
+# scanned bytes shrink. Codes are integer-exact cross-engine, so the oracle
+# rebuilds the codec in SQL and must agree to 6 decimals.
+def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions import vectors as vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mins, maxs = vec.fit_scalar_quantization(emb, "embedding")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    qlit = F.array(*[F.lit(float(v)) for v in qvec])
+    corpus = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        vec.scalar_dequantize_expr(
+            vec.scalar_quantize_expr("embedding", mins, maxs), mins, maxs
+        ).alias("recon"),
+    )
+    cos = vec.dot("recon", qlit) / (vec.l2_norm("recon") * vec.l2_norm(qlit))
+    return (
+        corpus.select("vec_id", cos.alias("c"))
+        .orderBy(F.desc("c"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("c", 6).alias("cosine_sq"))
+    )
+
+
+ANN_SQ_SQL = """
+WITH d AS (
+  SELECT generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), st AS (
+  SELECT list(lo ORDER BY i) AS lo_l,
+         list(CASE WHEN hi > lo THEN 255.0 / (hi - lo) ELSE 0 END ORDER BY i) AS sc_l,
+         list(CASE WHEN hi > lo THEN (hi - lo) / 255.0 ELSE 0 END ORDER BY i) AS stp_l
+  FROM (SELECT i, min(x) AS lo, max(x) AS hi FROM d GROUP BY i)
+), r AS (
+  SELECT vec_id,
+         list_transform(embedding, (x, i) ->
+           lo_l[i] + CAST(LEAST(255, GREATEST(0,
+             CAST(round((CAST(x AS DOUBLE) - lo_l[i]) * sc_l[i]) AS INT))) AS DOUBLE) * stp_l[i]
+         ) AS recon
+  FROM embeddings, st
+  WHERE vec_id != 0
+), q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT r.vec_id AS vec_id,
+         list_sum(list_transform(list_zip(r.recon, q.embedding), x -> x[1] * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(r.recon, x -> x * x)))
+            * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+  FROM r, q
+)
+SELECT vec_id, round(c, 6) AS cosine_sq FROM scored ORDER BY c DESC, vec_id ASC LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_components: exact connected components over the MinHash candidate
 # pairs — the distributed fixpoint min-label propagation graded against a
 # DuckDB recursive-CTE transitive closure of the same pair set.
@@ -455,6 +514,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_sq_topk": ann_sq_topk,
     "dedup_components": dedup_components,
     "ann_lsh_topk": ann_lsh_topk,
 }
@@ -470,6 +530,7 @@ ORACLES = {
     "dedup_simhash": SIMHASH_SQL,
     "dedup_embedding_cosine": EMB_COSINE_SQL,
     "ann_cosine_topk": ANN_TOPK_SQL,
+    "ann_sq_topk": ANN_SQ_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,
 }
