@@ -646,6 +646,53 @@ WHERE p_brand = 'Brand#23'
 
 
 # --------------------------------------------------------------------------
+# q18: large-volume customer (TPC-H Q18). The classic plan re-joins the
+# IN-subquery's keys back to lineitem to aggregate again; here the first
+# aggregation already produced sum(l_quantity) per order, so its output is
+# reused directly — ONE lineitem shuffle total, and the >300 survivor set
+# (a few rows per 10^4 orders) rides broadcast joins into orders/customer.
+# o_totalprice ties are broken by (o_orderdate, o_orderkey) so the top-100
+# cut is engine-deterministic.
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 6).alias("o_totalprice"),
+            F.round("sum_qty", 6).alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       round(o_totalprice, 6) AS o_totalprice, round(sum_qty, 6) AS sum_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY round(o_totalprice, 6) DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
 # q19: discounted revenue (TPC-H Q19 shape) — disjunction of conjunctive
 # predicates across both join sides; Catalyst pushes the common
 # p_partkey = l_partkey equi-join out and evaluates the OR post-join.
