@@ -448,6 +448,78 @@ ORACLES["streaming_purchase_attribution"] = STREAMING_ATTRIBUTION_SQL
 
 
 # --------------------------------------------------------------------------
+# streaming_attribution_outer: the LEFT-OUTER stream-stream interval join —
+# unmatched purchases emit null view columns once the watermark proves no
+# view can still arrive. Bounded replay uses flush punctuation
+# (bounded_replay_source) so every real purchase is provably attributable
+# or provably not by end of stream, making the oracle the PLAIN batch
+# left-outer join — no watermark-cutoff clause needed.
+def streaming_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import shutil
+    import tempfile
+
+    from bears_spark.queries.tables import load_table
+    from bears_spark.streaming.jobs import bounded_replay_source, purchase_attribution_outer_stream
+
+    events = load_table(spark, sf_dir, "events")
+    flush_ts = events.agg(F.max("ts")).first()[0] + datetime.timedelta(hours=4)
+    tmp = tempfile.mkdtemp(prefix="attr_outer_")
+    try:
+        ev = bounded_replay_source(
+            spark,
+            events,
+            [(-1, flush_ts, -1, "view", 0.0, "{}"), (-2, flush_ts, -2, "purchase", 0.0, "{}")],
+            tmp,
+        )
+        out = purchase_attribution_outer_stream(
+            ev.filter(F.col("event_type") == "view"),
+            ev.filter(F.col("event_type") == "purchase"),
+            max_delay="1 hour",
+            watermark="2 hours",
+        )
+        sink = "streaming_attribution_outer_sink"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+    finally:
+        # memory sink rows live on the driver; the replay dir is disposable
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(sink).select(
+        "user_id",
+        "purchase_id",
+        F.unix_micros(F.col("purchase_ts")).alias("purchase_us"),
+        "view_id",
+        F.unix_micros(F.col("view_ts")).alias("view_us"),
+    )
+
+
+STREAMING_ATTRIBUTION_OUTER_SQL = """
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       epoch_us(p.ts) AS purchase_us,
+       v.event_id AS view_id,
+       epoch_us(v.ts) AS view_us
+FROM events p
+LEFT JOIN events v
+  ON v.user_id = p.user_id
+ AND v.ts < p.ts
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+ AND v.event_type = 'view'
+WHERE p.event_type = 'purchase'
+"""
+
+QUERIES["streaming_attribution_outer"] = streaming_attribution_outer
+ORACLES["streaming_attribution_outer"] = STREAMING_ATTRIBUTION_OUTER_SQL
+
+
+# --------------------------------------------------------------------------
 # streaming_running_totals: the applyInPandasWithState arbitrary-state
 # operator run to completion. Delivered as ONE micro-batch (availableNow over
 # a single file), each user emits exactly one state row whose cumulative

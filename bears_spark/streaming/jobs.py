@@ -226,3 +226,90 @@ def purchase_attribution_stream(
     return p.join(v, cond, "inner").select(
         F.col("p_user").alias("user_id"), "purchase_id", "purchase_ts", "view_id", "view_ts"
     )
+
+
+def purchase_attribution_outer_stream(
+    views: DataFrame,
+    purchases: DataFrame,
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join: like
+    ``purchase_attribution_stream`` but purchases with NO preceding view
+    still emit (null view columns) — once the watermark passes the
+    purchase's event time, no future view can match it (later views would
+    be late beyond the watermark and dropped), so its state expires and
+    the unmatched row is released.
+
+    This is the semantics inner joins can't give: "every purchase exactly
+    once, attributed or provably unattributable". The corollary is that
+    purchases inside the final watermark window of a bounded run never
+    expire and are NOT emitted unmatched — a property, not a bug: the
+    stream cannot yet prove they have no view. Batch-equivalence checks
+    must apply the same cutoff (see streaming_attribution_outer's oracle).
+    """
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("view_ts") < F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_delay}"))
+    )
+    return p.join(v, cond, "left_outer").select(
+        F.col("p_user").alias("user_id"), "purchase_id", "purchase_ts", "view_id", "view_ts"
+    )
+
+
+def bounded_replay_source(spark, df: DataFrame, flush_rows: list, path: str, files: int = 1):
+    """Materialize a batch DataFrame as a file-streaming source with FLUSH
+    PUNCTUATION: the data lands first, then TWO copies of ``flush_rows``
+    (sentinel events with event time far past the real data) as separate
+    files. Replayed with maxFilesPerTrigger=1, the first flush batch raises
+    every source's max event time and the second is processed AFTER the
+    watermark has advanced accordingly — so watermark-gated state (outer-join
+    null emission, final windows) flushes deterministically, without relying
+    on no-data micro-batches. Two details make this exact:
+
+    * the watermark is tracked per watermarked SOURCE and globally min'd, so
+      ``flush_rows`` must cover every filtered substream (e.g. one sentinel
+      view AND one sentinel purchase);
+    * a sentinel's own event time stays ABOVE the final watermark (the
+      watermark delay is never fully caught up), so sentinels park in state
+      and never reach the output — give them ids outside the real domain
+      anyway, defense in depth.
+
+    In production the same role is played by control messages on the topic
+    or by advancing processing-time triggers; this helper exists so bounded
+    replays grade bit-exactly against batch oracles.
+    """
+    import glob as _glob
+    import os
+    import shutil
+    import time as _time
+
+    in_dir = os.path.join(path, "in")
+    os.makedirs(in_dir)
+    stage = os.path.join(path, "stage")
+    df.coalesce(files).write.parquet(stage)
+    for i, part in enumerate(sorted(_glob.glob(stage + "/part-*.parquet"))):
+        shutil.move(part, os.path.join(in_dir, f"{i:03d}-data.parquet"))
+    sent = spark.createDataFrame(flush_rows, df.schema)
+    for i in (1, 2):
+        sstage = os.path.join(path, f"s{i}")
+        sent.coalesce(1).write.parquet(sstage)
+        shutil.move(
+            _glob.glob(sstage + "/part-*.parquet")[0],
+            os.path.join(in_dir, f"{900 + i}-flush.parquet"),
+        )
+    now = _time.time()
+    for i, name in enumerate(sorted(os.listdir(in_dir))):
+        os.utime(os.path.join(in_dir, name), (now + i * 10, now + i * 10))
+    return spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(in_dir)

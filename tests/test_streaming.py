@@ -247,3 +247,54 @@ def test_running_totals_no_timeout_terminates(spark, events_dir):
     for r in rows:
         got[r["user_id"]] = max(got.get(r["user_id"], 0), r["cum_events"])
     assert got == want
+
+
+def test_attribution_outer_stream_flush_emits_all_unmatched(spark, tmp_path):
+    """Left-outer stream-stream join under flush punctuation: every purchase
+    emits exactly once — attributed when a view precedes it within the
+    delay, null-view otherwise — and sentinels never reach the output."""
+    import datetime
+
+    from bears_spark.streaming.jobs import bounded_replay_source, purchase_attribution_outer_stream
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: view then purchase 10 min later -> attributed
+        (1, ts(0), 1, "view", 0.0, "{}"),
+        (2, ts(10), 1, "purchase", 5.0, "{}"),
+        # user 2: purchase with NO view -> unmatched null row
+        (3, ts(20), 2, "purchase", 7.0, "{}"),
+        # user 3: view 90 min before purchase -> outside 1h delay, unmatched
+        (4, ts(0), 3, "view", 0.0, "{}"),
+        (5, ts(90), 3, "purchase", 9.0, "{}"),
+    ]
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    df = spark.createDataFrame(rows, schema)
+    flush_ts = ts(90 + 240)
+    ev = bounded_replay_source(
+        spark,
+        df,
+        [(-1, flush_ts, -1, "view", 0.0, "{}"), (-2, flush_ts, -2, "purchase", 0.0, "{}")],
+        str(tmp_path / "replay"),
+    )
+    out = purchase_attribution_outer_stream(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        max_delay="1 hour",
+        watermark="30 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_attr_outer")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    got = {r["purchase_id"]: r["view_id"] for r in spark.table("t_attr_outer").collect()}
+    assert got == {2: 1, 3: None, 5: None}
