@@ -404,6 +404,52 @@ ORACLES["streaming_hourly_counts"] = STREAMING_HOURLY_SQL
 
 
 # --------------------------------------------------------------------------
+# streaming_sliding_counts: 1-hour windows sliding every 15 minutes — each
+# event contributes to 4 overlapping windows. Complete output mode (same
+# rationale as the tumbling query). The oracle expands each event into its
+# 4 covering windows with integer epoch arithmetic: window starts are the
+# slide-aligned instants s with s <= ts < s + window.
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.streaming.jobs import sliding_counts_stream
+
+    ev = _events_stream(spark, sf_dir)
+    agg = sliding_counts_stream(ev, window="1 hour", slide="15 minutes", watermark="2 hours")
+    sink = "streaming_sliding_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(sink).select(
+        F.unix_micros(F.col("win_start")).alias("win_start_us"),
+        "event_type",
+        "n",
+        F.round("total_value", 6).alias("total_value"),
+    )
+
+
+STREAMING_SLIDING_SQL = """
+WITH e AS (
+  SELECT epoch_us(ts) AS us, event_type, value FROM events
+), expanded AS (
+  SELECT ((us // (900 * 1000000::BIGINT)) - k) * (900 * 1000000::BIGINT) AS win_start_us,
+         event_type, value
+  FROM e, (SELECT unnest([0, 1, 2, 3]) AS k)
+  WHERE ((us // (900 * 1000000::BIGINT)) - k) * (900 * 1000000::BIGINT) > us - 3600 * 1000000::BIGINT
+)
+SELECT win_start_us, event_type, count(*) AS n, round(sum(value), 6) AS total_value
+FROM expanded GROUP BY 1, 2
+"""
+
+QUERIES["streaming_sliding_counts"] = streaming_sliding_counts
+ORACLES["streaming_sliding_counts"] = STREAMING_SLIDING_SQL
+
+
+# --------------------------------------------------------------------------
 # streaming_purchase_attribution: the stream-stream interval join run to
 # completion and graded against the equivalent batch interval join in DuckDB.
 # availableNow delivers the whole file in micro-batches; inner stream-stream

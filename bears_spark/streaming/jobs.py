@@ -41,6 +41,25 @@ def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
     )
 
 
+def sliding_counts_stream(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """SLIDING window per event_type: each event lands in window/slide
+    overlapping windows (4 here), giving a smoothed rate readout tumbling
+    windows can't. State is (#types x #open windows x overlap) — still
+    bounded by the watermark; the expansion to overlapping windows happens
+    engine-side pre-shuffle (no self-join, no explode in user code)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "total_value")
+    )
+
+
 def sessionize_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
     """Event-time session windows (session_window gap semantics match the
     batch lag/cumsum sessionization in queries/events.py)."""
