@@ -299,3 +299,45 @@ def repair_text(df, text_col: str, out_col: str | None = None):
             yield pdf
 
     return df.mapInPandas(_fix, schema)
+
+
+def chunk_documents(
+    df,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+):
+    """Overlapping fixed-size token chunks — the RAG/embedding-pipeline
+    splitter: chunk k covers tokens [k*step, k*step + chunk_tokens) with
+    step = chunk_tokens - overlap. A trailing start is emitted only when it
+    contributes more than the overlap (start + overlap < n), so no chunk is
+    a suffix-subset of its predecessor; empty documents emit nothing.
+
+    Map-only: tokenization is staged ONCE as a column before the
+    higher-order functions (Catalyst does not CSE inside lambdas — a lambda
+    referencing the tokenize expression would re-run it per chunk), then
+    starts -> posexplode -> slice/join. No shuffle, no UDF; output order is
+    given by (id, chunk_id) with chunk_id = start / step.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap {overlap} must be < chunk_tokens {chunk_tokens}")
+    step = chunk_tokens - overlap
+    staged = df.select(
+        F.col(id_col), tokenize(text_col).alias("__toks__")
+    ).withColumn("__n__", F.size("__toks__"))
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(F.col("__n__") - 1, F.lit(0)), F.lit(step)),
+        lambda s: (s == 0) | (s + overlap < F.col("__n__")),
+    )
+    return (
+        staged.filter(F.col("__n__") > 0)
+        .select(id_col, "__toks__", "__n__", F.explode(starts).alias("__start__"))
+        .select(
+            id_col,
+            (F.col("__start__") / step).cast("int").alias("chunk_id"),
+            F.col("__start__").alias("chunk_start"),
+            F.least(F.lit(chunk_tokens), F.col("__n__") - F.col("__start__")).alias("n_tokens"),
+            F.array_join(F.slice("__toks__", F.col("__start__") + 1, chunk_tokens), " ").alias("chunk_text"),
+        )
+    )

@@ -503,9 +503,42 @@ FROM c GROUP BY vec_id ORDER BY vec_id
 """
 
 
+# --------------------------------------------------------------------------
+# doc_chunks: RAG-style overlapping token chunking (32-token chunks, 8-token
+# overlap). Map-only explode; oracle recomputes starts/slices with DuckDB
+# list functions. chunk_id = start/step keeps ids order-free.
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap=8).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+DOC_CHUNKS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), n AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+), s AS (
+  SELECT doc_id, toks, n,
+         unnest(list_filter(range(0, n, 24), s -> s = 0 OR s + 8 < n)) AS start
+  FROM n
+)
+SELECT doc_id,
+       CAST(start // 24 AS INT) AS chunk_id,
+       start AS chunk_start,
+       LEAST(32, n - start) AS n_tokens,
+       array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS chunk_text
+FROM s ORDER BY doc_id, chunk_id
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "emb_int8_codes": emb_int8_codes,
+    "doc_chunks": doc_chunks,
     "lang_id_confusion": lang_id_confusion,
     "doc_fingerprint": doc_fingerprint,
     "dedup_exact": dedup_exact,
@@ -522,6 +555,7 @@ QUERIES = {
 ORACLES = {
     "text_stats": TEXT_STATS_SQL,
     "emb_int8_codes": EMB_INT8_SQL,
+    "doc_chunks": DOC_CHUNKS_SQL,
     "lang_id_confusion": LANG_ID_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,

@@ -661,3 +661,31 @@ def test_scalar_quantization_roundtrip_and_edges(spark):
     oob = spark.createDataFrame([(9, [99.0, -99.0, 7.5])], "vec_id int, v array<float>")
     (r,) = oob.select(scalar_quantize_expr("v", mins, maxs).alias("c")).collect()
     assert r["c"] == [255, 0, 0]
+
+
+def test_chunk_documents_edges(spark):
+    """Chunking semantics: short docs -> one chunk; empty -> none;
+    suffix-subset trailing starts suppressed; overlap carried between
+    consecutive chunks; bad params rejected."""
+    from bears_spark.functions.text import chunk_documents
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(10))),   # < chunk -> 1 chunk
+        (2, ""),                                       # empty -> nothing
+        (3, " ".join(f"w{i}" for i in range(30))),   # start 24 adds only 6<=8 -> suppressed
+        (4, " ".join(f"w{i}" for i in range(40))),   # 2 chunks, 8-token overlap
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=32, overlap=8)
+    got = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    assert sorted(got) == [(1, 0), (3, 0), (4, 0), (4, 1)]
+    assert got[(1, 0)]["n_tokens"] == 10
+    assert got[(3, 0)]["n_tokens"] == 30
+    assert got[(4, 0)]["n_tokens"] == 32 and got[(4, 1)]["n_tokens"] == 16
+    # chunk 1 starts at 24: its first 8 tokens repeat chunk 0's last 8
+    assert got[(4, 1)]["chunk_start"] == 24
+    assert got[(4, 0)]["chunk_text"].split()[24:] == got[(4, 1)]["chunk_text"].split()[:8]
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=8, overlap=8)
