@@ -616,3 +616,32 @@ def sorted_neighborhood_pairs(
             F.col("__j__").alias("jaccard"),
         )
     )
+
+
+def chunk_exact_dedup(
+    df,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+):
+    """Corpus-wide exact dedup at CHUNK granularity (the passage-level
+    boilerplate removal of RefinedWeb-style pipelines): chunk every document
+    (functions/text.py chunk_documents), then keep each distinct chunk text
+    only at its FIRST occurrence — ordered by (id, chunk_id), so the
+    earliest document owns the shared passage and later repeats drop.
+
+    Returns the chunk frame with an ``is_first`` flag (composable: filter,
+    or aggregate per document for survival stats). One shuffle, keyed on
+    xxhash64(chunk_text) — 8-byte keys instead of ~hundreds-byte passages;
+    the window's row_number carries no text either. A 64-bit collision
+    merges two distinct passages at ~N²/2^65 odds (same accepted trade as
+    the other dedup stages).
+    """
+    from pyspark.sql import Window
+
+    from bears_spark.functions.text import chunk_documents
+
+    chunks = chunk_documents(df, id_col, text_col, chunk_tokens=chunk_tokens, overlap=overlap)
+    w = Window.partitionBy(F.xxhash64("chunk_text")).orderBy(id_col, "chunk_id")
+    return chunks.withColumn("is_first", F.row_number().over(w) == 1)

@@ -535,10 +535,57 @@ FROM s ORDER BY doc_id, chunk_id
 """
 
 
+# --------------------------------------------------------------------------
+# doc_chunk_dedup: passage-level boilerplate removal — corpus-wide exact
+# chunk dedup (first occurrence by (doc_id, chunk_id) wins), reported as
+# per-document survival stats. The oracle replays the same window over the
+# chunk TEXT (Spark shuffles the xxhash64 of it; identical keep decisions).
+def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = dd.chunk_exact_dedup(docs, "doc_id", "text", chunk_tokens=32, overlap=8)
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.col("is_first").cast("int")).alias("n_kept"),
+            F.sum(F.when(F.col("is_first"), F.col("n_tokens")).otherwise(0)).alias("kept_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_CHUNK_DEDUP_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), n AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+), s AS (
+  SELECT doc_id, toks, n,
+         unnest(list_filter(range(0, n, 24), s -> s = 0 OR s + 8 < n)) AS start
+  FROM n
+), c AS (
+  SELECT doc_id,
+         CAST(start // 24 AS INT) AS chunk_id,
+         LEAST(32, n - start) AS n_tokens,
+         array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS chunk_text
+  FROM s
+), flagged AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_id) = 1 AS is_first
+  FROM c
+)
+SELECT doc_id, count(*) AS n_chunks,
+       CAST(sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN is_first THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "emb_int8_codes": emb_int8_codes,
     "doc_chunks": doc_chunks,
+    "doc_chunk_dedup": doc_chunk_dedup,
     "lang_id_confusion": lang_id_confusion,
     "doc_fingerprint": doc_fingerprint,
     "dedup_exact": dedup_exact,
@@ -556,6 +603,7 @@ ORACLES = {
     "text_stats": TEXT_STATS_SQL,
     "emb_int8_codes": EMB_INT8_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,
+    "doc_chunk_dedup": DOC_CHUNK_DEDUP_SQL,
     "lang_id_confusion": LANG_ID_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,

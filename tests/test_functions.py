@@ -689,3 +689,17 @@ def test_chunk_documents_edges(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(df, "doc_id", "text", chunk_tokens=8, overlap=8)
+
+
+def test_chunk_exact_dedup_first_occurrence_wins(spark):
+    from bears_spark.functions.dedup import chunk_exact_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(32))
+    rows = [
+        (1, boiler),                                            # owns the passage
+        (2, boiler),                                            # exact repeat -> dropped
+        (3, " ".join(f"u{i}" for i in range(32))),            # unique -> kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r["is_first"] for r in chunk_exact_dedup(df, "doc_id", "text").collect()}
+    assert got == {1: True, 2: False, 3: True}
