@@ -581,11 +581,86 @@ FROM flagged GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# rag_chunk_retrieval: the retrieval path end-to-end on one engine — chunk
+# every document (doc_chunks semantics), embed each chunk with fit-free
+# feature hashing (doc_hashed_features semantics), score by cosine against
+# the query chunk's vector, return the top-10 passages. Integer count
+# vectors make the cosine doubles bit-identical cross-engine (exact sums,
+# one sqrt, one divide), and the (cosine, doc_id, chunk_id) order is total.
+def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.text import chunk_documents, hashing_vectorize
+    from bears_spark.functions.vectors import cosine_similarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap=8)
+    feats = hashing_vectorize(chunks, "chunk_text", out_col="features", dim=16)
+    qvec = (
+        feats.filter((F.col("doc_id") == 0) & (F.col("chunk_id") == 0))
+        .select("features")
+        .first()["features"]
+    )
+    qlit = F.array(*[F.lit(float(v)) for v in qvec])
+    scored = feats.filter(~((F.col("doc_id") == 0) & (F.col("chunk_id") == 0))).select(
+        "doc_id",
+        "chunk_id",
+        cosine_similarity("features", qlit).alias("c"),
+    )
+    return (
+        scored.orderBy(F.desc("c"), "doc_id", "chunk_id")
+        .limit(10)
+        .select("doc_id", "chunk_id", F.round("c", 6).alias("cosine"))
+    )
+
+
+_CHUNK_CTE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), n AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+), s AS (
+  SELECT doc_id, toks, n,
+         unnest(list_filter(range(0, n, 24), s -> s = 0 OR s + 8 < n)) AS start
+  FROM n
+), c AS (
+  SELECT doc_id,
+         CAST(start // 24 AS INT) AS chunk_id,
+         array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS chunk_text
+  FROM s
+)"""
+
+RAG_CHUNK_RETRIEVAL_SQL = (
+    _CHUNK_CTE
+    + """, cb AS (
+  SELECT doc_id, chunk_id,
+         list_transform(list_filter(regexp_split_to_array(trim(lower(chunk_text)), '\\s+'), x -> x <> ''),
+                        t -> ('0x' || substr(md5('0:' || t), 1, 15))::BIGINT % 16) AS buckets
+  FROM c
+), v AS (
+  SELECT doc_id, chunk_id,
+         list_transform(range(0, 16), i -> CAST(len(list_filter(buckets, b -> b = i)) AS DOUBLE)) AS f
+  FROM cb
+), q AS (
+  SELECT f AS qf FROM v WHERE doc_id = 0 AND chunk_id = 0
+), scored AS (
+  SELECT v.doc_id, v.chunk_id,
+         list_sum(list_transform(list_zip(v.f, q.qf), x -> x[1] * x[2]))
+         / (sqrt(list_sum(list_transform(v.f, x -> x * x)))
+            * sqrt(list_sum(list_transform(q.qf, x -> x * x)))) AS c
+  FROM v, q WHERE NOT (v.doc_id = 0 AND v.chunk_id = 0)
+)
+SELECT doc_id, chunk_id, round(c, 6) AS cosine
+FROM scored ORDER BY c DESC, doc_id, chunk_id LIMIT 10
+"""
+)
+
+
 QUERIES = {
     "text_stats": text_stats,
     "emb_int8_codes": emb_int8_codes,
     "doc_chunks": doc_chunks,
     "doc_chunk_dedup": doc_chunk_dedup,
+    "rag_chunk_retrieval": rag_chunk_retrieval,
     "lang_id_confusion": lang_id_confusion,
     "doc_fingerprint": doc_fingerprint,
     "dedup_exact": dedup_exact,
@@ -604,6 +679,7 @@ ORACLES = {
     "emb_int8_codes": EMB_INT8_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,
     "doc_chunk_dedup": DOC_CHUNK_DEDUP_SQL,
+    "rag_chunk_retrieval": RAG_CHUNK_RETRIEVAL_SQL,
     "lang_id_confusion": LANG_ID_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
