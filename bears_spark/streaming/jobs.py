@@ -332,3 +332,54 @@ def bounded_replay_source(spark, df: DataFrame, flush_rows: list, path: str, fil
     for i, name in enumerate(sorted(os.listdir(in_dir))):
         os.utime(os.path.join(in_dir, name), (now + i * 10, now + i * 10))
     return spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+
+
+def fanout_stream(
+    source: DataFrame,
+    sinks: list[str],
+    checkpoint: str,
+    available_now: bool = False,
+):
+    """One stream, N parquet sinks, exactly-once per sink — the common
+    "land raw + land curated" topology without running N streaming queries
+    over the same source (N checkpoints, N scans, N states).
+
+    foreachBatch writes the micro-batch to every sink; idempotence is
+    per (sink, batchId): a replayed batch (checkpoint recovery crashed
+    between sinks) skips sinks that already carry its
+    ``_committed_<batchId>`` marker and re-lands only the missing ones —
+    each sink's subdirectory ``batch=<id>`` is written atomically via
+    tmp-dir + rename BEFORE the marker, so a marker implies complete data.
+    Readers use ``spark.read.parquet(sink)`` (batch= subdirs are plain
+    hive partitions).
+
+    The batch DataFrame is persisted across the N writes so the source
+    micro-batch is computed once, not N times.
+    """
+    import os
+    import shutil
+
+    def _write(batch_df, batch_id: int):
+        pending = [s for s in sinks if not os.path.exists(os.path.join(s, f"_committed_{batch_id}"))]
+        if not pending:
+            return
+        batch_df.persist()
+        try:
+            for s in pending:
+                final = os.path.join(s, f"batch={batch_id}")
+                tmp = os.path.join(s, f".batch{batch_id}.tmp")
+                shutil.rmtree(tmp, ignore_errors=True)  # stale half-write from a crash
+                batch_df.write.mode("overwrite").parquet(tmp)
+                shutil.rmtree(final, ignore_errors=True)
+                os.replace(tmp, final)
+                with open(os.path.join(s, f"_committed_{batch_id}"), "w") as fh:
+                    fh.write("ok")
+        finally:
+            batch_df.unpersist()
+
+    for s in sinks:
+        os.makedirs(s, exist_ok=True)
+    w = source.writeStream.foreachBatch(_write).option("checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -298,3 +298,33 @@ def test_attribution_outer_stream_flush_emits_all_unmatched(spark, tmp_path):
     q.stop()
     got = {r["purchase_id"]: r["view_id"] for r in spark.table("t_attr_outer").collect()}
     assert got == {2: 1, 3: None, 5: None}
+
+
+def test_fanout_stream_dual_sink_exactly_once(spark, events_dir, tmp_path):
+    """One stream lands in two parquet sinks; both match the source exactly.
+    A simulated crash-replay (commit marker missing from sink B only)
+    re-lands the batch in B without duplicating A."""
+    import os
+
+    from bears_spark.streaming.jobs import fanout_stream, read_events_stream
+
+    raw = str(tmp_path / "raw")
+    curated = str(tmp_path / "curated")
+    q = fanout_stream(read_events_stream(spark, events_dir), [raw, curated], str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination()
+    q.stop()
+
+    n_src = spark.read.parquet(events_dir).count()
+    assert spark.read.parquet(raw).count() == n_src
+    assert spark.read.parquet(curated).count() == n_src
+
+    # crash replay: B's batch-0 marker lost. Re-run from a fresh checkpoint
+    # (batch ids restart at 0): A must skip -- marker intact, no duplicates
+    # -- while B re-lands the batch.
+    os.remove(os.path.join(curated, "_committed_0"))
+    q2 = fanout_stream(read_events_stream(spark, events_dir), [raw, curated], str(tmp_path / "ckpt2"), available_now=True)
+    q2.awaitTermination()
+    q2.stop()
+    assert os.path.exists(os.path.join(curated, "_committed_0"))
+    assert spark.read.parquet(raw).count() == n_src
+    assert spark.read.parquet(curated).count() == n_src
