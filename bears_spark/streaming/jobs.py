@@ -355,6 +355,11 @@ def fanout_stream(
 
     The batch DataFrame is persisted across the N writes so the source
     micro-batch is computed once, not N times.
+
+    Scope note (same honest boundary as io/snapshot_table.py): the marker
+    check and tmp-dir rename use local-filesystem os/shutil calls, so sinks
+    must be driver-visible paths (local disk, NFS, fuse mounts). An object
+    store needs the rename swapped for its conditional-put primitive.
     """
     import os
     import shutil
