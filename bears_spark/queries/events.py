@@ -450,6 +450,45 @@ ORACLES["streaming_sliding_counts"] = STREAMING_SLIDING_SQL
 
 
 # --------------------------------------------------------------------------
+# streaming_segment_counts: stream-static enrichment — the events stream
+# broadcast-joined to the customer dimension per micro-batch, aggregated by
+# (market segment, event type). No stream-side join state; the oracle is
+# the plain batch join + GROUP BY.
+def streaming_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.queries.tables import load_table
+    from bears_spark.streaming.jobs import dim_enriched_counts_stream
+
+    ev = _events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = dim_enriched_counts_stream(
+        ev, dim, "user_id", "c_custkey", ["c_mktsegment", "event_type"]
+    )
+    sink = "streaming_segment_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(sink).select(
+        "c_mktsegment", "event_type", "n", F.round("total_value", 6).alias("total_value")
+    )
+
+
+STREAMING_SEGMENT_SQL = """
+SELECT c_mktsegment, event_type, count(*) AS n, round(sum(value), 6) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+QUERIES["streaming_segment_counts"] = streaming_segment_counts
+ORACLES["streaming_segment_counts"] = STREAMING_SEGMENT_SQL
+
+
+# --------------------------------------------------------------------------
 # streaming_purchase_attribution: the stream-stream interval join run to
 # completion and graded against the equivalent batch interval join in DuckDB.
 # availableNow delivers the whole file in micro-batches; inner stream-stream

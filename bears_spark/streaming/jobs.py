@@ -77,6 +77,27 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes", watermark: str
     )
 
 
+def dim_enriched_counts_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    stream_key: str,
+    dim_key: str,
+    group_cols: list[str],
+    value_col: str = "value",
+) -> DataFrame:
+    """Stream-STATIC enrichment: join each micro-batch to a batch dimension
+    table (broadcast — the dim ships to executors once per plan, no
+    stream-side state at all, unlike stream-stream joins), then aggregate
+    on enriched attributes. The dim is re-resolved per micro-batch, so a
+    dim refresh (new snapshot under the same path) is picked up without
+    restarting the query — the classic slowly-refreshing-dimension
+    topology."""
+    joined = events.join(F.broadcast(dim), events[stream_key] == dim[dim_key], "inner")
+    return joined.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count("*").alias("n"), F.sum(value_col).alias("total_value")
+    )
+
+
 def run_to_parquet(
     result: DataFrame,
     path: str,
