@@ -324,3 +324,96 @@ def test_tfidf_cosine_matches_python_reference(spark, docs_words):
     assert set(got) == set(expected)
     for k in got:
         assert got[k] == pytest.approx(expected[k], abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# chunking invariants (functions/text.py chunk_documents)
+
+
+@st.composite
+def _chunk_case(draw):
+    n_tokens = draw(st.integers(min_value=0, max_value=120))
+    chunk = draw(st.integers(min_value=2, max_value=40))
+    overlap = draw(st.integers(min_value=0, max_value=chunk - 1))
+    return n_tokens, chunk, overlap
+
+
+@given(_chunk_case())
+@_settings
+def test_chunk_documents_invariants(spark, case):
+    """For any (doc length, chunk size, overlap): chunks reconstruct the
+    document exactly (concatenating each chunk's non-overlapping tail),
+    starts advance by step, no chunk is empty, and token counts match."""
+    from bears_spark.functions.text import chunk_documents
+
+    n_tokens, chunk, overlap = case
+    step = chunk - overlap
+    toks = [f"t{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id int, text string")
+    rows = sorted(
+        chunk_documents(df, "doc_id", "text", chunk_tokens=chunk, overlap=overlap).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    if n_tokens == 0:
+        assert rows == []
+        return
+    assert rows[0]["chunk_start"] == 0
+    rebuilt = rows[0]["chunk_text"].split()
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["chunk_start"] == prev["chunk_start"] + step * (cur["chunk_id"] - prev["chunk_id"])
+        rebuilt.extend(cur["chunk_text"].split()[overlap:])
+    assert rebuilt == toks  # lossless cover, order preserved
+    for r in rows:
+        got = r["chunk_text"].split()
+        assert 0 < len(got) <= chunk and len(got) == r["n_tokens"]
+        assert got == toks[r["chunk_start"] : r["chunk_start"] + chunk]
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization error bound (functions/vectors.py)
+
+
+@st.composite
+def _quant_case(draw):
+    dim = draw(st.integers(min_value=1, max_value=6))
+    n = draw(st.integers(min_value=1, max_value=12))
+    vals = draw(
+        st.lists(
+            st.lists(
+                st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+                min_size=dim,
+                max_size=dim,
+            ),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    return vals
+
+
+@given(_quant_case())
+@_settings
+def test_scalar_quantization_error_bound(spark, case):
+    """Reconstruction error of every in-fit vector is within half a
+    quantization step per dimension, for arbitrary float32 corpora."""
+    from bears_spark.functions.vectors import (
+        fit_scalar_quantization,
+        scalar_dequantize_expr,
+        scalar_quantize_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(case)], "vec_id int, v array<float>"
+    )
+    mins, maxs = fit_scalar_quantization(df, "v")
+    out = df.select(
+        "v",
+        scalar_dequantize_expr(scalar_quantize_expr("v", mins, maxs), mins, maxs).alias("r"),
+    ).collect()
+    import numpy as np
+
+    for row in out:
+        for d, (x, r) in enumerate(zip(row["v"], row["r"])):
+            step = (maxs[d] - mins[d]) / 255.0
+            # float32 storage rounds x itself; compare against the stored value
+            assert abs(np.float32(x) - r) <= step / 2 + 1e-9 * max(1.0, abs(x))
