@@ -925,3 +925,82 @@ SELECT stratum, doc_id, rnk FROM ranked WHERE rnk <= {_QBC_PER_STRATUM} ORDER BY
 
 QUERIES["doc_quality_balanced_corpus"] = doc_quality_balanced_corpus
 ORACLES["doc_quality_balanced_corpus"] = DOC_QBC_SQL
+
+
+# --------------------------------------------------------------------------
+# corpus_temperature_mixture: XLM-R-style temperature sampling — per-language
+# token budgets proportional to c_l^alpha (alpha=0.5 here, i.e. sqrt
+# smoothing: high-resource languages are downsampled, low-resource ones
+# keep relatively more), then the same deterministic hash-priority
+# cumulative selection as corpus_build_mixture within each language.
+# sqrt (correctly-rounded IEEE, unlike pow) keeps the per-lang float
+# targets bit-identical across engines. Plan: one small agg for counts
+# (broadcast back), one window per lang — a single shuffle of the corpus.
+_TEMP_BUDGET = 12_000
+
+
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from bears_spark.functions.hashing import md5_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim("text"), r"\s+"))
+    keyed = docs.select(
+        "doc_id", "lang", toks.alias("n_tok"), md5_hash64(F.col("doc_id"), salt="temp").alias("pri")
+    )
+    counts = keyed.groupBy("lang").agg(F.sum("n_tok").alias("c"))
+    # denominator via an all-rows window over the tiny per-lang aggregate
+    # (bounded by #languages) -- no 1-row cross join, the plan stays free of
+    # BroadcastNestedLoopJoin
+    denom_w = Window.partitionBy()
+    targets = counts.select(
+        "lang",
+        (
+            F.sqrt(F.col("c").cast("double"))
+            / F.sum(F.sqrt(F.col("c").cast("double"))).over(denom_w)
+            * _TEMP_BUDGET
+        ).alias("target"),
+    )
+    w = Window.partitionBy("lang").orderBy("pri", "doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = keyed.withColumn("cum_tok", F.sum("n_tok").over(w))
+    kept = cum.join(F.broadcast(targets), "lang").where(
+        (F.col("cum_tok") - F.col("n_tok")).cast("double") < F.col("target")
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.round(F.first("target"), 6).alias("target_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+CORPUS_TEMPERATURE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, lang,
+         length(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS n_tok,
+         {_duck_h64("doc_id", "'temp'")} AS pri
+  FROM documents
+), counts AS (
+  SELECT lang, sum(n_tok) AS c FROM keyed GROUP BY lang
+), denom AS (
+  SELECT sum(sqrt(CAST(c AS DOUBLE))) AS s FROM counts
+), targets AS (
+  SELECT lang, sqrt(CAST(c AS DOUBLE)) / s * {_TEMP_BUDGET} AS target FROM counts, denom
+), cum AS (
+  SELECT *, sum(n_tok) OVER (PARTITION BY lang ORDER BY pri, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+  FROM keyed
+)
+SELECT cum.lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       round(any_value(target), 6) AS target_tokens
+FROM cum JOIN targets ON cum.lang = targets.lang
+WHERE CAST(cum_tok - n_tok AS DOUBLE) < target
+GROUP BY cum.lang ORDER BY cum.lang
+"""
+
+QUERIES["corpus_temperature_mixture"] = corpus_temperature_mixture
+ORACLES["corpus_temperature_mixture"] = CORPUS_TEMPERATURE_SQL
