@@ -341,3 +341,50 @@ def chunk_documents(
             F.array_join(F.slice("__toks__", F.col("__start__") + 1, chunk_tokens), " ").alias("chunk_text"),
         )
     )
+
+
+def bm25_topk(
+    df,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Okapi BM25 document scoring for a term query (Lucene-style idf:
+    ln(1 + (N - df + 0.5)/(df + 0.5))) — the lexical retrieval standard
+    complementing the dense/hashed cosine paths.
+
+    Plan: the term filter lands BEFORE any aggregation (the exploded token
+    stream keeps only query terms — a ~|query|/|vocab| reduction at the
+    source), per-term document frequencies are a |query|-row aggregate
+    joined back via broadcast, and the two corpus scalars (N, avg doc
+    length) are collected once and baked as literals — exactly the
+    processor fit pattern, so no 1-row cross join appears in the plan.
+    Top-k resolves as TakeOrderedAndProject with (score, id) total order.
+    """
+    docs_len = df.select(F.col(id_col), token_count(text_col).alias("dl"))
+    row = docs_len.agg(F.count("*").alias("n"), F.sum("dl").alias("s")).first()
+    n_docs, avgdl = row["n"], float(row["s"]) / row["n"]
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(F.lower(F.col(text_col)))).alias("term")
+    ).filter(F.col("term").isin([t.lower() for t in query_terms]))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(docs_len, id_col)
+        .select(
+            F.col(id_col),
+            (
+                idf
+                * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+            ).alias("s"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("s").alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), id_col).limit(k)

@@ -655,12 +655,55 @@ FROM scored ORDER BY c DESC, doc_id, chunk_id LIMIT 10
 )
 
 
+# --------------------------------------------------------------------------
+# doc_bm25_topk: Okapi BM25 top-10 for a 3-term query. The oracle rebuilds
+# the full formula; both engines compute avgdl as sum/count explicitly
+# (DuckDB's avg() uses an incremental mean whose double can differ in the
+# last ulp) and round scores to 6.
+_BM25_TERMS = ["table", "scan", "merge"]
+
+
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.text import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=10)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+DOC_BM25_SQL = f"""
+WITH dl AS (
+  SELECT doc_id, len({_TOKS}) AS dl FROM documents
+), stats AS (
+  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+), toks AS (
+  SELECT doc_id, unnest({_TOKS_LOWER}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ('table', 'scan', 'merge') GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df_t FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (CAST(n AS DOUBLE) - df_t + 0.5) / (df_t + 0.5))
+           * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+         ) AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "emb_int8_codes": emb_int8_codes,
     "doc_chunks": doc_chunks,
     "doc_chunk_dedup": doc_chunk_dedup,
     "rag_chunk_retrieval": rag_chunk_retrieval,
+    "doc_bm25_topk": doc_bm25_topk,
     "lang_id_confusion": lang_id_confusion,
     "doc_fingerprint": doc_fingerprint,
     "dedup_exact": dedup_exact,
@@ -680,6 +723,7 @@ ORACLES = {
     "doc_chunks": DOC_CHUNKS_SQL,
     "doc_chunk_dedup": DOC_CHUNK_DEDUP_SQL,
     "rag_chunk_retrieval": RAG_CHUNK_RETRIEVAL_SQL,
+    "doc_bm25_topk": DOC_BM25_SQL,
     "lang_id_confusion": LANG_ID_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,

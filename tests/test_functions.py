@@ -703,3 +703,28 @@ def test_chunk_exact_dedup_first_occurrence_wins(spark):
     df = spark.createDataFrame(rows, "doc_id int, text string")
     got = {r["doc_id"]: r["is_first"] for r in chunk_exact_dedup(df, "doc_id", "text").collect()}
     assert got == {1: True, 2: False, 3: True}
+
+
+def test_bm25_topk_matches_hand_formula(spark):
+    import math
+
+    from bears_spark.functions.text import bm25_topk
+
+    rows = [
+        (1, "spark scan scan table"),   # tf(scan)=2, tf(table)=1, dl=4
+        (2, "merge merge merge"),        # tf(merge)=3, dl=3
+        (3, "row batch window"),         # no query terms
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r["score"] for r in bm25_topk(df, "doc_id", "text", ["scan", "merge"], k=10).collect()}
+    assert set(got) == {1, 2}  # doc 3 scores nothing and is absent
+
+    n, avgdl, k1, b = 3, (4 + 3 + 3) / 3, 1.2, 0.75
+
+    def s(tf, dfreq, dl):
+        idf = math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert got[1] == pytest.approx(s(2, 1, 4), rel=1e-12)  # only 'scan' matches doc 1
+    assert got[2] == pytest.approx(s(3, 1, 3), rel=1e-12)
+    assert got[1] > 0 and got[2] > 0
