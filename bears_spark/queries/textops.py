@@ -697,6 +697,107 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+# --------------------------------------------------------------------------
+# doc_hybrid_retrieval: Reciprocal Rank Fusion of the lexical (BM25) and
+# vector (hashed cosine vs doc 0) rankings — the standard hybrid-search
+# combiner: score = sum over lists of 1/(60 + rank). Ranks are assigned
+# over round(score, 6) with doc_id tiebreak so both engines agree on the
+# ordering even where raw doubles differ in the last ulp; the fused score
+# is a two-term sum of exact rationals — engine-identical.
+def doc_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from bears_spark.functions.text import bm25_topk, hashing_vectorize
+    from bears_spark.functions.vectors import cosine_similarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    lex = bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=20).select(
+        "doc_id", F.round("score", 6).alias("ls")
+    )
+    lex = lex.select(
+        "doc_id", F.row_number().over(Window.orderBy(F.desc("ls"), "doc_id")).alias("lr")
+    )
+    feats = hashing_vectorize(docs, "text", out_col="features", dim=16)
+    qvec = feats.filter(F.col("doc_id") == 0).select("features").first()["features"]
+    qlit = F.array(*[F.lit(float(v)) for v in qvec])
+    dense = (
+        feats.filter(F.col("doc_id") != 0)
+        .select("doc_id", F.round(cosine_similarity("features", qlit), 6).alias("ds"))
+        .orderBy(F.desc("ds"), "doc_id")
+        .limit(20)
+    )
+    dense = dense.select(
+        "doc_id", F.row_number().over(Window.orderBy(F.desc("ds"), "doc_id")).alias("dr")
+    )
+    fused = (
+        lex.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(1.0 / (F.lit(60.0) + F.col("lr")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(60.0) + F.col("dr")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), "doc_id")
+        .limit(10)
+        .select("doc_id", F.round("rrf", 6).alias("rrf"))
+    )
+
+
+DOC_HYBRID_SQL = f"""
+WITH dl AS (
+  SELECT doc_id, len({_TOKS}) AS dl FROM documents
+), stats AS (
+  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+), toks AS (
+  SELECT doc_id, unnest({_TOKS_LOWER}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ('table', 'scan', 'merge') GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df_t FROM tf GROUP BY term
+), bm AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln(1.0 + (CAST(n AS DOUBLE) - df_t + 0.5) / (df_t + 0.5))
+           * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+         ), 6) AS ls
+  FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY tf.doc_id
+), lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY ls DESC, doc_id) AS lr
+  FROM (SELECT * FROM bm ORDER BY ls DESC, doc_id LIMIT 20)
+), cb AS (
+  SELECT doc_id,
+         list_transform({_TOKS_LOWER},
+                        t -> ('0x' || substr(md5('0:' || t), 1, 15))::BIGINT % 16) AS buckets
+  FROM documents
+), v AS (
+  SELECT doc_id,
+         list_transform(range(0, 16), i -> CAST(len(list_filter(buckets, b -> b = i)) AS DOUBLE)) AS f
+  FROM cb
+), q AS (
+  SELECT f AS qf FROM v WHERE doc_id = 0
+), ds AS (
+  SELECT v.doc_id,
+         round(list_sum(list_transform(list_zip(v.f, q.qf), x -> x[1] * x[2]))
+         / (sqrt(list_sum(list_transform(v.f, x -> x * x)))
+            * sqrt(list_sum(list_transform(q.qf, x -> x * x)))), 6) AS ds
+  FROM v, q WHERE v.doc_id != 0
+), dense AS (
+  SELECT doc_id, row_number() OVER (ORDER BY ds DESC, doc_id) AS dr
+  FROM (SELECT * FROM ds ORDER BY ds DESC, doc_id LIMIT 20)
+), fused AS (
+  SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+         COALESCE(1.0 / (60.0 + lr), 0.0) + COALESCE(1.0 / (60.0 + dr), 0.0) AS rrf
+  FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+)
+SELECT doc_id, round(rrf, 6) AS rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "emb_int8_codes": emb_int8_codes,
@@ -704,6 +805,7 @@ QUERIES = {
     "doc_chunk_dedup": doc_chunk_dedup,
     "rag_chunk_retrieval": rag_chunk_retrieval,
     "doc_bm25_topk": doc_bm25_topk,
+    "doc_hybrid_retrieval": doc_hybrid_retrieval,
     "lang_id_confusion": lang_id_confusion,
     "doc_fingerprint": doc_fingerprint,
     "dedup_exact": dedup_exact,
@@ -724,6 +826,7 @@ ORACLES = {
     "doc_chunk_dedup": DOC_CHUNK_DEDUP_SQL,
     "rag_chunk_retrieval": RAG_CHUNK_RETRIEVAL_SQL,
     "doc_bm25_topk": DOC_BM25_SQL,
+    "doc_hybrid_retrieval": DOC_HYBRID_SQL,
     "lang_id_confusion": LANG_ID_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
