@@ -366,6 +366,9 @@ def bm25_topk(
     """
     docs_len = df.select(F.col(id_col), token_count(text_col).alias("dl"))
     row = docs_len.agg(F.count("*").alias("n"), F.sum("dl").alias("s")).first()
+    if not row["n"]:
+        # empty corpus: a well-typed empty result, not a ZeroDivisionError
+        return df.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
     n_docs, avgdl = row["n"], float(row["s"]) / row["n"]
     toks = df.select(
         F.col(id_col), F.explode(tokenize(F.lower(F.col(text_col)))).alias("term")

@@ -728,3 +728,11 @@ def test_bm25_topk_matches_hand_formula(spark):
     assert got[1] == pytest.approx(s(2, 1, 4), rel=1e-12)  # only 'scan' matches doc 1
     assert got[2] == pytest.approx(s(3, 1, 3), rel=1e-12)
     assert got[1] > 0 and got[2] > 0
+
+
+def test_bm25_empty_corpus_returns_empty(spark):
+    from bears_spark.functions.text import bm25_topk
+
+    df = spark.createDataFrame([], "doc_id int, text string")
+    out = bm25_topk(df, "doc_id", "text", ["scan"])
+    assert out.count() == 0 and out.columns == ["doc_id", "score"]
