@@ -798,6 +798,34 @@ SELECT doc_id, round(rrf, 6) AS rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 1
 """
 
 
+# --------------------------------------------------------------------------
+# streaming_doc_chunks: the SAME chunker run under readStream — map-only
+# expressions are stream-transparent (stateless, no watermark, append mode),
+# so ingest-time chunking needs zero code changes and the batch oracle
+# (DOC_CHUNKS_SQL) grades the streaming output directly.
+def streaming_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.text import chunk_documents
+
+    batch = load_table(spark, sf_dir, "documents")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sf_dir}/documents.parque*")
+    )
+    out = chunk_documents(stream, "doc_id", "text", chunk_tokens=32, overlap=8)
+    sink = "streaming_doc_chunks_sink"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(sink).select("doc_id", "chunk_id", "chunk_start", "n_tokens", "chunk_text")
+
+
 QUERIES = {
     "text_stats": text_stats,
     "emb_int8_codes": emb_int8_codes,
@@ -806,6 +834,7 @@ QUERIES = {
     "rag_chunk_retrieval": rag_chunk_retrieval,
     "doc_bm25_topk": doc_bm25_topk,
     "doc_hybrid_retrieval": doc_hybrid_retrieval,
+    "streaming_doc_chunks": streaming_doc_chunks,
     "lang_id_confusion": lang_id_confusion,
     "doc_fingerprint": doc_fingerprint,
     "dedup_exact": dedup_exact,
@@ -827,6 +856,7 @@ ORACLES = {
     "rag_chunk_retrieval": RAG_CHUNK_RETRIEVAL_SQL,
     "doc_bm25_topk": DOC_BM25_SQL,
     "doc_hybrid_retrieval": DOC_HYBRID_SQL,
+    "streaming_doc_chunks": DOC_CHUNKS_SQL,
     "lang_id_confusion": LANG_ID_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
