@@ -152,9 +152,9 @@ GRADED_WINDOW = [
 assert len(GRADED_WINDOW) == 50, len(GRADED_WINDOW)
 
 # ROUND-5 ROTATION LEDGER (mechanical: union of CORRECTNESS_r01..r03 keys +
-# this round's window, complement against queries()). The 63 queries below
+# this round's window, complement against queries()). The 64 queries below
 # will still have NO driver CORRECTNESS row after round 4 — they overfill
-# the round-5 window by 13 (rotate the overflow into round 6). All are green
+# the round-5 window by 14 (rotate the overflow into round 6). All are green
 # under tools/check_correctness.py (this session's full local gate runs).
 ROUND5_NEVER_GRADED = [
     "part_price_scaled",
@@ -171,6 +171,7 @@ ROUND5_NEVER_GRADED = [
     "doc_bm25_topk",
     "doc_hybrid_retrieval",
     "streaming_doc_chunks",
+    "doc_curriculum_stages",
     "corpus_build_mixture", "corpus_pmi_bigrams", "cust_cohort_ltv",
     "cust_rfm_scores", "customer_pseudonymize", "dedup_containment",
     "dedup_representatives", "dedup_sorted_neighbors", "dedup_surviving_corpus",
@@ -215,8 +216,9 @@ HEADLINE = [
     # round-4 late additions: weighted all-pairs + window-scan families
     "tfidf_cosine_pairs",
     "ev_cusum_alarm",
-    # round-4 closing: chunking family representative
+    # round-4 closing: chunking + retrieval family representatives
     "doc_chunk_dedup",
+    "doc_bm25_topk",
 ]
 
 

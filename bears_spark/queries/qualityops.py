@@ -1004,3 +1004,56 @@ GROUP BY cum.lang ORDER BY cum.lang
 
 QUERIES["corpus_temperature_mixture"] = corpus_temperature_mixture
 ORACLES["corpus_temperature_mixture"] = CORPUS_TEMPERATURE_SQL
+
+
+# --------------------------------------------------------------------------
+# doc_curriculum_stages: curriculum-learning data ordering — documents
+# bucketed into training stages by fixed quality thresholds (NOT ntile:
+# data-dependent quantile stages would need a global-order window — a
+# single-partition scale-killer — while fixed thresholds stay map-only and
+# stages remain stable as the corpus grows). Per-stage corpus accounting.
+def doc_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.text import quality_score, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score("text")
+    stage = (
+        F.when(q >= 0.75, F.lit(3))
+        .when(q >= 0.5, F.lit(2))
+        .when(q >= 0.25, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return (
+        docs.select(stage.alias("stage"), q.alias("q"), token_count("text").alias("n_tok"))
+        .groupBy("stage")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+        )
+        .orderBy("stage")
+    )
+
+
+_Q_SQL = """
+(CASE WHEN len(toks) BETWEEN 10 AND 100000 THEN 0.25 ELSE 0 END)
++ (CASE WHEN (CASE WHEN len(toks) > 0 THEN len(list_filter(list_transform(toks, x -> lower(x)), x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], x)))::DOUBLE / len(toks) ELSE 0.0 END) >= 0.05 THEN 0.25 ELSE 0 END)
++ (CASE WHEN (CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[!"#$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]', '', 'g')))::DOUBLE / length(text) ELSE 0.0 END) <= 0.2 THEN 0.25 ELSE 0 END)
++ (CASE WHEN (CASE WHEN len(toks) > 0 THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) ELSE 0.0 END) BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0 END)
+"""
+
+DOC_CURRICULUM_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), scored AS (
+  SELECT len(toks) AS n_tok, ({_Q_SQL}) AS q FROM t
+)
+SELECT CASE WHEN q >= 0.75 THEN 3 WHEN q >= 0.5 THEN 2 WHEN q >= 0.25 THEN 1 ELSE 0 END AS stage,
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       round(avg(q), 6) AS avg_quality
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["doc_curriculum_stages"] = doc_curriculum_stages
+ORACLES["doc_curriculum_stages"] = DOC_CURRICULUM_SQL
