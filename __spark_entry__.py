@@ -85,78 +85,23 @@ _TPCH_ORACLES = {
 
 # --------------------------------------------------------------------------
 # The driver grades the FIRST 50 queries() entries in iteration order, so
-# order is a coverage budget. Round-4 rotation (VERDICT r3 "Next round" #1):
-#   * the 21 queries that never earned a driver CORRECTNESS row (all were
-#     green under the judge's local replica of the gate in round 3),
-#   * 10 regression anchors spanning every major family (TPC-H agg/join,
-#     event-time windows, streaming, dedup, ANN, rollup, pipeline),
-#   * the 6 queries whose last driver-green row was round 1,
-#   * remaining slots: queries added this round (every slot spent on a
-#     query with no prior driver row).
+# order is a coverage budget. Round-5 rotation (VERDICT r4 "Next round" #1):
+#   * 8 regression anchors (TPC-H agg/join/filter, sessionization, the
+#     streaming pair, one dedup, one ANN),
+#   * the FIRST 42 of the 64-query ROUND5 never-driver-graded ledger, in
+#     ledger order (all 64 passed the judge's local oracle replica in r4);
+#     the remaining 22 + this round's new queries roll into round 6.
 GRADED_WINDOW = [
-    # --- never driver-graded (21) ---
-    "orders_profile",
-    "ann_lsh_topk",
-    "doc_token_counts",
-    "emb_random_projection",
-    "doc_winnow_fingerprints",
-    "doc_nfc_normalize",
-    "dedup_incremental",
-    "doc_hashed_features",
-    "doc_concat_affix",
-    "lang_mode_imputation",
-    "orders_global_cumsum",
-    "doc_budget_selection",
-    "doc_top2gram_repetition",
-    "doc_hash_sample_rates",
-    "nation_top_customer",
-    "doc_stratified_sample",
-    "doc_vocabulary_topk",
-    "corpus_mixture_by_source",
-    "ev_hll_users_by_type",
-    "bloom_pruned_nation_volume",
-    "orders_zorder_keys",
-    # --- regression anchors (10) ---
+    # --- regression anchors (8) ---
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q6_revenue_change",
     "ev_sessionize",
-    "streaming_sessionize",
     "streaming_hourly_counts",
+    "streaming_running_totals",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
-    "orders_rollup",
-    "pipeline_text_clean",
-    # --- last driver-green in round 1 (6) ---
-    "lang_id_confusion",
-    "doc_fingerprint",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "merge_indicator_counts",
-    # --- new in round 4 ---
-    "orders_merge_upsert",  # MERGE INTO clause algebra
-    "orders_ivm_join",  # incremental view maintenance
-    "doc_bpe_tokens",  # BPE tokenizer train+apply
-    "streaming_purchase_attribution",  # stream-stream interval join
-    "streaming_running_totals",  # applyInPandasWithState operator
-    "kmv_partkey_overlap",  # theta-sketch set algebra
-    "doc_heavy_hitter_words",  # Misra-Gries + exact recount
-    "cust_priority_scd2",  # SCD-2 interval build
-    "orders_value_ntile",  # ntile/percent_rank/cume_dist
-    "ev_salted_type_stats",  # two-phase salted aggregation
-    "doc_unigram_logprob",  # CCNet-style unigram-LM quality scoring
-    "supplier_pagerank",  # iterative PageRank fixpoint loop
-    "doc_weighted_sample",  # Efraimidis-Spirakis weighted sampling
-]
-assert len(GRADED_WINDOW) == 50, len(GRADED_WINDOW)
-
-# ROUND-5 ROTATION LEDGER (mechanical: union of CORRECTNESS_r01..r03 keys +
-# this round's window, complement against queries()). The 64 queries below
-# will still have NO driver CORRECTNESS row after round 4 — they overfill
-# the round-5 window by 14 (rotate the overflow into round 6). All are green
-# under tools/check_correctness.py (this session's full local gate runs).
-ROUND5_NEVER_GRADED = [
+    # --- never driver-graded, ledger order (42) ---
     "part_price_scaled",
     "emb_int8_codes",
     "ann_sq_topk",
@@ -172,16 +117,43 @@ ROUND5_NEVER_GRADED = [
     "doc_hybrid_retrieval",
     "streaming_doc_chunks",
     "doc_curriculum_stages",
-    "corpus_build_mixture", "corpus_pmi_bigrams", "cust_cohort_ltv",
-    "cust_rfm_scores", "customer_pseudonymize", "dedup_containment",
-    "dedup_representatives", "dedup_sorted_neighbors", "dedup_surviving_corpus",
-    "doc_bigram_logprob", "doc_inverted_index", "doc_negative_pairs",
-    "doc_quality_balanced_corpus", "doc_three_way_split",
-    "doc_weighted_sample_per_lang", "emb_covariance_sample",
-    "emb_dimension_stats", "ev_concurrency_timeline", "ev_cusum_alarm",
-    "ev_funnel_latency", "ev_hourly_gap_filled", "ev_robust_anomaly",
-    "ev_seasonal_profile", "ev_top_session_paths", "ev_type_transitions",
-    "ev_value_trend", "ev_value_winsorized", "fk_integrity_report",
+    "corpus_build_mixture",
+    "corpus_pmi_bigrams",
+    "cust_cohort_ltv",
+    "cust_rfm_scores",
+    "customer_pseudonymize",
+    "dedup_containment",
+    "dedup_representatives",
+    "dedup_sorted_neighbors",
+    "dedup_surviving_corpus",
+    "doc_bigram_logprob",
+    "doc_inverted_index",
+    "doc_negative_pairs",
+    "doc_quality_balanced_corpus",
+    "doc_three_way_split",
+    "doc_weighted_sample_per_lang",
+    "emb_covariance_sample",
+    "emb_dimension_stats",
+    "ev_concurrency_timeline",
+    "ev_cusum_alarm",
+    "ev_funnel_latency",
+    "ev_hourly_gap_filled",
+    "ev_robust_anomaly",
+    "ev_seasonal_profile",
+    "ev_top_session_paths",
+    "ev_type_transitions",
+    "ev_value_trend",
+    "ev_value_winsorized",
+]
+assert len(GRADED_WINDOW) == 50, len(GRADED_WINDOW)
+
+# ROUND-6 ROTATION LEDGER (mechanical: the 22 overflow rows from the round-5
+# ledger — entries 43..64 in ledger order — plus every query added in round
+# 5; none of these will have a driver CORRECTNESS row after round 5). All
+# overflow rows were green under the judge's r4 local oracle replica; new
+# round-5 queries are verified with tools/check_correctness.py this round.
+ROUND6_NEVER_GRADED = [
+    "fk_integrity_report",
     "hist_merge_proof", "hll_merge_proof", "join_cardinality_prediction",
     "lang_source_chisq", "lineitem_skew_report", "lsh_recall_report",
     "orders_benford_digits", "orders_keyset_page", "orders_pit_priority",
@@ -189,6 +161,7 @@ ROUND5_NEVER_GRADED = [
     "source_characteristic_terms", "source_lang_kl", "streaming_dedup_events",
     "supplier_triangles", "supplier_two_hop_reach", "tfidf_cosine_pairs",
     "ev_attribution_touch", "doc_shared_passages", "orders_snapshot_timetravel",
+    # --- added in round 5 (appended as implemented) ---
 ]
 
 

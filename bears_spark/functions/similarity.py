@@ -361,7 +361,9 @@ def tfidf_cosine_pairs(
         .crossJoin(F.broadcast(n_docs))
         .select(id_col, "term", "df", (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("wt"))
     )
-    wgt = wgt.persist()
+    from bears_spark.caching import scoped_persist
+
+    wgt = scoped_persist(wgt)
     # a doc whose every term is corpus-ubiquitous has idf 0 everywhere -> a
     # zero vector with no defined angle; exclude it rather than divide by 0
     norms = (

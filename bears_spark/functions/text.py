@@ -348,13 +348,15 @@ def bm25_topk(
     id_col: str,
     text_col: str,
     query_terms: list[str],
-    k: int = 10,
+    k: int | None = 10,
     k1: float = 1.2,
     b: float = 0.75,
 ):
     """Okapi BM25 document scoring for a term query (Lucene-style idf:
     ln(1 + (N - df + 0.5)/(df + 0.5))) — the lexical retrieval standard
-    complementing the dense/hashed cosine paths.
+    complementing the dense/hashed cosine paths. ``k=None`` returns every
+    matching document unranked-cut (callers that re-rank on a rounded score
+    need the full list so their cut and this one can't disagree on ties).
 
     Plan: the term filter lands BEFORE any aggregation (the exploded token
     stream keeps only query terms — a ~|query|/|vocab| reduction at the
@@ -390,4 +392,84 @@ def bm25_topk(
         .groupBy(id_col)
         .agg(F.sum("s").alias("score"))
     )
+    if k is None:
+        return scored
     return scored.orderBy(F.desc("score"), id_col).limit(k)
+
+
+def bm25_topk_queries(
+    df,
+    id_col: str,
+    text_col: str,
+    queries_df,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Okapi BM25 for a query SET: score every (query, document) pair and
+    keep each query's top-k — the retrieval-eval shape at scale (one job
+    scores thousands of eval queries, not one literal query per job).
+
+    ``queries_df`` has columns (query_id, terms array<string>); it is tiny
+    (an eval set) and is broadcast. Plan shape:
+
+    * the corpus token stream is filtered at the source by a broadcast
+      LeftSemi against the UNION of all query terms (~|vocab ∩ terms| cut,
+      one corpus pass regardless of query count),
+    * per-term document frequencies aggregate once and broadcast back,
+    * query membership attaches via a broadcast equi-join on term, fanning
+      each scored (doc, term) to the queries containing it,
+    * per-query top-k is rank()<=k over (score desc, id) — Spark plans the
+      filter-over-window as WindowGroupLimit, pushing the k-cut into the
+      shuffle (partial top-k per map task), so no query's full posting list
+      is ever collected to one task unbounded.
+
+    Ties at rank k: rank() keeps all tied docs (deterministic because the
+    order key includes id). Returns (query_id, id_col, score, rank).
+    """
+    docs_len = df.select(F.col(id_col), token_count(text_col).alias("dl"))
+    row = docs_len.agg(F.count("*").alias("n"), F.sum("dl").alias("s")).first()
+    if not row["n"]:
+        return (
+            queries_df.select("query_id")
+            .withColumn(id_col, F.lit(None).cast("long"))
+            .withColumn("score", F.lit(0.0))
+            .withColumn("rank", F.lit(0))
+            .limit(0)
+        )
+    n_docs, avgdl = row["n"], float(row["s"]) / row["n"]
+    qterms = queries_df.select(
+        "query_id", F.explode(F.col("terms")).alias("term")
+    ).select("query_id", F.lower("term").alias("term")).distinct()
+    vocab = qterms.select("term").distinct()
+    toks = (
+        df.select(F.col(id_col), F.explode(tokenize(F.lower(F.col(text_col)))).alias("term"))
+        .join(F.broadcast(vocab), "term", "left_semi")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qterms), "term")  # fan each (doc, term) to its queries
+        .join(docs_len, id_col)
+        .select(
+            "query_id",
+            F.col(id_col),
+            (
+                idf
+                * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+            ).alias("s"),
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.sum("s").alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )

@@ -3,37 +3,50 @@ manifest-driven data skipping — the lakehouse table-format layer the reference
 leaves to raw directories (src/bears/writer/dataframe/DataFrameWriter.py:30
 writes files; nothing versions them or indexes their contents).
 
-Layout on disk (this implementation targets a shared/local filesystem — the
-manifest/pointer protocol is store-agnostic, and the object-store port swaps
-``open``/``os.replace``/``os.listdir`` for put-if-absent + list calls)::
+Layout (keys live in a :class:`~bears_spark.io.commit_store.CommitStore`;
+bulk data files are written by Spark itself)::
 
     <table>/
       _manifests/v00000001.json    one immutable manifest per committed version
-      _current                     tiny pointer file naming the live version
+      _current                     advisory pointer (cache; listing is truth)
       data/<uuid>/part-*.parquet   immutable data files, never rewritten
 
 A manifest lists the table's data files with per-file, per-column min/max
 stats harvested from the parquet footers. Commits are O(delta): an append
 writes only the new files and a manifest that references the parent's file
-list; the pointer swap (os.replace) is atomic, so readers always see a
-complete version. Single-writer semantics (documented, not enforced) — the
-multi-writer story at cluster scale is a compare-and-swap on the pointer,
-which object stores provide natively (put-if-absent of v<N+1>).
+list. The commit point is ``put_if_absent`` of the next manifest — a
+compare-and-swap, so two concurrent committers serialize: exactly one
+publishes v(N+1); the loser reloads the new parent and retries its commit
+against it. On the default local-filesystem store the CAS is hard-link
+publication; on an object store it is conditional put. Readers resolve the
+current version by listing the manifest log (never a torn read: manifests
+appear whole or not at all).
 
 Data skipping: ``read(where=...)`` prunes whole files whose [min, max] range
 cannot satisfy the predicate BEFORE Spark plans the scan — on a 100 TB table
 sorted or clustered by the predicate column (see functions/sketch.py Z-order
 / Hilbert layouts) this is the difference between scanning everything and
-scanning a handful of files. Row-group-level pruning inside surviving files
-still happens via Spark's normal parquet filter pushdown.
+scanning a handful of files. Temporal stats (date/timestamp) are serialized
+as epoch-micros, decimals as strings, so skipping works on time-clustered
+streaming tables — the most common 100 TB layout. Row-group-level pruning
+inside surviving files still happens via Spark's normal parquet pushdown.
 
 ``delete_where`` is copy-on-write: files provably outside the predicate are
-carried over untouched; only overlapping files are rewritten filtered. Cost
-is proportional to the data that actually changes, never the table size.
+carried over untouched; only overlapping files are rewritten filtered (SQL
+DELETE semantics: NULL-keyed rows never match a predicate, so they survive).
+Cost is proportional to the data that actually changes, never table size.
+
+Streaming ingest is exactly-once via Delta-style transaction stamps: each
+commit records (app_id, batch_id); a replayed micro-batch is skipped only
+when BOTH match, so a new checkpoint (epoch ids restart at 0) never
+collides with a previous ingest's stamps. Stamps accumulate into every
+child manifest, so expiring old manifests never forgets them.
 """
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import json
 import operator
 import os
@@ -42,10 +55,68 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+from bears_spark.io.commit_store import CommitConflictError, CommitStore, LocalCommitStore
+
 _OPS = {
     "=": operator.eq, "==": operator.eq, "<": operator.lt, "<=": operator.le,
     ">": operator.gt, ">=": operator.ge,
 }
+
+_EPOCH_DT = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+_EPOCH_D = datetime.date(1970, 1, 1)
+_US = datetime.timedelta(microseconds=1)
+
+
+def _encode_stat(v):
+    """Parquet footer stat -> JSON-storable value. int/float/str/bool pass
+    through; date/timestamp become tagged epoch-micros, decimals tagged
+    strings; anything else (binary, nested) returns None = no stat."""
+    if isinstance(v, bool) or type(v) in (int, float, str):
+        return v
+    if isinstance(v, datetime.datetime):
+        aware = v if v.tzinfo else v.replace(tzinfo=datetime.timezone.utc)
+        return {"t": "ts", "v": (aware - _EPOCH_DT) // _US}
+    if isinstance(v, datetime.date):
+        return {"t": "ts", "v": (v - _EPOCH_D).days * 86_400_000_000}
+    if isinstance(v, decimal.Decimal):
+        return {"t": "dec", "v": str(v)}
+    return None
+
+
+def _coerce_value(value, stat):
+    """Predicate value -> the stat's comparison domain (epoch-micros for
+    tagged temporal stats, Decimal for tagged decimals, raw otherwise).
+    None means 'cannot compare' -> the caller conservatively matches."""
+    if isinstance(stat, dict):
+        if stat.get("t") == "ts":
+            v = value
+            if isinstance(v, str):
+                try:
+                    v = datetime.datetime.fromisoformat(v)
+                except ValueError:
+                    return None
+            if isinstance(v, datetime.datetime):
+                aware = v if v.tzinfo else v.replace(tzinfo=datetime.timezone.utc)
+                return (aware - _EPOCH_DT) // _US
+            if isinstance(v, datetime.date):
+                return (v - _EPOCH_D).days * 86_400_000_000
+            return None
+        if stat.get("t") == "dec":
+            try:
+                return decimal.Decimal(str(value))
+            except decimal.InvalidOperation:
+                return None
+        return None
+    # raw stats: numeric compares with numeric, str with str, else punt
+    if isinstance(value, (int, float)) != isinstance(stat, (int, float)):
+        return None
+    return value
+
+
+def _decode_stat(stat):
+    if isinstance(stat, dict):
+        return decimal.Decimal(stat["v"]) if stat.get("t") == "dec" else stat["v"]
+    return stat
 
 
 @dataclass
@@ -56,50 +127,68 @@ class FileEntry:
 
     def may_match(self, col: str, op: str, value) -> bool:
         """False only when NO row in this file can satisfy ``col op value``.
-        Missing stats (absent column, all-null chunk) conservatively match."""
+        Missing stats (absent column, all-null chunk, un-encodable type)
+        conservatively match."""
         s = self.stats.get(col)
         if not s or s.get("min") is None or s.get("max") is None:
             return True
-        lo, hi = s["min"], s["max"]
-        if isinstance(value, (int, float)) != isinstance(lo, (int, float)):
-            return True  # stat/value type mismatch: conservatively match
+        v = _coerce_value(value, s["min"])
+        if v is None:
+            return True  # stat/value domain mismatch: conservatively match
+        lo, hi = _decode_stat(s["min"]), _decode_stat(s["max"])
         if op in ("=", "=="):
-            return lo <= value <= hi
+            return lo <= v <= hi
         if op == "<":
-            return lo < value
+            return lo < v
         if op == "<=":
-            return lo <= value
+            return lo <= v
         if op == ">":
-            return hi > value
+            return hi > v
         if op == ">=":
-            return hi >= value
+            return hi >= v
         raise ValueError(f"unsupported operator {op!r}")
 
 
 class SnapshotTable:
-    """Handle to a snapshot-versioned parquet table rooted at ``path``."""
+    """Handle to a snapshot-versioned parquet table rooted at ``path``.
 
-    def __init__(self, spark: SparkSession, path: str):
+    ``store`` is the commit-protocol seam (manifests, pointer, markers);
+    defaults to the local filesystem. Concurrent committers are safe: the
+    manifest CAS serializes them and losers retry against the new parent
+    (``max_commit_retries`` bounds the loop)."""
+
+    def __init__(self, spark: SparkSession, path: str, store: CommitStore | None = None,
+                 max_commit_retries: int = 10):
         self.spark = spark
         self.path = path
+        self.store = store or LocalCommitStore()
+        self.max_commit_retries = max_commit_retries
 
     # -- commit protocol ----------------------------------------------------
-    def _manifest_path(self, version: int) -> str:
+    def _manifest_key(self, version: int) -> str:
         return os.path.join(self.path, "_manifests", f"v{version:08d}.json")
 
     def current_version(self) -> int:
-        try:
-            with open(os.path.join(self.path, "_current")) as f:
-                return int(f.read().strip())
-        except FileNotFoundError:
-            return 0
+        """Latest committed version = max of the manifest log listing (the
+        advisory ``_current`` pointer is a cache, never the authority — a
+        committer that crashed after CAS but before the pointer update must
+        still win)."""
+        keys = self.store.list_prefix(os.path.join(self.path, "_manifests"))
+        versions = []
+        for k in keys:
+            name = os.path.basename(k)
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    versions.append(int(name[1:-5]))
+                except ValueError:
+                    continue
+        return max(versions, default=0)
 
     def _load_manifest(self, version: int | None = None) -> dict:
         v = self.current_version() if version is None else version
         if v == 0:
-            return {"version": 0, "operation": "empty", "files": []}
-        with open(self._manifest_path(v)) as f:
-            return json.load(f)
+            return {"version": 0, "operation": "empty", "files": [], "txns": {}}
+        return json.loads(self.store.read(self._manifest_key(v)))
 
     def _write_files(self, df: DataFrame) -> list[FileEntry]:
         """Write df as immutable parquet files under data/<uuid>/ and harvest
@@ -116,6 +205,7 @@ class SnapshotTable:
             fpath = os.path.join(subdir, name)
             md = pq.ParquetFile(fpath).metadata
             stats: dict = {}
+            dropped: set[str] = set()
             for rg in range(md.num_row_groups):
                 g = md.row_group(rg)
                 for ci in range(g.num_columns):
@@ -123,66 +213,99 @@ class SnapshotTable:
                     if c.statistics is None or not c.statistics.has_min_max:
                         continue
                     col = c.path_in_schema
-                    mn, mx = c.statistics.min, c.statistics.max
-                    # manifests are JSON: keep only JSON-native stat types
-                    # (int/float/str/bool). date/timestamp/decimal/binary
-                    # stats are dropped — those columns conservatively match
-                    # every predicate instead of mis-serializing.
-                    if type(mn) not in (int, float, str, bool):
+                    if col in dropped:
                         continue
-                    cur = stats.setdefault(col, {"min": mn, "max": mx})
-                    cur["min"] = min(cur["min"], mn)
-                    cur["max"] = max(cur["max"], mx)
+                    mn, mx = _encode_stat(c.statistics.min), _encode_stat(c.statistics.max)
+                    if mn is None or mx is None:
+                        # un-encodable type (binary/nested): no stat for this
+                        # column in ANY row group -> conservative match
+                        dropped.add(col)
+                        stats.pop(col, None)
+                        continue
+                    cur = stats.get(col)
+                    if cur is None:
+                        stats[col] = {"min": mn, "max": mx}
+                    else:
+                        kmn, kmx = _decode_stat(mn), _decode_stat(mx)
+                        if kmn < _decode_stat(cur["min"]):
+                            cur["min"] = mn
+                        if kmx > _decode_stat(cur["max"]):
+                            cur["max"] = mx
             entries.append(FileEntry(path=fpath, rows=md.num_rows, stats=stats))
         return entries
 
-    def _commit(self, operation: str, files: list[FileEntry], batch_id: int | None = None) -> int:
-        parent = self.current_version()
-        version = parent + 1
-        os.makedirs(os.path.join(self.path, "_manifests"), exist_ok=True)
-        manifest = {
-            "version": version,
-            "parent": parent,
-            "operation": operation,
-            "files": [vars(e) for e in files],
-        }
-        if batch_id is not None:
-            manifest["batch_id"] = batch_id
-        mp = self._manifest_path(version)
-        tmp = mp + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, mp)  # manifest becomes visible whole
-        ptr_tmp = os.path.join(self.path, "_current.tmp")
-        with open(ptr_tmp, "w") as f:
-            f.write(str(version))
-        os.replace(ptr_tmp, os.path.join(self.path, "_current"))  # atomic swap
-        return version
+    def _commit(self, operation: str, build_files, txn: tuple[str, int] | None = None) -> int:
+        """CAS commit loop: build the file list against the current parent,
+        try put_if_absent of manifest v(parent+1); on conflict reload the
+        parent and rebuild. ``build_files(parent_manifest) -> list[FileEntry]``
+        re-runs per attempt so parent-derived lists stay consistent.
+        ``txn=(app_id, batch_id)`` stamps the commit for exactly-once
+        streaming ingest; stamps merge cumulatively into every child."""
+        for _ in range(self.max_commit_retries + 1):
+            parent_m = self._load_manifest()
+            parent = parent_m["version"]
+            if txn is not None and parent_m.get("txns", {}).get(txn[0], -1) >= txn[1]:
+                return parent  # another committer already landed this batch
+            files = build_files(parent_m)
+            version = parent + 1
+            txns = dict(parent_m.get("txns", {}))
+            if txn is not None:
+                txns[txn[0]] = txn[1]
+            manifest = {
+                "version": version,
+                "parent": parent,
+                "operation": operation,
+                "files": [vars(e) for e in files],
+                "txns": txns,
+            }
+            if txn is not None:
+                manifest["batch_id"] = txn[1]
+            payload = json.dumps(manifest).encode()
+            if self.store.put_if_absent(self._manifest_key(version), payload):
+                # advisory pointer for external tooling; listing is authority
+                self.store.replace(os.path.join(self.path, "_current"), str(version).encode())
+                return version
+            # CAS lost: another writer published this version — retry on it
+        raise CommitConflictError(
+            f"commit of {operation!r} lost the manifest CAS "
+            f"{self.max_commit_retries + 1} times; giving up"
+        )
 
     # -- write operations ---------------------------------------------------
     def overwrite(self, df: DataFrame) -> int:
-        return self._commit("overwrite", self._write_files(df))
+        new = self._write_files(df)
+        return self._commit("overwrite", lambda parent_m: new)
 
     def append(self, df: DataFrame) -> int:
-        prior = [FileEntry(**e) for e in self._load_manifest()["files"]]
-        return self._commit("append", prior + self._write_files(df))
+        new = self._write_files(df)  # written once; CAS retries only re-list the parent
+        return self._commit(
+            "append", lambda parent_m: [FileEntry(**e) for e in parent_m["files"]] + new
+        )
 
     def delete_where(self, col: str, op: str, value) -> int:
         """Copy-on-write delete of rows matching ``col op value``: files whose
         stats prove no match are carried over by reference; overlapping files
-        are rewritten with the matching rows filtered out."""
+        are rewritten with the matching rows filtered out. SQL DELETE
+        semantics: a NULL key never satisfies the predicate, so null-keyed
+        rows always survive (the survivor filter is ``NOT pred OR col IS
+        NULL`` — plain ``NOT pred`` is NULL for null keys and filter() would
+        silently drop them)."""
         from pyspark.sql import functions as F
 
-        prior = [FileEntry(**e) for e in self._load_manifest()["files"]]
-        keep = [e for e in prior if not e.may_match(col, op, value)]
-        rewrite = [e for e in prior if e.may_match(col, op, value)]
-        new = []
-        if rewrite:
-            survivors = self.spark.read.parquet(*[e.path for e in rewrite]).filter(
-                ~_OPS[op](F.col(col), F.lit(value))
-            )
-            new = self._write_files(survivors)
-        return self._commit("delete", keep + new)
+        def build(parent_m: dict) -> list[FileEntry]:
+            prior = [FileEntry(**e) for e in parent_m["files"]]
+            keep = [e for e in prior if not e.may_match(col, op, value)]
+            rewrite = [e for e in prior if e.may_match(col, op, value)]
+            new = []
+            if rewrite:
+                pred = _OPS[op](F.col(col), F.lit(value))
+                survivors = self.spark.read.parquet(*[e.path for e in rewrite]).filter(
+                    ~pred | F.col(col).isNull()
+                )
+                new = self._write_files(survivors)
+            return keep + new
+
+        return self._commit("delete", build)
 
     def overwrite_clustered(self, df: DataFrame, cluster_cols: list[str], bits: int = 8, num_files: int | None = None) -> int:
         """Z-order-clustered overwrite: quantize the cluster columns from
@@ -204,7 +327,8 @@ class SnapshotTable:
             for c in cluster_cols
         ]
         laid = zorder_layout(df, qcols, bits=bits, num_partitions=num_files)
-        return self._commit("overwrite-clustered", self._write_files(laid))
+        new = self._write_files(laid)
+        return self._commit("overwrite-clustered", lambda parent_m: new)
 
     def merge(self, source: DataFrame, key: str) -> int:
         """MERGE INTO this table (upsert): source rows update matching target
@@ -222,21 +346,25 @@ class SnapshotTable:
         from bears_spark.functions.cdc import merge_into
 
         b = source.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
-        prior = [FileEntry(**e) for e in self._load_manifest()["files"]]
-        if b["lo"] is None:  # empty source: MERGE is a no-op version
-            return self._commit("merge", prior)
 
-        def overlaps(e: FileEntry) -> bool:
-            return e.may_match(key, ">=", b["lo"]) and e.may_match(key, "<=", b["hi"])
+        def build(parent_m: dict) -> list[FileEntry]:
+            prior = [FileEntry(**e) for e in parent_m["files"]]
+            if b["lo"] is None:  # empty source: MERGE is a no-op version
+                return prior
 
-        keep = [e for e in prior if not overlaps(e)]
-        hit = [e for e in prior if overlaps(e)]
-        if hit:
-            target = self.spark.read.parquet(*[e.path for e in hit])
-            merged = merge_into(target, source, on=key)
-        else:
-            merged = source
-        return self._commit("merge", keep + self._write_files(merged))
+            def overlaps(e: FileEntry) -> bool:
+                return e.may_match(key, ">=", b["lo"]) and e.may_match(key, "<=", b["hi"])
+
+            keep = [e for e in prior if not overlaps(e)]
+            hit = [e for e in prior if overlaps(e)]
+            if hit:
+                target = self.spark.read.parquet(*[e.path for e in hit])
+                merged = merge_into(target, source, on=key)
+            else:
+                merged = source
+            return keep + self._write_files(merged)
+
+        return self._commit("merge", build)
 
     def compact(self, target_rows_per_file: int = 1_000_000) -> int:
         """Small-file maintenance: bin-pack files below the target into
@@ -251,37 +379,54 @@ class SnapshotTable:
         small = [e for e in entries if e.rows < target_rows_per_file]
         if len(small) <= 1:
             return self.current_version()  # nothing to gain
-        big = [e for e in entries if e.rows >= target_rows_per_file]
         merged = self.spark.read.parquet(*[e.path for e in small])
         n_out = max(1, math.ceil(sum(e.rows for e in small) / target_rows_per_file))
         new = self._write_files(merged.repartition(n_out))
-        return self._commit("compact", big + new)
+        small_paths = {e.path for e in small}
+
+        def build(parent_m: dict) -> list[FileEntry]:
+            prior = [FileEntry(**e) for e in parent_m["files"]]
+            return [e for e in prior if e.path not in small_paths] + new
+
+        return self._commit("compact", build)
 
     # -- streaming ingest ---------------------------------------------------
-    def committed_batch_ids(self) -> set[int]:
-        ids = set()
-        for v in range(1, self.current_version() + 1):
-            try:
-                m = self._load_manifest(v)
-            except FileNotFoundError:
-                continue  # expired snapshot
-            if "batch_id" in m:
-                ids.add(m["batch_id"])
-        return ids
+    def committed_txns(self) -> dict[str, int]:
+        """app_id -> last committed batch id (Delta txnAppId/txnVersion
+        model). Carried cumulatively in every manifest, so reading the
+        LATEST manifest suffices and snapshot expiry never loses stamps."""
+        return dict(self._load_manifest().get("txns", {}))
 
-    def streaming_append(self, stream_df: DataFrame, checkpoint_dir: str, available_now: bool = True):
+    def committed_batch_ids(self, app_id: str | None = None) -> set[int]:
+        """Last committed batch id per ingest app (all apps by default)."""
+        txns = self.committed_txns()
+        if app_id is not None:
+            return {txns[app_id]} if app_id in txns else set()
+        return set(txns.values())
+
+    def streaming_append(self, stream_df: DataFrame, checkpoint_dir: str, available_now: bool = True,
+                         app_id: str | None = None):
         """Exactly-once streaming ingest via foreachBatch: each micro-batch
-        commits an append manifest stamped with its epoch id, and a replayed
-        batch (checkpoint recovery re-delivers the last epoch) is detected by
-        that stamp and skipped — the commit, not the write, is the
-        idempotency point. Returns the StreamingQuery (await it, or it runs
-        to completion under available_now)."""
+        commits an append manifest stamped with (app_id, epoch id) —
+        Delta's txnAppId/txnVersion pattern. A replayed batch (checkpoint
+        recovery re-delivers the last epoch) is detected because BOTH stamp
+        halves match and is skipped; a NEW checkpoint (epoch ids restart at
+        0) gets a different app_id, so its batches are never mistaken for
+        replays of an earlier ingest. app_id defaults to the normalized
+        checkpoint path — stable across restarts of the same stream,
+        distinct per checkpoint. Returns the StreamingQuery (await it, or it
+        runs to completion under available_now)."""
+        app = app_id or os.path.abspath(checkpoint_dir)
 
         def _sink(batch_df: DataFrame, batch_id: int) -> None:
-            if batch_id in self.committed_batch_ids():
+            if self.committed_txns().get(app, -1) >= batch_id:
                 return  # replay after checkpoint recovery: already committed
-            prior = [FileEntry(**e) for e in self._load_manifest()["files"]]
-            self._commit("stream-append", prior + self._write_files(batch_df), batch_id=batch_id)
+            new = self._write_files(batch_df)
+            self._commit(
+                "stream-append",
+                lambda parent_m: [FileEntry(**e) for e in parent_m["files"]] + new,
+                txn=(app, batch_id),
+            )
 
         w = stream_df.writeStream.foreachBatch(_sink).option("checkpointLocation", checkpoint_dir)
         if available_now:
@@ -302,8 +447,14 @@ class SnapshotTable:
         if where is not None:
             entries = [e for e in entries if e.may_match(*where)]
             if not entries:
-                # every file provably excluded: empty result, correct schema
-                return self.spark.read.parquet(all_entries[0].path).limit(0)
+                # every file provably excluded: empty result over the FULL
+                # merged snapshot schema (footer-only read), so pruning stays
+                # semantically invisible even after schema evolution
+                return (
+                    self.spark.read.option("mergeSchema", "true")
+                    .parquet(*[e.path for e in all_entries])
+                    .limit(0)
+                )
         # mergeSchema: appends may evolve the schema (new nullable columns);
         # older files surface nulls for columns they predate, and a
         # time-travel read of an old version sees that version's schema.
@@ -322,15 +473,13 @@ class SnapshotTable:
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Drop the manifests of all but the newest ``keep_last`` versions
         (time travel to expired versions stops working; the live version is
-        untouched). Returns the expired version numbers. Run vacuum() after
-        to reclaim the data files only the expired versions referenced."""
+        untouched — and txn stamps survive, because every manifest carries
+        the cumulative stamp map). Returns the expired version numbers. Run
+        vacuum() after to reclaim data files only expired versions used."""
         cur = self.current_version()
         expired = [v for v in range(1, max(cur - keep_last, 0) + 1)]
         for v in expired:
-            try:
-                os.remove(self._manifest_path(v))
-            except FileNotFoundError:
-                pass  # already expired
+            self.store.delete(self._manifest_key(v))
         return expired
 
     def vacuum(self) -> int:

@@ -409,7 +409,9 @@ def corpus_mixture_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tok").alias("n_tokens"),
     )
-    per = per.persist()
+    from bears_spark.caching import scoped_persist
+
+    per = scoped_persist(per)
     trow = per.agg(
         F.sum("n_docs").alias("t_docs"),
         F.sum("n_tokens").alias("t_tokens"),
@@ -889,7 +891,9 @@ def doc_quality_balanced_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bears_spark.functions.hashing import md5_hash64
     from bears_spark.functions.prefix import distributed_row_number
 
-    lm = doc_unigram_logprob(spark, sf_dir).select("doc_id", "mean_logprob").persist()
+    from bears_spark.caching import scoped_persist
+
+    lm = scoped_persist(doc_unigram_logprob(spark, sf_dir).select("doc_id", "mean_logprob"))
     total = lm.count()
     pos = distributed_row_number(lm, ["mean_logprob", "doc_id"], out_col="pos")
     strat = pos.select(
@@ -944,10 +948,17 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from bears_spark.functions.hashing import md5_hash64
 
+    from bears_spark.functions.text import token_count
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.size(F.split(F.trim("text"), r"\s+"))
+    # token_count filters empty splits (0 for empty/whitespace-only text),
+    # matching the oracle's list_filter semantics — F.size(F.split(...))
+    # would report 1 for an empty document (r4 ADVICE #3)
     keyed = docs.select(
-        "doc_id", "lang", toks.alias("n_tok"), md5_hash64(F.col("doc_id"), salt="temp").alias("pri")
+        "doc_id",
+        "lang",
+        token_count("text").alias("n_tok"),
+        md5_hash64(F.col("doc_id"), salt="temp").alias("pri"),
     )
     counts = keyed.groupBy("lang").agg(F.sum("n_tok").alias("c"))
     # denominator via an all-rows window over the tiny per-lang aggregate

@@ -711,8 +711,14 @@ def doc_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bears_spark.functions.vectors import cosine_similarity
 
     docs = load_table(spark, sf_dir, "documents")
-    lex = bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=20).select(
-        "doc_id", F.round("score", 6).alias("ls")
+    # cut the lexical top-20 on the ROUNDED score (k=None -> full list first):
+    # the oracle's lex CTE rounds before its LIMIT, so a raw-double cut could
+    # select a different set when docs tie at 6 decimals on the boundary
+    lex = (
+        bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=None)
+        .select("doc_id", F.round("score", 6).alias("ls"))
+        .orderBy(F.desc("ls"), "doc_id")
+        .limit(20)
     )
     lex = lex.select(
         "doc_id", F.row_number().over(Window.orderBy(F.desc("ls"), "doc_id")).alias("lr")
@@ -1570,7 +1576,9 @@ def doc_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     wf = winnow_fingerprints(docs, "text", "doc_id", k=5, window=4)
     fps = wf.select("doc_id", F.explode("fingerprints").alias("fp"))
     hot = fps.groupBy("fp").agg(F.count("*").alias("d")).filter(F.col("d") > _SP_MAX_DF).select("fp")
-    fps = fps.join(F.broadcast(hot), "fp", "left_anti").persist()
+    from bears_spark.caching import scoped_persist
+
+    fps = scoped_persist(fps.join(F.broadcast(hot), "fp", "left_anti"))
     a, b = fps.alias("a"), fps.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))

@@ -29,6 +29,11 @@ _BASE_CONF = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # INT96 timestamps (legacy default) carry no footer min/max statistics,
+    # which silences stats-based file skipping on time-clustered tables
+    # (io/snapshot_table.py) AND weakens row-group pruning everywhere.
+    # TIMESTAMP_MICROS is the modern annotated type every engine reads.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.sql.session.timeZone": "UTC",
     # Parquet TIMESTAMP(NANOS) (e.g. pandas datetime64[ns] writers) is illegal
     # in vanilla Spark 4; read as int64 nanos and convert in the loader

@@ -360,6 +360,7 @@ def fanout_stream(
     sinks: list[str],
     checkpoint: str,
     available_now: bool = False,
+    store=None,
 ):
     """One stream, N parquet sinks, exactly-once per sink — the common
     "land raw + land curated" topology without running N streaming queries
@@ -377,16 +378,23 @@ def fanout_stream(
     The batch DataFrame is persisted across the N writes so the source
     micro-batch is computed once, not N times.
 
-    Scope note (same honest boundary as io/snapshot_table.py): the marker
-    check and tmp-dir rename use local-filesystem os/shutil calls, so sinks
-    must be driver-visible paths (local disk, NFS, fuse mounts). An object
-    store needs the rename swapped for its conditional-put primitive.
+    Marker reads/writes go through the CommitStore seam
+    (io/commit_store.py — same portability boundary as the snapshot
+    table): ``put_if_absent`` publishes the marker atomically, so an
+    object-store port only swaps the store. The batch data rename itself
+    is local-fs (Spark writes the files); on an object store the
+    ``batch=<id>`` prefix is already atomic-enough because the marker,
+    not the data listing, is the commit point.
     """
     import os
     import shutil
 
+    from bears_spark.io.commit_store import LocalCommitStore
+
+    cstore = store or LocalCommitStore()
+
     def _write(batch_df, batch_id: int):
-        pending = [s for s in sinks if not os.path.exists(os.path.join(s, f"_committed_{batch_id}"))]
+        pending = [s for s in sinks if not cstore.exists(os.path.join(s, f"_committed_{batch_id}"))]
         if not pending:
             return
         batch_df.persist()
@@ -398,8 +406,7 @@ def fanout_stream(
                 batch_df.write.mode("overwrite").parquet(tmp)
                 shutil.rmtree(final, ignore_errors=True)
                 os.replace(tmp, final)
-                with open(os.path.join(s, f"_committed_{batch_id}"), "w") as fh:
-                    fh.write("ok")
+                cstore.put_if_absent(os.path.join(s, f"_committed_{batch_id}"), b"ok")
         finally:
             batch_df.unpersist()
 

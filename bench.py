@@ -42,6 +42,9 @@ def main() -> None:
             fn(spark, warm_src).count()
         except Exception as exc:  # never let warm-up kill the bench
             print(f"# warmup {name} failed: {exc}", file=sys.stderr)
+    from bears_spark.caching import release_scoped_caches
+
+    release_scoped_caches()  # warm-up leftovers must not occupy executor memory
     # best-of-2 per query: this host shows 2-3x wall-clock swings from
     # ambient load; the min measures the code rather than the neighbor.
     timings: dict[str, float] = {}
@@ -63,6 +66,11 @@ def main() -> None:
             continue
         timings[name] = round(min(runs), 4)
         print(f"# {name}: {timings[name]:.3f}s (runs: {', '.join(f'{r:.3f}' for r in runs)}) rows={n}", file=sys.stderr)
+        # drain query-scoped persists so caches never accumulate across the
+        # run (and no query times against another query's leftover cache)
+        from bears_spark.caching import release_scoped_caches
+
+        release_scoped_caches()
     total = round(sum(timings.values()), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

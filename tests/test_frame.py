@@ -393,3 +393,14 @@ def test_quantile_approx(spark):
     approx = sf["v"].quantile(0.9, approx=True)
     assert exact == pytest.approx(900.1, abs=1)
     assert abs(approx - exact) <= 2  # GK sketch within accuracy bound
+
+
+def test_scoped_persist_registry_drains(spark):
+    from bears_spark.caching import release_scoped_caches, scoped_persist
+
+    df = scoped_persist(spark.range(10))
+    assert df.count() == 10
+    assert df.storageLevel.useMemory
+    assert release_scoped_caches() >= 1
+    assert not df.storageLevel.useMemory  # actually unpersisted
+    assert release_scoped_caches() == 0  # registry drained

@@ -214,3 +214,165 @@ def test_roundtrip_preserves_values_and_nulls(spark, tmp_path):
     t.append(df.filter(F.col("id") > 3))
     got = sorted(tuple(r) for r in t.read().collect())
     assert got == sorted(rows)
+
+
+# -- round-5 regressions: null-delete, temporal stats, CAS seam, txn stamps --
+import datetime
+
+from bears_spark.io.commit_store import InMemoryCommitStore
+
+
+def test_delete_where_preserves_null_keys(spark, table):
+    """SQL DELETE semantics: a NULL key never matches the predicate, so
+    null-keyed rows must survive (r4 VERDICT 'What's wrong' #1 repro)."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "id: bigint, k: string"
+    )
+    table.overwrite(df.coalesce(1))
+    table.delete_where("k", "=", "a")
+    got = sorted((r["id"], r["k"]) for r in table.read().collect())
+    assert got == [(2, None), (3, "c")]
+
+
+def _ts_df(spark, month, n=50):
+    base = datetime.datetime(2024, month, 1)
+    rows = [
+        (i, base + datetime.timedelta(hours=i), (base + datetime.timedelta(hours=i)).date())
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "id: bigint, ts: timestamp, d: date")
+
+
+def test_temporal_stats_prune_files(spark, table):
+    """date/timestamp min/max must survive manifest serialization so file
+    skipping works on time-clustered tables (r4 VERDICT #2)."""
+    table.overwrite(_ts_df(spark, 1).coalesce(1))
+    table.append(_ts_df(spark, 2).coalesce(1))
+    table.append(_ts_df(spark, 3).coalesce(1))
+    n_all = len(table.files())
+    assert n_all == 3
+    # datetime predicate prunes on the timestamp column
+    cut = datetime.datetime(2024, 3, 1)
+    assert len(table.files(where=("ts", ">=", cut))) == 1
+    # ISO-string predicate prunes too
+    assert len(table.files(where=("ts", ">=", "2024-03-01"))) == 1
+    # date-typed column prunes with a date predicate
+    assert len(table.files(where=("d", "<", datetime.date(2024, 2, 1)))) == 1
+    # and pruning is semantically invisible
+    got = table.read(where=("ts", ">=", cut))
+    assert got.count() == table.read().filter("ts >= timestamp'2024-03-01'").count() == 50
+
+
+def test_merge_on_timestamp_key_rewrites_only_overlap(spark, table):
+    table.overwrite(_ts_df(spark, 1).coalesce(1))
+    table.append(_ts_df(spark, 2).coalesce(1))
+    files_before = {e.path for e in table.files()}
+    # CDC batch keyed on ts, entirely inside February
+    src = spark.createDataFrame(
+        [(999, datetime.datetime(2024, 2, 1, 5), datetime.date(2024, 2, 1))],
+        "id: bigint, ts: timestamp, d: date",
+    )
+    table.merge(src, key="ts")
+    # the January file provably contains no February key: carried by reference
+    assert {e.path for e in table.files()} & files_before
+    got = {r["ts"]: r["id"] for r in table.read().collect()}
+    assert got[datetime.datetime(2024, 2, 1, 5)] == 999  # updated row
+    assert len(got) == 100  # upsert replaced, not duplicated
+
+
+def test_delete_where_temporal_predicate(spark, table):
+    table.overwrite(_ts_df(spark, 1).coalesce(1))
+    table.append(_ts_df(spark, 2).coalesce(1))
+    files_before = {e.path for e in table.files()}
+    table.delete_where("ts", ">=", datetime.datetime(2024, 2, 1))
+    # January file untouched (stats prove no match)...
+    assert {e.path for e in table.files()} & files_before
+    assert table.read().count() == 50
+    assert table.read().agg(F.max("ts")).first()[0] < datetime.datetime(2024, 2, 1)
+
+
+class _RacingStore(InMemoryCommitStore):
+    """Injects a competing commit immediately before the first manifest CAS,
+    simulating two concurrent committers on an object store."""
+
+    def __init__(self, interloper_holder):
+        super().__init__()
+        self._holder = interloper_holder
+        self._fired = False
+
+    def put_if_absent(self, key, data):
+        if "_manifests" in key and not self._fired and self._holder[0] is not None:
+            self._fired = True
+            self._holder[0]()  # the other writer lands its commit first
+        return super().put_if_absent(key, data)
+
+
+def test_concurrent_commit_cas_conflict(spark, tmp_path):
+    """Two concurrent committers: one wins the manifest CAS, the loser
+    retries against the new parent — no lost update (r4 VERDICT #4)."""
+    holder = [None]
+    store = _RacingStore(holder)
+    path = str(tmp_path / "cas")
+    t1 = SnapshotTable(spark, path, store=store)
+    t2 = SnapshotTable(spark, path, store=store)
+    t1.overwrite(_df(spark, 0, 10).coalesce(1))
+    holder[0] = lambda: t2.append(_df(spark, 100, 110).coalesce(1))
+    v = t1.append(_df(spark, 200, 210).coalesce(1))
+    # t2 snuck in v2 during t1's first CAS attempt; t1 lost once and retried
+    assert v == 3
+    assert store.cas_failures == 1
+    ids = {r["id"] for r in t1.read().collect()}
+    assert ids == set(range(0, 10)) | set(range(100, 110)) | set(range(200, 210))
+    assert [h["operation"] for h in t1.snapshots()] == ["overwrite", "append", "append"]
+
+
+def test_streaming_new_checkpoint_not_mistaken_for_replay(spark, table, tmp_path):
+    """Epoch ids restart at 0 under a new checkpoint; the (app_id, batch_id)
+    stamp must not skip the new stream's batches (r4 ADVICE #1)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def mkstream(name, ids):
+        src = tmp_path / name
+        src.mkdir()
+        pq.write_table(pa.table({"id": list(ids), "v": [0] * len(list(ids))}), str(src / "a.parquet"))
+        return spark.readStream.schema("id long, v long").parquet(str(src) + "/")
+
+    q1 = table.streaming_append(mkstream("src1", range(10)), str(tmp_path / "ck1"))
+    q1.awaitTermination(120)
+    assert table.read().count() == 10
+    # a brand-new checkpoint delivers ITS batch 0 — must append, not skip
+    q2 = table.streaming_append(mkstream("src2", range(100, 105)), str(tmp_path / "ck2"))
+    q2.awaitTermination(120)
+    assert table.read().count() == 15
+    assert len(table.committed_txns()) == 2  # one stamp per ingest app
+
+
+def test_expire_preserves_txn_stamps(spark, table, tmp_path):
+    """Stamps accumulate into every manifest, so expiring old manifests
+    never forgets a committed batch (r4 ADVICE #1, second half)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(pa.table({"id": [1, 2], "v": [0, 0]}), str(src / "a.parquet"))
+    stream = spark.readStream.schema("id long, v long").parquet(str(src) + "/")
+    q = table.streaming_append(stream, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    stamps = table.committed_txns()
+    assert stamps
+    table.append(_df(spark, 0, 5).coalesce(1))
+    table.append(_df(spark, 5, 9).coalesce(1))
+    table.expire_snapshots(keep_last=1)
+    assert table.committed_txns() == stamps  # survived expiry
+
+
+def test_read_empty_pruned_keeps_evolved_schema(spark, table):
+    """All-files-pruned read must expose the full merged snapshot schema,
+    including columns added by later appends (r4 ADVICE #4)."""
+    table.overwrite(_df(spark, 0, 100).coalesce(1))
+    table.append(_df(spark, 100, 200).withColumn("extra", F.lit("new")).coalesce(1))
+    empty = table.read(where=("id", ">", 10_000))
+    assert empty.count() == 0
+    assert "extra" in empty.columns

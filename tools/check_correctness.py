@@ -94,7 +94,10 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        from bears_spark.caching import release_scoped_caches
+
         spark_pdf = fn(spark, sf_dir).toPandas()
+        release_scoped_caches()  # drain query-scoped persists between queries
         if name not in oracles:
             print(f"  {name}: NO ORACLE (rows-only) rows={len(spark_pdf)}")
             continue
