@@ -162,6 +162,8 @@ ROUND6_NEVER_GRADED = [
     "supplier_triangles", "supplier_two_hop_reach", "tfidf_cosine_pairs",
     "ev_attribution_touch", "doc_shared_passages", "orders_snapshot_timetravel",
     # --- added in round 5 (appended as implemented) ---
+    "doc_bm25_queryset",
+    "ann_ivfpq_topk",
 ]
 
 

@@ -52,6 +52,8 @@ _MAGIC = {
     b"GIF8": "gif",
     b"RIFF": "riff",  # wav/webp — disambiguated at decode
     b"fLaC": "flac",
+    b"OggS": "ogg",
+    b"ID3": "mp3",  # ID3v2-tagged; bare MPEG sync (0xFFEx) sniffed at decode
     b"%PDF": "pdf",
     b"P6": "ppm",
     b"BM": "bmp",
@@ -351,7 +353,29 @@ def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
 
         arr, rate, bps = decode_flac(content)
         return arr.astype(np.float64) / float(1 << (bps - 1)), rate
+    if is_mp3_or_ogg(content):
+        # honest format gate (same convention as the JPEG multi-scan gate):
+        # mp3/ogg are perceptual codecs — no stdlib decoder exists; the
+        # native path above handles them when soundfile/libsndfile+lame is
+        # installed on the executors.
+        raise NotImplementedError(
+            "mp3/ogg decode requires the native soundfile/libsndfile decoder "
+            "(pip install soundfile); the zero-dependency fallback covers WAV and FLAC"
+        )
     return decode_wav(content)
+
+
+def is_mp3_or_ogg(content: bytes) -> bool:
+    """Container sniff for the perceptual-codec family: Ogg capture pattern,
+    ID3v2 tag, or a bare MPEG audio frame sync (11 set bits + valid
+    version/layer nibble — the tagless-mp3 case magic-prefix maps miss)."""
+    if content[:4] == b"OggS" or content[:3] == b"ID3":
+        return True
+    if len(content) >= 2 and content[0] == 0xFF and (content[1] & 0xE0) == 0xE0:
+        version = (content[1] >> 3) & 0x3
+        layer = (content[1] >> 1) & 0x3
+        return version != 1 and layer != 0  # reserved values exclude random binary
+    return False
 
 
 def extract_pdf_text(content: bytes) -> str:

@@ -317,6 +317,94 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: Sequence[float],
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    score_round: int | None = None,
+) -> DataFrame:
+    """Composed IVF + PQ search (r4 VERDICT #6): probe the ``nprobe``
+    coarse-centroid buckets nearest the query, ADC-rank the bucket members
+    by their product-quantization codes.
+
+    This is the standard billion-scale ANN recipe (FAISS IVFPQ without
+    residual encoding — raw-vector codebooks keep the math
+    oracle-reproducible; the cost model is identical). Both quantizers are
+    tiny fit states baked into the plan as LITERALS — the coarse assignment
+    is an array_max over per-centroid cosine structs and the ADC distance
+    is m table lookups, all whole-stage-codegen expressions; the plan is
+    scan -> filter -> (Arrow encode) -> TakeOrderedAndProject with ZERO
+    joins. At 100 TB the codes would be precomputed at write time; here
+    candidates are encoded post-probe (same operator count, fewer UDF
+    rows). Cosines sum left-to-right in every engine (Spark F.aggregate,
+    DuckDB list_sum, the Python probe loop below), so assignment ties
+    resolve identically.
+
+    ``score_round`` rounds the ADC distance before the rank cut so an
+    oracle that rounds can't disagree on boundary ties.
+    Returns (id_col, adc_dist) — ascending distance, id tiebreak.
+    """
+    import numpy as np
+
+    cent_rows = sorted(
+        ((int(r["centroid_id"]), [float(x) for x in r["centroid"]]) for r in centroids.collect())
+    )
+    qv = [float(x) for x in query_vec]
+
+    def _seq_cosine(a: list[float], b: list[float]) -> float:
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):  # left-to-right, matching F.aggregate/list_sum
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    probe_ids = [
+        cid
+        for _, cid in sorted(
+            ((-_seq_cosine(c, qv), cid) for cid, c in cent_rows)
+        )[:nprobe]
+    ]
+    # coarse assignment as ONE expression: arg-max cosine with lowest-id
+    # tiebreak via lexicographic struct max over (cosine, -centroid_id)
+    sims = F.array(
+        *[
+            F.struct(
+                cosine_similarity(F.col(vec_col), F.array(*[F.lit(x) for x in c])).alias("s"),
+                F.lit(-cid).alias("negid"),
+            )
+            for cid, c in cent_rows
+        ]
+    )
+    best_cid = -F.array_max(sims)["negid"]
+    cands = df.filter(best_cid.isin(probe_ids)).select(id_col, vec_col)
+    codes = pq_encode(cands, id_col, vec_col, codebooks)
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    qarr = np.asarray(qv, dtype=np.float64).reshape(m, dsub)
+    cents = np.asarray(codebooks)  # [m, k, dsub]
+    table = ((cents - qarr[:, None, :]) ** 2).sum(axis=2)  # [m, k] exact ADC table
+    tbl_lit = F.array(*[F.array(*[F.lit(float(d)) for d in row]) for row in table])
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(F.element_at(tbl_lit, i + F.lit(1)), F.element_at(F.col("codes"), i + F.lit(1)) + F.lit(1)),
+    )
+    if score_round is not None:
+        dist = F.round(dist, score_round)
+    return (
+        codes.select(F.col(id_col), dist.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def tfidf_cosine_pairs(
     df: DataFrame,
     id_col: str,

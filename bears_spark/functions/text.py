@@ -405,6 +405,7 @@ def bm25_topk_queries(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    score_round: int | None = None,
 ):
     """Okapi BM25 for a query SET: score every (query, document) pair and
     keep each query's top-k — the retrieval-eval shape at scale (one job
@@ -467,6 +468,10 @@ def bm25_topk_queries(
     )
     from pyspark.sql import Window
 
+    # score_round ranks on the ROUNDED score (with id tiebreak) so an oracle
+    # that rounds before ranking can't disagree on last-ulp ties at rank k
+    if score_round is not None:
+        scored = scored.withColumn("score", F.round("score", score_round))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))

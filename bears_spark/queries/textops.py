@@ -1605,3 +1605,207 @@ ORDER BY id_a, id_b
 
 QUERIES["doc_shared_passages"] = doc_shared_passages
 ORACLES["doc_shared_passages"] = DOC_SHARED_PASSAGES_SQL
+
+
+# --------------------------------------------------------------------------
+# doc_bm25_queryset: batch BM25 over a query TABLE (r4 VERDICT #5) — one
+# corpus pass scores all eval queries, per-query top-5 via a ranking window
+# Spark plans as WindowGroupLimit (asserted by tools/explain_audit.py).
+# Both engines rank on round(score, 6) with doc_id tiebreak so last-ulp
+# double drift can't flip the rank-5 boundary.
+_QSET = [
+    (0, ["table", "scan"]),
+    (1, ["merge", "stream", "join"]),
+    (2, ["index", "parquet", "vector"]),
+]
+_QSET_K = 5
+
+
+def doc_bm25_queryset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.text import bm25_topk_queries
+
+    docs = load_table(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(_QSET, "query_id: int, terms: array<string>")
+    return bm25_topk_queries(
+        docs, "doc_id", "text", qdf, k=_QSET_K, score_round=6
+    ).orderBy("query_id", "rank")
+
+
+def _qset_sql() -> str:
+    qrows = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _QSET for t in terms
+    )
+    all_terms = ", ".join(sorted({f"'{t}'" for _, terms in _QSET for t in terms}))
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {qrows}),
+dl AS (
+  SELECT doc_id, len({_TOKS}) AS dl FROM documents
+), stats AS (
+  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+), toks AS (
+  SELECT doc_id, unnest({_TOKS_LOWER}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({all_terms}) GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df_t FROM tf GROUP BY term
+), scored AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum(
+           ln(1.0 + (CAST(n AS DOUBLE) - df_t + 0.5) / (df_t + 0.5))
+           * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+         ), 6) AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN qterms q USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY q.query_id, tf.doc_id
+), ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, score, rank FROM ranked
+WHERE rank <= {_QSET_K} ORDER BY query_id, rank
+"""
+
+
+DOC_BM25_QUERYSET_SQL = _qset_sql()
+
+QUERIES["doc_bm25_queryset"] = doc_bm25_queryset
+ORACLES["doc_bm25_queryset"] = DOC_BM25_QUERYSET_SQL
+
+
+# --------------------------------------------------------------------------
+# ann_ivfpq_topk: the composed IVF+PQ ANN rung (r4 VERDICT #6) — coarse
+# probe of nprobe centroid buckets, ADC rank within them over PQ codes.
+# Both quantizers are SEEDED-ROW fits (the kc/kpq corpus rows with the
+# smallest salted md5 of vec_id serve as centroids / per-subspace
+# codewords) — deterministic on any engine, so DuckDB rebuilds the exact
+# same index from the same rule and the composition is value-gradeable,
+# unlike a KMeans fit. Every cosine/distance sums left-to-right in both
+# engines; ADC distances round to 6 before the rank cut.
+_IVFPQ_KC = 8  # coarse centroids
+_IVFPQ_KPQ = 16  # codewords per subspace
+_IVFPQ_M = 8  # subspaces (64-dim -> 8 dims each)
+_IVFPQ_NPROBE = 3
+_IVFPQ_CSALT = "ivfseed"
+_IVFPQ_PSALT = "pqseed"
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.hashing import md5_hash64
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def seed_rows(salt: str, n: int):
+        return (
+            emb.select("vec_id", "embedding", md5_hash64("vec_id", salt=salt).alias("h"))
+            .orderBy("h", "vec_id")
+            .limit(n)
+            .collect()
+        )
+
+    cseeds = seed_rows(_IVFPQ_CSALT, _IVFPQ_KC)
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in r["embedding"]]) for i, r in enumerate(cseeds)],
+        "centroid_id int, centroid array<double>",
+    )
+    pseeds = seed_rows(_IVFPQ_PSALT, _IVFPQ_KPQ)
+    dsub = 64 // _IVFPQ_M
+    codebooks = [
+        [[float(x) for x in r["embedding"][s * dsub : (s + 1) * dsub]] for r in pseeds]
+        for s in range(_IVFPQ_M)
+    ]
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return sim.ivfpq_topk(
+        emb.filter(F.col("vec_id") != 0),
+        "vec_id",
+        "embedding",
+        qvec,
+        centroids,
+        codebooks,
+        k=10,
+        nprobe=_IVFPQ_NPROBE,
+        score_round=6,
+    ).orderBy("adc_dist", "vec_id")
+
+
+_IVFPQ_COS = (
+    "list_sum(list_transform(list_zip({a}, {b}), x -> x[1]::DOUBLE * x[2]::DOUBLE))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+    " * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))))"
+)
+_IVFPQ_L2 = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE)))"
+)
+
+ANN_IVFPQ_SQL = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+subs AS (SELECT unnest(range({_IVFPQ_M})) AS s),
+cseeds AS (
+  SELECT embedding,
+         ('0x' || substr(md5('{_IVFPQ_CSALT}:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+         vec_id
+  FROM embeddings ORDER BY h, vec_id LIMIT {_IVFPQ_KC}
+),
+cents AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, embedding AS c FROM cseeds),
+pseeds AS (
+  SELECT embedding,
+         ('0x' || substr(md5('{_IVFPQ_PSALT}:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+         vec_id
+  FROM embeddings ORDER BY h, vec_id LIMIT {_IVFPQ_KPQ}
+),
+cb AS (
+  SELECT subs.s, row_number() OVER (PARTITION BY subs.s ORDER BY p.h, p.vec_id) - 1 AS j,
+         list_slice(p.embedding, subs.s * 8 + 1, subs.s * 8 + 8) AS sub
+  FROM pseeds p CROSS JOIN subs
+),
+probe AS (
+  SELECT cid FROM cents, q
+  ORDER BY {_IVFPQ_COS.format(a="c", b="qe")} DESC, cid LIMIT {_IVFPQ_NPROBE}
+),
+assign AS (
+  SELECT e.vec_id, e.embedding, cents.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_IVFPQ_COS.format(a="e.embedding", b="cents.c")} DESC, cents.cid ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN cents WHERE e.vec_id != 0
+),
+cands AS (
+  SELECT vec_id, embedding FROM assign
+  WHERE rn = 1 AND cid IN (SELECT cid FROM probe)
+),
+csub AS (
+  SELECT cvec.vec_id, subs.s, list_slice(cvec.embedding, subs.s * 8 + 1, subs.s * 8 + 8) AS sub
+  FROM cands cvec CROSS JOIN subs
+),
+code AS (
+  SELECT cs.vec_id, cs.s, cb.j,
+         row_number() OVER (
+           PARTITION BY cs.vec_id, cs.s
+           ORDER BY {_IVFPQ_L2.format(a="cs.sub", b="cb.sub")} ASC, cb.j ASC
+         ) AS rn
+  FROM csub cs JOIN cb ON cs.s = cb.s
+),
+qsub AS (
+  SELECT subs.s, list_slice(q.qe, subs.s * 8 + 1, subs.s * 8 + 8) AS sub
+  FROM q CROSS JOIN subs
+),
+adc AS (
+  SELECT qs.s, cb.j, {_IVFPQ_L2.format(a="qs.sub", b="cb.sub")} AS qd
+  FROM qsub qs JOIN cb ON qs.s = cb.s
+),
+scored AS (
+  SELECT code.vec_id, round(sum(adc.qd), 6) AS adc_dist
+  FROM code JOIN adc ON code.s = adc.s AND code.j = adc.j
+  WHERE code.rn = 1
+  GROUP BY code.vec_id
+)
+SELECT vec_id, adc_dist FROM scored ORDER BY adc_dist, vec_id LIMIT 10
+"""
+
+QUERIES["ann_ivfpq_topk"] = ann_ivfpq_topk
+ORACLES["ann_ivfpq_topk"] = ANN_IVFPQ_SQL

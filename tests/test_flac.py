@@ -321,3 +321,77 @@ def test_native_soundfile_preferred_and_fallback(monkeypatch):
     monkeypatch.setattr(mm, "_SOUNDFILE", None)
     arr3, rate3 = mm.decode_audio(flac_bytes)
     assert rate3 == 8000 and np.array_equal(arr2, arr3)
+
+
+def test_mp3_ogg_sniff_and_gate(monkeypatch):
+    """mp3/ogg route through the native decoder when present; absent, they
+    hit an honest NotImplementedError naming the dependency — never the
+    confusing WAV-parse failure (r4 VERDICT #8)."""
+    import sys
+    import types
+
+    import pytest
+
+    from bears_spark.functions import multimodal as mm
+
+    ogg = b"OggS" + b"\x00" * 32
+    id3 = b"ID3\x04\x00" + b"\x00" * 32
+    bare_mp3 = b"\xff\xfb\x90\x64" + b"\x00" * 32  # MPEG1 Layer III sync
+    assert mm.is_mp3_or_ogg(ogg) and mm.is_mp3_or_ogg(id3) and mm.is_mp3_or_ogg(bare_mp3)
+    # reserved version/layer bits exclude arbitrary 0xFF-prefixed binary
+    assert not mm.is_mp3_or_ogg(b"\xff\xe8\x00\x00")  # version=reserved
+    assert not mm.is_mp3_or_ogg(b"\xff\xf9\x00\x00")  # layer=reserved
+    assert not mm.is_mp3_or_ogg(b"RIFF....WAVE")
+
+    # native present: payload goes to soundfile
+    sentinel = np.full((7, 2), 0.5)
+    fake_sf = types.ModuleType("soundfile")
+    fake_sf.read = lambda buf, dtype, always_2d: (sentinel, 44100)
+    monkeypatch.setattr(mm, "_SOUNDFILE", False)
+    monkeypatch.setitem(sys.modules, "soundfile", fake_sf)
+    arr, rate = mm.decode_audio(ogg)
+    assert rate == 44100 and (arr == sentinel).all()
+
+    # native absent: clear gate, not a WAV parse error
+    monkeypatch.setattr(mm, "_SOUNDFILE", None)
+    for payload in (ogg, id3, bare_mp3):
+        with pytest.raises(NotImplementedError, match="soundfile"):
+            mm.decode_audio(payload)
+
+
+def test_mp3_ogg_roundtrip_with_native_soundfile(tmp_path):
+    """Real ogg round-trip through the native decoder — runs only where
+    soundfile/libsndfile is installed (skipped cleanly otherwise)."""
+    import pytest
+
+    from bears_spark.functions import multimodal as mm
+
+    sf = mm._soundfile()
+    if sf is None:
+        pytest.skip("soundfile/libsndfile not installed")
+    import io as _io
+
+    pcm = (0.4 * np.sin(np.arange(4000) / 7.0))[:, None]
+    buf = _io.BytesIO()
+    sf.write(buf, pcm, 8000, format="OGG", subtype="VORBIS")
+    payload = buf.getvalue()
+    assert mm.is_mp3_or_ogg(payload)
+    arr, rate = mm.decode_audio(payload)
+    assert rate == 8000 and arr.shape[1] == 1
+    # lossy codec: correlation, not equality
+    n = min(len(arr), len(pcm))
+    corr = np.corrcoef(arr[:n, 0], pcm[:n, 0])[0, 1]
+    assert corr > 0.9
+
+
+def test_detect_format_expression_sees_ogg_and_mp3(spark):
+    rows = [
+        (b"OggS" + b"\x00" * 8,),
+        (b"ID3\x04\x00" + b"\x00" * 8,),
+        (b"fLaC" + b"\x00" * 8,),
+    ]
+    df = spark.createDataFrame(rows, "content: binary")
+    from bears_spark.functions import multimodal as mm
+
+    got = [r[0] for r in df.select(mm.detect_format("content")).collect()]
+    assert got == ["ogg", "mp3", "flac"]

@@ -66,6 +66,9 @@ CHECKS = {
     "fk_integrity_report": ["LeftAnti"],  # every FK check is an anti join
     "ev_attribution_touch": ["Window", "FullOuter"],
     "doc_shared_passages": ["HashAggregate"],
+    # round-5 queries
+    "doc_bm25_queryset": ["WindowGroupLimit", "BroadcastHashJoin", "LeftSemi"],
+    "ann_ivfpq_topk": ["TakeOrderedAndProject"],  # literal quantizers, zero joins
 }
 
 FORBIDDEN = ["CartesianProduct", "BroadcastNestedLoopJoin"]
