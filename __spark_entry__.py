@@ -164,6 +164,8 @@ ROUND6_NEVER_GRADED = [
     # --- added in round 5 (appended as implemented) ---
     "doc_bm25_queryset",
     "ann_ivfpq_topk",
+    "retrieval_eval_report",
+    "customer_k_anonymity",
 ]
 
 
@@ -194,6 +196,9 @@ HEADLINE = [
     # round-4 closing: chunking + retrieval family representatives
     "doc_chunk_dedup",
     "doc_bm25_topk",
+    # round-5 additions: batch retrieval + composed-ANN representatives
+    "doc_bm25_queryset",
+    "ann_ivfpq_topk",
 ]
 
 

@@ -140,8 +140,11 @@ def minhash_lsh_candidates(
     if materialize:
         # the self-join consumes this subtree twice; persist so signatures
         # compute once (at cluster scale: write the signature table once and
-        # join it with itself — same principle)
-        banded = banded.persist()
+        # join it with itself — same principle). Registered with the scoped
+        # registry so runners drain it after the query's actions.
+        from bears_spark.caching import scoped_persist
+
+        banded = scoped_persist(banded)
 
     if max_bucket_size is not None:
         big_keys = (
@@ -207,7 +210,9 @@ def simhash_near_pairs(
         ).alias("bc"),
     ).select(id_col, "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
     if materialize:
-        bands_df = bands_df.persist()
+        from bears_spark.caching import scoped_persist
+
+        bands_df = scoped_persist(bands_df)
     a, b = bands_df.alias("a"), bands_df.alias("b")
     return (
         a.join(b, on=["band", "chunk"])
@@ -280,7 +285,9 @@ def ngram_jaccard_pairs(
     grams = grams.select(id_col, F.xxhash64("gram").alias("gram"))
     if materialize:
         # consumed three times (self-join both sides + sizes)
-        grams = grams.persist()
+        from bears_spark.caching import scoped_persist
+
+        grams = scoped_persist(grams)
     if max_doc_freq is not None:
         # grams are distinct per doc, so count(*) per gram == document
         # frequency; the >cap survivors are few — broadcast them. The
@@ -536,7 +543,9 @@ def ngram_containment_pairs(
         F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"),
     ).select(id_col, F.xxhash64("gram").alias("gram"))
     if materialize:
-        grams = grams.persist()
+        from bears_spark.caching import scoped_persist
+
+        grams = scoped_persist(grams)
     if max_doc_freq is not None:
         hot = (
             grams.groupBy("gram")

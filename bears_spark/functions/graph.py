@@ -95,8 +95,10 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .persist()
     )
+    from bears_spark.caching import scoped_persist
+
+    e = scoped_persist(e)
     e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
     wedges = e1.join(e2, "y").select("x", "y", "z")  # x < y < z by construction

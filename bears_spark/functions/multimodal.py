@@ -637,3 +637,78 @@ def extract_image_metadata(assets: DataFrame) -> DataFrame:
             yield out
 
     return assets.select("path", "content").mapInPandas(_extract, _METADATA_SCHEMA)
+
+
+def resize_bilinear(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Pure-numpy bilinear resize HxWxC uint8 -> out_h x out_w x C uint8,
+    using the half-pixel-center convention (align_corners=False — what
+    PIL/OpenCV/torch default to). Vectorized gather + lerp: no Python loop
+    over pixels, deterministic on every platform."""
+    h, w = arr.shape[:2]
+    if (h, w) == (out_h, out_w):
+        return arr.copy()
+    # source coordinate of each output pixel center
+    ys = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    a = arr[np.ix_(y0, x0)].astype(np.float64)
+    b = arr[np.ix_(y0, x1)].astype(np.float64)
+    c = arr[np.ix_(y1, x0)].astype(np.float64)
+    d = arr[np.ix_(y1, x1)].astype(np.float64)
+    top = a * (1.0 - wx) + b * wx
+    bot = c * (1.0 - wx) + d * wx
+    out = top * (1.0 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+_RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("src_h", T.IntegerType()),
+        T.StructField("src_w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(assets: DataFrame, height: int, width: int, fake: bool = False) -> DataFrame:
+    """Decode + bilinear-resize every image to a fixed (height, width) via
+    mapInPandas — the normalization step in front of any vision encoder.
+    Emits row-major uint8 RGB bytes + dims (reconstruct with
+    ``np.frombuffer(pixels, np.uint8).reshape(h, w, channels)``).
+
+    Scale notes: Arrow batches keep payloads on the executors; output bytes
+    are FIXED-size (h*w*3) regardless of source resolution, so downstream
+    partitioning is predictable — resize before any shuffle, never after.
+    Decode prefers native codecs when importable, pure numpy/stdlib
+    otherwise (decode_image_batch); ``fake=True`` keeps the plumbing
+    testable where neither applies."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = decode_image_batch(bytes(r["content"]), fake=fake)
+                resized = resize_bilinear(arr, height, width)
+                rows.append(
+                    {
+                        "path": r["path"],
+                        "src_h": arr.shape[0],
+                        "src_w": arr.shape[1],
+                        "h": height,
+                        "w": width,
+                        "channels": resized.shape[2],
+                        "pixels": resized.tobytes(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _RESIZED_SCHEMA.fields])
+
+    return assets.select("path", "content").mapInPandas(_resize, _RESIZED_SCHEMA)

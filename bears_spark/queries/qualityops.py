@@ -1068,3 +1068,46 @@ FROM scored GROUP BY 1 ORDER BY 1
 
 QUERIES["doc_curriculum_stages"] = doc_curriculum_stages
 ORACLES["doc_curriculum_stages"] = DOC_CURRICULUM_SQL
+
+
+# --------------------------------------------------------------------------
+# customer_k_anonymity: privacy gate for training-data governance — group
+# the table by its quasi-identifier tuple (nationkey, market segment) and
+# flag equivalence classes smaller than k: those rows are re-identifiable
+# and a release pipeline must suppress or generalize them. The report
+# carries every class with its size, risk flag, and the class's share of
+# the table (exact int/int division). Plan: ONE partial-aggregated
+# groupBy — at 100 TB the QI-class report is bounded by the QI-domain
+# cardinality, not the row count.
+_K_ANON = 10
+
+
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    total = cust.count()
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n",
+            (F.col("n") < _K_ANON).alias("at_risk"),
+            (F.col("n") / F.lit(int(total))).alias("share"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+CUSTOMER_K_ANONYMITY_SQL = f"""
+WITH t AS (SELECT count(*) AS total FROM customer)
+SELECT c_nationkey, c_mktsegment, count(*) AS n,
+       count(*) < {_K_ANON} AS at_risk,
+       count(*) / (SELECT total FROM t) AS share
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+QUERIES["customer_k_anonymity"] = customer_k_anonymity
+ORACLES["customer_k_anonymity"] = CUSTOMER_K_ANONYMITY_SQL

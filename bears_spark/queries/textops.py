@@ -1809,3 +1809,105 @@ SELECT vec_id, adc_dist FROM scored ORDER BY adc_dist, vec_id LIMIT 10
 
 QUERIES["ann_ivfpq_topk"] = ann_ivfpq_topk
 ORACLES["ann_ivfpq_topk"] = ANN_IVFPQ_SQL
+
+
+# --------------------------------------------------------------------------
+# retrieval_eval_report: IR quality metrics for the BM25 system over the
+# same query set — per query: relevant-set size (docs containing ALL the
+# query's terms, the boolean-AND ground truth), hits@k, precision@k,
+# recall@k, and MRR@k. This is the eval harness a retrieval stack ships
+# with; every metric is an exact int/int or 1/int division, so the oracle
+# matches bit-for-bit. One corpus pass feeds both the system ranking and
+# the ground truth.
+def retrieval_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.text import bm25_topk_queries, tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(_QSET, "query_id: int, terms: array<string>")
+    sys_rank = bm25_topk_queries(docs, "doc_id", "text", qdf, k=_QSET_K, score_round=6)
+
+    qterms = qdf.select("query_id", F.explode("terms").alias("term")).select(
+        "query_id", F.lower("term").alias("term")
+    )
+    qn = qterms.groupBy("query_id").agg(F.count("*").alias("n_terms"))
+    all_terms = [t.lower() for _, terms in _QSET for t in terms]
+    doc_terms = (
+        docs.select("doc_id", F.explode(tokenize(F.lower(F.col("text")))).alias("term"))
+        .filter(F.col("term").isin(all_terms))
+        .distinct()
+    )
+    rel = (
+        doc_terms.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("m"))
+        .join(F.broadcast(qn), "query_id")
+        .filter(F.col("m") == F.col("n_terms"))
+        .select("query_id", "doc_id")
+    )
+    nrel = rel.groupBy("query_id").agg(F.count("*").alias("n_relevant"))
+    hits = (
+        sys_rank.join(rel, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits_at_k"), F.min("rank").alias("first_rank"))
+    )
+    qids = qdf.select("query_id")
+    return (
+        qids.join(nrel, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_relevant", F.lit(0).cast("bigint")).alias("n_relevant"),
+            F.coalesce("hits_at_k", F.lit(0).cast("bigint")).alias("hits_at_k"),
+            (F.coalesce("hits_at_k", F.lit(0)) / F.lit(_QSET_K)).alias("precision_at_k"),
+            F.when(F.coalesce("n_relevant", F.lit(0)) > 0,
+                   F.coalesce("hits_at_k", F.lit(0)) / F.col("n_relevant"))
+            .otherwise(F.lit(0.0)).alias("recall_at_k"),
+            F.coalesce(F.lit(1.0) / F.col("first_rank"), F.lit(0.0)).alias("mrr"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _retrieval_eval_sql() -> str:
+    qrows = ", ".join(f"({qid}, '{t}')" for qid, terms in _QSET for t in terms)
+    all_terms = ", ".join(sorted({f"'{t}'" for _, terms in _QSET for t in terms}))
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {qrows}),
+sys AS (SELECT * FROM ({DOC_BM25_QUERYSET_SQL})),
+qn AS (SELECT query_id, count(*) AS n_terms FROM qterms GROUP BY 1),
+doc_terms AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, unnest({_TOKS_LOWER}) AS term FROM documents)
+  WHERE term IN ({all_terms})
+),
+mt AS (
+  SELECT qt.query_id, dt.doc_id, count(*) AS m
+  FROM qterms qt JOIN doc_terms dt USING (term) GROUP BY 1, 2
+),
+rel AS (
+  SELECT mt.query_id, mt.doc_id FROM mt JOIN qn USING (query_id) WHERE mt.m = qn.n_terms
+),
+nrel AS (SELECT query_id, count(*) AS n_relevant FROM rel GROUP BY 1),
+hits AS (
+  SELECT s.query_id, count(*) AS hits_at_k, min(s.rank) AS first_rank
+  FROM sys s JOIN rel r ON s.query_id = r.query_id AND s.doc_id = r.doc_id
+  GROUP BY 1
+)
+SELECT q.query_id,
+       COALESCE(n.n_relevant, 0) AS n_relevant,
+       COALESCE(h.hits_at_k, 0) AS hits_at_k,
+       COALESCE(h.hits_at_k, 0) / {_QSET_K} AS precision_at_k,
+       CASE WHEN COALESCE(n.n_relevant, 0) > 0
+            THEN COALESCE(h.hits_at_k, 0) / n.n_relevant ELSE 0.0 END AS recall_at_k,
+       COALESCE(1.0 / h.first_rank, 0.0) AS mrr
+FROM (SELECT DISTINCT query_id FROM qterms) q
+LEFT JOIN nrel n USING (query_id)
+LEFT JOIN hits h USING (query_id)
+ORDER BY q.query_id
+"""
+
+
+RETRIEVAL_EVAL_SQL = _retrieval_eval_sql()
+
+QUERIES["retrieval_eval_report"] = retrieval_eval_report
+ORACLES["retrieval_eval_report"] = RETRIEVAL_EVAL_SQL

@@ -590,3 +590,60 @@ def test_decode_image_batch_prefers_native_decoder(monkeypatch):
     monkeypatch.setattr(mm, "_PIL_IMAGE", None)
     out2 = mm.decode_image_batch(jpeg_bytes)
     assert (out2 == out).all()
+
+
+def test_resize_bilinear_math():
+    """Hand-checkable bilinear cases: constant images stay constant, a 2x
+    upscale of a step edge lands the half-pixel-center weights, downscale
+    averages."""
+    import numpy as np
+
+    from bears_spark.functions.multimodal import resize_bilinear
+
+    # constant stays constant at any size
+    const = np.full((5, 7, 3), 119, np.uint8)
+    out = resize_bilinear(const, 3, 11)
+    assert out.shape == (3, 11, 3) and (out == 119).all()
+
+    # 1-D step edge [0, 100] upscaled 2x with half-pixel centers:
+    # xs = [-0.25, 0.25, 0.75, 1.25] -> clipped lerp = [0, 25, 75, 100]
+    step = np.zeros((1, 2, 1), np.uint8)
+    step[0, 1, 0] = 100
+    up = resize_bilinear(step, 1, 4)
+    assert up[0, :, 0].tolist() == [0, 25, 75, 100]
+
+    # 2x2 -> 1x1 is the exact 4-pixel average
+    sq = np.array([[[10], [20]], [[30], [40]]], np.uint8)
+    down = resize_bilinear(sq, 1, 1)
+    assert down[0, 0, 0] == 25
+
+    # identity size copies
+    same = resize_bilinear(sq, 2, 2)
+    assert (same == sq).all()
+
+
+def test_resize_images_mapinpandas(spark, tmp_path):
+    """End-to-end over real PPM payloads: fixed output dims, reconstructable
+    pixel bytes, constant colors preserved."""
+    import numpy as np
+
+    from bears_spark.functions.multimodal import resize_images
+
+    def ppm(h, w, rgb):
+        header = f"P6\n{w} {h}\n255\n".encode()
+        body = bytes(rgb) * (h * w)
+        return header + body
+
+    rows = [
+        ("a.ppm", ppm(6, 4, (255, 0, 0))),
+        ("b.ppm", ppm(3, 5, (0, 128, 255))),
+    ]
+    df = spark.createDataFrame(rows, "path: string, content: binary")
+    got = {r["path"]: r for r in resize_images(df, 8, 8).collect()}
+    assert set(got) == {"a.ppm", "b.ppm"}
+    a = got["a.ppm"]
+    assert (a["src_h"], a["src_w"], a["h"], a["w"], a["channels"]) == (6, 4, 8, 8, 3)
+    arr = np.frombuffer(a["pixels"], np.uint8).reshape(8, 8, 3)
+    assert (arr[..., 0] == 255).all() and (arr[..., 1] == 0).all()
+    b = np.frombuffer(got["b.ppm"]["pixels"], np.uint8).reshape(8, 8, 3)
+    assert (b[..., 2] == 255).all() and (b[..., 1] == 128).all()

@@ -376,3 +376,72 @@ def test_read_empty_pruned_keeps_evolved_schema(spark, table):
     empty = table.read(where=("id", ">", 10_000))
     assert empty.count() == 0
     assert "extra" in empty.columns
+
+
+# -- PQ vector index on the snapshot table (io/vector_index.py) -------------
+
+
+def test_pq_index_table_build_append_search(spark, tmp_path):
+    import numpy as np
+
+    from bears_spark.io.vector_index import PQIndexTable
+
+    rng = np.random.RandomState(5)
+    centers = rng.randn(4, 16) * 10
+
+    def mkdf(ids, cluster):
+        rows = [(i, [float(x) for x in centers[cluster] + rng.randn(16) * 0.3]) for i in ids]
+        return spark.createDataFrame(rows, "vec_id: bigint, embedding: array<double>")
+
+    base = mkdf(range(200), 0).union(mkdf(range(200, 400), 1)).union(mkdf(range(400, 600), 2))
+    idx = PQIndexTable(spark, str(tmp_path / "pqidx"))
+    v1 = idx.build(base, "vec_id", "embedding", m=4, nbits=4)
+    assert v1 == 1
+
+    q = [float(x) for x in centers[3]]
+    # cluster 3 not indexed yet: top hits come from whichever cluster is
+    # nearest, and the index answers without error
+    before = idx.search(q, k=5).collect()
+    assert len(before) == 5
+
+    # append cluster-3 vectors: O(delta) commit, search now finds them
+    idx.append(mkdf(range(1000, 1100), 3), "vec_id", "embedding")
+    after = [r["vec_id"] for r in idx.search(q, k=5).collect()]
+    assert all(1000 <= v < 1100 for v in after)
+
+    # time travel: the pre-append version still answers the old way
+    past = [r["vec_id"] for r in idx.search(q, k=5, version=v1).collect()]
+    assert [r["vec_id"] for r in before] == past
+
+    # codes table is narrow: m ints per row, never raw vectors
+    assert set(idx.table.read().columns) == {"vec_id", "codes"}
+
+
+def test_pq_index_streaming_ingest_exactly_once(spark, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bears_spark.io.vector_index import PQIndexTable
+
+    rng = np.random.RandomState(9)
+    base_rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(50)]
+    base = spark.createDataFrame(base_rows, "vec_id: bigint, embedding: array<double>")
+    idx = PQIndexTable(spark, str(tmp_path / "sidx"))
+    idx.build(base, "vec_id", "embedding", m=4, nbits=2)
+
+    src = tmp_path / "vecsrc"
+    src.mkdir()
+    new = [(100 + i, [float(x) for x in rng.randn(8)]) for i in range(20)]
+    pq.write_table(
+        pa.table({"vec_id": [r[0] for r in new], "embedding": [r[1] for r in new]}),
+        str(src / "a.parquet"),
+    )
+    stream = spark.readStream.schema("vec_id long, embedding array<double>").parquet(str(src) + "/")
+    qh = idx.streaming_append(stream, "vec_id", "embedding", str(tmp_path / "ck"))
+    qh.awaitTermination(120)
+    assert idx.table.read().count() == 70
+    # replay on the same checkpoint: no double-append
+    qh2 = idx.streaming_append(stream, "vec_id", "embedding", str(tmp_path / "ck"))
+    qh2.awaitTermination(120)
+    assert idx.table.read().count() == 70
