@@ -22,7 +22,7 @@ from bears_spark.functions.vectors import cosine_similarity, dot, l2_norm
 
 
 def _query_lit(query_vec: Sequence[float]):
-    return F.array(*[F.lit(float(v)) for v in query_vec])
+    return F.lit([float(v) for v in query_vec])  # one literal, not dim lit() calls
 
 
 def cosine_topk(df: DataFrame, id_col: str, vec_col: str, query_vec: Sequence[float], k: int = 10) -> DataFrame:
@@ -80,7 +80,7 @@ def random_projection(
     )
     outs = []
     for i, row in enumerate(signs):
-        srow = F.array(*[F.lit(s) for s in row])
+        srow = F.lit(list(row))
         comp = F.aggregate(
             F.zip_with(F.col("__q__"), srow, lambda a, b: a * b),
             F.lit(0).cast("bigint"),
@@ -107,7 +107,7 @@ def signature_bits(vec_col, planes: list[list[float]]):
     """Sign-bucket of a vector vs a set of hyperplanes -> int bucket id."""
     bucket = F.lit(0)
     for i, plane in enumerate(planes):
-        d = dot(vec_col, F.array(*[F.lit(c) for c in plane]))
+        d = dot(vec_col, F.lit(list(plane)))
         bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket
 
@@ -303,7 +303,7 @@ def pq_topk(
     q = np.asarray(list(query_vec), dtype=np.float64).reshape(m, dsub)
     cents = np.asarray(codebooks)  # [m, k, dsub]
     table = ((cents - q[:, None, :]) ** 2).sum(axis=2)  # [m, k]
-    tbl_lit = F.array(*[F.array(*[F.lit(float(d)) for d in row]) for row in table])
+    tbl_lit = F.lit([[float(d) for d in row] for row in table])  # one lit, not m*k
     dist = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0.0),
@@ -322,7 +322,7 @@ def ivfpq_topk(
     id_col: str,
     vec_col: str,
     query_vec: Sequence[float],
-    centroids: DataFrame,
+    centroids,
     codebooks: list[list[list[float]]],
     k: int = 10,
     nprobe: int = 2,
@@ -335,24 +335,31 @@ def ivfpq_topk(
     This is the standard billion-scale ANN recipe (FAISS IVFPQ without
     residual encoding — raw-vector codebooks keep the math
     oracle-reproducible; the cost model is identical). Both quantizers are
-    tiny fit states baked into the plan as LITERALS — the coarse assignment
-    is an array_max over per-centroid cosine structs and the ADC distance
-    is m table lookups, all whole-stage-codegen expressions; the plan is
-    scan -> filter -> (Arrow encode) -> TakeOrderedAndProject with ZERO
-    joins. At 100 TB the codes would be precomputed at write time; here
-    candidates are encoded post-probe (same operator count, fewer UDF
-    rows). Cosines sum left-to-right in every engine (Spark F.aggregate,
-    DuckDB list_sum, the Python probe loop below), so assignment ties
-    resolve identically.
+    tiny fit states baked into the plan as nested-array LITERALS (one
+    F.lit per matrix — hundreds of per-element lit() calls were the
+    dominant plan-build cost), so the scan has ZERO joins: filter ->
+    (Arrow encode) -> TakeOrderedAndProject.
 
+    Coarse assignment exploits |v| cancelling in the argmax:
+    argmax_j cos(v, c_j) == argmax_j dot(v, c_j / |c_j|), so centroids are
+    L2-normalized driver-side and the per-row work is one transform over
+    the centroid matrix computing plain dots — no divisions, no norms.
+    Cosines/dots sum left-to-right in every engine (F.aggregate, DuckDB
+    list_sum, the Python probe loop below), keeping ties engine-identical.
+
+    ``centroids``: DataFrame(centroid_id, centroid) or a pre-collected
+    [(centroid_id, vector)] list (skips a collect job).
     ``score_round`` rounds the ADC distance before the rank cut so an
     oracle that rounds can't disagree on boundary ties.
     Returns (id_col, adc_dist) — ascending distance, id tiebreak.
     """
     import numpy as np
 
+    rows = centroids.collect() if isinstance(centroids, DataFrame) else centroids
     cent_rows = sorted(
-        ((int(r["centroid_id"]), [float(x) for x in r["centroid"]]) for r in centroids.collect())
+        (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
+        if not isinstance(r, tuple) else (int(r[0]), [float(x) for x in r[1]])
+        for r in rows
     )
     qv = [float(x) for x in query_vec]
 
@@ -370,16 +377,25 @@ def ivfpq_topk(
             ((-_seq_cosine(c, qv), cid) for cid, c in cent_rows)
         )[:nprobe]
     ]
-    # coarse assignment as ONE expression: arg-max cosine with lowest-id
-    # tiebreak via lexicographic struct max over (cosine, -centroid_id)
-    sims = F.array(
-        *[
-            F.struct(
-                cosine_similarity(F.col(vec_col), F.array(*[F.lit(x) for x in c])).alias("s"),
-                F.lit(-cid).alias("negid"),
-            )
-            for cid, c in cent_rows
-        ]
+    # L2-normalized centroid matrix as ONE nested-array literal
+    cmat = []
+    for _, c in cent_rows:
+        nrm = math.sqrt(sum(x * x for x in c))
+        cmat.append([x / nrm for x in c])
+    cmat_lit = F.lit(cmat)
+    v = F.col(vec_col)
+    # per-centroid dot via a positional transform; arg-max with lowest-id
+    # tiebreak via lexicographic struct max over (dot, -index)
+    sims = F.transform(
+        cmat_lit,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(v, c, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ).alias("s"),
+            (-i).alias("negid"),
+        ),
     )
     best_cid = -F.array_max(sims)["negid"]
     cands = df.filter(best_cid.isin(probe_ids)).select(id_col, vec_col)
@@ -389,7 +405,7 @@ def ivfpq_topk(
     qarr = np.asarray(qv, dtype=np.float64).reshape(m, dsub)
     cents = np.asarray(codebooks)  # [m, k, dsub]
     table = ((cents - qarr[:, None, :]) ** 2).sum(axis=2)  # [m, k] exact ADC table
-    tbl_lit = F.array(*[F.array(*[F.lit(float(d)) for d in row]) for row in table])
+    tbl_lit = F.lit([[float(d) for d in row] for row in table])
     dist = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0.0),

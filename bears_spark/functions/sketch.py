@@ -210,7 +210,7 @@ def bloom_prune(big: DataFrame, key: str, positions: set[int], m_bits: int = 409
     but usable explicitly, with a tunable m/k, and above any expression
     (AQE's requires a join the optimizer can already see).
     """
-    bitmap = F.array(*[F.lit(i in positions) for i in range(m_bits)])
+    bitmap = F.lit([i in positions for i in range(m_bits)])
     cond = None
     for i in range(k):
         probe = F.element_at(bitmap, (md5_hash64(F.col(key), salt=i) % m_bits).cast("int") + 1)

@@ -62,10 +62,8 @@ def fit_scalar_quantization(df, vec_col: str) -> tuple[list[float], list[float]]
 def scalar_quantize_expr(vec_col: Column | str, mins: list[float], maxs: list[float], levels: int = 256) -> Column:
     """array<int> codes in [0, levels-1]; constant dimensions code to 0."""
     top = levels - 1
-    lo = F.array(*[F.lit(float(v)) for v in mins])
-    scale = F.array(
-        *[F.lit(float(top) / (hi - lo_) if hi > lo_ else 0.0) for lo_, hi in zip(mins, maxs)]
-    )
+    lo = F.lit([float(v) for v in mins])
+    scale = F.lit([float(top) / (hi - lo_) if hi > lo_ else 0.0 for lo_, hi in zip(mins, maxs)])
     return F.transform(
         _c(vec_col),
         lambda x, i: F.least(
@@ -83,10 +81,8 @@ def scalar_quantize_expr(vec_col: Column | str, mins: list[float], maxs: list[fl
 def scalar_dequantize_expr(code_col: Column | str, mins: list[float], maxs: list[float], levels: int = 256) -> Column:
     """array<double> reconstruction: min_i + code_i * (max_i - min_i)/(levels-1)."""
     top = levels - 1
-    lo = F.array(*[F.lit(float(v)) for v in mins])
-    step = F.array(
-        *[F.lit((hi - lo_) / float(top) if hi > lo_ else 0.0) for lo_, hi in zip(mins, maxs)]
-    )
+    lo = F.lit([float(v) for v in mins])
+    step = F.lit([(hi - lo_) / float(top) if hi > lo_ else 0.0 for lo_, hi in zip(mins, maxs)])
     return F.transform(
         _c(code_col),
         lambda c, i: F.element_at(lo, i + 1) + c.cast("double") * F.element_at(step, i + 1),

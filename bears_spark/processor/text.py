@@ -235,7 +235,7 @@ class TFIDFVectorization(SingleColumnProcessor):
     def _tf_expr(self, col: Column) -> Column:
         """tf counts in vocab order — ONE aggregate pass over the tokens
         (per-token O(V) zip against the literal vocab array)."""
-        vocab_arr = F.array(*[F.lit(t) for t in self.vocab_])
+        vocab_arr = F.lit(list(self.vocab_))
         return F.aggregate(
             self._tokens(col),
             F.array_repeat(F.lit(0), len(self.vocab_)),
@@ -254,7 +254,7 @@ class TFIDFVectorization(SingleColumnProcessor):
         # Catalyst neither CSEs across projection elements nor inside lambdas,
         # but CollapseProject keeps multiply-referenced non-cheap columns
         # in their own projection stage.
-        idf_arr = F.array(*[F.lit(v) for v in self.idf_])
+        idf_arr = F.lit([float(v) for v in self.idf_])
         out = (
             df.withColumn("__tf__", self._tf_expr(F.col(in_col)))
             .withColumn("__tfidf__", F.zip_with(F.col("__tf__"), idf_arr, lambda c, i: c.cast("double") * i))

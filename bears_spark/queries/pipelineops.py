@@ -140,7 +140,7 @@ def tfidf_doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tf = TFIDFVectorization(max_features=16)
     tf.fit(docs, ["text"])
-    vocab_arr = F.array(*[F.lit(t) for t in tf.vocab_])
+    vocab_arr = F.lit(list(tf.vocab_))
     vec = tf.apply(docs, "text", "tfidf")
     return (
         vec.select("doc_id", F.posexplode("tfidf").alias("pos", "weight"))

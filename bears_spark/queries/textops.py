@@ -337,7 +337,7 @@ def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     mins, maxs = vec.fit_scalar_quantization(emb, "embedding")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    qlit = F.array(*[F.lit(float(v)) for v in qvec])
+    qlit = F.lit([float(v) for v in qvec])
     corpus = emb.filter(F.col("vec_id") != 0).select(
         "vec_id",
         vec.scalar_dequantize_expr(
@@ -600,7 +600,7 @@ def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("features")
         .first()["features"]
     )
-    qlit = F.array(*[F.lit(float(v)) for v in qvec])
+    qlit = F.lit([float(v) for v in qvec])
     scored = feats.filter(~((F.col("doc_id") == 0) & (F.col("chunk_id") == 0))).select(
         "doc_id",
         "chunk_id",
@@ -725,7 +725,7 @@ def doc_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = hashing_vectorize(docs, "text", out_col="features", dim=16)
     qvec = feats.filter(F.col("doc_id") == 0).select("features").first()["features"]
-    qlit = F.array(*[F.lit(float(v)) for v in qvec])
+    qlit = F.lit([float(v) for v in qvec])
     dense = (
         feats.filter(F.col("doc_id") != 0)
         .select("doc_id", F.round(cosine_similarity("features", qlit), 6).alias("ds"))
@@ -1698,26 +1698,41 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
 
-    def seed_rows(salt: str, n: int):
+    # ONE fit-collect job for all three tiny states (coarse seeds, PQ seeds,
+    # query vector): a union of three TakeOrderedAndProject branches over the
+    # same scan — three separate collects cost a driver round-trip each,
+    # which dominated this query's wall time at sf0.1
+    def branch(role: str, salt: str, n: int):
         return (
-            emb.select("vec_id", "embedding", md5_hash64("vec_id", salt=salt).alias("h"))
+            emb.select(
+                F.lit(role).alias("role"),
+                "vec_id",
+                "embedding",
+                md5_hash64("vec_id", salt=salt).alias("h"),
+            )
             .orderBy("h", "vec_id")
             .limit(n)
-            .collect()
         )
 
-    cseeds = seed_rows(_IVFPQ_CSALT, _IVFPQ_KC)
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in r["embedding"]]) for i, r in enumerate(cseeds)],
-        "centroid_id int, centroid array<double>",
+    fit = (
+        branch("c", _IVFPQ_CSALT, _IVFPQ_KC)
+        .unionByName(branch("p", _IVFPQ_PSALT, _IVFPQ_KPQ))
+        .unionByName(
+            emb.filter(F.col("vec_id") == 0).select(
+                F.lit("q").alias("role"), "vec_id", "embedding", F.lit(0).cast("bigint").alias("h")
+            )
+        )
+        .collect()
     )
-    pseeds = seed_rows(_IVFPQ_PSALT, _IVFPQ_KPQ)
+    cseeds = sorted((r for r in fit if r["role"] == "c"), key=lambda r: (r["h"], r["vec_id"]))
+    pseeds = sorted((r for r in fit if r["role"] == "p"), key=lambda r: (r["h"], r["vec_id"]))
+    centroids = [(i, [float(x) for x in r["embedding"]]) for i, r in enumerate(cseeds)]
     dsub = 64 // _IVFPQ_M
     codebooks = [
         [[float(x) for x in r["embedding"][s * dsub : (s + 1) * dsub]] for r in pseeds]
         for s in range(_IVFPQ_M)
     ]
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    qvec = next(r for r in fit if r["role"] == "q")["embedding"]
     return sim.ivfpq_topk(
         emb.filter(F.col("vec_id") != 0),
         "vec_id",
