@@ -75,6 +75,48 @@ def incremental_dedup(
     return survivors, new_store
 
 
+def minhash_band_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram_n: int = 3,
+) -> DataFrame:
+    """(id, band, band_sig) banded-MinHash table — the storable form of an
+    LSH index: two docs are near-dup candidates iff they share a row key
+    (band, band_sig). minhash_lsh_candidates self-joins this table;
+    io/lsh_index.py persists it and joins ingest deltas against it."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    grams = F.array_distinct(word_ngrams(text_col, ngram_n))
+    # docs too short for any n-gram are excluded (an empty token set would
+    # otherwise bucket all short docs together via the null signature)
+    with_sig = (
+        df.select(F.col(id_col), grams.alias("__grams__"))
+        .filter(F.size("__grams__") > 0)
+        .select(id_col, minhash_signature(F.col("__grams__"), num_hashes).alias("__sig__"))
+    )
+    return with_sig.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.array_join(
+                        F.transform(
+                            F.slice("__sig__", b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                        "_",
+                    ).alias("sig"),
+                ),
+            )
+        ).alias("bs"),
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("band_sig"))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -107,35 +149,7 @@ def minhash_lsh_candidates(
     definition, so the routing join is a broadcast. Set it at 100 TB; the
     default None keeps exact all-pairs semantics for modest corpora.
     """
-    assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
-    grams = F.array_distinct(word_ngrams(text_col, ngram_n))
-    # docs too short for any n-gram are excluded (an empty token set would
-    # otherwise bucket all short docs together via the null signature)
-    with_sig = (
-        df.select(F.col(id_col), grams.alias("__grams__"))
-        .filter(F.size("__grams__") > 0)
-        .select(id_col, minhash_signature(F.col("__grams__"), num_hashes).alias("__sig__"))
-    )
-
-    banded = with_sig.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.array_join(
-                        F.transform(
-                            F.slice("__sig__", b * rows_per_band + 1, rows_per_band),
-                            lambda v: v.cast("string"),
-                        ),
-                        "_",
-                    ).alias("sig"),
-                ),
-            )
-        ).alias("bs"),
-    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("band_sig"))
+    banded = minhash_band_table(df, id_col, text_col, num_hashes, bands, ngram_n)
 
     if materialize:
         # the self-join consumes this subtree twice; persist so signatures

@@ -445,3 +445,72 @@ def test_pq_index_streaming_ingest_exactly_once(spark, tmp_path):
     qh2 = idx.streaming_append(stream, "vec_id", "embedding", str(tmp_path / "ck"))
     qh2.awaitTermination(120)
     assert idx.table.read().count() == 70
+
+
+# -- LSH near-dup index on the snapshot table (io/lsh_index.py) -------------
+
+
+def _doc(i, text):
+    return (i, text)
+
+
+def test_lsh_index_incremental_dedup(spark, tmp_path):
+    from bears_spark.io.lsh_index import LSHIndexTable
+
+    base_texts = [
+        "the quick brown fox jumps over the lazy dog near the river bank today",
+        "machine learning systems require large curated training corpora to work",
+        "snapshot tables provide atomic commits and time travel for parquet data",
+    ]
+    base = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(base_texts)], "doc_id: bigint, text: string"
+    )
+    idx = LSHIndexTable(spark, str(tmp_path / "lsh"))
+    assert idx.build(base, "doc_id", "text", num_hashes=16, bands=8) == 1
+
+    # new batch: one near-dup of doc 0 (one word changed), one novel doc
+    batch = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+            (101, "completely unrelated content about distributed query optimization plans"),
+        ],
+        "doc_id: bigint, text: string",
+    )
+    cands = idx.candidates_for(batch, "doc_id", "text").collect()
+    assert {(r["new_id"], r["index_id"]) for r in cands} == {(100, 0)}
+
+    survivors = idx.dedup_batch(batch, "doc_id", "text")
+    assert [r["doc_id"] for r in survivors.collect()] == [101]
+    # survivor is now indexed: a re-send of the novel doc under a new id dedups
+    resend = spark.createDataFrame(
+        [(200, "completely unrelated content about distributed query optimization plans")],
+        "doc_id: bigint, text: string",
+    )
+    assert idx.dedup_batch(resend, "doc_id", "text").count() == 0
+    # the near-dup (100) was NEVER indexed — it must not shadow future checks
+    assert idx.table.read().filter("doc_id = 100").count() == 0
+
+
+def test_lsh_index_time_travel_candidates(spark, tmp_path):
+    from bears_spark.io.lsh_index import LSHIndexTable
+
+    idx = LSHIndexTable(spark, str(tmp_path / "lsh_tt"))
+    d0 = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id: bigint, text: string",
+    )
+    v1 = idx.build(d0, "doc_id", "text", num_hashes=16, bands=8)
+    d1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota lambda")],
+        "doc_id: bigint, text: string",
+    )
+    idx.append(d1, "doc_id", "text")
+
+    probe = spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon zeta eta theta iota lambda")],
+        "doc_id: bigint, text: string",
+    )
+    now = {r["index_id"] for r in idx.candidates_for(probe, "doc_id", "text").collect()}
+    assert 1 in now  # exact text match of doc 1 -> certain candidate
+    past = {r["index_id"] for r in idx.candidates_for(probe, "doc_id", "text", version=v1).collect()}
+    assert 1 not in past  # before doc 1 was indexed, it can't be a candidate
