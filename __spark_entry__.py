@@ -166,6 +166,7 @@ ROUND6_NEVER_GRADED = [
     "ann_ivfpq_topk",
     "retrieval_eval_report",
     "customer_k_anonymity",
+    "dedup_lsh_index_ingest",
 ]
 
 

@@ -1926,3 +1926,56 @@ RETRIEVAL_EVAL_SQL = _retrieval_eval_sql()
 
 QUERIES["retrieval_eval_report"] = retrieval_eval_report
 ORACLES["retrieval_eval_report"] = RETRIEVAL_EVAL_SQL
+
+
+# --------------------------------------------------------------------------
+# dedup_lsh_index_ingest: the INCREMENTAL near-dup path through the real
+# on-disk LSH index (io/lsh_index.py) — even-id docs are the indexed
+# corpus, odd-id docs arrive as an ingest batch, candidates come from the
+# batch's bands equi-joined against the STORED band table. The oracle
+# recomputes the identical banded-MinHash math (deterministic md5-based
+# hashes) and joins odd against even directly — same pairs, proving the
+# persisted index changes the cost model, not the answer.
+def dedup_lsh_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from bears_spark.io.lsh_index import LSHIndexTable
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = LSHIndexTable(spark, tempfile.mkdtemp(prefix="lshidx_"))
+    try:
+        idx.build(corpus, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS, ngram_n=_NGRAM_N)
+        pairs = [
+            (r["new_id"], r["index_id"])
+            for r in idx.candidates_for(batch, "doc_id", "text").collect()
+        ]
+    finally:
+        shutil.rmtree(idx.path, ignore_errors=True)
+    out = spark.createDataFrame(pairs, "new_id bigint, index_id bigint") if pairs else (
+        spark.createDataFrame([], "new_id bigint, index_id bigint")
+    )
+    return out.orderBy("new_id", "index_id")
+
+
+def _lsh_ingest_sql() -> str:
+    base = _minhash_sql()
+    # same banded CTEs; replace the final all-pairs select with odd-vs-even
+    marker = "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b"
+    head = base[: base.index(marker)]
+    return (
+        head
+        + """SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS index_id
+FROM banded a JOIN banded b ON a.band = b.band AND a.band_sig = b.band_sig
+WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+ORDER BY new_id, index_id
+"""
+    )
+
+
+DEDUP_LSH_INGEST_SQL = _lsh_ingest_sql()
+
+QUERIES["dedup_lsh_index_ingest"] = dedup_lsh_index_ingest
+ORACLES["dedup_lsh_index_ingest"] = DEDUP_LSH_INGEST_SQL
