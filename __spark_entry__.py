@@ -167,6 +167,7 @@ ROUND6_NEVER_GRADED = [
     "retrieval_eval_report",
     "customer_k_anonymity",
     "dedup_lsh_index_ingest",
+    "doc_dsir_selection",
 ]
 
 

@@ -1111,3 +1111,102 @@ ORDER BY c_nationkey, c_mktsegment
 
 QUERIES["customer_k_anonymity"] = customer_k_anonymity
 ORACLES["customer_k_anonymity"] = CUSTOMER_K_ANONYMITY_SQL
+
+
+# --------------------------------------------------------------------------
+# doc_dsir_selection: DSIR data selection (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling") — score every candidate
+# document by how much its hashed-unigram distribution looks like a TARGET
+# domain vs the raw corpus, then keep the top-k. Features are hashed token
+# buckets (no vocabulary state — the same property that makes
+# hashing_vectorize the 100 TB featurizer); the importance weight is
+# sum over tokens of ln(p_target(bucket) / p_raw(bucket)) with add-1
+# smoothing. Fit state is 2x64 integer counts collected once; the
+# log-ratio table is baked into the plan as ONE literal and each doc's
+# weight is a sequential HOF fold (matching DuckDB's list_sum order — the
+# BM25 rounding discipline: ln may differ in the last ulp across libms,
+# round(weight, 6) absorbs it).
+_DSIR_B = 64
+_DSIR_SALT = "dsir"
+_DSIR_TARGET = "src0"
+_DSIR_TOPK = 50
+
+
+def doc_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from bears_spark.functions.hashing import md5_hash64
+    from bears_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    tb = docs.select(
+        "doc_id",
+        "source",
+        F.transform(
+            tokenize(F.lower(F.col("text"))),
+            lambda t: F.pmod(md5_hash64(t, salt=_DSIR_SALT), F.lit(_DSIR_B)).cast("int"),
+        ).alias("b"),
+    )
+    cnt = {
+        int(r["bk"]): (int(r["n_all"]), int(r["n_t"]))
+        for r in tb.select("source", F.explode("b").alias("bk"))
+        .groupBy("bk")
+        .agg(
+            F.count("*").alias("n_all"),
+            F.count(F.when(F.col("source") == _DSIR_TARGET, 1)).alias("n_t"),
+        )
+        .collect()
+    }
+    ta = sum(v[0] for v in cnt.values())
+    tt = sum(v[1] for v in cnt.values())
+    lr = [
+        math.log(
+            ((cnt.get(b, (0, 0))[1] + 1.0) / (tt + _DSIR_B))
+            / ((cnt.get(b, (0, 0))[0] + 1.0) / (ta + _DSIR_B))
+        )
+        for b in range(_DSIR_B)
+    ]
+    lr_lit = F.lit(lr)
+    weight = F.aggregate(
+        F.transform(F.col("b"), lambda x: F.element_at(lr_lit, x + F.lit(1))),
+        F.lit(0.0),
+        lambda acc, w: acc + w,
+    )
+    return (
+        tb.filter((F.col("source") != _DSIR_TARGET) & (F.size("b") > 0))
+        .select("doc_id", F.round(weight, 6).alias("dsir_weight"))
+        .orderBy(F.desc("dsir_weight"), "doc_id")
+        .limit(_DSIR_TOPK)
+    )
+
+
+DOC_DSIR_SQL = f"""
+WITH tb AS (
+  SELECT doc_id, source,
+         list_transform({_DUCK_TOKS}, t -> {_duck_h64("t", "'" + _DSIR_SALT + "'")} % {_DSIR_B}) AS b
+  FROM documents
+), ex AS (
+  SELECT source, unnest(b) AS bk FROM tb
+), cnt AS (
+  SELECT bk, count(*) AS n_all,
+         count(*) FILTER (WHERE source = '{_DSIR_TARGET}') AS n_t
+  FROM ex GROUP BY bk
+), dense AS (
+  SELECT r.i AS bk, coalesce(n_all, 0) AS n_all, coalesce(n_t, 0) AS n_t
+  FROM (SELECT unnest(range({_DSIR_B})) AS i) r LEFT JOIN cnt ON cnt.bk = r.i
+), tot AS (
+  SELECT sum(n_all) AS ta, sum(n_t) AS tt FROM dense
+), lrt AS (
+  SELECT list(ln(((n_t + 1.0) / (tt + {_DSIR_B})) / ((n_all + 1.0) / (ta + {_DSIR_B})))
+              ORDER BY bk) AS lr
+  FROM dense, tot
+)
+SELECT doc_id,
+       round(list_sum(list_transform(b, x -> lrt.lr[x + 1])), 6) AS dsir_weight
+FROM tb, lrt
+WHERE source != '{_DSIR_TARGET}' AND len(b) > 0
+ORDER BY dsir_weight DESC, doc_id LIMIT {_DSIR_TOPK}
+"""
+
+QUERIES["doc_dsir_selection"] = doc_dsir_selection
+ORACLES["doc_dsir_selection"] = DOC_DSIR_SQL
