@@ -168,6 +168,7 @@ ROUND6_NEVER_GRADED = [
     "customer_k_anonymity",
     "dedup_lsh_index_ingest",
     "doc_dsir_selection",
+    "streaming_attribution_full",
 ]
 
 

@@ -91,6 +91,20 @@ class LocalCommitStore(CommitStore):
             return True
         except FileExistsError:
             return False
+        except OSError:
+            # filesystem without hard links (some fuse/SMB mounts):
+            # O_CREAT|O_EXCL is still an atomic existence claim; the value
+            # lands right after, so a concurrent reader can briefly see a
+            # short file — acceptable for the fallback tier (readers of
+            # manifests retry on JSON parse failure at a higher level;
+            # object stores use conditional put and never hit this path)
+            try:
+                fd = os.open(key, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return False
+            with os.fdopen(fd, "wb") as fh:
+                fh.write(data)
+            return True
         finally:
             os.unlink(tmp)
 

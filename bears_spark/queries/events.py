@@ -1494,3 +1494,75 @@ ORDER BY event_type
 
 QUERIES["ev_attribution_touch"] = ev_attribution_touch
 ORACLES["ev_attribution_touch"] = EV_ATTRIBUTION_SQL
+
+
+# --------------------------------------------------------------------------
+# streaming_attribution_full: FULL-outer stream-stream interval join under
+# the deterministic flush-punctuation replay harness — every purchase AND
+# every view emitted exactly once (attributed / converted or provably not).
+# The +4h flush sentinels push the final watermark past every real event's
+# state-expiry bound (view_ts + max_delay + watermark), so the batch oracle
+# is the plain FULL OUTER interval join with no cutoff.
+def streaming_attribution_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import shutil
+    import tempfile
+
+    from bears_spark.queries.tables import load_table
+    from bears_spark.streaming.jobs import (
+        bounded_replay_source,
+        purchase_attribution_full_outer_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    flush_ts = events.agg(F.max("ts")).first()[0] + datetime.timedelta(hours=4)
+    tmp = tempfile.mkdtemp(prefix="attr_full_")
+    try:
+        ev = bounded_replay_source(
+            spark,
+            events,
+            [(-1, flush_ts, -1, "view", 0.0, "{}"), (-2, flush_ts, -2, "purchase", 0.0, "{}")],
+            tmp,
+        )
+        out = purchase_attribution_full_outer_stream(
+            ev.filter(F.col("event_type") == "view"),
+            ev.filter(F.col("event_type") == "purchase"),
+            max_delay="1 hour",
+            watermark="2 hours",
+        )
+        sink = "streaming_attribution_full_sink"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(sink).select(
+        "user_id",
+        "purchase_id",
+        F.unix_micros(F.col("purchase_ts")).alias("purchase_us"),
+        "view_id",
+        F.unix_micros(F.col("view_ts")).alias("view_us"),
+    )
+
+
+STREAMING_ATTRIBUTION_FULL_SQL = """
+SELECT COALESCE(p.user_id, v.user_id) AS user_id,
+       p.event_id AS purchase_id,
+       epoch_us(p.ts) AS purchase_us,
+       v.event_id AS view_id,
+       epoch_us(v.ts) AS view_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+FULL JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON v.user_id = p.user_id
+ AND v.ts < p.ts
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+"""
+
+QUERIES["streaming_attribution_full"] = streaming_attribution_full
+ORACLES["streaming_attribution_full"] = STREAMING_ATTRIBUTION_FULL_SQL

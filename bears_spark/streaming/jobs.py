@@ -308,6 +308,45 @@ def purchase_attribution_outer_stream(
     )
 
 
+def purchase_attribution_full_outer_stream(
+    views: DataFrame,
+    purchases: DataFrame,
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """FULL-OUTER stream-stream interval join: every purchase exactly once
+    (attributed or provably view-less, as in the left-outer variant) AND
+    every view exactly once (converted or provably purchase-less). The
+    view side's state expires when the watermark passes
+    view_ts + max_delay — after that no future purchase can match it
+    within the window — releasing unconverted views with null purchase
+    columns. This is the funnel-audit shape: tracking loss shows up as
+    orphan purchases, demand without conversion as orphan views, and both
+    are emitted exactly once from one join's state."""
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("view_ts") < F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_delay}"))
+    )
+    return p.join(v, cond, "full_outer").select(
+        F.coalesce(F.col("p_user"), F.col("v_user")).alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "view_id",
+        "view_ts",
+    )
+
+
 def bounded_replay_source(spark, df: DataFrame, flush_rows: list, path: str, files: int = 1):
     """Materialize a batch DataFrame as a file-streaming source with FLUSH
     PUNCTUATION: the data lands first, then TWO copies of ``flush_rows``

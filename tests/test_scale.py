@@ -111,3 +111,49 @@ def test_salted_join_rejects_right_outer(spark, sf_dir):
     for how in ("right", "outer", "full"):
         with pytest.raises(ValueError, match="salted_join"):
             salted_join(orders, cust, on="k", how=how)
+
+
+def test_lsh_band_store_bucketed_probe_shuffles_only_delta(spark, sf_dir):
+    """SCALE.md claim substantiated: with the stored LSH band table BUCKETED
+    on its join keys, an ingest-delta probe shuffles only the delta — the
+    corpus-sized stored side is scanned in place (no Exchange above its
+    scan)."""
+    import re
+
+    from bears_spark.bucketing import write_bucketed
+    from bears_spark.functions.dedup import minhash_band_table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus_bands = minhash_band_table(
+        docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text", 16, 4, 3
+    )
+    write_bucketed(corpus_bands, "lsh_bands_bucketed", ["band", "band_sig"], 8)
+    try:
+        stored = spark.table("lsh_bands_bucketed").withColumnRenamed("doc_id", "index_id")
+        delta = minhash_band_table(
+            docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text", 16, 4, 3
+        ).withColumnRenamed("doc_id", "new_id")
+        joined = delta.join(stored.hint("merge"), ["band", "band_sig"])
+
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        # exactly ONE hash-partitioned Exchange: the delta side. The bucketed
+        # store contributes none.
+        n_exchanges = len(
+            [m for m in re.finditer(r"\(\d+\) Exchange", plan)]
+        )
+        assert "hashpartitioning" in plan
+        assert n_exchanges == 1, plan[:2000]
+        # and the answer matches the unbucketed path
+        plain = delta.join(
+            corpus_bands.withColumnRenamed("doc_id", "index_id"), ["band", "band_sig"]
+        )
+        assert joined.count() == plain.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lsh_bands_bucketed")

@@ -514,3 +514,24 @@ def test_lsh_index_time_travel_candidates(spark, tmp_path):
     assert 1 in now  # exact text match of doc 1 -> certain candidate
     past = {r["index_id"] for r in idx.candidates_for(probe, "doc_id", "text", version=v1).collect()}
     assert 1 not in past  # before doc 1 was indexed, it can't be a candidate
+
+
+def test_local_store_put_if_absent_without_hardlinks(tmp_path, monkeypatch):
+    """Filesystems without hard links fall back to O_CREAT|O_EXCL — same CAS
+    semantics."""
+    import os as _os
+
+    from bears_spark.io.commit_store import LocalCommitStore
+
+    store = LocalCommitStore()
+
+    def no_link(src, dst):
+        raise OSError(38, "Function not implemented")
+
+    monkeypatch.setattr(_os, "link", no_link)
+    key = str(tmp_path / "ns" / "k1")
+    assert store.put_if_absent(key, b"first") is True
+    assert store.put_if_absent(key, b"second") is False
+    assert store.read(key) == b"first"
+    # no tmp litter
+    assert [n for n in _os.listdir(tmp_path / "ns") if n.endswith(".tmp")] == []

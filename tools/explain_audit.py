@@ -69,6 +69,9 @@ CHECKS = {
     # round-5 queries
     "doc_bm25_queryset": ["WindowGroupLimit", "BroadcastHashJoin", "LeftSemi"],
     "ann_ivfpq_topk": ["TakeOrderedAndProject"],  # literal quantizers, zero joins
+    "retrieval_eval_report": ["WindowGroupLimit", "BroadcastHashJoin"],
+    "customer_k_anonymity": ["HashAggregate"],
+    "doc_dsir_selection": ["TakeOrderedAndProject"],  # literal log-ratio table
 }
 
 FORBIDDEN = ["CartesianProduct", "BroadcastNestedLoopJoin"]
