@@ -496,3 +496,132 @@ def tfidf_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def ivfpq_residual_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: Sequence[float],
+    centroids,
+    k: int = 10,
+    nprobe: int = 2,
+    m: int = 8,
+    nbits: int = 4,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Classical RESIDUAL-encoded IVF-PQ (Jégou et al. 2011 / FAISS
+    IndexIVFPQ): vectors are assigned to their nearest coarse centroid and
+    the PQ codebooks quantize the RESIDUAL v - c(v), which has far smaller
+    variance than v itself — the same bit budget spends on fine structure,
+    so ADC distances track true distances much more tightly than raw-vector
+    PQ (asserted by the recall test).
+
+    Search: per probed centroid c, the ADC table is built from the QUERY's
+    residual q - c (nprobe tables, each m x 2^nbits — still KB-scale plan
+    literals); a candidate's distance is m lookups in ITS centroid's table,
+    selected by a slot array indexed by centroid id. Everything after the
+    Arrow encode stage is codegen expressions + TakeOrderedAndProject.
+
+    Train-on-the-fly here for API simplicity (one seeded KMeans per
+    subspace over residuals); at corpus scale train once on a sample and
+    persist codes + codebooks (io/vector_index.py pattern).
+    Returns (id_col, centroid_id, adc_dist) ascending."""
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    rows = centroids.collect() if isinstance(centroids, DataFrame) else centroids
+    cent_rows = sorted(
+        (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
+        if not isinstance(r, tuple) else (int(r[0]), [float(x) for x in r[1]])
+        for r in rows
+    )
+    qv = [float(x) for x in query_vec]
+    n_cent = len(cent_rows)
+    cmat = np.asarray([c for _, c in cent_rows])
+    dim = cmat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    # assignment expression: arg-max dot with L2-normalized centroids
+    # (|v| cancels; lowest-id tiebreak via (dot, -idx) struct max)
+    norm_rows = cmat / np.sqrt((cmat**2).sum(axis=1, keepdims=True))
+    cmat_lit = F.lit([[float(x) for x in row] for row in norm_rows])
+    v = F.col(vec_col)
+    sims = F.transform(
+        cmat_lit,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(v, c, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ).alias("s"),
+            (-i).alias("negid"),
+        ),
+    )
+    best = -F.array_max(sims)["negid"]
+    raw_cmat_lit = F.lit([[float(x) for x in c] for _, c in cent_rows])
+    residual = F.zip_with(
+        v, F.element_at(raw_cmat_lit, best + F.lit(1)), lambda x, y: x.cast("double") - y
+    )
+    assigned = df.select(
+        F.col(id_col), best.alias("centroid_id"), residual.alias("__res__")
+    )
+
+    # train per-subspace codebooks on residuals (seeded, sample-friendly)
+    src = assigned.sample(fraction=sample_fraction, seed=seed) if sample_fraction else assigned
+    from bears_spark.caching import scoped_persist
+
+    src = scoped_persist(src.select("__res__"))
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        sub = src.select(array_to_vector(F.slice("__res__", s * dsub + 1, dsub)).alias("features"))
+        model = KMeans(k=1 << nbits, seed=seed + s, maxIter=10).fit(sub)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+
+    # probe selection on true cosine (driver-side, sequential sums)
+    def _seq_cosine(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    probe_ids = [
+        cid for _, cid in sorted(((-_seq_cosine(list(c), qv), cid) for cid, c in cent_rows))[:nprobe]
+    ]
+    cands = assigned.filter(F.col("centroid_id").isin(probe_ids))
+    codes = pq_encode(cands, id_col, "__res__", books).join(
+        cands.select(id_col, "centroid_id"), id_col
+    )
+
+    # per-probed-centroid ADC tables from the query's residuals
+    qarr = np.asarray(qv)
+    cents_np = np.asarray(books)  # [m, k, dsub]
+    slot = [-1] * n_cent
+    tables = []
+    for j, cid in enumerate(probe_ids):
+        slot[cid] = j
+        qres = (qarr - cmat[cid]).reshape(m, dsub)
+        tables.append(((cents_np - qres[:, None, :]) ** 2).sum(axis=2))  # [m, k]
+    slot_lit = F.lit(slot)
+    tbl_lit = F.lit([[[float(d) for d in row] for row in t] for t in tables])
+    my_tbl = F.element_at(tbl_lit, F.element_at(slot_lit, F.col("centroid_id") + F.lit(1)) + F.lit(1))
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(
+            F.element_at(my_tbl, i + F.lit(1)), F.element_at(F.col("codes"), i + F.lit(1)) + F.lit(1)
+        ),
+    )
+    return (
+        codes.select(F.col(id_col), F.col("centroid_id"), dist.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )
