@@ -411,52 +411,70 @@ def bm25_topk_queries(
     keep each query's top-k — the retrieval-eval shape at scale (one job
     scores thousands of eval queries, not one literal query per job).
 
-    ``queries_df`` has columns (query_id, terms array<string>); it is tiny
-    (an eval set) and is broadcast. Plan shape:
+    ``queries_df`` has columns (query_id, terms array<string>); an eval set
+    is tiny BY CONTRACT, so it is collected once and baked into the plan as
+    fit state (same pattern as the corpus scalars):
 
-    * the corpus token stream is filtered at the source by a broadcast
-      LeftSemi against the UNION of all query terms (~|vocab ∩ terms| cut,
-      one corpus pass regardless of query count),
-    * per-term document frequencies aggregate once and broadcast back,
-    * query membership attaches via a broadcast equi-join on term, fanning
-      each scored (doc, term) to the queries containing it,
-    * per-query top-k is rank()<=k over (score desc, id) — Spark plans the
-      filter-over-window as WindowGroupLimit, pushing the k-cut into the
-      shuffle (partial top-k per map task), so no query's full posting list
-      is ever collected to one task unbounded.
+    * the corpus token stream filters with an isin() over the union of all
+      query terms — pushed into the scan, ~|vocab ∩ terms| survivors,
+    * document length rides ALONG the exploded tokens (max(dl) per
+      (doc, term) group — dl is constant per doc), so scoring needs NO join
+      back to a corpus-sized length table,
+    * per-term document frequencies aggregate from the survivors and
+      broadcast back (the one data-dependent join),
+    * query membership fans out via a literal term->query_ids map explode —
+      no join,
+    * per-query top-k is rank()<=k over (score desc, id) — planned as
+      WindowGroupLimit, partial top-k before the shuffle.
 
-    Ties at rank k: rank() keeps all tied docs (deterministic because the
-    order key includes id). Returns (query_id, id_col, score, rank).
-    """
-    docs_len = df.select(F.col(id_col), token_count(text_col).alias("dl"))
-    row = docs_len.agg(F.count("*").alias("n"), F.sum("dl").alias("s")).first()
-    if not row["n"]:
+    Shuffles: the (doc, term) partial-aggregated groupBy and the final
+    per-query window — both on bounded survivor rows, never the corpus.
+
+    Ties at rank k: deterministic (the order key includes id);
+    ``score_round`` rounds scores before ranking so an oracle that rounds
+    can't disagree on boundary ties. Returns (query_id, id_col, score,
+    rank)."""
+    qrows = queries_df.collect() if not isinstance(queries_df, list) else queries_df
+    term_to_qids: dict[str, list[int]] = {}
+    for r in qrows:
+        qid = int(r["query_id"]) if not isinstance(r, tuple) else int(r[0])
+        terms = r["terms"] if not isinstance(r, tuple) else r[1]
+        for t in {str(t).lower() for t in terms}:
+            term_to_qids.setdefault(t, []).append(qid)
+    all_terms = sorted(term_to_qids)
+
+    row = df.agg(
+        F.count("*").alias("n"), F.sum(token_count(text_col)).alias("s")
+    ).first()
+    if not row["n"] or not all_terms:
         return (
-            queries_df.select("query_id")
-            .withColumn(id_col, F.lit(None).cast("long"))
-            .withColumn("score", F.lit(0.0))
-            .withColumn("rank", F.lit(0))
-            .limit(0)
+            df.select(
+                F.lit(0).alias("query_id"),
+                F.col(id_col),
+                F.lit(0.0).alias("score"),
+                F.lit(0).alias("rank"),
+            ).limit(0)
         )
     n_docs, avgdl = row["n"], float(row["s"]) / row["n"]
-    qterms = queries_df.select(
-        "query_id", F.explode(F.col("terms")).alias("term")
-    ).select("query_id", F.lower("term").alias("term")).distinct()
-    vocab = qterms.select("term").distinct()
-    toks = (
-        df.select(F.col(id_col), F.explode(tokenize(F.lower(F.col(text_col)))).alias("term"))
-        .join(F.broadcast(vocab), "term", "left_semi")
-    )
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+
+    toks = df.select(
+        F.col(id_col),
+        token_count(text_col).alias("dl"),
+        F.explode(tokenize(F.lower(F.col(text_col)))).alias("term"),
+    ).filter(F.col("term").isin(all_terms))
+    # dl is constant per document: max() re-derives it after the groupBy,
+    # avoiding a join against a corpus-sized length table
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
     idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5))
+    qmap = F.create_map(
+        *[c for t in all_terms for c in (F.lit(t), F.lit(term_to_qids[t]))]
+    )
     scored = (
         tf.join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(qterms), "term")  # fan each (doc, term) to its queries
-        .join(docs_len, id_col)
         .select(
-            "query_id",
             F.col(id_col),
+            F.explode(F.element_at(qmap, F.col("term"))).alias("query_id"),
             (
                 idf
                 * (F.col("tf") * (k1 + 1.0))
