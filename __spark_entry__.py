@@ -169,6 +169,7 @@ ROUND6_NEVER_GRADED = [
     "dedup_lsh_index_ingest",
     "doc_dsir_selection",
     "streaming_attribution_full",
+    "corpus_curation_e2e",
 ]
 
 

@@ -1210,3 +1210,82 @@ ORDER BY dsir_weight DESC, doc_id LIMIT {_DSIR_TOPK}
 
 QUERIES["doc_dsir_selection"] = doc_dsir_selection
 ORACLES["doc_dsir_selection"] = DOC_DSIR_SQL
+
+
+# --------------------------------------------------------------------------
+# corpus_curation_e2e: the operators composed END-TO-END as one graded unit
+# — the actual shape of a training-data curation run, not isolated stages:
+#   1. quality gate (integer-exact: token count in [5, 5000], distinct
+#      ratio >= 0.3 via cross-multiplied comparison),
+#   2. exact dedup, first-occurrence-wins on the normalized fingerprint,
+#   3. per-language budget: keep the hash-priority top half (ceil) of each
+#      language's survivors — deterministic sampling, no RNG,
+#   4. report per language: documents and tokens kept.
+# Every stage is the library operator (token_count / fingerprint64 /
+# md5_hash64 window); the oracle rebuilds all four stages independently.
+# One corpus scan feeds stage 1-2; the only shuffles are the fingerprint
+# group, the per-lang window, and the final per-lang aggregate.
+def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from bears_spark.functions.hashing import md5_hash64
+    from bears_spark.functions.text import fingerprint64, token_count, tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.lower(F.col("text")))
+    staged = docs.select(
+        "doc_id", "lang", "text",
+        token_count("text").alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(toks).alias("n_words"),
+    )
+    kept = staged.filter(
+        (F.col("n_tok") >= 5)
+        & (F.col("n_tok") <= 5000)
+        & (F.col("n_distinct") * 10 >= F.col("n_words") * 3)
+    )
+    fp = kept.withColumn("fp", fingerprint64("text"))
+    first = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    deduped = fp.join(first, ["fp", "doc_id"], "left_semi")
+    w = Window.partitionBy("lang").orderBy(md5_hash64("doc_id", salt="e2e"), "doc_id")
+    cnt_w = Window.partitionBy("lang")
+    budgeted = (
+        deduped.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_lang", F.count("*").over(cnt_w))
+        .filter(F.col("rn") * 2 <= F.col("n_lang") + 1)  # ceil(n/2) keep
+    )
+    return (
+        budgeted.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+        .orderBy("lang")
+    )
+
+
+CORPUS_CURATION_E2E_SQL = f"""
+WITH staged AS (
+  SELECT doc_id, lang, text,
+         len({_DUCK_TOKS}) AS n_tok,
+         len(list_distinct({_DUCK_TOKS})) AS n_distinct,
+         len({_DUCK_TOKS}) AS n_words
+  FROM documents
+), kept AS (
+  SELECT * FROM staged
+  WHERE n_tok >= 5 AND n_tok <= 5000 AND n_distinct * 10 >= n_words * 3
+), fp AS (
+  SELECT *, ('0x' || substr(md5('0:' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 15))::BIGINT AS fp
+  FROM kept
+), deduped AS (
+  SELECT * FROM fp QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)
+), budgeted AS (
+  SELECT * FROM deduped
+  QUALIFY row_number() OVER (
+            PARTITION BY lang
+            ORDER BY {_duck_h64("doc_id", "'e2e'")}, doc_id
+          ) * 2 <= count(*) OVER (PARTITION BY lang) + 1
+)
+SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM budgeted GROUP BY lang ORDER BY lang
+"""
+
+QUERIES["corpus_curation_e2e"] = corpus_curation_e2e
+ORACLES["corpus_curation_e2e"] = CORPUS_CURATION_E2E_SQL

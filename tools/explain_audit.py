@@ -72,6 +72,7 @@ CHECKS = {
     "retrieval_eval_report": ["WindowGroupLimit", "BroadcastHashJoin"],
     "customer_k_anonymity": ["HashAggregate"],
     "doc_dsir_selection": ["TakeOrderedAndProject"],  # literal log-ratio table
+    "corpus_curation_e2e": ["LeftSemi", "Window", "HashAggregate"],
 }
 
 FORBIDDEN = ["CartesianProduct", "BroadcastNestedLoopJoin"]
