@@ -29,8 +29,15 @@ _WRITERS: Dict[FileFormat, Callable[..., None]] = {}
 
 
 def _base(df: DataFrame, opts: dict):
-    """Shared writer entry: mode + optional hive partitioning."""
+    """Shared writer entry: mode + optional hive partitioning. When
+    ``dynamic_overwrite`` is set, only the partitions PRESENT IN THE DATA
+    are replaced (partitionOverwriteMode=dynamic) — the idempotent daily
+    re-land pattern: re-running one day's job rewrites that day's
+    directory and leaves every other partition untouched, instead of
+    truncating the whole table like static overwrite."""
     w = df.write.mode(opts.get("mode", "overwrite"))
+    if opts.get("dynamic_overwrite"):
+        w = w.option("partitionOverwriteMode", "dynamic")
     pc = opts.get("partition_cols")
     return w.partitionBy(*pc) if pc else w
 
@@ -186,6 +193,8 @@ class Writer:
             if self.format not in (FileFormat.PARQUET, FileFormat.ORC, FileFormat.CSV, FileFormat.TSV, FileFormat.JSONLINES):
                 raise ValueError(f"partitioned writes unsupported for {self.format}")
             opts = {**opts, "partition_cols": partition_cols}
+        elif opts.get("dynamic_overwrite"):
+            raise ValueError("dynamic_overwrite requires partition_cols")
 
         fn = _WRITERS.get(self.format)
         if fn is None:

@@ -263,3 +263,30 @@ def test_partitioned_write_guards(spark, tmp_path):
         Writer.of("parquet").write(df, str(tmp_path / "x"), partition_cols=["p"], single_file=True)
     with pytest.raises(ValueError, match="unsupported"):
         Writer.of("npz").write(df, str(tmp_path / "y.npz"), partition_cols=["p"])
+
+
+def test_dynamic_partition_overwrite_replaces_only_incoming(spark, tmp_path):
+    """dynamic_overwrite=True rewrites only the partitions present in the
+    batch — the idempotent daily re-land; static overwrite would truncate
+    the other days."""
+    import pytest as _pytest
+
+    from bears_spark.io.writer import write
+
+    path = str(tmp_path / "days")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-01-03")], "v: int, d: string"
+    )
+    write(base, path, "parquet", partition_cols=["d"])
+    # re-land ONLY day 2 with corrected data
+    fix = spark.createDataFrame([(20, "2024-01-02")], "v: int, d: string")
+    write(fix, path, "parquet", partition_cols=["d"], dynamic_overwrite=True)
+    got = {(str(r["d"]), r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {("2024-01-01", 1), ("2024-01-02", 20), ("2024-01-03", 3)}
+
+    # static overwrite truncates: only the incoming partition remains
+    write(fix, path, "parquet", partition_cols=["d"])
+    assert {str(r["d"]) for r in spark.read.parquet(path).collect()} == {"2024-01-02"}
+
+    with _pytest.raises(ValueError, match="dynamic_overwrite requires"):
+        write(fix, path, "parquet", dynamic_overwrite=True)
