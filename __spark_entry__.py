@@ -170,6 +170,8 @@ ROUND6_NEVER_GRADED = [
     "doc_dsir_selection",
     "streaming_attribution_full",
     "corpus_curation_e2e",
+    "dedup_semantic_clusters",
+    "doc_leakage_safe_split",
 ]
 
 

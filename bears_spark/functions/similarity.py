@@ -172,6 +172,93 @@ def kmeans_centroids(
     return cents
 
 
+def assign_centroids(df: DataFrame, id_col: str, vec_col: str, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment by cosine: broadcast the (tiny) centroid
+    set onto every row and keep the best match per ``id_col``.
+
+    Deterministic: ties on cosine break by ascending centroid_id, so the
+    assignment is reproducible across runs AND engines (the DuckDB oracle
+    uses the identical row_number ordering). Adds ``centroid_id``; all other
+    input columns pass through. One broadcast nested-loop over k centroids
+    per row — no shuffle; the row_number window partitions by ``id_col``
+    (high-cardinality, uniform), which AQE handles at any scale.
+    """
+    from pyspark.sql import Window
+
+    return (
+        df.crossJoin(F.broadcast(centroids))
+        .withColumn("__csim", cosine_similarity(F.col(vec_col), F.col("centroid")))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.asc("centroid_id"))
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__csim", "centroid")
+    )
+
+
+def seeded_lloyd_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    salt: str = "semseed",
+    iters: int = 1,
+    mean_round: int = 9,
+) -> DataFrame:
+    """Cross-engine-reproducible k-means: seeded-row init + ``iters`` Lloyd
+    mean updates, each mean ROUNDED to ``mean_round`` decimals.
+
+    Plain KMeans fits are not value-gradeable across engines (float summation
+    order drifts and compounds per iteration — see the ivfpq seeded-row
+    note). This variant stays gradeable: the init rows are the ``k`` corpus
+    rows with the smallest salted md5 of ``id_col`` (exact in any engine),
+    and rounding each updated mean to 9 decimals absorbs the ~1e-16 ulp
+    difference between Spark's and DuckDB's summation orders, so both
+    engines reassign against bit-identical centroids.
+
+    Scale: each iteration is one broadcast assignment plus one
+    posexplode + groupBy((centroid, dim)) average — k*dim cells of state,
+    partial-aggregated map-side; the only collect is k*dim doubles.
+    """
+    from bears_spark.functions.hashing import md5_hash64
+
+    spark = df.sparkSession
+    seeds = (
+        df.select(id_col, vec_col, md5_hash64(id_col, salt=salt).alias("__h"))
+        .orderBy("__h", id_col)
+        .limit(k)
+        .collect()
+    )
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seeds)],
+        "centroid_id int, centroid array<double>",
+    )
+    for _ in range(iters):
+        assigned = assign_centroids(df, id_col, vec_col, cents)
+        rows = (
+            assigned.select(
+                "centroid_id", F.posexplode(F.col(vec_col).cast("array<double>")).alias("__i", "__x")
+            )
+            .groupBy("centroid_id", "__i")
+            .agg(F.round(F.avg("__x"), mean_round).alias("__mu"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cid.setdefault(r["centroid_id"], {})[r["__i"]] = r["__mu"]
+        cents = spark.createDataFrame(
+            [
+                (cid, [dims[i] for i in sorted(dims)])
+                for cid, dims in sorted(by_cid.items())
+            ],
+            "centroid_id int, centroid array<double>",
+        )
+    return cents
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,

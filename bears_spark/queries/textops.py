@@ -411,6 +411,188 @@ SELECT id, min(comp) AS component FROM walk GROUP BY id ORDER BY id
 
 
 # --------------------------------------------------------------------------
+# doc_leakage_safe_split: train/val/test split that CANNOT leak near-dups
+# across splits. A plain per-doc hash split (doc_three_way_split) puts the
+# two halves of a near-duplicate pair in different splits ~28% of the time —
+# silent eval contamination. Here the split key is the doc's connected
+# component over the MinHash candidate graph (singletons key on themselves),
+# so every near-dup group lands in ONE split by construction. Output counts
+# per split: docs, distinct groups, and non-root near-dup members — the
+# oracle recomputes components with a recursive CTE and must agree exactly.
+# Scale: components via the same min-label fixpoint as dedup_components;
+# the split itself is a map-only hash of the group key.
+def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.hashing import md5_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS, ngram_n=_NGRAM_N
+    )
+    comp = dd.connected_components(pairs)
+    keyed = docs.join(comp, docs.doc_id == comp.id, "left").select(
+        "doc_id", F.coalesce("component", F.col("doc_id")).alias("grp")
+    )
+    bucket = md5_hash64(F.col("grp"), salt="leak") % 10
+    split = F.when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test")
+    return (
+        keyed.select("doc_id", "grp", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("grp").alias("n_groups"),
+            F.sum((F.col("grp") != F.col("doc_id")).cast("long")).alias("n_nonroot_dups"),
+        )
+        .orderBy("split")
+    )
+
+
+def _leak_h64(expr: str, salt: str) -> str:
+    return f"('0x' || substr(md5({salt} || ':' || CAST({expr} AS VARCHAR)), 1, 15))::BIGINT"
+
+
+DOC_LEAKAGE_SPLIT_SQL = f"""
+WITH RECURSIVE pairs AS ({MINHASH_LSH_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk (id, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.comp FROM walk w JOIN edges e ON w.id = e.dst
+),
+comp AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
+keyed AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS grp
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+),
+lab AS (
+  SELECT doc_id, grp,
+         CASE WHEN {_leak_h64("grp", "'leak'")} % 10 < 8 THEN 'train'
+              WHEN {_leak_h64("grp", "'leak'")} % 10 < 9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM keyed
+)
+SELECT split, count(*) AS n_docs, count(DISTINCT grp) AS n_groups,
+       CAST(sum(CASE WHEN grp <> doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_nonroot_dups
+FROM lab GROUP BY split ORDER BY split
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup_semantic_clusters: SemDeDup (Abbas et al. 2023) — partition the
+# embedding space with k-means FIRST, then look for semantic near-duplicates
+# only WITHIN each cluster. This is the scale story for embedding dedup: the
+# all-pairs join drops from O(n^2) to O(n^2/k) and each cluster's pair join
+# is an equi-join on the learned cluster id (dedup_embedding_cosine blocks on
+# a given label column; this learns the blocking from the data itself).
+# The k-means fit is the cross-engine-reproducible variant (seeded-row init
+# + one Lloyd update with means rounded to 9 decimals — see
+# seeded_lloyd_centroids), so DuckDB rebuilds the identical clustering and
+# the per-cluster membership and duplicate counts are value-gradeable.
+# Output: per cluster — members, near-dup pairs (cosine >= 0.4), and docs
+# dropped under keep-lowest-id survivorship.
+_SEM_K = 8
+_SEM_SALT = "semseed"
+_SEM_THRESH = 0.4
+_SEM_ROUND = 9
+
+
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim.seeded_lloyd_centroids(
+        emb, "vec_id", "embedding", k=_SEM_K, salt=_SEM_SALT, iters=1, mean_round=_SEM_ROUND
+    )
+    mem = sim.assign_centroids(emb, "vec_id", "embedding", cents).select(
+        "vec_id", "embedding", "centroid_id"
+    )
+    a, b = mem.alias("a"), mem.alias("b")
+    pairs = (
+        a.join(b, on="centroid_id")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cos", cosine_similarity(F.col("a.embedding"), F.col("b.embedding")))
+        .filter(F.col("cos") >= _SEM_THRESH)
+    )
+    members = mem.groupBy("centroid_id").agg(F.count("*").alias("n_members"))
+    dups = pairs.groupBy("centroid_id").agg(
+        F.count("*").alias("n_dup_pairs"),
+        F.countDistinct(F.col("b.vec_id")).alias("n_dropped"),
+    )
+    return (
+        members.join(dups, "centroid_id", "left")
+        .select(
+            F.col("centroid_id").alias("cid"),
+            "n_members",
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        )
+        .orderBy("cid")
+    )
+
+
+def _sem_cos(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), x -> x[1]::DOUBLE * x[2]::DOUBLE))"
+        f" / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+        f" * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))))"
+    )
+
+
+DEDUP_SEMANTIC_SQL = f"""
+WITH seeds AS (
+  SELECT embedding, vec_id,
+         ('0x' || substr(md5('{_SEM_SALT}:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM embeddings ORDER BY h, vec_id LIMIT {_SEM_K}
+),
+c0 AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, embedding AS c FROM seeds),
+a1 AS (
+  SELECT e.vec_id, e.embedding, c0.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_sem_cos("e.embedding", "c0.c")} DESC, c0.cid ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN c0
+),
+exploded AS (
+  SELECT cid, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM a1 WHERE rn = 1
+),
+m AS (
+  SELECT cid, list(mu ORDER BY i) AS c
+  FROM (SELECT cid, i, round(avg(x), {_SEM_ROUND}) AS mu FROM exploded GROUP BY cid, i)
+  GROUP BY cid
+),
+a2 AS (
+  SELECT e.vec_id, e.embedding, m.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_sem_cos("e.embedding", "m.c")} DESC, m.cid ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN m
+),
+mem AS (SELECT vec_id, embedding, cid FROM a2 WHERE rn = 1),
+pairs AS (
+  SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b
+  FROM mem a JOIN mem b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {_sem_cos("a.embedding", "b.embedding")} >= {_SEM_THRESH}
+),
+dups AS (
+  SELECT cid, count(*) AS n_dup_pairs, count(DISTINCT id_b) AS n_dropped
+  FROM pairs GROUP BY cid
+),
+members AS (SELECT cid, count(*) AS n_members FROM mem GROUP BY cid)
+SELECT members.cid AS cid, n_members,
+       coalesce(n_dup_pairs, 0) AS n_dup_pairs,
+       coalesce(n_dropped, 0) AS n_dropped
+FROM members LEFT JOIN dups ON members.cid = dups.cid
+ORDER BY cid
+"""
+
+
+# --------------------------------------------------------------------------
 # ann_lsh_topk: random-hyperplane LSH bucket search — candidates restricted
 # to the query's sign-bucket. Hyperplanes are md5-seeded literals, so the
 # oracle regenerates the identical planes and bucket arithmetic.
@@ -851,6 +1033,8 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_sq_topk": ann_sq_topk,
     "dedup_components": dedup_components,
+    "dedup_semantic_clusters": dedup_semantic_clusters,
+    "doc_leakage_safe_split": doc_leakage_safe_split,
     "ann_lsh_topk": ann_lsh_topk,
 }
 
@@ -873,6 +1057,8 @@ ORACLES = {
     "ann_cosine_topk": ANN_TOPK_SQL,
     "ann_sq_topk": ANN_SQ_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,
+    "dedup_semantic_clusters": DEDUP_SEMANTIC_SQL,
+    "doc_leakage_safe_split": DOC_LEAKAGE_SPLIT_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,
 }
 

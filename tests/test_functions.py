@@ -338,6 +338,29 @@ def test_kmeans_ivf_end_to_end(spark):
     assert len(exact & approx) >= 5
 
 
+def test_seeded_lloyd_semantic_clustering(spark):
+    from bears_spark.functions.similarity import assign_centroids, seeded_lloyd_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = seeded_lloyd_centroids(emb, "vec_id", "embedding", k=8, salt="semseed", iters=1)
+    got = cents.collect()
+    assert {r["centroid_id"] for r in got} <= set(range(8))
+    assert all(len(r["centroid"]) == 64 for r in got)
+    # means are rounded to 9 decimals — the cross-engine reproducibility rule
+    assert all(x == round(x, 9) for r in got for x in r["centroid"])
+    # bit-identical on refit (seeded init + rounded means)
+    again = seeded_lloyd_centroids(emb, "vec_id", "embedding", k=8, salt="semseed", iters=1)
+    assert sorted(map(tuple, (r["centroid"] for r in got))) == sorted(
+        map(tuple, (r["centroid"] for r in again.collect()))
+    )
+    # every vector is assigned exactly one cluster; all clusters exist
+    mem = assign_centroids(emb, "vec_id", "embedding", cents)
+    assert mem.count() == emb.count()
+    assert mem.select("vec_id").distinct().count() == emb.count()
+    # an input row that IS a centroid seed assigns to a real cluster id
+    assert mem.filter(F.col("centroid_id").isNull()).count() == 0
+
+
 def test_bpe_token_count(spark):
     from bears_spark.functions.text import bpe_token_count
 
