@@ -172,6 +172,8 @@ ROUND6_NEVER_GRADED = [
     "corpus_curation_e2e",
     "dedup_semantic_clusters",
     "doc_leakage_safe_split",
+    "streaming_semantic_assign",
+    "emb_cluster_coreset",
 ]
 
 

@@ -199,6 +199,54 @@ def assign_centroids(df: DataFrame, id_col: str, vec_col: str, centroids: DataFr
     )
 
 
+def assign_centroids_expr(vec_col, centroids) -> "F.Column":
+    """Expression-only nearest-centroid id — no join, no window, so it is
+    STREAM-TRANSPARENT (usable in an append-mode readStream projection) and
+    keeps batch scans join-free.
+
+    The centroid set is baked into the plan as ONE nested-array literal
+    (per-element lit() calls were the dominant plan-build cost — see
+    ivfpq_topk); per row it computes the exact cosine to each centroid and
+    arg-maxes via a lexicographic struct max over (cos, -position).
+    Positions follow ascending centroid_id, so ties break to the lowest id —
+    the identical ordering assign_centroids' row_number uses, which keeps
+    batch, streaming, and the DuckDB oracle assignment-for-assignment equal.
+
+    ``centroids``: DataFrame(centroid_id, centroid) or pre-collected rows.
+    """
+    rows = centroids.collect() if isinstance(centroids, DataFrame) else centroids
+    cent = sorted(
+        (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
+        if not isinstance(r, tuple)
+        else (int(r[0]), [float(x) for x in r[1]])
+        for r in rows
+    )
+    cids = [cid for cid, _ in cent]
+    cmat_lit = F.lit([c for _, c in cent])
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    vnorm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
+    )
+    sims = F.transform(
+        cmat_lit,
+        lambda c, i: F.struct(
+            (
+                F.aggregate(
+                    F.zip_with(v, c, lambda x, y: x.cast("double") * y),
+                    F.lit(0.0),
+                    lambda a, t: a + t,
+                )
+                / (vnorm * F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, y: a + y * y)))
+            ).alias("cos"),
+            (-i).alias("negid"),
+        ),
+    )
+    best_pos = -F.array_max(sims)["negid"]
+    # positions -> centroid ids (ids can be non-contiguous when a Lloyd
+    # update empties a cluster)
+    return F.element_at(F.lit(cids), (best_pos + F.lit(1)).cast("int"))
+
+
 def seeded_lloyd_centroids(
     df: DataFrame,
     id_col: str,

@@ -541,8 +541,10 @@ def _sem_cos(a: str, b: str) -> str:
     )
 
 
-DEDUP_SEMANTIC_SQL = f"""
-WITH seeds AS (
+# Shared CTE prefix: rebuild the seeded-Lloyd clustering (seeds -> init
+# centroids -> assign -> rounded mean update -> reassign) ending in
+# mem(vec_id, embedding, cid). Used by every semantic-cluster oracle.
+_SEM_CTES = f"""seeds AS (
   SELECT embedding, vec_id,
          ('0x' || substr(md5('{_SEM_SALT}:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
   FROM embeddings ORDER BY h, vec_id LIMIT {_SEM_K}
@@ -573,7 +575,11 @@ a2 AS (
          ) AS rn
   FROM embeddings e CROSS JOIN m
 ),
-mem AS (SELECT vec_id, embedding, cid FROM a2 WHERE rn = 1),
+mem AS (SELECT vec_id, embedding, cid FROM a2 WHERE rn = 1)"""
+
+
+DEDUP_SEMANTIC_SQL = f"""
+WITH {_SEM_CTES},
 pairs AS (
   SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b
   FROM mem a JOIN mem b ON a.cid = b.cid AND a.vec_id < b.vec_id
@@ -1014,6 +1020,90 @@ def streaming_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).select("doc_id", "chunk_id", "chunk_start", "n_tokens", "chunk_text")
 
 
+# --------------------------------------------------------------------------
+# streaming_semantic_assign: the cluster-assignment stage of SemDeDup run
+# under readStream — the fit is an offline artifact (seeded-Lloyd on the
+# batch corpus, exactly how a 100 TB pipeline fits on yesterday's corpus and
+# assigns today's ingest), and the assignment is the EXPRESSION-ONLY argmax
+# (assign_centroids_expr: no join, no window), which is stream-transparent
+# in append mode. Graded row-for-row against the batch DuckDB clustering.
+def streaming_semantic_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    batch = load_table(spark, sf_dir, "embeddings")
+    cents = sim.seeded_lloyd_centroids(
+        batch, "vec_id", "embedding", k=_SEM_K, salt=_SEM_SALT, iters=1, mean_round=_SEM_ROUND
+    )
+    cid_col = sim.assign_centroids_expr("embedding", cents)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sf_dir}/embeddings.parque*")
+    )
+    out = stream.select("vec_id", cid_col.alias("cid"))
+    sink = "streaming_semantic_assign_sink"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(sink).orderBy("vec_id")
+
+
+STREAMING_SEM_ASSIGN_SQL = f"""
+WITH {_SEM_CTES}
+SELECT vec_id, cid FROM mem ORDER BY vec_id
+"""
+
+
+# --------------------------------------------------------------------------
+# emb_cluster_coreset: diversity-aware subset selection — AFTER semantic
+# clustering, take m representatives per cluster by salted-hash priority
+# (cluster-stratified sampling: every region of embedding space keeps
+# coverage, unlike a global random sample that follows density). Per-group
+# top-k plans as WindowGroupLimit: partial top-m before the shuffle, so
+# shuffled bytes are O(k*m), not O(n).
+_CORESET_M = 5
+_CORESET_SALT = "coreset"
+
+
+def emb_cluster_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from bears_spark.functions.hashing import md5_hash64
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim.seeded_lloyd_centroids(
+        emb, "vec_id", "embedding", k=_SEM_K, salt=_SEM_SALT, iters=1, mean_round=_SEM_ROUND
+    )
+    mem = sim.assign_centroids(emb, "vec_id", "embedding", cents)
+    pri = md5_hash64("vec_id", salt=_CORESET_SALT)
+    w = Window.partitionBy("centroid_id").orderBy(pri, "vec_id")
+    return (
+        mem.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _CORESET_M)
+        .select(F.col("centroid_id").alias("cid"), "vec_id", "rank")
+        .orderBy("cid", "rank")
+    )
+
+
+EMB_CORESET_SQL = f"""
+WITH {_SEM_CTES},
+pri AS (
+  SELECT cid, vec_id,
+         row_number() OVER (
+           PARTITION BY cid
+           ORDER BY ('0x' || substr(md5('{_CORESET_SALT}:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                    vec_id
+         ) AS rank
+  FROM mem
+)
+SELECT cid, vec_id, rank FROM pri WHERE rank <= {_CORESET_M} ORDER BY cid, rank
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "emb_int8_codes": emb_int8_codes,
@@ -1035,6 +1125,8 @@ QUERIES = {
     "dedup_components": dedup_components,
     "dedup_semantic_clusters": dedup_semantic_clusters,
     "doc_leakage_safe_split": doc_leakage_safe_split,
+    "streaming_semantic_assign": streaming_semantic_assign,
+    "emb_cluster_coreset": emb_cluster_coreset,
     "ann_lsh_topk": ann_lsh_topk,
 }
 
@@ -1059,6 +1151,8 @@ ORACLES = {
     "dedup_components": DEDUP_COMPONENTS_SQL,
     "dedup_semantic_clusters": DEDUP_SEMANTIC_SQL,
     "doc_leakage_safe_split": DOC_LEAKAGE_SPLIT_SQL,
+    "streaming_semantic_assign": STREAMING_SEM_ASSIGN_SQL,
+    "emb_cluster_coreset": EMB_CORESET_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,
 }
 

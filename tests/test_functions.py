@@ -361,6 +361,39 @@ def test_seeded_lloyd_semantic_clustering(spark):
     assert mem.filter(F.col("centroid_id").isNull()).count() == 0
 
 
+def test_assign_centroids_expr_matches_window_assignment(spark):
+    """The streaming-safe expression argmax must agree with the row_number
+    formulation assignment-for-assignment (same cosine, same low-id ties)."""
+    from bears_spark.functions.similarity import (
+        assign_centroids,
+        assign_centroids_expr,
+        seeded_lloyd_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = seeded_lloyd_centroids(emb, "vec_id", "embedding", k=8, salt="semseed", iters=1)
+    via_window = {
+        r["vec_id"]: r["centroid_id"]
+        for r in assign_centroids(emb, "vec_id", "embedding", cents).collect()
+    }
+    via_expr = {
+        r["vec_id"]: r["cid"]
+        for r in emb.select("vec_id", assign_centroids_expr("embedding", cents).alias("cid")).collect()
+    }
+    assert via_expr == via_window
+    # non-contiguous centroid ids route through the position->id mapping
+    sparse = cents.filter(F.col("centroid_id") != 3)
+    w2 = {
+        r["vec_id"]: r["centroid_id"]
+        for r in assign_centroids(emb, "vec_id", "embedding", sparse).collect()
+    }
+    e2 = {
+        r["vec_id"]: r["cid"]
+        for r in emb.select("vec_id", assign_centroids_expr("embedding", sparse).alias("cid")).collect()
+    }
+    assert e2 == w2 and 3 not in set(e2.values())
+
+
 def test_bpe_token_count(spark):
     from bears_spark.functions.text import bpe_token_count
 
