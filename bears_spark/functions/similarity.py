@@ -280,31 +280,28 @@ def seeded_lloyd_centroids(
         .limit(k)
         .collect()
     )
-    cents = spark.createDataFrame(
-        [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seeds)],
-        "centroid_id int, centroid array<double>",
-    )
+    cent_rows = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seeds)]
     for _ in range(iters):
-        assigned = assign_centroids(df, id_col, vec_col, cents)
+        # expression-only assignment: map-only, no join/window in the fit scan
+        cid = assign_centroids_expr(vec_col, cent_rows)
+        # the assignment must be staged in its OWN projection: putting a
+        # generator (posexplode) in the same select re-analyzes sibling
+        # expressions and drops the struct field names inside the argmax
+        # lambda (FIELD_NOT_FOUND on `negid`)
+        assigned = df.select(cid.alias("__cid"), F.col(vec_col).cast("array<double>").alias("__v"))
         rows = (
-            assigned.select(
-                "centroid_id", F.posexplode(F.col(vec_col).cast("array<double>")).alias("__i", "__x")
-            )
-            .groupBy("centroid_id", "__i")
+            assigned.select("__cid", F.posexplode("__v").alias("__i", "__x"))
+            .groupBy("__cid", "__i")
             .agg(F.round(F.avg("__x"), mean_round).alias("__mu"))
             .collect()
         )
         by_cid: dict[int, dict[int, float]] = {}
         for r in rows:
-            by_cid.setdefault(r["centroid_id"], {})[r["__i"]] = r["__mu"]
-        cents = spark.createDataFrame(
-            [
-                (cid, [dims[i] for i in sorted(dims)])
-                for cid, dims in sorted(by_cid.items())
-            ],
-            "centroid_id int, centroid array<double>",
-        )
-    return cents
+            by_cid.setdefault(r["__cid"], {})[r["__i"]] = r["__mu"]
+        cent_rows = [
+            (cid_, [dims[i] for i in sorted(dims)]) for cid_, dims in sorted(by_cid.items())
+        ]
+    return spark.createDataFrame(cent_rows, "centroid_id int, centroid array<double>")
 
 
 def ivf_topk(

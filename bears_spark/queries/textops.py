@@ -500,37 +500,20 @@ _SEM_ROUND = 9
 
 
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bears_spark.functions.vectors import cosine_similarity
-
     emb = load_table(spark, sf_dir, "embeddings")
     cents = sim.seeded_lloyd_centroids(
         emb, "vec_id", "embedding", k=_SEM_K, salt=_SEM_SALT, iters=1, mean_round=_SEM_ROUND
     )
-    mem = sim.assign_centroids(emb, "vec_id", "embedding", cents).select(
-        "vec_id", "embedding", "centroid_id"
+    # map-only assignment (expression argmax), then one BLAS gram matrix per
+    # cluster for the O(m^2 d) pair flops — see semantic_cluster_stats.
+    mem = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        sim.assign_centroids_expr("embedding", cents).alias("centroid_id"),
     )
-    a, b = mem.alias("a"), mem.alias("b")
-    pairs = (
-        a.join(b, on="centroid_id")
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .withColumn("cos", cosine_similarity(F.col("a.embedding"), F.col("b.embedding")))
-        .filter(F.col("cos") >= _SEM_THRESH)
-    )
-    members = mem.groupBy("centroid_id").agg(F.count("*").alias("n_members"))
-    dups = pairs.groupBy("centroid_id").agg(
-        F.count("*").alias("n_dup_pairs"),
-        F.countDistinct(F.col("b.vec_id")).alias("n_dropped"),
-    )
-    return (
-        members.join(dups, "centroid_id", "left")
-        .select(
-            F.col("centroid_id").alias("cid"),
-            "n_members",
-            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
-            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
-        )
-        .orderBy("cid")
-    )
+    return dd.semantic_cluster_stats(
+        mem, "vec_id", "v", "centroid_id", threshold=_SEM_THRESH
+    ).orderBy("cid")
 
 
 def _sem_cos(a: str, b: str) -> str:
@@ -1078,7 +1061,7 @@ def emb_cluster_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = sim.seeded_lloyd_centroids(
         emb, "vec_id", "embedding", k=_SEM_K, salt=_SEM_SALT, iters=1, mean_round=_SEM_ROUND
     )
-    mem = sim.assign_centroids(emb, "vec_id", "embedding", cents)
+    mem = emb.select("vec_id", sim.assign_centroids_expr("embedding", cents).alias("centroid_id"))
     pri = md5_hash64("vec_id", salt=_CORESET_SALT)
     w = Window.partitionBy("centroid_id").orderBy(pri, "vec_id")
     return (

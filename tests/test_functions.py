@@ -394,6 +394,39 @@ def test_assign_centroids_expr_matches_window_assignment(spark):
     assert e2 == w2 and 3 not in set(e2.values())
 
 
+def test_semantic_cluster_stats_matches_jvm(spark):
+    """The BLAS gram-matrix pair counts must equal the JVM expression path
+    (pairwise cosine via zip_with/aggregate) cluster for cluster."""
+    from bears_spark.functions.dedup import embedding_cosine_pairs, semantic_cluster_stats
+    from bears_spark.functions.similarity import assign_centroids_expr, seeded_lloyd_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = seeded_lloyd_centroids(emb, "vec_id", "embedding", k=8, salt="semseed", iters=1)
+    mem = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        assign_centroids_expr("embedding", cents).alias("cid"),
+    )
+    blas = {
+        r["cid"]: (r["n_members"], r["n_dup_pairs"], r["n_dropped"])
+        for r in semantic_cluster_stats(mem, "vec_id", "v", "cid", threshold=0.4).collect()
+    }
+    jvm_pairs = embedding_cosine_pairs(mem, "vec_id", "v", block_col="cid", threshold=0.4)
+    cid_of = {r["vec_id"]: r["cid"] for r in mem.select("vec_id", "cid").collect()}
+    from collections import defaultdict
+
+    np_, nd_ = defaultdict(int), defaultdict(set)
+    for r in jvm_pairs.collect():
+        c = cid_of[r["id_a"]]
+        np_[c] += 1
+        nd_[c].add(r["id_b"])
+    members = defaultdict(int)
+    for c in cid_of.values():
+        members[c] += 1
+    jvm = {c: (members[c], np_[c], len(nd_[c])) for c in members}
+    assert blas == jvm
+
+
 def test_bpe_token_count(spark):
     from bears_spark.functions.text import bpe_token_count
 

@@ -82,10 +82,6 @@ FORBIDDEN = ["CartesianProduct", "BroadcastNestedLoopJoin"]
 FORBIDDEN_EXEMPT = {
     "dedup_embedding_cosine",
     "ann_ivf_label_topk",
-    # seeded-Lloyd centroid assignment: same deliberate rows x k=8 broadcast
-    # cross join as IVF (the near-dup pair stage itself is a cid equi-join)
-    "dedup_semantic_clusters",
-    "emb_cluster_coreset",
     # deliberate 1-row scalar crossJoins (KMV theta, LM token total, exact
     # side-channels, predicted-vs-actual cardinality): a BNLJ whose build
     # side is a single aggregate row
