@@ -174,6 +174,7 @@ ROUND6_NEVER_GRADED = [
     "doc_leakage_safe_split",
     "streaming_semantic_assign",
     "emb_cluster_coreset",
+    "dedup_source_matrix",
 ]
 
 
@@ -207,6 +208,9 @@ HEADLINE = [
     # round-5 additions: batch retrieval + composed-ANN representatives
     "doc_bm25_queryset",
     "ann_ivfpq_topk",
+    # round-5 closing: SemDeDup family representative (fit + assign + BLAS
+    # gram pair stage)
+    "dedup_semantic_clusters",
 ]
 
 

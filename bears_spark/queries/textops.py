@@ -411,6 +411,48 @@ SELECT id, min(comp) AS component FROM walk GROUP BY id ORDER BY id
 
 
 # --------------------------------------------------------------------------
+# dedup_source_matrix: WHERE does duplication come from — near-dup pairs
+# annotated with both docs' sources, folded into an unordered source-pair
+# matrix. The per-(source,source) count is the dedup analytics a corpus
+# curator actually reads: diagonal = within-source boilerplate, off-diagonal
+# = mirror/scrape overlap between crawls. Two broadcast-friendly dim joins
+# onto the (already bounded) candidate pair set — no new heavy stage.
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS, ngram_n=_NGRAM_N
+    )
+    src = docs.select("doc_id", "source")
+    ann = (
+        pairs.join(src.withColumnsRenamed({"doc_id": "id_a", "source": "src_a"}), "id_a")
+        .join(src.withColumnsRenamed({"doc_id": "id_b", "source": "src_b"}), "id_b")
+    )
+    return (
+        ann.select(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+        )
+        .groupBy("source_x", "source_y")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("source_x", "source_y")
+    )
+
+
+DEDUP_SOURCE_MATRIX_SQL = f"""
+WITH pairs AS ({MINHASH_LSH_SQL}),
+ann AS (
+  SELECT least(da.source, db.source) AS source_x,
+         greatest(da.source, db.source) AS source_y
+  FROM pairs
+  JOIN documents da ON pairs.id_a = da.doc_id
+  JOIN documents db ON pairs.id_b = db.doc_id
+)
+SELECT source_x, source_y, count(*) AS n_pairs
+FROM ann GROUP BY source_x, source_y ORDER BY source_x, source_y
+"""
+
+
+# --------------------------------------------------------------------------
 # doc_leakage_safe_split: train/val/test split that CANNOT leak near-dups
 # across splits. A plain per-doc hash split (doc_three_way_split) puts the
 # two halves of a near-duplicate pair in different splits ~28% of the time —
@@ -1107,6 +1149,7 @@ QUERIES = {
     "ann_sq_topk": ann_sq_topk,
     "dedup_components": dedup_components,
     "dedup_semantic_clusters": dedup_semantic_clusters,
+    "dedup_source_matrix": dedup_source_matrix,
     "doc_leakage_safe_split": doc_leakage_safe_split,
     "streaming_semantic_assign": streaming_semantic_assign,
     "emb_cluster_coreset": emb_cluster_coreset,
@@ -1133,6 +1176,7 @@ ORACLES = {
     "ann_sq_topk": ANN_SQ_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,
     "dedup_semantic_clusters": DEDUP_SEMANTIC_SQL,
+    "dedup_source_matrix": DEDUP_SOURCE_MATRIX_SQL,
     "doc_leakage_safe_split": DOC_LEAKAGE_SPLIT_SQL,
     "streaming_semantic_assign": STREAMING_SEM_ASSIGN_SQL,
     "emb_cluster_coreset": EMB_CORESET_SQL,
