@@ -443,9 +443,19 @@ def bm25_topk_queries(
             term_to_qids.setdefault(t, []).append(qid)
     all_terms = sorted(term_to_qids)
 
-    row = df.agg(
-        F.count("*").alias("n"), F.sum(token_count(text_col)).alias("s")
-    ).first()
+    # tokenize ONCE: the corpus-stats pass and the survivor explode both read
+    # the staged token arrays (tokenize's regex split is the dominant per-doc
+    # cost — re-deriving it in each pass doubled this function's wall time).
+    # size(__toks) == token_count(text): token_count IS size(tokenize(text)),
+    # and lower() can't change whitespace boundaries. scoped_persist: the
+    # runner drains it; at 100 TB this is a deliberate cache-vs-recompute
+    # trade (MEMORY_AND_DISK of one corpus-sized token column for one pass).
+    from bears_spark.caching import scoped_persist
+
+    staged = scoped_persist(
+        df.select(F.col(id_col), tokenize(F.lower(F.col(text_col))).alias("__toks"))
+    )
+    row = staged.agg(F.count("*").alias("n"), F.sum(F.size("__toks")).alias("s")).first()
     if not row["n"] or not all_terms:
         return (
             df.select(
@@ -457,10 +467,10 @@ def bm25_topk_queries(
         )
     n_docs, avgdl = row["n"], float(row["s"]) / row["n"]
 
-    toks = df.select(
+    toks = staged.select(
         F.col(id_col),
-        token_count(text_col).alias("dl"),
-        F.explode(tokenize(F.lower(F.col(text_col)))).alias("term"),
+        F.size("__toks").alias("dl"),
+        F.explode("__toks").alias("term"),
     ).filter(F.col("term").isin(all_terms))
     # dl is constant per document: max() re-derives it after the groupBy,
     # avoiding a join against a corpus-sized length table
