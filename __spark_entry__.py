@@ -175,6 +175,8 @@ ROUND6_NEVER_GRADED = [
     "streaming_semantic_assign",
     "emb_cluster_coreset",
     "dedup_source_matrix",
+    "corpus_dedup_funnel",
+    "corpus_datacard",
 ]
 
 

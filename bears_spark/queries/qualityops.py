@@ -1289,3 +1289,45 @@ FROM budgeted GROUP BY lang ORDER BY lang
 
 QUERIES["corpus_curation_e2e"] = corpus_curation_e2e
 ORACLES["corpus_curation_e2e"] = CORPUS_CURATION_E2E_SQL
+
+
+# --------------------------------------------------------------------------
+# corpus_datacard: the one-row datasheet a released corpus ships with —
+# volume (docs/tokens), diversity (languages/sources), exact-dup rate, and
+# mean document length. ONE aggregation pass: the dup rate comes from
+# countDistinct over the normalized-text md5 inside the same agg (no
+# subquery join, no 1-row cross join), so the whole card is a single
+# partial-aggregated scan at any scale.
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    card = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct(F.md5(norm)).alias("n_exact_unique"),
+        F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+    )
+    return card.select(
+        "*",
+        F.round(F.lit(1.0) - F.col("n_exact_unique") / F.col("n_docs"), 6).alias("dup_pct"),
+    )
+
+
+CORPUS_DATACARD_SQL = f"""
+SELECT count(*) AS n_docs,
+       CAST(sum(len({_DUCK_TOKS})) AS BIGINT) AS n_tokens,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT source) AS n_sources,
+       count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS n_exact_unique,
+       round(avg(n_chars), 4) AS mean_chars,
+       round(1.0 - CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS DOUBLE)
+                   / count(*), 6) AS dup_pct
+FROM documents
+"""
+
+QUERIES["corpus_datacard"] = corpus_datacard
+ORACLES["corpus_datacard"] = CORPUS_DATACARD_SQL

@@ -411,6 +411,69 @@ SELECT id, min(comp) AS component FROM walk GROUP BY id ORDER BY id
 
 
 # --------------------------------------------------------------------------
+# corpus_dedup_funnel: the curation report every dedup pipeline publishes —
+# how many documents survive each rung: raw -> exact (byte-identical after
+# normalization) -> near (MinHash component roots). Sequential semantics
+# (each rung filters the previous rung's survivors); counts are exact and
+# the oracle recomputes every rung independently, so a drift in ANY rung's
+# survivor rule fails the gate. Each rung is an aggregate of an
+# already-graded operator — no new heavy stage.
+def corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exact = dd.exact_dedup(docs, "text", "doc_id")
+    pairs = dd.minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS, ngram_n=_NGRAM_N
+    )
+    comp = dd.connected_components(pairs)
+    roots = (
+        docs.join(comp, docs.doc_id == comp.id, "left")
+        .filter(F.col("id").isNull() | (F.col("component") == F.col("doc_id")))
+        .select("doc_id")
+    )
+    near = exact.join(roots, "doc_id", "left_semi")
+
+    def stage(order: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n_docs")).select(
+            F.lit(order).alias("stage_order"), F.lit(name).alias("stage"), "n_docs"
+        )
+
+    return (
+        stage(0, "raw", docs)
+        .unionByName(stage(1, "exact", exact))
+        .unionByName(stage(2, "near", near))
+        .orderBy("stage_order")
+    )
+
+
+CORPUS_DEDUP_FUNNEL_SQL = f"""
+WITH RECURSIVE pairs AS ({MINHASH_LSH_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk (id, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.comp FROM walk w JOIN edges e ON w.id = e.dst
+),
+comp AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
+exact AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY {_hex2int(_NORM)}),
+roots AS (
+  SELECT d.doc_id FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+  WHERE c.id IS NULL OR c.component = d.doc_id
+),
+near AS (SELECT e.doc_id FROM exact e JOIN roots r ON e.doc_id = r.doc_id)
+SELECT * FROM (VALUES
+  (0, 'raw',   (SELECT count(*) FROM documents)),
+  (1, 'exact', (SELECT count(*) FROM exact)),
+  (2, 'near',  (SELECT count(*) FROM near))
+) AS t(stage_order, stage, n_docs)
+ORDER BY stage_order
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_source_matrix: WHERE does duplication come from — near-dup pairs
 # annotated with both docs' sources, folded into an unordered source-pair
 # matrix. The per-(source,source) count is the dedup analytics a corpus
@@ -1150,6 +1213,7 @@ QUERIES = {
     "dedup_components": dedup_components,
     "dedup_semantic_clusters": dedup_semantic_clusters,
     "dedup_source_matrix": dedup_source_matrix,
+    "corpus_dedup_funnel": corpus_dedup_funnel,
     "doc_leakage_safe_split": doc_leakage_safe_split,
     "streaming_semantic_assign": streaming_semantic_assign,
     "emb_cluster_coreset": emb_cluster_coreset,
@@ -1177,6 +1241,7 @@ ORACLES = {
     "dedup_components": DEDUP_COMPONENTS_SQL,
     "dedup_semantic_clusters": DEDUP_SEMANTIC_SQL,
     "dedup_source_matrix": DEDUP_SOURCE_MATRIX_SQL,
+    "corpus_dedup_funnel": CORPUS_DEDUP_FUNNEL_SQL,
     "doc_leakage_safe_split": DOC_LEAKAGE_SPLIT_SQL,
     "streaming_semantic_assign": STREAMING_SEM_ASSIGN_SQL,
     "emb_cluster_coreset": EMB_CORESET_SQL,
