@@ -177,6 +177,8 @@ ROUND6_NEVER_GRADED = [
     "dedup_source_matrix",
     "corpus_dedup_funnel",
     "corpus_datacard",
+    "ev_seasonal_naive_forecast",
+    "customer_l_diversity",
 ]
 
 

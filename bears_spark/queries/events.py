@@ -1566,3 +1566,69 @@ FULL JOIN (SELECT * FROM events WHERE event_type = 'view') v
 
 QUERIES["streaming_attribution_full"] = streaming_attribution_full
 ORACLES["streaming_attribution_full"] = STREAMING_ATTRIBUTION_FULL_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_seasonal_naive_forecast: walk-forward backtest of the seasonal-naive
+# baseline — forecast each (type, hour) cell as the mean of the SAME
+# hour-of-day over the 7 prior days, then score MAE/bias per type. This is
+# the reference forecast every anomaly/capacity system is judged against;
+# the whole backtest is two windowed aggregations (hourly rollup ->
+# same-hour sliding mean), no per-step recurrence. ROWS framing over
+# existing cells means a missing hour simply extends the lookback — the
+# same semantics in Spark and the oracle. Scale: the window partitions by
+# (type, hour-of-day) — 24x the type cardinality, uniform; one shuffle.
+def ev_seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.sum("value").alias("y"))
+    feat = hourly.select(
+        "event_type",
+        "y",
+        F.hour("h").alias("hod"),
+        F.to_date(F.date_trunc("day", "h")).alias("d"),
+    )
+    w = (
+        Window.partitionBy("event_type", "hod")
+        .orderBy("d")
+        .rowsBetween(-7, -1)
+    )
+    fc = feat.select(
+        "event_type",
+        "y",
+        F.avg("y").over(w).alias("fc"),
+        F.count("y").over(w).alias("n_hist"),
+    ).filter(F.col("n_hist") == 7)
+    return (
+        fc.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(F.avg(F.abs(F.col("y") - F.col("fc"))), 6).alias("mae"),
+            F.round(F.avg(F.col("y") - F.col("fc")), 6).alias("bias"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EV_SEASONAL_NAIVE_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, sum(value) AS y
+  FROM events GROUP BY 1, 2
+), feat AS (
+  SELECT event_type, y, extract(hour FROM h) AS hod, CAST(date_trunc('day', h) AS DATE) AS d
+  FROM hourly
+), fc AS (
+  SELECT event_type, y,
+         avg(y) OVER w AS fc, count(y) OVER w AS n_hist
+  FROM feat
+  WINDOW w AS (PARTITION BY event_type, hod ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, count(*) AS n_points,
+       round(avg(abs(y - fc)), 6) AS mae,
+       round(avg(y - fc), 6) AS bias
+FROM fc WHERE n_hist = 7 GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["ev_seasonal_naive_forecast"] = ev_seasonal_naive_forecast
+ORACLES["ev_seasonal_naive_forecast"] = EV_SEASONAL_NAIVE_SQL

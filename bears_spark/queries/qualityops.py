@@ -1331,3 +1331,53 @@ FROM documents
 
 QUERIES["corpus_datacard"] = corpus_datacard
 ORACLES["corpus_datacard"] = CORPUS_DATACARD_SQL
+
+
+# --------------------------------------------------------------------------
+# customer_l_diversity: the companion gate to k-anonymity — a QI class can
+# be large (k-anonymous) yet expose everyone in it if the SENSITIVE
+# attribute is homogeneous. Per QI class (nation): size, distinct sensitive
+# values (mktsegment), and Shannon entropy of the sensitive distribution;
+# diverse = distinct-l >= 3. Two partial-aggregated groupBys — bounded by
+# the QI domain, never row count.
+_L_DIVERSE = 3
+
+
+def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    per = cust.groupBy("c_nationkey", "c_mktsegment").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("c_nationkey")
+    per2 = per.withColumn("n", F.sum("c").over(w)).withColumn(
+        "p", F.col("c") / F.col("n")
+    )
+    return (
+        per2.groupBy("c_nationkey")
+        .agg(
+            F.max("n").alias("n"),
+            F.count("*").alias("l_distinct"),
+            F.round(-F.sum(F.col("p") * F.log("p")), 6).alias("entropy"),
+        )
+        .withColumn("diverse", F.col("l_distinct") >= _L_DIVERSE)
+        .orderBy("c_nationkey")
+    )
+
+
+CUSTOMER_L_DIVERSITY_SQL = f"""
+WITH per AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS c
+  FROM customer GROUP BY 1, 2
+), per2 AS (
+  SELECT c_nationkey, c,
+         sum(c) OVER (PARTITION BY c_nationkey) AS n
+  FROM per
+)
+SELECT c_nationkey, CAST(max(n) AS BIGINT) AS n, count(*) AS l_distinct,
+       round(-sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)), 6) AS entropy,
+       count(*) >= {_L_DIVERSE} AS diverse
+FROM per2 GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+QUERIES["customer_l_diversity"] = customer_l_diversity
+ORACLES["customer_l_diversity"] = CUSTOMER_L_DIVERSITY_SQL
