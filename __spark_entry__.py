@@ -179,6 +179,7 @@ ROUND6_NEVER_GRADED = [
     "corpus_datacard",
     "ev_seasonal_naive_forecast",
     "customer_l_diversity",
+    "streaming_seasonal_anomaly",
 ]
 
 

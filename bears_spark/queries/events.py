@@ -1632,3 +1632,73 @@ FROM fc WHERE n_hist = 7 GROUP BY event_type ORDER BY event_type
 
 QUERIES["ev_seasonal_naive_forecast"] = ev_seasonal_naive_forecast
 ORACLES["ev_seasonal_naive_forecast"] = EV_SEASONAL_NAIVE_SQL
+
+
+# --------------------------------------------------------------------------
+# streaming_seasonal_anomaly: fit-offline / score-in-stream — the seasonal
+# baseline (per (type, hour-of-day) mean/std of hourly totals) is fitted on
+# the batch corpus, then broadcast stream-static-joined onto the watermarked
+# hourly aggregation INSIDE the streaming query, which emits only cells with
+# |z| > 2. This is the standard production topology: the model artifact is
+# a tiny static table, scoring adds zero streaming state beyond the window
+# agg. The oracle recomputes fit + score over the same data in SQL.
+def streaming_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev_b = load_table(spark, sf_dir, "events")
+    hourly_b = ev_b.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.sum("value").alias("y"))
+    base = hourly_b.groupBy("event_type", F.hour("h").alias("hod")).agg(
+        F.avg("y").alias("mu"), F.stddev_samp("y").alias("sd")
+    )
+
+    ev_s = _events_stream(spark, sf_dir)
+    agg = (
+        ev_s.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.sum("value").alias("y"))
+    )
+    z = (F.col("y") - F.col("mu")) / F.col("sd")
+    scored = (
+        agg.select(F.col("w.start").alias("hour"), "event_type", "y")
+        .withColumn("hod", F.hour("hour"))
+        .join(F.broadcast(base), ["event_type", "hod"])
+        .filter(F.abs(z) > 2.0)
+        .select(
+            F.unix_micros("hour").alias("hour_us"),
+            "event_type",
+            F.round("y", 6).alias("y"),
+            F.round(z, 6).alias("z"),
+        )
+    )
+    sink = "streaming_seasonal_anomaly_sink"
+    q = (
+        scored.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(sink).orderBy("event_type", "hour_us")
+
+
+STREAMING_SEASONAL_ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, sum(value) AS y
+  FROM events GROUP BY 1, 2
+), base AS (
+  SELECT event_type, extract(hour FROM h) AS hod,
+         avg(y) AS mu, stddev_samp(y) AS sd
+  FROM hourly GROUP BY 1, 2
+)
+SELECT epoch_us(hourly.h) AS hour_us, hourly.event_type AS event_type,
+       round(y, 6) AS y, round((y - mu) / sd, 6) AS z
+FROM hourly JOIN base
+  ON hourly.event_type = base.event_type AND extract(hour FROM hourly.h) = base.hod
+WHERE abs((y - mu) / sd) > 2.0
+ORDER BY event_type, hour_us
+"""
+
+QUERIES["streaming_seasonal_anomaly"] = streaming_seasonal_anomaly
+ORACLES["streaming_seasonal_anomaly"] = STREAMING_SEASONAL_ANOMALY_SQL
