@@ -180,6 +180,7 @@ ROUND6_NEVER_GRADED = [
     "ev_seasonal_naive_forecast",
     "customer_l_diversity",
     "streaming_seasonal_anomaly",
+    "emb_principal_direction",
 ]
 
 

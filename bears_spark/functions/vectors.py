@@ -87,3 +87,51 @@ def scalar_dequantize_expr(code_col: Column | str, mins: list[float], maxs: list
         _c(code_col),
         lambda c, i: F.element_at(lo, i + 1) + c.cast("double") * F.element_at(step, i + 1),
     )
+
+
+def power_iteration_top_vector(
+    df,
+    vec_col: str,
+    dim: int,
+    iters: int = 2,
+    w_round: int = 6,
+    v_round: int = 9,
+) -> list[float]:
+    """Top right-singular direction of the (uncentered) embedding matrix via
+    deterministic distributed power iteration.
+
+    Each step is two DISTRIBUTED passes expressed as plain aggregations:
+    u_i = <x_i, v> per row (map-only), then w_j = sum_i u_i * x_ij via
+    posexplode + groupBy(dim) — k*dim cells of partial-aggregated state, the
+    exact shape of the scalar-quantization fit. Only dim doubles are ever
+    collected per iteration.
+
+    Cross-engine reproducibility uses the seeded-Lloyd rounding rule: the
+    start vector is the constant 1/sqrt(dim); each iteration rounds the raw
+    per-dim sums to ``w_round`` decimals (absorbing engine summation-order
+    ulps) BEFORE normalizing, then rounds the unit vector to ``v_round``.
+    A DuckDB oracle replaying the same unrolled steps reproduces the vector
+    bit-for-bit (see EMB_PRINCIPAL_SQL).
+
+    Sign is deterministic (positive start vector). Returns the fitted unit
+    vector as plain floats for baking into downstream plans as a literal.
+    """
+    import math
+
+    v = [1.0 / math.sqrt(dim)] * dim
+    for _ in range(iters):
+        vlit = F.lit(v)
+        u = dot(vec_col, vlit)
+        staged = df.select(u.alias("__u"), _c(vec_col).cast("array<double>").alias("__v"))
+        rows = (
+            staged.select("__u", F.posexplode("__v").alias("__i", "__x"))
+            .groupBy("__i")
+            .agg(F.round(F.sum(F.col("__u") * F.col("__x")), w_round).alias("__w"))
+            .collect()
+        )
+        w = [0.0] * dim
+        for r in rows:
+            w[r["__i"]] = r["__w"]
+        nrm = math.sqrt(sum(x * x for x in w))
+        v = [round(x / nrm, v_round) for x in w]
+    return v

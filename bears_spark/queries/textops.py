@@ -2351,3 +2351,66 @@ DEDUP_LSH_INGEST_SQL = _lsh_ingest_sql()
 
 QUERIES["dedup_lsh_index_ingest"] = dedup_lsh_index_ingest
 ORACLES["dedup_lsh_index_ingest"] = DEDUP_LSH_INGEST_SQL
+
+
+# --------------------------------------------------------------------------
+# emb_principal_direction: distributed PCA's workhorse — the top (uncentered)
+# singular direction of the embedding matrix by power iteration
+# (vectors.py power_iteration_top_vector: two aggregation-shaped passes per
+# step, dim doubles collected, rounding rule making the fit engine-exact),
+# then the corpus projected onto it and the 10 most extreme documents
+# returned (principal outliers — the embedding-space analogue of a quality
+# score tail). The projection scan is a map + TakeOrderedAndProject; the
+# oracle replays the unrolled iterations in SQL and must match bit-for-bit.
+_PI_ITERS = 2
+
+
+def emb_principal_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.vectors import dot, power_iteration_top_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = power_iteration_top_vector(emb, "embedding", dim=64, iters=_PI_ITERS)
+    proj = F.round(dot("embedding", F.lit(v)), 6)
+    return (
+        emb.select("vec_id", proj.alias("proj"))
+        .orderBy(F.abs(F.col("proj")).desc(), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def _pi_w_cte(src: str, tag: str) -> str:
+    return f"""w{tag} AS (
+  SELECT i, round(sum(u * x), 6) AS w FROM (
+    SELECT u, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM {src}
+  ) GROUP BY i
+),
+v{tag} AS (
+  SELECT list(round(w / nrm, 9) ORDER BY i) AS v
+  FROM w{tag}, (SELECT sqrt(sum(w * w)) AS nrm FROM w{tag})
+)"""
+
+
+EMB_PRINCIPAL_SQL = f"""
+WITH u1 AS (
+  SELECT vec_id, embedding,
+         list_sum(list_transform(embedding, x -> x::DOUBLE * 0.125)) AS u
+  FROM embeddings
+),
+{_pi_w_cte("u1", "1")},
+u2 AS (
+  SELECT e.vec_id, e.embedding,
+         list_sum(list_transform(list_zip(e.embedding, v1.v), p -> p[1]::DOUBLE * p[2])) AS u
+  FROM embeddings e, v1
+),
+{_pi_w_cte("u2", "2")},
+proj AS (
+  SELECT e.vec_id,
+         round(list_sum(list_transform(list_zip(e.embedding, v2.v), p -> p[1]::DOUBLE * p[2])), 6) AS proj
+  FROM embeddings e, v2
+)
+SELECT vec_id, proj FROM proj ORDER BY abs(proj) DESC, vec_id LIMIT 10
+"""
+
+QUERIES["emb_principal_direction"] = emb_principal_direction
+ORACLES["emb_principal_direction"] = EMB_PRINCIPAL_SQL

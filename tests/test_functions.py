@@ -394,6 +394,29 @@ def test_assign_centroids_expr_matches_window_assignment(spark):
     assert e2 == w2 and 3 not in set(e2.values())
 
 
+def test_power_iteration_converges_and_reproduces(spark):
+    import math
+
+    from bears_spark.functions.vectors import dot as vdot
+    from bears_spark.functions.vectors import power_iteration_top_vector
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+    def rayleigh(v):
+        return emb.select(
+            F.sum(F.pow(vdot("embedding", F.lit(v)), 2)).alias("r")
+        ).first()["r"]
+
+    v1 = power_iteration_top_vector(emb, "embedding", dim=64, iters=1)
+    v2 = power_iteration_top_vector(emb, "embedding", dim=64, iters=2)
+    # unit-norm to the rounding tolerance
+    assert abs(math.sqrt(sum(x * x for x in v2)) - 1.0) < 1e-6
+    # |X v|^2 is non-decreasing in the iteration count (power-iteration law)
+    assert rayleigh(v2) >= rayleigh(v1) - 1e-6
+    # deterministic refit, bit for bit
+    assert v2 == power_iteration_top_vector(emb, "embedding", dim=64, iters=2)
+
+
 def test_semantic_cluster_stats_matches_jvm(spark):
     """The BLAS gram-matrix pair counts must equal the JVM expression path
     (pairwise cosine via zip_with/aggregate) cluster for cluster."""
