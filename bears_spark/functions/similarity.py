@@ -227,16 +227,23 @@ def assign_centroids_expr(vec_col, centroids) -> "F.Column":
     vnorm = F.sqrt(
         F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
     )
+    # nullif + coalesce(-2): a zero-norm vector would hit ANSI
+    # divide-by-zero; instead its cosines all collapse to -2 (below any real
+    # cosine) and the tie-break deterministically assigns the lowest cid
     sims = F.transform(
         cmat_lit,
         lambda c, i: F.struct(
-            (
+            F.coalesce(
                 F.aggregate(
                     F.zip_with(v, c, lambda x, y: x.cast("double") * y),
                     F.lit(0.0),
                     lambda a, t: a + t,
                 )
-                / (vnorm * F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, y: a + y * y)))
+                / F.nullif(
+                    vnorm * F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, y: a + y * y)),
+                    F.lit(0.0),
+                ),
+                F.lit(-2.0),
             ).alias("cos"),
             (-i).alias("negid"),
         ),

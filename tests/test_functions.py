@@ -392,6 +392,10 @@ def test_assign_centroids_expr_matches_window_assignment(spark):
         for r in emb.select("vec_id", assign_centroids_expr("embedding", sparse).alias("cid")).collect()
     }
     assert e2 == w2 and 3 not in set(e2.values())
+    # zero-norm vector: no ANSI divide-by-zero; assigns the lowest cid
+    zdf = spark.createDataFrame([(99, [0.0] * 64)], "vec_id long, embedding array<double>")
+    zrow = zdf.select(assign_centroids_expr("embedding", cents).alias("cid")).first()
+    assert zrow["cid"] == 0
 
 
 def test_power_iteration_converges_and_reproduces(spark):
