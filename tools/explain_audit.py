@@ -73,6 +73,15 @@ CHECKS = {
     "customer_k_anonymity": ["HashAggregate"],
     "doc_dsir_selection": ["TakeOrderedAndProject"],  # literal log-ratio table
     "corpus_curation_e2e": ["LeftSemi", "Window", "HashAggregate"],
+    # round-5 closing queries
+    "emb_cluster_coreset": ["WindowGroupLimit"],  # per-cluster top-m, partial before shuffle
+    "dedup_semantic_clusters": ["FlatMapGroupsInPandas"],  # BLAS gram per cluster
+    "emb_principal_direction": ["TakeOrderedAndProject"],  # literal direction, zero joins
+    "ev_seasonal_naive_forecast": ["Window", "HashAggregate"],
+    "customer_l_diversity": ["Window", "HashAggregate"],
+    "doc_leakage_safe_split": ["HashAggregate"],
+    "dedup_source_matrix": ["HashAggregate"],
+    "corpus_datacard": ["HashAggregate"],  # ONE partial-aggregated scan
 }
 
 FORBIDDEN = ["CartesianProduct", "BroadcastNestedLoopJoin"]
