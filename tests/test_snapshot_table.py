@@ -535,3 +535,25 @@ def test_local_store_put_if_absent_without_hardlinks(tmp_path, monkeypatch):
     assert store.read(key) == b"first"
     # no tmp litter
     assert [n for n in _os.listdir(tmp_path / "ns") if n.endswith(".tmp")] == []
+
+
+def test_changes_since_reads_only_new_files(spark, table):
+    v1 = table.overwrite(_df(spark, 0, 100))
+    table.append(_df(spark, 100, 150))
+    table.append(_df(spark, 150, 160))
+    delta = table.changes_since(v1)
+    assert sorted(r["id"] for r in delta.collect()) == list(range(100, 160))
+    # IO is O(delta): only files committed after v1 are opened
+    base_paths = {e.path for e in table.files(version=v1)}
+    assert not base_paths & set(delta.inputFiles())
+    # no new commits -> typed empty frame
+    assert table.changes_since(table.current_version()).count() == 0
+
+
+def test_change_feed_types_all_ops(spark, table):
+    table.overwrite(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, s string"))
+    v1 = table.current_version()
+    table.delete_where("k", "=", 1)
+    table.merge(spark.createDataFrame([(2, "B"), (4, "d")], "k long, s string"), key="k")
+    feed = {r["k"]: r["change_type"] for r in table.change_feed("k", from_version=v1).collect()}
+    assert feed == {1: "removed", 2: "changed", 4: "added"}
