@@ -557,3 +557,86 @@ def test_change_feed_types_all_ops(spark, table):
     table.merge(spark.createDataFrame([(2, "B"), (4, "d")], "k long, s string"), key="k")
     feed = {r["k"]: r["change_type"] for r in table.change_feed("k", from_version=v1).collect()}
     assert feed == {1: "removed", 2: "changed", 4: "added"}
+
+
+def test_snapshot_table_model_fuzz(spark, tmp_path):
+    """Model-based fuzz: a seeded random sequence of table operations
+    (append / delete_where / merge / compact / overwrite) executed against
+    BOTH the SnapshotTable and an in-memory pandas model; after every op the
+    table must equal the model, and at the end every checkpointed version
+    must still time-travel to its recorded state. This is the test class
+    that catches semantic drift (e.g. the round-4 null-key delete bug) in
+    op COMBINATIONS no example-based test enumerates."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(20260814)
+    tbl = SnapshotTable(spark, str(tmp_path / "fuzz"))
+
+    def mk_rows(n):
+        # k: occasionally-null keys (the round-4 bug class), v: payload
+        return [
+            (rng.choice([None, rng.randint(0, 30)]) if rng.random() < 0.2 else rng.randint(0, 30),
+             rng.randint(0, 999))
+            for _ in range(n)
+        ]
+
+    def to_df(rows):
+        return spark.createDataFrame(pd.DataFrame(rows, columns=["k", "v"]).astype({"v": "int64"}), "k long, v long")
+
+    model = pd.DataFrame(columns=["k", "v"])
+    tbl.overwrite(to_df(mk_rows(20)))
+    model = pd.DataFrame(mk_rows(0), columns=["k", "v"])  # rebuilt below
+
+    def table_state():
+        pdf = tbl.read().toPandas()
+        return sorted(map(tuple, pdf[["k", "v"]].fillna(-999).to_numpy().tolist()))
+
+    def model_state():
+        return sorted(map(tuple, model.fillna(-999).to_numpy().tolist()))
+
+    # re-seed the model with exactly what landed in v1
+    model = tbl.read().toPandas()[["k", "v"]]
+
+    checkpoints = {}
+    for step in range(12):
+        op = rng.choice(["append", "delete", "merge", "compact", "overwrite"])
+        if op == "append":
+            rows = mk_rows(rng.randint(1, 10))
+            tbl.append(to_df(rows))
+            model = pd.concat([model, pd.DataFrame(rows, columns=["k", "v"])], ignore_index=True)
+        elif op == "delete":
+            cut = rng.randint(0, 30)
+            tbl.delete_where("k", "<", cut)
+            # SQL DELETE: NULL keys never match the predicate and survive
+            model = model[~(model["k"] < cut) | model["k"].isna()]
+        elif op == "merge":
+            # unique non-null keys (merge contract), upsert semantics
+            src = [(k, rng.randint(0, 999)) for k in rng.sample(range(0, 35), rng.randint(1, 5))]
+            tbl.merge(to_df(src), key="k")
+            src_df = pd.DataFrame(src, columns=["k", "v"])
+            # SQL MERGE: EVERY matching target row updates (dup target keys
+            # each take the source value); source keys with no match insert
+            vmap = dict(src)
+            matched = model["k"].isin(vmap)
+            model = model.copy()
+            model.loc[matched, "v"] = model.loc[matched, "k"].map(vmap)
+            new_keys = set(src_df["k"]) - set(model["k"].dropna())
+            model = pd.concat(
+                [model, src_df[src_df["k"].isin(new_keys)]], ignore_index=True
+            )
+        elif op == "compact":
+            tbl.compact(target_rows_per_file=50)
+        else:
+            rows = mk_rows(rng.randint(5, 15))
+            tbl.overwrite(to_df(rows))
+            model = pd.DataFrame(rows, columns=["k", "v"])
+        assert table_state() == model_state(), f"divergence after step {step}: {op}"
+        if rng.random() < 0.3:
+            checkpoints[tbl.current_version()] = model_state()
+
+    for version, expected in checkpoints.items():
+        pdf = tbl.read(version=version).toPandas()
+        got = sorted(map(tuple, pdf[["k", "v"]].fillna(-999).to_numpy().tolist()))
+        assert got == expected, f"time travel to v{version} drifted"
