@@ -181,6 +181,7 @@ ROUND6_NEVER_GRADED = [
     "customer_l_diversity",
     "streaming_seasonal_anomaly",
     "emb_principal_direction",
+    "doc_bm25_rm3",
 ]
 
 

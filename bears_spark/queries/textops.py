@@ -2414,3 +2414,130 @@ SELECT vec_id, proj FROM proj ORDER BY abs(proj) DESC, vec_id LIMIT 10
 
 QUERIES["emb_principal_direction"] = emb_principal_direction
 ORACLES["emb_principal_direction"] = EMB_PRINCIPAL_SQL
+
+
+# --------------------------------------------------------------------------
+# doc_bm25_rm3: pseudo-relevance feedback (RM3-style query expansion) — the
+# classical second rung of lexical retrieval quality: run BM25 for the
+# original query, mine the top feedback documents for their most frequent
+# non-query terms, and re-score with the expanded weighted query
+# (original terms weight 1.0, expansion terms 0.5). Both "fits" (10
+# feedback doc ids, 5 expansion terms) are bounded collects baked into the
+# second pass as literals — the two passes are each the standard BM25 plan
+# (term filter at source, broadcast dfreq, TakeOrderedAndProject). All
+# selections cut on exact ints or 6-decimal-rounded scores, so the oracle
+# reproduces every choice.
+_RM3_FB_DOCS = 10
+_RM3_FB_TERMS = 5
+_RM3_W = 0.5
+
+
+def doc_bm25_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.text import bm25_topk, token_count, tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    fb = (
+        bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=None)
+        .select("doc_id", F.round("score", 6).alias("s"))
+        .orderBy(F.desc("s"), "doc_id")
+        .limit(_RM3_FB_DOCS)
+    )
+    fb_ids = [r["doc_id"] for r in fb.collect()]
+    exp = (
+        docs.filter(F.col("doc_id").isin(fb_ids))
+        .select(F.explode(tokenize(F.lower(F.col("text")))).alias("term"))
+        .filter(~F.col("term").isin(_BM25_TERMS))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "term")
+        .limit(_RM3_FB_TERMS)
+    )
+    weights = {t: 1.0 for t in _BM25_TERMS}
+    weights.update({r["term"]: _RM3_W for r in exp.collect()})
+    all_terms = sorted(weights)
+
+    row = docs.agg(F.count("*").alias("n"), F.sum(token_count("text")).alias("s")).first()
+    n_docs, avgdl = row["n"], float(row["s"]) / row["n"]
+    toks = docs.select(
+        F.col("doc_id"),
+        token_count("text").alias("dl"),
+        F.explode(tokenize(F.lower(F.col("text")))).alias("term"),
+    ).filter(F.col("term").isin(all_terms))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5))
+    wmap = F.create_map(*[c for t in all_terms for c in (F.lit(t), F.lit(weights[t]))])
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .select(
+            "doc_id",
+            (
+                F.element_at(wmap, F.col("term"))
+                * idf
+                * (F.col("tf") * 2.2)
+                / (F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.lit(avgdl)))
+            ).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(10)
+
+
+_RM3_Q0 = ", ".join(f"('{t}')" for t in _BM25_TERMS)
+_RM3_Q0_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+DOC_BM25_RM3_SQL = f"""
+WITH dl AS (
+  SELECT doc_id, len({_TOKS}) AS dl FROM documents
+), stats AS (
+  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+), toks AS (
+  SELECT doc_id, unnest({_TOKS_LOWER}) AS term FROM documents
+), tf0 AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({_RM3_Q0_IN}) GROUP BY doc_id, term
+), dfreq0 AS (
+  SELECT term, count(*) AS df_t FROM tf0 GROUP BY term
+), scored0 AS (
+  SELECT tf0.doc_id,
+         round(sum(
+           ln(1.0 + (CAST(n AS DOUBLE) - df_t + 0.5) / (df_t + 0.5))
+           * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+         ), 6) AS s
+  FROM tf0 JOIN dfreq0 USING (term) JOIN dl ON tf0.doc_id = dl.doc_id, stats
+  GROUP BY tf0.doc_id
+), fb AS (
+  SELECT doc_id FROM scored0 ORDER BY s DESC, doc_id LIMIT {_RM3_FB_DOCS}
+), exp AS (
+  SELECT term FROM toks JOIN fb USING (doc_id)
+  WHERE term NOT IN ({_RM3_Q0_IN})
+  GROUP BY term ORDER BY count(*) DESC, term LIMIT {_RM3_FB_TERMS}
+), terms AS (
+  SELECT term, 1.0 AS w FROM (VALUES {_RM3_Q0}) q(term)
+  UNION ALL
+  SELECT term, {_RM3_W} AS w FROM exp
+), tf AS (
+  SELECT toks.doc_id, toks.term, count(*) AS tf
+  FROM toks JOIN terms ON toks.term = terms.term
+  GROUP BY toks.doc_id, toks.term
+), dfreq AS (
+  SELECT term, count(*) AS df_t FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         round(sum(
+           terms.w
+           * ln(1.0 + (CAST(n AS DOUBLE) - df_t + 0.5) / (df_t + 0.5))
+           * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+         ), 6) AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN terms ON tf.term = terms.term
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+QUERIES["doc_bm25_rm3"] = doc_bm25_rm3
+ORACLES["doc_bm25_rm3"] = DOC_BM25_RM3_SQL

@@ -82,6 +82,7 @@ CHECKS = {
     "doc_leakage_safe_split": ["HashAggregate"],
     "dedup_source_matrix": ["HashAggregate"],
     "corpus_datacard": ["HashAggregate"],  # ONE partial-aggregated scan
+    "doc_bm25_rm3": ["TakeOrderedAndProject", "BroadcastHashJoin"],  # dfreq broadcast, two literal-fit passes
 }
 
 FORBIDDEN = ["CartesianProduct", "BroadcastNestedLoopJoin"]
