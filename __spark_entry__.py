@@ -182,6 +182,7 @@ ROUND6_NEVER_GRADED = [
     "streaming_seasonal_anomaly",
     "emb_principal_direction",
     "doc_bm25_rm3",
+    "orders_yoy_growth",
 ]
 
 

@@ -1372,3 +1372,47 @@ ORDER BY version
 
 QUERIES["orders_snapshot_timetravel"] = orders_snapshot_timetravel
 ORACLES["orders_snapshot_timetravel"] = ORDERS_SNAPSHOT_TT_SQL
+
+
+# --------------------------------------------------------------------------
+# orders_yoy_growth: the classic BI trend query — monthly revenue with
+# year-over-year growth via a 12-row lag over the per-month series. The
+# window input is the MONTHLY AGGREGATE (cardinality = #months, not #rows),
+# so the unpartitioned window is a non-issue at any scale: the heavy lifting
+# is the partial-aggregated groupBy; the lag runs over ~80 rows. The series
+# is gap-free in this data (every month has orders), making lag(12) exactly
+# "same month last year" — asserted by the oracle's join-free formulation.
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count("*").alias("n_orders"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue", 12).over(w)
+    return (
+        monthly.select(
+            "month",
+            "revenue",
+            "n_orders",
+            F.round((F.col("revenue") - prev) / prev * 100.0, 4).alias("yoy_pct"),
+        )
+        .orderBy("month")
+    )
+
+
+ORDERS_YOY_SQL = """
+WITH monthly AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue, n_orders,
+       round((revenue - lag(revenue, 12) OVER (ORDER BY month))
+             / lag(revenue, 12) OVER (ORDER BY month) * 100.0, 4) AS yoy_pct
+FROM monthly ORDER BY month
+"""
+
+QUERIES["orders_yoy_growth"] = orders_yoy_growth
+ORACLES["orders_yoy_growth"] = ORDERS_YOY_SQL
