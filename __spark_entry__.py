@@ -183,6 +183,8 @@ ROUND6_NEVER_GRADED = [
     "emb_principal_direction",
     "doc_bm25_rm3",
     "orders_yoy_growth",
+    "streaming_doc_quality",
+    "lang_source_mutual_info",
 ]
 
 

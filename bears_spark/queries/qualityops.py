@@ -1381,3 +1381,115 @@ FROM per2 GROUP BY c_nationkey ORDER BY c_nationkey
 
 QUERIES["customer_l_diversity"] = customer_l_diversity
 ORACLES["customer_l_diversity"] = CUSTOMER_L_DIVERSITY_SQL
+
+
+# --------------------------------------------------------------------------
+# streaming_doc_quality: the Gopher quality gate run AT INGEST — the same
+# expression-only scorer (functions/quality.gopher_quality is pure column
+# arithmetic: no join, no window) applied to a readStream, so corpus
+# filtering happens before a single byte lands in the lake rather than as a
+# nightly batch over it. Stream-transparent by construction; graded
+# row-for-row against the batch oracle (DOC_GOPHER_SQL's keep flag).
+def streaming_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.quality import gopher_quality
+
+    batch = load_table(spark, sf_dir, "documents")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sf_dir}/documents.parque*")
+    )
+    out = gopher_quality(stream, "text", "doc_id").select("doc_id", "keep")
+    sink = "streaming_doc_quality_sink"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(sink).orderBy("doc_id")
+
+
+STREAMING_DOC_QUALITY_SQL = f"""
+SELECT doc_id, keep FROM ({DOC_GOPHER_SQL.strip()}) ORDER BY doc_id
+"""
+
+QUERIES["streaming_doc_quality"] = streaming_doc_quality
+ORACLES["streaming_doc_quality"] = STREAMING_DOC_QUALITY_SQL
+
+
+# --------------------------------------------------------------------------
+# lang_source_mutual_info: how much does the crawl source tell you about
+# language (and vice versa) — the mutual information of the (lang, source)
+# contingency table in nats, plus the normalized variant (MI / min(H_lang,
+# H_source)). The single-number companion to lang_source_chisq: chi-square
+# answers "is there dependence", MI answers "how much". All probabilities
+# are exact count ratios; cell terms with p_xy = 0 contribute nothing (the
+# groupBy simply has no such row). Bounded by the (lang x source) domain.
+def lang_source_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    joint = docs.groupBy("lang", "source").agg(F.count("*").alias("nxy"))
+    n = Window.partitionBy()
+    wl = Window.partitionBy("lang")
+    ws = Window.partitionBy("source")
+    cell = (
+        joint.withColumn("n", F.sum("nxy").over(n))
+        .withColumn("nx", F.sum("nxy").over(wl))
+        .withColumn("ny", F.sum("nxy").over(ws))
+        .select(
+            (F.col("nxy") / F.col("n")).alias("pxy"),
+            (F.col("nx") / F.col("n")).alias("px"),
+            (F.col("ny") / F.col("n")).alias("py"),
+        )
+    )
+    agg = cell.agg(
+        F.sum(F.col("pxy") * F.log(F.col("pxy") / (F.col("px") * F.col("py")))).alias("mi")
+    )
+    lang_c = docs.groupBy("lang").agg(F.count("*").alias("c"))
+    src_c = docs.groupBy("source").agg(F.count("*").alias("c"))
+
+    def entropy(cdf):
+        share = F.col("c") / F.sum("c").over(Window.partitionBy())
+        return cdf.select(share.alias("p")).agg((-F.sum(F.col("p") * F.log("p"))).alias("h"))
+
+    h_lang = entropy(lang_c).first()["h"]
+    h_src = entropy(src_c).first()["h"]
+    return agg.select(
+        F.round("mi", 6).alias("mi_nats"),
+        F.round(F.col("mi") / F.lit(min(h_lang, h_src)), 6).alias("normalized_mi"),
+    )
+
+
+LANG_SOURCE_MI_SQL = """
+WITH joint AS (
+  SELECT lang, source, count(*) AS nxy FROM documents GROUP BY 1, 2
+), cell AS (
+  SELECT CAST(nxy AS DOUBLE) / sum(nxy) OVER () AS pxy,
+         CAST(sum(nxy) OVER (PARTITION BY lang) AS DOUBLE) / sum(nxy) OVER () AS px,
+         CAST(sum(nxy) OVER (PARTITION BY source) AS DOUBLE) / sum(nxy) OVER () AS py
+  FROM joint
+), mi AS (
+  SELECT sum(pxy * ln(pxy / (px * py))) AS mi FROM cell
+), hl AS (
+  SELECT -sum(p * ln(p)) AS h FROM (
+    SELECT CAST(c AS DOUBLE) / sum(c) OVER () AS p
+    FROM (SELECT count(*) AS c FROM documents GROUP BY lang)
+  )
+), hs AS (
+  SELECT -sum(p * ln(p)) AS h FROM (
+    SELECT CAST(c AS DOUBLE) / sum(c) OVER () AS p
+    FROM (SELECT count(*) AS c FROM documents GROUP BY source)
+  )
+)
+SELECT round(mi, 6) AS mi_nats,
+       round(mi / least(hl.h, hs.h), 6) AS normalized_mi
+FROM mi, hl, hs
+"""
+
+QUERIES["lang_source_mutual_info"] = lang_source_mutual_info
+ORACLES["lang_source_mutual_info"] = LANG_SOURCE_MI_SQL
