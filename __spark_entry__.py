@@ -185,6 +185,7 @@ ROUND6_NEVER_GRADED = [
     "orders_yoy_growth",
     "streaming_doc_quality",
     "lang_source_mutual_info",
+    "doc_compression_quality",
 ]
 
 

@@ -1493,3 +1493,20 @@ FROM mi, hl, hs
 
 QUERIES["lang_source_mutual_info"] = lang_source_mutual_info
 ORACLES["lang_source_mutual_info"] = LANG_SOURCE_MI_SQL
+
+
+# --------------------------------------------------------------------------
+# doc_compression_quality: the zlib-ratio repetitiveness signal as a graded
+# surface. No SQL engine exposes DEFLATE, so there is NO DuckDB oracle —
+# the driver records the weaker rows/schema check; the VALUE contract is
+# pinned by test_compression_ratio_known_values (hand-computed ratios) and
+# determinism is inherent (fixed zlib level -> bit-identical stream).
+def doc_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.quality import compression_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return compression_ratio(docs, "text", "doc_id").orderBy("doc_id")
+
+
+QUERIES["doc_compression_quality"] = doc_compression_quality
+# deliberately no ORACLES entry: zlib is not SQL-expressible

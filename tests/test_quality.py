@@ -170,3 +170,25 @@ def test_weighted_sample_topk_properties(spark):
     assert 900 not in got1 and 901 not in got1
     # weight 1000 vs 1: nearly all of the 10 heavy ids must be sampled
     assert len([i for i in got1 if i < 10]) >= 8
+
+
+def test_compression_ratio_known_values(spark):
+    import zlib
+
+    from bears_spark.functions.quality import compression_ratio
+
+    rows = [
+        (1, "spam " * 200),          # highly repetitive -> tiny ratio
+        (2, "The quick brown fox jumps over the lazy dog near the river bank today."),
+        (3, ""),                      # empty -> null
+        (4, None),                    # null -> null
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["compression_ratio"] for r in compression_ratio(df).collect()}
+    for did, txt in rows:
+        if not txt:
+            assert got[did] is None
+        else:
+            raw = txt.encode()
+            assert got[did] == round(len(zlib.compress(raw, 6)) / len(raw), 6)
+    assert got[1] < 0.1 < got[2]
