@@ -640,3 +640,31 @@ def test_snapshot_table_model_fuzz(spark, tmp_path):
         pdf = tbl.read(version=version).toPandas()
         got = sorted(map(tuple, pdf[["k", "v"]].fillna(-999).to_numpy().tolist()))
         assert got == expected, f"time travel to v{version} drifted"
+
+
+def test_concurrent_commit_stress_no_lost_updates(spark, tmp_path):
+    """Two real threads x 5 appends each racing through the SAME local
+    store: every commit must land exactly once (CAS retry, no lost update),
+    versions strictly sequential, and all 100 rows present at the end."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = str(tmp_path / "stress")
+    t1 = SnapshotTable(spark, path)
+    t2 = SnapshotTable(spark, path)
+    t1.overwrite(_df(spark, 0, 0).limit(0).coalesce(1))  # v1: empty seed
+
+    def writer(tbl, lo):
+        for i in range(5):
+            tbl.append(_df(spark, lo + i * 10, lo + i * 10 + 10).coalesce(1))
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f1 = ex.submit(writer, t1, 0)
+        f2 = ex.submit(writer, t2, 1000)
+        f1.result()
+        f2.result()
+
+    assert t1.current_version() == 11  # 1 seed + 10 appends, none lost
+    ids = sorted(r["id"] for r in t1.read().collect())
+    assert ids == sorted(list(range(0, 50)) + list(range(1000, 1050)))
+    ops = [h["operation"] for h in t1.snapshots()]
+    assert ops.count("append") == 10
