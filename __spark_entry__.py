@@ -186,6 +186,7 @@ ROUND6_NEVER_GRADED = [
     "streaming_doc_quality",
     "lang_source_mutual_info",
     "doc_compression_quality",
+    "orders_change_feed",
 ]
 
 

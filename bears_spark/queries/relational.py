@@ -1416,3 +1416,55 @@ FROM monthly ORDER BY month
 
 QUERIES["orders_yoy_growth"] = orders_yoy_growth
 ORACLES["orders_yoy_growth"] = ORDERS_YOY_SQL
+
+
+# --------------------------------------------------------------------------
+# orders_change_feed: the O(delta) incremental consumer graded end-to-end —
+# seed a snapshot table with pre-1997 orders, append the 1997+ delta in two
+# commits, then read ONLY what changed since the seed version via
+# changes_since (file-level delta, no table rescan) and aggregate it per
+# status. The oracle derives the same aggregate relationally from the
+# orders table, so a changes_since that leaked seed rows (or dropped delta
+# rows) fails on counts AND sums.
+_CF_CUT = "1997-01-01"
+
+
+def orders_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders")
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="snaptbl_cf_"))
+    try:
+        v1 = t.overwrite(o.filter(F.col("o_orderdate") < _CF_CUT))
+        delta = o.filter(F.col("o_orderdate") >= _CF_CUT)
+        t.append(delta.filter(F.col("o_orderkey") % 2 == 0))
+        t.append(delta.filter(F.col("o_orderkey") % 2 != 0))
+        out = (
+            t.changes_since(v1)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double"), 6
+                ).alias("total"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(t.path, ignore_errors=True)
+    return spark.createDataFrame(rows, "o_orderstatus string, n bigint, total double")
+
+
+ORDERS_CHANGE_FEED_SQL = f"""
+SELECT o_orderstatus, count(*) AS n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 6) AS total
+FROM orders WHERE o_orderdate >= '{_CF_CUT}'
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+QUERIES["orders_change_feed"] = orders_change_feed
+ORACLES["orders_change_feed"] = ORDERS_CHANGE_FEED_SQL
