@@ -187,6 +187,7 @@ ROUND6_NEVER_GRADED = [
     "lang_source_mutual_info",
     "doc_compression_quality",
     "orders_change_feed",
+    "dedup_minhash_eval",
 ]
 
 

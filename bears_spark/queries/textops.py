@@ -2541,3 +2541,54 @@ SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10
 
 QUERIES["doc_bm25_rm3"] = doc_bm25_rm3
 ORACLES["doc_bm25_rm3"] = DOC_BM25_RM3_SQL
+
+
+# --------------------------------------------------------------------------
+# dedup_minhash_eval: trust-the-sketch report — precision/recall of the
+# banded MinHash candidate pairs against the exact (df-capped) trigram
+# Jaccard >= 0.5 pair set. This is the number a curator checks before
+# letting the sketch replace the exact join at scale: banding theory gives
+# the expected S-curve; this measures it on THIS corpus. One full-outer
+# join of two already-bounded pair sets + a single aggregate row.
+def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pred = dd.minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS, ngram_n=_NGRAM_N
+    ).select("id_a", "id_b", F.lit(1).alias("in_pred"))
+    truth = (
+        dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=100)
+        .select("id_a", "id_b", F.lit(1).alias("in_truth"))
+    )
+    j = pred.join(truth, ["id_a", "id_b"], "full_outer")
+    return j.agg(
+        F.sum("in_pred").alias("n_pred"),
+        F.sum("in_truth").alias("n_truth"),
+        F.sum(F.coalesce("in_pred", F.lit(0)) * F.coalesce("in_truth", F.lit(0))).alias("n_tp"),
+    ).select(
+        "n_pred",
+        "n_truth",
+        "n_tp",
+        F.round(F.col("n_tp") / F.col("n_pred"), 6).alias("precision"),
+        F.round(F.col("n_tp") / F.col("n_truth"), 6).alias("recall"),
+    )
+
+
+DEDUP_MINHASH_EVAL_SQL = f"""
+WITH pred AS (
+  SELECT id_a, id_b, 1 AS in_pred FROM ({MINHASH_LSH_SQL})
+), truth AS (
+  SELECT id_a, id_b, 1 AS in_truth FROM ({NGRAM_JACCARD_SQL})
+), j AS (
+  SELECT coalesce(pred.in_pred, 0) AS in_pred, coalesce(truth.in_truth, 0) AS in_truth
+  FROM pred FULL OUTER JOIN truth USING (id_a, id_b)
+)
+SELECT CAST(sum(in_pred) AS BIGINT) AS n_pred,
+       CAST(sum(in_truth) AS BIGINT) AS n_truth,
+       CAST(sum(in_pred * in_truth) AS BIGINT) AS n_tp,
+       round(CAST(sum(in_pred * in_truth) AS DOUBLE) / sum(in_pred), 6) AS precision,
+       round(CAST(sum(in_pred * in_truth) AS DOUBLE) / sum(in_truth), 6) AS recall
+FROM j
+"""
+
+QUERIES["dedup_minhash_eval"] = dedup_minhash_eval
+ORACLES["dedup_minhash_eval"] = DEDUP_MINHASH_EVAL_SQL

@@ -192,3 +192,26 @@ def test_compression_ratio_known_values(spark):
             raw = txt.encode()
             assert got[did] == round(len(zlib.compress(raw, 6)) / len(raw), 6)
     assert got[1] < 0.1 < got[2]
+
+
+def test_leakage_safe_split_invariant(spark):
+    """Direct invariant: every MinHash connected component lands in exactly
+    ONE split (the property doc_leakage_safe_split exists to guarantee)."""
+    from bears_spark.functions import dedup as dd
+    from bears_spark.functions.hashing import md5_hash64
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    pairs = dd.minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=16, bands=4, ngram_n=3)
+    comp = dd.connected_components(pairs)
+    keyed = docs.join(comp, docs.doc_id == comp.id, "left").select(
+        "doc_id", F.coalesce("component", F.col("doc_id")).alias("grp")
+    )
+    bucket = md5_hash64(F.col("grp"), salt="leak") % 10
+    split = F.when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test")
+    per_grp = keyed.select("grp", split.alias("split")).groupBy("grp").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    assert per_grp.filter(F.col("n_splits") > 1).count() == 0
+    # and there ARE multi-doc groups, so the invariant is non-vacuous
+    sizes = keyed.groupBy("grp").count()
+    assert sizes.filter(F.col("count") > 1).count() > 0
