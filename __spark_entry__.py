@@ -188,6 +188,7 @@ ROUND6_NEVER_GRADED = [
     "doc_compression_quality",
     "orders_change_feed",
     "dedup_minhash_eval",
+    "emb_pca2_projection",
 ]
 
 

@@ -135,3 +135,28 @@ def power_iteration_top_vector(
         nrm = math.sqrt(sum(x * x for x in w))
         v = [round(x / nrm, v_round) for x in w]
     return v
+
+
+def power_iteration_top2(
+    df,
+    vec_col: str,
+    dim: int,
+    iters: int = 2,
+    w_round: int = 6,
+    v_round: int = 9,
+) -> tuple[list[float], list[float]]:
+    """Top TWO singular directions by deflation: fit v1 with
+    power_iteration_top_vector, then subtract each row's v1 component
+    (x' = x - <x, v1> * v1 — a MAP-ONLY projection, no materialized residual
+    table) and power-iterate the residual for v2. Same rounding discipline,
+    so both directions replay exactly in the oracle; v2 is orthogonal to v1
+    up to the rounding tolerance."""
+    v1 = power_iteration_top_vector(df, vec_col, dim, iters, w_round, v_round)
+    v1lit = F.lit(v1)
+    u1 = dot(vec_col, v1lit)
+    resid = F.zip_with(
+        _c(vec_col), v1lit, lambda x, c: x.cast("double") - u1 * c
+    )
+    staged = df.select(resid.alias("__resid"))
+    v2 = power_iteration_top_vector(staged, "__resid", dim, iters, w_round, v_round)
+    return v1, v2

@@ -2592,3 +2592,68 @@ FROM j
 
 QUERIES["dedup_minhash_eval"] = dedup_minhash_eval
 ORACLES["dedup_minhash_eval"] = DEDUP_MINHASH_EVAL_SQL
+
+
+# --------------------------------------------------------------------------
+# emb_pca2_projection: the 2-D PCA map — second singular direction by
+# DEFLATION (x' = x - <x,v1>*v1 is a map-only projection; no residual table
+# is materialized) power-iterated with the same rounding rule, then the
+# corpus projected onto (v1, v2). Output: the 10 most extreme docs along v1
+# with both coordinates — the thing you actually plot. The oracle unrolls
+# all four iteration stages and both projections.
+def emb_pca2_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.vectors import dot, power_iteration_top2
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v1, v2 = power_iteration_top2(emb, "embedding", dim=64, iters=_PI_ITERS)
+    p1 = F.round(dot("embedding", F.lit(v1)), 6)
+    p2 = F.round(dot("embedding", F.lit(v2)), 6)
+    return (
+        emb.select("vec_id", p1.alias("p1"), p2.alias("p2"))
+        .orderBy(F.abs(F.col("p1")).desc(), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def _pca2_dot(a: str, b: str) -> str:
+    return f"list_sum(list_transform(list_zip({a}, {b}), q -> q[1]::DOUBLE * q[2]))"
+
+
+EMB_PCA2_SQL = f"""
+WITH u1 AS (
+  SELECT vec_id, embedding,
+         list_sum(list_transform(embedding, x -> x::DOUBLE * 0.125)) AS u
+  FROM embeddings
+),
+{_pi_w_cte("u1", "1")},
+u2 AS (
+  SELECT e.vec_id, e.embedding, {_pca2_dot("e.embedding", "v1.v")} AS u
+  FROM embeddings e, v1
+),
+{_pi_w_cte("u2", "2")},
+r AS (
+  SELECT e.vec_id,
+         list_transform(list_zip(e.embedding, v2.v),
+                        p -> p[1]::DOUBLE - ({_pca2_dot("e.embedding", "v2.v")}) * p[2]) AS embedding
+  FROM embeddings e, v2
+),
+u3 AS (
+  SELECT vec_id, embedding, list_sum(list_transform(embedding, x -> x * 0.125)) AS u FROM r
+),
+{_pi_w_cte("u3", "3")},
+u4 AS (
+  SELECT r.vec_id, r.embedding, {_pca2_dot("r.embedding", "v3.v")} AS u
+  FROM r, v3
+),
+{_pi_w_cte("u4", "4")},
+proj AS (
+  SELECT e.vec_id,
+         round({_pca2_dot("e.embedding", "v2.v")}, 6) AS p1,
+         round({_pca2_dot("e.embedding", "v4.v")}, 6) AS p2
+  FROM embeddings e, v2, v4
+)
+SELECT vec_id, p1, p2 FROM proj ORDER BY abs(p1) DESC, vec_id LIMIT 10
+"""
+
+QUERIES["emb_pca2_projection"] = emb_pca2_projection
+ORACLES["emb_pca2_projection"] = EMB_PCA2_SQL

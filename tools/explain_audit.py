@@ -83,6 +83,9 @@ CHECKS = {
     "dedup_source_matrix": ["HashAggregate"],
     "corpus_datacard": ["HashAggregate"],  # ONE partial-aggregated scan
     "doc_bm25_rm3": ["TakeOrderedAndProject", "BroadcastHashJoin"],  # dfreq broadcast, two literal-fit passes
+    "emb_pca2_projection": ["TakeOrderedAndProject"],  # both directions are literals
+    "dedup_minhash_eval": ["HashAggregate", "FullOuter"],
+    "orders_yoy_growth": ["Window", "HashAggregate"],
 }
 
 FORBIDDEN = ["CartesianProduct", "BroadcastNestedLoopJoin"]
