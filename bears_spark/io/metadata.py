@@ -30,6 +30,7 @@ class FileFormat(str, Enum):
     BINARY = "binary"
     ORC = "orc"
     AVRO = "avro"
+    ARROW = "arrow"
 
 
 _EXT_TO_FORMAT = {
@@ -43,6 +44,9 @@ _EXT_TO_FORMAT = {
     ".ndjson": FileFormat.JSONLINES,
     ".json": FileFormat.JSON,
     ".npz": FileFormat.NPZ,
+    ".arrow": FileFormat.ARROW,
+    ".feather": FileFormat.ARROW,
+    ".ipc": FileFormat.ARROW,
     ".pkl": FileFormat.PICKLE,
     ".pickle": FileFormat.PICKLE,
     ".yaml": FileFormat.YAML,

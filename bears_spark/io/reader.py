@@ -115,6 +115,39 @@ def _read_npz(spark: SparkSession, path: str, schema=None, columns: list[str] | 
     return binary.select("path", "content").mapInPandas(_decode, out_schema)
 
 
+@register_reader(FileFormat.ARROW)
+def _read_arrow(spark: SparkSession, path: str, schema=None, columns: list[str] | None = None, **opts) -> DataFrame:
+    """Arrow IPC / Feather-v2 reader (.arrow/.feather/.ipc) — the interchange
+    format every Arrow-speaking tool (pandas, polars, DuckDB, Ray) writes.
+    No Spark source exists; distributed path mirrors the NPZ reader:
+    binaryFile -> one IPC file decoded per task via pyarrow, schema peeked
+    from the first file's footer on the driver (metadata-only read).
+    Feather v1 (legacy pre-IPC framing) is intentionally not supported."""
+    import io as _io
+
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    binary = spark.read.format("binaryFile").load(path)
+    sample_path = binary.select("path").first()["path"].removeprefix("file:")
+    with pa.memory_map(sample_path) as mm:
+        arrow_schema = ipc.open_file(mm).schema
+    if columns:
+        arrow_schema = pa.schema([arrow_schema.field(c) for c in columns])
+    out_schema = from_arrow_schema(arrow_schema)
+
+    def _decode(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                tbl = ipc.open_file(_io.BytesIO(row["content"])).read_all()
+                out = tbl.to_pandas()
+                yield out[columns] if columns else out
+
+    return binary.select("path", "content").mapInPandas(_decode, out_schema)
+
+
 @register_reader(FileFormat.BINARY)
 def _read_binary(spark: SparkSession, path: str, schema=None, **opts) -> DataFrame:
     """Asset reader (image/audio/pdf parity — src/bears/reader/asset/): binary

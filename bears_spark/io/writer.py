@@ -147,6 +147,43 @@ def _write_avro(df: DataFrame, path: str, **opts) -> None:
     df.mapInPandas(_enc, "path string, n_rows long").collect()
 
 
+@register_writer(FileFormat.ARROW)
+def _write_arrow(df: DataFrame, path: str, **opts) -> None:
+    """Arrow IPC (Feather v2) writer: each partition Arrow-batches through
+    mapInPandas and writes its own part-NNNNN.arrow through pyarrow.fs
+    (local paths and object-store URIs alike) — the same parallel one-file-
+    per-task shape as the Avro fallback. The data is ALREADY Arrow on the
+    worker boundary, so this is a zero-copy-ish dump of the exchange
+    format."""
+    fs, root = _resolve_fs(path)
+    if opts.get("mode", "overwrite") == "overwrite":
+        try:
+            fs.delete_dir(root)
+        except FileNotFoundError:
+            pass
+    fs.create_dir(root, recursive=True)
+
+    def _enc(batches):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.ipc as ipc
+        from pyspark import TaskContext
+
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+        part_fs, part_root = _resolve_fs(path)
+        part = f"{part_root.rstrip('/')}/part-{TaskContext.get().partitionId():05d}.arrow"
+        with part_fs.open_output_stream(part) as f:
+            with ipc.new_file(f, tbl.schema) as w:
+                w.write_table(tbl)
+        yield pd.DataFrame({"path": [part], "n_rows": [len(pdf)]})
+
+    df.mapInPandas(_enc, "path string, n_rows long").collect()
+
+
 class Writer:
     def __init__(self, fmt: FileFormat | str):
         self.format = FileFormat(fmt) if not isinstance(fmt, FileFormat) else fmt

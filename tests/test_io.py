@@ -290,3 +290,41 @@ def test_dynamic_partition_overwrite_replaces_only_incoming(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="dynamic_overwrite requires"):
         write(fix, path, "parquet", dynamic_overwrite=True)
+
+
+def test_arrow_ipc_roundtrip(spark, tmp_path):
+    """Arrow IPC / Feather v2: distributed per-partition write, binaryFile +
+    mapInPandas read; scalar types incl. nulls and timestamps; column
+    pruning at read."""
+    import datetime as dt
+
+    from bears_spark.io.reader import Reader, read
+    from bears_spark.io.writer import Writer
+
+    rows = [
+        (1, "a", 1.5, True, dt.datetime(2024, 1, 2, 3, 4, 5, 123456)),
+        (2, None, None, False, None),
+        (None, "c", -2.25, None, dt.datetime(1999, 12, 31, 23, 59, 59)),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, s string, x double, b boolean, ts timestamp"
+    ).repartition(2)
+    out = str(tmp_path / "t.arrow")
+    Writer.of("arrow").write(df, out)
+    back = Reader.of("arrow").read(out, spark=spark).df
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+    # extension auto-detect through the top-level read()
+    assert read(out).df.count() == 3
+    # column pruning
+    pruned = Reader.of("arrow").read(out, spark=spark, columns=["id", "s"]).df
+    assert pruned.columns == ["id", "s"]
+    # a file written by ANY Arrow tool (plain pyarrow here) reads back too
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    foreign_dir = tmp_path / "foreign.arrow"
+    foreign_dir.mkdir()
+    with ipc.new_file(str(foreign_dir / "f.arrow"), pa.schema([("k", pa.int64())])) as w:
+        w.write_table(pa.table({"k": [10, 20]}))
+    got = Reader.of("arrow").read(str(foreign_dir), spark=spark).df
+    assert sorted(r["k"] for r in got.collect()) == [10, 20]
