@@ -189,6 +189,7 @@ ROUND6_NEVER_GRADED = [
     "orders_change_feed",
     "dedup_minhash_eval",
     "emb_pca2_projection",
+    "dedup_minhash_calibration",
 ]
 
 

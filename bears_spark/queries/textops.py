@@ -2657,3 +2657,80 @@ SELECT vec_id, p1, p2 FROM proj ORDER BY abs(p1) DESC, vec_id LIMIT 10
 
 QUERIES["emb_pca2_projection"] = emb_pca2_projection
 ORACLES["emb_pca2_projection"] = EMB_PCA2_SQL
+
+
+# --------------------------------------------------------------------------
+# dedup_minhash_calibration: is the sketch's Jaccard ESTIMATE trustworthy —
+# over the candidate pairs, compare the signature agreement rate
+# (matches/16, the MinHash estimator) against the exact shingle Jaccard:
+# mean absolute error and bias. Complements dedup_minhash_eval (which
+# scores the candidate SET); together they justify replacing the exact
+# O(n^2) join with the sketch at scale. All per-pair arithmetic is exact
+# rationals except the final averages.
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.hashing import minhash_signature
+    from bears_spark.functions.text import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = F.array_distinct(word_ngrams(F.col("text"), _NGRAM_N))
+    per = docs.select("doc_id", sh.alias("sh")).filter(F.size("sh") > 0)
+    per = per.select("doc_id", "sh", minhash_signature("sh", _NUM_HASHES).alias("sig"))
+    cands = dd.minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS, ngram_n=_NGRAM_N
+    )
+    a = per.select(
+        F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sig").alias("sig_a")
+    )
+    b = per.select(
+        F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("sig").alias("sig_b")
+    )
+    j = cands.join(a, "id_a").join(b, "id_b")
+    matches = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda z: z))
+    est = matches / F.lit(float(_NUM_HASHES))
+    exact = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    scored = j.select((est - exact).alias("err"), F.abs(est - exact).alias("aerr"))
+    return scored.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg("aerr"), 6).alias("mae"),
+        F.round(F.avg("err"), 6).alias("bias"),
+    )
+
+
+def _minhash_calibration_sql() -> str:
+    from bears_spark.functions.hashing import MINHASH_P, minhash_coeffs
+
+    est_terms = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(_NUM_HASHES)
+    )
+    return f"""
+WITH cands AS ({MINHASH_LSH_SQL}),
+toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), sh_t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM toks WHERE len(t) >= {_NGRAM_N}
+), bh_t AS (
+  SELECT doc_id, sh, list_transform(sh, s -> {_hex2int('s')} % {MINHASH_P}) AS bh
+  FROM sh_t WHERE len(sh) > 0
+), sig AS (
+  SELECT doc_id, sh,
+         {", ".join(f"list_min(list_transform(bh, x -> (x * {a} + {b}) % {MINHASH_P})) AS h{i}" for i, (a, b) in ((i, minhash_coeffs(i)) for i in range(_NUM_HASHES)))}
+  FROM bh_t
+), scored AS (
+  SELECT ({est_terms}) / {float(_NUM_HASHES)} AS est,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / len(list_distinct(list_concat(sa.sh, sb.sh))) AS j
+  FROM cands JOIN sig sa ON cands.id_a = sa.doc_id JOIN sig sb ON cands.id_b = sb.doc_id
+)
+SELECT count(*) AS n_pairs,
+       round(avg(abs(est - j)), 6) AS mae,
+       round(avg(est - j), 6) AS bias
+FROM scored
+"""
+
+
+DEDUP_MINHASH_CALIBRATION_SQL = _minhash_calibration_sql()
+
+QUERIES["dedup_minhash_calibration"] = dedup_minhash_calibration
+ORACLES["dedup_minhash_calibration"] = DEDUP_MINHASH_CALIBRATION_SQL

@@ -14,8 +14,12 @@ def test_entry_smoke(spark):
 
 
 def test_queries_and_oracles_aligned():
-    assert set(entrymod.queries()) == set(entrymod.oracle_sql())
-    assert set(entrymod.HEADLINE) <= set(entrymod.queries())
+    q, o = set(entrymod.queries()), set(entrymod.oracle_sql())
+    assert o <= q
+    # deliberately oracle-less (non-SQL-expressible): the driver records the
+    # weaker rows-only check; values are pinned by pytest instead
+    assert q - o == {"doc_compression_quality"}
+    assert set(entrymod.HEADLINE) <= q
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
