@@ -192,6 +192,9 @@ ROUND6_NEVER_GRADED = [
     "dedup_minhash_eval",
     "emb_pca2_projection",
     "dedup_minhash_calibration",
+    "customer_abc_analysis",
+    "part_iqr_outliers",
+    "lineitem_cycle_time",
 ]
 
 

@@ -1468,3 +1468,154 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 
 QUERIES["orders_change_feed"] = orders_change_feed
 ORACLES["orders_change_feed"] = ORDERS_CHANGE_FEED_SQL
+
+
+# --------------------------------------------------------------------------
+# customer_abc_analysis: Pareto / ABC classification — customers ranked by
+# revenue, bucketed by CUMULATIVE share (A: first 70% of revenue, B: next
+# 20%, C: tail). Two windows over the per-customer aggregate (cardinality =
+# #customers with orders, far below fact-row count): a rank-ordered
+# cumulative sum and the grand total as an unpartitioned window over the
+# aggregate — the canonical "who are our vital few" report. Output is the
+# class summary, exact counts + rounded shares.
+def customer_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("rev")
+    )
+    w_rank = Window.orderBy(F.desc("rev"), "o_custkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    cum = per.select(
+        "o_custkey",
+        "rev",
+        (F.sum("rev").over(w_rank) / F.sum("rev").over(w_all)).alias("cum_share"),
+    )
+    cls = F.when(F.col("cum_share") <= 0.70, "A").when(F.col("cum_share") <= 0.90, "B").otherwise("C")
+    return (
+        cum.select(cls.alias("abc_class"), "rev")
+        .groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("rev").cast("double"), 2).alias("revenue"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+CUSTOMER_ABC_SQL = """
+WITH per AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(30,6))) AS rev
+  FROM orders GROUP BY o_custkey
+), cum AS (
+  SELECT o_custkey, rev,
+         sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / sum(rev) OVER () AS cum_share
+  FROM per
+)
+SELECT CASE WHEN cum_share <= 0.70 THEN 'A'
+            WHEN cum_share <= 0.90 THEN 'B' ELSE 'C' END AS abc_class,
+       count(*) AS n_customers,
+       round(CAST(sum(rev) AS DOUBLE), 2) AS revenue
+FROM cum GROUP BY 1 ORDER BY abc_class
+"""
+
+QUERIES["customer_abc_analysis"] = customer_abc_analysis
+ORACLES["customer_abc_analysis"] = CUSTOMER_ABC_SQL
+
+
+# --------------------------------------------------------------------------
+# part_iqr_outliers: per-brand Tukey fences — exact quartiles of retail
+# price within each brand, broadcast back onto the rows, flagging parts
+# outside [q1 - 1.5*IQR, q3 + 1.5*IQR]. Output per brand: n, q1, q3, and
+# the outlier count. The quartile table is bounded by the brand domain, so
+# the join is a broadcast; everything else is expressions.
+def part_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    q = part.groupBy("p_brand").agg(
+        F.expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY p_retailprice)").alias("q1"),
+        F.expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY p_retailprice)").alias("q3"),
+    )
+    scored = part.join(F.broadcast(q), "p_brand").withColumn(
+        "iqr", F.col("q3") - F.col("q1")
+    )
+    out = (F.col("p_retailprice") < F.col("q1") - 1.5 * F.col("iqr")) | (
+        F.col("p_retailprice") > F.col("q3") + 1.5 * F.col("iqr")
+    )
+    return (
+        scored.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.max("q1"), 6).alias("q1"),
+            F.round(F.max("q3"), 6).alias("q3"),
+            F.sum(out.cast("long")).alias("n_outliers"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+PART_IQR_SQL = """
+WITH q AS (
+  SELECT p_brand,
+         percentile_cont(0.25) WITHIN GROUP (ORDER BY p_retailprice) AS q1,
+         percentile_cont(0.75) WITHIN GROUP (ORDER BY p_retailprice) AS q3
+  FROM part GROUP BY p_brand
+)
+SELECT part.p_brand AS p_brand, count(*) AS n,
+       round(max(q.q1), 6) AS q1, round(max(q.q3), 6) AS q3,
+       CAST(sum(CASE WHEN p_retailprice < q.q1 - 1.5 * (q.q3 - q.q1)
+                       OR p_retailprice > q.q3 + 1.5 * (q.q3 - q.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM part JOIN q ON part.p_brand = q.p_brand
+GROUP BY part.p_brand ORDER BY p_brand
+"""
+
+QUERIES["part_iqr_outliers"] = part_iqr_outliers
+ORACLES["part_iqr_outliers"] = PART_IQR_SQL
+
+
+# --------------------------------------------------------------------------
+# lineitem_cycle_time: fulfilment latency — days from order to line-item
+# ship, summarized per order priority (mean, exact p50/p90, n). The one
+# fact-fact join (lineitem x orders on orderkey) is the q3-shape shuffle —
+# bucketing both tables on orderkey removes it (see SCALE.md); the
+# percentile aggregate is per-priority (bounded domain).
+def lineitem_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority", F.datediff("l_shipdate", "o_orderdate").alias("days")
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("days"), 6).alias("mean_days"),
+            F.round(
+                F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY days)"), 6
+            ).alias("p50"),
+            F.round(
+                F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY days)"), 6
+            ).alias("p90"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+LINEITEM_CYCLE_SQL = """
+SELECT o_orderpriority, count(*) AS n,
+       round(avg(datediff('day', o_orderdate, l_shipdate)), 6) AS mean_days,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY datediff('day', o_orderdate, l_shipdate)), 6) AS p50,
+       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY datediff('day', o_orderdate, l_shipdate)), 6) AS p90
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+QUERIES["lineitem_cycle_time"] = lineitem_cycle_time
+ORACLES["lineitem_cycle_time"] = LINEITEM_CYCLE_SQL
