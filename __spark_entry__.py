@@ -195,6 +195,7 @@ ROUND6_NEVER_GRADED = [
     "customer_abc_analysis",
     "part_iqr_outliers",
     "lineitem_cycle_time",
+    "nation_market_concentration",
 ]
 
 

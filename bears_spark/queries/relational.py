@@ -1619,3 +1619,60 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 QUERIES["lineitem_cycle_time"] = lineitem_cycle_time
 ORACLES["lineitem_cycle_time"] = LINEITEM_CYCLE_SQL
+
+
+# --------------------------------------------------------------------------
+# nation_market_concentration: Herfindahl-Hirschman index of supplier
+# revenue within each nation — the antitrust-style concentration number
+# ("is this market a monopoly") per supplier nation. Per-(nation, supplier)
+# revenue aggregates first (partial-agg shuffle on suppkey), shares via one
+# window over the bounded supplier-aggregate, then HHI per nation. The
+# supplier/nation dims broadcast onto the lineitem scan.
+def nation_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "s_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
+            ).alias("rev")
+        )
+    )
+    w = Window.partitionBy("n_name")
+    # shares in DOUBLE: decimal division scale rules differ across engines,
+    # a double ratio of exact decimal sums does not
+    share = F.col("rev").cast("double") / F.sum("rev").over(w).cast("double")
+    return (
+        rev.withColumn("share", share)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum(F.col("share") * F.col("share")), 6).alias("hhi"),
+        )
+        .orderBy("n_name")
+    )
+
+
+NATION_HHI_SQL = """
+WITH rev AS (
+  SELECT n_name, s_suppkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name, s_suppkey
+), shares AS (
+  SELECT n_name, CAST(rev AS DOUBLE) / CAST(sum(rev) OVER (PARTITION BY n_name) AS DOUBLE) AS share FROM rev
+)
+SELECT n_name, count(*) AS n_suppliers, round(sum(share * share), 6) AS hhi
+FROM shares GROUP BY n_name ORDER BY n_name
+"""
+
+QUERIES["nation_market_concentration"] = nation_market_concentration
+ORACLES["nation_market_concentration"] = NATION_HHI_SQL
