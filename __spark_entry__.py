@@ -196,6 +196,7 @@ ROUND6_NEVER_GRADED = [
     "part_iqr_outliers",
     "lineitem_cycle_time",
     "nation_market_concentration",
+    "orders_survival_curve",
 ]
 
 

@@ -1676,3 +1676,67 @@ FROM shares GROUP BY n_name ORDER BY n_name
 
 QUERIES["nation_market_concentration"] = nation_market_concentration
 ORACLES["nation_market_concentration"] = NATION_HHI_SQL
+
+
+# --------------------------------------------------------------------------
+# orders_survival_curve: Kaplan-Meier over inter-order durations — the
+# survival-analysis staple ("how long until a customer orders again"),
+# with right-censoring at the study end (a customer's last order has no
+# next; it is censored at max(o_orderdate)). The product-limit estimator
+# runs as pure windows: at-risk counts via a DESC cumulative sum over the
+# per-duration aggregate, the product via exp(sum(ln(factor))) ASC, and the
+# d = n terminal row forced to exactly 0 (no ln(0) on either engine).
+# Output: one row per event time (d > 0): at-risk, events, survival.
+def orders_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    study_end = o.agg(F.max("o_orderdate").alias("e")).first()["e"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    per = o.select(
+        F.coalesce(F.datediff(nxt, F.col("o_orderdate")), F.datediff(F.lit(study_end), F.col("o_orderdate"))).alias("dur"),
+        nxt.isNotNull().cast("long").alias("event"),
+    )
+    by_t = per.groupBy("dur").agg(F.sum("event").alias("d"), F.count("*").alias("m"))
+    w_desc = Window.orderBy(F.desc("dur")).rowsBetween(Window.unboundedPreceding, 0)
+    rs = by_t.withColumn("n", F.sum("m").over(w_desc))
+    factor = F.when(F.col("d") < F.col("n"), F.log(1.0 - F.col("d") / F.col("n"))).otherwise(F.lit(0.0))
+    w_asc = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    km = rs.withColumn("cum", F.sum(factor).over(w_asc)).select(
+        "dur",
+        "n",
+        "d",
+        F.when(F.col("d") == F.col("n"), F.lit(0.0)).otherwise(F.round(F.exp("cum"), 6)).alias("survival"),
+    )
+    return km.filter(F.col("d") > 0).orderBy("dur")
+
+
+ORDERS_SURVIVAL_SQL = """
+WITH base AS (
+  SELECT o_custkey, o_orderdate,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS nxt
+  FROM orders
+), per AS (
+  SELECT coalesce(datediff('day', o_orderdate, nxt),
+                  datediff('day', o_orderdate, (SELECT max(o_orderdate) FROM orders))) AS dur,
+         CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM base
+), by_t AS (
+  SELECT dur, CAST(sum(event) AS BIGINT) AS d, count(*) AS m FROM per GROUP BY dur
+), rs AS (
+  SELECT dur, d, CAST(sum(m) OVER (ORDER BY dur DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n
+  FROM by_t
+), km AS (
+  SELECT dur, n, d,
+         sum(CASE WHEN d < n THEN ln(1.0 - CAST(d AS DOUBLE) / n) ELSE 0.0 END)
+           OVER (ORDER BY dur ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM rs
+)
+SELECT dur, n, d,
+       CASE WHEN d = n THEN 0.0 ELSE round(exp(cum), 6) END AS survival
+FROM km WHERE d > 0 ORDER BY dur
+"""
+
+QUERIES["orders_survival_curve"] = orders_survival_curve
+ORACLES["orders_survival_curve"] = ORDERS_SURVIVAL_SQL
