@@ -197,6 +197,8 @@ ROUND6_NEVER_GRADED = [
     "lineitem_cycle_time",
     "nation_market_concentration",
     "orders_survival_curve",
+    "ev_markov_next_event",
+    "customer_gini",
 ]
 
 

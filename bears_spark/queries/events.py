@@ -1702,3 +1702,55 @@ ORDER BY event_type, hour_us
 
 QUERIES["streaming_seasonal_anomaly"] = streaming_seasonal_anomaly
 ORACLES["streaming_seasonal_anomaly"] = STREAMING_SEASONAL_ANOMALY_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_markov_next_event: the order-1 Markov baseline for next-event
+# prediction — per current type, the majority next type (from per-user
+# event sequences), and the in-sample accuracy that predictor achieves.
+# Transitions are one lead() window over user sequences; the argmax and
+# accuracy are aggregates over the bounded (type x type) transition matrix.
+def ev_markov_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select("event_type", F.lead("event_type").over(w).alias("nxt"))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("event_type", "nxt")
+        .agg(F.count("*").alias("c"))
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(F.desc("c"), F.asc("nxt"))
+    ranked = trans.withColumn("rn", F.row_number().over(w_rank))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.sum("c").alias("n_transitions"),
+            F.max(F.when(F.col("rn") == 1, F.col("nxt"))).alias("predicted_next"),
+            F.round(
+                F.max(F.when(F.col("rn") == 1, F.col("c"))) / F.sum("c"), 6
+            ).alias("accuracy"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EV_MARKOV_SQL = """
+WITH trans AS (
+  SELECT event_type, nxt, count(*) AS c FROM (
+    SELECT event_type,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+    FROM events
+  ) WHERE nxt IS NOT NULL GROUP BY event_type, nxt
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY c DESC, nxt ASC) AS rn
+  FROM trans
+)
+SELECT event_type,
+       CAST(sum(c) AS BIGINT) AS n_transitions,
+       max(CASE WHEN rn = 1 THEN nxt END) AS predicted_next,
+       round(CAST(max(CASE WHEN rn = 1 THEN c END) AS DOUBLE) / sum(c), 6) AS accuracy
+FROM ranked GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["ev_markov_next_event"] = ev_markov_next_event
+ORACLES["ev_markov_next_event"] = EV_MARKOV_SQL

@@ -1740,3 +1740,43 @@ FROM km WHERE d > 0 ORDER BY dur
 
 QUERIES["orders_survival_curve"] = orders_survival_curve
 ORACLES["orders_survival_curve"] = ORDERS_SURVIVAL_SQL
+
+
+# --------------------------------------------------------------------------
+# customer_gini: revenue-inequality Gini coefficient — the third member of
+# the concentration family (ABC buckets, HHI, Gini). Closed form over the
+# revenue-sorted per-customer aggregate: G = 2*sum(i*x_i)/(n*sum(x)) -
+# (n+1)/n, one rank window over the bounded customer aggregate.
+def customer_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double").alias("x")
+    )
+    w = Window.orderBy("x", "o_custkey")
+    ranked = per.withColumn("i", F.row_number().over(w))
+    return ranked.agg(
+        F.count("*").alias("n_customers"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x")) / (F.count("*") * F.sum("x"))
+            - (F.count("*") + 1.0) / F.count("*"),
+            6,
+        ).alias("gini"),
+    )
+
+
+CUSTOMER_GINI_SQL = """
+WITH per AS (
+  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS x
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i FROM per
+)
+SELECT count(*) AS n_customers,
+       round(2.0 * sum(i * x) / (count(*) * sum(x)) - (count(*) + 1.0) / count(*), 6) AS gini
+FROM ranked
+"""
+
+QUERIES["customer_gini"] = customer_gini
+ORACLES["customer_gini"] = CUSTOMER_GINI_SQL
