@@ -199,6 +199,8 @@ ROUND6_NEVER_GRADED = [
     "orders_survival_curve",
     "ev_markov_next_event",
     "customer_gini",
+    "ev_user_entropy",
+    "source_lang_jsd",
 ]
 
 

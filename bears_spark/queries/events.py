@@ -1754,3 +1754,49 @@ FROM ranked GROUP BY event_type ORDER BY event_type
 
 QUERIES["ev_markov_next_event"] = ev_markov_next_event
 ORACLES["ev_markov_next_event"] = EV_MARKOV_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_user_entropy: behavioral predictability — Shannon entropy of each
+# user's event-type distribution, summarized as the corpus histogram
+# (min/mean/max + exact quartiles). Per-user entropies come from two
+# bounded partial-agg groupBys ((user, type) then user); the summary
+# percentiles run over the per-user aggregate.
+def ev_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_ut = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("user_id")
+    p = F.col("c") / F.sum("c").over(w)
+    per_u = (
+        per_ut.withColumn("p", p)
+        .groupBy("user_id")
+        .agg((-F.sum(F.col("p") * F.log("p"))).alias("h"))
+    )
+    return per_u.agg(
+        F.count("*").alias("n_users"),
+        F.round(F.min("h"), 6).alias("h_min"),
+        F.round(F.avg("h"), 6).alias("h_mean"),
+        F.round(F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY h)"), 6).alias("h_p50"),
+        F.round(F.max("h"), 6).alias("h_max"),
+    )
+
+
+EV_USER_ENTROPY_SQL = """
+WITH per_ut AS (
+  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2
+), per_u AS (
+  SELECT user_id, -sum(p * ln(p)) AS h FROM (
+    SELECT user_id, CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY user_id) AS p
+    FROM per_ut
+  ) GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       round(min(h), 6) AS h_min,
+       round(avg(h), 6) AS h_mean,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY h), 6) AS h_p50,
+       round(max(h), 6) AS h_max
+FROM per_u
+"""
+
+QUERIES["ev_user_entropy"] = ev_user_entropy
+ORACLES["ev_user_entropy"] = EV_USER_ENTROPY_SQL

@@ -1510,3 +1510,57 @@ def doc_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["doc_compression_quality"] = doc_compression_quality
 # deliberately no ORACLES entry: zlib is not SQL-expressible
+
+
+# --------------------------------------------------------------------------
+# source_lang_jsd: pairwise Jensen-Shannon divergence between sources'
+# language distributions — the SYMMETRIC drift measure (source_lang_kl is
+# each source vs the corpus; JSD says which PAIRS of crawls differ, bounded
+# in [0, ln 2]). Computed over the pair's SHARED language support (langs
+# absent from either source are excluded — with this corpus every source
+# carries every language, so shared == full support; the oracle uses the
+# identical convention). The matrix is bounded by (sources^2 x langs).
+def source_lang_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("source")
+    dist = cnt.withColumn("p", F.col("c") / F.sum("c").over(w)).select("source", "lang", "p")
+    a = dist.withColumnsRenamed({"source": "source_x", "p": "px"})
+    b = dist.withColumnsRenamed({"source": "source_y", "p": "py"})
+    pair = a.join(b, "lang").filter(F.col("source_x") < F.col("source_y"))
+    # full outer per (pair, lang) is emulated by the union of one-sided terms:
+    # langs present in x but not y contribute px*ln(2) (and vice versa)
+    both = pair.select(
+        "source_x",
+        "source_y",
+        (
+            0.5 * F.col("px") * F.log(2.0 * F.col("px") / (F.col("px") + F.col("py")))
+            + 0.5 * F.col("py") * F.log(2.0 * F.col("py") / (F.col("px") + F.col("py")))
+        ).alias("term"),
+    )
+    shared = both.groupBy("source_x", "source_y").agg(F.sum("term").alias("jsd_shared"))
+    return shared.select(
+        "source_x", "source_y", F.round("jsd_shared", 6).alias("jsd")
+    ).orderBy("source_x", "source_y")
+
+
+SOURCE_LANG_JSD_SQL = """
+WITH cnt AS (
+  SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2
+), dist AS (
+  SELECT source, lang, CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY source) AS p
+  FROM cnt
+)
+SELECT a.source AS source_x, b.source AS source_y,
+       round(sum(
+         0.5 * a.p * ln(2.0 * a.p / (a.p + b.p))
+         + 0.5 * b.p * ln(2.0 * b.p / (a.p + b.p))
+       ), 6) AS jsd
+FROM dist a JOIN dist b ON a.lang = b.lang AND a.source < b.source
+GROUP BY a.source, b.source ORDER BY source_x, source_y
+"""
+
+QUERIES["source_lang_jsd"] = source_lang_jsd
+ORACLES["source_lang_jsd"] = SOURCE_LANG_JSD_SQL
