@@ -124,11 +124,35 @@ class FileEntry:
     path: str
     rows: int
     stats: dict = field(default_factory=dict)  # col -> {"min": v, "max": v}
+    # col -> {"m": bits, "k": hashes, "bits": hex bitmap} — per-file Bloom
+    # filters (Delta/Iceberg-style) for point-lookup pruning on columns whose
+    # min/max ranges overlap across files (unclustered keys)
+    blooms: dict = field(default_factory=dict)
+
+    def _bloom_rejects(self, col: str, value) -> bool:
+        """True when the file's Bloom filter PROVES ``col = value`` matches no
+        row. False negatives are impossible (standard Bloom guarantee), so
+        this only ever removes files the equality scan could skip anyway."""
+        import hashlib
+
+        b = self.blooms.get(col)
+        if not b:
+            return False
+        bits = int(b["bits"], 16)
+        for i in range(b["k"]):
+            # mirror functions/sketch.bloom_positions: md5_hash64(cast-to-
+            # string value, salt=i) % m — int/str casts match Spark's
+            h = int(hashlib.md5(f"{i}:{value}".encode()).hexdigest()[:15], 16) % b["m"]
+            if not (bits >> h) & 1:
+                return True
+        return False
 
     def may_match(self, col: str, op: str, value) -> bool:
         """False only when NO row in this file can satisfy ``col op value``.
         Missing stats (absent column, all-null chunk, un-encodable type)
         conservatively match."""
+        if op in ("=", "==") and self._bloom_rejects(col, value):
+            return False
         s = self.stats.get(col)
         if not s or s.get("min") is None or s.get("max") is None:
             return True
@@ -158,11 +182,18 @@ class SnapshotTable:
     (``max_commit_retries`` bounds the loop)."""
 
     def __init__(self, spark: SparkSession, path: str, store: CommitStore | None = None,
-                 max_commit_retries: int = 10):
+                 max_commit_retries: int = 10, bloom_cols: list[str] | None = None,
+                 bloom_bits: int = 4096, bloom_k: int = 3):
         self.spark = spark
         self.path = path
         self.store = store or LocalCommitStore()
         self.max_commit_retries = max_commit_retries
+        # per-file Bloom filters on these (int/string) columns: point-lookup
+        # pruning where min/max can't help — an unclustered key's range spans
+        # every file, but its VALUE set per file is small and bloomable
+        self.bloom_cols = list(bloom_cols or [])
+        self.bloom_bits = bloom_bits
+        self.bloom_k = bloom_k
 
     # -- commit protocol ----------------------------------------------------
     def _manifest_key(self, version: int) -> str:
@@ -232,7 +263,45 @@ class SnapshotTable:
                         if kmx > _decode_stat(cur["max"]):
                             cur["max"] = mx
             entries.append(FileEntry(path=fpath, rows=md.num_rows, stats=stats))
+        self._attach_blooms(subdir, entries)
         return entries
+
+    def _attach_blooms(self, subdir: str, entries: list[FileEntry]) -> None:
+        """Fit per-file Bloom filters for ``bloom_cols`` with ONE distributed
+        pass over the just-written files (grouped by input_file_name); the
+        driver collects at most files x m_bits positions per column, never
+        row data. At cluster scale this pass pipelines with the write job
+        itself; the post-pass here keeps the commit path simple."""
+        if not self.bloom_cols:
+            return
+        from urllib.parse import unquote
+
+        from pyspark.sql import functions as F
+
+        from bears_spark.functions.sketch import bloom_positions
+
+        src = self.spark.read.parquet(subdir)
+        cols = [c for c in self.bloom_cols if c in src.columns]
+        if not cols:
+            return
+        by_path = {os.path.abspath(e.path): e for e in entries}
+        base = src.select(F.input_file_name().alias("__f"), *cols)
+        for col in cols:
+            rows = (
+                base.select(
+                    "__f", F.explode(bloom_positions(F.col(col), self.bloom_bits, self.bloom_k)).alias("__p")
+                )
+                .distinct()
+                .collect()
+            )
+            acc: dict[str, int] = {}
+            for r in rows:
+                local = os.path.abspath(unquote(r["__f"].removeprefix("file:")))
+                acc[local] = acc.get(local, 0) | (1 << r["__p"])
+            for local, bits in acc.items():
+                e = by_path.get(local)
+                if e is not None:
+                    e.blooms[col] = {"m": self.bloom_bits, "k": self.bloom_k, "bits": format(bits, "x")}
 
     def _commit(self, operation: str, build_files, txn: tuple[str, int] | None = None) -> int:
         """CAS commit loop: build the file list against the current parent,

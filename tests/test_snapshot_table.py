@@ -668,3 +668,36 @@ def test_concurrent_commit_stress_no_lost_updates(spark, tmp_path):
     assert ids == sorted(list(range(0, 50)) + list(range(1000, 1050)))
     ops = [h["operation"] for h in t1.snapshots()]
     assert ops.count("append") == 10
+
+
+def test_bloom_filters_prune_unclustered_point_lookups(spark, tmp_path):
+    """Interleaved key sets: every file's min/max RANGE covers every probe
+    value (range stats prune nothing), but the per-file value SETS are
+    disjoint — the manifest Bloom filters must prune to one file for '='
+    probes, with zero false negatives."""
+    t = SnapshotTable(spark, str(tmp_path / "bloomed"), bloom_cols=["k"])
+    # file i holds k in {i, i+10, i+20, ... i+90}: ranges all ~[i, i+90]
+    def keyed(i):
+        return spark.range(10).select((F.col("id") * 10 + i).alias("k"), F.lit(i).alias("src"))
+
+    t.overwrite(keyed(0).coalesce(1))
+    t.append(keyed(1).coalesce(1))
+    t.append(keyed(2).coalesce(1))
+    assert len(t.files()) == 3
+    # every file's [min, max] range contains 41 — range stats alone keep all 3
+    from bears_spark.io.snapshot_table import _decode_stat
+
+    for e in t.files():
+        assert _decode_stat(e.stats["k"]["min"]) <= 41 <= _decode_stat(e.stats["k"]["max"])
+    # bloom prunes to exactly the one file that holds k=41 (file 1)
+    hit = t.files(where=("k", "=", 41))
+    assert len(hit) == 1
+    assert t.read(where=("k", "=", 41)).count() == 1
+    # no false negatives on spot probes of present keys
+    for probe in (0, 11, 22, 90, 91, 92):
+        expect = 1
+        assert t.read(where=("k", "=", probe)).count() == expect
+    # a value in no file: bloom + stats prune everything, typed empty result
+    assert t.read(where=("k", "=", 55)).count() == 0
+    # time travel keeps the blooms (they live in the manifest)
+    assert len(t.files(version=2, where=("k", "=", 41))) == 1
