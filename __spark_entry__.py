@@ -201,6 +201,7 @@ ROUND6_NEVER_GRADED = [
     "customer_gini",
     "ev_user_entropy",
     "source_lang_jsd",
+    "orders_bloom_point_lookup",
 ]
 
 

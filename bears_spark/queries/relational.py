@@ -1780,3 +1780,74 @@ FROM ranked
 
 QUERIES["customer_gini"] = customer_gini
 ORACLES["customer_gini"] = CUSTOMER_GINI_SQL
+
+
+# --------------------------------------------------------------------------
+# orders_bloom_point_lookup: the manifest-Bloom pruning path graded end-to-
+# end — the table is committed in orderkey ranges (so every file's
+# o_custkey min/max spans the whole domain and range stats cannot prune a
+# customer probe), with Bloom filters on o_custkey; the point lookup reads
+# through read(where=) and must return exactly the probed customer's
+# orders. The oracle is the straight relational scan.
+_BLOOM_CUST = 7
+
+
+def orders_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders")
+    t = SnapshotTable(
+        spark,
+        tempfile.mkdtemp(prefix="snaptbl_bloom_"),
+        bloom_cols=["o_custkey"],
+        # 64K bits: keeps the false-positive rate ~0 at every SF, so
+        # n_files_scanned equals TRUE file membership (which the oracle
+        # derives relationally) rather than membership-plus-fp-noise
+        bloom_bits=1 << 16,
+    )
+    try:
+        third = o.agg(F.max("o_orderkey")).first()[0] // 3
+        t.overwrite(o.filter(F.col("o_orderkey") <= third).coalesce(1))
+        t.append(o.filter((F.col("o_orderkey") > third) & (F.col("o_orderkey") <= 2 * third)).coalesce(1))
+        t.append(o.filter(F.col("o_orderkey") > 2 * third).coalesce(1))
+        pruned = len(t.files(where=("o_custkey", "=", _BLOOM_CUST)))
+        out = (
+            t.read(where=("o_custkey", "=", _BLOOM_CUST))
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double"), 6
+                ).alias("total"),
+            )
+            .withColumn("n_files_scanned", F.lit(pruned))
+            .orderBy("o_orderstatus")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(t.path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n bigint, total double, n_files_scanned int"
+    )
+
+
+ORDERS_BLOOM_LOOKUP_SQL = f"""
+WITH hit AS (SELECT * FROM orders WHERE o_custkey = {_BLOOM_CUST}),
+files AS (
+  SELECT count(DISTINCT CASE WHEN o_custkey = {_BLOOM_CUST} THEN
+           CASE WHEN o_orderkey <= (SELECT max(o_orderkey) // 3 FROM orders) THEN 1
+                WHEN o_orderkey <= 2 * (SELECT max(o_orderkey) // 3 FROM orders) THEN 2
+                ELSE 3 END END) AS n_files
+  FROM orders
+)
+SELECT o_orderstatus, count(*) AS n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 6) AS total,
+       (SELECT CAST(n_files AS INT) FROM files) AS n_files_scanned
+FROM hit GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+QUERIES["orders_bloom_point_lookup"] = orders_bloom_point_lookup
+ORACLES["orders_bloom_point_lookup"] = ORDERS_BLOOM_LOOKUP_SQL
