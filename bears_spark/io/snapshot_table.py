@@ -284,6 +284,17 @@ class SnapshotTable:
         cols = [c for c in self.bloom_cols if c in src.columns]
         if not cols:
             return
+        # int/string only: the read-side membership probe re-hashes the probe
+        # value with Python str(), which matches Spark's cast-to-string for
+        # these types; float/date/timestamp renderings can differ, which
+        # would silently break the no-false-negative guarantee
+        allowed = {"tinyint", "smallint", "int", "bigint", "string"}
+        bad = [c for c in cols if dict(src.dtypes)[c] not in allowed]
+        if bad:
+            raise ValueError(
+                f"bloom_cols must be integer or string columns; got {bad} "
+                f"({[dict(src.dtypes)[c] for c in bad]})"
+            )
         by_path = {os.path.abspath(e.path): e for e in entries}
         base = src.select(F.input_file_name().alias("__f"), *cols)
         for col in cols:

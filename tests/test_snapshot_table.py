@@ -701,3 +701,26 @@ def test_bloom_filters_prune_unclustered_point_lookups(spark, tmp_path):
     assert t.read(where=("k", "=", 55)).count() == 0
     # time travel keeps the blooms (they live in the manifest)
     assert len(t.files(version=2, where=("k", "=", 41))) == 1
+
+
+def test_bloom_rejects_unsupported_types_and_survives_streaming(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # float columns would break the no-false-negative guarantee -> refused
+    t = SnapshotTable(spark, str(tmp_path / "b1"), bloom_cols=["x"])
+    with pytest.raises(ValueError, match="integer or string"):
+        t.overwrite(spark.range(5).select(F.col("id").cast("double").alias("x")))
+
+    # blooms attach through the streaming-ingest sink too
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(pa.table({"k": [1, 2, 3], "v": [10, 20, 30]}), str(src / "a.parquet"))
+    t2 = SnapshotTable(spark, str(tmp_path / "b2"), bloom_cols=["k"])
+    stream = (
+        spark.readStream.schema("k long, v long").option("maxFilesPerTrigger", 1).parquet(str(src) + "/")
+    )
+    q = t2.streaming_append(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert all("k" in e.blooms for e in t2.files())
+    assert len(t2.files(where=("k", "=", 999))) == 0  # bloom-pruned everything
