@@ -202,6 +202,8 @@ ROUND6_NEVER_GRADED = [
     "ev_user_entropy",
     "source_lang_jsd",
     "orders_bloom_point_lookup",
+    "orders_arrow_roundtrip",
+    "ev_user_features",
 ]
 
 

@@ -1800,3 +1800,40 @@ FROM per_u
 
 QUERIES["ev_user_entropy"] = ev_user_entropy
 ORACLES["ev_user_entropy"] = EV_USER_ENTROPY_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_user_features: the feature-store materialization shape — one row per
+# user with the behavioral features a ranking/churn model consumes (volume,
+# diversity, value stats, recency span), all from a single partial-agg
+# groupBy over the fact stream. At scale this lands in a snapshot table and
+# refreshes incrementally (orders_change_feed shape); the oracle recomputes
+# every feature relationally.
+def ev_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.round(F.avg("value"), 6).alias("mean_value"),
+            F.countDistinct(F.to_date("ts")).alias("active_days"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("span_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EV_USER_FEATURES_SQL = """
+SELECT user_id, count(*) AS n_events,
+       count(DISTINCT event_type) AS n_types,
+       round(sum(value), 6) AS total_value,
+       round(avg(value), 6) AS mean_value,
+       count(DISTINCT CAST(ts AS DATE)) AS active_days,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+QUERIES["ev_user_features"] = ev_user_features
+ORACLES["ev_user_features"] = EV_USER_FEATURES_SQL

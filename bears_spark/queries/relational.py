@@ -1851,3 +1851,48 @@ FROM hit GROUP BY o_orderstatus ORDER BY o_orderstatus
 
 QUERIES["orders_bloom_point_lookup"] = orders_bloom_point_lookup
 ORACLES["orders_bloom_point_lookup"] = ORDERS_BLOOM_LOOKUP_SQL
+
+
+# --------------------------------------------------------------------------
+# orders_arrow_roundtrip: the Arrow IPC format graded end-to-end — orders
+# write as partitioned .arrow files (one per task through pyarrow.fs), read
+# back via the binaryFile + per-task IPC decode path, and aggregate; the
+# oracle aggregates the source table directly, so any row lost, duplicated,
+# or value-corrupted in either direction fails the hash.
+def orders_arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from bears_spark.io.reader import Reader
+    from bears_spark.io.writer import Writer
+
+    o = load_table(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="arrow_rt_") + "/orders.arrow"
+    try:
+        Writer.of("arrow").write(o.repartition(4), out)
+        back = Reader.of("arrow").read(out, spark=spark).df
+        rows = (
+            back.groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.countDistinct("o_custkey").alias("n_cust"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double"), 6
+                ).alias("total"),
+            )
+            .orderBy("o_orderstatus")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(out.rsplit("/", 1)[0], ignore_errors=True)
+    return spark.createDataFrame(rows, "o_orderstatus string, n bigint, n_cust bigint, total double")
+
+
+ORDERS_ARROW_RT_SQL = """
+SELECT o_orderstatus, count(*) AS n, count(DISTINCT o_custkey) AS n_cust,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 6) AS total
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+QUERIES["orders_arrow_roundtrip"] = orders_arrow_roundtrip
+ORACLES["orders_arrow_roundtrip"] = ORDERS_ARROW_RT_SQL
