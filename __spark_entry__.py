@@ -204,6 +204,7 @@ ROUND6_NEVER_GRADED = [
     "orders_bloom_point_lookup",
     "orders_arrow_roundtrip",
     "ev_user_features",
+    "ev_ab_welch",
 ]
 
 

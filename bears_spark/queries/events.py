@@ -1837,3 +1837,59 @@ FROM events GROUP BY user_id ORDER BY user_id
 
 QUERIES["ev_user_features"] = ev_user_features
 ORACLES["ev_user_features"] = EV_USER_FEATURES_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_ab_welch: the experimentation readout — users hash-split into A/B,
+# per-user value totals compared with Welch's unequal-variance t statistic
+# (+ Welch-Satterthwaite dof) and the sample-ratio-mismatch chi-square
+# every A/B platform alarms on. Unit of analysis is the USER (per-user
+# aggregate first — variance of user totals, not raw events), so the whole
+# test is two bounded aggregations. All moments via sum/count closed forms.
+def ev_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.hashing import md5_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.sum("value").alias("x"))
+    armed = per_user.withColumn(
+        "arm", F.when(md5_hash64("user_id", salt="ab") % 2 == 0, "A").otherwise("B")
+    )
+    stats = armed.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.avg("x").alias("m"),
+        F.var_samp("x").alias("v"),
+    )
+    a = stats.filter(F.col("arm") == "A").first()
+    b = stats.filter(F.col("arm") == "B").first()
+    na, nb = a["n"], b["n"]
+    se2a, se2b = a["v"] / na, b["v"] / nb
+    t = (a["m"] - b["m"]) / (se2a + se2b) ** 0.5
+    dof = (se2a + se2b) ** 2 / (se2a**2 / (na - 1) + se2b**2 / (nb - 1))
+    srm = (na - nb) ** 2 / (na + nb)  # chi-square vs the designed 50/50
+    return spark.createDataFrame(
+        [(na, nb, round(a["m"], 6), round(b["m"], 6), round(t, 6), round(dof, 6), round(srm, 6))],
+        "n_a bigint, n_b bigint, mean_a double, mean_b double, t_stat double, dof double, srm_chisq double",
+    )
+
+
+EV_AB_WELCH_SQL = """
+WITH per_user AS (
+  SELECT user_id, sum(value) AS x FROM events GROUP BY user_id
+), armed AS (
+  SELECT x, CASE WHEN ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+                 THEN 'A' ELSE 'B' END AS arm
+  FROM per_user
+), s AS (
+  SELECT arm, count(*) AS n, avg(x) AS m, var_samp(x) AS v FROM armed GROUP BY arm
+), a AS (SELECT * FROM s WHERE arm = 'A'), b AS (SELECT * FROM s WHERE arm = 'B')
+SELECT a.n AS n_a, b.n AS n_b,
+       round(a.m, 6) AS mean_a, round(b.m, 6) AS mean_b,
+       round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6) AS t_stat,
+       round(pow(a.v / a.n + b.v / b.n, 2)
+             / (pow(a.v / a.n, 2) / (a.n - 1) + pow(b.v / b.n, 2) / (b.n - 1)), 6) AS dof,
+       round(pow(a.n - b.n, 2) / CAST(a.n + b.n AS DOUBLE), 6) AS srm_chisq
+FROM a, b
+"""
+
+QUERIES["ev_ab_welch"] = ev_ab_welch
+ORACLES["ev_ab_welch"] = EV_AB_WELCH_SQL
