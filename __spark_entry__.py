@@ -205,6 +205,7 @@ ROUND6_NEVER_GRADED = [
     "orders_arrow_roundtrip",
     "ev_user_features",
     "ev_ab_welch",
+    "ev_ab_cuped",
 ]
 
 

@@ -1893,3 +1893,92 @@ FROM a, b
 
 QUERIES["ev_ab_welch"] = ev_ab_welch
 ORACLES["ev_ab_welch"] = EV_AB_WELCH_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_ab_cuped: CUPED variance reduction (Deng et al. 2013) — the standard
+# trick that makes A/B tests converge faster: regress the experiment-period
+# metric on a PRE-period covariate (theta = cov(y,x)/var(x)), subtract the
+# explained component, and test the adjusted metric. Pre/post split at the
+# fixed mid-window date; per-user aggregates first (one groupBy), then the
+# closed-form moments. Output: theta, the variance reduction CUPED bought,
+# and Welch t on both raw and adjusted metrics.
+_CUPED_SPLIT = "2024-01-16"
+
+
+def ev_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.hashing import md5_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < _CUPED_SPLIT, F.col("value")).otherwise(0.0)).alias("x"),
+        F.sum(F.when(F.col("ts") >= _CUPED_SPLIT, F.col("value")).otherwise(0.0)).alias("y"),
+    )
+    mo = per_user.agg(
+        F.covar_samp("y", "x").alias("cxy"),
+        F.var_samp("x").alias("vx"),
+        F.avg("x").alias("mx"),
+        F.var_samp("y").alias("vy"),
+    ).first()
+    theta = mo["cxy"] / mo["vx"]
+    adj = per_user.select(
+        "user_id",
+        "y",
+        (F.col("y") - F.lit(theta) * (F.col("x") - F.lit(mo["mx"]))).alias("y_adj"),
+    ).withColumn("arm", F.when(md5_hash64("user_id", salt="ab") % 2 == 0, "A").otherwise("B"))
+    s = adj.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.avg("y").alias("my"),
+        F.var_samp("y").alias("vy"),
+        F.avg("y_adj").alias("ma"),
+        F.var_samp("y_adj").alias("va"),
+    )
+    a = s.filter(F.col("arm") == "A").first()
+    b = s.filter(F.col("arm") == "B").first()
+
+    def welch(m1, v1, n1, m2, v2, n2):
+        return (m1 - m2) / (v1 / n1 + v2 / n2) ** 0.5
+
+    var_adj = adj.agg(F.var_samp("y_adj").alias("v")).first()["v"]
+    return spark.createDataFrame(
+        [
+            (
+                round(theta, 6),
+                round(1.0 - var_adj / mo["vy"], 6),
+                round(welch(a["my"], a["vy"], a["n"], b["my"], b["vy"], b["n"]), 6),
+                round(welch(a["ma"], a["va"], a["n"], b["ma"], b["va"], b["n"]), 6),
+            )
+        ],
+        "theta double, var_reduction double, t_raw double, t_cuped double",
+    )
+
+
+EV_AB_CUPED_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         sum(CASE WHEN ts < '{_CUPED_SPLIT}' THEN value ELSE 0.0 END) AS x,
+         sum(CASE WHEN ts >= '{_CUPED_SPLIT}' THEN value ELSE 0.0 END) AS y
+  FROM events GROUP BY user_id
+), mo AS (
+  SELECT covar_samp(y, x) / var_samp(x) AS theta, avg(x) AS mx, var_samp(y) AS vy
+  FROM per_user
+), adj AS (
+  SELECT user_id, y, y - mo.theta * (x - mo.mx) AS y_adj,
+         CASE WHEN ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm
+  FROM per_user, mo
+), s AS (
+  SELECT arm, count(*) AS n, avg(y) AS my, var_samp(y) AS vy,
+         avg(y_adj) AS ma, var_samp(y_adj) AS va
+  FROM adj GROUP BY arm
+), a AS (SELECT * FROM s WHERE arm = 'A'), b AS (SELECT * FROM s WHERE arm = 'B'),
+va_all AS (SELECT var_samp(y_adj) AS v FROM adj)
+SELECT round((SELECT theta FROM mo), 6) AS theta,
+       round(1.0 - (SELECT v FROM va_all) / (SELECT vy FROM mo), 6) AS var_reduction,
+       round((a.my - b.my) / sqrt(a.vy / a.n + b.vy / b.n), 6) AS t_raw,
+       round((a.ma - b.ma) / sqrt(a.va / a.n + b.va / b.n), 6) AS t_cuped
+FROM a, b
+"""
+
+QUERIES["ev_ab_cuped"] = ev_ab_cuped
+ORACLES["ev_ab_cuped"] = EV_AB_CUPED_SQL
