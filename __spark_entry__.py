@@ -206,6 +206,7 @@ ROUND6_NEVER_GRADED = [
     "ev_user_features",
     "ev_ab_welch",
     "ev_ab_cuped",
+    "ev_ab_quantiles",
 ]
 
 

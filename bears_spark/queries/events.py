@@ -1982,3 +1982,67 @@ FROM a, b
 
 QUERIES["ev_ab_cuped"] = ev_ab_cuped
 ORACLES["ev_ab_cuped"] = EV_AB_CUPED_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_ab_quantiles: quantile treatment effects — mean shifts hide
+# distributional change; per-arm exact p25/p50/p75 of user totals with the
+# A-minus-B differences tell you WHERE the movement happened. percentile_
+# cont over the per-user aggregate (bounded), identical interpolation on
+# both engines.
+def ev_ab_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.hashing import md5_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.sum("value").alias("x"))
+    armed = per_user.withColumn(
+        "arm", F.when(md5_hash64("user_id", salt="ab") % 2 == 0, "A").otherwise("B")
+    )
+    q = armed.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        *[
+            F.round(
+                F.expr(f"percentile_cont({p}) WITHIN GROUP (ORDER BY x)"), 6
+            ).alias(f"p{int(p * 100)}")
+            for p in (0.25, 0.5, 0.75)
+        ],
+    )
+    a = q.filter(F.col("arm") == "A").first()
+    b = q.filter(F.col("arm") == "B").first()
+    return spark.createDataFrame(
+        [
+            (
+                a["n"], b["n"],
+                a["p25"], b["p25"], round(a["p25"] - b["p25"], 6),
+                a["p50"], b["p50"], round(a["p50"] - b["p50"], 6),
+                a["p75"], b["p75"], round(a["p75"] - b["p75"], 6),
+            )
+        ],
+        "n_a bigint, n_b bigint, p25_a double, p25_b double, qte25 double, "
+        "p50_a double, p50_b double, qte50 double, p75_a double, p75_b double, qte75 double",
+    )
+
+
+EV_AB_QUANTILES_SQL = """
+WITH per_user AS (
+  SELECT user_id, sum(value) AS x FROM events GROUP BY user_id
+), armed AS (
+  SELECT x, CASE WHEN ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+                 THEN 'A' ELSE 'B' END AS arm
+  FROM per_user
+), q AS (
+  SELECT arm, count(*) AS n,
+         round(percentile_cont(0.25) WITHIN GROUP (ORDER BY x), 6) AS p25,
+         round(percentile_cont(0.50) WITHIN GROUP (ORDER BY x), 6) AS p50,
+         round(percentile_cont(0.75) WITHIN GROUP (ORDER BY x), 6) AS p75
+  FROM armed GROUP BY arm
+), a AS (SELECT * FROM q WHERE arm = 'A'), b AS (SELECT * FROM q WHERE arm = 'B')
+SELECT a.n AS n_a, b.n AS n_b,
+       a.p25 AS p25_a, b.p25 AS p25_b, round(a.p25 - b.p25, 6) AS qte25,
+       a.p50 AS p50_a, b.p50 AS p50_b, round(a.p50 - b.p50, 6) AS qte50,
+       a.p75 AS p75_a, b.p75 AS p75_b, round(a.p75 - b.p75, 6) AS qte75
+FROM a, b
+"""
+
+QUERIES["ev_ab_quantiles"] = ev_ab_quantiles
+ORACLES["ev_ab_quantiles"] = EV_AB_QUANTILES_SQL
