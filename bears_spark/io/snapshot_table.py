@@ -302,6 +302,9 @@ class SnapshotTable:
                 base.select(
                     "__f", F.explode(bloom_positions(F.col(col), self.bloom_bits, self.bloom_k)).alias("__p")
                 )
+                # null keys hash to null positions; '=' probes never match
+                # null rows (SQL semantics), so they contribute no bits
+                .filter(F.col("__p").isNotNull())
                 .distinct()
                 .collect()
             )
@@ -386,6 +389,44 @@ class SnapshotTable:
             return keep + new
 
         return self._commit("delete", build)
+
+    def delete_keys(self, col: str, keys) -> int:
+        """Bulk keyed delete — the GDPR/right-to-be-forgotten path: given a
+        forget-list of key values, rewrite ONLY the files that can contain
+        any of them (every pruning signal applies per key: Bloom filters
+        prove absence on unclustered keys, min/max on clustered ones) and
+        anti-join the keys out. Null-keyed rows always survive (no key in
+        the list IS a null). ``keys``: list of values or a 1-column
+        DataFrame (collected — a forget-list is bounded by contract; for
+        a huge one, batch calls)."""
+        from pyspark.sql import functions as F
+
+        if isinstance(keys, DataFrame):
+            kcol = keys.columns[0]
+            key_vals = [r[kcol] for r in keys.select(kcol).distinct().collect()]
+        else:
+            key_vals = list(dict.fromkeys(keys))
+        key_vals = [k for k in key_vals if k is not None]
+        if not key_vals:
+            return self.current_version()
+
+        def build(parent_m: dict) -> list[FileEntry]:
+            prior = [FileEntry(**e) for e in parent_m["files"]]
+            keep, rewrite = [], []
+            for e in prior:
+                if any(e.may_match(col, "=", k) for k in key_vals):
+                    rewrite.append(e)
+                else:
+                    keep.append(e)
+            new = []
+            if rewrite:
+                survivors = self.spark.read.parquet(*[e.path for e in rewrite]).filter(
+                    ~F.col(col).isin(key_vals) | F.col(col).isNull()
+                )
+                new = self._write_files(survivors)
+            return keep + new
+
+        return self._commit("delete-keys", build)
 
     def overwrite_clustered(self, df: DataFrame, cluster_cols: list[str], bits: int = 8, num_files: int | None = None) -> int:
         """Z-order-clustered overwrite: quantize the cluster columns from

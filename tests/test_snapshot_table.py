@@ -724,3 +724,35 @@ def test_bloom_rejects_unsupported_types_and_survives_streaming(spark, tmp_path)
     q.awaitTermination(120)
     assert all("k" in e.blooms for e in t2.files())
     assert len(t2.files(where=("k", "=", 999))) == 0  # bloom-pruned everything
+
+
+def test_delete_keys_gdpr_path_prunes_with_blooms(spark, tmp_path):
+    """Forget-list delete: only files that can contain a listed key rewrite
+    (bloom-proven absence keeps the rest by reference); null keys survive;
+    history is intact."""
+    t = SnapshotTable(spark, str(tmp_path / "gdpr"), bloom_cols=["k"])
+
+    def keyed(i):  # file i holds k in {i, i+10, ..., i+90} + one null row
+        base = spark.range(10).select((F.col("id") * 10 + i).alias("k"), F.lit(i).alias("src"))
+        return base.unionByName(
+            spark.createDataFrame([(None, i)], "k long, src long")
+        )
+
+    t.overwrite(keyed(0).coalesce(1))
+    t.append(keyed(1).coalesce(1))
+    t.append(keyed(2).coalesce(1))
+    files_before = {e.path for e in t.files()}
+    v = t.delete_keys("k", [41, 61, None])  # both live in file 1 only
+    assert v == 4
+    # files 0 and 2 carried by reference (bloom proves absence of 41/61)
+    assert len({e.path for e in t.files()} & files_before) == 2
+    remaining = t.read()
+    assert remaining.filter(F.col("k").isin([41, 61])).count() == 0
+    assert remaining.filter(F.col("k").isNull()).count() == 3  # nulls survive
+    assert remaining.count() == 33 - 2
+    # pre-delete snapshot intact; empty forget-list is a no-op version
+    assert t.read(version=3).count() == 33
+    assert t.delete_keys("k", []) == 4
+    # DataFrame-shaped forget list works too
+    t.delete_keys("k", spark.createDataFrame([(22,)], "k long"))
+    assert t.read().filter("k = 22").count() == 0
