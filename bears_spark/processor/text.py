@@ -336,3 +336,85 @@ def pseudonymize(col: Column | str, secret: str, length: int = 16) -> Column:
     return F.when(
         c.isNotNull(), F.substring(F.sha2(F.concat(F.lit(secret), F.lit(":"), c.cast("string")), 256), 1, length)
     )
+
+
+@register_processor
+class TokenCount(SingleColumnProcessor):
+    """Whitespace token count (TEXT -> INT) — corpus accounting as a
+    config-drivable pipeline stage (functions/text.token_count)."""
+
+    aliases = ("tokencount", "ntokens")
+    output_mltype = "INT"
+
+    def transform_expr(self, col: Column) -> Column:
+        from bears_spark.functions.text import token_count
+
+        return token_count(col).cast("bigint")
+
+
+@register_processor
+class LanguageId(SingleColumnProcessor):
+    """Stopword-vote language ID (TEXT -> CATEGORICAL) — the round-robin
+    lang gate usable inside a DataPipeline (functions/text.lang_id)."""
+
+    aliases = ("languageid", "langid")
+    output_mltype = "CATEGORICAL"
+
+    def transform_expr(self, col: Column) -> Column:
+        from bears_spark.functions.text import lang_id
+
+        return lang_id(col)
+
+
+@register_processor
+class GopherQualityFlag(SingleColumnProcessor):
+    """Gopher-style quality keep flag (TEXT -> BOOL): the integer-exact rule
+    set from functions/quality, staged so the token array evaluates once."""
+
+    aliases = ("gopherquality", "qualityflag")
+    output_mltype = "BOOL"
+
+    def apply(self, df: DataFrame, in_col: str, out_col: str) -> DataFrame:
+        from bears_spark.functions.quality import gopher_keep, word_quality_stats
+        from bears_spark.functions.text import tokenize
+
+        staged = df.withColumn("__toks__", tokenize(F.lower(F.col(in_col))))
+        out = staged.withColumn(out_col, gopher_keep(word_quality_stats(F.col("__toks__"))))
+        return out.drop("__toks__")
+
+    def transform_expr(self, col: Column) -> Column:
+        from bears_spark.functions.quality import gopher_keep, word_quality_stats
+        from bears_spark.functions.text import tokenize
+
+        return gopher_keep(word_quality_stats(tokenize(F.lower(col))))
+
+
+@register_processor
+class CompressionRatioScore(SingleColumnProcessor):
+    """zlib compression ratio (TEXT -> FLOAT) — the RefinedWeb-style
+    repetitiveness signal as a pipeline stage; Arrow-batched Python (no SQL
+    DEFLATE exists), values pinned by test_compression_ratio_known_values."""
+
+    aliases = ("compressionratio", "zlibratio")
+    output_mltype = "FLOAT"
+
+    def __init__(self, level: int = 6, **params):
+        super().__init__(level=level, **params)
+        self.level = level
+
+    def transform_expr(self, col: Column) -> Column:
+        import zlib
+
+        from bears_spark.frame import _elementwise_pandas_udf
+
+        lvl = self.level
+
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return None
+            return len(zlib.compress(raw, lvl)) / len(raw)
+
+        return _elementwise_pandas_udf(one, "double")(col)

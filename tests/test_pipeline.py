@@ -92,3 +92,33 @@ def test_mltype_input_selection(spark):
     pipe = DataPipeline([PipelineStepConfig(input="FLOAT", transformer="numimpute", output="{col_name}_f")])
     out = pipe.fit_transform(df)
     assert "n_f" in out.columns
+
+
+def test_round5_quality_processors_in_pipeline(spark):
+    """The round-5 corpus signals as config-driven pipeline stages: token
+    count, language id, Gopher flag, zlib ratio — one DataPipeline pass."""
+    from bears_spark.pipeline import DataPipeline
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and runs far away today"),
+            (2, "spam " * 60),
+            (3, "der schnelle braune fuchs springt und die hunde laufen mit ihnen heute"),
+        ],
+        "doc_id long, text string",
+    )
+    pipe = DataPipeline.from_config(
+        {
+            "pipeline": [
+                {"input": "text", "transformer": "token_count", "output": "n_tok"},
+                {"input": "text", "transformer": "lang_id", "output": "lang"},
+                {"input": "text", "transformer": "gopher_quality", "output": "keep"},
+                {"input": "text", "transformer": "zlib_ratio", "output": "zr"},
+            ]
+        }
+    )
+    out = {r["doc_id"]: r for r in pipe.fit_transform(df).collect()}
+    assert out[1]["n_tok"] == 14 and out[1]["lang"] == "en" and out[1]["keep"]
+    assert out[3]["lang"] == "de"
+    assert not out[2]["keep"]  # repetition fails the distinct-word rule
+    assert out[2]["zr"] < 0.15 < out[1]["zr"]  # boilerplate compresses away
