@@ -207,6 +207,7 @@ ROUND6_NEVER_GRADED = [
     "ev_ab_welch",
     "ev_ab_cuped",
     "ev_ab_quantiles",
+    "pipeline_quality_gate",
 ]
 
 

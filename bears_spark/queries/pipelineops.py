@@ -677,3 +677,63 @@ GROUP BY t.pos
 
 QUERIES["emb_dimension_stats"] = emb_dimension_stats
 ORACLES["emb_dimension_stats"] = EMB_DIM_STATS_SQL
+
+
+# --------------------------------------------------------------------------
+# pipeline_quality_gate: the corpus-quality signals driven THROUGH the
+# config-driven DataPipeline (integration-level grading: the registry
+# resolution, schema propagation, and each processor's expression must all
+# be right for the hash to match) — token count, language id, and the
+# Gopher keep flag in one configured pass; the oracle recomputes all three
+# relationally from their established SQL formulations.
+def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pipe = DataPipeline.from_config(
+        {
+            "pipeline": [
+                {"input": "text", "transformer": "token_count", "output": "n_tok"},
+                {"input": "text", "transformer": "lang_id", "output": "lang_pred"},
+                {"input": "text", "transformer": "gopher_quality", "output": "keep"},
+            ]
+        }
+    )
+    out = pipe.fit_transform(docs)
+    return out.select("doc_id", "n_tok", "lang_pred", "keep").orderBy("doc_id")
+
+
+def _pipeline_quality_sql() -> str:
+    from bears_spark.queries.qualityops import DOC_GOPHER_SQL
+    from bears_spark.queries.textops import _TOKS, _lang_score_sql
+
+    return f"""
+WITH g AS ({DOC_GOPHER_SQL.strip()}),
+s AS (
+  SELECT doc_id,
+         {_lang_score_sql('en')} AS s_en,
+         {_lang_score_sql('de')} AS s_de,
+         {_lang_score_sql('fr')} AS s_fr,
+         {_lang_score_sql('es')} AS s_es,
+         length(regexp_replace(lower(trim(text)), '[^一-鿿]', '', 'g')) AS cjk
+  FROM documents
+),
+l AS (
+  SELECT doc_id,
+         CASE WHEN cjk > 0 THEN 'zh'
+              WHEN s_en >= greatest(s_de, s_fr, s_es, 1) THEN 'en'
+              WHEN s_de >= greatest(s_fr, s_es, 1) THEN 'de'
+              WHEN s_fr >= greatest(s_es, 1) THEN 'fr'
+              WHEN s_es >= 1 THEN 'es'
+              ELSE 'unk' END AS lang_pred
+  FROM s
+),
+t AS (SELECT doc_id, len({_TOKS}) AS n_tok FROM documents)
+SELECT t.doc_id AS doc_id, t.n_tok AS n_tok, l.lang_pred AS lang_pred, g.keep AS keep
+FROM t JOIN l ON t.doc_id = l.doc_id JOIN g ON t.doc_id = g.doc_id
+ORDER BY doc_id
+"""
+
+
+PIPELINE_QUALITY_GATE_SQL = _pipeline_quality_sql()
+
+QUERIES["pipeline_quality_gate"] = pipeline_quality_gate
+ORACLES["pipeline_quality_gate"] = PIPELINE_QUALITY_GATE_SQL
