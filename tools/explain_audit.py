@@ -86,6 +86,19 @@ CHECKS = {
     "emb_pca2_projection": ["TakeOrderedAndProject"],  # both directions are literals
     "dedup_minhash_eval": ["HashAggregate", "FullOuter"],
     "orders_yoy_growth": ["Window", "HashAggregate"],
+    "orders_survival_curve": ["Window", "HashAggregate"],
+    "customer_abc_analysis": ["Window", "HashAggregate"],
+    "customer_gini": ["Window", "HashAggregate"],
+    "nation_market_concentration": ["BroadcastHashJoin", "Window"],
+    "lineitem_cycle_time": ["ObjectHashAggregate"],  # percentile agg after the orderkey join
+    "part_iqr_outliers": ["BroadcastHashJoin"],  # quartile table broadcast back
+    "ev_markov_next_event": ["Window", "HashAggregate"],
+    "ev_user_entropy": ["Window", "ObjectHashAggregate"],
+    "ev_user_features": ["HashAggregate"],
+    # ev_ab_welch/cuped/quantiles return driver-assembled 1-row frames; their
+    # aggregations run in earlier jobs, so the returned plan is a LocalTableScan
+    "source_lang_jsd": ["Window", "HashAggregate"],
+    "corpus_dedup_funnel": ["LeftSemi", "HashAggregate"],
 }
 
 FORBIDDEN = ["CartesianProduct", "BroadcastNestedLoopJoin"]
