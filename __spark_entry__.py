@@ -152,8 +152,8 @@ assert len(GRADED_WINDOW) == 50, len(GRADED_WINDOW)
 # 5; none of these will have a driver CORRECTNESS row after round 5). All
 # overflow rows were green under the judge's r4 local oracle replica; new
 # round-5 queries are verified with tools/check_correctness.py this round.
-# The ledger is EXACTLY 50 names: round 6's GRADED_WINDOW can be this list
-# verbatim (plus swap-ins for anchors as that round prefers).
+# 66 names: round 6's GRADED_WINDOW takes ~42 (ledger order) plus anchors;
+# the remainder rolls to round 7 exactly as rounds 4->5 rolled.
 ROUND6_NEVER_GRADED = [
     "fk_integrity_report",
     "hist_merge_proof", "hll_merge_proof", "join_cardinality_prediction",
