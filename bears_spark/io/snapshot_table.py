@@ -428,6 +428,17 @@ class SnapshotTable:
 
         return self._commit("delete-keys", build)
 
+    def restore(self, version: int) -> int:
+        """Delta-style RESTORE: roll the table back to ``version`` as a NEW
+        commit — the file list of the old snapshot becomes the current one,
+        history stays intact (the bad commits remain time-travelable for the
+        post-mortem), and no data is copied (files are immutable and still
+        on disk as long as they haven't been vacuumed). Raises if ``version``
+        has been expired."""
+        target = self._load_manifest(version)
+        files = [FileEntry(**e) for e in target["files"]]
+        return self._commit("restore", lambda parent_m: files)
+
     def overwrite_clustered(self, df: DataFrame, cluster_cols: list[str], bits: int = 8, num_files: int | None = None) -> int:
         """Z-order-clustered overwrite: quantize the cluster columns from
         their global min/max, lay rows out along the Morton curve

@@ -756,3 +756,19 @@ def test_delete_keys_gdpr_path_prunes_with_blooms(spark, tmp_path):
     # DataFrame-shaped forget list works too
     t.delete_keys("k", spark.createDataFrame([(22,)], "k long"))
     assert t.read().filter("k = 22").count() == 0
+
+
+def test_restore_rolls_back_as_new_commit(spark, table):
+    table.overwrite(_df(spark, 0, 100).coalesce(1))
+    table.append(_df(spark, 100, 150).coalesce(1))
+    table.delete_where("id", "<", 30)  # the "bad" commit
+    assert table.read().count() == 120
+    v = table.restore(2)
+    assert v == 4
+    # current state == v2 exactly; the bad v3 stays time-travelable
+    assert table.read().count() == 150
+    assert {r["id"] for r in table.read().collect()} == set(range(150))
+    assert table.read(version=3).count() == 120
+    assert [h["operation"] for h in table.snapshots()][-2:] == ["delete", "restore"]
+    # restore copied no data: v4 references v2's files verbatim
+    assert {e.path for e in table.files(version=4)} == {e.path for e in table.files(version=2)}
