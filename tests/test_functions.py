@@ -421,6 +421,19 @@ def test_power_iteration_converges_and_reproduces(spark):
     assert v2 == power_iteration_top_vector(emb, "embedding", dim=64, iters=2)
 
 
+def test_power_iteration_top2_deflation_orthogonal(spark):
+    from bears_spark.functions.vectors import power_iteration_top2
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    v1, v2 = power_iteration_top2(emb, "embedding", dim=64, iters=2)
+    # deflation removed the v1 component: the directions are orthogonal to
+    # the rounding tolerance, and both are unit vectors
+    dot12 = sum(a * b for a, b in zip(v1, v2))
+    assert abs(dot12) < 1e-4
+    for v in (v1, v2):
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-6
+
+
 def test_semantic_cluster_stats_matches_jvm(spark):
     """The BLAS gram-matrix pair counts must equal the JVM expression path
     (pairwise cosine via zip_with/aggregate) cluster for cluster."""
