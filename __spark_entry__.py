@@ -208,6 +208,7 @@ ROUND6_NEVER_GRADED = [
     "ev_ab_cuped",
     "ev_ab_quantiles",
     "pipeline_quality_gate",
+    "ev_ab_conversion",
 ]
 
 

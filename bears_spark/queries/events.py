@@ -2046,3 +2046,81 @@ FROM a, b
 
 QUERIES["ev_ab_quantiles"] = ev_ab_quantiles
 ORACLES["ev_ab_quantiles"] = EV_AB_QUANTILES_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_ab_conversion: the binary-metric readout — per-arm first-day activation
+# (did the user purchase on day one) with the pooled two-proportion z statistic,
+# plus the difference-in-differences estimate over the pre/post split
+# (the causal-inference workhorse when arms pre-exist the treatment). All
+# from one per-user aggregate; every statistic is a closed form over four
+# counts and four means.
+def ev_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.hashing import md5_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            ((F.col("event_type") == "purchase") & (F.col("ts") < "2024-01-02")).cast("int")
+        ).alias("converted"),
+        F.sum(
+            F.when((F.col("ts") < _CUPED_SPLIT) & (F.col("event_type") == "purchase"), 1).otherwise(0)
+        ).alias("pre_purchases"),
+        F.sum(
+            F.when((F.col("ts") >= _CUPED_SPLIT) & (F.col("event_type") == "purchase"), 1).otherwise(0)
+        ).alias("post_purchases"),
+    )
+    armed = per_user.withColumn(
+        "arm", F.when(md5_hash64("user_id", salt="ab") % 2 == 0, "A").otherwise("B")
+    )
+    s = armed.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum("converted").alias("conv"),
+        F.avg("pre_purchases").alias("pre"),
+        F.avg("post_purchases").alias("post"),
+    )
+    a = s.filter(F.col("arm") == "A").first()
+    b = s.filter(F.col("arm") == "B").first()
+    p1, p2 = a["conv"] / a["n"], b["conv"] / b["n"]
+    pool = (a["conv"] + b["conv"]) / (a["n"] + b["n"])
+    z = (p1 - p2) / (pool * (1 - pool) * (1 / a["n"] + 1 / b["n"])) ** 0.5
+    did = (b["post"] - b["pre"]) - (a["post"] - a["pre"])
+    return spark.createDataFrame(
+        [
+            (
+                a["n"], b["n"],
+                round(p1, 6), round(p2, 6), round(z, 6), round(did, 6),
+            )
+        ],
+        "n_a bigint, n_b bigint, conv_a double, conv_b double, z_stat double, did double",
+    )
+
+
+EV_AB_CONVERSION_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' AND ts < '2024-01-02' THEN 1 ELSE 0 END) AS converted,
+         sum(CASE WHEN ts < '{_CUPED_SPLIT}' AND event_type = 'purchase' THEN 1 ELSE 0 END) AS pre_p,
+         sum(CASE WHEN ts >= '{_CUPED_SPLIT}' AND event_type = 'purchase' THEN 1 ELSE 0 END) AS post_p
+  FROM events GROUP BY user_id
+), armed AS (
+  SELECT *, CASE WHEN ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+                 THEN 'A' ELSE 'B' END AS arm
+  FROM per_user
+), s AS (
+  SELECT arm, count(*) AS n, sum(converted) AS conv, avg(pre_p) AS pre, avg(post_p) AS post
+  FROM armed GROUP BY arm
+), a AS (SELECT * FROM s WHERE arm = 'A'), b AS (SELECT * FROM s WHERE arm = 'B')
+SELECT a.n AS n_a, b.n AS n_b,
+       round(CAST(a.conv AS DOUBLE) / a.n, 6) AS conv_a,
+       round(CAST(b.conv AS DOUBLE) / b.n, 6) AS conv_b,
+       round((CAST(a.conv AS DOUBLE) / a.n - CAST(b.conv AS DOUBLE) / b.n)
+             / sqrt((CAST(a.conv + b.conv AS DOUBLE) / (a.n + b.n))
+                    * (1 - CAST(a.conv + b.conv AS DOUBLE) / (a.n + b.n))
+                    * (1.0 / a.n + 1.0 / b.n)), 6) AS z_stat,
+       round((b.post - b.pre) - (a.post - a.pre), 6) AS did
+FROM a, b
+"""
+
+QUERIES["ev_ab_conversion"] = ev_ab_conversion
+ORACLES["ev_ab_conversion"] = EV_AB_CONVERSION_SQL
