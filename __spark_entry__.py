@@ -243,8 +243,9 @@ HEADLINE = [
     "doc_bm25_queryset",
     "ann_ivfpq_topk",
     # round-5 closing: SemDeDup family representative (fit + assign + BLAS
-    # gram pair stage)
+    # gram pair stage) + the config-driven pipeline family
     "dedup_semantic_clusters",
+    "pipeline_quality_gate",
 ]
 
 

@@ -98,17 +98,14 @@ def quality_score(col: Column | str) -> Column:
     return length_ok + sw_ok + punct_ok + tl_ok
 
 
-def lang_id(col: Column | str) -> Column:
-    """Stopword-vote language ID over LANG_STOPWORDS + CJK-codepoint check.
-
-    Returns the language with the most stopword hits ('zh' if CJK chars
-    dominate, 'unk' when no signal). Ties break by fixed language order
-    en > de > fr > es (greatest-of chain evaluates in that order).
-    """
-    c = F.lower(F.col(col) if isinstance(col, str) else col)
-    toks = tokenize(c)
+def lang_id_staged(lowered: Column, toks: Column) -> Column:
+    """lang_id over PRE-STAGED lowered text + token array. Catalyst does no
+    CSE across expression references, so calling lang_id on a raw text
+    column inlines the tokenize regex into all four stopword scores (5x the
+    split cost per row); stage ``lower(text)`` and ``tokenize(...)`` as
+    their own projection columns and pass them here to pay it once."""
     scores = {lang: F.size(F.filter(toks, _isin_pred(sw))) for lang, sw in LANG_STOPWORDS.items()}
-    cjk = F.length(F.regexp_replace(c, r"[^一-鿿]", ""))
+    cjk = F.length(F.regexp_replace(lowered, r"[^一-鿿]", ""))
     best = F.lit("unk")
     best_score = F.lit(0)
     for lang in ("es", "fr", "de", "en"):  # reverse priority; later wins ties via >=
@@ -117,6 +114,18 @@ def lang_id(col: Column | str) -> Column:
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_score = F.greatest(best_score, s)
     return F.when(cjk > 0, F.lit("zh")).otherwise(best)
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-vote language ID over LANG_STOPWORDS + CJK-codepoint check.
+
+    Returns the language with the most stopword hits ('zh' if CJK chars
+    dominate, 'unk' when no signal). Ties break by fixed language order
+    en > de > fr > es. NOTE: as a single expression this inlines tokenize
+    into every score — hot paths should stage and call lang_id_staged.
+    """
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    return lang_id_staged(c, tokenize(c))
 
 
 def fingerprint64(col: Column | str) -> Column:

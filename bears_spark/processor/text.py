@@ -360,6 +360,15 @@ class LanguageId(SingleColumnProcessor):
     aliases = ("languageid", "langid")
     output_mltype = "CATEGORICAL"
 
+    def apply(self, df: DataFrame, in_col: str, out_col: str) -> DataFrame:
+        from bears_spark.functions.text import lang_id_staged, tokenize
+
+        staged = df.withColumn("__lc__", F.lower(F.col(in_col))).withColumn(
+            "__lt__", tokenize(F.col("__lc__"))
+        )
+        out = staged.withColumn(out_col, lang_id_staged(F.col("__lc__"), F.col("__lt__")))
+        return out.drop("__lc__", "__lt__")
+
     def transform_expr(self, col: Column) -> Column:
         from bears_spark.functions.text import lang_id
 
