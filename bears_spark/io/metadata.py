@@ -31,6 +31,8 @@ class FileFormat(str, Enum):
     ORC = "orc"
     AVRO = "avro"
     ARROW = "arrow"
+    XML = "xml"
+    FIXED_WIDTH = "fixed_width"
 
 
 _EXT_TO_FORMAT = {
@@ -45,6 +47,7 @@ _EXT_TO_FORMAT = {
     ".json": FileFormat.JSON,
     ".npz": FileFormat.NPZ,
     ".arrow": FileFormat.ARROW,
+    ".xml": FileFormat.XML,
     ".feather": FileFormat.ARROW,
     ".ipc": FileFormat.ARROW,
     ".pkl": FileFormat.PICKLE,

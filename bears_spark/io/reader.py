@@ -300,3 +300,79 @@ def read_stream(obj, file_format: str | FileFormat, spark: SparkSession | None =
         import os
 
         os.unlink(local)
+
+
+@register_reader(FileFormat.XML)
+def _read_xml(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    record_tag: str = "record",
+    **opts,
+) -> DataFrame:
+    """XML reader (stdlib ElementTree — no spark-xml dependency): every
+    ``record_tag`` element becomes a row; child elements and attributes
+    become string columns (attributes win name collisions). Distributed the
+    same way as NPZ/Arrow: binaryFile -> one document parsed per task; the
+    driver peeks one file for the column set (union of fields in its first
+    record batch). All values land as strings — cast downstream, exactly
+    how spark-xml's schema-less mode behaves."""
+    import io as _io
+    import xml.etree.ElementTree as ET
+
+    import pandas as pd
+
+    def fields_of(elem) -> dict:
+        row = {child.tag: (child.text or "").strip() for child in elem}
+        row.update(elem.attrib)  # attributes win
+        return row
+
+    binary = spark.read.format("binaryFile").load(path)
+    sample_path = binary.select("path").first()["path"].removeprefix("file:")
+    cols: list[str] = []
+    root = ET.parse(sample_path).getroot()
+    for rec in root.iter(record_tag):
+        for k in fields_of(rec):
+            if k not in cols:
+                cols.append(k)
+    if not cols:
+        raise ValueError(f"no <{record_tag}> records found in {sample_path}")
+    out_schema = ", ".join(f"`{c}` string" for c in cols)
+
+    def _decode(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                r = ET.parse(_io.BytesIO(row["content"])).getroot()
+                recs = [fields_of(e) for e in r.iter(record_tag)]
+                yield pd.DataFrame(
+                    {c: [rec.get(c) for rec in recs] for c in cols}, dtype=object
+                )
+
+    return binary.select("path", "content").mapInPandas(_decode, out_schema)
+
+
+@register_reader(FileFormat.FIXED_WIDTH)
+def _read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    colspecs: list[tuple[str, int, int]] | None = None,
+    **opts,
+) -> DataFrame:
+    """Fixed-width text reader (mainframe/ETL interchange): ``colspecs`` is
+    [(name, start, end)] with 0-based half-open character ranges. Pure
+    expressions over the Spark text source — substring slicing + trim — so
+    the scan is distributed, splittable, and whole-stage codegen'd (unlike
+    the per-file binary formats). Values land as trimmed strings; cast
+    downstream."""
+    if not colspecs:
+        raise ValueError("fixed_width requires colspecs=[(name, start, end), ...]")
+    from pyspark.sql import functions as F
+
+    lines = spark.read.text(path)
+    return lines.select(
+        *[
+            F.trim(F.substring(F.col("value"), start + 1, end - start)).alias(name)
+            for name, start, end in colspecs
+        ]
+    )

@@ -328,3 +328,33 @@ def test_arrow_ipc_roundtrip(spark, tmp_path):
         w.write_table(pa.table({"k": [10, 20]}))
     got = Reader.of("arrow").read(str(foreign_dir), spark=spark).df
     assert sorted(r["k"] for r in got.collect()) == [10, 20]
+
+
+def test_xml_reader_records_and_attributes(spark, tmp_path):
+    d = tmp_path / "x.xml"
+    d.mkdir()
+    (d / "a.xml").write_text(
+        "<root><record id='1'><name>alpha</name><v>10</v></record>"
+        "<record id='2'><name>beta</name><v>20</v></record></root>"
+    )
+    (d / "b.xml").write_text(
+        "<root><record id='3'><name>gamma</name><v>30</v></record></root>"
+    )
+    from bears_spark.io.reader import Reader
+
+    df = Reader.of("xml").read(str(d), spark=spark, record_tag="record").df
+    rows = {r["id"]: (r["name"], r["v"]) for r in df.collect()}
+    assert rows == {"1": ("alpha", "10"), "2": ("beta", "20"), "3": ("gamma", "30")}
+
+
+def test_fixed_width_reader(spark, tmp_path):
+    f = tmp_path / "fw"
+    f.mkdir()
+    (f / "data.txt").write_text("alice  0042NY\nbob    0007CA\n")
+    from bears_spark.io.reader import Reader
+
+    df = Reader.of("fixed_width").read(
+        str(f), spark=spark, colspecs=[("name", 0, 7), ("num", 7, 11), ("state", 11, 13)]
+    ).df
+    rows = {r["name"]: (r["num"], r["state"]) for r in df.collect()}
+    assert rows == {"alice": ("0042", "NY"), "bob": ("0007", "CA")}
