@@ -962,8 +962,14 @@ class SparkFrame:
         suffix: str = "_shift",
     ) -> "SparkFrame":
         """pandas shift under an explicit order: positive periods lag (value
-        from ``periods`` rows earlier), negative lead."""
-        w = (Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()).orderBy(order_col)
+        from ``periods`` rows earlier), negative lead. Without partition_by
+        the global order is served by functions/prefix.global_shift (row
+        position + self-join) — fully parallel, no one-task WindowExec."""
+        if not partition_by:
+            from bears_spark.functions.prefix import global_shift
+
+            return SparkFrame(global_shift(self.df, [order_col], list(cols), periods, suffix))
+        w = Window.partitionBy(*partition_by).orderBy(order_col)
         df = self.df
         for c in cols:
             shifted = F.lag(F.col(c), periods).over(w) if periods >= 0 else F.lead(F.col(c), -periods).over(w)
@@ -1003,28 +1009,45 @@ class SparkFrame:
         (pandas cum* — in the reference's not-implemented set,
         ScalableSeries.py:351-417.)
 
-        Scale note: WITHOUT partition_by this compiles to a one-task global
-        window — fine for small/medium frames; for a global cumsum over a
-        large frame use functions/prefix.partitioned_cumsum (range partition
-        + offset table, fully parallel)."""
+        Scale: WITHOUT partition_by, sum/max/min/count route through
+        functions/prefix.partitioned_scan (range partition + offset table,
+        fully parallel — no one-task WindowExec). cumprod is the exception:
+        its offset algebra is lossy in floats (overflow), so a global
+        cumprod still runs the one-task window — partition it, or take
+        exp(cumsum(log)) when the values are positive."""
+        norm = {c: [fns] if isinstance(fns, str) else list(fns) for c, fns in aggs.items()}
+        for c, fns in norm.items():
+            for fn in fns:
+                if fn not in self._CUM_FNS:
+                    raise ValueError(f"unsupported cumulative agg {fn!r}")
+        if not partition_by and all(fn != "prod" for fns in norm.values() for fn in fns):
+            from bears_spark.functions.prefix import partitioned_scan
+
+            return SparkFrame(partitioned_scan(self.df, [order_col], norm))
         w = (
             (Window.partitionBy(*partition_by) if partition_by else Window.partitionBy())
             .orderBy(order_col)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         df = self.df
-        for c, fns in aggs.items():
-            for fn in [fns] if isinstance(fns, str) else fns:
-                if fn not in self._CUM_FNS:
-                    raise ValueError(f"unsupported cumulative agg {fn!r}")
+        for c, fns in norm.items():
+            for fn in fns:
                 df = df.withColumn(f"{c}_cum{fn}", self._CUM_FNS[fn](F.col(c)).over(w))
         return SparkFrame(df)
 
     def diff(
         self, order_col: str, cols: Sequence[str], periods: int = 1, partition_by: Sequence[str] | None = None
     ) -> "SparkFrame":
-        """Row-to-row difference under explicit order (pandas diff)."""
-        w = (Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()).orderBy(order_col)
+        """Row-to-row difference under explicit order (pandas diff). A
+        partition-less global order goes through prefix.global_shift."""
+        if not partition_by:
+            from bears_spark.functions.prefix import global_shift
+
+            out = global_shift(self.df, [order_col], list(cols), periods, suffix="__prev__")
+            for c in cols:
+                out = out.withColumn(f"{c}_diff", F.col(c) - F.col(f"{c}__prev__")).drop(f"{c}__prev__")
+            return SparkFrame(out)
+        w = Window.partitionBy(*partition_by).orderBy(order_col)
         df = self.df
         for c in cols:
             prev = F.lag(F.col(c), periods).over(w) if periods >= 0 else F.lead(F.col(c), -periods).over(w)
@@ -1035,8 +1058,18 @@ class SparkFrame:
         self, order_col: str, cols: Sequence[str], periods: int = 1, partition_by: Sequence[str] | None = None
     ) -> "SparkFrame":
         """Fractional change vs the row ``periods`` earlier (pandas
-        pct_change)."""
-        w = (Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()).orderBy(order_col)
+        pct_change). A partition-less global order goes through
+        prefix.global_shift."""
+        if not partition_by:
+            from bears_spark.functions.prefix import global_shift
+
+            out = global_shift(self.df, [order_col], list(cols), periods, suffix="__prev__")
+            for c in cols:
+                out = out.withColumn(f"{c}_pct_change", F.col(c) / F.col(f"{c}__prev__") - 1).drop(
+                    f"{c}__prev__"
+                )
+            return SparkFrame(out)
+        w = Window.partitionBy(*partition_by).orderBy(order_col)
         df = self.df
         for c in cols:
             prev = F.lag(F.col(c), periods).over(w)
@@ -1051,12 +1084,20 @@ class SparkFrame:
         partition_by: Sequence[str] | None = None,
         out_col: str = "rank",
     ) -> "SparkFrame":
-        """Rank rows by ``order_col`` (pandas rank methods min/dense/first)."""
+        """Rank rows by ``order_col`` (pandas rank methods min/dense/first).
+        A partition-less global rank goes through prefix.distributed_rank
+        (distinct-value reduction + prefix machinery, no one-task window)."""
         fns = {"min": F.rank, "dense": F.dense_rank, "first": F.row_number}
         if method not in fns:
             raise ValueError(f"unsupported rank method {method!r}")
+        if not partition_by:
+            from bears_spark.functions.prefix import distributed_rank
+
+            return SparkFrame(
+                distributed_rank(self.df, order_col, method=method, ascending=ascending, out_col=out_col)
+            )
         order = F.asc(order_col) if ascending else F.desc(order_col)
-        w = (Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()).orderBy(order)
+        w = Window.partitionBy(*partition_by).orderBy(order)
         return SparkFrame(self.df.withColumn(out_col, fns[method]().over(w)))
 
     def ewm_mean(
@@ -1095,8 +1136,14 @@ class SparkFrame:
 
     def ffill(self, order_col: str, cols: Sequence[str], partition_by: Sequence[str] | None = None) -> "SparkFrame":
         """Forward-fill needs an explicit ordering column in a distributed
-        engine (ScalableSeries.py:1048-1091 has implicit row order)."""
-        w = (Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()).orderBy(order_col).rowsBetween(
+        engine (ScalableSeries.py:1048-1091 has implicit row order). The
+        partition-less global fill runs through prefix.partitioned_fill
+        (range shuffle + cross-partition carry table — no one-task window)."""
+        if not partition_by:
+            from bears_spark.functions.prefix import partitioned_fill
+
+            return SparkFrame(partitioned_fill(self.df, [order_col], list(cols)))
+        w = Window.partitionBy(*partition_by).orderBy(order_col).rowsBetween(
             Window.unboundedPreceding, 0
         )
         df = self.df
@@ -1105,8 +1152,14 @@ class SparkFrame:
         return SparkFrame(df)
 
     def bfill(self, order_col: str, cols: Sequence[str], partition_by: Sequence[str] | None = None) -> "SparkFrame":
-        """Backward-fill: first non-null looking forward under the order."""
-        w = (Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()).orderBy(order_col).rowsBetween(
+        """Backward-fill: first non-null looking forward under the order.
+        The partition-less global fill is prefix.partitioned_fill with the
+        order REVERSED (bfill(asc) == ffill(desc))."""
+        if not partition_by:
+            from bears_spark.functions.prefix import partitioned_fill
+
+            return SparkFrame(partitioned_fill(self.df, [F.desc(order_col)], list(cols)))
+        w = Window.partitionBy(*partition_by).orderBy(order_col).rowsBetween(
             0, Window.unboundedFollowing
         )
         df = self.df

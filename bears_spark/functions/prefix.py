@@ -34,19 +34,23 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # Caching contract: each scan persists its range-partitioned input so the
-# offsets pass and the main pass see identical partition boundaries. To keep
-# repeated calls (select_until_budget / iloc_range in a loop) from
-# accumulating cached partitions until eviction, only the MOST RECENT scan's
-# cache is retained — starting a new scan unpersists the previous one.
-# Callers should therefore materialize a scan's result before starting the
-# next scan; ``release_scan_caches()`` drops everything eagerly.
+# offsets pass and the main pass see identical partition boundaries (range
+# boundary sampling is seeded by RDD id, so an unpersisted exchange re-run
+# in a LATER action can re-sample different boundaries than the ones the
+# offset table was built from — silent corruption). Caches are therefore
+# retained until drained: every scan also registers with
+# caching.scoped_persist, so harnesses that call release_scoped_caches()
+# between queries drain them; ``release_scan_caches()`` drops them eagerly.
+# This replaces the old most-recent-only policy, which evicted a still-live
+# scan's cache whenever scans were CHAINED (ntile -> ntile -> ntile).
 _SCAN_CACHE: list[DataFrame] = []
 
 
 def _cache_ranged(ranged: DataFrame) -> DataFrame:
-    while _SCAN_CACHE:
-        _SCAN_CACHE.pop().unpersist(blocking=False)
-    _SCAN_CACHE.append(ranged.persist())
+    from bears_spark.caching import scoped_persist
+
+    ranged = scoped_persist(ranged)
+    _SCAN_CACHE.append(ranged)
     return ranged
 
 
@@ -54,6 +58,13 @@ def release_scan_caches() -> None:
     """Unpersist every range cache still held by this module."""
     while _SCAN_CACHE:
         _SCAN_CACHE.pop().unpersist(blocking=False)
+
+
+def _order_exprs(order_cols) -> list:
+    """Order specs may be column names or Column sort expressions (e.g.
+    ``F.desc("rev")``) — both are valid for repartitionByRange and
+    sortWithinPartitions, so descending prefix scans need no negation hack."""
+    return [F.col(c) if isinstance(c, str) else c for c in order_cols]
 
 
 def _carry(series: pd.Series, prev):
@@ -90,7 +101,7 @@ def partitioned_cumsum(
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     ranged = _cache_ranged(
-        df.repartitionByRange(n, *[F.col(c) for c in order_cols]).sortWithinPartitions(*order_cols)
+        df.repartitionByRange(n, *_order_exprs(order_cols)).sortWithinPartitions(*_order_exprs(order_cols))
     )
     totals = (
         ranged.groupBy(F.spark_partition_id().alias("__pid__"))
@@ -151,7 +162,7 @@ def partitioned_scan(
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     ranged = _cache_ranged(
-        df.repartitionByRange(n, *[F.col(c) for c in order_cols]).sortWithinPartitions(*order_cols)
+        df.repartitionByRange(n, *_order_exprs(order_cols)).sortWithinPartitions(*_order_exprs(order_cols))
     )
     total_exprs = [
         _SCAN_FNS[fn][0](c).alias(f"{c}__{fn}") for c, fns in aggs.items() for fn in fns
@@ -227,7 +238,7 @@ def distributed_row_number(
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     ranged = _cache_ranged(
-        df.repartitionByRange(n, *[F.col(c) for c in order_cols]).sortWithinPartitions(*order_cols)
+        df.repartitionByRange(n, *_order_exprs(order_cols)).sortWithinPartitions(*_order_exprs(order_cols))
     )
     counts = ranged.groupBy(F.spark_partition_id().alias("__pid__")).count().collect()
     offsets: dict[int, int] = {}
@@ -248,6 +259,162 @@ def distributed_row_number(
             yield pdf
 
     return ranged.mapInPandas(_number, out_schema)
+
+
+def partitioned_ntile(
+    df: DataFrame,
+    order_cols: list,
+    n_buckets: int,
+    out_col: str = "ntile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``ntile(n_buckets)`` under a total order WITHOUT the one-task
+    global window: global position from :func:`distributed_row_number`'s
+    machinery, then the closed-form ntile bucket (sizes differ by at most
+    one, larger buckets first — byte-identical to ``F.ntile(k).over(w)``).
+    ``order_cols`` may mix names and sort expressions (``F.desc(...)``);
+    include a unique tiebreaker for a total order."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = _cache_ranged(
+        df.repartitionByRange(n, *_order_exprs(order_cols)).sortWithinPartitions(*_order_exprs(order_cols))
+    )
+    counts = ranged.groupBy(F.spark_partition_id().alias("__pid__")).count().collect()
+    offsets: dict[int, int] = {}
+    total = 0
+    for row in sorted(counts, key=lambda r: r["__pid__"]):
+        offsets[row["__pid__"]] = total
+        total += row["count"]
+    base, rem = divmod(total, n_buckets)
+
+    out_schema = T.StructType(list(df.schema.fields) + [T.StructField(out_col, T.IntegerType())])
+
+    def _bucket(pos: int) -> int:
+        # Spark/ANSI ntile: first `rem` buckets hold base+1 rows, rest base.
+        if base == 0:
+            return pos + 1
+        pivot = rem * (base + 1)
+        if pos < pivot:
+            return pos // (base + 1) + 1
+        return rem + (pos - pivot) // base + 1
+
+    def _tile(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pos = offsets.get(TaskContext.get().partitionId(), 0)
+        for pdf in batches:
+            pdf[out_col] = [_bucket(p) for p in range(pos, pos + len(pdf))]
+            pos += len(pdf)
+            yield pdf
+
+    return ranged.mapInPandas(_tile, out_schema)
+
+
+def global_shift(
+    df: DataFrame,
+    order_cols: list,
+    cols: list[str],
+    periods: int = 1,
+    suffix: str = "_shift",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """lag/lead under a GLOBAL order without the one-task window: global row
+    position from :func:`distributed_row_number`, then a self-equi-join on
+    ``pos == pos - periods`` (positive periods = lag, negative = lead). Two
+    extra shuffles, but every stage is fully parallel — the scale-safe form
+    of ``F.lag(...).over(Window.orderBy(...))`` with no partition keys.
+    Ties in a non-total order are broken by the range sort (deterministic
+    given the same partitioning, like the window form's tie behavior)."""
+    numbered = distributed_row_number(df, order_cols, out_col="__pos__", num_partitions=num_partitions)
+    right = numbered.select(
+        (F.col("__pos__") + F.lit(periods)).alias("__pos__"),
+        *[F.col(c).alias(c + suffix) for c in cols],
+    )
+    return numbered.join(right, "__pos__", "left").drop("__pos__")
+
+
+def partitioned_fill(
+    df: DataFrame,
+    order_cols: list,
+    cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Forward-fill (last non-null carried forward) under a global order
+    with partition-level parallelism: range shuffle, per-partition last
+    non-null collected into an offset table, pandas ``ffill`` per batch with
+    the cross-partition carry filled in. Backward-fill is this function with
+    the order reversed (pass ``F.desc(...)`` specs). Output schema is the
+    input schema (fill never changes a column's type)."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = _cache_ranged(
+        df.repartitionByRange(n, *_order_exprs(order_cols)).sortWithinPartitions(*_order_exprs(order_cols))
+    )
+    lasts = (
+        ranged.groupBy(F.spark_partition_id().alias("__pid__"))
+        .agg(*[F.last(c, ignorenulls=True).alias(c) for c in cols])
+        .collect()
+    )
+    offsets: dict[int, dict[str, object]] = {}
+    carry: dict[str, object] = {c: None for c in cols}
+    for row in sorted(lasts, key=lambda r: r["__pid__"]):
+        offsets[row["__pid__"]] = dict(carry)
+        for c in cols:
+            if row[c] is not None:
+                carry[c] = row[c]
+
+    out_schema = df.schema
+
+    def _fill(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        prev = dict(offsets.get(TaskContext.get().partitionId(), {c: None for c in cols}))
+        for pdf in batches:
+            for c in cols:
+                filled = pdf[c].ffill()
+                if prev.get(c) is not None:
+                    filled = filled.fillna(prev[c])
+                pdf[c] = filled
+                prev[c] = _carry(filled, prev.get(c))
+            yield pdf
+
+    return ranged.mapInPandas(_fill, out_schema)
+
+
+def distributed_rank(
+    df: DataFrame,
+    order_col: str,
+    method: str = "min",
+    ascending: bool = True,
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global rank (methods min/dense/first) without the one-task window.
+    'first' is :func:`distributed_row_number` + 1. 'min' and 'dense' reduce
+    to the DISTINCT-VALUE frame first (groupBy count — partial-aggregated),
+    rank the values with the prefix machinery, and equi-join the per-value
+    rank back — every stage parallel, exact tie semantics. Null ordering
+    matches the window defaults (asc = nulls first, desc = nulls last)."""
+    order = F.asc(order_col) if ascending else F.desc(order_col)
+    if method == "first":
+        numbered = distributed_row_number(df, [order], out_col="__pos__", num_partitions=num_partitions)
+        return numbered.withColumn(out_col, (F.col("__pos__") + 1).cast("int")).drop("__pos__")
+    per_val = df.groupBy(order_col).agg(F.count("*").alias("__n__"))
+    if method == "dense":
+        ranked_vals = distributed_row_number(
+            per_val, [order], out_col="__pos__", num_partitions=num_partitions
+        ).select(F.col(order_col).alias("__rv__"), (F.col("__pos__") + 1).cast("int").alias(out_col))
+    elif method == "min":
+        scanned = partitioned_cumsum(
+            per_val, [order], ["__n__"], num_partitions=num_partitions, suffix="_cum"
+        )
+        ranked_vals = scanned.select(
+            F.col(order_col).alias("__rv__"),
+            (F.col("__n__" + "_cum") - F.col("__n__") + 1).cast("int").alias(out_col),
+        )
+    else:
+        raise ValueError(f"unsupported rank method {method!r}")
+    return df.join(ranked_vals, F.col(order_col).eqNullSafe(F.col("__rv__")), "left").drop("__rv__")
 
 
 def select_until_budget(

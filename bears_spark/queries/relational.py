@@ -1149,9 +1149,15 @@ ORACLES["orders_benford_digits"] = ORDERS_BENFORD_SQL
 # --------------------------------------------------------------------------
 # cust_rfm_scores: classic RFM segmentation — per customer recency (days
 # since last order, vs corpus max date), frequency (order count), monetary
-# (total spend), each bucketed into quartiles by ntile over a unique
-# ordering. One aggregation + three windows; the canonical CRM cohorting.
+# (total spend), each bucketed into quartiles. The customer grain is
+# SF-linear, so a global-ORDER-BY ntile window (one WindowExec task holding
+# every customer) is a 100-TB scale-killer; each quartile instead comes from
+# functions/prefix.partitioned_ntile — range shuffle + offset table +
+# map-only bucket assignment, byte-identical to F.ntile(4) and fully
+# parallel. Three exact global orderings = three range shuffles by design.
 def cust_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.prefix import partitioned_ntile
+
     orders = load_table(spark, sf_dir, "orders")
     anchor = orders.agg(F.max("o_orderdate").alias("mx")).first()["mx"]
     base = orders.groupBy("o_custkey").agg(
@@ -1159,17 +1165,11 @@ def cust_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frequency"),
         F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).alias("monetary"),
     )
-    wr = Window.orderBy("recency_days", "o_custkey")
-    wf = Window.orderBy(F.desc("frequency"), "o_custkey")
-    wm = Window.orderBy(F.desc("monetary"), "o_custkey")
-    return base.select(
-        "o_custkey",
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.ntile(4).over(wr).alias("r_quartile"),
-        F.ntile(4).over(wf).alias("f_quartile"),
-        F.ntile(4).over(wm).alias("m_quartile"),
+    scored = partitioned_ntile(base, ["recency_days", "o_custkey"], 4, out_col="r_quartile")
+    scored = partitioned_ntile(scored, [F.desc("frequency"), F.asc("o_custkey")], 4, out_col="f_quartile")
+    scored = partitioned_ntile(scored, [F.desc("monetary"), F.asc("o_custkey")], 4, out_col="m_quartile")
+    return scored.select(
+        "o_custkey", "recency_days", "frequency", "monetary", "r_quartile", "f_quartile", "m_quartile"
     )
 
 
@@ -1473,26 +1473,25 @@ ORACLES["orders_change_feed"] = ORDERS_CHANGE_FEED_SQL
 # --------------------------------------------------------------------------
 # customer_abc_analysis: Pareto / ABC classification — customers ranked by
 # revenue, bucketed by CUMULATIVE share (A: first 70% of revenue, B: next
-# 20%, C: tail). Two windows over the per-customer aggregate (cardinality =
-# #customers with orders, far below fact-row count): a rank-ordered
-# cumulative sum and the grand total as an unpartitioned window over the
-# aggregate — the canonical "who are our vital few" report. Output is the
-# class summary, exact counts + rounded shares.
+# 20%, C: tail). The per-customer aggregate is SF-linear, so the rank-ordered
+# running sum comes from functions/prefix.partitioned_cumsum (range shuffle +
+# offset table, fully parallel — no one-task WindowExec) and the grand total
+# is one scalar agg baked back as a literal. Decimal end-to-end, so the
+# cumulative shares are exact under any partitioning. Output is the class
+# summary, exact counts + rounded shares.
 def customer_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from bears_spark.functions.prefix import partitioned_cumsum
 
     orders = load_table(spark, sf_dir, "orders")
     per = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("rev")
     )
-    w_rank = Window.orderBy(F.desc("rev"), "o_custkey").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    w_all = Window.partitionBy()
-    cum = per.select(
+    total = per.agg(F.sum("rev").alias("t")).first()["t"]
+    cum = partitioned_cumsum(per, [F.desc("rev"), F.asc("o_custkey")], ["rev"], suffix="_run").select(
         "o_custkey",
         "rev",
-        (F.sum("rev").over(w_rank) / F.sum("rev").over(w_all)).alias("cum_share"),
+        # same operand types as the window form (decimal(38,6) / decimal(38,6))
+        (F.col("rev_run") / F.lit(total).cast("decimal(38,6)")).alias("cum_share"),
     )
     cls = F.when(F.col("cum_share") <= 0.70, "A").when(F.col("cum_share") <= 0.90, "B").otherwise("C")
     return (
@@ -1746,16 +1745,19 @@ ORACLES["orders_survival_curve"] = ORDERS_SURVIVAL_SQL
 # customer_gini: revenue-inequality Gini coefficient — the third member of
 # the concentration family (ABC buckets, HHI, Gini). Closed form over the
 # revenue-sorted per-customer aggregate: G = 2*sum(i*x_i)/(n*sum(x)) -
-# (n+1)/n, one rank window over the bounded customer aggregate.
+# (n+1)/n. The customer grain is SF-linear, so the global rank i comes from
+# functions/prefix.distributed_row_number (range shuffle + offset table) —
+# no one-task global-ORDER-BY WindowExec anywhere in the plan.
 def customer_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from bears_spark.functions.prefix import distributed_row_number
 
     orders = load_table(spark, sf_dir, "orders")
     per = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double").alias("x")
     )
-    w = Window.orderBy("x", "o_custkey")
-    ranked = per.withColumn("i", F.row_number().over(w))
+    ranked = distributed_row_number(per, ["x", "o_custkey"], out_col="__pos__").withColumn(
+        "i", F.col("__pos__") + 1
+    )
     return ranked.agg(
         F.count("*").alias("n_customers"),
         F.round(

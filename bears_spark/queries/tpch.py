@@ -547,8 +547,6 @@ ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
 # max-equality subquery compiles to a window max over the tiny aggregate,
 # so the lineitem scan happens ONCE.
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -557,7 +555,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
     )
-    best = revenue.withColumn("max_rev", F.max("total_revenue").over(Window.partitionBy())).filter(
+    # The supplier grain is SF-linear (SF x 10k), so the scalar max must NOT
+    # be an unpartitioned window (one WindowExec task holding every
+    # supplier); a broadcast 1-row cross join keeps the comparison map-side
+    # and lets ReusedExchange share the revenue aggregate subtree.
+    mx = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    best = revenue.crossJoin(F.broadcast(mx)).filter(
         F.col("total_revenue") == F.col("max_rev")
     )
     return (
@@ -849,8 +852,6 @@ ORDER BY s_name
 # scalar subquery compiles to a window total over the per-part aggregate —
 # the joined fact is scanned ONCE (global sum == sum of per-part sums).
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
@@ -860,8 +861,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum("l_extendedprice").alias("val"))
     )
+    # Part grain is SF-linear (SF x 200k), so the HAVING threshold scalar is
+    # a broadcast 1-row cross join (ReusedExchange shares the per-part
+    # aggregate) — not a one-task unpartitioned window.
+    tot = per_part.agg(F.sum("val").alias("total"))
     return (
-        per_part.withColumn("total", F.sum("val").over(Window.partitionBy()))
+        per_part.crossJoin(F.broadcast(tot))
         .filter(F.col("val") > F.col("total") * 0.001)
         .select("l_partkey", F.round("val", 6).alias("value"))
         .orderBy(F.desc("value"), "l_partkey")

@@ -144,14 +144,154 @@ def test_partitioned_scan_null_carry(spark):
     assert bad.count() == 0
 
 
-def test_scan_cache_bounded(spark):
-    """Only the most recent scan's range cache is retained (ADVICE r3:
-    repeated calls used to accumulate persisted partitions)."""
+def test_scan_cache_drained_by_registry(spark):
+    """Scan caches stay live until drained (chained scans would silently
+    corrupt if an earlier scan's boundaries were re-sampled after eviction);
+    they register with the scoped-cache registry so the per-query harness
+    drain releases them, and release_scan_caches() drops them eagerly."""
+    from bears_spark import caching
     from bears_spark.functions import prefix
 
+    prefix.release_scan_caches()
+    caching.release_scoped_caches()
     df = spark.range(100).select(F.col("id"), F.lit(1).alias("v"))
     for _ in range(3):
         prefix.partitioned_cumsum(df, ["id"], ["v"], num_partitions=2).count()
-    assert len(prefix._SCAN_CACHE) == 1
+    assert len(prefix._SCAN_CACHE) == 3  # all retained while live
+    assert len(caching._SCOPED) >= 3  # registered for the harness drain
     prefix.release_scan_caches()
     assert len(prefix._SCAN_CACHE) == 0
+    caching.release_scoped_caches()  # double-unpersist is a no-op
+
+
+def test_partitioned_ntile_matches_window(spark):
+    from pyspark.sql import Window
+
+    from bears_spark.functions.prefix import partitioned_ntile, release_scan_caches
+
+    df = spark.range(103).select(
+        F.col("id"), (F.col("id") * 37 % 11).alias("k"), (F.col("id") % 7).alias("v")
+    )
+    for nb in (4, 7, 200):  # 200 > rows: degenerate one-row buckets
+        out = partitioned_ntile(df, [F.desc("k"), F.asc("id")], nb, out_col="b", num_partitions=8)
+        w = Window.orderBy(F.desc("k"), F.asc("id"))
+        exp = df.withColumn("b2", F.ntile(nb).over(w))
+        bad = out.join(exp, "id").filter(F.col("b") != F.col("b2"))
+        assert bad.count() == 0, f"ntile({nb}) mismatch"
+    release_scan_caches()
+
+
+def test_chained_scans_consistent(spark):
+    """Three chained partitioned_ntile calls (the cust_rfm_scores shape) —
+    each later scan's plan re-executes the earlier scans; retained caches
+    keep every offset table consistent with its boundaries."""
+    from pyspark.sql import Window
+
+    from bears_spark.functions.prefix import partitioned_ntile, release_scan_caches
+
+    df = spark.range(500).select(
+        F.col("id"),
+        (F.col("id") * 13 % 97).alias("a"),
+        (F.col("id") * 7 % 31).alias("b"),
+    )
+    out = partitioned_ntile(df, ["a", "id"], 4, out_col="qa", num_partitions=8)
+    out = partitioned_ntile(out, [F.desc("b"), F.asc("id")], 4, out_col="qb", num_partitions=8)
+    out = partitioned_ntile(out, [F.desc("a"), F.asc("id")], 3, out_col="qc", num_partitions=8)
+    exp = (
+        df.withColumn("qa2", F.ntile(4).over(Window.orderBy("a", "id")))
+        .withColumn("qb2", F.ntile(4).over(Window.orderBy(F.desc("b"), F.asc("id"))))
+        .withColumn("qc2", F.ntile(3).over(Window.orderBy(F.desc("a"), F.asc("id"))))
+    )
+    bad = out.join(exp, "id").filter(
+        (F.col("qa") != F.col("qa2")) | (F.col("qb") != F.col("qb2")) | (F.col("qc") != F.col("qc2"))
+    )
+    assert bad.count() == 0
+    release_scan_caches()
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_frame_partitionless_paths_have_no_window(spark):
+    """VERDICT r5 #8: the frame API's partition-less ordered ops must not
+    fall back to a one-task global window — every one routes through the
+    prefix machinery (range shuffle + offset table / position join)."""
+    import pandas as pd
+
+    from bears_spark.frame import SparkFrame
+    from bears_spark.functions.prefix import release_scan_caches
+
+    pdf = pd.DataFrame({"t": range(1, 9), "v": [1.0, 3.0, None, 4.0, 2.0, None, 7.0, 5.0]})
+    sf = SparkFrame.of(pdf, spark)
+
+    for out in (
+        sf.cumagg("t", {"v": ["sum", "max", "count"]}),
+        sf.shift("t", ["v"]),
+        sf.diff("t", ["v"]),
+        sf.pct_change("t", ["v"]),
+        sf.rank("v", method="min"),
+        sf.rank("v", method="dense"),
+        sf.rank("v", method="first"),
+        sf.ffill("t", ["v"]),
+        sf.bfill("t", ["v"]),
+    ):
+        plan = _physical(out.df)
+        assert "Window" not in plan, plan[:2000]
+    release_scan_caches()
+
+
+def test_frame_partitionless_values_match_window_forms(spark):
+    """The distributed partition-less paths are byte-identical to the window
+    forms they replaced."""
+    import pandas as pd
+
+    from bears_spark.frame import SparkFrame
+    from bears_spark.functions.prefix import release_scan_caches
+
+    pdf = pd.DataFrame(
+        {"t": range(1, 11), "v": [1.0, 3.0, None, 4.0, 2.0, None, 7.0, 5.0, 3.0, 1.0]}
+    )
+    sf = SparkFrame.of(pdf, spark)
+
+    cum = sf.cumagg("t", {"v": ["sum", "max", "count"]}).sort_values("t").to_pandas()
+    exp = pdf.sort_values("t")
+    # null input rows keep pandas-cumsum NaN output (the established
+    # partitioned_scan contract); non-null rows match the window form
+    assert cum["v_cumsum"].equals(exp["v"].cumsum().reset_index(drop=True))
+    assert cum["v_cummax"].equals(exp["v"].cummax().reset_index(drop=True))
+    assert cum["v_cumcount"].tolist() == exp["v"].notna().cumsum().tolist()
+
+    sh = sf.shift("t", ["v"]).sort_values("t").to_pandas()
+    assert sh["v_shift"].equals(exp["v"].shift(1).reset_index(drop=True))
+    ld = sf.shift("t", ["v"], periods=-2).sort_values("t").to_pandas()
+    assert ld["v_shift"].equals(exp["v"].shift(-2).reset_index(drop=True))
+
+    d = sf.diff("t", ["v"]).sort_values("t").to_pandas()
+    assert d["v_diff"].equals(exp["v"].diff().reset_index(drop=True))
+
+    p = sf.pct_change("t", ["v"]).sort_values("t").to_pandas()
+    # pandas pct_change ffills by default in older versions; compare to v/prev-1
+    prev = exp["v"].shift(1)
+    assert p["v_pct_change"].reset_index(drop=True).equals(
+        (exp["v"] / prev - 1).reset_index(drop=True)
+    )
+
+    # rank min/dense vs pandas (nulls excluded by pandas; Spark window puts
+    # null first under asc — assert on the non-null rows plus null handling)
+    rmin = sf.rank("v", method="min", out_col="r").sort_values("t").to_pandas()
+    rdense = sf.rank("v", method="dense", out_col="r").sort_values("t").to_pandas()
+    from pyspark.sql import Window
+
+    wmin = sf.df.withColumn("r2", F.rank().over(Window.orderBy(F.asc("v")))).toPandas()
+    wdense = sf.df.withColumn("r2", F.dense_rank().over(Window.orderBy(F.asc("v")))).toPandas()
+    m = rmin.merge(wmin[["t", "r2"]], on="t")
+    assert (m["r"] == m["r2"]).all()
+    md = rdense.merge(wdense[["t", "r2"]], on="t")
+    assert (md["r"] == md["r2"]).all()
+
+    ff = sf.ffill("t", ["v"]).sort_values("t").to_pandas()
+    assert ff["v"].equals(exp["v"].ffill().reset_index(drop=True))
+    bf = sf.bfill("t", ["v"]).sort_values("t").to_pandas()
+    assert bf["v"].equals(exp["v"].bfill().reset_index(drop=True))
+    release_scan_caches()

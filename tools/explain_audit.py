@@ -87,8 +87,10 @@ CHECKS = {
     "dedup_minhash_eval": ["HashAggregate", "FullOuter"],
     "orders_yoy_growth": ["Window", "HashAggregate"],
     "orders_survival_curve": ["Window", "HashAggregate"],
-    "customer_abc_analysis": ["Window", "HashAggregate"],
-    "customer_gini": ["Window", "HashAggregate"],
+    # global rank/cumsum via functions/prefix.py (range shuffle + offset
+    # table + mapInPandas assignment) — no WindowExec at all
+    "customer_abc_analysis": ["MapInPandas", "HashAggregate"],
+    "customer_gini": ["MapInPandas", "HashAggregate"],
     "nation_market_concentration": ["BroadcastHashJoin", "Window"],
     "lineitem_cycle_time": ["ObjectHashAggregate"],  # percentile agg after the orderkey join
     "part_iqr_outliers": ["BroadcastHashJoin"],  # quartile table broadcast back
@@ -120,9 +122,47 @@ FORBIDDEN_EXEMPT = {
     "corpus_pmi_bigrams",
     "tfidf_cosine_pairs",
     "lsh_recall_report",
+    "ann_ivfpq_recall_report",
     # reuses doc_unigram_logprob (and its 1-row token-total crossJoin)
     "doc_quality_balanced_corpus",
+    # SF-linear grains (supplier / part) whose HAVING/max scalar is a
+    # broadcast 1-row cross join instead of a one-task unpartitioned window
+    "q15_top_supplier",
+    "q11_important_stock",
 }
+
+
+# Unpartitioned Window/WindowGroupLimit nodes execute in ONE task — a
+# scale-killer whenever the window's input grows with SF (VERDICT r5 #1).
+# Queries listed here are the audited exceptions: their window input is
+# DOMAIN-BOUNDED (brand/month/duration/QI domains, top-k lists, transition
+# matrices — thousands of rows at any SF), so one task is fine. Everything
+# else must use partitioned windows or functions/prefix.py machinery.
+WINDOW_UNPARTITIONED_ALLOW: dict[str, str] = {
+    "orders_yoy_growth": "month grain — bounded calendar domain at any SF",
+    "orders_survival_curve": "distinct order-gap durations in days — bounded domain",
+    "doc_hybrid_retrieval": "windows run AFTER .limit(20) — 20-row frames",
+    "doc_vocabulary_topk": "zipf_rank window runs AFTER .limit(50) — 50-row frame",
+    "corpus_temperature_mixture": "language domain (tens of rows)",
+    "lang_source_mutual_info": "lang / source / lang x source domains — bounded",
+}
+
+
+def unpartitioned_windows(df) -> list[str]:
+    """Names of Window/WindowGroupLimit nodes in the optimized logical plan
+    whose partitionSpec is empty (one-task execution)."""
+    hits: list[str] = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name in ("Window", "WindowGroupLimit") and node.partitionSpec().isEmpty():
+            hits.append(name)
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return hits
 
 
 def plan_text(df) -> str:
@@ -144,12 +184,17 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        txt = plan_text(fn(spark, SF_DIR))
+        df = fn(spark, SF_DIR)
+        txt = plan_text(df)
         missing = [c for c in CHECKS.get(name, []) if c not in txt]
         bad = [c for c in FORBIDDEN if c in txt and name not in FORBIDDEN_EXEMPT]
-        status = "OK" if not missing and not bad else f"MISSING={missing} FORBIDDEN={bad}"
+        upw = [] if name in WINDOW_UNPARTITIONED_ALLOW else unpartitioned_windows(df)
+        status = (
+            "OK" if not missing and not bad and not upw
+            else f"MISSING={missing} FORBIDDEN={bad} ONE_TASK_WINDOW={upw}"
+        )
         print(f"  {name}: {status}")
-        if missing or bad:
+        if missing or bad or upw:
             failures.append(name)
             print(txt[:3000])
     if not only or "bucketed_join" in only:
