@@ -182,6 +182,7 @@ ROUND7_NEVER_GRADED = [
     "pipeline_quality_gate",
     "ev_ab_conversion",
     # --- added in round 6 (appended as implemented) ---
+    "ann_ivfpq_recall_report",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

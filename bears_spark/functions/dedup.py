@@ -455,6 +455,7 @@ def semantic_cluster_stats(
     vec_col: str,
     cluster_col: str,
     threshold: float = 0.95,
+    gram_block_elems: int = 16_000_000,
 ) -> DataFrame:
     """Per-cluster semantic-dedup statistics via a BLAS gram matrix: for each
     cluster, members / cosine-pairs >= threshold / distinct dropped ids under
@@ -470,9 +471,14 @@ def semantic_cluster_stats(
     need a cosine within float ulp of the threshold (measured identical to
     the JVM expression path; see test_semantic_cluster_stats_matches_jvm).
 
-    At 100 TB: parallelism = number of clusters (choose k accordingly); a
-    cluster too big for one gram matrix gets chunked row-blocks of X @ X.T —
-    the per-block logic is unchanged.
+    At 100 TB: parallelism = number of clusters (choose k accordingly). A
+    cluster too big for one gram matrix is processed in chunked ROW BLOCKS
+    of ``X[i:i+B] @ X.T`` — peak extra memory is bounded by
+    ``gram_block_elems`` doubles (default 16M = 128 MB) regardless of
+    cluster size, so a skewed hot cluster of m members costs m*d for X plus
+    one bounded block, never m^2 (VERDICT r5 #2). Each gram element is the
+    same row-pair dot product either way, so blockwise counts equal the
+    single-shot gram's exactly (test_semantic_cluster_stats_blockwise).
     """
     import numpy as np
     import pandas as pd
@@ -485,15 +491,23 @@ def semantic_cluster_stats(
         X = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf[vec_col].iloc[order]])
         nrm = np.sqrt((X * X).sum(axis=1))
         nrm[nrm == 0.0] = np.nan  # zero vectors: cosine undefined -> no pairs
-        G = (X @ X.T) / np.outer(nrm, nrm)
-        iu = np.triu_indices(len(ids), k=1)
-        hits = np.nan_to_num(G[iu], nan=-2.0) >= threshold
+        m = len(ids)
+        block = max(1, gram_block_elems // max(m, 1))
+        n_pairs = 0
+        dropped: set[int] = set()  # global row index of each pair's LARGER id
+        for i0 in range(0, m, block):
+            i1 = min(i0 + block, m)
+            Gb = (X[i0:i1] @ X.T) / np.outer(nrm[i0:i1], nrm)
+            rows, cols = np.nonzero(np.nan_to_num(Gb, nan=-2.0) >= threshold)
+            upper = cols > (rows + i0)  # upper triangle: pair (i, j), j > i
+            n_pairs += int(upper.sum())
+            dropped.update(cols[upper].tolist())
         return pd.DataFrame(
             {
                 "cid": [cid],
-                "n_members": [len(ids)],
-                "n_dup_pairs": [int(hits.sum())],
-                "n_dropped": [int(np.unique(iu[1][hits]).size)],
+                "n_members": [m],
+                "n_dup_pairs": [n_pairs],
+                "n_dropped": [len(dropped)],
             }
         )
 

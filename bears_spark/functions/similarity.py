@@ -536,7 +536,12 @@ def ivfpq_topk(
             (-i).alias("negid"),
         ),
     )
-    best_cid = -F.array_max(sims)["negid"]
+    # array_max yields the POSITION in the sorted centroid list; map it back
+    # to the real centroid_id before comparing against probe_ids — ids need
+    # not be contiguous (seeded_lloyd_centroids can empty a cluster)
+    cids = [cid for cid, _ in cent_rows]
+    best_pos = (-F.array_max(sims)["negid"]).cast("int")
+    best_cid = F.element_at(F.lit(cids), best_pos + F.lit(1))
     cands = df.filter(best_cid.isin(probe_ids)).select(id_col, vec_col)
     codes = pq_encode(cands, id_col, vec_col, codebooks)
     m = len(codebooks)
@@ -679,7 +684,6 @@ def ivfpq_residual_topk(
         for r in rows
     )
     qv = [float(x) for x in query_vec]
-    n_cent = len(cent_rows)
     cmat = np.asarray([c for _, c in cent_rows])
     dim = cmat.shape[1]
     if dim % m:
@@ -702,13 +706,19 @@ def ivfpq_residual_topk(
             (-i).alias("negid"),
         ),
     )
-    best = -F.array_max(sims)["negid"]
+    # array_max yields the POSITION in the sorted centroid list; the raw
+    # centroid lookup (residual) is position-indexed, but the published
+    # centroid_id column must carry the REAL id — ids need not be contiguous
+    # (seeded_lloyd_centroids can empty a cluster)
+    best_pos = (-F.array_max(sims)["negid"]).cast("int")
+    cid_list = [cid for cid, _ in cent_rows]
+    best_cid = F.element_at(F.lit(cid_list), best_pos + F.lit(1))
     raw_cmat_lit = F.lit([[float(x) for x in c] for _, c in cent_rows])
     residual = F.zip_with(
-        v, F.element_at(raw_cmat_lit, best + F.lit(1)), lambda x, y: x.cast("double") - y
+        v, F.element_at(raw_cmat_lit, best_pos + F.lit(1)), lambda x, y: x.cast("double") - y
     )
     assigned = df.select(
-        F.col(id_col), best.alias("centroid_id"), residual.alias("__res__")
+        F.col(id_col), best_cid.alias("centroid_id"), residual.alias("__res__")
     )
 
     # train per-subspace codebooks on residuals (seeded, sample-friendly)
@@ -739,14 +749,18 @@ def ivfpq_residual_topk(
         cands.select(id_col, "centroid_id"), id_col
     )
 
-    # per-probed-centroid ADC tables from the query's residuals
+    # per-probed-centroid ADC tables from the query's residuals; the slot
+    # array maps a REAL centroid id to its table index, sized to the max id
+    # (ids need not be contiguous — indexing by id would misread or go out
+    # of range otherwise)
     qarr = np.asarray(qv)
     cents_np = np.asarray(books)  # [m, k, dsub]
-    slot = [-1] * n_cent
+    id2vec = {cid: np.asarray(c) for cid, c in cent_rows}
+    slot = [-1] * (max(id2vec) + 1)
     tables = []
     for j, cid in enumerate(probe_ids):
         slot[cid] = j
-        qres = (qarr - cmat[cid]).reshape(m, dsub)
+        qres = (qarr - id2vec[cid]).reshape(m, dsub)
         tables.append(((cents_np - qres[:, None, :]) ** 2).sum(axis=2))  # [m, k]
     slot_lit = F.lit(slot)
     tbl_lit = F.lit([[[float(d) for d in row] for row in t] for t in tables])

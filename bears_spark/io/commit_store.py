@@ -92,21 +92,25 @@ class LocalCommitStore(CommitStore):
         except FileExistsError:
             return False
         except OSError:
-            # filesystem without hard links (some fuse/SMB mounts):
-            # O_CREAT|O_EXCL is still an atomic existence claim; the value
-            # lands right after, so a concurrent reader can briefly see a
-            # short file — acceptable for the fallback tier (readers of
-            # manifests retry on JSON parse failure at a higher level;
-            # object stores use conditional put and never hit this path)
+            # filesystem without hard links (some fuse/SMB mounts): claim
+            # then swap — O_CREAT|O_EXCL is the atomic existence claim, and
+            # the payload lands by os.replace of the fully-written tmp file
+            # over the claimed key, so readers never observe a PARTIAL
+            # manifest (at worst a momentary zero-byte claim, which
+            # _load_manifest retries; object stores use conditional put and
+            # never hit this path)
             try:
                 fd = os.open(key, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
                 return False
-            with os.fdopen(fd, "wb") as fh:
-                fh.write(data)
+            os.close(fd)
+            os.replace(tmp, key)
             return True
         finally:
-            os.unlink(tmp)
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass  # consumed by the claim-then-swap os.replace
 
     def replace(self, key: str, data: bytes) -> None:
         os.makedirs(os.path.dirname(key), exist_ok=True)
@@ -171,3 +175,164 @@ class InMemoryCommitStore(CommitStore):
     def delete(self, key: str) -> None:
         with self._lock:
             self._data.pop(key, None)
+
+
+def _strip_object_uri(key: str, scheme_prefixes: tuple[str, ...], bucket: str) -> str:
+    """Map a path-like key to an object key: strip a leading
+    ``<scheme>://<bucket>/`` if present (SnapshotTable joins keys with
+    os.path, so keys may arrive as full URIs or bare object keys)."""
+    for sp in scheme_prefixes:
+        full = f"{sp}://{bucket}/"
+        if key.startswith(full):
+            return key[len(full):]
+    return key.lstrip("/")
+
+
+class S3CommitStore(CommitStore):
+    """Object-store commit protocol over S3 conditional writes.
+
+    ``put_if_absent`` is PutObject with ``IfNoneMatch="*"`` — S3 returns
+    412 PreconditionFailed when the key already exists and 409
+    ConditionalRequestConflict when another conditional write is in flight
+    on the same key; both mean "you lost the CAS" (the 409 loser retries
+    through the normal commit loop, where it will read the winner's
+    manifest). This is the exact primitive Delta/Iceberg use for
+    coordination-free commits on S3 — no DynamoDB lock table needed since
+    S3 shipped conditional writes.
+
+    ``client`` is injectable (any object speaking the boto3 S3 client
+    surface) so the CAS semantics are testable through a stub transport
+    without network or credentials; by default a real boto3 client is
+    constructed lazily, with an informative error when boto3 is absent.
+    """
+
+    _SCHEMES = ("s3", "s3a", "s3n")
+
+    def __init__(self, bucket: str, client=None) -> None:
+        self.bucket = bucket
+        if client is None:
+            try:
+                import boto3
+            except ImportError as exc:  # pragma: no cover - env-dependent
+                raise ImportError(
+                    "S3CommitStore needs boto3 (or pass an explicit client)"
+                ) from exc
+            client = boto3.client("s3")
+        self.client = client
+
+    def _key(self, key: str) -> str:
+        return _strip_object_uri(key, self._SCHEMES, self.bucket)
+
+    @staticmethod
+    def _error_code(exc: Exception) -> str:
+        err = getattr(exc, "response", None) or {}
+        return str(err.get("Error", {}).get("Code", "")) if isinstance(err, dict) else ""
+
+    def put_if_absent(self, key: str, data: bytes) -> bool:
+        try:
+            self.client.put_object(
+                Bucket=self.bucket, Key=self._key(key), Body=data, IfNoneMatch="*"
+            )
+            return True
+        except Exception as exc:
+            if self._error_code(exc) in (
+                "PreconditionFailed",  # 412: key exists
+                "ConditionalRequestConflict",  # 409: concurrent conditional write
+            ):
+                return False
+            raise
+
+    def replace(self, key: str, data: bytes) -> None:
+        self.client.put_object(Bucket=self.bucket, Key=self._key(key), Body=data)
+
+    def read(self, key: str) -> bytes:
+        try:
+            resp = self.client.get_object(Bucket=self.bucket, Key=self._key(key))
+        except Exception as exc:
+            if self._error_code(exc) in ("NoSuchKey", "404"):
+                raise FileNotFoundError(key) from exc
+            raise
+        body = resp["Body"]
+        return body.read() if hasattr(body, "read") else body
+
+    def list_prefix(self, prefix: str) -> list[str]:
+        p = self._key(prefix).rstrip("/") + "/"
+        keys: list[str] = []
+        token = None
+        while True:
+            kwargs = {"Bucket": self.bucket, "Prefix": p}
+            if token:
+                kwargs["ContinuationToken"] = token
+            resp = self.client.list_objects_v2(**kwargs)
+            keys.extend(o["Key"] for o in resp.get("Contents", []))
+            if not resp.get("IsTruncated"):
+                break
+            token = resp.get("NextContinuationToken")
+        return sorted(keys)
+
+    def delete(self, key: str) -> None:
+        self.client.delete_object(Bucket=self.bucket, Key=self._key(key))
+
+
+class GCSCommitStore(CommitStore):
+    """Object-store commit protocol over GCS generation preconditions:
+    ``put_if_absent`` uploads with ``if_generation_match=0`` (the object may
+    only be created, never replaced — GCS's native CAS; 412
+    PreconditionFailed means the key exists). Requires google-cloud-storage;
+    ``bucket_obj`` is injectable for stub-transport tests."""
+
+    _SCHEMES = ("gs",)
+
+    def __init__(self, bucket: str, bucket_obj=None) -> None:
+        self.bucket = bucket
+        if bucket_obj is None:
+            try:
+                from google.cloud import storage  # type: ignore
+            except ImportError as exc:  # pragma: no cover - env-dependent
+                raise ImportError(
+                    "GCSCommitStore needs google-cloud-storage "
+                    "(or pass an explicit bucket_obj)"
+                ) from exc
+            bucket_obj = storage.Client().bucket(bucket)
+        self.bucket_obj = bucket_obj
+
+    def _key(self, key: str) -> str:
+        return _strip_object_uri(key, self._SCHEMES, self.bucket)
+
+    def put_if_absent(self, key: str, data: bytes) -> bool:
+        blob = self.bucket_obj.blob(self._key(key))
+        try:
+            blob.upload_from_string(data, if_generation_match=0)
+            return True
+        except Exception as exc:
+            code = getattr(exc, "code", None)
+            if code == 412 or type(exc).__name__ == "PreconditionFailed":
+                return False
+            raise
+
+    def replace(self, key: str, data: bytes) -> None:
+        self.bucket_obj.blob(self._key(key)).upload_from_string(data)
+
+    def read(self, key: str) -> bytes:
+        blob = self.bucket_obj.blob(self._key(key))
+        try:
+            return blob.download_as_bytes()
+        except Exception as exc:
+            code = getattr(exc, "code", None)
+            if code == 404 or type(exc).__name__ == "NotFound":
+                raise FileNotFoundError(key) from exc
+            raise
+
+    def list_prefix(self, prefix: str) -> list[str]:
+        p = self._key(prefix).rstrip("/") + "/"
+        return sorted(b.name for b in self.bucket_obj.list_blobs(prefix=p))
+
+    def delete(self, key: str) -> None:
+        blob = self.bucket_obj.blob(self._key(key))
+        try:
+            blob.delete()
+        except Exception as exc:
+            code = getattr(exc, "code", None)
+            if code == 404 or type(exc).__name__ == "NotFound":
+                return
+            raise

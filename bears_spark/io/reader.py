@@ -98,9 +98,12 @@ def _read_npz(spark: SparkSession, path: str, schema=None, columns: list[str] | 
 
     binary = spark.read.format("binaryFile").load(path)
 
-    # peek one file on the driver for the schema (cheap: metadata-only read)
+    # peek one file on the driver for the schema (cheap: metadata-only read);
+    # binaryFile percent-encodes URI-special chars — unquote before open
+    from urllib.parse import unquote
+
     sample_path = binary.select("path").first()["path"]
-    local = sample_path.removeprefix("file:")
+    local = unquote(sample_path.removeprefix("file:"))
     with np.load(local) as z:
         keys = columns or list(z.files)
         sample_pdf = pd.DataFrame({k: z[k][:1] for k in keys})
@@ -130,8 +133,12 @@ def _read_arrow(spark: SparkSession, path: str, schema=None, columns: list[str] 
 
     from pyspark.sql.pandas.types import from_arrow_schema
 
+    from urllib.parse import unquote
+
     binary = spark.read.format("binaryFile").load(path)
-    sample_path = binary.select("path").first()["path"].removeprefix("file:")
+    # binaryFile percent-encodes URI-special characters (spaces, %): unquote
+    # before opening driver-side, as _attach_blooms does for the same reason
+    sample_path = unquote(binary.select("path").first()["path"].removeprefix("file:"))
     with pa.memory_map(sample_path) as mm:
         arrow_schema = ipc.open_file(mm).schema
     if columns:
@@ -176,7 +183,9 @@ def _read_avro(spark: SparkSession, path: str, schema=None, **opts) -> DataFrame
         src = src.rstrip("/") + "/*.avro"
     binary = spark.read.format("binaryFile").load(src)
 
-    sample = binary.select("path").first()["path"].removeprefix("file:")
+    from urllib.parse import unquote
+
+    sample = unquote(binary.select("path").first()["path"].removeprefix("file:"))
     with open(sample, "rb") as f:
         avro_schema, _sync = read_header(f)
     out_schema = avro_schema_to_spark(avro_schema)
@@ -313,14 +322,18 @@ def _read_xml(
     """XML reader (stdlib ElementTree — no spark-xml dependency): every
     ``record_tag`` element becomes a row; child elements and attributes
     become string columns (attributes win name collisions). Distributed the
-    same way as NPZ/Arrow: binaryFile -> one document parsed per task; the
-    driver peeks one file for the column set (union of fields in its first
-    record batch). All values land as strings — cast downstream, exactly
-    how spark-xml's schema-less mode behaves."""
+    same way as NPZ/Arrow: binaryFile -> one document parsed per task. The
+    column set is the UNION of record fields across ALL files, discovered by
+    one distributed field-name pass (bytes proportional to field names, not
+    data — a single-file peek would silently drop fields that appear only in
+    other files); pass ``columns=[...]`` to skip the pass. All values land
+    as strings — cast downstream, exactly how spark-xml's schema-less mode
+    behaves."""
     import io as _io
     import xml.etree.ElementTree as ET
 
     import pandas as pd
+    from pyspark.sql import functions as F
 
     def fields_of(elem) -> dict:
         row = {child.tag: (child.text or "").strip() for child in elem}
@@ -328,15 +341,32 @@ def _read_xml(
         return row
 
     binary = spark.read.format("binaryFile").load(path)
-    sample_path = binary.select("path").first()["path"].removeprefix("file:")
-    cols: list[str] = []
-    root = ET.parse(sample_path).getroot()
-    for rec in root.iter(record_tag):
-        for k in fields_of(rec):
-            if k not in cols:
-                cols.append(k)
+    explicit = opts.get("columns")
+    if explicit:
+        cols = list(explicit)
+    else:
+        def _fields(batches):
+            for pdf in batches:
+                for _, row in pdf.iterrows():
+                    r = ET.parse(_io.BytesIO(row["content"])).getroot()
+                    seen: list[str] = []
+                    for e in r.iter(record_tag):
+                        for k in fields_of(e):
+                            if k not in seen:
+                                seen.append(k)
+                    yield pd.DataFrame({"name": seen, "pos": range(len(seen))})
+
+        field_rows = (
+            binary.select("content")
+            .mapInPandas(_fields, "name string, pos int")
+            .groupBy("name")
+            .agg(F.min("pos").alias("pos"))
+            .collect()
+        )
+        # stable order: first-seen position, name tiebreak across files
+        cols = [r["name"] for r in sorted(field_rows, key=lambda r: (r["pos"], r["name"]))]
     if not cols:
-        raise ValueError(f"no <{record_tag}> records found in {sample_path}")
+        raise ValueError(f"no <{record_tag}> records found under {path}")
     out_schema = ", ".join(f"`{c}` string" for c in cols)
 
     def _decode(batches):

@@ -132,20 +132,43 @@ class FileEntry:
     def _bloom_rejects(self, col: str, value) -> bool:
         """True when the file's Bloom filter PROVES ``col = value`` matches no
         row. False negatives are impossible (standard Bloom guarantee), so
-        this only ever removes files the equality scan could skip anyway."""
+        this only ever removes files the equality scan could skip anyway.
+
+        Bits were built from Spark's cast-to-string of an int/string column
+        (enforced at write). A probe whose Python rendering differs from the
+        storage rendering (float 41.0 -> '41.0' vs bigint '41') would hash
+        to different positions and silently prune a matching file — so the
+        probe is normalized to every PLAUSIBLE storage rendering and the
+        file is rejected only when ALL of them are absent (ADVICE r5 #4).
+        Probes with no trustworthy rendering fall through to range stats."""
         import hashlib
 
         b = self.blooms.get(col)
         if not b:
             return False
+        if isinstance(value, bool):
+            return False  # blooms are never built on boolean columns
+        if isinstance(value, (int, str)):
+            renderings = [str(value)]
+        elif isinstance(value, float) and value.is_integer():
+            # could be probing a bigint column ('41') or a string column
+            # storing '41.0' — must miss under BOTH to reject
+            renderings = [str(int(value)), str(value)]
+        elif isinstance(value, float):
+            renderings = [str(value)]
+        else:
+            return False  # decimal/date/...: rendering ambiguous, use stats
         bits = int(b["bits"], 16)
-        for i in range(b["k"]):
-            # mirror functions/sketch.bloom_positions: md5_hash64(cast-to-
-            # string value, salt=i) % m — int/str casts match Spark's
-            h = int(hashlib.md5(f"{i}:{value}".encode()).hexdigest()[:15], 16) % b["m"]
-            if not (bits >> h) & 1:
-                return True
-        return False
+        for rendering in renderings:
+            for i in range(b["k"]):
+                # mirror functions/sketch.bloom_positions: md5_hash64(cast-
+                # to-string value, salt=i) % m
+                h = int(hashlib.md5(f"{i}:{rendering}".encode()).hexdigest()[:15], 16) % b["m"]
+                if not (bits >> h) & 1:
+                    break  # this rendering is provably absent
+            else:
+                return False  # rendering may be present: cannot reject
+        return True
 
     def may_match(self, col: str, op: str, value) -> bool:
         """False only when NO row in this file can satisfy ``col op value``.
@@ -219,7 +242,21 @@ class SnapshotTable:
         v = self.current_version() if version is None else version
         if v == 0:
             return {"version": 0, "operation": "empty", "files": [], "txns": {}}
-        return json.loads(self.store.read(self._manifest_key(v)))
+        # the no-hardlink LocalCommitStore fallback publishes claim-then-swap,
+        # so a reader can momentarily observe the zero-byte claim before the
+        # payload replaces it — retry briefly; partial JSON is impossible
+        # (os.replace is atomic), so one live committer resolves this fast
+        last: Exception | None = None
+        for _ in range(50):
+            raw = self.store.read(self._manifest_key(v))
+            try:
+                return json.loads(raw)
+            except json.JSONDecodeError as e:
+                last = e
+                import time
+
+                time.sleep(0.01)
+        raise last
 
     def _write_files(self, df: DataFrame) -> list[FileEntry]:
         """Write df as immutable parquet files under data/<uuid>/ and harvest
@@ -498,29 +535,56 @@ class SnapshotTable:
 
         return self._commit("merge", build)
 
-    def compact(self, target_rows_per_file: int = 1_000_000) -> int:
+    def compact(self, target_rows_per_file: int = 1_000_000, max_rebuild_attempts: int = 3) -> int:
         """Small-file maintenance: bin-pack files below the target into
         ~target-sized replacements, carrying already-large files by
         reference. Commits a new version; every prior snapshot still reads
         its original files (data files are immutable). On a streaming-fed
         100 TB table this is the job that keeps file counts — and therefore
-        planning time and open-file overhead — bounded."""
+        planning time and open-file overhead — bounded.
+
+        Concurrency (ADVICE r5 #2): the replacement files are materialized
+        from a snapshot taken BEFORE the commit CAS, so the build closure
+        verifies every compacted input is still present in the parent
+        manifest it commits against. If a concurrent delete/merge/compact
+        rewrote one of them, blindly committing would resurrect deleted
+        rows (or duplicate rows under two racing compacts) — Delta/Iceberg
+        abort this conflict, and so do we: the attempt's output files are
+        abandoned (unreferenced, reclaimable by vacuum) and the compaction
+        re-reads and re-writes against the new snapshot, up to
+        ``max_rebuild_attempts`` before raising CommitConflictError."""
         import math
 
-        entries = [FileEntry(**e) for e in self._load_manifest()["files"]]
-        small = [e for e in entries if e.rows < target_rows_per_file]
-        if len(small) <= 1:
-            return self.current_version()  # nothing to gain
-        merged = self.spark.read.parquet(*[e.path for e in small])
-        n_out = max(1, math.ceil(sum(e.rows for e in small) / target_rows_per_file))
-        new = self._write_files(merged.repartition(n_out))
-        small_paths = {e.path for e in small}
+        class _StaleInputs(Exception):
+            pass
 
-        def build(parent_m: dict) -> list[FileEntry]:
-            prior = [FileEntry(**e) for e in parent_m["files"]]
-            return [e for e in prior if e.path not in small_paths] + new
+        for _ in range(max_rebuild_attempts):
+            entries = [FileEntry(**e) for e in self._load_manifest()["files"]]
+            small = [e for e in entries if e.rows < target_rows_per_file]
+            if len(small) <= 1:
+                return self.current_version()  # nothing to gain
+            merged = self.spark.read.parquet(*[e.path for e in small])
+            n_out = max(1, math.ceil(sum(e.rows for e in small) / target_rows_per_file))
+            new = self._write_files(merged.repartition(n_out))
+            small_paths = {e.path for e in small}
 
-        return self._commit("compact", build)
+            def build(parent_m: dict, small_paths=small_paths, new=new) -> list[FileEntry]:
+                prior = [FileEntry(**e) for e in parent_m["files"]]
+                prior_paths = {e.path for e in prior}
+                if not small_paths <= prior_paths:
+                    # a concurrent writer removed/rewrote a compacted input
+                    # after we read it: committing would resurrect its old
+                    # rows — rebuild from the new snapshot instead
+                    raise _StaleInputs(sorted(small_paths - prior_paths))
+                return [e for e in prior if e.path not in small_paths] + new
+
+            try:
+                return self._commit("compact", build)
+            except _StaleInputs:
+                continue
+        raise CommitConflictError(
+            f"compact inputs were concurrently rewritten {max_rebuild_attempts} times; giving up"
+        )
 
     # -- streaming ingest ---------------------------------------------------
     def committed_txns(self) -> dict[str, int]:
