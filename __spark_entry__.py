@@ -183,6 +183,8 @@ ROUND7_NEVER_GRADED = [
     "ev_ab_conversion",
     # --- added in round 6 (appended as implemented) ---
     "ann_ivfpq_recall_report",
+    "doc_pack_assignments",
+    "emb_cluster_silhouette",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

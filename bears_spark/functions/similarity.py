@@ -214,6 +214,22 @@ def assign_centroids_expr(vec_col, centroids) -> "F.Column":
 
     ``centroids``: DataFrame(centroid_id, centroid) or pre-collected rows.
     """
+    cids, sims = _centroid_sim_structs(vec_col, centroids)
+    best_pos = -F.array_max(sims)["negid"]
+    # positions -> centroid ids (ids can be non-contiguous when a Lloyd
+    # update empties a cluster)
+    return F.element_at(F.lit(cids), (best_pos + F.lit(1)).cast("int"))
+
+
+def _centroid_sim_structs(vec_col, centroids):
+    """(sorted centroid ids, array<struct(cos, negid)> column): exact cosine
+    of the row vector to every centroid, positions ascending by centroid_id.
+    Lexicographic max/sort over (cos, -position) breaks cosine ties to the
+    LOWEST centroid id — the shared tie rule of every assignment path.
+
+    nullif + coalesce(-2): a zero-norm vector would hit ANSI
+    divide-by-zero; instead its cosines all collapse to -2 (below any real
+    cosine) and the tie-break deterministically assigns the lowest cid."""
     rows = centroids.collect() if isinstance(centroids, DataFrame) else centroids
     cent = sorted(
         (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
@@ -227,9 +243,6 @@ def assign_centroids_expr(vec_col, centroids) -> "F.Column":
     vnorm = F.sqrt(
         F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
     )
-    # nullif + coalesce(-2): a zero-norm vector would hit ANSI
-    # divide-by-zero; instead its cosines all collapse to -2 (below any real
-    # cosine) and the tie-break deterministically assigns the lowest cid
     sims = F.transform(
         cmat_lit,
         lambda c, i: F.struct(
@@ -248,10 +261,30 @@ def assign_centroids_expr(vec_col, centroids) -> "F.Column":
             (-i).alias("negid"),
         ),
     )
-    best_pos = -F.array_max(sims)["negid"]
-    # positions -> centroid ids (ids can be non-contiguous when a Lloyd
-    # update empties a cluster)
-    return F.element_at(F.lit(cids), (best_pos + F.lit(1)).cast("int"))
+    return cids, sims
+
+
+def simplified_silhouette_expr(vec_col, centroids) -> "F.Column":
+    """Per-row struct(cid, sil): the assigned (nearest-cosine) centroid id
+    and the SIMPLIFIED silhouette (Hruschka et al. 2004 — centroid distances
+    in place of all-pairs distances, the standard O(n*k) large-scale
+    variant; sklearn's silhouette is O(n^2) and unusable at corpus scale):
+    a = cosine distance to the own centroid, b = to the second-nearest,
+    s = (b - a) / max(a, b), defined 0 when max(a, b) == 0 or k == 1.
+
+    Expression-only (centroids baked as one literal, sort_array for the
+    top-2) — map-only over the scan, stream-transparent, no join/window."""
+    cids, sims = _centroid_sim_structs(vec_col, centroids)
+    ordered = F.sort_array(sims, asc=False)  # best (cos, lowest-id-tie) first
+    best = ordered[0]
+    cid = F.element_at(F.lit(cids), (-best["negid"] + F.lit(1)).cast("int"))
+    if len(cids) == 1:
+        return F.struct(cid.alias("cid"), F.lit(0.0).alias("sil"))
+    second = ordered[1]
+    a = F.lit(1.0) - best["cos"]
+    b = F.lit(1.0) - second["cos"]
+    sil = F.when(F.greatest(a, b) > 0, (b - a) / F.greatest(a, b)).otherwise(F.lit(0.0))
+    return F.struct(cid.alias("cid"), sil.alias("sil"))
 
 
 def seeded_lloyd_centroids(

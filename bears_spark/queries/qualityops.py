@@ -1071,6 +1071,75 @@ ORACLES["doc_curriculum_stages"] = DOC_CURRICULUM_SQL
 
 
 # --------------------------------------------------------------------------
+# doc_pack_assignments: GPT-style sequence packing — concatenate the corpus
+# in doc_id order and split at fixed token-budget boundaries, documents
+# straddling a boundary split across packs (the standard concat-and-chunk
+# pretraining layout; every pack is exactly _PACK_BUDGET tokens except the
+# final remainder). Output: one row per (pack, doc) span with the token
+# count the doc contributes to that pack.
+#
+# 100 TB: the global token cumsum comes from functions/prefix.py
+# partitioned_cumsum (range shuffle + per-partition offset table — never a
+# one-task window); the span explode is map-only. The whole plan is one
+# shuffle over (doc_id, n_tok) pairs — bytes ~ 16/doc, not the text.
+_PACK_BUDGET = 512
+
+
+def doc_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.prefix import partitioned_cumsum
+    from bears_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", token_count("text").alias("n_tok")).filter(F.col("n_tok") > 0)
+    cum = partitioned_cumsum(toks, ["doc_id"], ["n_tok"], suffix="_cum")
+    budget = F.lit(_PACK_BUDGET).cast("bigint")
+    start = F.col("n_tok_cum") - F.col("n_tok")
+    first = F.floor(start / budget).cast("bigint")
+    last = F.floor((F.col("n_tok_cum") - 1) / budget).cast("bigint")
+    return (
+        cum.select(
+            "doc_id",
+            start.alias("tok_start"),
+            F.col("n_tok_cum").alias("tok_end"),
+            F.explode(F.sequence(first, last)).alias("pack_id"),
+        )
+        .select(
+            "pack_id",
+            "doc_id",
+            (
+                F.least(F.col("tok_end"), (F.col("pack_id") + 1) * budget)
+                - F.greatest(F.col("tok_start"), F.col("pack_id") * budget)
+            ).alias("n_tok_in_pack"),
+        )
+        .orderBy("pack_id", "doc_id")
+    )
+
+
+DOC_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, len({_DUCK_TOKS}) AS n_tok FROM documents
+), nz AS (
+  SELECT doc_id, n_tok FROM t WHERE n_tok > 0
+), c AS (
+  SELECT doc_id, n_tok,
+         CAST(sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM nz
+), spans AS (
+  SELECT doc_id, cum - n_tok AS tok_start, cum AS tok_end,
+         unnest(range((cum - n_tok) // {_PACK_BUDGET}, (cum - 1) // {_PACK_BUDGET} + 1)) AS pack_id
+  FROM c
+)
+SELECT pack_id, doc_id,
+       CAST(least(tok_end, (pack_id + 1) * {_PACK_BUDGET})
+            - greatest(tok_start, pack_id * {_PACK_BUDGET}) AS BIGINT) AS n_tok_in_pack
+FROM spans ORDER BY pack_id, doc_id
+"""
+
+QUERIES["doc_pack_assignments"] = doc_pack_assignments
+ORACLES["doc_pack_assignments"] = DOC_PACK_SQL
+
+
+# --------------------------------------------------------------------------
 # customer_k_anonymity: privacy gate for training-data governance — group
 # the table by its quasi-identifier tuple (nationkey, market segment) and
 # flag equivalence classes smaller than k: those rows are re-identifiable

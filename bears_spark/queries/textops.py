@@ -687,6 +687,55 @@ ORDER BY cid
 
 
 # --------------------------------------------------------------------------
+# emb_cluster_silhouette: clustering-quality report for the SemDeDup
+# clustering — per cluster, the SIMPLIFIED silhouette (centroid-distance
+# variant, Hruschka et al. 2004: a = cosine distance to own centroid, b = to
+# second-nearest, s = (b-a)/max(a,b)). "Measure, don't guess" for the
+# cluster structure every semantic-dedup decision rides on: a cluster whose
+# silhouette ~0 is not separating its members, so its dedup pairs are
+# blocking artifacts. Map-only expression over the scan (centroids are plan
+# literals — O(n*k) total, vs sklearn's all-pairs O(n^2)), one bounded
+# groupBy(cid).
+def emb_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim.seeded_lloyd_centroids(
+        emb, "vec_id", "embedding", k=_SEM_K, salt=_SEM_SALT, iters=1, mean_round=_SEM_ROUND
+    )
+    scored = emb.select(
+        sim.simplified_silhouette_expr("embedding", cents).alias("cs")
+    ).select(F.col("cs.cid").alias("cid"), F.col("cs.sil").alias("sil"))
+    return (
+        scored.groupBy("cid")
+        .agg(F.count("*").alias("n_members"), F.round(F.avg("sil"), 6).alias("avg_silhouette"))
+        .orderBy("cid")
+    )
+
+
+EMB_SILHOUETTE_SQL = f"""
+WITH {_SEM_CTES},
+scored AS (
+  SELECT e.vec_id, m.cid, {_sem_cos("e.embedding", "m.c")} AS cs,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_sem_cos("e.embedding", "m.c")} DESC, m.cid ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN m
+),
+ab AS (
+  SELECT s1.vec_id, s1.cid, 1 - s1.cs AS a, 1 - s2.cs AS b
+  FROM scored s1 JOIN scored s2 ON s1.vec_id = s2.vec_id AND s2.rn = 2
+  WHERE s1.rn = 1
+)
+SELECT cid, count(*) AS n_members,
+       round(avg(CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b) ELSE 0 END), 6)
+         AS avg_silhouette
+FROM ab GROUP BY cid ORDER BY cid
+"""
+
+# (registered after the QUERIES/ORACLES dict literals below)
+
+
+# --------------------------------------------------------------------------
 # ann_lsh_topk: random-hyperplane LSH bucket search — candidates restricted
 # to the query's sign-bucket. Hyperplanes are md5-seeded literals, so the
 # oracle regenerates the identical planes and bucket arithmetic.
@@ -2326,6 +2375,9 @@ SELECT (SELECT count(*) FROM exact) AS n_true,
 
 QUERIES["ann_ivfpq_recall_report"] = ann_ivfpq_recall_report
 ORACLES["ann_ivfpq_recall_report"] = ANN_IVFPQ_RECALL_SQL
+
+QUERIES["emb_cluster_silhouette"] = emb_cluster_silhouette
+ORACLES["emb_cluster_silhouette"] = EMB_SILHOUETTE_SQL
 
 
 # --------------------------------------------------------------------------

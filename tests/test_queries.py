@@ -93,3 +93,53 @@ def test_ann_ivfpq_recall_threshold(spark):
     assert row["n_hit"] <= row["n_in_probe"]
     assert row["candidate_recall"] >= 0.3, row.asDict()
     assert row["recall_at_10"] >= 0.1, row.asDict()
+
+
+def test_doc_pack_assignments_invariants(spark):
+    """GPT-style concat-and-chunk packing: every pack holds exactly the
+    budget except the final remainder, each doc's spans partition its
+    tokens, and spans within a pack are contiguous in doc_id order."""
+    from pyspark.sql import functions as F
+
+    from bears_spark.queries.qualityops import _PACK_BUDGET, doc_pack_assignments
+    from bears_spark.queries.tables import load_table
+    from bears_spark.functions.text import token_count
+
+    sf = "/root/testdata/sf0.001"
+    out = doc_pack_assignments(spark, sf)
+    per_pack = out.groupBy("pack_id").agg(F.sum("n_tok_in_pack").alias("n")).collect()
+    last = max(r["pack_id"] for r in per_pack)
+    for r in per_pack:
+        if r["pack_id"] == last:
+            assert 0 < r["n"] <= _PACK_BUDGET
+        else:
+            assert r["n"] == _PACK_BUDGET, r
+    # spans partition each doc's tokens
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", token_count("text").alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+    per_doc = out.groupBy("doc_id").agg(F.sum("n_tok_in_pack").alias("got"))
+    bad = per_doc.join(docs, "doc_id").filter(F.col("got") != F.col("n_tok"))
+    assert bad.count() == 0
+    assert per_doc.count() == docs.count()
+
+
+def test_emb_cluster_silhouette_bounds(spark):
+    """Simplified silhouette is in [-1, 1] per cluster, every corpus vector
+    is reported exactly once, and the k=1 degenerate case is defined 0."""
+    from pyspark.sql import functions as F
+
+    from bears_spark.functions.similarity import simplified_silhouette_expr
+    from bears_spark.queries.tables import load_table
+    from bears_spark.queries.textops import emb_cluster_silhouette
+
+    sf = "/root/testdata/sf0.001"
+    rows = emb_cluster_silhouette(spark, sf).collect()
+    emb = load_table(spark, sf, "embeddings")
+    assert sum(r["n_members"] for r in rows) == emb.count()
+    assert all(-1.0 <= r["avg_silhouette"] <= 1.0 for r in rows)
+    # k == 1: silhouette defined 0
+    one = emb.select(
+        simplified_silhouette_expr("embedding", [(0, [1.0] * 64)]).alias("cs")
+    ).select("cs.sil").distinct().collect()
+    assert [r["sil"] for r in one] == [0.0]
