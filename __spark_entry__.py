@@ -281,6 +281,8 @@ HEADLINE = [
     # gram pair stage) + the config-driven pipeline family
     "dedup_semantic_clusters",
     "pipeline_quality_gate",
+    # round-6 addition: sequence packing (distributed prefix cumsum family)
+    "doc_pack_assignments",
 ]
 
 

@@ -60,6 +60,10 @@ def main() -> None:
             rec = json.loads(open(p).read())
         except (OSError, json.JSONDecodeError):
             continue
+        # the driver records bench.py's JSON line under a wrapper:
+        # {n, rc, cpus, sf, tail, parsed: {metric, value, queries, sf}}
+        if "parsed" in rec and isinstance(rec["parsed"], dict):
+            rec = rec["parsed"]
         sf_of = str(rec.get("sf"))
         if sf_of != sf_dir.rstrip("/").rsplit("sf", 1)[-1]:
             continue

@@ -417,3 +417,167 @@ def test_scalar_quantization_error_bound(spark, case):
             step = (maxs[d] - mins[d]) / 255.0
             # float32 storage rounds x itself; compare against the stored value
             assert abs(np.float32(x) - r) <= step / 2 + 1e-9 * max(1.0, abs(x))
+
+
+@st.composite
+def _ranked_case(draw):
+    n = draw(st.integers(min_value=0, max_value=60))
+    # duplicate-heavy values exercise min/dense tie handling; include nulls
+    vals = draw(
+        st.lists(
+            st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    parts = draw(st.integers(min_value=1, max_value=6))
+    nb = draw(st.integers(min_value=1, max_value=9))
+    return vals, parts, nb
+
+
+@given(_ranked_case())
+@_settings
+def test_distributed_rank_ntile_shift_match_window(spark, case):
+    """The scale-safe partition-less machinery (VERDICT r5 #8) is
+    value-identical to the one-task window forms it replaced, on randomized
+    duplicate-heavy null-bearing frames."""
+    from pyspark.sql import Window
+
+    from bears_spark.functions.prefix import (
+        distributed_rank,
+        global_shift,
+        partitioned_ntile,
+        release_scan_caches,
+    )
+
+    vals, parts, nb = case
+    pdf = pd.DataFrame({"id": range(len(vals)), "v": pd.array(vals, dtype="Int64")})
+    if pdf.empty:
+        df = spark.createDataFrame([], "id long, v long")
+    else:
+        df = spark.createDataFrame(pdf)
+
+    for method, wfn in (("min", F.rank), ("dense", F.dense_rank)):
+        got = distributed_rank(df, "v", method=method, out_col="r", num_partitions=parts)
+        exp = df.withColumn("r2", wfn().over(Window.orderBy(F.asc("v"))))
+        bad = got.join(exp.select("id", "r2"), "id").filter(F.col("r") != F.col("r2"))
+        assert bad.count() == 0, (method, parts)
+
+    tiled = partitioned_ntile(df, ["v", "id"], nb, out_col="b", num_partitions=parts)
+    exp_t = df.withColumn("b2", F.ntile(nb).over(Window.orderBy("v", "id")))
+    bad_t = tiled.join(exp_t.select("id", "b2"), "id").filter(F.col("b") != F.col("b2"))
+    assert bad_t.count() == 0
+
+    sh = global_shift(df, ["id"], ["v"], periods=1, num_partitions=parts)
+    exp_s = df.withColumn("v_shift2", F.lag("v", 1).over(Window.orderBy("id")))
+    bad_s = (
+        sh.join(exp_s.select("id", "v_shift2"), "id")
+        .filter(~(F.col("v_shift").eqNullSafe(F.col("v_shift2"))))
+    )
+    assert bad_s.count() == 0
+    release_scan_caches()
+
+
+@st.composite
+def _fill_case(draw):
+    n = draw(st.integers(min_value=0, max_value=60))
+    vals = draw(
+        st.lists(
+            st.one_of(st.none(), st.floats(min_value=-9, max_value=9, allow_nan=False, width=32)),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    parts = draw(st.integers(min_value=1, max_value=6))
+    return vals, parts
+
+
+@given(_fill_case())
+@_settings
+def test_partitioned_fill_matches_pandas(spark, case):
+    from bears_spark.functions.prefix import partitioned_fill, release_scan_caches
+
+    vals, parts = case
+    pdf = pd.DataFrame({"id": range(len(vals)), "v": vals})
+    if pdf.empty:
+        df = spark.createDataFrame([], "id long, v double")
+    else:
+        df = spark.createDataFrame(pdf.astype({"v": "float64"}))
+    out = partitioned_fill(df, ["id"], ["v"], num_partitions=parts)
+    got = {r["id"]: r["v"] for r in out.collect()}
+    exp = pdf["v"].astype("float64").ffill()
+    for i in range(len(vals)):
+        e = exp.iloc[i]
+        if pd.isna(e):
+            assert got[i] is None
+        else:
+            assert got[i] == pytest.approx(e)
+    # reversed order == bfill
+    back = partitioned_fill(df, [F.desc("id")], ["v"], num_partitions=parts)
+    gotb = {r["id"]: r["v"] for r in back.collect()}
+    expb = pdf["v"].astype("float64").bfill()
+    for i in range(len(vals)):
+        e = expb.iloc[i]
+        if pd.isna(e):
+            assert gotb[i] is None
+        else:
+            assert gotb[i] == pytest.approx(e)
+    release_scan_caches()
+
+
+@st.composite
+def _pack_case(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    toks = draw(st.lists(st.integers(min_value=0, max_value=30), min_size=n, max_size=n))
+    budget = draw(st.integers(min_value=1, max_value=17))
+    return toks, budget
+
+
+@given(_pack_case())
+@_settings
+def test_sequence_packing_model(spark, case):
+    """Concat-and-chunk packing invariants on random token counts: packs
+    are exactly `budget` tokens except the last, spans partition each doc,
+    and the reconstruction in (pack, doc) order is the doc_id order."""
+    from bears_spark.functions.prefix import partitioned_cumsum, release_scan_caches
+
+    toks, budget = case
+    pdf = pd.DataFrame({"doc_id": range(len(toks)), "n_tok": toks})
+    nz = pdf[pdf["n_tok"] > 0]
+    df = spark.createDataFrame(pdf).filter(F.col("n_tok") > 0)
+    if nz.empty:
+        release_scan_caches()
+        return
+    b = F.lit(budget).cast("bigint")
+    cum = partitioned_cumsum(df, ["doc_id"], ["n_tok"], num_partitions=3, suffix="_cum")
+    start = F.col("n_tok_cum") - F.col("n_tok")
+    out = (
+        cum.select(
+            "doc_id",
+            start.alias("s"),
+            F.col("n_tok_cum").alias("e"),
+            F.explode(
+                F.sequence(F.floor(start / b).cast("bigint"), F.floor((F.col("n_tok_cum") - 1) / b).cast("bigint"))
+            ).alias("p"),
+        )
+        .select(
+            "p",
+            "doc_id",
+            (F.least(F.col("e"), (F.col("p") + 1) * b) - F.greatest(F.col("s"), F.col("p") * b)).alias("n"),
+        )
+        .collect()
+    )
+    total = int(nz["n_tok"].sum())
+    per_pack: dict = {}
+    per_doc: dict = {}
+    for r in out:
+        per_pack[r["p"]] = per_pack.get(r["p"], 0) + r["n"]
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["n"]
+        assert r["n"] > 0
+    last = max(per_pack)
+    assert set(per_pack) == set(range(last + 1))  # no empty packs
+    for p, n in per_pack.items():
+        assert n == budget if p != last else 0 < n <= budget
+    assert per_doc == {int(d): int(t) for d, t in zip(nz["doc_id"], nz["n_tok"])}
+    assert sum(per_pack.values()) == total
+    release_scan_caches()

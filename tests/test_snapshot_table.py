@@ -1011,3 +1011,45 @@ def test_s3_store_boto3_wiring():
     assert store.client is not None
     assert store._key("s3a://some-bucket/tbl/_manifests/v1.json") == "tbl/_manifests/v1.json"
     assert store._key("tbl/_manifests/v1.json") == "tbl/_manifests/v1.json"
+
+
+def test_vacuum_reclaims_aborted_compact_outputs(spark, tmp_path):
+    """An aborted compact attempt leaves its replacement files written but
+    unreferenced by every manifest; vacuum() reclaims exactly them."""
+    import os as _os
+
+    holder = [None]
+    store = _RacingStore(holder)
+    path = str(tmp_path / "cmpv")
+    t1 = SnapshotTable(spark, path, store=store)
+    t2 = SnapshotTable(spark, path, store=store)
+    t1.overwrite(_df(spark, 0, 40).coalesce(1))
+    t1.append(_df(spark, 40, 80).coalesce(1))
+    holder[0] = lambda: t2.delete_where("id", "<", 5)
+    t1.compact(target_rows_per_file=1_000)  # first attempt aborted, rebuilt
+    live = {e.path for e in t1.files()}
+    data_root = _os.path.join(path, "data")
+    on_disk = {
+        _os.path.join(data_root, sub, n)
+        for sub in _os.listdir(data_root)
+        for n in _os.listdir(_os.path.join(data_root, sub))
+        if n.endswith(".parquet")
+    }
+    # dead files exist: the aborted attempt's outputs + delete_where's old file
+    historically_live = set()
+    for v in range(1, t1.current_version() + 1):
+        historically_live |= {e.path for e in t1.files(version=v)}
+    orphans = on_disk - historically_live
+    assert orphans  # the aborted compact really did strand files
+    t1.expire_snapshots(keep_last=1)
+    removed = t1.vacuum()
+    assert removed >= len(orphans)
+    # the live table is intact
+    assert {r["id"] for r in t1.read().collect()} == set(range(5, 80))
+    still = {
+        _os.path.join(data_root, sub, n)
+        for sub in _os.listdir(data_root)
+        for n in _os.listdir(_os.path.join(data_root, sub))
+        if n.endswith(".parquet")
+    } if _os.path.isdir(data_root) else set()
+    assert still == live
