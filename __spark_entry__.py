@@ -185,6 +185,7 @@ ROUND7_NEVER_GRADED = [
     "ann_ivfpq_recall_report",
     "doc_pack_assignments",
     "emb_cluster_silhouette",
+    "orders_incremental_rollup",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

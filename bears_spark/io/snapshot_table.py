@@ -392,9 +392,12 @@ class SnapshotTable:
         )
 
     # -- write operations ---------------------------------------------------
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
+        """Replace the table's contents. ``txn=(app_id, batch_id)`` stamps
+        the commit for idempotent writers (e.g. incremental-view refresh):
+        a replay or an older racing writer of the same app is skipped."""
         new = self._write_files(df)
-        return self._commit("overwrite", lambda parent_m: new)
+        return self._commit("overwrite", lambda parent_m: new, txn=txn)
 
     def append(self, df: DataFrame) -> int:
         new = self._write_files(df)  # written once; CAS retries only re-list the parent

@@ -1471,6 +1471,68 @@ ORACLES["orders_change_feed"] = ORDERS_CHANGE_FEED_SQL
 
 
 # --------------------------------------------------------------------------
+# orders_incremental_rollup: incrementally-maintained materialized rollup
+# (io/incremental_view.py) — a per-status sum/count view over a snapshot
+# table, refreshed O(changed files) from the manifest file diff through an
+# append AND a copy-on-write delete (the delete rewrites an overlapping
+# file: the signed-union math must net out the surviving rows and remove
+# exactly the deleted ones). The oracle recomputes the final state from
+# scratch: the incremental view must be value-identical to a full rebuild.
+_IV_CUT = "1997-01-01"
+_IV_CUT2 = "1999-01-01"
+
+
+def orders_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from bears_spark.io.incremental_view import IncrementalAggView
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="incr_view_")
+    try:
+        base = SnapshotTable(spark, root + "/base")
+        base.overwrite(o.filter(F.col("o_orderdate") < _IV_CUT))
+        view = IncrementalAggView(
+            spark, base, root + "/view", group_cols=["o_orderstatus"], sum_cols=["o_totalprice"]
+        )
+        view.refresh()  # full build at v1
+        base.append(o.filter(F.col("o_orderdate") >= _IV_CUT))
+        view.refresh()  # incremental: added files only
+        base.delete_where("o_orderdate", ">=", _IV_CUT2)
+        view.refresh()  # incremental: rewrite = removed + added files
+        rows = (
+            view.read()
+            .select(
+                "o_orderstatus",
+                F.col("n_rows").alias("n"),
+                F.round(F.col("o_totalprice_sum").cast("double"), 6).alias("total"),
+                F.round(F.col("o_totalprice_avg").cast("double"), 6).alias("avg_price"),
+            )
+            .orderBy("o_orderstatus")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n bigint, total double, avg_price double"
+    )
+
+
+ORDERS_INCR_ROLLUP_SQL = f"""
+SELECT o_orderstatus, count(*) AS n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 6) AS total,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) / count(*) AS DOUBLE), 6) AS avg_price
+FROM orders WHERE o_orderdate < '{_IV_CUT2}'
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+QUERIES["orders_incremental_rollup"] = orders_incremental_rollup
+ORACLES["orders_incremental_rollup"] = ORDERS_INCR_ROLLUP_SQL
+
+
+# --------------------------------------------------------------------------
 # customer_abc_analysis: Pareto / ABC classification — customers ranked by
 # revenue, bucketed by CUMULATIVE share (A: first 70% of revenue, B: next
 # 20%, C: tail). The per-customer aggregate is SF-linear, so the rank-ordered

@@ -1053,3 +1053,91 @@ def test_vacuum_reclaims_aborted_compact_outputs(spark, tmp_path):
         if n.endswith(".parquet")
     } if _os.path.isdir(data_root) else set()
     assert still == live
+
+
+# ---- incremental materialized aggregate views (io/incremental_view.py) ----
+
+def _rollup(df):
+    return {
+        (r["bucket"],): (r["n"], float(r["s"]))
+        for r in df.groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.sum(F.col("v").cast("decimal(38,6)")).cast("double").alias("s"))
+        .collect()
+    }
+
+
+def _view_state(view):
+    return {
+        (r["bucket"],): (r["n_rows"], float(r["v_sum"]))
+        for r in view.read().collect()
+    }
+
+
+def test_incremental_view_matches_rebuild_through_mixed_ops(spark, tmp_path):
+    """The view equals a from-scratch groupBy after EVERY refresh, across
+    append, MERGE upsert, copy-on-write delete, and compaction (whose file
+    swap must net to zero)."""
+    from bears_spark.io.incremental_view import IncrementalAggView
+
+    base = SnapshotTable(spark, str(tmp_path / "base"))
+    view = IncrementalAggView(
+        spark, base, str(tmp_path / "view"), group_cols=["bucket"], sum_cols=["v"]
+    )
+    base.overwrite(_df(spark, 0, 60).coalesce(1))
+    view.refresh()
+    assert _view_state(view) == _rollup(base.read())
+
+    base.append(_df(spark, 60, 100).coalesce(1))
+    view.refresh()
+    assert _view_state(view) == _rollup(base.read())
+
+    # MERGE upsert: update two rows, insert one
+    src = spark.createDataFrame(
+        [(10, 10 % 7, -100), (20, 20 % 7, -200), (500, 500 % 7, -300)],
+        "id: bigint, bucket: bigint, v: bigint",
+    )
+    base.merge(src, key="id")
+    view.refresh()
+    assert _view_state(view) == _rollup(base.read())
+
+    # compaction rewrites files but not rows: the refresh must net to zero
+    before = _view_state(view)
+    base.compact(target_rows_per_file=1_000)
+    view.refresh()
+    assert _view_state(view) == before == _rollup(base.read())
+
+    base.delete_where("id", "<", 30)
+    view.refresh()
+    assert _view_state(view) == _rollup(base.read())
+
+    # refresh when already synced is a no-op (no new view version)
+    v = view.view.current_version()
+    assert view.refresh() == view.synced_version()
+    assert view.view.current_version() == v
+
+
+def test_incremental_view_group_deletion_and_replay(spark, tmp_path):
+    """A group whose every row is deleted vanishes from the view; a replayed
+    refresh of an already-synced base version is skipped by the txn stamp."""
+    from bears_spark.io.incremental_view import IncrementalAggView
+
+    base = SnapshotTable(spark, str(tmp_path / "b2"))
+    base.overwrite(_df(spark, 0, 14).coalesce(1))  # buckets 0..6 twice
+    view = IncrementalAggView(
+        spark, base, str(tmp_path / "v2"), group_cols=["bucket"], sum_cols=["v"]
+    )
+    view.refresh()
+    assert len(_view_state(view)) == 7
+    base.delete_where("bucket", "=", 3)
+    view.refresh()
+    state = _view_state(view)
+    assert (3,) not in state and len(state) == 6
+    assert state == _rollup(base.read())
+    # a second handle racing to the SAME base version: its commit is skipped
+    other = IncrementalAggView(
+        spark, base, str(tmp_path / "v2"), group_cols=["bucket"], sum_cols=["v"]
+    )
+    vv = view.view.current_version()
+    other.refresh()
+    assert other.view.current_version() == vv  # no new commit
+    assert _view_state(other) == state
