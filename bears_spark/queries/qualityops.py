@@ -1076,7 +1076,10 @@ ORACLES["doc_curriculum_stages"] = DOC_CURRICULUM_SQL
 # straddling a boundary split across packs (the standard concat-and-chunk
 # pretraining layout; every pack is exactly _PACK_BUDGET tokens except the
 # final remainder). Output: one row per (pack, doc) span with the token
-# count the doc contributes to that pack.
+# count the doc contributes to that pack. Complements doc_pack_sequences
+# (per-SHARD packing with whole-doc offsets — the feed/sharding view); this
+# is the GLOBAL layout with boundary splitting, whose cumsum would be the
+# one-task window scale-killer without the prefix machinery.
 #
 # 100 TB: the global token cumsum comes from functions/prefix.py
 # partitioned_cumsum (range shuffle + per-partition offset table — never a
@@ -1115,7 +1118,7 @@ def doc_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DOC_PACK_SQL = f"""
+DOC_PACK_ASSIGN_SQL = f"""
 WITH t AS (
   SELECT doc_id, len({_DUCK_TOKS}) AS n_tok FROM documents
 ), nz AS (
@@ -1136,7 +1139,7 @@ FROM spans ORDER BY pack_id, doc_id
 """
 
 QUERIES["doc_pack_assignments"] = doc_pack_assignments
-ORACLES["doc_pack_assignments"] = DOC_PACK_SQL
+ORACLES["doc_pack_assignments"] = DOC_PACK_ASSIGN_SQL
 
 
 # --------------------------------------------------------------------------
