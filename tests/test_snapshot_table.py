@@ -1169,3 +1169,41 @@ def test_optimize_clustered_improves_skipping_incrementally(spark, tmp_path):
     assert len(t.files(where=("y", "<", 4))) < len(t.files())
     # rows preserved (the 4 appends re-added a copy of ~every grid row)
     assert t.read().count() == 1024 + grid.filter(F.xxhash64("x", "y") % 4 >= 0).count()
+
+
+def test_incremental_view_over_streaming_ingest(spark, tmp_path):
+    """End-to-end lakehouse loop: exactly-once streaming ingest into the
+    base table, then an O(delta) view refresh per micro-batch epoch — the
+    view equals a full rebuild after every refresh."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bears_spark.io.incremental_view import IncrementalAggView
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table({"id": list(range(40)), "bucket": [i % 7 for i in range(40)],
+                  "v": [i * 2 for i in range(40)]}),
+        str(src / "a.parquet"),
+    )
+    base = SnapshotTable(spark, str(tmp_path / "sbase"))
+    view = IncrementalAggView(
+        spark, base, str(tmp_path / "sview"), group_cols=["bucket"], sum_cols=["v"]
+    )
+    stream = (
+        spark.readStream.schema("id long, bucket long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/")
+    )
+    ckpt = str(tmp_path / "sckpt")
+    base.streaming_append(stream, ckpt).awaitTermination(120)
+    view.refresh()
+    assert _view_state(view) == _rollup(base.read())
+    # second epoch: new file arrives, ingest + refresh stay O(delta) and exact
+    pq.write_table(
+        pa.table({"id": [100, 101], "bucket": [3, 3], "v": [7, 9]}), str(src / "b.parquet")
+    )
+    base.streaming_append(stream, ckpt).awaitTermination(120)
+    view.refresh()
+    assert _view_state(view) == _rollup(base.read())
