@@ -502,10 +502,12 @@ class SnapshotTable:
         new = self._write_files(laid)
         return self._commit("overwrite-clustered", lambda parent_m: new)
 
-    def merge(self, source: DataFrame, key: str) -> int:
+    def merge(self, source: DataFrame, key: str, txn: tuple[str, int] | None = None) -> int:
         """MERGE INTO this table (upsert): source rows update matching target
         rows and insert new ones — SQL MERGE semantics via
         functions/cdc.py merge_into, made copy-on-write by the manifest.
+        ``txn=(app_id, batch_id)`` stamps the commit for exactly-once
+        streaming upserts (see streaming_merge).
 
         Files whose ``key`` stats provably cannot contain any source key are
         carried by reference; only the overlapping files join the source.
@@ -536,7 +538,7 @@ class SnapshotTable:
                 merged = source
             return keep + self._write_files(merged)
 
-        return self._commit("merge", build)
+        return self._commit("merge", build, txn=txn)
 
     def optimize_clustered(
         self,
@@ -677,6 +679,32 @@ class SnapshotTable:
                 lambda parent_m: [FileEntry(**e) for e in parent_m["files"]] + new,
                 txn=(app, batch_id),
             )
+
+        w = stream_df.writeStream.foreachBatch(_sink).option("checkpointLocation", checkpoint_dir)
+        if available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+    def streaming_merge(self, stream_df: DataFrame, checkpoint_dir: str, key: str,
+                        available_now: bool = True, app_id: str | None = None):
+        """Exactly-once streaming MERGE (CDC-apply): each micro-batch of
+        upserts merges into the table under the same (app_id, epoch)
+        transaction stamps streaming_append uses — a replayed batch after
+        checkpoint recovery is skipped at the commit, so updates apply
+        exactly once. Within a batch, duplicate keys are resolved by
+        merge_into's last-writer contract; across batches, later epochs win
+        (the Delta streaming-MERGE cost model: per-batch copy-on-write over
+        only the key-overlapping files).
+
+        The app_id namespace is suffixed '#merge' so an append stream and a
+        merge stream sharing a checkpoint directory never confuse each
+        other's epoch stamps."""
+        app = app_id or os.path.abspath(checkpoint_dir) + "#merge"
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            if self.committed_txns().get(app, -1) >= batch_id:
+                return  # replay after checkpoint recovery: already committed
+            self.merge(batch_df, key=key, txn=(app, batch_id))
 
         w = stream_df.writeStream.foreachBatch(_sink).option("checkpointLocation", checkpoint_dir)
         if available_now:

@@ -1207,3 +1207,44 @@ def test_incremental_view_over_streaming_ingest(spark, tmp_path):
     base.streaming_append(stream, ckpt).awaitTermination(120)
     view.refresh()
     assert _view_state(view) == _rollup(base.read())
+
+
+def test_streaming_merge_exactly_once_upserts(spark, tmp_path):
+    """CDC-apply: a stream of upsert batches merges into the table with
+    (app, epoch) stamps — updates and inserts land exactly once, a replayed
+    availableNow run commits nothing, and a later epoch's update wins."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    t = SnapshotTable(spark, str(tmp_path / "mt"))
+    t.overwrite(_df(spark, 0, 50).coalesce(1))
+    # epoch 0: update ids 1/2, insert 100
+    pq.write_table(
+        pa.table({"id": [1, 2, 100], "bucket": [1 % 7, 2 % 7, 100 % 7], "v": [-1, -2, -100]}),
+        str(src / "b0.parquet"),
+    )
+    stream = (
+        spark.readStream.schema("id long, bucket long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/")
+    )
+    ckpt = str(tmp_path / "mckpt")
+    t.streaming_merge(stream, ckpt, key="id").awaitTermination(120)
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert len(got) == 51 and got[1] == -1 and got[2] == -2 and got[100] == -100
+    assert got[3] == 6  # untouched neighbor
+    # replay: same checkpoint, no new files -> no commits
+    before = t.current_version()
+    t.streaming_merge(stream, ckpt, key="id").awaitTermination(120)
+    assert t.current_version() == before
+    # epoch 1: a later update to id 1 wins
+    pq.write_table(
+        pa.table({"id": [1], "bucket": [1 % 7], "v": [-11]}), str(src / "b1.parquet")
+    )
+    t.streaming_merge(stream, ckpt, key="id").awaitTermination(120)
+    got2 = {r["id"]: r["v"] for r in t.read().collect()}
+    assert got2[1] == -11 and len(got2) == 51
+    # append and merge streams on the same checkpoint namespace never collide
+    assert any(a.endswith("#merge") for a in t.committed_txns())
