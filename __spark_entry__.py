@@ -186,6 +186,7 @@ ROUND7_NEVER_GRADED = [
     "doc_pack_assignments",
     "emb_cluster_silhouette",
     "orders_incremental_rollup",
+    "emb_hard_negatives",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

@@ -732,6 +732,68 @@ SELECT cid, count(*) AS n_members,
 FROM ab GROUP BY cid ORDER BY cid
 """
 
+# --------------------------------------------------------------------------
+# emb_hard_negatives: contrastive-training data mining — for each anchor
+# vector, the most-similar vector with a DIFFERENT label (lang of the
+# aligned document): the canonical hard-negative for embedding-model
+# training (in-batch negatives are easy; the informative ones are the
+# near-identical cross-label neighbors). Candidate generation is the
+# SemDeDup cluster blocking (equi-join on the seeded-Lloyd cluster id, the
+# same bound every production miner uses — never corpus-pairwise); per
+# anchor the top negative is a WindowGroupLimit. Cosines round to 6 BEFORE
+# the rank cut so the oracle can't disagree on boundary ties.
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from bears_spark.functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    cents = sim.seeded_lloyd_centroids(
+        emb, "vec_id", "embedding", k=_SEM_K, salt=_SEM_SALT, iters=1, mean_round=_SEM_ROUND
+    )
+    mem = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        sim.assign_centroids_expr("embedding", cents).alias("cid"),
+    ).join(labels, "vec_id")
+    a, b = mem.alias("a"), mem.alias("b")
+    scored = a.join(
+        b, (F.col("a.cid") == F.col("b.cid")) & (F.col("a.lang") != F.col("b.lang"))
+    ).select(
+        F.col("a.vec_id").alias("anchor_id"),
+        F.col("b.vec_id").alias("negative_id"),
+        F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("negative_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("anchor_id")
+    )
+
+
+EMB_HARD_NEG_SQL = f"""
+WITH {_SEM_CTES},
+lab AS (
+  SELECT m.vec_id, m.embedding, m.cid, d.lang
+  FROM mem m JOIN documents d ON m.vec_id = d.doc_id
+),
+scored AS (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,
+         round({_sem_cos("a.embedding", "b.embedding")}, 6) AS cosine,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY round({_sem_cos("a.embedding", "b.embedding")}, 6) DESC, b.vec_id ASC
+         ) AS rn
+  FROM lab a JOIN lab b ON a.cid = b.cid AND a.lang <> b.lang
+)
+SELECT anchor_id, negative_id, cosine FROM scored WHERE rn = 1 ORDER BY anchor_id
+"""
+
 # (registered after the QUERIES/ORACLES dict literals below)
 
 
@@ -2378,6 +2440,9 @@ ORACLES["ann_ivfpq_recall_report"] = ANN_IVFPQ_RECALL_SQL
 
 QUERIES["emb_cluster_silhouette"] = emb_cluster_silhouette
 ORACLES["emb_cluster_silhouette"] = EMB_SILHOUETTE_SQL
+
+QUERIES["emb_hard_negatives"] = emb_hard_negatives
+ORACLES["emb_hard_negatives"] = EMB_HARD_NEG_SQL
 
 
 # --------------------------------------------------------------------------
