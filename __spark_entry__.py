@@ -187,6 +187,7 @@ ROUND7_NEVER_GRADED = [
     "emb_cluster_silhouette",
     "orders_incremental_rollup",
     "emb_hard_negatives",
+    "orders_delta_roundtrip",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

@@ -1,0 +1,248 @@
+"""Delta Lake transaction-log interop — read real Delta tables, and export
+snapshot tables as Delta-readable logs. No delta-spark dependency: the log
+is an open spec (newline-delimited JSON actions + optional parquet
+checkpoints; github.com/delta-io/delta PROTOCOL.md), and this module speaks
+exactly the subset a batch reader needs:
+
+* ``protocol`` / ``metaData`` — reader version gate + the table schema
+  (Delta's ``schemaString`` IS Spark's StructType JSON, so parsing is
+  native).
+* ``add`` / ``remove`` — the file manifest. State at version V = replay of
+  all commits <= V: active files are adds minus removes (tombstones).
+* parquet checkpoints + ``_last_checkpoint`` — replay shortcut: base state
+  from the checkpoint file(s), then only the JSON commits after it.
+
+Partitioned tables: Delta data files do NOT contain the partition columns;
+their values live in ``add.partitionValues`` as strings. The reader groups
+files by partition tuple, reads each group with one scan, injects the
+partition columns as casted literals, and unions — group count is bounded
+by the partition-domain, never file count.
+
+Scale note: log replay is driver-side metadata work, bytes proportional to
+actions (same cost model as Delta's own driver); data reads stay fully
+distributed Spark scans. Time travel = replay to an earlier version.
+
+Reference parity note: the reference reads raw parquet directories only
+(src/bears/reader/Reader.py); Delta interop is a capability gain that lets
+a migrating user read their existing lakehouse tables in place.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from urllib.parse import unquote
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+_CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint(\.\d+\.\d+)?\.parquet$")
+
+_MAX_READER_VERSION = 3  # deletionVectors and column mapping are NOT handled
+
+
+class DeltaLogError(ValueError):
+    pass
+
+
+class DeltaTableReader:
+    """Batch reader for a Delta table rooted at ``path`` (local or any
+    Spark-readable filesystem mounted driver-side for the log)."""
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.log_dir = os.path.join(self.path, "_delta_log")
+        if not os.path.isdir(self.log_dir):
+            raise DeltaLogError(f"not a Delta table: {self.log_dir} missing")
+
+    # -- log listing ----------------------------------------------------------
+    def versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.log_dir):
+            m = _COMMIT_RE.match(name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def latest_version(self) -> int:
+        vs = self.versions()
+        # a checkpoint can exist for versions whose JSON was cleaned up
+        for name in os.listdir(self.log_dir):
+            m = _CHECKPOINT_RE.match(name)
+            if m:
+                vs.append(int(m.group(1)))
+        if not vs:
+            raise DeltaLogError(f"empty Delta log at {self.log_dir}")
+        return max(vs)
+
+    def _checkpoint_for(self, version: int) -> tuple[int, list[str]] | None:
+        """Newest checkpoint at or below ``version`` -> (ckpt_version,
+        parquet paths), or None. Honors multi-part checkpoints."""
+        best: dict[int, list[str]] = {}
+        for name in os.listdir(self.log_dir):
+            m = _CHECKPOINT_RE.match(name)
+            if m and int(m.group(1)) <= version:
+                best.setdefault(int(m.group(1)), []).append(os.path.join(self.log_dir, name))
+        if not best:
+            return None
+        v = max(best)
+        return v, sorted(best[v])
+
+    # -- state replay ---------------------------------------------------------
+    def _snapshot(self, version: int | None = None) -> tuple[dict, dict[str, dict]]:
+        """(metaData action, {path -> add action}) at ``version`` (latest by
+        default)."""
+        v = self.latest_version() if version is None else version
+        meta: dict = {}
+        adds: dict[str, dict] = {}
+        start = 0
+        ckpt = self._checkpoint_for(v)
+        if ckpt is not None:
+            import pyarrow.parquet as pq
+
+            cv, parts = ckpt
+            for part in parts:
+                tbl = pq.read_table(part)
+                for col, sink in (("metaData", "meta"), ("protocol", "proto"), ("add", "add"), ("remove", "rm")):
+                    if col not in tbl.column_names:
+                        continue
+                    for row in tbl.column(col).to_pylist():
+                        if row is None:
+                            continue
+                        if col == "metaData":
+                            meta = row
+                        elif col == "protocol":
+                            self._check_protocol(row)
+                        elif col == "add":
+                            adds[row["path"]] = row
+                        elif col == "remove":
+                            adds.pop(row["path"], None)
+            start = cv + 1
+        for cv in range(start, v + 1):
+            commit = os.path.join(self.log_dir, f"{cv:020d}.json")
+            if not os.path.exists(commit):
+                if cv < start or adds or meta:
+                    continue  # cleaned-up early commit below a checkpoint
+                raise DeltaLogError(f"missing commit {commit}")
+            with open(commit) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    action = json.loads(line)
+                    if "protocol" in action:
+                        self._check_protocol(action["protocol"])
+                    elif "metaData" in action:
+                        meta = action["metaData"]
+                    elif "add" in action:
+                        adds[action["add"]["path"]] = action["add"]
+                    elif "remove" in action:
+                        adds.pop(action["remove"]["path"], None)
+        if not meta:
+            raise DeltaLogError("no metaData action found in the Delta log")
+        return meta, adds
+
+    @staticmethod
+    def _check_protocol(proto: dict) -> None:
+        rv = int(proto.get("minReaderVersion", 1))
+        if rv > _MAX_READER_VERSION:
+            raise DeltaLogError(f"unsupported Delta minReaderVersion {rv}")
+        feats = set(proto.get("readerFeatures") or [])
+        unsupported = feats - {"timestampNtz", "v2Checkpoint"}
+        if unsupported:
+            raise DeltaLogError(f"unsupported Delta reader features: {sorted(unsupported)}")
+
+    def schema(self, version: int | None = None) -> T.StructType:
+        meta, _ = self._snapshot(version)
+        return T.StructType.fromJson(json.loads(meta["schemaString"]))
+
+    def files(self, version: int | None = None) -> list[str]:
+        _, adds = self._snapshot(version)
+        return sorted(os.path.join(self.path, unquote(p)) for p in adds)
+
+    def read(self, version: int | None = None) -> DataFrame:
+        meta, adds = self._snapshot(version)
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        part_cols = list(meta.get("partitionColumns") or [])
+        if not adds:
+            return self.spark.createDataFrame([], schema)
+        if not part_cols:
+            return self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, unquote(p)) for p in adds]
+            )
+        # group by partition tuple; inject partition columns as typed literals
+        types = {f.name: f.dataType for f in schema.fields}
+        file_schema = T.StructType([f for f in schema.fields if f.name not in part_cols])
+        groups: dict[tuple, list[str]] = {}
+        for p, a in adds.items():
+            pv = a.get("partitionValues") or {}
+            if isinstance(pv, list):  # pyarrow map type lists (k, v) tuples
+                pv = dict(pv)
+            key = tuple(pv.get(c) for c in part_cols)
+            groups.setdefault(key, []).append(os.path.join(self.path, unquote(p)))
+        out = None
+        for key, paths in sorted(groups.items(), key=lambda kv: tuple(str(x) for x in kv[0])):
+            df = self.spark.read.schema(file_schema).parquet(*paths)
+            for c, raw in zip(part_cols, key):
+                # Delta serializes partition values as strings; null is
+                # physically the __HIVE_DEFAULT_PARTITION__-less None
+                lit = F.lit(None) if raw is None else F.lit(raw)
+                df = df.withColumn(c, lit.cast(types[c]))
+            df = df.select(*[f.name for f in schema.fields])
+            out = df if out is None else out.unionByName(df)
+        return out
+
+
+def export_delta_log(table, out_path: str) -> str:
+    """Export a :class:`~bears_spark.io.snapshot_table.SnapshotTable`'s
+    CURRENT version as a Delta-readable table at ``out_path``: data files
+    are hard-linked (copied on link failure) into the new root and a
+    single-commit ``_delta_log`` references them — any Delta reader
+    (delta-spark, DuckDB delta, polars) can then read the snapshot.
+    Returns ``out_path``. One-shot snapshot export, not continuous
+    replication: re-export after new commits."""
+    import shutil
+    import uuid as _uuid
+
+    df = table.read()
+    schema_str = df.schema.json()
+    os.makedirs(os.path.join(out_path, "_delta_log"), exist_ok=True)
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": _uuid.uuid4().hex,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_str,
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": 0,
+            }
+        },
+    ]
+    for e in table.files():
+        name = f"part-{_uuid.uuid4().hex}.snappy.parquet"
+        dst = os.path.join(out_path, name)
+        try:
+            os.link(e.path, dst)
+        except OSError:
+            shutil.copy2(e.path, dst)
+        actions.append(
+            {
+                "add": {
+                    "path": name,
+                    "partitionValues": {},
+                    "size": os.path.getsize(dst),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            }
+        )
+    with open(os.path.join(out_path, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    return out_path

@@ -1533,6 +1533,52 @@ ORACLES["orders_incremental_rollup"] = ORDERS_INCR_ROLLUP_SQL
 
 
 # --------------------------------------------------------------------------
+# orders_delta_roundtrip: Delta Lake interop graded end-to-end — snapshot
+# table (two commits) -> export as a spec-conformant _delta_log ->
+# DeltaTableReader replay -> aggregate, vs the direct relational oracle.
+# Proves the exported log is readable and the reader's add/remove replay
+# reconstructs exactly the committed state.
+def orders_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from bears_spark.io.delta_log import DeltaTableReader, export_delta_log
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="delta_rt_")
+    try:
+        t = SnapshotTable(spark, root + "/st")
+        t.overwrite(o.filter(F.col("o_orderkey") % 2 == 0))
+        t.append(o.filter(F.col("o_orderkey") % 2 != 0))
+        back = DeltaTableReader(spark, export_delta_log(t, root + "/delta")).read()
+        rows = (
+            back.groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double"), 6
+                ).alias("total"),
+            )
+            .orderBy("o_orderstatus")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "o_orderstatus string, n bigint, total double")
+
+
+ORDERS_DELTA_RT_SQL = """
+SELECT o_orderstatus, count(*) AS n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 6) AS total
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+QUERIES["orders_delta_roundtrip"] = orders_delta_roundtrip
+ORACLES["orders_delta_roundtrip"] = ORDERS_DELTA_RT_SQL
+
+
+# --------------------------------------------------------------------------
 # customer_abc_analysis: Pareto / ABC classification — customers ranked by
 # revenue, bucketed by CUMULATIVE share (A: first 70% of revenue, B: next
 # 20%, C: tail). The per-customer aggregate is SF-linear, so the rank-ordered

@@ -1,0 +1,166 @@
+"""Delta Lake transaction-log interop (bears_spark/io/delta_log.py): read
+hand-crafted spec-conformant logs (commits, tombstones, time travel,
+partitions, checkpoints) and round-trip SnapshotTable exports."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from bears_spark.io.delta_log import DeltaLogError, DeltaTableReader, export_delta_log
+
+
+def _write_commit(log_dir, version, actions):
+    with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+
+_SCHEMA_STR = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "double", "nullable": True, "metadata": {}},
+        ],
+    }
+)
+
+
+def _meta(partition_cols=None, schema_str=_SCHEMA_STR):
+    return {
+        "metaData": {
+            "id": "abc",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_str,
+            "partitionColumns": partition_cols or [],
+            "configuration": {},
+        }
+    }
+
+
+def _make_table(tmp_path, name="dt"):
+    root = tmp_path / name
+    (root / "_delta_log").mkdir(parents=True)
+    return str(root)
+
+
+def _add_file(root, name, ids, vs):
+    pq.write_table(pa.table({"id": pa.array(ids, pa.int64()), "v": pa.array(vs, pa.float64())}),
+                   os.path.join(root, name))
+    return {"add": {"path": name, "partitionValues": {}, "size": 1, "modificationTime": 0,
+                    "dataChange": True}}
+
+
+def test_delta_read_commits_tombstones_time_travel(spark, tmp_path):
+    root = _make_table(tmp_path)
+    log = os.path.join(root, "_delta_log")
+    a0 = _add_file(root, "f0.parquet", [1, 2], [0.1, 0.2])
+    a1 = _add_file(root, "f1.parquet", [3], [0.3])
+    _write_commit(log, 0, [{"protocol": {"minReaderVersion": 1}}, _meta(), a0, a1])
+    # v1: remove f0, add f2
+    a2 = _add_file(root, "f2.parquet", [4, 5], [0.4, 0.5])
+    _write_commit(log, 1, [{"remove": {"path": "f0.parquet", "dataChange": True}}, a2])
+
+    r = DeltaTableReader(spark, root)
+    assert r.latest_version() == 1
+    assert sorted(x["id"] for x in r.read().collect()) == [3, 4, 5]
+    assert sorted(x["id"] for x in r.read(version=0).collect()) == [1, 2, 3]
+    assert r.schema().fieldNames() == ["id", "v"]
+    assert len(r.files()) == 2 and len(r.files(version=0)) == 2
+
+
+def test_delta_read_partitioned(spark, tmp_path):
+    root = _make_table(tmp_path, "dtp")
+    log = os.path.join(root, "_delta_log")
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "double", "nullable": True, "metadata": {}},
+                {"name": "lang", "type": "string", "nullable": True, "metadata": {}},
+                {"name": "day", "type": "integer", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    # partition data files do NOT contain lang/day
+    a_en = _add_file(root, "en.parquet", [1, 2], [0.1, 0.2])
+    a_en["add"]["partitionValues"] = {"lang": "en", "day": "3"}
+    a_de = _add_file(root, "de.parquet", [3], [0.3])
+    a_de["add"]["partitionValues"] = {"lang": "de", "day": "4"}
+    _write_commit(log, 0, [{"protocol": {"minReaderVersion": 1}},
+                           _meta(["lang", "day"], schema), a_en, a_de])
+    out = DeltaTableReader(spark, root).read()
+    assert dict(out.dtypes) == {"id": "bigint", "v": "double", "lang": "string", "day": "int"}
+    rows = {r["id"]: (r["lang"], r["day"]) for r in out.collect()}
+    assert rows == {1: ("en", 3), 2: ("en", 3), 3: ("de", 4)}
+
+
+def test_delta_read_from_checkpoint(spark, tmp_path):
+    root = _make_table(tmp_path, "dtc")
+    log = os.path.join(root, "_delta_log")
+    a0 = _add_file(root, "f0.parquet", [1], [0.1])
+    a1 = _add_file(root, "f1.parquet", [2], [0.2])
+    # checkpoint at version 1 carrying the full state (f0 removed, f1 live);
+    # explicit Arrow types, as real Delta checkpoints have (map-typed
+    # partitionValues, struct actions, all-null remove column)
+    proto_t = pa.struct([("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())])
+    meta_t = pa.struct(
+        [("id", pa.string()), ("schemaString", pa.string()),
+         ("partitionColumns", pa.list_(pa.string()))]
+    )
+    add_t = pa.struct(
+        [("path", pa.string()), ("partitionValues", pa.map_(pa.string(), pa.string())),
+         ("size", pa.int64()), ("modificationTime", pa.int64()), ("dataChange", pa.bool_())]
+    )
+    rm_t = pa.struct([("path", pa.string())])
+    ckpt = pa.table(
+        {
+            "protocol": pa.array([{"minReaderVersion": 1, "minWriterVersion": 2}, None, None], proto_t),
+            "metaData": pa.array(
+                [None, {"id": "abc", "schemaString": _SCHEMA_STR, "partitionColumns": []}, None],
+                meta_t,
+            ),
+            "add": pa.array(
+                [None, None, {"path": "f1.parquet", "partitionValues": [],
+                              "size": 1, "modificationTime": 0, "dataChange": True}],
+                add_t,
+            ),
+            "remove": pa.array([None, None, None], rm_t),
+        }
+    )
+    pq.write_table(ckpt, os.path.join(log, f"{1:020d}.checkpoint.parquet"))
+    # JSON commits 0..1 deliberately ABSENT (cleaned up); v2 adds f2
+    a2 = _add_file(root, "f2.parquet", [3], [0.3])
+    _write_commit(log, 2, [a2])
+    r = DeltaTableReader(spark, root)
+    assert r.latest_version() == 2
+    assert sorted(x["id"] for x in r.read().collect()) == [2, 3]
+
+
+def test_delta_protocol_gate(spark, tmp_path):
+    root = _make_table(tmp_path, "dtg")
+    log = os.path.join(root, "_delta_log")
+    a0 = _add_file(root, "f0.parquet", [1], [0.1])
+    _write_commit(log, 0, [{"protocol": {"minReaderVersion": 3,
+                                         "readerFeatures": ["deletionVectors"]}}, _meta(), a0])
+    with pytest.raises(DeltaLogError, match="deletionVectors"):
+        DeltaTableReader(spark, root).read()
+
+
+def test_export_snapshot_table_as_delta(spark, tmp_path):
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "st"))
+    df = spark.range(0, 30).select(F.col("id"), (F.col("id") * 2.0).alias("v"))
+    t.overwrite(df.coalesce(2))
+    t.append(spark.range(30, 40).select(F.col("id"), (F.col("id") * 2.0).alias("v")).coalesce(1))
+    out = export_delta_log(t, str(tmp_path / "exported"))
+    back = DeltaTableReader(spark, out).read()
+    assert back.count() == 40
+    assert sorted(r["id"] for r in back.collect()) == list(range(40))
+    assert dict(back.dtypes) == {"id": "bigint", "v": "double"}
