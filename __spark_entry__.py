@@ -188,6 +188,7 @@ ROUND7_NEVER_GRADED = [
     "orders_incremental_rollup",
     "emb_hard_negatives",
     "orders_delta_roundtrip",
+    "orders_iceberg_roundtrip",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

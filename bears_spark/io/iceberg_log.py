@@ -1,0 +1,170 @@
+"""Apache Iceberg metadata-tree reader — batch-read real Iceberg v1/v2
+tables without the iceberg-spark runtime. The tree (iceberg.apache.org/spec):
+
+    metadata/v<N>.metadata.json      table metadata: schemas, snapshot log
+      -> snapshot.manifest-list      Avro: one record per manifest file
+        -> manifest (Avro)           one record per data/delete file
+          -> data files (parquet)    self-contained rows (Iceberg data
+                                     files CARRY their partition columns,
+                                     unlike Hive/Delta layouts)
+
+Live data files at a snapshot = manifest entries with status != DELETED
+whose content is DATA. Iceberg v2 row-level deletes ship as DELETE files
+(positional/equality); applying them needs merge-on-read, so a table whose
+current snapshot carries delete files is REFUSED honestly rather than
+misread (the same contract the Delta reader has for deletion vectors).
+
+Avro parsing is the pure-stdlib recursive codec (io/avro_generic.py);
+metadata work is driver-side and proportional to manifest bytes — the same
+cost model Iceberg's own planning has — while data reads are ordinary
+distributed parquet scans with the usual pushdown.
+
+Reference parity note: the reference reads raw parquet directories only;
+Iceberg interop (like Delta) lets a migrating user read their existing
+lakehouse tables in place.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from urllib.parse import urlparse, unquote
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bears_spark.io.avro_generic import read_container
+
+_META_RE = re.compile(r"^v(\d+)\.metadata\.json$")
+
+_STATUS_DELETED = 2
+_CONTENT_DATA = 0
+
+
+class IcebergLogError(ValueError):
+    pass
+
+
+def _localize(uri: str, root: str) -> str:
+    """Iceberg stores absolute URIs; map file:/ URIs to local paths and
+    re-root paths recorded under a different (moved) table location."""
+    p = urlparse(uri)
+    path = unquote(p.path) if p.scheme else uri
+    if os.path.exists(path):
+        return path
+    # table was relocated: graft the recorded metadata/ or data/ suffix onto
+    # the actual root ("/old/loc/data/f.parquet" -> "<root>/data/f.parquet")
+    for marker in ("/metadata/", "/data/"):
+        if marker in path:
+            cand = root + marker + path.split(marker, 1)[1]
+            if os.path.exists(cand):
+                return cand
+    return path
+
+
+class IcebergTableReader:
+    """Batch reader for an Iceberg table rooted at ``path`` (driver-visible
+    metadata; data files on any Spark-readable filesystem)."""
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.meta_dir = os.path.join(self.path, "metadata")
+        if not os.path.isdir(self.meta_dir):
+            raise IcebergLogError(f"not an Iceberg table: {self.meta_dir} missing")
+        self.meta = self._load_metadata()
+
+    def _load_metadata(self) -> dict:
+        # version-hint.text names the current metadata version; fall back to
+        # the highest vN.metadata.json (both layouts exist in the wild)
+        hint = os.path.join(self.meta_dir, "version-hint.text")
+        if os.path.exists(hint):
+            v = int(open(hint).read().strip())
+            cand = os.path.join(self.meta_dir, f"v{v}.metadata.json")
+            if os.path.exists(cand):
+                return json.load(open(cand))
+        best = None
+        for name in os.listdir(self.meta_dir):
+            m = _META_RE.match(name)
+            if m and (best is None or int(m.group(1)) > best[0]):
+                best = (int(m.group(1)), name)
+        if best is None:
+            raise IcebergLogError(f"no vN.metadata.json under {self.meta_dir}")
+        return json.load(open(os.path.join(self.meta_dir, best[1])))
+
+    # -- snapshots -------------------------------------------------------------
+    def snapshots(self) -> list[dict]:
+        return list(self.meta.get("snapshots") or [])
+
+    def current_snapshot_id(self) -> int:
+        sid = self.meta.get("current-snapshot-id")
+        if sid in (None, -1):
+            raise IcebergLogError("table has no current snapshot")
+        return int(sid)
+
+    def _snapshot(self, snapshot_id: int | None) -> dict:
+        sid = self.current_snapshot_id() if snapshot_id is None else int(snapshot_id)
+        for s in self.snapshots():
+            if int(s["snapshot-id"]) == sid:
+                return s
+        raise IcebergLogError(f"snapshot {sid} not in the metadata snapshot log")
+
+    # -- planning ----------------------------------------------------------------
+    def files(self, snapshot_id: int | None = None) -> list[str]:
+        """Live data-file paths at the snapshot. Refuses delete files."""
+        snap = self._snapshot(snapshot_id)
+        mlist_path = _localize(snap["manifest-list"], self.path)
+        _, manifests = read_container(open(mlist_path, "rb").read())
+        out: list[str] = []
+        for m in manifests:
+            # manifest-list 'content': 0 = data manifests, 1 = delete manifests
+            if int(m.get("content") or 0) != 0:
+                raise IcebergLogError(
+                    "snapshot carries DELETE manifests (Iceberg v2 row-level "
+                    "deletes need merge-on-read; refusing to misread)"
+                )
+            mpath = _localize(m["manifest_path"], self.path)
+            _, entries = read_container(open(mpath, "rb").read())
+            for e in entries:
+                if int(e.get("status") or 0) == _STATUS_DELETED:
+                    continue
+                df = e["data_file"]
+                if int(df.get("content") or 0) != _CONTENT_DATA:
+                    raise IcebergLogError("delete file in a data manifest; refusing")
+                fmt = str(df.get("file_format") or "PARQUET").upper()
+                if fmt != "PARQUET":
+                    raise IcebergLogError(f"unsupported Iceberg file format {fmt}")
+                out.append(_localize(df["file_path"], self.path))
+        return sorted(out)
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        """Distributed scan of the snapshot's live data files. Iceberg data
+        files are self-contained (partition columns present), so the scan is
+        a plain parquet read; schema evolution across files is served by
+        mergeSchema."""
+        paths = self.files(snapshot_id)
+        if not paths:
+            from pyspark.sql import types as T
+
+            return self.spark.createDataFrame([], self._spark_schema())
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def _spark_schema(self):
+        from pyspark.sql import types as T
+
+        _ICE2SPARK = {
+            "boolean": T.BooleanType(), "int": T.IntegerType(), "long": T.LongType(),
+            "float": T.FloatType(), "double": T.DoubleType(), "string": T.StringType(),
+            "date": T.DateType(), "binary": T.BinaryType(),
+            "timestamp": T.TimestampType(), "timestamptz": T.TimestampType(),
+        }
+        schemas = self.meta.get("schemas") or [self.meta.get("schema") or {}]
+        cur_id = self.meta.get("current-schema-id", 0)
+        schema = next((s for s in schemas if s.get("schema-id", 0) == cur_id), schemas[0])
+        fields = []
+        for f in schema.get("fields", []):
+            t = f["type"]
+            if not isinstance(t, str) or t not in _ICE2SPARK:
+                raise IcebergLogError(f"unsupported Iceberg type {t!r} for empty-table schema")
+            fields.append(T.StructField(f["name"], _ICE2SPARK[t], not f.get("required", False)))
+        return T.StructType(fields)

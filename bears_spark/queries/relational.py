@@ -1579,6 +1579,105 @@ ORACLES["orders_delta_roundtrip"] = ORDERS_DELTA_RT_SQL
 
 
 # --------------------------------------------------------------------------
+# orders_iceberg_roundtrip: Iceberg interop graded end-to-end — write orders
+# as parquet files, build a spec-shaped Iceberg metadata tree over them
+# (metadata.json -> manifest-list Avro -> manifest Avro, one entry DELETED
+# to prove status filtering), read through IcebergTableReader's snapshot
+# planning, aggregate vs the direct relational oracle.
+def orders_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os as _os
+    import shutil
+    import tempfile
+
+    from bears_spark.io.avro_generic import write_container
+    from bears_spark.io.iceberg_log import IcebergTableReader
+
+    o = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="iceberg_rt_")
+    try:
+        _os.makedirs(root + "/metadata")
+        o.filter(F.col("o_orderkey") % 2 == 0).write.parquet(root + "/data/even")
+        o.filter(F.col("o_orderkey") % 2 != 0).write.parquet(root + "/data/odd")
+        o.limit(7).write.parquet(root + "/data/stale")  # DELETED entry below
+        files = {
+            grp: sorted(
+                f"{root}/data/{grp}/{n}"
+                for n in _os.listdir(f"{root}/data/{grp}")
+                if n.endswith(".parquet")
+            )
+            for grp in ("even", "odd", "stale")
+        }
+        man_schema = {
+            "type": "record", "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int"},
+                {"name": "data_file", "type": {
+                    "type": "record", "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "record_count", "type": "long"},
+                    ],
+                }},
+            ],
+        }
+        entries = [
+            {"status": 1, "data_file": {"content": 0, "file_path": p,
+                                        "file_format": "PARQUET", "record_count": 1}}
+            for grp in ("even", "odd") for p in files[grp]
+        ] + [
+            {"status": 2, "data_file": {"content": 0, "file_path": p,
+                                        "file_format": "PARQUET", "record_count": 1}}
+            for p in files["stale"]
+        ]
+        mpath = root + "/metadata/m1.avro"
+        open(mpath, "wb").write(write_container(man_schema, entries))
+        ml_schema = {
+            "type": "record", "name": "manifest_file",
+            "fields": [
+                {"name": "manifest_path", "type": "string"},
+                {"name": "manifest_length", "type": "long"},
+                {"name": "content", "type": "int"},
+            ],
+        }
+        mlpath = root + "/metadata/ml1.avro"
+        open(mlpath, "wb").write(
+            write_container(ml_schema, [{"manifest_path": mpath, "manifest_length": 1, "content": 0}])
+        )
+        with open(root + "/metadata/v1.metadata.json", "w") as f:
+            _json.dump(
+                {"format-version": 2, "location": root, "current-snapshot-id": 1,
+                 "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": mlpath}],
+                 "schemas": [{"schema-id": 0, "type": "struct", "fields": []}],
+                 "current-schema-id": 0},
+                f,
+            )
+        back = IcebergTableReader(spark, root).read()
+        rows = (
+            back.groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double"), 6
+                ).alias("total"),
+            )
+            .orderBy("o_orderstatus")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "o_orderstatus string, n bigint, total double")
+
+
+ORDERS_ICEBERG_RT_SQL = ORDERS_DELTA_RT_SQL
+
+QUERIES["orders_iceberg_roundtrip"] = orders_iceberg_roundtrip
+ORACLES["orders_iceberg_roundtrip"] = ORDERS_ICEBERG_RT_SQL
+
+
+# --------------------------------------------------------------------------
 # customer_abc_analysis: Pareto / ABC classification — customers ranked by
 # revenue, bucketed by CUMULATIVE share (A: first 70% of revenue, B: next
 # 20%, C: tail). The per-customer aggregate is SF-linear, so the rank-ordered

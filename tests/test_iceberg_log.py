@@ -1,0 +1,204 @@
+"""Apache Iceberg metadata-tree reader (bears_spark/io/iceberg_log.py):
+hand-crafted spec-shaped tables — snapshot planning through manifest-list
+and manifest Avro, deleted-entry exclusion, snapshot time travel, relocated
+tables, and the honest v2 delete-file gate."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from bears_spark.io.avro_generic import read_container, write_container
+from bears_spark.io.iceberg_log import IcebergLogError, IcebergTableReader
+
+_MANIFEST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {
+                        "name": "column_sizes",
+                        "type": ["null", {"type": "map", "values": "long"}],
+                    },
+                ],
+            },
+        },
+    ],
+}
+
+_MLIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "content", "type": "int"},
+        {"name": "added_snapshot_id", "type": ["null", "long"]},
+    ],
+}
+
+
+def _data_file(root, name, ids, langs):
+    p = os.path.join(root, "data", name)
+    pq.write_table(
+        pa.table({"id": pa.array(ids, pa.int64()), "lang": pa.array(langs, pa.string())}), p
+    )
+    return p
+
+
+def _manifest(root, name, entries):
+    p = os.path.join(root, "metadata", name)
+    recs = [
+        {
+            "status": st,
+            "data_file": {
+                "content": content,
+                "file_path": fp,
+                "file_format": "PARQUET",
+                "record_count": 1,
+                "column_sizes": None,
+            },
+        }
+        for st, content, fp in entries
+    ]
+    open(p, "wb").write(write_container(_MANIFEST_SCHEMA, recs))
+    return p
+
+
+def _manifest_list(root, name, manifests, content=0):
+    p = os.path.join(root, "metadata", name)
+    recs = [
+        {"manifest_path": m, "manifest_length": 1, "content": content,
+         "added_snapshot_id": 1}
+        for m in manifests
+    ]
+    open(p, "wb").write(write_container(_MLIST_SCHEMA, recs))
+    return p
+
+
+def _metadata(root, snapshots, current, version=1):
+    meta = {
+        "format-version": 2,
+        "table-uuid": "u",
+        "location": root,
+        "current-snapshot-id": current,
+        "snapshots": snapshots,
+        "schemas": [
+            {
+                "schema-id": 0,
+                "type": "struct",
+                "fields": [
+                    {"id": 1, "name": "id", "required": False, "type": "long"},
+                    {"id": 2, "name": "lang", "required": False, "type": "string"},
+                ],
+            }
+        ],
+        "current-schema-id": 0,
+    }
+    with open(os.path.join(root, "metadata", f"v{version}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as f:
+        f.write(str(version))
+
+
+def _mk_table(tmp_path, name="ice"):
+    root = str(tmp_path / name)
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+    return root
+
+
+def test_iceberg_read_snapshots_and_deleted_entries(spark, tmp_path):
+    root = _mk_table(tmp_path)
+    f1 = _data_file(root, "f1.parquet", [1, 2], ["en", "de"])
+    f2 = _data_file(root, "f2.parquet", [3], ["fr"])
+    f3 = _data_file(root, "f3.parquet", [4], ["es"])
+    # snapshot 1: f1 + f2 live
+    m1 = _manifest(root, "m1.avro", [(1, 0, f1), (1, 0, f2)])
+    ml1 = _manifest_list(root, "ml1.avro", [m1])
+    # snapshot 2: f2 DELETED, f3 added
+    m2 = _manifest(root, "m2.avro", [(0, 0, f1), (2, 0, f2), (1, 0, f3)])
+    ml2 = _manifest_list(root, "ml2.avro", [m2])
+    snaps = [
+        {"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": ml1},
+        {"snapshot-id": 2, "timestamp-ms": 2, "manifest-list": ml2},
+    ]
+    _metadata(root, snaps, current=2)
+
+    r = IcebergTableReader(spark, root)
+    assert sorted(x["id"] for x in r.read().collect()) == [1, 2, 4]
+    # time travel to snapshot 1
+    assert sorted(x["id"] for x in r.read(snapshot_id=1).collect()) == [1, 2, 3]
+    assert len(r.files()) == 2 and len(r.files(snapshot_id=1)) == 2
+
+
+def test_iceberg_relocated_table_paths(spark, tmp_path):
+    """Manifests recorded under an old absolute location still resolve when
+    the table directory was moved (suffix re-rooting)."""
+    root = _mk_table(tmp_path, "moved")
+    f1 = _data_file(root, "f1.parquet", [7], ["en"])
+    fake = "/nonexistent/old/location/data/f1.parquet"
+    m1 = _manifest(root, "m1.avro", [(1, 0, fake.replace("/nonexistent/old/location", root))])
+    # record the manifest-list path under the OLD location too
+    m1_fake = m1.replace(root, "/nonexistent/old/location")
+    ml1 = _manifest_list(root, "ml1.avro", [m1_fake])
+    _metadata(root, [{"snapshot-id": 1, "timestamp-ms": 1,
+                      "manifest-list": ml1.replace(root, "/nonexistent/old/location")}], current=1)
+    out = IcebergTableReader(spark, root).read().collect()
+    assert [x["id"] for x in out] == [7]
+
+
+def test_iceberg_delete_manifest_gate(spark, tmp_path):
+    root = _mk_table(tmp_path, "delgate")
+    f1 = _data_file(root, "f1.parquet", [1], ["en"])
+    m1 = _manifest(root, "m1.avro", [(1, 0, f1)])
+    ml1 = _manifest_list(root, "ml1.avro", [m1], content=1)  # DELETE manifests
+    _metadata(root, [{"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": ml1}], current=1)
+    with pytest.raises(IcebergLogError, match="DELETE manifests"):
+        IcebergTableReader(spark, root).read()
+
+
+def test_avro_generic_deflate_and_nested_roundtrip():
+    import zlib
+
+    schema = _MANIFEST_SCHEMA
+    recs = [
+        {"status": 1, "data_file": {"content": 0, "file_path": "x", "file_format": "PARQUET",
+                                    "record_count": 5, "column_sizes": {"a": 1, "b": 2}}},
+    ]
+    data = write_container(schema, recs)
+    _, back = read_container(data)
+    assert back == recs
+    # deflate codec: recompress the block by hand and verify decode
+    # (write_container emits null codec; craft a deflate container)
+    import io as _io
+    from bears_spark.io.avro_generic import _encode, _write_zlong
+
+    out = _io.BytesIO()
+    out.write(b"Obj\x01")
+    meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": b"deflate"}
+    _encode(out, {"type": "map", "values": "bytes"}, meta, {})
+    sync = b"\x00" * 8 + b"bearsync"
+    out.write(sync)
+    body = _io.BytesIO()
+    for r in recs:
+        _encode(body, schema, r, {})
+    comp = zlib.compress(body.getvalue())[2:-4]  # raw deflate (wbits=-15)
+    _write_zlong(out, len(recs))
+    _write_zlong(out, len(comp))
+    out.write(comp)
+    out.write(sync)
+    _, back2 = read_container(out.getvalue())
+    assert back2 == recs
