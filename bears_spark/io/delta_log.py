@@ -160,9 +160,50 @@ class DeltaTableReader:
         meta, _ = self._snapshot(version)
         return T.StructType.fromJson(json.loads(meta["schemaString"]))
 
-    def files(self, version: int | None = None) -> list[str]:
+    @staticmethod
+    def _stats_reject(a: dict, col: str, op: str, value) -> bool:
+        """True when the add action's embedded stats PROVE no row matches
+        ``col op value`` — Delta writers record per-file minValues/maxValues
+        as a JSON string in ``add.stats``. Missing/partial stats match
+        conservatively, so pruning is an optimization, never a filter."""
+        raw = a.get("stats")
+        if not raw:
+            return False
+        try:
+            st = json.loads(raw) if isinstance(raw, str) else raw
+        except json.JSONDecodeError:
+            return False
+        mins, maxs = st.get("minValues") or {}, st.get("maxValues") or {}
+        lo, hi = mins.get(col), maxs.get(col)
+        if lo is None or hi is None:
+            return False
+        if isinstance(value, (int, float)) != isinstance(lo, (int, float)):
+            return False  # domain mismatch: conservatively keep
+        try:
+            if op in ("=", "=="):
+                return not (lo <= value <= hi)
+            if op == "<":
+                return not (lo < value)
+            if op == "<=":
+                return not (lo <= value)
+            if op == ">":
+                return not (hi > value)
+            if op == ">=":
+                return not (hi >= value)
+        except TypeError:
+            return False
+        return False
+
+    def files(self, version: int | None = None, where: tuple | None = None) -> list[str]:
+        """Live data files; ``where=(col, op, value)`` prunes via each add
+        action's embedded min/max stats (same contract as SnapshotTable:
+        pruning only removes files that provably contain no match)."""
         _, adds = self._snapshot(version)
-        return sorted(os.path.join(self.path, unquote(p)) for p in adds)
+        keep = adds
+        if where is not None:
+            col, op, value = where
+            keep = {p: a for p, a in adds.items() if not self._stats_reject(a, col, op, value)}
+        return sorted(os.path.join(self.path, unquote(p)) for p in keep)
 
     def read(self, version: int | None = None) -> DataFrame:
         meta, adds = self._snapshot(version)
@@ -231,6 +272,10 @@ def export_delta_log(table, out_path: str) -> str:
             os.link(e.path, dst)
         except OSError:
             shutil.copy2(e.path, dst)
+        # carry the manifest's plain (non-encoded) min/max into Delta stats
+        # so Delta readers — including ours — keep file skipping
+        mins = {c: s["min"] for c, s in e.stats.items() if not isinstance(s.get("min"), dict)}
+        maxs = {c: s["max"] for c, s in e.stats.items() if not isinstance(s.get("max"), dict)}
         actions.append(
             {
                 "add": {
@@ -239,6 +284,9 @@ def export_delta_log(table, out_path: str) -> str:
                     "size": os.path.getsize(dst),
                     "modificationTime": 0,
                     "dataChange": True,
+                    "stats": json.dumps(
+                        {"numRecords": e.rows, "minValues": mins, "maxValues": maxs}
+                    ),
                 }
             }
         )

@@ -164,3 +164,28 @@ def test_export_snapshot_table_as_delta(spark, tmp_path):
     assert back.count() == 40
     assert sorted(r["id"] for r in back.collect()) == list(range(40))
     assert dict(back.dtypes) == {"id": "bigint", "v": "double"}
+
+
+def test_delta_stats_pruning_and_export_carries_stats(spark, tmp_path):
+    """add.stats minValues/maxValues prune files exactly like the snapshot
+    manifest does; export_delta_log writes them, so an exported table keeps
+    its skipping. Pruning never changes results."""
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "stx"))
+    t.overwrite(spark.range(0, 100).select(F.col("id"), (F.col("id") * 2.0).alias("v")).coalesce(1))
+    t.append(spark.range(100, 200).select(F.col("id"), (F.col("id") * 2.0).alias("v")).coalesce(1))
+    out = export_delta_log(t, str(tmp_path / "stx_delta"))
+    r = DeltaTableReader(spark, out)
+    assert len(r.files()) == 2
+    assert len(r.files(where=("id", ">=", 150))) == 1  # one file provably excluded
+    assert len(r.files(where=("id", "=", 42))) == 1
+    # conservative on unknown column / type mismatch
+    assert len(r.files(where=("nope", "=", 1))) == 2
+    assert len(r.files(where=("id", "=", "42"))) == 2
+    # stats absent -> no pruning (hand-crafted log without stats)
+    root = _make_table(tmp_path, "nostats")
+    log = os.path.join(root, "_delta_log")
+    a0 = _add_file(root, "f0.parquet", [1], [0.1])
+    _write_commit(log, 0, [{"protocol": {"minReaderVersion": 1}}, _meta(), a0])
+    assert len(DeltaTableReader(spark, root).files(where=("id", "=", 999))) == 1
