@@ -189,6 +189,7 @@ ROUND7_NEVER_GRADED = [
     "emb_hard_negatives",
     "orders_delta_roundtrip",
     "orders_iceberg_roundtrip",
+    "ev_user_ltv_decile",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

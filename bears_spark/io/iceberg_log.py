@@ -137,6 +137,18 @@ class IcebergTableReader:
                 out.append(_localize(df["file_path"], self.path))
         return sorted(out)
 
+    def changes_since(self, snapshot_id: int, to_snapshot_id: int | None = None) -> DataFrame:
+        """Incremental consumer API over an Iceberg table: rows in data files
+        LIVE at the target snapshot but not at ``snapshot_id`` — the same
+        O(delta) contract SnapshotTable.changes_since has, with the same
+        caveat (a compaction rewrites rows into new files; checkpoint a
+        snapshot before maintenance windows)."""
+        base = set(self.files(snapshot_id))
+        new = [p for p in self.files(to_snapshot_id) if p not in base]
+        if not new:
+            return self.read(to_snapshot_id).limit(0)
+        return self.spark.read.option("mergeSchema", "true").parquet(*new)
+
     def read(self, snapshot_id: int | None = None) -> DataFrame:
         """Distributed scan of the snapshot's live data files. Iceberg data
         files are self-contained (partition columns present), so the scan is

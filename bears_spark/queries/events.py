@@ -878,8 +878,55 @@ FROM events e JOIN first f ON e.user_id = f.user_id
 GROUP BY 1, 2 ORDER BY 1, 2
 """
 
+# --------------------------------------------------------------------------
+# ev_user_ltv_decile: users deciled by purchase lifetime value — the
+# marketing-analytics LTV segmentation. The USER grain is SF-linear, so the
+# global ntile(10) runs through functions/prefix.partitioned_ntile (range
+# shuffle + offset table, byte-identical to the window form, no one-task
+# WindowExec); output is the bounded per-decile summary. Value sums are
+# decimal so the per-decile totals are exact under any partitioning.
+def ev_user_ltv_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.prefix import partitioned_ntile
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(30,6)")).alias("ltv"))
+    )
+    tiled = partitioned_ntile(
+        per_user, [F.desc("ltv"), F.asc("user_id")], 10, out_col="decile"
+    )
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.round(F.sum("ltv").cast("double"), 6).alias("total_ltv"),
+            F.round(F.min("ltv").cast("double"), 6).alias("floor_ltv"),
+        )
+        .orderBy("decile")
+    )
+
+
+EV_LTV_DECILE_SQL = """
+WITH per AS (
+  SELECT user_id, sum(CAST(value AS DECIMAL(30,6))) AS ltv
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), tiled AS (
+  SELECT user_id, ltv, ntile(10) OVER (ORDER BY ltv DESC, user_id ASC) AS decile
+  FROM per
+)
+SELECT decile, count(*) AS n_users,
+       round(CAST(sum(ltv) AS DOUBLE), 6) AS total_ltv,
+       round(CAST(min(ltv) AS DOUBLE), 6) AS floor_ltv
+FROM tiled GROUP BY decile ORDER BY decile
+"""
+
 QUERIES["ev_cohort_retention"] = ev_cohort_retention
 ORACLES["ev_cohort_retention"] = EV_COHORT_SQL
+
+QUERIES["ev_user_ltv_decile"] = ev_user_ltv_decile
+ORACLES["ev_user_ltv_decile"] = EV_LTV_DECILE_SQL
 
 
 # --------------------------------------------------------------------------

@@ -202,3 +202,21 @@ def test_avro_generic_deflate_and_nested_roundtrip():
     out.write(sync)
     _, back2 = read_container(out.getvalue())
     assert back2 == recs
+
+
+def test_iceberg_changes_since(spark, tmp_path):
+    root = _mk_table(tmp_path, "inc")
+    f1 = _data_file(root, "f1.parquet", [1, 2], ["en", "de"])
+    f2 = _data_file(root, "f2.parquet", [3], ["fr"])
+    m1 = _manifest(root, "m1.avro", [(1, 0, f1)])
+    ml1 = _manifest_list(root, "ml1.avro", [m1])
+    m2 = _manifest(root, "m2.avro", [(0, 0, f1), (1, 0, f2)])
+    ml2 = _manifest_list(root, "ml2.avro", [m2])
+    _metadata(root, [
+        {"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": ml1},
+        {"snapshot-id": 2, "timestamp-ms": 2, "manifest-list": ml2},
+    ], current=2)
+    r = IcebergTableReader(spark, root)
+    delta = r.changes_since(1)
+    assert sorted(x["id"] for x in delta.collect()) == [3]
+    assert r.changes_since(2).count() == 0  # already at head

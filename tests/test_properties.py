@@ -581,3 +581,62 @@ def test_sequence_packing_model(spark, case):
     assert per_doc == {int(d): int(t) for d, t in zip(nz["doc_id"], nz["n_tok"])}
     assert sum(per_pack.values()) == total
     release_scan_caches()
+
+
+@st.composite
+def _avro_case(draw):
+    prim = st.sampled_from(["int", "long", "string", "boolean", "double", "bytes"])
+
+    def value_for(t):
+        return {
+            "int": st.integers(min_value=-(2**31), max_value=2**31 - 1),
+            "long": st.integers(min_value=-(2**62), max_value=2**62 - 1),
+            "string": st.text(max_size=12),
+            "boolean": st.booleans(),
+            "double": st.floats(allow_nan=False, allow_infinity=False, width=64),
+            "bytes": st.binary(max_size=8),
+        }[t]
+
+    n_fields = draw(st.integers(min_value=1, max_value=5))
+    fields = []
+    field_strats = {}
+    for i in range(n_fields):
+        t = draw(prim)
+        kind = draw(st.sampled_from(["plain", "nullable", "array", "map"]))
+        name = f"f{i}"
+        if kind == "plain":
+            fields.append({"name": name, "type": t})
+            field_strats[name] = value_for(t)
+        elif kind == "nullable":
+            fields.append({"name": name, "type": ["null", t]})
+            field_strats[name] = st.one_of(st.none(), value_for(t))
+        elif kind == "array":
+            fields.append({"name": name, "type": {"type": "array", "items": t}})
+            field_strats[name] = st.lists(value_for(t), max_size=4)
+        else:
+            fields.append({"name": name, "type": {"type": "map", "values": t}})
+            field_strats[name] = st.dictionaries(st.text(max_size=5), value_for(t), max_size=3)
+    # one nested record field exercising recursion
+    fields.append(
+        {"name": "nest", "type": {"type": "record", "name": "inner",
+                                  "fields": [{"name": "a", "type": "long"},
+                                             {"name": "b", "type": ["null", "string"]}]}}
+    )
+    field_strats["nest"] = st.fixed_dictionaries(
+        {"a": st.integers(min_value=-100, max_value=100), "b": st.one_of(st.none(), st.text(max_size=6))}
+    )
+    schema = {"type": "record", "name": "row", "fields": fields}
+    records = draw(st.lists(st.fixed_dictionaries(field_strats), min_size=0, max_size=6))
+    return schema, records
+
+
+@given(_avro_case())
+@_settings
+def test_avro_generic_roundtrip_random(case):
+    """write_container/read_container are inverse over randomized schemas:
+    primitives, nullable unions, arrays, maps, nested records."""
+    from bears_spark.io.avro_generic import read_container, write_container
+
+    schema, records = case
+    _, back = read_container(write_container(schema, records))
+    assert back == records
