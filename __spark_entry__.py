@@ -190,6 +190,7 @@ ROUND7_NEVER_GRADED = [
     "orders_delta_roundtrip",
     "orders_iceberg_roundtrip",
     "ev_user_ltv_decile",
+    "orders_optimize_skipping",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

@@ -194,15 +194,38 @@ class DeltaTableReader:
             return False
         return False
 
+    @staticmethod
+    def _partition_reject(a: dict, part_cols: list[str], col: str, op: str, value) -> bool:
+        """True when the add's partitionValues PROVE no row matches
+        ``col = value`` — only equality on string-rendered partition values
+        is decidable without the column type; everything else keeps the
+        file."""
+        if op not in ("=", "==") or col not in part_cols:
+            return False
+        pv = a.get("partitionValues") or {}
+        if isinstance(pv, list):
+            pv = dict(pv)
+        raw = pv.get(col)
+        if raw is None:
+            return False
+        return str(value) != raw
+
     def files(self, version: int | None = None, where: tuple | None = None) -> list[str]:
         """Live data files; ``where=(col, op, value)`` prunes via each add
-        action's embedded min/max stats (same contract as SnapshotTable:
-        pruning only removes files that provably contain no match)."""
-        _, adds = self._snapshot(version)
+        action's embedded min/max stats AND, for partition columns, the
+        partitionValues equality (same contract as SnapshotTable: pruning
+        only removes files that provably contain no match)."""
+        meta, adds = self._snapshot(version)
         keep = adds
         if where is not None:
             col, op, value = where
-            keep = {p: a for p, a in adds.items() if not self._stats_reject(a, col, op, value)}
+            part_cols = list(meta.get("partitionColumns") or [])
+            keep = {
+                p: a
+                for p, a in adds.items()
+                if not self._stats_reject(a, col, op, value)
+                and not self._partition_reject(a, part_cols, col, op, value)
+            }
         return sorted(os.path.join(self.path, unquote(p)) for p in keep)
 
     def read(self, version: int | None = None) -> DataFrame:

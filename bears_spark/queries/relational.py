@@ -1678,6 +1678,72 @@ ORACLES["orders_iceberg_roundtrip"] = ORDERS_ICEBERG_RT_SQL
 
 
 # --------------------------------------------------------------------------
+# orders_optimize_skipping: OPTIMIZE ZORDER graded end-to-end — four
+# arrival-ordered (hash-shuffled) micro-batch commits, then
+# optimize_clustered on (o_custkey, o_orderdate); the stats-pruned read
+# after maintenance must (a) actually skip files and (b) return exactly the
+# oracle's rows. This grades the whole maintenance loop: append -> Z-order
+# compaction -> manifest-stat pruning, with correctness gated on values.
+def orders_optimize_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="optz_")
+    try:
+        t = SnapshotTable(spark, root)
+        for i in range(4):
+            batch = o.filter(F.pmod(F.xxhash64("o_orderkey"), F.lit(4)) == i).coalesce(1)
+            (t.overwrite if i == 0 else t.append)(batch)
+        pre = len(t.files(where=("o_custkey", "<", 100)))
+        # target 30% of the table: every ~25%-sized micro-batch file is
+        # "small" (rewritten), and ceil(total/target) = 4 z-ordered outputs
+        # so the curve layout yields file-level selectivity (one giant file
+        # could never be skipped). Column order matters: zorder_key gives the
+        # LAST column the top interleaved bit, so o_custkey goes last to make
+        # the custkey range the leading file-split dimension.
+        total_rows = sum(e.rows for e in t.files())
+        t.optimize_clustered(
+            ["o_orderkey", "o_custkey"], target_rows_per_file=max(2, int(total_rows * 0.3))
+        )
+        post_files = t.files(where=("o_custkey", "<", 100))
+        skipped = len(post_files) < len(t.files())
+        rows = (
+            t.read(where=("o_custkey", "<", 100))
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double"), 6
+                ).alias("total"),
+            )
+            .withColumn("files_skipped", F.lit(bool(skipped) and pre >= len(post_files)))
+            .orderBy("o_orderstatus")
+        ).collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n bigint, total double, files_skipped boolean"
+    )
+
+
+ORDERS_OPTZ_SQL = """
+SELECT o_orderstatus, count(*) AS n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 6) AS total,
+       true AS files_skipped
+FROM orders WHERE o_custkey < 100
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+QUERIES["orders_optimize_skipping"] = orders_optimize_skipping
+ORACLES["orders_optimize_skipping"] = ORDERS_OPTZ_SQL
+
+
+# --------------------------------------------------------------------------
 # customer_abc_analysis: Pareto / ABC classification — customers ranked by
 # revenue, bucketed by CUMULATIVE share (A: first 70% of revenue, B: next
 # 20%, C: tail). The per-customer aggregate is SF-linear, so the rank-ordered

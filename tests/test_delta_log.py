@@ -189,3 +189,30 @@ def test_delta_stats_pruning_and_export_carries_stats(spark, tmp_path):
     a0 = _add_file(root, "f0.parquet", [1], [0.1])
     _write_commit(log, 0, [{"protocol": {"minReaderVersion": 1}}, _meta(), a0])
     assert len(DeltaTableReader(spark, root).files(where=("id", "=", 999))) == 1
+
+
+def test_delta_partition_value_pruning(spark, tmp_path):
+    root = _make_table(tmp_path, "dtpv")
+    log = os.path.join(root, "_delta_log")
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "double", "nullable": True, "metadata": {}},
+                {"name": "lang", "type": "string", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    a_en = _add_file(root, "en.parquet", [1], [0.1])
+    a_en["add"]["partitionValues"] = {"lang": "en"}
+    a_de = _add_file(root, "de.parquet", [2], [0.2])
+    a_de["add"]["partitionValues"] = {"lang": "de"}
+    _write_commit(log, 0, [{"protocol": {"minReaderVersion": 1}},
+                           _meta(["lang"], schema), a_en, a_de])
+    r = DeltaTableReader(spark, root)
+    assert len(r.files(where=("lang", "=", "en"))) == 1
+    assert len(r.files(where=("lang", "=", "zz"))) == 0
+    # non-equality / non-partition predicates keep everything
+    assert len(r.files(where=("lang", ">", "a"))) == 2
+    assert len(r.files(where=("id", "=", 1))) == 2
