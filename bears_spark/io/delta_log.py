@@ -228,10 +228,35 @@ class DeltaTableReader:
             }
         return sorted(os.path.join(self.path, unquote(p)) for p in keep)
 
-    def read(self, version: int | None = None) -> DataFrame:
+    _OPS = {
+        "=": "==", "==": "==", "<": "<", "<=": "<=", ">": ">", ">=": ">=",
+    }
+
+    def read(self, version: int | None = None, where: tuple | None = None) -> DataFrame:
+        """Read a snapshot; ``where=(col, op, value)`` prunes files via
+        add.stats / partitionValues AND applies the predicate (pruning is an
+        optimization, never a semantic change — SnapshotTable's contract)."""
         meta, adds = self._snapshot(version)
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
         part_cols = list(meta.get("partitionColumns") or [])
+        if where is not None:
+            col, op, value = where
+            if op not in self._OPS:
+                raise ValueError(f"unsupported operator {op!r}")
+            kept = set(self.files(version, where=where))
+            adds = {
+                p: a
+                for p, a in adds.items()
+                if os.path.join(self.path, unquote(p)) in kept
+            }
+            out = self._read_adds(meta, adds, schema, part_cols)
+            cmp = {"==": F.col(col) == F.lit(value), "<": F.col(col) < F.lit(value),
+                   "<=": F.col(col) <= F.lit(value), ">": F.col(col) > F.lit(value),
+                   ">=": F.col(col) >= F.lit(value)}[self._OPS[op]]
+            return out.filter(cmp)
+        return self._read_adds(meta, adds, schema, part_cols)
+
+    def _read_adds(self, meta: dict, adds: dict, schema, part_cols: list[str]) -> DataFrame:
         if not adds:
             return self.spark.createDataFrame([], schema)
         if not part_cols:

@@ -216,3 +216,19 @@ def test_delta_partition_value_pruning(spark, tmp_path):
     # non-equality / non-partition predicates keep everything
     assert len(r.files(where=("lang", ">", "a"))) == 2
     assert len(r.files(where=("id", "=", 1))) == 2
+
+
+def test_delta_read_where_prunes_and_filters(spark, tmp_path):
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "rw"))
+    t.overwrite(spark.range(0, 100).select(F.col("id"), (F.col("id") * 2.0).alias("v")).coalesce(1))
+    t.append(spark.range(100, 200).select(F.col("id"), (F.col("id") * 2.0).alias("v")).coalesce(1))
+    out = export_delta_log(t, str(tmp_path / "rw_delta"))
+    r = DeltaTableReader(spark, out)
+    got = r.read(where=("id", ">=", 150))
+    assert got.count() == 50 and got.agg(F.min("id")).first()[0] == 150
+    # pruning never changes results vs a plain filter
+    assert r.read(where=("id", "<", 42)).count() == r.read().filter("id < 42").count()
+    with pytest.raises(ValueError, match="unsupported operator"):
+        r.read(where=("id", "!=", 1))
