@@ -191,6 +191,7 @@ ROUND7_NEVER_GRADED = [
     "orders_iceberg_roundtrip",
     "ev_user_ltv_decile",
     "orders_optimize_skipping",
+    "customer_priority_scd2",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

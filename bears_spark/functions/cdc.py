@@ -143,3 +143,41 @@ def incremental_join_apply(
     kept = old_result.join(F.broadcast(delta.select(*keys).distinct()), keys, "left_anti")
     recomputed = delta.join(dim, join_key, how)
     return kept.unionByName(recomputed.select(*old_result.columns))
+
+
+def scd2_history(
+    events: DataFrame,
+    key: str,
+    ts_col: str,
+    attr_cols: Sequence[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type-2 history from a change-event stream:
+    per ``key``, order events by ``ts_col`` (+ ``tiebreak`` for a total
+    order), DROP consecutive events whose ``attr_cols`` are unchanged (a
+    re-statement of the same attributes opens no new version — the standard
+    SCD2 contract), and emit one row per version with
+    ``valid_from`` = the event time and ``valid_to`` = the next version's
+    start (NULL for the current version).
+
+    Every window partitions by the (high-cardinality) key — no global
+    windows, fully parallel at any corpus size. NULL attribute values
+    compare null-safely, so None -> 'x' and 'x' -> None both open versions
+    while None -> None does not.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    # change flag: any attr differs (null-safely) from the previous event
+    changed = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    first = F.row_number().over(w) == 1
+    versions = events.withColumn("__open__", first | changed).filter(F.col("__open__"))
+    w2 = Window.partitionBy(key).orderBy(*order)
+    return (
+        versions.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w2))
+        .drop("__open__")
+    )

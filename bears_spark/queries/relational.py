@@ -1744,6 +1744,52 @@ ORACLES["orders_optimize_skipping"] = ORDERS_OPTZ_SQL
 
 
 # --------------------------------------------------------------------------
+# customer_priority_scd2: Slowly-Changing-Dimension Type-2 history — each
+# customer's order-priority over time as versioned rows (valid_from /
+# valid_to, NULL = current version), consecutive unchanged priorities
+# opening no new version. The warehouse-dimension pattern every CDC
+# pipeline materializes; all windows partition by the SF-linear customer
+# key, so the build is fully parallel (no global windows anywhere).
+def customer_priority_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.cdc import scd2_history
+
+    orders = load_table(spark, sf_dir, "orders")
+    ev = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("k"),
+    )
+    return (
+        scd2_history(ev, "custkey", "ts", ["priority"], tiebreak="k")
+        .select("custkey", "k", "priority", "valid_from", "valid_to")
+        .orderBy("custkey", "valid_from", "k")
+    )
+
+
+CUSTOMER_SCD2_SQL = """
+WITH ev AS (
+  SELECT o_custkey AS custkey, o_orderpriority AS priority,
+         o_orderdate AS ts, o_orderkey AS k
+  FROM orders
+), flagged AS (
+  SELECT custkey, priority, ts, k,
+         (row_number() OVER w = 1)
+           OR (priority IS DISTINCT FROM lag(priority) OVER w) AS open
+  FROM ev WINDOW w AS (PARTITION BY custkey ORDER BY ts, k)
+), v AS (
+  SELECT custkey, priority, ts, k FROM flagged WHERE open
+)
+SELECT custkey, k, priority, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY custkey ORDER BY ts, k) AS valid_to
+FROM v ORDER BY custkey, valid_from, k
+"""
+
+QUERIES["customer_priority_scd2"] = customer_priority_scd2
+ORACLES["customer_priority_scd2"] = CUSTOMER_SCD2_SQL
+
+
+# --------------------------------------------------------------------------
 # customer_abc_analysis: Pareto / ABC classification — customers ranked by
 # revenue, bucketed by CUMULATIVE share (A: first 70% of revenue, B: next
 # 20%, C: tail). The per-customer aggregate is SF-linear, so the rank-ordered
