@@ -57,7 +57,7 @@ class Scd2Dimension:
             [self.tiebreak] if self.tiebreak else []
         )
 
-    def build(self, events: DataFrame) -> int:
+    def build(self, events: DataFrame, txn: tuple[str, int] | None = None) -> int:
         """Full (re)build of the dimension from a change-event history."""
         hist = scd2_history(
             events.select(*self._events_cols()),
@@ -66,12 +66,15 @@ class Scd2Dimension:
             self.attr_cols,
             tiebreak=self.tiebreak,
         )
-        return self.table.overwrite(self._with_id(hist))
+        return self.table.overwrite(self._with_id(hist), txn=txn)
 
     def apply(self, events: DataFrame) -> int:
         """Incremental apply of a change batch: rebuild only the affected
         keys' version tails (open version + new events), MERGE by surrogate
         id — closing updates the open row in place, new versions insert."""
+        return self._apply_impl(events, txn=None)
+
+    def _apply_impl(self, events: DataFrame, txn) -> int:
         events = events.select(*self._events_cols())
         hist = self.table.read()
         affected = events.select(self.key).distinct()
@@ -107,7 +110,37 @@ class Scd2Dimension:
             self.attr_cols,
             tiebreak=self.tiebreak,
         )
-        return self.table.merge(self._with_id(rebuilt), key="__scd_id__")
+        return self.table.merge(self._with_id(rebuilt), key="__scd_id__", txn=txn)
+
+    def streaming_apply(self, stream_df: DataFrame, checkpoint_dir: str,
+                        available_now: bool = True, app_id: str | None = None):
+        """Exactly-once streaming SCD2 maintenance: each micro-batch of
+        change events goes through :meth:`apply` under the snapshot table's
+        (app, epoch) transaction stamps — a replayed batch after checkpoint
+        recovery is skipped at the commit, so a version is never opened or
+        closed twice. Events within a batch order by (ts, tiebreak); ACROSS
+        batches the late-data contract applies per batch."""
+        import os
+
+        app = app_id or os.path.abspath(checkpoint_dir) + "#scd2"
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            if self.table.committed_txns().get(app, -1) >= batch_id:
+                return  # replay after checkpoint recovery
+            if self.table.current_version() == 0:
+                # first batch bootstraps the dimension, stamped so its
+                # replay after checkpoint recovery is skipped too
+                self.build(batch_df, txn=(app, batch_id))
+                return
+            self._apply_with_txn(batch_df, txn=(app, batch_id))
+
+        w = stream_df.writeStream.foreachBatch(_sink).option("checkpointLocation", checkpoint_dir)
+        if available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+    def _apply_with_txn(self, events: DataFrame, txn) -> int:
+        return self._apply_impl(events, txn)
 
     # -- reads ----------------------------------------------------------------
     def read(self) -> DataFrame:

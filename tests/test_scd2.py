@@ -90,3 +90,43 @@ def test_scd2_apply_rejects_late_data(spark, tmp_path):
     dim.build(_events(spark, [(1, "a", "2024-03-01", 1)]))
     with pytest.raises(ValueError, match="late|older"):
         dim.apply(_events(spark, [(1, "z", "2024-01-01", 2)]))
+
+
+def test_scd2_streaming_apply_exactly_once(spark, tmp_path):
+    """Streaming SCD2: micro-batches bootstrap then maintain the dimension
+    under (app, epoch) stamps; a replayed availableNow run commits nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    pq.write_table(
+        pa.table({"k": [1, 2], "attr": ["a", "x"],
+                  "ts": pa.array([1704067200000000, 1704067200000000], pa.timestamp("us")),
+                  "seq": [1, 2]}),
+        str(src / "b0.parquet"),
+    )
+    dim = Scd2Dimension(spark, str(tmp_path / "sdim"), "k", "ts", ["attr"], tiebreak="seq")
+    stream = (
+        spark.readStream.schema("k long, attr string, ts timestamp, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/")
+    )
+    ckpt = str(tmp_path / "sckpt")
+    dim.streaming_apply(stream, ckpt).awaitTermination(120)
+    assert {r["k"]: r["attr"] for r in dim.current().collect()} == {1: "a", 2: "x"}
+    # replay: no new commits
+    before = dim.table.current_version()
+    dim.streaming_apply(stream, ckpt).awaitTermination(120)
+    assert dim.table.current_version() == before
+    # epoch 1: change k=1, restate k=2 (no new version)
+    pq.write_table(
+        pa.table({"k": [1, 2], "attr": ["b", "x"],
+                  "ts": pa.array([1706745600000000, 1706745600000000], pa.timestamp("us")),
+                  "seq": [3, 4]}),
+        str(src / "b1.parquet"),
+    )
+    dim.streaming_apply(stream, ckpt).awaitTermination(120)
+    assert {r["k"]: r["attr"] for r in dim.current().collect()} == {1: "b", 2: "x"}
+    assert dim.read().filter("k = 1").count() == 2  # two versions
+    assert dim.read().filter("k = 2").count() == 1  # restatement opened none
