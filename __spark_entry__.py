@@ -192,6 +192,7 @@ ROUND7_NEVER_GRADED = [
     "ev_user_ltv_decile",
     "orders_optimize_skipping",
     "customer_priority_scd2",
+    "dedup_edit_prefix_join",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

@@ -2981,3 +2981,30 @@ DEDUP_MINHASH_CALIBRATION_SQL = _minhash_calibration_sql()
 
 QUERIES["dedup_minhash_calibration"] = dedup_minhash_calibration
 ORACLES["dedup_minhash_calibration"] = DEDUP_MINHASH_CALIBRATION_SQL
+
+
+# --------------------------------------------------------------------------
+# dedup_edit_prefix_join: exact edit-distance self-join on the 40-char
+# document head (boilerplate-opening near-dups) via the lossless PassJoin
+# partition signature — bounded per-string probe fan-out, exact-substring
+# join keys, verification on candidates only. The oracle is the O(n^2)
+# brute force, tractable at sf0.01; equality proves the filter lossless.
+def dedup_edit_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("head")
+    )
+    return dd.edit_distance_join(docs, "doc_id", "head", max_distance=2).orderBy(
+        "id_a", "id_b"
+    )
+
+
+DEDUP_EDIT_PREFIX_SQL = """
+WITH d AS (SELECT doc_id, substr(text, 1, 40) AS s FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, levenshtein(a.s, b.s) AS edit_dist
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE abs(length(a.s) - length(b.s)) <= 2 AND levenshtein(a.s, b.s) <= 2
+ORDER BY id_a, id_b
+"""
+
+QUERIES["dedup_edit_prefix_join"] = dedup_edit_prefix_join
+ORACLES["dedup_edit_prefix_join"] = DEDUP_EDIT_PREFIX_SQL

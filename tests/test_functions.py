@@ -1060,3 +1060,64 @@ def test_ivfpq_noncontiguous_centroid_ids(spark):
     assert [remap[int(r["centroid_id"])] for r in rbase] == [
         int(r["centroid_id"]) for r in rmoved
     ]
+
+
+def _brute_ed_pairs(strings: dict, d: int):
+    """O(n^2) reference: Levenshtein via DP, ids as dict keys."""
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    ids = sorted(strings)
+    return {
+        (x, y): lev(strings[x], strings[y])
+        for i, x in enumerate(ids)
+        for y in ids[i + 1 :]
+        if lev(strings[x], strings[y]) <= d
+    }
+
+
+def test_edit_distance_join_long_strings(spark):
+    base = "the quick brown fox jumps over the lazy dog"
+    strings = {
+        1: base,
+        2: base.replace("lazy", "hazy"),          # 1 edit
+        3: base.replace("quick", "slick"),        # 2 edits
+        4: "completely different sentence content entirely",
+        5: base.replace("jumps over", "leaps over"),  # 3 edits -> out at d=2
+    }
+    df = spark.createDataFrame(pd.DataFrame({"id": list(strings), "t": list(strings.values())}))
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in dd.edit_distance_join(df, "id", "t", max_distance=2).collect()
+    }
+    assert got == _brute_ed_pairs(strings, 2)
+
+
+def test_edit_distance_join_short_pool_lossless(spark):
+    # every string below/around the prefix-filter floor (q=3, d=1 -> floor
+    # G <= 3 i.e. len <= 5): the short pool must catch what the gram filter
+    # cannot, including pairs sharing NO q-gram ("abc" vs "abd").
+    strings = {1: "abc", 2: "abd", 3: "abcd", 4: "xyz", 5: "xyzzy", 6: "abcdefg", 7: "abcdefgh"}
+    df = spark.createDataFrame(pd.DataFrame({"id": list(strings), "t": list(strings.values())}))
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in dd.edit_distance_join(df, "id", "t", max_distance=1).collect()
+    }
+    assert got == _brute_ed_pairs(strings, 1)
+
+
+def test_edit_distance_join_no_nested_loop(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2, 3], "t": ["abcabcabc", "abcabcabd", "zzzzzzzzz"]})
+    )
+    plan = dd.edit_distance_join(df, "id", "t", max_distance=2)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
