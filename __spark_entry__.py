@@ -193,6 +193,11 @@ ROUND7_NEVER_GRADED = [
     "orders_optimize_skipping",
     "customer_priority_scd2",
     "dedup_edit_prefix_join",
+    "cust_target_encoding",
+    "cust_woe_urgency",
+    "ev_hourly_acf",
+    "ev_seasonal_decompose",
+    "ev_value_ols2",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

@@ -5,7 +5,7 @@ from bears_spark.processor.base import (
     MissingColumnBehavior,
     get_processor,
 )
-from bears_spark.processor import text, categorical, numeric, vector  # noqa: F401 — register
+from bears_spark.processor import text, categorical, numeric, vector, encoders  # noqa: F401 — register
 
 __all__ = [
     "DataProcessor",

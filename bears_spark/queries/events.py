@@ -2171,3 +2171,189 @@ FROM a, b
 
 QUERIES["ev_ab_conversion"] = ev_ab_conversion
 ORACLES["ev_ab_conversion"] = EV_AB_CONVERSION_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_hourly_acf: autocorrelation of the hourly event-count series at lags
+# 1/2/3/24 per event type — the stationarity/seasonality diagnostic. The
+# series lives at (type, hour) grain: time-domain-bounded (hours since
+# epoch), NOT SF-linear; the per-type window is over that bounded series.
+def ev_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagd = hourly.select(
+        "event_type",
+        "c",
+        F.lag("c", 1).over(w).alias("l1"),
+        F.lag("c", 2).over(w).alias("l2"),
+        F.lag("c", 3).over(w).alias("l3"),
+        F.lag("c", 24).over(w).alias("l24"),
+    )
+    return (
+        lagd.groupBy("event_type")
+        .agg(
+            F.round(F.corr("c", "l1"), 6).alias("acf1"),
+            F.round(F.corr("c", "l2"), 6).alias("acf2"),
+            F.round(F.corr("c", "l3"), 6).alias("acf3"),
+            F.round(F.corr("c", "l24"), 6).alias("acf24"),
+            F.count("*").alias("n_hours"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EV_HOURLY_ACF_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+  FROM events GROUP BY 1, 2
+), lagd AS (
+  SELECT event_type, c,
+         lag(c, 1) OVER w AS l1, lag(c, 2) OVER w AS l2,
+         lag(c, 3) OVER w AS l3, lag(c, 24) OVER w AS l24
+  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h)
+)
+SELECT event_type, round(corr(c, l1), 6) AS acf1, round(corr(c, l2), 6) AS acf2,
+       round(corr(c, l3), 6) AS acf3, round(corr(c, l24), 6) AS acf24,
+       count(*) AS n_hours
+FROM lagd GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["ev_hourly_acf"] = ev_hourly_acf
+ORACLES["ev_hourly_acf"] = EV_HOURLY_ACF_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_seasonal_decompose: additive decomposition of the hourly count series —
+# trend = 25-point centered moving average (full windows only), seasonal =
+# mean detrended value per hour-of-day re-centered to zero mean. Output at
+# (type, hour-of-day) grain: 24 x |types|, bounded. The moving-average
+# window runs per type over the time-domain-bounded hourly series.
+def ev_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-12, 12)
+    det = (
+        hourly.withColumn("trend", F.avg("c").over(w))
+        .withColumn("n_win", F.count("c").over(w))
+        .where(F.col("n_win") == 25)
+        .select("event_type", F.hour("h").alias("hod"), (F.col("c") - F.col("trend")).alias("dt"))
+    )
+    raw = det.groupBy("event_type", "hod").agg(
+        F.avg("dt").alias("raw"), F.count("*").alias("n_obs")
+    )
+    w_type = Window.partitionBy("event_type")
+    return (
+        raw.withColumn("seasonal", F.round(F.col("raw") - F.avg("raw").over(w_type), 6))
+        .select("event_type", "hod", "seasonal", "n_obs")
+        .orderBy("event_type", "hod")
+    )
+
+
+EV_SEASONAL_DECOMPOSE_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+  FROM events GROUP BY 1, 2
+), det AS (
+  SELECT event_type, hour(h) AS hod,
+         c - avg(c) OVER w AS dt,
+         count(c) OVER w AS n_win
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), raw AS (
+  SELECT event_type, hod, avg(dt) AS raw, count(*) AS n_obs
+  FROM det WHERE n_win = 25 GROUP BY 1, 2
+)
+SELECT event_type, hod,
+       round(raw - avg(raw) OVER (PARTITION BY event_type), 6) AS seasonal,
+       n_obs
+FROM raw ORDER BY event_type, hod
+"""
+
+
+# ev_value_ols2: per-type two-regressor least squares (value on hour-of-day
+# and day index) solved in closed form from one pass of sufficient
+# statistics — the multi-feature extension of ev_value_trend's
+# regr_slope. Centered normal equations by Cramer's rule; everything after
+# the single groupBy is arithmetic on |types| rows.
+def ev_value_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    src = ev.select(
+        "event_type",
+        F.col("value").alias("y"),
+        F.hour("ts").cast("double").alias("x1"),
+        F.datediff(F.date_trunc("day", "ts"), F.lit("2024-01-01").cast("timestamp"))
+        .cast("double")
+        .alias("x2"),
+    )
+    m = src.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x1").alias("s1"), F.sum("x2").alias("s2"), F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    c11 = F.col("s11") - F.col("s1") * F.col("s1") / F.col("n")
+    c22 = F.col("s22") - F.col("s2") * F.col("s2") / F.col("n")
+    c12 = F.col("s12") - F.col("s1") * F.col("s2") / F.col("n")
+    c1y = F.col("s1y") - F.col("s1") * F.col("sy") / F.col("n")
+    c2y = F.col("s2y") - F.col("s2") * F.col("sy") / F.col("n")
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    det = c11 * c22 - c12 * c12
+    b1 = (c1y * c22 - c2y * c12) / det
+    b2 = (c2y * c11 - c1y * c12) / det
+    b0 = (F.col("sy") - b1 * F.col("s1") - b2 * F.col("s2")) / F.col("n")
+    r2 = (b1 * c1y + b2 * c2y) / cyy
+    return m.select(
+        "event_type",
+        F.col("n"),
+        F.round(b0, 4).alias("b0"),
+        F.round(b1, 6).alias("b_hour"),
+        F.round(b2, 6).alias("b_day"),
+        F.round(r2, 6).alias("r2"),
+    ).orderBy("event_type")
+
+
+EV_VALUE_OLS2_SQL = """
+WITH src AS (
+  SELECT event_type, value AS y, CAST(hour(ts) AS DOUBLE) AS x1,
+         CAST(date_diff('day', TIMESTAMP '2024-01-01', date_trunc('day', ts)) AS DOUBLE) AS x2
+  FROM events WHERE value IS NOT NULL
+), m AS (
+  SELECT event_type, count(*) AS n,
+         sum(x1) s1, sum(x2) s2, sum(y) sy,
+         sum(x1*x1) s11, sum(x2*x2) s22, sum(x1*x2) s12,
+         sum(x1*y) s1y, sum(x2*y) s2y, sum(y*y) syy
+  FROM src GROUP BY 1
+), c AS (
+  SELECT event_type, n, s1, s2, sy,
+         s11 - s1*s1/n AS c11, s22 - s2*s2/n AS c22, s12 - s1*s2/n AS c12,
+         s1y - s1*sy/n AS c1y, s2y - s2*sy/n AS c2y, syy - sy*sy/n AS cyy
+  FROM m
+), b AS (
+  SELECT event_type, n, s1, s2, sy, c1y, c2y, cyy,
+         (c1y*c22 - c2y*c12) / (c11*c22 - c12*c12) AS b1,
+         (c2y*c11 - c1y*c12) / (c11*c22 - c12*c12) AS b2
+  FROM c
+)
+SELECT event_type, n,
+       round((sy - b1*s1 - b2*s2) / n, 4) AS b0,
+       round(b1, 6) AS b_hour,
+       round(b2, 6) AS b_day,
+       round((b1*c1y + b2*c2y) / cyy, 6) AS r2
+FROM b ORDER BY event_type
+"""
+
+
+QUERIES["ev_seasonal_decompose"] = ev_seasonal_decompose
+ORACLES["ev_seasonal_decompose"] = EV_SEASONAL_DECOMPOSE_SQL
+QUERIES["ev_value_ols2"] = ev_value_ols2
+ORACLES["ev_value_ols2"] = EV_VALUE_OLS2_SQL

@@ -2217,3 +2217,93 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 
 QUERIES["orders_arrow_roundtrip"] = orders_arrow_roundtrip
 ORACLES["orders_arrow_roundtrip"] = ORDERS_ARROW_RT_SQL
+
+
+# --------------------------------------------------------------------------
+# cust_target_encoding: leakage-safe K-fold mean-target encoding of the
+# customer market segment against order value — the supervised-encoder
+# fit at (category x fold) grain. Fold = pmod(o_orderkey, 5): stable,
+# reproducible, identical in the oracle. One partial-agg shuffle over the
+# fact table; everything after runs on the 25-row aggregate.
+def cust_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.processor.encoders import target_encode_kfold
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_totalprice").alias("y"),
+        F.pmod("o_orderkey", F.lit(5)).alias("fold"),
+    )
+    enc = target_encode_kfold(j, "seg", "y", "fold", smoothing=20.0)
+    return enc.select(
+        F.col("cat").alias("seg"),
+        "fold",
+        F.round("enc", 4).alias("enc"),
+        "n_rows",
+    ).orderBy("seg", "fold")
+
+
+CUST_TARGET_ENCODING_SQL = """
+WITH j AS (
+  SELECT c.c_mktsegment AS seg, o.o_totalprice AS y, o.o_orderkey % 5 AS fold
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), tot AS (
+  SELECT seg, fold, sum(y) AS sy, count(*) AS n FROM j GROUP BY 1, 2
+), enc AS (
+  SELECT seg, fold, n,
+         (sum(sy) OVER (PARTITION BY seg) - sy) AS oof_sum,
+         (sum(n)  OVER (PARTITION BY seg) - n)  AS oof_n,
+         (sum(sy) OVER () - sy) AS gl_sum,
+         (sum(n)  OVER () - n)  AS gl_n
+  FROM tot
+)
+SELECT seg, fold,
+       round((oof_sum + 20.0 * (gl_sum / gl_n)) / (oof_n + 20.0), 4) AS enc,
+       n AS n_rows
+FROM enc ORDER BY seg, fold
+"""
+
+
+# cust_woe_urgency: weight-of-evidence of the market segment for the
+# binary "order is urgent" label, plus per-category information-value
+# terms — the risk-scoring encoder at bounded category grain.
+def cust_woe_urgency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.processor.encoders import woe_iv
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("pos"),
+    )
+    out = woe_iv(j, "seg", "pos", alpha=0.5)
+    return out.select(
+        F.col("cat").alias("seg"),
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        F.round("woe", 6).alias("woe"),
+        F.round("iv_term", 6).alias("iv_term"),
+    ).orderBy("seg")
+
+
+CUST_WOE_SQL = """
+WITH j AS (
+  SELECT c.c_mktsegment AS seg,
+         CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS pos
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), agg AS (
+  SELECT seg, sum(pos) AS np, count(*) - sum(pos) AS nn FROM j GROUP BY 1
+), tot AS (SELECT sum(np) AS tp, sum(nn) AS tn FROM agg)
+SELECT seg, CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+       round(ln(((np + 0.5) / (tp + 0.5)) / ((nn + 0.5) / (tn + 0.5))), 6) AS woe,
+       round((((np + 0.5) / (tp + 0.5)) - ((nn + 0.5) / (tn + 0.5)))
+             * ln(((np + 0.5) / (tp + 0.5)) / ((nn + 0.5) / (tn + 0.5))), 6) AS iv_term
+FROM agg, tot ORDER BY seg
+"""
+
+
+QUERIES["cust_target_encoding"] = cust_target_encoding
+ORACLES["cust_target_encoding"] = CUST_TARGET_ENCODING_SQL
+QUERIES["cust_woe_urgency"] = cust_woe_urgency
+ORACLES["cust_woe_urgency"] = CUST_WOE_SQL

@@ -1103,9 +1103,9 @@ def test_edit_distance_join_long_strings(spark):
 
 
 def test_edit_distance_join_short_pool_lossless(spark):
-    # every string below/around the prefix-filter floor (q=3, d=1 -> floor
-    # G <= 3 i.e. len <= 5): the short pool must catch what the gram filter
-    # cannot, including pairs sharing NO q-gram ("abc" vs "abd").
+    # strings at/below the segment-split floor (d=1 -> k=2 segments): the
+    # micro-pool and segment join together must stay lossless, including
+    # pairs whose shared segment is a single character.
     strings = {1: "abc", 2: "abd", 3: "abcd", 4: "xyz", 5: "xyzzy", 6: "abcdefg", 7: "abcdefgh"}
     df = spark.createDataFrame(pd.DataFrame({"id": list(strings), "t": list(strings.values())}))
     got = {

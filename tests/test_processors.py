@@ -303,3 +303,59 @@ def test_scalers_in_registry(spark):
 
     for name in ("zscale", "min_max_scaler", "RobustScaling"):
         assert get_processor(name) is not None
+
+
+# --- supervised encoders ----------------------------------------------------
+
+
+def _enc_frame(spark, targets):
+    rows = [
+        ("a", 0, targets[0]), ("a", 0, targets[1]),
+        ("a", 1, 10.0), ("a", 1, 20.0),
+        ("b", 0, 100.0), ("b", 1, 200.0),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["cat", "fold", "y"]))
+
+
+def test_target_encode_kfold_out_of_fold_math(spark):
+    from bears_spark.processor.encoders import target_encode_kfold
+
+    df = _enc_frame(spark, [1.0, 3.0])
+    out = {
+        (r["cat"], r["fold"]): r["enc"]
+        for r in target_encode_kfold(df, "cat", "y", "fold", smoothing=2.0).collect()
+    }
+    # enc(a,0): oof over cat a = rows (a,1): sum 30, n 2; global-minus-self
+    # prior = (4+30+300) - 4 over 6 - 2 = 330/4 = 82.5
+    assert out[("a", 0)] == pytest.approx((30 + 2 * 82.5) / (2 + 2))
+    # enc(b,0): oof over cat b = (b,1): 200/1; prior = (334-100)/(6-1)=46.8
+    assert out[("b", 0)] == pytest.approx((200 + 2 * 46.8) / (1 + 2))
+
+
+def test_target_encode_kfold_is_leakage_safe(spark):
+    from bears_spark.processor.encoders import target_encode_kfold
+
+    base = target_encode_kfold(_enc_frame(spark, [1.0, 3.0]), "cat", "y", "fold", 2.0)
+    pert = target_encode_kfold(_enc_frame(spark, [500.0, -70.0]), "cat", "y", "fold", 2.0)
+    b = {(r["cat"], r["fold"]): r["enc"] for r in base.collect()}
+    p = {(r["cat"], r["fold"]): r["enc"] for r in pert.collect()}
+    # (a,0) rows' own targets changed: every OTHER cell's encoding moves,
+    # except cells that exclude those rows... only (a,0) must NOT see its
+    # own targets change through oof_sum; its prior ALSO excludes itself,
+    # so enc(a,0) is fully invariant to its own fold's targets.
+    assert b[("a", 0)] == pytest.approx(p[("a", 0)])
+    assert b[("a", 1)] != pytest.approx(p[("a", 1)])
+
+
+def test_woe_iv_math(spark):
+    from bears_spark.processor.encoders import woe_iv
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"cat": ["a"] * 4 + ["b"] * 4, "y": [1, 1, 1, 0, 0, 0, 0, 1]})
+    )
+    out = {r["cat"]: (r["woe"], r["iv_term"]) for r in woe_iv(df, "cat", "y", alpha=0.5).collect()}
+    pp_a, pn_a = (3 + 0.5) / (4 + 0.5), (1 + 0.5) / (4 + 0.5)
+    assert out["a"][0] == pytest.approx(math.log(pp_a / pn_a))
+    assert out["a"][1] == pytest.approx((pp_a - pn_a) * math.log(pp_a / pn_a))
+    # symmetric label balance -> woe(b) = -woe(a)
+    assert out["b"][0] == pytest.approx(-out["a"][0])

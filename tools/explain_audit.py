@@ -145,6 +145,8 @@ WINDOW_UNPARTITIONED_ALLOW: dict[str, str] = {
     "doc_vocabulary_topk": "zipf_rank window runs AFTER .limit(50) — 50-row frame",
     "corpus_temperature_mixture": "language domain (tens of rows)",
     "lang_source_mutual_info": "lang / source / lang x source domains — bounded",
+    "cust_target_encoding": "window over the (mktsegment x fold) aggregate — bounded category domain",
+    "cust_woe_urgency": "window over the mktsegment aggregate — bounded category domain",
 }
 
 
