@@ -198,6 +198,7 @@ ROUND7_NEVER_GRADED = [
     "ev_hourly_acf",
     "ev_seasonal_decompose",
     "ev_value_ols2",
+    "orders_layout_report",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

@@ -2307,3 +2307,63 @@ QUERIES["cust_target_encoding"] = cust_target_encoding
 ORACLES["cust_target_encoding"] = CUST_TARGET_ENCODING_SQL
 QUERIES["cust_woe_urgency"] = cust_woe_urgency
 ORACLES["cust_woe_urgency"] = CUST_WOE_SQL
+
+
+# --------------------------------------------------------------------------
+# orders_layout_report: physical-layout diagnostic from parquet FOOTERS only
+# — write orders clustered on o_orderkey (single writer task, 2000-row file
+# rolls, so the file count is exactly ceil(n/2000) and files tile the key
+# range disjointly), then prove it from footer stats: 0 overlapping row
+# groups, full min/max coverage, every row accounted for. The oracle
+# derives the same invariants from the logical table.
+def orders_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from bears_spark.io.layout import clustering_report
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    root = tempfile.mkdtemp(prefix="layout_")
+    try:
+        (
+            o.coalesce(1)
+            .sortWithinPartitions("o_orderkey")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", 2000)
+            .parquet(root)
+        )
+        rows = (
+            clustering_report(spark, root, "o_orderkey")
+            .select(
+                "column",
+                "n_files",
+                "n_row_groups",
+                "total_rows",
+                "overlapping_rgs",
+                F.col("global_min").cast("bigint").alias("key_min"),
+                F.col("global_max").cast("bigint").alias("key_max"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "column string, n_files bigint, n_row_groups bigint, total_rows bigint, "
+        "overlapping_rgs bigint, key_min bigint, key_max bigint",
+    )
+
+
+ORDERS_LAYOUT_SQL = """
+SELECT 'o_orderkey' AS "column",
+       CAST(ceil(count(*) / 2000.0) AS BIGINT) AS n_files,
+       CAST(ceil(count(*) / 2000.0) AS BIGINT) AS n_row_groups,
+       count(*) AS total_rows,
+       CAST(0 AS BIGINT) AS overlapping_rgs,
+       min(o_orderkey) AS key_min,
+       max(o_orderkey) AS key_max
+FROM orders
+"""
+
+QUERIES["orders_layout_report"] = orders_layout_report
+ORACLES["orders_layout_report"] = ORDERS_LAYOUT_SQL
