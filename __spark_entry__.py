@@ -199,6 +199,8 @@ ROUND7_NEVER_GRADED = [
     "ev_seasonal_decompose",
     "ev_value_ols2",
     "orders_layout_report",
+    "orders_price_auc",
+    "orders_urgency_calibration",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

@@ -2367,3 +2367,102 @@ FROM orders
 
 QUERIES["orders_layout_report"] = orders_layout_report
 ORACLES["orders_layout_report"] = ORDERS_LAYOUT_SQL
+
+
+# --------------------------------------------------------------------------
+# orders_price_auc: exact ROC-AUC of order value as a predictor of urgency,
+# by the Mann-Whitney rank-sum with average ranks for ties — and NOT via a
+# one-task global window: ranks come from a partial-agg reduction to the
+# DISTINCT-value frame plus the distributed prefix cumsum, so every stage
+# is parallel at any SF. The classification-eval counterpart of
+# retrieval_eval_report.
+def orders_price_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.prefix import partitioned_cumsum
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("x"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("y"),
+    )
+    per_val = o.groupBy("x").agg(F.count("*").alias("__n__"), F.sum("y").alias("__np__"))
+    scanned = partitioned_cumsum(per_val, ["x"], ["__n__"], suffix="_cum")
+    # average rank of every row tied at value v: ranks (cum-n+1 .. cum)
+    ranked = scanned.withColumn(
+        "__ar__", F.col("__n___cum") - F.col("__n__") + (F.col("__n__") + 1) / 2.0
+    )
+    agg = ranked.agg(
+        F.sum("__np__").alias("np"),
+        (F.sum("__n__") - F.sum("__np__")).alias("nn"),
+        F.sum(F.col("__np__") * F.col("__ar__")).alias("rank_sum_pos"),
+    )
+    return agg.select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        F.round(
+            (F.col("rank_sum_pos") - F.col("np") * (F.col("np") + 1) / 2.0)
+            / (F.col("np") * F.col("nn")),
+            6,
+        ).alias("auc"),
+    )
+
+
+ORDERS_PRICE_AUC_SQL = """
+WITH s AS (
+  SELECT o_totalprice AS x,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+  FROM orders
+), r AS (
+  SELECT y,
+         rank() OVER (ORDER BY x) + (count(*) OVER (PARTITION BY x) - 1) / 2.0 AS ar
+  FROM s
+)
+SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+       CAST(count(*) - sum(y) AS BIGINT) AS n_neg,
+       round((sum(CASE WHEN y = 1 THEN ar END) - sum(y) * (sum(y) + 1) / 2.0)
+             / (sum(y) * (count(*) - sum(y))), 6) AS auc
+FROM r
+"""
+
+QUERIES["orders_price_auc"] = orders_price_auc
+ORACLES["orders_price_auc"] = ORDERS_PRICE_AUC_SQL
+
+
+# --------------------------------------------------------------------------
+# orders_urgency_calibration: reliability table — orders deciled by value
+# (exact global ntile through the distributed prefix machinery, unique
+# tiebreak on the key), then per-decile urgency rate vs average value. The
+# "is the score monotone in the outcome?" diagnostic that pairs with
+# orders_price_auc.
+def orders_urgency_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.prefix import partitioned_ntile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("x"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("y"),
+    )
+    tiled = partitioned_ntile(o, ["x", "o_orderkey"], 10, out_col="decile")
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("y"), 6).alias("pos_rate"),
+            F.round(F.avg("x"), 4).alias("avg_price"),
+        )
+        .orderBy("decile")
+    )
+
+
+ORDERS_URGENCY_CALIBRATION_SQL = """
+WITH s AS (
+  SELECT o_orderkey, o_totalprice AS x,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT decile, count(*) AS n, round(avg(y), 6) AS pos_rate,
+       round(avg(x), 4) AS avg_price
+FROM s GROUP BY decile ORDER BY decile
+"""
+
+QUERIES["orders_urgency_calibration"] = orders_urgency_calibration
+ORACLES["orders_urgency_calibration"] = ORDERS_URGENCY_CALIBRATION_SQL
