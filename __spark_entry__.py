@@ -201,6 +201,7 @@ ROUND7_NEVER_GRADED = [
     "orders_layout_report",
     "orders_price_auc",
     "orders_urgency_calibration",
+    "doc_rake_keyphrases",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

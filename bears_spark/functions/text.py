@@ -515,3 +515,62 @@ def bm25_topk_queries(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "score", "rank")
     )
+
+
+def rake_phrases(
+    df,
+    id_col: str,
+    text_col: str,
+    stopwords: tuple[str, ...] = EN_STOPWORDS,
+    max_len: int = 4,
+):
+    """RAKE candidate phrases (Rose et al. 2010): maximal token runs between
+    stopword boundaries, scored by the summed word metric
+    ``degree(w)/freq(w)`` where ``freq`` counts a word's occurrences across
+    all kept phrases and ``degree`` sums the lengths of the phrases each
+    occurrence sits in (multiplicity counted — a word twice in one phrase
+    contributes twice, identically on both engines).
+
+    Spark-first shape: phrase segmentation is a running count of stopwords
+    per document (window at DOCUMENT grain — embarrassingly parallel), word
+    stats are one groupBy over exploded phrase tokens, and the phrase score
+    re-join runs at phrase-text grain. No driver state, no UDFs.
+
+    Returns one row per distinct phrase text:
+    (phrase, plen, n_occurrences, score).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("__id__"),
+        F.posexplode(tokenize(text_col)).alias("pos", "tok"),
+    ).withColumn("is_stop", F.col("tok").isin(*stopwords))
+    w = Window.partitionBy("__id__").orderBy("pos")
+    seg = toks.withColumn("phrase_id", F.sum(F.col("is_stop").cast("int")).over(w)).where(
+        ~F.col("is_stop")
+    )
+    phrases = (
+        seg.groupBy("__id__", "phrase_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").alias("plen"),
+        )
+        .where(F.col("plen") <= max_len)
+    )
+    by_text = phrases.groupBy("phrase", "plen").agg(F.count("*").alias("n_occurrences"))
+    words = phrases.select("plen", F.explode(F.split("phrase", " ")).alias("word"))
+    word_scores = words.groupBy("word").agg(
+        (F.sum("plen").cast("double") / F.count("*")).alias("wscore")
+    )
+    scored = (
+        by_text.select("phrase", "plen", "n_occurrences", F.explode(F.split("phrase", " ")).alias("word"))
+        .join(word_scores, "word")
+        .groupBy("phrase", "plen", "n_occurrences")
+        .agg(F.sum("wscore").alias("score"))
+    )
+    return scored

@@ -3008,3 +3008,57 @@ ORDER BY id_a, id_b
 
 QUERIES["dedup_edit_prefix_join"] = dedup_edit_prefix_join
 ORACLES["dedup_edit_prefix_join"] = DEDUP_EDIT_PREFIX_SQL
+
+
+# --------------------------------------------------------------------------
+# doc_rake_keyphrases: RAKE keyword extraction — candidate phrases are
+# maximal token runs between stopword boundaries (segmentation = a running
+# stopword count per document, embarrassingly parallel), scored by summed
+# degree/frequency word metrics; corpus top-15 by (rounded score, phrase).
+def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.text import rake_phrases
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = rake_phrases(docs, "doc_id", "text", max_len=4)
+    return (
+        scored.select("phrase", "plen", "n_occurrences", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), "phrase")
+        .limit(15)
+    )
+
+
+_RAKE_STOP = "('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as')"
+
+DOC_RAKE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), pos AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) + 1), i -> {{'pos': i, 'tok': t[i]}}),
+                recursive := true)
+  FROM toks
+), seg AS (
+  SELECT doc_id, pos, tok,
+         sum(CASE WHEN tok IN {_RAKE_STOP} THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id,
+         tok IN {_RAKE_STOP} AS is_stop
+  FROM pos
+), phr AS (
+  SELECT doc_id, phrase_id, string_agg(tok, ' ' ORDER BY pos) AS phrase, count(*) AS plen
+  FROM seg WHERE NOT is_stop GROUP BY 1, 2 HAVING count(*) <= 4
+), by_text AS (
+  SELECT phrase, plen, count(*) AS n_occurrences FROM phr GROUP BY 1, 2
+), ws AS (
+  SELECT word, CAST(sum(plen) AS DOUBLE) / count(*) AS wscore
+  FROM (SELECT plen, unnest(string_split(phrase, ' ')) AS word FROM phr) GROUP BY 1
+), scored AS (
+  SELECT bt.phrase, bt.plen, bt.n_occurrences, round(sum(ws.wscore), 4) AS score
+  FROM (SELECT phrase, plen, n_occurrences, unnest(string_split(phrase, ' ')) AS word
+        FROM by_text) bt
+  JOIN ws USING (word) GROUP BY 1, 2, 3
+)
+SELECT phrase, plen, n_occurrences, score FROM scored ORDER BY score DESC, phrase LIMIT 15
+"""
+
+QUERIES["doc_rake_keyphrases"] = doc_rake_keyphrases
+ORACLES["doc_rake_keyphrases"] = DOC_RAKE_SQL

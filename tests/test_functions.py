@@ -1121,3 +1121,30 @@ def test_edit_distance_join_no_nested_loop(spark):
     )
     plan = dd.edit_distance_join(df, "id", "t", max_distance=2)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_rake_phrases_hand_computed(spark):
+    from bears_spark.functions.text import rake_phrases
+
+    # doc: "deep learning of neural networks and deep learning"
+    # stopwords here: of, and -> phrases: "deep learning", "neural networks",
+    # "deep learning". freq(deep)=2 freq(learning)=2 deg(deep)=4 -> w=2.0
+    # freq(neural)=1 deg=2 -> 2.0; score("deep learning")=4.0 n=2
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [1], "t": ["deep learning of neural networks and deep learning"]})
+    )
+    out = {r["phrase"]: r for r in rake_phrases(df, "id", "t").collect()}
+    assert out["deep learning"]["n_occurrences"] == 2
+    assert out["deep learning"]["score"] == pytest.approx(4.0)
+    assert out["neural networks"]["score"] == pytest.approx(4.0)
+    assert out["deep learning"]["plen"] == 2
+
+
+def test_rake_phrases_max_len_filters_runs(spark):
+    from bears_spark.functions.text import rake_phrases
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [1], "t": ["one two three four five of six"]})
+    )
+    out = [r["phrase"] for r in rake_phrases(df, "id", "t", max_len=4).collect()]
+    assert out == ["six"]  # the 5-token leading run is dropped
