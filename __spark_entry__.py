@@ -202,6 +202,8 @@ ROUND7_NEVER_GRADED = [
     "orders_price_auc",
     "orders_urgency_calibration",
     "doc_rake_keyphrases",
+    "ev_value_psi_drift",
+    "streaming_psi_drift",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

@@ -2357,3 +2357,210 @@ QUERIES["ev_seasonal_decompose"] = ev_seasonal_decompose
 ORACLES["ev_seasonal_decompose"] = EV_SEASONAL_DECOMPOSE_SQL
 QUERIES["ev_value_ols2"] = ev_value_ols2
 ORACLES["ev_value_ols2"] = EV_VALUE_OLS2_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_value_psi_drift: population-stability-index drift monitor — the value
+# distribution of every day scored against the day-1 baseline in 10 equal-
+# width bins over the baseline's [min, max] (out-of-range mass clamps into
+# the edge bins, so range drift is visible), Laplace-smoothed proportions,
+# PSI = sum (p-q) ln(p/q). The bin counts are ONE conditional aggregation
+# per day (no per-bin shuffle), and the baseline is a broadcast one-row
+# scalar — the exact shape the streaming variant reuses.
+_PSI_BINS = 10
+
+
+def _psi_bin_expr(mn, mx):
+    width = (mx - mn) / _PSI_BINS
+    return F.least(
+        F.lit(_PSI_BINS - 1),
+        F.greatest(F.lit(0), F.floor((F.col("v") - mn) / width).cast("int")),
+    )
+
+
+def ev_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    vals = ev.select(F.date_trunc("day", "ts").alias("day"), F.col("value").alias("v"))
+    base_day = F.lit("2024-01-01").cast("timestamp")
+    rng = (
+        vals.where(F.col("day") == base_day)
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    )
+    binned = vals.crossJoin(F.broadcast(rng)).withColumn(
+        "bin", _psi_bin_expr(F.col("mn"), F.col("mx"))
+    )
+    counts = binned.groupBy("day").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum((F.col("bin") == i).cast("long")).alias(f"c{i}")
+            for i in range(_PSI_BINS)
+        ],
+    )
+    base = (
+        counts.where(F.col("day") == base_day)
+        .select(
+            F.col("n").alias("bn"), *[F.col(f"c{i}").alias(f"b{i}") for i in range(_PSI_BINS)]
+        )
+    )
+    j = counts.crossJoin(F.broadcast(base))
+    psi = None
+    for i in range(_PSI_BINS):
+        p = (F.col(f"c{i}") + 0.5) / (F.col("n") + 0.5 * _PSI_BINS)
+        q = (F.col(f"b{i}") + 0.5) / (F.col("bn") + 0.5 * _PSI_BINS)
+        term = (p - q) * F.log(p / q)
+        psi = term if psi is None else psi + term
+    return (
+        j.select(
+            F.unix_micros("day").alias("day_us"),
+            F.col("n"),
+            F.round(psi, 6).alias("psi"),
+        )
+        .orderBy("day_us")
+    )
+
+
+def _psi_sql() -> str:
+    bins = _PSI_BINS
+    cases = ",\n         ".join(
+        f"sum(CASE WHEN bin = {i} THEN 1 ELSE 0 END) AS c{i}" for i in range(bins)
+    )
+    terms = " + ".join(
+        f"((c{i} + 0.5) / (n + {0.5 * bins}) - (b{i} + 0.5) / (bn + {0.5 * bins}))"
+        f" * ln(((c{i} + 0.5) / (n + {0.5 * bins})) / ((b{i} + 0.5) / (bn + {0.5 * bins})))"
+        for i in range(bins)
+    )
+    bsel = ", ".join(f"c{i} AS b{i}" for i in range(bins))
+    return f"""
+WITH vals AS (
+  SELECT date_trunc('day', ts) AS day, value AS v
+  FROM events WHERE value IS NOT NULL
+), rng AS (
+  SELECT min(v) AS mn, max(v) AS mx FROM vals WHERE day = TIMESTAMP '2024-01-01'
+), binned AS (
+  SELECT day,
+         least({bins - 1}, greatest(0, CAST(floor((v - mn) / ((mx - mn) / {bins})) AS INT))) AS bin
+  FROM vals, rng
+), counts AS (
+  SELECT day, count(*) AS n,
+         {cases}
+  FROM binned GROUP BY day
+), base AS (
+  SELECT n AS bn, {bsel} FROM counts WHERE day = TIMESTAMP '2024-01-01'
+)
+SELECT epoch_us(day) AS day_us, n, round({terms}, 6) AS psi
+FROM counts, base ORDER BY day_us
+"""
+
+
+EV_VALUE_PSI_SQL = _psi_sql()
+
+QUERIES["ev_value_psi_drift"] = ev_value_psi_drift
+ORACLES["ev_value_psi_drift"] = EV_VALUE_PSI_SQL
+
+
+# --------------------------------------------------------------------------
+# streaming_psi_drift: the PSI monitor as fit-offline / score-in-stream —
+# the baseline (bin edges + smoothed baseline proportions: 12 scalars) is
+# fitted on the batch corpus and baked into the streaming projection as
+# literals; the stream itself is ONE watermarked daily window with
+# conditional bin counts and a closed-form PSI expression after the agg.
+# Zero extra streaming state beyond the window aggregate; every day is
+# emitted with a drifted flag at the conventional 0.1 threshold.
+def streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev_b = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    base_day = F.lit("2024-01-01").cast("timestamp")
+    vals_b = ev_b.select(F.date_trunc("day", "ts").alias("day"), F.col("value").alias("v"))
+    rng = (
+        vals_b.where(F.col("day") == base_day)
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .collect()[0]
+    )
+    mn, mx = float(rng["mn"]), float(rng["mx"])
+    brow = (
+        vals_b.where(F.col("day") == base_day)
+        .withColumn("bin", _psi_bin_expr(F.lit(mn), F.lit(mx)))
+        .groupBy()
+        .agg(
+            F.count("*").alias("bn"),
+            *[
+                F.sum((F.col("bin") == i).cast("long")).alias(f"b{i}")
+                for i in range(_PSI_BINS)
+            ],
+        )
+        .collect()[0]
+    )
+    q_props = [
+        (brow[f"b{i}"] + 0.5) / (brow["bn"] + 0.5 * _PSI_BINS) for i in range(_PSI_BINS)
+    ]
+
+    ev_s = _events_stream(spark, sf_dir).where(F.col("value").isNotNull())
+    agg = (
+        ev_s.select("ts", F.col("value").alias("v"))
+        .withColumn("bin", _psi_bin_expr(F.lit(mn), F.lit(mx)))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum((F.col("bin") == i).cast("long")).alias(f"c{i}")
+                for i in range(_PSI_BINS)
+            ],
+        )
+    )
+    psi = None
+    for i in range(_PSI_BINS):
+        p = (F.col(f"c{i}") + 0.5) / (F.col("n") + 0.5 * _PSI_BINS)
+        term = (p - F.lit(q_props[i])) * F.log(p / F.lit(q_props[i]))
+        psi = term if psi is None else psi + term
+    scored = agg.select(
+        F.unix_micros(F.col("w.start")).alias("day_us"),
+        "n",
+        F.round(psi, 6).alias("psi"),
+        (F.round(psi, 6) > 0.1).alias("drifted"),
+    )
+    sink = "streaming_psi_drift_sink"
+    q = (
+        scored.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(sink).orderBy("day_us")
+
+
+STREAMING_PSI_SQL = f"""
+WITH vals AS (
+  SELECT date_trunc('day', ts) AS day, value AS v
+  FROM events WHERE value IS NOT NULL
+), rng AS (
+  SELECT min(v) AS mn, max(v) AS mx FROM vals WHERE day = TIMESTAMP '2024-01-01'
+), binned AS (
+  SELECT day,
+         least({_PSI_BINS - 1}, greatest(0, CAST(floor((v - mn) / ((mx - mn) / {_PSI_BINS})) AS INT))) AS bin
+  FROM vals, rng
+), counts AS (
+  SELECT day, count(*) AS n,
+         {",".join(f"sum(CASE WHEN bin = {i} THEN 1 ELSE 0 END) AS c{i}" for i in range(_PSI_BINS))}
+  FROM binned GROUP BY day
+), base AS (
+  SELECT n AS bn, {", ".join(f"c{i} AS b{i}" for i in range(_PSI_BINS))}
+  FROM counts WHERE day = TIMESTAMP '2024-01-01'
+)
+SELECT epoch_us(day) AS day_us, n,
+       round({" + ".join(
+           f"((c{i} + 0.5) / (n + {0.5 * _PSI_BINS}) - (b{i} + 0.5) / (bn + {0.5 * _PSI_BINS}))"
+           f" * ln(((c{i} + 0.5) / (n + {0.5 * _PSI_BINS})) / ((b{i} + 0.5) / (bn + {0.5 * _PSI_BINS})))"
+           for i in range(_PSI_BINS))}, 6) AS psi,
+       round({" + ".join(
+           f"((c{i} + 0.5) / (n + {0.5 * _PSI_BINS}) - (b{i} + 0.5) / (bn + {0.5 * _PSI_BINS}))"
+           f" * ln(((c{i} + 0.5) / (n + {0.5 * _PSI_BINS})) / ((b{i} + 0.5) / (bn + {0.5 * _PSI_BINS})))"
+           for i in range(_PSI_BINS))}, 6) > 0.1 AS drifted
+FROM counts, base
+ORDER BY day_us
+"""
+
+QUERIES["streaming_psi_drift"] = streaming_psi_drift
+ORACLES["streaming_psi_drift"] = STREAMING_PSI_SQL

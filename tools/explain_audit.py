@@ -129,6 +129,9 @@ FORBIDDEN_EXEMPT = {
     # broadcast 1-row cross join instead of a one-task unpartitioned window
     "q15_top_supplier",
     "q11_important_stock",
+    # 1-row scalar crossJoins: baseline [min,max] range + baseline bin-count
+    # row broadcast onto the per-day conditional aggregation
+    "ev_value_psi_drift",
 }
 
 
