@@ -204,6 +204,8 @@ ROUND7_NEVER_GRADED = [
     "doc_rake_keyphrases",
     "ev_value_psi_drift",
     "streaming_psi_drift",
+    "orders_urgency_isotonic",
+    "ev_holt_trend",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

@@ -117,3 +117,144 @@ def cohort_retention(
         )
         .agg(F.countDistinct(entity_col).alias("n_active"))
     )
+
+
+def isotonic_fit(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group isotonic regression (non-decreasing) by pool-adjacent-
+    violators — the standard score-calibration fit (classifier score ->
+    empirical outcome rate). Beyond-reference (the reference has no model-
+    calibration operators); semantics are the classical PAVA step function,
+    identical to the max-min formula fit(i) = max_{j<=i} min_{k>=i}
+    weightedMean(y, [j..k]).
+
+    Scale shape: rows reduce FIRST to the per-(group, distinct x) grain in
+    Spark (sum y + count — a partial-aggregated groupBy), so the sequential
+    PAVA pass inside applyInPandas sees one row per distinct x. The contract
+    is the usual grouped-fit one: a group's DISTINCT-X frame must fit one
+    worker (score bins / quantiles — thousands of points), while raw row
+    counts stay unbounded. PAVA itself is O(distinct_x) amortized with the
+    stack-based merge. Block means are ratios of the accumulated raw sums
+    (never re-derived from prior means), so integer-valued inputs stay exact
+    in the double accumulator.
+
+    Returns step-function segments per group:
+    ``(group, x_from, x_to, yhat, n)`` — apply with a bounded range join or
+    a last-segment-at-or-below lookup.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    reduced = df.groupBy(F.col(group_col).alias("g"), F.col(x_col).alias("x")).agg(
+        F.sum(y_col).alias("ysum"), F.count(y_col).alias("w")
+    )
+    gtype = df.schema[group_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("g", gtype),
+            T.StructField("x_from", T.DoubleType()),
+            T.StructField("x_to", T.DoubleType()),
+            T.StructField("yhat", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def _pava(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("x").reset_index(drop=True)
+        # stack of blocks: [x_from, x_to, y_sum, weight]
+        blocks: list[list[float]] = []
+        for x, ysum, w in zip(pdf["x"], pdf["ysum"], pdf["w"]):
+            blocks.append([float(x), float(x), float(ysum), float(w)])
+            while len(blocks) >= 2 and (
+                blocks[-2][2] / blocks[-2][3] > blocks[-1][2] / blocks[-1][3]
+            ):
+                b = blocks.pop()
+                blocks[-1][1] = b[1]
+                blocks[-1][2] += b[2]
+                blocks[-1][3] += b[3]
+        g = pdf["g"].iloc[0]
+        return pd.DataFrame(
+            {
+                "g": [g] * len(blocks),
+                "x_from": [b[0] for b in blocks],
+                "x_to": [b[1] for b in blocks],
+                "yhat": [b[2] / b[3] for b in blocks],
+                "n": [int(b[3]) for b in blocks],
+            }
+        )
+
+    return reduced.groupBy("g").applyInPandas(_pava, out_schema)
+
+
+def holt_smooth(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> DataFrame:
+    """Per-group Holt linear-trend exponential smoothing — the classical
+    sequential recurrence l_t = a*y_t + (1-a)*(l_{t-1}+b_{t-1}),
+    b_t = B*(l_t - l_{t-1}) + (1-B)*b_{t-1}, initialized l_1 = y_1, b_1 = 0.
+    Beyond-reference (no smoothing operators exist there); this is the
+    genuinely-sequential class of operator — each step depends on the
+    previous — so it runs as ONE applyInPandas pass per group over the
+    already-REDUCED series (the caller aggregates raw rows to the series
+    grain first; a time-bucketed series is time-domain-bounded, not
+    SF-linear, so a group's series always fits one worker while raw row
+    counts stay unbounded).
+
+    The arithmetic is written to be reproducible by any engine evaluating
+    the same IEEE-double expression tree (e.g. a SQL recursive CTE):
+    ``a*y + (1-a)*(l+b)`` then ``B*(l_new-l) + (1-B)*b``, no fused or
+    reassociated forms.
+
+    Returns ``(group, order, y, level, trend)`` at the series grain.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    gtype = df.schema[group_col].dataType
+    otype = df.schema[order_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("g", gtype),
+            T.StructField("o", otype),
+            T.StructField("y", T.DoubleType()),
+            T.StructField("level", T.DoubleType()),
+            T.StructField("trend", T.DoubleType()),
+        ]
+    )
+    src = df.select(
+        F.col(group_col).alias("g"),
+        F.col(order_col).alias("o"),
+        F.col(value_col).cast("double").alias("y"),
+    )
+    a, b_ = float(alpha), float(beta)
+
+    def _holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("o").reset_index(drop=True)
+        levels: list[float] = []
+        trends: list[float] = []
+        l = 0.0
+        b = 0.0
+        for i, y in enumerate(pdf["y"]):
+            y = float(y)
+            if i == 0:
+                l, b = y, 0.0
+            else:
+                l_new = a * y + (1 - a) * (l + b)
+                b = b_ * (l_new - l) + (1 - b_) * b
+                l = l_new
+            levels.append(l)
+            trends.append(b)
+        return pd.DataFrame(
+            {"g": pdf["g"], "o": pdf["o"], "y": pdf["y"], "level": levels, "trend": trends}
+        )
+
+    return src.groupBy("g").applyInPandas(_holt, out_schema)

@@ -2564,3 +2564,60 @@ ORDER BY day_us
 
 QUERIES["streaming_psi_drift"] = streaming_psi_drift
 ORACLES["streaming_psi_drift"] = STREAMING_PSI_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_holt_trend: Holt linear-trend exponential smoothing of the daily value
+# series per event type — the genuinely-sequential recurrence class (each
+# step depends on the previous), run per group over the time-domain-bounded
+# daily series after a partial-agg reduction. Daily sums go through
+# DECIMAL(18,6) so both engines start the recurrence from bit-identical
+# doubles; the recurrence expressions are written identically here
+# (functions/analytics.py holt_smooth) and in the oracle's recursive CTE,
+# so IEEE-double evaluation matches step for step.
+def ev_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.analytics import holt_smooth
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("y"))
+    # alpha/beta are exact binary fractions so 1-alpha / 1-beta are exact
+    # doubles in BOTH engines (a decimal-literal 0.3 would round differently
+    # than Python's 1-0.3)
+    sm = holt_smooth(daily, "event_type", "day", "y", alpha=0.5, beta=0.25)
+    return sm.select(
+        F.col("g").alias("event_type"),
+        F.col("o").alias("day"),
+        F.round("y", 6).alias("y"),
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+    ).orderBy("event_type", "day")
+
+
+EV_HOLT_TREND_SQL = """
+WITH RECURSIVE d AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), seq AS (
+  SELECT event_type, day, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM d
+), rec AS (
+  SELECT event_type, rn, day, y, y AS l, CAST(0 AS DOUBLE) AS b
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.rn, s.day, s.y,
+         0.5 * s.y + 0.5 * (r.l + r.b),
+         0.25 * ((0.5 * s.y + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b
+  FROM rec r JOIN seq s ON s.event_type = r.event_type AND s.rn = r.rn + 1
+)
+SELECT event_type, day, round(y, 6) AS y, round(l, 6) AS level,
+       round(b, 6) AS trend
+FROM rec ORDER BY event_type, day
+"""
+
+QUERIES["ev_holt_trend"] = ev_holt_trend
+ORACLES["ev_holt_trend"] = EV_HOLT_TREND_SQL

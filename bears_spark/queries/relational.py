@@ -1693,13 +1693,17 @@ def orders_optimize_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
+    # probe threshold scales with the key domain (~6% selectivity at any
+    # SF) — a fixed literal would cover most of the domain at tiny SFs and
+    # make file skipping impossible by construction. Bounded 1-row collect.
+    thr = max(1, int(o.agg(F.max("o_custkey")).collect()[0][0] * 0.06))
     root = tempfile.mkdtemp(prefix="optz_")
     try:
         t = SnapshotTable(spark, root)
         for i in range(4):
             batch = o.filter(F.pmod(F.xxhash64("o_orderkey"), F.lit(4)) == i).coalesce(1)
             (t.overwrite if i == 0 else t.append)(batch)
-        pre = len(t.files(where=("o_custkey", "<", 100)))
+        pre = len(t.files(where=("o_custkey", "<", thr)))
         # target 30% of the table: every ~25%-sized micro-batch file is
         # "small" (rewritten), and ceil(total/target) = 4 z-ordered outputs
         # so the curve layout yields file-level selectivity (one giant file
@@ -1710,10 +1714,10 @@ def orders_optimize_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.optimize_clustered(
             ["o_orderkey", "o_custkey"], target_rows_per_file=max(2, int(total_rows * 0.3))
         )
-        post_files = t.files(where=("o_custkey", "<", 100))
+        post_files = t.files(where=("o_custkey", "<", thr))
         skipped = len(post_files) < len(t.files())
         rows = (
-            t.read(where=("o_custkey", "<", 100))
+            t.read(where=("o_custkey", "<", thr))
             .groupBy("o_orderstatus")
             .agg(
                 F.count("*").alias("n"),
@@ -1735,7 +1739,9 @@ ORDERS_OPTZ_SQL = """
 SELECT o_orderstatus, count(*) AS n,
        round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 6) AS total,
        true AS files_skipped
-FROM orders WHERE o_custkey < 100
+FROM orders
+WHERE o_custkey < (SELECT greatest(1, CAST(floor(max(o_custkey) * 0.06) AS BIGINT))
+                   FROM orders)
 GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
@@ -2466,3 +2472,71 @@ FROM s GROUP BY decile ORDER BY decile
 
 QUERIES["orders_urgency_calibration"] = orders_urgency_calibration
 ORACLES["orders_urgency_calibration"] = ORDERS_URGENCY_CALIBRATION_SQL
+
+
+# --------------------------------------------------------------------------
+# orders_urgency_isotonic: isotonic (PAVA) calibration of the urgency rate
+# against the order-value bin, per order status — the monotone-regression
+# step up from orders_urgency_calibration's raw reliability table. Rows
+# reduce to the (status x price-bin) grain first (a partial-agg groupBy),
+# so the sequential PAVA pass sees ~25 bins per status; the bounded range
+# join applies the fitted step function back to bins. The DuckDB oracle is
+# the classical max-min characterization fit(i) = max_{j<=i} min_{k>=i}
+# wmean(y, [j..k]) — exactly the function PAVA computes — evaluated over
+# interval prefix sums (O(bins^3), bins ~ 25).
+def orders_urgency_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.analytics import isotonic_fit
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("g"),
+        F.floor(F.col("o_totalprice") / 20000).cast("double").alias("x"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("y"),
+    )
+    seg = isotonic_fit(o, "g", "x", "y").alias("seg")
+    bins = o.groupBy("g", "x").agg(F.count("*").alias("n_bin")).alias("bins")
+    fitted = bins.join(
+        seg,
+        (F.col("bins.g") == F.col("seg.g"))
+        & (F.col("bins.x") >= F.col("seg.x_from"))
+        & (F.col("bins.x") <= F.col("seg.x_to")),
+    )
+    return fitted.select(
+        F.col("bins.g").alias("status"),
+        F.col("bins.x").cast("bigint").alias("bin"),
+        F.round(F.col("seg.yhat"), 6).alias("yhat"),
+        F.col("bins.n_bin").alias("n_bin"),
+    ).orderBy("status", "bin")
+
+
+ORDERS_URGENCY_ISOTONIC_SQL = """
+WITH b AS (
+  SELECT o_orderstatus AS g, CAST(floor(o_totalprice / 20000) AS DOUBLE) AS x,
+         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS DOUBLE) AS s,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM orders GROUP BY 1, 2
+), pref AS (
+  SELECT g, x,
+         sum(s) OVER (PARTITION BY g ORDER BY x) AS cs,
+         sum(w) OVER (PARTITION BY g ORDER BY x) AS cw,
+         sum(s) OVER (PARTITION BY g ORDER BY x) - s AS cs0,
+         sum(w) OVER (PARTITION BY g ORDER BY x) - w AS cw0
+  FROM b
+), iv AS (
+  SELECT pj.g, pj.x AS xj, pk.x AS xk,
+         (pk.cs - pj.cs0) / (pk.cw - pj.cw0) AS m
+  FROM pref pj JOIN pref pk ON pj.g = pk.g AND pj.x <= pk.x
+), inner_min AS (
+  SELECT i.g, i.x, iv.xj, min(iv.m) AS mn
+  FROM b i JOIN iv ON iv.g = i.g AND iv.xj <= i.x AND iv.xk >= i.x
+  GROUP BY 1, 2, 3
+), fit AS (
+  SELECT g, x, max(mn) AS yhat FROM inner_min GROUP BY 1, 2
+)
+SELECT fit.g AS status, CAST(fit.x AS BIGINT) AS bin,
+       round(fit.yhat, 6) AS yhat, CAST(b.w AS BIGINT) AS n_bin
+FROM fit JOIN b ON b.g = fit.g AND b.x = fit.x
+ORDER BY status, bin
+"""
+
+QUERIES["orders_urgency_isotonic"] = orders_urgency_isotonic
+ORACLES["orders_urgency_isotonic"] = ORDERS_URGENCY_ISOTONIC_SQL

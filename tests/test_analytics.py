@@ -179,3 +179,117 @@ def test_sorted_neighborhood_empty_docs_no_error(spark):
              sorted_neighborhood_pairs(docs, "doc_id", "text", window=3, threshold=0.5).collect()}
     assert (3, 4) in pairs
     assert all(1 not in p and 2 not in p for p in pairs)  # empty docs: no defined similarity
+
+
+# --- isotonic (PAVA) calibration -------------------------------------------
+
+
+def test_isotonic_fit_pools_violators(spark):
+    import pandas as pd
+
+    from bears_spark.functions.analytics import isotonic_fit
+
+    pdf = pd.DataFrame({"g": ["a"] * 3, "x": [1.0, 2.0, 3.0], "y": [1.0, 3.0, 2.0]})
+    out = isotonic_fit(spark.createDataFrame(pdf), "g", "x", "y").orderBy("x_from").collect()
+    # y = [1, 3, 2] -> blocks [1], [3,2] pooled to 2.5
+    assert [(r["x_from"], r["x_to"], r["yhat"]) for r in out] == [
+        (1.0, 1.0, 1.0),
+        (2.0, 3.0, 2.5),
+    ]
+
+
+def test_isotonic_fit_monotone_and_weighted(spark):
+    import pandas as pd
+
+    from bears_spark.functions.analytics import isotonic_fit
+
+    # duplicate x rows become weights: x=2 has two rows (y 5 and 1, mean 3)
+    pdf = pd.DataFrame(
+        {
+            "g": ["a"] * 5 + ["b"] * 2,
+            "x": [1.0, 2.0, 2.0, 3.0, 4.0, 1.0, 2.0],
+            "y": [4.0, 5.0, 1.0, 2.0, 6.0, 1.0, 2.0],
+        }
+    )
+    rows = isotonic_fit(spark.createDataFrame(pdf), "g", "x", "y").collect()
+    a = sorted([r for r in rows if r["g"] == "a"], key=lambda r: r["x_from"])
+    # a: x-means [4, 3, 2, 6] w [1,2,1,1] -> PAVA pools [4,3,2] -> (4+6+2)/4=3
+    assert [round(r["yhat"], 6) for r in a] == [3.0, 6.0]
+    assert a[0]["n"] == 4 and a[1]["n"] == 1
+    b = sorted([r for r in rows if r["g"] == "b"], key=lambda r: r["x_from"])
+    assert [r["yhat"] for r in b] == [1.0, 2.0]
+    for grp in (a, b):
+        ys = [r["yhat"] for r in grp]
+        assert ys == sorted(ys)  # monotone invariant
+
+
+def test_isotonic_fit_matches_minimax_bruteforce(spark):
+    import itertools
+    import random
+
+    import pandas as pd
+
+    from bears_spark.functions.analytics import isotonic_fit
+
+    rng = random.Random(7)
+    xs = list(range(12))
+    ys = [rng.randint(0, 5) for _ in xs]
+    pdf = pd.DataFrame({"g": ["g"] * 12, "x": [float(x) for x in xs], "y": [float(y) for y in ys]})
+    seg = isotonic_fit(spark.createDataFrame(pdf), "g", "x", "y").collect()
+    # expand segments to per-x fitted values
+    fit = {}
+    for r in seg:
+        for x in xs:
+            if r["x_from"] <= x <= r["x_to"]:
+                fit[x] = r["yhat"]
+    # brute-force max-min characterization: fit(i) = max_{j<=i} min_{k>=i} mean(y[j..k])
+    for i in xs:
+        want = max(
+            min(sum(ys[j : k + 1]) / (k - j + 1) for k in range(i, len(xs)))
+            for j in range(i + 1)
+        )
+        assert abs(fit[i] - want) < 1e-12, (i, fit[i], want)
+
+
+# --- Holt linear-trend smoothing --------------------------------------------
+
+
+def test_holt_smooth_recurrence(spark):
+    import pandas as pd
+
+    from bears_spark.functions.analytics import holt_smooth
+
+    pdf = pd.DataFrame(
+        {"g": ["a"] * 4, "o": [1, 2, 3, 4], "y": [10.0, 12.0, 14.0, 16.0]}
+    )
+    out = holt_smooth(
+        spark.createDataFrame(pdf), "g", "o", "y", alpha=0.5, beta=0.25
+    ).orderBy("o").collect()
+    # hand recurrence: l1=10 b1=0; l2=.5*12+.5*10=11, b2=.25*1=0.25; ...
+    l, b = 10.0, 0.0
+    expect = [(10.0, 0.0)]
+    for y in [12.0, 14.0, 16.0]:
+        ln = 0.5 * y + 0.5 * (l + b)
+        b = 0.25 * (ln - l) + 0.75 * b
+        l = ln
+        expect.append((l, b))
+    assert [(r["level"], r["trend"]) for r in out] == expect
+
+
+def test_holt_smooth_groups_independent(spark):
+    import pandas as pd
+
+    from bears_spark.functions.analytics import holt_smooth
+
+    pdf = pd.DataFrame(
+        {
+            "g": ["a", "b", "a", "b"],
+            "o": [1, 1, 2, 2],
+            "y": [1.0, 100.0, 2.0, 200.0],
+        }
+    )
+    rows = holt_smooth(spark.createDataFrame(pdf), "g", "o", "y").collect()
+    byg = {(r["g"], r["o"]): r for r in rows}
+    assert byg[("a", 1)]["level"] == 1.0 and byg[("b", 1)]["level"] == 100.0
+    assert byg[("a", 2)]["level"] == 0.5 * 2.0 + 0.5 * 1.0
+    assert byg[("b", 2)]["level"] == 0.5 * 200.0 + 0.5 * 100.0
