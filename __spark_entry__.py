@@ -206,6 +206,11 @@ ROUND7_NEVER_GRADED = [
     "streaming_psi_drift",
     "orders_urgency_isotonic",
     "ev_holt_trend",
+    "ev_theilsen_trend",
+    "ev_changepoint",
+    "part_pareto_frontier",
+    "part_association_rules",
+    "orders_conformal_interval",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

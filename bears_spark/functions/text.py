@@ -574,3 +574,60 @@ def rake_phrases(
         .agg(F.sum("wscore").alias("score"))
     )
     return scored
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-level repeated-line removal — the FineWeb/RefinedWeb curation
+    step: a line whose trimmed form appears in >= ``min_docs`` DISTINCT
+    documents is boilerplate (nav bars, cookie banners, licence footers) and
+    is dropped from EVERY document; line order is otherwise preserved.
+    Lines shorter than ``min_chars`` after trim are never counted or
+    dropped (blank separators stay).
+
+    Scale shape: posexplode -> one groupBy on the trimmed line (hash
+    shuffle, partial-agg counts), broadcast-able hot-line set applied as a
+    LEFT ANTI join, then one groupBy(id) rebuilding the text with an
+    order-preserving sort_array over (pos, line) structs. No Python in the
+    hot path; per-document line counts bound the rebuilt array, not corpus
+    size.
+
+    Returns ``(id_col, text, n_kept, n_dropped)`` — documents whose every
+    line is dropped come back with empty text, not missing rows.
+    """
+    pos, line = "__pos__", "__line__"
+    lines = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias(pos, line)
+    ).withColumn("__t__", F.trim(F.col(line)))
+    eligible = F.length("__t__") >= min_chars
+    hot = (
+        lines.where(eligible)
+        .groupBy("__t__")
+        .agg(F.countDistinct(id_col).alias("__nd__"))
+        .where(F.col("__nd__") >= min_docs)
+        .select("__t__")
+    )
+    marked = lines.join(
+        hot.withColumn("__drop__", F.lit(True)), "__t__", "left"
+    ).withColumn("__drop__", F.coalesce("__drop__", F.lit(False)) & eligible)
+    rebuilt = marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("__drop__"), F.struct(F.col(pos), F.col(line)))
+                    )
+                ),
+                lambda s: s[line],
+            ),
+            "\n",
+        ).alias(text_col),
+        F.sum((~F.col("__drop__")).cast("long")).alias("n_kept"),
+        F.sum(F.col("__drop__").cast("long")).alias("n_dropped"),
+    )
+    return rebuilt

@@ -2621,3 +2621,157 @@ FROM rec ORDER BY event_type, day
 
 QUERIES["ev_holt_trend"] = ev_holt_trend
 ORACLES["ev_holt_trend"] = EV_HOLT_TREND_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_theilsen_trend: Theil-Sen robust trend of the daily value series per
+# event type — median of all pairwise slopes plus the median-residual
+# intercept. The pair join runs on the time-domain-BOUNDED daily grain
+# (~30 rows/type at any SF) after a partial-agg reduction with DECIMAL
+# sums for cross-engine bit-exactness; median is exact on both engines.
+def ev_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("y"))
+    dd = daily.select(
+        "event_type",
+        F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")).cast("double").alias("x"),
+        "y",
+    )
+    a, b = dd.alias("a"), dd.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type")) & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        ((F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))).alias("slope"),
+    )
+    med = pairs.groupBy("event_type").agg(
+        F.median("slope").alias("m"), F.count("*").alias("n_pairs")
+    )
+    resid = dd.join(med, "event_type").groupBy("event_type").agg(
+        F.median(F.col("y") - F.col("m") * F.col("x")).alias("b0")
+    )
+    return (
+        med.join(resid, "event_type")
+        .select(
+            "event_type",
+            F.round("m", 6).alias("slope"),
+            F.round("b0", 6).alias("intercept"),
+            "n_pairs",
+        )
+        .orderBy("event_type")
+    )
+
+
+EV_THEILSEN_SQL = """
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), dd AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(day AS DATE)) AS DOUBLE) AS x, y
+  FROM d
+), med AS (
+  SELECT a.event_type, median((b.y - a.y) / (b.x - a.x)) AS m, count(*) AS n_pairs
+  FROM dd a JOIN dd b ON a.event_type = b.event_type AND a.x < b.x
+  GROUP BY 1
+), res AS (
+  SELECT dd.event_type, median(dd.y - med.m * dd.x) AS b0
+  FROM dd JOIN med ON dd.event_type = med.event_type GROUP BY 1
+)
+SELECT med.event_type AS event_type, round(med.m, 6) AS slope,
+       round(res.b0, 6) AS intercept, n_pairs
+FROM med JOIN res ON med.event_type = res.event_type
+ORDER BY med.event_type
+"""
+
+QUERIES["ev_theilsen_trend"] = ev_theilsen_trend
+ORACLES["ev_theilsen_trend"] = EV_THEILSEN_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_changepoint: single change-point per event type on the daily value
+# series — binary-segmentation step: the split maximizing the between-
+# segment sum of squares.
+def ev_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("y"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wa = Window.partitionBy("event_type")
+    staged = (
+        daily.withColumn("cum", F.sum("y").over(wo))
+        .withColumn("k", F.row_number().over(wo))
+        .withColumn("tot", F.sum("y").over(wa))
+        .withColumn("n", F.count("*").over(wa))
+    )
+    cand = staged.where(F.col("k") < F.col("n")).select(
+        "event_type",
+        "day",
+        "n",
+        (F.col("cum") / F.col("k")).alias("mean_l"),
+        ((F.col("tot") - F.col("cum")) / (F.col("n") - F.col("k"))).alias("mean_r"),
+        (
+            F.col("k") * (F.col("cum") / F.col("k") - F.col("tot") / F.col("n")) * (F.col("cum") / F.col("k") - F.col("tot") / F.col("n"))
+            + (F.col("n") - F.col("k"))
+            * ((F.col("tot") - F.col("cum")) / (F.col("n") - F.col("k")) - F.col("tot") / F.col("n"))
+            * ((F.col("tot") - F.col("cum")) / (F.col("n") - F.col("k")) - F.col("tot") / F.col("n"))
+        ).alias("gain"),
+    )
+    ranked = cand.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(F.desc(F.round("gain", 6)), "day")
+        ),
+    )
+    return (
+        ranked.where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("split_after"),
+            F.round("gain", 4).alias("gain"),
+            F.round("mean_l", 6).alias("mean_left"),
+            F.round("mean_r", 6).alias("mean_right"),
+            F.col("n").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EV_CHANGEPOINT_SQL = """
+WITH d AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), staged AS (
+  SELECT event_type, day,
+         sum(y) OVER (PARTITION BY event_type ORDER BY day) AS cum,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+         sum(y) OVER (PARTITION BY event_type) AS tot,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+), cand AS (
+  SELECT event_type, day, n,
+         cum / k AS mean_l,
+         (tot - cum) / (n - k) AS mean_r,
+         k * (cum / k - tot / n) * (cum / k - tot / n)
+           + (n - k) * ((tot - cum) / (n - k) - tot / n)
+                     * ((tot - cum) / (n - k) - tot / n) AS gain
+  FROM staged WHERE k < n
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type ORDER BY round(gain, 6) DESC, day) AS rk
+  FROM cand
+)
+SELECT event_type, day AS split_after, round(gain, 4) AS gain,
+       round(mean_l, 6) AS mean_left, round(mean_r, 6) AS mean_right,
+       CAST(n AS BIGINT) AS n_days
+FROM ranked WHERE rk = 1 ORDER BY event_type
+"""
+
+QUERIES["ev_changepoint"] = ev_changepoint
+ORACLES["ev_changepoint"] = EV_CHANGEPOINT_SQL

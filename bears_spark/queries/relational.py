@@ -2540,3 +2540,226 @@ ORDER BY status, bin
 
 QUERIES["orders_urgency_isotonic"] = orders_urgency_isotonic
 ORACLES["orders_urgency_isotonic"] = ORDERS_URGENCY_ISOTONIC_SQL
+
+
+# --------------------------------------------------------------------------
+# part_pareto_frontier: 2-D skyline (cheapest x smallest part frontier) —
+# the O(n^2) NOT-EXISTS dominance turned into a distributed prefix-min:
+# reduce to the distinct-price grain, range-partitioned running min of
+# group-min size (functions/prefix.py partitioned_scan), strict-prior via
+# global_shift, then a broadcast-able join back. No one-task window, no
+# cartesian; the oracle states the dominance definition directly.
+# part_association_rules: market-basket rules (support>=3, confidence,
+# lift) from distinct-part co-occurrence within orders — candidate pairs
+# are an equi-join on the order key, bounded by per-order basket size.
+# orders_conformal_interval: split-conformal regression interval — fold 0
+# fits a closed-form OLS from one pass of sufficient statistics, fold 1
+# takes the 0.9 residual quantile (exact percentile), fold 2 reports the
+# empirical coverage. The two 1-row model frames ride broadcast scalar
+# crossJoins (audit-exempted shape); coverage ~ 0.9 by the conformal
+# guarantee REGARDLESS of model quality.
+def part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.prefix import global_shift, partitioned_scan
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_retailprice").alias("price"), F.col("p_size").alias("size")
+    )
+    # strictly-cheaper dominance: reduce to the distinct-price grain, then a
+    # distributed prefix-min of group-min-size shifted one row (strict prior)
+    per_price = part.groupBy("price").agg(F.min("size").alias("gmin"))
+    scanned = partitioned_scan(per_price, ["price"], {"gmin": ["min"]})
+    prior = global_shift(scanned, ["price"], ["gmin_cummin"], periods=1)
+    prior = prior.select(
+        "price",
+        F.col("gmin").alias("grp_min"),
+        F.col("gmin_cummin_shift").alias("prior_min"),
+    )
+    flagged = part.join(prior, "price")
+    return (
+        flagged.where(
+            (F.col("prior_min").isNull() | (F.col("prior_min") > F.col("size")))
+            & (F.col("grp_min") >= F.col("size"))
+        )
+        .select("p_partkey", "price", "size")
+        .orderBy("price", "size", "p_partkey")
+    )
+
+
+PART_PARETO_SQL = """
+WITH g AS (SELECT p_partkey, p_retailprice AS price, p_size AS size FROM part)
+SELECT p_partkey, price, size FROM g p
+WHERE NOT EXISTS (
+  SELECT 1 FROM g q
+  WHERE q.price <= p.price AND q.size <= p.size
+    AND (q.price < p.price OR q.size < p.size))
+ORDER BY price, size, p_partkey
+"""
+
+
+
+def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.select("l_orderkey").distinct().agg(F.count("*").alias("n_orders"))
+    item = li.groupBy("l_partkey").agg(F.count("*").alias("supp_item"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count("*").alias("supp_ab"))
+        .where(F.col("supp_ab") >= 3)
+    )
+    # both rule directions from the canonical pair
+    rules = pairs.select("pa", "pb", "supp_ab").unionByName(
+        pairs.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"), "supp_ab")
+    )
+    ia = item.select(F.col("l_partkey").alias("pa"), F.col("supp_item").alias("supp_a"))
+    ib = item.select(F.col("l_partkey").alias("pb"), F.col("supp_item").alias("supp_b"))
+    out = (
+        rules.join(ia, "pa")
+        .join(ib, "pb")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pa",
+            "pb",
+            "supp_ab",
+            F.round(F.col("supp_ab") / F.col("supp_a"), 6).alias("confidence"),
+            F.round(
+                (F.col("supp_ab") * F.col("n_orders"))
+                / (F.col("supp_a") * F.col("supp_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(F.desc("lift"), F.desc("confidence"), "pa", "pb").limit(100)
+
+
+PART_ASSOC_SQL = """
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lp),
+item AS (SELECT l_partkey, count(*) AS supp_item FROM lp GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS supp_ab
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 3
+), rules AS (
+  SELECT pa, pb, supp_ab FROM pairs
+  UNION ALL
+  SELECT pb, pa, supp_ab FROM pairs
+)
+SELECT r.pa, r.pb, r.supp_ab,
+       round(CAST(r.supp_ab AS DOUBLE) / ia.supp_item, 6) AS confidence,
+       round(CAST(r.supp_ab AS DOUBLE) * n.n_orders / (ia.supp_item * ib.supp_item), 6) AS lift
+FROM rules r
+JOIN item ia ON ia.l_partkey = r.pa
+JOIN item ib ON ib.l_partkey = r.pb
+CROSS JOIN n
+ORDER BY lift DESC, confidence DESC, pa, pb
+LIMIT 100
+"""
+
+
+
+def orders_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    feat = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("x")
+    )
+    j = orders.join(feat, orders.o_orderkey == feat.l_orderkey).select(
+        F.col("o_totalprice").alias("y"),
+        "x",
+        F.pmod("o_orderkey", F.lit(3)).alias("fold"),
+    )
+    train = j.where(F.col("fold") == 0)
+    m = train.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    model = m.select(
+        ((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+         / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))).alias("slope"),
+        F.col("n").alias("n_train"),
+        "sx",
+        "sy",
+    ).select(
+        "slope",
+        ((F.col("sy") - F.col("slope") * F.col("sx")) / F.col("n_train")).alias("b0"),
+        "n_train",
+    )
+    cal = (
+        j.where(F.col("fold") == 1)
+        .crossJoin(F.broadcast(model))
+        .select(
+            F.abs(F.col("y") - (F.col("slope") * F.col("x") + F.col("b0"))).alias("r"),
+            "slope",
+            "b0",
+            "n_train",
+        )
+    )
+    q = cal.groupBy("slope", "b0", "n_train").agg(
+        F.percentile("r", F.lit(0.9)).alias("qhat"), F.count("*").alias("n_cal")
+    )
+    test = (
+        j.where(F.col("fold") == 2)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "slope", "b0", "n_train", "qhat", "n_cal",
+            (F.abs(F.col("y") - (F.col("slope") * F.col("x") + F.col("b0"))) <= F.col("qhat"))
+            .cast("long")
+            .alias("hit"),
+        )
+    )
+    return test.groupBy("slope", "b0", "n_train", "qhat", "n_cal").agg(
+        F.round(F.avg("hit"), 6).alias("coverage"), F.count("*").alias("n_test")
+    ).select(
+        F.round("slope", 6).alias("slope"),
+        F.round("b0", 4).alias("intercept"),
+        "n_train",
+        F.round("qhat", 4).alias("qhat"),
+        "n_cal",
+        "coverage",
+        "n_test",
+    )
+
+
+ORDERS_CONFORMAL_SQL = """
+WITH feat AS (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS x
+  FROM lineitem GROUP BY 1
+), j AS (
+  SELECT o.o_totalprice AS y, f.x, o.o_orderkey % 3 AS fold
+  FROM orders o JOIN feat f ON o.o_orderkey = f.l_orderkey
+), m AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x*x) AS sxx, sum(x*y) AS sxy
+  FROM j WHERE fold = 0
+), model AS (
+  SELECT (sxy - sx*sy/n) / (sxx - sx*sx/n) AS slope, n AS n_train, sx, sy FROM m
+), model2 AS (
+  SELECT slope, (sy - slope*sx) / n_train AS b0, n_train FROM model
+), q AS (
+  SELECT slope, b0, n_train,
+         quantile_cont(abs(y - (slope*x + b0)), 0.9) AS qhat, count(*) AS n_cal
+  FROM j CROSS JOIN model2 WHERE fold = 1 GROUP BY 1, 2, 3
+)
+SELECT round(slope, 6) AS slope, round(b0, 4) AS intercept, n_train,
+       round(qhat, 4) AS qhat, n_cal,
+       round(avg(CASE WHEN abs(y - (slope*x + b0)) <= qhat THEN 1 ELSE 0 END), 6) AS coverage,
+       count(*) AS n_test
+FROM j CROSS JOIN q WHERE fold = 2
+GROUP BY slope, b0, n_train, qhat, n_cal
+"""
+
+QUERIES["part_pareto_frontier"] = part_pareto_frontier
+ORACLES["part_pareto_frontier"] = PART_PARETO_SQL
+QUERIES["part_association_rules"] = part_association_rules
+ORACLES["part_association_rules"] = PART_ASSOC_SQL
+QUERIES["orders_conformal_interval"] = orders_conformal_interval
+ORACLES["orders_conformal_interval"] = ORDERS_CONFORMAL_SQL

@@ -1148,3 +1148,66 @@ def test_rake_phrases_max_len_filters_runs(spark):
     )
     out = [r["phrase"] for r in rake_phrases(df, "id", "t", max_len=4).collect()]
     assert out == ["six"]  # the 5-token leading run is dropped
+
+
+# --- corpus-level line dedup (FineWeb-style boilerplate removal) -----------
+
+
+def test_line_dedup_removes_boilerplate(spark):
+    from bears_spark.functions.text import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha\nSHARED FOOTER\nunique beta"),
+            (2, "another one\nSHARED FOOTER"),
+            (3, "totally distinct\nno shared lines here"),
+        ],
+        "doc_id: bigint, text: string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, "doc_id", "text").collect()}
+    assert out[1]["text"] == "unique alpha\nunique beta"
+    assert out[1]["n_dropped"] == 1 and out[1]["n_kept"] == 2
+    assert out[2]["text"] == "another one"
+    assert out[3]["text"] == "totally distinct\nno shared lines here"
+    assert out[3]["n_dropped"] == 0
+
+
+def test_line_dedup_trim_match_and_blank_lines(spark):
+    from bears_spark.functions.text import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "  shared line  \n\nkeep me"),
+            (2, "shared line\nother"),
+        ],
+        "doc_id: bigint, text: string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, "doc_id", "text").collect()}
+    # trimmed forms match across docs; blank line is never dropped
+    assert out[1]["text"] == "\nkeep me"
+    assert out[2]["text"] == "other"
+
+
+def test_line_dedup_all_dropped_doc_survives(spark):
+    from bears_spark.functions.text import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "only shared"), (2, "only shared"), (3, "solo")],
+        "doc_id: bigint, text: string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["text"] == "" and out[1]["n_kept"] == 0
+    assert out[3]["text"] == "solo"
+
+
+def test_line_dedup_same_doc_repeats_not_hot(spark):
+    from bears_spark.functions.text import line_dedup
+
+    # repeated WITHIN one doc only -> distinct-doc count is 1 -> kept
+    docs = spark.createDataFrame(
+        [(1, "dup\ndup\ndup"), (2, "something else")],
+        "doc_id: bigint, text: string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, "doc_id", "text").collect()}
+    assert out[1]["text"] == "dup\ndup\ndup"

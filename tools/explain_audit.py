@@ -132,6 +132,11 @@ FORBIDDEN_EXEMPT = {
     # 1-row scalar crossJoins: baseline [min,max] range + baseline bin-count
     # row broadcast onto the per-day conditional aggregation
     "ev_value_psi_drift",
+    # 1-row scalar crossJoins: the fitted OLS model row and the residual-
+    # quantile row broadcast onto the calibration/test folds; the basket-
+    # rule n_orders total
+    "orders_conformal_interval",
+    "part_association_rules",
 }
 
 
