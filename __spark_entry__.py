@@ -211,6 +211,8 @@ ROUND7_NEVER_GRADED = [
     "part_pareto_frontier",
     "part_association_rules",
     "orders_conformal_interval",
+    "supplier_bfs_distance",
+    "part_item_cosine",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

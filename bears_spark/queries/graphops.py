@@ -177,3 +177,75 @@ SELECT src AS suppkey, reach_2hop FROM reach ORDER BY reach_2hop DESC, suppkey L
 
 QUERIES["supplier_two_hop_reach"] = supplier_two_hop_reach
 ORACLES["supplier_two_hop_reach"] = TWO_HOP_SQL
+
+
+# --------------------------------------------------------------------------
+# Multi-source BFS distance over the supplier co-supply graph (suppliers
+# joined by sharing a part): exact hop distance from the seed set (all
+# suppliers of the smallest present nationkey — SF-robust) up to 3 hops, via k rounds of frontier-expand
+# equi-joins — the standard distributed BFS (no recursion needed; each round
+# is one shuffle on the supplier key). The oracle states the same thing as
+# an iterated min-distance fixpoint unrolled 3 steps.
+def supplier_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    a, b = ps.alias("a"), ps.alias("b")
+    edges = (
+        a.join(b, "pk")
+        .where(F.col("a.sk") != F.col("b.sk"))
+        .select(F.col("a.sk").alias("src"), F.col("b.sk").alias("dst"))
+        .distinct()
+    )
+    # seed set must exist at every SF: the smallest nationkey present
+    seed_nation = sup.agg(F.min("s_nationkey")).collect()[0][0]
+    dist = sup.where(F.col("s_nationkey") == seed_nation).select(
+        F.col("s_suppkey").alias("node"), F.lit(0).alias("d")
+    )
+    frontier = dist
+    for hop in (1, 2, 3):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"), F.lit(hop).alias("d"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+        )
+        dist = dist.unionByName(nxt)
+        frontier = nxt
+    return dist.groupBy("d").agg(F.count("*").alias("n_suppliers")).orderBy("d")
+
+
+SUPPLIER_BFS_SQL = """
+WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+e AS (
+  SELECT DISTINCT a.sk AS src, b.sk AS dst
+  FROM ps a JOIN ps b ON a.pk = b.pk WHERE a.sk <> b.sk
+), d0 AS (
+  SELECT s_suppkey AS node FROM supplier
+  WHERE s_nationkey = (SELECT min(s_nationkey) FROM supplier)
+), d1 AS (
+  SELECT DISTINCT e.dst AS node FROM e JOIN d0 ON e.src = d0.node
+  WHERE e.dst NOT IN (SELECT node FROM d0)
+), d2 AS (
+  SELECT DISTINCT e.dst AS node FROM e JOIN d1 ON e.src = d1.node
+  WHERE e.dst NOT IN (SELECT node FROM d0)
+    AND e.dst NOT IN (SELECT node FROM d1)
+), d3 AS (
+  SELECT DISTINCT e.dst AS node FROM e JOIN d2 ON e.src = d2.node
+  WHERE e.dst NOT IN (SELECT node FROM d0)
+    AND e.dst NOT IN (SELECT node FROM d1)
+    AND e.dst NOT IN (SELECT node FROM d2)
+)
+SELECT d, n_suppliers FROM (
+  SELECT 0 AS d, count(*) AS n_suppliers FROM d0
+  UNION ALL SELECT 1, count(*) FROM d1
+  UNION ALL SELECT 2, count(*) FROM d2
+  UNION ALL SELECT 3, count(*) FROM d3
+) WHERE n_suppliers > 0 ORDER BY d
+"""
+
+QUERIES["supplier_bfs_distance"] = supplier_bfs_distance
+ORACLES["supplier_bfs_distance"] = SUPPLIER_BFS_SQL

@@ -2763,3 +2763,57 @@ QUERIES["part_association_rules"] = part_association_rules
 ORACLES["part_association_rules"] = PART_ASSOC_SQL
 QUERIES["orders_conformal_interval"] = orders_conformal_interval
 ORACLES["orders_conformal_interval"] = ORDERS_CONFORMAL_SQL
+
+
+# --------------------------------------------------------------------------
+# Item-item cosine similarity from order co-occurrence — the classical
+# neighborhood recommender: sim(a,b) = |orders(a) AND orders(b)| /
+# sqrt(|orders(a)| * |orders(b)|), top-20 pairs. Candidate pairs are an
+# equi-join on the order key (bounded by per-order basket size), marginals
+# broadcast back onto the pair aggregate.
+def part_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    freq = li.groupBy("l_partkey").agg(F.count("*").alias("nf"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count("*").alias("cooc"))
+        .where(F.col("cooc") >= 2)
+    )
+    fa = freq.select(F.col("l_partkey").alias("pa"), F.col("nf").alias("na"))
+    fb = freq.select(F.col("l_partkey").alias("pb"), F.col("nf").alias("nb"))
+    out = (
+        pairs.join(fa, "pa")
+        .join(fb, "pb")
+        .select(
+            "pa",
+            "pb",
+            "cooc",
+            F.round(F.col("cooc") / F.sqrt(F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+    )
+    return out.orderBy(F.desc("cosine"), "pa", "pb").limit(20)
+
+
+PART_ITEM_COSINE_SQL = """
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+freq AS (SELECT l_partkey, count(*) AS nf FROM lp GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS cooc
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT p.pa, p.pb, p.cooc,
+       round(p.cooc / sqrt(fa.nf * fb.nf), 6) AS cosine
+FROM pairs p JOIN freq fa ON fa.l_partkey = p.pa JOIN freq fb ON fb.l_partkey = p.pb
+ORDER BY cosine DESC, pa, pb
+LIMIT 20
+"""
+
+QUERIES["part_item_cosine"] = part_item_cosine
+ORACLES["part_item_cosine"] = PART_ITEM_COSINE_SQL
