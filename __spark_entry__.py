@@ -213,6 +213,15 @@ ROUND7_NEVER_GRADED = [
     "orders_conformal_interval",
     "supplier_bfs_distance",
     "part_item_cosine",
+    "ev_rolling_dau",
+    "ev_rolling_dau_hll",
+    "ev_value_ohlc",
+    "ev_user_twap",
+    "ev_value_ks_drift",
+    "ev_ab_mannwhitney",
+    "ev_ma_crossover",
+    "part_item_recs",
+    "part_decayed_popularity",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45
@@ -311,6 +320,9 @@ HEADLINE = [
     "pipeline_quality_gate",
     # round-6 addition: sequence packing (distributed prefix cumsum family)
     "doc_pack_assignments",
+    # round-6 late additions: sliding-window sketch rollup + item-based CF
+    "ev_rolling_dau_hll",
+    "part_item_recs",
 ]
 
 

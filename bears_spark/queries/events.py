@@ -2775,3 +2775,329 @@ FROM ranked WHERE rk = 1 ORDER BY event_type
 
 QUERIES["ev_changepoint"] = ev_changepoint
 ORACLES["ev_changepoint"] = EV_CHANGEPOINT_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_rolling_dau: exact 7-day rolling distinct active users per day.
+# Sliding-window COUNT(DISTINCT) cannot be a window function (distinct state
+# is not subtractable), and a day-range join re-scans each day once per
+# window it falls in. The distributed shape: reduce to (day, user) grain
+# once, EXPLODE each user-day into the <=7 window-end days it covers
+# (map-side, no shuffle), and count distinct per window day — one exchange
+# on the window-day key, fanout bounded by the window length. At 100 TB
+# this is |user-days| x 7 rows through one shuffle; the HLL variant
+# (sketchops.ev_rolling_dau_hll) cuts that to 2^p registers per day.
+def ev_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = ud.select("d").distinct()
+    cov = ud.select(F.explode(F.expr("sequence(d, date_add(d, 6))")).alias("wd"), "user_id")
+    return (
+        cov.join(days.withColumnRenamed("d", "wd"), "wd")
+        .groupBy("wd")
+        .agg(F.countDistinct("user_id").alias("dau7"))
+        .select(F.date_format("wd", "yyyy-MM-dd").alias("day"), "dau7")
+        .orderBy("day")
+    )
+
+
+EV_ROLLING_DAU_SQL = """
+WITH ud AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id FROM events
+), days AS (SELECT DISTINCT d FROM ud)
+SELECT strftime(days.d, '%Y-%m-%d') AS day, count(DISTINCT ud.user_id) AS dau7
+FROM days JOIN ud ON ud.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+GROUP BY days.d ORDER BY day
+"""
+
+QUERIES["ev_rolling_dau"] = ev_rolling_dau
+ORACLES["ev_rolling_dau"] = EV_ROLLING_DAU_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_user_twap: time-weighted average of each user's value trajectory per
+# day (weight = microseconds until the user's next event that day; a
+# user-day's last event has no successor and carries no weight), then the
+# cross-user mean per day. The window partitions on (user_id, day) — the
+# per-user-day event count is bounded by behavior, not by SF.
+def ev_user_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    steps = (
+        ev.select("user_id", F.to_date("ts").alias("day"), "ts", "event_id", "value")
+        .withColumn("dt", (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).cast("double"))
+        .where(F.col("dt").isNotNull())
+    )
+    per_user = steps.groupBy("user_id", "day").agg(
+        (F.sum(F.col("value") * F.col("dt")) / F.sum("dt")).alias("twap")
+    )
+    return (
+        per_user.groupBy("day")
+        .agg(F.count("*").alias("n_users"), F.round(F.avg("twap"), 6).alias("twap_mean"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "n_users", "twap_mean")
+        .orderBy("day")
+    )
+
+
+EV_TWAP_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, ts, event_id, value
+  FROM events WHERE value IS NOT NULL
+), steps AS (
+  SELECT user_id, day, value,
+         CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id, day ORDER BY ts, event_id)) - epoch_us(ts) AS DOUBLE) AS dt
+  FROM e
+), per_user AS (
+  SELECT user_id, day, sum(value * dt) / sum(dt) AS twap
+  FROM steps WHERE dt IS NOT NULL GROUP BY 1, 2
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, count(*) AS n_users,
+       round(avg(twap), 6) AS twap_mean
+FROM per_user GROUP BY day ORDER BY day
+"""
+
+QUERIES["ev_user_twap"] = ev_user_twap
+ORACLES["ev_user_twap"] = EV_TWAP_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_value_ks_drift: two-sample Kolmogorov-Smirnov drift test — the value
+# distribution of week 1 (reference) vs the rest of the month (current),
+# D = max |ECDF_ref - ECDF_cur| over the pooled distinct values. The pooled
+# distinct-value frame is SF-linear, so the cumulative counts run through
+# functions/prefix.py partitioned_cumsum (distributed range-partitioned
+# prefix), never a single-partition window. alpha=0.05 critical value
+# c(0.05)=1.358 (Smirnov's asymptotic formula).
+def ev_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.prefix import partitioned_cumsum
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cut = F.lit("2024-01-08").cast("timestamp")
+    tagged = ev.select(
+        F.col("value").alias("v"),
+        F.when(F.col("ts") < cut, 1).otherwise(0).alias("in_a"),
+    )
+    pv = tagged.groupBy("v").agg(F.sum("in_a").alias("ca"), F.sum(1 - F.col("in_a")).alias("cb"))
+    n = pv.agg(F.sum("ca"), F.sum("cb")).first()
+    na, nb = int(n[0]), int(n[1])
+    cum = partitioned_cumsum(pv, ["v"], ["ca", "cb"])
+    crit = 1.358 * float((na + nb) / (na * nb)) ** 0.5
+    return cum.agg(
+        F.lit(na).alias("n_ref"),
+        F.lit(nb).alias("n_cur"),
+        F.round(
+            F.max(F.abs(F.col("ca_cumsum") / F.lit(float(na)) - F.col("cb_cumsum") / F.lit(float(nb)))), 6
+        ).alias("ks_d"),
+        F.round(F.lit(crit), 6).alias("ks_crit_05"),
+    ).withColumn("drift", F.col("ks_d") > F.col("ks_crit_05"))
+
+
+EV_KS_SQL = """
+WITH vals AS (
+  SELECT value AS v, CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END AS in_a
+  FROM events WHERE value IS NOT NULL
+), n AS (
+  SELECT CAST(sum(in_a) AS BIGINT) AS na, CAST(sum(1 - in_a) AS BIGINT) AS nb FROM vals
+), pv AS (
+  SELECT v, sum(in_a) AS ca, sum(1 - in_a) AS cb FROM vals GROUP BY 1
+), cum AS (
+  SELECT sum(ca) OVER (ORDER BY v) AS cca, sum(cb) OVER (ORDER BY v) AS ccb FROM pv
+), d AS (
+  SELECT na, nb,
+         round(max(abs(cca / CAST(na AS DOUBLE) - ccb / CAST(nb AS DOUBLE))), 6) AS ks_d,
+         round(1.358 * sqrt((na + nb) / CAST(na * nb AS DOUBLE)), 6) AS ks_crit_05
+  FROM cum, n GROUP BY na, nb
+)
+SELECT na AS n_ref, nb AS n_cur, ks_d, ks_crit_05, ks_d > ks_crit_05 AS drift FROM d
+"""
+
+QUERIES["ev_value_ks_drift"] = ev_value_ks_drift
+ORACLES["ev_value_ks_drift"] = EV_KS_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_ab_mannwhitney: nonparametric A/B readout — Mann-Whitney U over
+# per-user value totals (same md5 arm split as ev_ab_welch), tie-corrected
+# normal approximation. Totals are rounded to 6 dp BEFORE ranking so both
+# engines rank identical keys; average ranks of tied blocks come from the
+# distributed prefix over the distinct-total frame (SF-linear — never a
+# single-partition window). Final stats are four bounded moments collected
+# once and baked into a 1-row literal frame.
+def ev_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.hashing import md5_hash64
+    from bears_spark.functions.prefix import partitioned_cumsum
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    per_user = ev.groupBy("user_id").agg(F.round(F.sum("value"), 6).alias("x"))
+    armed = per_user.withColumn("in_a", (md5_hash64("user_id", salt="ab") % 2 == 0).cast("long"))
+    pt = armed.groupBy("x").agg(F.count("*").alias("nt"), F.sum("in_a").alias("nat"))
+    cum = partitioned_cumsum(pt, ["x"], ["nt"])
+    ranked = cum.withColumn(
+        "block_rank", F.col("nt_cumsum") - F.col("nt") + (F.col("nt") + 1) / 2.0
+    )
+    stats = ranked.agg(
+        F.sum(F.col("nat") * F.col("block_rank")).alias("ra"),
+        F.sum("nat").alias("na"),
+        F.sum(F.col("nt") - F.col("nat")).alias("nb"),
+        F.sum(F.col("nt") * F.col("nt") * F.col("nt") - F.col("nt")).alias("tie3"),
+    ).first()
+    ra, na, nb = float(stats["ra"]), int(stats["na"]), int(stats["nb"])
+    tie3 = float(stats["tie3"])
+    n = na + nb
+    u_a = ra - na * (na + 1) / 2.0
+    mu = na * nb / 2.0
+    var = na * nb / 12.0 * ((n + 1) - tie3 / (n * (n - 1)))
+    z = (u_a - mu) / var**0.5
+    return ev.sparkSession.range(1).select(
+        F.lit(na).alias("n_a"),
+        F.lit(nb).alias("n_b"),
+        F.round(F.lit(u_a), 2).alias("u_a"),
+        F.round(F.lit(z), 6).alias("z"),
+    )
+
+
+EV_MWU_SQL = """
+WITH per_user AS (
+  SELECT user_id, round(sum(value), 6) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), armed AS (
+  SELECT x,
+         CASE WHEN ('0x' || substr(md5('ab' || ':' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+              THEN 1 ELSE 0 END AS in_a
+  FROM per_user
+), pt AS (
+  SELECT x, count(*) AS nt, sum(in_a) AS nat FROM armed GROUP BY 1
+), ranked AS (
+  SELECT nt, nat,
+         sum(nt) OVER (ORDER BY x) - nt + (nt + 1) / 2.0 AS block_rank
+  FROM pt
+), s AS (
+  SELECT sum(nat * block_rank) AS ra,
+         CAST(sum(nat) AS BIGINT) AS na,
+         CAST(sum(nt - nat) AS BIGINT) AS nb,
+         CAST(sum(nt * nt * nt - nt) AS DOUBLE) AS tie3
+  FROM ranked
+)
+SELECT na AS n_a, nb AS n_b,
+       round(ra - na * (na + 1) / 2.0, 2) AS u_a,
+       round((ra - na * (na + 1) / 2.0 - na * nb / 2.0)
+             / sqrt(na * nb / 12.0 * ((na + nb + 1) - tie3 / ((na + nb) * (na + nb - 1.0)))), 6) AS z
+FROM s
+"""
+
+QUERIES["ev_ab_mannwhitney"] = ev_ab_mannwhitney
+ORACLES["ev_ab_mannwhitney"] = EV_MWU_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_ma_crossover: golden-cross signal detection over the daily mean value
+# series — 3-day vs 10-day trailing moving averages; a signal fires on any
+# day where the fast MA crosses the slow MA (sign change vs previous day).
+# The ordered windows run over the DAY-grain series (one row per day after
+# the first aggregate — bounded by the calendar, not by SF), so one-task
+# execution is fine; allowlisted in tools/explain_audit.py.
+def ev_ma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(F.avg("value").alias("m"))
+    w3 = Window.orderBy("d").rowsBetween(-2, 0)
+    w10 = Window.orderBy("d").rowsBetween(-9, 0)
+    wp = Window.orderBy("d")
+    sig = (
+        daily.withColumn("ma3", F.avg("m").over(w3))
+        .withColumn("ma10", F.avg("m").over(w10))
+        .withColumn("n_prev", F.count("*").over(w10))
+        .where(F.col("n_prev") >= 10)
+        .withColumn("diff", F.col("ma3") - F.col("ma10"))
+        .withColumn("prev_diff", F.lag("diff").over(wp))
+    )
+    return (
+        sig.where(F.col("prev_diff").isNotNull() & (F.signum("diff") != F.signum("prev_diff")))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.round("ma3", 6).alias("ma3"),
+            F.round("ma10", 6).alias("ma10"),
+            F.when(F.col("diff") > 0, F.lit("golden")).otherwise(F.lit("death")).alias("cross"),
+        )
+        .orderBy("day")
+    )
+
+
+EV_MA_CROSS_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, avg(value) AS m
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), ma AS (
+  SELECT d,
+         avg(m) OVER (ORDER BY d ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3,
+         avg(m) OVER (ORDER BY d ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS ma10,
+         count(*) OVER (ORDER BY d ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS n_prev
+  FROM daily
+), sig AS (
+  SELECT d, ma3, ma10, ma3 - ma10 AS diff,
+         lag(ma3 - ma10) OVER (ORDER BY d) AS prev_diff
+  FROM ma WHERE n_prev >= 10
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       round(ma3, 6) AS ma3, round(ma10, 6) AS ma10,
+       CASE WHEN diff > 0 THEN 'golden' ELSE 'death' END AS cross
+FROM sig
+WHERE prev_diff IS NOT NULL AND sign(diff) <> sign(prev_diff)
+ORDER BY day
+"""
+
+QUERIES["ev_ma_crossover"] = ev_ma_crossover
+ORACLES["ev_ma_crossover"] = EV_MA_CROSS_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_value_ohlc: hourly OHLC (open/high/low/close) candle bars over the
+# event value stream — open/close via min_by/max_by on the (ts, event_id)
+# total order (single shuffle on the hour key with map-side partial
+# aggregation, no window at all), high/low plain min/max. The oracle states
+# open/close as first_value/last_value window picks over the same order.
+def ev_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    b = ev.select(
+        F.date_trunc("hour", "ts").alias("h"),
+        "value",
+        F.struct("ts", "event_id").alias("ord"),
+    )
+    return (
+        b.groupBy("h")
+        .agg(
+            F.min_by("value", "ord").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ord").alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH").alias("hour"),
+            "open", "high", "low", "close", "n_events",
+        )
+        .orderBy("hour")
+    )
+
+
+EV_OHLC_SQL = """
+WITH v AS (
+  SELECT date_trunc('hour', ts) AS h, ts, event_id, value
+  FROM events WHERE value IS NOT NULL
+), w AS (
+  SELECT h, value,
+         first_value(value) OVER (PARTITION BY h ORDER BY ts, event_id) AS o,
+         last_value(value) OVER (PARTITION BY h ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
+  FROM v
+)
+SELECT strftime(h, '%Y-%m-%d %H') AS hour,
+       min(o) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       min(c) AS close,
+       count(*) AS n_events
+FROM w GROUP BY h ORDER BY hour
+"""
+
+QUERIES["ev_value_ohlc"] = ev_value_ohlc
+ORACLES["ev_value_ohlc"] = EV_OHLC_SQL

@@ -2817,3 +2817,155 @@ LIMIT 20
 
 QUERIES["part_item_cosine"] = part_item_cosine
 ORACLES["part_item_cosine"] = PART_ITEM_COSINE_SQL
+
+
+# --------------------------------------------------------------------------
+# part_item_recs: classical item-based collaborative-filtering readout —
+# score each (customer, unowned part) by the SUM of item-item cosine
+# similarities between the candidate part and the parts the customer already
+# bought (the part_item_cosine similarity table, symmetrized); top-3
+# recommendations for the 10 customers with the most distinct parts. All
+# candidate generation flows through the bounded item-pair frame
+# (co-occurrence >= 2) joined to the 10 broadcast customers' owned sets —
+# never a user x catalog cross join; per-customer top-3 is a
+# WindowGroupLimit on the customer key.
+def part_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    owned = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    top_cust = (
+        owned.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_parts"))
+        .orderBy(F.desc("n_parts"), "o_custkey")
+        .limit(10)
+        .select("o_custkey")
+    )
+    freq = li.groupBy("l_partkey").agg(F.count("*").alias("nf"))
+    a, b = li.alias("a"), li.alias("b")
+    half = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count("*").alias("cooc"))
+        .where(F.col("cooc") >= 2)
+    )
+    sym = half.unionByName(half.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"), "cooc"))
+    fa = freq.select(F.col("l_partkey").alias("pa"), F.col("nf").alias("na"))
+    fb = freq.select(F.col("l_partkey").alias("pb"), F.col("nf").alias("nb"))
+    sims = (
+        sym.join(fa, "pa")
+        .join(fb, "pb")
+        .select("pa", "pb", (F.col("cooc") / F.sqrt(F.col("na") * F.col("nb"))).alias("sim"))
+    )
+    cust_owned = owned.join(F.broadcast(top_cust), "o_custkey")
+    scored = (
+        cust_owned.join(sims, cust_owned.l_partkey == sims.pa)
+        .join(
+            owned.select(F.col("o_custkey").alias("c2"), F.col("l_partkey").alias("p2")),
+            (F.col("o_custkey") == F.col("c2")) & (F.col("pb") == F.col("p2")),
+            "left_anti",
+        )
+        .groupBy("o_custkey", "pb")
+        .agg(F.round(F.sum("sim"), 6).alias("score"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("score"), F.asc("pb"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(F.col("o_custkey").alias("custkey"), F.col("pb").alias("rec_partkey"), "score", "rk")
+        .orderBy("custkey", "rk")
+    )
+
+
+PART_ITEM_RECS_SQL = """
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+owned AS (
+  SELECT DISTINCT o.o_custkey, lp.l_partkey
+  FROM lp JOIN orders o ON lp.l_orderkey = o.o_orderkey
+),
+top_cust AS (
+  SELECT o_custkey FROM owned GROUP BY 1
+  ORDER BY count(*) DESC, o_custkey LIMIT 10
+),
+freq AS (SELECT l_partkey, count(*) AS nf FROM lp GROUP BY 1),
+half AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS cooc
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+sym AS (
+  SELECT pa, pb, cooc FROM half
+  UNION ALL SELECT pb, pa, cooc FROM half
+),
+sims AS (
+  SELECT s.pa, s.pb, s.cooc / sqrt(fa.nf * fb.nf) AS sim
+  FROM sym s JOIN freq fa ON fa.l_partkey = s.pa JOIN freq fb ON fb.l_partkey = s.pb
+),
+scored AS (
+  SELECT ow.o_custkey, s.pb, round(sum(s.sim), 6) AS score
+  FROM owned ow
+  JOIN top_cust tc ON tc.o_custkey = ow.o_custkey
+  JOIN sims s ON s.pa = ow.l_partkey
+  WHERE NOT EXISTS (
+    SELECT 1 FROM owned o2 WHERE o2.o_custkey = ow.o_custkey AND o2.l_partkey = s.pb
+  )
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT o_custkey, pb, score,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY score DESC, pb) AS rk
+  FROM scored
+)
+SELECT o_custkey AS custkey, pb AS rec_partkey, score, rk
+FROM rk WHERE rk <= 3 ORDER BY custkey, rk
+"""
+
+QUERIES["part_item_recs"] = part_item_recs
+ORACLES["part_item_recs"] = PART_ITEM_RECS_SQL
+
+
+# --------------------------------------------------------------------------
+# part_decayed_popularity: exponentially time-decayed demand per part —
+# each lineitem contributes exp(-ln(2)/half_life * age_days) as of the
+# corpus max ship date (90-day half-life), so recent demand dominates; the
+# freshness ranking every trending/feed surface runs. Map-only scoring +
+# one groupBy + TakeOrderedAndProject; the as-of date is one collected
+# scalar baked back as a literal.
+def part_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_shipdate")
+    asof_date = li.agg(F.max("l_shipdate")).first()[0]
+    age = F.datediff(F.lit(asof_date), F.col("l_shipdate")).cast("double")
+    lam = 0.007701635339554948  # ln(2) / 90-day half-life
+    return (
+        li.withColumn("wt", F.exp(-F.lit(lam) * age))
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("wt"), 6).alias("decayed_demand"),
+        )
+        .orderBy(F.desc("decayed_demand"), "l_partkey")
+        .limit(15)
+    )
+
+
+PART_DECAYED_SQL = """
+WITH maxd AS (SELECT max(l_shipdate) AS mx FROM lineitem)
+SELECT l_partkey,
+       count(*) AS n_items,
+       round(sum(exp(-0.007701635339554948 * CAST(datediff('day', l_shipdate, mx) AS DOUBLE))), 6)
+         AS decayed_demand
+FROM lineitem, maxd
+GROUP BY l_partkey
+ORDER BY decayed_demand DESC, l_partkey
+LIMIT 15
+"""
+
+QUERIES["part_decayed_popularity"] = part_decayed_popularity
+ORACLES["part_decayed_popularity"] = PART_DECAYED_SQL

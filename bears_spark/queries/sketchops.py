@@ -559,3 +559,66 @@ FROM direct JOIN merged USING (bin) ORDER BY bin
 
 QUERIES["hist_merge_proof"] = hist_merge_proof
 ORACLES["hist_merge_proof"] = HIST_MERGE_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_rolling_dau_hll: the 7-day rolling DAU (events.ev_rolling_dau) as a
+# mergeable HLL rollup — one register table per day (2^p rows), each day's
+# registers exploded map-side into the window-end days they cover, per-window
+# merge by bucket MAX (associative, order-free). At 100 TB the exact path
+# shuffles |user-days| x 7 rows; this path shuffles 2^p x days x 7 rows
+# REGARDLESS of user count — the pre-aggregated-sketch rollup shape a
+# 1000-executor fleet runs for any sliding-window distinct.
+def ev_rolling_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.sketch import hll_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    regs = hll_registers(ev.withColumn("d", F.to_date("ts")), "user_id", _HLL_P, by=("d",))
+    days = regs.select("d").distinct()
+    cov = regs.select(F.explode(F.expr("sequence(d, date_add(d, 6))")).alias("wd"), "bucket", "rho")
+    merged = (
+        cov.join(days.withColumnRenamed("d", "wd"), "wd")
+        .groupBy("wd", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    est = merged.groupBy("wd").agg(
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_S} - rho)"))
+            + (F.lit(_HLL_M) - F.count("*")) * F.lit(1 << _HLL_S).cast("bigint")
+        ).alias("sum_scaled")
+    )
+    return est.select(
+        F.date_format("wd", "yyyy-MM-dd").alias("day"),
+        "sum_scaled",
+        (F.lit(_HLL_NUMER) / F.col("sum_scaled")).alias("hll_dau7"),
+    ).orderBy("day")
+
+
+EV_ROLLING_DAU_HLL_SQL = f"""
+WITH h AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         {_duck_h64("user_id", "'0'")} AS hv
+  FROM events
+), regs AS (
+  SELECT d, hv % {_HLL_M} AS bucket,
+         max(CASE WHEN hv // {_HLL_M} = 0 THEN {_HLL_WBITS + 1}
+                  ELSE {_HLL_WBITS + 1} - length(bin(hv // {_HLL_M})) END) AS rho
+  FROM h GROUP BY 1, 2
+), days AS (SELECT DISTINCT d FROM regs),
+merged AS (
+  SELECT days.d AS wd, r.bucket, max(r.rho) AS rho
+  FROM days JOIN regs r ON r.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+  GROUP BY 1, 2
+), est AS (
+  SELECT wd,
+         CAST(sum((1::BIGINT) << ({_HLL_S} - rho)) AS BIGINT)
+           + ({_HLL_M} - count(*)) * ((1::BIGINT) << {_HLL_S}) AS sum_scaled
+  FROM merged GROUP BY 1
+)
+SELECT strftime(wd, '%Y-%m-%d') AS day, sum_scaled,
+       {_HLL_NUMER!r} / sum_scaled AS hll_dau7
+FROM est ORDER BY day
+"""
+
+QUERIES["ev_rolling_dau_hll"] = ev_rolling_dau_hll
+ORACLES["ev_rolling_dau_hll"] = EV_ROLLING_DAU_HLL_SQL

@@ -143,3 +143,113 @@ def test_emb_cluster_silhouette_bounds(spark):
         simplified_silhouette_expr("embedding", [(0, [1.0] * 64)]).alias("cs")
     ).select("cs.sil").distinct().collect()
     assert [r["sil"] for r in one] == [0.0]
+
+
+def test_ev_rolling_dau_window_invariants(spark):
+    """Rolling 7-day DAU dominates the single-day DAU, is bounded by the sum
+    of its constituent days, and day 1 (no history) equals day-1 DAU."""
+    from pyspark.sql import functions as F
+
+    from bears_spark.queries.events import ev_rolling_dau
+    from bears_spark.queries.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rolling = {r["day"]: r["dau7"] for r in ev_rolling_dau(spark, sf).collect()}
+    daily = {
+        r["day"]: r["dau"]
+        for r in load_table(spark, sf, "events")
+        .groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("dau"))
+        .collect()
+    }
+    days = sorted(daily)
+    assert rolling[days[0]] == daily[days[0]]
+    for i, d in enumerate(days):
+        window_days = days[max(0, i - 6) : i + 1]
+        assert daily[d] <= rolling[d] <= sum(daily[x] for x in window_days), d
+
+
+def test_ev_rolling_dau_hll_merge_dominates_constituents(spark):
+    """Register-max merging can only raise rho values, so the merged window
+    estimate must dominate every constituent single-day estimate — the
+    mergeability direction that makes the sliding rollup valid."""
+    from pyspark.sql import functions as F
+
+    from bears_spark.functions.sketch import HLL_HASH_BITS, hll_alpha, hll_registers
+    from bears_spark.queries.sketchops import _HLL_M, _HLL_P, _HLL_S, ev_rolling_dau_hll
+    from bears_spark.queries.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    win = {r["day"]: r["hll_dau7"] for r in ev_rolling_dau_hll(spark, sf).collect()}
+    ev = load_table(spark, sf, "events").withColumn(
+        "day", F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    )
+    numer = hll_alpha(_HLL_M) * _HLL_M * _HLL_M * (1 << _HLL_S)
+    per_day = (
+        hll_registers(ev, "user_id", _HLL_P, by=("day",))
+        .groupBy("day")
+        .agg(
+            (
+                F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_S} - rho)"))
+                + (F.lit(_HLL_M) - F.count("*")) * F.lit(1 << _HLL_S).cast("bigint")
+            ).alias("ss")
+        )
+        .select("day", (F.lit(numer) / F.col("ss")).alias("est"))
+        .collect()
+    )
+    daily = {r["day"]: r["est"] for r in per_day}
+    for d, est in daily.items():
+        # every window that contains day d must estimate >= day d alone
+        assert win[d] >= est - 1e-9, (d, win[d], est)
+
+
+def test_ev_value_ohlc_bounds(spark):
+    """low <= open/close <= high per bar; bar event counts cover the table."""
+    from pyspark.sql import functions as F
+
+    from bears_spark.queries.events import ev_value_ohlc
+    from bears_spark.queries.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    bars = ev_value_ohlc(spark, sf).collect()
+    for r in bars:
+        assert r["low"] <= r["open"] <= r["high"], r
+        assert r["low"] <= r["close"] <= r["high"], r
+    total = load_table(spark, sf, "events").where(F.col("value").isNotNull()).count()
+    assert sum(r["n_events"] for r in bars) == total
+
+
+def test_ev_ab_mannwhitney_matches_pandas_rank(spark):
+    """The distributed tie-averaged rank-sum must equal pandas' average-rank
+    computation on the same per-user totals (independent rank implementation)."""
+    from pyspark.sql import functions as F
+
+    from bears_spark.functions.hashing import md5_hash64
+    from bears_spark.queries.events import ev_ab_mannwhitney
+    from bears_spark.queries.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = ev_ab_mannwhitney(spark, sf).first()
+    pdf = (
+        load_table(spark, sf, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 6).alias("x"))
+        .withColumn("in_a", (md5_hash64("user_id", salt="ab") % 2 == 0).cast("long"))
+        .toPandas()
+    )
+    pdf["rank"] = pdf["x"].rank(method="average")
+    na = int(pdf["in_a"].sum())
+    ra = float(pdf.loc[pdf["in_a"] == 1, "rank"].sum())
+    u_a = ra - na * (na + 1) / 2.0
+    assert got["n_a"] == na
+    assert abs(got["u_a"] - round(u_a, 2)) < 1e-9
+
+
+def test_ev_value_ks_drift_bounds(spark):
+    from bears_spark.queries.events import ev_value_ks_drift
+
+    row = ev_value_ks_drift(spark, "/root/testdata/sf0.001").first()
+    assert 0.0 <= row["ks_d"] <= 1.0
+    assert row["ks_crit_05"] > 0
+    assert row["drift"] == (row["ks_d"] > row["ks_crit_05"])

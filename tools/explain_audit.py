@@ -155,6 +155,7 @@ WINDOW_UNPARTITIONED_ALLOW: dict[str, str] = {
     "lang_source_mutual_info": "lang / source / lang x source domains — bounded",
     "cust_target_encoding": "window over the (mktsegment x fold) aggregate — bounded category domain",
     "cust_woe_urgency": "window over the mktsegment aggregate — bounded category domain",
+    "ev_ma_crossover": "moving averages over the day-grain aggregate — bounded calendar domain",
 }
 
 
