@@ -222,6 +222,9 @@ ROUND7_NEVER_GRADED = [
     "ev_ma_crossover",
     "part_item_recs",
     "part_decayed_popularity",
+    "streaming_rolling_dau_hll",
+    "ev_interarrival_ks",
+    "doc_zipf_fit",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

@@ -3101,3 +3101,121 @@ FROM w GROUP BY h ORDER BY hour
 
 QUERIES["ev_value_ohlc"] = ev_value_ohlc
 ORACLES["ev_value_ohlc"] = EV_OHLC_SQL
+
+
+# --------------------------------------------------------------------------
+# streaming_rolling_dau_hll: the production shape of a sliding-window
+# distinct — the STREAM maintains one HLL register table per day (bounded
+# state: 2^p rows per day regardless of traffic), the batch READOUT merges
+# any window by bucket MAX. Register max is order- and batching-insensitive,
+# so the streamed registers equal the batch registers exactly and the whole
+# job grades against the batch ev_rolling_dau_hll oracle.
+def streaming_rolling_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.sketch import hll_registers
+    from bears_spark.queries.sketchops import _HLL_M, _HLL_NUMER, _HLL_P, _HLL_S
+
+    ev_s = _events_stream(spark, sf_dir)
+    regs_s = hll_registers(ev_s.withColumn("d", F.to_date("ts")), "user_id", _HLL_P, by=("d",))
+    sink = "streaming_rolling_dau_hll_sink"
+    q = (
+        regs_s.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    regs = spark.table(sink)
+    days = regs.select("d").distinct()
+    cov = regs.select(F.explode(F.expr("sequence(d, date_add(d, 6))")).alias("wd"), "bucket", "rho")
+    merged = (
+        cov.join(days.withColumnRenamed("d", "wd"), "wd")
+        .groupBy("wd", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    est = merged.groupBy("wd").agg(
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_S} - rho)"))
+            + (F.lit(_HLL_M) - F.count("*")) * F.lit(1 << _HLL_S).cast("bigint")
+        ).alias("sum_scaled")
+    )
+    return est.select(
+        F.date_format("wd", "yyyy-MM-dd").alias("day"),
+        "sum_scaled",
+        (F.lit(_HLL_NUMER) / F.col("sum_scaled")).alias("hll_dau7"),
+    ).orderBy("day")
+
+
+def _streaming_rolling_dau_oracle() -> str:
+    from bears_spark.queries.sketchops import EV_ROLLING_DAU_HLL_SQL
+
+    return EV_ROLLING_DAU_HLL_SQL
+
+
+QUERIES["streaming_rolling_dau_hll"] = streaming_rolling_dau_hll
+ORACLES["streaming_rolling_dau_hll"] = _streaming_rolling_dau_oracle()
+
+
+# --------------------------------------------------------------------------
+# ev_interarrival_ks: one-sample KS goodness-of-fit of per-user event
+# inter-arrival times against the MLE-fitted exponential (lambda = 1/mean).
+# ECDF cumulative counts run through partitioned_cumsum over the
+# distinct-gap frame (SF-linear — no one-task window); D takes the sup over
+# both ECDF step edges. Standard KS critical value as the diagnostic
+# threshold (an exact fitted-parameter test would use the Lilliefors
+# correction — documented, not claimed).
+def ev_interarrival_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.prefix import partitioned_cumsum
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("dt", (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")) / 1e6)
+        .where(F.col("dt").isNotNull())
+        .select(F.col("dt").alias("v"))
+    )
+    agg = gaps.agg(F.count("*").alias("n"), F.avg("v").alias("mean")).first()
+    n, lam = int(agg["n"]), 1.0 / float(agg["mean"])
+    pv = gaps.groupBy("v").agg(F.count("*").alias("cnt"))
+    cum = partitioned_cumsum(pv, ["v"], ["cnt"])
+    cdf = 1.0 - F.exp(-F.lit(lam) * F.col("v"))
+    d_hi = F.abs(F.col("cnt_cumsum") / F.lit(float(n)) - cdf)
+    d_lo = F.abs((F.col("cnt_cumsum") - F.col("cnt")) / F.lit(float(n)) - cdf)
+    crit = 1.358 / float(n) ** 0.5
+    return cum.agg(
+        F.lit(n).alias("n_gaps"),
+        F.round(F.lit(lam * 3600.0), 6).alias("lambda_per_hour"),
+        F.round(F.max(F.greatest(d_hi, d_lo)), 6).alias("ks_d"),
+        F.round(F.lit(crit), 6).alias("ks_crit_05"),
+    ).withColumn("exponential_fit", F.col("ks_d") <= F.col("ks_crit_05"))
+
+
+EV_INTERARRIVAL_KS_SQL = """
+WITH gaps AS (
+  SELECT CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) - epoch_us(ts) AS DOUBLE) / 1e6 AS v
+  FROM events
+), g AS (SELECT v FROM gaps WHERE v IS NOT NULL),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n, 1.0 / avg(v) AS lam FROM g),
+pv AS (SELECT v, count(*) AS cnt FROM g GROUP BY 1),
+cum AS (
+  SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS cc FROM pv
+), d AS (
+  SELECT n, lam,
+         max(greatest(
+           abs(cc / CAST(n AS DOUBLE) - (1.0 - exp(-lam * v))),
+           abs((cc - cnt) / CAST(n AS DOUBLE) - (1.0 - exp(-lam * v)))
+         )) AS ks
+  FROM cum, s GROUP BY n, lam
+)
+SELECT n AS n_gaps,
+       round(lam * 3600.0, 6) AS lambda_per_hour,
+       round(ks, 6) AS ks_d,
+       round(1.358 / sqrt(CAST(n AS DOUBLE)), 6) AS ks_crit_05,
+       round(ks, 6) <= round(1.358 / sqrt(CAST(n AS DOUBLE)), 6) AS exponential_fit
+FROM d
+"""
+
+QUERIES["ev_interarrival_ks"] = ev_interarrival_ks
+ORACLES["ev_interarrival_ks"] = EV_INTERARRIVAL_KS_SQL

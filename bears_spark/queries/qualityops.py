@@ -1636,3 +1636,71 @@ GROUP BY a.source, b.source ORDER BY source_x, source_y
 
 QUERIES["source_lang_jsd"] = source_lang_jsd
 ORACLES["source_lang_jsd"] = SOURCE_LANG_JSD_SQL
+
+
+# --------------------------------------------------------------------------
+# doc_zipf_fit: Zipf's-law diagnostic — OLS of ln(tf) on ln(rank) over the
+# top-200 vocabulary terms (slope ~ -1 for natural language; a corpus whose
+# slope drifts far from it is boilerplate- or spam-heavy). The regression
+# runs on the 200-row TakeOrderedAndProject output (bounded frame); moments
+# via closed-form averages collected once.
+def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from bears_spark.functions.quality import vocabulary
+
+    docs = load_table(spark, sf_dir, "documents")
+    top = vocabulary(docs, "text", "doc_id").orderBy(F.desc("tf"), "term").limit(200)
+    ranked = top.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("tf"), "term"))
+    ).select(
+        F.log(F.col("rk").cast("double")).alias("x"),
+        F.log(F.col("tf").cast("double")).alias("y"),
+    )
+    m = ranked.agg(
+        F.count("*").alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"),
+        F.avg(F.col("y") * F.col("y")).alias("myy"),
+    ).first()
+    n = int(m["n"])
+    cov = m["mxy"] - m["mx"] * m["my"]
+    varx = m["mxx"] - m["mx"] * m["mx"]
+    vary = m["myy"] - m["my"] * m["my"]
+    slope = cov / varx
+    intercept = m["my"] - slope * m["mx"]
+    r2 = cov * cov / (varx * vary)
+    return docs.sparkSession.range(1).select(
+        F.lit(n).alias("n_terms"),
+        F.round(F.lit(slope), 6).alias("zipf_slope"),
+        F.round(F.lit(intercept), 6).alias("intercept"),
+        F.round(F.lit(r2), 6).alias("r2"),
+    )
+
+
+DOC_ZIPF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents
+), per AS (
+  SELECT term, count(*) AS tf FROM toks GROUP BY term
+), top AS (
+  SELECT term, tf, row_number() OVER (ORDER BY tf DESC, term) AS rk
+  FROM per ORDER BY tf DESC, term LIMIT 200
+), xy AS (
+  SELECT ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(tf AS DOUBLE)) AS y FROM top
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, avg(x) AS mx, avg(y) AS my,
+         avg(x * y) AS mxy, avg(x * x) AS mxx, avg(y * y) AS myy
+  FROM xy
+)
+SELECT n AS n_terms,
+       round((mxy - mx * my) / (mxx - mx * mx), 6) AS zipf_slope,
+       round(my - (mxy - mx * my) / (mxx - mx * mx) * mx, 6) AS intercept,
+       round((mxy - mx * my) * (mxy - mx * my) / ((mxx - mx * mx) * (myy - my * my)), 6) AS r2
+FROM m
+"""
+
+QUERIES["doc_zipf_fit"] = doc_zipf_fit
+ORACLES["doc_zipf_fit"] = DOC_ZIPF_SQL
