@@ -225,6 +225,9 @@ ROUND7_NEVER_GRADED = [
     "streaming_rolling_dau_hll",
     "ev_interarrival_ks",
     "doc_zipf_fit",
+    "emb_matryoshka_recall",
+    "customer_next_order_backtest",
+    "part_return_rate_shrinkage",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

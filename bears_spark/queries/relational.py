@@ -2969,3 +2969,115 @@ LIMIT 15
 
 QUERIES["part_decayed_popularity"] = part_decayed_popularity
 ORACLES["part_decayed_popularity"] = PART_DECAYED_SQL
+
+
+# --------------------------------------------------------------------------
+# customer_next_order_backtest: analytic cadence-model backtest — for each
+# customer with >= 3 distinct order dates, hold out the LAST order and
+# predict its date as (second-last date) + mean training gap. The
+# telescoping identity mean_gap = (second_last - first)/(n_train - 1) turns
+# the whole fit into two aggregates per customer (no window, no sort).
+# Reports MAE and exact interpolated median absolute error in days.
+def customer_next_order_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", F.to_date("o_orderdate").alias("d"))
+        .distinct()
+    )
+    last = od.groupBy("o_custkey").agg(F.max("d").alias("last_d"), F.count("*").alias("n_dates"))
+    train = (
+        od.join(last.select("o_custkey", "last_d"), "o_custkey")
+        .where(F.col("d") < F.col("last_d"))
+        .groupBy("o_custkey")
+        .agg(F.max("d").alias("second_last"), F.min("d").alias("first_d"), F.count("*").alias("n_train"))
+        .where(F.col("n_train") >= 2)
+    )
+    scored = (
+        train.join(last.select("o_custkey", "last_d"), "o_custkey")
+        .select(
+            F.abs(
+                F.datediff("last_d", "second_last").cast("double")
+                - F.datediff("second_last", "first_d") / (F.col("n_train") - 1)
+            ).alias("ae")
+        )
+    )
+    return scored.agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.avg("ae"), 6).alias("mae_days"),
+        F.round(F.expr("percentile(ae, 0.5)"), 6).alias("median_ae_days"),
+    )
+
+
+CUST_BACKTEST_SQL = """
+WITH od AS (
+  SELECT DISTINCT o_custkey, CAST(date_trunc('day', o_orderdate) AS DATE) AS d FROM orders
+), last_t AS (
+  SELECT o_custkey, max(d) AS last_d FROM od GROUP BY 1
+), train AS (
+  SELECT od.o_custkey, max(od.d) AS second_last, min(od.d) AS first_d, count(*) AS n_train
+  FROM od JOIN last_t l ON od.o_custkey = l.o_custkey
+  WHERE od.d < l.last_d
+  GROUP BY 1 HAVING count(*) >= 2
+), scored AS (
+  SELECT abs(CAST(datediff('day', t.second_last, l.last_d) AS DOUBLE)
+             - datediff('day', t.first_d, t.second_last) / (t.n_train - 1.0)) AS ae
+  FROM train t JOIN last_t l ON t.o_custkey = l.o_custkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       round(avg(ae), 6) AS mae_days,
+       round(quantile_cont(ae, 0.5), 6) AS median_ae_days
+FROM scored
+"""
+
+QUERIES["customer_next_order_backtest"] = customer_next_order_backtest
+ORACLES["customer_next_order_backtest"] = CUST_BACKTEST_SQL
+
+
+# --------------------------------------------------------------------------
+# part_return_rate_shrinkage: empirical-Bayes shrinkage of noisy per-part
+# return rates toward the global prior — rate_eb = (returns + a*p0)/(n + a)
+# with pseudo-count a=20. Small-n parts collapse to the prior; high-volume
+# parts keep their empirical rate, so the shrunken top-10 is stable where
+# the raw top-10 is dominated by tiny-sample flukes. Two aggregates + one
+# collected scalar baked back as a literal.
+def part_return_rate_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", (F.col("l_returnflag") == "R").cast("long").alias("ret")
+    )
+    g = li.agg(F.sum("ret"), F.count("*")).first()
+    p0 = float(g[0]) / float(g[1])
+    a = 20.0
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("n"), F.sum("ret").alias("returns"))
+        .select(
+            "l_partkey",
+            "n",
+            "returns",
+            F.round(F.col("returns") / F.col("n"), 6).alias("raw_rate"),
+            F.round((F.col("returns") + F.lit(a * p0)) / (F.col("n") + F.lit(a)), 6).alias("eb_rate"),
+        )
+        .orderBy(F.desc("eb_rate"), "l_partkey")
+        .limit(10)
+    )
+
+
+PART_EB_SQL = """
+WITH g AS (
+  SELECT sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 1.0 / count(*) AS p0
+  FROM lineitem
+), per AS (
+  SELECT l_partkey, count(*) AS n,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returns
+  FROM lineitem GROUP BY 1
+)
+SELECT l_partkey, n, returns,
+       round(returns * 1.0 / n, 6) AS raw_rate,
+       round((returns + 20.0 * p0) / (n + 20.0), 6) AS eb_rate
+FROM per, g
+ORDER BY eb_rate DESC, l_partkey
+LIMIT 10
+"""
+
+QUERIES["part_return_rate_shrinkage"] = part_return_rate_shrinkage
+ORACLES["part_return_rate_shrinkage"] = PART_EB_SQL

@@ -3062,3 +3062,56 @@ SELECT phrase, plen, n_occurrences, score FROM scored ORDER BY score DESC, phras
 
 QUERIES["doc_rake_keyphrases"] = doc_rake_keyphrases
 ORACLES["doc_rake_keyphrases"] = DOC_RAKE_SQL
+
+
+# --------------------------------------------------------------------------
+# emb_matryoshka_recall: how much ANN quality survives truncating the
+# embedding to its 16-dim prefix (Matryoshka representation learning's
+# deployment trick: serve a prefix, keep most of the ranking) — recall@10
+# of the truncated-cosine top-10 against the full 64-dim top-10 for the
+# standard query vector. Two TakeOrderedAndProject scans + a 10x10 bounded
+# join; at 100 TB the truncated scan reads 1/4 of the vector bytes.
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    full = sim.cosine_topk(corpus, "vec_id", "embedding", qrow, k=10).select("vec_id")
+    trunc_corpus = corpus.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    trunc = sim.cosine_topk(trunc_corpus, "vec_id", "embedding", list(qrow[:16]), k=10).select("vec_id")
+    hit = full.join(trunc, "vec_id").count()
+    return emb.sparkSession.range(1).select(
+        F.lit(10).alias("k"),
+        F.lit(16).alias("dim_trunc"),
+        F.lit(hit).alias("n_overlap"),
+        F.round(F.lit(hit / 10.0), 6).alias("recall_at_10"),
+    )
+
+
+_MAT_DOT = "list_sum(list_transform(list_zip({a}, {b}), x -> x[1]::DOUBLE * x[2]::DOUBLE))"
+_MAT_NRM = "sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+
+EMB_MATRYOSHKA_SQL = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+full_top AS (
+  SELECT e.vec_id
+  FROM embeddings e, q
+  WHERE e.vec_id != 0
+  ORDER BY {_MAT_DOT.format(a='e.embedding', b='q.qe')}
+        / ({_MAT_NRM.format(a='e.embedding')} * {_MAT_NRM.format(a='q.qe')}) DESC, e.vec_id ASC
+  LIMIT 10
+),
+trunc_top AS (
+  SELECT e.vec_id
+  FROM embeddings e, q
+  WHERE e.vec_id != 0
+  ORDER BY {_MAT_DOT.format(a='e.embedding[1:16]', b='q.qe[1:16]')}
+        / ({_MAT_NRM.format(a='e.embedding[1:16]')} * {_MAT_NRM.format(a='q.qe[1:16]')}) DESC, e.vec_id ASC
+  LIMIT 10
+)
+SELECT 10 AS k, 16 AS dim_trunc,
+       CAST((SELECT count(*) FROM full_top f JOIN trunc_top t ON f.vec_id = t.vec_id) AS BIGINT) AS n_overlap,
+       round((SELECT count(*) FROM full_top f JOIN trunc_top t ON f.vec_id = t.vec_id) / 10.0, 6) AS recall_at_10
+"""
+
+QUERIES["emb_matryoshka_recall"] = emb_matryoshka_recall
+ORACLES["emb_matryoshka_recall"] = EMB_MATRYOSHKA_SQL
