@@ -228,6 +228,10 @@ ROUND7_NEVER_GRADED = [
     "emb_matryoshka_recall",
     "customer_next_order_backtest",
     "part_return_rate_shrinkage",
+    "ev_growth_accounting",
+    "ev_user_stickiness",
+    "ann_filtered_topk",
+    "streaming_ohlc",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

@@ -3219,3 +3219,178 @@ FROM d
 
 QUERIES["ev_interarrival_ks"] = ev_interarrival_ks
 ORACLES["ev_interarrival_ks"] = EV_INTERARRIVAL_KS_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_growth_accounting: the standard growth-accounting decomposition — per
+# day, active users split into NEW (first-ever day), RETAINED (also active
+# the previous day), RESURRECTED (seen before, not yesterday); plus CHURNED
+# (active yesterday, not today, attributed to today). All from the
+# (user, day) grain with per-user lag/min windows (partition key = user_id:
+# high-cardinality, SF-uniform) — no day-range joins, no global windows.
+def ev_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    flags = (
+        ud.withColumn("prev_d", F.lag("d").over(w))
+        .withColumn("first_d", F.min("d").over(w))
+        .select(
+            "d",
+            F.when(F.col("d") == F.col("first_d"), "new")
+            .when(F.datediff("d", "prev_d") == 1, "retained")
+            .otherwise("resurrected")
+            .alias("stage"),
+        )
+    )
+    counts = flags.groupBy("d").pivot("stage", ["new", "retained", "resurrected"]).count().na.fill(0)
+    churned = (
+        ud.withColumn("next_d", F.lead("d").over(w))
+        .where(F.col("next_d").isNull() | (F.datediff("next_d", "d") > 1))
+        .select(F.date_add("d", 1).alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").alias("churned"))
+    )
+    days = ud.select("d").distinct()
+    return (
+        days.join(counts, "d", "left")
+        .join(churned, "d", "left")
+        .na.fill(0)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("new").cast("long").alias("new"),
+            F.col("retained").cast("long").alias("retained"),
+            F.col("resurrected").cast("long").alias("resurrected"),
+            F.col("churned").cast("long").alias("churned"),
+        )
+        .orderBy("day")
+    )
+
+
+EV_GROWTH_SQL = """
+WITH ud AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id FROM events
+), flagged AS (
+  SELECT d,
+         CASE WHEN d = min(d) OVER (PARTITION BY user_id) THEN 'new'
+              WHEN datediff('day', lag(d) OVER (PARTITION BY user_id ORDER BY d), d) = 1 THEN 'retained'
+              ELSE 'resurrected' END AS stage
+  FROM ud
+), counts AS (
+  SELECT d,
+         CAST(count(*) FILTER (stage = 'new') AS BIGINT) AS new,
+         CAST(count(*) FILTER (stage = 'retained') AS BIGINT) AS retained,
+         CAST(count(*) FILTER (stage = 'resurrected') AS BIGINT) AS resurrected
+  FROM flagged GROUP BY 1
+), churn AS (
+  SELECT d + INTERVAL 1 DAY AS d, CAST(count(*) AS BIGINT) AS churned
+  FROM (
+    SELECT d, lead(d) OVER (PARTITION BY user_id ORDER BY d) AS next_d FROM ud
+  )
+  WHERE next_d IS NULL OR datediff('day', d, next_d) > 1
+  GROUP BY 1
+), days AS (SELECT DISTINCT d FROM ud)
+SELECT strftime(days.d, '%Y-%m-%d') AS day,
+       coalesce(c.new, 0) AS new,
+       coalesce(c.retained, 0) AS retained,
+       coalesce(c.resurrected, 0) AS resurrected,
+       coalesce(ch.churned, 0) AS churned
+FROM days LEFT JOIN counts c ON days.d = c.d
+LEFT JOIN churn ch ON days.d = CAST(ch.d AS DATE)
+ORDER BY day
+"""
+
+QUERIES["ev_growth_accounting"] = ev_growth_accounting
+ORACLES["ev_growth_accounting"] = EV_GROWTH_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_user_stickiness: DAU / MAU(trailing 30d) per day — the canonical
+# product-engagement ratio. Both distinct counts come from the (day, user)
+# grain exploded map-side into covered window-end days (window length 1 and
+# 30), one exchange each; never a day-range join.
+def ev_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = ud.select("d").distinct()
+    dau = ud.groupBy("d").agg(F.countDistinct("user_id").alias("dau"))
+    cov = ud.select(F.explode(F.expr("sequence(d, date_add(d, 29))")).alias("wd"), "user_id")
+    mau = (
+        cov.join(days.withColumnRenamed("d", "wd"), "wd")
+        .groupBy("wd")
+        .agg(F.countDistinct("user_id").alias("mau"))
+        .withColumnRenamed("wd", "d")
+    )
+    return (
+        dau.join(mau, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "mau",
+            F.round(F.col("dau") / F.col("mau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+EV_STICKINESS_SQL = """
+WITH ud AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id FROM events
+), days AS (SELECT DISTINCT d FROM ud),
+dau AS (SELECT d, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+mau AS (
+  SELECT days.d, count(DISTINCT ud.user_id) AS mau
+  FROM days JOIN ud ON ud.d BETWEEN days.d - INTERVAL 29 DAY AND days.d
+  GROUP BY 1
+)
+SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, mau.mau,
+       round(dau.dau * 1.0 / mau.mau, 6) AS stickiness
+FROM dau JOIN mau ON dau.d = mau.d
+ORDER BY day
+"""
+
+QUERIES["ev_user_stickiness"] = ev_user_stickiness
+ORACLES["ev_user_stickiness"] = EV_STICKINESS_SQL
+
+
+# --------------------------------------------------------------------------
+# streaming_ohlc: the hourly OHLC bars maintained by the STREAM — min_by/
+# max_by/min/max/count are all order-insensitive aggregates, so complete-
+# mode micro-batch state equals the batch bars exactly and the job grades
+# against the batch ev_value_ohlc oracle. State: one row per hour.
+def streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev_s = _events_stream(spark, sf_dir).where(F.col("value").isNotNull())
+    b = ev_s.select(
+        F.date_trunc("hour", "ts").alias("h"),
+        "value",
+        F.struct("ts", "event_id").alias("ord"),
+    )
+    bars = b.groupBy("h").agg(
+        F.min_by("value", "ord").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ord").alias("close"),
+        F.count("*").alias("n_events"),
+    )
+    sink = "streaming_ohlc_sink"
+    q = (
+        bars.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return (
+        spark.table(sink)
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH").alias("hour"),
+            "open", "high", "low", "close", "n_events",
+        )
+        .orderBy("hour")
+    )
+
+
+QUERIES["streaming_ohlc"] = streaming_ohlc
+ORACLES["streaming_ohlc"] = EV_OHLC_SQL

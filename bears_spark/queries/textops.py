@@ -3115,3 +3115,35 @@ SELECT 10 AS k, 16 AS dim_trunc,
 
 QUERIES["emb_matryoshka_recall"] = emb_matryoshka_recall
 ORACLES["emb_matryoshka_recall"] = EMB_MATRYOSHKA_SQL
+
+
+# --------------------------------------------------------------------------
+# ann_filtered_topk: metadata-filtered vector search — exact cosine top-10
+# restricted to corpus vectors whose label matches the query vector's label
+# (the filtered-ANN shape every vector store serves). The label predicate
+# sits UNDER the scan (PushedFilters), so the ranking scans only the
+# qualifying stripe; plan stays TakeOrderedAndProject.
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding", "label").first()
+    corpus = emb.filter((F.col("vec_id") != 0) & (F.col("label") == int(q["label"])))
+    top = sim.cosine_topk(corpus, "vec_id", "embedding", q["embedding"], k=10)
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+_ANN_F_DOT = "list_sum(list_transform(list_zip(e.embedding, q.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE))"
+_ANN_F_NA = "sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+_ANN_F_NB = "sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+
+ANN_FILTERED_SQL = f"""
+WITH q AS (SELECT embedding, label FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id AS vec_id,
+       round({_ANN_F_DOT} / ({_ANN_F_NA} * {_ANN_F_NB}), 6) AS cosine
+FROM embeddings e, q
+WHERE e.vec_id != 0 AND e.label = q.label
+ORDER BY {_ANN_F_DOT} / ({_ANN_F_NA} * {_ANN_F_NB}) DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+QUERIES["ann_filtered_topk"] = ann_filtered_topk
+ORACLES["ann_filtered_topk"] = ANN_FILTERED_SQL
