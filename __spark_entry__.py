@@ -232,6 +232,9 @@ ROUND7_NEVER_GRADED = [
     "ev_user_stickiness",
     "ann_filtered_topk",
     "streaming_ohlc",
+    "ev_ab_power_analysis",
+    "ev_burst_detection",
+    "orders_fd_violations",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

@@ -3394,3 +3394,99 @@ def streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["streaming_ohlc"] = streaming_ohlc
 ORACLES["streaming_ohlc"] = EV_OHLC_SQL
+
+
+
+_Z_ALPHA = 1.959963984540054  # two-sided alpha = 0.05
+_Z_BETA = 0.8416212335729143  # power = 0.80
+
+
+# --------------------------------------------------------------------------
+# ev_ab_power_analysis: experiment DESIGN readout — given the observed
+# per-user value-total distribution, the per-arm sample size needed to
+# detect a 5% relative lift at alpha=0.05 (two-sided), power 0.80:
+# n = 2 (z_a + z_b)^2 var / (mde * mean)^2. One bounded aggregate; the
+# variance is the closed-form sample variance of per-user totals (the same
+# unit of analysis ev_ab_welch tests on).
+def ev_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    per_user = ev.groupBy("user_id").agg(F.sum("value").alias("x"))
+    m = per_user.agg(
+        F.count("*").alias("n"),
+        F.avg("x").alias("mean"),
+        F.var_samp("x").alias("var"),
+    ).first()
+    mean, var = float(m["mean"]), float(m["var"])
+    mde_abs = 0.05 * mean
+    n_per_arm = 2.0 * (_Z_ALPHA + _Z_BETA) ** 2 * var / (mde_abs * mde_abs)
+    import math
+
+    return ev.sparkSession.range(1).select(
+        F.lit(int(m["n"])).alias("n_users_observed"),
+        F.round(F.lit(mean), 6).alias("mean_per_user"),
+        F.round(F.lit(var), 6).alias("var_per_user"),
+        F.round(F.lit(mde_abs), 6).alias("mde_abs"),
+        F.lit(int(math.ceil(n_per_arm))).alias("n_per_arm"),
+    )
+
+
+EV_POWER_SQL = f"""
+WITH per_user AS (
+  SELECT user_id, sum(value) AS x FROM events WHERE value IS NOT NULL GROUP BY 1
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, avg(x) AS mean, var_samp(x) AS var FROM per_user
+)
+SELECT n AS n_users_observed,
+       round(mean, 6) AS mean_per_user,
+       round(var, 6) AS var_per_user,
+       round(0.05 * mean, 6) AS mde_abs,
+       CAST(ceil(2.0 * power({_Z_ALPHA} + {_Z_BETA}, 2) * var / power(0.05 * mean, 2)) AS BIGINT) AS n_per_arm
+FROM m
+"""
+
+QUERIES["ev_ab_power_analysis"] = ev_ab_power_analysis
+ORACLES["ev_ab_power_analysis"] = EV_POWER_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_burst_detection: hourly event-rate bursts — an hour alarms when its
+# count exceeds 2x the trailing-24h mean (excluding itself) with at least
+# 24h of history. Windows run over the HOUR-grain aggregate (<= 24*366 rows
+# per year — calendar-bounded), allowlisted like the other day/hour-grain
+# series.
+def ev_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(F.count("*").alias("n"))
+    w = Window.orderBy("h").rowsBetween(-24, -1)
+    scored = (
+        hourly.withColumn("baseline", F.avg("n").over(w))
+        .withColumn("n_hist", F.count("*").over(w))
+        .where((F.col("n_hist") >= 24) & (F.col("n") > 2.0 * F.col("baseline")))
+    )
+    return scored.select(
+        F.date_format("h", "yyyy-MM-dd HH").alias("hour"),
+        "n",
+        F.round("baseline", 6).alias("baseline_24h"),
+        F.round(F.col("n") / F.col("baseline"), 6).alias("burst_ratio"),
+    ).orderBy("hour")
+
+
+EV_BURST_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS n FROM events GROUP BY 1
+), scored AS (
+  SELECT h, n,
+         avg(n) OVER (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS baseline,
+         count(*) OVER (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS n_hist
+  FROM hourly
+)
+SELECT strftime(h, '%Y-%m-%d %H') AS hour, n,
+       round(baseline, 6) AS baseline_24h,
+       round(n / baseline, 6) AS burst_ratio
+FROM scored
+WHERE n_hist >= 24 AND n > 2.0 * baseline
+ORDER BY hour
+"""
+
+QUERIES["ev_burst_detection"] = ev_burst_detection
+ORACLES["ev_burst_detection"] = EV_BURST_SQL

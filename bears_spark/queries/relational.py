@@ -3081,3 +3081,66 @@ LIMIT 10
 
 QUERIES["part_return_rate_shrinkage"] = part_return_rate_shrinkage
 ORACLES["part_return_rate_shrinkage"] = PART_EB_SQL
+
+
+# --------------------------------------------------------------------------
+# orders_fd_violations: Deequ-style functional-dependency profiling — for
+# each candidate FD lhs -> rhs, the number of lhs values that map to more
+# than one rhs (violations), the worst fan-out, and whether the FD holds.
+# Each check is one groupBy(lhs) + one tiny aggregate; candidates over the
+# orders table's natural column pairs.
+def orders_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    candidates = [
+        ("o_orderkey", "o_custkey"),
+        ("o_orderkey", "o_orderstatus"),
+        ("o_custkey", "o_orderpriority"),
+        ("o_orderpriority", "o_orderstatus"),
+        ("o_custkey", "o_orderstatus"),
+    ]
+    parts = []
+    for lhs, rhs in candidates:
+        per = od.groupBy(lhs).agg(F.countDistinct(rhs).alias("k"))
+        parts.append(
+            per.agg(
+                F.lit(f"{lhs}->{rhs}").alias("fd"),
+                F.count("*").alias("n_lhs"),
+                F.sum((F.col("k") > 1).cast("long")).alias("n_violating"),
+                F.max("k").alias("max_fanout"),
+            ).withColumn("holds", F.col("n_violating") == 0)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("fd")
+
+
+ORDERS_FD_SQL = """
+WITH checks AS (
+  SELECT 'o_orderkey->o_custkey' AS fd, count(*) AS n_lhs,
+         CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+         max(k) AS max_fanout
+  FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS k FROM orders GROUP BY 1)
+  UNION ALL
+  SELECT 'o_orderkey->o_orderstatus', count(*),
+         CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT), max(k)
+  FROM (SELECT o_orderkey, count(DISTINCT o_orderstatus) AS k FROM orders GROUP BY 1)
+  UNION ALL
+  SELECT 'o_custkey->o_orderpriority', count(*),
+         CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT), max(k)
+  FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS k FROM orders GROUP BY 1)
+  UNION ALL
+  SELECT 'o_orderpriority->o_orderstatus', count(*),
+         CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT), max(k)
+  FROM (SELECT o_orderpriority, count(DISTINCT o_orderstatus) AS k FROM orders GROUP BY 1)
+  UNION ALL
+  SELECT 'o_custkey->o_orderstatus', count(*),
+         CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT), max(k)
+  FROM (SELECT o_custkey, count(DISTINCT o_orderstatus) AS k FROM orders GROUP BY 1)
+)
+SELECT fd, n_lhs, n_violating, max_fanout, n_violating = 0 AS holds
+FROM checks ORDER BY fd
+"""
+
+QUERIES["orders_fd_violations"] = orders_fd_violations
+ORACLES["orders_fd_violations"] = ORDERS_FD_SQL

@@ -156,6 +156,7 @@ WINDOW_UNPARTITIONED_ALLOW: dict[str, str] = {
     "cust_target_encoding": "window over the (mktsegment x fold) aggregate — bounded category domain",
     "cust_woe_urgency": "window over the mktsegment aggregate — bounded category domain",
     "ev_ma_crossover": "moving averages over the day-grain aggregate — bounded calendar domain",
+    "ev_burst_detection": "trailing baseline over the hour-grain aggregate — bounded calendar domain",
 }
 
 
