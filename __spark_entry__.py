@@ -235,6 +235,9 @@ ROUND7_NEVER_GRADED = [
     "ev_ab_power_analysis",
     "ev_burst_detection",
     "orders_fd_violations",
+    "ev_slo_bands",
+    "moments_merge_proof",
+    "streaming_burst_detection",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

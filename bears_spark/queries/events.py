@@ -3490,3 +3490,74 @@ ORDER BY hour
 
 QUERIES["ev_burst_detection"] = ev_burst_detection
 ORACLES["ev_burst_detection"] = EV_BURST_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_slo_bands: the operational SLO dashboard readout — exact p50/p95/p99
+# of value per (event_type, day). Exact interpolated percentile is a
+# partial-aggregable Spark built-in; grain is (types x days), bounded.
+def ev_slo_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    return (
+        ev.groupBy("event_type", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+EV_SLO_SQL = """
+SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2 ORDER BY event_type, day
+"""
+
+QUERIES["ev_slo_bands"] = ev_slo_bands
+ORACLES["ev_slo_bands"] = EV_SLO_SQL
+
+
+# --------------------------------------------------------------------------
+# streaming_burst_detection: the stream maintains hourly counts (bounded
+# state: one row per hour); the batch readout applies the trailing-24h
+# baseline rule. Counting is order-insensitive, so the streamed hourly
+# grain equals batch exactly and the job grades against the batch
+# ev_burst_detection oracle.
+def streaming_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev_s = _events_stream(spark, sf_dir)
+    hourly_s = ev_s.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(F.count("*").alias("n"))
+    sink = "streaming_burst_sink"
+    q = (
+        hourly_s.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    hourly = spark.table(sink)
+    w = Window.orderBy("h").rowsBetween(-24, -1)
+    scored = (
+        hourly.withColumn("baseline", F.avg("n").over(w))
+        .withColumn("n_hist", F.count("*").over(w))
+        .where((F.col("n_hist") >= 24) & (F.col("n") > 2.0 * F.col("baseline")))
+    )
+    return scored.select(
+        F.date_format("h", "yyyy-MM-dd HH").alias("hour"),
+        "n",
+        F.round("baseline", 6).alias("baseline_24h"),
+        F.round(F.col("n") / F.col("baseline"), 6).alias("burst_ratio"),
+    ).orderBy("hour")
+
+QUERIES["streaming_burst_detection"] = streaming_burst_detection
+ORACLES["streaming_burst_detection"] = EV_BURST_SQL

@@ -622,3 +622,94 @@ FROM est ORDER BY day
 
 QUERIES["ev_rolling_dau_hll"] = ev_rolling_dau_hll
 ORACLES["ev_rolling_dau_hll"] = EV_ROLLING_DAU_HLL_SQL
+
+
+# --------------------------------------------------------------------------
+# moments_merge_proof: mergeability proof for the moments sketch (n, sum x,
+# sum x^2, sum x^3, sum x^4) — per-event-type partials summed component-wise
+# must reproduce the direct global mean/variance/skewness/kurtosis exactly
+# in integer-free closed forms. This is the identity that makes one-pass
+# distributed stddev/skew/kurt valid (partials combine associatively across
+# executors or micro-batches). Sums are computed over value rounded to 3 dp
+# and scaled to integers so the proof is exact integer arithmetic - no
+# float-order caveats in the graded fact.
+def moments_merge_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    x = F.round(F.col("value"), 3) * 1000  # exact integer-valued doubles
+    # powers up to x^4 overflow int64 (xi ~ 6e5 -> xi^4 ~ 1.3e23), so the
+    # sketch state lives in DECIMAL(38,0) — exact integer arithmetic with
+    # 38 digits of headroom; DuckDB mirrors with HUGEINT (int128)
+    v = ev.select("event_type", x.cast("decimal(38,0)").alias("xi"))
+    d38 = "decimal(38,0)"
+    xi2 = (F.col("xi") * F.col("xi")).cast(d38)
+    powers = [
+        F.count("*").alias("n"),
+        F.sum("xi").cast(d38).alias("s1"),
+        F.sum(xi2).cast(d38).alias("s2"),
+        F.sum((xi2 * F.col("xi")).cast(d38)).cast(d38).alias("s3"),
+        F.sum((xi2 * xi2).cast(d38)).cast(d38).alias("s4"),
+    ]
+    direct = v.agg(*powers).select(F.lit("direct").alias("variant"), "n", "s1", "s2", "s3", "s4")
+    merged = (
+        v.groupBy("event_type")
+        .agg(*powers)
+        .groupBy()
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s1").cast("decimal(38,0)").alias("s1"),
+            F.sum("s2").cast("decimal(38,0)").alias("s2"),
+            F.sum("s3").cast("decimal(38,0)").alias("s3"),
+            F.sum("s4").cast("decimal(38,0)").alias("s4"),
+        )
+        .select(F.lit("merged").alias("variant"), "n", "s1", "s2", "s3", "s4")
+    )
+    out = direct.unionByName(merged)
+    mean = F.col("s1").cast("double") / F.col("n")
+    m2 = F.col("s2").cast("double") / F.col("n") - mean * mean
+    # s1/s2 fit int64; s3/s4 exceed it, so they travel as canonical decimal
+    # STRINGS — the comparator stringifies values, and pandas would round a
+    # HUGEINT/decimal through float64 otherwise
+    return out.select(
+        "variant",
+        "n",
+        F.col("s1").cast("long").alias("s1"),
+        F.col("s2").cast("long").alias("s2"),
+        F.col("s3").cast("string").alias("s3"),
+        F.col("s4").cast("string").alias("s4"),
+        F.round(mean / 1000.0, 6).alias("mean"),
+        F.round(F.sqrt(m2) / 1000.0, 6).alias("std_pop"),
+    ).orderBy("variant")
+
+
+MOMENTS_MERGE_SQL = """
+WITH v AS (
+  SELECT event_type, CAST(CAST(round(value, 3) * 1000 AS BIGINT) AS HUGEINT) AS xi
+  FROM events WHERE value IS NOT NULL
+), direct AS (
+  SELECT 'direct' AS variant, CAST(count(*) AS BIGINT) AS n,
+         sum(xi) AS s1,
+         sum(xi * xi) AS s2,
+         sum(xi * xi * xi) AS s3,
+         sum(xi * xi * xi * xi) AS s4
+  FROM v
+), partials AS (
+  SELECT event_type, count(*) AS n, sum(xi) AS s1, sum(xi * xi) AS s2,
+         sum(xi * xi * xi) AS s3, sum(xi * xi * xi * xi) AS s4
+  FROM v GROUP BY 1
+), merged AS (
+  SELECT 'merged' AS variant, CAST(sum(n) AS BIGINT) AS n,
+         sum(s1) AS s1, sum(s2) AS s2, sum(s3) AS s3, sum(s4) AS s4
+  FROM partials
+), u AS (
+  SELECT * FROM direct UNION ALL SELECT * FROM merged
+)
+SELECT variant, n,
+       CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
+       CAST(s3 AS VARCHAR) AS s3, CAST(s4 AS VARCHAR) AS s4,
+       round(s1 * 1.0 / n / 1000.0, 6) AS mean,
+       round(sqrt(s2 * 1.0 / n - (s1 * 1.0 / n) * (s1 * 1.0 / n)) / 1000.0, 6) AS std_pop
+FROM u ORDER BY variant
+"""
+
+QUERIES["moments_merge_proof"] = moments_merge_proof
+ORACLES["moments_merge_proof"] = MOMENTS_MERGE_SQL

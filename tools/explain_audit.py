@@ -157,6 +157,7 @@ WINDOW_UNPARTITIONED_ALLOW: dict[str, str] = {
     "cust_woe_urgency": "window over the mktsegment aggregate — bounded category domain",
     "ev_ma_crossover": "moving averages over the day-grain aggregate — bounded calendar domain",
     "ev_burst_detection": "trailing baseline over the hour-grain aggregate — bounded calendar domain",
+    "streaming_burst_detection": "trailing baseline over the streamed hour-grain state — bounded calendar domain",
 }
 
 
