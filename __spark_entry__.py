@@ -238,6 +238,8 @@ ROUND7_NEVER_GRADED = [
     "ev_slo_bands",
     "moments_merge_proof",
     "streaming_burst_detection",
+    "orders_naive_bayes_eval",
+    "supplier_degree_assortativity",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

@@ -249,3 +249,88 @@ SELECT d, n_suppliers FROM (
 
 QUERIES["supplier_bfs_distance"] = supplier_bfs_distance
 ORACLES["supplier_bfs_distance"] = SUPPLIER_BFS_SQL
+
+
+# --------------------------------------------------------------------------
+# supplier_degree_assortativity: degree-assortativity coefficient of the
+# supplier co-supply graph — the Pearson correlation of endpoint degrees
+# over edges (positive: hubs link to hubs). Degrees come from one groupBy
+# over the bounded co-supply edge set; the correlation is closed-form
+# moments over edges.
+def supplier_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    a, b = ps.alias("a"), ps.alias("b")
+    edges = (
+        a.join(b, "pk")
+        .where(F.col("a.sk") < F.col("b.sk"))
+        .select(F.col("a.sk").alias("u"), F.col("b.sk").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ed = edges.join(du, "u").join(dv, "v")
+    # symmetrize: each edge contributes (du,dv) and (dv,du)
+    pairs = ed.select(F.col("du").alias("x"), F.col("dv").alias("y")).unionAll(
+        ed.select(F.col("dv").alias("x"), F.col("du").alias("y"))
+    )
+    m = pairs.agg(
+        F.count("*").alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"),
+    ).first()
+    cov = m["mxy"] - m["mx"] * m["mx"]
+    var = m["mxx"] - m["mx"] * m["mx"]
+    # a regular graph (all endpoint degrees equal, e.g. the complete
+    # co-supply graph tiny SFs produce) has zero degree variance —
+    # assortativity is undefined; report 0 by convention on both engines
+    r = cov / var if var != 0 else 0.0
+    return ps.sparkSession.range(1).select(
+        F.lit(int(m["n"]) // 2).alias("n_edges"),
+        F.round(F.lit(float(m["mx"])), 6).alias("mean_degree_at_edge"),
+        F.round(F.lit(float(r)), 6).alias("assortativity"),
+    )
+
+
+SUPPLIER_ASSORT_SQL = """
+WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.sk AS u, b.sk AS v
+  FROM ps a JOIN ps b ON a.pk = b.pk WHERE a.sk < b.sk
+),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY 1
+),
+ed AS (
+  SELECT du.deg AS du, dv.deg AS dv
+  FROM edges e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+),
+pairs AS (
+  SELECT du AS x, dv AS y FROM ed UNION ALL SELECT dv, du FROM ed
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, avg(x) AS mx,
+         avg(x * y) AS mxy, avg(x * x) AS mxx
+  FROM pairs
+)
+SELECT n // 2 AS n_edges,
+       round(mx, 6) AS mean_degree_at_edge,
+       round(CASE WHEN mxx - mx * mx = 0 THEN 0.0
+                  ELSE (mxy - mx * mx) / (mxx - mx * mx) END, 6) AS assortativity
+FROM m
+"""
+
+QUERIES["supplier_degree_assortativity"] = supplier_degree_assortativity
+ORACLES["supplier_degree_assortativity"] = SUPPLIER_ASSORT_SQL

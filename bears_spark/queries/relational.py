@@ -2830,9 +2830,15 @@ ORACLES["part_item_cosine"] = PART_ITEM_COSINE_SQL
 # never a user x catalog cross join; per-customer top-3 is a
 # WindowGroupLimit on the customer key.
 def part_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    from bears_spark.caching import scoped_persist
+
+    # ps and owned each feed multiple downstream plans (pair join + freq;
+    # top-10 fit + the per-customer sets) — persist once, scoped-drained
+    li = scoped_persist(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    owned = (
+    owned = scoped_persist(
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select("o_custkey", "l_partkey")
         .distinct()
@@ -2845,30 +2851,41 @@ def part_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey")
     )
     freq = li.groupBy("l_partkey").agg(F.count("*").alias("nf"))
-    a, b = li.alias("a"), li.alias("b")
-    half = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+    # only the 10 selected customers ever reach `scored`, so BOTH the
+    # ownership probe and the already-owned exclusion run against the tiny
+    # broadcast per-customer sets — the anti join must not rescan the full
+    # corpus ownership table
+    cust_owned = scoped_persist(owned.join(F.broadcast(top_cust), "o_custkey"))
+    # query-driven pruning of candidate generation: similarity rows are only
+    # consumed with pa IN (the selected customers' parts), so the pair join's
+    # LEFT side is pre-filtered to those rows BEFORE the shuffle — directed
+    # (pa, pb) counts over a P-sized left input instead of the full catalog's
+    # symmetric half-pairs (part_item_cosine keeps the full-catalog variant)
+    p_parts = cust_owned.select("l_partkey").distinct()
+    a = li.join(F.broadcast(p_parts), "l_partkey").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("pa") != F.col("pb"))
+        .groupBy("pa", "pb")
         .agg(F.count("*").alias("cooc"))
         .where(F.col("cooc") >= 2)
     )
-    sym = half.unionByName(half.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"), "cooc"))
     fa = freq.select(F.col("l_partkey").alias("pa"), F.col("nf").alias("na"))
     fb = freq.select(F.col("l_partkey").alias("pb"), F.col("nf").alias("nb"))
     sims = (
-        sym.join(fa, "pa")
+        pairs.join(fa, "pa")
         .join(fb, "pb")
         .select("pa", "pb", (F.col("cooc") / F.sqrt(F.col("na") * F.col("nb"))).alias("sim"))
     )
-    cust_owned = owned.join(F.broadcast(top_cust), "o_custkey")
     scored = (
         cust_owned.join(sims, cust_owned.l_partkey == sims.pa)
         .join(
-            owned.select(F.col("o_custkey").alias("c2"), F.col("l_partkey").alias("p2")),
+            F.broadcast(
+                cust_owned.select(F.col("o_custkey").alias("c2"), F.col("l_partkey").alias("p2"))
+            ),
             (F.col("o_custkey") == F.col("c2")) & (F.col("pb") == F.col("p2")),
             "left_anti",
         )
@@ -3144,3 +3161,122 @@ FROM checks ORDER BY fd
 
 QUERIES["orders_fd_violations"] = orders_fd_violations
 ORACLES["orders_fd_violations"] = ORDERS_FD_SQL
+
+
+# --------------------------------------------------------------------------
+# orders_naive_bayes_eval: a complete train -> score -> evaluate ML loop as
+# one declarative plan — multinomial Naive Bayes predicting o_orderpriority
+# from (customer mktsegment, order month) with Laplace smoothing, split by
+# md5 hash (80/20). The model is two tiny aggregate tables broadcast back
+# onto the test rows; argmax runs per test order via WindowGroupLimit on
+# the rounded score (deterministic tie-break by class).
+def orders_naive_bayes_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.hashing import md5_hash64
+
+    od = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rows = (
+        od.join(cust, od.o_custkey == cust.c_custkey)
+        .select(
+            "o_orderkey",
+            F.col("o_orderpriority").alias("y"),
+            F.col("c_mktsegment").alias("f1"),
+            F.month("o_orderdate").cast("string").alias("f2"),
+            (md5_hash64("o_orderkey", salt="nb") % 5 == 0).alias("is_test"),
+        )
+    )
+    train = rows.where(~F.col("is_test"))
+    test = rows.where(F.col("is_test"))
+    n_train = train.count()
+    classes = train.groupBy("y").agg(F.count("*").alias("cy"))
+    k = classes.count()
+    # Laplace-smoothed log P(f|y) per feature; domain sizes for smoothing
+    like = {}
+    dom = {}
+    for f in ("f1", "f2"):
+        dom[f] = train.select(f).distinct().count()
+        like[f] = train.groupBy("y", f).agg(F.count("*").alias(f"c_{f}"))
+    # class fan-out as a literal-array explode (bounded label domain,
+    # collected once) — map-side x|classes| fanout, no BroadcastNestedLoopJoin
+    cls = sorted(r["y"] for r in classes.select("y").collect())
+    scored = (
+        test.withColumn("yc", F.explode(F.array(*[F.lit(c) for c in cls])))
+        .join(F.broadcast(classes.withColumnRenamed("y", "yc")), "yc")
+        .join(
+            F.broadcast(like["f1"].withColumnRenamed("y", "yc")),
+            ["yc", "f1"],
+            "left",
+        )
+        .join(
+            F.broadcast(like["f2"].withColumnRenamed("y", "yc")),
+            ["yc", "f2"],
+            "left",
+        )
+        .select(
+            "o_orderkey",
+            "y",
+            "yc",
+            F.round(
+                F.log(F.col("cy") / F.lit(float(n_train)))
+                + F.log(
+                    (F.coalesce(F.col("c_f1"), F.lit(0)) + 1.0)
+                    / (F.col("cy") + F.lit(float(dom["f1"])))
+                )
+                + F.log(
+                    (F.coalesce(F.col("c_f2"), F.lit(0)) + 1.0)
+                    / (F.col("cy") + F.lit(float(dom["f2"])))
+                ),
+                9,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("score"), F.asc("yc"))
+    pred = scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    return pred.agg(
+        F.lit(n_train).alias("n_train"),
+        F.count("*").alias("n_test"),
+        F.sum((F.col("yc") == F.col("y")).cast("long")).alias("n_correct"),
+        F.round(F.avg((F.col("yc") == F.col("y")).cast("double")), 6).alias("accuracy"),
+    )
+
+
+NB_HASH = "('0x' || substr(md5('nb' || ':' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT"
+
+ORDERS_NB_SQL = f"""
+WITH rows_ AS (
+  SELECT o.o_orderkey, o.o_orderpriority AS y, c.c_mktsegment AS f1,
+         CAST(month(o.o_orderdate) AS VARCHAR) AS f2,
+         {NB_HASH} % 5 = 0 AS is_test
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), train AS (SELECT * FROM rows_ WHERE NOT is_test),
+test AS (SELECT * FROM rows_ WHERE is_test),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n_train FROM train),
+classes AS (SELECT y, count(*) AS cy FROM train GROUP BY 1),
+d1 AS (SELECT count(DISTINCT f1) AS v FROM train),
+d2 AS (SELECT count(DISTINCT f2) AS v FROM train),
+l1 AS (SELECT y, f1, count(*) AS c_f1 FROM train GROUP BY 1, 2),
+l2 AS (SELECT y, f2, count(*) AS c_f2 FROM train GROUP BY 1, 2),
+scored AS (
+  SELECT t.o_orderkey, t.y, cl.y AS yc,
+         round(ln(cl.cy * 1.0 / nt.n_train)
+               + ln((coalesce(l1.c_f1, 0) + 1.0) / (cl.cy + d1.v))
+               + ln((coalesce(l2.c_f2, 0) + 1.0) / (cl.cy + d2.v)), 9) AS score
+  FROM test t
+  CROSS JOIN classes cl
+  CROSS JOIN nt CROSS JOIN d1 CROSS JOIN d2
+  LEFT JOIN l1 ON l1.y = cl.y AND l1.f1 = t.f1
+  LEFT JOIN l2 ON l2.y = cl.y AND l2.f2 = t.f2
+), pred AS (
+  SELECT o_orderkey, y, yc,
+         row_number() OVER (PARTITION BY o_orderkey ORDER BY score DESC, yc) AS rk
+  FROM scored
+)
+SELECT (SELECT n_train FROM nt) AS n_train,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN yc = y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       round(avg(CASE WHEN yc = y THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+FROM pred WHERE rk = 1
+"""
+
+QUERIES["orders_naive_bayes_eval"] = orders_naive_bayes_eval
+ORACLES["orders_naive_bayes_eval"] = ORDERS_NB_SQL
