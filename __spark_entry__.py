@@ -240,6 +240,9 @@ ROUND7_NEVER_GRADED = [
     "streaming_burst_detection",
     "orders_naive_bayes_eval",
     "supplier_degree_assortativity",
+    "source_oov_rate",
+    "source_type_token_ratio",
+    "corpus_heaps_law",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

@@ -1704,3 +1704,205 @@ FROM m
 
 QUERIES["doc_zipf_fit"] = doc_zipf_fit
 ORACLES["doc_zipf_fit"] = DOC_ZIPF_SQL
+
+
+
+def _ws_tokens(df):
+    """(doc_id, source, term) whitespace tokens — mirrors _DUCK_TOKS."""
+    return df.select(
+        "doc_id", "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+
+
+# --------------------------------------------------------------------------
+# source_oov_rate: out-of-vocabulary rate per source against the corpus
+# top-100 vocabulary — the coverage check run before committing to a fixed
+# tokenizer/vocab. Reference vocab = top-100 terms by tf
+# (TakeOrderedAndProject), broadcast back; per-source OOV is one aggregate.
+def source_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _ws_tokens(docs)
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.desc("tf"), "term")
+        .limit(100)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_OOV_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest({_DUCK_TOKS}) AS term FROM documents
+), vocab AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS tf FROM toks GROUP BY 1
+    ORDER BY tf DESC, term LIMIT 100
+  )
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       round(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.term = v.term
+GROUP BY source ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# source_type_token_ratio: lexical diversity per source — per-doc type-token
+# ratio (distinct/total tokens; low TTR = repetitive boilerplate), averaged
+# per source with the p10 tail. Per-doc TTR is one groupBy(doc) with two
+# counts; the source rollup is bounded.
+def source_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = (
+        _ws_tokens(docs)
+        .groupBy("doc_id", "source")
+        .agg((F.countDistinct("term") / F.count("*")).alias("ttr"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("ttr"), 6).alias("mean_ttr"),
+            F.round(F.expr("percentile(ttr, 0.1)"), 6).alias("p10_ttr"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_TTR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest({_DUCK_TOKS}) AS term FROM documents
+), per_doc AS (
+  SELECT doc_id, source, count(DISTINCT term) * 1.0 / count(*) AS ttr
+  FROM toks GROUP BY 1, 2
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(ttr), 6) AS mean_ttr,
+       round(quantile_cont(ttr, 0.1), 6) AS p10_ttr
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# corpus_heaps_law: Heaps'-law vocabulary growth V(n) ~ K n^beta — the
+# distributed trick: each term contributes ONE row at its first-appearance
+# decile (min doc_id -> decile of the doc_id domain), so cumulative distinct
+# counts per decile come from one groupBy(term) + a 10-row running sum;
+# beta/K from log-log OLS on the 10-point curve (bounded frame).
+def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    lo, hi = int(ids[0]), int(ids[1])
+    span = hi - lo + 1
+    toks = _ws_tokens(docs)
+    decile = F.least(F.floor((F.col("first_doc") - lo) / span * 10).cast("int"), F.lit(9))
+    firsts = (
+        toks.groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .select(decile.alias("dec"))
+        .groupBy("dec")
+        .agg(F.count("*").alias("new_terms"))
+    )
+    # tokens per decile for the x axis
+    tok_dec = (
+        toks.select(
+            F.least(F.floor((F.col("doc_id") - lo) / span * 10).cast("int"), F.lit(9)).alias("dec")
+        )
+        .groupBy("dec")
+        .agg(F.count("*").alias("n_tok"))
+    )
+    # drive from ALL deciles (vocabulary may saturate early, leaving deciles
+    # with zero new terms) — left join, coalesce 0
+    rows = (
+        tok_dec.join(firsts, "dec", "left")
+        .na.fill({"new_terms": 0})
+        .orderBy("dec")
+        .collect()
+    )
+    cum_v = cum_n = 0
+    pts = []
+    for r in rows:
+        cum_v += r["new_terms"]
+        cum_n += r["n_tok"]
+        pts.append((cum_n, cum_v))
+    import math
+
+    xs = [math.log(n) for n, _ in pts]
+    ys = [math.log(v) for _, v in pts]
+    k = len(pts)
+    mx, my = sum(xs) / k, sum(ys) / k
+    cov = sum(x * y for x, y in zip(xs, ys)) / k - mx * my
+    var = sum(x * x for x in xs) / k - mx * mx
+    beta = cov / var
+    logk = my - beta * mx
+    return docs.sparkSession.range(1).select(
+        F.lit(pts[-1][0]).alias("n_tokens"),
+        F.lit(pts[-1][1]).alias("vocab_size"),
+        # + 0.0 normalizes IEEE negative zero (beta ~ -1e-9 rounds to -0.0
+        # on one engine and 0.0 on the other; -0.0 + 0.0 == +0.0 everywhere)
+        (F.round(F.lit(beta), 6) + 0.0).alias("heaps_beta"),
+        (F.round(F.lit(math.exp(logk)), 6) + 0.0).alias("heaps_k"),
+    )
+
+
+CORPUS_HEAPS_SQL = f"""
+WITH ids AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents
+), firsts AS (
+  SELECT least(CAST(floor((min(doc_id) - ids.lo) * 10.0 / (ids.hi - ids.lo + 1)) AS INT), 9) AS dec,
+         count(*) OVER () AS _dummy, term
+  FROM toks, ids GROUP BY term, ids.lo, ids.hi
+), new_terms AS (
+  SELECT dec, count(*) AS new_terms FROM firsts GROUP BY 1
+), tok_dec AS (
+  SELECT least(CAST(floor((doc_id - ids.lo) * 10.0 / (ids.hi - ids.lo + 1)) AS INT), 9) AS dec,
+         count(*) AS n_tok
+  FROM toks, ids GROUP BY 1
+), cum AS (
+  SELECT t.dec,
+         sum(coalesce(n.new_terms, 0)) OVER (ORDER BY t.dec) AS v,
+         sum(t.n_tok) OVER (ORDER BY t.dec) AS n
+  FROM tok_dec t LEFT JOIN new_terms n ON n.dec = t.dec
+), xy AS (
+  SELECT ln(n) AS x, ln(v) AS y FROM cum
+), m AS (
+  SELECT count(*) AS k, avg(x) AS mx, avg(y) AS my,
+         avg(x * y) AS mxy, avg(x * x) AS mxx
+  FROM xy
+), fit AS (
+  SELECT (mxy - mx * my) / (mxx - mx * mx) AS beta, my, mx FROM m
+)
+SELECT (SELECT CAST(max(n) AS BIGINT) FROM cum) AS n_tokens,
+       (SELECT CAST(max(v) AS BIGINT) FROM cum) AS vocab_size,
+       round(beta, 6) + 0.0 AS heaps_beta,
+       round(exp(my - beta * mx), 6) + 0.0 AS heaps_k
+FROM fit
+"""
+
+
+QUERIES["source_oov_rate"] = source_oov_rate
+ORACLES["source_oov_rate"] = SOURCE_OOV_SQL
+QUERIES["source_type_token_ratio"] = source_type_token_ratio
+ORACLES["source_type_token_ratio"] = SOURCE_TTR_SQL
+QUERIES["corpus_heaps_law"] = corpus_heaps_law
+ORACLES["corpus_heaps_law"] = CORPUS_HEAPS_SQL
