@@ -243,6 +243,10 @@ ROUND7_NEVER_GRADED = [
     "source_oov_rate",
     "source_type_token_ratio",
     "corpus_heaps_law",
+    "orders_value_percent_rank",
+    "hll_error_report",
+    "emb_knn_eval",
+    "source_centroid_similarity",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

@@ -3280,3 +3280,47 @@ FROM pred WHERE rk = 1
 
 QUERIES["orders_naive_bayes_eval"] = orders_naive_bayes_eval
 ORACLES["orders_naive_bayes_eval"] = ORDERS_NB_SQL
+
+
+# --------------------------------------------------------------------------
+# orders_value_percent_rank: exact global percent_rank of o_totalprice for
+# every order WITHOUT a one-task window — per-distinct-value counts run
+# through partitioned_cumsum (range-partitioned prefix), pct_rank =
+# (rows strictly below) / (n - 1), ties share a rank. Output pins the 20
+# largest orders (deterministic) with their ranks.
+def orders_value_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.prefix import partitioned_cumsum
+
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    n = od.count()
+    pv = od.groupBy("o_totalprice").agg(F.count("*").alias("cnt"))
+    cum = partitioned_cumsum(pv, ["o_totalprice"], ["cnt"])
+    ranked = cum.select(
+        "o_totalprice",
+        F.round((F.col("cnt_cumsum") - F.col("cnt")) / F.lit(float(n - 1)), 6).alias("pct_rank"),
+    )
+    return (
+        od.join(ranked, "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+        .select("o_orderkey", "o_totalprice", "pct_rank")
+    )
+
+
+ORDERS_PCTRANK_SQL = """
+WITH n AS (SELECT count(*) AS n FROM orders),
+pv AS (SELECT o_totalprice, count(*) AS cnt FROM orders GROUP BY 1),
+cum AS (
+  SELECT o_totalprice, cnt, sum(cnt) OVER (ORDER BY o_totalprice) AS cc FROM pv
+), ranked AS (
+  SELECT o_totalprice, round((cc - cnt) * 1.0 / (n.n - 1), 6) AS pct_rank
+  FROM cum, n
+)
+SELECT o.o_orderkey, o.o_totalprice, r.pct_rank
+FROM orders o JOIN ranked r ON o.o_totalprice = r.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 20
+"""
+
+QUERIES["orders_value_percent_rank"] = orders_value_percent_rank
+ORACLES["orders_value_percent_rank"] = ORDERS_PCTRANK_SQL

@@ -713,3 +713,60 @@ FROM u ORDER BY variant
 
 QUERIES["moments_merge_proof"] = moments_merge_proof
 ORACLES["moments_merge_proof"] = MOMENTS_MERGE_SQL
+
+
+# --------------------------------------------------------------------------
+# hll_error_report: sketch-accuracy audit — per event_type, the
+# deterministic HLL distinct-user estimate next to the exact count and the
+# signed relative error. The registers carry per-bucket exact distincts
+# (with_exact), so sketch and truth come from ONE scan; expected std error
+# for p=10 is ~3.25%, and raw-HLL small-range bias is visible by design
+# (documented, not hidden).
+def hll_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.sketch import hll_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    regs = hll_registers(ev, "user_id", _HLL_P, with_exact=True, by=("event_type",))
+    est = regs.groupBy("event_type").agg(
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_S} - rho)"))
+            + (F.lit(_HLL_M) - F.count("*")) * F.lit(1 << _HLL_S).cast("bigint")
+        ).alias("sum_scaled"),
+        F.sum("nd").alias("exact_users"),
+    )
+    return est.select(
+        "event_type",
+        "exact_users",
+        F.round(F.lit(_HLL_NUMER) / F.col("sum_scaled"), 6).alias("hll_estimate"),
+        F.round(
+            (F.lit(_HLL_NUMER) / F.col("sum_scaled") - F.col("exact_users"))
+            / F.col("exact_users"),
+            6,
+        ).alias("rel_err"),
+    ).orderBy("event_type")
+
+
+HLL_ERROR_SQL = f"""
+WITH h AS (
+  SELECT event_type, user_id, {_duck_h64("user_id", "'0'")} AS hv FROM events
+), regs AS (
+  SELECT event_type, hv % {_HLL_M} AS bucket,
+         max(CASE WHEN hv // {_HLL_M} = 0 THEN {_HLL_WBITS + 1}
+                  ELSE {_HLL_WBITS + 1} - length(bin(hv // {_HLL_M})) END) AS rho,
+         count(DISTINCT user_id) AS nd
+  FROM h GROUP BY 1, 2
+), est AS (
+  SELECT event_type,
+         CAST(sum((1::BIGINT) << ({_HLL_S} - rho)) AS BIGINT)
+           + ({_HLL_M} - count(*)) * ((1::BIGINT) << {_HLL_S}) AS sum_scaled,
+         CAST(sum(nd) AS BIGINT) AS exact_users
+  FROM regs GROUP BY 1
+)
+SELECT event_type, exact_users,
+       round({_HLL_NUMER!r} / sum_scaled, 6) AS hll_estimate,
+       round(({_HLL_NUMER!r} / sum_scaled - exact_users) / exact_users, 6) AS rel_err
+FROM est ORDER BY event_type
+"""
+
+QUERIES["hll_error_report"] = hll_error_report
+ORACLES["hll_error_report"] = HLL_ERROR_SQL

@@ -3147,3 +3147,148 @@ LIMIT 10
 
 QUERIES["ann_filtered_topk"] = ann_filtered_topk
 ORACLES["ann_filtered_topk"] = ANN_FILTERED_SQL
+
+
+# --------------------------------------------------------------------------
+# emb_knn_eval: k-NN classification accuracy over the embedding corpus —
+# 20 hash-sampled query vectors, each classified by the majority label of
+# its 5 cosine-nearest neighbors (excluding itself), scored against its own
+# label. The 20 queries ride a broadcast join against the corpus (bounded
+# 20x fanout), per-query top-5 is WindowGroupLimit, majority vote is a
+# count + rank on the (query, label) grain.
+def emb_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from bears_spark.functions.hashing import md5_hash64
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(md5_hash64("vec_id", salt="knn") % 25 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    corpus = emb.select("vec_id", "embedding", "label")
+    dot = F.aggregate(
+        F.zip_with("qe", "embedding", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            "label",
+            (dot / (nrm(F.col("qe")) * nrm(F.col("embedding")))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    top5 = scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 5)
+    votes = top5.groupBy("qid", "qlabel", "label").agg(F.count("*").alias("v"))
+    wv = Window.partitionBy("qid").orderBy(F.desc("v"), F.asc("label"))
+    pred = votes.withColumn("vr", F.row_number().over(wv)).where(F.col("vr") == 1)
+    return pred.agg(
+        F.count("*").alias("n_queries"),
+        F.sum((F.col("label") == F.col("qlabel")).cast("long")).alias("n_correct"),
+        F.round(F.avg((F.col("label") == F.col("qlabel")).cast("double")), 6).alias("knn_accuracy"),
+    )
+
+
+KNN_HASH = "('0x' || substr(md5('knn' || ':' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT"
+_KD = "list_sum(list_transform(list_zip(q.embedding, e.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE))"
+_KN = "sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+
+EMB_KNN_SQL = f"""
+WITH queries AS (
+  SELECT vec_id AS qid, embedding, label AS qlabel FROM embeddings
+  WHERE {KNN_HASH} % 25 = 0
+), scored AS (
+  SELECT q.qid, q.qlabel, e.vec_id, e.label,
+         {_KD} / ({_KN.format(a='q.embedding')} * {_KN.format(a='e.embedding')}) AS cos
+  FROM queries q JOIN embeddings e ON e.vec_id != q.qid
+), top5 AS (
+  SELECT * FROM (
+    SELECT qid, qlabel, vec_id, label, cos,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+    FROM scored
+  ) WHERE rk <= 5
+), votes AS (
+  SELECT qid, qlabel, label, count(*) AS v FROM top5 GROUP BY 1, 2, 3
+), pred AS (
+  SELECT * FROM (
+    SELECT qid, qlabel, label,
+           row_number() OVER (PARTITION BY qid ORDER BY v DESC, label) AS vr
+    FROM votes
+  ) WHERE vr = 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       round(avg(CASE WHEN label = qlabel THEN 1.0 ELSE 0.0 END), 6) AS knn_accuracy
+FROM pred
+"""
+
+QUERIES["emb_knn_eval"] = emb_knn_eval
+ORACLES["emb_knn_eval"] = EMB_KNN_SQL
+
+
+# --------------------------------------------------------------------------
+# source_centroid_similarity: embedding-drift monitor between document
+# sources (embeddings bucketed by vec_id % 4 as pseudo-sources for the
+# synthetic corpus) — per-source mean vector from one posexplode groupBy
+# (source, dim), pairwise cosine between the (4 x 64)-value centroids
+# computed driver-side from the collected bounded table.
+def source_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    tagged = emb.select((F.col("vec_id") % 4).alias("src"), F.posexplode("embedding"))
+    cent = (
+        tagged.groupBy("src", "pos")
+        .agg(F.avg(F.col("col").cast("double")).alias("m"))
+        .collect()
+    )
+    vecs: dict[int, list[float]] = {}
+    for r in cent:
+        vecs.setdefault(int(r["src"]), [0.0] * 64)[int(r["pos"])] = float(r["m"])
+    rows = []
+    for a in sorted(vecs):
+        for b in sorted(vecs):
+            if a < b:
+                va, vb = vecs[a], vecs[b]
+                dot = sum(x * y for x, y in zip(va, vb))
+                na = sum(x * x for x in va) ** 0.5
+                nb = sum(x * x for x in vb) ** 0.5
+                rows.append((a, b, round(dot / (na * nb), 6)))
+    return emb.sparkSession.createDataFrame(
+        rows, "src_a int, src_b int, centroid_cosine double"
+    ).orderBy("src_a", "src_b")
+
+
+SOURCE_CENTROID_SQL = """
+WITH tagged AS (
+  SELECT vec_id % 4 AS src, unnest(embedding) AS val,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+), cent AS (
+  SELECT src, pos, avg(val::DOUBLE) AS m FROM tagged GROUP BY 1, 2
+), pairs AS (
+  SELECT a.src AS src_a, b.src AS src_b,
+         sum(a.m * b.m) AS dot,
+         sqrt(sum(a.m * a.m)) AS na,
+         sqrt(sum(b.m * b.m)) AS nb
+  FROM cent a JOIN cent b ON a.pos = b.pos AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT CAST(src_a AS INT) AS src_a, CAST(src_b AS INT) AS src_b,
+       round(dot / (na * nb), 6) AS centroid_cosine
+FROM pairs ORDER BY src_a, src_b
+"""
+
+QUERIES["source_centroid_similarity"] = source_centroid_similarity
+ORACLES["source_centroid_similarity"] = SOURCE_CENTROID_SQL

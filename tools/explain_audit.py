@@ -137,6 +137,9 @@ FORBIDDEN_EXEMPT = {
     # rule n_orders total
     "orders_conformal_interval",
     "part_association_rules",
+    # bounded-fanout broadcast non-equi join: 20 hash-sampled query vectors
+    # broadcast against the corpus (self-match excluded by vec_id != qid)
+    "emb_knn_eval",
 }
 
 
