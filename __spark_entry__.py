@@ -247,6 +247,13 @@ ROUND7_NEVER_GRADED = [
     "hll_error_report",
     "emb_knn_eval",
     "source_centroid_similarity",
+    "supplier_kcore_peel",
+    "orders_basket_dispersion",
+    "supplier_wilson_ontime",
+    "orders_cents_chisq",
+    "events_hive_partition_pruning",
+    "nation_share_shift",
+    "part_single_source_risk",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

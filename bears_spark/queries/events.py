@@ -3561,3 +3561,52 @@ def streaming_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["streaming_burst_detection"] = streaming_burst_detection
 ORACLES["streaming_burst_detection"] = EV_BURST_SQL
+
+
+# --------------------------------------------------------------------------
+# events_hive_partition_pruning: the partition-layout contract graded
+# end-to-end — events written out hive-partitioned by day, read back with a
+# 3-day predicate that must resolve by DIRECTORY pruning (the scan reads 3
+# of 30 partitions; plan shows the partition filter, no row-level day
+# filter needed), aggregated per (day, type). The oracle computes the same
+# answer from the raw parquet.
+def events_hive_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="hivepart_") + "/events_by_day"
+    try:
+        (
+            ev.withColumn("day", F.date_format(F.to_date("ts"), "yyyy-MM-dd"))
+            .repartition("day")
+            .write.partitionBy("day")
+            .mode("overwrite")
+            .parquet(out)
+        )
+        back = spark.read.parquet(out)
+        rows = (
+            back.where(F.col("day").between("2024-01-10", "2024-01-12"))
+            .groupBy("day", "event_type")
+            .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
+            .orderBy("day", "event_type")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(out.rsplit("/", 1)[0], ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["day"], r["event_type"], r["n"], r["n_users"]) for r in rows],
+        "day string, event_type string, n bigint, n_users bigint",
+    ).orderBy("day", "event_type")
+
+
+EV_HIVEPART_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       count(*) AS n, count(DISTINCT user_id) AS n_users
+FROM events
+WHERE date_trunc('day', ts) BETWEEN TIMESTAMP '2024-01-10' AND TIMESTAMP '2024-01-12'
+GROUP BY 1, 2 ORDER BY day, event_type
+"""
+
+QUERIES["events_hive_partition_pruning"] = events_hive_partition_pruning
+ORACLES["events_hive_partition_pruning"] = EV_HIVEPART_SQL

@@ -334,3 +334,110 @@ FROM m
 
 QUERIES["supplier_degree_assortativity"] = supplier_degree_assortativity
 ORACLES["supplier_degree_assortativity"] = SUPPLIER_ASSORT_SQL
+
+
+# --------------------------------------------------------------------------
+# supplier_kcore_peel: 3-round k-core peeling (k=4) of the supplier
+# co-supply graph — each round drops nodes with current degree < k and
+# recomputes degrees on the induced subgraph; classic distributed peel,
+# one degree-groupBy + two semi-joins per round. Reports survivors and
+# edge count per round (the oracle unrolls the same 3 rounds).
+def supplier_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.caching import scoped_persist
+
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    a, b = ps.alias("a"), ps.alias("b")
+    edges0 = scoped_persist(
+        a.join(b, "pk")
+        .where(F.col("a.sk") < F.col("b.sk"))
+        .select(F.col("a.sk").alias("u"), F.col("b.sk").alias("v"))
+        .distinct()
+    )
+    k = 4
+    out_rows = []
+    edges = edges0
+    for rnd in (1, 2, 3):
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("node")
+        edges = scoped_persist(
+            edges.join(keep.withColumnRenamed("node", "u"), "u", "left_semi").join(
+                keep.withColumnRenamed("node", "v"), "v", "left_semi"
+            )
+        )
+        survivors = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .distinct()
+            .count()
+        )
+        n_edges = edges.count()
+        out_rows.append((rnd, survivors, n_edges))
+    return ps.sparkSession.createDataFrame(
+        out_rows, "round int, n_nodes bigint, n_edges bigint"
+    ).orderBy("round")
+
+
+KCORE_SQL = """
+WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+e0 AS (
+  SELECT DISTINCT a.sk AS u, b.sk AS v
+  FROM ps a JOIN ps b ON a.pk = b.pk WHERE a.sk < b.sk
+),
+d1 AS (
+  SELECT node FROM (
+    SELECT node, count(*) AS deg FROM (
+      SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0
+    ) GROUP BY 1
+  ) WHERE deg >= 4
+),
+e1 AS (
+  SELECT u, v FROM e0
+  WHERE u IN (SELECT node FROM d1) AND v IN (SELECT node FROM d1)
+),
+d2 AS (
+  SELECT node FROM (
+    SELECT node, count(*) AS deg FROM (
+      SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1
+    ) GROUP BY 1
+  ) WHERE deg >= 4
+),
+e2 AS (
+  SELECT u, v FROM e1
+  WHERE u IN (SELECT node FROM d2) AND v IN (SELECT node FROM d2)
+),
+d3 AS (
+  SELECT node FROM (
+    SELECT node, count(*) AS deg FROM (
+      SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2
+    ) GROUP BY 1
+  ) WHERE deg >= 4
+),
+e3 AS (
+  SELECT u, v FROM e2
+  WHERE u IN (SELECT node FROM d3) AND v IN (SELECT node FROM d3)
+)
+SELECT 1 AS round,
+       (SELECT count(*) FROM (SELECT DISTINCT node FROM (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1))) AS n_nodes,
+       (SELECT count(*) FROM e1) AS n_edges
+UNION ALL
+SELECT 2,
+       (SELECT count(*) FROM (SELECT DISTINCT node FROM (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2))),
+       (SELECT count(*) FROM e2)
+UNION ALL
+SELECT 3,
+       (SELECT count(*) FROM (SELECT DISTINCT node FROM (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3))),
+       (SELECT count(*) FROM e3)
+ORDER BY round
+"""
+
+QUERIES["supplier_kcore_peel"] = supplier_kcore_peel
+ORACLES["supplier_kcore_peel"] = KCORE_SQL

@@ -3324,3 +3324,259 @@ LIMIT 20
 
 QUERIES["orders_value_percent_rank"] = orders_value_percent_rank
 ORACLES["orders_value_percent_rank"] = ORDERS_PCTRANK_SQL
+
+
+_WILSON_Z = 1.959963984540054  # two-sided 95%
+
+
+# --------------------------------------------------------------------------
+# orders_basket_dispersion: basket-size (lines per order) distribution with
+# the variance-to-mean (Fano) overdispersion factor — the retail stat that
+# decides Poisson vs negative-binomial demand modeling. One groupBy to the
+# order grain, closed-form moments after.
+def orders_basket_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.groupBy("l_orderkey").agg(F.count("*").alias("n_lines"))
+    return basket.agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.avg("n_lines"), 6).alias("mean_lines"),
+        F.round(F.var_pop("n_lines"), 6).alias("var_lines"),
+        F.round(F.var_pop("n_lines") / F.avg("n_lines"), 6).alias("fano_factor"),
+        F.min("n_lines").alias("min_lines"),
+        F.max("n_lines").alias("max_lines"),
+    )
+
+
+BASKET_DISPERSION_SQL = """
+WITH basket AS (
+  SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       round(avg(n_lines), 6) AS mean_lines,
+       round(var_pop(n_lines), 6) AS var_lines,
+       round(var_pop(n_lines) / avg(n_lines), 6) AS fano_factor,
+       min(n_lines) AS min_lines,
+       max(n_lines) AS max_lines
+FROM basket
+"""
+
+QUERIES["orders_basket_dispersion"] = orders_basket_dispersion
+ORACLES["orders_basket_dispersion"] = BASKET_DISPERSION_SQL
+
+
+# --------------------------------------------------------------------------
+# supplier_wilson_ontime: rank suppliers by the Wilson-score LOWER bound of
+# their on-time-ship rate (shipped within 30 days of order date) — the
+# standard fix for small-sample rate rankings (a 2/2 supplier must not
+# outrank a 95/100 one). One join to the order grain, one groupBy per
+# supplier, closed-form interval; top-15 by lower bound.
+def supplier_wilson_ontime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(od, li.l_orderkey == od.o_orderkey).select(
+        "l_suppkey",
+        (F.datediff("l_shipdate", "o_orderdate") <= 30).cast("long").alias("ontime"),
+    )
+    per = j.groupBy("l_suppkey").agg(F.count("*").alias("n"), F.sum("ontime").alias("k"))
+    p = F.col("k") / F.col("n")
+    z2 = _WILSON_Z * _WILSON_Z
+    denom = 1.0 + z2 / F.col("n")
+    center = p + z2 / (2 * F.col("n"))
+    margin = F.lit(_WILSON_Z) * F.sqrt((p * (1 - p) + z2 / (4 * F.col("n"))) / F.col("n"))
+    return (
+        per.select(
+            "l_suppkey",
+            "n",
+            "k",
+            F.round(p, 6).alias("raw_rate"),
+            F.round((center - margin) / denom, 6).alias("wilson_lower"),
+        )
+        .orderBy(F.desc("wilson_lower"), "l_suppkey")
+        .limit(15)
+    )
+
+
+SUPPLIER_WILSON_SQL = f"""
+WITH j AS (
+  SELECT l.l_suppkey,
+         CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) <= 30 THEN 1 ELSE 0 END AS ontime
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), per AS (
+  SELECT l_suppkey, count(*) AS n, CAST(sum(ontime) AS BIGINT) AS k FROM j GROUP BY 1
+)
+SELECT l_suppkey, n, k,
+       round(k * 1.0 / n, 6) AS raw_rate,
+       round((k * 1.0 / n + {_WILSON_Z * _WILSON_Z} / (2 * n)
+              - {_WILSON_Z} * sqrt((k * 1.0 / n * (1 - k * 1.0 / n) + {_WILSON_Z * _WILSON_Z} / (4 * n)) / n))
+             / (1.0 + {_WILSON_Z * _WILSON_Z} / n), 6) AS wilson_lower
+FROM per
+ORDER BY wilson_lower DESC, l_suppkey
+LIMIT 15
+"""
+
+QUERIES["supplier_wilson_ontime"] = supplier_wilson_ontime
+ORACLES["supplier_wilson_ontime"] = SUPPLIER_WILSON_SQL
+
+
+# --------------------------------------------------------------------------
+# orders_cents_chisq: synthetic-data / fraud fingerprinting — the
+# distribution of the cents component of o_totalprice, chi-squared against
+# uniform over 100 cells. Human-priced or generator-rounded data shows
+# spikes (.99, .00); one conditional aggregation, closed-form statistic.
+def orders_cents_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    cents = (F.round(F.col("o_totalprice") * 100) % 100).cast("int")
+    per = od.select(cents.alias("c")).groupBy("c").agg(F.count("*").alias("obs"))
+    tot = od.count()
+    exp = tot / 100.0
+    chi = per.agg(
+        F.sum((F.col("obs") - F.lit(exp)) * (F.col("obs") - F.lit(exp)) / F.lit(exp)).alias("chi"),
+        F.count("*").alias("cells_hit"),
+    ).first()
+    # cells with zero observations still contribute exp to the statistic
+    chisq = float(chi["chi"]) + (100 - int(chi["cells_hit"])) * exp
+    crit = 123.225  # chi-square 0.95 quantile, df=99
+    return od.sparkSession.range(1).select(
+        F.lit(tot).alias("n_orders"),
+        F.lit(int(chi["cells_hit"])).alias("cells_hit"),
+        F.round(F.lit(chisq), 6).alias("chi_square"),
+        F.lit(123.225).alias("crit_05_df99"),
+        F.lit(bool(chisq > crit)).alias("non_uniform"),
+    )
+
+
+ORDERS_CENTS_SQL = """
+WITH n AS (SELECT count(*) AS tot FROM orders),
+per AS (
+  SELECT CAST(CAST(round(o_totalprice * 100) AS BIGINT) % 100 AS INT) AS c,
+         count(*) AS obs
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT sum((obs - n.tot / 100.0) * (obs - n.tot / 100.0) / (n.tot / 100.0)) AS chi,
+         CAST(count(*) AS BIGINT) AS cells_hit
+  FROM per, n GROUP BY n.tot
+)
+SELECT (SELECT CAST(tot AS BIGINT) FROM n) AS n_orders,
+       cells_hit,
+       round(chi + (100 - cells_hit) * ((SELECT tot FROM n) / 100.0), 6) AS chi_square,
+       123.225 AS crit_05_df99,
+       (chi + (100 - cells_hit) * ((SELECT tot FROM n) / 100.0)) > 123.225 AS non_uniform
+FROM s
+"""
+
+QUERIES["orders_cents_chisq"] = orders_cents_chisq
+ORACLES["orders_cents_chisq"] = ORDERS_CENTS_SQL
+
+
+# --------------------------------------------------------------------------
+# nation_share_shift: market-mix shift — each customer nation's share of
+# total revenue in 1995 vs 1998 and the share delta, biggest movers first.
+# Two conditional aggregates over one scan (no per-year rescans); shares
+# divide by broadcast year totals computed in the same pass.
+def nation_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cust, od.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            F.year("o_orderdate").alias("yr"),
+            rev.alias("rev"),
+        )
+        .where(F.col("yr").isin(1995, 1998))
+    )
+    per = j.groupBy("n_name").agg(
+        F.sum(F.when(F.col("yr") == 1995, F.col("rev")).otherwise(0.0)).alias("rev_1995"),
+        F.sum(F.when(F.col("yr") == 1998, F.col("rev")).otherwise(0.0)).alias("rev_1998"),
+    )
+    tot = per.agg(F.sum("rev_1995"), F.sum("rev_1998")).first()
+    t95, t98 = float(tot[0]), float(tot[1])
+    share95 = F.col("rev_1995") / F.lit(t95)
+    share98 = F.col("rev_1998") / F.lit(t98)
+    return (
+        per.select(
+            "n_name",
+            F.round(share95, 6).alias("share_1995"),
+            F.round(share98, 6).alias("share_1998"),
+            F.round(share98 - share95, 6).alias("share_delta"),
+        )
+        .orderBy(F.desc(F.abs(F.round(share98 - share95, 6))), "n_name")
+        .limit(10)
+    )
+
+
+NATION_SHIFT_SQL = """
+WITH j AS (
+  SELECT n.n_name, year(o.o_orderdate) AS yr,
+         l.l_extendedprice * (1 - l.l_discount) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE year(o.o_orderdate) IN (1995, 1998)
+), per AS (
+  SELECT n_name,
+         sum(CASE WHEN yr = 1995 THEN rev ELSE 0.0 END) AS rev_1995,
+         sum(CASE WHEN yr = 1998 THEN rev ELSE 0.0 END) AS rev_1998
+  FROM j GROUP BY 1
+), tot AS (
+  SELECT sum(rev_1995) AS t95, sum(rev_1998) AS t98 FROM per
+)
+SELECT n_name,
+       round(rev_1995 / t95, 6) AS share_1995,
+       round(rev_1998 / t98, 6) AS share_1998,
+       round(rev_1998 / t98 - rev_1995 / t95, 6) AS share_delta
+FROM per, tot
+ORDER BY abs(round(rev_1998 / t98 - rev_1995 / t95, 6)) DESC, n_name
+LIMIT 10
+"""
+
+QUERIES["nation_share_shift"] = nation_share_shift
+ORACLES["nation_share_shift"] = NATION_SHIFT_SQL
+
+
+# --------------------------------------------------------------------------
+# part_single_source_risk: supply-chain concentration — revenue gated per
+# distinct supplier of each part (risk = revenue / n_suppliers: the
+# expected exposure if one supplier fails under uniform sourcing), top-10
+# most exposed parts. countDistinct + a revenue aggregate per part.
+def part_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    per = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+    )
+    return (
+        per.select(
+            "l_partkey",
+            "n_suppliers",
+            "revenue",
+            F.round(F.col("revenue") / F.col("n_suppliers"), 6).alias("risk_per_supplier"),
+        )
+        .orderBy(F.desc("risk_per_supplier"), "l_partkey")
+        .limit(10)
+    )
+
+
+PART_SINGLE_SOURCE_SQL = """
+WITH per AS (
+  SELECT l_partkey, count(DISTINCT l_suppkey) AS n_suppliers,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem GROUP BY 1
+)
+SELECT l_partkey, n_suppliers, revenue,
+       round(revenue / n_suppliers, 6) AS risk_per_supplier
+FROM per
+ORDER BY risk_per_supplier DESC, l_partkey
+LIMIT 10
+"""
+
+QUERIES["part_single_source_risk"] = part_single_source_risk
+ORACLES["part_single_source_risk"] = PART_SINGLE_SOURCE_SQL
