@@ -254,6 +254,8 @@ ROUND7_NEVER_GRADED = [
     "events_hive_partition_pruning",
     "nation_share_shift",
     "part_single_source_risk",
+    "orders_cycle_anova",
+    "ev_weekend_effect",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

@@ -3610,3 +3610,55 @@ GROUP BY 1, 2 ORDER BY day, event_type
 
 QUERIES["events_hive_partition_pruning"] = events_hive_partition_pruning
 ORACLES["events_hive_partition_pruning"] = EV_HIVEPART_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_weekend_effect: Welch two-sample t — weekend vs weekday per-user-day
+# mean value (unit = user-day aggregate, same discipline as ev_ab_welch);
+# unequal-variance t with Welch-Satterthwaite dof, all from two bounded
+# conditional aggregates.
+def ev_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    per = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(F.avg("value").alias("x"))
+    tagged = per.withColumn("wkend", F.dayofweek("d").isin(1, 7).cast("long"))
+    g = tagged.groupBy("wkend").agg(
+        F.count("*").alias("n"), F.avg("x").alias("m"), F.var_samp("x").alias("v")
+    )
+    rows = {int(r["wkend"]): r for r in g.collect()}
+    a, b = rows[1], rows[0]  # weekend vs weekday
+    na, nb = int(a["n"]), int(b["n"])
+    ma, mb = float(a["m"]), float(b["m"])
+    va, vb = float(a["v"]), float(b["v"])
+    se2 = va / na + vb / nb
+    t = (ma - mb) / se2**0.5
+    dof = se2 * se2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    return ev.sparkSession.range(1).select(
+        F.lit(na).alias("n_weekend"),
+        F.lit(nb).alias("n_weekday"),
+        F.round(F.lit(ma - mb), 6).alias("mean_diff"),
+        F.round(F.lit(t), 6).alias("welch_t"),
+        F.round(F.lit(dof), 6).alias("welch_dof"),
+    )
+
+
+EV_WEEKEND_SQL = """
+WITH per AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d, avg(value) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), tagged AS (
+  SELECT x, CASE WHEN dayofweek(d) IN (0, 6) THEN 1 ELSE 0 END AS wkend FROM per
+), g AS (
+  SELECT wkend, CAST(count(*) AS BIGINT) AS n, avg(x) AS m, var_samp(x) AS v
+  FROM tagged GROUP BY 1
+), w AS (SELECT n, m, v FROM g WHERE wkend = 1),
+d AS (SELECT n, m, v FROM g WHERE wkend = 0)
+SELECT w.n AS n_weekend, d.n AS n_weekday,
+       round(w.m - d.m, 6) AS mean_diff,
+       round((w.m - d.m) / sqrt(w.v / w.n + d.v / d.n), 6) AS welch_t,
+       round((w.v / w.n + d.v / d.n) * (w.v / w.n + d.v / d.n)
+             / ((w.v / w.n) * (w.v / w.n) / (w.n - 1) + (d.v / d.n) * (d.v / d.n) / (d.n - 1)), 6) AS welch_dof
+FROM w, d
+"""
+
+QUERIES["ev_weekend_effect"] = ev_weekend_effect
+ORACLES["ev_weekend_effect"] = EV_WEEKEND_SQL

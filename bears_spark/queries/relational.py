@@ -3580,3 +3580,62 @@ LIMIT 10
 
 QUERIES["part_single_source_risk"] = part_single_source_risk
 ORACLES["part_single_source_risk"] = PART_SINGLE_SOURCE_SQL
+
+
+# --------------------------------------------------------------------------
+# orders_cycle_anova: one-way ANOVA — does order priority move ship lead
+# time? F = between-group MS / within-group MS over the 5 priority classes,
+# all from one conditional aggregation at (priority) grain (sum, sumsq,
+# count per group -> closed forms; no second scan).
+def orders_cycle_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    j = li.join(od, li.l_orderkey == od.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").cast("double").alias("lead"),
+    )
+    g = j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum("lead").alias("s"),
+        F.sum(F.col("lead") * F.col("lead")).alias("ss"),
+    )
+    rows = g.collect()
+    n_tot = sum(int(r["n"]) for r in rows)
+    s_tot = sum(float(r["s"]) for r in rows)
+    grand = s_tot / n_tot
+    ss_between = sum(int(r["n"]) * (float(r["s"]) / int(r["n"]) - grand) ** 2 for r in rows)
+    ss_within = sum(float(r["ss"]) - float(r["s"]) ** 2 / int(r["n"]) for r in rows)
+    k = len(rows)
+    f_stat = (ss_between / (k - 1)) / (ss_within / (n_tot - k))
+    return od.sparkSession.range(1).select(
+        F.lit(k).alias("n_groups"),
+        F.lit(n_tot).alias("n_obs"),
+        F.round(F.lit(grand), 6).alias("grand_mean_days"),
+        F.round(F.lit(f_stat), 6).alias("f_stat"),
+    )
+
+
+ORDERS_ANOVA_SQL = """
+WITH j AS (
+  SELECT o.o_orderpriority AS g,
+         CAST(datediff('day', o.o_orderdate, l.l_shipdate) AS DOUBLE) AS lead
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), per AS (
+  SELECT g, count(*) AS n, sum(lead) AS s, sum(lead * lead) AS ss FROM j GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_tot, sum(s) AS s_tot,
+         CAST(count(*) AS BIGINT) AS k
+  FROM per
+), parts AS (
+  SELECT sum(n * (s / n - t.s_tot / t.n_tot) * (s / n - t.s_tot / t.n_tot)) AS ssb,
+         sum(ss - s * s / n) AS ssw
+  FROM per, tot t GROUP BY t.n_tot, t.s_tot
+)
+SELECT t.k AS n_groups, t.n_tot AS n_obs,
+       round(t.s_tot / t.n_tot, 6) AS grand_mean_days,
+       round((p.ssb / (t.k - 1)) / (p.ssw / (t.n_tot - t.k)), 6) AS f_stat
+FROM parts p, tot t
+"""
+
+QUERIES["orders_cycle_anova"] = orders_cycle_anova
+ORACLES["orders_cycle_anova"] = ORDERS_ANOVA_SQL
