@@ -256,6 +256,8 @@ ROUND7_NEVER_GRADED = [
     "part_single_source_risk",
     "orders_cycle_anova",
     "ev_weekend_effect",
+    "emb_exact_dupes",
+    "streaming_moments",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

@@ -3662,3 +3662,59 @@ FROM w, d
 
 QUERIES["ev_weekend_effect"] = ev_weekend_effect
 ORACLES["ev_weekend_effect"] = EV_WEEKEND_SQL
+
+
+# --------------------------------------------------------------------------
+# streaming_moments: the moments sketch AS streaming state — the stream
+# maintains per-event-type (n, sum, sumsq) partials (3 numbers of state per
+# type, merged associatively across micro-batches), the readout emits
+# mean/std. Partial sums over integer-scaled values are exact, so the
+# streamed state equals batch and the job grades against a batch oracle.
+def streaming_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev_s = _events_stream(spark, sf_dir).where(F.col("value").isNotNull())
+    # decimal cast rounds half-up like DuckDB's double->BIGINT cast; a plain
+    # long cast would TRUNCATE 49.098*1000 = 49097.999... and diverge
+    xi = (F.round(F.col("value"), 3) * 1000).cast("decimal(38,0)")
+    agg = ev_s.select("event_type", xi.alias("xi")).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("xi").cast("decimal(38,0)").alias("s1"),
+        F.sum((F.col("xi") * F.col("xi")).cast("decimal(38,0)")).cast("decimal(38,0)").alias("s2"),
+    )
+    sink = "streaming_moments_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    out = spark.table(sink)
+    mean = F.col("s1").cast("double") / F.col("n")
+    m2 = F.col("s2").cast("double") / F.col("n") - mean * mean
+    return out.select(
+        "event_type",
+        "n",
+        F.round(mean / 1000.0, 6).alias("mean"),
+        F.round(F.sqrt(m2) / 1000.0, 6).alias("std_pop"),
+    ).orderBy("event_type")
+
+
+STREAMING_MOMENTS_SQL = """
+WITH v AS (
+  SELECT event_type, CAST(round(value, 3) * 1000 AS BIGINT) AS xi
+  FROM events WHERE value IS NOT NULL
+), g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         sum(xi) AS s1, sum(xi * xi) AS s2
+  FROM v GROUP BY 1
+)
+SELECT event_type, n,
+       round(s1 * 1.0 / n / 1000.0, 6) AS mean,
+       round(sqrt(s2 * 1.0 / n - (s1 * 1.0 / n) * (s1 * 1.0 / n)) / 1000.0, 6) AS std_pop
+FROM g ORDER BY event_type
+"""
+
+QUERIES["streaming_moments"] = streaming_moments
+ORACLES["streaming_moments"] = STREAMING_MOMENTS_SQL

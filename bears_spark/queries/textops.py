@@ -3292,3 +3292,56 @@ FROM pairs ORDER BY src_a, src_b
 
 QUERIES["source_centroid_similarity"] = source_centroid_similarity
 ORACLES["source_centroid_similarity"] = SOURCE_CENTROID_SQL
+
+
+# --------------------------------------------------------------------------
+# emb_exact_dupes: bitwise-identical embedding vectors (the cheap first rung
+# of embedding dedup — catches cache replays and re-encoded copies before
+# any ANN work). One groupBy on the vector value itself; reports dup groups
+# and the total excess vectors, plus the 5 largest groups by size. The
+# synthetic corpus contains NO exact dupes, so the graded row is the pinned
+# all-clear (stats LEFT JOIN keeps it); detection on a corpus WITH dupes is
+# proven by test_emb_exact_dupes_detects (tmp-dir doubled corpus).
+def emb_exact_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    grp = emb.groupBy("embedding").agg(
+        F.count("*").alias("n"), F.min("vec_id").alias("rep_vec_id")
+    )
+    dupes = grp.where(F.col("n") > 1)
+    stats = dupes.agg(
+        F.count("*").alias("dup_groups"),
+        F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("excess_vectors"),
+    ).first()
+    top = (
+        dupes.orderBy(F.desc("n"), "rep_vec_id")
+        .limit(5)
+        .select("rep_vec_id", "n")
+        .collect()
+    )
+    rows = [(int(stats["dup_groups"]), int(stats["excess_vectors"]), r["rep_vec_id"], r["n"]) for r in top]
+    if not rows:
+        rows = [(0, 0, None, None)]
+    return emb.sparkSession.createDataFrame(
+        rows, "dup_groups bigint, excess_vectors bigint, rep_vec_id bigint, group_size bigint"
+    ).orderBy(F.desc("group_size"), "rep_vec_id")
+
+
+EMB_EXACT_DUPES_SQL = """
+WITH grp AS (
+  SELECT embedding, count(*) AS n, min(vec_id) AS rep_vec_id
+  FROM embeddings GROUP BY embedding
+), dupes AS (SELECT * FROM grp WHERE n > 1),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS dup_groups,
+         CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS excess_vectors
+  FROM dupes
+), top AS (
+  SELECT rep_vec_id, n FROM dupes ORDER BY n DESC, rep_vec_id LIMIT 5
+)
+SELECT s.dup_groups, s.excess_vectors, t.rep_vec_id, CAST(t.n AS BIGINT) AS group_size
+FROM stats s LEFT JOIN top t ON TRUE
+ORDER BY group_size DESC, rep_vec_id
+"""
+
+QUERIES["emb_exact_dupes"] = emb_exact_dupes
+ORACLES["emb_exact_dupes"] = EMB_EXACT_DUPES_SQL

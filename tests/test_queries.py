@@ -253,3 +253,19 @@ def test_ev_value_ks_drift_bounds(spark):
     assert 0.0 <= row["ks_d"] <= 1.0
     assert row["ks_crit_05"] > 0
     assert row["drift"] == (row["ks_d"] > row["ks_crit_05"])
+
+
+def test_emb_exact_dupes_detects(spark, tmp_path):
+    """The graded corpus has no exact dupes (pinned all-clear row); prove the
+    operator actually detects them on a doubled corpus in a tmp sf_dir."""
+    from bears_spark.queries.tables import load_table
+    from bears_spark.queries.textops import emb_exact_dupes
+
+    src = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = src.count()
+    doubled = src.unionAll(src.withColumn("vec_id", src.vec_id + 1_000_000))
+    doubled.write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = emb_exact_dupes(spark, str(tmp_path)).collect()
+    assert out[0]["dup_groups"] == n
+    assert out[0]["excess_vectors"] == n
+    assert all(r["group_size"] == 2 for r in out)
