@@ -258,6 +258,8 @@ ROUND7_NEVER_GRADED = [
     "ev_weekend_effect",
     "emb_exact_dupes",
     "streaming_moments",
+    "ev_p95_ci",
+    "ev_tail_gpd_fit",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

@@ -3718,3 +3718,112 @@ FROM g ORDER BY event_type
 
 QUERIES["streaming_moments"] = streaming_moments
 ORACLES["streaming_moments"] = STREAMING_MOMENTS_SQL
+
+
+_OS_Z95 = 1.959963984540054
+
+
+# --------------------------------------------------------------------------
+# ev_p95_ci: a distribution-free 95% confidence interval for the p95 of
+# value — binomial order statistics: the CI endpoints are the r_lo-th and
+# r_hi-th smallest values with r = ceil(n*q -/+ z*sqrt(n*q*(1-q))). Order
+# statistics are selected by the distributed prefix rank over the
+# distinct-value frame (no sort-all-to-one-task, no full collect).
+def ev_p95_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from bears_spark.functions.prefix import partitioned_cumsum
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    n = ev.count()
+    q = 0.95
+    se = math.sqrt(n * q * (1 - q))
+    r_mid = math.ceil(n * q)
+    r_lo = max(1, math.ceil(n * q - _OS_Z95 * se))
+    r_hi = min(n, math.ceil(n * q + _OS_Z95 * se))
+    pv = ev.groupBy(F.col("value").alias("v")).agg(F.count("*").alias("cnt"))
+    cum = partitioned_cumsum(pv, ["v"], ["cnt"])
+    # the r-th smallest value is the first distinct v whose cumulative count
+    # reaches r — one filtered min per target rank
+    picks = cum.agg(
+        F.min(F.when(F.col("cnt_cumsum") >= r_lo, F.col("v"))).alias("lo"),
+        F.min(F.when(F.col("cnt_cumsum") >= r_mid, F.col("v"))).alias("mid"),
+        F.min(F.when(F.col("cnt_cumsum") >= r_hi, F.col("v"))).alias("hi"),
+    ).first()
+    return ev.sparkSession.range(1).select(
+        F.lit(n).alias("n"),
+        F.lit(r_lo).alias("rank_lo"),
+        F.lit(r_hi).alias("rank_hi"),
+        F.round(F.lit(float(picks["lo"])), 6).alias("p95_lo"),
+        F.round(F.lit(float(picks["mid"])), 6).alias("p95"),
+        F.round(F.lit(float(picks["hi"])), 6).alias("p95_hi"),
+    )
+
+
+EV_P95_CI_SQL = f"""
+WITH vals AS (SELECT value AS v FROM events WHERE value IS NOT NULL),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vals),
+ranks AS (
+  SELECT n,
+         CAST(ceil(n * 0.95) AS BIGINT) AS r_mid,
+         greatest(1, CAST(ceil(n * 0.95 - {_OS_Z95} * sqrt(n * 0.95 * 0.05)) AS BIGINT)) AS r_lo,
+         least(n, CAST(ceil(n * 0.95 + {_OS_Z95} * sqrt(n * 0.95 * 0.05)) AS BIGINT)) AS r_hi
+  FROM n
+), pv AS (
+  SELECT v, count(*) AS cnt FROM vals GROUP BY 1
+), cum AS (
+  SELECT v, sum(cnt) OVER (ORDER BY v) AS cc FROM pv
+)
+SELECT r.n, r.r_lo AS rank_lo, r.r_hi AS rank_hi,
+       round(min(CASE WHEN cc >= r.r_lo THEN v END), 6) AS p95_lo,
+       round(min(CASE WHEN cc >= r.r_mid THEN v END), 6) AS p95,
+       round(min(CASE WHEN cc >= r.r_hi THEN v END), 6) AS p95_hi
+FROM cum, ranks r GROUP BY r.n, r.r_lo, r.r_hi
+"""
+
+QUERIES["ev_p95_ci"] = ev_p95_ci
+ORACLES["ev_p95_ci"] = EV_P95_CI_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_tail_gpd_fit: extreme-value tail modeling — peaks-over-threshold with
+# a generalized Pareto fit by method of moments (threshold = exact p99;
+# excesses y = v - u; xi = (1 - m^2/s^2)/2, beta = m (1 - xi) m^2/s^2 ...
+# concretely xi = 0.5*(1 - m^2/v), beta = 0.5*m*(m^2/v + 1)). One pass for
+# the threshold, one bounded aggregate over excesses.
+def ev_tail_gpd_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    u = float(ev.agg(F.expr("percentile(value, 0.99)")).first()[0])
+    exc = ev.where(F.col("value") > u).select((F.col("value") - u).alias("y"))
+    m = exc.agg(F.count("*").alias("n"), F.avg("y").alias("m"), F.var_pop("y").alias("v")).first()
+    n_exc, mean, var = int(m["n"]), float(m["m"]), float(m["v"])
+    ratio = mean * mean / var
+    xi = 0.5 * (1 - ratio)
+    beta = 0.5 * mean * (ratio + 1)
+    return ev.sparkSession.range(1).select(
+        F.round(F.lit(u), 6).alias("threshold_p99"),
+        F.lit(n_exc).alias("n_excess"),
+        F.round(F.lit(mean), 6).alias("mean_excess"),
+        F.round(F.lit(xi), 6).alias("gpd_xi"),
+        F.round(F.lit(beta), 6).alias("gpd_beta"),
+    )
+
+
+EV_GPD_SQL = """
+WITH u AS (
+  SELECT quantile_cont(value, 0.99) AS u FROM events WHERE value IS NOT NULL
+), exc AS (
+  SELECT value - u.u AS y FROM events, u WHERE value IS NOT NULL AND value > u.u
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, avg(y) AS m, var_pop(y) AS v FROM exc
+)
+SELECT round((SELECT u FROM u), 6) AS threshold_p99,
+       n AS n_excess,
+       round(m, 6) AS mean_excess,
+       round(0.5 * (1 - m * m / v), 6) AS gpd_xi,
+       round(0.5 * m * (m * m / v + 1), 6) AS gpd_beta
+FROM m
+"""
+
+QUERIES["ev_tail_gpd_fit"] = ev_tail_gpd_fit
+ORACLES["ev_tail_gpd_fit"] = EV_GPD_SQL
