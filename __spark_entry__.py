@@ -260,6 +260,8 @@ ROUND7_NEVER_GRADED = [
     "streaming_moments",
     "ev_p95_ci",
     "ev_tail_gpd_fit",
+    "ev_markov_stationary",
+    "emb_centroid_classifier",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

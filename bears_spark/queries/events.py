@@ -3827,3 +3827,108 @@ FROM m
 
 QUERIES["ev_tail_gpd_fit"] = ev_tail_gpd_fit
 ORACLES["ev_tail_gpd_fit"] = EV_GPD_SQL
+
+
+_MKV_STEPS = 8
+
+
+# --------------------------------------------------------------------------
+# ev_markov_stationary: the long-run event-type mix implied by the observed
+# per-user transition chain — 8 power-iteration steps of v P from uniform
+# over the 5x5 row-normalized transition matrix (bounded: |types|^2 rows
+# collected once; the heavy work is the one lag-pair aggregation). The
+# oracle unrolls the same 8 steps as CTEs.
+def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", F.col("event_type").alias("src"))
+        .withColumn("dst", F.lead("src").over(w))
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    types = sorted({r["src"] for r in pairs} | {r["dst"] for r in pairs})
+    idx = {t: i for i, t in enumerate(types)}
+    k = len(types)
+    row_tot = [0] * k
+    for r in pairs:
+        row_tot[idx[r["src"]]] += int(r["c"])
+    P = [[0.0] * k for _ in range(k)]
+    for r in pairs:
+        P[idx[r["src"]]][idx[r["dst"]]] = int(r["c"]) / row_tot[idx[r["src"]]]
+    v = [1.0 / k] * k
+    for _ in range(_MKV_STEPS):
+        # sum in ascending src order — the same order the SQL oracle's
+        # ordered aggregation produces
+        v = [sum(v[i] * P[i][j] for i in range(k)) for j in range(k)]
+    return ev.sparkSession.createDataFrame(
+        [(t, round(v[idx[t]], 6)) for t in types],
+        "event_type string, stationary_p double",
+    ).orderBy("event_type")
+
+
+def _mkv_sql() -> str:
+    its = []
+    prev = "it0"
+    for s in range(1, _MKV_STEPS + 1):
+        its.append(
+            f"it{s} AS (\n"
+            f"  SELECT p.dst AS t, sum(v.p * p.p ORDER BY p.src) AS p\n"
+            f"  FROM {prev} v JOIN pm p ON p.src = v.t GROUP BY 1\n)"
+        )
+        prev = f"it{s}"
+    return f"""
+WITH pairs AS (
+  SELECT src, dst, count(*) AS c FROM (
+    SELECT event_type AS src,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+    FROM events
+  ) WHERE dst IS NOT NULL GROUP BY 1, 2
+), types AS (SELECT DISTINCT src AS t FROM pairs UNION SELECT DISTINCT dst FROM pairs),
+k AS (SELECT count(*) AS k FROM (SELECT DISTINCT t FROM types)),
+pm AS (
+  SELECT src, dst, c * 1.0 / sum(c) OVER (PARTITION BY src) AS p FROM pairs
+), it0 AS (
+  SELECT t, 1.0 / k.k AS p FROM (SELECT DISTINCT t FROM types), k
+), {", ".join(its)}
+SELECT t AS event_type, round(p, 6) AS stationary_p FROM {prev} ORDER BY event_type
+"""
+
+
+EV_MKV_SQL = _mkv_sql()
+
+
+def _mkv_sql() -> str:
+    its = []
+    prev = "it0"
+    for s in range(1, _MKV_STEPS + 1):
+        its.append(
+            f"it{s} AS (\n"
+            f"  SELECT p.dst AS t, sum(v.p * p.p ORDER BY p.src) AS p\n"
+            f"  FROM {prev} v JOIN pm p ON p.src = v.t GROUP BY 1\n)"
+        )
+        prev = f"it{s}"
+    return f"""
+WITH pairs AS (
+  SELECT src, dst, count(*) AS c FROM (
+    SELECT event_type AS src,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+    FROM events
+  ) WHERE dst IS NOT NULL GROUP BY 1, 2
+), types AS (SELECT DISTINCT src AS t FROM pairs UNION SELECT DISTINCT dst FROM pairs),
+k AS (SELECT count(*) AS k FROM (SELECT DISTINCT t FROM types)),
+pm AS (
+  SELECT src, dst, c * 1.0 / sum(c) OVER (PARTITION BY src) AS p FROM pairs
+), it0 AS (
+  SELECT t, 1.0 / k.k AS p FROM (SELECT DISTINCT t FROM types), k
+), {", ".join(its)}
+SELECT t AS event_type, round(p, 6) AS stationary_p FROM {prev} ORDER BY event_type
+"""
+
+
+EV_MKV_SQL = _mkv_sql()
+
+QUERIES["ev_markov_stationary"] = ev_markov_stationary
+ORACLES["ev_markov_stationary"] = EV_MKV_SQL

@@ -3345,3 +3345,79 @@ ORDER BY group_size DESC, rep_vec_id
 
 QUERIES["emb_exact_dupes"] = emb_exact_dupes
 ORACLES["emb_exact_dupes"] = EMB_EXACT_DUPES_SQL
+
+
+# --------------------------------------------------------------------------
+# emb_centroid_classifier: nearest-centroid (Rocchio) classification eval —
+# per-label mean vectors fitted in one posexplode groupBy, every corpus
+# vector assigned by the join-free assign_centroids_expr argmax (the same
+# expression the streaming cluster assigner grades on), accuracy + per-label
+# breakdown for the 3 worst labels.
+def emb_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.similarity import assign_centroids_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.select("label", F.posexplode("embedding"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("col").cast("double")).alias("m"))
+        .collect()
+    )
+    byl: dict[int, list[float]] = {}
+    for r in cent_rows:
+        byl.setdefault(int(r["label"]), [0.0] * 64)[int(r["pos"])] = float(r["m"])
+    centroids = [(lbl, byl[lbl]) for lbl in sorted(byl)]
+    scored = emb.select(
+        "label",
+        assign_centroids_expr(F.col("embedding"), centroids).alias("pred"),
+    )
+    per = scored.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("pred") == F.col("label")).cast("long")).alias("n_correct"),
+    )
+    return (
+        per.select(
+            "label",
+            "n",
+            "n_correct",
+            F.round(F.col("n_correct") / F.col("n"), 6).alias("accuracy"),
+        )
+        .orderBy("accuracy", "label")
+        .limit(3)
+    )
+
+
+_CC_DOT = "list_sum(list_transform(list_zip(e.embedding, c.vec), x -> x[1]::DOUBLE * x[2]))"
+_CC_NE = "sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+_CC_NC = "sqrt(list_sum(list_transform(c.vec, x -> x * x)))"
+
+EMB_CENTROID_SQL = f"""
+WITH cent AS (
+  SELECT label AS cid, pos, avg(val::DOUBLE) AS m FROM (
+    SELECT label, unnest(embedding) AS val, generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+  ) GROUP BY 1, 2
+), cvec AS (
+  SELECT cid, list(m ORDER BY pos) AS vec FROM cent GROUP BY 1
+), scored AS (
+  SELECT e.vec_id, e.label, c.cid,
+         {_CC_DOT} / ({_CC_NE} * {_CC_NC}) AS cos
+  FROM embeddings e CROSS JOIN cvec c
+), pred AS (
+  SELECT vec_id, label, cid AS pred FROM (
+    SELECT vec_id, label, cid, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, cid
+    ) AS rk
+    FROM scored
+  ) WHERE rk = 1
+), per AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+  FROM pred GROUP BY 1
+)
+SELECT label, n, n_correct, round(n_correct * 1.0 / n, 6) AS accuracy
+FROM per ORDER BY accuracy, label LIMIT 3
+"""
+
+QUERIES["emb_centroid_classifier"] = emb_centroid_classifier
+ORACLES["emb_centroid_classifier"] = EMB_CENTROID_SQL
