@@ -262,6 +262,8 @@ ROUND7_NEVER_GRADED = [
     "ev_tail_gpd_fit",
     "ev_markov_stationary",
     "emb_centroid_classifier",
+    "hash_feature_collision_report",
+    "ev_stickiness_hll",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

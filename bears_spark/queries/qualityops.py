@@ -1906,3 +1906,55 @@ QUERIES["source_type_token_ratio"] = source_type_token_ratio
 ORACLES["source_type_token_ratio"] = SOURCE_TTR_SQL
 QUERIES["corpus_heaps_law"] = corpus_heaps_law
 ORACLES["corpus_heaps_law"] = CORPUS_HEAPS_SQL
+
+
+_FH_BUCKETS = 1024
+
+
+# --------------------------------------------------------------------------
+# hash_feature_collision_report: the diagnostic every feature-hashing
+# pipeline needs — distinct vocabulary terms per 2^10 hash bucket: how many
+# buckets collide (>=2 terms), the worst bucket, and the collision rate
+# (share of terms NOT alone in their bucket). One vocabulary groupBy + one
+# bucket groupBy; both vocabulary-sized, sublinear in the corpus.
+def hash_feature_collision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.hashing import md5_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = (
+        docs.select(F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"))
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    per_bucket = terms.groupBy((md5_hash64("term", salt="fh") % _FH_BUCKETS).alias("b")).agg(
+        F.count("*").alias("k")
+    )
+    return per_bucket.agg(
+        F.sum("k").alias("n_terms"),
+        F.count("*").alias("buckets_hit"),
+        F.sum((F.col("k") >= 2).cast("long")).alias("buckets_colliding"),
+        F.max("k").alias("worst_bucket"),
+        F.round(
+            F.sum(F.when(F.col("k") >= 2, F.col("k")).otherwise(0)) / F.sum("k"), 6
+        ).alias("term_collision_rate"),
+    )
+
+
+FH_COLLISION_SQL = rf"""
+WITH terms AS (
+  SELECT DISTINCT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')) AS term
+  FROM documents
+), per AS (
+  SELECT {_duck_h64("term", "'fh'")} % {_FH_BUCKETS} AS b, count(*) AS k
+  FROM terms GROUP BY 1
+)
+SELECT CAST(sum(k) AS BIGINT) AS n_terms,
+       CAST(count(*) AS BIGINT) AS buckets_hit,
+       CAST(sum(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS buckets_colliding,
+       max(k) AS worst_bucket,
+       round(sum(CASE WHEN k >= 2 THEN k ELSE 0 END) * 1.0 / sum(k), 6) AS term_collision_rate
+FROM per
+"""
+
+QUERIES["hash_feature_collision_report"] = hash_feature_collision_report
+ORACLES["hash_feature_collision_report"] = FH_COLLISION_SQL

@@ -770,3 +770,84 @@ FROM est ORDER BY event_type
 
 QUERIES["hll_error_report"] = hll_error_report
 ORACLES["hll_error_report"] = HLL_ERROR_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_stickiness_hll: the DAU/MAU stickiness ratio computed ENTIRELY from
+# mergeable HLL registers — per-day registers serve both the daily estimate
+# and (max-merged over the trailing 30 days) the monthly estimate, so one
+# register table powers every window. The sketch-over-sketch ratio is the
+# 100 TB shape: 2^p rows per day of state, no user-grain shuffle at all.
+def ev_stickiness_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.sketch import hll_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    regs = hll_registers(ev.withColumn("d", F.to_date("ts")), "user_id", _HLL_P, by=("d",))
+    days = regs.select("d").distinct()
+
+    def _est(grouped):
+        return (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_S} - rho)"))
+            + (F.lit(_HLL_M) - F.count("*")) * F.lit(1 << _HLL_S).cast("bigint")
+        ).alias("ss")
+
+    dau = regs.groupBy("d").agg(_est(None)).select(
+        "d", (F.lit(_HLL_NUMER) / F.col("ss")).alias("dau_est")
+    )
+    cov = regs.select(F.explode(F.expr("sequence(d, date_add(d, 29))")).alias("wd"), "bucket", "rho")
+    mau = (
+        cov.join(days.withColumnRenamed("d", "wd"), "wd")
+        .groupBy("wd", "bucket")
+        .agg(F.max("rho").alias("rho"))
+        .groupBy("wd")
+        .agg(_est(None))
+        .select(F.col("wd").alias("d"), (F.lit(_HLL_NUMER) / F.col("ss")).alias("mau_est"))
+    )
+    return (
+        dau.join(mau, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.round("dau_est", 6).alias("dau_est"),
+            F.round("mau_est", 6).alias("mau_est"),
+            F.round(F.col("dau_est") / F.col("mau_est"), 6).alias("stickiness_est"),
+        )
+        .orderBy("day")
+    )
+
+
+EV_STICKINESS_HLL_SQL = f"""
+WITH h AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         {_duck_h64("user_id", "'0'")} AS hv
+  FROM events
+), regs AS (
+  SELECT d, hv % {_HLL_M} AS bucket,
+         max(CASE WHEN hv // {_HLL_M} = 0 THEN {_HLL_WBITS + 1}
+                  ELSE {_HLL_WBITS + 1} - length(bin(hv // {_HLL_M})) END) AS rho
+  FROM h GROUP BY 1, 2
+), days AS (SELECT DISTINCT d FROM regs),
+dau AS (
+  SELECT d,
+         {_HLL_NUMER!r} / (CAST(sum((1::BIGINT) << ({_HLL_S} - rho)) AS BIGINT)
+           + ({_HLL_M} - count(*)) * ((1::BIGINT) << {_HLL_S})) AS dau_est
+  FROM regs GROUP BY 1
+), merged AS (
+  SELECT days.d AS wd, r.bucket, max(r.rho) AS rho
+  FROM days JOIN regs r ON r.d BETWEEN days.d - INTERVAL 29 DAY AND days.d
+  GROUP BY 1, 2
+), mau AS (
+  SELECT wd AS d,
+         {_HLL_NUMER!r} / (CAST(sum((1::BIGINT) << ({_HLL_S} - rho)) AS BIGINT)
+           + ({_HLL_M} - count(*)) * ((1::BIGINT) << {_HLL_S})) AS mau_est
+  FROM merged GROUP BY 1
+)
+SELECT strftime(dau.d, '%Y-%m-%d') AS day,
+       round(dau.dau_est, 6) AS dau_est,
+       round(mau.mau_est, 6) AS mau_est,
+       round(dau.dau_est / mau.mau_est, 6) AS stickiness_est
+FROM dau JOIN mau ON dau.d = mau.d
+ORDER BY day
+"""
+
+QUERIES["ev_stickiness_hll"] = ev_stickiness_hll
+ORACLES["ev_stickiness_hll"] = EV_STICKINESS_HLL_SQL
