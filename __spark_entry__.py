@@ -264,6 +264,7 @@ ROUND7_NEVER_GRADED = [
     "emb_centroid_classifier",
     "hash_feature_collision_report",
     "ev_stickiness_hll",
+    "streaming_cms_user_counts",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

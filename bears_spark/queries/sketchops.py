@@ -851,3 +851,48 @@ ORDER BY day
 
 QUERIES["ev_stickiness_hll"] = ev_stickiness_hll
 ORACLES["ev_stickiness_hll"] = EV_STICKINESS_HLL_SQL
+
+
+# --------------------------------------------------------------------------
+# streaming_cms_user_counts: the count-min sketch AS streaming state — the
+# stream maintains the d x w cell counts (bounded state: 4*512 cells,
+# merged additively across micro-batches), the readout probes the 10 most
+# active users exactly as the batch query does. Cell counting is
+# order-insensitive, so stream == batch and the job grades against the
+# batch cms_user_counts oracle. Completes the streamed-sketch trio
+# (HLL registers, moment partials, CMS cells).
+def streaming_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.hashing import md5_hash64
+    from bears_spark.queries.events import _events_stream
+
+    ev_s = _events_stream(spark, sf_dir)
+    rows = None
+    for i in range(_CMS_D):
+        ri = ev_s.select(
+            F.lit(i).alias("row"),
+            (md5_hash64("user_id", salt=str(i)) % _CMS_W).alias("bucket"),
+        )
+        rows = ri if rows is None else rows.unionByName(ri)
+    cells = rows.groupBy("row", "bucket").agg(F.count("*").alias("cnt"))
+    sink = "streaming_cms_sink"
+    q = (
+        cells.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    sketch = spark.table(sink)
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_cnt"))
+    probes = exact.orderBy(F.desc("exact_cnt"), F.asc("user_id")).limit(10)
+    from bears_spark.functions.sketch import cms_lookup
+
+    est = cms_lookup(sketch, probes.select("user_id"), "user_id", depth=_CMS_D, width=_CMS_W)
+    return probes.join(est, "user_id").select("user_id", "exact_cnt", "cms_cnt").orderBy("user_id")
+
+QUERIES["streaming_cms_user_counts"] = streaming_cms_user_counts
+ORACLES["streaming_cms_user_counts"] = CMS_USER_SQL
