@@ -265,6 +265,9 @@ ROUND7_NEVER_GRADED = [
     "hash_feature_collision_report",
     "ev_stickiness_hll",
     "streaming_cms_user_counts",
+    "corpus_temperature_curve",
+    "ev_user_activity_powerlaw",
+    "customer_theil_index",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

@@ -3932,3 +3932,43 @@ EV_MKV_SQL = _mkv_sql()
 
 QUERIES["ev_markov_stationary"] = ev_markov_stationary
 ORACLES["ev_markov_stationary"] = EV_MKV_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_user_activity_powerlaw: continuous-MLE power-law exponent for the
+# per-user activity distribution — alpha = 1 + n / sum(ln(x/xmin)) over
+# users with >= xmin events (Clauset-Shalizi-Newman estimator, closed
+# form). One user-grain aggregate + one bounded moment pass.
+def ev_user_activity_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    xmin = 5.0
+    per = ev.groupBy("user_id").agg(F.count("*").alias("x")).where(F.col("x") >= xmin)
+    m = per.agg(
+        F.count("*").alias("n"),
+        F.sum(F.log(F.col("x") / F.lit(xmin))).alias("slog"),
+    ).first()
+    n, slog = int(m["n"]), float(m["slog"])
+    alpha = 1.0 + n / slog
+    se = (alpha - 1.0) / n**0.5
+    return ev.sparkSession.range(1).select(
+        F.lit(int(xmin)).alias("xmin"),
+        F.lit(n).alias("n_users"),
+        F.round(F.lit(alpha), 6).alias("alpha_mle"),
+        F.round(F.lit(se), 6).alias("alpha_se"),
+    )
+
+
+EV_POWERLAW_SQL = """
+WITH per AS (
+  SELECT user_id, count(*) AS x FROM events GROUP BY 1 HAVING count(*) >= 5
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(ln(x / 5.0)) AS slog FROM per
+)
+SELECT 5 AS xmin, n AS n_users,
+       round(1.0 + n / slog, 6) AS alpha_mle,
+       round((1.0 + n / slog - 1.0) / sqrt(n), 6) AS alpha_se
+FROM m
+"""
+
+QUERIES["ev_user_activity_powerlaw"] = ev_user_activity_powerlaw
+ORACLES["ev_user_activity_powerlaw"] = EV_POWERLAW_SQL

@@ -1958,3 +1958,57 @@ FROM per
 
 QUERIES["hash_feature_collision_report"] = hash_feature_collision_report
 ORACLES["hash_feature_collision_report"] = FH_COLLISION_SQL
+
+
+# --------------------------------------------------------------------------
+# corpus_temperature_curve: the multilingual-balancing tuning readout — the
+# language token-share each sampling temperature tau would produce
+# (p_l^tau / sum p^tau) for tau in {0.3, 0.7, 1.0}, side by side. One
+# language-grain aggregate; the tau sweep is arithmetic over the bounded
+# language domain.
+def corpus_temperature_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.size(F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != "")).alias("n_tok"),
+    )
+    per = toks.groupBy("lang").agg(F.sum("n_tok").alias("tok"))
+    tot = per.agg(F.sum("tok")).first()[0]
+    p = F.col("tok") / F.lit(float(tot))
+    cols = [F.col("lang"), F.col("tok").alias("n_tokens"), F.round(p, 6).alias("share_raw")]
+    taus = [("t03", 0.3), ("t07", 0.7)]
+    out = per
+    for name, tau in taus:
+        out = out.withColumn(name, F.pow(F.col("tok") / F.lit(float(tot)), F.lit(tau)))
+    sums = out.agg(*[F.sum(n).alias(n) for n, _ in taus]).first()
+    sel = cols + [
+        F.round(F.col(n) / F.lit(float(sums[n])), 6).alias(f"share_tau{str(tau).replace('.', '')}")
+        for n, tau in taus
+    ]
+    return out.select(*sel).orderBy("lang")
+
+
+CORPUS_TEMP_CURVE_SQL = r"""
+WITH toks AS (
+  SELECT lang,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')) AS n_tok
+  FROM documents
+), per AS (
+  SELECT lang, CAST(sum(n_tok) AS BIGINT) AS tok FROM toks GROUP BY 1
+), tot AS (SELECT sum(tok) AS t FROM per),
+powed AS (
+  SELECT lang, tok,
+         tok * 1.0 / t AS p,
+         pow(tok * 1.0 / t, 0.3) AS t03,
+         pow(tok * 1.0 / t, 0.7) AS t07
+  FROM per, tot
+), sums AS (SELECT sum(t03) AS s03, sum(t07) AS s07 FROM powed)
+SELECT lang, tok AS n_tokens,
+       round(p, 6) AS share_raw,
+       round(t03 / s03, 6) AS share_tau03,
+       round(t07 / s07, 6) AS share_tau07
+FROM powed, sums ORDER BY lang
+"""
+
+QUERIES["corpus_temperature_curve"] = corpus_temperature_curve
+ORACLES["corpus_temperature_curve"] = CORPUS_TEMP_CURVE_SQL

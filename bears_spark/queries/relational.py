@@ -3639,3 +3639,37 @@ FROM parts p, tot t
 
 QUERIES["orders_cycle_anova"] = orders_cycle_anova
 ORACLES["orders_cycle_anova"] = ORDERS_ANOVA_SQL
+
+
+# --------------------------------------------------------------------------
+# customer_theil_index: Theil T inequality of customer revenue —
+# T = mean((x/mu) ln(x/mu)) — the decomposable complement to the graded
+# Gini (customer_gini uses the distributed prefix; Theil needs only
+# moments: one customer-grain aggregate, one bounded pass, no ranking).
+def customer_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    per = od.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("x"))
+    mu = float(per.agg(F.avg("x")).first()[0])
+    t = per.agg(
+        F.count("*").alias("n"),
+        F.avg((F.col("x") / F.lit(mu)) * F.log(F.col("x") / F.lit(mu))).alias("theil"),
+    ).first()
+    return od.sparkSession.range(1).select(
+        F.lit(int(t["n"])).alias("n_customers"),
+        F.round(F.lit(mu), 6).alias("mean_revenue"),
+        F.round(F.lit(float(t["theil"])), 6).alias("theil_t"),
+    )
+
+
+CUSTOMER_THEIL_SQL = """
+WITH per AS (
+  SELECT o_custkey, sum(o_totalprice) AS x FROM orders GROUP BY 1
+), mu AS (SELECT avg(x) AS mu, CAST(count(*) AS BIGINT) AS n FROM per)
+SELECT n AS n_customers,
+       round(mu, 6) AS mean_revenue,
+       round(avg((x / mu) * ln(x / mu)), 6) AS theil_t
+FROM per, mu GROUP BY n, mu
+"""
+
+QUERIES["customer_theil_index"] = customer_theil_index
+ORACLES["customer_theil_index"] = CUSTOMER_THEIL_SQL
