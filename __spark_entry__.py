@@ -268,6 +268,9 @@ ROUND7_NEVER_GRADED = [
     "corpus_temperature_curve",
     "ev_user_activity_powerlaw",
     "customer_theil_index",
+    "orders_orc_roundtrip",
+    "doc_length_quality_corr",
+    "ev_markov_entropy_rate",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

@@ -3972,3 +3972,90 @@ FROM m
 
 QUERIES["ev_user_activity_powerlaw"] = ev_user_activity_powerlaw
 ORACLES["ev_user_activity_powerlaw"] = EV_POWERLAW_SQL
+
+
+# --------------------------------------------------------------------------
+# ev_markov_entropy_rate: entropy rate of the observed event-type chain —
+# H = -sum_i pi_i sum_j P_ij ln P_ij with pi from the same 8 power-iteration
+# steps ev_markov_stationary grades; perplexity = e^H is "how many
+# effective next-event choices" the process carries. All state bounded
+# (|types|^2), one lag-pair aggregation does the heavy work.
+def ev_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", F.col("event_type").alias("src"))
+        .withColumn("dst", F.lead("src").over(w))
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    types = sorted({r["src"] for r in pairs} | {r["dst"] for r in pairs})
+    idx = {t: i for i, t in enumerate(types)}
+    k = len(types)
+    row_tot = [0] * k
+    for r in pairs:
+        row_tot[idx[r["src"]]] += int(r["c"])
+    P = [[0.0] * k for _ in range(k)]
+    for r in pairs:
+        P[idx[r["src"]]][idx[r["dst"]]] = int(r["c"]) / row_tot[idx[r["src"]]]
+    v = [1.0 / k] * k
+    for _ in range(8):
+        v = [sum(v[i] * P[i][j] for i in range(k)) for j in range(k)]
+    h = -sum(
+        v[i] * sum(P[i][j] * math.log(P[i][j]) for j in range(k) if P[i][j] > 0)
+        for i in range(k)
+    )
+    return ev.sparkSession.range(1).select(
+        F.lit(k).alias("n_states"),
+        F.round(F.lit(h), 6).alias("entropy_rate_nats"),
+        F.round(F.lit(math.exp(h)), 6).alias("perplexity"),
+    )
+
+
+def _mkv_entropy_sql() -> str:
+    its = []
+    prev = "it0"
+    for s in range(1, 9):
+        its.append(
+            f"it{s} AS (\n"
+            f"  SELECT p.dst AS t, sum(v.p * p.p ORDER BY p.src) AS p\n"
+            f"  FROM {prev} v JOIN pm p ON p.src = v.t GROUP BY 1\n)"
+        )
+        prev = f"it{s}"
+    return f"""
+WITH pairs AS (
+  SELECT src, dst, count(*) AS c FROM (
+    SELECT event_type AS src,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+    FROM events
+  ) WHERE dst IS NOT NULL GROUP BY 1, 2
+), types AS (SELECT DISTINCT src AS t FROM pairs UNION SELECT DISTINCT dst FROM pairs),
+k AS (SELECT count(*) AS k FROM (SELECT DISTINCT t FROM types)),
+pm AS (
+  SELECT src, dst, c * 1.0 / sum(c) OVER (PARTITION BY src) AS p FROM pairs
+), it0 AS (
+  SELECT t, 1.0 / k.k AS p FROM (SELECT DISTINCT t FROM types), k
+), {", ".join(its)},
+row_h AS (
+  SELECT src, -sum(p * ln(p) ORDER BY dst) AS h FROM pm WHERE p > 0 GROUP BY 1
+), ent AS (
+  SELECT sum(v.p * r.h ORDER BY v.t) AS h
+  FROM {prev} v JOIN row_h r ON r.src = v.t
+)
+SELECT (SELECT CAST(k AS INT) FROM k) AS n_states,
+       round(h, 6) AS entropy_rate_nats,
+       round(exp(h), 6) AS perplexity
+FROM ent
+"""
+
+
+EV_MKV_ENTROPY_SQL = _mkv_entropy_sql()
+
+EV_MKV_ENTROPY_SQL = _mkv_entropy_sql()
+
+QUERIES["ev_markov_entropy_rate"] = ev_markov_entropy_rate
+ORACLES["ev_markov_entropy_rate"] = EV_MKV_ENTROPY_SQL

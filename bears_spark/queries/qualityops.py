@@ -2012,3 +2012,33 @@ FROM powed, sums ORDER BY lang
 
 QUERIES["corpus_temperature_curve"] = corpus_temperature_curve
 ORACLES["corpus_temperature_curve"] = CORPUS_TEMP_CURVE_SQL
+
+
+# --------------------------------------------------------------------------
+# doc_length_quality_corr: does document length predict passing the Gopher
+# gate? Point-biserial correlation (Pearson of n_chars vs keep as 0/1) plus
+# the keep rate by length tercile — one pass over the per-doc quality frame
+# joined back to the documents' n_chars.
+def doc_length_quality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.quality import gopher_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = gopher_quality(docs, "text", "doc_id").select("doc_id", F.col("keep").cast("double").alias("k"))
+    j = docs.select("doc_id", F.col("n_chars").cast("double").alias("len")).join(g, "doc_id")
+    return j.agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("k"), 6).alias("keep_rate"),
+        F.round(F.corr("len", "k"), 6).alias("len_keep_corr"),
+    )
+
+
+DOC_LEN_QUALITY_SQL = f"""
+WITH g AS ({DOC_GOPHER_SQL})
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(CASE WHEN g.keep THEN 1.0 ELSE 0.0 END), 6) AS keep_rate,
+       round(corr(d.n_chars, CASE WHEN g.keep THEN 1.0 ELSE 0.0 END), 6) AS len_keep_corr
+FROM g JOIN documents d ON g.doc_id = d.doc_id
+"""
+
+QUERIES["doc_length_quality_corr"] = doc_length_quality_corr
+ORACLES["doc_length_quality_corr"] = DOC_LEN_QUALITY_SQL

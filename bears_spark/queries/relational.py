@@ -3673,3 +3673,46 @@ FROM per, mu GROUP BY n, mu
 
 QUERIES["customer_theil_index"] = customer_theil_index
 ORACLES["customer_theil_index"] = CUSTOMER_THEIL_SQL
+
+
+# --------------------------------------------------------------------------
+# orders_orc_roundtrip: the ORC write->read path graded end-to-end (same
+# contract as orders_arrow_roundtrip): write orders as ORC, read back, and
+# the per-status aggregate must hash-match the raw-parquet oracle exactly.
+def orders_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from bears_spark.io.reader import Reader
+    from bears_spark.io.writer import Writer
+
+    o = load_table(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="orc_rt_") + "/orders_orc"
+    try:
+        Writer.of("orc").write(o.repartition(4), out)
+        back = Reader.of("orc").read(out, spark=spark).df
+        rows = (
+            back.groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.countDistinct("o_custkey").alias("n_cust"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double"), 6
+                ).alias("total"),
+            )
+            .orderBy("o_orderstatus")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(out.rsplit("/", 1)[0], ignore_errors=True)
+    return spark.createDataFrame(rows, "o_orderstatus string, n bigint, n_cust bigint, total double")
+
+
+ORDERS_ORC_RT_SQL = """
+SELECT o_orderstatus, count(*) AS n, count(DISTINCT o_custkey) AS n_cust,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 6) AS total
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+QUERIES["orders_orc_roundtrip"] = orders_orc_roundtrip
+ORACLES["orders_orc_roundtrip"] = ORDERS_ORC_RT_SQL
