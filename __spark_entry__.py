@@ -101,49 +101,52 @@ GRADED_WINDOW = [
     "streaming_running_totals",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
-    # --- never driver-graded, ledger order (42) ---
-    "fk_integrity_report",
-    "hist_merge_proof",
-    "hll_merge_proof",
-    "join_cardinality_prediction",
-    "lang_source_chisq",
-    "lineitem_skew_report",
-    "lsh_recall_report",
-    "orders_benford_digits",
-    "orders_keyset_page",
-    "orders_pit_priority",
-    "orders_snapshot_diff",
-    "orders_table_fingerprint",
-    "part_copurchase_pairs",
-    "source_characteristic_terms",
-    "source_lang_kl",
-    "streaming_dedup_events",
-    "supplier_triangles",
-    "supplier_two_hop_reach",
-    "tfidf_cosine_pairs",
-    "ev_attribution_touch",
-    "doc_shared_passages",
-    "orders_snapshot_timetravel",
-    "doc_bm25_queryset",
-    "ann_ivfpq_topk",
-    "retrieval_eval_report",
-    "customer_k_anonymity",
-    "dedup_lsh_index_ingest",
-    "doc_dsir_selection",
-    "streaming_attribution_full",
-    "corpus_curation_e2e",
-    "dedup_semantic_clusters",
-    "doc_leakage_safe_split",
-    "streaming_semantic_assign",
-    "emb_cluster_coreset",
-    "dedup_source_matrix",
-    "corpus_dedup_funnel",
-    "corpus_datacard",
-    "ev_seasonal_naive_forecast",
-    "customer_l_diversity",
-    "streaming_seasonal_anomaly",
-    "emb_principal_direction",
-    "doc_bm25_rm3",
+    # --- never driver-graded: the FIRST 42 of ROUND7_NEVER_GRADED, in
+    # ledger order (VERDICT r6 "Next round" #1). The remaining ~71 roll to
+    # round 8. doc_compression_quality has no DuckDB oracle (zlib DEFLATE)
+    # and is graded rows-only by design; its values are pinned by pytest.
+    "orders_yoy_growth",
+    "streaming_doc_quality",
+    "lang_source_mutual_info",
+    "doc_compression_quality",
+    "orders_change_feed",
+    "dedup_minhash_eval",
+    "emb_pca2_projection",
+    "dedup_minhash_calibration",
+    "customer_abc_analysis",
+    "part_iqr_outliers",
+    "lineitem_cycle_time",
+    "nation_market_concentration",
+    "orders_survival_curve",
+    "ev_markov_next_event",
+    "customer_gini",
+    "ev_user_entropy",
+    "source_lang_jsd",
+    "orders_bloom_point_lookup",
+    "orders_arrow_roundtrip",
+    "ev_user_features",
+    "ev_ab_welch",
+    "ev_ab_cuped",
+    "ev_ab_quantiles",
+    "pipeline_quality_gate",
+    "ev_ab_conversion",
+    "ann_ivfpq_recall_report",
+    "doc_pack_assignments",
+    "emb_cluster_silhouette",
+    "orders_incremental_rollup",
+    "emb_hard_negatives",
+    "orders_delta_roundtrip",
+    "orders_iceberg_roundtrip",
+    "ev_user_ltv_decile",
+    "orders_optimize_skipping",
+    "customer_priority_scd2",
+    "dedup_edit_prefix_join",
+    "cust_target_encoding",
+    "cust_woe_urgency",
+    "ev_hourly_acf",
+    "ev_seasonal_decompose",
+    "ev_value_ols2",
+    "orders_layout_report",
 ]
 assert len(GRADED_WINDOW) == 50, len(GRADED_WINDOW)
 
@@ -272,6 +275,15 @@ ROUND7_NEVER_GRADED = [
     "doc_length_quality_corr",
     "ev_markov_entropy_rate",
 ]
+
+# ROUND-8 ROTATION LEDGER: the 71 ROUND7 overflow rows (entries 43..113 in
+# ledger order — round 7's window took the first 42) plus every query added
+# in round 7 (appended as implemented). All overflow rows passed the judge's
+# full 320-query local oracle replica in r6.
+# Overflow is materialized as a slice (single source of truth); round-7
+# additions are appended to _ROUND7_ADDED as they are implemented.
+_ROUND7_ADDED: list[str] = []
+ROUND8_NEVER_GRADED = ROUND7_NEVER_GRADED[42:] + _ROUND7_ADDED
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45
 # round-5 additions). Kept so the rotation provenance is auditable.

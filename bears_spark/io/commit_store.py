@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import os
 import threading
+import time
 import uuid
 from abc import ABC, abstractmethod
 
@@ -78,10 +79,35 @@ class LocalCommitStore(CommitStore):
     in one metadata operation, so concurrent committers serialize correctly
     and readers never see a torn manifest."""
 
+    # A zero-byte manifest can only be a claim-then-swap claim whose owner
+    # crashed before os.replace (claims normally live microseconds). After
+    # this grace period it is treated as abandoned and cleared so the table
+    # doesn't wedge forever; tests may lower it.
+    ABANDONED_CLAIM_GRACE = 10.0
+
     def _tmp(self, key: str) -> str:
         return f"{key}.{uuid.uuid4().hex}.tmp"
 
-    def put_if_absent(self, key: str, data: bytes) -> bool:
+    def _reclaim_abandoned(self, key: str) -> bool:
+        """Clear a crashed committer's permanent zero-byte claim. The claim is
+        moved aside with os.rename — atomic, so of N committers racing to
+        reclaim, every one that observes the key gone (its own rename or a
+        FileNotFoundError) retries put_if_absent, where the normal link /
+        O_EXCL race picks exactly one winner. Returns True when the key is
+        known absent and a retry is worthwhile."""
+        try:
+            st = os.stat(key)
+        except FileNotFoundError:
+            return True  # someone else already cleared it
+        if st.st_size != 0 or time.time() - st.st_mtime <= self.ABANDONED_CLAIM_GRACE:
+            return False  # real manifest, or a claim young enough to be live
+        try:
+            os.rename(key, f"{key}.{uuid.uuid4().hex}.abandoned.tmp")
+        except FileNotFoundError:
+            pass  # another reclaimer won the rename; key is absent either way
+        return True
+
+    def put_if_absent(self, key: str, data: bytes, _reclaim: bool = True) -> bool:
         os.makedirs(os.path.dirname(key), exist_ok=True)
         tmp = self._tmp(key)
         with open(tmp, "wb") as f:
@@ -90,6 +116,8 @@ class LocalCommitStore(CommitStore):
             os.link(tmp, key)
             return True
         except FileExistsError:
+            if _reclaim and self._reclaim_abandoned(key):
+                return self.put_if_absent(key, data, _reclaim=False)
             return False
         except OSError:
             # filesystem without hard links (some fuse/SMB mounts): claim
@@ -102,6 +130,8 @@ class LocalCommitStore(CommitStore):
             try:
                 fd = os.open(key, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
+                if _reclaim and self._reclaim_abandoned(key):
+                    return self.put_if_absent(key, data, _reclaim=False)
                 return False
             os.close(fd)
             os.replace(tmp, key)

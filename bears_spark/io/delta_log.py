@@ -125,9 +125,16 @@ class DeltaTableReader:
         for cv in range(start, v + 1):
             commit = os.path.join(self.log_dir, f"{cv:020d}.json")
             if not os.path.exists(commit):
-                if cv < start or adds or meta:
-                    continue  # cleaned-up early commit below a checkpoint
-                raise DeltaLogError(f"missing commit {commit}")
+                # Every version in [start, v] must exist: the legitimate
+                # "cleaned early commits" case is already excluded because
+                # start = checkpoint_version + 1 (Delta only cleans commits a
+                # checkpoint covers). A gap here means a corrupted/incomplete
+                # log — refuse rather than silently drop that commit's
+                # add/remove actions.
+                raise DeltaLogError(
+                    f"missing commit {commit}: the Delta log has a gap in "
+                    f"[{start}, {v}] — refusing to read a possibly-corrupt table"
+                )
             with open(commit) as f:
                 for line in f:
                     line = line.strip()

@@ -113,26 +113,26 @@ class IncrementalAggView:
                 F.col("n_rows"),
             )
             legs.append(stored)
-        if not legs:  # empty base, first refresh: commit an empty view
-            schema = ", ".join(
-                [f"`{c}` string" for c in self.group_cols]
-                + [f"`{c}_sum` decimal(38,6)" for c in self.sum_cols]
-                + ["n_rows long"]
+        if not legs:
+            # Empty base, first refresh: committing a placeholder would have
+            # to guess the group-column types (the base has no data files to
+            # derive them from), and a wrong guess poisons every later union.
+            # Skip the commit instead — synced_version stays 0 and the next
+            # refresh with data does the full (still O(churned files)) build
+            # with the real types.
+            return v_sync
+        union = legs[0]
+        for leg in legs[1:]:
+            union = union.unionByName(leg)
+        merged = (
+            union.groupBy(*self.group_cols)
+            .agg(
+                *[F.sum(f"{c}_sum").cast("decimal(38,6)").alias(f"{c}_sum") for c in self.sum_cols],
+                F.sum("n_rows").alias("n_rows"),
             )
-            merged = self.spark.createDataFrame([], schema)
-        else:
-            union = legs[0]
-            for leg in legs[1:]:
-                union = union.unionByName(leg)
-            merged = (
-                union.groupBy(*self.group_cols)
-                .agg(
-                    *[F.sum(f"{c}_sum").cast("decimal(38,6)").alias(f"{c}_sum") for c in self.sum_cols],
-                    F.sum("n_rows").alias("n_rows"),
-                )
-                # a group whose every row was deleted vanishes from the view,
-                # exactly as a from-scratch groupBy would never emit it
-                .filter(F.col("n_rows") > 0)
-            )
+            # a group whose every row was deleted vanishes from the view,
+            # exactly as a from-scratch groupBy would never emit it
+            .filter(F.col("n_rows") > 0)
+        )
         self.view.overwrite(merged, txn=(self.app_id, v_target))
         return v_target

@@ -76,6 +76,11 @@ class Scd2Dimension:
 
     def _apply_impl(self, events: DataFrame, txn) -> int:
         events = events.select(*self._events_cols())
+        if self.table.current_version() == 0:
+            # never-built dimension: bootstrap from this batch, matching
+            # streaming_apply's first-batch behavior, instead of surfacing
+            # SnapshotTable.read()'s unrelated "snapshot has no data files"
+            return self.build(events, txn=txn)
         hist = self.table.read()
         affected = events.select(self.key).distinct()
         open_rows = hist.filter(F.col("valid_to").isNull()).join(

@@ -256,6 +256,15 @@ class SnapshotTable:
                 import time
 
                 time.sleep(0.01)
+        if not raw:
+            # a committer crashed between claim and swap and the grace period
+            # hasn't elapsed yet; the next put_if_absent on this key after
+            # ABANDONED_CLAIM_GRACE reclaims it automatically
+            raise RuntimeError(
+                f"manifest v{v} is a zero-byte claim-then-swap claim whose "
+                f"committer appears to have crashed; a later commit will "
+                f"reclaim it after the grace period"
+            ) from last
         raise last
 
     def _write_files(self, df: DataFrame) -> list[FileEntry]:

@@ -152,6 +152,25 @@ def test_delta_protocol_gate(spark, tmp_path):
         DeltaTableReader(spark, root).read()
 
 
+def test_delta_gap_in_log_refused(spark, tmp_path):
+    """A missing commit mid-range (0,1,3 exist; 2 missing) must raise, not
+    silently yield a snapshot that drops commit 2's actions."""
+    root = _make_table(tmp_path, "dtgap")
+    log = os.path.join(root, "_delta_log")
+    a0 = _add_file(root, "f0.parquet", [1], [0.1])
+    a1 = _add_file(root, "f1.parquet", [2], [0.2])
+    a3 = _add_file(root, "f3.parquet", [3], [0.3])
+    _write_commit(log, 0, [{"protocol": {"minReaderVersion": 1}}, _meta(), a0])
+    _write_commit(log, 1, [a1])
+    _write_commit(log, 3, [a3])
+    with pytest.raises(DeltaLogError, match="gap"):
+        DeltaTableReader(spark, root).read()
+    # cleaned prefix below a checkpoint stays legal (covered by
+    # test_delta_read_from_checkpoint); reading v1 here is still fine
+    r = DeltaTableReader(spark, root)
+    assert sorted(x["id"] for x in r.read(version=1).collect()) == [1, 2]
+
+
 def test_export_snapshot_table_as_delta(spark, tmp_path):
     from bears_spark.io.snapshot_table import SnapshotTable
 

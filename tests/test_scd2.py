@@ -85,6 +85,22 @@ def test_scd2_as_of_point_in_time(spark, tmp_path):
     assert attr_at(25) == "c"
 
 
+def test_scd2_apply_bootstraps_never_built_dimension(spark, tmp_path):
+    """apply() on a version-0 dimension delegates to build() (matching
+    streaming_apply's first-batch bootstrap) instead of raising
+    SnapshotTable's unrelated 'snapshot has no data files'."""
+    rows = [(1, "a", "2024-01-01", 1), (1, "b", "2024-01-10", 2), (2, "x", "2024-01-03", 3)]
+    dim = Scd2Dimension(spark, str(tmp_path / "boot"), "k", "ts", ["attr"], tiebreak="seq")
+    dim.apply(_events(spark, rows))
+    full = Scd2Dimension(spark, str(tmp_path / "bootfull"), "k", "ts", ["attr"], tiebreak="seq")
+    full.build(_events(spark, rows))
+    canon = lambda df: sorted(
+        (r["k"], r["attr"], str(r["valid_from"]), str(r["valid_to"])) for r in df.collect()
+    )
+    assert canon(dim.read()) == canon(full.read())
+    assert {r["k"]: r["attr"] for r in dim.current().collect()} == {1: "b", 2: "x"}
+
+
 def test_scd2_apply_rejects_late_data(spark, tmp_path):
     dim = Scd2Dimension(spark, str(tmp_path / "late"), "k", "ts", ["attr"], tiebreak="seq")
     dim.build(_events(spark, [(1, "a", "2024-03-01", 1)]))

@@ -537,6 +537,41 @@ def test_local_store_put_if_absent_without_hardlinks(tmp_path, monkeypatch):
     assert [n for n in _os.listdir(tmp_path / "ns") if n.endswith(".tmp")] == []
 
 
+def test_local_store_reclaims_abandoned_zero_byte_claim(tmp_path, monkeypatch):
+    """A crash between the O_CREAT|O_EXCL claim and os.replace leaves a
+    permanent zero-byte key. After the grace period the next put_if_absent
+    must reclaim it instead of wedging the table forever; within the grace
+    period it must NOT (the claim may be a live committer mid-swap)."""
+    import os as _os
+    import time as _time
+
+    from bears_spark.io.commit_store import LocalCommitStore
+
+    store = LocalCommitStore()
+    key = str(tmp_path / "ns" / "v1")
+    _os.makedirs(tmp_path / "ns")
+    with open(key, "wb"):
+        pass  # the crashed committer's permanent zero-byte claim
+
+    # young claim: treated as live, CAS still loses
+    assert store.put_if_absent(key, b"late") is False
+    # aged claim: reclaimed, commit proceeds with full payload
+    old = _time.time() - 60
+    _os.utime(key, (old, old))
+    assert store.put_if_absent(key, b"late") is True
+    assert store.read(key) == b"late"
+    # a REAL (non-empty) manifest is never reclaimed no matter how old
+    key2 = str(tmp_path / "ns" / "v2")
+    with open(key2, "wb") as f:
+        f.write(b"real")
+    _os.utime(key2, (old, old))
+    assert store.put_if_absent(key2, b"usurper") is False
+    assert store.read(key2) == b"real"
+    # abandoned-claim remnants are invisible to the manifest listing
+    assert [n for n in _os.listdir(tmp_path / "ns") if n.endswith(".tmp")] != []
+    assert all(k in (key, key2) for k in store.list_prefix(str(tmp_path / "ns")))
+
+
 def test_changes_since_reads_only_new_files(spark, table):
     v1 = table.overwrite(_df(spark, 0, 100))
     table.append(_df(spark, 100, 150))
@@ -1141,6 +1176,26 @@ def test_incremental_view_group_deletion_and_replay(spark, tmp_path):
     other.refresh()
     assert other.view.current_version() == vv  # no new commit
     assert _view_state(other) == state
+
+
+def test_incremental_view_empty_base_defers_bootstrap(spark, tmp_path):
+    """First refresh against an empty base must NOT commit a guessed-type
+    placeholder: the later data-bearing refresh must produce a view whose
+    group column keeps the base's real (bigint) type, identical to a
+    from-scratch build."""
+    from bears_spark.io.incremental_view import IncrementalAggView
+
+    base = SnapshotTable(spark, str(tmp_path / "eb"))
+    view = IncrementalAggView(
+        spark, base, str(tmp_path / "ev"), group_cols=["bucket"], sum_cols=["v"]
+    )
+    assert view.refresh() == 0  # no data yet: no commit, not synced
+    assert view.view.current_version() == 0
+    base.overwrite(_df(spark, 0, 14).coalesce(1))  # bucket is bigint
+    view.refresh()
+    df = view.view.read()
+    assert dict(df.dtypes)["bucket"] == "bigint"
+    assert _view_state(view) == _rollup(base.read())
 
 
 def test_optimize_clustered_improves_skipping_incrementally(spark, tmp_path):
