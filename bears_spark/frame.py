@@ -934,11 +934,19 @@ class SparkFrame:
         """Trailing-window aggregates over the last ``window_size`` rows in
         ``order_col`` order (pandas rolling semantics: window includes the
         current row). ``aggs``: {col: fn or [fns]} with fn in mean/sum/min/
-        max/count/std; outputs ``{col}_rolling_{fn}``. Partition for
-        parallelism — an unpartitioned global order sorts into one task at
-        scale."""
+        max/count/std; outputs ``{col}_rolling_{fn}``. Without partition_by
+        the global order is served by functions/prefix.global_rolling (range
+        shuffle + trailing-k carry table) — fully parallel, no one-task
+        WindowExec."""
+        if not partition_by:
+            from bears_spark.functions.prefix import global_rolling
+
+            norm = {c: ([fns] if isinstance(fns, str) else list(fns)) for c, fns in aggs.items()}
+            return SparkFrame(
+                global_rolling(self.df, [order_col], norm, window_size, min_periods=min_periods)
+            )
         w = (
-            (Window.partitionBy(*partition_by) if partition_by else Window.partitionBy())
+            Window.partitionBy(*partition_by)
             .orderBy(order_col)
             .rowsBetween(-(window_size - 1), 0)
         )

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -415,6 +416,160 @@ def distributed_rank(
     else:
         raise ValueError(f"unsupported rank method {method!r}")
     return df.join(ranked_vals, F.col(order_col).eqNullSafe(F.col("__rv__")), "left").drop("__rv__")
+
+
+_ROLLING_FNS = ("mean", "sum", "min", "max", "count", "std")
+# the driver-side carry table is O((window_size-1) × num_partitions) rows of
+# the value columns only; beyond this a trailing window is no longer "small
+# state" and the caller should partition for parallelism instead
+_MAX_GLOBAL_ROLLING_WINDOW = 10_000
+
+
+def global_rolling(
+    df: DataFrame,
+    order_cols: list,
+    aggs: dict[str, list[str]],
+    window_size: int,
+    min_periods: int = 1,
+    num_partitions: int | None = None,
+    name_fmt: str = "{col}_rolling_{fn}",
+) -> DataFrame:
+    """Trailing ``window_size``-row aggregates under a GLOBAL order without
+    the one-task ``Window.partitionBy().orderBy(...)`` fallback: range
+    partition + local sort, then carry each partition's trailing
+    ``window_size - 1`` rows into its successor through a driver-side offset
+    table (the :func:`partitioned_fill` pattern, with k rows instead of one
+    last-non-null). Every partition rolls in parallel; the only serial state
+    is the O(k × num_partitions) carry table of the value columns.
+
+    Semantics match ``fn(col).over(Window.orderBy(order).rowsBetween(-(k), 0))``
+    with the frame API's ``min_periods`` gate (result null while the window
+    holds fewer than ``min_periods`` non-null values). Numeric columns only —
+    the carry algebra neither needs nor supports string min/max. Supply a
+    total order (unique tiebreaker) for deterministic tie handling."""
+    for c, fns in aggs.items():
+        for fn in fns:
+            if fn not in _ROLLING_FNS:
+                raise ValueError(f"unsupported rolling agg {fn!r} (have {_ROLLING_FNS})")
+        if not isinstance(df.schema[c].dataType, T.NumericType):
+            raise TypeError(
+                f"global_rolling needs numeric value columns; {c!r} is "
+                f"{df.schema[c].dataType.simpleString()} — use partition_by "
+                f"for non-numeric trailing windows"
+            )
+    if window_size < 1:
+        raise ValueError("window_size must be >= 1")
+    if window_size > _MAX_GLOBAL_ROLLING_WINDOW:
+        raise ValueError(
+            f"window_size {window_size} > {_MAX_GLOBAL_ROLLING_WINDOW}: the "
+            f"cross-partition carry is O(window_size × partitions) driver "
+            f"state — partition the rolling computation instead"
+        )
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = _cache_ranged(
+        df.repartitionByRange(n, *_order_exprs(order_cols)).sortWithinPartitions(*_order_exprs(order_cols))
+    )
+    value_cols = list(aggs)
+    k = window_size - 1
+
+    # per-partition trailing-k rows of the value columns, in order
+    carries: dict[int, pd.DataFrame] = {}
+    if k > 0:
+        tail_schema = T.StructType(
+            [T.StructField("__pid__", T.IntegerType()), T.StructField("__seq__", T.IntegerType())]
+            + [T.StructField(c, df.schema[c].dataType) for c in value_cols]
+        )
+
+        def _tails(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from pyspark import TaskContext
+
+            buf: pd.DataFrame | None = None
+            for pdf in batches:
+                part = pdf[value_cols]
+                buf = part if buf is None else pd.concat([buf, part], ignore_index=True)
+                if len(buf) > k:
+                    buf = buf.iloc[-k:].reset_index(drop=True)
+            if buf is not None and len(buf):
+                buf = buf.copy()
+                buf.insert(0, "__seq__", range(len(buf)))
+                buf.insert(0, "__pid__", TaskContext.get().partitionId())
+                yield buf
+
+        tail_rows = ranged.select(*value_cols).mapInPandas(_tails, tail_schema).collect()
+        by_pid: dict[int, list] = {}
+        for row in tail_rows:
+            by_pid.setdefault(row["__pid__"], []).append(row)
+        acc = pd.DataFrame(columns=value_cols)
+        for pid in range(ranged.rdd.getNumPartitions()):
+            carries[pid] = acc
+            rows = sorted(by_pid.get(pid, []), key=lambda r: r["__seq__"])
+            if rows:
+                tail = pd.DataFrame([[r[c] for c in value_cols] for r in rows], columns=value_cols)
+                acc = (
+                    pd.concat([acc, tail], ignore_index=True) if len(acc) else tail
+                ).iloc[-k:].reset_index(drop=True)
+
+    def _out_field(c: str, fn: str) -> T.StructField:
+        dt = df.schema[c].dataType
+        if fn in ("mean", "std"):
+            out: T.DataType = T.DoubleType()
+        elif fn == "count":
+            out = T.LongType()
+        elif fn == "sum":
+            out = _cum_field_type(dt)
+            if isinstance(out, T.DecimalType):
+                out = T.DoubleType()  # pandas rolls in float; document the widening
+        else:  # min / max keep the input type (integral stays integral)
+            out = T.LongType() if isinstance(
+                dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+            ) else T.DoubleType()
+        return T.StructField(name_fmt.format(col=c, fn=fn), out)
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [_out_field(c, fn) for c, fns in aggs.items() for fn in fns]
+    )
+    int_outputs = {
+        f.name for f in out_schema.fields[len(df.schema.fields):] if isinstance(f.dataType, T.LongType)
+    }
+
+    def _roll(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        buf = carries.get(TaskContext.get().partitionId(), pd.DataFrame(columns=value_cols)) if k else pd.DataFrame(columns=value_cols)
+        buf = buf.astype("float64") if len(buf) else buf
+        for pdf in batches:
+            m = len(buf)
+            work = (
+                pd.concat([buf[value_cols], pdf[value_cols].astype("float64")], ignore_index=True)
+                if m
+                else pdf[value_cols].astype("float64")
+            )
+            out = pdf.copy()
+            for c, fns in aggs.items():
+                r = work[c].rolling(window_size, min_periods=1)
+                cnt = r.count()
+                for fn in fns:
+                    vals = cnt if fn == "count" else getattr(r, fn)()
+                    if min_periods > 1:
+                        vals = vals.where(cnt >= min_periods)
+                    name = name_fmt.format(col=c, fn=fn)
+                    res = vals.iloc[m:]
+                    if name in int_outputs:
+                        conv = res.astype("Int64").array
+                    else:
+                        # NaN here means "window not yet satisfied" (masked
+                        # or std of <2 rows) — surface it as a real null,
+                        # matching the window form (NaN data is already
+                        # normalized to null at ingest, session.py)
+                        v = res.to_numpy(dtype="float64", na_value=np.nan)
+                        conv = pd.arrays.FloatingArray(v, np.isnan(v))
+                    out[name] = conv
+            if k:
+                buf = work.iloc[-k:].reset_index(drop=True) if len(work) > k else work
+            yield out
+
+    return ranged.mapInPandas(_roll, out_schema)
 
 
 def select_until_budget(

@@ -235,9 +235,75 @@ def test_frame_partitionless_paths_have_no_window(spark):
         sf.rank("v", method="first"),
         sf.ffill("t", ["v"]),
         sf.bfill("t", ["v"]),
+        sf.rolling_agg("t", 3, {"v": ["mean", "sum"]}),
     ):
         plan = _physical(out.df)
         assert "Window" not in plan, plan[:2000]
+    release_scan_caches()
+
+
+def test_global_rolling_matches_window_form(spark):
+    """rolling_agg without partition_by (functions/prefix.global_rolling) is
+    value-identical to the one-task window form it replaced, across batch
+    and partition boundaries, nulls, and the min_periods gate."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from bears_spark.frame import SparkFrame
+    from bears_spark.functions.prefix import release_scan_caches
+
+    vals = [1.0, 3.0, None, 4.0, 2.0, None, 7.0, 5.0, 3.0, 1.0, 8.0, None, 2.0, 6.0]
+    pdf = pd.DataFrame({"t": range(len(vals)), "v": vals})
+    sf = SparkFrame.of(pdf, spark)
+    fns = ["mean", "sum", "min", "max", "count", "std"]
+    got = (
+        sf.rolling_agg("t", 4, {"v": fns}, min_periods=2)
+        .sort_values("t")
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    w = Window.partitionBy().orderBy("t").rowsBetween(-3, 0)
+    roll = {"mean": F.avg, "sum": F.sum, "min": F.min, "max": F.max, "count": F.count, "std": F.stddev_samp}
+    exp_df = sf.df
+    for fn in fns:
+        cnt = F.count(F.col("v")).over(w)
+        exp_df = exp_df.withColumn(
+            f"exp_{fn}", F.when(cnt >= 2, roll[fn](F.col("v")).over(w))
+        )
+    exp = exp_df.orderBy("t").toPandas().reset_index(drop=True)
+    for fn in fns:
+        g, e = got[f"v_rolling_{fn}"], exp[f"exp_{fn}"]
+        for i in range(len(vals)):
+            gv, ev = g.iloc[i], e.iloc[i]
+            if pd.isna(ev):
+                assert pd.isna(gv), (fn, i, gv, ev)
+            else:
+                assert abs(float(gv) - float(ev)) < 1e-9, (fn, i, gv, ev)
+    release_scan_caches()
+
+
+def test_global_rolling_int_types_and_guards(spark):
+    """Integral inputs keep integral sum/min/max/count outputs; oversized
+    windows and non-numeric columns are refused with actionable errors."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from bears_spark.frame import SparkFrame
+    from bears_spark.functions.prefix import global_rolling, release_scan_caches
+
+    sf = SparkFrame.of(pd.DataFrame({"t": range(6), "n": [5, 1, 4, 2, 6, 3]}), spark)
+    out = sf.rolling_agg("t", 3, {"n": ["sum", "min", "count"]}).sort_values("t")
+    dt = dict(out.df.dtypes)
+    assert dt["n_rolling_sum"] == "bigint" and dt["n_rolling_min"] == "bigint"
+    rows = out.to_pandas()
+    assert list(rows["n_rolling_sum"]) == [5, 6, 10, 7, 12, 11]
+    assert list(rows["n_rolling_min"]) == [5, 1, 1, 1, 2, 2]
+    assert list(rows["n_rolling_count"]) == [1, 2, 3, 3, 3, 3]
+    with _pytest.raises(ValueError, match="partition"):
+        global_rolling(sf.df, ["t"], {"n": ["sum"]}, window_size=100_000)
+    sf2 = SparkFrame.of(pd.DataFrame({"t": [1], "s": ["x"]}), spark)
+    with _pytest.raises(TypeError, match="numeric"):
+        sf2.rolling_agg("t", 2, {"s": "min"})
     release_scan_caches()
 
 
