@@ -384,6 +384,10 @@ HEADLINE = [
     # round-6 late additions: sliding-window sketch rollup + item-based CF
     "ev_rolling_dau_hll",
     "part_item_recs",
+    # round-7 addition: lakehouse-maintenance representative (snapshot-table
+    # commit + incremental refresh path), so maintenance regressions surface
+    # in the bench (VERDICT r6 #6)
+    "orders_incremental_rollup",
 ]
 
 

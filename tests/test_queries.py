@@ -22,6 +22,20 @@ def test_queries_and_oracles_aligned():
     assert set(entrymod.HEADLINE) <= q
 
 
+def test_readme_query_count_matches_declared():
+    """VERDICT r6 #4: the README's headline counts are mechanical — they must
+    equal len(queries()) / len(oracle_sql()) so docs can't drift again."""
+    import os
+    import re
+
+    readme = os.path.join(os.path.dirname(__file__), "..", "README.md")
+    with open(readme) as f:
+        m = re.search(r"(\d+) graded queries \((\d+) with full DuckDB-oracle", f.read())
+    assert m, "README.md no longer carries the graded-query count line"
+    assert int(m.group(1)) == len(entrymod.queries())
+    assert int(m.group(2)) == len(entrymod.oracle_sql())
+
+
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
 def test_query_runs(spark, sf_dir, name):
     df = entrymod.queries()[name](spark, sf_dir)
