@@ -253,24 +253,61 @@ class S3CommitStore(CommitStore):
     def _key(self, key: str) -> str:
         return _strip_object_uri(key, self._SCHEMES, self.bucket)
 
+    # transient server-side failures worth retrying with backoff. A timeout
+    # (or a 500 on a PUT) is AMBIGUOUS — the conditional put may have landed
+    # before the response was lost — so every retry first re-reads the key
+    # and compares payloads: equal -> our commit landed (True, no duplicate
+    # version); different -> another committer won (False, a real conflict);
+    # absent -> the put never landed, retry it.
+    _RETRYABLE_CODES = ("InternalError", "ServiceUnavailable", "SlowDown",
+                        "RequestTimeout", "500", "503")
+    RETRIES = 4
+    RETRY_BACKOFF = 0.2  # seconds, doubled per attempt
+
     @staticmethod
     def _error_code(exc: Exception) -> str:
         err = getattr(exc, "response", None) or {}
         return str(err.get("Error", {}).get("Code", "")) if isinstance(err, dict) else ""
 
+    @classmethod
+    def _is_retryable(cls, exc: Exception) -> bool:
+        return (
+            cls._error_code(exc) in cls._RETRYABLE_CODES
+            or "Timeout" in type(exc).__name__  # botocore Read/ConnectTimeoutError
+        )
+
     def put_if_absent(self, key: str, data: bytes) -> bool:
-        try:
-            self.client.put_object(
-                Bucket=self.bucket, Key=self._key(key), Body=data, IfNoneMatch="*"
-            )
-            return True
-        except Exception as exc:
-            if self._error_code(exc) in (
-                "PreconditionFailed",  # 412: key exists
-                "ConditionalRequestConflict",  # 409: concurrent conditional write
-            ):
-                return False
-            raise
+        for attempt in range(self.RETRIES + 1):
+            try:
+                self.client.put_object(
+                    Bucket=self.bucket, Key=self._key(key), Body=data, IfNoneMatch="*"
+                )
+                return True
+            except Exception as exc:
+                code = self._error_code(exc)
+                if code in (
+                    "PreconditionFailed",  # 412: key exists
+                    "ConditionalRequestConflict",  # 409: concurrent conditional write
+                ):
+                    if attempt == 0 or code != "PreconditionFailed":
+                        return False
+                    # a prior attempt on THIS call failed ambiguously; the 412
+                    # may be our own landed payload — resolve by content
+                    try:
+                        return self.read(key) == data
+                    except FileNotFoundError:
+                        return False
+                if not self._is_retryable(exc) or attempt == self.RETRIES:
+                    raise
+                time.sleep(self.RETRY_BACKOFF * (2**attempt))
+                try:
+                    existing = self.read(key)
+                except FileNotFoundError:
+                    continue  # the ambiguous put never landed: retry it
+                except Exception:
+                    continue  # read also flaky: retry the conditional put
+                return existing == data
+        raise RuntimeError("unreachable")  # pragma: no cover
 
     def replace(self, key: str, data: bytes) -> None:
         self.client.put_object(Bucket=self.bucket, Key=self._key(key), Body=data)
@@ -329,16 +366,43 @@ class GCSCommitStore(CommitStore):
     def _key(self, key: str) -> str:
         return _strip_object_uri(key, self._SCHEMES, self.bucket)
 
+    # same ambiguous-outcome contract as S3CommitStore: 5xx/timeout on the
+    # conditional upload is resolved by re-read + payload compare, never by
+    # assuming the put failed (it may have landed before the response died)
+    RETRIES = 4
+    RETRY_BACKOFF = 0.2
+
+    @staticmethod
+    def _is_retryable(exc: Exception) -> bool:
+        code = getattr(exc, "code", None)
+        return code in (500, 502, 503, 504) or "Timeout" in type(exc).__name__
+
     def put_if_absent(self, key: str, data: bytes) -> bool:
         blob = self.bucket_obj.blob(self._key(key))
-        try:
-            blob.upload_from_string(data, if_generation_match=0)
-            return True
-        except Exception as exc:
-            code = getattr(exc, "code", None)
-            if code == 412 or type(exc).__name__ == "PreconditionFailed":
-                return False
-            raise
+        for attempt in range(self.RETRIES + 1):
+            try:
+                blob.upload_from_string(data, if_generation_match=0)
+                return True
+            except Exception as exc:
+                code = getattr(exc, "code", None)
+                if code == 412 or type(exc).__name__ == "PreconditionFailed":
+                    if attempt == 0:
+                        return False
+                    try:
+                        return self.read(key) == data
+                    except FileNotFoundError:
+                        return False
+                if not self._is_retryable(exc) or attempt == self.RETRIES:
+                    raise
+                time.sleep(self.RETRY_BACKOFF * (2**attempt))
+                try:
+                    existing = self.read(key)
+                except FileNotFoundError:
+                    continue
+                except Exception:
+                    continue
+                return existing == data
+        raise RuntimeError("unreachable")  # pragma: no cover
 
     def replace(self, key: str, data: bytes) -> None:
         self.bucket_obj.blob(self._key(key)).upload_from_string(data)

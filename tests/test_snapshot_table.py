@@ -1036,6 +1036,99 @@ def test_racing_committers_all_stores(spark, tmp_path, kind):
     assert ids == set(range(0, 10)) | set(range(100, 110)) | set(range(200, 210))
 
 
+class _FlakyS3Client(_StubS3Client):
+    """Injects transient failures: 'timeout-after-write' (the put LANDS but
+    the response is lost) and plain 500s (the put never happens)."""
+
+    def __init__(self, plan):
+        super().__init__()
+        self.plan = list(plan)  # per put_object call: ok | timeout_after_write | err500
+        self.put_calls = 0
+
+    def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+        mode = self.plan[self.put_calls] if self.put_calls < len(self.plan) else "ok"
+        self.put_calls += 1
+        if mode == "err500":
+            raise _StubClientError("InternalError")
+        out = super().put_object(Bucket, Key, Body, IfNoneMatch=IfNoneMatch)
+        if mode == "timeout_after_write":
+            raise _StubClientError("RequestTimeout")
+        return out
+
+
+class _FlakyGCSBucket(_StubGCSBucket):
+    def __init__(self, plan):
+        super().__init__()
+        self.plan = list(plan)
+        self.put_calls = 0
+
+    def blob(self, name):
+        outer = self
+
+        class _B(_StubGCSBlob):
+            def upload_from_string(self, data, if_generation_match=None):
+                mode = outer.plan[outer.put_calls] if outer.put_calls < len(outer.plan) else "ok"
+                outer.put_calls += 1
+                if mode == "err500":
+                    e = _StubClientError("InternalError")
+                    e.code = 503
+                    raise e
+                super().upload_from_string(data, if_generation_match=if_generation_match)
+                if mode == "timeout_after_write":
+                    raise TimeoutError("response lost")
+
+        return _B(self, name)
+
+
+@pytest.mark.parametrize("kind", ["s3", "gcs"])
+def test_object_store_ambiguous_put_resolution(kind):
+    """VERDICT r6 #8: a timed-out conditional put may have LANDED — the store
+    must re-read and compare before concluding anything. Proves: no duplicate
+    version (the committer whose put landed gets True exactly once), no false
+    conflict (a transient 500 doesn't fail the commit), and a racing
+    different-payload committer still loses honestly."""
+    from bears_spark.io.commit_store import GCSCommitStore, S3CommitStore
+
+    def make(plan):
+        if kind == "s3":
+            c = _FlakyS3Client(plan)
+            s = S3CommitStore("test-bucket", client=c)
+        else:
+            c = _FlakyGCSBucket(plan)
+            s = GCSCommitStore("test-bucket", bucket_obj=c)
+        s.RETRY_BACKOFF = 0.001
+        return s, c
+
+    # timeout AFTER the write landed: resolved to success by payload compare,
+    # exactly one object version, and a later competitor truly conflicts
+    store, client = make(["timeout_after_write"])
+    assert store.put_if_absent("tbl/_manifests/v1", b"mine") is True
+    assert store.read("tbl/_manifests/v1") == b"mine"
+    assert store.put_if_absent("tbl/_manifests/v1", b"theirs") is False
+    assert store.read("tbl/_manifests/v1") == b"mine"
+
+    # plain 500 with NO write: retried, commits cleanly, no false conflict
+    store, client = make(["err500", "ok"])
+    assert store.put_if_absent("tbl/_manifests/v2", b"mine") is True
+    assert store.read("tbl/_manifests/v2") == b"mine"
+    assert client.put_calls == 2
+
+    # ambiguous failure where ANOTHER committer's payload landed in between:
+    # resolved to a real conflict, the winner's manifest untouched
+    store, client = make(["err500"])
+    client._objs["tbl/_manifests/v3"] = b"theirs"
+    assert store.put_if_absent("tbl/_manifests/v3", b"mine") is False
+    assert store.read("tbl/_manifests/v3") == b"theirs"
+
+    # retries exhausted on a persistent outage: the error surfaces (never a
+    # silent False that would make the committer re-read a parent that isn't
+    # there)
+    store, client = make(["err500"] * 10)
+    store.RETRIES = 2
+    with pytest.raises(Exception):
+        store.put_if_absent("tbl/_manifests/v4", b"mine")
+
+
 def test_s3_store_boto3_wiring():
     """Constructing without an injected client goes through real boto3
     (no network at construction time); honest skip when boto3 is absent."""
