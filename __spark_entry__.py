@@ -282,7 +282,9 @@ ROUND7_NEVER_GRADED = [
 # full 320-query local oracle replica in r6.
 # Overflow is materialized as a slice (single source of truth); round-7
 # additions are appended to _ROUND7_ADDED as they are implemented.
-_ROUND7_ADDED: list[str] = []
+_ROUND7_ADDED: list[str] = [
+    "orders_iceberg_v2_deletes",
+]
 ROUND8_NEVER_GRADED = ROUND7_NEVER_GRADED[42:] + _ROUND7_ADDED
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

@@ -9,10 +9,13 @@ tables without the iceberg-spark runtime. The tree (iceberg.apache.org/spec):
                                      unlike Hive/Delta layouts)
 
 Live data files at a snapshot = manifest entries with status != DELETED
-whose content is DATA. Iceberg v2 row-level deletes ship as DELETE files
-(positional/equality); applying them needs merge-on-read, so a table whose
-current snapshot carries delete files is REFUSED honestly rather than
-misread (the same contract the Delta reader has for deletion vectors).
+whose content is DATA. Iceberg v2 POSITIONAL delete files (parquet rows of
+(file_path, pos)) are applied as merge-on-read: the data scan exposes
+Spark's parquet metadata columns (_metadata.file_path / row_index) and the
+delete set is anti-joined on (file, position) — fully distributed, no UDF,
+standard shuffle-or-broadcast join cost exactly like Iceberg's own
+merge-on-read. EQUALITY delete files are still REFUSED honestly rather
+than misread (the same contract the Delta reader has for deletion vectors).
 
 Avro parsing is the pure-stdlib recursive codec (io/avro_generic.py);
 metadata work is driver-side and proportional to manifest bytes — the same
@@ -39,6 +42,8 @@ _META_RE = re.compile(r"^v(\d+)\.metadata\.json$")
 
 _STATUS_DELETED = 2
 _CONTENT_DATA = 0
+_CONTENT_POSITION_DELETES = 1
+_CONTENT_EQUALITY_DELETES = 2
 
 
 class IcebergLogError(ValueError):
@@ -110,56 +115,129 @@ class IcebergTableReader:
         raise IcebergLogError(f"snapshot {sid} not in the metadata snapshot log")
 
     # -- planning ----------------------------------------------------------------
-    def files(self, snapshot_id: int | None = None) -> list[str]:
-        """Live data-file paths at the snapshot. Refuses delete files."""
+    def _plan(self, snapshot_id: int | None = None) -> tuple[list[tuple[str, str]], list[str]]:
+        """Walk the snapshot's manifest tree. Returns
+        ``([(recorded_uri, localized_path), ...] live data files,
+        [localized positional-delete parquet paths])``. Equality delete
+        files are refused (their key-based semantics need the table's
+        equality-field ids; misapplying them silently corrupts reads)."""
         snap = self._snapshot(snapshot_id)
         mlist_path = _localize(snap["manifest-list"], self.path)
         _, manifests = read_container(open(mlist_path, "rb").read())
-        out: list[str] = []
+        data: list[tuple[str, str]] = []
+        deletes: list[str] = []
         for m in manifests:
             # manifest-list 'content': 0 = data manifests, 1 = delete manifests
-            if int(m.get("content") or 0) != 0:
-                raise IcebergLogError(
-                    "snapshot carries DELETE manifests (Iceberg v2 row-level "
-                    "deletes need merge-on-read; refusing to misread)"
-                )
+            mcontent = int(m.get("content") or 0)
             mpath = _localize(m["manifest_path"], self.path)
             _, entries = read_container(open(mpath, "rb").read())
             for e in entries:
                 if int(e.get("status") or 0) == _STATUS_DELETED:
                     continue
                 df = e["data_file"]
-                if int(df.get("content") or 0) != _CONTENT_DATA:
-                    raise IcebergLogError("delete file in a data manifest; refusing")
+                fcontent = int(df.get("content") or 0)
                 fmt = str(df.get("file_format") or "PARQUET").upper()
                 if fmt != "PARQUET":
                     raise IcebergLogError(f"unsupported Iceberg file format {fmt}")
-                out.append(_localize(df["file_path"], self.path))
-        return sorted(out)
+                if mcontent == 0:
+                    if fcontent != _CONTENT_DATA:
+                        raise IcebergLogError("delete file in a data manifest; refusing")
+                    data.append((str(df["file_path"]), _localize(df["file_path"], self.path)))
+                else:
+                    if fcontent == _CONTENT_EQUALITY_DELETES or df.get("equality_ids"):
+                        raise IcebergLogError(
+                            "snapshot carries EQUALITY delete files (key-based "
+                            "merge-on-read is out of scope; refusing to misread)"
+                        )
+                    if fcontent != _CONTENT_POSITION_DELETES:
+                        raise IcebergLogError("data file in a delete manifest; refusing")
+                    deletes.append(_localize(df["file_path"], self.path))
+        return sorted(data, key=lambda t: t[1]), sorted(deletes)
+
+    def files(self, snapshot_id: int | None = None) -> list[str]:
+        """Live data-file paths at the snapshot (positional deletes, if any,
+        are applied at read() time, not here)."""
+        return [loc for _, loc in self._plan(snapshot_id)[0]]
+
+    def delete_files(self, snapshot_id: int | None = None) -> list[str]:
+        """Positional-delete parquet paths live at the snapshot."""
+        return self._plan(snapshot_id)[1]
+
+    @staticmethod
+    def _norm_path(col):
+        """file:/abs and file:///abs URI forms -> the plain /abs path, so
+        Spark's _metadata.file_path and Iceberg-recorded URIs compare."""
+        from pyspark.sql import functions as F
+
+        return F.regexp_replace(col, "^file:/+", "/")
+
+    def _apply_position_deletes(
+        self, df: DataFrame, data_entries: list[tuple[str, str]], delete_paths: list[str]
+    ) -> DataFrame:
+        """Merge-on-read: anti-join the scan against the positional delete
+        set on (data file, row position). ``df`` must come from a parquet
+        file scan (the _metadata columns are resolved against it). The
+        recorded->localized translation is a broadcast file-count-sized dim,
+        so moved tables keep working; the (file, pos) anti-join is the same
+        shuffle-or-broadcast cost Iceberg's own merge-on-read pays."""
+        from pyspark.sql import functions as F
+
+        tagged = df.select(
+            "*",
+            F.col("_metadata.file_path").alias("__ice_fp__"),
+            F.col("_metadata.row_index").alias("__ice_pos__"),
+        )
+        mapping = self.spark.createDataFrame(
+            [(rec, loc) for rec, loc in data_entries], "__rec__ string, __loc__ string"
+        )
+        dels = (
+            self.spark.read.parquet(*delete_paths)
+            .select("file_path", "pos")
+            .join(F.broadcast(mapping), F.col("file_path") == F.col("__rec__"), "left")
+            .select(
+                F.coalesce(F.col("__loc__"), self._norm_path(F.col("file_path"))).alias("__del_fp__"),
+                F.col("pos").alias("__del_pos__"),
+            )
+        )
+        return tagged.join(
+            dels,
+            (self._norm_path(F.col("__ice_fp__")) == F.col("__del_fp__"))
+            & (F.col("__ice_pos__") == F.col("__del_pos__")),
+            "left_anti",
+        ).drop("__ice_fp__", "__ice_pos__")
 
     def changes_since(self, snapshot_id: int, to_snapshot_id: int | None = None) -> DataFrame:
         """Incremental consumer API over an Iceberg table: rows in data files
         LIVE at the target snapshot but not at ``snapshot_id`` — the same
         O(delta) contract SnapshotTable.changes_since has, with the same
         caveat (a compaction rewrites rows into new files; checkpoint a
-        snapshot before maintenance windows)."""
+        snapshot before maintenance windows). The target snapshot's
+        positional deletes are applied to the new files."""
         base = set(self.files(snapshot_id))
-        new = [p for p in self.files(to_snapshot_id) if p not in base]
+        data_entries, delete_paths = self._plan(to_snapshot_id)
+        new = [(rec, loc) for rec, loc in data_entries if loc not in base]
         if not new:
             return self.read(to_snapshot_id).limit(0)
-        return self.spark.read.option("mergeSchema", "true").parquet(*new)
+        df = self.spark.read.option("mergeSchema", "true").parquet(*[loc for _, loc in new])
+        if delete_paths:
+            df = self._apply_position_deletes(df, new, delete_paths)
+        return df
 
     def read(self, snapshot_id: int | None = None) -> DataFrame:
-        """Distributed scan of the snapshot's live data files. Iceberg data
-        files are self-contained (partition columns present), so the scan is
-        a plain parquet read; schema evolution across files is served by
-        mergeSchema."""
-        paths = self.files(snapshot_id)
-        if not paths:
-            from pyspark.sql import types as T
-
+        """Distributed scan of the snapshot's live data files, with
+        positional delete files (Iceberg v2 merge-on-read) applied as a
+        (file, pos) anti-join. Iceberg data files are self-contained
+        (partition columns present), so the scan is a plain parquet read;
+        schema evolution across files is served by mergeSchema."""
+        data_entries, delete_paths = self._plan(snapshot_id)
+        if not data_entries:
             return self.spark.createDataFrame([], self._spark_schema())
-        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        df = self.spark.read.option("mergeSchema", "true").parquet(
+            *[loc for _, loc in data_entries]
+        )
+        if delete_paths:
+            df = self._apply_position_deletes(df, data_entries, delete_paths)
+        return df
 
     def _spark_schema(self):
         from pyspark.sql import types as T

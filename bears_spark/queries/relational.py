@@ -1678,6 +1678,139 @@ ORACLES["orders_iceberg_roundtrip"] = ORDERS_ICEBERG_RT_SQL
 
 
 # --------------------------------------------------------------------------
+# orders_iceberg_v2_deletes: Iceberg v2 merge-on-read graded end-to-end —
+# orders split into two sorted data files, a positional delete file (spec
+# rows of (file_path, pos)) removing every 5th row of the odd-key file, read
+# back through IcebergTableReader's (file, pos) anti-join, vs a relational
+# oracle that reconstructs the same positions with row_number(). Proves the
+# delete application is position-exact, not just row-count-plausible.
+def orders_iceberg_v2_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os as _os
+    import shutil
+    import tempfile
+
+    from bears_spark.io.avro_generic import write_container
+    from bears_spark.io.iceberg_log import IcebergTableReader
+
+    o = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="iceberg_v2_")
+    try:
+        _os.makedirs(root + "/metadata")
+        # one sorted file per parity class: positions are then deterministic
+        # (pos p in the odd file = the (p+1)-th smallest odd o_orderkey)
+        for grp, parity in (("even", 0), ("odd", 1)):
+            (
+                o.filter(F.col("o_orderkey") % 2 == parity)
+                .repartition(1)
+                .sortWithinPartitions("o_orderkey")
+                .write.parquet(f"{root}/data/{grp}")
+            )
+        paths = {
+            grp: [
+                f"{root}/data/{grp}/{n}"
+                for n in _os.listdir(f"{root}/data/{grp}")
+                if n.endswith(".parquet")
+            ][0]
+            for grp in ("even", "odd")
+        }
+        n_odd = spark.read.parquet(paths["odd"]).count()
+        # positional delete file: every 5th row of the odd file, written as a
+        # distributed range (no driver-side row materialization)
+        (
+            spark.range(0, n_odd, 5)
+            .select(F.lit(paths["odd"]).alias("file_path"), F.col("id").alias("pos"))
+            .coalesce(1)
+            .write.parquet(root + "/data/deletes")
+        )
+        del_path = [
+            f"{root}/data/deletes/{n}"
+            for n in _os.listdir(root + "/data/deletes")
+            if n.endswith(".parquet")
+        ][0]
+        man_schema = {
+            "type": "record", "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int"},
+                {"name": "data_file", "type": {
+                    "type": "record", "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "record_count", "type": "long"},
+                    ],
+                }},
+            ],
+        }
+        def _entry(content, p):
+            return {"status": 1, "data_file": {"content": content, "file_path": p,
+                                               "file_format": "PARQUET", "record_count": 1}}
+        mdata = root + "/metadata/m1.avro"
+        open(mdata, "wb").write(
+            write_container(man_schema, [_entry(0, paths["even"]), _entry(0, paths["odd"])])
+        )
+        mdel = root + "/metadata/md1.avro"
+        open(mdel, "wb").write(write_container(man_schema, [_entry(1, del_path)]))
+        ml_schema = {
+            "type": "record", "name": "manifest_file",
+            "fields": [
+                {"name": "manifest_path", "type": "string"},
+                {"name": "manifest_length", "type": "long"},
+                {"name": "content", "type": "int"},
+            ],
+        }
+        mlpath = root + "/metadata/ml1.avro"
+        open(mlpath, "wb").write(write_container(ml_schema, [
+            {"manifest_path": mdata, "manifest_length": 1, "content": 0},
+            {"manifest_path": mdel, "manifest_length": 1, "content": 1},
+        ]))
+        with open(root + "/metadata/v1.metadata.json", "w") as f:
+            _json.dump(
+                {"format-version": 2, "location": root, "current-snapshot-id": 1,
+                 "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": mlpath}],
+                 "schemas": [{"schema-id": 0, "type": "struct", "fields": []}],
+                 "current-schema-id": 0},
+                f,
+            )
+        back = IcebergTableReader(spark, root).read()
+        rows = (
+            back.groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double"), 6
+                ).alias("total"),
+            )
+            .orderBy("o_orderstatus")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "o_orderstatus string, n bigint, total double")
+
+
+ORDERS_ICEBERG_V2_SQL = """
+WITH odd AS (
+  SELECT o_orderstatus, o_totalprice,
+         row_number() OVER (ORDER BY o_orderkey) - 1 AS pos
+  FROM orders WHERE o_orderkey % 2 = 1
+),
+live AS (
+  SELECT o_orderstatus, o_totalprice FROM odd WHERE pos % 5 <> 0
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT o_orderstatus, count(*) AS n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 6) AS total
+FROM live GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+QUERIES["orders_iceberg_v2_deletes"] = orders_iceberg_v2_deletes
+ORACLES["orders_iceberg_v2_deletes"] = ORDERS_ICEBERG_V2_SQL
+
+
+# --------------------------------------------------------------------------
 # orders_optimize_skipping: OPTIMIZE ZORDER graded end-to-end — four
 # arrival-ordered (hash-shuffled) micro-batch commits, then
 # optimize_clustered on (o_custkey, o_orderdate); the stats-pruned read

@@ -160,14 +160,109 @@ def test_iceberg_relocated_table_paths(spark, tmp_path):
     assert [x["id"] for x in out] == [7]
 
 
-def test_iceberg_delete_manifest_gate(spark, tmp_path):
+def _position_delete_file(root, name, pairs):
+    """Spec-shaped positional delete parquet: (file_path, pos) rows."""
+    p = os.path.join(root, "data", name)
+    pq.write_table(
+        pa.table({
+            "file_path": pa.array([fp for fp, _ in pairs], pa.string()),
+            "pos": pa.array([pos for _, pos in pairs], pa.int64()),
+        }),
+        p,
+    )
+    return p
+
+
+def test_iceberg_equality_delete_gate(spark, tmp_path):
+    """Equality delete files (content=2) are refused; a DATA file inside a
+    delete manifest is refused as corrupt."""
     root = _mk_table(tmp_path, "delgate")
     f1 = _data_file(root, "f1.parquet", [1], ["en"])
+    d1 = _position_delete_file(root, "eq1.parquet", [(f1, 0)])
+    md = _manifest(root, "md.avro", [(1, 2, d1)])  # content=2: equality deletes
     m1 = _manifest(root, "m1.avro", [(1, 0, f1)])
-    ml1 = _manifest_list(root, "ml1.avro", [m1], content=1)  # DELETE manifests
+    ml1 = _manifest_list_mixed(root, "ml1.avro", [(m1, 0), (md, 1)])
     _metadata(root, [{"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": ml1}], current=1)
-    with pytest.raises(IcebergLogError, match="DELETE manifests"):
+    with pytest.raises(IcebergLogError, match="EQUALITY"):
         IcebergTableReader(spark, root).read()
+
+    root2 = _mk_table(tmp_path, "delgate2")
+    f2 = _data_file(root2, "f1.parquet", [1], ["en"])
+    bad = _manifest(root2, "mbad.avro", [(1, 0, f2)])  # DATA content in delete manifest
+    ml2 = _manifest_list(root2, "ml.avro", [bad], content=1)
+    _metadata(root2, [{"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": ml2}], current=1)
+    with pytest.raises(IcebergLogError, match="data file in a delete manifest"):
+        IcebergTableReader(spark, root2).read()
+
+
+def _manifest_list_mixed(root, name, manifests_with_content):
+    p = os.path.join(root, "metadata", name)
+    recs = [
+        {"manifest_path": m, "manifest_length": 1, "content": c, "added_snapshot_id": 1}
+        for m, c in manifests_with_content
+    ]
+    open(p, "wb").write(write_container(_MLIST_SCHEMA, recs))
+    return p
+
+
+def test_iceberg_positional_deletes_applied(spark, tmp_path):
+    """Iceberg v2 merge-on-read: positional delete files are applied as a
+    (file, pos) anti-join — per-file positions, multi-file delete sets,
+    deletes against one file leaving its siblings intact, and files()
+    still listing the data files."""
+    root = _mk_table(tmp_path, "posdel")
+    f1 = _data_file(root, "f1.parquet", [10, 11, 12, 13], ["en", "de", "fr", "es"])
+    f2 = _data_file(root, "f2.parquet", [20, 21, 22], ["en", "en", "de"])
+    # delete positions 0 and 2 of f1 (ids 10, 12) and position 1 of f2 (21)
+    d1 = _position_delete_file(root, "del1.parquet", [(f1, 0), (f1, 2)])
+    d2 = _position_delete_file(root, "del2.parquet", [(f2, 1)])
+    m1 = _manifest(root, "m1.avro", [(1, 0, f1), (1, 0, f2)])
+    md = _manifest(root, "md.avro", [(1, 1, d1), (1, 1, d2)])
+    ml = _manifest_list_mixed(root, "ml.avro", [(m1, 0), (md, 1)])
+    _metadata(root, [{"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": ml}], current=1)
+
+    r = IcebergTableReader(spark, root)
+    assert sorted(x["id"] for x in r.read().collect()) == [11, 13, 20, 22]
+    assert len(r.files()) == 2 and len(r.delete_files()) == 2
+    # the helper _metadata columns must not leak into the result schema
+    assert r.read().columns == ["id", "lang"]
+
+
+def test_iceberg_positional_deletes_with_file_uri_forms(spark, tmp_path):
+    """Delete files recorded with file:// URI forms still match Spark's
+    _metadata.file_path (normalization), and a moved table re-roots the
+    delete set through the recorded->localized mapping."""
+    root = _mk_table(tmp_path, "posdeluri")
+    f1 = _data_file(root, "f1.parquet", [1, 2, 3], ["en", "de", "fr"])
+    # delete pos 1 of f1, recorded as a file: URI
+    d1 = _position_delete_file(root, "del1.parquet", [("file://" + f1, 1)])
+    m1 = _manifest(root, "m1.avro", [(1, 0, "file://" + f1)])
+    md = _manifest(root, "md.avro", [(1, 1, d1)])
+    ml = _manifest_list_mixed(root, "ml.avro", [(m1, 0), (md, 1)])
+    _metadata(root, [{"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": ml}], current=1)
+    out = sorted(x["id"] for x in IcebergTableReader(spark, root).read().collect())
+    assert out == [1, 3]
+
+
+def test_iceberg_changes_since_applies_target_deletes(spark, tmp_path):
+    """changes_since returns only live rows of the new files: positional
+    deletes at the target snapshot are applied to the incremental scan."""
+    root = _mk_table(tmp_path, "incdel")
+    f1 = _data_file(root, "f1.parquet", [1, 2], ["en", "de"])
+    f2 = _data_file(root, "f2.parquet", [3, 4, 5], ["fr", "es", "it"])
+    d2 = _position_delete_file(root, "del2.parquet", [(f2, 1)])  # id 4 gone
+    m1 = _manifest(root, "m1.avro", [(1, 0, f1)])
+    ml1 = _manifest_list(root, "ml1.avro", [m1])
+    m2 = _manifest(root, "m2.avro", [(0, 0, f1), (1, 0, f2)])
+    md2 = _manifest(root, "md2.avro", [(1, 1, d2)])
+    ml2 = _manifest_list_mixed(root, "ml2.avro", [(m2, 0), (md2, 1)])
+    _metadata(root, [
+        {"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": ml1},
+        {"snapshot-id": 2, "timestamp-ms": 2, "manifest-list": ml2},
+    ], current=2)
+    r = IcebergTableReader(spark, root)
+    assert sorted(x["id"] for x in r.changes_since(1).collect()) == [3, 5]
+    assert sorted(x["id"] for x in r.read().collect()) == [1, 2, 3, 5]
 
 
 def test_avro_generic_deflate_and_nested_roundtrip():
