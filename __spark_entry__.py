@@ -284,6 +284,7 @@ ROUND7_NEVER_GRADED = [
 # additions are appended to _ROUND7_ADDED as they are implemented.
 _ROUND7_ADDED: list[str] = [
     "orders_iceberg_v2_deletes",
+    "orders_delta_dv_roundtrip",
 ]
 ROUND8_NEVER_GRADED = ROUND7_NEVER_GRADED[42:] + _ROUND7_ADDED
 

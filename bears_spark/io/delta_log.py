@@ -41,7 +41,7 @@ from pyspark.sql import types as T
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint(\.\d+\.\d+)?\.parquet$")
 
-_MAX_READER_VERSION = 3  # deletionVectors and column mapping are NOT handled
+_MAX_READER_VERSION = 3  # deletionVectors handled; column mapping is NOT
 
 
 class DeltaLogError(ValueError):
@@ -159,7 +159,7 @@ class DeltaTableReader:
         if rv > _MAX_READER_VERSION:
             raise DeltaLogError(f"unsupported Delta minReaderVersion {rv}")
         feats = set(proto.get("readerFeatures") or [])
-        unsupported = feats - {"timestampNtz", "v2Checkpoint"}
+        unsupported = feats - {"timestampNtz", "v2Checkpoint", "deletionVectors"}
         if unsupported:
             raise DeltaLogError(f"unsupported Delta reader features: {sorted(unsupported)}")
 
@@ -266,31 +266,128 @@ class DeltaTableReader:
     def _read_adds(self, meta: dict, adds: dict, schema, part_cols: list[str]) -> DataFrame:
         if not adds:
             return self.spark.createDataFrame([], schema)
-        if not part_cols:
-            return self.spark.read.schema(schema).parquet(
-                *[os.path.join(self.path, unquote(p)) for p in adds]
+        dvs = {p: a["deletionVector"] for p, a in adds.items() if a.get("deletionVector")}
+
+        def _tag(df: DataFrame) -> DataFrame:
+            # merge-on-read needs (file, position); Spark's parquet metadata
+            # columns provide both JVM-side, but must be selected per scan
+            # (they don't resolve through a union)
+            if not dvs:
+                return df
+            return df.select(
+                "*",
+                F.col("_metadata.file_path").alias("__dl_fp__"),
+                F.col("_metadata.row_index").alias("__dl_pos__"),
             )
-        # group by partition tuple; inject partition columns as typed literals
-        types = {f.name: f.dataType for f in schema.fields}
-        file_schema = T.StructType([f for f in schema.fields if f.name not in part_cols])
-        groups: dict[tuple, list[str]] = {}
-        for p, a in adds.items():
-            pv = a.get("partitionValues") or {}
-            if isinstance(pv, list):  # pyarrow map type lists (k, v) tuples
-                pv = dict(pv)
-            key = tuple(pv.get(c) for c in part_cols)
-            groups.setdefault(key, []).append(os.path.join(self.path, unquote(p)))
-        out = None
-        for key, paths in sorted(groups.items(), key=lambda kv: tuple(str(x) for x in kv[0])):
-            df = self.spark.read.schema(file_schema).parquet(*paths)
-            for c, raw in zip(part_cols, key):
-                # Delta serializes partition values as strings; null is
-                # physically the __HIVE_DEFAULT_PARTITION__-less None
-                lit = F.lit(None) if raw is None else F.lit(raw)
-                df = df.withColumn(c, lit.cast(types[c]))
-            df = df.select(*[f.name for f in schema.fields])
-            out = df if out is None else out.unionByName(df)
+
+        if not part_cols:
+            out = _tag(
+                self.spark.read.schema(schema).parquet(
+                    *[os.path.join(self.path, unquote(p)) for p in adds]
+                )
+            )
+        else:
+            # group by partition tuple; inject partition columns as typed literals
+            types = {f.name: f.dataType for f in schema.fields}
+            file_schema = T.StructType([f for f in schema.fields if f.name not in part_cols])
+            groups: dict[tuple, list[str]] = {}
+            for p, a in adds.items():
+                pv = a.get("partitionValues") or {}
+                if isinstance(pv, list):  # pyarrow map type lists (k, v) tuples
+                    pv = dict(pv)
+                key = tuple(pv.get(c) for c in part_cols)
+                groups.setdefault(key, []).append(os.path.join(self.path, unquote(p)))
+            out = None
+            cols = [f.name for f in schema.fields] + (["__dl_fp__", "__dl_pos__"] if dvs else [])
+            for key, paths in sorted(groups.items(), key=lambda kv: tuple(str(x) for x in kv[0])):
+                df = _tag(self.spark.read.schema(file_schema).parquet(*paths))
+                for c, raw in zip(part_cols, key):
+                    # Delta serializes partition values as strings; null is
+                    # physically the __HIVE_DEFAULT_PARTITION__-less None
+                    lit = F.lit(None) if raw is None else F.lit(raw)
+                    df = df.withColumn(c, lit.cast(types[c]))
+                df = df.select(*cols)
+                out = df if out is None else out.unionByName(df)
+        if dvs:
+            out = self._anti_join_dvs(out, dvs).drop("__dl_fp__", "__dl_pos__")
         return out
+
+    # -- deletion vectors -------------------------------------------------------
+    def _dv_bytes(self, dv: dict) -> bytes:
+        """Resolve a deletionVector descriptor to its serialized
+        RoaringBitmapArray bytes (PROTOCOL.md "Deletion Vector Descriptor"):
+        inline ("i") is Z85-armored in place; "u" derives
+        ``<prefix>/deletion_vector_<uuid>.bin`` from the Z85-encoded UUID;
+        "p" is an absolute path. File storage is checksum-verified. Any
+        parse/CRC failure refuses the table rather than misreading it."""
+        from bears_spark.io.roaring import DV_FILE_FORMAT_VERSION, unframe_dv, z85_decode
+
+        st = dv.get("storageType")
+        size = int(dv["sizeInBytes"])
+        try:
+            if st == "i":
+                data = z85_decode(dv["pathOrInlineDv"])
+                if len(data) < size:
+                    raise ValueError("inline DV shorter than sizeInBytes")
+                return data[:size]  # Z85 pads to 4-byte groups
+            if st in ("u", "p"):
+                if st == "p":
+                    fpath = dv["pathOrInlineDv"]
+                else:
+                    import uuid as _uuid
+
+                    enc = dv["pathOrInlineDv"]
+                    prefix, tail = enc[:-20], enc[-20:]
+                    u = _uuid.UUID(bytes=z85_decode(tail))
+                    parts = [self.path] + ([prefix] if prefix else []) + [
+                        f"deletion_vector_{u}.bin"
+                    ]
+                    fpath = os.path.join(*parts)
+                with open(fpath, "rb") as f:
+                    buf = f.read()
+                if not buf or buf[0] != DV_FILE_FORMAT_VERSION:
+                    raise ValueError(
+                        f"unsupported DV file format version {buf[:1]!r}"
+                    )
+                return unframe_dv(buf, int(dv["offset"]), size)
+        except (ValueError, OSError, KeyError) as exc:
+            raise DeltaLogError(f"unreadable deletion vector: {exc}") from exc
+        raise DeltaLogError(f"unsupported DV storageType {st!r}")
+
+    def _anti_join_dvs(self, df: DataFrame, dvs: dict[str, dict]) -> DataFrame:
+        """Apply deletion vectors as a (file, position) anti-join. The DV
+        BYTES are resolved driver-side (manifest-proportional, the same cost
+        model as log replay) and shipped as one binary row per file; the
+        positions explode to rows in EXECUTORS, chunked, so a billion-row
+        delete set never materializes on the driver."""
+        import pandas as pd
+
+        rows = [
+            (os.path.join(self.path, unquote(p)), self._dv_bytes(d))
+            for p, d in sorted(dvs.items())
+        ]
+        dvdf = self.spark.createDataFrame(rows, "__dv_path__ string, __dv_blob__ binary")
+        if len(rows) > 1:
+            dvdf = dvdf.repartition(min(len(rows), 64))
+
+        def _explode(batches):
+            from bears_spark.io.roaring import deserialize_rba
+
+            for pdf in batches:
+                for path, blob in zip(pdf["__dv_path__"], pdf["__dv_blob__"]):
+                    pos = deserialize_rba(bytes(blob))
+                    for i in range(0, len(pos), 65536):
+                        yield pd.DataFrame(
+                            {"__dv_path__": path, "__dv_pos__": pos[i : i + 65536]}
+                        )
+
+        positions = dvdf.mapInPandas(_explode, "__dv_path__ string, __dv_pos__ long")
+        norm = F.regexp_replace(F.col("__dl_fp__"), "^file:/+", "/")
+        return df.join(
+            positions,
+            (norm == F.col("__dv_path__")) & (F.col("__dl_pos__") == F.col("__dv_pos__")),
+            "left_anti",
+        )
 
 
 def export_delta_log(table, out_path: str) -> str:

@@ -1579,6 +1579,101 @@ ORACLES["orders_delta_roundtrip"] = ORDERS_DELTA_RT_SQL
 
 
 # --------------------------------------------------------------------------
+# orders_delta_dv_roundtrip: Delta deletion vectors graded end-to-end —
+# orders split into two sorted data files under a hand-written _delta_log,
+# then a second commit attaches a UUID-stored deletion-vector file (spec
+# framing: version byte, BE length, RoaringBitmapArray portable bitmap, BE
+# CRC-32) removing every 5th row of the odd-key file. Read back through
+# DeltaTableReader's merge-on-read (metadata-column anti-join) vs a
+# row_number()-reconstructed oracle — position-exact. The DV writer side
+# here is test scaffolding (positions are range()-generated, bounded); the
+# READER path is the product and stays fully distributed.
+def orders_delta_dv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os as _os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from bears_spark.io.delta_log import DeltaTableReader
+    from bears_spark.io.roaring import frame_dv, serialize_rba, z85_encode
+
+    o = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="delta_dv_")
+    try:
+        _os.makedirs(root + "/_delta_log")
+        rel = {}
+        for grp, parity in (("even", 0), ("odd", 1)):
+            (
+                o.filter(F.col("o_orderkey") % 2 == parity)
+                .repartition(1)
+                .sortWithinPartitions("o_orderkey")
+                .write.parquet(f"{root}/{grp}")
+            )
+            name = [n for n in _os.listdir(f"{root}/{grp}") if n.endswith(".parquet")][0]
+            rel[grp] = f"{grp}/{name}"
+        n_odd = spark.read.parquet(f"{root}/{rel['odd']}").count()
+        positions = list(range(0, n_odd, 5))
+        data = serialize_rba(positions)
+        u = _uuid.uuid4()
+        with open(f"{root}/deletion_vector_{u}.bin", "wb") as f:
+            f.write(bytes([1]) + frame_dv(data))
+        dv = {
+            "storageType": "u",
+            "pathOrInlineDv": z85_encode(u.bytes),
+            "offset": 1,
+            "sizeInBytes": len(data),
+            "cardinality": len(positions),
+        }
+
+        def _add(path, extra=None):
+            a = {"path": path, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}
+            if extra:
+                a.update(extra)
+            return {"add": a}
+
+        c0 = [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"],
+                          "writerFeatures": ["deletionVectors"]}},
+            {"metaData": {"id": "dvrt", "format": {"provider": "parquet", "options": {}},
+                          "schemaString": o.schema.json(), "partitionColumns": [],
+                          "configuration": {}, "createdTime": 0}},
+            _add(rel["even"]),
+            _add(rel["odd"]),
+        ]
+        c1 = [
+            {"remove": {"path": rel["odd"], "dataChange": True}},
+            _add(rel["odd"], {"deletionVector": dv}),
+        ]
+        for v, actions in ((0, c0), (1, c1)):
+            with open(f"{root}/_delta_log/{v:020d}.json", "w") as f:
+                for a in actions:
+                    f.write(_json.dumps(a) + "\n")
+        back = DeltaTableReader(spark, root).read()
+        rows = (
+            back.groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double"), 6
+                ).alias("total"),
+            )
+            .orderBy("o_orderstatus")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "o_orderstatus string, n bigint, total double")
+
+
+QUERIES["orders_delta_dv_roundtrip"] = orders_delta_dv_roundtrip
+# oracle shared with orders_iceberg_v2_deletes (identical live-row set);
+# assigned after ORDERS_ICEBERG_V2_SQL's definition below
+
+
+# --------------------------------------------------------------------------
 # orders_iceberg_roundtrip: Iceberg interop graded end-to-end — write orders
 # as parquet files, build a spec-shaped Iceberg metadata tree over them
 # (metadata.json -> manifest-list Avro -> manifest Avro, one entry DELETED
@@ -1808,6 +1903,7 @@ FROM live GROUP BY o_orderstatus ORDER BY o_orderstatus
 
 QUERIES["orders_iceberg_v2_deletes"] = orders_iceberg_v2_deletes
 ORACLES["orders_iceberg_v2_deletes"] = ORDERS_ICEBERG_V2_SQL
+ORACLES["orders_delta_dv_roundtrip"] = ORDERS_ICEBERG_V2_SQL
 
 
 # --------------------------------------------------------------------------

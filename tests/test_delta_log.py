@@ -147,9 +147,147 @@ def test_delta_protocol_gate(spark, tmp_path):
     log = os.path.join(root, "_delta_log")
     a0 = _add_file(root, "f0.parquet", [1], [0.1])
     _write_commit(log, 0, [{"protocol": {"minReaderVersion": 3,
-                                         "readerFeatures": ["deletionVectors"]}}, _meta(), a0])
-    with pytest.raises(DeltaLogError, match="deletionVectors"):
+                                         "readerFeatures": ["columnMapping"]}}, _meta(), a0])
+    with pytest.raises(DeltaLogError, match="columnMapping"):
         DeltaTableReader(spark, root).read()
+
+
+def test_z85_spec_vector_and_roundtrip():
+    """The ZeroMQ spec-32 reference vector, plus arbitrary roundtrips."""
+    from bears_spark.io.roaring import z85_decode, z85_encode
+
+    assert z85_encode(bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])) == "HelloWorld"
+    assert z85_decode("HelloWorld") == bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    for blob in (b"", b"abcd", bytes(range(48)), b"\xff" * 8):
+        assert z85_decode(z85_encode(blob)) == blob
+    with pytest.raises(ValueError):
+        z85_encode(b"abc")  # not a multiple of 4
+
+
+def test_roaring_rba_roundtrip_all_container_kinds():
+    """Array (<=4096), bitset (>4096) and multi-bucket 64-bit values all
+    roundtrip; run containers decode (hand-framed, encoder never emits
+    them); corrupt magic/cookie refuse."""
+    import struct
+
+    from bears_spark.io.roaring import (
+        deserialize_rba,
+        serialize_rba,
+        serialize_roaring32,
+        _deserialize_roaring32,
+    )
+
+    small = [1, 5, 70000, 70001]
+    dense = list(range(100000, 110000))  # >4096 in one 16-bit bucket -> bitset
+    hi = [(3 << 32) | 7, (3 << 32) | 8, (1 << 32) | 0]
+    for vals in (small, dense, small + hi, []):
+        assert deserialize_rba(serialize_rba(vals)) == sorted(set(vals))
+
+    # run container: cookie 12347, one container flagged as runs
+    buf = struct.pack("<i", 12347 | (0 << 16))  # size-1 = 0
+    buf += bytes([0b1])  # run flag for container 0
+    buf += struct.pack("<HH", 2, 5 - 1)  # key=2, cardinality 5
+    # size < 4 -> no offsets
+    buf += struct.pack("<H", 1)  # one run
+    buf += struct.pack("<HH", 10, 4)  # values 10..14
+    vals, consumed = _deserialize_roaring32(buf, 0)
+    assert vals == [(2 << 16) | v for v in range(10, 15)] and consumed == len(buf)
+
+    with pytest.raises(ValueError, match="magic"):
+        deserialize_rba(b"\x00" * 16)
+    bad = bytearray(serialize_rba([1, 2]))
+    bad[12] ^= 0xFF  # corrupt the inner cookie
+    with pytest.raises(ValueError):
+        deserialize_rba(bytes(bad))
+
+
+def _dv_descriptor_inline(positions):
+    from bears_spark.io.roaring import serialize_rba, z85_encode
+
+    data = serialize_rba(positions)
+    pad = (-len(data)) % 4
+    return {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(data + b"\x00" * pad),
+        "sizeInBytes": len(data),
+        "cardinality": len(positions),
+    }
+
+
+def _dv_write_file(table_root, positions, storage="u"):
+    import uuid as _uuid
+
+    from bears_spark.io.roaring import frame_dv, serialize_rba, z85_encode
+
+    data = serialize_rba(positions)
+    blob = bytes([1]) + frame_dv(data)
+    if storage == "p":
+        p = os.path.join(table_root, "dv_abs.bin")
+        open(p, "wb").write(blob)
+        desc_path = p
+    else:
+        u = _uuid.uuid4()
+        open(os.path.join(table_root, f"deletion_vector_{u}.bin"), "wb").write(blob)
+        desc_path = z85_encode(u.bytes)
+    return {
+        "storageType": storage,
+        "pathOrInlineDv": desc_path,
+        "offset": 1,
+        "sizeInBytes": len(data),
+        "cardinality": len(positions),
+    }
+
+
+@pytest.mark.parametrize("storage", ["i", "u", "p"])
+def test_delta_deletion_vectors_applied(spark, tmp_path, storage):
+    """Deletion vectors remove exactly the flagged row positions; rows in
+    other files are untouched; time travel to the pre-DV version restores
+    them; the deletionVectors reader feature is accepted."""
+    root = _make_table(tmp_path, f"dv-{storage}")
+    log = os.path.join(root, "_delta_log")
+    a0 = _add_file(root, "f0.parquet", [1, 2, 3, 4], [0.1, 0.2, 0.3, 0.4])
+    a1 = _add_file(root, "f1.parquet", [5, 6], [0.5, 0.6])
+    _write_commit(log, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        _meta(), a0, a1,
+    ])
+    # v1: attach a DV to f0 deleting positions 0 and 2 (ids 1, 3)
+    dv = (
+        _dv_descriptor_inline([0, 2])
+        if storage == "i"
+        else _dv_write_file(root, [0, 2], storage=storage)
+    )
+    new_add = dict(a0["add"])
+    new_add["deletionVector"] = dv
+    _write_commit(log, 1, [
+        {"remove": {"path": "f0.parquet", "dataChange": True}},
+        {"add": new_add},
+    ])
+    r = DeltaTableReader(spark, root)
+    assert sorted(x["id"] for x in r.read().collect()) == [2, 4, 5, 6]
+    assert sorted(x["id"] for x in r.read(version=0).collect()) == [1, 2, 3, 4, 5, 6]
+    # schema untouched by the merge-on-read plumbing
+    assert r.read().columns == ["id", "v"]
+
+
+def test_delta_deletion_vector_crc_refusal(spark, tmp_path):
+    """A corrupted DV file refuses the read instead of returning rows that
+    should be deleted."""
+    root = _make_table(tmp_path, "dvbad")
+    log = os.path.join(root, "_delta_log")
+    a0 = _add_file(root, "f0.parquet", [1, 2], [0.1, 0.2])
+    dv = _dv_write_file(root, [0], storage="p")
+    with open(dv["pathOrInlineDv"], "r+b") as f:
+        f.seek(8)
+        b = f.read(1)
+        f.seek(8)
+        f.write(bytes([b[0] ^ 0xFF]))
+    a0["add"]["deletionVector"] = dv
+    _write_commit(log, 0, [{"protocol": {"minReaderVersion": 1}}, _meta(), a0])
+    with pytest.raises(DeltaLogError, match="deletion vector"):
+        DeltaTableReader(spark, root).read().collect()
 
 
 def test_delta_gap_in_log_refused(spark, tmp_path):
