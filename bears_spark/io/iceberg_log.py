@@ -258,3 +258,109 @@ class IcebergTableReader:
                 raise IcebergLogError(f"unsupported Iceberg type {t!r} for empty-table schema")
             fields.append(T.StructField(f["name"], _ICE2SPARK[t], not f.get("required", False)))
         return T.StructType(fields)
+
+
+_MANIFEST_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+_MLIST_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "content", "type": "int"},
+        {"name": "added_snapshot_id", "type": ["null", "long"]},
+    ],
+}
+
+_SPARK2ICE = {
+    "boolean": "boolean", "integer": "int", "long": "long", "float": "float",
+    "double": "double", "string": "string", "date": "date", "binary": "binary",
+    "timestamp": "timestamptz",
+}
+
+
+def export_iceberg_metadata(table, out_path: str) -> str:
+    """Export a :class:`~bears_spark.io.snapshot_table.SnapshotTable`'s
+    CURRENT version as an Iceberg-shaped table at ``out_path`` — the
+    symmetric twin of :func:`~bears_spark.io.delta_log.export_delta_log`.
+    Data files are hard-linked (copied on link failure) under ``data/`` and
+    a minimal spec-shaped metadata tree (``vN.metadata.json`` +
+    ``version-hint.text`` -> manifest-list Avro -> manifest Avro, all via
+    the pure-stdlib codec) references them. One-shot snapshot export, not
+    continuous replication: re-export after new commits. Decimal/nested
+    columns raise (the minimal type map covers the flat primitives the
+    synthetic tables use)."""
+    import shutil
+    import uuid as _uuid
+
+    from bears_spark.io.avro_generic import write_container
+
+    df = table.read()
+    fields = []
+    for i, f in enumerate(df.schema.fields):
+        t = f.dataType.typeName()
+        if t not in _SPARK2ICE:
+            raise IcebergLogError(f"unsupported Spark type {t!r} for Iceberg export")
+        fields.append(
+            {"id": i + 1, "name": f.name, "required": not f.nullable,
+             "type": _SPARK2ICE[t]}
+        )
+    out_path = out_path.rstrip("/")
+    os.makedirs(os.path.join(out_path, "metadata"), exist_ok=True)
+    os.makedirs(os.path.join(out_path, "data"), exist_ok=True)
+    entries = []
+    for e in table.files():
+        name = f"{_uuid.uuid4().hex}.parquet"
+        dst = os.path.join(out_path, "data", name)
+        try:
+            os.link(e.path, dst)
+        except OSError:
+            shutil.copy2(e.path, dst)
+        entries.append(
+            {"status": 1, "data_file": {"content": 0, "file_path": dst,
+                                        "file_format": "PARQUET",
+                                        "record_count": int(e.rows)}}
+        )
+    mpath = os.path.join(out_path, "metadata", "m1.avro")
+    with open(mpath, "wb") as f:
+        f.write(write_container(_MANIFEST_AVRO_SCHEMA, entries))
+    mlpath = os.path.join(out_path, "metadata", "ml1.avro")
+    with open(mlpath, "wb") as f:
+        f.write(write_container(_MLIST_AVRO_SCHEMA, [
+            {"manifest_path": mpath, "manifest_length": os.path.getsize(mpath),
+             "content": 0, "added_snapshot_id": 1}
+        ]))
+    meta = {
+        "format-version": 2,
+        "table-uuid": _uuid.uuid4().hex,
+        "location": out_path,
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 0, "manifest-list": mlpath}],
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": fields}],
+        "current-schema-id": 0,
+    }
+    with open(os.path.join(out_path, "metadata", "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(out_path, "metadata", "version-hint.text"), "w") as f:
+        f.write("1")
+    return out_path

@@ -80,7 +80,14 @@ def row_group_stats(spark: SparkSession, path: str, columns: list[str]) -> DataF
                         if ci is None:
                             continue
                         cc = g.column(ci)
-                        st = cc.statistics
+                        try:
+                            st = cc.statistics
+                            mn = None if st is None else str(st.min)
+                            mx = None if st is None else str(st.max)
+                        except Exception:
+                            # pyarrow can't extract stats for every type
+                            # (e.g. some decimals) — report them as absent
+                            mn = mx = None
                         out.append(
                             {
                                 "file": os.path.basename(p),
@@ -88,8 +95,8 @@ def row_group_stats(spark: SparkSession, path: str, columns: list[str]) -> DataF
                                 "column": c,
                                 "n_rows": g.num_rows,
                                 "total_byte_size": cc.total_compressed_size,
-                                "stat_min": None if st is None else str(st.min),
-                                "stat_max": None if st is None else str(st.max),
+                                "stat_min": mn,
+                                "stat_max": mx,
                             }
                         )
             yield pd.DataFrame(

@@ -287,12 +287,20 @@ class SnapshotTable:
                 g = md.row_group(rg)
                 for ci in range(g.num_columns):
                     c = g.column(ci)
-                    if c.statistics is None or not c.statistics.has_min_max:
+                    try:
+                        st = c.statistics
+                        if st is None or not st.has_min_max:
+                            continue
+                        raw_mn, raw_mx = st.min, st.max
+                    except Exception:
+                        # pyarrow raises ArrowNotImplementedError for types it
+                        # can't extract stats for (e.g. some decimals) — a
+                        # stat is an optimization, never a requirement
                         continue
                     col = c.path_in_schema
                     if col in dropped:
                         continue
-                    mn, mx = _encode_stat(c.statistics.min), _encode_stat(c.statistics.max)
+                    mn, mx = _encode_stat(raw_mn), _encode_stat(raw_mx)
                     if mn is None or mx is None:
                         # un-encodable type (binary/nested): no stat for this
                         # column in ANY row group -> conservative match

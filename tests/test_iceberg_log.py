@@ -265,6 +265,38 @@ def test_iceberg_changes_since_applies_target_deletes(spark, tmp_path):
     assert sorted(x["id"] for x in r.read().collect()) == [1, 2, 3, 5]
 
 
+def test_export_snapshot_table_as_iceberg(spark, tmp_path):
+    """export_iceberg_metadata -> IcebergTableReader roundtrip: same rows,
+    schema carried through the Iceberg type map, multi-commit snapshot
+    flattened to one live manifest."""
+    from pyspark.sql import functions as F
+
+    from bears_spark.io.iceberg_log import export_iceberg_metadata
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "st"))
+    df = spark.range(0, 50).select(
+        "id", (F.col("id") % 7).alias("bucket"), (F.col("id") * 1.5).alias("v")
+    )
+    t.overwrite(df.filter("id < 30").coalesce(1))
+    t.append(df.filter("id >= 30").coalesce(1))
+    t.delete_where("bucket", "=", 3)
+    out = export_iceberg_metadata(t, str(tmp_path / "ice"))
+    back = IcebergTableReader(spark, out)
+    assert sorted(r["id"] for r in back.read().collect()) == sorted(
+        r["id"] for r in t.read().collect()
+    )
+    assert back.read().columns == ["id", "bucket", "v"]
+    assert back._spark_schema().simpleString() == "struct<id:bigint,bucket:bigint,v:double>"
+    # unsupported type refuses instead of writing a lying schema
+    t2 = SnapshotTable(spark, str(tmp_path / "st2"))
+    t2.overwrite(
+        spark.range(1).select(F.col("id").cast("decimal(10,2)").alias("d")).coalesce(1)
+    )
+    with pytest.raises(IcebergLogError, match="unsupported Spark type"):
+        export_iceberg_metadata(t2, str(tmp_path / "ice2"))
+
+
 def test_avro_generic_deflate_and_nested_roundtrip():
     import zlib
 

@@ -640,3 +640,76 @@ def test_avro_generic_roundtrip_random(case):
     schema, records = case
     _, back = read_container(write_container(schema, records))
     assert back == records
+
+
+@st.composite
+def _roaring_case(draw):
+    # mix dense runs (bitset/run-container territory), sparse values, and
+    # multi-bucket uint64s so every container kind gets exercised
+    base = draw(st.lists(st.integers(min_value=0, max_value=1 << 40), max_size=40))
+    start = draw(st.integers(min_value=0, max_value=1 << 20))
+    run = list(range(start, start + draw(st.integers(min_value=0, max_value=5000))))
+    return base + run
+
+
+@given(_roaring_case())
+@_settings
+def test_roaring_rba_roundtrip_random(vals):
+    """serialize_rba/deserialize_rba are inverse over randomized 64-bit sets
+    spanning array, bitset and multi-bucket shapes."""
+    from bears_spark.io.roaring import deserialize_rba, serialize_rba
+
+    assert deserialize_rba(serialize_rba(vals)) == sorted(set(vals))
+
+
+@given(st.binary(max_size=64).filter(lambda b: len(b) % 4 == 0))
+@_settings
+def test_z85_roundtrip_random(blob):
+    from bears_spark.io.roaring import z85_decode, z85_encode
+
+    assert z85_decode(z85_encode(blob)) == blob
+
+
+@st.composite
+def _global_rolling_case(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    vals = draw(
+        st.lists(
+            st.one_of(st.none(), st.floats(min_value=-50, max_value=50, allow_nan=False)),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    if all(v is None for v in vals):
+        vals[0] = 0.0  # an all-null column infers as void, not double
+    window = draw(st.integers(min_value=1, max_value=8))
+    # pandas requires min_periods <= window
+    min_periods = draw(st.integers(min_value=1, max_value=min(3, window)))
+    return vals, window, min_periods
+
+
+@given(_global_rolling_case())
+@_settings
+def test_global_rolling_matches_pandas(spark, case):
+    """Partition-less rolling_agg (prefix.global_rolling) equals the pandas
+    rolling reference across random lengths, nulls, windows and min_periods
+    — the carry-k machinery can't diverge at batch/partition boundaries."""
+    vals, window, min_periods = case
+    pdf = pd.DataFrame({"t": range(len(vals)), "v": vals})
+    sf = SparkFrame.of(pdf, spark)
+    out = (
+        sf.rolling_agg("t", window, {"v": ["mean", "sum"]}, min_periods=min_periods)
+        .sort_values("t")
+        .to_pandas()
+    )
+    roll = pdf["v"].rolling(window, min_periods=min_periods)
+    for col, exp in (("v_rolling_mean", roll.mean()), ("v_rolling_sum", roll.sum())):
+        got = out[col]
+        for i in range(len(vals)):
+            if pd.isna(exp.iloc[i]):
+                assert pd.isna(got.iloc[i]), (col, i, got.iloc[i])
+            else:
+                assert float(got.iloc[i]) == pytest.approx(float(exp.iloc[i])), (col, i)
+    from bears_spark.functions.prefix import release_scan_caches
+
+    release_scan_caches()
