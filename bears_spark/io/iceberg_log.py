@@ -9,13 +9,21 @@ tables without the iceberg-spark runtime. The tree (iceberg.apache.org/spec):
                                      unlike Hive/Delta layouts)
 
 Live data files at a snapshot = manifest entries with status != DELETED
-whose content is DATA. Iceberg v2 POSITIONAL delete files (parquet rows of
-(file_path, pos)) are applied as merge-on-read: the data scan exposes
-Spark's parquet metadata columns (_metadata.file_path / row_index) and the
-delete set is anti-joined on (file, position) — fully distributed, no UDF,
-standard shuffle-or-broadcast join cost exactly like Iceberg's own
-merge-on-read. EQUALITY delete files are still REFUSED honestly rather
-than misread (the same contract the Delta reader has for deletion vectors).
+whose content is DATA. Iceberg v2 row-level deletes are applied
+merge-on-read, fully distributed, no UDF:
+
+* POSITIONAL delete files (parquet rows of (file_path, pos)): the data scan
+  exposes Spark's parquet metadata columns (_metadata.file_path/row_index)
+  and the delete set is anti-joined on (file, position).
+* EQUALITY delete files: anti-join on the equality_ids key columns, gated
+  on the v2 sequence-number rule (a delete applies only to data files whose
+  data sequence number is STRICTLY below the delete file's), with null keys
+  matching null. Sequence numbers resolve through the manifest-entry ->
+  manifest-list -> snapshot inheritance chain.
+
+Anything the tree declares that this reader can't honor (unknown field ids,
+missing equality_ids, non-parquet files) REFUSES rather than misreads —
+the same contract the Delta reader has.
 
 Avro parsing is the pure-stdlib recursive codec (io/avro_generic.py);
 metadata work is driver-side and proportional to manifest bytes — the same
@@ -115,26 +123,37 @@ class IcebergTableReader:
         raise IcebergLogError(f"snapshot {sid} not in the metadata snapshot log")
 
     # -- planning ----------------------------------------------------------------
-    def _plan(self, snapshot_id: int | None = None) -> tuple[list[tuple[str, str]], list[str]]:
+    def _plan(
+        self, snapshot_id: int | None = None
+    ) -> tuple[list[tuple[str, str, int]], list[str], list[tuple[str, int, tuple[int, ...]]]]:
         """Walk the snapshot's manifest tree. Returns
-        ``([(recorded_uri, localized_path), ...] live data files,
-        [localized positional-delete parquet paths])``. Equality delete
-        files are refused (their key-based semantics need the table's
-        equality-field ids; misapplying them silently corrupts reads)."""
+        ``(data, positional_deletes, equality_deletes)`` where ``data`` is
+        ``[(recorded_uri, localized_path, data_sequence_number), ...]``,
+        positional deletes are localized parquet paths, and equality deletes
+        are ``[(localized_path, delete_sequence_number, equality_field_ids)]``.
+        Sequence numbers resolve per the v2 inheritance chain: manifest
+        entry -> manifest-list entry -> snapshot -> 0 (a v1 tree, where
+        equality deletes cannot exist anyway)."""
         snap = self._snapshot(snapshot_id)
+        snap_seq = int(snap.get("sequence-number") or 0)
         mlist_path = _localize(snap["manifest-list"], self.path)
         _, manifests = read_container(open(mlist_path, "rb").read())
-        data: list[tuple[str, str]] = []
-        deletes: list[str] = []
+        data: list[tuple[str, str, int]] = []
+        pos_deletes: list[str] = []
+        eq_deletes: list[tuple[str, int, tuple[int, ...]]] = []
         for m in manifests:
             # manifest-list 'content': 0 = data manifests, 1 = delete manifests
             mcontent = int(m.get("content") or 0)
+            m_seq = m.get("sequence_number")
+            m_seq = snap_seq if m_seq is None else int(m_seq)
             mpath = _localize(m["manifest_path"], self.path)
             _, entries = read_container(open(mpath, "rb").read())
             for e in entries:
                 if int(e.get("status") or 0) == _STATUS_DELETED:
                     continue
                 df = e["data_file"]
+                e_seq = e.get("sequence_number")
+                e_seq = m_seq if e_seq is None else int(e_seq)
                 fcontent = int(df.get("content") or 0)
                 fmt = str(df.get("file_format") or "PARQUET").upper()
                 if fmt != "PARQUET":
@@ -142,26 +161,34 @@ class IcebergTableReader:
                 if mcontent == 0:
                     if fcontent != _CONTENT_DATA:
                         raise IcebergLogError("delete file in a data manifest; refusing")
-                    data.append((str(df["file_path"]), _localize(df["file_path"], self.path)))
-                else:
-                    if fcontent == _CONTENT_EQUALITY_DELETES or df.get("equality_ids"):
+                    data.append(
+                        (str(df["file_path"]), _localize(df["file_path"], self.path), e_seq)
+                    )
+                elif fcontent == _CONTENT_POSITION_DELETES:
+                    pos_deletes.append(_localize(df["file_path"], self.path))
+                elif fcontent == _CONTENT_EQUALITY_DELETES:
+                    ids = tuple(int(i) for i in (df.get("equality_ids") or ()))
+                    if not ids:
                         raise IcebergLogError(
-                            "snapshot carries EQUALITY delete files (key-based "
-                            "merge-on-read is out of scope; refusing to misread)"
+                            "equality delete file without equality_ids; refusing"
                         )
-                    if fcontent != _CONTENT_POSITION_DELETES:
-                        raise IcebergLogError("data file in a delete manifest; refusing")
-                    deletes.append(_localize(df["file_path"], self.path))
-        return sorted(data, key=lambda t: t[1]), sorted(deletes)
+                    eq_deletes.append((_localize(df["file_path"], self.path), e_seq, ids))
+                else:
+                    raise IcebergLogError("data file in a delete manifest; refusing")
+        return sorted(data, key=lambda t: t[1]), sorted(pos_deletes), sorted(eq_deletes)
 
     def files(self, snapshot_id: int | None = None) -> list[str]:
-        """Live data-file paths at the snapshot (positional deletes, if any,
+        """Live data-file paths at the snapshot (row-level deletes, if any,
         are applied at read() time, not here)."""
-        return [loc for _, loc in self._plan(snapshot_id)[0]]
+        return [loc for _, loc, _ in self._plan(snapshot_id)[0]]
 
     def delete_files(self, snapshot_id: int | None = None) -> list[str]:
         """Positional-delete parquet paths live at the snapshot."""
         return self._plan(snapshot_id)[1]
+
+    def equality_delete_files(self, snapshot_id: int | None = None) -> list[str]:
+        """Equality-delete parquet paths live at the snapshot."""
+        return [p for p, _, _ in self._plan(snapshot_id)[2]]
 
     @staticmethod
     def _norm_path(col):
@@ -171,24 +198,33 @@ class IcebergTableReader:
 
         return F.regexp_replace(col, "^file:/+", "/")
 
-    def _apply_position_deletes(
-        self, df: DataFrame, data_entries: list[tuple[str, str]], delete_paths: list[str]
-    ) -> DataFrame:
-        """Merge-on-read: anti-join the scan against the positional delete
-        set on (data file, row position). ``df`` must come from a parquet
-        file scan (the _metadata columns are resolved against it). The
-        recorded->localized translation is a broadcast file-count-sized dim,
-        so moved tables keep working; the (file, pos) anti-join is the same
-        shuffle-or-broadcast cost Iceberg's own merge-on-read pays."""
+    @staticmethod
+    def _tag_metadata(df: DataFrame) -> DataFrame:
+        """Expose Spark's parquet metadata columns for merge-on-read; must
+        be selected per file scan (they don't resolve through a union)."""
         from pyspark.sql import functions as F
 
-        tagged = df.select(
+        return df.select(
             "*",
             F.col("_metadata.file_path").alias("__ice_fp__"),
             F.col("_metadata.row_index").alias("__ice_pos__"),
         )
+
+    def _apply_position_deletes(
+        self,
+        tagged: DataFrame,
+        data_entries: list[tuple[str, str, int]],
+        delete_paths: list[str],
+    ) -> DataFrame:
+        """Merge-on-read: anti-join the tagged scan against the positional
+        delete set on (data file, row position). The recorded->localized
+        translation is a broadcast file-count-sized dim, so moved tables
+        keep working; the (file, pos) anti-join is the same
+        shuffle-or-broadcast cost Iceberg's own merge-on-read pays."""
+        from pyspark.sql import functions as F
+
         mapping = self.spark.createDataFrame(
-            [(rec, loc) for rec, loc in data_entries], "__rec__ string, __loc__ string"
+            [(rec, loc) for rec, loc, _ in data_entries], "__rec__ string, __loc__ string"
         )
         dels = (
             self.spark.read.parquet(*delete_paths)
@@ -204,7 +240,61 @@ class IcebergTableReader:
             (self._norm_path(F.col("__ice_fp__")) == F.col("__del_fp__"))
             & (F.col("__ice_pos__") == F.col("__del_pos__")),
             "left_anti",
-        ).drop("__ice_fp__", "__ice_pos__")
+        )
+
+    def _field_names_for_ids(self, ids: tuple[int, ...]) -> list[str]:
+        schemas = self.meta.get("schemas") or [self.meta.get("schema") or {}]
+        cur_id = self.meta.get("current-schema-id", 0)
+        schema = next((s for s in schemas if s.get("schema-id", 0) == cur_id), schemas[0])
+        id2name = {int(f["id"]): f["name"] for f in schema.get("fields", []) if "id" in f}
+        missing = [i for i in ids if i not in id2name]
+        if missing:
+            raise IcebergLogError(
+                f"equality delete references unknown field ids {missing}; refusing"
+            )
+        return [id2name[i] for i in ids]
+
+    def _apply_equality_deletes(
+        self,
+        tagged: DataFrame,
+        data_entries: list[tuple[str, str, int]],
+        eq_deletes: list[tuple[str, int, tuple[int, ...]]],
+    ) -> DataFrame:
+        """Equality-delete merge-on-read (spec: a delete row removes every
+        data row whose key columns match AND whose data file's sequence
+        number is STRICTLY below the delete file's). The data row's sequence
+        number comes from a broadcast file-count-sized (file -> seq) dim on
+        the metadata file path; delete rows carry their file's sequence as a
+        literal. One anti-join per distinct equality-id set (usually one).
+        Null keys match null (eqNullSafe), matching Iceberg's equality
+        semantics."""
+        from pyspark.sql import functions as F
+
+        seq_map = self.spark.createDataFrame(
+            [(loc, seq) for _, loc, seq in data_entries], "__seqf__ string, __seq__ long"
+        )
+        tagged = tagged.join(
+            F.broadcast(seq_map),
+            self._norm_path(F.col("__ice_fp__")) == F.col("__seqf__"),
+            "left",
+        ).drop("__seqf__")
+        by_ids: dict[tuple[int, ...], list[tuple[str, int]]] = {}
+        for path, seq, ids in eq_deletes:
+            by_ids.setdefault(ids, []).append((path, seq))
+        for ids, files in sorted(by_ids.items()):
+            cols = self._field_names_for_ids(ids)
+            dels = None
+            for path, seq in sorted(files):
+                one = self.spark.read.parquet(path).select(
+                    *[F.col(c).alias(f"__eq_{c}__") for c in cols],
+                    F.lit(seq).alias("__eq_seq__"),
+                )
+                dels = one if dels is None else dels.unionByName(one)
+            cond = F.col("__seq__") < F.col("__eq_seq__")
+            for c in cols:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}__"))
+            tagged = tagged.join(dels, cond, "left_anti")
+        return tagged.drop("__seq__")
 
     def changes_since(self, snapshot_id: int, to_snapshot_id: int | None = None) -> DataFrame:
         """Incremental consumer API over an Iceberg table: rows in data files
@@ -214,29 +304,40 @@ class IcebergTableReader:
         snapshot before maintenance windows). The target snapshot's
         positional deletes are applied to the new files."""
         base = set(self.files(snapshot_id))
-        data_entries, delete_paths = self._plan(to_snapshot_id)
-        new = [(rec, loc) for rec, loc in data_entries if loc not in base]
+        data_entries, pos_deletes, eq_deletes = self._plan(to_snapshot_id)
+        new = [(rec, loc, seq) for rec, loc, seq in data_entries if loc not in base]
         if not new:
             return self.read(to_snapshot_id).limit(0)
-        df = self.spark.read.option("mergeSchema", "true").parquet(*[loc for _, loc in new])
-        if delete_paths:
-            df = self._apply_position_deletes(df, new, delete_paths)
+        df = self.spark.read.option("mergeSchema", "true").parquet(*[loc for _, loc, _ in new])
+        if pos_deletes or eq_deletes:
+            df = self._tag_metadata(df)
+            if pos_deletes:
+                df = self._apply_position_deletes(df, new, pos_deletes)
+            if eq_deletes:
+                df = self._apply_equality_deletes(df, new, eq_deletes)
+            df = df.drop("__ice_fp__", "__ice_pos__")
         return df
 
     def read(self, snapshot_id: int | None = None) -> DataFrame:
-        """Distributed scan of the snapshot's live data files, with
-        positional delete files (Iceberg v2 merge-on-read) applied as a
-        (file, pos) anti-join. Iceberg data files are self-contained
+        """Distributed scan of the snapshot's live data files, with Iceberg
+        v2 row-level deletes applied merge-on-read: positional delete files
+        as a (file, pos) anti-join, equality delete files as a
+        sequence-gated key anti-join. Iceberg data files are self-contained
         (partition columns present), so the scan is a plain parquet read;
         schema evolution across files is served by mergeSchema."""
-        data_entries, delete_paths = self._plan(snapshot_id)
+        data_entries, pos_deletes, eq_deletes = self._plan(snapshot_id)
         if not data_entries:
             return self.spark.createDataFrame([], self._spark_schema())
         df = self.spark.read.option("mergeSchema", "true").parquet(
-            *[loc for _, loc in data_entries]
+            *[loc for _, loc, _ in data_entries]
         )
-        if delete_paths:
-            df = self._apply_position_deletes(df, data_entries, delete_paths)
+        if pos_deletes or eq_deletes:
+            df = self._tag_metadata(df)
+            if pos_deletes:
+                df = self._apply_position_deletes(df, data_entries, pos_deletes)
+            if eq_deletes:
+                df = self._apply_equality_deletes(df, data_entries, eq_deletes)
+            df = df.drop("__ice_fp__", "__ice_pos__")
         return df
 
     def _spark_schema(self):

@@ -173,17 +173,69 @@ def _position_delete_file(root, name, pairs):
     return p
 
 
-def test_iceberg_equality_delete_gate(spark, tmp_path):
-    """Equality delete files (content=2) are refused; a DATA file inside a
-    delete manifest is refused as corrupt."""
+_MANIFEST_V2_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "r2v2",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "equality_ids",
+                     "type": ["null", {"type": "array", "items": "int"}]},
+                ],
+            },
+        },
+    ],
+}
+
+
+def _manifest_v2(root, name, entries):
+    """entries: (status, content, file_path, seq_or_None, equality_ids_or_None)."""
+    p = os.path.join(root, "metadata", name)
+    recs = [
+        {
+            "status": st,
+            "sequence_number": seq,
+            "data_file": {
+                "content": content,
+                "file_path": fp,
+                "file_format": "PARQUET",
+                "record_count": 1,
+                "equality_ids": list(eq) if eq else None,
+            },
+        }
+        for st, content, fp, seq, eq in entries
+    ]
+    open(p, "wb").write(write_container(_MANIFEST_V2_SCHEMA, recs))
+    return p
+
+
+def _equality_delete_file(root, name, langs):
+    p = os.path.join(root, "data", name)
+    pq.write_table(pa.table({"lang": pa.array(langs, pa.string())}), p)
+    return p
+
+
+def test_iceberg_equality_delete_gates(spark, tmp_path):
+    """An equality delete without equality_ids is refused (can't know the
+    key); a DATA file inside a delete manifest is refused as corrupt."""
     root = _mk_table(tmp_path, "delgate")
     f1 = _data_file(root, "f1.parquet", [1], ["en"])
-    d1 = _position_delete_file(root, "eq1.parquet", [(f1, 0)])
-    md = _manifest(root, "md.avro", [(1, 2, d1)])  # content=2: equality deletes
+    d1 = _equality_delete_file(root, "eq1.parquet", ["en"])
+    md = _manifest(root, "md.avro", [(1, 2, d1)])  # content=2, no equality_ids
     m1 = _manifest(root, "m1.avro", [(1, 0, f1)])
     ml1 = _manifest_list_mixed(root, "ml1.avro", [(m1, 0), (md, 1)])
     _metadata(root, [{"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": ml1}], current=1)
-    with pytest.raises(IcebergLogError, match="EQUALITY"):
+    with pytest.raises(IcebergLogError, match="equality_ids"):
         IcebergTableReader(spark, root).read()
 
     root2 = _mk_table(tmp_path, "delgate2")
@@ -193,6 +245,57 @@ def test_iceberg_equality_delete_gate(spark, tmp_path):
     _metadata(root2, [{"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": ml2}], current=1)
     with pytest.raises(IcebergLogError, match="data file in a delete manifest"):
         IcebergTableReader(spark, root2).read()
+
+
+def test_iceberg_equality_deletes_sequence_gated(spark, tmp_path):
+    """Equality deletes apply only to data files whose sequence number is
+    STRICTLY below the delete file's (the v2 rule): 'en' rows vanish from
+    the seq-1 file but survive in the seq-3 file; a positional delete
+    composes on top; unknown equality field ids refuse."""
+    root = _mk_table(tmp_path, "eqdel")
+    f1 = _data_file(root, "f1.parquet", [1, 2, 3], ["en", "de", "fr"])  # seq 1
+    f2 = _data_file(root, "f2.parquet", [4, 5], ["en", "en"])  # seq 3
+    eq = _equality_delete_file(root, "eq.parquet", ["en"])  # seq 2, key = lang (id 2)
+    posd = _position_delete_file(root, "pos.parquet", [(f2, 1)])  # id 5
+    m1 = _manifest_v2(root, "m1.avro", [(1, 0, f1, 1, None), (1, 0, f2, 3, None)])
+    md = _manifest_v2(root, "md.avro", [(1, 2, eq, 2, [2]), (1, 1, posd, 3, None)])
+    ml = _manifest_list_mixed(root, "ml.avro", [(m1, 0), (md, 1)])
+    _metadata(root, [{"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": ml}], current=1)
+    r = IcebergTableReader(spark, root)
+    # id 1 ('en', seq 1 < 2) and id 5 (positional) removed; id 4 ('en', seq 3) kept
+    assert sorted(x["id"] for x in r.read().collect()) == [2, 3, 4]
+    assert r.read().columns == ["id", "lang"]
+    assert len(r.equality_delete_files()) == 1 and len(r.delete_files()) == 1
+
+    # unknown field id refuses
+    root2 = _mk_table(tmp_path, "eqdel2")
+    g1 = _data_file(root2, "f1.parquet", [1], ["en"])
+    geq = _equality_delete_file(root2, "eq.parquet", ["en"])
+    m1b = _manifest_v2(root2, "m1.avro", [(1, 0, g1, 1, None)])
+    mdb = _manifest_v2(root2, "md.avro", [(1, 2, geq, 2, [99])])
+    mlb = _manifest_list_mixed(root2, "ml.avro", [(m1b, 0), (mdb, 1)])
+    _metadata(root2, [{"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": mlb}], current=1)
+    with pytest.raises(IcebergLogError, match="unknown field ids"):
+        IcebergTableReader(spark, root2).read().collect()
+
+
+def test_iceberg_equality_delete_null_key_matches_null(spark, tmp_path):
+    """Iceberg equality semantics: a null key in the delete file removes
+    null-keyed data rows (eqNullSafe, not SQL =)."""
+    root = _mk_table(tmp_path, "eqnull")
+    p = os.path.join(root, "data", "f1.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                  "lang": pa.array(["en", None, "fr"], pa.string())}), p
+    )
+    eq = os.path.join(root, "data", "eq.parquet")
+    pq.write_table(pa.table({"lang": pa.array([None], pa.string())}), eq)
+    m1 = _manifest_v2(root, "m1.avro", [(1, 0, p, 1, None)])
+    md = _manifest_v2(root, "md.avro", [(1, 2, eq, 2, [2])])
+    ml = _manifest_list_mixed(root, "ml.avro", [(m1, 0), (md, 1)])
+    _metadata(root, [{"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": ml}], current=1)
+    out = sorted(x["id"] for x in IcebergTableReader(spark, root).read().collect())
+    assert out == [1, 3]
 
 
 def _manifest_list_mixed(root, name, manifests_with_content):
