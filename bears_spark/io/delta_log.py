@@ -159,9 +159,34 @@ class DeltaTableReader:
         if rv > _MAX_READER_VERSION:
             raise DeltaLogError(f"unsupported Delta minReaderVersion {rv}")
         feats = set(proto.get("readerFeatures") or [])
-        unsupported = feats - {"timestampNtz", "v2Checkpoint", "deletionVectors"}
+        unsupported = feats - {"timestampNtz", "v2Checkpoint", "deletionVectors", "columnMapping"}
         if unsupported:
             raise DeltaLogError(f"unsupported Delta reader features: {sorted(unsupported)}")
+
+    def _col_mapping(self, meta: dict, schema: "T.StructType"):
+        """Column-mapping support (PROTOCOL.md "Column Mapping"): in 'name'
+        and 'id' modes the parquet files store columns under per-field
+        physical names (``delta.columnMapping.physicalName`` in the schema
+        field metadata; Delta writers emit physical names in both modes, the
+        modes differ only in the preferred matching key). Returns
+        ``{logical -> physical}`` or None for unmapped tables; a mapped
+        field without a physicalName refuses (matching by parquet field id
+        alone is not implemented — misreading is worse than refusing)."""
+        mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode") or "none"
+        if mode == "none":
+            return None
+        if mode not in ("name", "id"):
+            raise DeltaLogError(f"unsupported columnMapping mode {mode!r}")
+        l2p: dict[str, str] = {}
+        for f in schema.fields:
+            phys = (f.metadata or {}).get("delta.columnMapping.physicalName")
+            if not phys:
+                raise DeltaLogError(
+                    f"columnMapping mode {mode!r} but field {f.name!r} has no "
+                    f"physicalName; refusing to guess the file column"
+                )
+            l2p[f.name] = phys
+        return l2p
 
     def schema(self, version: int | None = None) -> T.StructType:
         meta, _ = self._snapshot(version)
@@ -226,12 +251,18 @@ class DeltaTableReader:
         keep = adds
         if where is not None:
             col, op, value = where
-            part_cols = list(meta.get("partitionColumns") or [])
+            # column-mapped tables record stats/partitionValues under
+            # PHYSICAL names — translate the probe; a miss stays conservative
+            l2p = self._col_mapping(
+                meta, T.StructType.fromJson(json.loads(meta["schemaString"]))
+            ) or {}
+            pcol = l2p.get(col, col)
+            part_cols = [l2p.get(c, c) for c in (meta.get("partitionColumns") or [])]
             keep = {
                 p: a
                 for p, a in adds.items()
-                if not self._stats_reject(a, col, op, value)
-                and not self._partition_reject(a, part_cols, col, op, value)
+                if not self._stats_reject(a, pcol, op, value)
+                and not self._partition_reject(a, part_cols, pcol, op, value)
             }
         return sorted(os.path.join(self.path, unquote(p)) for p in keep)
 
@@ -267,6 +298,14 @@ class DeltaTableReader:
         if not adds:
             return self.spark.createDataFrame([], schema)
         dvs = {p: a["deletionVector"] for p, a in adds.items() if a.get("deletionVector")}
+        l2p = self._col_mapping(meta, schema)
+
+        def _phys(fields) -> T.StructType:
+            if l2p is None:
+                return T.StructType(list(fields))
+            return T.StructType(
+                [T.StructField(l2p[f.name], f.dataType, f.nullable) for f in fields]
+            )
 
         def _tag(df: DataFrame) -> DataFrame:
             # merge-on-read needs (file, position); Spark's parquet metadata
@@ -280,27 +319,50 @@ class DeltaTableReader:
                 F.col("_metadata.row_index").alias("__dl_pos__"),
             )
 
+        def _rename(df: DataFrame, fields) -> DataFrame:
+            # physical file columns -> logical names, carrying any DV tags
+            if l2p is None:
+                return df
+            tags = [c for c in df.columns if c.startswith("__dl_")]
+            return df.select(
+                *[F.col(l2p[f.name]).alias(f.name) for f in fields], *tags
+            )
+
         if not part_cols:
-            out = _tag(
-                self.spark.read.schema(schema).parquet(
-                    *[os.path.join(self.path, unquote(p)) for p in adds]
-                )
+            out = _rename(
+                _tag(
+                    self.spark.read.schema(_phys(schema.fields)).parquet(
+                        *[os.path.join(self.path, unquote(p)) for p in adds]
+                    )
+                ),
+                schema.fields,
             )
         else:
             # group by partition tuple; inject partition columns as typed literals
             types = {f.name: f.dataType for f in schema.fields}
-            file_schema = T.StructType([f for f in schema.fields if f.name not in part_cols])
+            file_fields = [f for f in schema.fields if f.name not in part_cols]
+            file_schema = _phys(file_fields)
             groups: dict[tuple, list[str]] = {}
             for p, a in adds.items():
                 pv = a.get("partitionValues") or {}
                 if isinstance(pv, list):  # pyarrow map type lists (k, v) tuples
                     pv = dict(pv)
-                key = tuple(pv.get(c) for c in part_cols)
+                if l2p is not None:
+                    # mapped tables key partitionValues by PHYSICAL name;
+                    # tolerate logical-keyed writers as a fallback
+                    key = tuple(
+                        pv.get(l2p.get(c, c), pv.get(c)) for c in part_cols
+                    )
+                else:
+                    key = tuple(pv.get(c) for c in part_cols)
                 groups.setdefault(key, []).append(os.path.join(self.path, unquote(p)))
             out = None
             cols = [f.name for f in schema.fields] + (["__dl_fp__", "__dl_pos__"] if dvs else [])
             for key, paths in sorted(groups.items(), key=lambda kv: tuple(str(x) for x in kv[0])):
-                df = _tag(self.spark.read.schema(file_schema).parquet(*paths))
+                df = _rename(
+                    _tag(self.spark.read.schema(file_schema).parquet(*paths)),
+                    file_fields,
+                )
                 for c, raw in zip(part_cols, key):
                     # Delta serializes partition values as strings; null is
                     # physically the __HIVE_DEFAULT_PARTITION__-less None

@@ -147,8 +147,8 @@ def test_delta_protocol_gate(spark, tmp_path):
     log = os.path.join(root, "_delta_log")
     a0 = _add_file(root, "f0.parquet", [1], [0.1])
     _write_commit(log, 0, [{"protocol": {"minReaderVersion": 3,
-                                         "readerFeatures": ["columnMapping"]}}, _meta(), a0])
-    with pytest.raises(DeltaLogError, match="columnMapping"):
+                                         "readerFeatures": ["variantType"]}}, _meta(), a0])
+    with pytest.raises(DeltaLogError, match="variantType"):
         DeltaTableReader(spark, root).read()
 
 
@@ -288,6 +288,92 @@ def test_delta_deletion_vector_crc_refusal(spark, tmp_path):
     _write_commit(log, 0, [{"protocol": {"minReaderVersion": 1}}, _meta(), a0])
     with pytest.raises(DeltaLogError, match="deletion vector"):
         DeltaTableReader(spark, root).read().collect()
+
+
+def _mapped_schema_str(mode_fields):
+    """Spark StructType JSON with delta.columnMapping metadata.
+    mode_fields: [(logical, physical, sparktype)]."""
+    return json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": lg, "type": tp, "nullable": True,
+             "metadata": {"delta.columnMapping.id": i + 1,
+                          "delta.columnMapping.physicalName": ph}}
+            for i, (lg, ph, tp) in enumerate(mode_fields)
+        ],
+    })
+
+
+@pytest.mark.parametrize("mode", ["name", "id"])
+def test_delta_column_mapping_read(spark, tmp_path, mode):
+    """Column-mapped tables (physical file column names) read back under
+    logical names; stats-pruned files() probes translate to physical keys;
+    both 'name' and 'id' modes resolve via physicalName."""
+    root = _make_table(tmp_path, f"cm-{mode}")
+    log = os.path.join(root, "_delta_log")
+    pq.write_table(
+        pa.table({"col-aaa": pa.array([1, 2], pa.int64()),
+                  "col-bbb": pa.array([0.1, 0.2], pa.float64())}),
+        os.path.join(root, "f0.parquet"),
+    )
+    meta = _meta(schema_str=_mapped_schema_str(
+        [("id", "col-aaa", "long"), ("v", "col-bbb", "double")]
+    ))
+    meta["metaData"]["configuration"] = {"delta.columnMapping.mode": mode}
+    _write_commit(log, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        meta,
+        {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "stats": json.dumps({"numRecords": 2,
+                                      "minValues": {"col-aaa": 1},
+                                      "maxValues": {"col-aaa": 2}})}},
+    ])
+    r = DeltaTableReader(spark, root)
+    out = r.read()
+    assert out.columns == ["id", "v"]
+    assert sorted(x["id"] for x in out.collect()) == [1, 2]
+    # stats pruning translates the logical probe to the physical stats key
+    assert r.files(where=("id", ">", 5)) == []
+    assert len(r.files(where=("id", "=", 2))) == 1
+    # predicate read with mapping
+    assert [x["id"] for x in r.read(where=("id", "=", 2)).collect()] == [2]
+
+
+def test_delta_column_mapping_partitioned(spark, tmp_path):
+    """Partition values in mapped tables are keyed by PHYSICAL name; the
+    injected partition column comes back under its logical name."""
+    root = _make_table(tmp_path, "cmp")
+    log = os.path.join(root, "_delta_log")
+    pq.write_table(pa.table({"col-xxx": pa.array([1], pa.int64())}),
+                   os.path.join(root, "fa.parquet"))
+    pq.write_table(pa.table({"col-xxx": pa.array([2], pa.int64())}),
+                   os.path.join(root, "fb.parquet"))
+    meta = _meta(partition_cols=["grp"], schema_str=_mapped_schema_str(
+        [("id", "col-xxx", "long"), ("grp", "col-ggg", "string")]
+    ))
+    meta["metaData"]["configuration"] = {"delta.columnMapping.mode": "name"}
+    _write_commit(log, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        meta,
+        {"add": {"path": "fa.parquet", "partitionValues": {"col-ggg": "a"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "fb.parquet", "partitionValues": {"col-ggg": "b"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ])
+    out = DeltaTableReader(spark, root).read()
+    assert sorted((x["id"], x["grp"]) for x in out.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_delta_column_mapping_missing_physical_refuses(spark, tmp_path):
+    root = _make_table(tmp_path, "cmbad")
+    log = os.path.join(root, "_delta_log")
+    a0 = _add_file(root, "f0.parquet", [1], [0.1])
+    meta = _meta()  # plain schema WITHOUT physicalName metadata
+    meta["metaData"]["configuration"] = {"delta.columnMapping.mode": "name"}
+    _write_commit(log, 0, [{"protocol": {"minReaderVersion": 2}}, meta, a0])
+    with pytest.raises(DeltaLogError, match="physicalName"):
+        DeltaTableReader(spark, root).read()
 
 
 def test_delta_gap_in_log_refused(spark, tmp_path):
