@@ -75,6 +75,53 @@ def _localize(uri: str, root: str) -> str:
     return path
 
 
+import struct as _struct
+
+_OPS = {
+    "=": lambda c, v: c == v, "==": lambda c, v: c == v,
+    "<": lambda c, v: c < v, "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v, ">=": lambda c, v: c >= v,
+}
+
+
+def _decode_bound(raw: bytes, ice_type: str):
+    """Iceberg single-value binary serialization (spec "Binary single-value
+    serialization"): little-endian fixed-width numerics, UTF-8 strings.
+    Returns None (conservative: no pruning) for types not decoded here."""
+    try:
+        if ice_type == "int" or ice_type == "date":
+            return _struct.unpack("<i", raw)[0]
+        if ice_type == "long" or ice_type in ("timestamp", "timestamptz"):
+            return _struct.unpack("<q", raw)[0]
+        if ice_type == "float":
+            return _struct.unpack("<f", raw)[0]
+        if ice_type == "double":
+            return _struct.unpack("<d", raw)[0]
+        if ice_type == "string":
+            return raw.decode("utf-8")
+        if ice_type == "boolean":
+            return bool(raw[0])
+    except (Exception):
+        return None
+    return None
+
+
+def _bounds_map(df_entry: dict, key: str) -> dict[int, bytes]:
+    """lower_bounds/upper_bounds as {field_id -> bytes}. Iceberg models them
+    as a logical map<int, binary>; Avro writers encode that either as a real
+    map (string keys) or as an array of {key, value} records — accept both."""
+    raw = df_entry.get(key)
+    if not raw:
+        return {}
+    if isinstance(raw, dict):
+        return {int(k): v for k, v in raw.items() if v is not None}
+    out = {}
+    for kv in raw:
+        if isinstance(kv, dict) and kv.get("key") is not None and kv.get("value") is not None:
+            out[int(kv["key"])] = kv["value"]
+    return out
+
+
 class IcebergTableReader:
     """Batch reader for an Iceberg table rooted at ``path`` (driver-visible
     metadata; data files on any Spark-readable filesystem)."""
@@ -125,10 +172,12 @@ class IcebergTableReader:
     # -- planning ----------------------------------------------------------------
     def _plan(
         self, snapshot_id: int | None = None
-    ) -> tuple[list[tuple[str, str, int]], list[str], list[tuple[str, int, tuple[int, ...]]]]:
+    ) -> tuple[list[tuple], list[str], list[tuple[str, int, tuple[int, ...]]]]:
         """Walk the snapshot's manifest tree. Returns
         ``(data, positional_deletes, equality_deletes)`` where ``data`` is
-        ``[(recorded_uri, localized_path, data_sequence_number), ...]``,
+        ``[(recorded_uri, localized_path, data_sequence_number,
+        raw data_file entry), ...]`` (the raw entry carries the
+        lower/upper bound maps used for where-pruning),
         positional deletes are localized parquet paths, and equality deletes
         are ``[(localized_path, delete_sequence_number, equality_field_ids)]``.
         Sequence numbers resolve per the v2 inheritance chain: manifest
@@ -138,7 +187,7 @@ class IcebergTableReader:
         snap_seq = int(snap.get("sequence-number") or 0)
         mlist_path = _localize(snap["manifest-list"], self.path)
         _, manifests = read_container(open(mlist_path, "rb").read())
-        data: list[tuple[str, str, int]] = []
+        data: list[tuple] = []
         pos_deletes: list[str] = []
         eq_deletes: list[tuple[str, int, tuple[int, ...]]] = []
         for m in manifests:
@@ -162,7 +211,7 @@ class IcebergTableReader:
                     if fcontent != _CONTENT_DATA:
                         raise IcebergLogError("delete file in a data manifest; refusing")
                     data.append(
-                        (str(df["file_path"]), _localize(df["file_path"], self.path), e_seq)
+                        (str(df["file_path"]), _localize(df["file_path"], self.path), e_seq, df)
                     )
                 elif fcontent == _CONTENT_POSITION_DELETES:
                     pos_deletes.append(_localize(df["file_path"], self.path))
@@ -177,10 +226,57 @@ class IcebergTableReader:
                     raise IcebergLogError("data file in a delete manifest; refusing")
         return sorted(data, key=lambda t: t[1]), sorted(pos_deletes), sorted(eq_deletes)
 
-    def files(self, snapshot_id: int | None = None) -> list[str]:
+    def _where_keep(self, data_entries: list[tuple], where: tuple) -> list[tuple]:
+        """Stats-based file skipping: drop entries whose manifest
+        lower/upper bounds PROVE no row matches ``(col, op, value)``.
+        Missing bounds, unknown columns, undecodable types and cross-type
+        comparisons all keep the file — pruning is an optimization, never a
+        filter (the residual predicate is applied at read())."""
+        col, op, value = where
+        if op not in _OPS:
+            raise ValueError(f"unsupported operator {op!r}")
+        schemas = self.meta.get("schemas") or [self.meta.get("schema") or {}]
+        cur_id = self.meta.get("current-schema-id", 0)
+        schema = next((s for s in schemas if s.get("schema-id", 0) == cur_id), schemas[0])
+        field = next((f for f in schema.get("fields", []) if f.get("name") == col), None)
+        if field is None or not isinstance(field.get("type"), str) or "id" not in field:
+            return data_entries
+        fid, ice_type = int(field["id"]), field["type"]
+        kept = []
+        for entry in data_entries:
+            dfe = entry[3]
+            lo_raw = _bounds_map(dfe, "lower_bounds").get(fid)
+            hi_raw = _bounds_map(dfe, "upper_bounds").get(fid)
+            lo = _decode_bound(lo_raw, ice_type) if lo_raw is not None else None
+            hi = _decode_bound(hi_raw, ice_type) if hi_raw is not None else None
+            if lo is None or hi is None:
+                kept.append(entry)
+                continue
+            try:
+                if op in ("=", "=="):
+                    reject = value < lo or value > hi
+                elif op == "<":
+                    reject = not (lo < value)
+                elif op == "<=":
+                    reject = not (lo <= value)
+                elif op == ">":
+                    reject = not (hi > value)
+                else:  # >=
+                    reject = not (hi >= value)
+            except TypeError:
+                reject = False  # cross-type comparison: conservative keep
+            if not reject:
+                kept.append(entry)
+        return kept
+
+    def files(self, snapshot_id: int | None = None, where: tuple | None = None) -> list[str]:
         """Live data-file paths at the snapshot (row-level deletes, if any,
-        are applied at read() time, not here)."""
-        return [loc for _, loc, _ in self._plan(snapshot_id)[0]]
+        are applied at read() time, not here). ``where=(col, op, value)``
+        prunes files via the manifest's per-file lower/upper bounds."""
+        entries = self._plan(snapshot_id)[0]
+        if where is not None:
+            entries = self._where_keep(entries, where)
+        return [loc for _, loc, _, _ in entries]
 
     def delete_files(self, snapshot_id: int | None = None) -> list[str]:
         """Positional-delete parquet paths live at the snapshot."""
@@ -213,7 +309,7 @@ class IcebergTableReader:
     def _apply_position_deletes(
         self,
         tagged: DataFrame,
-        data_entries: list[tuple[str, str, int]],
+        data_entries: list[tuple],
         delete_paths: list[str],
     ) -> DataFrame:
         """Merge-on-read: anti-join the tagged scan against the positional
@@ -224,7 +320,7 @@ class IcebergTableReader:
         from pyspark.sql import functions as F
 
         mapping = self.spark.createDataFrame(
-            [(rec, loc) for rec, loc, _ in data_entries], "__rec__ string, __loc__ string"
+            [(rec, loc) for rec, loc, *_ in data_entries], "__rec__ string, __loc__ string"
         )
         dels = (
             self.spark.read.parquet(*delete_paths)
@@ -257,7 +353,7 @@ class IcebergTableReader:
     def _apply_equality_deletes(
         self,
         tagged: DataFrame,
-        data_entries: list[tuple[str, str, int]],
+        data_entries: list[tuple],
         eq_deletes: list[tuple[str, int, tuple[int, ...]]],
     ) -> DataFrame:
         """Equality-delete merge-on-read (spec: a delete row removes every
@@ -271,7 +367,7 @@ class IcebergTableReader:
         from pyspark.sql import functions as F
 
         seq_map = self.spark.createDataFrame(
-            [(loc, seq) for _, loc, seq in data_entries], "__seqf__ string, __seq__ long"
+            [(loc, seq) for _, loc, seq, *_ in data_entries], "__seqf__ string, __seq__ long"
         )
         tagged = tagged.join(
             F.broadcast(seq_map),
@@ -305,10 +401,10 @@ class IcebergTableReader:
         positional deletes are applied to the new files."""
         base = set(self.files(snapshot_id))
         data_entries, pos_deletes, eq_deletes = self._plan(to_snapshot_id)
-        new = [(rec, loc, seq) for rec, loc, seq in data_entries if loc not in base]
+        new = [e for e in data_entries if e[1] not in base]
         if not new:
             return self.read(to_snapshot_id).limit(0)
-        df = self.spark.read.option("mergeSchema", "true").parquet(*[loc for _, loc, _ in new])
+        df = self.spark.read.option("mergeSchema", "true").parquet(*[e[1] for e in new])
         if pos_deletes or eq_deletes:
             df = self._tag_metadata(df)
             if pos_deletes:
@@ -318,18 +414,26 @@ class IcebergTableReader:
             df = df.drop("__ice_fp__", "__ice_pos__")
         return df
 
-    def read(self, snapshot_id: int | None = None) -> DataFrame:
+    def read(self, snapshot_id: int | None = None, where: tuple | None = None) -> DataFrame:
         """Distributed scan of the snapshot's live data files, with Iceberg
         v2 row-level deletes applied merge-on-read: positional delete files
         as a (file, pos) anti-join, equality delete files as a
-        sequence-gated key anti-join. Iceberg data files are self-contained
-        (partition columns present), so the scan is a plain parquet read;
-        schema evolution across files is served by mergeSchema."""
+        sequence-gated key anti-join. ``where=(col, op, value)`` prunes
+        files via manifest bounds AND applies the predicate (pruning is an
+        optimization, never a semantic change). Iceberg data files are
+        self-contained (partition columns present), so the scan is a plain
+        parquet read; schema evolution across files is served by
+        mergeSchema."""
+        from pyspark.sql import functions as F
+
         data_entries, pos_deletes, eq_deletes = self._plan(snapshot_id)
+        if where is not None:
+            data_entries = self._where_keep(data_entries, where)
         if not data_entries:
-            return self.spark.createDataFrame([], self._spark_schema())
+            df = self.spark.createDataFrame([], self._spark_schema())
+            return df if where is None else df.filter(_OPS[where[1]](F.col(where[0]), F.lit(where[2])))
         df = self.spark.read.option("mergeSchema", "true").parquet(
-            *[loc for _, loc, _ in data_entries]
+            *[loc for _, loc, _, _ in data_entries]
         )
         if pos_deletes or eq_deletes:
             df = self._tag_metadata(df)
@@ -338,6 +442,8 @@ class IcebergTableReader:
             if eq_deletes:
                 df = self._apply_equality_deletes(df, data_entries, eq_deletes)
             df = df.drop("__ice_fp__", "__ice_pos__")
+        if where is not None:
+            df = df.filter(_OPS[where[1]](F.col(where[0]), F.lit(where[2])))
         return df
 
     def _spark_schema(self):
@@ -376,11 +482,35 @@ _MANIFEST_AVRO_SCHEMA = {
                     {"name": "file_path", "type": "string"},
                     {"name": "file_format", "type": "string"},
                     {"name": "record_count", "type": "long"},
+                    {"name": "lower_bounds",
+                     "type": ["null", {"type": "map", "values": "bytes"}]},
+                    {"name": "upper_bounds",
+                     "type": ["null", {"type": "map", "values": "bytes"}]},
                 ],
             },
         },
     ],
 }
+
+
+def _encode_bound(value, ice_type: str) -> bytes | None:
+    """Inverse of :func:`_decode_bound` for the exporter; None = no bound."""
+    try:
+        if ice_type in ("int", "date"):
+            return _struct.pack("<i", int(value))
+        if ice_type in ("long", "timestamp", "timestamptz"):
+            return _struct.pack("<q", int(value))
+        if ice_type == "float":
+            return _struct.pack("<f", float(value))
+        if ice_type == "double":
+            return _struct.pack("<d", float(value))
+        if ice_type == "string":
+            return str(value).encode("utf-8")
+        if ice_type == "boolean":
+            return bytes([1 if value else 0])
+    except Exception:
+        return None
+    return None
 
 _MLIST_AVRO_SCHEMA = {
     "type": "record",
@@ -437,10 +567,25 @@ def export_iceberg_metadata(table, out_path: str) -> str:
             os.link(e.path, dst)
         except OSError:
             shutil.copy2(e.path, dst)
+        # carry the manifest's plain min/max into Iceberg bounds so the
+        # exported table keeps stats-based file skipping (files(where=...))
+        lo: dict[str, bytes] = {}
+        hi: dict[str, bytes] = {}
+        for f in fields:
+            s = e.stats.get(f["name"])
+            if not isinstance(s, dict) or isinstance(s.get("min"), dict):
+                continue
+            b_lo = _encode_bound(s.get("min"), f["type"]) if s.get("min") is not None else None
+            b_hi = _encode_bound(s.get("max"), f["type"]) if s.get("max") is not None else None
+            if b_lo is not None and b_hi is not None:
+                lo[str(f["id"])] = b_lo
+                hi[str(f["id"])] = b_hi
         entries.append(
             {"status": 1, "data_file": {"content": 0, "file_path": dst,
                                         "file_format": "PARQUET",
-                                        "record_count": int(e.rows)}}
+                                        "record_count": int(e.rows),
+                                        "lower_bounds": lo or None,
+                                        "upper_bounds": hi or None}}
         )
     mpath = os.path.join(out_path, "metadata", "m1.avro")
     with open(mpath, "wb") as f:

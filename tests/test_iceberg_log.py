@@ -279,6 +279,65 @@ def test_iceberg_equality_deletes_sequence_gated(spark, tmp_path):
         IcebergTableReader(spark, root2).read().collect()
 
 
+def test_iceberg_bounds_pruning_kv_encoding(spark, tmp_path):
+    """where-pruning decodes manifest lower/upper bounds in the
+    array-of-{key,value} Avro encoding (what real writers emit for the
+    logical map<int,binary>); missing bounds keep the file conservatively;
+    the residual predicate keeps results exact either way."""
+    import struct
+
+    root = _mk_table(tmp_path, "bounds")
+    f1 = _data_file(root, "f1.parquet", [1, 2, 3], ["en", "de", "fr"])
+    f2 = _data_file(root, "f2.parquet", [10, 11], ["en", "en"])
+    f3 = _data_file(root, "f3.parquet", [20, 21], ["es", "es"])  # no bounds
+    schema = {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2b",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "lower_bounds", "type": ["null", {
+                        "type": "array", "items": {
+                            "type": "record", "name": "kv1",
+                            "fields": [{"name": "key", "type": "int"},
+                                       {"name": "value", "type": "bytes"}]}}]},
+                    {"name": "upper_bounds", "type": ["null", {
+                        "type": "array", "items": {
+                            "type": "record", "name": "kv2",
+                            "fields": [{"name": "key", "type": "int"},
+                                       {"name": "value", "type": "bytes"}]}}]},
+                ],
+            }},
+        ],
+    }
+
+    def entry(fp, lo, hi):
+        bounds = lambda v: [{"key": 1, "value": struct.pack("<q", v)}] if v is not None else None
+        return {"status": 1, "data_file": {
+            "content": 0, "file_path": fp, "file_format": "PARQUET",
+            "record_count": 1, "lower_bounds": bounds(lo), "upper_bounds": bounds(hi)}}
+
+    mpath = os.path.join(root, "metadata", "m1.avro")
+    open(mpath, "wb").write(write_container(schema, [
+        entry(f1, 1, 3), entry(f2, 10, 11), entry(f3, None, None)]))
+    ml = _manifest_list(root, "ml.avro", [mpath])
+    _metadata(root, [{"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": ml}], current=1)
+    r = IcebergTableReader(spark, root)
+    # id >= 10 prunes f1, keeps f2 and (conservatively) boundless f3
+    assert len(r.files(where=("id", ">=", 10))) == 2
+    assert len(r.files(where=("id", "=", 2))) == 2  # f1 + boundless f3
+    assert len(r.files(where=("id", "<", 0))) == 1  # only boundless f3 survives
+    assert sorted(x["id"] for x in r.read(where=("id", ">=", 10)).collect()) == [10, 11, 20, 21]
+    assert sorted(x["id"] for x in r.read(where=("id", "=", 2)).collect()) == [2]
+    # unknown column: conservative (no pruning), result still exact
+    assert len(r.files(where=("nope", "=", 1))) == 3
+
+
 def test_iceberg_equality_delete_null_key_matches_null(spark, tmp_path):
     """Iceberg equality semantics: a null key in the delete file removes
     null-keyed data rows (eqNullSafe, not SQL =)."""
@@ -391,6 +450,12 @@ def test_export_snapshot_table_as_iceberg(spark, tmp_path):
     )
     assert back.read().columns == ["id", "bucket", "v"]
     assert back._spark_schema().simpleString() == "struct<id:bigint,bucket:bigint,v:double>"
+    # exported bounds power stats-based file skipping: the id<30 file is
+    # provably excluded for id>=30 probes, and the pruned read stays exact
+    assert len(back.files(where=("id", ">=", 30))) < len(back.files())
+    assert sorted(r["id"] for r in back.read(where=("id", ">=", 30)).collect()) == sorted(
+        r["id"] for r in t.read(where=("id", ">=", 30)).collect()
+    )
     # unsupported type refuses instead of writing a lying schema
     t2 = SnapshotTable(spark, str(tmp_path / "st2"))
     t2.overwrite(
