@@ -9,8 +9,11 @@ exactly the subset a batch reader needs:
   native).
 * ``add`` / ``remove`` — the file manifest. State at version V = replay of
   all commits <= V: active files are adds minus removes (tombstones).
-* parquet checkpoints + ``_last_checkpoint`` — replay shortcut: base state
-  from the checkpoint file(s), then only the JSON commits after it.
+* checkpoints — replay shortcut: base state from the checkpoint file(s),
+  then only the JSON commits after it. Classic single/multi-part parquet
+  AND v2 UUID-named checkpoints (json or parquet, with add/remove actions
+  optionally spilled to ``_delta_log/_sidecars/`` parquet files) are read;
+  a missing sidecar refuses rather than returning partial state.
 
 Partitioned tables: Delta data files do NOT contain the partition columns;
 their values live in ``add.partitionValues`` as strings. The reader groups
@@ -40,8 +43,14 @@ from pyspark.sql import types as T
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint(\.\d+\.\d+)?\.parquet$")
+# V2 checkpoints (PROTOCOL.md "V2 Checkpoint Table Spec"): UUID-named, json
+# or parquet, optionally spilling add/remove actions to sidecar parquet
+# files under _delta_log/_sidecars/
+_CHECKPOINT_V2_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.[0-9a-fA-F-]{36}\.(parquet|json)$"
+)
 
-_MAX_READER_VERSION = 3  # deletionVectors handled; column mapping is NOT
+_MAX_READER_VERSION = 3  # deletionVectors, columnMapping, v2Checkpoint handled
 
 
 class DeltaLogError(ValueError):
@@ -72,7 +81,7 @@ class DeltaTableReader:
         vs = self.versions()
         # a checkpoint can exist for versions whose JSON was cleaned up
         for name in os.listdir(self.log_dir):
-            m = _CHECKPOINT_RE.match(name)
+            m = _CHECKPOINT_RE.match(name) or _CHECKPOINT_V2_RE.match(name)
             if m:
                 vs.append(int(m.group(1)))
         if not vs:
@@ -81,16 +90,24 @@ class DeltaTableReader:
 
     def _checkpoint_for(self, version: int) -> tuple[int, list[str]] | None:
         """Newest checkpoint at or below ``version`` -> (ckpt_version,
-        parquet paths), or None. Honors multi-part checkpoints."""
-        best: dict[int, list[str]] = {}
+        file paths), or None. Honors classic single/multi-part parquet
+        checkpoints AND v2 UUID-named checkpoints (preferring v2 when a
+        version has both — a v2 file is always a complete checkpoint)."""
+        classic: dict[int, list[str]] = {}
+        v2: dict[int, list[str]] = {}
         for name in os.listdir(self.log_dir):
             m = _CHECKPOINT_RE.match(name)
             if m and int(m.group(1)) <= version:
-                best.setdefault(int(m.group(1)), []).append(os.path.join(self.log_dir, name))
-        if not best:
+                classic.setdefault(int(m.group(1)), []).append(os.path.join(self.log_dir, name))
+            m2 = _CHECKPOINT_V2_RE.match(name)
+            if m2 and int(m2.group(1)) <= version:
+                v2.setdefault(int(m2.group(1)), []).append(os.path.join(self.log_dir, name))
+        if not classic and not v2:
             return None
-        v = max(best)
-        return v, sorted(best[v])
+        v = max(list(classic) + list(v2))
+        if v in v2:
+            return v, sorted(v2[v])[:1]  # one complete v2 file suffices
+        return v, sorted(classic[v])
 
     # -- state replay ---------------------------------------------------------
     def _snapshot(self, version: int | None = None) -> tuple[dict, dict[str, dict]]:
@@ -102,25 +119,11 @@ class DeltaTableReader:
         start = 0
         ckpt = self._checkpoint_for(v)
         if ckpt is not None:
-            import pyarrow.parquet as pq
-
             cv, parts = ckpt
+            state = {"meta": meta, "adds": adds}
             for part in parts:
-                tbl = pq.read_table(part)
-                for col, sink in (("metaData", "meta"), ("protocol", "proto"), ("add", "add"), ("remove", "rm")):
-                    if col not in tbl.column_names:
-                        continue
-                    for row in tbl.column(col).to_pylist():
-                        if row is None:
-                            continue
-                        if col == "metaData":
-                            meta = row
-                        elif col == "protocol":
-                            self._check_protocol(row)
-                        elif col == "add":
-                            adds[row["path"]] = row
-                        elif col == "remove":
-                            adds.pop(row["path"], None)
+                self._process_checkpoint_file(part, state)
+            meta = state["meta"]
             start = cv + 1
         for cv in range(start, v + 1):
             commit = os.path.join(self.log_dir, f"{cv:020d}.json")
@@ -152,6 +155,53 @@ class DeltaTableReader:
         if not meta:
             raise DeltaLogError("no metaData action found in the Delta log")
         return meta, adds
+
+    def _ckpt_action(self, kind: str, row: dict, state: dict) -> None:
+        if kind == "metaData":
+            state["meta"] = row
+        elif kind == "protocol":
+            self._check_protocol(row)
+        elif kind == "add":
+            state["adds"][row["path"]] = row
+        elif kind == "remove":
+            state["adds"].pop(row["path"], None)
+        elif kind == "sidecar":
+            sp = str(row.get("path") or "")
+            cand = (
+                sp
+                if os.path.isabs(sp) and os.path.exists(sp)
+                else os.path.join(self.log_dir, "_sidecars", os.path.basename(sp))
+            )
+            if not os.path.exists(cand):
+                raise DeltaLogError(f"checkpoint sidecar missing: {sp}")
+            self._process_checkpoint_file(cand, state)
+        # checkpointMetadata and other v2 bookkeeping actions carry no state
+
+    def _process_checkpoint_file(self, path: str, state: dict) -> None:
+        """Apply one checkpoint file (classic/multipart/v2 parquet, v2 json,
+        or a sidecar parquet) to the replay state. A checkpoint is a
+        snapshot, so per-column processing order is safe: its remove rows
+        are expired-tombstone bookkeeping, never paired with a live add."""
+        if path.endswith(".json"):
+            with open(path) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    action = json.loads(line)
+                    for kind in ("metaData", "protocol", "add", "remove", "sidecar"):
+                        if kind in action:
+                            self._ckpt_action(kind, action[kind], state)
+            return
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(path)
+        for kind in ("metaData", "protocol", "add", "remove", "sidecar"):
+            if kind not in tbl.column_names:
+                continue
+            for row in tbl.column(kind).to_pylist():
+                if row is not None:
+                    self._ckpt_action(kind, row, state)
 
     @staticmethod
     def _check_protocol(proto: dict) -> None:

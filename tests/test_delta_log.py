@@ -142,6 +142,72 @@ def test_delta_read_from_checkpoint(spark, tmp_path):
     assert sorted(x["id"] for x in r.read().collect()) == [2, 3]
 
 
+def test_delta_v2_checkpoint_with_sidecars(spark, tmp_path):
+    """UUID-named v2 checkpoint (parquet) whose add actions live in a
+    sidecar parquet under _delta_log/_sidecars/ — read with the JSON
+    commits below the checkpoint cleaned away; a later commit replays on
+    top; a missing sidecar refuses."""
+    root = _make_table(tmp_path, "dtv2")
+    log = os.path.join(root, "_delta_log")
+    a1 = _add_file(root, "f1.parquet", [2], [0.2])
+    # sidecar parquet carrying the live add
+    os.makedirs(os.path.join(log, "_sidecars"))
+    add_t = pa.struct(
+        [("path", pa.string()), ("partitionValues", pa.map_(pa.string(), pa.string())),
+         ("size", pa.int64()), ("modificationTime", pa.int64()), ("dataChange", pa.bool_())]
+    )
+    side = pa.table({"add": pa.array(
+        [{"path": "f1.parquet", "partitionValues": [], "size": 1,
+          "modificationTime": 0, "dataChange": True}], add_t)})
+    pq.write_table(side, os.path.join(log, "_sidecars", "aa-bb.parquet"))
+    # v2 checkpoint: metaData/protocol inline + one sidecar pointer
+    proto_t = pa.struct([("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())])
+    meta_t = pa.struct(
+        [("id", pa.string()), ("schemaString", pa.string()),
+         ("partitionColumns", pa.list_(pa.string()))]
+    )
+    sidecar_t = pa.struct([("path", pa.string()), ("sizeInBytes", pa.int64())])
+    ckpt = pa.table({
+        "protocol": pa.array([{"minReaderVersion": 1, "minWriterVersion": 2}, None], proto_t),
+        "metaData": pa.array(
+            [None, {"id": "abc", "schemaString": _SCHEMA_STR, "partitionColumns": []}], meta_t),
+        "sidecar": pa.array([None, {"path": "aa-bb.parquet", "sizeInBytes": 1}], sidecar_t),
+    })
+    u = "0f0e0d0c-0b0a-0908-0706-050403020100"
+    pq.write_table(ckpt, os.path.join(log, f"{1:020d}.checkpoint.{u}.parquet"))
+    # commits 0..1 cleaned; commit 2 adds f2
+    a2 = _add_file(root, "f2.parquet", [3], [0.3])
+    _write_commit(log, 2, [a2])
+    r = DeltaTableReader(spark, root)
+    assert r.latest_version() == 2
+    assert sorted(x["id"] for x in r.read().collect()) == [2, 3]
+    assert sorted(x["id"] for x in r.read(version=1).collect()) == [2]
+    # missing sidecar refuses rather than returning partial state
+    os.unlink(os.path.join(log, "_sidecars", "aa-bb.parquet"))
+    with pytest.raises(DeltaLogError, match="sidecar missing"):
+        DeltaTableReader(spark, root).read()
+
+
+def test_delta_v2_checkpoint_json(spark, tmp_path):
+    """A v2 checkpoint in JSON form (actions one per line) replays the same
+    state as its parquet twin."""
+    root = _make_table(tmp_path, "dtv2j")
+    log = os.path.join(root, "_delta_log")
+    a1 = _add_file(root, "f1.parquet", [7], [0.7])
+    u = "00112233-4455-6677-8899-aabbccddeeff"
+    with open(os.path.join(log, f"{0:020d}.checkpoint.{u}.json"), "w") as f:
+        for action in [
+            {"checkpointMetadata": {"version": 0}},
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _meta(),
+            a1,
+        ]:
+            f.write(json.dumps(action) + "\n")
+    r = DeltaTableReader(spark, root)  # no JSON commits at all
+    assert r.latest_version() == 0
+    assert [x["id"] for x in r.read().collect()] == [7]
+
+
 def test_delta_protocol_gate(spark, tmp_path):
     root = _make_table(tmp_path, "dtg")
     log = os.path.join(root, "_delta_log")
