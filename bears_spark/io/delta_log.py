@@ -88,6 +88,33 @@ class DeltaTableReader:
             raise DeltaLogError(f"empty Delta log at {self.log_dir}")
         return max(vs)
 
+    def version_as_of(self, timestamp_ms: int) -> int:
+        """Time travel by timestamp: the newest version whose commit time is
+        <= ``timestamp_ms``. Commit time is ``commitInfo.timestamp`` when
+        the commit recorded one (Delta's convention), else the commit file's
+        filesystem mtime. Raises when no commit is that old; versions whose
+        JSON was checkpoint-cleaned are not addressable by timestamp."""
+        best = None
+        for v in self.versions():
+            commit = os.path.join(self.log_dir, f"{v:020d}.json")
+            ts = None
+            with open(commit) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    action = json.loads(line)
+                    if "commitInfo" in action and action["commitInfo"].get("timestamp") is not None:
+                        ts = int(action["commitInfo"]["timestamp"])
+                        break
+            if ts is None:
+                ts = int(os.path.getmtime(commit) * 1000)
+            if ts <= int(timestamp_ms) and (best is None or ts >= best[0]):
+                best = (ts, v)
+        if best is None:
+            raise DeltaLogError(f"no commit at or before timestamp {timestamp_ms}")
+        return best[1]
+
     def _checkpoint_for(self, version: int) -> tuple[int, list[str]] | None:
         """Newest checkpoint at or below ``version`` -> (ckpt_version,
         file paths), or None. Honors classic single/multi-part parquet

@@ -169,6 +169,21 @@ class IcebergTableReader:
                 return s
         raise IcebergLogError(f"snapshot {sid} not in the metadata snapshot log")
 
+    def snapshot_as_of(self, timestamp_ms: int) -> int:
+        """Time travel by timestamp: the newest snapshot whose commit time
+        (``timestamp-ms`` in the snapshot log) is <= ``timestamp_ms``.
+        Raises when the table has no snapshot that old."""
+        best = None
+        for s in self.snapshots():
+            ts = int(s.get("timestamp-ms") or 0)
+            if ts <= int(timestamp_ms) and (best is None or ts > best[0]):
+                best = (ts, int(s["snapshot-id"]))
+        if best is None:
+            raise IcebergLogError(
+                f"no snapshot at or before timestamp {timestamp_ms}"
+            )
+        return best[1]
+
     # -- planning ----------------------------------------------------------------
     def _plan(
         self, snapshot_id: int | None = None

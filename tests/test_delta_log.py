@@ -142,6 +142,24 @@ def test_delta_read_from_checkpoint(spark, tmp_path):
     assert sorted(x["id"] for x in r.read().collect()) == [2, 3]
 
 
+def test_delta_time_travel_by_timestamp(spark, tmp_path):
+    """version_as_of picks the newest commit whose commitInfo.timestamp is
+    <= the probe; ties go to the higher version; too-early probes raise."""
+    root = _make_table(tmp_path, "dts")
+    log = os.path.join(root, "_delta_log")
+    a0 = _add_file(root, "f0.parquet", [1], [0.1])
+    a1 = _add_file(root, "f1.parquet", [2], [0.2])
+    _write_commit(log, 0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                           {"commitInfo": {"timestamp": 1000}}, a0])
+    _write_commit(log, 1, [{"commitInfo": {"timestamp": 2000}}, a1])
+    r = DeltaTableReader(spark, root)
+    assert r.version_as_of(1500) == 0
+    assert r.version_as_of(2000) == 1
+    assert sorted(x["id"] for x in r.read(version=r.version_as_of(1500)).collect()) == [1]
+    with pytest.raises(DeltaLogError, match="no commit"):
+        r.version_as_of(999)
+
+
 def test_delta_v2_checkpoint_with_sidecars(spark, tmp_path):
     """UUID-named v2 checkpoint (parquet) whose add actions live in a
     sidecar parquet under _delta_log/_sidecars/ — read with the JSON

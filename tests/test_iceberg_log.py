@@ -499,6 +499,26 @@ def test_avro_generic_deflate_and_nested_roundtrip():
     assert back2 == recs
 
 
+def test_iceberg_snapshot_as_of_timestamp(spark, tmp_path):
+    root = _mk_table(tmp_path, "asof")
+    f1 = _data_file(root, "f1.parquet", [1], ["en"])
+    f2 = _data_file(root, "f2.parquet", [2], ["de"])
+    m1 = _manifest(root, "m1.avro", [(1, 0, f1)])
+    ml1 = _manifest_list(root, "ml1.avro", [m1])
+    m2 = _manifest(root, "m2.avro", [(0, 0, f1), (1, 0, f2)])
+    ml2 = _manifest_list(root, "ml2.avro", [m2])
+    _metadata(root, [
+        {"snapshot-id": 10, "timestamp-ms": 1000, "manifest-list": ml1},
+        {"snapshot-id": 20, "timestamp-ms": 2000, "manifest-list": ml2},
+    ], current=20)
+    r = IcebergTableReader(spark, root)
+    assert r.snapshot_as_of(1500) == 10
+    assert r.snapshot_as_of(2000) == 20
+    assert sorted(x["id"] for x in r.read(r.snapshot_as_of(1500)).collect()) == [1]
+    with pytest.raises(IcebergLogError, match="no snapshot"):
+        r.snapshot_as_of(500)
+
+
 def test_iceberg_changes_since(spark, tmp_path):
     root = _mk_table(tmp_path, "inc")
     f1 = _data_file(root, "f1.parquet", [1, 2], ["en", "de"])
