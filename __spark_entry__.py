@@ -285,6 +285,7 @@ ROUND7_NEVER_GRADED = [
 _ROUND7_ADDED: list[str] = [
     "orders_iceberg_v2_deletes",
     "orders_delta_dv_roundtrip",
+    "ev_rolling_time_stats",
 ]
 ROUND8_NEVER_GRADED = ROUND7_NEVER_GRADED[42:] + _ROUND7_ADDED
 

@@ -961,6 +961,67 @@ class SparkFrame:
                 df = df.withColumn(f"{c}_rolling_{fn}", expr)
         return SparkFrame(df)
 
+    _DURATION_UNITS = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
+
+    @classmethod
+    def _parse_duration(cls, duration: str | int | float) -> int:
+        """'90s' / '15m' / '2h' / '7d' / '1w' (or a plain number of seconds)
+        -> whole seconds."""
+        if isinstance(duration, (int, float)):
+            n = int(duration)
+        else:
+            text = str(duration).strip().lower()
+            unit = text[-1]
+            if unit not in cls._DURATION_UNITS:
+                raise ValueError(
+                    f"unsupported duration {duration!r} (use <n>[s|m|h|d|w])"
+                )
+            n = int(float(text[:-1]) * cls._DURATION_UNITS[unit])
+        if n <= 0:
+            raise ValueError(f"duration must be positive, got {duration!r}")
+        return n
+
+    def rolling_time_agg(
+        self,
+        ts_col: str,
+        duration: str | int,
+        aggs: Mapping[str, str | list[str]],
+        partition_by: Sequence[str],
+        min_periods: int = 1,
+    ) -> "SparkFrame":
+        """Trailing EVENT-TIME window aggregates: for each row, fn over the
+        rows whose ``ts_col`` lies in the closed interval
+        ``[t - duration, t]`` (inclusive both ends — unlike pandas
+        ``rolling('7d')``, whose window is left-open). ``duration`` is
+        ``'<n>[s|m|h|d|w]'`` or seconds. Compiles to a rangeBetween window
+        on the epoch seconds — partition state is bounded by the densest
+        duration-window per key, so ``partition_by`` is REQUIRED: a
+        partition-less trailing-duration window has unbounded carry (any
+        number of rows may share one window) and cannot use the prefix
+        machinery's bounded offset tables."""
+        if not partition_by:
+            raise ValueError(
+                "rolling_time_agg requires partition_by: an unpartitioned "
+                "trailing-duration window has unbounded cross-partition "
+                "carry; partition (e.g. by entity) or use resample()"
+            )
+        seconds = self._parse_duration(duration)
+        w = (
+            Window.partitionBy(*partition_by)
+            .orderBy(F.col(ts_col).cast("timestamp").cast("long"))
+            .rangeBetween(-seconds, 0)
+        )
+        df = self.df
+        for c, fns in aggs.items():
+            for fn in [fns] if isinstance(fns, str) else fns:
+                if fn not in self._ROLL_FNS:
+                    raise ValueError(f"unsupported rolling agg {fn!r}")
+                expr = self._ROLL_FNS[fn](F.col(c)).over(w)
+                if min_periods > 1:
+                    expr = F.when(F.count(F.col(c)).over(w) >= min_periods, expr)
+                df = df.withColumn(f"{c}_rolling_{fn}", expr)
+        return SparkFrame(df)
+
     def shift(
         self,
         order_col: str,

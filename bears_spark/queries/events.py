@@ -680,6 +680,42 @@ ORACLES["ev_rolling_stats"] = EV_ROLLING_SQL
 
 
 # --------------------------------------------------------------------------
+# ev_rolling_time_stats: trailing EVENT-TIME window (frame.rolling_time_agg)
+# — per user, mean/count of value over the closed [t - 1h, t] interval.
+# Compiles to a rangeBetween window on epoch seconds (per-key bounded
+# state); the oracle reproduces the identical closed interval with DuckDB's
+# RANGE frame over epoch(ts).
+def ev_rolling_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.frame import SparkFrame
+
+    ev = load_table(spark, sf_dir, "events")
+    sf = SparkFrame(ev.select("event_id", "user_id", "ts", "value"))
+    rolled = sf.rolling_time_agg(
+        "ts", "1h", aggs={"value": ["mean", "count"]}, partition_by=["user_id"]
+    ).df
+    return rolled.select(
+        "event_id",
+        "user_id",
+        F.round("value_rolling_mean", 6).alias("tw_mean"),
+        F.col("value_rolling_count").alias("tw_n"),
+    ).orderBy("event_id")
+
+
+EV_ROLLING_TIME_SQL = """
+SELECT event_id, user_id,
+       round(avg(value) OVER w, 6) AS tw_mean,
+       count(value) OVER w AS tw_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+QUERIES["ev_rolling_time_stats"] = ev_rolling_time_stats
+ORACLES["ev_rolling_time_stats"] = EV_ROLLING_TIME_SQL
+
+
+# --------------------------------------------------------------------------
 # ev_asof_purchase: as-of join — each event gets its user's most recent
 # purchase value (exact-ts matches allowed, pre-first-purchase rows null).
 # Implemented join-free (union + one window carry); the oracle uses DuckDB's

@@ -404,3 +404,51 @@ def test_scoped_persist_registry_drains(spark):
     assert release_scoped_caches() >= 1
     assert not df.storageLevel.useMemory  # actually unpersisted
     assert release_scoped_caches() == 0  # registry drained
+
+
+def test_rolling_time_agg_closed_interval_semantics(spark):
+    """Trailing event-time window: closed [t - d, t] (both boundary rows
+    included), per-partition, with the min_periods gate; duration parsing
+    accepts unit suffixes; partition-less use is refused (unbounded carry)."""
+    import datetime
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from bears_spark.frame import SparkFrame
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user a: ts offsets 0s, 30s, 60s, 200s
+        ("a", base, 1.0),
+        ("a", base + datetime.timedelta(seconds=30), 2.0),
+        ("a", base + datetime.timedelta(seconds=60), 4.0),
+        ("a", base + datetime.timedelta(seconds=200), 8.0),
+        # user b: single event
+        ("b", base + datetime.timedelta(seconds=10), 100.0),
+    ]
+    sf = SparkFrame.of(pd.DataFrame(rows, columns=["u", "ts", "v"]), spark)
+    out = (
+        sf.rolling_time_agg("ts", "1m", {"v": ["sum", "count"]}, partition_by=["u"])
+        .sort_values(["u", "ts"])
+        .to_pandas()
+    )
+    # 60s window is CLOSED on both ends: at t=60s the t=0s row is included
+    assert list(out["v_rolling_sum"]) == [1.0, 3.0, 7.0, 8.0, 100.0]
+    assert list(out["v_rolling_count"]) == [1, 2, 3, 1, 1]
+    # min_periods nulls windows that hold fewer non-null rows
+    gated = (
+        sf.rolling_time_agg("ts", "1m", {"v": "mean"}, partition_by=["u"], min_periods=2)
+        .sort_values(["u", "ts"])
+        .to_pandas()
+    )
+    assert pd.isna(gated["v_rolling_mean"].iloc[0]) and pd.isna(gated["v_rolling_mean"].iloc[3])
+    assert gated["v_rolling_mean"].iloc[1] == _pytest.approx(1.5)
+    # duration parsing
+    assert SparkFrame._parse_duration("90s") == 90
+    assert SparkFrame._parse_duration("2h") == 7200
+    assert SparkFrame._parse_duration("1w") == 604800
+    with _pytest.raises(ValueError, match="duration"):
+        SparkFrame._parse_duration("5x")
+    with _pytest.raises(ValueError, match="partition_by"):
+        sf.rolling_time_agg("ts", "1m", {"v": "sum"}, partition_by=[])
