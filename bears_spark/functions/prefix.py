@@ -506,8 +506,20 @@ def global_rolling(
             rows = sorted(by_pid.get(pid, []), key=lambda r: r["__seq__"])
             if rows:
                 tail = pd.DataFrame([[r[c] for c in value_cols] for r in rows], columns=value_cols)
-                acc = (
-                    pd.concat([acc, tail], ignore_index=True) if len(acc) else tail
+                # numpy-level append: a pandas concat warns when a carry
+                # frame is all-NA; the main pass rolls in float64 anyway
+                acc = pd.DataFrame(
+                    {
+                        c: np.concatenate(
+                            [
+                                acc[c].to_numpy(dtype="float64", na_value=np.nan)
+                                if len(acc)
+                                else np.array([], dtype="float64"),
+                                tail[c].to_numpy(dtype="float64", na_value=np.nan),
+                            ]
+                        )
+                        for c in value_cols
+                    }
                 ).iloc[-k:].reset_index(drop=True)
 
     def _out_field(c: str, fn: str) -> T.StructField:
@@ -533,17 +545,30 @@ def global_rolling(
         f.name for f in out_schema.fields[len(df.schema.fields):] if isinstance(f.dataType, T.LongType)
     }
 
+    def _as_f64(frame: pd.DataFrame) -> pd.DataFrame:
+        # nulls -> NaN, any dtype -> float64, at the numpy level (a pandas
+        # concat of an all-NA carry frame trips a dtype FutureWarning)
+        return pd.DataFrame(
+            {c: frame[c].to_numpy(dtype="float64", na_value=np.nan) for c in value_cols}
+        )
+
     def _roll(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
-        buf = carries.get(TaskContext.get().partitionId(), pd.DataFrame(columns=value_cols)) if k else pd.DataFrame(columns=value_cols)
-        buf = buf.astype("float64") if len(buf) else buf
+        carry = carries.get(TaskContext.get().partitionId()) if k else None
+        buf = _as_f64(carry) if carry is not None and len(carry) else pd.DataFrame(columns=value_cols)
         for pdf in batches:
             m = len(buf)
+            batch64 = _as_f64(pdf)
             work = (
-                pd.concat([buf[value_cols], pdf[value_cols].astype("float64")], ignore_index=True)
+                pd.DataFrame(
+                    {
+                        c: np.concatenate([buf[c].to_numpy(), batch64[c].to_numpy()])
+                        for c in value_cols
+                    }
+                )
                 if m
-                else pdf[value_cols].astype("float64")
+                else batch64
             )
             out = pdf.copy()
             for c, fns in aggs.items():
