@@ -713,3 +713,60 @@ def test_global_rolling_matches_pandas(spark, case):
     from bears_spark.functions.prefix import release_scan_caches
 
     release_scan_caches()
+
+
+@st.composite
+def _time_rolling_case(draw):
+    n = draw(st.integers(min_value=1, max_value=25))
+    # second offsets with duplicates allowed (same-timestamp rows share a window)
+    offs = draw(st.lists(st.integers(min_value=0, max_value=300), min_size=n, max_size=n))
+    vals = draw(
+        st.lists(
+            st.one_of(st.none(), st.floats(min_value=-20, max_value=20, allow_nan=False)),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    if all(v is None for v in vals):
+        vals[0] = 1.0
+    groups = draw(st.lists(st.integers(min_value=0, max_value=2), min_size=n, max_size=n))
+    dur = draw(st.integers(min_value=1, max_value=120))
+    return offs, vals, groups, dur
+
+
+@given(_time_rolling_case())
+@_settings
+def test_rolling_time_agg_matches_bruteforce(spark, case):
+    """rolling_time_agg equals a brute-force closed-interval [t-d, t]
+    reference over random timestamps (with duplicates), groups and nulls."""
+    import datetime
+
+    offs, vals, groups, dur = case
+    base = datetime.datetime(2024, 3, 1)
+    pdf = pd.DataFrame(
+        {
+            "i": range(len(offs)),
+            "g": groups,
+            "ts": [base + datetime.timedelta(seconds=o) for o in offs],
+            "v": vals,
+        }
+    )
+    sf = SparkFrame.of(pdf, spark)
+    out = (
+        sf.rolling_time_agg("ts", dur, {"v": ["sum", "count"]}, partition_by=["g"])
+        .sort_values("i")
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    for idx, row in pdf.iterrows():
+        in_win = pdf[
+            (pdf["g"] == row["g"])
+            & (pdf["ts"] >= row["ts"] - datetime.timedelta(seconds=dur))
+            & (pdf["ts"] <= row["ts"])
+        ]["v"].dropna()
+        got = out.loc[out["i"] == row["i"]].iloc[0]
+        assert int(got["v_rolling_count"]) == len(in_win), (idx, dur)
+        if len(in_win):
+            assert float(got["v_rolling_sum"]) == pytest.approx(in_win.sum()), (idx, dur)
+        else:
+            assert pd.isna(got["v_rolling_sum"])
