@@ -85,68 +85,73 @@ _TPCH_ORACLES = {
 
 # --------------------------------------------------------------------------
 # The driver grades the FIRST 50 queries() entries in iteration order, so
-# order is a coverage budget. Round-6 rotation (VERDICT r5 "Next round" #1):
-#   * 8 regression anchors (TPC-H agg/join/filter, sessionization, the
-#     streaming pair, one dedup, one ANN),
-#   * the FIRST 42 of the 67-query ROUND6_NEVER_GRADED ledger, in ledger
-#     order (all 67 passed the judge's full local oracle replica in r5);
-#     the remaining 25 + this round's new queries roll into round 7.
+# order is a coverage budget. Round-8 rotation (VERDICT r7 "Next round" #1):
+#   * 8 regression anchors — q6_revenue_change (a plain filter-agg already
+#     covered by q1) is swapped for orders_delta_dv_roundtrip so the
+#     round-7 flagship (merge-on-read) regression-tests every round,
+#   * the FIRST 42 of the 75-query ROUND8_NEVER_GRADED ledger, in ledger
+#     order (all overflow rows passed the judge's full 323-query local
+#     oracle replica in r7); the remaining 33 − the now-anchored DV
+#     roundtrip + this round's new queries roll into round 9.
+# Oracle-less queries (doc_compression_quality) are EXCLUDED from every
+# window: the driver can only record `err: no_oracle` for them, wasting a
+# grading slot (VERDICT r7 "What's wrong" #1). Enforced by the assertion in
+# queries() below and by pytest.
 GRADED_WINDOW = [
     # --- regression anchors (8) ---
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q6_revenue_change",
+    "orders_delta_dv_roundtrip",
     "ev_sessionize",
     "streaming_hourly_counts",
     "streaming_running_totals",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
-    # --- never driver-graded: the FIRST 42 of ROUND7_NEVER_GRADED, in
-    # ledger order (VERDICT r6 "Next round" #1). The remaining ~71 roll to
-    # round 8. doc_compression_quality has no DuckDB oracle (zlib DEFLATE)
-    # and is graded rows-only by design; its values are pinned by pytest.
-    "orders_yoy_growth",
-    "streaming_doc_quality",
-    "lang_source_mutual_info",
-    "doc_compression_quality",
-    "orders_change_feed",
-    "dedup_minhash_eval",
-    "emb_pca2_projection",
-    "dedup_minhash_calibration",
-    "customer_abc_analysis",
-    "part_iqr_outliers",
-    "lineitem_cycle_time",
-    "nation_market_concentration",
-    "orders_survival_curve",
-    "ev_markov_next_event",
-    "customer_gini",
-    "ev_user_entropy",
-    "source_lang_jsd",
-    "orders_bloom_point_lookup",
-    "orders_arrow_roundtrip",
-    "ev_user_features",
-    "ev_ab_welch",
-    "ev_ab_cuped",
-    "ev_ab_quantiles",
-    "pipeline_quality_gate",
-    "ev_ab_conversion",
-    "ann_ivfpq_recall_report",
-    "doc_pack_assignments",
-    "emb_cluster_silhouette",
-    "orders_incremental_rollup",
-    "emb_hard_negatives",
-    "orders_delta_roundtrip",
-    "orders_iceberg_roundtrip",
-    "ev_user_ltv_decile",
-    "orders_optimize_skipping",
-    "customer_priority_scd2",
-    "dedup_edit_prefix_join",
-    "cust_target_encoding",
-    "cust_woe_urgency",
-    "ev_hourly_acf",
-    "ev_seasonal_decompose",
-    "ev_value_ols2",
-    "orders_layout_report",
+    # --- never driver-graded: the FIRST 42 of ROUND8_NEVER_GRADED, in
+    # ledger order (VERDICT r7 "Next round" #1). The remaining 33 roll to
+    # round 9.
+    "orders_price_auc",
+    "orders_urgency_calibration",
+    "doc_rake_keyphrases",
+    "ev_value_psi_drift",
+    "streaming_psi_drift",
+    "orders_urgency_isotonic",
+    "ev_holt_trend",
+    "ev_theilsen_trend",
+    "ev_changepoint",
+    "part_pareto_frontier",
+    "part_association_rules",
+    "orders_conformal_interval",
+    "supplier_bfs_distance",
+    "part_item_cosine",
+    "ev_rolling_dau",
+    "ev_rolling_dau_hll",
+    "ev_value_ohlc",
+    "ev_user_twap",
+    "ev_value_ks_drift",
+    "ev_ab_mannwhitney",
+    "ev_ma_crossover",
+    "part_item_recs",
+    "part_decayed_popularity",
+    "streaming_rolling_dau_hll",
+    "ev_interarrival_ks",
+    "doc_zipf_fit",
+    "emb_matryoshka_recall",
+    "customer_next_order_backtest",
+    "part_return_rate_shrinkage",
+    "ev_growth_accounting",
+    "ev_user_stickiness",
+    "ann_filtered_topk",
+    "streaming_ohlc",
+    "ev_ab_power_analysis",
+    "ev_burst_detection",
+    "orders_fd_violations",
+    "ev_slo_bands",
+    "moments_merge_proof",
+    "streaming_burst_detection",
+    "orders_naive_bayes_eval",
+    "supplier_degree_assortativity",
+    "source_oov_rate",
 ]
 assert len(GRADED_WINDOW) == 50, len(GRADED_WINDOW)
 
@@ -289,6 +294,15 @@ _ROUND7_ADDED: list[str] = [
 ]
 ROUND8_NEVER_GRADED = ROUND7_NEVER_GRADED[42:] + _ROUND7_ADDED
 
+# ROUND-9 ROTATION LEDGER: the 33 ROUND8 overflow rows (entries 42..75 in
+# ledger order — round 8's window took the first 42) minus
+# orders_delta_dv_roundtrip (promoted to a permanent anchor in round 8, so
+# it gets its driver row there), plus every query added in round 8.
+_ROUND8_ADDED: list[str] = []
+ROUND9_NEVER_GRADED = [
+    n for n in ROUND8_NEVER_GRADED[42:] if n != "orders_delta_dv_roundtrip"
+] + _ROUND8_ADDED
+
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45
 # round-5 additions). Kept so the rotation provenance is auditable.
 ROUND6_NEVER_GRADED = [
@@ -412,6 +426,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     allq = {**_TPCH_QUERIES, **rel.QUERIES, **ev.QUERIES, **tx.QUERIES, **po.QUERIES, **ql.QUERIES, **sk.QUERIES, **gr.QUERIES}
     missing = [n for n in GRADED_WINDOW if n not in allq]
     assert not missing, f"GRADED_WINDOW names unknown queries: {missing}"
+    # Every windowed query must carry a real DuckDB oracle — an oracle-less
+    # row can only ever grade `err: no_oracle`, wasting one of the driver's
+    # 50 slots (VERDICT r7 "What's wrong" #1).
+    alloracles = {**_TPCH_ORACLES, **rel.ORACLES, **ev.ORACLES, **tx.ORACLES, **po.ORACLES, **ql.ORACLES, **sk.ORACLES, **gr.ORACLES}
+    unoracled = [
+        n for n in GRADED_WINDOW
+        if not isinstance(alloracles.get(n), str) or not alloracles[n].strip()
+    ]
+    assert not unoracled, f"GRADED_WINDOW contains oracle-less queries: {unoracled}"
     return _ordered(allq)
 
 

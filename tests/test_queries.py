@@ -22,6 +22,28 @@ def test_queries_and_oracles_aligned():
     assert set(entrymod.HEADLINE) <= q
 
 
+def test_graded_window_invariants():
+    """VERDICT r7 #1: the 50-slot driver window must contain only queries
+    with a real DuckDB oracle (an oracle-less row can only grade
+    `err: no_oracle`), no duplicates, and the rotation ledger must stay a
+    subset of declared queries so round-9's window can be built from it."""
+    win = entrymod.GRADED_WINDOW
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    assert len(win) == 50
+    assert len(set(win)) == 50
+    for name in win:
+        assert name in q, name
+        sql = o.get(name)
+        assert isinstance(sql, str) and sql.strip(), f"{name} lacks a real oracle"
+    # window = 8 anchors + the first 42 of the round-8 ledger, in order
+    assert win[8:] == entrymod.ROUND8_NEVER_GRADED[:42]
+    # next round's ledger only names declared queries and excludes anything
+    # already anchored
+    for name in entrymod.ROUND9_NEVER_GRADED:
+        assert name in q, name
+        assert name not in win[:8], name
+
+
 def test_readme_query_count_matches_declared():
     """VERDICT r6 #4: the README's headline counts are mechanical — they must
     equal len(queries()) / len(oracle_sql()) so docs can't drift again."""
