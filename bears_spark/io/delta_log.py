@@ -32,6 +32,7 @@ a migrating user read their existing lakehouse tables in place.
 
 from __future__ import annotations
 
+import io as _io
 import json
 import os
 import re
@@ -41,8 +42,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from bears_spark.io.metafs import is_uri, metafs_for
+
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
-_CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint(\.\d+\.\d+)?\.parquet$")
+_CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint(?:\.(\d+)\.(\d+))?\.parquet$")
 # V2 checkpoints (PROTOCOL.md "V2 Checkpoint Table Spec"): UUID-named, json
 # or parquet, optionally spilling add/remove actions to sidecar parquet
 # files under _delta_log/_sidecars/
@@ -58,83 +61,187 @@ class DeltaLogError(ValueError):
 
 
 class DeltaTableReader:
-    """Batch reader for a Delta table rooted at ``path`` (local or any
-    Spark-readable filesystem mounted driver-side for the log)."""
+    """Batch reader for a Delta table rooted at ``path``. Metadata IO (log
+    listing, commits, checkpoints, DV bytes) routes through an injectable
+    :class:`~bears_spark.io.metafs.MetaFS`: local paths keep direct ``os``
+    access, ``s3://``/``gs://`` roots dispatch via pyarrow.fs, and ``store=``
+    serves the log from a :class:`~bears_spark.io.commit_store.CommitStore`
+    (including its stub-client test doubles). Data files are read by Spark
+    itself, which already speaks every Hadoop filesystem."""
 
-    def __init__(self, spark: SparkSession, path: str) -> None:
+    def __init__(self, spark: SparkSession, path: str, fs=None, store=None) -> None:
         self.spark = spark
         self.path = path.rstrip("/")
+        if not is_uri(self.path):
+            # a relative root would silently break the DV anti-join:
+            # _metadata.file_path is absolute, so a cwd-relative __dv_path__
+            # would match nothing and deleted rows would come back
+            self.path = os.path.abspath(self.path)
+        self.fs = fs if fs is not None else metafs_for(self.path, store=store)
         self.log_dir = os.path.join(self.path, "_delta_log")
-        if not os.path.isdir(self.log_dir):
+        if not self.fs.isdir(self.log_dir):
             raise DeltaLogError(f"not a Delta table: {self.log_dir} missing")
 
     # -- log listing ----------------------------------------------------------
     def versions(self) -> list[int]:
         out = []
-        for name in os.listdir(self.log_dir):
+        for name in self.fs.listdir(self.log_dir):
             m = _COMMIT_RE.match(name)
             if m:
                 out.append(int(m.group(1)))
         return sorted(out)
 
+    def _read_last_checkpoint(self) -> dict | None:
+        """The ``_last_checkpoint`` pointer (PROTOCOL.md "Last Checkpoint
+        File"): ``{"version": N, "size": ..., "parts": M?}``. Returns None
+        when absent or unparseable — every consumer falls back to a full
+        log listing, so a corrupted pointer degrades to the slow path, never
+        to a wrong answer."""
+        try:
+            ptr = json.loads(
+                self.fs.read_text(os.path.join(self.log_dir, "_last_checkpoint"))
+            )
+            ptr["version"] = int(ptr["version"])
+            return ptr
+        except (FileNotFoundError, ValueError, KeyError, TypeError):
+            return None
+
+    def _ptr_checkpoint_files(self, ptr: dict) -> list[str] | None:
+        """Reconstruct and verify the checkpoint files a ``_last_checkpoint``
+        pointer names (classic single-file or multi-part; v2 UUID names are
+        not reconstructible from the pointer and fall back to listing).
+        None when any expected file is missing — the caller then lists."""
+        v = ptr["version"]
+        parts = ptr.get("parts")
+        try:
+            parts = None if parts is None else int(parts)
+        except (TypeError, ValueError):
+            return None
+        if parts is None:
+            names = [f"{v:020d}.checkpoint.parquet"]
+        elif parts >= 1:
+            names = [
+                f"{v:020d}.checkpoint.{i:010d}.{parts:010d}.parquet"
+                for i in range(1, parts + 1)
+            ]
+        else:
+            return None
+        paths = [os.path.join(self.log_dir, n) for n in names]
+        if all(self.fs.exists(p) for p in paths):
+            return paths
+        return None
+
     def latest_version(self) -> int:
-        vs = self.versions()
-        # a checkpoint can exist for versions whose JSON was cleaned up
-        for name in os.listdir(self.log_dir):
-            m = _CHECKPOINT_RE.match(name) or _CHECKPOINT_V2_RE.match(name)
+        # _last_checkpoint fast path: at big commit counts the pointer exists
+        # precisely so readers list only the log suffix PAST the checkpoint
+        # (S3 StartAfter), not the whole directory
+        ptr = self._read_last_checkpoint()
+        start_after = None
+        vs: list[int] = []
+        if ptr is not None and self._ptr_checkpoint_files(ptr) is not None:
+            vs.append(ptr["version"])
+            start_after = f"{ptr['version']:020d}"
+        for name in self.fs.listdir(self.log_dir, start_after=start_after):
+            m = _COMMIT_RE.match(name) or _CHECKPOINT_RE.match(name) or _CHECKPOINT_V2_RE.match(name)
             if m:
+                # a checkpoint can exist for versions whose JSON was cleaned
                 vs.append(int(m.group(1)))
         if not vs:
             raise DeltaLogError(f"empty Delta log at {self.log_dir}")
         return max(vs)
 
     def version_as_of(self, timestamp_ms: int) -> int:
-        """Time travel by timestamp: the newest version whose commit time is
-        <= ``timestamp_ms``. Commit time is ``commitInfo.timestamp`` when
-        the commit recorded one (Delta's convention), else the commit file's
-        filesystem mtime. Raises when no commit is that old; versions whose
-        JSON was checkpoint-cleaned are not addressable by timestamp."""
+        """Time travel by timestamp: the latest version whose ADJUSTED commit
+        time is <= ``timestamp_ms``. Commit time is ``commitInfo.timestamp``
+        when the commit recorded one (Delta's convention), else the commit
+        file's filesystem mtime; adjusted = running maximum across versions
+        (Delta's monotonization), so clock skew between writers can't
+        resolve to an older version than Delta itself would. Raises when no
+        commit is that old; versions whose JSON was checkpoint-cleaned are
+        not addressable by timestamp."""
         best = None
+        running = None
         for v in self.versions():
             commit = os.path.join(self.log_dir, f"{v:020d}.json")
             ts = None
-            with open(commit) as f:
-                for line in f:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    action = json.loads(line)
-                    if "commitInfo" in action and action["commitInfo"].get("timestamp") is not None:
-                        ts = int(action["commitInfo"]["timestamp"])
-                        break
+            for line in self.fs.read_text(commit).splitlines():
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "commitInfo" in action and action["commitInfo"].get("timestamp") is not None:
+                    ts = int(action["commitInfo"]["timestamp"])
+                    break
             if ts is None:
-                ts = int(os.path.getmtime(commit) * 1000)
-            if ts <= int(timestamp_ms) and (best is None or ts >= best[0]):
-                best = (ts, v)
+                mt = self.fs.mtime(commit)
+                if mt is None:
+                    raise DeltaLogError(
+                        f"commit {v} has no commitInfo.timestamp and the "
+                        f"metadata store exposes no mtime; timestamp time "
+                        f"travel is unavailable for this table"
+                    )
+                ts = int(mt * 1000)
+            running = ts if running is None else max(running, ts)
+            if running <= int(timestamp_ms):
+                best = v
         if best is None:
             raise DeltaLogError(f"no commit at or before timestamp {timestamp_ms}")
-        return best[1]
+        return best
+
+    @staticmethod
+    def _complete_classic(files: dict) -> list[str] | None:
+        """Validate one version's classic checkpoint files: a single-file
+        checkpoint, or multi-part files whose part numbers are exactly
+        1..M for the M every filename agrees on. An incomplete set returns
+        None — the caller falls back to an older checkpoint (or a full
+        replay) instead of silently dropping the missing parts' adds."""
+        if files.get("single"):
+            return sorted(files["single"])
+        parts = files.get("parts") or {}
+        if not parts:
+            return None
+        totals = {m for _, m in parts}
+        if len(totals) != 1:
+            return None
+        (m,) = totals
+        if {n for n, _ in parts} != set(range(1, m + 1)) or len(parts) != m:
+            return None
+        return [path for (_, _), path in sorted(parts.items())]
 
     def _checkpoint_for(self, version: int) -> tuple[int, list[str]] | None:
-        """Newest checkpoint at or below ``version`` -> (ckpt_version,
-        file paths), or None. Honors classic single/multi-part parquet
-        checkpoints AND v2 UUID-named checkpoints (preferring v2 when a
-        version has both — a v2 file is always a complete checkpoint)."""
-        classic: dict[int, list[str]] = {}
+        """Newest COMPLETE checkpoint at or below ``version`` ->
+        (ckpt_version, file paths), or None. Tries the ``_last_checkpoint``
+        pointer first (no directory listing), then lists: v2 UUID-named
+        checkpoints (a v2 file is always complete; preferred when a version
+        has both), then classic single/multi-part parquet — a multi-part set
+        missing any part is skipped in favor of an older checkpoint rather
+        than replayed as if complete."""
+        ptr = self._read_last_checkpoint()
+        if ptr is not None and ptr["version"] <= version:
+            paths = self._ptr_checkpoint_files(ptr)
+            if paths is not None:
+                return ptr["version"], paths
+        classic: dict[int, dict] = {}
         v2: dict[int, list[str]] = {}
-        for name in os.listdir(self.log_dir):
+        for name in self.fs.listdir(self.log_dir):
             m = _CHECKPOINT_RE.match(name)
             if m and int(m.group(1)) <= version:
-                classic.setdefault(int(m.group(1)), []).append(os.path.join(self.log_dir, name))
+                slot = classic.setdefault(int(m.group(1)), {"single": [], "parts": {}})
+                full = os.path.join(self.log_dir, name)
+                if m.group(2) is None:
+                    slot["single"].append(full)
+                else:
+                    slot["parts"][(int(m.group(2)), int(m.group(3)))] = full
             m2 = _CHECKPOINT_V2_RE.match(name)
             if m2 and int(m2.group(1)) <= version:
                 v2.setdefault(int(m2.group(1)), []).append(os.path.join(self.log_dir, name))
-        if not classic and not v2:
-            return None
-        v = max(list(classic) + list(v2))
-        if v in v2:
-            return v, sorted(v2[v])[:1]  # one complete v2 file suffices
-        return v, sorted(classic[v])
+        for v in sorted(set(classic) | set(v2), reverse=True):
+            if v in v2:
+                return v, sorted(v2[v])[:1]  # one complete v2 file suffices
+            paths = self._complete_classic(classic[v])
+            if paths is not None:
+                return v, paths
+        return None
 
     # -- state replay ---------------------------------------------------------
     def _snapshot(self, version: int | None = None) -> tuple[dict, dict[str, dict]]:
@@ -154,7 +261,7 @@ class DeltaTableReader:
             start = cv + 1
         for cv in range(start, v + 1):
             commit = os.path.join(self.log_dir, f"{cv:020d}.json")
-            if not os.path.exists(commit):
+            if not self.fs.exists(commit):
                 # Every version in [start, v] must exist: the legitimate
                 # "cleaned early commits" case is already excluded because
                 # start = checkpoint_version + 1 (Delta only cleans commits a
@@ -165,20 +272,19 @@ class DeltaTableReader:
                     f"missing commit {commit}: the Delta log has a gap in "
                     f"[{start}, {v}] — refusing to read a possibly-corrupt table"
                 )
-            with open(commit) as f:
-                for line in f:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    action = json.loads(line)
-                    if "protocol" in action:
-                        self._check_protocol(action["protocol"])
-                    elif "metaData" in action:
-                        meta = action["metaData"]
-                    elif "add" in action:
-                        adds[action["add"]["path"]] = action["add"]
-                    elif "remove" in action:
-                        adds.pop(action["remove"]["path"], None)
+            for line in self.fs.read_text(commit).splitlines():
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "protocol" in action:
+                    self._check_protocol(action["protocol"])
+                elif "metaData" in action:
+                    meta = action["metaData"]
+                elif "add" in action:
+                    adds[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    adds.pop(action["remove"]["path"], None)
         if not meta:
             raise DeltaLogError("no metaData action found in the Delta log")
         return meta, adds
@@ -196,10 +302,10 @@ class DeltaTableReader:
             sp = str(row.get("path") or "")
             cand = (
                 sp
-                if os.path.isabs(sp) and os.path.exists(sp)
+                if (os.path.isabs(sp) or is_uri(sp)) and self.fs.exists(sp)
                 else os.path.join(self.log_dir, "_sidecars", os.path.basename(sp))
             )
-            if not os.path.exists(cand):
+            if not self.fs.exists(cand):
                 raise DeltaLogError(f"checkpoint sidecar missing: {sp}")
             self._process_checkpoint_file(cand, state)
         # checkpointMetadata and other v2 bookkeeping actions carry no state
@@ -210,19 +316,20 @@ class DeltaTableReader:
         snapshot, so per-column processing order is safe: its remove rows
         are expired-tombstone bookkeeping, never paired with a live add."""
         if path.endswith(".json"):
-            with open(path) as f:
-                for line in f:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    action = json.loads(line)
-                    for kind in ("metaData", "protocol", "add", "remove", "sidecar"):
-                        if kind in action:
-                            self._ckpt_action(kind, action[kind], state)
+            for line in self.fs.read_text(path).splitlines():
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                for kind in ("metaData", "protocol", "add", "remove", "sidecar"):
+                    if kind in action:
+                        self._ckpt_action(kind, action[kind], state)
             return
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(path)
+        # checkpoints are manifest-sized metadata: read the bytes through
+        # the FS seam (object stores included) and parse in memory
+        tbl = pq.read_table(_io.BytesIO(self.fs.read_bytes(path)))
         for kind in ("metaData", "protocol", "add", "remove", "sidecar"):
             if kind not in tbl.column_names:
                 continue
@@ -240,15 +347,49 @@ class DeltaTableReader:
         if unsupported:
             raise DeltaLogError(f"unsupported Delta reader features: {sorted(unsupported)}")
 
+    @staticmethod
+    def _phys_name(f: "T.StructField") -> str:
+        phys = (f.metadata or {}).get("delta.columnMapping.physicalName")
+        if not phys:
+            raise DeltaLogError(
+                f"columnMapping enabled but field {f.name!r} has no "
+                f"physicalName; refusing to guess the file column"
+            )
+        return phys
+
+    @classmethod
+    def _phys_dtype(cls, dt: "T.DataType") -> "T.DataType":
+        """Physical-name rewrite of a data type, RECURSIVELY: per the Delta
+        spec, column-mapped tables store NESTED struct fields under physical
+        names too, so reading nested columns under their logical names would
+        silently return all-null. A nested field without a physicalName
+        raises (via _phys_name) — misreading is worse than refusing."""
+        if isinstance(dt, T.StructType):
+            return T.StructType(
+                [
+                    T.StructField(cls._phys_name(f), cls._phys_dtype(f.dataType), f.nullable)
+                    for f in dt.fields
+                ]
+            )
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(cls._phys_dtype(dt.elementType), dt.containsNull)
+        if isinstance(dt, T.MapType):
+            return T.MapType(
+                cls._phys_dtype(dt.keyType), cls._phys_dtype(dt.valueType), dt.valueContainsNull
+            )
+        return dt
+
     def _col_mapping(self, meta: dict, schema: "T.StructType"):
         """Column-mapping support (PROTOCOL.md "Column Mapping"): in 'name'
         and 'id' modes the parquet files store columns under per-field
         physical names (``delta.columnMapping.physicalName`` in the schema
         field metadata; Delta writers emit physical names in both modes, the
-        modes differ only in the preferred matching key). Returns
-        ``{logical -> physical}`` or None for unmapped tables; a mapped
-        field without a physicalName refuses (matching by parquet field id
-        alone is not implemented — misreading is worse than refusing)."""
+        modes differ only in the preferred matching key). Returns the
+        top-level ``{logical -> physical}`` or None for unmapped tables;
+        nested physical names are validated here and rewritten by
+        :meth:`_phys_dtype`. A mapped field without a physicalName refuses
+        (matching by parquet field id alone is not implemented — misreading
+        is worse than refusing)."""
         mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode") or "none"
         if mode == "none":
             return None
@@ -256,13 +397,8 @@ class DeltaTableReader:
             raise DeltaLogError(f"unsupported columnMapping mode {mode!r}")
         l2p: dict[str, str] = {}
         for f in schema.fields:
-            phys = (f.metadata or {}).get("delta.columnMapping.physicalName")
-            if not phys:
-                raise DeltaLogError(
-                    f"columnMapping mode {mode!r} but field {f.name!r} has no "
-                    f"physicalName; refusing to guess the file column"
-                )
-            l2p[f.name] = phys
+            l2p[f.name] = self._phys_name(f)
+            self._phys_dtype(f.dataType)  # validate nested physicalNames now
         return l2p
 
     def schema(self, version: int | None = None) -> T.StructType:
@@ -381,7 +517,10 @@ class DeltaTableReader:
             if l2p is None:
                 return T.StructType(list(fields))
             return T.StructType(
-                [T.StructField(l2p[f.name], f.dataType, f.nullable) for f in fields]
+                [
+                    T.StructField(l2p[f.name], self._phys_dtype(f.dataType), f.nullable)
+                    for f in fields
+                ]
             )
 
         def _tag(df: DataFrame) -> DataFrame:
@@ -397,13 +536,20 @@ class DeltaTableReader:
             )
 
         def _rename(df: DataFrame, fields) -> DataFrame:
-            # physical file columns -> logical names, carrying any DV tags
+            # physical file columns -> logical names, carrying any DV tags;
+            # for nested types a cast to the LOGICAL type renames the inner
+            # fields too (struct casts match by position, and physical and
+            # logical schemas are positionally identical by construction)
             if l2p is None:
                 return df
             tags = [c for c in df.columns if c.startswith("__dl_")]
-            return df.select(
-                *[F.col(l2p[f.name]).alias(f.name) for f in fields], *tags
-            )
+            cols = []
+            for f in fields:
+                c = F.col(l2p[f.name])
+                if isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType)):
+                    c = c.cast(f.dataType)
+                cols.append(c.alias(f.name))
+            return df.select(*cols, *tags)
 
         if not part_cols:
             out = _rename(
@@ -482,8 +628,13 @@ class DeltaTableReader:
                         f"deletion_vector_{u}.bin"
                     ]
                     fpath = os.path.join(*parts)
-                with open(fpath, "rb") as f:
-                    buf = f.read()
+                try:
+                    buf = self.fs.read_bytes(fpath)
+                except FileNotFoundError:
+                    # "p" descriptors carry absolute paths that may point
+                    # outside the metadata store (e.g. a local staging dir)
+                    with open(fpath, "rb") as f:
+                        buf = f.read()
                 if not buf or buf[0] != DV_FILE_FORMAT_VERSION:
                     raise ValueError(
                         f"unsupported DV file format version {buf[:1]!r}"

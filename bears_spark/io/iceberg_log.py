@@ -45,6 +45,7 @@ from urllib.parse import urlparse, unquote
 from pyspark.sql import DataFrame, SparkSession
 
 from bears_spark.io.avro_generic import read_container
+from bears_spark.io.metafs import is_uri, metafs_for
 
 _META_RE = re.compile(r"^v(\d+)\.metadata\.json$")
 
@@ -58,12 +59,20 @@ class IcebergLogError(ValueError):
     pass
 
 
-def _localize(uri: str, root: str) -> str:
-    """Iceberg stores absolute URIs; map file:/ URIs to local paths and
-    re-root paths recorded under a different (moved) table location."""
+def _localize(uri: str, root: str, fs=None) -> str:
+    """Iceberg stores absolute URIs; map file:/ URIs to local paths,
+    normalize to ABSOLUTE local paths (a cwd-relative result would silently
+    break the positional/equality delete joins, whose other side is Spark's
+    absolute ``_metadata.file_path``), and re-root paths recorded under a
+    different (moved) table location. ``fs`` extends the existence probes to
+    a metadata store (object-store-resident metadata trees)."""
+    if fs is not None and is_uri(uri) and fs.exists(uri):
+        return uri  # metadata-store key: the URI itself is the address
     p = urlparse(uri)
     path = unquote(p.path) if p.scheme else uri
     if os.path.exists(path):
+        return os.path.abspath(path)
+    if fs is not None and fs.exists(path):
         return path
     # table was relocated: graft the recorded metadata/ or data/ suffix onto
     # the actual root ("/old/loc/data/f.parquet" -> "<root>/data/f.parquet")
@@ -71,6 +80,8 @@ def _localize(uri: str, root: str) -> str:
         if marker in path:
             cand = root + marker + path.split(marker, 1)[1]
             if os.path.exists(cand):
+                return os.path.abspath(cand)
+            if fs is not None and fs.exists(cand):
                 return cand
     return path
 
@@ -126,11 +137,17 @@ class IcebergTableReader:
     """Batch reader for an Iceberg table rooted at ``path`` (driver-visible
     metadata; data files on any Spark-readable filesystem)."""
 
-    def __init__(self, spark: SparkSession, path: str) -> None:
+    def __init__(self, spark: SparkSession, path: str, fs=None, store=None) -> None:
         self.spark = spark
         self.path = path.rstrip("/")
+        if not is_uri(self.path):
+            # a relative root would localize data paths to cwd-relative
+            # strings that never match Spark's absolute _metadata.file_path,
+            # silently disabling the delete anti-joins
+            self.path = os.path.abspath(self.path)
+        self.fs = fs if fs is not None else metafs_for(self.path, store=store)
         self.meta_dir = os.path.join(self.path, "metadata")
-        if not os.path.isdir(self.meta_dir):
+        if not self.fs.isdir(self.meta_dir):
             raise IcebergLogError(f"not an Iceberg table: {self.meta_dir} missing")
         self.meta = self._load_metadata()
 
@@ -138,19 +155,21 @@ class IcebergTableReader:
         # version-hint.text names the current metadata version; fall back to
         # the highest vN.metadata.json (both layouts exist in the wild)
         hint = os.path.join(self.meta_dir, "version-hint.text")
-        if os.path.exists(hint):
-            v = int(open(hint).read().strip())
+        try:
+            v = int(self.fs.read_text(hint).strip())
             cand = os.path.join(self.meta_dir, f"v{v}.metadata.json")
-            if os.path.exists(cand):
-                return json.load(open(cand))
+            if self.fs.exists(cand):
+                return json.loads(self.fs.read_text(cand))
+        except (FileNotFoundError, ValueError):
+            pass
         best = None
-        for name in os.listdir(self.meta_dir):
+        for name in self.fs.listdir(self.meta_dir):
             m = _META_RE.match(name)
             if m and (best is None or int(m.group(1)) > best[0]):
                 best = (int(m.group(1)), name)
         if best is None:
             raise IcebergLogError(f"no vN.metadata.json under {self.meta_dir}")
-        return json.load(open(os.path.join(self.meta_dir, best[1])))
+        return json.loads(self.fs.read_text(os.path.join(self.meta_dir, best[1])))
 
     # -- snapshots -------------------------------------------------------------
     def snapshots(self) -> list[dict]:
@@ -184,6 +203,15 @@ class IcebergTableReader:
             )
         return best[1]
 
+    def _read_meta_bytes(self, path: str) -> bytes:
+        """Manifest/manifest-list bytes via the FS seam, with a local-disk
+        fallback for absolute paths recorded outside the metadata store."""
+        try:
+            return self.fs.read_bytes(path)
+        except FileNotFoundError:
+            with open(path, "rb") as f:
+                return f.read()
+
     # -- planning ----------------------------------------------------------------
     def _plan(
         self, snapshot_id: int | None = None
@@ -200,8 +228,8 @@ class IcebergTableReader:
         equality deletes cannot exist anyway)."""
         snap = self._snapshot(snapshot_id)
         snap_seq = int(snap.get("sequence-number") or 0)
-        mlist_path = _localize(snap["manifest-list"], self.path)
-        _, manifests = read_container(open(mlist_path, "rb").read())
+        mlist_path = _localize(snap["manifest-list"], self.path, self.fs)
+        _, manifests = read_container(self._read_meta_bytes(mlist_path))
         data: list[tuple] = []
         pos_deletes: list[str] = []
         eq_deletes: list[tuple[str, int, tuple[int, ...]]] = []
@@ -210,8 +238,8 @@ class IcebergTableReader:
             mcontent = int(m.get("content") or 0)
             m_seq = m.get("sequence_number")
             m_seq = snap_seq if m_seq is None else int(m_seq)
-            mpath = _localize(m["manifest_path"], self.path)
-            _, entries = read_container(open(mpath, "rb").read())
+            mpath = _localize(m["manifest_path"], self.path, self.fs)
+            _, entries = read_container(self._read_meta_bytes(mpath))
             for e in entries:
                 if int(e.get("status") or 0) == _STATUS_DELETED:
                     continue
@@ -407,6 +435,52 @@ class IcebergTableReader:
             tagged = tagged.join(dels, cond, "left_anti")
         return tagged.drop("__seq__")
 
+    def _current_schema(self) -> dict:
+        schemas = self.meta.get("schemas") or [self.meta.get("schema") or {}]
+        cur_id = self.meta.get("current-schema-id", 0)
+        return next((s for s in schemas if s.get("schema-id", 0) == cur_id), schemas[0])
+
+    def _renames_detected(self) -> bool:
+        """True when any historical schema maps a field id to a DIFFERENT
+        name than the current schema. Iceberg renames are metadata-only (ids
+        stable, names moved), so data files written before the rename store
+        the column under its old name — projecting those files by name would
+        silently drop/misread the column."""
+        schemas = self.meta.get("schemas") or []
+        if len(schemas) < 2:
+            return False
+        cur = {
+            int(f["id"]): f["name"]
+            for f in self._current_schema().get("fields", [])
+            if "id" in f
+        }
+        for s in schemas:
+            for f in s.get("fields", []):
+                fid = f.get("id")
+                if fid is not None and int(fid) in cur and f["name"] != cur[int(fid)]:
+                    return True
+        return False
+
+    def _scan(self, paths: list[str]) -> DataFrame:
+        """Distributed parquet scan of data files. When the schema history
+        shows a column RENAME, project by Iceberg field id instead of name:
+        the read schema carries ``parquet.field.id`` metadata (the ids every
+        spec-compliant Iceberg writer stamps into its parquet files) and
+        Spark's native field-id resolution
+        (``spark.sql.parquet.fieldId.read.enabled``) matches file columns by
+        id, so pre-rename files serve the column under its NEW name.
+        ``ignoreMissing`` stays false — a data file without field ids errors
+        loudly rather than reading as nulls (refuse-over-misread). Tables
+        with no rename history keep the name-matched mergeSchema scan."""
+        if not self._renames_detected():
+            return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        schema = self._spark_schema(with_field_ids=True)
+        # session-level switch: only consulted for read schemas that carry
+        # parquet.field.id metadata, so leaving it on is side-effect-free
+        # for every other scan in the session
+        self.spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        return self.spark.read.schema(schema).parquet(*paths)
+
     def changes_since(self, snapshot_id: int, to_snapshot_id: int | None = None) -> DataFrame:
         """Incremental consumer API over an Iceberg table: rows in data files
         LIVE at the target snapshot but not at ``snapshot_id`` — the same
@@ -419,7 +493,7 @@ class IcebergTableReader:
         new = [e for e in data_entries if e[1] not in base]
         if not new:
             return self.read(to_snapshot_id).limit(0)
-        df = self.spark.read.option("mergeSchema", "true").parquet(*[e[1] for e in new])
+        df = self._scan([e[1] for e in new])
         if pos_deletes or eq_deletes:
             df = self._tag_metadata(df)
             if pos_deletes:
@@ -447,9 +521,7 @@ class IcebergTableReader:
         if not data_entries:
             df = self.spark.createDataFrame([], self._spark_schema())
             return df if where is None else df.filter(_OPS[where[1]](F.col(where[0]), F.lit(where[2])))
-        df = self.spark.read.option("mergeSchema", "true").parquet(
-            *[loc for _, loc, _, _ in data_entries]
-        )
+        df = self._scan([loc for _, loc, _, _ in data_entries])
         if pos_deletes or eq_deletes:
             df = self._tag_metadata(df)
             if pos_deletes:
@@ -461,7 +533,7 @@ class IcebergTableReader:
             df = df.filter(_OPS[where[1]](F.col(where[0]), F.lit(where[2])))
         return df
 
-    def _spark_schema(self):
+    def _spark_schema(self, with_field_ids: bool = False):
         from pyspark.sql import types as T
 
         _ICE2SPARK = {
@@ -470,15 +542,25 @@ class IcebergTableReader:
             "date": T.DateType(), "binary": T.BinaryType(),
             "timestamp": T.TimestampType(), "timestamptz": T.TimestampType(),
         }
-        schemas = self.meta.get("schemas") or [self.meta.get("schema") or {}]
-        cur_id = self.meta.get("current-schema-id", 0)
-        schema = next((s for s in schemas if s.get("schema-id", 0) == cur_id), schemas[0])
+        schema = self._current_schema()
         fields = []
         for f in schema.get("fields", []):
             t = f["type"]
             if not isinstance(t, str) or t not in _ICE2SPARK:
-                raise IcebergLogError(f"unsupported Iceberg type {t!r} for empty-table schema")
-            fields.append(T.StructField(f["name"], _ICE2SPARK[t], not f.get("required", False)))
+                raise IcebergLogError(
+                    f"unsupported Iceberg type {t!r} for a reconstructed read schema"
+                )
+            md = None
+            if with_field_ids:
+                if "id" not in f:
+                    raise IcebergLogError(
+                        f"field {f['name']!r} has no field id; cannot project "
+                        f"a renamed schema by id"
+                    )
+                md = {"parquet.field.id": int(f["id"])}
+            fields.append(
+                T.StructField(f["name"], _ICE2SPARK[t], not f.get("required", False), md)
+            )
         return T.StructType(fields)
 
 

@@ -1,0 +1,210 @@
+"""Metadata-filesystem seam for the lakehouse readers.
+
+The Delta and Iceberg readers (io/delta_log.py, io/iceberg_log.py) do their
+METADATA work driver-side — list the log, read JSON commits / Avro
+manifests / checkpoint parquet, stat commit files. That IO was
+local-filesystem-only (`os.listdir`/`open`), so a table whose `_delta_log/`
+or `metadata/` lives on an object store could not be read even though the
+commit-protocol side already had an object-store seam
+(io/commit_store.py) and bulk DATA reads already go through Spark, which
+speaks every Hadoop filesystem. This module is the missing seam: a tiny
+read-only filesystem surface with three implementations —
+
+* :class:`LocalMetaFS` — direct ``os`` calls; the default, byte-identical
+  to the readers' original behavior.
+* :class:`CommitStoreMetaFS` — adapter over any
+  :class:`~bears_spark.io.commit_store.CommitStore`, so the S3/GCS stores
+  (and their stub-client test doubles) serve reader metadata with the same
+  retry/CAS-hardened transport the commit protocol uses.
+* :class:`ArrowMetaFS` — `pyarrow.fs` URI dispatch (s3://, gs://, hdfs://,
+  file://), import-gated: constructing it without pyarrow raises an
+  informative ImportError, and the per-scheme filesystem objects are cached
+  so a manifest walk doesn't re-handshake per file.
+
+``listdir(dir, start_after=...)`` carries the object-store listing idiom
+(S3 ``StartAfter``) through the seam so the Delta ``_last_checkpoint``
+fast path can list only the commits past the checkpoint instead of the
+whole log directory — the reason that pointer file exists.
+
+Scale note: everything here is driver-side metadata IO, bytes proportional
+to manifests/commits — the cost model Delta/Iceberg's own drivers pay.
+Data files never flow through this seam.
+
+Reference parity note: the reference routes all IO through a storage
+abstraction (src/bears/reader/Reader.py:81-116); this seam plays that role
+for lakehouse metadata.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from abc import ABC, abstractmethod
+
+_URI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+
+
+def is_uri(path: str) -> bool:
+    """True for scheme://-prefixed paths (s3://, gs://, file://, ...)."""
+    return bool(_URI_RE.match(path))
+
+
+class MetaFS(ABC):
+    """Read-only filesystem surface for driver-side lakehouse metadata."""
+
+    @abstractmethod
+    def read_bytes(self, path: str) -> bytes:
+        """Full contents of ``path``; FileNotFoundError when absent."""
+
+    def read_text(self, path: str) -> str:
+        return self.read_bytes(path).decode("utf-8")
+
+    @abstractmethod
+    def listdir(self, dirpath: str, start_after: str | None = None) -> list[str]:
+        """Sorted base names of the entries directly under ``dirpath`` ([]
+        when it doesn't exist). ``start_after`` keeps only names strictly
+        greater — the S3 ``StartAfter`` idiom, so pointer-guided listings
+        skip the already-checkpointed prefix of a big log."""
+
+    @abstractmethod
+    def exists(self, path: str) -> bool: ...
+
+    def isdir(self, dirpath: str) -> bool:
+        """Directory-like: has at least one child (object stores have no
+        empty directories, so non-empty IS the definition there)."""
+        return bool(self.listdir(dirpath))
+
+    def mtime(self, path: str) -> float | None:
+        """Modification time in seconds, or None when the backend has no
+        cheap stat (callers must then refuse operations that need it
+        rather than guessing)."""
+        return None
+
+
+class LocalMetaFS(MetaFS):
+    """Driver-visible POSIX filesystem (local disk, NFS, fuse)."""
+
+    def read_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def listdir(self, dirpath: str, start_after: str | None = None) -> list[str]:
+        try:
+            names = sorted(os.listdir(dirpath))
+        except (FileNotFoundError, NotADirectoryError):
+            return []
+        if start_after is not None:
+            names = [n for n in names if n > start_after]
+        return names
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def isdir(self, dirpath: str) -> bool:
+        return os.path.isdir(dirpath)
+
+    def mtime(self, path: str) -> float | None:
+        return os.path.getmtime(path)
+
+
+class CommitStoreMetaFS(MetaFS):
+    """Serve reader metadata from a
+    :class:`~bears_spark.io.commit_store.CommitStore` — the same injectable
+    transport (S3 conditional-write client, GCS bucket, in-memory stub) the
+    commit protocol runs on, so one credential/retry configuration covers
+    both writing table metadata and reading it back."""
+
+    def __init__(self, store) -> None:
+        self.store = store
+
+    def read_bytes(self, path: str) -> bytes:
+        return self.store.read(path)
+
+    def listdir(self, dirpath: str, start_after: str | None = None) -> list[str]:
+        prefix = dirpath.rstrip("/") + "/"
+        names: set[str] = set()
+        for key in self.store.list_prefix(dirpath):
+            tail = key[len(prefix):] if key.startswith(prefix) else key.rsplit("/", 1)[-1]
+            if tail:
+                names.add(tail.split("/", 1)[0])
+        out = sorted(names)
+        if start_after is not None:
+            out = [n for n in out if n > start_after]
+        return out
+
+    def exists(self, path: str) -> bool:
+        return self.store.exists(path)
+
+
+class ArrowMetaFS(MetaFS):
+    """URI-dispatching filesystem over ``pyarrow.fs`` — s3://, gs://,
+    hdfs://, file:// metadata without extra dependencies beyond pyarrow
+    (already a hard requirement of the Arrow-batched UDF paths). Filesystem
+    handles are cached per scheme+authority."""
+
+    def __init__(self) -> None:
+        try:
+            from pyarrow import fs as pafs  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - pyarrow is baked in
+            raise ImportError("ArrowMetaFS needs pyarrow") from exc
+        self._pafs = pafs
+        self._cache: dict[str, object] = {}
+
+    def _resolve(self, path: str):
+        m = _URI_RE.match(path)
+        scheme_auth = path.split("/", 3)
+        cache_key = "/".join(scheme_auth[:3]) if m else ""
+        fs = self._cache.get(cache_key)
+        if fs is None:
+            fs, _ = self._pafs.FileSystem.from_uri(path)
+            self._cache[cache_key] = fs
+        # from_uri strips the scheme; recompute the in-fs path
+        _, rel = self._pafs.FileSystem.from_uri(path)
+        return fs, rel
+
+    def read_bytes(self, path: str) -> bytes:
+        fs, rel = self._resolve(path)
+        try:
+            with fs.open_input_stream(rel) as f:
+                return f.read()
+        except (FileNotFoundError, OSError) as exc:
+            raise FileNotFoundError(path) from exc
+
+    def listdir(self, dirpath: str, start_after: str | None = None) -> list[str]:
+        fs, rel = self._resolve(dirpath)
+        sel = self._pafs.FileSelector(rel.rstrip("/"), allow_not_found=True, recursive=False)
+        names = sorted(info.base_name for info in fs.get_file_info(sel))
+        if start_after is not None:
+            names = [n for n in names if n > start_after]
+        return names
+
+    def exists(self, path: str) -> bool:
+        fs, rel = self._resolve(path)
+        info = fs.get_file_info([rel])[0]
+        return info.type != self._pafs.FileType.NotFound
+
+    def isdir(self, dirpath: str) -> bool:
+        fs, rel = self._resolve(dirpath)
+        info = fs.get_file_info([rel.rstrip("/")])[0]
+        if info.type == self._pafs.FileType.Directory:
+            return True
+        # object stores may have no directory marker: non-empty listing counts
+        return bool(self.listdir(dirpath))
+
+    def mtime(self, path: str) -> float | None:
+        fs, rel = self._resolve(path)
+        info = fs.get_file_info([rel])[0]
+        if info.type == self._pafs.FileType.NotFound or info.mtime_ns is None:
+            return None
+        return info.mtime_ns / 1e9
+
+
+def metafs_for(path: str, store=None) -> MetaFS:
+    """Pick the metadata filesystem for a table root: an explicit commit
+    store wins, URI roots route through pyarrow.fs, everything else is the
+    local filesystem (byte-identical to the pre-seam behavior)."""
+    if store is not None:
+        return CommitStoreMetaFS(store)
+    if is_uri(path):
+        return ArrowMetaFS()
+    return LocalMetaFS()

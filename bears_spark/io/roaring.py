@@ -113,7 +113,10 @@ def serialize_roaring32(values: list[int]) -> bytes:
 def _deserialize_roaring32(buf: bytes, base: int) -> tuple[list[int], int]:
     """Decode one 32-bit bitmap starting at ``base``; returns (sorted low
     values as full uint32s within their 16-bit key buckets, bytes consumed)."""
-    (cookie,) = struct.unpack_from("<i", buf, base)
+    # unsigned: the run cookie packs (container_count - 1) into the high 16
+    # bits, so with >= 32769 containers a signed unpack goes negative and a
+    # valid giant DV would be rejected
+    (cookie,) = struct.unpack_from("<I", buf, base)
     run_flags = b""
     if (cookie & 0xFFFF) == _SERIAL_COOKIE_RUN:
         size = (cookie >> 16) + 1

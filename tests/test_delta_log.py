@@ -559,3 +559,301 @@ def test_delta_read_where_prunes_and_filters(spark, tmp_path):
     assert r.read(where=("id", "<", 42)).count() == r.read().filter("id < 42").count()
     with pytest.raises(ValueError, match="unsupported operator"):
         r.read(where=("id", "!=", 1))
+
+
+# -- round-8 hardening: FS seam, pointer fast path, completeness, skew -------
+
+
+def test_delta_version_as_of_monotonized_clock_skew(spark, tmp_path):
+    """Clock skew between writers (a later version with an EARLIER
+    commitInfo timestamp) resolves via Delta's monotonization — the running
+    max timestamp — so a probe never lands on an older version than Delta
+    itself would pick."""
+    root = _make_table(tmp_path, "skew")
+    log = os.path.join(root, "_delta_log")
+    a0 = _add_file(root, "f0.parquet", [1], [0.1])
+    a1 = _add_file(root, "f1.parquet", [2], [0.2])
+    a2 = _add_file(root, "f2.parquet", [3], [0.3])
+    _write_commit(log, 0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                           {"commitInfo": {"timestamp": 1000}}, a0])
+    _write_commit(log, 1, [{"commitInfo": {"timestamp": 5000}}, a1])
+    # skewed writer: wall clock behind the v1 committer
+    _write_commit(log, 2, [{"commitInfo": {"timestamp": 3000}}, a2])
+    r = DeltaTableReader(spark, root)
+    # adjusted timestamps: v0=1000, v1=5000, v2=max(5000,3000)=5000
+    assert r.version_as_of(1000) == 0
+    assert r.version_as_of(3000) == 0  # NOT v2: its adjusted time is 5000
+    assert r.version_as_of(4999) == 0
+    assert r.version_as_of(5000) == 2  # ties resolve to the latest version
+    assert r.version_as_of(9999) == 2
+
+
+def _single_checkpoint_table(tmp_path, name):
+    """Fixture: v0 meta+f0, v1 adds f1, classic checkpoint at v1 carrying
+    the full state. Returns (root, log, checkpoint_arrow_table)."""
+    root = _make_table(tmp_path, name)
+    log = os.path.join(root, "_delta_log")
+    a0 = _add_file(root, "f0.parquet", [1], [0.1])
+    a1 = _add_file(root, "f1.parquet", [2], [0.2])
+    _write_commit(log, 0, [{"protocol": {"minReaderVersion": 1}}, _meta(), a0])
+    _write_commit(log, 1, [a1])
+    proto_t = pa.struct([("minReaderVersion", pa.int32())])
+    meta_t = pa.struct([("id", pa.string()), ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string()))])
+    add_t = pa.struct(
+        [("path", pa.string()), ("partitionValues", pa.map_(pa.string(), pa.string())),
+         ("size", pa.int64()), ("modificationTime", pa.int64()), ("dataChange", pa.bool_())]
+    )
+    rows = {
+        "protocol": pa.array([{"minReaderVersion": 1}, None, None, None], proto_t),
+        "metaData": pa.array(
+            [None, {"id": "abc", "schemaString": _SCHEMA_STR, "partitionColumns": []},
+             None, None],
+            meta_t,
+        ),
+        "add": pa.array(
+            [None, None,
+             {"path": "f0.parquet", "partitionValues": [], "size": 1,
+              "modificationTime": 0, "dataChange": True},
+             {"path": "f1.parquet", "partitionValues": [], "size": 1,
+              "modificationTime": 0, "dataChange": True}],
+            add_t,
+        ),
+    }
+    return root, log, pa.table(rows), add_t
+
+
+def test_delta_multipart_checkpoint_incomplete_falls_back(spark, tmp_path):
+    """A multi-part checkpoint missing a part is SKIPPED (its survivors are
+    never replayed as if complete — rows would vanish); the reader falls
+    back to an older complete checkpoint, or to full commit replay."""
+    root, log, ckpt_tbl, add_t = _single_checkpoint_table(tmp_path, "mp")
+    # multipart checkpoint at v1: part 1 has meta/protocol/f0, part 2 has f1
+    pq.write_table(ckpt_tbl.slice(0, 3),
+                   os.path.join(log, f"{1:020d}.checkpoint.{1:010d}.{2:010d}.parquet"))
+    p2 = os.path.join(log, f"{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet")
+    pq.write_table(ckpt_tbl.slice(3, 1), p2)
+    r = DeltaTableReader(spark, root)
+    v, parts = r._checkpoint_for(1)
+    assert v == 1 and len(parts) == 2
+    assert sorted(x["id"] for x in r.read().collect()) == [1, 2]
+    # part 2 vanishes: the incomplete set must NOT be used (f1 would vanish);
+    # full replay of commits 0..1 still yields both rows
+    os.unlink(p2)
+    r2 = DeltaTableReader(spark, root)
+    assert r2._checkpoint_for(1) is None
+    assert sorted(x["id"] for x in r2.read().collect()) == [1, 2]
+    # an older COMPLETE single-file checkpoint is preferred over the broken set
+    ckpt0 = pa.table({
+        "protocol": ckpt_tbl.column("protocol")[:2],
+        "metaData": ckpt_tbl.column("metaData")[:2],
+        "add": pa.array([None, {"path": "f0.parquet", "partitionValues": [], "size": 1,
+                                "modificationTime": 0, "dataChange": True}], add_t),
+    })
+    pq.write_table(ckpt0, os.path.join(log, f"{0:020d}.checkpoint.parquet"))
+    r3 = DeltaTableReader(spark, root)
+    v3, parts3 = r3._checkpoint_for(1)
+    assert v3 == 0 and len(parts3) == 1
+    assert sorted(x["id"] for x in r3.read().collect()) == [1, 2]
+
+
+class _SpyFS:
+    """Wraps a MetaFS, recording every listdir call."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.listdir_calls = []
+
+    def listdir(self, dirpath, start_after=None):
+        self.listdir_calls.append((dirpath, start_after))
+        return self.inner.listdir(dirpath, start_after=start_after)
+
+    def __getattr__(self, name):
+        return getattr(self.inner, name)
+
+
+def test_delta_last_checkpoint_pointer_serves_listing(spark, tmp_path):
+    """With a valid _last_checkpoint pointer, snapshot construction never
+    lists the full log directory: the checkpoint files come from the
+    pointer and the commit listing starts AFTER the checkpoint version
+    (the S3 StartAfter idiom). A corrupted pointer degrades to the full
+    listing, never to a wrong answer."""
+    from bears_spark.io.metafs import LocalMetaFS
+
+    root, log, ckpt_tbl, _ = _single_checkpoint_table(tmp_path, "ptr")
+    pq.write_table(ckpt_tbl, os.path.join(log, f"{1:020d}.checkpoint.parquet"))
+    a2 = _add_file(root, "f2.parquet", [3], [0.3])
+    _write_commit(log, 2, [a2])
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 1, "size": 3}, f)
+    r = DeltaTableReader(spark, root)
+    spy = _SpyFS(LocalMetaFS())
+    r.fs = spy
+    assert sorted(x["id"] for x in r.read().collect()) == [1, 2, 3]
+    assert spy.listdir_calls, "expected at least the post-checkpoint commit listing"
+    assert all(sa is not None for _, sa in spy.listdir_calls), (
+        f"full log listing happened despite a valid pointer: {spy.listdir_calls}"
+    )
+    # corrupted pointer: fall back to listing, same answer
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        f.write("{not json")
+    r2 = DeltaTableReader(spark, root)
+    assert sorted(x["id"] for x in r2.read().collect()) == [1, 2, 3]
+    # pointer naming a MISSING checkpoint file: also falls back
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 1, "parts": 4}, f)
+    r3 = DeltaTableReader(spark, root)
+    assert sorted(x["id"] for x in r3.read().collect()) == [1, 2, 3]
+
+
+def test_delta_relative_root_deletion_vectors(spark, tmp_path, monkeypatch):
+    """A reader constructed with a RELATIVE table path still applies
+    deletion vectors: the root is normalized to an absolute path so the
+    (file, pos) anti-join keys match Spark's absolute _metadata.file_path."""
+    root = _make_table(tmp_path, "dvrel")
+    log = os.path.join(root, "_delta_log")
+    a0 = _add_file(root, "f0.parquet", [1, 2, 3], [0.1, 0.2, 0.3])
+    dv = _dv_descriptor_inline([1])
+    a0["add"]["deletionVector"] = dv
+    _write_commit(log, 0, [{"protocol": {"minReaderVersion": 3,
+                                         "readerFeatures": ["deletionVectors"]}},
+                           _meta(), a0])
+    monkeypatch.chdir(tmp_path)
+    r = DeltaTableReader(spark, "dvrel")
+    assert r.path == root
+    assert sorted(x["id"] for x in r.read().collect()) == [1, 3]
+
+
+def test_delta_column_mapping_nested_struct(spark, tmp_path):
+    """Column-mapped tables store NESTED struct fields under physical names
+    too; the reader rewrites them recursively and renames back via a
+    positional cast — nested values must round-trip, not read as null."""
+    root = _make_table(tmp_path, "cmnest")
+    log = os.path.join(root, "_delta_log")
+    inner = pa.struct([("col-xxx", pa.int64()), ("col-yyy", pa.string())])
+    pq.write_table(
+        pa.table({
+            "col-aaa": pa.array([1, 2], pa.int64()),
+            "col-bbb": pa.array([{"col-xxx": 10, "col-yyy": "a"},
+                                 {"col-xxx": 20, "col-yyy": "b"}], inner),
+        }),
+        os.path.join(root, "f0.parquet"),
+    )
+    schema_str = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa"}},
+            {"name": "info", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-bbb"},
+             "type": {"type": "struct", "fields": [
+                 {"name": "x", "type": "long", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 3,
+                               "delta.columnMapping.physicalName": "col-xxx"}},
+                 {"name": "y", "type": "string", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 4,
+                               "delta.columnMapping.physicalName": "col-yyy"}},
+             ]}},
+        ],
+    })
+    meta = _meta(schema_str=schema_str)
+    meta["metaData"]["configuration"] = {"delta.columnMapping.mode": "name"}
+    _write_commit(log, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}, meta,
+        {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    out = DeltaTableReader(spark, root).read()
+    assert out.columns == ["id", "info"]
+    rows = {x["id"]: (x["info"]["x"], x["info"]["y"]) for x in out.collect()}
+    assert rows == {1: (10, "a"), 2: (20, "b")}
+
+
+def test_delta_column_mapping_nested_missing_physical_refuses(spark, tmp_path):
+    """A mapped table whose NESTED field lacks a physicalName refuses
+    instead of silently reading the inner column as null."""
+    root = _make_table(tmp_path, "cmnestbad")
+    log = os.path.join(root, "_delta_log")
+    pq.write_table(pa.table({"col-aaa": pa.array([1], pa.int64())}),
+                   os.path.join(root, "f0.parquet"))
+    schema_str = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "info", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa"},
+             "type": {"type": "struct", "fields": [
+                 {"name": "x", "type": "long", "nullable": True, "metadata": {}},
+             ]}},
+        ],
+    })
+    meta = _meta(schema_str=schema_str)
+    meta["metaData"]["configuration"] = {"delta.columnMapping.mode": "name"}
+    _write_commit(log, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}, meta,
+        {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    with pytest.raises(DeltaLogError, match="physicalName"):
+        DeltaTableReader(spark, root).read()
+
+
+def test_delta_log_in_commit_store(spark, tmp_path):
+    """A Delta log resident in an object store (stub transport) reads end to
+    end: commits and checkpointless state come from the CommitStore seam,
+    data files from Spark's own filesystem access (absolute add paths)."""
+    from bears_spark.io.commit_store import InMemoryCommitStore
+
+    store = InMemoryCommitStore()
+    data_dir = tmp_path / "s3data"
+    data_dir.mkdir()
+    f0 = str(data_dir / "f0.parquet")
+    pq.write_table(pa.table({"id": pa.array([1, 2], pa.int64()),
+                             "v": pa.array([0.1, 0.2], pa.float64())}), f0)
+    f1 = str(data_dir / "f1.parquet")
+    pq.write_table(pa.table({"id": pa.array([3], pa.int64()),
+                             "v": pa.array([0.3], pa.float64())}), f1)
+    tbl = "s3://bucket/warehouse/dt"
+    lines = [
+        json.dumps({"protocol": {"minReaderVersion": 1}}),
+        json.dumps(_meta()),
+        json.dumps({"add": {"path": f0, "partitionValues": {}, "size": 1,
+                            "modificationTime": 0, "dataChange": True}}),
+    ]
+    store.replace(f"{tbl}/_delta_log/{0:020d}.json", "\n".join(lines).encode())
+    store.replace(
+        f"{tbl}/_delta_log/{1:020d}.json",
+        json.dumps({"add": {"path": f1, "partitionValues": {}, "size": 1,
+                            "modificationTime": 0, "dataChange": True}}).encode(),
+    )
+    r = DeltaTableReader(spark, tbl, store=store)
+    assert r.latest_version() == 1
+    assert sorted(x["id"] for x in r.read().collect()) == [1, 2, 3]
+    assert sorted(x["id"] for x in r.read(version=0).collect()) == [1, 2]
+    # timestamp travel is honestly unavailable without commitInfo/mtime
+    with pytest.raises(DeltaLogError, match="mtime"):
+        r.version_as_of(10**15)
+
+
+def test_roaring_run_cookie_giant_container_count():
+    """A run-format bitmap with >= 32769 containers decodes: the cookie's
+    high 16 bits (container count - 1) would flip a SIGNED unpack negative
+    and reject a valid giant DV."""
+    import struct
+
+    from bears_spark.io.roaring import _deserialize_roaring32
+
+    n = 40000
+    buf = bytearray()
+    buf += struct.pack("<I", ((n - 1) << 16) | 12347)
+    buf += b"\xff" * ((n + 7) // 8)  # every container is a run container
+    for i in range(n):
+        buf += struct.pack("<HH", i, 0)  # key=i, cardinality-1=0
+    buf += b"\x00" * (4 * n)  # offsets (redundant for sequential decode)
+    for _ in range(n):
+        buf += struct.pack("<HHH", 1, 0, 0)  # 1 run: start=0, len-1=0
+    values, consumed = _deserialize_roaring32(bytes(buf), 0)
+    assert consumed == len(buf)
+    assert values == [i << 16 for i in range(n)]
