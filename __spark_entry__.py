@@ -298,7 +298,11 @@ ROUND8_NEVER_GRADED = ROUND7_NEVER_GRADED[42:] + _ROUND7_ADDED
 # ledger order — round 8's window took the first 42) minus
 # orders_delta_dv_roundtrip (promoted to a permanent anchor in round 8, so
 # it gets its driver row there), plus every query added in round 8.
-_ROUND8_ADDED: list[str] = []
+_ROUND8_ADDED: list[str] = [
+    "orders_delta_s3_read",
+    "orders_iceberg_renamed_col",
+    "orders_delta_dv_read",
+]
 ROUND9_NEVER_GRADED = [
     n for n in ROUND8_NEVER_GRADED[42:] if n != "orders_delta_dv_roundtrip"
 ] + _ROUND8_ADDED
@@ -406,6 +410,10 @@ HEADLINE = [
     # commit + incremental refresh path), so maintenance regressions surface
     # in the bench (VERDICT r6 #6)
     "orders_incremental_rollup",
+    # round-8 addition: merge-on-read read path in isolation — the DV table
+    # is pre-built once per sf_dir, so the timing is log replay + DV decode
+    # + anti-join + aggregate, not fixture construction (VERDICT r7 #6)
+    "orders_delta_dv_read",
 ]
 
 

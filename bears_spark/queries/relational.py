@@ -1907,6 +1907,326 @@ ORACLES["orders_delta_dv_roundtrip"] = ORDERS_ICEBERG_V2_SQL
 
 
 # --------------------------------------------------------------------------
+# orders_delta_dv_read: the merge-on-read HOT PATH benched in isolation
+# (VERDICT r7 #6) — the DV-bearing Delta table is built ONCE per sf_dir
+# (atomic rename publication), so repeated calls time only the read: log
+# replay + DV decode + executor-side position explode + (file, pos)
+# left-anti join + aggregate. 16 deterministic single-part files (8 odd
+# buckets each carrying a DV over every 5th position, 8 even buckets clean)
+# give the scan real file parallelism, the shape a compacted lakehouse
+# table has.
+def _dv_bench_table(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import json as _json
+    import os as _os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from bears_spark.io.roaring import frame_dv, serialize_rba, z85_encode
+
+    key = hashlib.sha1(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = _os.path.join(tempfile.gettempdir(), f"bears_dv_bench_{key}")
+    if _os.path.isdir(_os.path.join(root, "_delta_log")):
+        return root
+    o = load_table(spark, sf_dir, "orders")
+    build = tempfile.mkdtemp(prefix="bears_dv_build_")
+    _os.makedirs(build + "/_delta_log")
+    bucket = (F.col("o_orderkey") / F.lit(2)).cast("long") % 8
+    adds = []
+    dv_files = []
+    for parity in (0, 1):
+        for b in range(8):
+            grp = f"p{parity}b{b}"
+            (
+                o.filter((F.col("o_orderkey") % 2 == parity) & (bucket == b))
+                .repartition(1)
+                .sortWithinPartitions("o_orderkey")
+                .write.parquet(f"{build}/{grp}")
+            )
+            name = [n for n in _os.listdir(f"{build}/{grp}") if n.endswith(".parquet")][0]
+            rel = f"{grp}/{name}"
+            add = {"path": rel, "partitionValues": {}, "size": 1,
+                   "modificationTime": 0, "dataChange": True}
+            if parity == 1:
+                dv_files.append((rel, f"{build}/{rel}"))
+            adds.append(add)
+    # one DV per odd file deleting every 5th position (write order)
+    rel2add = {a["path"]: a for a in adds}
+    for rel, full in dv_files:
+        n_rows = spark.read.parquet(full).count()
+        data = serialize_rba(list(range(0, n_rows, 5)))
+        u = _uuid.uuid4()
+        with open(f"{build}/deletion_vector_{u}.bin", "wb") as f:
+            f.write(bytes([1]) + frame_dv(data))
+        rel2add[rel]["deletionVector"] = {
+            "storageType": "u", "pathOrInlineDv": z85_encode(u.bytes),
+            "offset": 1, "sizeInBytes": len(data),
+            "cardinality": (n_rows + 4) // 5,
+        }
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "dvbench", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": o.schema.json(), "partitionColumns": [],
+                      "configuration": {}, "createdTime": 0}},
+    ] + [{"add": a} for a in adds]
+    with open(f"{build}/_delta_log/{0:020d}.json", "w") as f:
+        for a in actions:
+            f.write(_json.dumps(a) + "\n")
+    try:
+        _os.rename(build, root)  # atomic publication; loser of a race cleans up
+    except OSError:
+        shutil.rmtree(build, ignore_errors=True)
+    return root
+
+
+def orders_delta_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.io.delta_log import DeltaTableReader
+
+    root = _dv_bench_table(spark, sf_dir)
+    back = DeltaTableReader(spark, root).read()
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double"), 6
+            ).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORDERS_DELTA_DV_READ_SQL = """
+WITH odd AS (
+  SELECT o_orderstatus, o_totalprice,
+         row_number() OVER (PARTITION BY (o_orderkey // 2) % 8
+                            ORDER BY o_orderkey) - 1 AS pos
+  FROM orders WHERE o_orderkey % 2 = 1
+),
+live AS (
+  SELECT o_orderstatus, o_totalprice FROM odd WHERE pos % 5 <> 0
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT o_orderstatus, count(*) AS n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 6) AS total
+FROM live GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+QUERIES["orders_delta_dv_read"] = orders_delta_dv_read
+ORACLES["orders_delta_dv_read"] = ORDERS_DELTA_DV_READ_SQL
+
+
+# --------------------------------------------------------------------------
+# orders_delta_s3_read: object-store-resident Delta metadata graded end to
+# end — the transaction log lives in a commit store (the same injectable
+# transport io/commit_store.py gives S3/GCS, here the in-memory stub), data
+# files stay Spark-readable absolute paths; the reader's MetaFS seam
+# (io/metafs.py) must serve listing, commits and state replay from the
+# store. Reference parity note: the reference routes all IO through a
+# storage abstraction (src/bears/reader/Reader.py:81-116); this grades the
+# equivalent seam on the lakehouse read path.
+def orders_delta_s3_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os as _os
+    import shutil
+    import tempfile
+
+    from bears_spark.io.commit_store import InMemoryCommitStore
+    from bears_spark.io.delta_log import DeltaTableReader
+
+    o = load_table(spark, sf_dir, "orders")
+    data_root = tempfile.mkdtemp(prefix="delta_s3_")
+    try:
+        commits = {}
+        for v, parity in ((0, 0), (1, 1)):
+            o.filter(F.col("o_orderkey") % 2 == parity).write.parquet(
+                f"{data_root}/p{parity}"
+            )
+            commits[v] = sorted(
+                f"{data_root}/p{parity}/{n}"
+                for n in _os.listdir(f"{data_root}/p{parity}")
+                if n.endswith(".parquet")
+            )
+        store = InMemoryCommitStore()
+        tbl = "s3://bench-bucket/orders_delta"
+        c0 = [
+            {"protocol": {"minReaderVersion": 1}},
+            {"metaData": {"id": "s3rt", "format": {"provider": "parquet", "options": {}},
+                          "schemaString": o.schema.json(), "partitionColumns": [],
+                          "configuration": {}, "createdTime": 0}},
+        ] + [{"add": {"path": p, "partitionValues": {}, "size": 1,
+                      "modificationTime": 0, "dataChange": True}} for p in commits[0]]
+        c1 = [{"add": {"path": p, "partitionValues": {}, "size": 1,
+                       "modificationTime": 0, "dataChange": True}} for p in commits[1]]
+        for v, actions in ((0, c0), (1, c1)):
+            store.replace(
+                f"{tbl}/_delta_log/{v:020d}.json",
+                "\n".join(_json.dumps(a) for a in actions).encode(),
+            )
+        r = DeltaTableReader(spark, tbl, store=store)
+        rows = (
+            r.read()
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double"), 6
+                ).alias("total"),
+            )
+            .orderBy("o_orderpriority")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(data_root, ignore_errors=True)
+    return spark.createDataFrame(rows, "o_orderpriority string, n bigint, total double")
+
+
+ORDERS_DELTA_S3_SQL = """
+SELECT o_orderpriority, count(*) AS n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 6) AS total
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+QUERIES["orders_delta_s3_read"] = orders_delta_s3_read
+ORACLES["orders_delta_s3_read"] = ORDERS_DELTA_S3_SQL
+
+
+# --------------------------------------------------------------------------
+# orders_iceberg_renamed_col: Iceberg schema evolution graded end to end —
+# a column renamed in table metadata (field ids stable, names moved) with a
+# data file written BEFORE the rename; the reader must serve the column
+# under its NEW name by parquet field-id projection, exactly what real
+# Iceberg readers do (name-matching would silently null the column). The
+# fixture parquet carries PARQUET:field_id metadata, as every
+# spec-compliant Iceberg writer does.
+def orders_iceberg_renamed_col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os as _os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bears_spark.io.avro_generic import write_container
+    from bears_spark.io.iceberg_log import IcebergTableReader
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    # fixture build: a spec-compliant Iceberg writer's output is simulated
+    # driver-side because Spark's own parquet writer does not stamp field
+    # ids — 3 narrow columns, bounded well below manifest-metadata scale
+    pdf = o.orderBy("o_orderkey").toPandas()
+    root = tempfile.mkdtemp(prefix="iceberg_ren_")
+    try:
+        _os.makedirs(root + "/metadata")
+        _os.makedirs(root + "/data")
+        fields = [
+            pa.field("o_orderkey", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("o_orderstatus", pa.string(), metadata={b"PARQUET:field_id": b"2"}),
+            pa.field("o_totalprice", pa.float64(), metadata={b"PARQUET:field_id": b"3"}),
+        ]
+        fp = f"{root}/data/prerename.parquet"
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=pa.schema(fields), preserve_index=False),
+            fp,
+        )
+        man_schema = {
+            "type": "record", "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int"},
+                {"name": "data_file", "type": {
+                    "type": "record", "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "record_count", "type": "long"},
+                    ],
+                }},
+            ],
+        }
+        mpath = f"{root}/metadata/m1.avro"
+        with open(mpath, "wb") as f:
+            f.write(write_container(man_schema, [
+                {"status": 1, "data_file": {"content": 0, "file_path": fp,
+                                            "file_format": "PARQUET",
+                                            "record_count": len(pdf)}},
+            ]))
+        mlist_schema = {
+            "type": "record", "name": "manifest_file",
+            "fields": [
+                {"name": "manifest_path", "type": "string"},
+                {"name": "manifest_length", "type": "long"},
+                {"name": "content", "type": "int"},
+                {"name": "added_snapshot_id", "type": ["null", "long"]},
+            ],
+        }
+        mlpath = f"{root}/metadata/ml1.avro"
+        with open(mlpath, "wb") as f:
+            f.write(write_container(mlist_schema, [
+                {"manifest_path": mpath, "manifest_length": 1, "content": 0,
+                 "added_snapshot_id": 1},
+            ]))
+        meta = {
+            "format-version": 2, "table-uuid": "ren", "location": root,
+            "current-snapshot-id": 1,
+            "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": mlpath}],
+            "schemas": [
+                {"schema-id": 0, "type": "struct", "fields": [
+                    {"id": 1, "name": "o_orderkey", "required": False, "type": "long"},
+                    {"id": 2, "name": "o_orderstatus", "required": False, "type": "string"},
+                    {"id": 3, "name": "o_totalprice", "required": False, "type": "double"},
+                ]},
+                # rename: o_totalprice -> total_price (ids stable)
+                {"schema-id": 1, "type": "struct", "fields": [
+                    {"id": 1, "name": "o_orderkey", "required": False, "type": "long"},
+                    {"id": 2, "name": "o_orderstatus", "required": False, "type": "string"},
+                    {"id": 3, "name": "total_price", "required": False, "type": "double"},
+                ]},
+            ],
+            "current-schema-id": 1,
+        }
+        with open(f"{root}/metadata/v1.metadata.json", "w") as f:
+            _json.dump(meta, f)
+        with open(f"{root}/metadata/version-hint.text", "w") as f:
+            f.write("1")
+        back = IcebergTableReader(spark, root).read()
+        rows = (
+            back.groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(
+                    F.sum(F.col("total_price").cast("decimal(30,6)")).cast("double"), 6
+                ).alias("total_price_sum"),
+            )
+            .orderBy("o_orderstatus")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n bigint, total_price_sum double"
+    )
+
+
+ORDERS_ICEBERG_RENAMED_SQL = """
+SELECT o_orderstatus, count(*) AS n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 6)
+         AS total_price_sum
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+QUERIES["orders_iceberg_renamed_col"] = orders_iceberg_renamed_col
+ORACLES["orders_iceberg_renamed_col"] = ORDERS_ICEBERG_RENAMED_SQL
+
+
+# --------------------------------------------------------------------------
 # orders_optimize_skipping: OPTIMIZE ZORDER graded end-to-end — four
 # arrival-ordered (hash-shuffled) micro-batch commits, then
 # optimize_clustered on (o_custkey, o_orderdate); the stats-pruned read
