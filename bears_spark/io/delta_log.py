@@ -680,59 +680,204 @@ class DeltaTableReader:
         )
 
 
-def export_delta_log(table, out_path: str) -> str:
+def _export_add_action(table_root: str, entry) -> dict:
+    """Hard-link (copy on link failure) one SnapshotTable file into the
+    export root and build its Delta add action. The source file's basename
+    is stamped into ``tags.src`` so INCREMENTAL re-exports can diff the
+    exported state against the table's current manifest without rereading
+    data."""
+    import shutil
+    import uuid as _uuid
+
+    name = f"part-{_uuid.uuid4().hex}.snappy.parquet"
+    dst = os.path.join(table_root, name)
+    try:
+        os.link(entry.path, dst)
+    except OSError:
+        shutil.copy2(entry.path, dst)
+    # carry the manifest's plain (non-encoded) min/max into Delta stats
+    # so Delta readers — including ours — keep file skipping
+    mins = {c: s["min"] for c, s in entry.stats.items() if not isinstance(s.get("min"), dict)}
+    maxs = {c: s["max"] for c, s in entry.stats.items() if not isinstance(s.get("max"), dict)}
+    return {
+        "path": name,
+        "partitionValues": {},
+        "size": os.path.getsize(dst),
+        "modificationTime": 0,
+        "dataChange": True,
+        "tags": {"src": os.path.basename(entry.path)},
+        "stats": json.dumps(
+            {"numRecords": entry.rows, "minValues": mins, "maxValues": maxs}
+        ),
+    }
+
+
+def _write_delta_checkpoint(out_path: str, version: int, meta: dict, adds: list[dict]) -> None:
+    """Write a classic single-file parquet checkpoint for ``version`` plus
+    the ``_last_checkpoint`` pointer, so readers of a long export history
+    replay one parquet file + the commit suffix instead of every JSON
+    commit (and list only past the checkpoint — the pointer's whole
+    point)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    proto_t = pa.struct([("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())])
+    meta_t = pa.struct(
+        [("id", pa.string()), ("format", pa.struct([("provider", pa.string())])),
+         ("schemaString", pa.string()), ("partitionColumns", pa.list_(pa.string())),
+         ("createdTime", pa.int64())]
+    )
+    add_t = pa.struct(
+        [("path", pa.string()), ("partitionValues", pa.map_(pa.string(), pa.string())),
+         ("size", pa.int64()), ("modificationTime", pa.int64()),
+         ("dataChange", pa.bool_()), ("tags", pa.map_(pa.string(), pa.string())),
+         ("stats", pa.string())]
+    )
+    n = len(adds) + 2
+    meta_row = {
+        "id": meta["id"], "format": {"provider": "parquet"},
+        "schemaString": meta["schemaString"], "partitionColumns": [],
+        "createdTime": int(meta.get("createdTime") or 0),
+    }
+    add_rows = [
+        {"path": a["path"], "partitionValues": [], "size": a["size"],
+         "modificationTime": a["modificationTime"], "dataChange": False,
+         "tags": sorted((a.get("tags") or {}).items()), "stats": a.get("stats")}
+        for a in adds
+    ]
+    tbl = pa.table({
+        "protocol": pa.array(
+            [{"minReaderVersion": 1, "minWriterVersion": 2}] + [None] * (n - 1), proto_t
+        ),
+        "metaData": pa.array([None, meta_row] + [None] * len(adds), meta_t),
+        "add": pa.array([None, None] + add_rows, add_t),
+    })
+    log_dir = os.path.join(out_path, "_delta_log")
+    pq.write_table(tbl, os.path.join(log_dir, f"{version:020d}.checkpoint.parquet"))
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
+        json.dump({"version": version, "size": n}, f)
+
+
+def export_delta_log(table, out_path: str, checkpoint: bool = False) -> str:
     """Export a :class:`~bears_spark.io.snapshot_table.SnapshotTable`'s
     CURRENT version as a Delta-readable table at ``out_path``: data files
-    are hard-linked (copied on link failure) into the new root and a
-    single-commit ``_delta_log`` references them — any Delta reader
-    (delta-spark, DuckDB delta, polars) can then read the snapshot.
-    Returns ``out_path``. One-shot snapshot export, not continuous
-    replication: re-export after new commits."""
-    import shutil
+    are hard-linked (copied on link failure) into the export root and a
+    ``_delta_log`` references them — any Delta reader (delta-spark, DuckDB
+    delta, polars) can then read the snapshot. Returns ``out_path``.
+
+    CONTINUOUS replication: when ``out_path`` already carries a Delta log
+    from a previous export, a DIFF commit is appended instead — only files
+    NEW in the table's manifest are linked and added, files gone from it
+    are tombstoned (``remove``), and unchanged files are untouched, so the
+    export cost is O(churn), the same contract the snapshot table's own
+    incremental consumers get. A schema change re-emits ``metaData``.
+
+    ``checkpoint=True`` also writes a classic single-file parquet
+    checkpoint at the new version plus the ``_last_checkpoint`` pointer, so
+    a reader of a long export history replays one parquet file + nothing,
+    and lists only the post-checkpoint log suffix."""
     import uuid as _uuid
 
     df = table.read()
     schema_str = df.schema.json()
-    os.makedirs(os.path.join(out_path, "_delta_log"), exist_ok=True)
-    actions = [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
-        {
-            "metaData": {
-                "id": _uuid.uuid4().hex,
-                "format": {"provider": "parquet", "options": {}},
-                "schemaString": schema_str,
-                "partitionColumns": [],
-                "configuration": {},
-                "createdTime": 0,
-            }
-        },
-    ]
-    for e in table.files():
-        name = f"part-{_uuid.uuid4().hex}.snappy.parquet"
-        dst = os.path.join(out_path, name)
-        try:
-            os.link(e.path, dst)
-        except OSError:
-            shutil.copy2(e.path, dst)
-        # carry the manifest's plain (non-encoded) min/max into Delta stats
-        # so Delta readers — including ours — keep file skipping
-        mins = {c: s["min"] for c, s in e.stats.items() if not isinstance(s.get("min"), dict)}
-        maxs = {c: s["max"] for c, s in e.stats.items() if not isinstance(s.get("max"), dict)}
-        actions.append(
-            {
-                "add": {
-                    "path": name,
-                    "partitionValues": {},
-                    "size": os.path.getsize(dst),
-                    "modificationTime": 0,
-                    "dataChange": True,
-                    "stats": json.dumps(
-                        {"numRecords": e.rows, "minValues": mins, "maxValues": maxs}
-                    ),
-                }
-            }
+    log_dir = os.path.join(out_path, "_delta_log")
+    existing = os.path.isdir(log_dir) and any(
+        _COMMIT_RE.match(n) or _CHECKPOINT_RE.match(n) or _CHECKPOINT_V2_RE.match(n)
+        for n in os.listdir(log_dir)
+    )
+    os.makedirs(log_dir, exist_ok=True)
+    entries = {os.path.basename(e.path): e for e in table.files()}
+    if not existing:
+        meta = {
+            "id": _uuid.uuid4().hex,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_str,
+            "partitionColumns": [],
+            "configuration": {},
+            "createdTime": 0,
+        }
+        actions = [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                   {"metaData": meta}]
+        adds = [_export_add_action(out_path, e) for e in entries.values()]
+        actions += [{"add": a} for a in adds]
+        version = 0
+    else:
+        # replay the existing export state driver-side (local metadata)
+        tmp = _ExportReplay(out_path)
+        prev_meta, prev_adds = tmp.state()
+        version = tmp.version + 1
+        by_src: dict[str, tuple[str, dict]] = {}
+        untagged: list[str] = []  # pre-tags exporter output: not diffable
+        for p, a in prev_adds.items():
+            src = (a.get("tags") or {}).get("src")
+            if src:
+                by_src[src] = (p, a)
+            else:
+                untagged.append(p)
+        actions = []
+        meta = prev_meta
+        if prev_meta.get("schemaString") != schema_str:
+            meta = dict(prev_meta)
+            meta["schemaString"] = schema_str
+            actions.append({"metaData": meta})
+        gone = sorted(untagged) + sorted(
+            p for src, (p, _) in by_src.items() if src not in entries
         )
-    with open(os.path.join(out_path, "_delta_log", f"{0:020d}.json"), "w") as f:
+        removes = [
+            {"remove": {"path": p, "dataChange": True, "deletionTimestamp": 0}}
+            for p in gone
+        ]
+        new_adds = [
+            _export_add_action(out_path, e)
+            for src, e in sorted(entries.items())
+            if src not in by_src
+        ]
+        actions += removes + [{"add": a} for a in new_adds]
+        adds = [
+            a for src, (p, a) in sorted(by_src.items()) if src in entries
+        ] + new_adds
+    with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as f:
         for a in actions:
             f.write(json.dumps(a) + "\n")
+    if checkpoint:
+        _write_delta_checkpoint(out_path, version, meta, adds)
     return out_path
+
+
+class _ExportReplay:
+    """Driver-side replay of a previously-exported (local) Delta log —
+    just enough state for export_delta_log's incremental diff: the latest
+    version, metaData, and live add actions."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self.log_dir = os.path.join(path, "_delta_log")
+        versions = []
+        for name in os.listdir(self.log_dir):
+            m = _COMMIT_RE.match(name)
+            if m:
+                versions.append(int(m.group(1)))
+        if not versions:
+            raise DeltaLogError(f"no commits under {self.log_dir}")
+        self.version = max(versions)
+        self._versions = sorted(versions)
+
+    def state(self) -> tuple[dict, dict[str, dict]]:
+        meta: dict = {}
+        adds: dict[str, dict] = {}
+        for v in self._versions:
+            with open(os.path.join(self.log_dir, f"{v:020d}.json")) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    action = json.loads(line)
+                    if "metaData" in action:
+                        meta = action["metaData"]
+                    elif "add" in action:
+                        adds[action["add"]["path"]] = action["add"]
+                    elif "remove" in action:
+                        adds.pop(action["remove"]["path"], None)
+        if not meta:
+            raise DeltaLogError("no metaData in the exported Delta log")
+        return meta, adds

@@ -857,3 +857,76 @@ def test_roaring_run_cookie_giant_container_count():
     values, consumed = _deserialize_roaring32(bytes(buf), 0)
     assert consumed == len(buf)
     assert values == [i << 16 for i in range(n)]
+
+
+def test_export_delta_incremental_and_checkpoint(spark, tmp_path):
+    """export_delta_log is a continuous replicator: re-export after table
+    churn appends a DIFF commit (O(churn): only new files linked, gone files
+    tombstoned, survivors untouched), and checkpoint=True writes a classic
+    checkpoint + _last_checkpoint pointer that serves the reader's fast
+    path."""
+    from bears_spark.io.metafs import LocalMetaFS
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "exsrc"))
+    t.overwrite(spark.range(0, 50).select(F.col("id"), (F.col("id") * 2.0).alias("v")).coalesce(1))
+    out = str(tmp_path / "exdst")
+    export_delta_log(t, out, checkpoint=True)
+    r0 = DeltaTableReader(spark, out)
+    assert r0.latest_version() == 0
+    assert os.path.exists(os.path.join(out, "_delta_log", "_last_checkpoint"))
+    assert r0.read().count() == 50
+
+    # churn: one appended file; re-export must add exactly ONE new data file
+    before = {n for n in os.listdir(out) if n.endswith(".parquet")}
+    t.append(spark.range(50, 80).select(F.col("id"), (F.col("id") * 2.0).alias("v")).coalesce(1))
+    export_delta_log(t, out, checkpoint=True)
+    after = {n for n in os.listdir(out) if n.endswith(".parquet")}
+    assert len(after - before) == 1  # O(churn), not a re-link of everything
+    r1 = DeltaTableReader(spark, out)
+    assert r1.latest_version() == 1
+    got = sorted(x["id"] for x in r1.read().collect())
+    assert got == list(range(80))
+    # the v1 commit carries only the diff
+    with open(os.path.join(out, "_delta_log", f"{1:020d}.json")) as f:
+        acts = [json.loads(l) for l in f if l.strip()]
+    assert sum(1 for a in acts if "add" in a) == 1
+    assert not any("remove" in a for a in acts)
+
+    # deletion churn: rewrite the table smaller; diff commit tombstones
+    t.overwrite(spark.range(0, 10).select(F.col("id"), (F.col("id") * 2.0).alias("v")).coalesce(1))
+    export_delta_log(t, out, checkpoint=True)
+    r2 = DeltaTableReader(spark, out)
+    assert r2.latest_version() == 2
+    assert sorted(x["id"] for x in r2.read().collect()) == list(range(10))
+    with open(os.path.join(out, "_delta_log", f"{2:020d}.json")) as f:
+        acts = [json.loads(l) for l in f if l.strip()]
+    assert any("remove" in a for a in acts)
+
+    # the checkpoint + pointer serve the fast path: no full log listing
+    spy = _SpyFS(LocalMetaFS())
+    r3 = DeltaTableReader(spark, out)
+    r3.fs = spy
+    assert r3.read().count() == 10
+    assert spy.listdir_calls and all(sa is not None for _, sa in spy.listdir_calls)
+
+    # time travel across export generations still works
+    assert sorted(x["id"] for x in r3.read(version=1).collect()) == list(range(80))
+
+
+def test_export_delta_incremental_schema_change(spark, tmp_path):
+    """A schema change between exports re-emits metaData; the reader serves
+    the new schema."""
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "exs2"))
+    t.overwrite(spark.range(0, 5).select(F.col("id")).coalesce(1))
+    out = str(tmp_path / "exd2")
+    export_delta_log(t, out)
+    t.overwrite(
+        spark.range(0, 5).select(F.col("id"), (F.col("id") * 1.5).alias("w")).coalesce(1)
+    )
+    export_delta_log(t, out)
+    r = DeltaTableReader(spark, out)
+    assert r.schema().fieldNames() == ["id", "w"]
+    assert r.read().count() == 5
