@@ -269,25 +269,64 @@ class IcebergTableReader:
                     raise IcebergLogError("data file in a delete manifest; refusing")
         return sorted(data, key=lambda t: t[1]), sorted(pos_deletes), sorted(eq_deletes)
 
+    def _identity_partition_names(self, fid: int) -> list[str]:
+        """Partition-spec field names that are IDENTITY transforms of source
+        field ``fid`` — for those, the manifest's per-file partition tuple
+        value IS the column value for every row in the file, so a predicate
+        can be evaluated against it directly (the pruning real Iceberg
+        planners do before ever looking at column bounds). Non-identity
+        transforms (bucket/truncate/day/...) are conservatively ignored."""
+        specs = self.meta.get("partition-specs") or (
+            [{"fields": self.meta["partition-spec"]}] if self.meta.get("partition-spec") else []
+        )
+        names = []
+        for spec in specs:
+            for pf in spec.get("fields", []):
+                if str(pf.get("transform")) == "identity" and int(pf.get("source-id", -1)) == fid:
+                    names.append(str(pf.get("name")))
+        return names
+
+    @staticmethod
+    def _partition_reject(dfe: dict, part_names: list[str], op: str, value) -> bool:
+        """True when the file's partition tuple PROVES no row matches: for an
+        identity-transform partition field the tuple value applies to every
+        row, so any comparison is decidable file-wide. Null/missing tuple
+        values keep the file (conservative), as do cross-type comparisons."""
+        part = dfe.get("partition")
+        if not isinstance(part, dict):
+            return False
+        for name in part_names:
+            pv = part.get(name)
+            if pv is None:
+                continue
+            try:
+                if not _OPS[op](pv, value):
+                    return True
+            except TypeError:
+                continue
+        return False
+
     def _where_keep(self, data_entries: list[tuple], where: tuple) -> list[tuple]:
         """Stats-based file skipping: drop entries whose manifest
-        lower/upper bounds PROVE no row matches ``(col, op, value)``.
-        Missing bounds, unknown columns, undecodable types and cross-type
-        comparisons all keep the file — pruning is an optimization, never a
-        filter (the residual predicate is applied at read())."""
+        lower/upper bounds — or identity-transform partition tuple values —
+        PROVE no row matches ``(col, op, value)``. Missing bounds, unknown
+        columns, undecodable types and cross-type comparisons all keep the
+        file — pruning is an optimization, never a filter (the residual
+        predicate is applied at read())."""
         col, op, value = where
         if op not in _OPS:
             raise ValueError(f"unsupported operator {op!r}")
-        schemas = self.meta.get("schemas") or [self.meta.get("schema") or {}]
-        cur_id = self.meta.get("current-schema-id", 0)
-        schema = next((s for s in schemas if s.get("schema-id", 0) == cur_id), schemas[0])
+        schema = self._current_schema()
         field = next((f for f in schema.get("fields", []) if f.get("name") == col), None)
         if field is None or not isinstance(field.get("type"), str) or "id" not in field:
             return data_entries
         fid, ice_type = int(field["id"]), field["type"]
+        part_names = self._identity_partition_names(fid)
         kept = []
         for entry in data_entries:
             dfe = entry[3]
+            if part_names and self._partition_reject(dfe, part_names, op, value):
+                continue
             lo_raw = _bounds_map(dfe, "lower_bounds").get(fid)
             hi_raw = _bounds_map(dfe, "upper_bounds").get(fid)
             lo = _decode_bound(lo_raw, ice_type) if lo_raw is not None else None

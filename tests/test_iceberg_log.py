@@ -688,3 +688,78 @@ def test_iceberg_relative_root_positional_deletes(spark, tmp_path, monkeypatch):
     r = IcebergTableReader(spark, "icerel")
     assert r.path == root
     assert sorted(x["id"] for x in r.read().collect()) == [1, 3]
+
+
+_MANIFEST_PART_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "r2p",
+            "fields": [
+                {"name": "content", "type": "int"},
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "record_count", "type": "long"},
+                {"name": "partition", "type": ["null", {
+                    "type": "record", "name": "r102",
+                    "fields": [
+                        {"name": "lang", "type": ["null", "string"]},
+                        {"name": "day", "type": ["null", "int"]},
+                    ],
+                }]},
+            ],
+        }},
+    ],
+}
+
+
+def test_iceberg_identity_partition_pruning(spark, tmp_path):
+    """Identity-transform partition tuple values prune files for equality
+    AND range predicates (the partition value holds for every row of the
+    file); null tuple values and non-identity transforms keep the file;
+    results never change vs the unpruned read."""
+    root = _mk_table(tmp_path, "icepart")
+    f_en = _data_file(root, "en.parquet", [1, 2], ["en", "en"])
+    f_de = _data_file(root, "de.parquet", [3], ["de"])
+    f_nul = _data_file(root, "nul.parquet", [4], ["fr"])
+    mp = os.path.join(root, "metadata", "mpart.avro")
+    recs = [
+        {"status": 1, "data_file": {"content": 0, "file_path": f_en,
+                                    "file_format": "PARQUET", "record_count": 2,
+                                    "partition": {"lang": "en", "day": 3}}},
+        {"status": 1, "data_file": {"content": 0, "file_path": f_de,
+                                    "file_format": "PARQUET", "record_count": 1,
+                                    "partition": {"lang": "de", "day": 7}}},
+        # null partition tuple: conservative keep
+        {"status": 1, "data_file": {"content": 0, "file_path": f_nul,
+                                    "file_format": "PARQUET", "record_count": 1,
+                                    "partition": None}},
+    ]
+    with open(mp, "wb") as f:
+        f.write(write_container(_MANIFEST_PART_SCHEMA, recs))
+    ml = _manifest_list(root, "ml.avro", [mp])
+    _metadata(root, [{"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": ml}], current=1)
+    # extend the metadata with a partition spec: lang identity of field 2,
+    # day identity of a field NOT in the schema (id 9; pruning must still
+    # work for lang and ignore day probes by name)
+    meta_path = os.path.join(root, "metadata", "v1.metadata.json")
+    meta = json.load(open(meta_path))
+    meta["partition-specs"] = [{"spec-id": 0, "fields": [
+        {"name": "lang", "transform": "identity", "source-id": 2, "field-id": 1000},
+        {"name": "bucket_id", "transform": "bucket[4]", "source-id": 1, "field-id": 1001},
+    ]}]
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+
+    r = IcebergTableReader(spark, root)
+    assert len(r.files()) == 3
+    # equality prune: de file provably excluded, null-tuple file kept
+    kept = r.files(where=("lang", "=", "en"))
+    assert f_en in kept and f_de not in kept and f_nul in kept
+    # non-identity transform (bucket) never prunes
+    assert len(r.files(where=("id", "=", 1))) == 3
+    # pruning is an optimization, never a filter: values identical
+    assert sorted(x["id"] for x in r.read(where=("lang", "=", "en")).collect()) == [1, 2]
+    assert sorted(x["id"] for x in r.read(where=("lang", "=", "fr")).collect()) == [4]
