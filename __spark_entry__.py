@@ -302,6 +302,7 @@ _ROUND8_ADDED: list[str] = [
     "orders_delta_s3_read",
     "orders_iceberg_renamed_col",
     "orders_delta_dv_read",
+    "orders_mor_delete",
 ]
 ROUND9_NEVER_GRADED = [
     n for n in ROUND8_NEVER_GRADED[42:] if n != "orders_delta_dv_roundtrip"

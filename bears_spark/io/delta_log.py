@@ -649,43 +649,50 @@ class DeltaTableReader:
         BYTES are resolved driver-side (manifest-proportional, the same cost
         model as log replay) and shipped as one binary row per file; the
         positions explode to rows in EXECUTORS, chunked, so a billion-row
-        delete set never materializes on the driver."""
-        import pandas as pd
+        delete set never materializes on the driver (io/dv.py)."""
+        from bears_spark.io.dv import dv_anti_join
 
-        rows = [
+        blobs = [
             (os.path.join(self.path, unquote(p)), self._dv_bytes(d))
             for p, d in sorted(dvs.items())
         ]
-        dvdf = self.spark.createDataFrame(rows, "__dv_path__ string, __dv_blob__ binary")
-        if len(rows) > 1:
-            dvdf = dvdf.repartition(min(len(rows), 64))
+        return dv_anti_join(self.spark, df, blobs, "__dl_fp__", "__dl_pos__")
 
-        def _explode(batches):
-            from bears_spark.io.roaring import deserialize_rba
 
-            for pdf in batches:
-                for path, blob in zip(pdf["__dv_path__"], pdf["__dv_blob__"]):
-                    pos = deserialize_rba(bytes(blob))
-                    for i in range(0, len(pos), 65536):
-                        yield pd.DataFrame(
-                            {"__dv_path__": path, "__dv_pos__": pos[i : i + 65536]}
-                        )
+def _export_dv_descriptor(table_root: str, dv: dict) -> dict:
+    """Hard-link (copy on link failure) a snapshot table's DV blob into the
+    export root under Delta's ``deletion_vector_<uuid>.bin`` naming and
+    build the spec descriptor. The on-disk framing is already Delta's
+    (io/dv.py writes version byte + [len][data][crc]), so the link IS the
+    conversion."""
+    import shutil
+    import uuid as _uuid
 
-        positions = dvdf.mapInPandas(_explode, "__dv_path__ string, __dv_pos__ long")
-        norm = F.regexp_replace(F.col("__dl_fp__"), "^file:/+", "/")
-        return df.join(
-            positions,
-            (norm == F.col("__dv_path__")) & (F.col("__dl_pos__") == F.col("__dv_pos__")),
-            "left_anti",
-        )
+    from bears_spark.io.roaring import z85_encode
+
+    u = _uuid.uuid4()
+    dst = os.path.join(table_root, f"deletion_vector_{u}.bin")
+    try:
+        os.link(dv["path"], dst)
+    except OSError:
+        shutil.copy2(dv["path"], dst)
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": z85_encode(u.bytes),
+        "offset": int(dv["offset"]),
+        "sizeInBytes": int(dv["sizeInBytes"]),
+        "cardinality": int(dv["cardinality"]),
+    }
 
 
 def _export_add_action(table_root: str, entry) -> dict:
     """Hard-link (copy on link failure) one SnapshotTable file into the
     export root and build its Delta add action. The source file's basename
-    is stamped into ``tags.src`` so INCREMENTAL re-exports can diff the
-    exported state against the table's current manifest without rereading
-    data."""
+    is stamped into ``tags.src`` (and its DV's into ``tags.dvsrc``) so
+    INCREMENTAL re-exports can diff the exported state against the table's
+    current manifest without rereading data. A merge-on-read deletion
+    vector exports as a native Delta DV descriptor — same bitmap bytes,
+    same framing."""
     import shutil
     import uuid as _uuid
 
@@ -696,20 +703,28 @@ def _export_add_action(table_root: str, entry) -> dict:
     except OSError:
         shutil.copy2(entry.path, dst)
     # carry the manifest's plain (non-encoded) min/max into Delta stats
-    # so Delta readers — including ours — keep file skipping
+    # so Delta readers — including ours — keep file skipping. With a DV the
+    # bounds are non-tight supersets (numRecords stays PHYSICAL rows), which
+    # Delta permits — pruning correctness only needs supersets.
     mins = {c: s["min"] for c, s in entry.stats.items() if not isinstance(s.get("min"), dict)}
     maxs = {c: s["max"] for c, s in entry.stats.items() if not isinstance(s.get("max"), dict)}
-    return {
+    tags = {"src": os.path.basename(entry.path)}
+    action = {
         "path": name,
         "partitionValues": {},
         "size": os.path.getsize(dst),
         "modificationTime": 0,
         "dataChange": True,
-        "tags": {"src": os.path.basename(entry.path)},
+        "tags": tags,
         "stats": json.dumps(
             {"numRecords": entry.rows, "minValues": mins, "maxValues": maxs}
         ),
     }
+    dv = getattr(entry, "dv", None)
+    if dv:
+        tags["dvsrc"] = os.path.basename(dv["path"])
+        action["deletionVector"] = _export_dv_descriptor(table_root, dv)
+    return action
 
 
 def _write_delta_checkpoint(out_path: str, version: int, meta: dict, adds: list[dict]) -> None:
@@ -727,11 +742,16 @@ def _write_delta_checkpoint(out_path: str, version: int, meta: dict, adds: list[
          ("schemaString", pa.string()), ("partitionColumns", pa.list_(pa.string())),
          ("createdTime", pa.int64())]
     )
+    dv_t = pa.struct(
+        [("storageType", pa.string()), ("pathOrInlineDv", pa.string()),
+         ("offset", pa.int32()), ("sizeInBytes", pa.int32()),
+         ("cardinality", pa.int64())]
+    )
     add_t = pa.struct(
         [("path", pa.string()), ("partitionValues", pa.map_(pa.string(), pa.string())),
          ("size", pa.int64()), ("modificationTime", pa.int64()),
          ("dataChange", pa.bool_()), ("tags", pa.map_(pa.string(), pa.string())),
-         ("stats", pa.string())]
+         ("stats", pa.string()), ("deletionVector", dv_t)]
     )
     n = len(adds) + 2
     meta_row = {
@@ -742,12 +762,16 @@ def _write_delta_checkpoint(out_path: str, version: int, meta: dict, adds: list[
     add_rows = [
         {"path": a["path"], "partitionValues": [], "size": a["size"],
          "modificationTime": a["modificationTime"], "dataChange": False,
-         "tags": sorted((a.get("tags") or {}).items()), "stats": a.get("stats")}
+         "tags": sorted((a.get("tags") or {}).items()), "stats": a.get("stats"),
+         "deletionVector": a.get("deletionVector")}
         for a in adds
     ]
+    reader_v = 3 if any(a.get("deletionVector") for a in adds) else 1
+    writer_v = 7 if reader_v == 3 else 2
     tbl = pa.table({
         "protocol": pa.array(
-            [{"minReaderVersion": 1, "minWriterVersion": 2}] + [None] * (n - 1), proto_t
+            [{"minReaderVersion": reader_v, "minWriterVersion": writer_v}]
+            + [None] * (n - 1), proto_t
         ),
         "metaData": pa.array([None, meta_row] + [None] * len(adds), meta_t),
         "add": pa.array([None, None] + add_rows, add_t),
@@ -787,6 +811,13 @@ def export_delta_log(table, out_path: str, checkpoint: bool = False) -> str:
     )
     os.makedirs(log_dir, exist_ok=True)
     entries = {os.path.basename(e.path): e for e in table.files()}
+    # merge-on-read tables export native Delta DVs, which need the v3
+    # reader protocol; DV-free tables stay maximally readable at v1
+    dv_protocol = {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"], "writerFeatures": ["deletionVectors"],
+    }
+    has_dvs = any(getattr(e, "dv", None) for e in entries.values())
     if not existing:
         meta = {
             "id": _uuid.uuid4().hex,
@@ -796,8 +827,8 @@ def export_delta_log(table, out_path: str, checkpoint: bool = False) -> str:
             "configuration": {},
             "createdTime": 0,
         }
-        actions = [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
-                   {"metaData": meta}]
+        proto = dv_protocol if has_dvs else {"minReaderVersion": 1, "minWriterVersion": 2}
+        actions = [{"protocol": proto}, {"metaData": meta}]
         adds = [_export_add_action(out_path, e) for e in entries.values()]
         actions += [{"add": a} for a in adds]
         version = 0
@@ -815,6 +846,8 @@ def export_delta_log(table, out_path: str, checkpoint: bool = False) -> str:
             else:
                 untagged.append(p)
         actions = []
+        if has_dvs:
+            actions.append({"protocol": dv_protocol})  # in-place upgrade
         meta = prev_meta
         if prev_meta.get("schemaString") != schema_str:
             meta = dict(prev_meta)
@@ -827,15 +860,36 @@ def export_delta_log(table, out_path: str, checkpoint: bool = False) -> str:
             {"remove": {"path": p, "dataChange": True, "deletionTimestamp": 0}}
             for p in gone
         ]
-        new_adds = [
-            _export_add_action(out_path, e)
-            for src, e in sorted(entries.items())
-            if src not in by_src
-        ]
+        new_adds = []
+        kept = []
+        for src, e in sorted(entries.items()):
+            if src not in by_src:
+                new_adds.append(_export_add_action(out_path, e))
+                continue
+            p, a = by_src[src]
+            dv = getattr(e, "dv", None)
+            old_dvsrc = (a.get("tags") or {}).get("dvsrc")
+            new_dvsrc = os.path.basename(dv["path"]) if dv else None
+            if old_dvsrc == new_dvsrc:
+                kept.append(a)
+                continue
+            # deletion vector changed: Delta's own shape — remove the path
+            # and re-add the SAME exported parquet with the new descriptor
+            # (the data file is immutable; no re-link needed)
+            removes.append(
+                {"remove": {"path": p, "dataChange": True, "deletionTimestamp": 0}}
+            )
+            new_a = dict(a)
+            new_a["tags"] = dict(a.get("tags") or {})
+            if dv:
+                new_a["tags"]["dvsrc"] = new_dvsrc
+                new_a["deletionVector"] = _export_dv_descriptor(out_path, dv)
+            else:
+                new_a["tags"].pop("dvsrc", None)
+                new_a.pop("deletionVector", None)
+            new_adds.append(new_a)
         actions += removes + [{"add": a} for a in new_adds]
-        adds = [
-            a for src, (p, a) in sorted(by_src.items()) if src in entries
-        ] + new_adds
+        adds = kept + new_adds
     with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as f:
         for a in actions:
             f.write(json.dumps(a) + "\n")

@@ -1,0 +1,129 @@
+"""Shared deletion-vector machinery for merge-on-read deletes.
+
+One codec-and-join layer used by BOTH lakehouse surfaces:
+
+* :mod:`bears_spark.io.delta_log` — reading real Delta tables' deletion
+  vectors, and exporting snapshot tables that carry DVs as spec-conformant
+  Delta DV files (same on-disk framing, so export is a hard link).
+* :mod:`bears_spark.io.snapshot_table` — native merge-on-read deletes:
+  ``delete_where(..., mode="mor")`` writes a roaring bitmap of deleted row
+  positions per affected file instead of rewriting the file (O(delete set)
+  instead of O(affected bytes) — the reason Delta/Iceberg grew DVs for
+  sparse deletes on 100 TB tables).
+
+Cost model (the one Delta itself pays): DV BYTES resolve driver-side at
+manifest cost — kilobytes to low megabytes per file; the position sets
+explode to (file, pos) rows on EXECUTORS in bounded chunks and are removed
+with an equi-keyed left-anti join, so a billion-row delete set never
+touches the driver.
+
+File framing is Delta's (PROTOCOL.md "Deletion Vector File Storage
+Format"): a single format-version byte, then per vector
+``[int32 BE dataSize][RoaringBitmapArray data][int32 BE CRC-32]`` — see
+io/roaring.py for the bitmap codec itself.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bears_spark.io.roaring import (
+    DV_FILE_FORMAT_VERSION,
+    frame_dv,
+    serialize_rba,
+    unframe_dv,
+)
+
+
+def write_dv_file(path: str, positions: list[int]) -> dict:
+    """Serialize ``positions`` (deleted row indexes of ONE data file) as a
+    Delta-framed DV file at ``path``. Returns the descriptor fields a
+    manifest needs: ``{"path", "offset", "sizeInBytes", "cardinality"}``.
+    Positions are deduplicated by the roaring codec."""
+    data = serialize_rba(positions)
+    with open(path, "wb") as f:
+        f.write(bytes([DV_FILE_FORMAT_VERSION]) + frame_dv(data))
+    return {
+        "path": path,
+        "offset": 1,
+        "sizeInBytes": len(data),
+        "cardinality": len(set(positions)),
+    }
+
+
+def read_dv_blob(dv: dict, read_bytes=None) -> bytes:
+    """Load + checksum-verify one DV descriptor's RoaringBitmapArray bytes.
+    ``read_bytes`` overrides the byte source (FS seams); any framing/CRC
+    mismatch raises ValueError — refuse over misread."""
+    raw = read_bytes(dv["path"]) if read_bytes is not None else open(dv["path"], "rb").read()
+    if not raw or raw[0] != DV_FILE_FORMAT_VERSION:
+        raise ValueError(f"unsupported DV file format version {raw[:1]!r}")
+    return unframe_dv(raw, int(dv["offset"]), int(dv["sizeInBytes"]))
+
+
+def positions_df(spark: SparkSession, blobs: list[tuple[str, bytes]]) -> DataFrame:
+    """Explode serialized RoaringBitmapArray blobs to ``(__dv_path__,
+    __dv_pos__)`` rows ON EXECUTORS, 64k positions per Arrow batch. ``blobs``
+    is [(data file path, rba bytes)] — one small binary row per file."""
+    import pandas as pd
+
+    dvdf = spark.createDataFrame(blobs, "__dv_path__ string, __dv_blob__ binary")
+    if len(blobs) > 1:
+        dvdf = dvdf.repartition(min(len(blobs), 64))
+
+    def _explode(batches):
+        from bears_spark.io.roaring import deserialize_rba
+
+        for pdf in batches:
+            for path, blob in zip(pdf["__dv_path__"], pdf["__dv_blob__"]):
+                pos = deserialize_rba(bytes(blob))
+                for i in range(0, len(pos), 65536):
+                    yield pd.DataFrame(
+                        {"__dv_path__": path, "__dv_pos__": pos[i : i + 65536]}
+                    )
+
+    return dvdf.mapInPandas(_explode, "__dv_path__ string, __dv_pos__ long")
+
+
+def dv_anti_join(
+    spark: SparkSession,
+    tagged: DataFrame,
+    blobs: list[tuple[str, bytes]],
+    file_col: str,
+    pos_col: str,
+) -> DataFrame:
+    """Remove deleted positions from a metadata-tagged scan: left-anti join
+    on (data file path, row position). ``tagged`` must carry ``file_col``
+    (from ``_metadata.file_path``) and ``pos_col`` (``_metadata.row_index``);
+    file:/-URI forms are normalized so they compare with plain paths."""
+    positions = positions_df(spark, blobs)
+    norm = F.regexp_replace(F.col(file_col), "^file:/+", "/")
+    return tagged.join(
+        positions,
+        (norm == F.col("__dv_path__")) & (F.col(pos_col) == F.col("__dv_pos__")),
+        "left_anti",
+    )
+
+
+def scan_with_dvs(spark: SparkSession, entries, merge_schema: bool = True) -> DataFrame:
+    """Distributed scan of SnapshotTable file entries with their deletion
+    vectors applied. Entries without DVs take the plain parquet read (zero
+    overhead — byte-identical plan to the pre-DV engine); any DV-bearing
+    entry switches the scan to metadata-tagged merge-on-read."""
+    paths = [e.path for e in entries]
+    reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
+    dvs = [(os.path.abspath(e.path), e.dv) for e in entries if getattr(e, "dv", None)]
+    if not dvs:
+        return reader.parquet(*paths)
+    df = reader.parquet(*paths).select(
+        "*",
+        F.col("_metadata.file_path").alias("__st_fp__"),
+        F.col("_metadata.row_index").alias("__st_pos__"),
+    )
+    blobs = [(p, read_dv_blob(dv)) for p, dv in sorted(dvs)]
+    return dv_anti_join(spark, df, blobs, "__st_fp__", "__st_pos__").drop(
+        "__st_fp__", "__st_pos__"
+    )

@@ -80,8 +80,13 @@ class IncrementalAggView:
         return df
 
     # -- refresh ---------------------------------------------------------------
-    def _partial(self, paths: list[str], weight: int) -> DataFrame:
-        src = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+    def _partial(self, entries: list, weight: int) -> DataFrame:
+        # DV-aware scan: a merge-on-read delete changes a file's LIVE row set
+        # without changing its path, so the legs must read through the
+        # deletion vectors (io/dv.py) for the signed delta to be exact
+        from bears_spark.io.dv import scan_with_dvs
+
+        src = scan_with_dvs(self.spark, entries, merge_schema=True)
         aggs = [
             F.sum(F.col(c).cast("decimal(38,6)") * weight).alias(f"{c}_sum")
             for c in self.sum_cols
@@ -91,15 +96,20 @@ class IncrementalAggView:
     def refresh(self) -> int:
         """Bring the view up to the base's current version; returns the base
         version now reflected. No-op when already synced. Safe against
-        replays and racing refreshers via the (app, base_version) txn stamp."""
+        replays and racing refreshers via the (app, base_version) txn stamp.
+
+        File identity is (path, deletion-vector path) — both immutable — so
+        a merge-on-read delete shows up as removed-old-identity (subtract
+        the file's previous live rows) + added-new-identity (add its
+        remaining live rows): the net is exactly minus the deleted rows."""
         v_target = self.base.current_version()
         v_sync = self.synced_version()
         if v_target <= v_sync:
             return v_sync
-        old = {e.path for e in self.base.files(version=v_sync)} if v_sync else set()
-        new = {e.path for e in self.base.files(version=v_target)}
-        added = sorted(new - old)
-        removed = sorted(old - new)
+        old = {e.identity(): e for e in self.base.files(version=v_sync)} if v_sync else {}
+        new = {e.identity(): e for e in self.base.files(version=v_target)}
+        added = [new[i] for i in sorted(set(new) - set(old), key=str)]
+        removed = [old[i] for i in sorted(set(old) - set(new), key=str)]
 
         legs = []
         if added:

@@ -122,12 +122,30 @@ def _decode_stat(stat):
 @dataclass
 class FileEntry:
     path: str
-    rows: int
+    rows: int  # PHYSICAL rows in the file; live rows = rows - dv cardinality
     stats: dict = field(default_factory=dict)  # col -> {"min": v, "max": v}
     # col -> {"m": bits, "k": hashes, "bits": hex bitmap} — per-file Bloom
     # filters (Delta/Iceberg-style) for point-lookup pruning on columns whose
     # min/max ranges overlap across files (unclustered keys)
     blooms: dict = field(default_factory=dict)
+    # merge-on-read deletion vector (delete_where mode="mor"):
+    # {"path", "offset", "sizeInBytes", "cardinality"} — Delta-framed roaring
+    # bitmap of deleted row positions (io/dv.py). None = every row live.
+    # Stats/blooms stay valid SUPERSETS under a DV (pruning only ever skips
+    # files that provably contain no match). DV files are immutable: every
+    # new delete writes a fresh one, so (path, dv.path) is a snapshot-stable
+    # identity for conflict detection and incremental consumers.
+    dv: dict | None = None
+
+    @property
+    def live_rows(self) -> int:
+        return self.rows - (int(self.dv["cardinality"]) if self.dv else 0)
+
+    def identity(self) -> tuple[str, str | None]:
+        """Snapshot-stable content identity: the file path plus its DV file
+        (both immutable). Two manifests referencing the same identity hold
+        byte-identical LIVE row sets."""
+        return (self.path, self.dv["path"] if self.dv else None)
 
     def _bloom_rejects(self, col: str, value) -> bool:
         """True when the file's Bloom filter PROVES ``col = value`` matches no
@@ -422,15 +440,33 @@ class SnapshotTable:
             "append", lambda parent_m: [FileEntry(**e) for e in parent_m["files"]] + new
         )
 
-    def delete_where(self, col: str, op: str, value) -> int:
-        """Copy-on-write delete of rows matching ``col op value``: files whose
-        stats prove no match are carried over by reference; overlapping files
-        are rewritten with the matching rows filtered out. SQL DELETE
-        semantics: a NULL key never satisfies the predicate, so null-keyed
-        rows always survive (the survivor filter is ``NOT pred OR col IS
-        NULL`` — plain ``NOT pred`` is NULL for null keys and filter() would
-        silently drop them)."""
+    def delete_where(self, col: str, op: str, value, mode: str = "cow") -> int:
+        """Delete rows matching ``col op value``. SQL DELETE semantics: a
+        NULL key never satisfies the predicate, so null-keyed rows always
+        survive.
+
+        ``mode="cow"`` (default): copy-on-write — files whose stats prove no
+        match are carried by reference; overlapping files are rewritten with
+        the matching rows filtered out (the survivor filter is ``NOT pred OR
+        col IS NULL`` — plain ``NOT pred`` is NULL for null keys and
+        filter() would silently drop them). Rewriting also MATERIALIZES any
+        existing deletion vectors on the touched files.
+
+        ``mode="mor"``: merge-on-read — instead of rewriting, each affected
+        file gets an immutable roaring deletion vector of the newly-deleted
+        row positions (merged with its existing DV), written EXECUTOR-side
+        per file and committed as manifest metadata. Cost is O(delete set),
+        not O(affected bytes) — the Delta/Iceberg answer to sparse deletes
+        on 100 TB tables; reads apply DVs as a distributed (file, pos)
+        anti-join, and the next compact()/merge()/CoW-delete touching the
+        file materializes them away. A file whose every row is deleted is
+        dropped from the manifest outright."""
         from pyspark.sql import functions as F
+
+        if mode == "mor":
+            return self._delete_where_mor(col, op, value)
+        if mode != "cow":
+            raise ValueError(f"unknown delete mode {mode!r} (use 'cow' or 'mor')")
 
         def build(parent_m: dict) -> list[FileEntry]:
             prior = [FileEntry(**e) for e in parent_m["files"]]
@@ -439,13 +475,125 @@ class SnapshotTable:
             new = []
             if rewrite:
                 pred = _OPS[op](F.col(col), F.lit(value))
-                survivors = self.spark.read.parquet(*[e.path for e in rewrite]).filter(
+                survivors = self._scan(rewrite, merge_schema=False).filter(
                     ~pred | F.col(col).isNull()
                 )
                 new = self._write_files(survivors)
             return keep + new
 
         return self._commit("delete", build)
+
+    def _delete_where_mor(self, col: str, op: str, value, max_rebuild_attempts: int = 3) -> int:
+        """Merge-on-read delete (see delete_where). Each attempt reads the
+        current snapshot, computes matching (file, position) pairs among the
+        LIVE rows of stats-affected files, unions them with those files'
+        existing DV positions, and writes one fresh DV file per affected
+        file in a grouped executor pass (the driver sees one descriptor row
+        per file, never positions). The commit closure verifies every
+        affected (path, dv) identity is still present in the parent it
+        commits against — a concurrent writer that rewrote or re-deleted one
+        of them forces a rebuild, exactly compact()'s conflict rule, so two
+        racing MoR deletes can never lose each other's tombstones."""
+        import pandas as pd  # noqa: F401 — applyInPandas ships the closure
+        from pyspark.sql import functions as F
+
+        from bears_spark.io.dv import positions_df, read_dv_blob
+
+        class _Stale(Exception):
+            pass
+
+        for _ in range(max_rebuild_attempts):
+            parent_m = self._load_manifest()
+            prior = [FileEntry(**e) for e in parent_m["files"]]
+            affected = [e for e in prior if e.may_match(col, op, value)]
+            if not affected:
+                # SQL DELETE still commits a (no-op) version, like the CoW path
+                return self._commit(
+                    "delete-mor", lambda m: [FileEntry(**e) for e in m["files"]]
+                )
+            norm = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+            matches = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*[e.path for e in affected])
+                .select(
+                    norm.alias("__fp__"),
+                    F.col("_metadata.row_index").alias("__pos__"),
+                    F.col(col).alias("__c__"),
+                )
+                .filter(_OPS[op](F.col("__c__"), F.lit(value)) & F.col("__c__").isNotNull())
+                .select("__fp__", "__pos__")
+            )
+            existing = [
+                (os.path.abspath(e.path), read_dv_blob(e.dv)) for e in affected if e.dv
+            ]
+            if existing:
+                # merge: new DV = old positions ∪ new matches (old positions
+                # are already-deleted rows; re-matching them is harmless)
+                old = positions_df(self.spark, existing).select(
+                    F.col("__dv_path__").alias("__fp__"), F.col("__dv_pos__").alias("__pos__")
+                )
+                matches = matches.unionByName(old)
+            subdir = os.path.join(self.path, "data", uuid.uuid4().hex)
+            os.makedirs(subdir, exist_ok=True)
+
+            def _build_dv(key, pdf):
+                import os as _os
+                import uuid as _uuid
+
+                import pandas as _pd
+
+                from bears_spark.io.dv import write_dv_file
+
+                desc = write_dv_file(
+                    _os.path.join(subdir, f"dv-{_uuid.uuid4().hex}.bin"),
+                    pdf["__pos__"].tolist(),
+                )
+                return _pd.DataFrame(
+                    {"fp": [key[0]], "dvp": [desc["path"]], "off": [desc["offset"]],
+                     "size": [desc["sizeInBytes"]], "card": [desc["cardinality"]]}
+                )
+
+            built = {
+                r["fp"]: r
+                for r in matches.groupBy("__fp__")
+                .applyInPandas(_build_dv, "fp string, dvp string, off int, size long, card long")
+                .collect()
+            }
+            affected_ids = {e.identity() for e in affected}
+
+            def build(parent_m2: dict, built=built, affected_ids=affected_ids) -> list[FileEntry]:
+                prior2 = [FileEntry(**e) for e in parent_m2["files"]]
+                present = {e.identity() for e in prior2}
+                if not affected_ids <= present:
+                    # an affected file was rewritten/re-deleted concurrently:
+                    # committing our DV would lose that writer's change
+                    raise _Stale()
+                out = []
+                for e in prior2:
+                    r = built.get(os.path.abspath(e.path)) if e.identity() in affected_ids else None
+                    if r is None:
+                        out.append(e)  # untouched, or affected-but-no-match
+                    elif int(r["card"]) >= e.rows:
+                        continue  # every physical row deleted: drop the file
+                    else:
+                        out.append(
+                            FileEntry(
+                                path=e.path, rows=e.rows, stats=e.stats, blooms=e.blooms,
+                                dv={"path": r["dvp"], "offset": int(r["off"]),
+                                    "sizeInBytes": int(r["size"]),
+                                    "cardinality": int(r["card"])},
+                            )
+                        )
+                return out
+
+            try:
+                return self._commit("delete-mor", build)
+            except _Stale:
+                continue
+        raise CommitConflictError(
+            f"merge-on-read delete inputs were concurrently rewritten "
+            f"{max_rebuild_attempts} times; giving up"
+        )
 
     def delete_keys(self, col: str, keys) -> int:
         """Bulk keyed delete — the GDPR/right-to-be-forgotten path: given a
@@ -477,7 +625,7 @@ class SnapshotTable:
                     keep.append(e)
             new = []
             if rewrite:
-                survivors = self.spark.read.parquet(*[e.path for e in rewrite]).filter(
+                survivors = self._scan(rewrite, merge_schema=False).filter(
                     ~F.col(col).isin(key_vals) | F.col(col).isNull()
                 )
                 new = self._write_files(survivors)
@@ -549,7 +697,7 @@ class SnapshotTable:
             keep = [e for e in prior if not overlaps(e)]
             hit = [e for e in prior if overlaps(e)]
             if hit:
-                target = self.spark.read.parquet(*[e.path for e in hit])
+                target = self._scan(hit, merge_schema=False)
                 merged = merge_into(target, source, on=key)
             else:
                 merged = source
@@ -612,11 +760,14 @@ class SnapshotTable:
 
         for _ in range(max_rebuild_attempts):
             entries = [FileEntry(**e) for e in self._load_manifest()["files"]]
-            small = [e for e in entries if e.rows < target_rows_per_file]
-            if len(small) <= 1:
+            # DV-bearing files are compaction candidates regardless of size:
+            # rewriting them MATERIALIZES the deletion vector away (the
+            # standard MoR maintenance contract)
+            small = [e for e in entries if e.live_rows < target_rows_per_file or e.dv]
+            if len(small) <= 1 and not any(e.dv for e in small):
                 return self.current_version()  # nothing to gain
-            merged = self.spark.read.parquet(*[e.path for e in small])
-            n_out = max(1, math.ceil(sum(e.rows for e in small) / target_rows_per_file))
+            merged = self._scan(small, merge_schema=False)
+            n_out = max(1, math.ceil(sum(e.live_rows for e in small) / target_rows_per_file))
             if cluster_cols:
                 from pyspark.sql import functions as F
 
@@ -639,17 +790,18 @@ class SnapshotTable:
                 new = self._write_files(laid)
             else:
                 new = self._write_files(merged.repartition(n_out))
-            small_paths = {e.path for e in small}
+            small_ids = {e.identity() for e in small}
 
-            def build(parent_m: dict, small_paths=small_paths, new=new) -> list[FileEntry]:
+            def build(parent_m: dict, small_ids=small_ids, new=new) -> list[FileEntry]:
                 prior = [FileEntry(**e) for e in parent_m["files"]]
-                prior_paths = {e.path for e in prior}
-                if not small_paths <= prior_paths:
+                prior_ids = {e.identity() for e in prior}
+                if not small_ids <= prior_ids:
                     # a concurrent writer removed/rewrote a compacted input
-                    # after we read it: committing would resurrect its old
-                    # rows — rebuild from the new snapshot instead
-                    raise _StaleInputs(sorted(small_paths - prior_paths))
-                return [e for e in prior if e.path not in small_paths] + new
+                    # (or attached a new deletion vector to it) after we read
+                    # it: committing would resurrect its old rows — rebuild
+                    # from the new snapshot instead
+                    raise _StaleInputs(sorted(small_ids - prior_ids))
+                return [e for e in prior if e.identity() not in small_ids] + new
 
             try:
                 return self._commit("optimize" if cluster_cols else "compact", build)
@@ -729,10 +881,19 @@ class SnapshotTable:
         return w.start()
 
     # -- read operations ----------------------------------------------------
+    def _scan(self, entries: list[FileEntry], merge_schema: bool = True) -> DataFrame:
+        """Distributed scan of file entries with their deletion vectors
+        applied (io/dv.py). DV-free entries keep the plain parquet read —
+        byte-identical plan to the pre-DV engine."""
+        from bears_spark.io.dv import scan_with_dvs
+
+        return scan_with_dvs(self.spark, entries, merge_schema=merge_schema)
+
     def read(self, version: int | None = None, where: tuple | None = None) -> DataFrame:
         """Read a snapshot (latest by default). ``where=(col, op, value)``
         prunes files by manifest stats AND applies the predicate (pruning is
-        an optimization, never a semantic change)."""
+        an optimization, never a semantic change). Merge-on-read deletion
+        vectors, if any, are applied as a distributed (file, pos) anti-join."""
         from pyspark.sql import functions as F
 
         all_entries = [FileEntry(**e) for e in self._load_manifest(version)["files"]]
@@ -753,7 +914,7 @@ class SnapshotTable:
         # mergeSchema: appends may evolve the schema (new nullable columns);
         # older files surface nulls for columns they predate, and a
         # time-travel read of an old version sees that version's schema.
-        df = self.spark.read.option("mergeSchema", "true").parquet(*[e.path for e in entries])
+        df = self._scan(entries)
         if where is not None:
             col, op, value = where
             df = df.filter(_OPS[op](F.col(col), F.lit(value)))
@@ -764,16 +925,18 @@ class SnapshotTable:
         ``version`` — what a downstream pipeline polls instead of rescanning
         the table (IO is O(delta), the same asymmetry the streaming-ingest
         sink has on the write side). Exact for append-only history; a
-        compaction or clustered overwrite REWRITES rows into new files, so
-        consumers should checkpoint a version before maintenance windows
-        (Delta's change-data-feed has the same caveat when CDF files are
-        absent). Raises if ``version`` has been expired."""
+        compaction or clustered overwrite REWRITES rows into new files, and a
+        merge-on-read delete only SHRINKS existing files (an additive feed
+        can't express either) — consumers should checkpoint a version before
+        maintenance/delete windows (Delta's change-data-feed has the same
+        caveat when CDF files are absent). New files' own deletion vectors
+        ARE applied. Raises if ``version`` has been expired."""
         base = {e["path"] for e in self._load_manifest(version)["files"]}
         cur = [FileEntry(**e) for e in self._load_manifest()["files"]]
         new = [e for e in cur if e.path not in base]
         if not new:
             return self.read().limit(0)
-        return self.spark.read.option("mergeSchema", "true").parquet(*[e.path for e in new])
+        return self._scan(new)
 
     def change_feed(self, key: str, from_version: int, to_version: int | None = None) -> DataFrame:
         """Typed row-level change feed between two snapshots: full-outer join
@@ -813,7 +976,10 @@ class SnapshotTable:
         live: set[str] = set()
         for v in range(1, self.current_version() + 1):
             try:
-                live |= {e["path"] for e in self._load_manifest(v)["files"]}
+                for e in self._load_manifest(v)["files"]:
+                    live.add(e["path"])
+                    if e.get("dv"):
+                        live.add(e["dv"]["path"])  # referenced DV blobs stay
             except FileNotFoundError:
                 continue  # expired manifest
         removed = 0
@@ -822,10 +988,12 @@ class SnapshotTable:
             subdir = os.path.join(data_root, sub)
             for name in os.listdir(subdir):
                 fpath = os.path.join(subdir, name)
-                if name.endswith(".parquet") and fpath not in live:
+                if (name.endswith(".parquet") or name.endswith(".bin")) and fpath not in live:
                     os.remove(fpath)
                     removed += 1
-            if not any(n.endswith(".parquet") for n in os.listdir(subdir)):
+            if not any(
+                os.path.join(subdir, n) in live for n in os.listdir(subdir)
+            ):
                 import shutil
 
                 shutil.rmtree(subdir, ignore_errors=True)
@@ -844,7 +1012,11 @@ class SnapshotTable:
                     "version": v,
                     "operation": m["operation"],
                     "n_files": len(m["files"]),
-                    "n_rows": sum(e["rows"] for e in m["files"]),
+                    # LIVE rows: physical minus merge-on-read tombstones
+                    "n_rows": sum(
+                        e["rows"] - (e["dv"]["cardinality"] if e.get("dv") else 0)
+                        for e in m["files"]
+                    ),
                 }
             )
         return out

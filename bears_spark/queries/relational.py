@@ -4265,3 +4265,51 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 
 QUERIES["orders_orc_roundtrip"] = orders_orc_roundtrip
 ORACLES["orders_orc_roundtrip"] = ORDERS_ORC_RT_SQL
+
+
+# --------------------------------------------------------------------------
+# orders_mor_delete: merge-on-read DELETE graded end-to-end — snapshot the
+# orders table, delete a value range as DELETION VECTORS (no file rewrite:
+# O(delete set), io/dv.py roaring bitmaps written executor-side per file),
+# read back through the (file, pos) anti-join, aggregate vs the relational
+# oracle. SQL DELETE null semantics included (null keys survive).
+def orders_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="mor_del_")
+    try:
+        t = SnapshotTable(spark, root)
+        t.overwrite(o.repartition(8))
+        t.delete_where("o_totalprice", "<", 50000.0, mode="mor")
+        assert any(e.dv for e in t.files()), "expected deletion vectors, not rewrites"
+        rows = (
+            t.read()
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double"), 6
+                ).alias("total"),
+            )
+            .orderBy("o_orderpriority")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "o_orderpriority string, n bigint, total double")
+
+
+ORDERS_MOR_DELETE_SQL = """
+SELECT o_orderpriority, count(*) AS n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 6) AS total
+FROM orders
+WHERE NOT (o_totalprice < 50000.0) OR o_totalprice IS NULL
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+QUERIES["orders_mor_delete"] = orders_mor_delete
+ORACLES["orders_mor_delete"] = ORDERS_MOR_DELETE_SQL
