@@ -484,16 +484,31 @@ class SnapshotTable:
         return self._commit("delete", build)
 
     def _delete_where_mor(self, col: str, op: str, value, max_rebuild_attempts: int = 3) -> int:
-        """Merge-on-read delete (see delete_where). Each attempt reads the
-        current snapshot, computes matching (file, position) pairs among the
-        LIVE rows of stats-affected files, unions them with those files'
-        existing DV positions, and writes one fresh DV file per affected
-        file in a grouped executor pass (the driver sees one descriptor row
-        per file, never positions). The commit closure verifies every
-        affected (path, dv) identity is still present in the parent it
-        commits against — a concurrent writer that rewrote or re-deleted one
-        of them forces a rebuild, exactly compact()'s conflict rule, so two
-        racing MoR deletes can never lose each other's tombstones."""
+        from pyspark.sql import functions as F
+
+        return self._delete_mor(
+            col,
+            lambda e: e.may_match(col, op, value),
+            lambda c: _OPS[op](c, F.lit(value)),
+            max_rebuild_attempts=max_rebuild_attempts,
+        )
+
+    def _delete_mor(
+        self, col: str, match_entry, match_rows, max_rebuild_attempts: int = 3
+    ) -> int:
+        """Merge-on-read delete core (see delete_where / delete_keys). Each
+        attempt reads the current snapshot, computes matching (file,
+        position) pairs among the LIVE rows of stats-affected files
+        (``match_entry(entry)`` selects them, ``match_rows(col)`` builds the
+        row predicate; null keys never match, per SQL DELETE), unions them
+        with those files' existing DV positions, and writes one fresh DV
+        file per affected file in a grouped executor pass (the driver sees
+        one descriptor row per file, never positions). The commit closure
+        verifies every affected (path, dv) identity is still present in the
+        parent it commits against — a concurrent writer that rewrote or
+        re-deleted one of them forces a rebuild, exactly compact()'s
+        conflict rule, so two racing MoR deletes can never lose each other's
+        tombstones."""
         import pandas as pd  # noqa: F401 — applyInPandas ships the closure
         from pyspark.sql import functions as F
 
@@ -505,7 +520,7 @@ class SnapshotTable:
         for _ in range(max_rebuild_attempts):
             parent_m = self._load_manifest()
             prior = [FileEntry(**e) for e in parent_m["files"]]
-            affected = [e for e in prior if e.may_match(col, op, value)]
+            affected = [e for e in prior if match_entry(e)]
             if not affected:
                 # SQL DELETE still commits a (no-op) version, like the CoW path
                 return self._commit(
@@ -520,7 +535,7 @@ class SnapshotTable:
                     F.col("_metadata.row_index").alias("__pos__"),
                     F.col(col).alias("__c__"),
                 )
-                .filter(_OPS[op](F.col("__c__"), F.lit(value)) & F.col("__c__").isNotNull())
+                .filter(match_rows(F.col("__c__")) & F.col("__c__").isNotNull())
                 .select("__fp__", "__pos__")
             )
             existing = [
@@ -595,15 +610,18 @@ class SnapshotTable:
             f"{max_rebuild_attempts} times; giving up"
         )
 
-    def delete_keys(self, col: str, keys) -> int:
+    def delete_keys(self, col: str, keys, mode: str = "cow") -> int:
         """Bulk keyed delete — the GDPR/right-to-be-forgotten path: given a
-        forget-list of key values, rewrite ONLY the files that can contain
+        forget-list of key values, touch ONLY the files that can contain
         any of them (every pruning signal applies per key: Bloom filters
-        prove absence on unclustered keys, min/max on clustered ones) and
-        anti-join the keys out. Null-keyed rows always survive (no key in
-        the list IS a null). ``keys``: list of values or a 1-column
-        DataFrame (collected — a forget-list is bounded by contract; for
-        a huge one, batch calls)."""
+        prove absence on unclustered keys, min/max on clustered ones).
+        ``mode="cow"`` rewrites those files with the keys anti-joined out;
+        ``mode="mor"`` tombstones the matching positions as deletion
+        vectors instead (see delete_where) — the cheap shape when the
+        forget-list touches many large files sparsely. Null-keyed rows
+        always survive (no key in the list IS a null). ``keys``: list of
+        values or a 1-column DataFrame (collected — a forget-list is
+        bounded by contract; for a huge one, batch calls)."""
         from pyspark.sql import functions as F
 
         if isinstance(keys, DataFrame):
@@ -614,6 +632,14 @@ class SnapshotTable:
         key_vals = [k for k in key_vals if k is not None]
         if not key_vals:
             return self.current_version()
+        if mode == "mor":
+            return self._delete_mor(
+                col,
+                lambda e: any(e.may_match(col, "=", k) for k in key_vals),
+                lambda c: c.isin(key_vals),
+            )
+        if mode != "cow":
+            raise ValueError(f"unknown delete mode {mode!r} (use 'cow' or 'mor')")
 
         def build(parent_m: dict) -> list[FileEntry]:
             prior = [FileEntry(**e) for e in parent_m["files"]]

@@ -228,3 +228,24 @@ def test_mor_unknown_mode_rejected(spark, tmp_path):
     t = _mk(spark, tmp_path, "badmode", n=10, files=1)
     with pytest.raises(ValueError, match="delete mode"):
         t.delete_where("id", "<", 5, mode="wat")
+
+
+def test_mor_delete_keys_gdpr_path(spark, tmp_path):
+    """delete_keys(mode="mor"): forget-list tombstoned as DVs — only
+    key-containing files get vectors, results match the CoW path, nulls
+    survive, and Bloom pruning still bounds the touched set."""
+    t = SnapshotTable(spark, str(tmp_path / "gdpr"), bloom_cols=["id"])
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)] + [(None, -1.0)], "id bigint, v double"
+    )
+    t.overwrite(df.repartition(4))
+    forget = [3, 41, 77, 3, 10_000]  # dupes + an absent key
+    t.delete_keys("id", forget, mode="mor")
+    got = sorted(x["v"] for x in t.read().collect())
+    assert got == sorted([-1.0] + [float(i) for i in range(100) if i not in {3, 41, 77}])
+    assert any(e.dv for e in t.files())
+    # parity with CoW
+    t2 = SnapshotTable(spark, str(tmp_path / "gdpr_cow"), bloom_cols=["id"])
+    t2.overwrite(df.repartition(4))
+    t2.delete_keys("id", forget, mode="cow")
+    assert sorted(x["v"] for x in t2.read().collect()) == got

@@ -1003,3 +1003,52 @@ def test_iceberg_v2_deletes_match_model(spark, tmp_path, case):
 
     got = sorted(x["id"] for x in IcebergTableReader(spark, root).read().collect())
     assert got == sorted(expected)
+
+
+@st.composite
+def _mor_sequence_case(draw):
+    n = draw(st.integers(min_value=8, max_value=30))
+    ops = draw(st.lists(
+        st.tuples(st.sampled_from(["<", ">=", "=", "<=", ">"]),
+                  st.integers(min_value=0, max_value=35)),
+        min_size=1, max_size=3,
+    ))
+    files = draw(st.integers(min_value=1, max_value=3))
+    return n, files, ops
+
+
+@given(_mor_sequence_case())
+@_lakehouse_settings
+def test_snapshot_mor_delete_sequence_matches_model(spark, tmp_path, case):
+    """A random sequence of merge-on-read deletes equals the brute-force
+    model at EVERY version (DV merging across deletes, full-file drops,
+    boundary predicates) — and time travel replays each intermediate
+    state exactly."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    n, files, ops = case
+    t = SnapshotTable(spark, str(tmp_path / f"morprop-{_uuid.uuid4().hex[:8]}"))
+    t.overwrite(spark.range(0, n).select(F.col("id")).repartition(files))
+    py_ops = {"<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+              ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+              "=": lambda a, b: a == b}
+    live = set(range(n))
+    states = [set(live)]
+    for op, val in ops:
+        t.delete_where("id", op, val, mode="mor")
+        live = {i for i in live if not py_ops[op](i, val)}
+        states.append(set(live))
+    for v, want in enumerate(states, start=1):
+        got = {x["id"] for x in t.read(version=v).collect()} if want else set()
+        if not want:
+            # an all-deleted table may legitimately have zero files
+            entries = t.files(version=v)
+            if entries:
+                got = {x["id"] for x in t.read(version=v).collect()}
+            assert got == set()
+        else:
+            assert got == want, (v, op, val)
