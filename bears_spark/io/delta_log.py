@@ -119,7 +119,10 @@ class DeltaTableReader:
             return None
         if parts is None:
             names = [f"{v:020d}.checkpoint.parquet"]
-        elif parts >= 1:
+        elif 1 <= parts <= 100_000:
+            # the upper bound is far beyond any real multi-part checkpoint;
+            # a junk pointer with a huge 'parts' must degrade to the listing
+            # fallback, not allocate a billion candidate names first
             names = [
                 f"{v:020d}.checkpoint.{i:010d}.{parts:010d}.parquet"
                 for i in range(1, parts + 1)
@@ -650,10 +653,10 @@ class DeltaTableReader:
         model as log replay) and shipped as one binary row per file; the
         positions explode to rows in EXECUTORS, chunked, so a billion-row
         delete set never materializes on the driver (io/dv.py)."""
-        from bears_spark.io.dv import dv_anti_join
+        from bears_spark.io.dv import dv_anti_join, spark_uri_path
 
         blobs = [
-            (os.path.join(self.path, unquote(p)), self._dv_bytes(d))
+            (spark_uri_path(os.path.join(self.path, unquote(p))), self._dv_bytes(d))
             for p, d in sorted(dvs.items())
         ]
         return dv_anti_join(self.spark, df, blobs, "__dl_fp__", "__dl_pos__")
@@ -736,7 +739,11 @@ def _write_delta_checkpoint(out_path: str, version: int, meta: dict, adds: list[
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    proto_t = pa.struct([("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())])
+    proto_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32()),
+         ("readerFeatures", pa.list_(pa.string())),
+         ("writerFeatures", pa.list_(pa.string()))]
+    )
     meta_t = pa.struct(
         [("id", pa.string()), ("format", pa.struct([("provider", pa.string())])),
          ("schemaString", pa.string()), ("partitionColumns", pa.list_(pa.string())),
@@ -766,13 +773,18 @@ def _write_delta_checkpoint(out_path: str, version: int, meta: dict, adds: list[
          "deletionVector": a.get("deletionVector")}
         for a in adds
     ]
-    reader_v = 3 if any(a.get("deletionVector") for a in adds) else 1
-    writer_v = 7 if reader_v == 3 else 2
+    # a v3 protocol MUST carry its feature lists (the checkpoint supersedes
+    # the JSON protocol on replay, so omitting them here would hand external
+    # Delta readers a spec-invalid action)
+    if any(a.get("deletionVector") for a in adds):
+        proto_row = {"minReaderVersion": 3, "minWriterVersion": 7,
+                     "readerFeatures": ["deletionVectors"],
+                     "writerFeatures": ["deletionVectors"]}
+    else:
+        proto_row = {"minReaderVersion": 1, "minWriterVersion": 2,
+                     "readerFeatures": None, "writerFeatures": None}
     tbl = pa.table({
-        "protocol": pa.array(
-            [{"minReaderVersion": reader_v, "minWriterVersion": writer_v}]
-            + [None] * (n - 1), proto_t
-        ),
+        "protocol": pa.array([proto_row] + [None] * (n - 1), proto_t),
         "metaData": pa.array([None, meta_row] + [None] * len(adds), meta_t),
         "add": pa.array([None, None] + add_rows, add_t),
     })

@@ -38,6 +38,22 @@ from bears_spark.io.roaring import (
 )
 
 
+def spark_uri_path(path: str) -> str:
+    """Render a driver-side path the way Spark's ``_metadata.file_path``
+    renders it (a Hadoop Path URI): percent-encode everything outside the
+    RFC-3986 path charset (space -> %20, '%' -> %25, non-ASCII -> UTF-8
+    escapes), leaving unreserved + sub-delims + ":@/" alone. Every
+    (file, pos) equality join in this module compares against
+    ``_metadata.file_path``, so the DRIVER side must speak the same
+    encoding — comparing the raw os path would silently match nothing on
+    any table root containing a space, '%', '#' or non-ASCII character
+    (deleted rows would come back). Scheme-prefixed URIs pass through with
+    scheme/authority intact (':' and '/' are in the safe set)."""
+    from urllib.parse import quote
+
+    return quote(path, safe="/:@!$&'()*+,;=~-._")
+
+
 def write_dv_file(path: str, positions: list[int]) -> dict:
     """Serialize ``positions`` (deleted row indexes of ONE data file) as a
     Delta-framed DV file at ``path``. Returns the descriptor fields a
@@ -115,7 +131,11 @@ def scan_with_dvs(spark: SparkSession, entries, merge_schema: bool = True) -> Da
     entry switches the scan to metadata-tagged merge-on-read."""
     paths = [e.path for e in entries]
     reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
-    dvs = [(os.path.abspath(e.path), e.dv) for e in entries if getattr(e, "dv", None)]
+    dvs = [
+        (spark_uri_path(os.path.abspath(e.path)), e.dv)
+        for e in entries
+        if getattr(e, "dv", None)
+    ]
     if not dvs:
         return reader.parquet(*paths)
     df = reader.parquet(*paths).select(

@@ -271,20 +271,30 @@ class IcebergTableReader:
 
     def _identity_partition_names(self, fid: int) -> list[str]:
         """Partition-spec field names that are IDENTITY transforms of source
-        field ``fid`` — for those, the manifest's per-file partition tuple
-        value IS the column value for every row in the file, so a predicate
-        can be evaluated against it directly (the pruning real Iceberg
-        planners do before ever looking at column bounds). Non-identity
-        transforms (bucket/truncate/day/...) are conservatively ignored."""
+        field ``fid`` in EVERY spec that defines the name — for those, the
+        manifest's per-file partition tuple value IS the column value for
+        every row in the file, so a predicate can be evaluated against it
+        directly (the pruning real Iceberg planners do before ever looking
+        at column bounds). Manifest entries don't carry a spec-id through
+        this reader, so a name whose meaning changed across spec evolution
+        (re-used for a bucket/truncate transform, or for a different source
+        field) is conservatively ignored — pruning on it could drop files
+        whose tuple value is a transform output, not the column value.
+        Non-identity transforms are never pruned on."""
         specs = self.meta.get("partition-specs") or (
             [{"fields": self.meta["partition-spec"]}] if self.meta.get("partition-spec") else []
         )
-        names = []
+        meanings: dict[str, set[tuple[str, int]]] = {}
         for spec in specs:
             for pf in spec.get("fields", []):
-                if str(pf.get("transform")) == "identity" and int(pf.get("source-id", -1)) == fid:
-                    names.append(str(pf.get("name")))
-        return names
+                meanings.setdefault(str(pf.get("name")), set()).add(
+                    (str(pf.get("transform")), int(pf.get("source-id", -1)))
+                )
+        return [
+            name
+            for name, seen in meanings.items()
+            if seen == {("identity", fid)}
+        ]
 
     @staticmethod
     def _partition_reject(dfe: dict, part_names: list[str], op: str, value) -> bool:
@@ -401,8 +411,14 @@ class IcebergTableReader:
         shuffle-or-broadcast cost Iceberg's own merge-on-read pays."""
         from pyspark.sql import functions as F
 
+        from bears_spark.io.dv import spark_uri_path
+
+        # the localized side must speak _metadata.file_path's URI encoding
+        # (spaces/%/non-ASCII in table roots), or the anti-join matches
+        # nothing and deleted rows silently come back
         mapping = self.spark.createDataFrame(
-            [(rec, loc) for rec, loc, *_ in data_entries], "__rec__ string, __loc__ string"
+            [(rec, spark_uri_path(loc)) for rec, loc, *_ in data_entries],
+            "__rec__ string, __loc__ string",
         )
         dels = (
             self.spark.read.parquet(*delete_paths)
@@ -448,8 +464,11 @@ class IcebergTableReader:
         semantics."""
         from pyspark.sql import functions as F
 
+        from bears_spark.io.dv import spark_uri_path
+
         seq_map = self.spark.createDataFrame(
-            [(loc, seq) for _, loc, seq, *_ in data_entries], "__seqf__ string, __seq__ long"
+            [(spark_uri_path(loc), seq) for _, loc, seq, *_ in data_entries],
+            "__seqf__ string, __seq__ long",
         )
         tagged = tagged.join(
             F.broadcast(seq_map),
@@ -676,7 +695,13 @@ def export_iceberg_metadata(table, out_path: str) -> str:
     the pure-stdlib codec) references them. One-shot snapshot export, not
     continuous replication: re-export after new commits. Decimal/nested
     columns raise (the minimal type map covers the flat primitives the
-    synthetic tables use)."""
+    synthetic tables use).
+
+    Merge-on-read deletion vectors export as Iceberg v2 POSITIONAL DELETE
+    files: the DV positions explode executor-side to one (file_path, pos)
+    parquet referenced by a content=1 delete manifest — exactly the v2
+    merge-on-read shape, so the exported table's readers (including this
+    module's own) never see a MoR-deleted row."""
     import shutil
     import uuid as _uuid
 
@@ -696,6 +721,7 @@ def export_iceberg_metadata(table, out_path: str) -> str:
     os.makedirs(os.path.join(out_path, "metadata"), exist_ok=True)
     os.makedirs(os.path.join(out_path, "data"), exist_ok=True)
     entries = []
+    dv_pairs: list[tuple[str, dict]] = []  # (exported data path, DV descriptor)
     for e in table.files():
         name = f"{_uuid.uuid4().hex}.parquet"
         dst = os.path.join(out_path, "data", name)
@@ -703,6 +729,8 @@ def export_iceberg_metadata(table, out_path: str) -> str:
             os.link(e.path, dst)
         except OSError:
             shutil.copy2(e.path, dst)
+        if getattr(e, "dv", None):
+            dv_pairs.append((dst, e.dv))
         # carry the manifest's plain min/max into Iceberg bounds so the
         # exported table keeps stats-based file skipping (files(where=...))
         lo: dict[str, bytes] = {}
@@ -726,12 +754,51 @@ def export_iceberg_metadata(table, out_path: str) -> str:
     mpath = os.path.join(out_path, "metadata", "m1.avro")
     with open(mpath, "wb") as f:
         f.write(write_container(_MANIFEST_AVRO_SCHEMA, entries))
+    mlist_records = [
+        {"manifest_path": mpath, "manifest_length": os.path.getsize(mpath),
+         "content": 0, "added_snapshot_id": 1}
+    ]
+    if dv_pairs:
+        # merge-on-read deletes -> Iceberg v2 positional delete files: DV
+        # positions explode executor-side (bounded Arrow batches) against
+        # the EXPORTED data paths and land as one (file_path, pos) parquet
+        from pyspark.sql import functions as F
+
+        from bears_spark.io.dv import positions_df, read_dv_blob
+
+        blobs = [(dst, read_dv_blob(dv)) for dst, dv in dv_pairs]
+        deldir = os.path.join(out_path, "data", f"deletes-{_uuid.uuid4().hex}")
+        (
+            positions_df(table.spark, blobs)
+            .select(
+                F.col("__dv_path__").alias("file_path"),
+                F.col("__dv_pos__").alias("pos"),
+            )
+            .coalesce(1)
+            .write.parquet(deldir)
+        )
+        del_files = sorted(
+            os.path.join(deldir, n) for n in os.listdir(deldir) if n.endswith(".parquet")
+        )
+        total_deleted = sum(int(dv["cardinality"]) for _, dv in dv_pairs)
+        del_entries = [
+            {"status": 1, "data_file": {"content": 1, "file_path": p,
+                                        "file_format": "PARQUET",
+                                        "record_count": total_deleted,
+                                        "lower_bounds": None,
+                                        "upper_bounds": None}}
+            for p in del_files
+        ]
+        m2path = os.path.join(out_path, "metadata", "m2.avro")
+        with open(m2path, "wb") as f:
+            f.write(write_container(_MANIFEST_AVRO_SCHEMA, del_entries))
+        mlist_records.append(
+            {"manifest_path": m2path, "manifest_length": os.path.getsize(m2path),
+             "content": 1, "added_snapshot_id": 1}
+        )
     mlpath = os.path.join(out_path, "metadata", "ml1.avro")
     with open(mlpath, "wb") as f:
-        f.write(write_container(_MLIST_AVRO_SCHEMA, [
-            {"manifest_path": mpath, "manifest_length": os.path.getsize(mpath),
-             "content": 0, "added_snapshot_id": 1}
-        ]))
+        f.write(write_container(_MLIST_AVRO_SCHEMA, mlist_records))
     meta = {
         "format-version": 2,
         "table-uuid": _uuid.uuid4().hex,

@@ -121,10 +121,19 @@ class CommitStoreMetaFS(MetaFS):
         return self.store.read(path)
 
     def listdir(self, dirpath: str, start_after: str | None = None) -> list[str]:
-        prefix = dirpath.rstrip("/") + "/"
+        # Object stores return keys in THEIR key space: LocalCommitStore and
+        # the in-memory stub echo the full path, but S3/GCS stores return
+        # bucket-relative keys. Accept both by also translating the prefix
+        # through the store's own key mapper; keys matching NEITHER prefix
+        # (shouldn't happen) are skipped — basename-flattening them would
+        # surface nested keys as phantom immediate children.
+        prefixes = [dirpath.rstrip("/") + "/"]
+        key_of = getattr(self.store, "_key", None)
+        if callable(key_of):
+            prefixes.append(key_of(dirpath).rstrip("/") + "/")
         names: set[str] = set()
         for key in self.store.list_prefix(dirpath):
-            tail = key[len(prefix):] if key.startswith(prefix) else key.rsplit("/", 1)[-1]
+            tail = next((key[len(p):] for p in prefixes if key.startswith(p)), None)
             if tail:
                 names.add(tail.split("/", 1)[0])
         out = sorted(names)
@@ -148,27 +157,35 @@ class ArrowMetaFS(MetaFS):
         except ImportError as exc:  # pragma: no cover - pyarrow is baked in
             raise ImportError("ArrowMetaFS needs pyarrow") from exc
         self._pafs = pafs
-        self._cache: dict[str, object] = {}
+        # scheme+authority -> (filesystem handle, uri-prefix length to strip):
+        # from_uri() is paid ONCE per scheme+authority; later paths under the
+        # same root strip the recorded prefix instead of re-handshaking
+        self._cache: dict[str, tuple[object, int]] = {}
 
     def _resolve(self, path: str):
-        m = _URI_RE.match(path)
         scheme_auth = path.split("/", 3)
-        cache_key = "/".join(scheme_auth[:3]) if m else ""
-        fs = self._cache.get(cache_key)
-        if fs is None:
-            fs, _ = self._pafs.FileSystem.from_uri(path)
-            self._cache[cache_key] = fs
-        # from_uri strips the scheme; recompute the in-fs path
-        _, rel = self._pafs.FileSystem.from_uri(path)
-        return fs, rel
+        cache_key = "/".join(scheme_auth[:3])
+        hit = self._cache.get(cache_key)
+        if hit is None:
+            fs, rel = self._pafs.FileSystem.from_uri(path)
+            # from_uri's rel keeps the bucket for object stores
+            # ("s3://b/k" -> "b/k") but not the scheme; for file:// it's the
+            # plain path. Either way rel is a suffix of the URI — record how
+            # many leading chars the scheme (and, for file://, authority)
+            # contribute, so later paths resolve with plain slicing.
+            strip = len(path) - len(rel)
+            self._cache[cache_key] = (fs, strip)
+            return fs, rel
+        fs, strip = hit
+        return fs, path[strip:]
 
     def read_bytes(self, path: str) -> bytes:
         fs, rel = self._resolve(path)
-        try:
-            with fs.open_input_stream(rel) as f:
-                return f.read()
-        except (FileNotFoundError, OSError) as exc:
-            raise FileNotFoundError(path) from exc
+        # pyarrow raises FileNotFoundError for absent keys; other OSErrors
+        # (permission, throttling, network) propagate — callers distinguish
+        # "absent" from "unreadable" and must not mistake one for the other
+        with fs.open_input_stream(rel) as f:
+            return f.read()
 
     def listdir(self, dirpath: str, start_after: str | None = None) -> list[str]:
         fs, rel = self._resolve(dirpath)

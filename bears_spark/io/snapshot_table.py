@@ -512,7 +512,12 @@ class SnapshotTable:
         import pandas as pd  # noqa: F401 — applyInPandas ships the closure
         from pyspark.sql import functions as F
 
-        from bears_spark.io.dv import positions_df, read_dv_blob
+        from bears_spark.io.dv import positions_df, read_dv_blob, spark_uri_path
+
+        # every file-path key below lives in _metadata.file_path's URI
+        # encoding (spark_uri_path), so roots with spaces/%/non-ASCII match
+        def _key(e: FileEntry) -> str:
+            return spark_uri_path(os.path.abspath(e.path))
 
         class _Stale(Exception):
             pass
@@ -538,9 +543,7 @@ class SnapshotTable:
                 .filter(match_rows(F.col("__c__")) & F.col("__c__").isNotNull())
                 .select("__fp__", "__pos__")
             )
-            existing = [
-                (os.path.abspath(e.path), read_dv_blob(e.dv)) for e in affected if e.dv
-            ]
+            existing = [(_key(e), read_dv_blob(e.dv)) for e in affected if e.dv]
             if existing:
                 # merge: new DV = old positions ∪ new matches (old positions
                 # are already-deleted rows; re-matching them is harmless)
@@ -585,7 +588,7 @@ class SnapshotTable:
                     raise _Stale()
                 out = []
                 for e in prior2:
-                    r = built.get(os.path.abspath(e.path)) if e.identity() in affected_ids else None
+                    r = built.get(_key(e)) if e.identity() in affected_ids else None
                     if r is None:
                         out.append(e)  # untouched, or affected-but-no-match
                     elif int(r["card"]) >= e.rows:

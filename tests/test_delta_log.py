@@ -930,3 +930,41 @@ def test_export_delta_incremental_schema_change(spark, tmp_path):
     r = DeltaTableReader(spark, out)
     assert r.schema().fieldNames() == ["id", "w"]
     assert r.read().count() == 5
+
+
+def test_delta_pointer_huge_parts_degrades(spark, tmp_path):
+    """A junk _last_checkpoint with an absurd 'parts' must fall back to the
+    listing path (bounded work), not allocate a billion candidate names."""
+    root = _make_table(tmp_path, "hugeptr")
+    log = os.path.join(root, "_delta_log")
+    a0 = _add_file(root, "f0.parquet", [1], [0.1])
+    _write_commit(log, 0, [{"protocol": {"minReaderVersion": 1}}, _meta(), a0])
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 0, "parts": 999_999_999}, f)
+    r = DeltaTableReader(spark, root)
+    assert r._ptr_checkpoint_files({"version": 0, "parts": 999_999_999}) is None
+    assert sorted(x["id"] for x in r.read().collect()) == [1]
+
+
+def test_export_checkpoint_protocol_carries_features(spark, tmp_path):
+    """A DV-bearing export's checkpoint protocol row must carry the feature
+    lists (minReaderVersion 3 without readerFeatures is spec-invalid and a
+    checkpoint supersedes the JSON protocol on replay)."""
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "featsrc"))
+    t.overwrite(spark.range(0, 20).select(F.col("id"), (F.col("id") * 1.0).alias("v")).coalesce(1))
+    t.delete_where("id", "<", 5, mode="mor")
+    out = str(tmp_path / "featdst")
+    export_delta_log(t, out, checkpoint=True)
+    ckpts = [n for n in os.listdir(os.path.join(out, "_delta_log"))
+             if n.endswith(".checkpoint.parquet")]
+    assert len(ckpts) == 1
+    tbl = pq.read_table(os.path.join(out, "_delta_log", ckpts[0]))
+    protos = [p for p in tbl.column("protocol").to_pylist() if p]
+    assert protos == [{"minReaderVersion": 3, "minWriterVersion": 7,
+                       "readerFeatures": ["deletionVectors"],
+                       "writerFeatures": ["deletionVectors"]}]
+    # and the checkpointed export still reads correctly through the pointer
+    r = DeltaTableReader(spark, out)
+    assert sorted(x["id"] for x in r.read().collect()) == list(range(5, 20))

@@ -763,3 +763,37 @@ def test_iceberg_identity_partition_pruning(spark, tmp_path):
     # pruning is an optimization, never a filter: values identical
     assert sorted(x["id"] for x in r.read(where=("lang", "=", "en")).collect()) == [1, 2]
     assert sorted(x["id"] for x in r.read(where=("lang", "=", "fr")).collect()) == [4]
+
+
+def test_iceberg_partition_pruning_spec_conflict_conservative(spark, tmp_path):
+    """A partition-field NAME reused across spec evolution with a different
+    transform (identity -> truncate) must NOT prune: without per-manifest
+    spec ids, the tuple value might be a transform output, and pruning on
+    it would silently drop matching rows (review finding)."""
+    root = _mk_table(tmp_path, "specconf")
+    f_en = _data_file(root, "en.parquet", [1], ["en"])
+    mp = os.path.join(root, "metadata", "mpart.avro")
+    recs = [
+        # written under the truncate[1] spec: tuple holds 'e', rows hold 'en'
+        {"status": 1, "data_file": {"content": 0, "file_path": f_en,
+                                    "file_format": "PARQUET", "record_count": 1,
+                                    "partition": {"lang": "e", "day": None}}},
+    ]
+    with open(mp, "wb") as f:
+        f.write(write_container(_MANIFEST_PART_SCHEMA, recs))
+    ml = _manifest_list(root, "ml.avro", [mp])
+    _metadata(root, [{"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": ml}], current=1)
+    meta_path = os.path.join(root, "metadata", "v1.metadata.json")
+    meta = json.load(open(meta_path))
+    meta["partition-specs"] = [
+        {"spec-id": 0, "fields": [
+            {"name": "lang", "transform": "identity", "source-id": 2, "field-id": 1000}]},
+        {"spec-id": 1, "fields": [
+            {"name": "lang", "transform": "truncate[1]", "source-id": 2, "field-id": 1000}]},
+    ]
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    r = IcebergTableReader(spark, root)
+    # conflicted meaning: the file is KEPT and the row found
+    assert r.files(where=("lang", "=", "en")) == [f_en]
+    assert [x["id"] for x in r.read(where=("lang", "=", "en")).collect()] == [1]

@@ -103,3 +103,70 @@ def test_arrow_metafs_missing_dir(tmp_path):
     fs = ArrowMetaFS()
     assert fs.listdir(f"file://{tmp_path}/absent") == []
     assert not fs.isdir(f"file://{tmp_path}/absent")
+
+
+class _BucketRelativeStore(InMemoryCommitStore):
+    """Mimics S3CommitStore's key space: list_prefix returns BUCKET-RELATIVE
+    keys (no scheme/bucket), and _key maps full URIs to that space."""
+
+    _PREFIX = "s3://bucket/"
+
+    def _key(self, key: str) -> str:
+        return key[len(self._PREFIX):] if key.startswith(self._PREFIX) else key.lstrip("/")
+
+    def put(self, key: str, data: bytes) -> None:
+        self.replace(self._key(key), data)
+
+    def read(self, key: str) -> bytes:
+        return super().read(self._key(key))
+
+    def list_prefix(self, prefix: str) -> list[str]:
+        return super().list_prefix(self._key(prefix))
+
+
+def test_commit_store_metafs_bucket_relative_keys():
+    """Real S3/GCS stores return bucket-relative keys; listdir must match
+    them through the store's own key mapper, list immediate children only,
+    and never basename-flatten nested keys into phantom entries (a backup/
+    subdir commit must NOT surface as a parent-level commit)."""
+    store = _BucketRelativeStore()
+    store.put("s3://bucket/t/_delta_log/00000000000000000000.json", b"a")
+    store.put("s3://bucket/t/_delta_log/backup/00000000000000000005.json", b"b")
+    fs = CommitStoreMetaFS(store)
+    assert fs.listdir("s3://bucket/t/_delta_log") == [
+        "00000000000000000000.json", "backup"
+    ]
+    assert fs.read_bytes("s3://bucket/t/_delta_log/00000000000000000000.json") == b"a"
+    assert fs.exists("s3://bucket/t/_delta_log/00000000000000000000.json")
+
+
+def test_arrow_metafs_single_from_uri(tmp_path):
+    """The per-root cache must make from_uri a ONE-TIME cost: a manifest
+    walk re-handshaking per file defeats the cache's purpose."""
+    from types import SimpleNamespace
+
+    import pyarrow.fs as pafs
+
+    d = tmp_path / "m"
+    d.mkdir()
+    (d / "a").write_bytes(b"1")
+    (d / "b").write_bytes(b"2")
+    calls = {"n": 0}
+
+    def counting(uri):
+        calls["n"] += 1
+        return pafs.FileSystem.from_uri(uri)
+
+    fs = ArrowMetaFS()
+    # pyarrow's FileSystem type is immutable: shim the module handle instead
+    fs._pafs = SimpleNamespace(
+        FileSystem=SimpleNamespace(from_uri=counting),
+        FileSelector=pafs.FileSelector,
+        FileType=pafs.FileType,
+    )
+    base = f"file://{d}"
+    assert fs.read_bytes(f"{base}/a") == b"1"
+    assert fs.read_bytes(f"{base}/b") == b"2"
+    assert fs.listdir(base) == ["a", "b"]
+    assert fs.exists(f"{base}/a")
+    assert calls["n"] == 1

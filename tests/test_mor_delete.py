@@ -249,3 +249,72 @@ def test_mor_delete_keys_gdpr_path(spark, tmp_path):
     t2.overwrite(df.repartition(4))
     t2.delete_keys("id", forget, mode="cow")
     assert sorted(x["v"] for x in t2.read().collect()) == got
+
+
+def test_mor_export_iceberg_roundtrip(spark, tmp_path):
+    """A MoR table exports its deletion vectors as Iceberg v2 POSITIONAL
+    DELETE files — readers of the export never see a deleted row (the
+    review-found resurrection bug)."""
+    from bears_spark.io.iceberg_log import IcebergTableReader, export_iceberg_metadata
+
+    t = _mk(spark, tmp_path, "iexp", n=100, files=2)
+    t.delete_where("id", "<", 30, mode="mor")
+    out = str(tmp_path / "iexp_ice")
+    export_iceberg_metadata(t, out)
+    r = IcebergTableReader(spark, out)
+    assert sorted(x["id"] for x in r.read().collect()) == list(range(30, 100))
+    assert len(r.delete_files()) == 1
+
+
+def test_mor_delete_table_root_with_space(spark, tmp_path):
+    """_metadata.file_path percent-encodes special characters; the DV joins
+    must speak the same encoding or a table root with a space makes MoR
+    deletes silently no-op (review finding, verified live)."""
+    root = tmp_path / "has space" / "tbl %x"
+    t = SnapshotTable(spark, str(root))
+    t.overwrite(
+        spark.range(0, 40).select(F.col("id"), (F.col("id") * 1.0).alias("v")).repartition(2)
+    )
+    t.delete_where("id", "<", 15, mode="mor")
+    assert any(e.dv and e.dv["cardinality"] > 0 for e in t.files()), (
+        "delete produced no tombstones — the match join found nothing"
+    )
+    assert sorted(x["id"] for x in t.read().collect()) == list(range(15, 40))
+    # CoW on top still correct (reads through the DVs)
+    t.delete_where("id", ">=", 35, mode="cow")
+    assert sorted(x["id"] for x in t.read().collect()) == list(range(15, 35))
+
+
+def test_delta_dv_table_root_with_space(spark, tmp_path):
+    """Delta DV reads under a percent-encodable root apply the vectors."""
+    import json as _json
+
+    from bears_spark.io.delta_log import DeltaTableReader
+    from bears_spark.io.roaring import serialize_rba, z85_encode
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path / "delta root with space"
+    (root / "_delta_log").mkdir(parents=True)
+    pq.write_table(pa.table({"id": pa.array([1, 2, 3], pa.int64())}),
+                   str(root / "f0.parquet"))
+    data = serialize_rba([1])
+    pad = (-len(data)) % 4
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "readerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "sp", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": _json.dumps({"type": "struct", "fields": [
+                          {"name": "id", "type": "long", "nullable": True, "metadata": {}}]}),
+                      "partitionColumns": [], "configuration": {}}},
+        {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": {"storageType": "i",
+                                    "pathOrInlineDv": z85_encode(data + b"\x00" * pad),
+                                    "sizeInBytes": len(data), "cardinality": 1}}},
+    ]
+    with open(root / "_delta_log" / f"{0:020d}.json", "w") as f:
+        for a in actions:
+            f.write(_json.dumps(a) + "\n")
+    got = sorted(x["id"] for x in DeltaTableReader(spark, str(root)).read().collect())
+    assert got == [1, 3]
