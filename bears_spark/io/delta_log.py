@@ -814,8 +814,6 @@ def export_delta_log(table, out_path: str, checkpoint: bool = False) -> str:
     and lists only the post-checkpoint log suffix."""
     import uuid as _uuid
 
-    df = table.read()
-    schema_str = df.schema.json()
     log_dir = os.path.join(out_path, "_delta_log")
     existing = os.path.isdir(log_dir) and any(
         _COMMIT_RE.match(n) or _CHECKPOINT_RE.match(n) or _CHECKPOINT_V2_RE.match(n)
@@ -823,6 +821,15 @@ def export_delta_log(table, out_path: str, checkpoint: bool = False) -> str:
     )
     os.makedirs(log_dir, exist_ok=True)
     entries = {os.path.basename(e.path): e for e in table.files()}
+    if entries:
+        schema_str = table.read().schema.json()
+    elif existing:
+        schema_str = None  # empty state: keep the previously exported schema
+    else:
+        raise DeltaLogError(
+            "cannot export an EMPTY table with no prior export at the target "
+            "(no schema source); export once while the table has data"
+        )
     # merge-on-read tables export native Delta DVs, which need the v3
     # reader protocol; DV-free tables stay maximally readable at v1
     dv_protocol = {
@@ -861,7 +868,7 @@ def export_delta_log(table, out_path: str, checkpoint: bool = False) -> str:
         if has_dvs:
             actions.append({"protocol": dv_protocol})  # in-place upgrade
         meta = prev_meta
-        if prev_meta.get("schemaString") != schema_str:
+        if schema_str is not None and prev_meta.get("schemaString") != schema_str:
             meta = dict(prev_meta)
             meta["schemaString"] = schema_str
             actions.append({"metaData": meta})

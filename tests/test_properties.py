@@ -1052,3 +1052,61 @@ def test_snapshot_mor_delete_sequence_matches_model(spark, tmp_path, case):
             assert got == set()
         else:
             assert got == want, (v, op, val)
+
+
+@st.composite
+def _export_churn_case(draw):
+    # a random operation sequence over a small snapshot table; each step is
+    # (op, lo, hi) with semantics in the test body
+    steps = draw(st.lists(
+        st.tuples(st.sampled_from(["append", "cow", "mor", "overwrite"]),
+                  st.integers(min_value=0, max_value=60),
+                  st.integers(min_value=1, max_value=25)),
+        min_size=1, max_size=4,
+    ))
+    return steps
+
+
+@given(_export_churn_case())
+@_lakehouse_settings
+def test_export_delta_continuous_matches_table_history(spark, tmp_path, case):
+    """Random append/CoW-delete/MoR-delete/overwrite churn, exported
+    incrementally after every commit: at each export generation the Delta
+    reader must equal the table's live rows, and EVERY prior generation
+    must still time-travel to its own state (diff commits, DV re-adds,
+    checkpoint pointers)."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from bears_spark.io.delta_log import DeltaTableReader
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    tag = _uuid.uuid4().hex[:8]
+    t = SnapshotTable(spark, str(tmp_path / f"churn-{tag}"))
+    out = str(tmp_path / f"churn-{tag}-delta")
+    t.overwrite(spark.range(0, 40).select(F.col("id")).repartition(2))
+    live = set(range(40))
+    from bears_spark.io.delta_log import export_delta_log
+
+    export_delta_log(t, out, checkpoint=True)
+    history = [set(live)]
+    nxt = 1000
+    for op, lo, span in case:
+        if op == "append":
+            t.append(spark.range(nxt, nxt + span).select(F.col("id")).coalesce(1))
+            live |= set(range(nxt, nxt + span))
+            nxt += span
+        elif op == "overwrite":
+            t.overwrite(spark.range(lo, lo + span).select(F.col("id")).repartition(2))
+            live = set(range(lo, lo + span))
+        else:
+            t.delete_where("id", "<", lo, mode=op if op == "mor" else "cow")
+            live = {i for i in live if not i < lo}
+        export_delta_log(t, out, checkpoint=True)
+        history.append(set(live))
+    r = DeltaTableReader(spark, out)
+    assert r.latest_version() == len(history) - 1
+    for v, want in enumerate(history):
+        got = {x["id"] for x in r.read(version=v).collect()}
+        assert got == want, (v, case)
