@@ -1110,3 +1110,88 @@ def test_export_delta_continuous_matches_table_history(spark, tmp_path, case):
     for v, want in enumerate(history):
         got = {x["id"] for x in r.read(version=v).collect()}
         assert got == want, (v, case)
+
+
+@st.composite
+def _colmap_nested_case(draw):
+    n = draw(st.integers(min_value=1, max_value=6))
+    ids = draw(st.lists(st.integers(min_value=-50, max_value=50), min_size=n, max_size=n))
+    xs = draw(st.lists(st.integers(min_value=-9, max_value=9), min_size=n, max_size=n))
+    ys = draw(st.lists(st.sampled_from(["a", "b", ""]), min_size=n, max_size=n))
+    arr_lens = draw(st.lists(st.integers(min_value=0, max_value=3), min_size=n, max_size=n))
+    mode = draw(st.sampled_from(["name", "id"]))
+    return ids, xs, ys, arr_lens, mode
+
+
+@given(_colmap_nested_case())
+@_lakehouse_settings
+def test_delta_column_mapping_nested_random(spark, tmp_path, case):
+    """Randomized nested column mapping: struct AND array<struct> columns
+    stored under physical names round-trip to logical names with values
+    intact (the positional-cast rename must hold through containers)."""
+    import json as _json
+    import os
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bears_spark.io.delta_log import DeltaTableReader
+
+    ids, xs, ys, arr_lens, mode = case
+    root = str(tmp_path / f"cmrand-{_uuid.uuid4().hex[:8]}")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    inner = pa.struct([("p-x", pa.int64()), ("p-y", pa.string())])
+    arr_vals = [
+        [{"p-q": j} for j in range(k)] for k in arr_lens
+    ]
+    pq.write_table(
+        pa.table({
+            "p-id": pa.array(ids, pa.int64()),
+            "p-info": pa.array(
+                [{"p-x": x, "p-y": y} for x, y in zip(xs, ys)], inner
+            ),
+            "p-arr": pa.array(arr_vals, pa.list_(pa.struct([("p-q", pa.int64())]))),
+        }),
+        os.path.join(root, "f0.parquet"),
+    )
+
+    def fld(name, typ, phys, cid):
+        return {"name": name, "type": typ, "nullable": True,
+                "metadata": {"delta.columnMapping.id": cid,
+                             "delta.columnMapping.physicalName": phys}}
+
+    schema_str = _json.dumps({
+        "type": "struct",
+        "fields": [
+            fld("id", "long", "p-id", 1),
+            fld("info", {"type": "struct", "fields": [
+                fld("x", "long", "p-x", 3), fld("y", "string", "p-y", 4),
+            ]}, "p-info", 2),
+            fld("arr", {"type": "array", "containsNull": True,
+                        "elementType": {"type": "struct", "fields": [
+                            fld("q", "long", "p-q", 6)]}}, "p-arr", 5),
+        ],
+    })
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "r", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": schema_str, "partitionColumns": [],
+                      "configuration": {"delta.columnMapping.mode": mode}}},
+        {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(_json.dumps(a) + "\n")
+    out = DeltaTableReader(spark, root).read()
+    assert out.columns == ["id", "info", "arr"]
+    rows = sorted(
+        out.collect(),
+        key=lambda r: (r["id"], r["info"]["x"], r["info"]["y"], len(r["arr"])),
+    )
+    want = sorted(zip(ids, xs, ys, arr_lens))
+    assert len(rows) == len(want)
+    for r, (i, x, y, k) in zip(rows, want):
+        assert (r["id"], r["info"]["x"], r["info"]["y"]) == (i, x, y)
+        assert [el["q"] for el in r["arr"]] == list(range(k))
