@@ -494,7 +494,8 @@ class SnapshotTable:
         )
 
     def _delete_mor(
-        self, col: str, match_entry, match_rows, max_rebuild_attempts: int = 3
+        self, col: str, match_entry, match_rows, max_rebuild_attempts: int = 3,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Merge-on-read delete core (see delete_where / delete_keys). Each
         attempt reads the current snapshot, computes matching (file,
@@ -529,7 +530,7 @@ class SnapshotTable:
             if not affected:
                 # SQL DELETE still commits a (no-op) version, like the CoW path
                 return self._commit(
-                    "delete-mor", lambda m: [FileEntry(**e) for e in m["files"]]
+                    "delete-mor", lambda m: [FileEntry(**e) for e in m["files"]], txn=txn
                 )
             norm = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
             matches = (
@@ -605,7 +606,7 @@ class SnapshotTable:
                 return out
 
             try:
-                return self._commit("delete-mor", build)
+                return self._commit("delete-mor", build, txn=txn)
             except _Stale:
                 continue
         raise CommitConflictError(
@@ -613,7 +614,8 @@ class SnapshotTable:
             f"{max_rebuild_attempts} times; giving up"
         )
 
-    def delete_keys(self, col: str, keys, mode: str = "cow") -> int:
+    def delete_keys(self, col: str, keys, mode: str = "cow",
+                    txn: tuple[str, int] | None = None) -> int:
         """Bulk keyed delete — the GDPR/right-to-be-forgotten path: given a
         forget-list of key values, touch ONLY the files that can contain
         any of them (every pruning signal applies per key: Bloom filters
@@ -634,12 +636,19 @@ class SnapshotTable:
             key_vals = list(dict.fromkeys(keys))
         key_vals = [k for k in key_vals if k is not None]
         if not key_vals:
+            if txn is not None:
+                # an idempotent-writer batch with nothing to forget must
+                # still land its stamp, or a replay would re-run it
+                return self._commit(
+                    "delete-keys", lambda m: [FileEntry(**e) for e in m["files"]], txn=txn
+                )
             return self.current_version()
         if mode == "mor":
             return self._delete_mor(
                 col,
                 lambda e: any(e.may_match(col, "=", k) for k in key_vals),
                 lambda c: c.isin(key_vals),
+                txn=txn,
             )
         if mode != "cow":
             raise ValueError(f"unknown delete mode {mode!r} (use 'cow' or 'mor')")
@@ -660,7 +669,7 @@ class SnapshotTable:
                 new = self._write_files(survivors)
             return keep + new
 
-        return self._commit("delete-keys", build)
+        return self._commit("delete-keys", build, txn=txn)
 
     def restore(self, version: int) -> int:
         """Delta-style RESTORE: roll the table back to ``version`` as a NEW
@@ -903,6 +912,31 @@ class SnapshotTable:
             if self.committed_txns().get(app, -1) >= batch_id:
                 return  # replay after checkpoint recovery: already committed
             self.merge(batch_df, key=key, txn=(app, batch_id))
+
+        w = stream_df.writeStream.foreachBatch(_sink).option("checkpointLocation", checkpoint_dir)
+        if available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+    def streaming_delete_keys(self, stream_df: DataFrame, checkpoint_dir: str, col: str,
+                              mode: str = "mor", available_now: bool = True,
+                              app_id: str | None = None):
+        """Exactly-once streaming DELETE (the CDC-delete / GDPR-stream twin
+        of streaming_merge): each micro-batch is a forget-list of ``col``
+        values, applied under the same (app_id, epoch) transaction stamps —
+        a replayed batch after checkpoint recovery is skipped at the commit,
+        including batches that matched nothing (the no-op version still
+        lands its stamp). ``mode="mor"`` (default) tombstones positions as
+        deletion vectors — the cheap shape for sparse forget-lists over
+        large files; ``mode="cow"`` rewrites. The app_id namespace is
+        suffixed '#delete' so append/merge/delete streams sharing a
+        checkpoint directory never confuse each other's epoch stamps."""
+        app = app_id or os.path.abspath(checkpoint_dir) + "#delete"
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            if self.committed_txns().get(app, -1) >= batch_id:
+                return  # replay after checkpoint recovery: already committed
+            self.delete_keys(col, batch_df.select(col), mode=mode, txn=(app, batch_id))
 
         w = stream_df.writeStream.foreachBatch(_sink).option("checkpointLocation", checkpoint_dir)
         if available_now:

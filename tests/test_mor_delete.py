@@ -318,3 +318,48 @@ def test_delta_dv_table_root_with_space(spark, tmp_path):
             f.write(_json.dumps(a) + "\n")
     got = sorted(x["id"] for x in DeltaTableReader(spark, str(root)).read().collect())
     assert got == [1, 3]
+
+
+def test_streaming_delete_keys_exactly_once(spark, tmp_path):
+    """A stream of forget-lists deletes exactly once: DVs land per epoch, a
+    replayed availableNow run commits nothing, and an empty-matching batch
+    still stamps its epoch (so ITS replay is skipped too)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "forget"
+    src.mkdir()
+    t = SnapshotTable(spark, str(tmp_path / "sdt"))
+    t.overwrite(
+        spark.range(0, 50).select(F.col("id"), (F.col("id") * 1.0).alias("v")).repartition(2)
+    )
+    pq.write_table(pa.table({"id": pa.array([3, 7, 11], pa.int64())}), str(src / "b0.parquet"))
+    stream = (
+        spark.readStream.schema("id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/")
+    )
+    ckpt = str(tmp_path / "sdckpt")
+    t.streaming_delete_keys(stream, ckpt, col="id").awaitTermination(120)
+    assert sorted(x["id"] for x in t.read().collect()) == [
+        i for i in range(50) if i not in {3, 7, 11}
+    ]
+    assert any(e.dv for e in t.files())  # mor default
+    # replay: same checkpoint, no new files -> no commits
+    before = t.current_version()
+    t.streaming_delete_keys(stream, ckpt, col="id").awaitTermination(120)
+    assert t.current_version() == before
+    # epoch 1: keys that match nothing — still commits exactly one stamped
+    # no-op version, and replaying it commits nothing further
+    pq.write_table(pa.table({"id": pa.array([900, 901], pa.int64())}), str(src / "b1.parquet"))
+    t.streaming_delete_keys(stream, ckpt, col="id").awaitTermination(120)
+    after_noop = t.current_version()
+    assert after_noop == before + 1
+    t.streaming_delete_keys(stream, ckpt, col="id").awaitTermination(120)
+    assert t.current_version() == after_noop
+    # epoch 2: a second real forget-list merges into the existing DVs
+    pq.write_table(pa.table({"id": pa.array([0, 49], pa.int64())}), str(src / "b2.parquet"))
+    t.streaming_delete_keys(stream, ckpt, col="id").awaitTermination(120)
+    assert sorted(x["id"] for x in t.read().collect()) == [
+        i for i in range(1, 49) if i not in {3, 7, 11}
+    ]
