@@ -331,8 +331,14 @@ class DeltaTableReader:
         import pyarrow.parquet as pq
 
         # checkpoints are manifest-sized metadata: read the bytes through
-        # the FS seam (object stores included) and parse in memory
-        tbl = pq.read_table(_io.BytesIO(self.fs.read_bytes(path)))
+        # the FS seam (object stores included) and parse in memory. Only the
+        # action columns are materialized — real Delta checkpoints also
+        # carry wide stats_parsed/partitionValues_parsed structs that a
+        # replay never needs
+        buf = _io.BytesIO(self.fs.read_bytes(path))
+        wanted = ["metaData", "protocol", "add", "remove", "sidecar"]
+        present = [c for c in pq.ParquetFile(buf).schema_arrow.names if c in wanted]
+        tbl = pq.read_table(buf, columns=present)
         for kind in ("metaData", "protocol", "add", "remove", "sidecar"):
             if kind not in tbl.column_names:
                 continue
