@@ -363,3 +363,17 @@ def test_streaming_delete_keys_exactly_once(spark, tmp_path):
     assert sorted(x["id"] for x in t.read().collect()) == [
         i for i in range(1, 49) if i not in {3, 7, 11}
     ]
+
+
+def test_mor_scan_plan_shape(spark, tmp_path):
+    """The DV-applied scan must be an equi-keyed anti-join (hashable keys:
+    file path + position) — never a cartesian/broadcast-nested-loop — and
+    DV-free tables must keep the plain scan (no join operator at all)."""
+    t = _mk(spark, tmp_path, "plan", n=100, files=2)
+    plain = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plain
+    t.delete_where("id", "<", 10, mode="mor")
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
