@@ -1925,7 +1925,14 @@ def _dv_bench_table(spark: SparkSession, sf_dir: str) -> str:
 
     from bears_spark.io.roaring import frame_dv, serialize_rba, z85_encode
 
-    key = hashlib.sha1(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # cache key includes the source's (mtime, size) fingerprint: a
+    # regenerated testdata directory must invalidate the cached table, or
+    # the bench would read stale rows and hash-mismatch the oracle
+    src = _os.path.join(_os.path.abspath(sf_dir), "orders.parquet")
+    st = _os.stat(src)
+    key = hashlib.sha1(
+        f"{src}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
     root = _os.path.join(tempfile.gettempdir(), f"bears_dv_bench_{key}")
     if _os.path.isdir(_os.path.join(root, "_delta_log")):
         return root
