@@ -729,7 +729,7 @@ def _export_add_action(table_root: str, entry) -> dict:
             {"numRecords": entry.rows, "minValues": mins, "maxValues": maxs}
         ),
     }
-    dv = getattr(entry, "dv", None)
+    dv = entry.dv
     if dv:
         tags["dvsrc"] = os.path.basename(dv["path"])
         action["deletionVector"] = _export_dv_descriptor(table_root, dv)
@@ -842,7 +842,7 @@ def export_delta_log(table, out_path: str, checkpoint: bool = False) -> str:
         "minReaderVersion": 3, "minWriterVersion": 7,
         "readerFeatures": ["deletionVectors"], "writerFeatures": ["deletionVectors"],
     }
-    has_dvs = any(getattr(e, "dv", None) for e in entries.values())
+    has_dvs = any(e.dv for e in entries.values())
     if not existing:
         meta = {
             "id": _uuid.uuid4().hex,
@@ -892,7 +892,7 @@ def export_delta_log(table, out_path: str, checkpoint: bool = False) -> str:
                 new_adds.append(_export_add_action(out_path, e))
                 continue
             p, a = by_src[src]
-            dv = getattr(e, "dv", None)
+            dv = e.dv
             old_dvsrc = (a.get("tags") or {}).get("dvsrc")
             new_dvsrc = os.path.basename(dv["path"]) if dv else None
             if old_dvsrc == new_dvsrc:
@@ -926,7 +926,15 @@ def export_delta_log(table, out_path: str, checkpoint: bool = False) -> str:
 class _ExportReplay:
     """Driver-side replay of a previously-exported (local) Delta log —
     just enough state for export_delta_log's incremental diff: the latest
-    version, metaData, and live add actions."""
+    version, metaData, and live add actions.
+
+    Deliberately NOT DeltaTableReader._snapshot: the reader may serve state
+    from a checkpoint, whose parquet rows carry map fields (tags,
+    partitionValues) as LISTS of key/value tuples and null-filled extra
+    columns — re-emitting those into JSON diff commits would drift the
+    action shapes. Exports never clean their commits, so a JSON-only replay
+    is always complete and yields exactly the dict-shaped actions that were
+    written."""
 
     def __init__(self, path: str) -> None:
         self.path = path

@@ -134,7 +134,7 @@ def scan_with_dvs(spark: SparkSession, entries, merge_schema: bool = True) -> Da
     dvs = [
         (spark_uri_path(os.path.abspath(e.path)), e.dv)
         for e in entries
-        if getattr(e, "dv", None)
+        if e.dv
     ]
     if not dvs:
         return reader.parquet(*paths)

@@ -437,9 +437,7 @@ class IcebergTableReader:
         )
 
     def _field_names_for_ids(self, ids: tuple[int, ...]) -> list[str]:
-        schemas = self.meta.get("schemas") or [self.meta.get("schema") or {}]
-        cur_id = self.meta.get("current-schema-id", 0)
-        schema = next((s for s in schemas if s.get("schema-id", 0) == cur_id), schemas[0])
+        schema = self._current_schema()
         id2name = {int(f["id"]): f["name"] for f in schema.get("fields", []) if "id" in f}
         missing = [i for i in ids if i not in id2name]
         if missing:
@@ -729,7 +727,7 @@ def export_iceberg_metadata(table, out_path: str) -> str:
             os.link(e.path, dst)
         except OSError:
             shutil.copy2(e.path, dst)
-        if getattr(e, "dv", None):
+        if e.dv:
             dv_pairs.append((dst, e.dv))
         # carry the manifest's plain min/max into Iceberg bounds so the
         # exported table keeps stats-based file skipping (files(where=...))
