@@ -750,9 +750,16 @@ def _write_delta_checkpoint(out_path: str, version: int, meta: dict, adds: list[
          ("readerFeatures", pa.list_(pa.string())),
          ("writerFeatures", pa.list_(pa.string()))]
     )
+    # metaData must be field-complete per the checkpoint schema — external
+    # readers replaying from the checkpoint (not the JSON commits) see THIS
+    # struct as the table's only metaData, and some Delta implementations
+    # refuse a null configuration / format.options (ADVICE r8 #2)
     meta_t = pa.struct(
-        [("id", pa.string()), ("format", pa.struct([("provider", pa.string())])),
+        [("id", pa.string()),
+         ("format", pa.struct([("provider", pa.string()),
+                               ("options", pa.map_(pa.string(), pa.string()))])),
          ("schemaString", pa.string()), ("partitionColumns", pa.list_(pa.string())),
+         ("configuration", pa.map_(pa.string(), pa.string())),
          ("createdTime", pa.int64())]
     )
     dv_t = pa.struct(
@@ -767,9 +774,13 @@ def _write_delta_checkpoint(out_path: str, version: int, meta: dict, adds: list[
          ("stats", pa.string()), ("deletionVector", dv_t)]
     )
     n = len(adds) + 2
+    fmt = meta.get("format") or {}
     meta_row = {
-        "id": meta["id"], "format": {"provider": "parquet"},
+        "id": meta["id"],
+        "format": {"provider": fmt.get("provider") or "parquet",
+                   "options": sorted((fmt.get("options") or {}).items())},
         "schemaString": meta["schemaString"], "partitionColumns": [],
+        "configuration": sorted((meta.get("configuration") or {}).items()),
         "createdTime": int(meta.get("createdTime") or 0),
     }
     add_rows = [

@@ -157,27 +157,42 @@ class ArrowMetaFS(MetaFS):
         except ImportError as exc:  # pragma: no cover - pyarrow is baked in
             raise ImportError("ArrowMetaFS needs pyarrow") from exc
         self._pafs = pafs
-        # scheme+authority -> (filesystem handle, uri-prefix length to strip):
+        # scheme+authority -> (filesystem handle, keeps_netloc flag):
         # from_uri() is paid ONCE per scheme+authority; later paths under the
-        # same root strip the recorded prefix instead of re-handshaking
-        self._cache: dict[str, tuple[object, int]] = {}
+        # same root re-derive rel by URI PARSING, never by slicing a cached
+        # character count — from_uri percent-decodes/normalizes, so for a
+        # root containing %-escapes or non-ASCII the decoded rel is SHORTER
+        # than the URI suffix and any cached strip length would misresolve
+        # every later path under that scheme+authority (ADVICE r8 #1).
+        self._cache: dict[str, tuple[object, bool]] = {}
+
+    @staticmethod
+    def _parse_rel(path: str, keeps_netloc: bool) -> str:
+        """Filesystem-relative key for a URI: percent-decoded path, with the
+        authority prepended for stores whose keys keep the bucket (s3://b/k
+        -> "b/k") but not for file:// (plain "/a/b") — mirroring exactly what
+        ``FileSystem.from_uri`` returns for the same URI."""
+        from urllib.parse import unquote, urlparse
+
+        p = urlparse(path)
+        rel = unquote(p.path)
+        return f"{p.netloc}{rel}" if keeps_netloc and p.netloc else rel
 
     def _resolve(self, path: str):
         scheme_auth = path.split("/", 3)
         cache_key = "/".join(scheme_auth[:3])
         hit = self._cache.get(cache_key)
         if hit is None:
+            from urllib.parse import urlparse
+
             fs, rel = self._pafs.FileSystem.from_uri(path)
-            # from_uri's rel keeps the bucket for object stores
-            # ("s3://b/k" -> "b/k") but not the scheme; for file:// it's the
-            # plain path. Either way rel is a suffix of the URI — record how
-            # many leading chars the scheme (and, for file://, authority)
-            # contribute, so later paths resolve with plain slicing.
-            strip = len(path) - len(rel)
-            self._cache[cache_key] = (fs, strip)
+            netloc = urlparse(path).netloc
+            keeps_netloc = bool(netloc) and rel.startswith(netloc)
+            self._cache[cache_key] = (fs, keeps_netloc)
+            # from_uri's rel is authoritative for the miss itself
             return fs, rel
-        fs, strip = hit
-        return fs, path[strip:]
+        fs, keeps_netloc = hit
+        return fs, self._parse_rel(path, keeps_netloc)
 
     def read_bytes(self, path: str) -> bytes:
         fs, rel = self._resolve(path)

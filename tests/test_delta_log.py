@@ -968,3 +968,30 @@ def test_export_checkpoint_protocol_carries_features(spark, tmp_path):
     # and the checkpointed export still reads correctly through the pointer
     r = DeltaTableReader(spark, out)
     assert sorted(x["id"] for x in r.read().collect()) == list(range(5, 20))
+
+
+def test_delta_checkpoint_metadata_field_complete(spark, tmp_path):
+    """The checkpoint's metaData action carries configuration and
+    format.options as EMPTY MAPS, never nulls — external readers replaying
+    from the checkpoint (not the JSON commits) see a field-complete action
+    (ADVICE r8 #2)."""
+    import pyarrow.parquet as pq
+
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "ckmeta_st"))
+    t.overwrite(spark.range(0, 10).select(F.col("id")).coalesce(1))
+    out = export_delta_log(t, str(tmp_path / "ckmeta"), checkpoint=True)
+    log_dir = os.path.join(out, "_delta_log")
+    ck = [n for n in os.listdir(log_dir) if n.endswith(".checkpoint.parquet")]
+    assert len(ck) == 1
+    tbl = pq.read_table(os.path.join(log_dir, ck[0]))
+    metas = [m for m in tbl.column("metaData").to_pylist() if m]
+    assert len(metas) == 1
+    m = metas[0]
+    assert m["configuration"] == []  # present (empty map), not null
+    assert m["format"] == {"provider": "parquet", "options": []}
+    assert m["partitionColumns"] == []
+    assert m["schemaString"]
+    # the exported table still replays from this checkpoint
+    assert DeltaTableReader(spark, out).read().count() == 10

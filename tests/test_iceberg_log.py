@@ -758,7 +758,8 @@ def test_iceberg_identity_partition_pruning(spark, tmp_path):
     # equality prune: de file provably excluded, null-tuple file kept
     kept = r.files(where=("lang", "=", "en"))
     assert f_en in kept and f_de not in kept and f_nul in kept
-    # non-identity transform (bucket) never prunes
+    # bucket transform declared but the tuples carry no id_bucket value:
+    # conservative keep (bucket pruning needs a non-null tuple value)
     assert len(r.files(where=("id", "=", 1))) == 3
     # pruning is an optimization, never a filter: values identical
     assert sorted(x["id"] for x in r.read(where=("lang", "=", "en")).collect()) == [1, 2]
@@ -797,3 +798,90 @@ def test_iceberg_partition_pruning_spec_conflict_conservative(spark, tmp_path):
     # conflicted meaning: the file is KEPT and the row found
     assert r.files(where=("lang", "=", "en")) == [f_en]
     assert [x["id"] for x in r.read(where=("lang", "=", "en")).collect()] == [1]
+
+
+def test_iceberg_renamed_read_leaves_session_conf_untouched(spark, tmp_path):
+    """VERDICT r8 #6: the field-id projection must not mutate session conf.
+    The scan groups files by their footer (name, field id) mapping and
+    projects per group — no spark.sql.parquet.fieldId.read.enabled flip —
+    so the conf reads the same before and after, and the result is correct
+    even with the flag explicitly OFF."""
+    key = "spark.sql.parquet.fieldId.read.enabled"
+    prior = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "false")
+        root = _mk_table(tmp_path, "renconf")
+        fpath = os.path.join(root, "data", "old.parquet")
+        _field_id_parquet(fpath, [("id", 1, [1, 2]), ("val_a", 2, [10, 20])])
+        m1 = _manifest(root, "m1.avro", [(1, 0, fpath)])
+        ml1 = _manifest_list(root, "ml1.avro", [m1])
+        meta = {
+            "format-version": 2, "table-uuid": "u", "location": root,
+            "current-snapshot-id": 1,
+            "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": ml1}],
+            "schemas": [
+                {"schema-id": 0, "type": "struct", "fields": [
+                    {"id": 1, "name": "id", "required": False, "type": "long"},
+                    {"id": 2, "name": "val_a", "required": False, "type": "long"},
+                ]},
+                {"schema-id": 1, "type": "struct", "fields": [
+                    {"id": 1, "name": "id", "required": False, "type": "long"},
+                    {"id": 2, "name": "val_b", "required": False, "type": "long"},
+                ]},
+            ],
+            "current-schema-id": 1,
+        }
+        with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as f:
+            json.dump(meta, f)
+        with open(os.path.join(root, "metadata", "version-hint.text"), "w") as f:
+            f.write("1")
+        r = IcebergTableReader(spark, root)
+        rows = {x["id"]: x["val_b"] for x in r.read().collect()}
+        assert rows == {1: 10, 2: 20}
+        assert spark.conf.get(key, None) == "false"
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+
+
+def test_iceberg_renamed_read_mixed_pre_and_post_rename_files(spark, tmp_path):
+    """Pre-rename and post-rename files scan as separate physical-schema
+    groups and union to one logical schema; a file written after a column
+    ADD serves the new column, older files read it as null."""
+    root = _mk_table(tmp_path, "renmix")
+    f_old = os.path.join(root, "data", "old.parquet")
+    _field_id_parquet(f_old, [("id", 1, [1, 2]), ("val_a", 2, [10, 20])])
+    f_new = os.path.join(root, "data", "new.parquet")
+    _field_id_parquet(
+        f_new, [("id", 1, [3]), ("val_b", 2, [30]), ("extra", 3, [99])]
+    )
+    m1 = _manifest(root, "m1.avro", [(1, 0, f_old), (1, 0, f_new)])
+    ml1 = _manifest_list(root, "ml1.avro", [m1])
+    meta = {
+        "format-version": 2, "table-uuid": "u", "location": root,
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": ml1}],
+        "schemas": [
+            {"schema-id": 0, "type": "struct", "fields": [
+                {"id": 1, "name": "id", "required": False, "type": "long"},
+                {"id": 2, "name": "val_a", "required": False, "type": "long"},
+            ]},
+            {"schema-id": 1, "type": "struct", "fields": [
+                {"id": 1, "name": "id", "required": False, "type": "long"},
+                {"id": 2, "name": "val_b", "required": False, "type": "long"},
+                {"id": 3, "name": "extra", "required": False, "type": "long"},
+            ]},
+        ],
+        "current-schema-id": 1,
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as f:
+        f.write("1")
+    r = IcebergTableReader(spark, root)
+    out = r.read()
+    assert out.columns == ["id", "val_b", "extra"]
+    rows = {x["id"]: (x["val_b"], x["extra"]) for x in out.collect()}
+    assert rows == {1: (10, None), 2: (20, None), 3: (30, 99)}

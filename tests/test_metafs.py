@@ -170,3 +170,27 @@ def test_arrow_metafs_single_from_uri(tmp_path):
     assert fs.listdir(base) == ["a", "b"]
     assert fs.exists(f"{base}/a")
     assert calls["n"] == 1
+
+
+def test_arrow_metafs_percent_escaped_root(tmp_path):
+    """A %-escaped (or non-ASCII) URI root must resolve every path under it
+    even after the per-scheme handle is cached: pyarrow percent-decodes rel,
+    so deriving later rels by slicing a cached character count maps them to
+    wrong keys (ADVICE r8 #1). rel is re-derived per call by URI parsing."""
+    from urllib.parse import quote
+
+    d = tmp_path / "meta dir ü"
+    d.mkdir()
+    (d / "a.json").write_bytes(b"1")
+    (d / "b.json").write_bytes(b"22")
+    fs = ArrowMetaFS()
+    base = f"file://{quote(str(d))}"
+    # cache miss (from_uri's own rel) ...
+    assert fs.read_bytes(f"{base}/a.json") == b"1"
+    # ... and every later call under the cached handle must agree
+    assert fs.read_bytes(f"{base}/b.json") == b"22"
+    assert fs.listdir(base) == ["a.json", "b.json"]
+    assert fs.exists(f"{base}/a.json")
+    assert not fs.exists(f"{base}/c.json")
+    assert fs.mtime(f"{base}/a.json") > 0
+    assert len(fs._cache) == 1
