@@ -54,14 +54,62 @@ def spark_uri_path(path: str) -> str:
     return quote(path, safe="/:@!$&'()*+,;=~-._")
 
 
+def dv_join_key(path: str) -> str:
+    """Canonical driver-side identity of a data file for every (file, pos)
+    join in this module, covering URI table roots (VERDICT r8 #2): bare
+    local paths become the percent-encoded abspath (unchanged from the
+    local-only engine), ``file:`` URIs reduce to that same encoded local
+    path (matching the Spark side's ``^file:/+`` strip), and object-store
+    URIs keep scheme://authority with the path re-encoded — with ``s3a``
+    folded to ``s3`` so the Hadoop connector's rendering and pyarrow's
+    agree on one spelling."""
+    from urllib.parse import unquote, urlparse
+
+    from bears_spark.io.metafs import is_uri
+
+    if not is_uri(path):
+        return spark_uri_path(os.path.abspath(path))
+    p = urlparse(path)
+    if p.scheme == "file":
+        return spark_uri_path(unquote(p.path))
+    scheme = "s3" if p.scheme in ("s3a", "s3n") else p.scheme
+    return f"{scheme}://{p.netloc}{spark_uri_path(unquote(p.path))}"
+
+
+def spark_file_norm(col):
+    """Normalize a Spark-side file-path column (``_metadata.file_path`` /
+    ``input_file_name()``) to the :func:`dv_join_key` spelling: local URIs
+    drop the ``file:`` scheme, ``s3a``/``s3n`` fold to ``s3``. Percent
+    encoding is left alone — both sides speak Hadoop's."""
+    norm = F.regexp_replace(col, "^file:/+", "/")
+    return F.regexp_replace(norm, "^s3[an]://", "s3://")
+
+
 def write_dv_file(path: str, positions: list[int]) -> dict:
     """Serialize ``positions`` (deleted row indexes of ONE data file) as a
     Delta-framed DV file at ``path``. Returns the descriptor fields a
     manifest needs: ``{"path", "offset", "sizeInBytes", "cardinality"}``.
-    Positions are deduplicated by the roaring codec."""
+    Positions are deduplicated by the roaring codec.
+
+    Runs EXECUTOR-side (one call per affected file, inside applyInPandas):
+    URI paths route through ``pyarrow.fs`` — resolved here, on the
+    executor, because driver-side filesystem handles don't serialize into
+    task closures — so an s3://gs://-rooted table writes its DV blobs
+    straight to the object store (VERDICT r8 #2); bare paths keep the
+    shared-filesystem ``open()``."""
+    from bears_spark.io.metafs import is_uri
+
     data = serialize_rba(positions)
-    with open(path, "wb") as f:
-        f.write(bytes([DV_FILE_FORMAT_VERSION]) + frame_dv(data))
+    payload = bytes([DV_FILE_FORMAT_VERSION]) + frame_dv(data)
+    if is_uri(path):
+        from pyarrow import fs as pafs
+
+        handle, rel = pafs.FileSystem.from_uri(path)
+        with handle.open_output_stream(rel) as f:
+            f.write(payload)
+    else:
+        with open(path, "wb") as f:
+            f.write(payload)
     return {
         "path": path,
         "offset": 1,
@@ -72,9 +120,14 @@ def write_dv_file(path: str, positions: list[int]) -> dict:
 
 def read_dv_blob(dv: dict, read_bytes=None) -> bytes:
     """Load + checksum-verify one DV descriptor's RoaringBitmapArray bytes.
-    ``read_bytes`` overrides the byte source (FS seams); any framing/CRC
-    mismatch raises ValueError — refuse over misread."""
-    raw = read_bytes(dv["path"]) if read_bytes is not None else open(dv["path"], "rb").read()
+    ``read_bytes`` overrides the byte source (FS seams); URI descriptor
+    paths default through pyarrow.fs; any framing/CRC mismatch raises
+    ValueError — refuse over misread."""
+    if read_bytes is None:
+        from bears_spark.io.metafs import datafs_for
+
+        read_bytes = datafs_for(dv["path"]).read_bytes
+    raw = read_bytes(dv["path"])
     if not raw or raw[0] != DV_FILE_FORMAT_VERSION:
         raise ValueError(f"unsupported DV file format version {raw[:1]!r}")
     return unframe_dv(raw, int(dv["offset"]), int(dv["sizeInBytes"]))
@@ -116,7 +169,7 @@ def dv_anti_join(
     (from ``_metadata.file_path``) and ``pos_col`` (``_metadata.row_index``);
     file:/-URI forms are normalized so they compare with plain paths."""
     positions = positions_df(spark, blobs)
-    norm = F.regexp_replace(F.col(file_col), "^file:/+", "/")
+    norm = spark_file_norm(F.col(file_col))
     return tagged.join(
         positions,
         (norm == F.col("__dv_path__")) & (F.col(pos_col) == F.col("__dv_pos__")),
@@ -129,13 +182,11 @@ def scan_with_dvs(spark: SparkSession, entries, merge_schema: bool = True) -> Da
     vectors applied. Entries without DVs take the plain parquet read (zero
     overhead — byte-identical plan to the pre-DV engine); any DV-bearing
     entry switches the scan to metadata-tagged merge-on-read."""
-    paths = [e.path for e in entries]
+    from bears_spark.io.metafs import spark_path
+
+    paths = [spark_path(e.path) for e in entries]
     reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
-    dvs = [
-        (spark_uri_path(os.path.abspath(e.path)), e.dv)
-        for e in entries
-        if e.dv
-    ]
+    dvs = [(dv_join_key(e.path), e.dv) for e in entries if e.dv]
     if not dvs:
         return reader.parquet(*paths)
     df = reader.parquet(*paths).select(

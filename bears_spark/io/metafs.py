@@ -49,6 +49,27 @@ def is_uri(path: str) -> bool:
     return bool(_URI_RE.match(path))
 
 
+def join_path(root: str, *parts: str) -> str:
+    """Path join that keeps URI roots URIs: scheme://-prefixed roots join
+    with '/' (object-store key space), bare paths keep os.path.join so
+    local behavior stays byte-identical to the pre-seam engine."""
+    if is_uri(root):
+        return "/".join([root.rstrip("/"), *parts])
+    return os.path.join(root, *parts)
+
+
+def spark_path(path: str) -> str:
+    """Render a path for SPARK's reader/writer: Hadoop speaks ``s3a://``
+    where pyarrow/boto speak ``s3://`` (same objects, different connector
+    naming), so the one scheme translation happens here — at the exact
+    boundary where a driver-side table path becomes a Spark scan/write
+    target. Everything else (file://, gs://, hdfs://, bare paths) passes
+    through untouched."""
+    if path.startswith("s3://"):
+        return "s3a://" + path[5:]
+    return path
+
+
 class MetaFS(ABC):
     """Read-only filesystem surface for driver-side lakehouse metadata."""
 
@@ -80,6 +101,24 @@ class MetaFS(ABC):
         rather than guessing)."""
         return None
 
+    # -- write surface (the DATA-plane seam, VERDICT r8 #2) -----------------
+    # Only the filesystem-backed implementations are writable: driver-side
+    # auxiliary data files (merge-on-read DV blobs) and maintenance deletes
+    # (vacuum) go through these, while bulk parquet is still written by
+    # Spark itself. CommitStoreMetaFS stays read-only — the commit store
+    # carries manifests and pointers, never data.
+    def write_bytes(self, path: str, data: bytes) -> None:
+        raise NotImplementedError(f"{type(self).__name__} is read-only")
+
+    def mkdirs(self, dirpath: str) -> None:
+        raise NotImplementedError(f"{type(self).__name__} is read-only")
+
+    def remove(self, path: str) -> None:
+        raise NotImplementedError(f"{type(self).__name__} is read-only")
+
+    def rmtree(self, dirpath: str) -> None:
+        raise NotImplementedError(f"{type(self).__name__} is read-only")
+
 
 class LocalMetaFS(MetaFS):
     """Driver-visible POSIX filesystem (local disk, NFS, fuse)."""
@@ -105,6 +144,21 @@ class LocalMetaFS(MetaFS):
 
     def mtime(self, path: str) -> float | None:
         return os.path.getmtime(path)
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        with open(path, "wb") as f:
+            f.write(data)
+
+    def mkdirs(self, dirpath: str) -> None:
+        os.makedirs(dirpath, exist_ok=True)
+
+    def remove(self, path: str) -> None:
+        os.remove(path)
+
+    def rmtree(self, dirpath: str) -> None:
+        import shutil
+
+        shutil.rmtree(dirpath, ignore_errors=True)
 
 
 class CommitStoreMetaFS(MetaFS):
@@ -229,6 +283,53 @@ class ArrowMetaFS(MetaFS):
         if info.type == self._pafs.FileType.NotFound or info.mtime_ns is None:
             return None
         return info.mtime_ns / 1e9
+
+    def resolve(self, path: str):
+        """Public (filesystem handle, fs-relative key) resolution — callers
+        that hand paths to pyarrow readers directly (parquet footer reads)
+        need both halves."""
+        return self._resolve(path)
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        fs, rel = self._resolve(path)
+        with fs.open_output_stream(rel) as f:
+            f.write(data)
+
+    def mkdirs(self, dirpath: str) -> None:
+        fs, rel = self._resolve(dirpath)
+        fs.create_dir(rel, recursive=True)
+
+    def remove(self, path: str) -> None:
+        fs, rel = self._resolve(path)
+        fs.delete_file(rel)
+
+    def rmtree(self, dirpath: str) -> None:
+        fs, rel = self._resolve(dirpath)
+        try:
+            fs.delete_dir(rel)
+        except FileNotFoundError:
+            pass
+
+
+def parquet_metadata(path: str, fs: MetaFS | None = None):
+    """Driver-side parquet FOOTER read through the metadata seam:
+    ``pyarrow.parquet.ParquetFile(...).metadata`` for a path that may live
+    on an object store. Bytes read are footer-proportional (KBs per file)
+    regardless of file size — the same cost model the manifest reads pay."""
+    import pyarrow.parquet as pq
+
+    if isinstance(fs, ArrowMetaFS):
+        handle, rel = fs.resolve(path)
+        return pq.ParquetFile(rel, filesystem=handle).metadata
+    return pq.ParquetFile(path).metadata
+
+
+def datafs_for(path: str) -> MetaFS:
+    """Writable filesystem for a table's DATA plane (DV blobs, vacuum):
+    URI roots route through pyarrow.fs, bare paths stay on local os calls.
+    The commit store is deliberately NOT an option here — it carries
+    manifests, never data bytes."""
+    return ArrowMetaFS() if is_uri(path) else LocalMetaFS()
 
 
 def metafs_for(path: str, store=None) -> MetaFS:

@@ -1,0 +1,120 @@
+"""Object-store DATA plane for SnapshotTable (VERDICT r8 "Next round" #2):
+a URI-rooted table (file:// as the in-container stand-in for s3://gs://)
+writes its parquet, DV blobs and vacuum deletes through the pyarrow.fs seam
+(io/metafs.py) — the write-side twin of round 8's reader seam — while bare
+local paths keep the byte-identical os-call behavior (the existing MoR
+suite proves that half)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bears_spark.io.commit_store import InMemoryCommitStore
+from bears_spark.io.dv import dv_join_key
+from bears_spark.io.metafs import join_path, spark_path
+from bears_spark.io.snapshot_table import SnapshotTable
+
+
+def _furi(p) -> str:
+    return "file://" + str(p)
+
+
+def _mk(spark, root, store=None, n=100, files=2, **kw):
+    t = SnapshotTable(spark, root, store=store, **kw)
+    df = spark.range(0, n).select(
+        F.col("id"),
+        (F.col("id") % 10).alias("bucket"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    t.overwrite(df.repartition(files))
+    return t
+
+
+def test_dv_join_key_spellings():
+    assert dv_join_key("/tmp/a b/x.parquet") == "/tmp/a%20b/x.parquet"
+    assert dv_join_key("file:///tmp/a b/x.parquet") == "/tmp/a%20b/x.parquet"
+    # pre-encoded and raw file URIs collapse to one spelling
+    assert dv_join_key("file:///tmp/a%20b/x.parquet") == "/tmp/a%20b/x.parquet"
+    # Hadoop's s3a and pyarrow's s3 agree on one spelling
+    assert dv_join_key("s3a://bkt/k/x.parquet") == "s3://bkt/k/x.parquet"
+    assert dv_join_key("s3://bkt/a b.parquet") == "s3://bkt/a%20b.parquet"
+
+
+def test_spark_path_translation():
+    assert spark_path("s3://b/k") == "s3a://b/k"
+    assert spark_path("file:///x") == "file:///x"
+    assert spark_path("/x/y") == "/x/y"
+
+
+def test_join_path_uri_and_local():
+    assert join_path("file:///t", "data", "x") == "file:///t/data/x"
+    assert join_path("s3://b/t/", "data") == "s3://b/t/data"
+    assert join_path("/t", "data", "x") == os.path.join("/t", "data", "x")
+
+
+def test_non_file_uri_root_requires_store(spark):
+    with pytest.raises(ValueError, match="CommitStore"):
+        SnapshotTable(spark, "s3://bucket/table")
+
+
+def test_fileuri_root_write_read_roundtrip(spark, tmp_path):
+    t = _mk(spark, _furi(tmp_path / "t"))
+    assert t.read().count() == 100
+    # data landed under the URI root; manifests under the decoded local root
+    assert (tmp_path / "t" / "data").is_dir()
+    assert (tmp_path / "t" / "_manifests" / "v00000001.json").is_file()
+    # manifest paths carry the URI, proving reads resolve through it
+    assert all(e.path.startswith("file://") for e in t.files())
+    # stats-based pruning works off URI-rooted footers
+    assert t.read(where=("id", "<", 0)).count() == 0
+
+
+def test_fileuri_root_mor_delete_read_compact_vacuum(spark, tmp_path):
+    t = _mk(spark, _furi(tmp_path / "t"))
+    v0 = t.current_version()
+    t.delete_where("id", "<", 30, mode="mor")
+    assert sorted(x["id"] for x in t.read().collect()) == list(range(30, 100))
+    # the DV blobs themselves live under the URI root
+    dvs = [e.dv for e in t.files() if e.dv]
+    assert dvs and all(d["path"].startswith("file://") for d in dvs)
+    # time travel still sees the pre-delete snapshot
+    assert t.read(version=v0).count() == 100
+    # a second MoR delete merges positions through the URI-read blobs
+    t.delete_where("id", ">=", 90, mode="mor")
+    assert sorted(x["id"] for x in t.read().collect()) == list(range(30, 90))
+    # compact materializes the DVs away and reads stay exact
+    t.compact(target_rows_per_file=1000)
+    assert not any(e.dv for e in t.files())
+    assert sorted(x["id"] for x in t.read().collect()) == list(range(30, 90))
+    # expire + vacuum reclaims the superseded files through the seam
+    t.expire_snapshots(keep_last=1)
+    assert t.vacuum() > 0
+    assert sorted(x["id"] for x in t.read().collect()) == list(range(30, 90))
+
+
+def test_fileuri_root_with_inmemory_store(spark, tmp_path):
+    """Manifests in an object-store stub (URI keys, conditional-put CAS),
+    data + DV blobs on the URI filesystem — the exact split a real
+    s3://-rooted deployment runs."""
+    store = InMemoryCommitStore()
+    root = _furi(tmp_path / "t")
+    t = _mk(spark, root, store=store)
+    t.delete_where("bucket", "=", 3, mode="mor")
+    got = sorted(x["id"] for x in t.read().collect())
+    assert got == [i for i in range(100) if i % 10 != 3]
+    # manifest keys stayed in the store's URI key space
+    assert all(k.startswith(root) for k in store.list_prefix(join_path(root, "_manifests")))
+    # a second handle over the same store+root sees the same table
+    t2 = SnapshotTable(spark, root, store=store)
+    assert t2.read().count() == 90
+
+
+def test_fileuri_root_delete_keys_and_blooms(spark, tmp_path):
+    t = _mk(spark, _furi(tmp_path / "t"), bloom_cols=["id"], files=4)
+    # blooms attached under the URI key spelling
+    assert all(e.blooms.get("id") for e in t.files())
+    # GDPR-style keyed MoR delete over the URI root
+    t.delete_keys("id", [5, 17, 99], mode="mor")
+    got = sorted(x["id"] for x in t.read().collect())
+    assert got == [i for i in range(100) if i not in (5, 17, 99)]
