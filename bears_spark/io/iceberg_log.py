@@ -59,6 +59,131 @@ class IcebergLogError(ValueError):
     pass
 
 
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """32-bit Murmur3 (x86 variant), the hash the Iceberg spec mandates for
+    bucket partition transforms (spec "Appendix B: 32-bit Hash
+    Requirements"). Pure stdlib; returns a SIGNED 32-bit int (Java
+    semantics, which is what the spec's test vectors use)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    rounded = n - (n % 4)
+    for i in range(0, rounded, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[rounded:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - 0x100000000 if h >= 0x80000000 else h
+
+
+def _bucket_hash_bytes(value, ice_type: str) -> bytes | None:
+    """Single-value binary serialization the spec feeds murmur3 for
+    ``bucket[N]`` (spec Appendix B): ints/longs/dates/times/timestamps hash
+    as 8-byte little-endian longs, strings as UTF-8, decimals as the
+    minimal big-endian two's-complement of the unscaled value, uuid as its
+    16 bytes, fixed/binary as raw bytes. None = not hashable here
+    (callers keep the file — pruning is an optimization)."""
+    import datetime as _dt
+    import decimal as _decimal
+    import uuid as _uuid
+
+    def _long(v: int) -> bytes:
+        return int(v).to_bytes(8, "little", signed=True)
+
+    if ice_type in ("int", "long"):
+        return _long(value) if isinstance(value, int) and not isinstance(value, bool) else None
+    if ice_type == "date":
+        if isinstance(value, _dt.date) and not isinstance(value, _dt.datetime):
+            return _long((value - _dt.date(1970, 1, 1)).days)
+        return _long(value) if isinstance(value, int) else None
+    if ice_type in ("timestamp", "timestamptz"):
+        if isinstance(value, _dt.datetime):
+            epoch = (
+                _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+                if value.tzinfo
+                else _dt.datetime(1970, 1, 1)
+            )
+            return _long(round((value - epoch).total_seconds() * 1_000_000))
+        return _long(value) if isinstance(value, int) else None
+    if ice_type == "time":
+        return _long(value) if isinstance(value, int) else None
+    if ice_type == "string":
+        return value.encode("utf-8") if isinstance(value, str) else None
+    if ice_type == "uuid":
+        if isinstance(value, _uuid.UUID):
+            return value.bytes
+        if isinstance(value, str):
+            try:
+                return _uuid.UUID(value).bytes
+            except ValueError:
+                return None
+        return None
+    if ice_type.startswith("decimal"):
+        if not isinstance(value, _decimal.Decimal):
+            return None
+        unscaled = int(value.scaleb(-value.as_tuple().exponent))
+        nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+        return unscaled.to_bytes(nbytes, "big", signed=True)
+    if ice_type == "binary" or ice_type.startswith("fixed"):
+        return bytes(value) if isinstance(value, (bytes, bytearray)) else None
+    return None  # float/double/unknown: never prune
+
+
+def bucket_transform(value, ice_type: str, n: int) -> int | None:
+    """Iceberg ``bucket[N]`` of ``value``: murmur3 of the spec serialization,
+    masked non-negative, mod N. None when the (value, type) pair has no
+    spec serialization — callers must keep the file."""
+    data = _bucket_hash_bytes(value, ice_type)
+    if data is None:
+        return None
+    return (murmur3_32(data) & 0x7FFFFFFF) % n
+
+
+def truncate_transform(value, ice_type: str, width: int):
+    """Iceberg ``truncate[W]``: ints/longs floor to a multiple of W (the
+    spec's always-non-negative remainder is exactly Python's ``%`` for
+    W > 0), strings keep the first W code points, decimals floor the
+    unscaled value, binary keeps the first W bytes. None = inapplicable."""
+    import decimal as _decimal
+
+    if ice_type in ("int", "long"):
+        if isinstance(value, int) and not isinstance(value, bool):
+            return value - (value % width)
+        return None
+    if ice_type == "string":
+        return value[:width] if isinstance(value, str) else None
+    if ice_type.startswith("decimal"):
+        if not isinstance(value, _decimal.Decimal):
+            return None
+        exp = value.as_tuple().exponent
+        unscaled = int(value.scaleb(-exp))
+        return _decimal.Decimal(unscaled - (unscaled % width)).scaleb(exp)
+    if ice_type == "binary" or ice_type.startswith("fixed"):
+        return bytes(value)[:width] if isinstance(value, (bytes, bytearray)) else None
+    return None
+
+
 def _localize(uri: str, root: str, fs=None) -> str:
     """Iceberg stores absolute URIs; map file:/ URIs to local paths,
     normalize to ABSOLUTE local paths (a cwd-relative result would silently
@@ -269,18 +394,22 @@ class IcebergTableReader:
                     raise IcebergLogError("data file in a delete manifest; refusing")
         return sorted(data, key=lambda t: t[1]), sorted(pos_deletes), sorted(eq_deletes)
 
-    def _identity_partition_names(self, fid: int) -> list[str]:
-        """Partition-spec field names that are IDENTITY transforms of source
-        field ``fid`` in EVERY spec that defines the name — for those, the
-        manifest's per-file partition tuple value IS the column value for
-        every row in the file, so a predicate can be evaluated against it
-        directly (the pruning real Iceberg planners do before ever looking
-        at column bounds). Manifest entries don't carry a spec-id through
-        this reader, so a name whose meaning changed across spec evolution
-        (re-used for a bucket/truncate transform, or for a different source
-        field) is conservatively ignored — pruning on it could drop files
-        whose tuple value is a transform output, not the column value.
-        Non-identity transforms are never pruned on."""
+    _TRANSFORM_RE = re.compile(r"^(bucket|truncate)\[(\d+)\]$")
+
+    def _prunable_partition_fields(self, fid: int) -> list[tuple[str, str, int]]:
+        """Partition-spec fields prunable for predicates on source field
+        ``fid``: ``(name, kind, param)`` where kind is ``identity`` (tuple
+        value IS the column value — any comparison decides file-wide),
+        ``bucket`` (tuple value is the spec's murmur3 bucket id — equality
+        predicates decide, the most common Iceberg layout for point
+        lookups), or ``truncate`` (tuple value is the order-preserving
+        width-W truncation — equality AND range predicates decide). A name
+        must mean the SAME (transform, source) in EVERY spec that defines
+        it: manifest entries don't carry a spec-id through this reader, so
+        a name whose meaning changed across spec evolution is conservatively
+        ignored — pruning on it could drop files whose tuple value encodes a
+        different transform. day/month/year/hour stay unpruned (bounds-based
+        skipping already covers time ranges)."""
         specs = self.meta.get("partition-specs") or (
             [{"fields": self.meta["partition-spec"]}] if self.meta.get("partition-spec") else []
         )
@@ -290,28 +419,62 @@ class IcebergTableReader:
                 meanings.setdefault(str(pf.get("name")), set()).add(
                     (str(pf.get("transform")), int(pf.get("source-id", -1)))
                 )
-        return [
-            name
-            for name, seen in meanings.items()
-            if seen == {("identity", fid)}
-        ]
+        out = []
+        for name, seen in meanings.items():
+            if len(seen) != 1:
+                continue
+            (transform, src), = seen
+            if src != fid:
+                continue
+            if transform == "identity":
+                out.append((name, "identity", 0))
+            else:
+                m = self._TRANSFORM_RE.match(transform)
+                if m and int(m.group(2)) > 0:
+                    out.append((name, m.group(1), int(m.group(2))))
+        return out
 
     @staticmethod
-    def _partition_reject(dfe: dict, part_names: list[str], op: str, value) -> bool:
-        """True when the file's partition tuple PROVES no row matches: for an
-        identity-transform partition field the tuple value applies to every
-        row, so any comparison is decidable file-wide. Null/missing tuple
-        values keep the file (conservative), as do cross-type comparisons."""
+    def _partition_reject(
+        dfe: dict, part_fields: list[tuple[str, str, int]], op: str, value, ice_type: str
+    ) -> bool:
+        """True when the file's partition tuple PROVES no row matches.
+        Null/missing tuple values keep the file (conservative), as do
+        cross-type comparisons and values the spec transforms don't define
+        a serialization for — pruning never changes results."""
         part = dfe.get("partition")
         if not isinstance(part, dict):
             return False
-        for name in part_names:
+        eq = op in ("=", "==")
+        for name, kind, param in part_fields:
             pv = part.get(name)
             if pv is None:
                 continue
             try:
-                if not _OPS[op](pv, value):
-                    return True
+                if kind == "identity":
+                    if not _OPS[op](pv, value):
+                        return True
+                elif kind == "bucket":
+                    # bucket ids decide EQUALITY only (hash order is unrelated
+                    # to value order)
+                    if eq:
+                        b = bucket_transform(value, ice_type, param)
+                        if b is not None and isinstance(pv, int) and pv != b:
+                            return True
+                elif kind == "truncate":
+                    # truncation is order-preserving, so ranges decide too:
+                    # every row r in the file has truncate(r) == pv, and
+                    # r OP value can only hold when pv is on the right side
+                    # of truncate(value)
+                    t = truncate_transform(value, ice_type, param)
+                    if t is None or isinstance(pv, bool) or type(pv) is not type(t):
+                        continue
+                    if eq and pv != t:
+                        return True
+                    if op in ("<", "<=") and pv > t:
+                        return True
+                    if op in (">", ">=") and pv < t:
+                        return True
             except TypeError:
                 continue
         return False
@@ -331,11 +494,11 @@ class IcebergTableReader:
         if field is None or not isinstance(field.get("type"), str) or "id" not in field:
             return data_entries
         fid, ice_type = int(field["id"]), field["type"]
-        part_names = self._identity_partition_names(fid)
+        part_fields = self._prunable_partition_fields(fid)
         kept = []
         for entry in data_entries:
             dfe = entry[3]
-            if part_names and self._partition_reject(dfe, part_names, op, value):
+            if part_fields and self._partition_reject(dfe, part_fields, op, value, ice_type):
                 continue
             lo_raw = _bounds_map(dfe, "lower_bounds").get(fid)
             hi_raw = _bounds_map(dfe, "upper_bounds").get(fid)

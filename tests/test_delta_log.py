@@ -995,3 +995,53 @@ def test_delta_checkpoint_metadata_field_complete(spark, tmp_path):
     assert m["schemaString"]
     # the exported table still replays from this checkpoint
     assert DeltaTableReader(spark, out).read().count() == 10
+
+
+def test_export_delta_self_checkpoint_cadence(spark, tmp_path):
+    """A long continuous export self-checkpoints every 10 commits (Delta's
+    default cadence) without the caller ever passing checkpoint=True, so an
+    external reader of a 25-commit replication history replays ONE parquet
+    checkpoint plus at most 10 JSON commits — never the whole log
+    (VERDICT r8 'Next round' #7)."""
+    from bears_spark.io.metafs import LocalMetaFS
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "src"))
+    t.overwrite(spark.range(0, 1).selectExpr("id", "id * 1.0 AS v"))
+    out = str(tmp_path / "cadence")
+    export_delta_log(t, out)  # version 0
+    for i in range(1, 25):
+        t.append(spark.range(i * 10, i * 10 + 1).selectExpr("id", "id * 1.0 AS v"))
+        export_delta_log(t, out)
+    log = os.path.join(out, "_delta_log")
+    names = sorted(os.listdir(log))
+    ckpts = [n for n in names if n.endswith(".checkpoint.parquet")]
+    assert ckpts == [f"{10:020d}.checkpoint.parquet", f"{20:020d}.checkpoint.parquet"]
+    assert "_last_checkpoint" in names
+    # reader replay: 1 checkpoint parquet + only the post-checkpoint JSON
+    class _ReadSpy:
+        def __init__(self, inner):
+            self.inner = inner
+            self.json_reads = []
+
+        def read_text(self, path):
+            if path.endswith(".json"):
+                self.json_reads.append(os.path.basename(path))
+            return self.inner.read_text(path)
+
+        def __getattr__(self, name):
+            return getattr(self.inner, name)
+
+    r = DeltaTableReader(spark, out)
+    spy = _ReadSpy(LocalMetaFS())
+    r.fs = spy
+    assert r.read().count() == 25
+    replayed = [n for n in spy.json_reads if n != "_last_checkpoint"]
+    assert 0 < len(replayed) <= 10, replayed
+    assert all(int(n.split(".")[0]) > 20 for n in replayed), replayed
+    # cadence can be disabled for callers that manage checkpoints themselves
+    t.append(spark.range(990, 991).selectExpr("id", "id * 1.0 AS v"))
+    export_delta_log(t, out, checkpoint_interval=None)
+    assert sorted(
+        n for n in os.listdir(log) if n.endswith(".checkpoint.parquet")
+    ) == ckpts

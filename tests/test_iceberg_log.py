@@ -885,3 +885,151 @@ def test_iceberg_renamed_read_mixed_pre_and_post_rename_files(spark, tmp_path):
     assert out.columns == ["id", "val_b", "extra"]
     rows = {x["id"]: (x["val_b"], x["extra"]) for x in out.collect()}
     assert rows == {1: (10, None), 2: (20, None), 3: (30, 99)}
+
+
+def test_murmur3_iceberg_spec_vectors():
+    """The spec's Appendix B test vectors pin the bucket hash exactly —
+    a wrong murmur3 would prune the WRONG files (silent row loss)."""
+    import datetime
+    import decimal
+    import uuid as _uuid
+
+    from bears_spark.io.iceberg_log import bucket_transform, murmur3_32, truncate_transform
+
+    assert murmur3_32(b"") == 0
+    assert murmur3_32((34).to_bytes(8, "little", signed=True)) == 2017239379
+    assert murmur3_32(b"iceberg") == 1210000089
+    assert murmur3_32((17486).to_bytes(8, "little", signed=True)) == -653330422  # date 2017-11-16
+    assert murmur3_32((1510871468000000).to_bytes(8, "little", signed=True)) == -2047944441
+    assert murmur3_32(_uuid.UUID("f79c3e09-677c-4bbd-a479-3f349cb785e7").bytes) == 1488055340
+    assert murmur3_32(bytes([0, 1, 2, 3])) == -188683207
+    # full transforms over typed values reproduce the same hashes
+    assert bucket_transform(34, "int", 1 << 31) == 2017239379 % (1 << 31)
+    assert bucket_transform("iceberg", "string", 16) == (1210000089 & 0x7FFFFFFF) % 16
+    assert bucket_transform(datetime.date(2017, 11, 16), "date", 1 << 31) == (
+        (-653330422) & 0x7FFFFFFF
+    ) % (1 << 31)
+    assert bucket_transform(decimal.Decimal("14.20"), "decimal(9,2)", 1 << 31) == (
+        (-500754589) & 0x7FFFFFFF
+    ) % (1 << 31)
+    # truncate examples straight from the spec table
+    assert truncate_transform(-1, "int", 10) == -10
+    assert truncate_transform(1, "int", 10) == 0
+    assert truncate_transform("iceberg", "string", 3) == "ice"
+    assert truncate_transform(decimal.Decimal("10.65"), "decimal(9,2)", 50) == decimal.Decimal(
+        "10.50"
+    )
+    # unsupported (value, type) pairs refuse to hash -> caller keeps the file
+    assert bucket_transform(1.5, "double", 4) is None
+    assert truncate_transform(None, "int", 10) is None
+
+
+_MANIFEST_BUCKET_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "r2b",
+            "fields": [
+                {"name": "content", "type": "int"},
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "record_count", "type": "long"},
+                {"name": "partition", "type": ["null", {
+                    "type": "record", "name": "r102b",
+                    "fields": [
+                        {"name": "id_bucket", "type": ["null", "int"]},
+                        {"name": "lang_trunc", "type": ["null", "string"]},
+                    ],
+                }]},
+            ],
+        }},
+    ],
+}
+
+
+def _bucket_table(tmp_path, name):
+    """A table bucket[4]-partitioned on id and truncate[1]-partitioned on
+    lang, laid out the way a real Iceberg writer would: one file per
+    (bucket, prefix) partition tuple."""
+    from bears_spark.io.iceberg_log import bucket_transform
+
+    root = _mk_table(tmp_path, name)
+    groups: dict[tuple, list[tuple[int, str]]] = {}
+    langs = {1: "apple", 2: "avocado", 3: "banana", 4: "blueberry", 5: "cherry",
+             6: "apricot", 7: "banana", 8: "cherry", 9: "avocado", 10: "citron",
+             11: "apple", 12: "berry"}
+    for i, lang in langs.items():
+        key = (bucket_transform(i, "long", 4), lang[:1])
+        groups.setdefault(key, []).append((i, lang))
+    recs, files_by_key = [], {}
+    for (b, pfx), rows in sorted(groups.items()):
+        fname = f"b{b}_{pfx}.parquet"
+        p = _data_file(root, fname, [r[0] for r in rows], [r[1] for r in rows])
+        files_by_key[(b, pfx)] = p
+        recs.append({"status": 1, "data_file": {
+            "content": 0, "file_path": p, "file_format": "PARQUET",
+            "record_count": len(rows),
+            "partition": {"id_bucket": b, "lang_trunc": pfx}}})
+    mp = os.path.join(root, "metadata", "mbkt.avro")
+    with open(mp, "wb") as f:
+        f.write(write_container(_MANIFEST_BUCKET_SCHEMA, recs))
+    ml = _manifest_list(root, "ml.avro", [mp])
+    _metadata(root, [{"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": ml}], current=1)
+    meta_path = os.path.join(root, "metadata", "v1.metadata.json")
+    meta = json.load(open(meta_path))
+    meta["partition-specs"] = [{"spec-id": 0, "fields": [
+        {"name": "id_bucket", "transform": "bucket[4]", "source-id": 1, "field-id": 1000},
+        {"name": "lang_trunc", "transform": "truncate[1]", "source-id": 2, "field-id": 1001},
+    ]}]
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return root, files_by_key, langs
+
+
+def test_iceberg_bucket_partition_pruning(spark, tmp_path):
+    """Point lookups on a bucket[N]-partitioned key scan ONLY the files of
+    the key's bucket (spec murmur3-32 hash); non-equality predicates never
+    prune on bucket ids (hash order is unrelated to value order); results
+    are identical to the unpruned read (VERDICT r8 'Next round' #4)."""
+    from bears_spark.io.iceberg_log import bucket_transform
+
+    root, files_by_key, langs = _bucket_table(tmp_path, "icebkt")
+    r = IcebergTableReader(spark, root)
+    all_files = r.files()
+    for probe in (1, 7, 12):
+        want_bucket = bucket_transform(probe, "long", 4)
+        kept = r.files(where=("id", "=", probe))
+        assert kept, "pruning must never empty a matching lookup"
+        assert set(kept) == {p for (b, _), p in files_by_key.items() if b == want_bucket}
+        assert len(kept) < len(all_files)
+        # semantics unchanged: the pruned read returns exactly the probe row
+        got = [x["lang"] for x in r.read(where=("id", "=", probe)).collect()]
+        assert got == [langs[probe]]
+    # range predicates keep every file (bucket ids carry no order)
+    assert len(r.files(where=("id", "<", 100))) == len(all_files)
+
+
+def test_iceberg_truncate_partition_pruning(spark, tmp_path):
+    """truncate[W] tuples prune equality AND range predicates (truncation
+    is order-preserving); boundary files are kept."""
+    root, files_by_key, langs = _bucket_table(tmp_path, "icetrunc")
+    r = IcebergTableReader(spark, root)
+    all_files = r.files()
+    kept = r.files(where=("lang", "=", "banana"))
+    assert set(kept) == {p for (_, pfx), p in files_by_key.items() if pfx == "b"}
+    got = sorted(x["id"] for x in r.read(where=("lang", "=", "banana")).collect())
+    assert got == sorted(i for i, l in langs.items() if l == "banana")
+    # range: lang < "az" can only live in prefix-'a' files
+    kept_lt = r.files(where=("lang", "<", "az"))
+    assert set(kept_lt) == {p for (_, pfx), p in files_by_key.items() if pfx == "a"}
+    # boundary: lang < "b" keeps 'a' AND 'b' prefixes (a "b" row could be < "b"? no,
+    # but truncate("b")=="b" and pv=="b" is not > t, so the file is kept — conservative)
+    kept_b = r.files(where=("lang", "<", "b"))
+    assert {p for (_, pfx), p in files_by_key.items() if pfx == "a"} <= set(kept_b)
+    # semantics: identical rows pruned vs unpruned
+    assert sorted(x["id"] for x in r.read(where=("lang", ">=", "cherry")).collect()) == sorted(
+        i for i, l in langs.items() if l >= "cherry"
+    )
+    assert len(all_files) > 2

@@ -1195,3 +1195,63 @@ def test_delta_column_mapping_nested_random(spark, tmp_path, case):
     for r, (i, x, y, k) in zip(rows, want):
         assert (r["id"], r["info"]["x"], r["info"]["y"]) == (i, x, y)
         assert [el["q"] for el in r["arr"]] == list(range(k))
+
+
+# ---------------------------------------------------------------------------
+# Iceberg partition-transform pruning soundness: a rejected file may NEVER
+# contain a matching row (pruning is an optimization, not a filter). Model:
+# group random rows into "files" by their transform value exactly as a real
+# Iceberg writer lays them out, then check _partition_reject against a
+# brute-force row scan for random predicates.
+@st.composite
+def _transform_prune_case(draw):
+    kind = draw(st.sampled_from(["bucket_int", "truncate_int", "truncate_str"]))
+    if kind == "truncate_str":
+        rows = draw(st.lists(st.text(alphabet="abcxyz", min_size=0, max_size=6),
+                             min_size=1, max_size=30))
+        probe = draw(st.text(alphabet="abcxyz", min_size=0, max_size=6))
+        param = draw(st.sampled_from([1, 2, 3]))
+    else:
+        rows = draw(st.lists(st.integers(-1000, 1000), min_size=1, max_size=30))
+        probe = draw(st.integers(-1000, 1000))
+        param = draw(st.sampled_from([2, 4, 8] if kind == "bucket_int" else [1, 10, 100]))
+    op = draw(st.sampled_from(["=", "<", "<=", ">", ">="]))
+    return kind, rows, probe, param, op
+
+
+@given(_transform_prune_case())
+@settings(max_examples=200, deadline=None)
+def test_iceberg_transform_pruning_sound(case):
+    from bears_spark.io.iceberg_log import (
+        IcebergTableReader,
+        bucket_transform,
+        truncate_transform,
+    )
+
+    kind, rows, probe, param, op = case
+    _ops = {"=": lambda a, b: a == b, "<": lambda a, b: a < b,
+            "<=": lambda a, b: a <= b, ">": lambda a, b: a > b,
+            ">=": lambda a, b: a >= b}
+    if kind == "bucket_int":
+        tkind, ice_type = "bucket", "long"
+        tv = lambda r: bucket_transform(r, ice_type, param)
+    else:
+        tkind = "truncate"
+        ice_type = "long" if kind == "truncate_int" else "string"
+        tv = lambda r: truncate_transform(r, ice_type, param)
+    files: dict = {}
+    for r in rows:
+        files.setdefault(tv(r), []).append(r)
+    for pv, members in files.items():
+        rejected = IcebergTableReader._partition_reject(
+            {"partition": {"p": pv}}, [("p", tkind, param)], op, probe, ice_type
+        )
+        if rejected:
+            assert not any(_ops[op](m, probe) for m in members), (
+                f"pruned a file with a matching row: {kind} op={op} probe={probe!r} "
+                f"pv={pv!r} members={members!r}"
+            )
+        # and equality pruning must be EFFECTIVE: a file whose transform
+        # value differs from the probe's is always rejected
+        if op == "=" and pv != tv(probe):
+            assert rejected
