@@ -85,14 +85,14 @@ _TPCH_ORACLES = {
 
 # --------------------------------------------------------------------------
 # The driver grades the FIRST 50 queries() entries in iteration order, so
-# order is a coverage budget. Round-8 rotation (VERDICT r7 "Next round" #1):
-#   * 8 regression anchors — q6_revenue_change (a plain filter-agg already
-#     covered by q1) is swapped for orders_delta_dv_roundtrip so the
-#     round-7 flagship (merge-on-read) regression-tests every round,
-#   * the FIRST 42 of the 75-query ROUND8_NEVER_GRADED ledger, in ledger
-#     order (all overflow rows passed the judge's full 323-query local
-#     oracle replica in r7); the remaining 33 − the now-anchored DV
-#     roundtrip + this round's new queries roll into round 9.
+# order is a coverage budget. Round-9 rotation (VERDICT r8 "Next round" #1):
+#   * the same 8 regression anchors as round 8,
+#   * ALL 36 rows of the ROUND9_NEVER_GRADED ledger, in ledger order — this
+#     is the round driver coverage reaches every declared query at least
+#     once (each overflow row already passed the judge's full 327-query
+#     local oracle replica in r8),
+#   * the remaining 6 slots carry the queries added in round 9
+#     (VERDICT r8 "Next round" #8 caps additions at the rotation headroom).
 # Oracle-less queries (doc_compression_quality) are EXCLUDED from every
 # window: the driver can only record `err: no_oracle` for them, wasting a
 # grading slot (VERDICT r7 "What's wrong" #1). Enforced by the assertion in
@@ -107,51 +107,51 @@ GRADED_WINDOW = [
     "streaming_running_totals",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
-    # --- never driver-graded: the FIRST 42 of ROUND8_NEVER_GRADED, in
-    # ledger order (VERDICT r7 "Next round" #1). The remaining 33 roll to
-    # round 9.
-    "orders_price_auc",
-    "orders_urgency_calibration",
-    "doc_rake_keyphrases",
-    "ev_value_psi_drift",
-    "streaming_psi_drift",
-    "orders_urgency_isotonic",
-    "ev_holt_trend",
-    "ev_theilsen_trend",
-    "ev_changepoint",
-    "part_pareto_frontier",
-    "part_association_rules",
-    "orders_conformal_interval",
-    "supplier_bfs_distance",
-    "part_item_cosine",
-    "ev_rolling_dau",
-    "ev_rolling_dau_hll",
-    "ev_value_ohlc",
-    "ev_user_twap",
-    "ev_value_ks_drift",
-    "ev_ab_mannwhitney",
-    "ev_ma_crossover",
-    "part_item_recs",
-    "part_decayed_popularity",
-    "streaming_rolling_dau_hll",
-    "ev_interarrival_ks",
-    "doc_zipf_fit",
-    "emb_matryoshka_recall",
-    "customer_next_order_backtest",
-    "part_return_rate_shrinkage",
-    "ev_growth_accounting",
-    "ev_user_stickiness",
-    "ann_filtered_topk",
-    "streaming_ohlc",
-    "ev_ab_power_analysis",
-    "ev_burst_detection",
-    "orders_fd_violations",
-    "ev_slo_bands",
-    "moments_merge_proof",
-    "streaming_burst_detection",
-    "orders_naive_bayes_eval",
-    "supplier_degree_assortativity",
-    "source_oov_rate",
+    # --- never driver-graded: ALL 36 of ROUND9_NEVER_GRADED, in ledger
+    # order (VERDICT r8 "Next round" #1).
+    "source_type_token_ratio",
+    "corpus_heaps_law",
+    "orders_value_percent_rank",
+    "hll_error_report",
+    "emb_knn_eval",
+    "source_centroid_similarity",
+    "supplier_kcore_peel",
+    "orders_basket_dispersion",
+    "supplier_wilson_ontime",
+    "orders_cents_chisq",
+    "events_hive_partition_pruning",
+    "nation_share_shift",
+    "part_single_source_risk",
+    "orders_cycle_anova",
+    "ev_weekend_effect",
+    "emb_exact_dupes",
+    "streaming_moments",
+    "ev_p95_ci",
+    "ev_tail_gpd_fit",
+    "ev_markov_stationary",
+    "emb_centroid_classifier",
+    "hash_feature_collision_report",
+    "ev_stickiness_hll",
+    "streaming_cms_user_counts",
+    "corpus_temperature_curve",
+    "ev_user_activity_powerlaw",
+    "customer_theil_index",
+    "orders_orc_roundtrip",
+    "doc_length_quality_corr",
+    "ev_markov_entropy_rate",
+    "orders_iceberg_v2_deletes",
+    "ev_rolling_time_stats",
+    "orders_delta_s3_read",
+    "orders_iceberg_renamed_col",
+    "orders_delta_dv_read",
+    "orders_mor_delete",
+    # --- added in round 9 (the 6 headroom slots, VERDICT r8 #8) ---
+    "streaming_gdpr_delete",
+    "orders_mor_fileuri_roundtrip",
+    "orders_iceberg_bucket_pruned",
+    "orders_delta_export_cadence",
+    "orders_iceberg_truncate_pruned",
+    "doc_reservoir_sample_stats",
 ]
 assert len(GRADED_WINDOW) == 50, len(GRADED_WINDOW)
 
@@ -308,6 +308,21 @@ ROUND9_NEVER_GRADED = [
     n for n in ROUND8_NEVER_GRADED[42:] if n != "orders_delta_dv_roundtrip"
 ] + _ROUND8_ADDED
 
+# ROUND-10 ROTATION LEDGER: round 9's window carried the FULL 36-row backlog
+# plus all six round-9 additions (driver coverage reaches 333/333), so no
+# overflow rolls forward. Queries added in round 10 are appended here as
+# implemented; round 10's window can re-anchor saturated rows with the free
+# slots (VERDICT r8 "Next round" #8).
+_ROUND9_ADDED: list[str] = [
+    "streaming_gdpr_delete",
+    "orders_mor_fileuri_roundtrip",
+    "orders_iceberg_bucket_pruned",
+    "orders_delta_export_cadence",
+    "orders_iceberg_truncate_pruned",
+    "doc_reservoir_sample_stats",
+]
+ROUND10_NEVER_GRADED: list[str] = []
+
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45
 # round-5 additions). Kept so the rotation provenance is auditable.
 ROUND6_NEVER_GRADED = [
@@ -415,6 +430,9 @@ HEADLINE = [
     # is pre-built once per sf_dir, so the timing is log replay + DV decode
     # + anti-join + aggregate, not fixture construction (VERDICT r7 #6)
     "orders_delta_dv_read",
+    # round-9 addition: exact-k deterministic sampling family
+    # (TakeOrderedAndProject over a computed hash order)
+    "doc_reservoir_sample_stats",
 ]
 
 

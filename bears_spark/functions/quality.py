@@ -374,3 +374,25 @@ def compression_ratio(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         F.round(_ratio(F.col(text_col)), 6).alias("compression_ratio"),
         F.length(F.col(text_col)).alias("n_chars_text"),
     )
+
+
+def bottom_k_sample(df: DataFrame, id_col: str, k: int, salt: int | str = 0) -> DataFrame:
+    """Exact-size-k uniform sample: the k rows whose 60-bit md5 hash of the
+    id is smallest — the distributed equivalent of reservoir sampling
+    (every id is equally likely to land in the bottom k of a uniform hash),
+    but DETERMINISTIC and mergeable: the bottom-k of a union is the
+    bottom-k of the parts' bottom-ks, so partial samples from shards/days
+    compose without re-reading data. Plans as TakeOrderedAndProject (per-
+    partition heap of k, never a full sort) — at 100 TB the cost is one
+    scan plus k rows per partition to the driver-side merge.
+
+    Reference parity: sample-by-fraction is ScalableDataFrame sample();
+    exact-k sampling has no reference equivalent (fractions drift at small
+    n) — this is the training-data-curation shape (fixed eval budgets).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h = md5_hash64(F.col(id_col), salt=salt)
+    # ties are impossible in practice (60-bit hash) but the id tiebreak
+    # keeps the sample well-defined even under a collision
+    return df.orderBy(h.asc(), F.col(id_col).asc()).limit(k)

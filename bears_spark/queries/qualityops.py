@@ -2042,3 +2042,41 @@ FROM g JOIN documents d ON g.doc_id = d.doc_id
 
 QUERIES["doc_length_quality_corr"] = doc_length_quality_corr
 ORACLES["doc_length_quality_corr"] = DOC_LEN_QUALITY_SQL
+
+
+# --------------------------------------------------------------------------
+# doc_reservoir_sample_stats: exact-size-k deterministic uniform sample
+# (functions/quality.py bottom_k_sample — the distributed reservoir: bottom
+# k of a uniform id hash, TakeOrderedAndProject plan) with per-language
+# composition and length stats over the sampled docs — the "hold out a
+# fixed eval budget" curation shape. The oracle re-derives the same sample
+# with DuckDB's md5 and the shared 60-bit hash scheme.
+def doc_reservoir_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.quality import bottom_k_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    sample = bottom_k_sample(docs, "doc_id", k=100, salt="rsv")
+    return (
+        sample.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("chars"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOC_RESERVOIR_SQL = f"""
+WITH s AS (
+  SELECT lang, n_chars, doc_id
+  FROM documents
+  ORDER BY {_duck_h64("doc_id", "'rsv'")} ASC, doc_id ASC
+  LIMIT 100
+)
+SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars, min(doc_id) AS min_doc
+FROM s GROUP BY lang ORDER BY lang
+"""
+
+QUERIES["doc_reservoir_sample_stats"] = doc_reservoir_sample_stats
+ORACLES["doc_reservoir_sample_stats"] = DOC_RESERVOIR_SQL

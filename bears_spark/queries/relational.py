@@ -4320,3 +4320,438 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 QUERIES["orders_mor_delete"] = orders_mor_delete
 ORACLES["orders_mor_delete"] = ORDERS_MOR_DELETE_SQL
+
+
+# --------------------------------------------------------------------------
+# orders_mor_fileuri_roundtrip: the object-store DATA plane graded end to
+# end (VERDICT r8 "Next round" #2) — a file://-URI-rooted SnapshotTable with
+# manifests in an object-store stub (InMemoryCommitStore, conditional-put
+# CAS): parquet written by Spark under the URI root, merge-on-read DELETE
+# whose deletion-vector blobs are written executor-side through pyarrow.fs,
+# read-back through the (file, pos) anti-join, then compact() materializes
+# the DVs away — the exact split an s3://-rooted deployment runs, with
+# file:// standing in for the object store in-container.
+def orders_mor_fileuri_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import shutil
+    import tempfile
+
+    from bears_spark.io.commit_store import InMemoryCommitStore
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders")
+    local_root = tempfile.mkdtemp(prefix="mor_uri_")
+    try:
+        t = SnapshotTable(spark, "file://" + local_root + "/t", store=InMemoryCommitStore())
+        t.overwrite(o.repartition(8))
+        t.delete_where("o_orderdate", "<", datetime.datetime(1996, 1, 1), mode="mor")
+        dvs = [e.dv for e in t.files() if e.dv]
+        assert dvs, "expected deletion vectors, not rewrites"
+        assert all(d["path"].startswith("file://") for d in dvs), "DV blobs must live under the URI root"
+        mid = (
+            t.read()
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+            .orderBy("o_orderstatus")
+            .collect()
+        )
+        # compaction materializes the DVs away; the answer must not move
+        t.compact(target_rows_per_file=1_000_000)
+        assert not any(e.dv for e in t.files()), "compact must materialize DVs"
+        rows = (
+            t.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double"), 6
+                ).alias("total"),
+            )
+            .orderBy("o_orderstatus")
+            .collect()
+        )
+        assert [(r["o_orderstatus"], r["n"]) for r in rows] == [
+            (m["o_orderstatus"], m["n"]) for m in mid
+        ], "compact changed the result"
+    finally:
+        shutil.rmtree(local_root, ignore_errors=True)
+    return spark.createDataFrame(rows, "o_orderstatus string, n bigint, total double")
+
+
+ORDERS_MOR_FILEURI_SQL = """
+SELECT o_orderstatus, count(*) AS n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 6) AS total
+FROM orders
+WHERE NOT (o_orderdate < TIMESTAMP '1996-01-01') OR o_orderdate IS NULL
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+QUERIES["orders_mor_fileuri_roundtrip"] = orders_mor_fileuri_roundtrip
+ORACLES["orders_mor_fileuri_roundtrip"] = ORDERS_MOR_FILEURI_SQL
+
+
+# --------------------------------------------------------------------------
+# streaming_gdpr_delete: the GDPR forget-list STREAM graded end to end
+# (VERDICT r8 "Next round" #3) — a snapshot table seeded with orders, a
+# file stream of two forget-list epochs of o_custkey values applied via
+# streaming_delete_keys (exactly-once (app, batch) txn stamps in the
+# '#delete' namespace, merge-on-read deletion vectors), the whole stream
+# REPLAYED (same checkpoint — must commit nothing), then read back and
+# hash-matched against an oracle that anti-joins the union of the lists.
+def streaming_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="gdpr_")
+    try:
+        t = SnapshotTable(spark, _os.path.join(root, "t"))
+        t.overwrite(o.repartition(8))
+        src = _os.path.join(root, "forget")
+        keys = o.select("o_custkey").distinct()
+        # two deterministic forget-list epochs (one parquet file per epoch;
+        # maxFilesPerTrigger=1 makes each its own micro-batch/commit)
+        keys.filter(F.col("o_custkey") % 100 == 0).coalesce(1).write.parquet(
+            _os.path.join(src, "e0")
+        )
+        keys.filter(F.col("o_custkey") % 97 == 0).coalesce(1).write.parquet(
+            _os.path.join(src, "e1")
+        )
+        flat = _os.path.join(root, "stream")
+        _os.makedirs(flat)
+        for i, sub in enumerate(("e0", "e1")):
+            part = [n for n in _os.listdir(_os.path.join(src, sub)) if n.endswith(".parquet")][0]
+            _os.link(_os.path.join(src, sub, part), _os.path.join(flat, f"epoch{i}.parquet"))
+        stream = (
+            spark.readStream.schema("o_custkey long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(flat + "/")
+        )
+        ckpt = _os.path.join(root, "ckpt")
+        t.streaming_delete_keys(stream, ckpt, col="o_custkey").awaitTermination(300)
+        assert any(e.dv for e in t.files()), "forget-lists must tombstone, not rewrite"
+        v = t.current_version()
+        # checkpoint-recovery replay: the same stream commits NOTHING
+        t.streaming_delete_keys(stream, ckpt, col="o_custkey").awaitTermination(300)
+        assert t.current_version() == v, "replayed epochs must be skipped"
+        rows = (
+            t.read()
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double"), 6
+                ).alias("total"),
+            )
+            .orderBy("o_orderpriority")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "o_orderpriority string, n bigint, total double")
+
+
+STREAMING_GDPR_SQL = """
+SELECT o_orderpriority, count(*) AS n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 6) AS total
+FROM orders
+WHERE o_custkey IS NULL
+   OR NOT (o_custkey % 100 = 0 OR o_custkey % 97 = 0)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+QUERIES["streaming_gdpr_delete"] = streaming_gdpr_delete
+ORACLES["streaming_gdpr_delete"] = STREAMING_GDPR_SQL
+
+
+# --------------------------------------------------------------------------
+# orders_iceberg_bucket_pruned / orders_iceberg_truncate_pruned: Iceberg
+# partition-TRANSFORM pruning graded end to end (VERDICT r8 "Next round"
+# #4) — a spec-conformant metadata tree whose data files are laid out by
+# bucket[8](o_custkey) (murmur3-32, spec Appendix B) and
+# truncate[1](o_orderpriority); point lookups must plan ONLY the matching
+# partition's files (asserted in-query), and the pruned read must
+# hash-match the plain relational oracle — pruning is an optimization,
+# never a filter.
+_ICE_ORDERS_SCHEMA_FIELDS = [
+    {"id": 1, "name": "o_orderkey", "required": False, "type": "long"},
+    {"id": 2, "name": "o_custkey", "required": False, "type": "long"},
+    {"id": 3, "name": "o_orderstatus", "required": False, "type": "string"},
+    {"id": 4, "name": "o_totalprice", "required": False, "type": "double"},
+    {"id": 5, "name": "o_orderdate", "required": False, "type": "timestamp"},
+    {"id": 6, "name": "o_orderpriority", "required": False, "type": "string"},
+]
+
+
+def _ice_partitioned_orders(spark, sf_dir, root, part_name, part_avro_type,
+                            spec_field, bucket_col):
+    """Write orders laid out by a partition expression and wrap the files in
+    an Iceberg v2 metadata tree whose manifests carry per-file partition
+    tuples. Returns {tuple value: [file paths]}."""
+    import json as _json
+    import os as _os
+
+    from bears_spark.io.avro_generic import write_container
+
+    o = load_table(spark, sf_dir, "orders")
+    (
+        o.withColumn("__p", bucket_col)
+        .write.partitionBy("__p")
+        .parquet(root + "/data")
+    )
+    _os.makedirs(root + "/metadata")
+    by_part: dict = {}
+    recs = []
+    for sub in sorted(_os.listdir(root + "/data")):
+        if not sub.startswith("__p="):
+            continue
+        pv = sub.split("=", 1)[1]
+        pv = int(pv) if part_avro_type == "int" else pv
+        for n in sorted(_os.listdir(f"{root}/data/{sub}")):
+            if not n.endswith(".parquet"):
+                continue
+            p = f"{root}/data/{sub}/{n}"
+            by_part.setdefault(pv, []).append(p)
+            recs.append({"status": 1, "data_file": {
+                "content": 0, "file_path": p, "file_format": "PARQUET",
+                "record_count": 1, "partition": {part_name: pv}}})
+    man_schema = {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "partition", "type": ["null", {
+                        "type": "record", "name": "r102",
+                        "fields": [{"name": part_name, "type": ["null", part_avro_type]}],
+                    }]},
+                ],
+            }},
+        ],
+    }
+    mpath = root + "/metadata/m1.avro"
+    open(mpath, "wb").write(write_container(man_schema, recs))
+    ml_schema = {
+        "type": "record", "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "content", "type": "int"},
+        ],
+    }
+    mlpath = root + "/metadata/ml1.avro"
+    open(mlpath, "wb").write(
+        write_container(ml_schema, [{"manifest_path": mpath, "manifest_length": 1, "content": 0}])
+    )
+    with open(root + "/metadata/v1.metadata.json", "w") as f:
+        _json.dump(
+            {"format-version": 2, "location": root, "current-snapshot-id": 1,
+             "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": mlpath}],
+             "schemas": [{"schema-id": 0, "type": "struct",
+                          "fields": _ICE_ORDERS_SCHEMA_FIELDS}],
+             "current-schema-id": 0,
+             "partition-specs": [{"spec-id": 0, "fields": [spec_field]}]},
+            f,
+        )
+    return by_part
+
+
+def orders_iceberg_bucket_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from bears_spark.io.iceberg_log import IcebergTableReader, bucket_transform
+
+    # no type hints: postponed annotation evaluation (PEP 563, module-wide
+    # here) turns them into strings pandas_udf can't resolve; the hint-less
+    # form is the SCALAR pandas UDF
+    @pandas_udf("int")
+    def _bkt(s):
+        return s.map(lambda v: bucket_transform(int(v), "long", 8))
+
+    root = tempfile.mkdtemp(prefix="ice_bkt_")
+    try:
+        by_part = _ice_partitioned_orders(
+            spark, sf_dir, root, "ck_bucket", "int",
+            {"name": "ck_bucket", "transform": "bucket[8]", "source-id": 2, "field-id": 1000},
+            _bkt(F.col("o_custkey")),
+        )
+        o = load_table(spark, sf_dir, "orders")
+        probe = int(o.agg(F.min("o_custkey")).first()[0])
+        r = IcebergTableReader(spark, root)
+        kept = r.files(where=("o_custkey", "=", probe))
+        want = set(by_part[bucket_transform(probe, "long", 8)])
+        assert set(kept) == want and len(kept) < len(r.files()), (
+            "bucket pruning must plan exactly the probe bucket's files"
+        )
+        rows = (
+            r.read(where=("o_custkey", "=", probe))
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double"), 6
+                ).alias("total"),
+            )
+            .orderBy("o_orderstatus")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "o_orderstatus string, n bigint, total double")
+
+
+ORDERS_ICE_BUCKET_SQL = """
+SELECT o_orderstatus, count(*) AS n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 6) AS total
+FROM orders
+WHERE o_custkey = (SELECT min(o_custkey) FROM orders)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+QUERIES["orders_iceberg_bucket_pruned"] = orders_iceberg_bucket_pruned
+ORACLES["orders_iceberg_bucket_pruned"] = ORDERS_ICE_BUCKET_SQL
+
+
+def orders_iceberg_truncate_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from bears_spark.io.iceberg_log import IcebergTableReader
+
+    root = tempfile.mkdtemp(prefix="ice_trunc_")
+    try:
+        by_part = _ice_partitioned_orders(
+            spark, sf_dir, root, "prio_trunc", "string",
+            {"name": "prio_trunc", "transform": "truncate[1]", "source-id": 6,
+             "field-id": 1000},
+            F.substring(F.col("o_orderpriority"), 1, 1),
+        )
+        r = IcebergTableReader(spark, root)
+        kept = r.files(where=("o_orderpriority", "=", "3-MEDIUM"))
+        assert set(kept) == set(by_part["3"]) and len(kept) < len(r.files()), (
+            "truncate pruning must plan exactly the '3' prefix files"
+        )
+        # truncation is order-preserving: range predicates prune too
+        # (probe strictly inside prefix '1' — a boundary probe like '2'
+        # conservatively keeps the '2' files, since truncate('2') == '2')
+        kept_lt = r.files(where=("o_orderpriority", "<", "1z"))
+        assert set(kept_lt) == set(by_part["1"]), "range pruning over truncate tuples"
+        rows = (
+            r.read(where=("o_orderpriority", "=", "3-MEDIUM"))
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double"), 6
+                ).alias("total"),
+            )
+            .orderBy("o_orderstatus")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "o_orderstatus string, n bigint, total double")
+
+
+ORDERS_ICE_TRUNC_SQL = """
+SELECT o_orderstatus, count(*) AS n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 6) AS total
+FROM orders
+WHERE o_orderpriority = '3-MEDIUM'
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+QUERIES["orders_iceberg_truncate_pruned"] = orders_iceberg_truncate_pruned
+ORACLES["orders_iceberg_truncate_pruned"] = ORDERS_ICE_TRUNC_SQL
+
+
+# --------------------------------------------------------------------------
+# orders_delta_export_cadence: continuous Delta replication with the
+# self-checkpoint cadence graded end to end (VERDICT r8 "Next round" #7) —
+# seven O(churn) incremental exports (checkpoint_interval=5 so the cadence
+# fires mid-history), then an external-reader replay that must consume the
+# checkpoint parquet plus ONLY the post-checkpoint JSON suffix (spy-FS
+# asserted in-query), and the replayed state must hash-match the plain
+# relational oracle over the fully-assembled table.
+def orders_delta_export_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from bears_spark.io.delta_log import DeltaTableReader, export_delta_log
+    from bears_spark.io.metafs import LocalMetaFS
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="delta_cad_")
+    try:
+        t = SnapshotTable(spark, _os.path.join(root, "t"))
+        out = _os.path.join(root, "exported")
+        t.overwrite(o.filter(F.col("o_orderkey") % 7 == 0))
+        export_delta_log(t, out, checkpoint_interval=5)  # v0
+        for k in range(1, 7):
+            t.append(o.filter(F.col("o_orderkey") % 7 == k))
+            export_delta_log(t, out, checkpoint_interval=5)  # v1..v6
+        log = _os.path.join(out, "_delta_log")
+        assert _os.path.exists(_os.path.join(log, f"{5:020d}.checkpoint.parquet")), (
+            "cadence must self-checkpoint at version 5"
+        )
+
+        class _ReadSpy:
+            def __init__(self, inner):
+                self.inner = inner
+                self.json_reads = []
+
+            def read_text(self, path):
+                if path.endswith(".json"):
+                    self.json_reads.append(_os.path.basename(path))
+                return self.inner.read_text(path)
+
+            def __getattr__(self, name):
+                return getattr(self.inner, name)
+
+        r = DeltaTableReader(spark, out)
+        spy = _ReadSpy(LocalMetaFS())
+        r.fs = spy
+        df = r.read()
+        rows = (
+            df.groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double"), 6
+                ).alias("total"),
+            )
+            .orderBy("o_orderstatus")
+            .collect()
+        )
+        replayed = sorted(spy.json_reads)
+        assert replayed == [f"{6:020d}.json"], (
+            f"replay must be checkpoint + post-checkpoint suffix only, got {replayed}"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "o_orderstatus string, n bigint, total double")
+
+
+ORDERS_DELTA_CADENCE_SQL = """
+SELECT o_orderstatus, count(*) AS n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 6) AS total
+FROM orders
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+QUERIES["orders_delta_export_cadence"] = orders_delta_export_cadence
+ORACLES["orders_delta_export_cadence"] = ORDERS_DELTA_CADENCE_SQL

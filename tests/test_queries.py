@@ -23,10 +23,12 @@ def test_queries_and_oracles_aligned():
 
 
 def test_graded_window_invariants():
-    """VERDICT r7 #1: the 50-slot driver window must contain only queries
-    with a real DuckDB oracle (an oracle-less row can only grade
-    `err: no_oracle`), no duplicates, and the rotation ledger must stay a
-    subset of declared queries so round-9's window can be built from it."""
+    """VERDICT r7 #1 / r8 #1+#8: the 50-slot driver window must contain only
+    queries with a real DuckDB oracle (an oracle-less row can only grade
+    `err: no_oracle`), no duplicates; round 9 carries the ENTIRE 36-row
+    backlog (driver coverage reaches every declared query) plus the six
+    round-9 additions, and the round-10 ledger stays within the freed
+    headroom."""
     win = entrymod.GRADED_WINDOW
     q, o = entrymod.queries(), entrymod.oracle_sql()
     assert len(win) == 50
@@ -35,11 +37,14 @@ def test_graded_window_invariants():
         assert name in q, name
         sql = o.get(name)
         assert isinstance(sql, str) and sql.strip(), f"{name} lacks a real oracle"
-    # window = 8 anchors + the first 42 of the round-8 ledger, in order
-    assert win[8:] == entrymod.ROUND8_NEVER_GRADED[:42]
-    # next round's ledger only names declared queries and excludes anything
-    # already anchored
-    for name in entrymod.ROUND9_NEVER_GRADED:
+    # window = 8 anchors + ALL 36 of the round-9 ledger, in order, + the
+    # six round-9 additions (VERDICT r8 "Next round" #1 and #8)
+    assert win[8:44] == entrymod.ROUND9_NEVER_GRADED
+    assert win[44:] == entrymod._ROUND9_ADDED
+    # nothing rolls to round 10 from this rotation; future additions are
+    # capped at the freed headroom (42 non-anchor slots - 36 = 6)
+    assert len(entrymod.ROUND10_NEVER_GRADED) <= 6
+    for name in entrymod.ROUND10_NEVER_GRADED:
         assert name in q, name
         assert name not in win[:8], name
 
