@@ -321,7 +321,9 @@ _ROUND9_ADDED: list[str] = [
     "orders_iceberg_truncate_pruned",
     "doc_reservoir_sample_stats",
 ]
-ROUND10_NEVER_GRADED: list[str] = []
+ROUND10_NEVER_GRADED: list[str] = [
+    "doc_stratified_sample_stats",
+]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45
 # round-5 additions). Kept so the rotation provenance is auditable.

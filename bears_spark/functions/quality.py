@@ -396,3 +396,29 @@ def bottom_k_sample(df: DataFrame, id_col: str, k: int, salt: int | str = 0) -> 
     # ties are impossible in practice (60-bit hash) but the id tiebreak
     # keeps the sample well-defined even under a collision
     return df.orderBy(h.asc(), F.col(id_col).asc()).limit(k)
+
+
+def stratified_sample_k(
+    df: DataFrame, strata_col: str, id_col: str, k: int, salt: int | str = 0
+) -> DataFrame:
+    """Exact-size-k uniform sample PER STRATUM (the per-group twin of
+    :func:`bottom_k_sample`): rank rows within each stratum by the 60-bit
+    md5 hash of the id and keep rank <= k. Deterministic, uniform within
+    each stratum, and stable under repartitioning — the "equal eval budget
+    per language/source" curation shape.
+
+    Plan: the rank-<=-k filter compiles to WindowGroupLimit (a per-group
+    top-k heap pushed below the shuffle), so per-partition work is O(rows
+    seen) with k-bounded state — never a full sort of the stratum. Strata
+    counts below k keep every row (SQL row_number semantics)."""
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h = md5_hash64(F.col(id_col), salt=salt)
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") <= k)
+        .drop("__rk__")
+    )

@@ -2080,3 +2080,43 @@ FROM s GROUP BY lang ORDER BY lang
 
 QUERIES["doc_reservoir_sample_stats"] = doc_reservoir_sample_stats
 ORACLES["doc_reservoir_sample_stats"] = DOC_RESERVOIR_SQL
+
+
+# --------------------------------------------------------------------------
+# doc_stratified_sample_stats: exact-k-per-stratum deterministic sampling
+# (functions/quality.py stratified_sample_k — per-group reservoir via a
+# hash-ordered row_number, WindowGroupLimit plan) — the "equal eval budget
+# per language" curation shape. The oracle re-derives the same per-stratum
+# ranks with DuckDB's md5.
+def doc_stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.quality import stratified_sample_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    sample = stratified_sample_k(docs, "lang", "doc_id", k=20, salt="strat")
+    return (
+        sample.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("chars"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOC_STRATIFIED_SQL = f"""
+WITH r AS (
+  SELECT lang, n_chars, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {_duck_h64("doc_id", "'strat'")} ASC, doc_id ASC
+         ) AS rk
+  FROM documents
+)
+SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
+       min(doc_id) AS min_doc
+FROM r WHERE rk <= 20 GROUP BY lang ORDER BY lang
+"""
+
+QUERIES["doc_stratified_sample_stats"] = doc_stratified_sample_stats
+ORACLES["doc_stratified_sample_stats"] = DOC_STRATIFIED_SQL

@@ -101,6 +101,9 @@ CHECKS = {
     # aggregations run in earlier jobs, so the returned plan is a LocalTableScan
     "source_lang_jsd": ["Window", "HashAggregate"],
     "corpus_dedup_funnel": ["LeftSemi", "HashAggregate"],
+    # round-9 queries: exact-k sampling families
+    "doc_reservoir_sample_stats": ["TakeOrderedAndProject"],  # bottom-k heap, no full sort
+    "doc_stratified_sample_stats": ["WindowGroupLimit"],  # per-stratum k-heap below the shuffle
 }
 
 FORBIDDEN = ["CartesianProduct", "BroadcastNestedLoopJoin"]
