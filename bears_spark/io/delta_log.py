@@ -877,7 +877,7 @@ def export_delta_log(
     else:
         # replay the existing export state driver-side (local metadata)
         tmp = _ExportReplay(out_path)
-        prev_meta, prev_adds = tmp.state()
+        prev_meta, prev_adds, prev_proto = tmp.state()
         version = tmp.version + 1
         by_src: dict[str, tuple[str, dict]] = {}
         untagged: list[str] = []  # pre-tags exporter output: not diffable
@@ -888,8 +888,8 @@ def export_delta_log(
             else:
                 untagged.append(p)
         actions = []
-        if has_dvs:
-            actions.append({"protocol": dv_protocol})  # in-place upgrade
+        if has_dvs and "deletionVectors" not in (prev_proto.get("readerFeatures") or []):
+            actions.append({"protocol": dv_protocol})  # one-time in-place upgrade
         meta = prev_meta
         if schema_str is not None and prev_meta.get("schemaString") != schema_str:
             meta = dict(prev_meta)
@@ -932,6 +932,15 @@ def export_delta_log(
             new_adds.append(new_a)
         actions += removes + [{"add": a} for a in new_adds]
         adds = kept + new_adds
+        if not actions:
+            # zero churn: don't burn a version on an empty commit — the
+            # property that makes export IDEMPOTENT, so a crashed-and-
+            # replayed exporter (streaming replication) self-heals without
+            # growing the log. An explicit checkpoint request still writes
+            # one at the CURRENT version.
+            if checkpoint:
+                _write_delta_checkpoint(out_path, tmp.version, prev_meta, adds)
+            return out_path
     with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as f:
         for a in actions:
             f.write(json.dumps(a) + "\n")
@@ -968,9 +977,10 @@ class _ExportReplay:
         self.version = max(versions)
         self._versions = sorted(versions)
 
-    def state(self) -> tuple[dict, dict[str, dict]]:
+    def state(self) -> tuple[dict, dict[str, dict], dict]:
         meta: dict = {}
         adds: dict[str, dict] = {}
+        protocol: dict = {}
         for v in self._versions:
             with open(os.path.join(self.log_dir, f"{v:020d}.json")) as f:
                 for line in f:
@@ -984,6 +994,8 @@ class _ExportReplay:
                         adds[action["add"]["path"]] = action["add"]
                     elif "remove" in action:
                         adds.pop(action["remove"]["path"], None)
+                    elif "protocol" in action:
+                        protocol = action["protocol"]
         if not meta:
             raise DeltaLogError("no metaData in the exported Delta log")
-        return meta, adds
+        return meta, adds, protocol

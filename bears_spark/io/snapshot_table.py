@@ -899,7 +899,7 @@ class SnapshotTable:
         return set(txns.values())
 
     def streaming_append(self, stream_df: DataFrame, checkpoint_dir: str, available_now: bool = True,
-                         app_id: str | None = None):
+                         app_id: str | None = None, export_delta_to: str | None = None):
         """Exactly-once streaming ingest via foreachBatch: each micro-batch
         commits an append manifest stamped with (app_id, epoch id) —
         Delta's txnAppId/txnVersion pattern. A replayed batch (checkpoint
@@ -909,18 +909,35 @@ class SnapshotTable:
         replays of an earlier ingest. app_id defaults to the normalized
         checkpoint path — stable across restarts of the same stream,
         distinct per checkpoint. Returns the StreamingQuery (await it, or it
-        runs to completion under available_now)."""
+        runs to completion under available_now).
+
+        ``export_delta_to``: continuous Delta replication — after every
+        batch (including replayed ones) the table's current snapshot is
+        re-exported as an O(churn) diff commit at that path, so external
+        Delta readers tail the stream's output without speaking this
+        table's manifest format. Safe under every crash point: the export
+        diffs CURRENT manifest vs CURRENT exported state, a no-churn export
+        writes nothing (idempotent), and the self-checkpoint cadence keeps
+        external replay bounded."""
         app = app_id or os.path.abspath(checkpoint_dir)
 
         def _sink(batch_df: DataFrame, batch_id: int) -> None:
             if self.committed_txns().get(app, -1) >= batch_id:
-                return  # replay after checkpoint recovery: already committed
-            new = self._write_files(batch_df)
-            self._commit(
-                "stream-append",
-                lambda parent_m: [FileEntry(**e) for e in parent_m["files"]] + new,
-                txn=(app, batch_id),
-            )
+                pass  # replay after checkpoint recovery: already committed
+            else:
+                new = self._write_files(batch_df)
+                self._commit(
+                    "stream-append",
+                    lambda parent_m: [FileEntry(**e) for e in parent_m["files"]] + new,
+                    txn=(app, batch_id),
+                )
+            if export_delta_to is not None:
+                # runs on replayed batches too: if the ingest committed but
+                # the exporter crashed before this line, the replay heals
+                # the export; if nothing changed, nothing is written
+                from bears_spark.io.delta_log import export_delta_log
+
+                export_delta_log(self, export_delta_to)
 
         w = stream_df.writeStream.foreachBatch(_sink).option("checkpointLocation", checkpoint_dir)
         if available_now:

@@ -1045,3 +1045,74 @@ def test_export_delta_self_checkpoint_cadence(spark, tmp_path):
     assert sorted(
         n for n in os.listdir(log) if n.endswith(".checkpoint.parquet")
     ) == ckpts
+
+
+def test_export_delta_noop_is_versionless_and_protocol_upgrades_once(spark, tmp_path):
+    """A zero-churn re-export writes NOTHING (idempotent — the property a
+    crashed-and-replayed streaming exporter needs), and the deletionVectors
+    protocol upgrade is emitted exactly once, not per export."""
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "src"))
+    t.overwrite(spark.range(0, 40).selectExpr("id", "id * 1.0 AS v"))
+    out = str(tmp_path / "noop")
+    export_delta_log(t, out)
+    log = os.path.join(out, "_delta_log")
+    before = sorted(os.listdir(log))
+    export_delta_log(t, out)  # no churn
+    export_delta_log(t, out)
+    assert sorted(os.listdir(log)) == before
+    # MoR delete: first re-export upgrades the protocol + re-adds the file
+    t.delete_where("id", "<", 5, mode="mor")
+    export_delta_log(t, out)
+    export_delta_log(t, out)  # second: no churn again -> nothing written
+    commits = [n for n in sorted(os.listdir(log)) if n.endswith(".json")]
+    assert commits == [f"{0:020d}.json", f"{1:020d}.json"]
+    protos = []
+    for n in commits:
+        with open(os.path.join(log, n)) as f:
+            protos += [json.loads(l) for l in f if '"protocol"' in l]
+    assert len(protos) == 2  # v0 initial + the one v1 upgrade
+    assert "deletionVectors" in protos[1]["protocol"]["readerFeatures"]
+    # another MoR delete churns the DV: export diffs but must NOT re-emit
+    # the protocol a third time
+    t.delete_where("id", ">=", 35, mode="mor")
+    export_delta_log(t, out)
+    with open(os.path.join(log, f"{2:020d}.json")) as f:
+        assert not any('"protocol"' in l for l in f)
+    r = DeltaTableReader(spark, out)
+    assert sorted(x["id"] for x in r.read().collect()) == list(range(5, 35))
+
+
+def test_streaming_append_with_delta_replication(spark, tmp_path):
+    """streaming_append(export_delta_to=...) replicates every micro-batch
+    into a Delta-readable export; a full checkpoint replay re-runs the
+    export harmlessly (no new versions — the no-op export property)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    src = tmp_path / "in"
+    src.mkdir()
+    for i in range(2):
+        pq.write_table(
+            pa.table({"id": pa.array([i * 10 + j for j in range(5)], pa.int64())}),
+            str(src / f"b{i}.parquet"),
+        )
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    out = str(tmp_path / "replica")
+    stream = (
+        spark.readStream.schema("id long").option("maxFilesPerTrigger", 1).parquet(str(src) + "/")
+    )
+    ckpt = str(tmp_path / "ck")
+    t.streaming_append(stream, ckpt, export_delta_to=out).awaitTermination(300)
+    r = DeltaTableReader(spark, out)
+    assert sorted(x["id"] for x in r.read().collect()) == sorted(
+        list(range(0, 5)) + list(range(10, 15))
+    )
+    log = os.path.join(out, "_delta_log")
+    before = sorted(os.listdir(log))
+    # replay: ingest skipped by txn stamps, export skipped by zero churn
+    t.streaming_append(stream, ckpt, export_delta_to=out).awaitTermination(300)
+    assert sorted(os.listdir(log)) == before
