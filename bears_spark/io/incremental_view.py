@@ -21,9 +21,18 @@ operation mix — unlike append-only `changes_since` consumers — because the
 file diff sees rewrites from both sides.
 
 Maintainable aggregates are SUM / COUNT / AVG (= sum/count): they form an
-abelian group under row insertion/deletion. MIN/MAX are NOT maintainable
-under deletes without a full re-scan (deleting the current min needs the
-runner-up) — requesting them raises, matching every IVM engine's contract.
+abelian group under row insertion/deletion. MIN / MAX (``minmax_cols``) are
+semigroup-only — inserts merge (min of mins), but deleting a group's
+current extreme needs the runner-up, which no amount of stored state can
+provide. The refresh therefore splits groups: UNDISPLACED groups (no
+removed row tied the stored extreme) merge incrementally like sums;
+DISPLACED groups are recomputed from the current base snapshot, restricted
+to exactly those groups via a broadcast semi-join (and to the files whose
+stats overlap them, through the base scan's normal pruning). This is the
+standard IVM treatment (Materialize/DBSP call it a "recompute repair"):
+the common case — appends, compactions, deletes that don't touch a group
+extreme — stays O(churn); the repair cost is proportional to the displaced
+groups' row share, never the table.
 
 Exactly-once: each refresh commits the view stamped with
 (``incr-view:<base path>``, base_version) through the snapshot table's txn
@@ -60,11 +69,13 @@ class IncrementalAggView:
         group_cols: list[str],
         sum_cols: list[str],
         store=None,
+        minmax_cols: list[str] | None = None,
     ) -> None:
         self.spark = spark
         self.base = base
         self.group_cols = list(group_cols)
         self.sum_cols = list(sum_cols)
+        self.minmax_cols = list(minmax_cols or [])
         self.view = SnapshotTable(spark, path, store=store)
         self.app_id = f"incr-view:{os.path.abspath(base.path)}"
 
@@ -80,18 +91,111 @@ class IncrementalAggView:
         return df
 
     # -- refresh ---------------------------------------------------------------
-    def _partial(self, entries: list, weight: int) -> DataFrame:
+    def _scan(self, entries: list) -> DataFrame:
         # DV-aware scan: a merge-on-read delete changes a file's LIVE row set
         # without changing its path, so the legs must read through the
         # deletion vectors (io/dv.py) for the signed delta to be exact
         from bears_spark.io.dv import scan_with_dvs
 
-        src = scan_with_dvs(self.spark, entries, merge_schema=True)
+        return scan_with_dvs(self.spark, entries, merge_schema=True)
+
+    def _partial(self, entries: list, weight: int) -> DataFrame:
+        src = self._scan(entries)
         aggs = [
             F.sum(F.col(c).cast("decimal(38,6)") * weight).alias(f"{c}_sum")
             for c in self.sum_cols
         ] + [F.sum(F.lit(weight)).cast("long").alias("n_rows")]
         return src.groupBy(*self.group_cols).agg(*aggs)
+
+    def _minmax_agg(self, src: DataFrame) -> DataFrame:
+        # min/max are exact row selections, never accumulations, so the
+        # column keeps its NATURAL type (numeric, string, date alike) —
+        # there is no float-cancellation concern like the sums have
+        aggs = []
+        for c in self.minmax_cols:
+            aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+        return src.groupBy(*self.group_cols).agg(*aggs)
+
+    def _refresh_minmax(self, added: list, removed: list, v_sync: int, v_target: int):
+        """(*group_cols, {c}_min, {c}_max ...) reflecting base@v_target.
+
+        Semigroup merge for the undisplaced majority (min of stored+added
+        mins), targeted recompute for groups where a removed row TIED a
+        stored extreme — only those can have lost their extreme, and only
+        the current base can name the runner-up."""
+        mm_cols = [f"{c}_{s}" for c in self.minmax_cols for s in ("min", "max")]
+        legs = []
+        stored_mm = None
+        if v_sync:
+            stored_mm = self.view.read().select(*self.group_cols, *mm_cols)
+            legs.append(stored_mm)
+        if added:
+            legs.append(self._minmax_agg(self._scan(added)))
+        cand = legs[0]
+        for leg in legs[1:]:
+            cand = cand.unionByName(leg)
+        cand = cand.groupBy(*self.group_cols).agg(
+            *[
+                f
+                for c in self.minmax_cols
+                for f in (
+                    F.min(f"{c}_min").alias(f"{c}_min"),
+                    F.max(f"{c}_max").alias(f"{c}_max"),
+                )
+            ]
+        )
+        if not (removed and stored_mm is not None):
+            return cand  # pure inserts: the semigroup merge is exact
+        removed_mm = self._minmax_agg(self._scan(removed)).select(
+            *self.group_cols,
+            *[
+                F.col(f"{c}_{s}").alias(f"__r_{c}_{s}")
+                for c in self.minmax_cols
+                for s in ("min", "max")
+            ],
+        )
+        # displaced: some removed row reached the stored extreme (<=/>= —
+        # ties displace, because duplicates of the extreme may all be gone).
+        # Null removed extremes (all-null removals) never displace: the
+        # comparison is null, and filter() drops it.
+        disp_pred = None
+        for c in self.minmax_cols:
+            p = (F.col(f"__r_{c}_min") <= F.col(f"{c}_min")) | (
+                F.col(f"__r_{c}_max") >= F.col(f"{c}_max")
+            )
+            disp_pred = p if disp_pred is None else (disp_pred | p)
+        displaced_keys = (
+            stored_mm.join(removed_mm, self.group_cols)
+            .filter(disp_pred)
+            .select(*self.group_cols)
+        )
+        # repair: recompute ONLY the displaced groups from the current base
+        # snapshot — the displaced set is view-domain-sized, so it broadcasts
+        # and the base scan's rows are filtered before the aggregate
+        repair = self._minmax_agg(
+            self.base.read(version=v_target).join(
+                F.broadcast(displaced_keys), self.group_cols, "left_semi"
+            )
+        ).select(
+            *self.group_cols,
+            *[
+                F.col(f"{c}_{s}").alias(f"__f_{c}_{s}")
+                for c in self.minmax_cols
+                for s in ("min", "max")
+            ],
+        )
+        # a displaced group with no surviving rows has no repair row AND no
+        # n_rows>0 row in the sums merge, so the stale cand value it keeps
+        # here is dropped by the final inner join
+        out = cand.join(F.broadcast(repair), self.group_cols, "left")
+        return out.select(
+            *self.group_cols,
+            *[
+                F.coalesce(F.col(f"__f_{c}_{s}"), F.col(f"{c}_{s}")).alias(f"{c}_{s}")
+                for c in self.minmax_cols
+                for s in ("min", "max")
+            ],
+        )
 
     def refresh(self) -> int:
         """Bring the view up to the base's current version; returns the base
@@ -144,5 +248,10 @@ class IncrementalAggView:
             # exactly as a from-scratch groupBy would never emit it
             .filter(F.col("n_rows") > 0)
         )
+        if self.minmax_cols:
+            mm = self._refresh_minmax(added, removed, v_sync, v_target)
+            # inner: every surviving group (n_rows > 0) is in stored ∪ added,
+            # which is exactly cand's key set; vanished groups drop from both
+            merged = merged.join(mm, self.group_cols)
         self.view.overwrite(merged, txn=(self.app_id, v_target))
         return v_target

@@ -1255,3 +1255,78 @@ def test_iceberg_transform_pruning_sound(case):
         # value differs from the probe's is always rejected
         if op == "=" and pv != tv(probe):
             assert rejected
+
+
+# ---------------------------------------------------------------------------
+# Incremental-view MIN/MAX maintenance: after every refresh in a random
+# append/delete sequence, the view equals a from-scratch groupBy — including
+# displaced extremes (deleted min/max), duplicate-extreme ties, vanished
+# groups, and MoR deletes (DV identity swaps).
+@st.composite
+def _ivm_minmax_case(draw):
+    ops = draw(st.lists(
+        st.one_of(
+            st.tuples(st.just("append"), st.integers(0, 90)),
+            st.tuples(st.just("del_lt"), st.integers(0, 60)),
+            st.tuples(st.just("del_mor_ge"), st.integers(20, 95)),
+            st.tuples(st.just("del_eq_bucket"), st.integers(0, 2)),
+        ),
+        min_size=1, max_size=4,
+    ))
+    return ops
+
+
+@given(_ivm_minmax_case())
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_ivm_minmax_sequence_matches_rebuild(spark, tmp_path, case):
+    import uuid
+
+    from bears_spark.io.incremental_view import IncrementalAggView
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    def mk(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "id", "id % 3 AS bucket", "id AS v", "id % 5 AS w"
+        )
+
+    def rollup(df):
+        return {
+            (r["bucket"],): (r["n"], r["vmin"], r["vmax"], r["wmin"], r["wmax"])
+            for r in df.groupBy("bucket").agg(
+                F.count("*").alias("n"), F.min("v").alias("vmin"),
+                F.max("v").alias("vmax"), F.min("w").alias("wmin"),
+                F.max("w").alias("wmax"),
+            ).collect()
+        }
+
+    def vstate(view):
+        return {
+            (r["bucket"],): (r["n_rows"], r["v_min"], r["v_max"], r["w_min"], r["w_max"])
+            for r in view.read().collect()
+        }
+
+    root = tmp_path / uuid.uuid4().hex
+    base = SnapshotTable(spark, str(root / "b"))
+    view = IncrementalAggView(
+        spark, base, str(root / "v"),
+        group_cols=["bucket"], sum_cols=[], minmax_cols=["v", "w"],
+    )
+    base.overwrite(mk(30, 50).coalesce(1))
+    view.refresh()
+    assert vstate(view) == rollup(base.read())
+    for op, arg in case:
+        if op == "append":
+            base.append(mk(arg, arg + 7).coalesce(1))
+        elif op == "del_lt":
+            base.delete_where("id", "<", arg)
+        elif op == "del_mor_ge":
+            base.delete_where("id", ">=", arg, mode="mor")
+        else:
+            base.delete_where("bucket", "=", arg)
+        view.refresh()
+        try:
+            live = rollup(base.read())
+        except ValueError:
+            break  # every row deleted: snapshot has no data files
+        assert vstate(view) == live, (op, arg)

@@ -1409,3 +1409,106 @@ def test_streaming_merge_exactly_once_upserts(spark, tmp_path):
     assert got2[1] == -11 and len(got2) == 51
     # append and merge streams on the same checkpoint namespace never collide
     assert any(a.endswith("#merge") for a in t.committed_txns())
+
+
+def _mm_rollup(df):
+    return {
+        (r["bucket"],): (
+            r["n"], float(r["s"]), int(r["v_min"]), int(r["v_max"]), int(r["w_min"]), int(r["w_max"])
+        )
+        for r in df.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("v").cast("decimal(38,6)")).cast("double").alias("s"),
+            F.min("v").alias("v_min"),
+            F.max("v").alias("v_max"),
+            F.min("w").alias("w_min"),
+            F.max("w").alias("w_max"),
+        )
+        .collect()
+    }
+
+
+def _mm_view_state(view):
+    return {
+        (r["bucket"],): (
+            r["n_rows"], float(r["v_sum"]), int(r["v_min"]), int(r["v_max"]),
+            int(r["w_min"]), int(r["w_max"]),
+        )
+        for r in view.read().collect()
+    }
+
+
+def _mm_df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr(
+        "id", "id % 5 AS bucket", "id AS v", "id % 10 AS w"
+    )
+
+
+def test_incremental_view_minmax_matches_rebuild(spark, tmp_path):
+    """MIN/MAX maintenance equals a from-scratch rebuild after EVERY
+    refresh: semigroup merge on inserts, targeted per-group recompute when
+    a delete ties a stored extreme (including duplicate-extreme ties where
+    survivors remain), across CoW delete, MoR delete, merge, and
+    compaction."""
+    from bears_spark.io.incremental_view import IncrementalAggView
+
+    base = SnapshotTable(spark, str(tmp_path / "mmbase"))
+    view = IncrementalAggView(
+        spark, base, str(tmp_path / "mmview"),
+        group_cols=["bucket"], sum_cols=["v"], minmax_cols=["v", "w"],
+    )
+    base.overwrite(_mm_df(spark, 10, 60).coalesce(2))
+    view.refresh()
+    assert _mm_view_state(view) == _mm_rollup(base.read())
+
+    # pure insert: extends min (0..9) and max (60..79) of every bucket —
+    # the semigroup merge path, no repair scan needed
+    base.append(_mm_df(spark, 0, 10).coalesce(1))
+    base.append(_mm_df(spark, 60, 80).coalesce(1))
+    view.refresh()
+    assert _mm_view_state(view) == _mm_rollup(base.read())
+
+    # CoW delete of every bucket's current MIN rows (v = id < 15): displaced
+    # groups must be repaired from the runner-up
+    base.delete_where("id", "<", 15)
+    view.refresh()
+    assert _mm_view_state(view) == _mm_rollup(base.read())
+
+    # MoR delete of the MAX tail (identity change via DVs, not rewrites)
+    base.delete_where("id", ">=", 72, mode="mor")
+    view.refresh()
+    assert _mm_view_state(view) == _mm_rollup(base.read())
+
+    # tie case: w = id % 10 has many duplicates of each extreme; deleting a
+    # strict subset of the w-extreme rows must keep w_min/w_max from the
+    # surviving duplicates
+    base.delete_where("id", "=", 20)  # w=0 for id=20; other w=0 rows survive
+    view.refresh()
+    assert _mm_view_state(view) == _mm_rollup(base.read())
+
+    # interior delete that displaces NOTHING (no extreme touched)
+    base.delete_where("id", "=", 33)
+    view.refresh()
+    assert _mm_view_state(view) == _mm_rollup(base.read())
+
+    # compaction must net to zero
+    before = _mm_view_state(view)
+    base.compact(target_rows_per_file=1_000)
+    view.refresh()
+    assert _mm_view_state(view) == before == _mm_rollup(base.read())
+
+    # merge upsert: updates shift some v values, insert a new bucket row
+    src = spark.createDataFrame(
+        [(30, 0, 999, 3), (501, 1, -5, 1)],
+        "id: bigint, bucket: bigint, v: bigint, w: bigint",
+    )
+    base.merge(src, key="id")
+    view.refresh()
+    assert _mm_view_state(view) == _mm_rollup(base.read())
+
+    # delete an entire bucket: its row must vanish from the view
+    base.delete_where("bucket", "=", 2)
+    view.refresh()
+    assert _mm_view_state(view) == _mm_rollup(base.read())
+    assert (2,) not in _mm_view_state(view)
