@@ -4755,3 +4755,67 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 
 QUERIES["orders_delta_export_cadence"] = orders_delta_export_cadence
 ORACLES["orders_delta_export_cadence"] = ORDERS_DELTA_CADENCE_SQL
+
+
+# --------------------------------------------------------------------------
+# orders_ivm_minmax: incremental-view MIN/MAX maintenance graded end to end
+# — a materialized rollup with minmax_cols refreshed through a CoW delete
+# of the low extreme AND a merge-on-read delete of the high extreme (both
+# displace stored extremes, exercising the targeted recompute repair), then
+# hash-matched against a plain relational oracle over the surviving rows.
+def orders_ivm_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from bears_spark.io.incremental_view import IncrementalAggView
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="ivm_mm_")
+    try:
+        base = SnapshotTable(spark, root + "/b")
+        view = IncrementalAggView(
+            spark, base, root + "/v",
+            group_cols=["o_orderpriority"], sum_cols=["o_totalprice"],
+            minmax_cols=["o_totalprice"],
+        )
+        base.overwrite(o.repartition(8))
+        view.refresh()
+        # displace every group's LOW extreme (copy-on-write rewrite) ...
+        base.delete_where("o_totalprice", "<", 30000.0)
+        view.refresh()
+        # ... and the HIGH extreme (merge-on-read deletion vectors)
+        base.delete_where("o_totalprice", ">=", 400000.0, mode="mor")
+        view.refresh()
+        rows = (
+            view.read()
+            .select(
+                "o_orderpriority",
+                F.col("n_rows").alias("n"),
+                F.round(F.col("o_totalprice_sum").cast("double"), 6).alias("total"),
+                F.round(F.col("o_totalprice_min"), 6).alias("pmin"),
+                F.round(F.col("o_totalprice_max"), 6).alias("pmax"),
+            )
+            .orderBy("o_orderpriority")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderpriority string, n bigint, total double, pmin double, pmax double"
+    )
+
+
+ORDERS_IVM_MINMAX_SQL = """
+SELECT o_orderpriority, count(*) AS n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS total,
+       round(min(o_totalprice), 6) AS pmin,
+       round(max(o_totalprice), 6) AS pmax
+FROM orders
+WHERE (NOT (o_totalprice < 30000.0) OR o_totalprice IS NULL)
+  AND (NOT (o_totalprice >= 400000.0) OR o_totalprice IS NULL)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+QUERIES["orders_ivm_minmax"] = orders_ivm_minmax
+ORACLES["orders_ivm_minmax"] = ORDERS_IVM_MINMAX_SQL
