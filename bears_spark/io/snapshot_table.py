@@ -84,6 +84,50 @@ def _encode_stat(v):
     return None
 
 
+# Delta's statsColumns convention: string min/max are truncated to a fixed
+# prefix so a long-text column never embeds document bodies in every
+# manifest — at 100 TB, manifest bytes are planning-latency and driver-heap
+# bytes. 32 chars matches Delta's dataSkippingStringPrefixLength default.
+STAT_STRING_PREFIX = 32
+
+
+def _truncate_string_stats(stats: dict, width: int = STAT_STRING_PREFIX) -> dict:
+    """Widen string stats to a bounded-prefix form: min keeps its first
+    ``width`` chars (a valid lower bound); max keeps the prefix with its
+    last code point incremented (a valid upper bound for EVERY string
+    sharing the prefix — the standard Delta/Iceberg upper-bound trick,
+    skipping the surrogate gap). A prefix of all U+10FFFF has no upper
+    bound, so that column's stat is dropped entirely (conservative: no
+    stat = always match). Non-string stats pass through untouched."""
+    out = {}
+    for col, s in stats.items():
+        mn, mx = s["min"], s["max"]
+        if not (isinstance(mn, str) and isinstance(mx, str)):
+            out[col] = s
+            continue
+        if len(mn) <= width and len(mx) <= width:
+            out[col] = s
+            continue
+        new_mn = mn[:width]
+        if len(mx) <= width:
+            out[col] = {"min": new_mn, "max": mx}
+            continue
+        t = mx[:width]
+        new_mx = None
+        for i in range(len(t) - 1, -1, -1):
+            cp = ord(t[i])
+            if cp < 0x10FFFF:
+                nxt = cp + 1
+                if 0xD800 <= nxt <= 0xDFFF:
+                    nxt = 0xE000  # never emit a lone surrogate
+                new_mx = t[:i] + chr(nxt)
+                break
+        if new_mx is None:
+            continue  # unbounded above: drop the stat, keep the file matchable
+        out[col] = {"min": new_mn, "max": new_mx}
+    return out
+
+
 def _coerce_value(value, stat):
     """Predicate value -> the stat's comparison domain (epoch-micros for
     tagged temporal stats, Decimal for tagged decimals, raw otherwise).
@@ -360,7 +404,9 @@ class SnapshotTable:
                             cur["min"] = mn
                         if kmx > _decode_stat(cur["max"]):
                             cur["max"] = mx
-            entries.append(FileEntry(path=fpath, rows=md.num_rows, stats=stats))
+            entries.append(
+                FileEntry(path=fpath, rows=md.num_rows, stats=_truncate_string_stats(stats))
+            )
         self._attach_blooms(subdir, entries)
         return entries
 

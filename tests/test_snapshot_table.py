@@ -1512,3 +1512,36 @@ def test_incremental_view_minmax_matches_rebuild(spark, tmp_path):
     view.refresh()
     assert _mm_view_state(view) == _mm_rollup(base.read())
     assert (2,) not in _mm_view_state(view)
+
+
+def test_string_stats_truncated_but_pruning_exact(spark, tmp_path):
+    """Long-text columns never embed document bodies in manifests: string
+    min/max are bounded-prefix (Delta's 32-char convention, upper bound =
+    prefix with last code point incremented), and pruning through the
+    widened bounds stays semantically exact."""
+    from bears_spark.io.snapshot_table import STAT_STRING_PREFIX, _truncate_string_stats
+
+    t = SnapshotTable(spark, str(tmp_path / "trunc"))
+    rows = [
+        (1, "aaaa" + "x" * 100),
+        (2, "mmmm" + "y" * 100),
+        (3, "zzzz" + "z" * 100),
+    ]
+    t.overwrite(spark.createDataFrame(rows, "id bigint, body string").coalesce(1))
+    (e,) = t.files()
+    s = e.stats["body"]
+    assert len(s["min"]) <= STAT_STRING_PREFIX
+    assert len(s["max"]) <= STAT_STRING_PREFIX
+    # widened bounds: min is a prefix (lower), max STRICTLY ABOVE the data
+    assert s["min"] <= rows[0][1] and s["max"] > rows[2][1]
+    # pruning is conservative-correct through the truncation
+    assert t.read(where=("body", ">", "zzzz" + "z" * 200)).count() == 0
+    assert t.read(where=("body", "<", "aaaa")).count() == 0
+    assert t.read(where=("body", ">=", "mmmm")).count() == 2
+    # the all-U+10FFFF edge: no representable upper bound -> stat dropped
+    top = chr(0x10FFFF) * (STAT_STRING_PREFIX + 5)
+    assert "k" not in _truncate_string_stats({"k": {"min": "a", "max": top}})
+    # surrogate-boundary increment never emits a lone surrogate
+    edge = "b" * (STAT_STRING_PREFIX - 1) + "퟿" + "tail"
+    out = _truncate_string_stats({"k": {"min": "a", "max": edge}})
+    assert out["k"]["max"][-1] == ""
