@@ -560,11 +560,15 @@ class DeltaTableReader:
                 cols.append(c.alias(f.name))
             return df.select(*cols, *tags)
 
+        # data scans go to SPARK, which speaks s3a:// where the metadata
+        # side speaks s3:// — translate at exactly this boundary
+        from bears_spark.io.metafs import spark_path as _sp
+
         if not part_cols:
             out = _rename(
                 _tag(
                     self.spark.read.schema(_phys(schema.fields)).parquet(
-                        *[os.path.join(self.path, unquote(p)) for p in adds]
+                        *[_sp(os.path.join(self.path, unquote(p))) for p in adds]
                     )
                 ),
                 schema.fields,
@@ -592,7 +596,7 @@ class DeltaTableReader:
             cols = [f.name for f in schema.fields] + (["__dl_fp__", "__dl_pos__"] if dvs else [])
             for key, paths in sorted(groups.items(), key=lambda kv: tuple(str(x) for x in kv[0])):
                 df = _rename(
-                    _tag(self.spark.read.schema(file_schema).parquet(*paths)),
+                    _tag(self.spark.read.schema(file_schema).parquet(*[_sp(p) for p in paths])),
                     file_fields,
                 )
                 for c, raw in zip(part_cols, key):

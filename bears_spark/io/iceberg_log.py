@@ -45,7 +45,7 @@ from urllib.parse import urlparse, unquote
 from pyspark.sql import DataFrame, SparkSession
 
 from bears_spark.io.avro_generic import read_container
-from bears_spark.io.metafs import is_uri, metafs_for
+from bears_spark.io.metafs import is_uri, metafs_for, spark_path
 
 _META_RE = re.compile(r"^v(\d+)\.metadata\.json$")
 
@@ -584,7 +584,7 @@ class IcebergTableReader:
             "__rec__ string, __loc__ string",
         )
         dels = (
-            self.spark.read.parquet(*delete_paths)
+            self.spark.read.parquet(*[spark_path(dp) for dp in delete_paths])
             .select("file_path", "pos")
             .join(F.broadcast(mapping), F.col("file_path") == F.col("__rec__"), "left")
             .select(
@@ -643,7 +643,7 @@ class IcebergTableReader:
             cols = self._field_names_for_ids(ids)
             dels = None
             for path, seq in sorted(files):
-                one = self.spark.read.parquet(path).select(
+                one = self.spark.read.parquet(spark_path(path)).select(
                     *[F.col(c).alias(f"__eq_{c}__") for c in cols],
                     F.lit(seq).alias("__eq_seq__"),
                 )
@@ -706,7 +706,9 @@ class IcebergTableReader:
         rename — the same O(files) driver pass ``_plan`` already does over
         the manifests."""
         if not self._renames_detected():
-            df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+            df = self.spark.read.option("mergeSchema", "true").parquet(
+                *[spark_path(p) for p in paths]
+            )
             return self._tag_metadata(df) if tag_metadata else df
         from pyspark.sql import functions as F
 
@@ -717,7 +719,7 @@ class IcebergTableReader:
         parts = []
         for mapping, ps in sorted(groups.items()):
             phys_by_id = {fid: name for name, fid in mapping}
-            df = self.spark.read.parquet(*ps)
+            df = self.spark.read.parquet(*[spark_path(x) for x in ps])
             cols = []
             for f in logical.fields:
                 phys = phys_by_id.get(int(f.metadata["parquet.field.id"]))
