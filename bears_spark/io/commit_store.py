@@ -55,8 +55,13 @@ class CommitStore(ABC):
         """Return the full value of ``key``; raise FileNotFoundError if absent."""
 
     @abstractmethod
-    def list_prefix(self, prefix: str) -> list[str]:
-        """All keys under ``prefix`` (a directory-like namespace), sorted."""
+    def list_prefix(self, prefix: str, start_after: str | None = None) -> list[str]:
+        """All keys under ``prefix`` (a directory-like namespace), sorted.
+        ``start_after`` keeps only keys whose name part AFTER the prefix is
+        strictly greater — pushed down to the store's own listing API where
+        one exists (S3 ``StartAfter``, GCS ``start_offset``), so a
+        pointer-guided reader of a million-commit log lists only the
+        suffix server-side instead of paging the whole namespace."""
 
     @abstractmethod
     def delete(self, key: str) -> None:
@@ -153,14 +158,13 @@ class LocalCommitStore(CommitStore):
         with open(key, "rb") as f:
             return f.read()
 
-    def list_prefix(self, prefix: str) -> list[str]:
+    def list_prefix(self, prefix: str, start_after: str | None = None) -> list[str]:
         if not os.path.isdir(prefix):
             return []
-        return sorted(
-            os.path.join(prefix, n)
-            for n in os.listdir(prefix)
-            if not n.endswith(".tmp")
-        )
+        names = (n for n in os.listdir(prefix) if not n.endswith(".tmp"))
+        if start_after is not None:
+            names = (n for n in names if n > start_after)
+        return sorted(os.path.join(prefix, n) for n in names)
 
     def delete(self, key: str) -> None:
         try:
@@ -197,10 +201,13 @@ class InMemoryCommitStore(CommitStore):
                 raise FileNotFoundError(key)
             return self._data[key]
 
-    def list_prefix(self, prefix: str) -> list[str]:
+    def list_prefix(self, prefix: str, start_after: str | None = None) -> list[str]:
         p = prefix.rstrip("/") + "/"
+        floor = p + start_after if start_after is not None else None
         with self._lock:
-            return sorted(k for k in self._data if k.startswith(p))
+            return sorted(
+                k for k in self._data if k.startswith(p) and (floor is None or k > floor)
+            )
 
     def delete(self, key: str) -> None:
         with self._lock:
@@ -322,12 +329,16 @@ class S3CommitStore(CommitStore):
         body = resp["Body"]
         return body.read() if hasattr(body, "read") else body
 
-    def list_prefix(self, prefix: str) -> list[str]:
+    def list_prefix(self, prefix: str, start_after: str | None = None) -> list[str]:
         p = self._key(prefix).rstrip("/") + "/"
         keys: list[str] = []
         token = None
         while True:
             kwargs = {"Bucket": self.bucket, "Prefix": p}
+            if start_after is not None and token is None:
+                # server-side suffix listing: S3 returns only keys strictly
+                # after this one (continuation pages carry it implicitly)
+                kwargs["StartAfter"] = p + start_after
             if token:
                 kwargs["ContinuationToken"] = token
             resp = self.client.list_objects_v2(**kwargs)
@@ -417,9 +428,18 @@ class GCSCommitStore(CommitStore):
                 raise FileNotFoundError(key) from exc
             raise
 
-    def list_prefix(self, prefix: str) -> list[str]:
+    def list_prefix(self, prefix: str, start_after: str | None = None) -> list[str]:
         p = self._key(prefix).rstrip("/") + "/"
-        return sorted(b.name for b in self.bucket_obj.list_blobs(prefix=p))
+        if start_after is None:
+            return sorted(b.name for b in self.bucket_obj.list_blobs(prefix=p))
+        # GCS start_offset is INCLUSIVE; the contract is strictly-after, so
+        # the floor key itself is filtered out client-side
+        floor = p + start_after
+        return sorted(
+            b.name
+            for b in self.bucket_obj.list_blobs(prefix=p, start_offset=floor)
+            if b.name > floor
+        )
 
     def delete(self, key: str) -> None:
         blob = self.bucket_obj.blob(self._key(key))

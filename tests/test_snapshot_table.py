@@ -937,9 +937,14 @@ class _StubS3Client:
                 raise _StubClientError("NoSuchKey")
             return {"Body": _io.BytesIO(self._objs[Key])}
 
-    def list_objects_v2(self, Bucket, Prefix, ContinuationToken=None):
+    def list_objects_v2(self, Bucket, Prefix, ContinuationToken=None, StartAfter=None):
+        self.last_start_after = StartAfter
         with self._lock:
-            ks = sorted(k for k in self._objs if k.startswith(Prefix))
+            ks = sorted(
+                k
+                for k in self._objs
+                if k.startswith(Prefix) and (StartAfter is None or k > StartAfter)
+            )
         return {"Contents": [{"Key": k} for k in ks], "IsTruncated": False}
 
     def delete_object(self, Bucket, Key):
@@ -987,9 +992,14 @@ class _StubGCSBucket:
     def blob(self, name):
         return _StubGCSBlob(self, name)
 
-    def list_blobs(self, prefix):
+    def list_blobs(self, prefix, start_offset=None):
+        self.last_start_offset = start_offset
         with self._lock:
-            return [_StubGCSBlob(self, k) for k in sorted(self._objs) if k.startswith(prefix)]
+            return [
+                _StubGCSBlob(self, k)
+                for k in sorted(self._objs)
+                if k.startswith(prefix) and (start_offset is None or k >= start_offset)
+            ]
 
 
 class _Interposing:
@@ -1545,3 +1555,35 @@ def test_string_stats_truncated_but_pruning_exact(spark, tmp_path):
     edge = "b" * (STAT_STRING_PREFIX - 1) + "퟿" + "tail"
     out = _truncate_string_stats({"k": {"min": "a", "max": edge}})
     assert out["k"]["max"][-1] == ""
+
+
+def test_list_prefix_start_after_pushdown():
+    """list_prefix(start_after=...) reaches the store's own listing API
+    server-side (S3 StartAfter / GCS start_offset), returns strictly-after
+    keys, and CommitStoreMetaFS threads the bound through — a pointer-
+    guided reader of a million-commit log never pages the whole log."""
+    from bears_spark.io.commit_store import GCSCommitStore, S3CommitStore
+    from bears_spark.io.metafs import CommitStoreMetaFS
+
+    s3c = _StubS3Client()
+    s3 = S3CommitStore("test-bucket", client=s3c)
+    for name in ("v01.json", "v02.json", "v03.json"):
+        s3.replace(f"log/{name}", b"x")
+    assert s3.list_prefix("log", start_after="v01.json") == ["log/v02.json", "log/v03.json"]
+    assert s3c.last_start_after == "log/v01.json"
+    fs = CommitStoreMetaFS(s3)
+    assert fs.listdir("log", start_after="v02.json") == ["v03.json"]
+    assert s3c.last_start_after == "log/v02.json"
+
+    gb = _StubGCSBucket()
+    gcs = GCSCommitStore("test-bucket", bucket_obj=gb)
+    for name in ("v01.json", "v02.json", "v03.json"):
+        gcs.replace(f"log/{name}", b"x")
+    # strictly-after: the floor key itself (inclusive in GCS) is excluded
+    assert gcs.list_prefix("log", start_after="v01.json") == ["log/v02.json", "log/v03.json"]
+    assert gb.last_start_offset == "log/v01.json"
+
+    mem = InMemoryCommitStore()
+    for name in ("v01.json", "v02.json"):
+        mem.replace(f"log/{name}", b"x")
+    assert mem.list_prefix("log", start_after="v01.json") == ["log/v02.json"]
