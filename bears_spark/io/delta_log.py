@@ -663,32 +663,32 @@ class DeltaTableReader:
         model as log replay) and shipped as one binary row per file; the
         positions explode to rows in EXECUTORS, chunked, so a billion-row
         delete set never materializes on the driver (io/dv.py)."""
-        from bears_spark.io.dv import dv_anti_join, spark_uri_path
+        from bears_spark.io.dv import dv_anti_join, dv_join_key
+        from bears_spark.io.metafs import join_path
 
+        # dv_join_key reduces the driver side to the SAME spelling the Spark
+        # side's normalized _metadata.file_path carries — local abspaths,
+        # file:// roots and s3/s3a URIs all compare (io/dv.py)
         blobs = [
-            (spark_uri_path(os.path.join(self.path, unquote(p))), self._dv_bytes(d))
+            (dv_join_key(join_path(self.path, unquote(p))), self._dv_bytes(d))
             for p, d in sorted(dvs.items())
         ]
         return dv_anti_join(self.spark, df, blobs, "__dl_fp__", "__dl_pos__")
 
 
 def _export_dv_descriptor(table_root: str, dv: dict) -> dict:
-    """Hard-link (copy on link failure) a snapshot table's DV blob into the
-    export root under Delta's ``deletion_vector_<uuid>.bin`` naming and
-    build the spec descriptor. The on-disk framing is already Delta's
-    (io/dv.py writes version byte + [len][data][crc]), so the link IS the
-    conversion."""
-    import shutil
+    """Hard-link (copy on link failure; chunked pyarrow streams across
+    filesystems/URIs) a snapshot table's DV blob into the export root under
+    Delta's ``deletion_vector_<uuid>.bin`` naming and build the spec
+    descriptor. The on-disk framing is already Delta's (io/dv.py writes
+    version byte + [len][data][crc]), so the link/copy IS the conversion."""
     import uuid as _uuid
 
+    from bears_spark.io.metafs import copy_file, join_path
     from bears_spark.io.roaring import z85_encode
 
     u = _uuid.uuid4()
-    dst = os.path.join(table_root, f"deletion_vector_{u}.bin")
-    try:
-        os.link(dv["path"], dst)
-    except OSError:
-        shutil.copy2(dv["path"], dst)
+    copy_file(dv["path"], join_path(table_root, f"deletion_vector_{u}.bin"))
     return {
         "storageType": "u",
         "pathOrInlineDv": z85_encode(u.bytes),
@@ -698,23 +698,24 @@ def _export_dv_descriptor(table_root: str, dv: dict) -> dict:
     }
 
 
-def _export_add_action(table_root: str, entry) -> dict:
-    """Hard-link (copy on link failure) one SnapshotTable file into the
-    export root and build its Delta add action. The source file's basename
-    is stamped into ``tags.src`` (and its DV's into ``tags.dvsrc``) so
-    INCREMENTAL re-exports can diff the exported state against the table's
-    current manifest without rereading data. A merge-on-read deletion
-    vector exports as a native Delta DV descriptor — same bitmap bytes,
-    same framing."""
-    import shutil
+def _export_add_action(table_root: str, entry, fs=None) -> dict:
+    """Hard-link (copy on link failure; chunked pyarrow streams across
+    filesystems/URIs) one SnapshotTable file into the export root and build
+    its Delta add action. The source file's basename is stamped into
+    ``tags.src`` (and its DV's into ``tags.dvsrc``) so INCREMENTAL
+    re-exports can diff the exported state against the table's current
+    manifest without rereading data. A merge-on-read deletion vector
+    exports as a native Delta DV descriptor — same bitmap bytes, same
+    framing."""
     import uuid as _uuid
 
+    from bears_spark.io.metafs import copy_file, datafs_for, join_path
+
+    if fs is None:
+        fs = datafs_for(table_root)
     name = f"part-{_uuid.uuid4().hex}.snappy.parquet"
-    dst = os.path.join(table_root, name)
-    try:
-        os.link(entry.path, dst)
-    except OSError:
-        shutil.copy2(entry.path, dst)
+    dst = join_path(table_root, name)
+    copy_file(entry.path, dst)
     # carry the manifest's plain (non-encoded) min/max into Delta stats
     # so Delta readers — including ours — keep file skipping. With a DV the
     # bounds are non-tight supersets (numRecords stays PHYSICAL rows), which
@@ -725,7 +726,7 @@ def _export_add_action(table_root: str, entry) -> dict:
     action = {
         "path": name,
         "partitionValues": {},
-        "size": os.path.getsize(dst),
+        "size": fs.size(dst),
         "modificationTime": 0,
         "dataChange": True,
         "tags": tags,
@@ -809,10 +810,20 @@ def _write_delta_checkpoint(out_path: str, version: int, meta: dict, adds: list[
         "metaData": pa.array([None, meta_row] + [None] * len(adds), meta_t),
         "add": pa.array([None, None] + add_rows, add_t),
     })
-    log_dir = os.path.join(out_path, "_delta_log")
-    pq.write_table(tbl, os.path.join(log_dir, f"{version:020d}.checkpoint.parquet"))
-    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
-        json.dump({"version": version, "size": n}, f)
+    from bears_spark.io.metafs import ArrowMetaFS, datafs_for, join_path
+
+    fs = datafs_for(out_path)
+    log_dir = join_path(out_path, "_delta_log")
+    ckpt_path = join_path(log_dir, f"{version:020d}.checkpoint.parquet")
+    if isinstance(fs, ArrowMetaFS):
+        handle, rel = fs.resolve(ckpt_path)
+        pq.write_table(tbl, rel, filesystem=handle)
+    else:
+        pq.write_table(tbl, ckpt_path)
+    fs.write_bytes(
+        join_path(log_dir, "_last_checkpoint"),
+        json.dumps({"version": version, "size": n}).encode(),
+    )
 
 
 def export_delta_log(
@@ -841,12 +852,18 @@ def export_delta_log(
     ever-replicating table would replay unbounded JSON (VERDICT r8 #7)."""
     import uuid as _uuid
 
-    log_dir = os.path.join(out_path, "_delta_log")
-    existing = os.path.isdir(log_dir) and any(
+    from bears_spark.io.metafs import datafs_for, join_path
+
+    # the export destination may be an object store (file:// s3:// gs://):
+    # log/pointer/checkpoint writes go through the FS seam, data files copy
+    # via hard link locally or chunked pyarrow streams across stores
+    fs = datafs_for(out_path)
+    log_dir = join_path(out_path, "_delta_log")
+    existing = any(
         _COMMIT_RE.match(n) or _CHECKPOINT_RE.match(n) or _CHECKPOINT_V2_RE.match(n)
-        for n in os.listdir(log_dir)
+        for n in fs.listdir(log_dir)
     )
-    os.makedirs(log_dir, exist_ok=True)
+    fs.mkdirs(log_dir)
     entries = {os.path.basename(e.path): e for e in table.files()}
     if entries:
         schema_str = table.read().schema.json()
@@ -875,12 +892,12 @@ def export_delta_log(
         }
         proto = dv_protocol if has_dvs else {"minReaderVersion": 1, "minWriterVersion": 2}
         actions = [{"protocol": proto}, {"metaData": meta}]
-        adds = [_export_add_action(out_path, e) for e in entries.values()]
+        adds = [_export_add_action(out_path, e, fs) for e in entries.values()]
         actions += [{"add": a} for a in adds]
         version = 0
     else:
-        # replay the existing export state driver-side (local metadata)
-        tmp = _ExportReplay(out_path)
+        # replay the existing export state driver-side (seam metadata)
+        tmp = _ExportReplay(out_path, fs)
         prev_meta, prev_adds, prev_proto = tmp.state()
         version = tmp.version + 1
         by_src: dict[str, tuple[str, dict]] = {}
@@ -910,7 +927,7 @@ def export_delta_log(
         kept = []
         for src, e in sorted(entries.items()):
             if src not in by_src:
-                new_adds.append(_export_add_action(out_path, e))
+                new_adds.append(_export_add_action(out_path, e, fs))
                 continue
             p, a = by_src[src]
             dv = e.dv
@@ -945,9 +962,10 @@ def export_delta_log(
             if checkpoint:
                 _write_delta_checkpoint(out_path, tmp.version, prev_meta, adds)
             return out_path
-    with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as f:
-        for a in actions:
-            f.write(json.dumps(a) + "\n")
+    fs.write_bytes(
+        join_path(log_dir, f"{version:020d}.json"),
+        "".join(json.dumps(a) + "\n" for a in actions).encode(),
+    )
     if checkpoint or (
         checkpoint_interval and version > 0 and version % checkpoint_interval == 0
     ):
@@ -968,11 +986,15 @@ class _ExportReplay:
     is always complete and yields exactly the dict-shaped actions that were
     written."""
 
-    def __init__(self, path: str) -> None:
+    def __init__(self, path: str, fs=None) -> None:
+        from bears_spark.io.metafs import datafs_for, join_path
+
         self.path = path
-        self.log_dir = os.path.join(path, "_delta_log")
+        self.fs = fs if fs is not None else datafs_for(path)
+        self.log_dir = join_path(path, "_delta_log")
+        self._join = join_path
         versions = []
-        for name in os.listdir(self.log_dir):
+        for name in self.fs.listdir(self.log_dir):
             m = _COMMIT_RE.match(name)
             if m:
                 versions.append(int(m.group(1)))
@@ -986,20 +1008,21 @@ class _ExportReplay:
         adds: dict[str, dict] = {}
         protocol: dict = {}
         for v in self._versions:
-            with open(os.path.join(self.log_dir, f"{v:020d}.json")) as f:
-                for line in f:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    action = json.loads(line)
-                    if "metaData" in action:
-                        meta = action["metaData"]
-                    elif "add" in action:
-                        adds[action["add"]["path"]] = action["add"]
-                    elif "remove" in action:
-                        adds.pop(action["remove"]["path"], None)
-                    elif "protocol" in action:
-                        protocol = action["protocol"]
+            for line in self.fs.read_text(
+                self._join(self.log_dir, f"{v:020d}.json")
+            ).splitlines():
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "metaData" in action:
+                    meta = action["metaData"]
+                elif "add" in action:
+                    adds[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    adds.pop(action["remove"]["path"], None)
+                elif "protocol" in action:
+                    protocol = action["protocol"]
         if not meta:
             raise DeltaLogError("no metaData in the exported Delta log")
         return meta, adds, protocol

@@ -927,10 +927,10 @@ def export_iceberg_metadata(table, out_path: str) -> str:
     parquet referenced by a content=1 delete manifest — exactly the v2
     merge-on-read shape, so the exported table's readers (including this
     module's own) never see a MoR-deleted row."""
-    import shutil
     import uuid as _uuid
 
     from bears_spark.io.avro_generic import write_container
+    from bears_spark.io.metafs import copy_file, datafs_for, join_path, parquet_metadata
 
     df = table.read()
     fields = []
@@ -943,17 +943,18 @@ def export_iceberg_metadata(table, out_path: str) -> str:
              "type": _SPARK2ICE[t]}
         )
     out_path = out_path.rstrip("/")
-    os.makedirs(os.path.join(out_path, "metadata"), exist_ok=True)
-    os.makedirs(os.path.join(out_path, "data"), exist_ok=True)
+    # the export destination may be an object store (file:// s3:// gs://):
+    # metadata writes go through the FS seam, data files copy via hard link
+    # locally or chunked pyarrow streams across stores
+    fs = datafs_for(out_path)
+    fs.mkdirs(join_path(out_path, "metadata"))
+    fs.mkdirs(join_path(out_path, "data"))
     entries = []
     dv_pairs: list[tuple[str, dict]] = []  # (exported data path, DV descriptor)
     for e in table.files():
         name = f"{_uuid.uuid4().hex}.parquet"
-        dst = os.path.join(out_path, "data", name)
-        try:
-            os.link(e.path, dst)
-        except OSError:
-            shutil.copy2(e.path, dst)
+        dst = join_path(out_path, "data", name)
+        copy_file(e.path, dst)
         if e.dv:
             dv_pairs.append((dst, e.dv))
         # carry the manifest's plain min/max into Iceberg bounds so the
@@ -976,11 +977,10 @@ def export_iceberg_metadata(table, out_path: str) -> str:
                                         "lower_bounds": lo or None,
                                         "upper_bounds": hi or None}}
         )
-    mpath = os.path.join(out_path, "metadata", "m1.avro")
-    with open(mpath, "wb") as f:
-        f.write(write_container(_MANIFEST_AVRO_SCHEMA, entries))
+    mpath = join_path(out_path, "metadata", "m1.avro")
+    fs.write_bytes(mpath, write_container(_MANIFEST_AVRO_SCHEMA, entries))
     mlist_records = [
-        {"manifest_path": mpath, "manifest_length": os.path.getsize(mpath),
+        {"manifest_path": mpath, "manifest_length": fs.size(mpath),
          "content": 0, "added_snapshot_id": 1}
     ]
     if dv_pairs:
@@ -992,13 +992,12 @@ def export_iceberg_metadata(table, out_path: str) -> str:
         # metadata so Spark's parquet writer records them in the footer and
         # spec-strict external readers can resolve the columns BY ID, not
         # just by name (ADVICE r8 #3).
-        import pyarrow.parquet as _pq
         from pyspark.sql import functions as F
 
         from bears_spark.io.dv import positions_df, read_dv_blob
 
         blobs = [(dst, read_dv_blob(dv)) for dst, dv in dv_pairs]
-        deldir = os.path.join(out_path, "data", f"deletes-{_uuid.uuid4().hex}")
+        deldir = join_path(out_path, "data", f"deletes-{_uuid.uuid4().hex}")
         (
             positions_df(table.spark, blobs)
             .select(
@@ -1010,10 +1009,10 @@ def export_iceberg_metadata(table, out_path: str) -> str:
                 ),
             )
             .coalesce(1)
-            .write.parquet(deldir)
+            .write.parquet(spark_path(deldir))
         )
         del_files = sorted(
-            os.path.join(deldir, n) for n in os.listdir(deldir) if n.endswith(".parquet")
+            join_path(deldir, n) for n in fs.listdir(deldir) if n.endswith(".parquet")
         )
         # record_count is per FILE (the spec's contract), not the aggregate
         # across all deletion vectors — read each footer's num_rows so the
@@ -1022,21 +1021,19 @@ def export_iceberg_metadata(table, out_path: str) -> str:
         del_entries = [
             {"status": 1, "data_file": {"content": 1, "file_path": p,
                                         "file_format": "PARQUET",
-                                        "record_count": _pq.read_metadata(p).num_rows,
+                                        "record_count": parquet_metadata(p, fs).num_rows,
                                         "lower_bounds": None,
                                         "upper_bounds": None}}
             for p in del_files
         ]
-        m2path = os.path.join(out_path, "metadata", "m2.avro")
-        with open(m2path, "wb") as f:
-            f.write(write_container(_MANIFEST_AVRO_SCHEMA, del_entries))
+        m2path = join_path(out_path, "metadata", "m2.avro")
+        fs.write_bytes(m2path, write_container(_MANIFEST_AVRO_SCHEMA, del_entries))
         mlist_records.append(
-            {"manifest_path": m2path, "manifest_length": os.path.getsize(m2path),
+            {"manifest_path": m2path, "manifest_length": fs.size(m2path),
              "content": 1, "added_snapshot_id": 1}
         )
-    mlpath = os.path.join(out_path, "metadata", "ml1.avro")
-    with open(mlpath, "wb") as f:
-        f.write(write_container(_MLIST_AVRO_SCHEMA, mlist_records))
+    mlpath = join_path(out_path, "metadata", "ml1.avro")
+    fs.write_bytes(mlpath, write_container(_MLIST_AVRO_SCHEMA, mlist_records))
     meta = {
         "format-version": 2,
         "table-uuid": _uuid.uuid4().hex,
@@ -1046,8 +1043,6 @@ def export_iceberg_metadata(table, out_path: str) -> str:
         "schemas": [{"schema-id": 0, "type": "struct", "fields": fields}],
         "current-schema-id": 0,
     }
-    with open(os.path.join(out_path, "metadata", "v1.metadata.json"), "w") as f:
-        json.dump(meta, f)
-    with open(os.path.join(out_path, "metadata", "version-hint.text"), "w") as f:
-        f.write("1")
+    fs.write_bytes(join_path(out_path, "metadata", "v1.metadata.json"), json.dumps(meta).encode())
+    fs.write_bytes(join_path(out_path, "metadata", "version-hint.text"), b"1")
     return out_path

@@ -101,6 +101,10 @@ class MetaFS(ABC):
         rather than guessing)."""
         return None
 
+    def size(self, path: str) -> int:
+        """File size in bytes; FileNotFoundError when absent."""
+        return len(self.read_bytes(path))
+
     # -- write surface (the DATA-plane seam, VERDICT r8 #2) -----------------
     # Only the filesystem-backed implementations are writable: driver-side
     # auxiliary data files (merge-on-read DV blobs) and maintenance deletes
@@ -144,6 +148,9 @@ class LocalMetaFS(MetaFS):
 
     def mtime(self, path: str) -> float | None:
         return os.path.getmtime(path)
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
 
     def write_bytes(self, path: str, data: bytes) -> None:
         with open(path, "wb") as f:
@@ -297,6 +304,13 @@ class ArrowMetaFS(MetaFS):
         need both halves."""
         return self._resolve(path)
 
+    def size(self, path: str) -> int:
+        fs, rel = self._resolve(path)
+        info = fs.get_file_info([rel])[0]
+        if info.type == self._pafs.FileType.NotFound:
+            raise FileNotFoundError(path)
+        return int(info.size)
+
     def write_bytes(self, path: str, data: bytes) -> None:
         fs, rel = self._resolve(path)
         with fs.open_output_stream(rel) as f:
@@ -329,6 +343,36 @@ def parquet_metadata(path: str, fs: MetaFS | None = None):
         handle, rel = fs.resolve(path)
         return pq.ParquetFile(rel, filesystem=handle).metadata
     return pq.ParquetFile(path).metadata
+
+
+def copy_file(src: str, dst: str) -> None:
+    """Copy one file across any (local | URI) source/destination pair:
+    hard link with copy fallback when both sides are local (zero data
+    movement — the export fast path), chunked pyarrow streams otherwise
+    (8 MB chunks — never whole-file bytes in driver memory)."""
+    if not is_uri(src) and not is_uri(dst):
+        try:
+            os.link(src, dst)
+        except OSError:
+            import shutil
+
+            shutil.copy2(src, dst)
+        return
+    from pyarrow import fs as pafs
+
+    def _pair(p: str):
+        if is_uri(p):
+            return pafs.FileSystem.from_uri(p)
+        return pafs.LocalFileSystem(), os.path.abspath(p)
+
+    sfs, srel = _pair(src)
+    dfs, drel = _pair(dst)
+    with sfs.open_input_stream(srel) as r, dfs.open_output_stream(drel) as w:
+        while True:
+            chunk = r.read(8 << 20)
+            if not chunk:
+                break
+            w.write(chunk)
 
 
 def datafs_for(path: str) -> MetaFS:
