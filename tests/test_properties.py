@@ -1090,7 +1090,12 @@ def test_export_delta_continuous_matches_table_history(spark, tmp_path, case):
     from bears_spark.io.delta_log import export_delta_log
 
     export_delta_log(t, out, checkpoint=True)
-    history = [set(live)]
+    # per exported VERSION, the expected live set. A step whose file list is
+    # unchanged (e.g. a no-match delete) exports NOTHING — no-op exports are
+    # deliberately versionless (idempotent replication), so the history is
+    # keyed by the exported log's actual latest version after each step.
+    r0 = DeltaTableReader(spark, out)
+    history = {r0.latest_version(): set(live)}
     nxt = 1000
     for op, lo, span in case:
         if op == "append":
@@ -1104,10 +1109,12 @@ def test_export_delta_continuous_matches_table_history(spark, tmp_path, case):
             t.delete_where("id", "<", lo, mode=op if op == "mor" else "cow")
             live = {i for i in live if not i < lo}
         export_delta_log(t, out, checkpoint=True)
-        history.append(set(live))
+        history[DeltaTableReader(spark, out).latest_version()] = set(live)
     r = DeltaTableReader(spark, out)
-    assert r.latest_version() == len(history) - 1
-    for v, want in enumerate(history):
+    # versions advance exactly one per CHANGED export, never beyond
+    assert r.latest_version() == max(history)
+    assert set(history) == set(range(len(history)))
+    for v, want in sorted(history.items()):
         got = {x["id"] for x in r.read(version=v).collect()}
         assert got == want, (v, case)
 
