@@ -913,20 +913,32 @@ _SPARK2ICE = {
 def export_iceberg_metadata(table, out_path: str) -> str:
     """Export a :class:`~bears_spark.io.snapshot_table.SnapshotTable`'s
     CURRENT version as an Iceberg-shaped table at ``out_path`` — the
-    symmetric twin of :func:`~bears_spark.io.delta_log.export_delta_log`.
-    Data files are hard-linked (copied on link failure) under ``data/`` and
-    a minimal spec-shaped metadata tree (``vN.metadata.json`` +
-    ``version-hint.text`` -> manifest-list Avro -> manifest Avro, all via
-    the pure-stdlib codec) references them. One-shot snapshot export, not
-    continuous replication: re-export after new commits. Decimal/nested
-    columns raise (the minimal type map covers the flat primitives the
-    synthetic tables use).
+    symmetric twin of :func:`~bears_spark.io.delta_log.export_delta_log`,
+    and like it CONTINUOUS: when ``out_path`` already carries an export, a
+    NEW SNAPSHOT is appended instead of rebuilding — data manifests whose
+    files all survive are REUSED by reference (metadata work is O(churn),
+    Iceberg's own cost model for appends), manifests that lost files are
+    rewritten with the survivors carried as status=EXISTING, new files
+    land in one fresh ADDED manifest, and a zero-churn re-export writes
+    NOTHING (idempotent, matching the Delta exporter). Prior snapshots
+    stay time-travelable through their own manifest lists
+    (``read(snapshot_id=...)``). The destination may be a URI root
+    (file:// s3:// gs://): metadata writes go through the FS seam, data
+    files copy via hard link locally / chunked pyarrow streams across
+    stores. Exported data-file names derive from the SOURCE file identity
+    (``<data-subdir>-<basename>``) — that is what makes re-exports
+    diffable without re-reading data. Decimal/nested columns raise (the
+    minimal type map covers the flat primitives the synthetic tables use).
 
     Merge-on-read deletion vectors export as Iceberg v2 POSITIONAL DELETE
     files: the DV positions explode executor-side to one (file_path, pos)
     parquet referenced by a content=1 delete manifest — exactly the v2
     merge-on-read shape, so the exported table's readers (including this
-    module's own) never see a MoR-deleted row."""
+    module's own) never see a MoR-deleted row. The delete manifest is
+    rebuilt on every export while any deletion vectors exist (delete files
+    are positions — small by construction, and DV identity isn't recorded
+    in Iceberg metadata to diff against); data manifests are untouched by
+    DV churn."""
     import uuid as _uuid
 
     from bears_spark.io.avro_generic import write_container
@@ -949,14 +961,14 @@ def export_iceberg_metadata(table, out_path: str) -> str:
     fs = datafs_for(out_path)
     fs.mkdirs(join_path(out_path, "metadata"))
     fs.mkdirs(join_path(out_path, "data"))
-    entries = []
-    dv_pairs: list[tuple[str, dict]] = []  # (exported data path, DV descriptor)
-    for e in table.files():
-        name = f"{_uuid.uuid4().hex}.parquet"
-        dst = join_path(out_path, "data", name)
-        copy_file(e.path, dst)
-        if e.dv:
-            dv_pairs.append((dst, e.dv))
+
+    def _src_name(e) -> str:
+        # stable export identity: source data subdir + basename (both from
+        # immutable uuid-named writes), so a re-export recognizes files it
+        # already copied without re-reading a byte
+        return f"{os.path.basename(os.path.dirname(e.path))}-{os.path.basename(e.path)}"
+
+    def _entry(e, dst: str) -> dict:
         # carry the manifest's plain min/max into Iceberg bounds so the
         # exported table keeps stats-based file skipping (files(where=...))
         lo: dict[str, bytes] = {}
@@ -970,19 +982,89 @@ def export_iceberg_metadata(table, out_path: str) -> str:
             if b_lo is not None and b_hi is not None:
                 lo[str(f["id"])] = b_lo
                 hi[str(f["id"])] = b_hi
-        entries.append(
-            {"status": 1, "data_file": {"content": 0, "file_path": dst,
-                                        "file_format": "PARQUET",
-                                        "record_count": int(e.rows),
-                                        "lower_bounds": lo or None,
-                                        "upper_bounds": hi or None}}
+        return {"status": 1, "data_file": {"content": 0, "file_path": dst,
+                                           "file_format": "PARQUET",
+                                           "record_count": int(e.rows),
+                                           "lower_bounds": lo or None,
+                                           "upper_bounds": hi or None}}
+
+    # -- prior export state (continuous replication) -------------------------
+    hint_path = join_path(out_path, "metadata", "version-hint.text")
+    prior_version = 0
+    prior_meta: dict | None = None
+    prior_data_manifests: list[dict] = []  # carried mlist records
+    prior_names: dict[str, str] = {}  # exported data basename -> manifest_path
+    prior_entries: dict[str, list[dict]] = {}  # manifest_path -> entries
+    prior_had_deletes = False
+    if fs.exists(hint_path):
+        from bears_spark.io.avro_generic import read_container
+
+        prior_version = int(fs.read_text(hint_path).strip())
+        prior_meta = json.loads(
+            fs.read_text(join_path(out_path, "metadata", f"v{prior_version}.metadata.json"))
         )
-    mpath = join_path(out_path, "metadata", "m1.avro")
-    fs.write_bytes(mpath, write_container(_MANIFEST_AVRO_SCHEMA, entries))
-    mlist_records = [
-        {"manifest_path": mpath, "manifest_length": fs.size(mpath),
-         "content": 0, "added_snapshot_id": 1}
-    ]
+        cur_sid = int(prior_meta["current-snapshot-id"])
+        snap = next(s for s in prior_meta["snapshots"] if int(s["snapshot-id"]) == cur_sid)
+        _, mrecs = read_container(fs.read_bytes(snap["manifest-list"]))
+        for m in mrecs:
+            if int(m.get("content") or 0) != 0:
+                prior_had_deletes = True
+                continue
+            prior_data_manifests.append(m)
+            _, ents = read_container(fs.read_bytes(m["manifest_path"]))
+            live = [e for e in ents if int(e.get("status") or 0) != _STATUS_DELETED]
+            prior_entries[m["manifest_path"]] = live
+            for e in live:
+                prior_names[os.path.basename(e["data_file"]["file_path"])] = m["manifest_path"]
+
+    entries_now = {_src_name(e): e for e in table.files()}
+    new_sid = (int(prior_meta["current-snapshot-id"]) + 1) if prior_meta else 1
+    version = prior_version + 1
+
+    # -- diff data manifests --------------------------------------------------
+    mlist_records: list[dict] = []
+    new_names = [n for n in sorted(entries_now) if n not in prior_names]
+    gone = {n for n in prior_names if n not in entries_now}
+    dv_pairs: list[tuple[str, dict]] = []  # (exported data path, DV descriptor)
+    for n, e in sorted(entries_now.items()):
+        if e.dv:
+            dv_pairs.append((join_path(out_path, "data", n), e.dv))
+    for m in prior_data_manifests:
+        ents = prior_entries[m["manifest_path"]]
+        kept = [
+            e for e in ents
+            if os.path.basename(e["data_file"]["file_path"]) not in gone
+        ]
+        if len(kept) == len(ents):
+            mlist_records.append(m)  # untouched: reuse by reference
+            continue
+        if not kept:
+            continue  # every file gone: the manifest simply drops out
+        # rewritten without the gone files; survivors are EXISTING (status 0)
+        rw = [{"status": 0, "data_file": e["data_file"]} for e in kept]
+        rwpath = join_path(out_path, "metadata", f"m-{_uuid.uuid4().hex}.avro")
+        fs.write_bytes(rwpath, write_container(_MANIFEST_AVRO_SCHEMA, rw))
+        mlist_records.append(
+            {"manifest_path": rwpath, "manifest_length": fs.size(rwpath),
+             "content": 0, "added_snapshot_id": m.get("added_snapshot_id")}
+        )
+    if new_names:
+        added = []
+        for n in new_names:
+            dst = join_path(out_path, "data", n)
+            copy_file(entries_now[n].path, dst)
+            added.append(_entry(entries_now[n], dst))
+        mpath = join_path(out_path, "metadata", f"m-{_uuid.uuid4().hex}.avro")
+        fs.write_bytes(mpath, write_container(_MANIFEST_AVRO_SCHEMA, added))
+        mlist_records.append(
+            {"manifest_path": mpath, "manifest_length": fs.size(mpath),
+             "content": 0, "added_snapshot_id": new_sid}
+        )
+    if prior_meta is not None and not new_names and not gone and not dv_pairs and not prior_had_deletes:
+        # zero churn: no new snapshot — idempotent, like the Delta exporter
+        return out_path
+
+    # -- positional deletes from the current DV set ---------------------------
     if dv_pairs:
         # merge-on-read deletes -> Iceberg v2 positional delete files: DV
         # positions explode executor-side (bounded Arrow batches) against
@@ -1026,23 +1108,40 @@ def export_iceberg_metadata(table, out_path: str) -> str:
                                         "upper_bounds": None}}
             for p in del_files
         ]
-        m2path = join_path(out_path, "metadata", "m2.avro")
+        m2path = join_path(out_path, "metadata", f"md-{_uuid.uuid4().hex}.avro")
         fs.write_bytes(m2path, write_container(_MANIFEST_AVRO_SCHEMA, del_entries))
         mlist_records.append(
             {"manifest_path": m2path, "manifest_length": fs.size(m2path),
-             "content": 1, "added_snapshot_id": 1}
+             "content": 1, "added_snapshot_id": new_sid}
         )
-    mlpath = join_path(out_path, "metadata", "ml1.avro")
+    mlpath = join_path(out_path, "metadata", f"ml-{_uuid.uuid4().hex}.avro")
     fs.write_bytes(mlpath, write_container(_MLIST_AVRO_SCHEMA, mlist_records))
+    snapshots = list(prior_meta["snapshots"]) if prior_meta else []
+    snapshots.append(
+        {"snapshot-id": new_sid, "timestamp-ms": new_sid, "manifest-list": mlpath}
+    )
+    # schema evolution: keep prior schema history, append only on change
+    schemas = list(prior_meta["schemas"]) if prior_meta else []
+    cur_schema = next(
+        (s for s in schemas if s.get("schema-id") == (prior_meta or {}).get("current-schema-id")),
+        None,
+    )
+    if cur_schema is not None and cur_schema.get("fields") == fields:
+        current_schema_id = cur_schema["schema-id"]
+    else:
+        current_schema_id = max((int(s["schema-id"]) for s in schemas), default=-1) + 1
+        schemas.append({"schema-id": current_schema_id, "type": "struct", "fields": fields})
     meta = {
         "format-version": 2,
-        "table-uuid": _uuid.uuid4().hex,
+        "table-uuid": (prior_meta or {}).get("table-uuid") or _uuid.uuid4().hex,
         "location": out_path,
-        "current-snapshot-id": 1,
-        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 0, "manifest-list": mlpath}],
-        "schemas": [{"schema-id": 0, "type": "struct", "fields": fields}],
-        "current-schema-id": 0,
+        "current-snapshot-id": new_sid,
+        "snapshots": snapshots,
+        "schemas": schemas,
+        "current-schema-id": current_schema_id,
     }
-    fs.write_bytes(join_path(out_path, "metadata", "v1.metadata.json"), json.dumps(meta).encode())
-    fs.write_bytes(join_path(out_path, "metadata", "version-hint.text"), b"1")
+    fs.write_bytes(
+        join_path(out_path, "metadata", f"v{version}.metadata.json"), json.dumps(meta).encode()
+    )
+    fs.write_bytes(hint_path, str(version).encode())
     return out_path

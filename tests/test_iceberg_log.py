@@ -1033,3 +1033,59 @@ def test_iceberg_truncate_partition_pruning(spark, tmp_path):
         i for i, l in langs.items() if l >= "cherry"
     )
     assert len(all_files) > 2
+
+
+def test_export_iceberg_incremental_snapshots(spark, tmp_path):
+    """export_iceberg_metadata is a continuous replicator: re-export after
+    table commits appends a NEW SNAPSHOT — untouched manifests reused by
+    reference, shrunk manifests rewritten with status=EXISTING survivors,
+    new files in one ADDED manifest, zero-churn re-export writes nothing —
+    and every prior snapshot still time-travels to its own state."""
+    from bears_spark.io.avro_generic import read_container
+    from bears_spark.io.iceberg_log import export_iceberg_metadata
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "src"))
+    t.overwrite(spark.range(0, 30).selectExpr("id", "CAST(id AS DOUBLE) AS v").repartition(2))
+    out = str(tmp_path / "ice")
+    export_iceberg_metadata(t, out)
+    r1 = IcebergTableReader(spark, out)
+    sid1 = r1.current_snapshot_id()
+    assert sorted(x["id"] for x in r1.read().collect()) == list(range(30))
+    # zero churn: nothing written, same snapshot
+    before = sorted(os.listdir(os.path.join(out, "metadata")))
+    export_iceberg_metadata(t, out)
+    assert sorted(os.listdir(os.path.join(out, "metadata"))) == before
+    # append: new snapshot reuses the prior data manifest by reference
+    t.append(spark.range(30, 40).selectExpr("id", "CAST(id AS DOUBLE) AS v").coalesce(1))
+    export_iceberg_metadata(t, out)
+    r2 = IcebergTableReader(spark, out)
+    sid2 = r2.current_snapshot_id()
+    assert sid2 == sid1 + 1
+    assert sorted(x["id"] for x in r2.read().collect()) == list(range(40))
+    # time travel: the first snapshot still reads its own state
+    assert sorted(x["id"] for x in r2.read(snapshot_id=sid1).collect()) == list(range(30))
+    # the snapshot-2 manifest list REFERENCES the snapshot-1 manifest file
+    meta = json.load(open(os.path.join(out, "metadata", "v2.metadata.json")))
+    ml1 = next(s["manifest-list"] for s in meta["snapshots"] if s["snapshot-id"] == sid1)
+    ml2 = next(s["manifest-list"] for s in meta["snapshots"] if s["snapshot-id"] == sid2)
+    m1 = {m["manifest_path"] for m in read_container(open(ml1, "rb").read())[1]}
+    m2recs = read_container(open(ml2, "rb").read())[1]
+    m2 = {m["manifest_path"] for m in m2recs}
+    assert m1 <= m2 and len(m2) == len(m1) + 1, "append must reuse prior manifests"
+    # MoR delete: DVs become a v2 positional-delete manifest; CoW delete of
+    # part of the old files rewrites only the affected manifest
+    t.delete_where("id", ">=", 36, mode="mor")
+    export_iceberg_metadata(t, out)
+    r3 = IcebergTableReader(spark, out)
+    assert sorted(x["id"] for x in r3.read().collect()) == list(range(36))
+    assert sorted(x["id"] for x in r3.read(snapshot_id=sid2).collect()) == list(range(40))
+    # CoW delete rewrites source files -> gone + added in the next snapshot
+    t.delete_where("id", "<", 5)
+    export_iceberg_metadata(t, out)
+    r4 = IcebergTableReader(spark, out)
+    assert sorted(x["id"] for x in r4.read().collect()) == list(range(5, 36))
+    # every snapshot in history still resolves
+    for sid, want_lo, want_hi in ((sid1, 0, 30), (sid2, 0, 40)):
+        got = sorted(x["id"] for x in r4.read(snapshot_id=sid).collect())
+        assert got == list(range(want_lo, want_hi))

@@ -401,7 +401,16 @@ def test_mor_export_iceberg_delete_file_field_ids(spark, tmp_path):
         schema = pq.read_schema(p)
         ids = {f.name: int((f.metadata or {})[b"PARQUET:field_id"]) for f in schema}
         assert ids == {"file_path": 2147483546, "pos": 2147483545}
-    with open(os.path.join(out, "metadata", "m2.avro"), "rb") as f:
+    # resolve the delete manifest (content=1) through the manifest list —
+    # the continuous exporter names manifests by uuid, not position
+    import json as _json
+
+    meta = _json.load(open(os.path.join(out, "metadata", "v1.metadata.json")))
+    ml = meta["snapshots"][-1]["manifest-list"]
+    with open(ml, "rb") as f:
+        _, mrecs = read_container(f.read())
+    (del_manifest,) = [m["manifest_path"] for m in mrecs if m["content"] == 1]
+    with open(del_manifest, "rb") as f:
         _, entries = read_container(f.read())
     assert entries
     for e in entries:
