@@ -324,6 +324,7 @@ _ROUND9_ADDED: list[str] = [
 ROUND10_NEVER_GRADED: list[str] = [
     "doc_stratified_sample_stats",
     "orders_ivm_minmax",
+    "orders_iceberg_export_snapshots",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

@@ -907,6 +907,8 @@ _SPARK2ICE = {
     "boolean": "boolean", "integer": "int", "long": "long", "float": "float",
     "double": "double", "string": "string", "date": "date", "binary": "binary",
     "timestamp": "timestamptz",
+    # Spark's zoneless timestamp is Iceberg's plain (non-tz) timestamp
+    "timestamp_ntz": "timestamp",
 }
 
 

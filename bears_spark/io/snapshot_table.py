@@ -991,7 +991,8 @@ class SnapshotTable:
         return w.start()
 
     def streaming_merge(self, stream_df: DataFrame, checkpoint_dir: str, key: str,
-                        available_now: bool = True, app_id: str | None = None):
+                        available_now: bool = True, app_id: str | None = None,
+                        export_delta_to: str | None = None):
         """Exactly-once streaming MERGE (CDC-apply): each micro-batch of
         upserts merges into the table under the same (app_id, epoch)
         transaction stamps streaming_append uses — a replayed batch after
@@ -1003,13 +1004,18 @@ class SnapshotTable:
 
         The app_id namespace is suffixed '#merge' so an append stream and a
         merge stream sharing a checkpoint directory never confuse each
-        other's epoch stamps."""
+        other's epoch stamps. ``export_delta_to`` replicates each batch's
+        result as an O(churn) Delta diff commit (see streaming_append) —
+        MERGE rewrites export as remove+add of only the touched files."""
         app = app_id or os.path.abspath(checkpoint_dir) + "#merge"
 
         def _sink(batch_df: DataFrame, batch_id: int) -> None:
-            if self.committed_txns().get(app, -1) >= batch_id:
-                return  # replay after checkpoint recovery: already committed
-            self.merge(batch_df, key=key, txn=(app, batch_id))
+            if self.committed_txns().get(app, -1) < batch_id:
+                self.merge(batch_df, key=key, txn=(app, batch_id))
+            if export_delta_to is not None:
+                from bears_spark.io.delta_log import export_delta_log
+
+                export_delta_log(self, export_delta_to)
 
         w = stream_df.writeStream.foreachBatch(_sink).option("checkpointLocation", checkpoint_dir)
         if available_now:
@@ -1018,7 +1024,8 @@ class SnapshotTable:
 
     def streaming_delete_keys(self, stream_df: DataFrame, checkpoint_dir: str, col: str,
                               mode: str = "mor", available_now: bool = True,
-                              app_id: str | None = None):
+                              app_id: str | None = None,
+                              export_delta_to: str | None = None):
         """Exactly-once streaming DELETE (the CDC-delete / GDPR-stream twin
         of streaming_merge): each micro-batch is a forget-list of ``col``
         values, applied under the same (app_id, epoch) transaction stamps —
@@ -1028,13 +1035,20 @@ class SnapshotTable:
         deletion vectors — the cheap shape for sparse forget-lists over
         large files; ``mode="cow"`` rewrites. The app_id namespace is
         suffixed '#delete' so append/merge/delete streams sharing a
-        checkpoint directory never confuse each other's epoch stamps."""
+        checkpoint directory never confuse each other's epoch stamps.
+        ``export_delta_to`` replicates each batch's result as an O(churn)
+        Delta diff commit (see streaming_append) — a MoR forget-list
+        exports as re-adds of the SAME parquet with fresh DV descriptors,
+        so downstream Delta readers forget the keys too."""
         app = app_id or os.path.abspath(checkpoint_dir) + "#delete"
 
         def _sink(batch_df: DataFrame, batch_id: int) -> None:
-            if self.committed_txns().get(app, -1) >= batch_id:
-                return  # replay after checkpoint recovery: already committed
-            self.delete_keys(col, batch_df.select(col), mode=mode, txn=(app, batch_id))
+            if self.committed_txns().get(app, -1) < batch_id:
+                self.delete_keys(col, batch_df.select(col), mode=mode, txn=(app, batch_id))
+            if export_delta_to is not None:
+                from bears_spark.io.delta_log import export_delta_log
+
+                export_delta_log(self, export_delta_to)
 
         w = stream_df.writeStream.foreachBatch(_sink).option("checkpointLocation", checkpoint_dir)
         if available_now:

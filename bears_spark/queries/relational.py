@@ -4819,3 +4819,81 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 QUERIES["orders_ivm_minmax"] = orders_ivm_minmax
 ORACLES["orders_ivm_minmax"] = ORDERS_IVM_MINMAX_SQL
+
+
+# --------------------------------------------------------------------------
+# orders_iceberg_export_snapshots: CONTINUOUS Iceberg export graded end to
+# end — three table commits (seed, append, merge-on-read delete) each
+# re-exported as a NEW Iceberg snapshot (untouched manifests reused by
+# reference, DVs as v2 positional deletes); in-query asserts pin the
+# snapshot count, the zero-churn no-op, manifest reuse, and time travel to
+# the first snapshot; the final read-back hash-matches a plain relational
+# oracle.
+def orders_iceberg_export_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from bears_spark.io.avro_generic import read_container
+    from bears_spark.io.iceberg_log import IcebergTableReader, export_iceberg_metadata
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="ice_cont_")
+    try:
+        t = SnapshotTable(spark, _os.path.join(root, "t"))
+        out = _os.path.join(root, "exported")
+        t.overwrite(o.filter(F.col("o_orderkey") % 2 == 0).repartition(2))
+        export_iceberg_metadata(t, out)  # snapshot 1
+        n_meta = len(_os.listdir(_os.path.join(out, "metadata")))
+        export_iceberg_metadata(t, out)  # zero churn: writes nothing
+        assert len(_os.listdir(_os.path.join(out, "metadata"))) == n_meta, "no-op export wrote"
+        t.append(o.filter(F.col("o_orderkey") % 2 == 1).repartition(2))
+        export_iceberg_metadata(t, out)  # snapshot 2: reuses snapshot 1's manifest
+        t.delete_where("o_totalprice", ">=", 300000.0, mode="mor")
+        export_iceberg_metadata(t, out)  # snapshot 3: + positional-delete manifest
+        r = IcebergTableReader(spark, out)
+        sid = r.current_snapshot_id()
+        assert sid == 3, sid
+        # time travel: snapshot 1 still reads only the even half
+        assert (
+            r.read(snapshot_id=1)
+            .filter(F.col("o_orderkey") % 2 == 1)
+            .count()
+            == 0
+        )
+        # manifest reuse: snapshot 2's list contains snapshot 1's manifest
+        import json as _json
+
+        meta = _json.load(open(_os.path.join(out, "metadata", "v3.metadata.json")))
+        mls = {s["snapshot-id"]: s["manifest-list"] for s in meta["snapshots"]}
+        m1 = {m["manifest_path"] for m in read_container(open(mls[1], "rb").read())[1]}
+        m2 = {m["manifest_path"] for m in read_container(open(mls[2], "rb").read())[1]}
+        assert m1 <= m2, "append snapshot must reuse prior manifests"
+        rows = (
+            r.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double"), 6
+                ).alias("total"),
+            )
+            .orderBy("o_orderstatus")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "o_orderstatus string, n bigint, total double")
+
+
+ORDERS_ICE_CONT_SQL = """
+SELECT o_orderstatus, count(*) AS n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 6) AS total
+FROM orders
+WHERE NOT (o_totalprice >= 300000.0) OR o_totalprice IS NULL
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+QUERIES["orders_iceberg_export_snapshots"] = orders_iceberg_export_snapshots
+ORACLES["orders_iceberg_export_snapshots"] = ORDERS_ICE_CONT_SQL

@@ -1116,3 +1116,36 @@ def test_streaming_append_with_delta_replication(spark, tmp_path):
     # replay: ingest skipped by txn stamps, export skipped by zero churn
     t.streaming_append(stream, ckpt, export_delta_to=out).awaitTermination(300)
     assert sorted(os.listdir(log)) == before
+
+
+def test_streaming_gdpr_delete_with_delta_replication(spark, tmp_path):
+    """A GDPR forget-list stream with export_delta_to: every epoch's MoR
+    delete replicates as a Delta diff commit (re-add of the same parquet
+    with a fresh DV descriptor), so external Delta readers forget the keys
+    too; a full replay exports nothing new."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    src = tmp_path / "forget"
+    src.mkdir()
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(spark.range(0, 40).selectExpr("id", "CAST(id AS DOUBLE) AS v").repartition(2))
+    out = str(tmp_path / "replica")
+    pq.write_table(pa.table({"id": pa.array([3, 7], pa.int64())}), str(src / "b0.parquet"))
+    pq.write_table(pa.table({"id": pa.array([11], pa.int64())}), str(src / "b1.parquet"))
+    stream = (
+        spark.readStream.schema("id long").option("maxFilesPerTrigger", 1).parquet(str(src) + "/")
+    )
+    ckpt = str(tmp_path / "ck")
+    t.streaming_delete_keys(stream, ckpt, col="id", export_delta_to=out).awaitTermination(300)
+    r = DeltaTableReader(spark, out)
+    assert sorted(x["id"] for x in r.read().collect()) == [
+        i for i in range(40) if i not in {3, 7, 11}
+    ]
+    log = os.path.join(out, "_delta_log")
+    before = sorted(os.listdir(log))
+    # replay: delete skipped by txn stamps, export skipped by zero churn
+    t.streaming_delete_keys(stream, ckpt, col="id", export_delta_to=out).awaitTermination(300)
+    assert sorted(os.listdir(log)) == before
