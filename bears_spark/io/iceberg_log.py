@@ -946,16 +946,19 @@ def export_iceberg_metadata(table, out_path: str) -> str:
     from bears_spark.io.avro_generic import write_container
     from bears_spark.io.metafs import copy_file, datafs_for, join_path, parquet_metadata
 
-    df = table.read()
-    fields = []
-    for i, f in enumerate(df.schema.fields):
-        t = f.dataType.typeName()
-        if t not in _SPARK2ICE:
-            raise IcebergLogError(f"unsupported Spark type {t!r} for Iceberg export")
-        fields.append(
-            {"id": i + 1, "name": f.name, "required": not f.nullable,
-             "type": _SPARK2ICE[t]}
-        )
+    file_entries = table.files()
+    fields: list | None = None
+    if file_entries:
+        df = table.read()
+        fields = []
+        for i, f in enumerate(df.schema.fields):
+            t = f.dataType.typeName()
+            if t not in _SPARK2ICE:
+                raise IcebergLogError(f"unsupported Spark type {t!r} for Iceberg export")
+            fields.append(
+                {"id": i + 1, "name": f.name, "required": not f.nullable,
+                 "type": _SPARK2ICE[t]}
+            )
     out_path = out_path.rstrip("/")
     # the export destination may be an object store (file:// s3:// gs://):
     # metadata writes go through the FS seam, data files copy via hard link
@@ -1019,7 +1022,19 @@ def export_iceberg_metadata(table, out_path: str) -> str:
             for e in live:
                 prior_names[os.path.basename(e["data_file"]["file_path"])] = m["manifest_path"]
 
-    entries_now = {_src_name(e): e for e in table.files()}
+    if fields is None:
+        # empty table: keep the previously exported schema (an empty FIRST
+        # export has no schema source — refuse, like the Delta exporter)
+        if prior_meta is None:
+            raise IcebergLogError(
+                "cannot export an EMPTY table with no prior export at the "
+                "target (no schema source); export once while the table has data"
+            )
+        fields = next(
+            s for s in prior_meta["schemas"]
+            if s.get("schema-id") == prior_meta.get("current-schema-id")
+        )["fields"]
+    entries_now = {_src_name(e): e for e in file_entries}
     new_sid = (int(prior_meta["current-snapshot-id"]) + 1) if prior_meta else 1
     version = prior_version + 1
 

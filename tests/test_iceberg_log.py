@@ -1089,3 +1089,33 @@ def test_export_iceberg_incremental_snapshots(spark, tmp_path):
     for sid, want_lo, want_hi in ((sid1, 0, 30), (sid2, 0, 40)):
         got = sorted(x["id"] for x in r4.read(snapshot_id=sid).collect())
         assert got == list(range(want_lo, want_hi))
+
+
+def test_export_iceberg_empty_states(spark, tmp_path):
+    """An emptied table exports an empty snapshot (prior schema reused);
+    an empty FIRST export refuses (no schema source) — matching the Delta
+    exporter's contract."""
+    from bears_spark.io.iceberg_log import export_iceberg_metadata
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "src"))
+    out = str(tmp_path / "ice")
+    with pytest.raises(Exception, match="EMPTY"):
+        export_iceberg_metadata(t, out)
+    t.overwrite(spark.range(0, 10).selectExpr("id", "CAST(id AS DOUBLE) AS v"))
+    export_iceberg_metadata(t, out)
+    # a full merge-on-read delete DROPS every file from the manifest (a CoW
+    # delete would instead leave one 0-row survivor file)
+    t.delete_where("id", "<", 100, mode="mor")
+    assert t.files() == []
+    export_iceberg_metadata(t, out)
+    r = IcebergTableReader(spark, out)
+    assert r.current_snapshot_id() == 2
+    assert r.files() == []
+    # snapshot 1 still time-travels
+    assert sorted(x["id"] for x in r.read(snapshot_id=1).collect()) == list(range(10))
+    # refill after empty: schema came from the export history
+    t.overwrite(spark.range(5, 8).selectExpr("id", "CAST(id AS DOUBLE) AS v"))
+    export_iceberg_metadata(t, out)
+    r2 = IcebergTableReader(spark, out)
+    assert sorted(x["id"] for x in r2.read().collect()) == [5, 6, 7]
