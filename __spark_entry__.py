@@ -325,6 +325,7 @@ ROUND10_NEVER_GRADED: list[str] = [
     "doc_stratified_sample_stats",
     "orders_ivm_minmax",
     "orders_iceberg_export_snapshots",
+    "orders_streaming_replicated",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45
