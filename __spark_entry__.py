@@ -85,14 +85,15 @@ _TPCH_ORACLES = {
 
 # --------------------------------------------------------------------------
 # The driver grades the FIRST 50 queries() entries in iteration order, so
-# order is a coverage budget. Round-9 rotation (VERDICT r8 "Next round" #1):
-#   * the same 8 regression anchors as round 8,
-#   * ALL 36 rows of the ROUND9_NEVER_GRADED ledger, in ledger order — this
-#     is the round driver coverage reaches every declared query at least
-#     once (each overflow row already passed the judge's full 327-query
-#     local oracle replica in r8),
-#   * the remaining 6 slots carry the queries added in round 9
-#     (VERDICT r8 "Next round" #8 caps additions at the rotation headroom).
+# order is a coverage budget. Round-10 rotation (VERDICT r9 "Next round" #1):
+# coverage reached every declared query in r9, so the window's job flips
+# from debt-draining to FRESHNESS —
+#   * the same 8 regression anchors as rounds 8-9,
+#   * the 4 rows of ROUND10_NEVER_GRADED (round-9 additions, never
+#     driver-graded),
+#   * 15 lakehouse/streaming-maintenance rows last graded in r4-r7, BEFORE
+#     the r8/r9 DV + metafs + export rewrites touched their implementation,
+#   * 23 of the stalest remaining rows (last graded round 2).
 # Oracle-less queries (doc_compression_quality) are EXCLUDED from every
 # window: the driver can only record `err: no_oracle` for them, wasting a
 # grading slot (VERDICT r7 "What's wrong" #1). Enforced by the assertion in
@@ -107,51 +108,52 @@ GRADED_WINDOW = [
     "streaming_running_totals",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
-    # --- never driver-graded: ALL 36 of ROUND9_NEVER_GRADED, in ledger
-    # order (VERDICT r8 "Next round" #1).
-    "source_type_token_ratio",
-    "corpus_heaps_law",
-    "orders_value_percent_rank",
-    "hll_error_report",
-    "emb_knn_eval",
-    "source_centroid_similarity",
-    "supplier_kcore_peel",
-    "orders_basket_dispersion",
-    "supplier_wilson_ontime",
-    "orders_cents_chisq",
-    "events_hive_partition_pruning",
-    "nation_share_shift",
-    "part_single_source_risk",
-    "orders_cycle_anova",
-    "ev_weekend_effect",
-    "emb_exact_dupes",
-    "streaming_moments",
-    "ev_p95_ci",
-    "ev_tail_gpd_fit",
-    "ev_markov_stationary",
-    "emb_centroid_classifier",
-    "hash_feature_collision_report",
-    "ev_stickiness_hll",
-    "streaming_cms_user_counts",
-    "corpus_temperature_curve",
-    "ev_user_activity_powerlaw",
-    "customer_theil_index",
-    "orders_orc_roundtrip",
-    "doc_length_quality_corr",
-    "ev_markov_entropy_rate",
-    "orders_iceberg_v2_deletes",
-    "ev_rolling_time_stats",
-    "orders_delta_s3_read",
-    "orders_iceberg_renamed_col",
-    "orders_delta_dv_read",
-    "orders_mor_delete",
-    # --- added in round 9 (the 6 headroom slots, VERDICT r8 #8) ---
-    "streaming_gdpr_delete",
-    "orders_mor_fileuri_roundtrip",
-    "orders_iceberg_bucket_pruned",
-    "orders_delta_export_cadence",
-    "orders_iceberg_truncate_pruned",
-    "doc_reservoir_sample_stats",
+    # --- never driver-graded: ROUND10_NEVER_GRADED (4, ledger order) ---
+    "doc_stratified_sample_stats",
+    "orders_ivm_minmax",
+    "orders_iceberg_export_snapshots",
+    "orders_streaming_replicated",
+    # --- re-anchors: lakehouse/streaming rows graded BEFORE the r8/r9
+    # DV + metafs + export rewrites (last graded r4-r7) ---
+    "orders_merge_upsert",
+    "orders_ivm_join",
+    "dedup_incremental",
+    "cust_priority_scd2",
+    "streaming_purchase_attribution",
+    "streaming_sessionize",
+    "orders_snapshot_timetravel",
+    "orders_snapshot_diff",
+    "streaming_dedup_events",
+    "streaming_attribution_full",
+    "orders_delta_roundtrip",
+    "orders_iceberg_roundtrip",
+    "orders_change_feed",
+    "orders_incremental_rollup",
+    "orders_optimize_skipping",
+    # --- re-anchors: the stalest remaining rows (last graded round 2) ---
+    "big_spender_customers",
+    "customers_without_orders",
+    "ev_daily_activity",
+    "ev_hourly_by_type",
+    "ev_json_extract",
+    "ev_pivot_user_type",
+    "ev_running_sum",
+    "ev_top3_per_type",
+    "ev_zscore_anomaly",
+    "lineitem_dedup_keys",
+    "mktsegment_value_counts",
+    "order_fill_missing",
+    "orders_above_cust_avg",
+    "orders_combine_first",
+    "orders_constraint_report",
+    "orders_cube",
+    "part_corr",
+    "pruned_scan_customer",
+    "q18_big_orders",
+    "segment_demeaned_balance",
+    "segment_stats",
+    "top3_customers_per_nation",
+    "q10_returned_items",
 ]
 assert len(GRADED_WINDOW) == 50, len(GRADED_WINDOW)
 
@@ -327,6 +329,13 @@ ROUND10_NEVER_GRADED: list[str] = [
     "orders_iceberg_export_snapshots",
     "orders_streaming_replicated",
 ]
+
+# ROUND-11 ROTATION LEDGER: round 10's window carries all four
+# ROUND10_NEVER_GRADED rows (driver coverage stays complete), so only the
+# queries added in round 10 accrue here — appended as implemented, capped
+# at the re-anchoring headroom round 11 will have (VERDICT r9 "Next
+# round" #8 keeps additions <= rotation headroom).
+ROUND11_NEVER_GRADED: list[str] = []
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45
 # round-5 additions). Kept so the rotation provenance is auditable.

@@ -741,7 +741,9 @@ def _export_add_action(table_root: str, entry, fs=None) -> dict:
     return action
 
 
-def _write_delta_checkpoint(out_path: str, version: int, meta: dict, adds: list[dict]) -> None:
+def _write_delta_checkpoint(
+    out_path: str, version: int, meta: dict, adds: list[dict], proto: dict | None = None
+) -> None:
     """Write a classic single-file parquet checkpoint for ``version`` plus
     the ``_last_checkpoint`` pointer, so readers of a long export history
     replay one parquet file + the commit suffix instead of every JSON
@@ -795,15 +797,37 @@ def _write_delta_checkpoint(out_path: str, version: int, meta: dict, adds: list[
          "deletionVector": a.get("deletionVector")}
         for a in adds
     ]
-    # a v3 protocol MUST carry its feature lists (the checkpoint supersedes
-    # the JSON protocol on replay, so omitting them here would hand external
-    # Delta readers a spec-invalid action)
-    if any(a.get("deletionVector") for a in adds):
-        proto_row = {"minReaderVersion": 3, "minWriterVersion": 7,
-                     "readerFeatures": ["deletionVectors"],
-                     "writerFeatures": ["deletionVectors"]}
+    # The checkpoint's protocol is the REPLAYED table protocol, never one
+    # re-derived from the current adds: deriving from adds downgrades to v1
+    # when DVs happen to be compacted away at checkpoint time, and a later
+    # DV reappearance emits no new JSON protocol action (the upgrade is
+    # already in the JSON history) — external readers replaying
+    # checkpoint + suffix would then see DV-bearing adds under a v1
+    # protocol. Once the feature was seen it stays in every checkpoint.
+    # A v3 protocol MUST carry its feature lists (the checkpoint supersedes
+    # the JSON protocol on replay, so omitting them would hand external
+    # Delta readers a spec-invalid action).
+    has_dv_adds = any(a.get("deletionVector") for a in adds)
+    if proto is None:
+        proto = (
+            {"minReaderVersion": 3, "minWriterVersion": 7,
+             "readerFeatures": ["deletionVectors"],
+             "writerFeatures": ["deletionVectors"]}
+            if has_dv_adds
+            else {"minReaderVersion": 1, "minWriterVersion": 2}
+        )
+    dv_feature = "deletionVectors" in (proto.get("readerFeatures") or []) or has_dv_adds
+    if dv_feature:
+        reader_feats = sorted({*(proto.get("readerFeatures") or []), "deletionVectors"})
+        writer_feats = sorted({*(proto.get("writerFeatures") or []), "deletionVectors"})
+        proto_row = {
+            "minReaderVersion": max(3, int(proto.get("minReaderVersion", 1))),
+            "minWriterVersion": max(7, int(proto.get("minWriterVersion", 2))),
+            "readerFeatures": reader_feats, "writerFeatures": writer_feats,
+        }
     else:
-        proto_row = {"minReaderVersion": 1, "minWriterVersion": 2,
+        proto_row = {"minReaderVersion": int(proto.get("minReaderVersion", 1)),
+                     "minWriterVersion": int(proto.get("minWriterVersion", 2)),
                      "readerFeatures": None, "writerFeatures": None}
     tbl = pa.table({
         "protocol": pa.array([proto_row] + [None] * (n - 1), proto_t),
@@ -891,6 +915,7 @@ def export_delta_log(
             "createdTime": 0,
         }
         proto = dv_protocol if has_dvs else {"minReaderVersion": 1, "minWriterVersion": 2}
+        cur_proto = proto
         actions = [{"protocol": proto}, {"metaData": meta}]
         adds = [_export_add_action(out_path, e, fs) for e in entries.values()]
         actions += [{"add": a} for a in adds]
@@ -909,8 +934,10 @@ def export_delta_log(
             else:
                 untagged.append(p)
         actions = []
+        cur_proto = prev_proto
         if has_dvs and "deletionVectors" not in (prev_proto.get("readerFeatures") or []):
             actions.append({"protocol": dv_protocol})  # one-time in-place upgrade
+            cur_proto = dv_protocol
         meta = prev_meta
         if schema_str is not None and prev_meta.get("schemaString") != schema_str:
             meta = dict(prev_meta)
@@ -960,7 +987,7 @@ def export_delta_log(
             # growing the log. An explicit checkpoint request still writes
             # one at the CURRENT version.
             if checkpoint:
-                _write_delta_checkpoint(out_path, tmp.version, prev_meta, adds)
+                _write_delta_checkpoint(out_path, tmp.version, prev_meta, adds, prev_proto)
             return out_path
     fs.write_bytes(
         join_path(log_dir, f"{version:020d}.json"),
@@ -969,7 +996,7 @@ def export_delta_log(
     if checkpoint or (
         checkpoint_interval and version > 0 and version % checkpoint_interval == 0
     ):
-        _write_delta_checkpoint(out_path, version, meta, adds)
+        _write_delta_checkpoint(out_path, version, meta, adds, cur_proto)
     return out_path
 
 

@@ -19,6 +19,24 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _testdata_fingerprint(sf_dir: str) -> str:
+    """Stable 16-hex digest of the input parquet BYTES (per-file size +
+    mtime_ns + path, every *.parquet under ``sf_dir``). Two bench lines with
+    equal fingerprints ran on identical testdata; unequal fingerprints mean
+    per-query deltas may be data-layout effects, not code."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for root, _dirs, files in sorted(os.walk(sf_dir)):
+        for name in sorted(files):
+            if not name.endswith(".parquet"):
+                continue
+            p = os.path.join(root, name)
+            st = os.stat(p)
+            h.update(f"{os.path.relpath(p, sf_dir)}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()[:16]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entrymod
@@ -122,6 +140,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # The driver REGENERATES /root/testdata at round start, so
+        # cross-round per-query ratios mix code changes with data-layout
+        # changes (row-group boundaries, value order). The fingerprint lets
+        # a comparison mechanically detect whether two BENCH_r*.json lines
+        # ran against the same parquet bytes (VERDICT r9 "What's wrong" #2).
+        "testdata_fingerprint": _testdata_fingerprint(sf_dir),
     }
     if failures:
         out["failures"] = failures

@@ -970,6 +970,48 @@ def test_export_checkpoint_protocol_carries_features(spark, tmp_path):
     assert sorted(x["id"] for x in r.read().collect()) == list(range(5, 20))
 
 
+def test_export_checkpoint_never_downgrades_protocol(spark, tmp_path):
+    """Checkpoints write the REPLAYED protocol, not one re-derived from the
+    current adds. Sequence: DVs exported (v3 upgrade in the JSON history) ->
+    DVs compacted away -> cadence checkpoint -> DVs reappear (no new JSON
+    protocol action, the upgrade already happened). A checkpoint that
+    downgraded to v1 at the middle step would leave external readers
+    replaying checkpoint + suffix with DV-bearing adds under a v1 protocol:
+    strict readers fail, lenient ones resurrect deleted rows (ADVICE r9 #2)."""
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "pv_src"))
+    t.overwrite(spark.range(0, 20).selectExpr("id", "id * 1.0 AS v").coalesce(1))
+    out = str(tmp_path / "pv_dst")
+    t.delete_where("id", "<", 3, mode="mor")
+    export_delta_log(t, out)  # version 0: v3 protocol in the JSON history
+    t.compact()  # DVs folded into rewritten files — no DV anywhere
+    export_delta_log(t, out, checkpoint=True)  # checkpoint with zero DV adds
+    log_dir = os.path.join(out, "_delta_log")
+    ckpts = sorted(n for n in os.listdir(log_dir) if n.endswith(".checkpoint.parquet"))
+    tbl = pq.read_table(os.path.join(log_dir, ckpts[-1]))
+    protos = [p for p in tbl.column("protocol").to_pylist() if p]
+    assert len(protos) == 1
+    assert protos[0]["minReaderVersion"] == 3, protos  # never downgraded
+    assert protos[0]["readerFeatures"] == ["deletionVectors"]
+    # DVs reappear; the JSON history already carries the upgrade so no new
+    # protocol action is emitted — the checkpoint protocol must cover it
+    t.delete_where("id", "<", 7, mode="mor")
+    export_delta_log(t, out)
+    suffix = [
+        n for n in sorted(os.listdir(log_dir))
+        if n.endswith(".json") and n > ckpts[-1].split(".")[0] + ".json"
+    ]
+    replayed_actions = []
+    for n in suffix:
+        with open(os.path.join(log_dir, n)) as f:
+            replayed_actions += [json.loads(line) for line in f if line.strip()]
+    assert not any("protocol" in a for a in replayed_actions)
+    assert any((a.get("add") or {}).get("deletionVector") for a in replayed_actions)
+    r = DeltaTableReader(spark, out)
+    assert sorted(x["id"] for x in r.read().collect()) == list(range(7, 20))
+
+
 def test_delta_checkpoint_metadata_field_complete(spark, tmp_path):
     """The checkpoint's metaData action carries configuration and
     format.options as EMPTY MAPS, never nulls — external readers replaying

@@ -1212,12 +1212,25 @@ def test_delta_column_mapping_nested_random(spark, tmp_path, case):
 # brute-force row scan for random predicates.
 @st.composite
 def _transform_prune_case(draw):
-    kind = draw(st.sampled_from(["bucket_int", "truncate_int", "truncate_str"]))
+    kind = draw(st.sampled_from(
+        ["bucket_int", "truncate_int", "truncate_str", "time_ts", "time_date"]
+    ))
     if kind == "truncate_str":
         rows = draw(st.lists(st.text(alphabet="abcxyz", min_size=0, max_size=6),
                              min_size=1, max_size=30))
         probe = draw(st.text(alphabet="abcxyz", min_size=0, max_size=6))
         param = draw(st.sampled_from([1, 2, 3]))
+    elif kind == "time_ts":
+        # raw microseconds-since-epoch, straddling 1970 so pre-epoch floor
+        # semantics are exercised; param carries the sampled transform
+        span = 4 * 366 * 86_400_000_000
+        rows = draw(st.lists(st.integers(-span, span), min_size=1, max_size=30))
+        probe = draw(st.integers(-span, span))
+        param = draw(st.sampled_from(["year", "month", "day", "hour"]))
+    elif kind == "time_date":
+        rows = draw(st.lists(st.integers(-1500, 1500), min_size=1, max_size=30))
+        probe = draw(st.integers(-1500, 1500))
+        param = draw(st.sampled_from(["year", "month", "day"]))
     else:
         rows = draw(st.lists(st.integers(-1000, 1000), min_size=1, max_size=30))
         probe = draw(st.integers(-1000, 1000))
@@ -1232,6 +1245,7 @@ def test_iceberg_transform_pruning_sound(case):
     from bears_spark.io.iceberg_log import (
         IcebergTableReader,
         bucket_transform,
+        time_transform,
         truncate_transform,
     )
 
@@ -1242,6 +1256,10 @@ def test_iceberg_transform_pruning_sound(case):
     if kind == "bucket_int":
         tkind, ice_type = "bucket", "long"
         tv = lambda r: bucket_transform(r, ice_type, param)
+    elif kind in ("time_ts", "time_date"):
+        tkind = param  # "year" / "month" / "day" / "hour"
+        ice_type = "timestamp" if kind == "time_ts" else "date"
+        tv = lambda r: time_transform(r, ice_type, param)
     else:
         tkind = "truncate"
         ice_type = "long" if kind == "truncate_int" else "string"

@@ -23,12 +23,12 @@ def test_queries_and_oracles_aligned():
 
 
 def test_graded_window_invariants():
-    """VERDICT r7 #1 / r8 #1+#8: the 50-slot driver window must contain only
+    """VERDICT r7 #1 / r9 #1+#8: the 50-slot driver window must contain only
     queries with a real DuckDB oracle (an oracle-less row can only grade
-    `err: no_oracle`), no duplicates; round 9 carries the ENTIRE 36-row
-    backlog (driver coverage reaches every declared query) plus the six
-    round-9 additions, and the round-10 ledger stays within the freed
-    headroom."""
+    `err: no_oracle`), no duplicates; round 10 carries the four
+    ROUND10_NEVER_GRADED rows first (driver coverage stays complete), then
+    spends every remaining slot re-anchoring the stalest rows, and the
+    round-11 ledger (new round-10 additions) stays within the headroom."""
     win = entrymod.GRADED_WINDOW
     q, o = entrymod.queries(), entrymod.oracle_sql()
     assert len(win) == 50
@@ -37,16 +37,15 @@ def test_graded_window_invariants():
         assert name in q, name
         sql = o.get(name)
         assert isinstance(sql, str) and sql.strip(), f"{name} lacks a real oracle"
-    # window = 8 anchors + ALL 36 of the round-9 ledger, in order, + the
-    # six round-9 additions (VERDICT r8 "Next round" #1 and #8)
-    assert win[8:44] == entrymod.ROUND9_NEVER_GRADED
-    assert win[44:] == entrymod._ROUND9_ADDED
-    # nothing rolls to round 10 from this rotation; future additions are
-    # capped at the freed headroom (42 non-anchor slots - 36 = 6)
-    assert len(entrymod.ROUND10_NEVER_GRADED) <= 6
-    for name in entrymod.ROUND10_NEVER_GRADED:
+    # window = 8 anchors + the full ROUND10 ledger, in order, + re-anchors
+    # (VERDICT r9 "Next round" #1)
+    assert win[8:12] == entrymod.ROUND10_NEVER_GRADED
+    # additions implemented in round 10 are capped at the rotation headroom
+    # (VERDICT r9 "Next round" #8)
+    assert len(entrymod.ROUND11_NEVER_GRADED) <= 6
+    for name in entrymod.ROUND11_NEVER_GRADED:
         assert name in q, name
-        assert name not in win[:8], name
+        assert name not in win, name
 
 
 def test_readme_query_count_matches_declared():
