@@ -335,7 +335,11 @@ ROUND10_NEVER_GRADED: list[str] = [
 # queries added in round 10 accrue here — appended as implemented, capped
 # at the re-anchoring headroom round 11 will have (VERDICT r9 "Next
 # round" #8 keeps additions <= rotation headroom).
-ROUND11_NEVER_GRADED: list[str] = []
+ROUND11_NEVER_GRADED: list[str] = [
+    "orders_iceberg_day_pruned",
+    "orders_iceberg_ts_travel",
+    "orders_snapshot_history_report",
+]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45
 # round-5 additions). Kept so the rotation provenance is auditable.

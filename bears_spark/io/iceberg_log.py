@@ -396,6 +396,23 @@ class IcebergTableReader:
             raise IcebergLogError("table has no current snapshot")
         return int(sid)
 
+    def snapshot_as_of(self, timestamp_ms: int) -> int:
+        """Snapshot id current AS OF ``timestamp_ms`` — the latest snapshot
+        whose timestamp-ms is <= the probe (Iceberg's
+        time-travel-by-timestamp contract; exported snapshots stamp monotone
+        wall-clock millis). Raises when the probe predates the table."""
+        cands = [
+            s for s in self.snapshots()
+            if int(s.get("timestamp-ms") or 0) <= int(timestamp_ms)
+        ]
+        if not cands:
+            raise IcebergLogError(
+                f"no snapshot at or before timestamp {timestamp_ms} "
+                f"(table begins later)"
+            )
+        best = max(cands, key=lambda s: (int(s.get("timestamp-ms") or 0), int(s["snapshot-id"])))
+        return int(best["snapshot-id"])
+
     def _snapshot(self, snapshot_id: int | None) -> dict:
         sid = self.current_snapshot_id() if snapshot_id is None else int(snapshot_id)
         for s in self.snapshots():
@@ -892,18 +909,29 @@ class IcebergTableReader:
             df = df.drop("__ice_fp__", "__ice_pos__")
         return df
 
-    def read(self, snapshot_id: int | None = None, where: tuple | None = None) -> DataFrame:
+    def read(
+        self,
+        snapshot_id: int | None = None,
+        where: tuple | None = None,
+        as_of_timestamp_ms: int | None = None,
+    ) -> DataFrame:
         """Distributed scan of the snapshot's live data files, with Iceberg
         v2 row-level deletes applied merge-on-read: positional delete files
         as a (file, pos) anti-join, equality delete files as a
         sequence-gated key anti-join. ``where=(col, op, value)`` prunes
         files via manifest bounds AND applies the predicate (pruning is an
-        optimization, never a semantic change). Iceberg data files are
+        optimization, never a semantic change). ``as_of_timestamp_ms``
+        time-travels by wall clock (resolved via :meth:`snapshot_as_of`;
+        mutually exclusive with ``snapshot_id``). Iceberg data files are
         self-contained (partition columns present), so the scan is a plain
         parquet read; schema evolution across files is served by
         mergeSchema."""
         from pyspark.sql import functions as F
 
+        if as_of_timestamp_ms is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id OR as_of_timestamp_ms, not both")
+            snapshot_id = self.snapshot_as_of(as_of_timestamp_ms)
         data_entries, pos_deletes, eq_deletes = self._plan(snapshot_id)
         if where is not None:
             data_entries = self._where_keep(data_entries, where)

@@ -1416,6 +1416,18 @@ def test_export_iceberg_wallclock_timestamps(spark, tmp_path):
     # plausible wall clock (after 2020-01-01) and strictly monotone
     assert all(x > 1_577_836_800_000 for x in ts), ts
     assert ts[0] < ts[1], ts
+    # timestamp-based time travel resolves against these stamps
+    r = IcebergTableReader(spark, out)
+    assert r.snapshot_as_of(ts[0]) == 1
+    assert r.snapshot_as_of(ts[1] - 1) == 1
+    assert r.snapshot_as_of(ts[1]) == 2
+    assert r.snapshot_as_of(ts[1] + 10_000) == 2
+    assert sorted(x["id"] for x in r.read(as_of_timestamp_ms=ts[0]).collect()) == list(range(5))
+    assert sorted(x["id"] for x in r.read(as_of_timestamp_ms=ts[1]).collect()) == list(range(8))
+    with pytest.raises(Exception, match="no snapshot at or before"):
+        r.snapshot_as_of(ts[0] - 1)
+    with pytest.raises(ValueError, match="not both"):
+        r.read(snapshot_id=1, as_of_timestamp_ms=ts[0])
 
 
 def test_export_iceberg_empty_states(spark, tmp_path):
