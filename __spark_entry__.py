@@ -339,6 +339,7 @@ ROUND11_NEVER_GRADED: list[str] = [
     "orders_iceberg_day_pruned",
     "orders_iceberg_ts_travel",
     "orders_snapshot_history_report",
+    "orders_streaming_replicated_iceberg",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

@@ -50,6 +50,7 @@ import decimal
 import json
 import operator
 import os
+import time
 import uuid
 from dataclasses import dataclass, field
 
@@ -481,10 +482,15 @@ class SnapshotTable:
             txns = dict(parent_m.get("txns", {}))
             if txn is not None:
                 txns[txn[0]] = txn[1]
+            # wall-clock commit stamp, kept monotone vs the parent so clock
+            # skew can't reorder history — powers expire_snapshots(
+            # older_than_ms=) and snapshots() ts_ms reporting
+            ts_ms = max(int(time.time() * 1000), int(parent_m.get("ts_ms") or 0) + 1)
             manifest = {
                 "version": version,
                 "parent": parent,
                 "operation": operation,
+                "ts_ms": ts_ms,
                 "files": [vars(e) for e in files],
                 "txns": txns,
             }
@@ -945,7 +951,8 @@ class SnapshotTable:
         return set(txns.values())
 
     def streaming_append(self, stream_df: DataFrame, checkpoint_dir: str, available_now: bool = True,
-                         app_id: str | None = None, export_delta_to: str | None = None):
+                         app_id: str | None = None, export_delta_to: str | None = None,
+                         export_iceberg_to: str | None = None):
         """Exactly-once streaming ingest via foreachBatch: each micro-batch
         commits an append manifest stamped with (app_id, epoch id) —
         Delta's txnAppId/txnVersion pattern. A replayed batch (checkpoint
@@ -964,7 +971,13 @@ class SnapshotTable:
         table's manifest format. Safe under every crash point: the export
         diffs CURRENT manifest vs CURRENT exported state, a no-churn export
         writes nothing (idempotent), and the self-checkpoint cadence keeps
-        external replay bounded."""
+        external replay bounded.
+
+        ``export_iceberg_to``: the Iceberg twin — each batch appends an
+        O(churn) snapshot at that path (untouched manifests reused by
+        reference); the DV-set fingerprint makes zero-churn re-export a
+        no-op even while merge-on-read tombstones exist, so replayed
+        batches never grow the exported metadata tree."""
         app = app_id or os.path.abspath(checkpoint_dir)
 
         def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -984,6 +997,10 @@ class SnapshotTable:
                 from bears_spark.io.delta_log import export_delta_log
 
                 export_delta_log(self, export_delta_to)
+            if export_iceberg_to is not None:
+                from bears_spark.io.iceberg_log import export_iceberg_metadata
+
+                export_iceberg_metadata(self, export_iceberg_to)
 
         w = stream_df.writeStream.foreachBatch(_sink).option("checkpointLocation", checkpoint_dir)
         if available_now:
@@ -992,7 +1009,8 @@ class SnapshotTable:
 
     def streaming_merge(self, stream_df: DataFrame, checkpoint_dir: str, key: str,
                         available_now: bool = True, app_id: str | None = None,
-                        export_delta_to: str | None = None):
+                        export_delta_to: str | None = None,
+                        export_iceberg_to: str | None = None):
         """Exactly-once streaming MERGE (CDC-apply): each micro-batch of
         upserts merges into the table under the same (app_id, epoch)
         transaction stamps streaming_append uses — a replayed batch after
@@ -1016,6 +1034,10 @@ class SnapshotTable:
                 from bears_spark.io.delta_log import export_delta_log
 
                 export_delta_log(self, export_delta_to)
+            if export_iceberg_to is not None:
+                from bears_spark.io.iceberg_log import export_iceberg_metadata
+
+                export_iceberg_metadata(self, export_iceberg_to)
 
         w = stream_df.writeStream.foreachBatch(_sink).option("checkpointLocation", checkpoint_dir)
         if available_now:
@@ -1025,7 +1047,8 @@ class SnapshotTable:
     def streaming_delete_keys(self, stream_df: DataFrame, checkpoint_dir: str, col: str,
                               mode: str = "mor", available_now: bool = True,
                               app_id: str | None = None,
-                              export_delta_to: str | None = None):
+                              export_delta_to: str | None = None,
+                              export_iceberg_to: str | None = None):
         """Exactly-once streaming DELETE (the CDC-delete / GDPR-stream twin
         of streaming_merge): each micro-batch is a forget-list of ``col``
         values, applied under the same (app_id, epoch) transaction stamps —
@@ -1049,6 +1072,10 @@ class SnapshotTable:
                 from bears_spark.io.delta_log import export_delta_log
 
                 export_delta_log(self, export_delta_to)
+            if export_iceberg_to is not None:
+                from bears_spark.io.iceberg_log import export_iceberg_metadata
+
+                export_iceberg_metadata(self, export_iceberg_to)
 
         w = stream_df.writeStream.foreachBatch(_sink).option("checkpointLocation", checkpoint_dir)
         if available_now:
@@ -1130,24 +1157,44 @@ class SnapshotTable:
             entries = [e for e in entries if e.may_match(*where)]
         return entries
 
-    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+    def expire_snapshots(self, keep_last: int = 1, older_than_ms: int | None = None) -> list[int]:
         """Drop the manifests of all but the newest ``keep_last`` versions
         (time travel to expired versions stops working; the live version is
         untouched — and txn stamps survive, because every manifest carries
-        the cumulative stamp map). Returns the expired version numbers. Run
-        vacuum() after to reclaim data files only expired versions used."""
+        the cumulative stamp map). ``older_than_ms`` ADDITIONALLY requires a
+        version's commit stamp to be older than the wall-clock cutoff —
+        Iceberg's retention-policy shape — so recent history survives even
+        past ``keep_last``; a manifest without a stamp (pre-stamping
+        history) is conservatively KEPT under an age cutoff, never aged out
+        on unknown age. Returns the expired version numbers. Run vacuum()
+        after to reclaim data files only expired versions used."""
         cur = self.current_version()
-        expired = [v for v in range(1, max(cur - keep_last, 0) + 1)]
+        expired = []
+        # the live version is never expirable, whatever keep_last says
+        for v in range(1, max(min(cur - keep_last, cur - 1), 0) + 1):
+            if older_than_ms is not None:
+                try:
+                    ts = self._load_manifest(v).get("ts_ms")
+                except FileNotFoundError:
+                    continue  # already expired
+                if ts is None or int(ts) >= int(older_than_ms):
+                    continue
+            expired.append(v)
         for v in expired:
             self.store.delete(self._manifest_key(v))
         return expired
 
-    def vacuum(self) -> int:
+    def vacuum(self, min_age_s: float = 0.0) -> int:
         """Delete data files referenced by NO remaining manifest (files only
-        expired snapshots pointed at — immutable data files are otherwise
-        never removed). Returns the number of files deleted. The
-        expire-then-vacuum split is the standard two-phase safety protocol:
-        readers of still-live versions never lose a file underneath them."""
+        expired snapshots pointed at, plus orphans from crashed writers —
+        immutable data files are otherwise never removed). Returns the
+        number of files deleted. The expire-then-vacuum split is the
+        standard two-phase safety protocol: readers of still-live versions
+        never lose a file underneath them. ``min_age_s`` is the
+        crashed-writer grace period (Iceberg's remove_orphan_files shape):
+        a concurrent committer writes its data files BEFORE the manifest
+        CAS, so an unreferenced file younger than the cutoff may be an
+        in-flight commit — skipped; an unknown mtime is likewise kept."""
         live: set[str] = set()
         for v in range(1, self.current_version() + 1):
             try:
@@ -1158,20 +1205,32 @@ class SnapshotTable:
             except FileNotFoundError:
                 continue  # expired manifest
         removed = 0
+        now = time.time()
         data_root = join_path(self.path, "data")
         for sub in self.fs.listdir(data_root) if self.fs.isdir(data_root) else []:
             subdir = join_path(data_root, sub)
+            kept_any = False
             for name in self.fs.listdir(subdir):
                 fpath = join_path(subdir, name)
-                if (name.endswith(".parquet") or name.endswith(".bin")) and fpath not in live:
-                    self.fs.remove(fpath)
-                    removed += 1
-            if not any(join_path(subdir, n) in live for n in self.fs.listdir(subdir)):
+                if not (name.endswith(".parquet") or name.endswith(".bin")) or fpath in live:
+                    continue
+                if min_age_s > 0:
+                    mt = self.fs.mtime(fpath)
+                    if mt is None or now - mt < min_age_s:
+                        kept_any = True
+                        continue  # possible in-flight commit: not ours to reap yet
+                self.fs.remove(fpath)
+                removed += 1
+            if not kept_any and not any(
+                join_path(subdir, n) in live for n in self.fs.listdir(subdir)
+            ):
                 self.fs.rmtree(subdir)
         return removed
 
     def snapshots(self) -> list[dict]:
-        """Version history: (version, operation, file count, row count)."""
+        """Version history: (version, operation, commit stamp, file count,
+        row count). ``ts_ms`` is the monotone wall-clock commit stamp (None
+        on pre-stamping manifests)."""
         out = []
         for v in range(1, self.current_version() + 1):
             try:
@@ -1182,6 +1241,7 @@ class SnapshotTable:
                 {
                     "version": v,
                     "operation": m["operation"],
+                    "ts_ms": m.get("ts_ms"),
                     "n_files": len(m["files"]),
                     # LIVE rows: physical minus merge-on-read tombstones
                     "n_rows": sum(

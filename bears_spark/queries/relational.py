@@ -5177,3 +5177,104 @@ ORDER BY version
 
 QUERIES["orders_snapshot_history_report"] = orders_snapshot_history_report
 ORACLES["orders_snapshot_history_report"] = ORDERS_SNAPSHOT_HISTORY_SQL
+
+
+# --------------------------------------------------------------------------
+# orders_streaming_replicated_iceberg: the Iceberg replication loop graded —
+# streaming_append(export_iceberg_to=...) appends an O(churn) snapshot per
+# micro-batch, a streaming GDPR forget-list (mode="mor") follows so live
+# deletion vectors exist, and then BOTH streams replay from their
+# checkpoints: ingest must commit nothing (txn stamps) and the export must
+# write nothing (zero churn + unchanged DV-set fingerprint — the r9 fix
+# that makes Iceberg export idempotent while DVs exist). The replica is
+# read back through IcebergTableReader (positional deletes applied) and
+# hash-matched against the relational oracle.
+def orders_streaming_replicated_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from bears_spark.io.iceberg_log import IcebergTableReader
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="repl_ice_")
+    try:
+        src = _os.path.join(root, "in")
+        for k in range(2):
+            o.filter(F.col("o_orderkey") % 2 == k).coalesce(1).write.parquet(
+                _os.path.join(src, f"half{k}")
+            )
+        flat = _os.path.join(root, "stream")
+        _os.makedirs(flat)
+        for k in range(2):
+            part = [
+                n
+                for n in _os.listdir(_os.path.join(src, f"half{k}"))
+                if n.endswith(".parquet")
+            ][0]
+            _os.link(_os.path.join(src, f"half{k}", part), _os.path.join(flat, f"b{k}.parquet"))
+        t = SnapshotTable(spark, _os.path.join(root, "t"))
+        out = _os.path.join(root, "replica")
+        stream = (
+            spark.readStream.schema(o.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(flat + "/")
+        )
+        ckpt = _os.path.join(root, "ckpt")
+        t.streaming_append(stream, ckpt, export_iceberg_to=out).awaitTermination(300)
+        # GDPR forget-list stream: MoR-tombstone the urgent orders, so the
+        # replica carries live positional deletes from here on
+        keys_dir = _os.path.join(root, "keys")
+        o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey").coalesce(
+            1
+        ).write.parquet(keys_dir)
+        key_stream = spark.readStream.schema(
+            T.StructType([T.StructField("o_orderkey", T.LongType())])
+        ).parquet(keys_dir + "/")
+        dckpt = _os.path.join(root, "dckpt")
+        t.streaming_delete_keys(key_stream, dckpt, "o_orderkey", export_iceberg_to=out
+                                ).awaitTermination(300)
+        assert any(e.dv for e in t.files()), "forget-list must leave live DVs"
+        v = t.current_version()
+        meta_dir = _os.path.join(out, "metadata")
+        before = sorted(_os.listdir(meta_dir))
+        # full checkpoint replay of BOTH streams: ingest skipped by txn
+        # stamps; export skipped by zero churn + unchanged DV fingerprint
+        t.streaming_append(stream, ckpt, export_iceberg_to=out).awaitTermination(300)
+        t.streaming_delete_keys(key_stream, dckpt, "o_orderkey", export_iceberg_to=out
+                                ).awaitTermination(300)
+        assert t.current_version() == v, "replayed epochs must commit nothing"
+        assert sorted(_os.listdir(meta_dir)) == before, (
+            "replayed exports must write nothing, even with live DVs"
+        )
+        rows = (
+            IcebergTableReader(spark, out)
+            .read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double"), 6
+                ).alias("total"),
+            )
+            .orderBy("o_orderstatus")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "o_orderstatus string, n bigint, total double")
+
+
+ORDERS_STREAM_REPL_ICE_SQL = """
+SELECT o_orderstatus, count(*) AS n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 6) AS total
+FROM orders
+WHERE o_orderpriority <> '1-URGENT'
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+QUERIES["orders_streaming_replicated_iceberg"] = orders_streaming_replicated_iceberg
+ORACLES["orders_streaming_replicated_iceberg"] = ORDERS_STREAM_REPL_ICE_SQL

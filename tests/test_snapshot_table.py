@@ -190,6 +190,53 @@ def test_expire_and_vacuum_reclaims_only_dead_files(spark, table):
     assert [h["version"] for h in table.snapshots()] == [2, 3]
 
 
+def test_expire_snapshots_by_age(spark, table):
+    """Age-based retention: older_than_ms expires only versions whose
+    monotone wall-clock commit stamp predates the cutoff, never the live
+    version; a manifest without a stamp is conservatively kept (unknown age
+    must never age data out)."""
+    import json as _json
+
+    table.overwrite(_df(spark, 0, 10).coalesce(1))
+    table.append(_df(spark, 10, 20).coalesce(1))
+    table.append(_df(spark, 20, 30).coalesce(1))
+    snaps = table.snapshots()
+    ts = [h["ts_ms"] for h in snaps]
+    assert all(isinstance(x, int) and x > 1_577_836_800_000 for x in ts), ts
+    assert ts == sorted(ts) and len(set(ts)) == 3, "stamps must be strictly monotone"
+    # cutoff before everything: nothing expires
+    assert table.expire_snapshots(keep_last=0, older_than_ms=ts[0]) == []
+    # cutoff between v1 and v2: only v1 expires (and keep_last still guards)
+    assert table.expire_snapshots(keep_last=1, older_than_ms=ts[1]) == [1]
+    assert [h["version"] for h in table.snapshots()] == [2, 3]
+    # unstamped manifest (pre-stamping history): kept under an age cutoff
+    raw = _json.loads(table.store.read(table._manifest_key(2)).decode())
+    del raw["ts_ms"]
+    table.store.replace(table._manifest_key(2), _json.dumps(raw).encode())
+    assert table.expire_snapshots(keep_last=0, older_than_ms=ts[2] + 10_000) == []
+    assert [h["version"] for h in table.snapshots()] == [2, 3]
+
+
+def test_vacuum_grace_period_spares_inflight_files(spark, table):
+    """vacuum(min_age_s=...) must skip unreferenced files younger than the
+    grace period: a concurrent committer writes data files BEFORE the
+    manifest CAS, so a fresh orphan may be an in-flight commit."""
+    import os as _os
+
+    table.overwrite(_df(spark, 0, 20).coalesce(1))
+    # a crashed/in-flight writer's file: on disk, referenced by no manifest
+    sub = _os.path.dirname(table.files()[0].path)
+    orphan = _os.path.join(sub, "inflight-xyz.parquet")
+    _os.link(table.files()[0].path, orphan)
+    assert table.vacuum(min_age_s=3600) == 0  # too young: spared
+    assert _os.path.exists(orphan)
+    # age it past the cutoff -> reaped
+    _os.utime(orphan, (1, 1))
+    assert table.vacuum(min_age_s=3600) == 1
+    assert not _os.path.exists(orphan)
+    assert table.read().count() == 20
+
+
 def test_schema_evolution_on_append(spark, table):
     table.overwrite(_df(spark, 0, 10).coalesce(1))
     evolved = _df(spark, 10, 20).withColumn("extra", F.lit("new")).coalesce(1)
