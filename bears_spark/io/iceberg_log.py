@@ -1193,11 +1193,17 @@ def export_iceberg_metadata(table, out_path: str) -> str:
     # NOTHING (idempotent even while DVs exist; without this every replayed
     # streaming batch in a replication loop would append a snapshot —
     # ADVICE r9 #3).
-    dv_fingerprint = ";".join(
-        f"{os.path.basename(dst)}:{os.path.basename(dv['path'])}"
-        f":{int(dv.get('offset') or 0)}:{int(dv.get('sizeInBytes') or 0)}"
-        for dst, dv in dv_pairs
-    )
+    import hashlib as _hashlib
+
+    dv_fingerprint = _hashlib.sha256(
+        ";".join(
+            f"{os.path.basename(dst)}:{os.path.basename(dv['path'])}"
+            f":{int(dv.get('offset') or 0)}:{int(dv.get('sizeInBytes') or 0)}"
+            for dst, dv in dv_pairs
+        ).encode()
+    ).hexdigest()
+    # stored as a fixed-width digest: the raw tuple list would put O(files)
+    # bytes into every snapshot summary (tens of MB at 10^6 DV-bearing files)
     dv_unchanged = prior_dv_fingerprint is not None and dv_fingerprint == prior_dv_fingerprint
     for m in prior_data_manifests:
         ents = prior_entries[m["manifest_path"]]
