@@ -1363,6 +1363,74 @@ def test_ivm_minmax_sequence_matches_rebuild(spark, tmp_path, case):
 # snapshot equals the table's live rows, and EVERY prior snapshot still
 # time-travels to its own state (manifest reuse, EXISTING rewrites,
 # positional-delete manifests).
+@st.composite
+def _crashpoint_churn_case(draw):
+    steps = draw(st.lists(
+        st.tuples(st.sampled_from(["append", "cow", "mor", "overwrite"]),
+                  st.integers(min_value=0, max_value=60),
+                  st.integers(min_value=1, max_value=25)),
+        min_size=2, max_size=5,
+    ))
+    # which steps the exporter "survives" to run after (False = the exporter
+    # crashed before exporting that commit; the next export sees a
+    # multi-commit diff). The final export always happens (recovery).
+    mask = draw(st.lists(st.booleans(), min_size=len(steps), max_size=len(steps)))
+    return steps, mask
+
+
+@given(_crashpoint_churn_case())
+@_lakehouse_settings
+def test_export_iceberg_crashpoint_exports_match_history(spark, tmp_path, case):
+    """Exporter crash-point fuzzing: random churn where the incremental
+    Iceberg export randomly SKIPS commits (a crashed replicator), so each
+    surviving export must fold a MULTI-commit diff — and a recovery export
+    at the end plus an immediate re-export (the replayed batch) must leave
+    the replica equal to the table with the re-export writing nothing
+    (DV-set fingerprint idempotency)."""
+    import os as _os
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from bears_spark.io.iceberg_log import IcebergTableReader, export_iceberg_metadata
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    steps, mask = case
+    tag = _uuid.uuid4().hex[:8]
+    t = SnapshotTable(spark, str(tmp_path / f"crash-{tag}"))
+    out = str(tmp_path / f"crash-{tag}-ice")
+    t.overwrite(spark.range(0, 40).select(F.col("id")).repartition(2))
+    live = set(range(40))
+    export_iceberg_metadata(t, out)
+    nxt = 1000
+    for (op, lo, span), survived in zip(steps, mask):
+        if op == "append":
+            t.append(spark.range(nxt, nxt + span).select(F.col("id")).coalesce(1))
+            live |= set(range(nxt, nxt + span))
+            nxt += span
+        elif op == "overwrite":
+            t.overwrite(spark.range(lo, lo + span).select(F.col("id")).repartition(2))
+            live = set(range(lo, lo + span))
+        else:
+            t.delete_where("id", "<", lo, mode=op if op == "mor" else "cow")
+            live = {i for i in live if not i < lo}
+        if not live:
+            break
+        if survived:
+            export_iceberg_metadata(t, out)
+            got = {x["id"] for x in IcebergTableReader(spark, out).read().collect()}
+            assert got == live, ("post-crash export diverged", steps, mask)
+    if not live:
+        return
+    export_iceberg_metadata(t, out)  # recovery export
+    meta_dir = _os.path.join(out, "metadata")
+    before = sorted(_os.listdir(meta_dir))
+    export_iceberg_metadata(t, out)  # replayed batch: must write NOTHING
+    assert sorted(_os.listdir(meta_dir)) == before, (steps, mask)
+    got = {x["id"] for x in IcebergTableReader(spark, out).read().collect()}
+    assert got == live, (steps, mask)
+
+
 @given(_export_churn_case())
 @_lakehouse_settings
 def test_export_iceberg_continuous_matches_table_history(spark, tmp_path, case):
