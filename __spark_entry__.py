@@ -340,6 +340,7 @@ ROUND11_NEVER_GRADED: list[str] = [
     "orders_iceberg_ts_travel",
     "orders_snapshot_history_report",
     "orders_streaming_replicated_iceberg",
+    "orders_retention_maintenance",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

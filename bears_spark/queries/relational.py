@@ -5278,3 +5278,67 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 
 QUERIES["orders_streaming_replicated_iceberg"] = orders_streaming_replicated_iceberg
 ORACLES["orders_streaming_replicated_iceberg"] = ORDERS_STREAM_REPL_ICE_SQL
+
+
+# --------------------------------------------------------------------------
+# orders_retention_maintenance: the retention loop graded — age-based
+# snapshot expiry (expire_snapshots(older_than_ms=) over the new monotone
+# commit stamps) followed by vacuum, with the crashed-writer grace period
+# demonstrated in-query: a fresh unreferenced file is spared at
+# min_age_s=3600 and reclaimed by the default pass. Maintenance must never
+# change reads: the post-maintenance table hash-matches the plain
+# relational oracle.
+def orders_retention_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="st_ret_")
+    try:
+        t = SnapshotTable(spark, _os.path.join(root, "t"))
+        t.overwrite(o.filter(F.col("o_orderkey") % 3 == 0).repartition(2))     # v1
+        t.overwrite(o.filter(F.col("o_orderkey") % 3 <= 1).repartition(2))     # v2 orphans v1
+        t.append(o.filter(F.col("o_orderkey") % 3 == 2).repartition(1))        # v3
+        t.delete_where("o_orderpriority", "=", "5-LOW", mode="mor")            # v4
+        snaps = t.snapshots()
+        ts = {h["version"]: h["ts_ms"] for h in snaps}
+        assert sorted(ts.values()) == list(ts.values()) and len(set(ts.values())) == 4
+        # age cutoff at v3's stamp: v1+v2 predate it AND fall outside
+        # keep_last=2 -> both expire; v3/v4 survive the age test via keep_last
+        assert t.expire_snapshots(keep_last=2, older_than_ms=ts[3]) == [1, 2]
+        # grace period: v1's now-unreferenced files are too young to reap
+        assert t.vacuum(min_age_s=3600) == 0
+        # default pass reclaims exactly v1's two orphaned files (v2's files
+        # are still live in v3/v4)
+        assert t.vacuum() == 2
+        assert [h["version"] for h in t.snapshots()] == [3, 4]
+        rows = (
+            t.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double"), 6
+                ).alias("total"),
+            )
+            .orderBy("o_orderstatus")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "o_orderstatus string, n bigint, total double")
+
+
+ORDERS_RETENTION_SQL = """
+SELECT o_orderstatus, count(*) AS n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 6) AS total
+FROM orders
+WHERE o_orderpriority <> '5-LOW'
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+QUERIES["orders_retention_maintenance"] = orders_retention_maintenance
+ORACLES["orders_retention_maintenance"] = ORDERS_RETENTION_SQL
