@@ -989,6 +989,15 @@ def export_delta_log(
             if checkpoint:
                 _write_delta_checkpoint(out_path, tmp.version, prev_meta, adds, prev_proto)
             return out_path
+    # Delta's convention: every commit records a wall-clock
+    # commitInfo.timestamp, which is what version_as_of resolves against —
+    # without it, timestamp travel on an exported log leans on filesystem
+    # mtime (absent on object stores, wrong on copied logs). The reader
+    # monotonizes with a running max, so a plain now() stamp suffices.
+    import time as _time
+
+    actions = [{"commitInfo": {"timestamp": int(_time.time() * 1000),
+                               "operation": "REPLICATE"}}] + actions
     fs.write_bytes(
         join_path(log_dir, f"{version:020d}.json"),
         "".join(json.dumps(a) + "\n" for a in actions).encode(),

@@ -1091,13 +1091,36 @@ class SnapshotTable:
 
         return scan_with_dvs(self.spark, entries, merge_schema=merge_schema)
 
-    def read(self, version: int | None = None, where: tuple | None = None) -> DataFrame:
+    def version_as_of(self, timestamp_ms: int) -> int:
+        """Version current AS OF ``timestamp_ms``: the latest non-expired
+        version whose monotone commit stamp is <= the probe. Unstamped
+        (pre-stamping) manifests are not addressable by timestamp."""
+        best = None
+        for h in self.snapshots():
+            ts = h.get("ts_ms")
+            if ts is not None and int(ts) <= int(timestamp_ms):
+                best = h["version"]
+        if best is None:
+            raise ValueError(
+                f"no version at or before timestamp {timestamp_ms} "
+                f"(table begins later, or its history predates commit stamps)"
+            )
+        return best
+
+    def read(self, version: int | None = None, where: tuple | None = None,
+             as_of_timestamp_ms: int | None = None) -> DataFrame:
         """Read a snapshot (latest by default). ``where=(col, op, value)``
         prunes files by manifest stats AND applies the predicate (pruning is
-        an optimization, never a semantic change). Merge-on-read deletion
-        vectors, if any, are applied as a distributed (file, pos) anti-join."""
+        an optimization, never a semantic change). ``as_of_timestamp_ms``
+        time-travels by wall clock (mutually exclusive with ``version``).
+        Merge-on-read deletion vectors, if any, are applied as a distributed
+        (file, pos) anti-join."""
         from pyspark.sql import functions as F
 
+        if as_of_timestamp_ms is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of_timestamp_ms, not both")
+            version = self.version_as_of(as_of_timestamp_ms)
         all_entries = [FileEntry(**e) for e in self._load_manifest(version)["files"]]
         if not all_entries:
             raise ValueError("snapshot has no data files")

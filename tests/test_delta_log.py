@@ -1012,6 +1012,36 @@ def test_export_checkpoint_never_downgrades_protocol(spark, tmp_path):
     assert sorted(x["id"] for x in r.read().collect()) == list(range(7, 20))
 
 
+def test_export_stamps_commit_info_for_timestamp_travel(spark, tmp_path):
+    """Exported commits carry commitInfo.timestamp (Delta's convention), so
+    version_as_of works on exported logs without leaning on filesystem
+    mtime — absent on object stores, wrong on copied logs."""
+    import time as _time
+
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "ci_src"))
+    t.overwrite(spark.range(0, 10).selectExpr("id", "id * 1.0 AS v"))
+    out = str(tmp_path / "ci_dst")
+    export_delta_log(t, out)
+    t.append(spark.range(10, 25).selectExpr("id", "id * 1.0 AS v"))
+    export_delta_log(t, out)
+    log_dir = os.path.join(out, "_delta_log")
+    stamps = []
+    for n in sorted(x for x in os.listdir(log_dir) if x.endswith(".json")):
+        with open(os.path.join(log_dir, n)) as f:
+            acts = [json.loads(line) for line in f if line.strip()]
+        ci = [a["commitInfo"] for a in acts if "commitInfo" in a]
+        assert len(ci) == 1 and isinstance(ci[0].get("timestamp"), int)
+        stamps.append(ci[0]["timestamp"])
+    assert all(x > 1_577_836_800_000 for x in stamps)  # plausible wall clock
+    r = DeltaTableReader(spark, out)
+    # a spy FS with NO mtime would previously refuse; commitInfo now serves
+    assert r.version_as_of(stamps[0]) == 0
+    assert r.version_as_of(int(_time.time() * 1000) + 10_000) == 1
+    assert r.read(version=r.version_as_of(stamps[0])).count() == 10
+
+
 def test_delta_checkpoint_metadata_field_complete(spark, tmp_path):
     """The checkpoint's metaData action carries configuration and
     format.options as EMPTY MAPS, never nulls — external readers replaying

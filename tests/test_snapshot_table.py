@@ -217,6 +217,24 @@ def test_expire_snapshots_by_age(spark, table):
     assert [h["version"] for h in table.snapshots()] == [2, 3]
 
 
+def test_read_as_of_timestamp(spark, table):
+    """SnapshotTable timestamp travel: version_as_of resolves the latest
+    commit stamp <= the probe; read(as_of_timestamp_ms=) serves that
+    snapshot; pre-table probes and version+timestamp together refuse."""
+    table.overwrite(_df(spark, 0, 10).coalesce(1))
+    table.append(_df(spark, 10, 25).coalesce(1))
+    ts = {h["version"]: h["ts_ms"] for h in table.snapshots()}
+    assert table.version_as_of(ts[1]) == 1
+    assert table.version_as_of(ts[2] - 1) == 1  # stamps are strictly monotone
+    assert table.version_as_of(ts[2] + 10_000) == 2
+    assert table.read(as_of_timestamp_ms=ts[1]).count() == 10
+    assert table.read(as_of_timestamp_ms=ts[2]).count() == 25
+    with pytest.raises(ValueError, match="no version at or before"):
+        table.version_as_of(ts[1] - 1)
+    with pytest.raises(ValueError, match="not both"):
+        table.read(version=1, as_of_timestamp_ms=ts[1])
+
+
 def test_vacuum_grace_period_spares_inflight_files(spark, table):
     """vacuum(min_age_s=...) must skip unreferenced files younger than the
     grace period: a concurrent committer writes data files BEFORE the
