@@ -171,7 +171,14 @@ class IncrementalAggView:
         )
         # repair: recompute ONLY the displaced groups from the current base
         # snapshot — the displaced set is view-domain-sized, so it broadcasts
-        # and the base scan's rows are filtered before the aggregate
+        # and the base scan's rows are filtered before the aggregate.
+        # An EMPTY target snapshot (e.g. a full merge-on-read delete dropped
+        # every file) has no rows to repair from: every displaced group lost
+        # all survivors, so its stale cand extremes are dropped by the final
+        # n_rows>0 inner join anyway — skip the read, which by contract
+        # raises on a file-less snapshot.
+        if not self.base.files(version=v_target):
+            return cand
         repair = self._minmax_agg(
             self.base.read(version=v_target).join(
                 F.broadcast(displaced_keys), self.group_cols, "left_semi"

@@ -1520,6 +1520,42 @@ def _mm_df(spark, lo, hi):
     )
 
 
+def test_incremental_view_minmax_survives_emptied_base(spark, tmp_path):
+    """Hypothesis-found regression (r10): a full merge-on-read delete drops
+    EVERY file from the base manifest; the MIN/MAX displaced-group repair
+    then read a file-less snapshot and crashed. The repair must skip the
+    read (no group has survivors — stale extremes drop at the n_rows>0
+    join), the emptied view must read as zero rows, and a refill must
+    recover exactly."""
+    from pyspark.sql import functions as F
+
+    from bears_spark.io.incremental_view import IncrementalAggView
+
+    def mk(lo, hi):
+        return spark.range(lo, hi).selectExpr("id", "id % 3 AS bucket", "id AS v")
+
+    base = SnapshotTable(spark, str(tmp_path / "embase"))
+    view = IncrementalAggView(
+        spark, base, str(tmp_path / "emview"),
+        group_cols=["bucket"], sum_cols=[], minmax_cols=["v"],
+    )
+    base.overwrite(mk(30, 50).coalesce(1))
+    view.refresh()
+    base.delete_where("id", ">=", 20, mode="mor")  # empties the table
+    view.refresh()
+    assert view.read().count() == 0
+    base.append(mk(10, 18).coalesce(1))
+    view.refresh()
+    got = {r["bucket"]: (r["n_rows"], r["v_min"], r["v_max"]) for r in view.read().collect()}
+    want = {
+        r["bucket"]: (r["n"], r["lo"], r["hi"])
+        for r in base.read().groupBy("bucket").agg(
+            F.count("*").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
+        ).collect()
+    }
+    assert got == want
+
+
 def test_incremental_view_minmax_matches_rebuild(spark, tmp_path):
     """MIN/MAX maintenance equals a from-scratch rebuild after EVERY
     refresh: semigroup merge on inserts, targeted per-group recompute when
