@@ -341,6 +341,7 @@ ROUND11_NEVER_GRADED: list[str] = [
     "orders_snapshot_history_report",
     "orders_streaming_replicated_iceberg",
     "orders_retention_maintenance",
+    "orders_delta_ts_travel",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

@@ -5342,3 +5342,94 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 
 QUERIES["orders_retention_maintenance"] = orders_retention_maintenance
 ORACLES["orders_retention_maintenance"] = ORDERS_RETENTION_SQL
+
+
+# --------------------------------------------------------------------------
+# orders_delta_ts_travel: timestamp time travel on an EXPORTED Delta log —
+# exported commits stamp commitInfo.timestamp (Delta's convention, r10), so
+# version_as_of resolves real history without filesystem mtime (absent on
+# object stores, wrong on copied logs): three commits exported as three
+# versions, each epoch read back AS OF its commit stamp and hash-matched
+# against the equivalent relational state. The monotonized resolution
+# boundaries (on-stamp, between stamps, past the end) are asserted in-query.
+# Completes the as-of triple: native table (orders_retention_maintenance's
+# stamps), Iceberg replica (orders_iceberg_ts_travel), Delta replica (here).
+def orders_delta_ts_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os as _os
+    import shutil
+    import tempfile
+
+    from bears_spark.io.delta_log import DeltaTableReader, export_delta_log
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="delta_ts_")
+    try:
+        import time as _time
+
+        t = SnapshotTable(spark, _os.path.join(root, "t"))
+        out = _os.path.join(root, "delta")
+        t.overwrite(o.filter(F.col("o_orderkey") % 3 == 0).repartition(2))
+        export_delta_log(t, out)
+        _time.sleep(0.01)  # commit stamps are wall-clock ms: keep them distinct
+        t.append(o.filter(F.col("o_orderkey") % 3 == 1).repartition(2))
+        export_delta_log(t, out)
+        _time.sleep(0.01)
+        t.delete_where("o_orderpriority", "=", "1-URGENT", mode="mor")
+        export_delta_log(t, out)
+        log_dir = _os.path.join(out, "_delta_log")
+        stamps = []
+        for n in sorted(x for x in _os.listdir(log_dir) if x.endswith(".json")):
+            with open(_os.path.join(log_dir, n)) as f:
+                acts = [_json.loads(line) for line in f if line.strip()]
+            ci = [a["commitInfo"] for a in acts if "commitInfo" in a]
+            assert len(ci) == 1 and isinstance(ci[0].get("timestamp"), int), n
+            stamps.append(ci[0]["timestamp"])
+        assert stamps == sorted(stamps) and len(set(stamps)) == 3, stamps
+        r = DeltaTableReader(spark, out)
+        # boundary semantics under the reader's running-max monotonization:
+        # on-stamp -> that version; between stamps -> the earlier version;
+        # past the end -> the latest version
+        assert r.version_as_of(stamps[0]) == 0
+        assert r.version_as_of(stamps[1] - 1) == 0
+        assert r.version_as_of(stamps[2] + 3_600_000) == 2
+        rows = []
+        for label, probe in (
+            ("v0", stamps[0]),
+            ("v1", stamps[1]),
+            ("v2", stamps[2] + 3_600_000),
+        ):
+            agg = (
+                r.read(version=r.version_as_of(probe))
+                .agg(
+                    F.count("*").alias("n"),
+                    F.round(
+                        F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double"), 6
+                    ).alias("total"),
+                )
+                .first()
+            )
+            rows.append((label, agg["n"], agg["total"]))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "point string, n bigint, total double")
+
+
+ORDERS_DELTA_TS_TRAVEL_SQL = """
+SELECT 'v0' AS point, count(*) AS n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 6) AS total
+FROM orders WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT 'v1', count(*),
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 6)
+FROM orders WHERE o_orderkey % 3 IN (0, 1)
+UNION ALL
+SELECT 'v2', count(*),
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 6)
+FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderpriority <> '1-URGENT'
+ORDER BY point
+"""
+
+QUERIES["orders_delta_ts_travel"] = orders_delta_ts_travel
+ORACLES["orders_delta_ts_travel"] = ORDERS_DELTA_TS_TRAVEL_SQL
