@@ -1486,6 +1486,50 @@ def test_streaming_merge_exactly_once_upserts(spark, tmp_path):
     assert any(a.endswith("#merge") for a in t.committed_txns())
 
 
+def test_streaming_merge_replicates_to_iceberg(spark, tmp_path):
+    """CDC-apply with export_iceberg_to=: each merge batch appends an
+    Iceberg snapshot at the replica path; the replica read equals the table
+    after the stream drains, and a full checkpoint replay commits nothing
+    AND writes nothing to the exported metadata tree."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bears_spark.io.iceberg_log import IcebergTableReader
+
+    src = tmp_path / "cdci"
+    src.mkdir()
+    t = SnapshotTable(spark, str(tmp_path / "mti"))
+    t.overwrite(_df(spark, 0, 30).coalesce(1))
+    out = str(tmp_path / "ice_replica")
+    pq.write_table(
+        pa.table({"id": [1, 2, 200], "bucket": [1 % 7, 2 % 7, 200 % 7], "v": [-1, -2, -200]}),
+        str(src / "b0.parquet"),
+    )
+    pq.write_table(
+        pa.table({"id": [1, 5], "bucket": [1 % 7, 5 % 7], "v": [-11, -5]}),
+        str(src / "b1.parquet"),
+    )
+    stream = (
+        spark.readStream.schema("id long, bucket long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/")
+    )
+    ckpt = str(tmp_path / "mckpti")
+    t.streaming_merge(stream, ckpt, key="id", export_iceberg_to=out).awaitTermination(180)
+    want = {r["id"]: r["v"] for r in t.read().collect()}
+    assert want[1] == -11 and want[2] == -2 and want[5] == -5 and want[200] == -200
+    got = {r["id"]: r["v"] for r in IcebergTableReader(spark, out).read().collect()}
+    assert got == want
+    meta_dir = _os.path.join(out, "metadata")
+    before = sorted(_os.listdir(meta_dir))
+    v = t.current_version()
+    t.streaming_merge(stream, ckpt, key="id", export_iceberg_to=out).awaitTermination(180)
+    assert t.current_version() == v, "replayed epochs must commit nothing"
+    assert sorted(_os.listdir(meta_dir)) == before, "replayed exports must write nothing"
+
+
 def _mm_rollup(df):
     return {
         (r["bucket"],): (

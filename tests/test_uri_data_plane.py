@@ -179,6 +179,15 @@ def test_object_store_dialect_composed_with_data_plane(spark, tmp_path, dialect)
     export_delta_log(t, out)  # zero churn: idempotent
     r2 = DeltaTableReader(spark, out)
     assert r2.read().count() == len(want)
+    # the Iceberg twin off the same dialect-store table
+    from bears_spark.io.iceberg_log import IcebergTableReader, export_iceberg_metadata
+
+    ice_out = _furi(tmp_path / "ice_exp")
+    export_iceberg_metadata(t, ice_out)
+    assert sorted(
+        x["id"] for x in IcebergTableReader(spark, ice_out).read().collect()
+    ) == want
+    export_iceberg_metadata(t, ice_out)  # zero churn: idempotent
 
 
 def test_export_delta_to_uri_destination(spark, tmp_path):
