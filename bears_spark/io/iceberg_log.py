@@ -1046,7 +1046,79 @@ _SPARK2ICE = {
 }
 
 
-def export_iceberg_metadata(table, out_path: str) -> str:
+def _export_partition_plan(partition_by, fields):
+    """Validate ``partition_by=(transform, column)`` against the export
+    schema and return (kind, col, field_id, ice_type, part_name,
+    avro_type, spec_field). Supported transforms: identity (int/long/
+    string source) and year/month/day/hour (timestamp/date source) — the
+    layouts stats-clustered tables actually have."""
+    kind, col = partition_by
+    f = next((x for x in fields if x["name"] == col), None)
+    if f is None:
+        raise IcebergLogError(f"partition_by column {col!r} not in the export schema")
+    ice_type = f["type"]
+    if kind in ("year", "month", "day", "hour"):
+        if ice_type not in ("timestamp", "timestamptz", "date"):
+            raise IcebergLogError(
+                f"{kind}[{col}] needs a timestamp/date column, not {ice_type!r}"
+            )
+        if kind == "hour" and ice_type == "date":
+            raise IcebergLogError("hour transform is undefined on date columns")
+        avro_type = "int"
+    elif kind == "identity":
+        if ice_type in ("int", "long"):
+            avro_type = "long"
+        elif ice_type == "string":
+            avro_type = "string"
+        else:
+            raise IcebergLogError(
+                f"identity partition export supports int/long/string, not {ice_type!r}"
+            )
+    else:
+        raise IcebergLogError(f"unsupported export partition transform {kind!r}")
+    part_name = col if kind == "identity" else f"{col}_{kind}"
+    spec_field = {
+        "name": part_name, "transform": kind, "source-id": int(f["id"]),
+        "field-id": 1000,
+    }
+    return kind, col, int(f["id"]), ice_type, part_name, avro_type, spec_field
+
+
+def _export_partition_value(entry, kind, col, ice_type):
+    """One data file's partition tuple value, derived from its manifest
+    min/max stats: both bounds must transform to the SAME value (every
+    Iceberg data file belongs to exactly one partition — a spanning file
+    would need a spec-invalid null tuple, so the export refuses instead)."""
+    s = entry.stats.get(col) if isinstance(entry.stats, dict) else None
+    if not isinstance(s, dict) or s.get("min") is None or s.get("max") is None:
+        raise IcebergLogError(
+            f"file {entry.path!r} has no {col!r} stats; cannot derive its "
+            f"partition tuple — export without partition_by"
+        )
+
+    def _raw(v):
+        # snapshot-table stats tag temporal values as epoch-micros
+        if isinstance(v, dict) and v.get("t") == "ts":
+            return int(v["v"])
+        return v
+
+    lo, hi = _raw(s["min"]), _raw(s["max"])
+    if kind == "identity":
+        tlo, thi = lo, hi
+    else:
+        # tagged temporal stats are epoch-micros regardless of source type
+        tlo = time_transform(lo, "timestamp", kind)
+        thi = time_transform(hi, "timestamp", kind)
+    if tlo is None or thi is None or tlo != thi:
+        raise IcebergLogError(
+            f"file {entry.path!r} spans multiple {kind}({col}) partitions "
+            f"({tlo!r}..{thi!r}); cluster the table on {col!r} (e.g. "
+            f"overwrite_clustered/compact) before a partitioned export"
+        )
+    return tlo
+
+
+def export_iceberg_metadata(table, out_path: str, partition_by: tuple | None = None) -> str:
     """Export a :class:`~bears_spark.io.snapshot_table.SnapshotTable`'s
     CURRENT version as an Iceberg-shaped table at ``out_path`` — the
     symmetric twin of :func:`~bears_spark.io.delta_log.export_delta_log`,
@@ -1070,11 +1142,20 @@ def export_iceberg_metadata(table, out_path: str) -> str:
     files: the DV positions explode executor-side to one (file_path, pos)
     parquet referenced by a content=1 delete manifest — exactly the v2
     merge-on-read shape, so the exported table's readers (including this
-    module's own) never see a MoR-deleted row. The delete manifest is
-    rebuilt on every export while any deletion vectors exist (delete files
-    are positions — small by construction, and DV identity isn't recorded
-    in Iceberg metadata to diff against); data manifests are untouched by
-    DV churn."""
+    module's own) never see a MoR-deleted row. An unchanged DV set (sha256
+    fingerprint in the snapshot summary) reuses the prior delete manifest
+    by reference; data manifests are untouched by DV churn.
+
+    ``partition_by=(transform, column)`` exports a HIDDEN PARTITION SPEC
+    (identity on int/long/string, or year/month/day/hour on a
+    timestamp/date column): each data file's tuple value derives from its
+    manifest min/max stats — both bounds must transform to the same value,
+    since an Iceberg data file belongs to exactly one partition, so a file
+    spanning two partitions REFUSES (cluster the table first) rather than
+    writing a spec-invalid null tuple. The spec makes the replica
+    partition-prunable by external engines and by this module's own
+    transform pruning, and must stay identical across the export's whole
+    history (reused manifests carry their original tuples)."""
     import uuid as _uuid
 
     from bears_spark.io.avro_generic import write_container
@@ -1121,11 +1202,17 @@ def export_iceberg_metadata(table, out_path: str) -> str:
             if b_lo is not None and b_hi is not None:
                 lo[str(f["id"])] = b_lo
                 hi[str(f["id"])] = b_hi
-        return {"status": 1, "data_file": {"content": 0, "file_path": dst,
-                                           "file_format": "PARQUET",
-                                           "record_count": int(e.rows),
-                                           "lower_bounds": lo or None,
-                                           "upper_bounds": hi or None}}
+        out = {"status": 1, "data_file": {"content": 0, "file_path": dst,
+                                          "file_format": "PARQUET",
+                                          "record_count": int(e.rows),
+                                          "lower_bounds": lo or None,
+                                          "upper_bounds": hi or None}}
+        if part_plan is not None:
+            kind, col, _fid, p_ice_type, part_name, _avro, _spec = part_plan
+            out["data_file"]["partition"] = {
+                part_name: _export_partition_value(e, kind, col, p_ice_type)
+            }
+        return out
 
     # -- prior export state (continuous replication) -------------------------
     hint_path = join_path(out_path, "metadata", "version-hint.text")
@@ -1172,6 +1259,32 @@ def export_iceberg_metadata(table, out_path: str) -> str:
             s for s in prior_meta["schemas"]
             if s.get("schema-id") == prior_meta.get("current-schema-id")
         )["fields"]
+    # -- partition spec (hidden partitioning on the export) -------------------
+    # The spec must be STABLE across the export's whole history: reused
+    # manifests carry their original partition tuples, so flipping the spec
+    # between exports would mix incompatible tuple shapes in one snapshot.
+    part_plan = _export_partition_plan(partition_by, fields) if partition_by else None
+    prior_specs = (prior_meta or {}).get("partition-specs") or []
+    want_specs = (
+        [{"spec-id": 0, "fields": [part_plan[6]]}] if part_plan is not None else []
+    )
+    if prior_meta is not None and prior_specs != want_specs:
+        raise IcebergLogError(
+            f"partition_by must match the prior export's spec "
+            f"({prior_specs!r} != {want_specs!r}); export to a fresh path "
+            f"to change partitioning"
+        )
+    if part_plan is not None:
+        part_name, part_avro = part_plan[4], part_plan[5]
+        man_data_schema = json.loads(json.dumps(_MANIFEST_AVRO_SCHEMA))
+        man_data_schema["fields"][1]["type"]["fields"].append(
+            {"name": "partition", "type": ["null", {
+                "type": "record", "name": "r102",
+                "fields": [{"name": part_name, "type": ["null", part_avro]}],
+            }]}
+        )
+    else:
+        man_data_schema = _MANIFEST_AVRO_SCHEMA
     entries_now = {_src_name(e): e for e in file_entries}
     new_sid = (int(prior_meta["current-snapshot-id"]) + 1) if prior_meta else 1
     version = prior_version + 1
@@ -1219,7 +1332,7 @@ def export_iceberg_metadata(table, out_path: str) -> str:
         # rewritten without the gone files; survivors are EXISTING (status 0)
         rw = [{"status": 0, "data_file": e["data_file"]} for e in kept]
         rwpath = join_path(out_path, "metadata", f"m-{_uuid.uuid4().hex}.avro")
-        fs.write_bytes(rwpath, write_container(_MANIFEST_AVRO_SCHEMA, rw))
+        fs.write_bytes(rwpath, write_container(man_data_schema, rw))
         mlist_records.append(
             {"manifest_path": rwpath, "manifest_length": fs.size(rwpath),
              "content": 0, "added_snapshot_id": m.get("added_snapshot_id")}
@@ -1231,7 +1344,7 @@ def export_iceberg_metadata(table, out_path: str) -> str:
             copy_file(entries_now[n].path, dst)
             added.append(_entry(entries_now[n], dst))
         mpath = join_path(out_path, "metadata", f"m-{_uuid.uuid4().hex}.avro")
-        fs.write_bytes(mpath, write_container(_MANIFEST_AVRO_SCHEMA, added))
+        fs.write_bytes(mpath, write_container(man_data_schema, added))
         mlist_records.append(
             {"manifest_path": mpath, "manifest_length": fs.size(mpath),
              "content": 0, "added_snapshot_id": new_sid}
@@ -1341,6 +1454,9 @@ def export_iceberg_metadata(table, out_path: str) -> str:
         "schemas": schemas,
         "current-schema-id": current_schema_id,
     }
+    if part_plan is not None:
+        meta["partition-specs"] = want_specs
+        meta["default-spec-id"] = 0
     fs.write_bytes(
         join_path(out_path, "metadata", f"v{version}.metadata.json"), json.dumps(meta).encode()
     )

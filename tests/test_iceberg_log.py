@@ -1430,6 +1430,89 @@ def test_export_iceberg_wallclock_timestamps(spark, tmp_path):
         r.read(snapshot_id=1, as_of_timestamp_ms=ts[0])
 
 
+def test_export_iceberg_partitioned_by_day(spark, tmp_path):
+    """partition_by=("day", ts_col): the export writes a hidden partition
+    spec with per-file tuples derived from manifest stats, so the REPLICA
+    is day-prunable — equality and range probes plan only the matching
+    days' files; re-exports keep the spec and reuse prior manifests; a
+    spec flip or a partition-spanning file refuses."""
+    import datetime as dt
+
+    from bears_spark.io.iceberg_log import (
+        IcebergTableReader,
+        export_iceberg_metadata,
+        time_transform,
+    )
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    def day_df(day):
+        base = f"timestamp'2024-03-{day:02d} 00:30:00'"
+        return spark.range(0, 5).selectExpr(
+            f"id + {day * 100} AS id",
+            f"{base} + make_interval(0,0,0,0,int(id),0,0) AS ts",
+        )
+
+    t = SnapshotTable(spark, str(tmp_path / "src"))
+    t.overwrite(day_df(1).coalesce(1))
+    t.append(day_df(2).coalesce(1))
+    t.append(day_df(3).coalesce(1))
+    out = str(tmp_path / "ice")
+    export_iceberg_metadata(t, out, partition_by=("day", "ts"))
+    meta = json.load(open(os.path.join(out, "metadata", "v1.metadata.json")))
+    assert meta["partition-specs"] == [{"spec-id": 0, "fields": [
+        {"name": "ts_day", "transform": "day", "source-id": 2, "field-id": 1000},
+    ]}]
+    r = IcebergTableReader(spark, out)
+    all_files = r.files()
+    assert len(all_files) == 3
+    probe = dt.datetime(2024, 3, 2, 1, 30)  # id 201's exact timestamp
+    kept = r.files(where=("ts", "=", probe))
+    assert len(kept) == 1 and len(kept) < len(all_files)
+    assert sorted(x["id"] for x in r.read(where=("ts", "=", probe)).collect()) == [201]
+    kept_ge = r.files(where=("ts", ">=", dt.datetime(2024, 3, 3)))
+    assert len(kept_ge) == 1
+    assert sorted(x["id"] for x in r.read(where=("ts", ">=", dt.datetime(2024, 3, 3))).collect()) == [
+        300, 301, 302, 303, 304
+    ]
+    # continuous: append a day, re-export under the SAME spec — the new
+    # day's file is prunable too and prior manifests are reused
+    t.append(day_df(4).coalesce(1))
+    export_iceberg_metadata(t, out, partition_by=("day", "ts"))
+    r2 = IcebergTableReader(spark, out)
+    assert len(r2.files()) == 4
+    d4 = dt.datetime(2024, 3, 4, 0, 30)
+    assert len(r2.files(where=("ts", "=", d4))) == 1
+    assert r2.read(where=("ts", "=", d4)).count() == 1
+    # zero churn stays idempotent under the spec
+    before = sorted(os.listdir(os.path.join(out, "metadata")))
+    export_iceberg_metadata(t, out, partition_by=("day", "ts"))
+    assert sorted(os.listdir(os.path.join(out, "metadata"))) == before
+    # spec continuity: dropping or changing partition_by refuses
+    with pytest.raises(Exception, match="must match the prior export"):
+        export_iceberg_metadata(t, out)
+    with pytest.raises(Exception, match="must match the prior export"):
+        export_iceberg_metadata(t, out, partition_by=("month", "ts"))
+    # a file spanning two days refuses (honest: no spec-invalid null tuples)
+    t2 = SnapshotTable(spark, str(tmp_path / "span"))
+    t2.overwrite(day_df(1).unionByName(day_df(2)).coalesce(1))
+    with pytest.raises(Exception, match="spans multiple"):
+        export_iceberg_metadata(t2, str(tmp_path / "ice_span"), partition_by=("day", "ts"))
+    # identity partitioning on an int column
+    t3 = SnapshotTable(spark, str(tmp_path / "ident"))
+    t3.overwrite(spark.range(0, 1).selectExpr("id", "id AS bucket").coalesce(1))
+    for b in range(1, 4):
+        t3.append(spark.range(b, b + 1).selectExpr("id", "id AS bucket").coalesce(1))
+    out3 = str(tmp_path / "ice_ident")
+    export_iceberg_metadata(t3, out3, partition_by=("identity", "bucket"))
+    r3 = IcebergTableReader(spark, out3)
+    kept3 = r3.files(where=("bucket", "=", 2))
+    assert len(kept3) >= 1 and len(kept3) < len(r3.files())
+    assert [x["id"] for x in r3.read(where=("bucket", "=", 2)).collect()] == [2]
+    # hour transform sanity on the day fixture's source values
+    assert time_transform(dt.datetime(2024, 3, 2, 0, 31), "timestamp", "day") == \
+        time_transform(dt.datetime(2024, 3, 2, 23, 59), "timestamp", "day")
+
+
 def test_export_iceberg_empty_states(spark, tmp_path):
     """An emptied table exports an empty snapshot (prior schema reused);
     an empty FIRST export refuses (no schema source) — matching the Delta
