@@ -85,15 +85,15 @@ _TPCH_ORACLES = {
 
 # --------------------------------------------------------------------------
 # The driver grades the FIRST 50 queries() entries in iteration order, so
-# order is a coverage budget. Round-10 rotation (VERDICT r9 "Next round" #1):
-# coverage reached every declared query in r9, so the window's job flips
-# from debt-draining to FRESHNESS —
-#   * the same 8 regression anchors as rounds 8-9,
-#   * the 4 rows of ROUND10_NEVER_GRADED (round-9 additions, never
+# order is a coverage budget. Round-11 rotation (VERDICT r10 "Next round"
+# #1): coverage is complete, so the window's job stays FRESHNESS —
+#   * the same 8 regression anchors as rounds 8-10,
+#   * the 6 rows of ROUND11_NEVER_GRADED (round-10 additions, never
 #     driver-graded),
-#   * 15 lakehouse/streaming-maintenance rows last graded in r4-r7, BEFORE
-#     the r8/r9 DV + metafs + export rewrites touched their implementation,
-#   * 23 of the stalest remaining rows (last graded round 2).
+#   * all 10 rows last graded in round 2 (the adapted TPC-H bodies),
+#   * 26 of the 39 rows last graded in round 3, preferring ones whose
+#     implementation modules (dedup/text/quality, heavy TPC-H joins) are
+#     exercised by this round's scale + plan-guard work.
 # Oracle-less queries (doc_compression_quality) are EXCLUDED from every
 # window: the driver can only record `err: no_oracle` for them, wasting a
 # grading slot (VERDICT r7 "What's wrong" #1). Enforced by the assertion in
@@ -108,52 +108,53 @@ GRADED_WINDOW = [
     "streaming_running_totals",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
-    # --- never driver-graded: ROUND10_NEVER_GRADED (4, ledger order) ---
-    "doc_stratified_sample_stats",
-    "orders_ivm_minmax",
-    "orders_iceberg_export_snapshots",
-    "orders_streaming_replicated",
-    # --- re-anchors: lakehouse/streaming rows graded BEFORE the r8/r9
-    # DV + metafs + export rewrites (last graded r4-r7) ---
-    "orders_merge_upsert",
-    "orders_ivm_join",
-    "dedup_incremental",
-    "cust_priority_scd2",
-    "streaming_purchase_attribution",
-    "streaming_sessionize",
-    "orders_snapshot_timetravel",
-    "orders_snapshot_diff",
-    "streaming_dedup_events",
-    "streaming_attribution_full",
-    "orders_delta_roundtrip",
-    "orders_iceberg_roundtrip",
-    "orders_change_feed",
-    "orders_incremental_rollup",
-    "orders_optimize_skipping",
-    # --- re-anchors: the stalest remaining rows (last graded round 2) ---
-    "big_spender_customers",
-    "customers_without_orders",
-    "ev_daily_activity",
-    "ev_hourly_by_type",
-    "ev_json_extract",
-    "ev_pivot_user_type",
-    "ev_running_sum",
-    "ev_top3_per_type",
-    "ev_zscore_anomaly",
-    "lineitem_dedup_keys",
-    "mktsegment_value_counts",
-    "order_fill_missing",
-    "orders_above_cust_avg",
-    "orders_combine_first",
-    "orders_constraint_report",
-    "orders_cube",
-    "part_corr",
-    "pruned_scan_customer",
-    "q18_big_orders",
-    "segment_demeaned_balance",
-    "segment_stats",
-    "top3_customers_per_nation",
-    "q10_returned_items",
+    # --- never driver-graded: ROUND11_NEVER_GRADED (6, ledger order) ---
+    "orders_iceberg_day_pruned",
+    "orders_iceberg_ts_travel",
+    "orders_snapshot_history_report",
+    "orders_streaming_replicated_iceberg",
+    "orders_retention_maintenance",
+    "orders_delta_ts_travel",
+    # --- re-anchors: every row last graded in round 2 (10) ---
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q11_important_stock",
+    "q12_priority_class",
+    "q14_promo_effect",
+    "q16_parts_supplier_cnt",
+    "q19_discounted_revenue",
+    "q22_sales_opportunity",
+    # --- re-anchors: 26 of the 39 rows last graded in round 3, dedup/
+    # text/quality + heavy-join rows first (their modules are touched by
+    # this round's plan-shape guards and sf1 scale runs) ---
+    "dedup_ngram_jaccard",
+    "dedup_components",
+    "dedup_verified_pairs",
+    "doc_decontaminate",
+    "doc_gopher_quality",
+    "doc_pack_sequences",
+    "text_stats",
+    "tfidf_doc_terms",
+    "ann_ivf_label_topk",
+    "cms_user_counts",
+    "hll_distinct_orderkeys",
+    "ev_asof_purchase",
+    "ev_cohort_retention",
+    "ev_ewm_value",
+    "ev_funnel_conversion",
+    "ev_range_window_counts",
+    "ev_resample_hourly",
+    "ev_rolling_stats",
+    "segment_zscore_grouped_map",
+    "q5_local_supplier_volume",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q20_excess_stock",
+    "q21_waiting_supplier",
 ]
 assert len(GRADED_WINDOW) == 50, len(GRADED_WINDOW)
 
@@ -343,6 +344,13 @@ ROUND11_NEVER_GRADED: list[str] = [
     "orders_retention_maintenance",
     "orders_delta_ts_travel",
 ]
+
+# ROUND-12 ROTATION LEDGER: round 11's window carries all six
+# ROUND11_NEVER_GRADED rows (driver coverage stays complete), so only the
+# queries added in round 11 accrue here — appended as implemented, capped
+# at the re-anchoring headroom round 12 will have (VERDICT r10 "Next
+# round" #8 keeps additions <= rotation headroom).
+ROUND12_NEVER_GRADED: list[str] = []
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45
 # round-5 additions). Kept so the rotation provenance is auditable.

@@ -23,12 +23,13 @@ def test_queries_and_oracles_aligned():
 
 
 def test_graded_window_invariants():
-    """VERDICT r7 #1 / r9 #1+#8: the 50-slot driver window must contain only
+    """VERDICT r7 #1 / r10 #1+#8: the 50-slot driver window must contain only
     queries with a real DuckDB oracle (an oracle-less row can only grade
-    `err: no_oracle`), no duplicates; round 10 carries the four
-    ROUND10_NEVER_GRADED rows first (driver coverage stays complete), then
-    spends every remaining slot re-anchoring the stalest rows, and the
-    round-11 ledger (new round-10 additions) stays within the headroom."""
+    `err: no_oracle`), no duplicates; round 11 carries the six
+    ROUND11_NEVER_GRADED rows first (driver coverage stays complete), then
+    spends every remaining slot re-anchoring the stalest rows (all 10
+    round-2 rows + 26 round-3 rows), and the round-12 ledger (new round-11
+    additions) stays within the headroom."""
     win = entrymod.GRADED_WINDOW
     q, o = entrymod.queries(), entrymod.oracle_sql()
     assert len(win) == 50
@@ -37,13 +38,21 @@ def test_graded_window_invariants():
         assert name in q, name
         sql = o.get(name)
         assert isinstance(sql, str) and sql.strip(), f"{name} lacks a real oracle"
-    # window = 8 anchors + the full ROUND10 ledger, in order, + re-anchors
-    # (VERDICT r9 "Next round" #1)
-    assert win[8:12] == entrymod.ROUND10_NEVER_GRADED
-    # additions implemented in round 10 are capped at the rotation headroom
-    # (VERDICT r9 "Next round" #8)
-    assert len(entrymod.ROUND11_NEVER_GRADED) <= 6
-    for name in entrymod.ROUND11_NEVER_GRADED:
+    # window = 8 anchors + the full ROUND11 ledger, in order, + re-anchors
+    # (VERDICT r10 "Next round" #1)
+    assert win[8:14] == entrymod.ROUND11_NEVER_GRADED
+    # all 10 rows last graded in round 2 are re-anchored
+    round2_rows = {
+        "q2_min_cost_supplier", "q4_order_priority", "q7_nation_volume",
+        "q8_market_share", "q11_important_stock", "q12_priority_class",
+        "q14_promo_effect", "q16_parts_supplier_cnt",
+        "q19_discounted_revenue", "q22_sales_opportunity",
+    }
+    assert round2_rows <= set(win)
+    # additions implemented in round 11 are capped at the rotation headroom
+    # (VERDICT r10 "Next round" #8)
+    assert len(entrymod.ROUND12_NEVER_GRADED) <= 6
+    for name in entrymod.ROUND12_NEVER_GRADED:
         assert name in q, name
         assert name not in win, name
 
