@@ -850,6 +850,56 @@ def _write_delta_checkpoint(
     )
 
 
+def _mapped_schema_string(table, mapping) -> str:
+    """The export's Delta schemaString: the table's LOGICAL schema, with each
+    field carrying ``delta.columnMapping.id``/``physicalName`` metadata when
+    the source table evolved (SnapshotTable.rename_column/drop_column) — the
+    exported parquet files are hard links storing PHYSICAL column names, and
+    columnMapping is Delta's contract for reading those under logical names."""
+    sch = json.loads(table.read().schema.json())
+    if mapping:
+        by_name = {c["name"]: c for c in mapping if not c.get("dropped")}
+        for f in sch["fields"]:
+            c = by_name.get(f["name"])
+            if c is None:
+                raise DeltaLogError(
+                    f"schema field {f['name']!r} missing from the table's "
+                    f"column mapping; cannot export columnMapping metadata"
+                )
+            md = dict(f.get("metadata") or {})
+            md["delta.columnMapping.id"] = int(c["id"])
+            md["delta.columnMapping.physicalName"] = c["physical"]
+            f["metadata"] = md
+    return json.dumps(sch)
+
+
+def _export_protocol(has_dvs: bool, has_cm: bool) -> dict:
+    """Minimal Delta protocol for the export's capability set: DVs need the
+    v3/v7 feature protocol (columnMapping joins the feature lists when both
+    are present); columnMapping alone uses the legacy 2/5 pair (maximally
+    readable); plain tables stay at 1/2."""
+    if has_dvs:
+        feats = ["deletionVectors"] + (["columnMapping"] if has_cm else [])
+        return {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": sorted(feats), "writerFeatures": sorted(feats),
+        }
+    if has_cm:
+        return {"minReaderVersion": 2, "minWriterVersion": 5}
+    return {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+def _protocol_caps(p: dict) -> set:
+    """Capabilities a protocol action already grants (never downgraded)."""
+    caps = set()
+    feats = set(p.get("readerFeatures") or [])
+    if "deletionVectors" in feats:
+        caps.add("dv")
+    if "columnMapping" in feats or int(p.get("minReaderVersion", 1)) == 2:
+        caps.add("cm")
+    return caps
+
+
 def export_delta_log(
     table, out_path: str, checkpoint: bool = False, checkpoint_interval: int | None = 10
 ) -> str:
@@ -889,8 +939,9 @@ def export_delta_log(
     )
     fs.mkdirs(log_dir)
     entries = {os.path.basename(e.path): e for e in table.files()}
+    mapping = table.column_mapping() if hasattr(table, "column_mapping") else None
     if entries:
-        schema_str = table.read().schema.json()
+        schema_str = _mapped_schema_string(table, mapping)
     elif existing:
         schema_str = None  # empty state: keep the previously exported schema
     else:
@@ -898,12 +949,12 @@ def export_delta_log(
             "cannot export an EMPTY table with no prior export at the target "
             "(no schema source); export once while the table has data"
         )
-    # merge-on-read tables export native Delta DVs, which need the v3
-    # reader protocol; DV-free tables stay maximally readable at v1
-    dv_protocol = {
-        "minReaderVersion": 3, "minWriterVersion": 7,
-        "readerFeatures": ["deletionVectors"], "writerFeatures": ["deletionVectors"],
-    }
+    want_config: dict = {}
+    if mapping:
+        want_config["delta.columnMapping.mode"] = "name"
+        want_config["delta.columnMapping.maxColumnId"] = str(
+            max(int(c["id"]) for c in mapping)
+        )
     has_dvs = any(e.dv for e in entries.values())
     if not existing:
         meta = {
@@ -911,19 +962,21 @@ def export_delta_log(
             "format": {"provider": "parquet", "options": {}},
             "schemaString": schema_str,
             "partitionColumns": [],
-            "configuration": {},
+            "configuration": want_config,
             "createdTime": 0,
         }
-        proto = dv_protocol if has_dvs else {"minReaderVersion": 1, "minWriterVersion": 2}
+        proto = _export_protocol(has_dvs, bool(mapping))
         cur_proto = proto
         actions = [{"protocol": proto}, {"metaData": meta}]
         adds = [_export_add_action(out_path, e, fs) for e in entries.values()]
         actions += [{"add": a} for a in adds]
         version = 0
+        prev_commit_ts = 0
     else:
         # replay the existing export state driver-side (seam metadata)
         tmp = _ExportReplay(out_path, fs)
         prev_meta, prev_adds, prev_proto = tmp.state()
+        prev_commit_ts = tmp.max_commit_ts
         version = tmp.version + 1
         by_src: dict[str, tuple[str, dict]] = {}
         untagged: list[str] = []  # pre-tags exporter output: not diffable
@@ -935,13 +988,31 @@ def export_delta_log(
                 untagged.append(p)
         actions = []
         cur_proto = prev_proto
-        if has_dvs and "deletionVectors" not in (prev_proto.get("readerFeatures") or []):
-            actions.append({"protocol": dv_protocol})  # one-time in-place upgrade
-            cur_proto = dv_protocol
+        # one-time in-place protocol upgrades: the union of what the prior
+        # export already granted (never downgrade — r9 ADVICE #2) and what
+        # this state needs (DVs, columnMapping after a source-table rename)
+        need_caps = _protocol_caps(prev_proto)
+        if has_dvs:
+            need_caps.add("dv")
+        if mapping:
+            need_caps.add("cm")
+        if need_caps - _protocol_caps(prev_proto):
+            cur_proto = _export_protocol("dv" in need_caps, "cm" in need_caps)
+            actions.append({"protocol": cur_proto})
         meta = prev_meta
-        if schema_str is not None and prev_meta.get("schemaString") != schema_str:
+        # the mapping's maxColumnId only grows; keep any foreign config keys
+        new_config = dict(prev_meta.get("configuration") or {})
+        for k, v in want_config.items():
+            if k == "delta.columnMapping.maxColumnId":
+                v = str(max(int(v), int(new_config.get(k) or 0)))
+            new_config[k] = v
+        if schema_str is not None and (
+            prev_meta.get("schemaString") != schema_str
+            or (prev_meta.get("configuration") or {}) != new_config
+        ):
             meta = dict(prev_meta)
             meta["schemaString"] = schema_str
+            meta["configuration"] = new_config
             actions.append({"metaData": meta})
         gone = sorted(untagged) + sorted(
             p for src, (p, _) in by_src.items() if src not in entries
@@ -992,11 +1063,14 @@ def export_delta_log(
     # Delta's convention: every commit records a wall-clock
     # commitInfo.timestamp, which is what version_as_of resolves against —
     # without it, timestamp travel on an exported log leans on filesystem
-    # mtime (absent on object stores, wrong on copied logs). The reader
-    # monotonizes with a running max, so a plain now() stamp suffices.
+    # mtime (absent on object stores, wrong on copied logs). Stamp
+    # max(now, prior+1) like the Iceberg exporter and SnapshotTable.ts_ms:
+    # a clock step back must not yield duplicate/decreasing stamps, or
+    # between-stamp probes (ts-1) lose their boundary semantics.
     import time as _time
 
-    actions = [{"commitInfo": {"timestamp": int(_time.time() * 1000),
+    commit_ts = max(int(_time.time() * 1000), prev_commit_ts + 1)
+    actions = [{"commitInfo": {"timestamp": commit_ts,
                                "operation": "REPLICATE"}}] + actions
     fs.write_bytes(
         join_path(log_dir, f"{version:020d}.json"),
@@ -1043,6 +1117,7 @@ class _ExportReplay:
         meta: dict = {}
         adds: dict[str, dict] = {}
         protocol: dict = {}
+        self.max_commit_ts = 0  # highest commitInfo.timestamp seen in the log
         for v in self._versions:
             for line in self.fs.read_text(
                 self._join(self.log_dir, f"{v:020d}.json")
@@ -1059,6 +1134,10 @@ class _ExportReplay:
                     adds.pop(action["remove"]["path"], None)
                 elif "protocol" in action:
                     protocol = action["protocol"]
+                elif "commitInfo" in action:
+                    ts = action["commitInfo"].get("timestamp")
+                    if ts is not None:
+                        self.max_commit_ts = max(self.max_commit_ts, int(ts))
         if not meta:
             raise DeltaLogError("no metaData in the exported Delta log")
         return meta, adds, protocol

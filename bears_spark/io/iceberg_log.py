@@ -335,12 +335,10 @@ def _read_footer_field_map(path: str) -> tuple[tuple[str, int], ...]:
     out = []
     for f in schema:
         fid = (f.metadata or {}).get(b"PARQUET:field_id")
-        if fid is None:
-            raise IcebergLogError(
-                f"data file {path!r} carries no parquet field ids; cannot "
-                f"project a renamed schema by id"
-            )
-        out.append((f.name, int(fid)))
+        # a missing id is carried as None: _footer_field_maps can still
+        # resolve it through the table's schema.name-mapping.default (the
+        # spec's mechanism for imported files without stamped field ids)
+        out.append((f.name, int(fid) if fid is not None else None))
     return tuple(out)
 
 
@@ -774,6 +772,26 @@ class IcebergTableReader:
         cur_id = self.meta.get("current-schema-id", 0)
         return next((s for s in schemas if s.get("schema-id", 0) == cur_id), schemas[0])
 
+    def _schema_for_snapshot(self, snapshot_id: int | None) -> dict:
+        """The schema a snapshot should be read under: its stamped
+        ``schema-id`` when present (spec field — time travel across a rename
+        serves the OLD names), else the table's current schema."""
+        if snapshot_id is not None:
+            snap = next(
+                (s for s in self.meta.get("snapshots", [])
+                 if int(s["snapshot-id"]) == int(snapshot_id)),
+                None,
+            )
+            if snap is not None and snap.get("schema-id") is not None:
+                schemas = self.meta.get("schemas") or []
+                hit = next(
+                    (s for s in schemas if s.get("schema-id", 0) == int(snap["schema-id"])),
+                    None,
+                )
+                if hit is not None:
+                    return hit
+        return self._current_schema()
+
     def _renames_detected(self) -> bool:
         """True when any historical schema maps a field id to a DIFFERENT
         name than the current schema. Iceberg renames are metadata-only (ids
@@ -781,21 +799,52 @@ class IcebergTableReader:
         the column under its old name — projecting those files by name would
         silently drop/misread the column."""
         schemas = self.meta.get("schemas") or []
-        if len(schemas) < 2:
-            return False
-        cur = {
-            int(f["id"]): f["name"]
-            for f in self._current_schema().get("fields", [])
-            if "id" in f
-        }
+        # compare ACROSS the whole schema history, not just vs current: a
+        # renamed column that was later dropped still left pre-rename files
+        # storing it under the old name
+        names_by_id: dict[int, set] = {}
         for s in schemas:
             for f in s.get("fields", []):
-                fid = f.get("id")
-                if fid is not None and int(fid) in cur and f["name"] != cur[int(fid)]:
+                if f.get("id") is not None:
+                    names_by_id.setdefault(int(f["id"]), set()).add(f["name"])
+        if any(len(names) > 1 for names in names_by_id.values()):
+            return True
+        # a rename that happened BEFORE the first export leaves one schema
+        # but a name-mapping whose physical name disagrees with it — the
+        # data files store the physical name, so id-projection is needed
+        nm = self._default_name_mapping()
+        if nm:
+            for phys, fid in nm.items():
+                if fid in names_by_id and phys not in names_by_id[fid]:
                     return True
         return False
 
-    def _scan(self, paths: list[str], tag_metadata: bool = False) -> DataFrame:
+    def _schema_projection_needed(self, snapshot_id: int | None) -> bool:
+        """True when some schema in history carries a field id ABSENT from
+        the read schema (a dropped column): data files may still store it,
+        so the scan must project to the read schema instead of surfacing
+        whatever mergeSchema finds. Pure-additive histories return False and
+        keep the untouched mergeSchema plan."""
+        schemas = self.meta.get("schemas") or []
+        read_ids = {
+            int(f["id"])
+            for f in self._schema_for_snapshot(snapshot_id).get("fields", [])
+            if "id" in f
+        }
+        if any(
+            f.get("id") is not None and int(f["id"]) not in read_ids
+            for s in schemas
+            for f in s.get("fields", [])
+        ):
+            return True
+        # a column dropped BEFORE the first export never entered any schema
+        # here, but the exporter's cumulative name-mapping still carries its
+        # retired id — data files may store it, so project it away
+        nm = self._default_name_mapping()
+        return bool(nm) and any(fid not in read_ids for fid in nm.values())
+
+    def _scan(self, paths: list[str], tag_metadata: bool = False,
+              snapshot_id: int | None = None) -> DataFrame:
         """Distributed parquet scan of data files. When the schema history
         shows a column RENAME, project by Iceberg field id instead of name:
         each file's footer ``PARQUET:field_id`` metadata (the ids every
@@ -823,13 +872,30 @@ class IcebergTableReader:
         on an object store would be 10^6 driver round-trips (VERDICT r9
         "What's wrong" #3)."""
         if not self._renames_detected():
+            from pyspark.sql import functions as F
+
             df = self.spark.read.option("mergeSchema", "true").parquet(
                 *[spark_path(p) for p in paths]
             )
-            return self._tag_metadata(df) if tag_metadata else df
+            if tag_metadata:
+                df = self._tag_metadata(df)
+            if self._schema_projection_needed(snapshot_id):
+                # rename-free evolution with a DROP in history: project to
+                # the read schema by NAME (names are stable per id here), so
+                # dropped columns stay hidden without needing footer ids
+                sch = self._spark_schema(snapshot_id=snapshot_id)
+                keep = [
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    if f.name in df.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in sch.fields
+                ]
+                tags = [F.col(c) for c in ("__ice_fp__", "__ice_pos__") if c in df.columns]
+                df = df.select(*keep, *tags)
+            return df
         from pyspark.sql import functions as F
 
-        logical = self._spark_schema(with_field_ids=True)
+        logical = self._spark_schema(with_field_ids=True, snapshot_id=snapshot_id)
         maps = self._footer_field_maps(paths)
         groups: dict[tuple[tuple[str, int], ...], list[str]] = {}
         for p in paths:
@@ -885,7 +951,38 @@ class IcebergTableReader:
                     .collect()
                 )
                 self._footer_maps.update(pairs)
-        return {p: self._footer_maps[p] for p in paths}
+        # files without stamped field ids resolve through the table's
+        # default name mapping (spec: schema.name-mapping.default), the
+        # path every export of a rename-evolved SnapshotTable takes — its
+        # data files are hard links Spark wrote without ids
+        nm = self._default_name_mapping()
+        out: dict[str, tuple[tuple[str, int], ...]] = {}
+        for p in paths:
+            fixed = []
+            for name, fid in self._footer_maps[p]:
+                if fid is None:
+                    fid = (nm or {}).get(name)
+                if fid is None:
+                    raise IcebergLogError(
+                        f"data file {p!r} carries no parquet field id for "
+                        f"column {name!r} and the table has no name-mapping "
+                        f"entry for it; cannot project a renamed schema by id"
+                    )
+                fixed.append((name, int(fid)))
+            out[p] = tuple(fixed)
+        return out
+
+    def _default_name_mapping(self) -> dict[str, int] | None:
+        """``schema.name-mapping.default`` as {physical column name ->
+        field id}, or None when the table carries no mapping property."""
+        raw = (self.meta.get("properties") or {}).get("schema.name-mapping.default")
+        if not raw:
+            return None
+        out: dict[str, int] = {}
+        for m in json.loads(raw):
+            for n in m.get("names") or []:
+                out[n] = int(m["field-id"])
+        return out
 
     def changes_since(self, snapshot_id: int, to_snapshot_id: int | None = None) -> DataFrame:
         """Incremental consumer API over an Iceberg table: rows in data files
@@ -936,10 +1033,11 @@ class IcebergTableReader:
         if where is not None:
             data_entries = self._where_keep(data_entries, where)
         if not data_entries:
-            df = self.spark.createDataFrame([], self._spark_schema())
+            df = self.spark.createDataFrame([], self._spark_schema(snapshot_id=snapshot_id))
             return df if where is None else df.filter(_OPS[where[1]](F.col(where[0]), F.lit(where[2])))
         need_tags = bool(pos_deletes or eq_deletes)
-        df = self._scan([loc for _, loc, _, _ in data_entries], tag_metadata=need_tags)
+        df = self._scan([loc for _, loc, _, _ in data_entries], tag_metadata=need_tags,
+                        snapshot_id=snapshot_id)
         if need_tags:
             if pos_deletes:
                 df = self._apply_position_deletes(df, data_entries, pos_deletes)
@@ -950,7 +1048,7 @@ class IcebergTableReader:
             df = df.filter(_OPS[where[1]](F.col(where[0]), F.lit(where[2])))
         return df
 
-    def _spark_schema(self, with_field_ids: bool = False):
+    def _spark_schema(self, with_field_ids: bool = False, snapshot_id: int | None = None):
         from pyspark.sql import types as T
 
         _ICE2SPARK = {
@@ -959,7 +1057,7 @@ class IcebergTableReader:
             "date": T.DateType(), "binary": T.BinaryType(),
             "timestamp": T.TimestampType(), "timestamptz": T.TimestampType(),
         }
-        schema = self._current_schema()
+        schema = self._schema_for_snapshot(snapshot_id)
         fields = []
         for f in schema.get("fields", []):
             t = f["type"]
@@ -1084,6 +1182,29 @@ def _export_partition_plan(partition_by, fields):
     return kind, col, int(f["id"]), ice_type, part_name, avro_type, spec_field
 
 
+def _is_truncated_string_pair(lo, hi) -> bool:
+    """True when (lo, hi) look like the bounded-prefix form
+    :func:`bears_spark.io.snapshot_table._truncate_string_stats` emits for a
+    SINGLE over-width value: lo is a full-width prefix and hi is exactly that
+    prefix with its last incrementable code point bumped (surrogate gap
+    skipped). Such a pair gives no evidence the file spans two partitions —
+    only that the true value is longer than the stat prefix."""
+    from bears_spark.io.snapshot_table import STAT_STRING_PREFIX
+
+    if not (isinstance(lo, str) and isinstance(hi, str)):
+        return False
+    if len(lo) != STAT_STRING_PREFIX or not hi or len(hi) > len(lo):
+        return False
+    for i in range(len(lo) - 1, -1, -1):
+        cp = ord(lo[i])
+        if cp < 0x10FFFF:
+            nxt = cp + 1
+            if 0xD800 <= nxt <= 0xDFFF:
+                nxt = 0xE000
+            return hi == lo[:i] + chr(nxt)
+    return False
+
+
 def _export_partition_value(entry, kind, col, ice_type):
     """One data file's partition tuple value, derived from its manifest
     min/max stats: both bounds must transform to the SAME value (every
@@ -1106,10 +1227,28 @@ def _export_partition_value(entry, kind, col, ice_type):
     if kind == "identity":
         tlo, thi = lo, hi
     else:
-        # tagged temporal stats are epoch-micros regardless of source type
+        # snapshot-table stats tag BOTH date and timestamp bounds as
+        # epoch-micros dicts ({"t": "ts", "v": ...}); a temporal transform
+        # fed an untagged raw value would silently misread it as micros,
+        # so fail loudly instead (the ice_type names the expected source)
+        if not (isinstance(s["min"], dict) and isinstance(s["max"], dict)):
+            raise IcebergLogError(
+                f"file {entry.path!r}: {col!r} stats are not tagged "
+                f"epoch-micros ({s['min']!r}); a {kind} transform needs a "
+                f"{ice_type} source with tagged temporal stats"
+            )
         tlo = time_transform(lo, "timestamp", kind)
         thi = time_transform(hi, "timestamp", kind)
     if tlo is None or thi is None or tlo != thi:
+        if kind == "identity" and _is_truncated_string_pair(lo, hi):
+            from bears_spark.io.snapshot_table import STAT_STRING_PREFIX
+
+            raise IcebergLogError(
+                f"file {entry.path!r}: {col!r} value exceeds the "
+                f"{STAT_STRING_PREFIX}-char stat prefix, so its identity "
+                f"partition tuple cannot be derived from manifest stats; "
+                f"partition on a bounded-width column instead"
+            )
         raise IcebergLogError(
             f"file {entry.path!r} spans multiple {kind}({col}) partitions "
             f"({tlo!r}..{thi!r}); cluster the table on {col!r} (e.g. "
@@ -1162,6 +1301,14 @@ def export_iceberg_metadata(table, out_path: str, partition_by: tuple | None = N
     from bears_spark.io.metafs import copy_file, datafs_for, join_path, parquet_metadata
 
     file_entries = table.files()
+    # schema evolution (SnapshotTable.rename_column/drop_column): field ids
+    # come from the table's column mapping, so a rename re-exports as
+    # Iceberg field-id evolution (same id, new name) and a drop retires its
+    # id; pre-mapping tables keep the positional ids (which the mapping
+    # bootstrap reproduces, so the first rename doesn't renumber the replica)
+    mapping = table.column_mapping() if hasattr(table, "column_mapping") else None
+    by_logical = {c["name"]: c for c in (mapping or []) if not c.get("dropped")}
+    stats_key: dict[str, str] = {}  # logical field name -> physical stats key
     fields: list | None = None
     if file_entries:
         df = table.read()
@@ -1170,10 +1317,12 @@ def export_iceberg_metadata(table, out_path: str, partition_by: tuple | None = N
             t = f.dataType.typeName()
             if t not in _SPARK2ICE:
                 raise IcebergLogError(f"unsupported Spark type {t!r} for Iceberg export")
+            c = by_logical.get(f.name)
             fields.append(
-                {"id": i + 1, "name": f.name, "required": not f.nullable,
-                 "type": _SPARK2ICE[t]}
+                {"id": int(c["id"]) if c else i + 1, "name": f.name,
+                 "required": not f.nullable, "type": _SPARK2ICE[t]}
             )
+            stats_key[f.name] = c["physical"] if c else f.name
     out_path = out_path.rstrip("/")
     # the export destination may be an object store (file:// s3:// gs://):
     # metadata writes go through the FS seam, data files copy via hard link
@@ -1194,7 +1343,7 @@ def export_iceberg_metadata(table, out_path: str, partition_by: tuple | None = N
         lo: dict[str, bytes] = {}
         hi: dict[str, bytes] = {}
         for f in fields:
-            s = e.stats.get(f["name"])
+            s = e.stats.get(stats_key.get(f["name"], f["name"]))
             if not isinstance(s, dict) or isinstance(s.get("min"), dict):
                 continue
             b_lo = _encode_bound(s.get("min"), f["type"]) if s.get("min") is not None else None
@@ -1210,7 +1359,9 @@ def export_iceberg_metadata(table, out_path: str, partition_by: tuple | None = N
         if part_plan is not None:
             kind, col, _fid, p_ice_type, part_name, _avro, _spec = part_plan
             out["data_file"]["partition"] = {
-                part_name: _export_partition_value(e, kind, col, p_ice_type)
+                part_name: _export_partition_value(
+                    e, kind, stats_key.get(col, col), p_ice_type
+                )
             }
         return out
 
@@ -1349,10 +1500,18 @@ def export_iceberg_metadata(table, out_path: str, partition_by: tuple | None = N
             {"manifest_path": mpath, "manifest_length": fs.size(mpath),
              "content": 0, "added_snapshot_id": new_sid}
         )
+    prior_cur_fields = None
+    if prior_meta is not None:
+        prior_cur_fields = next(
+            (s["fields"] for s in prior_meta["schemas"]
+             if s.get("schema-id") == prior_meta.get("current-schema-id")),
+            None,
+        )
     if (
         prior_meta is not None
         and not new_names
         and not gone
+        and fields == prior_cur_fields  # rename/drop evolve with zero file churn
         and ((not dv_pairs and not prior_had_deletes) or dv_unchanged)
     ):
         # zero churn: no new snapshot — idempotent, like the Delta exporter
@@ -1445,6 +1604,9 @@ def export_iceberg_metadata(table, out_path: str, partition_by: tuple | None = N
     else:
         current_schema_id = max((int(s["schema-id"]) for s in schemas), default=-1) + 1
         schemas.append({"schema-id": current_schema_id, "type": "struct", "fields": fields})
+    # stamp the snapshot with its schema (spec field): time travel across a
+    # rename then serves each snapshot under ITS OWN column names
+    snapshots[-1]["schema-id"] = current_schema_id
     meta = {
         "format-version": 2,
         "table-uuid": (prior_meta or {}).get("table-uuid") or _uuid.uuid4().hex,
@@ -1454,6 +1616,36 @@ def export_iceberg_metadata(table, out_path: str, partition_by: tuple | None = N
         "schemas": schemas,
         "current-schema-id": current_schema_id,
     }
+    properties = dict((prior_meta or {}).get("properties") or {})
+    if mapping:
+        # the exported data files are hard links WITHOUT parquet field ids
+        # (Spark doesn't stamp them); the spec's default name mapping tells
+        # readers which field id each PHYSICAL column name carries, which is
+        # what makes the rename-evolved schema projectable by id. CUMULATIVE
+        # across exports: a dropped column's physical name stays mapped —
+        # files written before the drop still store it, and historic
+        # snapshots still project it.
+        nm: dict[str, int] = {}
+        prior_nm = properties.get("schema.name-mapping.default")
+        if prior_nm:
+            for m in json.loads(prior_nm):
+                for n in m.get("names") or []:
+                    nm[n] = int(m["field-id"])
+        for c in mapping:
+            prev = nm.get(c["physical"])
+            if prev is not None and prev != int(c["id"]):
+                raise IcebergLogError(
+                    f"physical column {c['physical']!r} was re-bound to field "
+                    f"id {c['id']} (previously {prev}): a name mapping cannot "
+                    f"distinguish the two generations in unstamped files — "
+                    f"compact/rewrite the table before re-exporting"
+                )
+            nm[c["physical"]] = int(c["id"])
+        properties["schema.name-mapping.default"] = json.dumps(
+            [{"field-id": fid, "names": [n]} for n, fid in sorted(nm.items())]
+        )
+    if properties:
+        meta["properties"] = properties
     if part_plan is not None:
         meta["partition-specs"] = want_specs
         meta["default-spec-id"] = 0

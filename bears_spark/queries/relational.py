@@ -5366,16 +5366,14 @@ def orders_delta_ts_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     root = tempfile.mkdtemp(prefix="delta_ts_")
     try:
-        import time as _time
-
         t = SnapshotTable(spark, _os.path.join(root, "t"))
         out = _os.path.join(root, "delta")
+        # the exporter stamps max(now, prior+1): distinct monotone stamps
+        # are structural, no inter-commit sleeps needed (ADVICE r10)
         t.overwrite(o.filter(F.col("o_orderkey") % 3 == 0).repartition(2))
         export_delta_log(t, out)
-        _time.sleep(0.01)  # commit stamps are wall-clock ms: keep them distinct
         t.append(o.filter(F.col("o_orderkey") % 3 == 1).repartition(2))
         export_delta_log(t, out)
-        _time.sleep(0.01)
         t.delete_where("o_orderpriority", "=", "1-URGENT", mode="mor")
         export_delta_log(t, out)
         log_dir = _os.path.join(out, "_delta_log")
@@ -5433,3 +5431,112 @@ ORDER BY point
 
 QUERIES["orders_delta_ts_travel"] = orders_delta_ts_travel
 ORACLES["orders_delta_ts_travel"] = ORDERS_DELTA_TS_TRAVEL_SQL
+
+
+# orders_rename_evolution: native schema evolution round-tripped through BOTH
+# exporters (VERDICT r10 "Next round" #3) — rename_column/drop_column are
+# metadata-only commits (no data file rewritten); the Delta replica carries
+# columnMapping (mode=name, physical names preserved), the Iceberg replica
+# evolves by field id with a cumulative default name-mapping for the
+# unstamped hard-linked files; time travel across the rename serves the OLD
+# names on the native table AND both replicas. Four graded points, each the
+# same aggregate over a different read path, hash-matched against relational
+# state. The reference has no lakehouse layer (SURVEY.md §1.2) — this mirrors
+# delta-spark / Iceberg schema-evolution semantics.
+def orders_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from bears_spark.io.delta_log import DeltaTableReader, export_delta_log
+    from bears_spark.io.iceberg_log import IcebergTableReader, export_iceberg_metadata
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = tempfile.mkdtemp(prefix="rename_evo_")
+    try:
+        t = SnapshotTable(spark, _os.path.join(root, "t"))
+        t.overwrite(o.filter(F.col("o_orderkey") % 4 == 0).repartition(2))
+        v1 = t.current_version()
+        delta_out = _os.path.join(root, "delta")
+        ice_out = _os.path.join(root, "ice")
+        export_delta_log(t, delta_out)  # pre-evolution exports
+        export_iceberg_metadata(t, ice_out)
+        t.rename_column("o_totalprice", "price")  # metadata-only
+        t.drop_column("o_orderpriority")  # metadata-only
+        t.append(
+            o.filter(F.col("o_orderkey") % 4 == 1)
+            .selectExpr("o_orderkey", "o_totalprice AS price")
+            .repartition(2)
+        )
+        export_delta_log(t, delta_out)  # diff commit + columnMapping upgrade
+        export_iceberg_metadata(t, ice_out)  # field-id evolution snapshot
+        native = t.read()
+        assert native.columns == ["o_orderkey", "price"], native.columns
+        delta = DeltaTableReader(spark, delta_out).read()
+        ice_r = IcebergTableReader(spark, ice_out)
+        ice = ice_r.read()
+        assert delta.columns == native.columns and ice.columns == native.columns
+        # time travel across the rename: old snapshot, old names, everywhere
+        for old in (
+            t.read(version=v1),
+            DeltaTableReader(spark, delta_out).read(version=0),
+            ice_r.read(snapshot_id=1),
+        ):
+            assert old.columns == ["o_orderkey", "o_totalprice", "o_orderpriority"], (
+                old.columns
+            )
+
+        def agg(df: DataFrame, label: str):
+            r = df.agg(
+                F.count("*").alias("n"),
+                F.round(
+                    F.sum(F.col("price").cast("decimal(30,6)")).cast("double"), 6
+                ).alias("total"),
+            ).first()
+            return (label, r["n"], r["total"])
+
+        rows = [
+            agg(native, "native"),
+            agg(delta, "delta"),
+            agg(ice, "iceberg"),
+        ]
+        r1 = (
+            t.read(version=v1)
+            .agg(
+                F.count("*").alias("n"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double"),
+                    6,
+                ).alias("total"),
+            )
+            .first()
+        )
+        rows.append(("native_v1", r1["n"], r1["total"]))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "point string, n bigint, total double"
+    ).orderBy("point")
+
+
+ORDERS_RENAME_EVOLUTION_SQL = """
+WITH cur AS (
+  SELECT count(*) AS n,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 6) AS total
+  FROM orders WHERE o_orderkey % 4 IN (0, 1)
+)
+SELECT 'delta' AS point, n, total FROM cur
+UNION ALL SELECT 'iceberg', n, total FROM cur
+UNION ALL SELECT 'native', n, total FROM cur
+UNION ALL
+SELECT 'native_v1', count(*),
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 6)
+FROM orders WHERE o_orderkey % 4 = 0
+ORDER BY point
+"""
+
+QUERIES["orders_rename_evolution"] = orders_rename_evolution
+ORACLES["orders_rename_evolution"] = ORDERS_RENAME_EVOLUTION_SQL

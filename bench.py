@@ -20,10 +20,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def _testdata_fingerprint(sf_dir: str) -> str:
-    """Stable 16-hex digest of the input parquet BYTES (per-file size +
-    mtime_ns + path, every *.parquet under ``sf_dir``). Two bench lines with
-    equal fingerprints ran on identical testdata; unequal fingerprints mean
-    per-query deltas may be data-layout effects, not code."""
+    """Stable 16-hex digest of the input parquet CONTENTS (path + full file
+    bytes of every *.parquet under ``sf_dir``). Two bench lines with equal
+    fingerprints ran on byte-identical testdata; unequal fingerprints mean
+    per-query deltas may be data-layout effects, not code. Content hashing
+    (not size+mtime) so a byte-identical regeneration still compares MATCH
+    and a preserved-mtime copy of different bytes does not."""
     import hashlib
 
     h = hashlib.sha256()
@@ -32,8 +34,11 @@ def _testdata_fingerprint(sf_dir: str) -> str:
             if not name.endswith(".parquet"):
                 continue
             p = os.path.join(root, name)
-            st = os.stat(p)
-            h.update(f"{os.path.relpath(p, sf_dir)}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+            h.update(os.path.relpath(p, sf_dir).encode() + b":")
+            with open(p, "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
+            h.update(b"\n")
     return h.hexdigest()[:16]
 
 

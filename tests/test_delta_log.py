@@ -1042,6 +1042,40 @@ def test_export_stamps_commit_info_for_timestamp_travel(spark, tmp_path):
     assert r.read(version=r.version_as_of(stamps[0])).count() == 10
 
 
+def test_export_commit_stamps_monotone_under_clock_step_back(spark, tmp_path, monkeypatch):
+    """Exported commitInfo.timestamp stamps max(now, prior+1), mirroring
+    export_iceberg_metadata and SnapshotTable.ts_ms: a wall clock stepping
+    BACK between exports must still yield strictly increasing stamps, or
+    between-stamp probes (ts-1) lose their boundary semantics (ADVICE r10)."""
+    import time as _time
+
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "mono_src"))
+    t.overwrite(spark.range(0, 10).selectExpr("id", "id * 1.0 AS v"))
+    out = str(tmp_path / "mono_dst")
+    export_delta_log(t, out)
+    # clock steps back one hour between exports
+    frozen = _time.time() - 3600.0
+    monkeypatch.setattr(_time, "time", lambda: frozen)
+    t.append(spark.range(10, 25).selectExpr("id", "id * 1.0 AS v"))
+    export_delta_log(t, out)
+    t.append(spark.range(25, 30).selectExpr("id", "id * 1.0 AS v"))
+    export_delta_log(t, out)
+    log_dir = os.path.join(out, "_delta_log")
+    stamps = []
+    for n in sorted(x for x in os.listdir(log_dir) if x.endswith(".json")):
+        with open(os.path.join(log_dir, n)) as f:
+            acts = [json.loads(line) for line in f if line.strip()]
+        stamps += [a["commitInfo"]["timestamp"] for a in acts if "commitInfo" in a]
+    assert len(stamps) == 3
+    assert stamps[1] == stamps[0] + 1 and stamps[2] == stamps[1] + 1
+    r = DeltaTableReader(spark, out)
+    assert r.version_as_of(stamps[1]) == 1
+    assert r.version_as_of(stamps[2] - 1) == 1  # boundary probe stays exact
+    assert r.version_as_of(stamps[2]) == 2
+
+
 def test_delta_checkpoint_metadata_field_complete(spark, tmp_path):
     """The checkpoint's metaData action carries configuration and
     format.options as EMPTY MAPS, never nulls — external readers replaying

@@ -1513,6 +1513,69 @@ def test_export_iceberg_partitioned_by_day(spark, tmp_path):
         time_transform(dt.datetime(2024, 3, 2, 23, 59), "timestamp", "day")
 
 
+def test_export_identity_partition_truncated_string_stat_refuses_clearly(spark, tmp_path):
+    """A string identity-partition value longer than the 32-char stat prefix
+    has truncated min != incremented max in the manifest, which is NOT
+    evidence the file spans two partitions — the export must refuse with the
+    stat-prefix diagnosis, not the misleading 'spans multiple' one; a
+    genuinely spanning string file still gets 'spans multiple' (ADVICE r10)."""
+    from bears_spark.io.iceberg_log import (
+        _is_truncated_string_pair,
+        export_iceberg_metadata,
+    )
+    from bears_spark.io.snapshot_table import STAT_STRING_PREFIX, SnapshotTable
+
+    long_val = "category-" + "x" * 40  # one distinct value, > 32 chars
+    t = SnapshotTable(spark, str(tmp_path / "trunc_src"))
+    t.overwrite(
+        spark.range(0, 5).selectExpr("id", f"'{long_val}' AS cat").coalesce(1)
+    )
+    with pytest.raises(Exception, match="stat prefix"):
+        export_iceberg_metadata(
+            t, str(tmp_path / "ice_trunc"), partition_by=("identity", "cat")
+        )
+    # a genuinely multi-valued (short-string) file keeps the spans message
+    t2 = SnapshotTable(spark, str(tmp_path / "span_src"))
+    t2.overwrite(
+        spark.range(0, 4).selectExpr(
+            "id", "CASE WHEN id < 2 THEN 'a' ELSE 'b' END AS cat"
+        ).coalesce(1)
+    )
+    with pytest.raises(Exception, match="spans multiple"):
+        export_iceberg_metadata(
+            t2, str(tmp_path / "ice_span2"), partition_by=("identity", "cat")
+        )
+    # helper unit coverage: the exact _truncate_string_stats single-value
+    # shape matches; near-misses do not
+    lo = "z" * STAT_STRING_PREFIX
+    assert _is_truncated_string_pair(lo, "z" * (STAT_STRING_PREFIX - 1) + "{")
+    assert not _is_truncated_string_pair(lo, lo)  # equal bounds never reach it
+    assert not _is_truncated_string_pair("short", "shoru")  # not full width
+    assert not _is_truncated_string_pair(lo, "a")  # not a prefix increment
+
+
+def test_export_partition_value_rejects_untagged_temporal_stats():
+    """Temporal transforms interpret stats as tagged epoch-micros; an
+    UNTAGGED raw value must fail loudly instead of being silently misread
+    as micros (ADVICE r10 — the ice_type names the expected source)."""
+    from types import SimpleNamespace
+
+    from bears_spark.io.iceberg_log import IcebergLogError, _export_partition_value
+
+    entry = SimpleNamespace(
+        path="f.parquet", stats={"ts": {"min": 1700000000, "max": 1700000000}}
+    )
+    with pytest.raises(IcebergLogError, match="not tagged epoch-micros"):
+        _export_partition_value(entry, "day", "ts", "timestamptz")
+    # the tagged shape still derives a tuple value
+    tagged = SimpleNamespace(
+        path="f.parquet",
+        stats={"ts": {"min": {"t": "ts", "v": 86_400_000_000},
+                      "max": {"t": "ts", "v": 86_400_000_000 + 5}}},
+    )
+    assert _export_partition_value(tagged, "day", "ts", "timestamptz") == 1
+
+
 def test_export_iceberg_empty_states(spark, tmp_path):
     """An emptied table exports an empty snapshot (prior schema reused);
     an empty FIRST export refuses (no schema source) — matching the Delta
