@@ -350,7 +350,9 @@ ROUND11_NEVER_GRADED: list[str] = [
 # queries added in round 11 accrue here — appended as implemented, capped
 # at the re-anchoring headroom round 12 will have (VERDICT r10 "Next
 # round" #8 keeps additions <= rotation headroom).
-ROUND12_NEVER_GRADED: list[str] = []
+ROUND12_NEVER_GRADED: list[str] = [
+    "orders_rename_evolution",
+]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45
 # round-5 additions). Kept so the rotation provenance is auditable.

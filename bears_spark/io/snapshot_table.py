@@ -358,10 +358,200 @@ class SnapshotTable:
             ) from last
         raise last
 
-    def _write_files(self, df: DataFrame) -> list[FileEntry]:
+    # -- schema evolution (column mapping) ------------------------------------
+    def column_mapping(self, version: int | None = None) -> list[dict] | None:
+        """The snapshot's ordered logical->physical column mapping
+        (``[{"id", "name", "physical"}]``), or None for a table whose schema
+        never evolved. Physical names are the column names inside the
+        immutable parquet files and NEVER change; ``rename_column`` moves
+        only the logical name (Delta's columnMapping model, Iceberg's
+        field-id model — the exporters translate to each). A DROPPED column
+        stays in the list with ``"dropped": True`` — its field id is retired
+        and its physical name reserved (old files still store it, and the
+        Iceberg exporter's name-mapping must keep resolving it); live-view
+        consumers filter the tombstones out."""
+        return self._load_manifest(version).get("columns")
+
+    @staticmethod
+    def _live_cols(mapping: list[dict]) -> list[dict]:
+        return [c for c in mapping if not c.get("dropped")]
+
+    def _synthesize_mapping(self, parent_m: dict) -> list[dict]:
+        """First-evolution bootstrap: identity mapping from the current
+        merged snapshot schema, ids by position (1-based) — the SAME ids the
+        Iceberg exporter's pre-mapping enumeration assigned, so a replica's
+        field ids stay stable across the table's first rename."""
+        files = [FileEntry(**e) for e in parent_m["files"]]
+        if not files:
+            raise ValueError(
+                "cannot evolve the schema of an empty table (no schema source)"
+            )
+        schema = self._scan(files).schema
+        return [
+            {"id": i + 1, "name": f.name, "physical": f.name}
+            for i, f in enumerate(schema.fields)
+        ]
+
+    @staticmethod
+    def _physical_col(col: str, mapping: list[dict] | None) -> str:
+        """Translate one LOGICAL column name to its physical name."""
+        if mapping is None:
+            return col
+        for c in mapping:
+            if not c.get("dropped") and c["name"] == col:
+                return c["physical"]
+        raise ValueError(
+            f"unknown column {col!r} (live columns: "
+            f"{[c['name'] for c in mapping if not c.get('dropped')]})"
+        )
+
+    def _to_physical_df(self, df: DataFrame, mapping: list[dict] | None) -> DataFrame:
+        """Rename a LOGICAL-named incoming df to physical names for writing.
+        Columns outside the mapping are NEW columns (their physical name is
+        their logical name) — unless the name collides with another column's
+        physical name, which refuses: under name-keyed mapping the new data
+        would silently read back as the OLD column."""
+        from pyspark.sql import functions as F
+
+        if mapping is None:
+            return df
+        l2p = {c["name"]: c["physical"] for c in mapping if not c.get("dropped")}
+        reserved = {c["physical"]: c for c in mapping}
+        cols = []
+        for name in df.columns:
+            phys = l2p.get(name)
+            if phys is None:
+                # a new column: its physical name is its own — refuse if a
+                # live OR dropped column already owns that physical name
+                # (name-keyed translation would silently alias the old data)
+                owner = reserved.get(name)
+                if owner is not None:
+                    raise ValueError(
+                        f"column {name!r} collides with the physical name of "
+                        f"{'dropped ' if owner.get('dropped') else 'renamed '}"
+                        f"column {owner['name']!r}; pick a different name"
+                    )
+                cols.append(F.col(name))
+            elif phys == name:
+                cols.append(F.col(name))
+            else:
+                cols.append(F.col(name).alias(phys))
+        return df.select(cols)
+
+    @staticmethod
+    def _project_mapping(df: DataFrame, mapping: list[dict] | None) -> DataFrame:
+        """Physical scan -> logical view: select mapped columns (in mapping
+        order) under their logical names. Dropped columns vanish here without
+        touching a data byte; a mapped column absent from every scanned file
+        (a stats-pruned subset predating its add) is simply absent, matching
+        the unmapped engine's subset-scan behavior."""
+        from pyspark.sql import functions as F
+
+        if mapping is None:
+            return df
+        present = set(df.columns)
+        return df.select(
+            *[
+                F.col(c["physical"]).alias(c["name"])
+                for c in mapping
+                if not c.get("dropped") and c["physical"] in present
+            ]
+        )
+
+    @staticmethod
+    def _extend_mapping(mapping: list[dict], df_columns: list[str]) -> list[dict]:
+        """Additive evolution under a mapping: unseen df columns join the
+        mapping with fresh ids (physical = logical, like mergeSchema appends
+        on an unmapped table)."""
+        known = {c["name"] for c in mapping if not c.get("dropped")}
+        reserved = {c["physical"] for c in mapping}
+        out = [dict(c) for c in mapping]
+        next_id = max((int(c["id"]) for c in mapping), default=0) + 1
+        for name in df_columns:
+            if name in known:
+                continue
+            if name in reserved:
+                raise ValueError(
+                    f"column name {name!r} is retired (the physical name of a "
+                    f"dropped or renamed column); pick a different name"
+                )
+            out.append({"id": next_id, "name": name, "physical": name})
+            next_id += 1
+        return out
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only column rename: no data file is touched — the commit
+        re-points the logical name at the same physical column (first
+        evolution synthesizes the identity mapping). Time travel across the
+        rename serves each snapshot under ITS OWN names. Refuses a taken
+        logical name and a name shadowing another column's physical name
+        (name-keyed translation would turn that into silent misreads).
+        Exports map to Delta columnMapping / Iceberg field-id evolution."""
+
+        def build_cols(parent_m: dict) -> list[dict]:
+            mapping = parent_m.get("columns") or self._synthesize_mapping(parent_m)
+            names = [c["name"] for c in self._live_cols(mapping)]
+            if old not in names:
+                raise ValueError(f"unknown column {old!r} (live columns: {names})")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            for c in mapping:
+                owns_old = not c.get("dropped") and c["name"] == old
+                if not owns_old and c["physical"] == new:
+                    raise ValueError(
+                        f"{new!r} is the physical name of "
+                        f"{'dropped ' if c.get('dropped') else ''}column "
+                        f"{c['name']!r}; renaming onto it would make writes "
+                        f"ambiguous"
+                    )
+            return [
+                dict(c, name=new) if (not c.get("dropped") and c["name"] == old)
+                else dict(c)
+                for c in mapping
+            ]
+
+        return self._commit(
+            "rename-column",
+            lambda parent_m: [FileEntry(**e) for e in parent_m["files"]],
+            build_columns=build_cols,
+        )
+
+    def drop_column(self, col: str) -> int:
+        """Metadata-only column drop: the physical data stays in every
+        already-written file (prior snapshots still read it); the current
+        mapping just stops projecting it. Refuses to drop the last column."""
+
+        def build_cols(parent_m: dict) -> list[dict]:
+            mapping = parent_m.get("columns") or self._synthesize_mapping(parent_m)
+            live = self._live_cols(mapping)
+            names = [c["name"] for c in live]
+            if col not in names:
+                raise ValueError(f"unknown column {col!r} (live columns: {names})")
+            if len(live) == 1:
+                raise ValueError("cannot drop the last column")
+            return [
+                dict(c, dropped=True)
+                if (not c.get("dropped") and c["name"] == col)
+                else dict(c)
+                for c in mapping
+            ]
+
+        return self._commit(
+            "drop-column",
+            lambda parent_m: [FileEntry(**e) for e in parent_m["files"]],
+            build_columns=build_cols,
+        )
+
+    def _write_files(self, df: DataFrame, to_physical: bool = True) -> list[FileEntry]:
         """Write df as immutable parquet files under data/<uuid>/ and harvest
         per-file row counts + column min/max from the footers (driver-side
-        metadata reads — bytes proportional to file count, not data size)."""
+        metadata reads — bytes proportional to file count, not data size).
+        ``to_physical`` translates a LOGICAL-named df to physical column
+        names first; internal rewrites (compact/CoW delete/merge output) scan
+        physical names already and pass False."""
+        mapping = self._load_manifest().get("columns")
+        if to_physical:
+            df = self._to_physical_df(df, mapping)
         subdir = join_path(self.path, "data", uuid.uuid4().hex)
         df.write.mode("overwrite").parquet(spark_path(subdir))
         entries = []
@@ -408,10 +598,12 @@ class SnapshotTable:
             entries.append(
                 FileEntry(path=fpath, rows=md.num_rows, stats=_truncate_string_stats(stats))
             )
-        self._attach_blooms(subdir, entries)
+        self._attach_blooms(subdir, entries, mapping)
         return entries
 
-    def _attach_blooms(self, subdir: str, entries: list[FileEntry]) -> None:
+    def _attach_blooms(
+        self, subdir: str, entries: list[FileEntry], mapping: list[dict] | None = None
+    ) -> None:
         """Fit per-file Bloom filters for ``bloom_cols`` with ONE distributed
         pass over the just-written files (grouped by input_file_name); the
         driver collects at most files x m_bits positions per column, never
@@ -425,7 +617,16 @@ class SnapshotTable:
         from bears_spark.io.dv import dv_join_key
 
         src = self.spark.read.parquet(spark_path(subdir))
-        cols = [c for c in self.bloom_cols if c in src.columns]
+        # bloom_cols are LOGICAL names; the just-written files are physical
+        # (a column outside the mapping — unmapped table or a new column —
+        # has physical = logical)
+        want = [
+            self._physical_col(c, mapping)
+            if mapping and any(m["name"] == c for m in self._live_cols(mapping))
+            else c
+            for c in self.bloom_cols
+        ]
+        cols = [c for c in dict.fromkeys(want) if c in src.columns]
         if not cols:
             return
         # int/string only: the read-side membership probe re-hashes the probe
@@ -465,19 +666,27 @@ class SnapshotTable:
                 if e is not None:
                     e.blooms[col] = {"m": self.bloom_bits, "k": self.bloom_k, "bits": format(bits, "x")}
 
-    def _commit(self, operation: str, build_files, txn: tuple[str, int] | None = None) -> int:
+    def _commit(self, operation: str, build_files, txn: tuple[str, int] | None = None,
+                build_columns=None) -> int:
         """CAS commit loop: build the file list against the current parent,
         try put_if_absent of manifest v(parent+1); on conflict reload the
         parent and rebuild. ``build_files(parent_manifest) -> list[FileEntry]``
         re-runs per attempt so parent-derived lists stay consistent.
         ``txn=(app_id, batch_id)`` stamps the commit for exactly-once
-        streaming ingest; stamps merge cumulatively into every child."""
+        streaming ingest; stamps merge cumulatively into every child.
+        ``build_columns(parent_manifest) -> list | None`` sets the commit's
+        column mapping; by default the parent's mapping (if any) carries
+        forward, so every operation preserves schema evolution."""
         for _ in range(self.max_commit_retries + 1):
             parent_m = self._load_manifest()
             parent = parent_m["version"]
             if txn is not None and parent_m.get("txns", {}).get(txn[0], -1) >= txn[1]:
                 return parent  # another committer already landed this batch
             files = build_files(parent_m)
+            columns = (
+                build_columns(parent_m) if build_columns is not None
+                else parent_m.get("columns")
+            )
             version = parent + 1
             txns = dict(parent_m.get("txns", {}))
             if txn is not None:
@@ -494,6 +703,8 @@ class SnapshotTable:
                 "files": [vars(e) for e in files],
                 "txns": txns,
             }
+            if columns is not None:
+                manifest["columns"] = columns
             if txn is not None:
                 manifest["batch_id"] = txn[1]
             payload = json.dumps(manifest).encode()
@@ -511,14 +722,41 @@ class SnapshotTable:
     def overwrite(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
         """Replace the table's contents. ``txn=(app_id, batch_id)`` stamps
         the commit for idempotent writers (e.g. incremental-view refresh):
-        a replay or an older racing writer of the same app is skipped."""
+        a replay or an older racing writer of the same app is skipped.
+        Under a column mapping, surviving logical names keep their ids and
+        physical names (exports stay field-id-stable); absent ones drop."""
+        df_cols = list(df.columns)
         new = self._write_files(df)
-        return self._commit("overwrite", lambda parent_m: new, txn=txn)
+
+        def build_cols(parent_m: dict):
+            mapping = parent_m.get("columns")
+            if mapping is None:
+                return None
+            # live columns absent from the new contents become tombstones
+            # (ids retired, physical names reserved); new columns extend
+            kept = [
+                dict(c, dropped=True)
+                if (not c.get("dropped") and c["name"] not in set(df_cols))
+                else dict(c)
+                for c in mapping
+            ]
+            return self._extend_mapping(kept, df_cols)
+
+        return self._commit("overwrite", lambda parent_m: new, txn=txn,
+                            build_columns=build_cols)
 
     def append(self, df: DataFrame) -> int:
+        df_cols = list(df.columns)
         new = self._write_files(df)  # written once; CAS retries only re-list the parent
+
+        def build_cols(parent_m: dict):
+            mapping = parent_m.get("columns")
+            return None if mapping is None else self._extend_mapping(mapping, df_cols)
+
         return self._commit(
-            "append", lambda parent_m: [FileEntry(**e) for e in parent_m["files"]] + new
+            "append",
+            lambda parent_m: [FileEntry(**e) for e in parent_m["files"]] + new,
+            build_columns=build_cols,
         )
 
     def delete_where(self, col: str, op: str, value, mode: str = "cow") -> int:
@@ -544,6 +782,8 @@ class SnapshotTable:
         dropped from the manifest outright."""
         from pyspark.sql import functions as F
 
+        # predicates arrive on LOGICAL names; files/stats speak physical
+        col = self._physical_col(col, self._load_manifest().get("columns"))
         if mode == "mor":
             return self._delete_where_mor(col, op, value)
         if mode != "cow":
@@ -559,7 +799,7 @@ class SnapshotTable:
                 survivors = self._scan(rewrite, merge_schema=False).filter(
                     ~pred | F.col(col).isNull()
                 )
-                new = self._write_files(survivors)
+                new = self._write_files(survivors, to_physical=False)
             return keep + new
 
         return self._commit("delete", build)
@@ -722,6 +962,8 @@ class SnapshotTable:
         else:
             key_vals = list(dict.fromkeys(keys))
         key_vals = [k for k in key_vals if k is not None]
+        # forget-list keys arrive on a LOGICAL column name
+        col = self._physical_col(col, self._load_manifest().get("columns"))
         if not key_vals:
             if txn is not None:
                 # an idempotent-writer batch with nothing to forget must
@@ -753,7 +995,7 @@ class SnapshotTable:
                 survivors = self._scan(rewrite, merge_schema=False).filter(
                     ~F.col(col).isin(key_vals) | F.col(col).isNull()
                 )
-                new = self._write_files(survivors)
+                new = self._write_files(survivors, to_physical=False)
             return keep + new
 
         return self._commit("delete-keys", build, txn=txn)
@@ -767,7 +1009,10 @@ class SnapshotTable:
         has been expired."""
         target = self._load_manifest(version)
         files = [FileEntry(**e) for e in target["files"]]
-        return self._commit("restore", lambda parent_m: files)
+        # RESTORE rolls back schema evolution too: the restored snapshot's
+        # column mapping (possibly none) becomes current
+        return self._commit("restore", lambda parent_m: files,
+                            build_columns=lambda parent_m: target.get("columns"))
 
     def overwrite_clustered(self, df: DataFrame, cluster_cols: list[str], bits: int = 8, num_files: int | None = None) -> int:
         """Z-order-clustered overwrite: quantize the cluster columns from
@@ -781,16 +1026,39 @@ class SnapshotTable:
 
         from bears_spark.functions.sketch import zorder_layout, zorder_quantize
 
+        df_cols = list(df.columns)
+        mapping = self._load_manifest().get("columns")
+        df = self._to_physical_df(df, mapping)
+        pcols = [
+            self._physical_col(c, mapping)
+            if mapping and any(m["name"] == c for m in self._live_cols(mapping))
+            else c
+            for c in cluster_cols
+        ]
         bounds = df.agg(
-            *[f for c in cluster_cols for f in (F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max"))]
+            *[f for c in pcols for f in (F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max"))]
         ).first()
         qcols = [
             zorder_quantize(F.col(c), int(bounds[f"{c}__min"]), int(bounds[f"{c}__max"]), bits)
-            for c in cluster_cols
+            for c in pcols
         ]
         laid = zorder_layout(df, qcols, bits=bits, num_partitions=num_files)
-        new = self._write_files(laid)
-        return self._commit("overwrite-clustered", lambda parent_m: new)
+        new = self._write_files(laid, to_physical=False)
+
+        def build_cols(parent_m: dict):
+            m = parent_m.get("columns")
+            if m is None:
+                return None
+            kept = [
+                dict(c, dropped=True)
+                if (not c.get("dropped") and c["name"] not in set(df_cols))
+                else dict(c)
+                for c in m
+            ]
+            return self._extend_mapping(kept, df_cols)
+
+        return self._commit("overwrite-clustered", lambda parent_m: new,
+                            build_columns=build_cols)
 
     def merge(self, source: DataFrame, key: str, txn: tuple[str, int] | None = None) -> int:
         """MERGE INTO this table (upsert): source rows update matching target
@@ -809,6 +1077,12 @@ class SnapshotTable:
 
         from bears_spark.functions.cdc import merge_into
 
+        # translate the LOGICAL-named source (and key) to physical names
+        # once; the rewrite then joins physical target against physical source
+        src_cols = list(source.columns)
+        mapping = self._load_manifest().get("columns")
+        source = self._to_physical_df(source, mapping)
+        key = self._physical_col(key, mapping) if mapping else key
         b = source.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
 
         def build(parent_m: dict) -> list[FileEntry]:
@@ -826,9 +1100,13 @@ class SnapshotTable:
                 merged = merge_into(target, source, on=key)
             else:
                 merged = source
-            return keep + self._write_files(merged)
+            return keep + self._write_files(merged, to_physical=False)
 
-        return self._commit("merge", build, txn=txn)
+        def build_cols(parent_m: dict):
+            m = parent_m.get("columns")
+            return None if m is None else self._extend_mapping(m, src_cols)
+
+        return self._commit("merge", build, txn=txn, build_columns=build_cols)
 
     def optimize_clustered(
         self,
@@ -883,6 +1161,13 @@ class SnapshotTable:
         class _StaleInputs(Exception):
             pass
 
+        if cluster_cols:
+            m0 = self._load_manifest().get("columns")
+            cluster_cols = [
+                self._physical_col(c, m0)
+                if m0 and any(mc["name"] == c for mc in self._live_cols(m0)) else c
+                for c in cluster_cols
+            ]
         for _ in range(max_rebuild_attempts):
             entries = [FileEntry(**e) for e in self._load_manifest()["files"]]
             # DV-bearing files are compaction candidates regardless of size:
@@ -912,9 +1197,9 @@ class SnapshotTable:
                     for c in cluster_cols
                 ]
                 laid = zorder_layout(merged, qcols, bits=bits, num_partitions=n_out)
-                new = self._write_files(laid)
+                new = self._write_files(laid, to_physical=False)
             else:
-                new = self._write_files(merged.repartition(n_out))
+                new = self._write_files(merged.repartition(n_out), to_physical=False)
             small_ids = {e.identity() for e in small}
 
             def build(parent_m: dict, small_ids=small_ids, new=new) -> list[FileEntry]:
@@ -984,11 +1269,16 @@ class SnapshotTable:
             if self.committed_txns().get(app, -1) >= batch_id:
                 pass  # replay after checkpoint recovery: already committed
             else:
+                batch_cols = list(batch_df.columns)
                 new = self._write_files(batch_df)
                 self._commit(
                     "stream-append",
                     lambda parent_m: [FileEntry(**e) for e in parent_m["files"]] + new,
                     txn=(app, batch_id),
+                    build_columns=lambda parent_m: (
+                        None if parent_m.get("columns") is None
+                        else self._extend_mapping(parent_m["columns"], batch_cols)
+                    ),
                 )
             if export_delta_to is not None:
                 # runs on replayed batches too: if the ingest committed but
@@ -1121,25 +1411,32 @@ class SnapshotTable:
             if version is not None:
                 raise ValueError("pass version OR as_of_timestamp_ms, not both")
             version = self.version_as_of(as_of_timestamp_ms)
-        all_entries = [FileEntry(**e) for e in self._load_manifest(version)["files"]]
+        m = self._load_manifest(version)
+        mapping = m.get("columns")  # THIS snapshot's logical view — time
+        # travel across a rename serves each version under its own names
+        all_entries = [FileEntry(**e) for e in m["files"]]
         if not all_entries:
             raise ValueError("snapshot has no data files")
         entries = all_entries
+        pwhere = None
         if where is not None:
-            entries = [e for e in entries if e.may_match(*where)]
+            col, op, value = where
+            pwhere = (self._physical_col(col, mapping), op, value)
+            entries = [e for e in entries if e.may_match(*pwhere)]
             if not entries:
                 # every file provably excluded: empty result over the FULL
                 # merged snapshot schema (footer-only read), so pruning stays
                 # semantically invisible even after schema evolution
-                return (
+                return self._project_mapping(
                     self.spark.read.option("mergeSchema", "true")
                     .parquet(*[spark_path(e.path) for e in all_entries])
-                    .limit(0)
+                    .limit(0),
+                    mapping,
                 )
         # mergeSchema: appends may evolve the schema (new nullable columns);
         # older files surface nulls for columns they predate, and a
         # time-travel read of an old version sees that version's schema.
-        df = self._scan(entries)
+        df = self._project_mapping(self._scan(entries), mapping)
         if where is not None:
             col, op, value = where
             df = df.filter(_OPS[op](F.col(col), F.lit(value)))
@@ -1157,11 +1454,12 @@ class SnapshotTable:
         caveat when CDF files are absent). New files' own deletion vectors
         ARE applied. Raises if ``version`` has been expired."""
         base = {e["path"] for e in self._load_manifest(version)["files"]}
-        cur = [FileEntry(**e) for e in self._load_manifest()["files"]]
+        cur_m = self._load_manifest()
+        cur = [FileEntry(**e) for e in cur_m["files"]]
         new = [e for e in cur if e.path not in base]
         if not new:
             return self.read().limit(0)
-        return self._scan(new)
+        return self._project_mapping(self._scan(new), cur_m.get("columns"))
 
     def change_feed(self, key: str, from_version: int, to_version: int | None = None) -> DataFrame:
         """Typed row-level change feed between two snapshots: full-outer join
@@ -1175,9 +1473,12 @@ class SnapshotTable:
         return snapshot_diff(self.read(from_version), self.read(to_version), on=key)
 
     def files(self, version: int | None = None, where: tuple | None = None) -> list[FileEntry]:
-        entries = [FileEntry(**e) for e in self._load_manifest(version)["files"]]
+        m = self._load_manifest(version)
+        entries = [FileEntry(**e) for e in m["files"]]
         if where is not None:
-            entries = [e for e in entries if e.may_match(*where)]
+            col, op, value = where
+            col = self._physical_col(col, m.get("columns"))
+            entries = [e for e in entries if e.may_match(col, op, value)]
         return entries
 
     def expire_snapshots(self, keep_last: int = 1, older_than_ms: int | None = None) -> list[int]:

@@ -1124,6 +1124,84 @@ def test_racing_committers_all_stores(spark, tmp_path, kind):
     assert ids == set(range(0, 10)) | set(range(100, 110)) | set(range(200, 210))
 
 
+def _apply_model(state: dict, op: tuple) -> dict:
+    """Pure-Python serial-order model over {id -> v} for the conflict matrix."""
+    kind = op[0]
+    out = dict(state)
+    if kind == "merge":
+        out.update(op[1])
+    elif kind == "delete_keys":
+        for k in op[1]:
+            out.pop(k, None)
+    elif kind == "delete_where_ge":
+        out = {k: v for k, v in out.items() if not (k >= op[1])}
+    return out
+
+
+def _run_op(t, spark, op: tuple) -> None:
+    kind = op[0]
+    if kind == "merge":
+        src = spark.createDataFrame(
+            [(k, v) for k, v in sorted(op[1].items())], "id long, v long"
+        ).coalesce(1)
+        t.merge(src, key="id")
+    elif kind == "delete_keys":
+        t.delete_keys("id", list(op[1]), mode=op[2])
+    elif kind == "delete_where_ge":
+        t.delete_where("id", ">=", op[1], mode=op[2])
+
+
+# the write-write semantic conflict matrix (VERDICT r10 "Next round" #4):
+# a VICTIM operation builds against snapshot S0; immediately before its
+# manifest CAS an INTERLOPER touching the SAME file set commits. The CAS
+# serializes them — the victim must retry/rebuild against the interloper's
+# output (merge and CoW deletes re-run their build closure per attempt; MoR
+# deletes verify affected file identities and recompute on _Stale) — so the
+# final state must equal the serial order interloper-then-victim, with no
+# lost update and no resurrected row.
+_CONFLICT_MATRIX = [
+    ("merge_vs_mor_delete",
+     ("merge", {3: 300, 4: 400, 5: 500, 6: 600}),
+     ("delete_keys", [4], "mor")),
+    ("merge_vs_cow_delete_where",
+     ("merge", {0: 0, 1: 100}),
+     ("delete_where_ge", 8, "cow")),
+    ("mor_delete_vs_merge",
+     ("delete_keys", [3], "mor"),
+     ("merge", {3: 300, 4: 400})),
+    ("mor_delete_where_vs_merge",
+     ("delete_where_ge", 8, "mor"),
+     ("merge", {8: 800, 9: 900})),
+    ("cow_delete_vs_merge",
+     ("delete_keys", [5], "cow"),
+     ("merge", {5: 555, 6: 666})),
+    ("merge_vs_merge",
+     ("merge", {2: 222, 3: 333}),
+     ("merge", {3: 933, 4: 944})),
+]
+
+
+@pytest.mark.parametrize("name,victim,interloper", _CONFLICT_MATRIX)
+def test_write_write_conflict_matrix(spark, tmp_path, name, victim, interloper):
+    from bears_spark.io.commit_store import LocalCommitStore
+
+    holder = [None]
+    store = _Interposing(LocalCommitStore(), holder)
+    path = str(tmp_path / f"conflict-{name}")
+    t1 = SnapshotTable(spark, path, store=store)
+    t2 = SnapshotTable(spark, path, store=store)
+    base = {i: i * 10 for i in range(10)}
+    t1.overwrite(
+        spark.createDataFrame(sorted(base.items()), "id long, v long").coalesce(1)
+    )
+    holder[0] = lambda: _run_op(t2, spark, interloper)
+    _run_op(t1, spark, victim)
+    assert store.cas_failures >= 1  # the victim really did lose its first CAS
+    expected = _apply_model(_apply_model(base, interloper), victim)
+    got = {r["id"]: r["v"] for r in t1.read().collect()} if expected else {}
+    assert got == expected, (name, got, expected)
+
+
 class _FlakyS3Client(_StubS3Client):
     """Injects transient failures: 'timeout-after-write' (the put LANDS but
     the response is lost) and plain 500s (the put never happens)."""
