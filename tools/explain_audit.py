@@ -104,6 +104,25 @@ CHECKS = {
     # round-9 queries: exact-k sampling families
     "doc_reservoir_sample_stats": ["TakeOrderedAndProject"],  # bottom-k heap, no full sort
     "doc_stratified_sample_stats": ["WindowGroupLimit"],  # per-stratum k-heap below the shuffle
+    # round-11: plan-shape regression guards for the heavy five (VERDICT r10
+    # #6) — candidate generation must stay a hashed equi-join with its
+    # df-cap/blocking intact, never an unblocked pair join
+    "dedup_ngram_jaccard": ["xxhash64", "LeftAnti"],  # hashed gram keys + df-cap anti-join
+    "part_item_recs": ["TakeOrderedAndProject"],  # basket-blocked cooc, global top-k
+    "doc_decontaminate": ["xxhash64"],  # shared-gram equi-join on hashed keys
+}
+
+# Exchange-count ceilings for the heavy five: a lost broadcast or an
+# accidentally unblocked stage shows up as extra shuffles long before it
+# shows up as wrong answers. Measured counts at sf0.01 (2026-08, Spark
+# 4.1) with ~50% headroom for layout/AQE drift — a breach means the plan
+# changed shape, not that the constant drifted.
+MAX_EXCHANGES = {
+    "dedup_ngram_jaccard": 45,      # measured 30
+    "part_item_recs": 90,           # measured 61
+    "tfidf_cosine_pairs": 66,       # measured 44
+    "doc_decontaminate": 16,        # measured 8
+    "dedup_semantic_clusters": 8,   # measured 4
 }
 
 FORBIDDEN = ["CartesianProduct", "BroadcastNestedLoopJoin"]
@@ -208,12 +227,17 @@ def main() -> int:
         missing = [c for c in CHECKS.get(name, []) if c not in txt]
         bad = [c for c in FORBIDDEN if c in txt and name not in FORBIDDEN_EXEMPT]
         upw = [] if name in WINDOW_UNPARTITIONED_ALLOW else unpartitioned_windows(df)
+        xover = (
+            [f"exchanges={txt.count('Exchange')}>{MAX_EXCHANGES[name]}"]
+            if name in MAX_EXCHANGES and txt.count("Exchange") > MAX_EXCHANGES[name]
+            else []
+        )
         status = (
-            "OK" if not missing and not bad and not upw
-            else f"MISSING={missing} FORBIDDEN={bad} ONE_TASK_WINDOW={upw}"
+            "OK" if not missing and not bad and not upw and not xover
+            else f"MISSING={missing} FORBIDDEN={bad} ONE_TASK_WINDOW={upw} XCHG={xover}"
         )
         print(f"  {name}: {status}")
-        if missing or bad or upw:
+        if missing or bad or upw or xover:
             failures.append(name)
             print(txt[:3000])
     if not only or "bucketed_join" in only:
