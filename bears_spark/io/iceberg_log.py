@@ -879,10 +879,17 @@ class IcebergTableReader:
             )
             if tag_metadata:
                 df = self._tag_metadata(df)
-            if self._schema_projection_needed(snapshot_id):
-                # rename-free evolution with a DROP in history: project to
-                # the read schema by NAME (names are stable per id here), so
-                # dropped columns stay hidden without needing footer ids
+            raw_names = {
+                f["name"]
+                for f in self._schema_for_snapshot(snapshot_id).get("fields", [])
+            }
+            if self._schema_projection_needed(snapshot_id) or (
+                raw_names - set(df.columns)
+            ):
+                # rename-free evolution with a DROP in history (project the
+                # retired columns away) or an ADD no file carries yet
+                # (null-fill it): project to the read schema by NAME — names
+                # are stable per id here, so no footer ids are needed
                 sch = self._spark_schema(snapshot_id=snapshot_id)
                 keep = [
                     F.col(f.name).cast(f.dataType).alias(f.name)

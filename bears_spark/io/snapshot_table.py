@@ -450,13 +450,17 @@ class SnapshotTable:
         if mapping is None:
             return df
         present = set(df.columns)
-        return df.select(
-            *[
-                F.col(c["physical"]).alias(c["name"])
-                for c in mapping
-                if not c.get("dropped") and c["physical"] in present
-            ]
-        )
+        cols = []
+        for c in mapping:
+            if c.get("dropped"):
+                continue
+            if c["physical"] in present:
+                cols.append(F.col(c["physical"]).alias(c["name"]))
+            elif c.get("type"):
+                # add_column before any data arrived: a typed NULL, the
+                # Iceberg/Delta add-column read contract
+                cols.append(F.expr(f"CAST(NULL AS {c['type']})").alias(c["name"]))
+        return df.select(*cols)
 
     @staticmethod
     def _extend_mapping(mapping: list[dict], df_columns: list[str]) -> list[dict]:
@@ -512,6 +516,36 @@ class SnapshotTable:
 
         return self._commit(
             "rename-column",
+            lambda parent_m: [FileEntry(**e) for e in parent_m["files"]],
+            build_columns=build_cols,
+        )
+
+    def add_column(self, col: str, dtype: str) -> int:
+        """Metadata-only column ADD (completing the rename/drop/add DDL verb
+        set): no data file is touched — the new column reads as a typed NULL
+        until data arrives (Iceberg/Delta add-column semantics). ``dtype`` is
+        a Spark DDL type string ("double", "bigint", "string", ...). Refuses
+        a live name and a name shadowing a reserved physical name."""
+        # validate the DDL type NOW, not at first read
+        self.spark.createDataFrame([], f"`__probe__` {dtype}")
+
+        def build_cols(parent_m: dict) -> list[dict]:
+            mapping = parent_m.get("columns") or self._synthesize_mapping(parent_m)
+            live = {c["name"] for c in self._live_cols(mapping)}
+            if col in live:
+                raise ValueError(f"column {col!r} already exists")
+            if any(c["physical"] == col for c in mapping):
+                raise ValueError(
+                    f"column name {col!r} is retired (the physical name of a "
+                    f"dropped or renamed column); pick a different name"
+                )
+            next_id = max(int(c["id"]) for c in mapping) + 1
+            return [dict(c) for c in mapping] + [
+                {"id": next_id, "name": col, "physical": col, "type": dtype}
+            ]
+
+        return self._commit(
+            "add-column",
             lambda parent_m: [FileEntry(**e) for e in parent_m["files"]],
             build_columns=build_cols,
         )

@@ -243,6 +243,52 @@ def test_dropped_column_tombstone_semantics(spark, tmp_path):
     assert r.read().count() == 16
 
 
+def test_add_column_typed_null_roundtrip(spark, tmp_path):
+    """add_column completes the DDL verb set: metadata-only, reads as a
+    typed NULL until data arrives, round-trips both exporters even BEFORE
+    any data file carries the column, and refuses bad types, live names and
+    retired physical names."""
+    t = _mk(spark, tmp_path)
+    pre_add = t.current_version()
+    t.add_column("note", "string")
+    df = t.read()
+    assert df.columns == ["id", "v", "note"]
+    assert df.schema["note"].dataType.simpleString() == "string"
+    assert df.filter(F.col("note").isNull()).count() == 10
+    assert t.read(version=pre_add).columns == ["id", "v"]  # time travel
+    with pytest.raises(Exception):
+        t.add_column("bad", "not_a_type")
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("note", "string")
+    t.rename_column("v", "value")
+    with pytest.raises(ValueError, match="retired"):
+        t.add_column("v", "double")  # physical name of the renamed column
+    # exports BEFORE any data for the added column: both replicas null-fill
+    d_out, i_out = str(tmp_path / "d"), str(tmp_path / "i")
+    export_delta_log(t, d_out)
+    export_iceberg_metadata(t, i_out)
+    d = DeltaTableReader(spark, d_out).read()
+    i = IcebergTableReader(spark, i_out).read()
+    assert d.columns == ["id", "value", "note"] and i.columns == d.columns
+    assert d.filter(F.col("note").isNull()).count() == 10
+    assert i.filter(F.col("note").isNull()).count() == 10
+    # data arrives under the added name; all three surfaces serve it
+    t.append(
+        spark.range(10, 13).selectExpr(
+            "id", "id * 2 AS value", "concat('n', id) AS note"
+        )
+    )
+    export_delta_log(t, d_out)
+    export_iceberg_metadata(t, i_out)
+    for surf in (
+        t.read(),
+        DeltaTableReader(spark, d_out).read(),
+        IcebergTableReader(spark, i_out).read(),
+    ):
+        assert surf.filter(F.col("note").isNotNull()).count() == 3
+        assert surf.count() == 13
+
+
 def test_streaming_append_extends_mapping(spark, tmp_path):
     """A streaming micro-batch with a NEW column joins the mapping (additive
     evolution), matching batch append semantics."""
