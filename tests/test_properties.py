@@ -1473,3 +1473,111 @@ def test_export_iceberg_continuous_matches_table_history(spark, tmp_path, case):
     for sid, want in sorted(history.items()):
         got = {x["id"] for x in r.read(snapshot_id=sid).collect()}
         assert got == want, (sid, case)
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution: random DDL/DML sequences vs a pure-Python model.
+# rename/drop/add are metadata-only commits over a logical->physical mapping
+# with tombstoned ids; the model tracks rows as {id -> {col: val}} plus the
+# live column list, and every version's snapshot is recorded so time travel
+# across renames can be replayed and checked (VERDICT r10 #3's hard part:
+# each snapshot serves ITS OWN names).
+
+
+@st.composite
+def _schema_evo_case(draw):
+    ops = draw(st.lists(
+        st.one_of(
+            st.tuples(st.just("append"), st.integers(0, 80)),
+            st.tuples(st.just("rename"), st.integers(0, 9)),
+            st.tuples(st.just("add"), st.integers(0, 9)),
+            st.tuples(st.just("drop"), st.integers(0, 9)),
+            st.tuples(st.just("del_ge"), st.integers(0, 90)),
+            st.tuples(st.just("del_mor_keys"), st.integers(0, 90)),
+            st.tuples(st.just("compact"), st.just(0)),
+        ),
+        min_size=2, max_size=6,
+    ))
+    return ops
+
+
+@given(_schema_evo_case())
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_schema_evolution_sequence_matches_model(spark, tmp_path, case):
+    import uuid
+
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    root = tmp_path / uuid.uuid4().hex
+    t = SnapshotTable(spark, str(root))
+    cols = ["id", "v"]            # live LOGICAL columns, in order
+    rows = {i: {"id": i, "v": i * 2} for i in range(10)}
+    t.overwrite(spark.createDataFrame(
+        [tuple(r[c] for c in cols) for r in rows.values()], "id long, v long"
+    ).coalesce(1))
+    history = {t.current_version(): (list(cols), {i: dict(r) for i, r in rows.items()})}
+    fresh = 0
+    for op, arg in case:
+        try:
+            if op == "append":
+                new_ids = [arg * 100 + 1000 + j for j in range(3)]
+                t.append(spark.createDataFrame(
+                    [tuple(i if c == "id" else i * 2 for c in cols) for i in new_ids],
+                    ", ".join(f"{c} long" for c in cols),
+                ).coalesce(1))
+                for i in new_ids:
+                    rows[i] = {c: (i if c == "id" else i * 2) for c in cols}
+            elif op == "rename":
+                old = cols[arg % len(cols)]
+                if old == "id":
+                    continue  # keep the key column stable for DML targeting
+                new = f"c{fresh}"
+                fresh += 1
+                t.rename_column(old, new)
+                cols[cols.index(old)] = new
+                for r in rows.values():
+                    r[new] = r.pop(old)
+            elif op == "add":
+                new = f"c{fresh}"
+                fresh += 1
+                t.add_column(new, "long")
+                cols.append(new)
+                for r in rows.values():
+                    r[new] = None
+            elif op == "drop":
+                victim = cols[arg % len(cols)]
+                if victim == "id" or len(cols) == 1:
+                    continue
+                t.drop_column(victim)
+                cols.remove(victim)
+                for r in rows.values():
+                    r.pop(victim, None)
+            elif op == "del_ge":
+                t.delete_where("id", ">=", arg + 900)
+                rows = {i: r for i, r in rows.items() if not (i >= arg + 900)}
+            elif op == "del_mor_keys":
+                ks = [arg + 900, arg + 901]
+                t.delete_keys("id", ks, mode="mor")
+                rows = {i: r for i, r in rows.items() if i not in ks}
+            else:
+                t.compact(target_rows_per_file=100)
+            history[t.current_version()] = (
+                list(cols), {i: dict(r) for i, r in rows.items()}
+            )
+        except ValueError as e:
+            if "no data files" in str(e) or "no schema source" in str(e):
+                break
+            raise
+        got_cols = t.read().columns
+        assert got_cols == cols, (op, arg, got_cols, cols)
+        got = {r["id"]: {c: r[c] for c in cols} for r in t.read().collect()}
+        assert got == rows, (op, arg)
+    # time travel: every recorded version still serves ITS OWN names + rows
+    for v, (vcols, vrows) in history.items():
+        if not vrows:
+            continue
+        df = t.read(version=v)
+        assert df.columns == vcols, (v, df.columns, vcols)
+        got = {r["id"]: {c: r[c] for c in vcols} for r in df.collect()}
+        assert got == vrows, (v, case)
