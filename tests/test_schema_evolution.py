@@ -243,6 +243,25 @@ def test_dropped_column_tombstone_semantics(spark, tmp_path):
     assert r.read().count() == 16
 
 
+def test_bloom_pruning_under_rename(spark, tmp_path):
+    """bloom_cols are LOGICAL names: after a rename, point-lookup pruning
+    keeps working — blooms fitted on the physical column pre- and
+    post-rename both answer probes on the new logical name."""
+    t = SnapshotTable(spark, str(tmp_path / "bl"), bloom_cols=["v"])
+    t.overwrite(spark.range(0, 50).selectExpr("id", "id * 2 AS v").coalesce(1))
+    t.rename_column("v", "value")
+    # post-rename appends fit blooms on the physical column under the hood
+    t2 = SnapshotTable(spark, str(tmp_path / "bl"), bloom_cols=["value"])
+    t2.append(spark.range(50, 100).selectExpr("id", "id * 2 AS value").coalesce(1))
+    assert all(e.blooms for e in t2.files())  # every file carries a bloom
+    # a point probe on the LOGICAL name prunes to the one matching file
+    hit = t2.files(where=("value", "=", 20))
+    assert len(hit) == 1 and len(t2.files()) == 2
+    assert [r["id"] for r in t2.read(where=("value", "=", 20)).collect()] == [10]
+    # absent value: bloom proves absence in both files
+    assert t2.files(where=("value", "=", 21)) == []
+
+
 def test_add_column_typed_null_roundtrip(spark, tmp_path):
     """add_column completes the DDL verb set: metadata-only, reads as a
     typed NULL until data arrives, round-trips both exporters even BEFORE
