@@ -151,7 +151,13 @@ SELECT min(doc_id) AS doc_id FROM documents GROUP BY {_hex2int(_NORM)} ORDER BY 
 # that keeps the gram self-join linear at web scale).
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=100)
+    # prune_unique_grams is LOSSLESS (df=1 grams cannot form a pair) and the
+    # main self-join input reducer at scale: measured sf1 85.4s -> 32.0s
+    # (2.7x) with identical pairs; neutral at sf0.01/sf0.1 (SCALE.md r11)
+    pairs = dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=100,
+        prune_unique_grams=True,
+    )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy("id_a", "id_b")
 
 
@@ -1946,7 +1952,8 @@ ORACLES["tfidf_cosine_pairs"] = TFIDF_COSINE_SQL
 def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     truth = dd.ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=100
+        docs, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=100,
+        prune_unique_grams=True,
     ).select("id_a", "id_b")
     cand = dd.minhash_lsh_candidates(
         docs, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS, ngram_n=_NGRAM_N
@@ -2803,7 +2810,8 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS, ngram_n=_NGRAM_N
     ).select("id_a", "id_b", F.lit(1).alias("in_pred"))
     truth = (
-        dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=100)
+        dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5,
+                               max_doc_freq=100, prune_unique_grams=True)
         .select("id_a", "id_b", F.lit(1).alias("in_truth"))
     )
     j = pred.join(truth, ["id_a", "id_b"], "full_outer")

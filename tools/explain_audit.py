@@ -118,7 +118,8 @@ CHECKS = {
 # 4.1) with ~50% headroom for layout/AQE drift — a breach means the plan
 # changed shape, not that the constant drifted.
 MAX_EXCHANGES = {
-    "dedup_ngram_jaccard": 45,      # measured 30
+    "dedup_ngram_jaccard": 65,      # measured 46 (30 + the lossless
+                                    # prune_unique_grams df-agg + semi-join)
     "part_item_recs": 90,           # measured 61
     "tfidf_cosine_pairs": 66,       # measured 44
     "doc_decontaminate": 16,        # measured 8
