@@ -97,7 +97,27 @@ class IncrementalAggView:
         # deletion vectors (io/dv.py) for the signed delta to be exact
         from bears_spark.io.dv import scan_with_dvs
 
-        return scan_with_dvs(self.spark, entries, merge_schema=True)
+        df = scan_with_dvs(self.spark, entries, merge_schema=True)
+        # schema-evolved base (rename/drop/add): files store PHYSICAL names;
+        # the view's group/agg columns are LOGICAL — project through the
+        # base's CURRENT mapping (physical names are immutable, so this is
+        # correct for files of every base version), and fail with a named
+        # diagnosis when a view column no longer exists (renamed/dropped
+        # after the view was created)
+        mapping = (
+            self.base.column_mapping() if hasattr(self.base, "column_mapping") else None
+        )
+        if mapping is not None:
+            df = self.base._project_mapping(df, mapping)
+            want = set(self.group_cols) | set(self.sum_cols) | set(self.minmax_cols)
+            gone = sorted(want - set(df.columns))
+            if gone:
+                raise ValueError(
+                    f"view columns {gone} no longer exist on the base table "
+                    f"(renamed or dropped since the view was created); "
+                    f"recreate the view against the current schema"
+                )
+        return df
 
     def _partial(self, entries: list, weight: int) -> DataFrame:
         src = self._scan(entries)

@@ -308,6 +308,32 @@ def test_add_column_typed_null_roundtrip(spark, tmp_path):
         assert surf.count() == 13
 
 
+def test_ivm_view_on_evolved_base(spark, tmp_path):
+    """An incremental view created AFTER a base-table rename resolves its
+    logical columns through the mapping; a rename of a view column AFTER
+    creation fails the refresh with a named diagnosis, never an unresolved-
+    column crash."""
+    from bears_spark.io.incremental_view import IncrementalAggView
+
+    base = _mk(spark, tmp_path, "ivm_base")
+    base.rename_column("v", "value")
+    view = IncrementalAggView(
+        spark, base, str(tmp_path / "ivm_view"),
+        group_cols=["id"], sum_cols=["value"],
+    )
+    view.refresh()
+    got = {r["id"]: float(r["value_sum"]) for r in view.read().collect()}
+    assert got[3] == 6.0 and len(got) == 10
+    base.append(spark.range(10, 12).selectExpr("id", "id * 2 AS value"))
+    view.refresh()
+    assert view.read().count() == 12
+    # the base renames a view column away: refresh diagnoses, not crashes
+    base.rename_column("value", "amount")
+    base.append(spark.range(12, 13).selectExpr("id", "id * 2 AS amount"))
+    with pytest.raises(ValueError, match="renamed or dropped"):
+        view.refresh()
+
+
 def test_streaming_append_extends_mapping(spark, tmp_path):
     """A streaming micro-batch with a NEW column joins the mapping (additive
     evolution), matching batch append semantics."""
