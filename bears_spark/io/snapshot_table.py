@@ -1501,10 +1501,61 @@ class SnapshotTable:
         functions/cdc.snapshot_diff. Unlike ``changes_since`` this is exact
         under ANY operation mix (merge, delete, compaction) because it
         compares table STATES, at the cost of reading both snapshots — the
-        file-skipping read keeps that bounded when the key is clustered."""
+        file-skipping read keeps that bounded when the key is clustered.
+
+        Schema evolution between the two versions is aligned BY FIELD
+        IDENTITY, not by name: a renamed column still compares its values
+        (under the ``to_version`` logical name — ``key`` is given in the
+        caller's current view), and a rename alone marks nothing changed.
+        Columns added or dropped between the versions are excluded from the
+        value comparison (a DDL event is not a row change — Delta CDF's
+        behavior across schema change); a ``key`` that did not exist yet at
+        ``from_version`` is refused."""
         from bears_spark.functions.cdc import snapshot_diff
 
-        return snapshot_diff(self.read(from_version), self.read(to_version), on=key)
+        from_map = self._load_manifest(from_version).get("columns")
+        to_map = self._load_manifest(to_version).get("columns")
+        old = self._align_to_mapping(self.read(from_version), from_map, to_map)
+        if key not in old.columns:
+            raise ValueError(
+                f"key column {key!r} did not exist at version {from_version} "
+                f"(columns then, under current names: {old.columns})"
+            )
+        return snapshot_diff(old, self.read(to_version), on=key)
+
+    @staticmethod
+    def _align_to_mapping(
+        df: DataFrame, from_map: list[dict] | None, to_map: list[dict] | None
+    ) -> DataFrame:
+        """Serve a ``from``-version logical view under the ``to``-version's
+        logical names. Physical names are the stable field identity (a
+        rename moves only the logical name; physical names are reserved
+        forever, io/snapshot_table.py::_to_physical_df), so the translation
+        is logical_from -> physical -> logical_to. A field dropped by the
+        ``to`` version is omitted (it has no current name to compare
+        under)."""
+        from pyspark.sql import functions as F
+
+        if from_map is to_map or (from_map is None and to_map is None):
+            return df
+        l2p = (
+            {c["name"]: c["physical"] for c in from_map if not c.get("dropped")}
+            if from_map
+            else {}
+        )
+        p2l = (
+            {c["physical"]: c["name"] for c in to_map if not c.get("dropped")}
+            if to_map
+            else None
+        )
+        cols = []
+        for name in df.columns:
+            phys = l2p.get(name, name)
+            logical = p2l.get(phys) if p2l is not None else phys
+            if logical is None:
+                continue  # dropped by the to-version: no current name
+            cols.append(F.col(name).alias(logical) if logical != name else F.col(name))
+        return df.select(*cols)
 
     def files(self, version: int | None = None, where: tuple | None = None) -> list[FileEntry]:
         m = self._load_manifest(version)

@@ -351,3 +351,35 @@ def test_streaming_append_extends_mapping(spark, tmp_path):
     )
     assert t.read().columns == ["id", "value", "extra"]
     assert [c["id"] for c in t.column_mapping()] == [1, 2, 3]
+
+
+def test_change_feed_aligns_by_field_identity_across_rename(spark, tmp_path):
+    """CDC across a rename compares values by FIELD identity, served under
+    the to-version's names: a rename alone marks nothing changed, a real
+    value change under the renamed column is still detected, and a renamed
+    KEY column still joins (was an UNRESOLVED_COLUMN crash)."""
+    t = _mk(spark, tmp_path)  # v1: id, v = id*2
+    t.rename_column("v", "val")  # v2: metadata only
+    assert {r["id"] for r in t.change_feed("id", 1, 2).collect()} == set()
+    t.merge(
+        spark.createDataFrame([(3, 999), (100, 1)], "id long, val long"), key="id"
+    )  # v3: one changed, one added
+    feed = {r["id"]: r["change_type"] for r in t.change_feed("id", 1, 3).collect()}
+    assert feed == {3: "changed", 100: "added"}
+
+    t.rename_column("id", "ident")  # v4: the KEY itself renamed
+    feed = {r["ident"]: r["change_type"] for r in t.change_feed("ident", 1, 4).collect()}
+    assert feed == {3: "changed", 100: "added"}
+
+
+def test_change_feed_ddl_is_not_a_row_change(spark, tmp_path):
+    """Columns added or dropped between the versions are excluded from the
+    value comparison (Delta CDF's behavior across schema change), and a key
+    that did not exist at from_version is refused with a clear error."""
+    t = SnapshotTable(spark, str(tmp_path / "ddl"))
+    t.overwrite(spark.range(0, 5).selectExpr("id", "id AS a", "id AS b"))
+    t.drop_column("b")
+    t.add_column("c", "long")
+    assert t.change_feed("id", 1).count() == 0
+    with pytest.raises(ValueError, match="did not exist at version 1"):
+        t.change_feed("c", 1)
