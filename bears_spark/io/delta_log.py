@@ -873,19 +873,25 @@ def _mapped_schema_string(table, mapping) -> str:
     return json.dumps(sch)
 
 
-def _export_protocol(has_dvs: bool, has_cm: bool) -> dict:
+def _export_protocol(has_dvs: bool, has_cm: bool, has_ck: bool = False) -> dict:
     """Minimal Delta protocol for the export's capability set: DVs need the
-    v3/v7 feature protocol (columnMapping joins the feature lists when both
-    are present); columnMapping alone uses the legacy 2/5 pair (maximally
-    readable); plain tables stay at 1/2."""
+    v3/v7 feature protocol (columnMapping/checkConstraints join the feature
+    lists when present); columnMapping alone uses the legacy 2/5 pair
+    (maximally readable — writer 5 already grants CHECK constraints, a
+    writer-3 capability); plain tables stay at 1/2, or 1/3 with
+    constraints. Constraints never gate READERS — only a writer of the
+    replica must enforce ``delta.constraints.*``."""
     if has_dvs:
         feats = ["deletionVectors"] + (["columnMapping"] if has_cm else [])
+        wfeats = feats + (["checkConstraints"] if has_ck else [])
         return {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": sorted(feats), "writerFeatures": sorted(feats),
+            "readerFeatures": sorted(feats), "writerFeatures": sorted(wfeats),
         }
     if has_cm:
         return {"minReaderVersion": 2, "minWriterVersion": 5}
+    if has_ck:
+        return {"minReaderVersion": 1, "minWriterVersion": 3}
     return {"minReaderVersion": 1, "minWriterVersion": 2}
 
 
@@ -897,6 +903,11 @@ def _protocol_caps(p: dict) -> set:
         caps.add("dv")
     if "columnMapping" in feats or int(p.get("minReaderVersion", 1)) == 2:
         caps.add("cm")
+    wfeats = p.get("writerFeatures")
+    if (wfeats is not None and "checkConstraints" in set(wfeats)) or (
+        wfeats is None and int(p.get("minWriterVersion", 1)) >= 3
+    ):
+        caps.add("ck")
     return caps
 
 
@@ -955,6 +966,9 @@ def export_delta_log(
         want_config["delta.columnMapping.maxColumnId"] = str(
             max(int(c["id"]) for c in mapping)
         )
+    cons = table.constraints() if hasattr(table, "constraints") else {}
+    for cn, ce in sorted(cons.items()):
+        want_config[f"delta.constraints.{cn}"] = ce
     has_dvs = any(e.dv for e in entries.values())
     if not existing:
         meta = {
@@ -965,7 +979,7 @@ def export_delta_log(
             "configuration": want_config,
             "createdTime": 0,
         }
-        proto = _export_protocol(has_dvs, bool(mapping))
+        proto = _export_protocol(has_dvs, bool(mapping), bool(cons))
         cur_proto = proto
         actions = [{"protocol": proto}, {"metaData": meta}]
         adds = [_export_add_action(out_path, e, fs) for e in entries.values()]
@@ -996,12 +1010,22 @@ def export_delta_log(
             need_caps.add("dv")
         if mapping:
             need_caps.add("cm")
+        if cons:
+            need_caps.add("ck")
         if need_caps - _protocol_caps(prev_proto):
-            cur_proto = _export_protocol("dv" in need_caps, "cm" in need_caps)
+            cur_proto = _export_protocol(
+                "dv" in need_caps, "cm" in need_caps, "ck" in need_caps
+            )
             actions.append({"protocol": cur_proto})
         meta = prev_meta
-        # the mapping's maxColumnId only grows; keep any foreign config keys
-        new_config = dict(prev_meta.get("configuration") or {})
+        # the mapping's maxColumnId only grows; keep any foreign config keys —
+        # except delta.constraints.* entries the source has since dropped
+        # (a replica writer would otherwise keep enforcing a dead constraint)
+        new_config = {
+            k: v
+            for k, v in (prev_meta.get("configuration") or {}).items()
+            if not (k.startswith("delta.constraints.") and k not in want_config)
+        }
         for k, v in want_config.items():
             if k == "delta.columnMapping.maxColumnId":
                 v = str(max(int(v), int(new_config.get(k) or 0)))

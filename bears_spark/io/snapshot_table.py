@@ -64,6 +64,12 @@ _OPS = {
     ">": operator.gt, ">=": operator.ge,
 }
 
+
+class ConstraintViolationError(ValueError):
+    """A commit's incoming rows violate a table CHECK constraint (or
+    ``add_check_constraint`` found existing rows that do). The commit is
+    aborted; the table is unchanged."""
+
 _EPOCH_DT = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
 _EPOCH_D = datetime.date(1970, 1, 1)
 _US = datetime.timedelta(microseconds=1)
@@ -508,11 +514,15 @@ class SnapshotTable:
                         f"{c['name']!r}; renaming onto it would make writes "
                         f"ambiguous"
                     )
-            return [
+            out = [
                 dict(c, name=new) if (not c.get("dropped") and c["name"] == old)
                 else dict(c)
                 for c in mapping
             ]
+            self._refuse_ddl_breaking_constraints(
+                parent_m, out, f"rename column {old!r}"
+            )
+            return out
 
         return self._commit(
             "rename-column",
@@ -563,18 +573,125 @@ class SnapshotTable:
                 raise ValueError(f"unknown column {col!r} (live columns: {names})")
             if len(live) == 1:
                 raise ValueError("cannot drop the last column")
-            return [
+            out = [
                 dict(c, dropped=True)
                 if (not c.get("dropped") and c["name"] == col)
                 else dict(c)
                 for c in mapping
             ]
+            self._refuse_ddl_breaking_constraints(parent_m, out, f"drop column {col!r}")
+            return out
 
         return self._commit(
             "drop-column",
             lambda parent_m: [FileEntry(**e) for e in parent_m["files"]],
             build_columns=build_cols,
         )
+
+    # -- CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT model) --------
+    def constraints(self, version: int | None = None) -> dict[str, str]:
+        """The snapshot's named CHECK constraints (``{name: sql_expr}``,
+        expressions over LOGICAL column names). Time travel serves each
+        version's own constraint set."""
+        return dict(self._load_manifest(version).get("constraints") or {})
+
+    def add_check_constraint(self, name: str, expr: str) -> int:
+        """Add a named CHECK constraint (Delta's ``ALTER TABLE ... ADD
+        CONSTRAINT name CHECK (expr)``): ``expr`` is a Spark SQL boolean
+        expression over logical column names. SQL-standard semantics — a row
+        violates only when the expression evaluates to FALSE; NULL/unknown
+        passes (so ``col IS NOT NULL`` expresses a NOT NULL constraint).
+        Existing rows are validated first (one scan, like Delta); every
+        subsequent data commit validates its ADDED files (O(churn)). The
+        Delta exporter publishes the set as ``delta.constraints.<name>``
+        with the matching writer-protocol gate."""
+        if not name or not name.replace("_", "").isalnum():
+            raise ValueError(f"constraint name must be an identifier, got {name!r}")
+
+        def build_cons(parent_m: dict) -> dict:
+            cons = dict(parent_m.get("constraints") or {})
+            if name in cons:
+                raise ValueError(f"constraint {name!r} already exists: {cons[name]!r}")
+            entries = [FileEntry(**e) for e in parent_m["files"]]
+            self._validate_constraints(
+                entries, parent_m.get("columns"), {name: expr}, "add-constraint"
+            )
+            cons[name] = expr
+            return cons
+
+        return self._commit(
+            "add-constraint",
+            lambda parent_m: [FileEntry(**e) for e in parent_m["files"]],
+            build_constraints=build_cons,
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        def build_cons(parent_m: dict) -> dict:
+            cons = dict(parent_m.get("constraints") or {})
+            if name not in cons:
+                raise ValueError(
+                    f"unknown constraint {name!r} (have: {sorted(cons)})"
+                )
+            del cons[name]
+            return cons
+
+        return self._commit(
+            "drop-constraint",
+            lambda parent_m: [FileEntry(**e) for e in parent_m["files"]],
+            build_constraints=build_cons,
+        )
+
+    def _validate_constraints(
+        self, entries: list, mapping: list[dict] | None, cons: dict[str, str],
+        operation: str,
+    ) -> None:
+        """ONE aggregate pass over ``entries`` counting rows whose constraint
+        expression is FALSE (null-safe: NULL passes, SQL-standard CHECK).
+        Catalyst prunes the scan to the referenced columns. Raises with
+        per-constraint counts; an unresolvable expression (e.g. an overwrite
+        that removed a constrained column) aborts the commit too."""
+        from pyspark.sql import functions as F
+
+        if not entries or not cons:
+            return
+        df = self._project_mapping(self._scan(entries), mapping)
+        aggs = [
+            F.sum(
+                F.when(F.expr(e).eqNullSafe(F.lit(False)), 1).otherwise(0)
+            ).alias(n)
+            for n, e in cons.items()
+        ]
+        row = df.agg(*aggs).first()
+        bad = {n: int(row[n]) for n in cons if row[n]}
+        if bad:
+            raise ConstraintViolationError(
+                f"{operation!r} violates CHECK constraint(s) "
+                + ", ".join(f"{n!r} ({cons[n]}): {c} row(s)" for n, c in sorted(bad.items()))
+            )
+
+    def _refuse_ddl_breaking_constraints(self, parent_m: dict, new_mapping: list[dict], verb: str) -> None:
+        """Refuse a rename/drop that would leave a stored constraint
+        expression unresolvable (Delta refuses the same way). The probe is a
+        limit(0) analysis against the POST-DDL logical schema — footer
+        metadata only, no data read."""
+        from pyspark.sql import functions as F
+
+        cons = parent_m.get("constraints") or {}
+        if not cons:
+            return
+        entries = [FileEntry(**e) for e in parent_m["files"]]
+        probe = self._project_mapping(self._scan(entries), new_mapping).limit(0)
+        for cname, cexpr in cons.items():
+            try:
+                # select, NOT filter: the analyzer back-fills missing
+                # references through projections for Filter (so a renamed
+                # column would still "resolve"); a Project does not
+                probe.select(F.expr(cexpr)).schema  # noqa: B018 — forces analysis
+            except Exception:
+                raise ValueError(
+                    f"cannot {verb}: CHECK constraint {cname!r} ({cexpr}) "
+                    f"references it; drop the constraint first"
+                ) from None
 
     def _write_files(self, df: DataFrame, to_physical: bool = True) -> list[FileEntry]:
         """Write df as immutable parquet files under data/<uuid>/ and harvest
@@ -701,7 +818,7 @@ class SnapshotTable:
                     e.blooms[col] = {"m": self.bloom_bits, "k": self.bloom_k, "bits": format(bits, "x")}
 
     def _commit(self, operation: str, build_files, txn: tuple[str, int] | None = None,
-                build_columns=None) -> int:
+                build_columns=None, build_constraints=None) -> int:
         """CAS commit loop: build the file list against the current parent,
         try put_if_absent of manifest v(parent+1); on conflict reload the
         parent and rebuild. ``build_files(parent_manifest) -> list[FileEntry]``
@@ -710,7 +827,11 @@ class SnapshotTable:
         streaming ingest; stamps merge cumulatively into every child.
         ``build_columns(parent_manifest) -> list | None`` sets the commit's
         column mapping; by default the parent's mapping (if any) carries
-        forward, so every operation preserves schema evolution."""
+        forward, so every operation preserves schema evolution.
+        ``build_constraints(parent_manifest) -> dict`` likewise sets the
+        CHECK-constraint set; files ADDED by this commit are validated
+        against the effective constraints before the CAS (one aggregate
+        scan of the new files only — O(churn), never O(table))."""
         for _ in range(self.max_commit_retries + 1):
             parent_m = self._load_manifest()
             parent = parent_m["version"]
@@ -721,6 +842,14 @@ class SnapshotTable:
                 build_columns(parent_m) if build_columns is not None
                 else parent_m.get("columns")
             )
+            cons = (
+                build_constraints(parent_m) if build_constraints is not None
+                else parent_m.get("constraints")
+            )
+            if cons:
+                parent_paths = {e["path"] for e in parent_m["files"]}
+                added = [e for e in files if e.path not in parent_paths]
+                self._validate_constraints(added, columns, cons, operation)
             version = parent + 1
             txns = dict(parent_m.get("txns", {}))
             if txn is not None:
@@ -739,6 +868,8 @@ class SnapshotTable:
             }
             if columns is not None:
                 manifest["columns"] = columns
+            if cons:  # {} after a drop_constraint: omit the key entirely
+                manifest["constraints"] = cons
             if txn is not None:
                 manifest["batch_id"] = txn[1]
             payload = json.dumps(manifest).encode()
