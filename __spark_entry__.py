@@ -352,6 +352,7 @@ ROUND11_NEVER_GRADED: list[str] = [
 # round" #8 keeps additions <= rotation headroom).
 ROUND12_NEVER_GRADED: list[str] = [
     "orders_rename_evolution",
+    "orders_wap_publish",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

@@ -70,6 +70,12 @@ class ConstraintViolationError(ValueError):
     ``add_check_constraint`` found existing rows that do). The commit is
     aborted; the table is unchanged."""
 
+
+class BranchConflictError(RuntimeError):
+    """``publish_branch`` found main advanced past the branch's fork point —
+    the fast-forward contract of write-audit-publish is broken. Re-fork (or
+    pass ``force=True`` to publish the branch state over main anyway)."""
+
 _EPOCH_DT = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
 _EPOCH_D = datetime.date(1970, 1, 1)
 _US = datetime.timedelta(microseconds=1)
@@ -276,9 +282,14 @@ class SnapshotTable:
 
     def __init__(self, spark: SparkSession, path: str, store: CommitStore | None = None,
                  max_commit_retries: int = 10, bloom_cols: list[str] | None = None,
-                 bloom_bits: int = 4096, bloom_k: int = 3):
+                 bloom_bits: int = 4096, bloom_k: int = 3,
+                 branch: str | None = None):
         self.spark = spark
         self.path = path
+        # a branch handle commits to its own manifest namespace
+        # (_branches/<name>/_manifests) but shares the data-file pool —
+        # the Iceberg refs model; obtain one via table.branch(name)
+        self.branch_name = branch
         # data-plane seam (VERDICT r8 #2): DV blobs, footer reads and vacuum
         # route through a writable filesystem — pyarrow.fs for URI roots,
         # plain os calls (byte-identical to the local-only engine) otherwise.
@@ -316,15 +327,20 @@ class SnapshotTable:
         self.bloom_k = bloom_k
 
     # -- commit protocol ----------------------------------------------------
+    def _namespace_root(self) -> str:
+        if self.branch_name is None:
+            return self._meta_root
+        return join_path(self._meta_root, "_branches", self.branch_name)
+
     def _manifest_key(self, version: int) -> str:
-        return join_path(self._meta_root, "_manifests", f"v{version:08d}.json")
+        return join_path(self._namespace_root(), "_manifests", f"v{version:08d}.json")
 
     def current_version(self) -> int:
         """Latest committed version = max of the manifest log listing (the
         advisory ``_current`` pointer is a cache, never the authority — a
         committer that crashed after CAS but before the pointer update must
         still win)."""
-        keys = self.store.list_prefix(join_path(self._meta_root, "_manifests"))
+        keys = self.store.list_prefix(join_path(self._namespace_root(), "_manifests"))
         versions = []
         for k in keys:
             name = os.path.basename(k)
@@ -335,7 +351,9 @@ class SnapshotTable:
                     continue
         return max(versions, default=0)
 
-    def _load_manifest(self, version: int | None = None) -> dict:
+    def _load_manifest(self, version: int | str | None = None) -> dict:
+        if isinstance(version, str):
+            version = self._resolve_tag(version)
         v = self.current_version() if version is None else version
         if v == 0:
             return {"version": 0, "operation": "empty", "files": [], "txns": {}}
@@ -693,6 +711,165 @@ class SnapshotTable:
                     f"references it; drop the constraint first"
                 ) from None
 
+    # -- refs: tags and branches (Iceberg's refs model) ----------------------
+    def _tag_key(self, name: str) -> str:
+        return join_path(self._meta_root, "_tags", f"{name}.json")
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Pin an IMMUTABLE named reference to a snapshot version (Iceberg
+        tags). Tagged versions survive ``expire_snapshots`` until the tag is
+        deleted, and every version-taking read API accepts the tag name as
+        its ``version``. Tags live in the MAIN namespace only."""
+        if self.branch_name is not None:
+            raise ValueError("tags are main-namespace refs; tag from the main handle")
+        if not name or not name.replace("_", "").replace("-", "").isalnum():
+            raise ValueError(f"tag name must be an identifier, got {name!r}")
+        v = self.current_version() if version is None else int(version)
+        if v < 1 or v > self.current_version():
+            raise ValueError(f"cannot tag nonexistent version {v}")
+        self._load_manifest(v)  # refuse tagging an already-expired version
+        if not self.store.put_if_absent(
+            self._tag_key(name), json.dumps({"version": v}).encode()
+        ):
+            raise ValueError(f"tag {name!r} already exists (tags are immutable)")
+        return v
+
+    def delete_tag(self, name: str) -> None:
+        if name not in self.tags():
+            raise ValueError(f"unknown tag {name!r} (have: {sorted(self.tags())})")
+        self.store.delete(self._tag_key(name))
+
+    def tags(self) -> dict[str, int]:
+        out = {}
+        for k in self.store.list_prefix(join_path(self._meta_root, "_tags")):
+            base = os.path.basename(k)
+            if base.endswith(".json"):
+                out[base[:-5]] = int(json.loads(self.store.read(k))["version"])
+        return out
+
+    def _resolve_tag(self, name: str) -> int:
+        t = self.tags()
+        if name not in t:
+            raise ValueError(f"unknown tag {name!r} (have: {sorted(t)})")
+        return t[name]
+
+    def branch(self, name: str) -> "SnapshotTable":
+        """A handle onto an existing branch: same table path and data-file
+        pool, its own manifest line. Every operation (write, DDL,
+        constraint, time travel, export) works on the handle unchanged."""
+        if name not in self.branches():
+            raise ValueError(f"unknown branch {name!r} (have: {sorted(self.branches())})")
+        return SnapshotTable(
+            self.spark, self.path, store=self.store,
+            max_commit_retries=self.max_commit_retries,
+            bloom_cols=self.bloom_cols, bloom_bits=self.bloom_bits,
+            bloom_k=self.bloom_k, branch=name,
+        )
+
+    def branches(self) -> list[str]:
+        # LocalCommitStore lists one directory level (child = branch dir);
+        # object stores list recursive keys (first path segment = branch)
+        names = set()
+        prefix = join_path(self._meta_root, "_branches")
+        for k in self.store.list_prefix(prefix):
+            rel = k[len(prefix):].lstrip("/")
+            name = rel.split("/", 1)[0]
+            if name:
+                names.add(name)
+        return sorted(names)
+
+    def create_branch(self, name: str, from_version: int | str | None = None) -> "SnapshotTable":
+        """Fork a branch from a main snapshot (write-audit-publish's WRITE
+        side): branch v1 is a zero-copy snapshot of the fork point — files,
+        column mapping, constraints and txn stamps all carry over; data
+        files are shared, never copied. Returns the branch handle. The fork
+        version is recorded for ``publish_branch``'s fast-forward check."""
+        if self.branch_name is not None:
+            raise ValueError("branch from the main handle, not another branch")
+        if not name or not name.replace("_", "").replace("-", "").isalnum():
+            raise ValueError(f"branch name must be an identifier, got {name!r}")
+        src = self._load_manifest(from_version)
+        if src["version"] == 0:
+            raise ValueError("cannot branch an empty table (no snapshot to fork)")
+        m = {
+            "version": 1,
+            "parent": 0,
+            "operation": "branch-create",
+            "ts_ms": max(int(time.time() * 1000), int(src.get("ts_ms") or 0) + 1),
+            "files": src["files"],
+            "txns": src.get("txns", {}),
+            "forked_from": src["version"],
+        }
+        for k in ("columns", "constraints"):
+            if src.get(k):
+                m[k] = src[k]
+        handle = SnapshotTable(
+            self.spark, self.path, store=self.store,
+            max_commit_retries=self.max_commit_retries,
+            bloom_cols=self.bloom_cols, bloom_bits=self.bloom_bits,
+            bloom_k=self.bloom_k, branch=name,
+        )
+        if not self.store.put_if_absent(
+            handle._manifest_key(1), json.dumps(m).encode()
+        ):
+            raise ValueError(f"branch {name!r} already exists")
+        return handle
+
+    def drop_branch(self, name: str) -> None:
+        """Delete a branch's manifest line (data files it alone referenced
+        become unreferenced — the next ``vacuum`` reclaims them)."""
+        if name not in self.branches():
+            raise ValueError(f"unknown branch {name!r} (have: {sorted(self.branches())})")
+        self._delete_key_tree(join_path(self._meta_root, "_branches", name))
+
+    def _delete_key_tree(self, prefix: str) -> None:
+        """Store-agnostic recursive delete: local stores list one directory
+        level (recurse into children, rmdir after), object stores list full
+        keys under the prefix (each lists only itself — deleted directly)."""
+        for k in self.store.list_prefix(prefix):
+            if k == prefix:
+                continue
+            self._delete_key_tree(k)
+        try:
+            self.store.delete(prefix)
+        except OSError:
+            pass  # a local directory: handled by rmdir below
+        try:
+            os.rmdir(prefix)
+        except OSError:
+            pass  # an object-store key, a file already deleted, or non-empty
+
+    def publish_branch(self, name: str, force: bool = False) -> int:
+        """Write-audit-publish's PUBLISH: commit the branch head's state
+        (files, mapping, constraints) to main as one atomic snapshot —
+        zero data movement, Iceberg's fast-forward. Refuses with
+        :class:`BranchConflictError` when main advanced past the fork point
+        (the audit ran against a stale base) unless ``force=True``. The
+        branch's txn stamps merge into main, so exactly-once writers survive
+        the publish. The branch itself is left intact; drop it when done."""
+        if self.branch_name is not None:
+            raise ValueError("publish from the main handle")
+        bt = self.branch(name)
+        head = bt._load_manifest()
+        fork = bt._load_manifest(1).get("forked_from", 0)
+
+        def build_files(parent_m: dict) -> list[FileEntry]:
+            if not force and parent_m["version"] != fork:
+                raise BranchConflictError(
+                    f"main is at v{parent_m['version']} but branch {name!r} "
+                    f"forked from v{fork}; the audit ran against a stale "
+                    f"base — re-fork, or publish with force=True"
+                )
+            return [FileEntry(**e) for e in head["files"]]
+
+        return self._commit(
+            "publish",
+            build_files,
+            build_columns=lambda parent_m: head.get("columns"),
+            build_constraints=lambda parent_m: head.get("constraints") or {},
+            merge_txns=head.get("txns") or {},
+        )
+
     def _write_files(self, df: DataFrame, to_physical: bool = True) -> list[FileEntry]:
         """Write df as immutable parquet files under data/<uuid>/ and harvest
         per-file row counts + column min/max from the footers (driver-side
@@ -818,7 +995,8 @@ class SnapshotTable:
                     e.blooms[col] = {"m": self.bloom_bits, "k": self.bloom_k, "bits": format(bits, "x")}
 
     def _commit(self, operation: str, build_files, txn: tuple[str, int] | None = None,
-                build_columns=None, build_constraints=None) -> int:
+                build_columns=None, build_constraints=None,
+                merge_txns: dict | None = None) -> int:
         """CAS commit loop: build the file list against the current parent,
         try put_if_absent of manifest v(parent+1); on conflict reload the
         parent and rebuild. ``build_files(parent_manifest) -> list[FileEntry]``
@@ -854,6 +1032,8 @@ class SnapshotTable:
             txns = dict(parent_m.get("txns", {}))
             if txn is not None:
                 txns[txn[0]] = txn[1]
+            for app, b in (merge_txns or {}).items():  # publish: union stamps
+                txns[app] = max(int(txns.get(app, -1)), int(b))
             # wall-clock commit stamp, kept monotone vs the parent so clock
             # skew can't reorder history — powers expire_snapshots(
             # older_than_ms=) and snapshots() ts_ms reporting
@@ -875,7 +1055,9 @@ class SnapshotTable:
             payload = json.dumps(manifest).encode()
             if self.store.put_if_absent(self._manifest_key(version), payload):
                 # advisory pointer for external tooling; listing is authority
-                self.store.replace(join_path(self._meta_root, "_current"), str(version).encode())
+                self.store.replace(
+                    join_path(self._namespace_root(), "_current"), str(version).encode()
+                )
                 return version
             # CAS lost: another writer published this version — retry on it
         raise CommitConflictError(
@@ -1562,7 +1744,7 @@ class SnapshotTable:
             )
         return best
 
-    def read(self, version: int | None = None, where: tuple | None = None,
+    def read(self, version: int | str | None = None, where: tuple | None = None,
              as_of_timestamp_ms: int | None = None) -> DataFrame:
         """Read a snapshot (latest by default). ``where=(col, op, value)``
         prunes files by manifest stats AND applies the predicate (pruning is
@@ -1688,7 +1870,7 @@ class SnapshotTable:
             cols.append(F.col(name).alias(logical) if logical != name else F.col(name))
         return df.select(*cols)
 
-    def files(self, version: int | None = None, where: tuple | None = None) -> list[FileEntry]:
+    def files(self, version: int | str | None = None, where: tuple | None = None) -> list[FileEntry]:
         m = self._load_manifest(version)
         entries = [FileEntry(**e) for e in m["files"]]
         if where is not None:
@@ -1710,8 +1892,13 @@ class SnapshotTable:
         after to reclaim data files only expired versions used."""
         cur = self.current_version()
         expired = []
+        # tagged versions are pinned until the tag is deleted (Iceberg's
+        # retention contract); tags are main-namespace refs
+        pinned = set(self.tags().values()) if self.branch_name is None else set()
         # the live version is never expirable, whatever keep_last says
         for v in range(1, max(min(cur - keep_last, cur - 1), 0) + 1):
+            if v in pinned:
+                continue
             if older_than_ms is not None:
                 try:
                     ts = self._load_manifest(v).get("ts_ms")
@@ -1736,14 +1923,20 @@ class SnapshotTable:
         CAS, so an unreferenced file younger than the cutoff may be an
         in-flight commit — skipped; an unknown mtime is likewise kept."""
         live: set[str] = set()
-        for v in range(1, self.current_version() + 1):
-            try:
-                for e in self._load_manifest(v)["files"]:
-                    live.add(e["path"])
-                    if e.get("dv"):
-                        live.add(e["dv"]["path"])  # referenced DV blobs stay
-            except FileNotFoundError:
-                continue  # expired manifest
+        # every namespace shares the data pool: walk main AND all branches —
+        # a file only a branch references must survive a main-handle vacuum
+        handles = [self if self.branch_name is None
+                   else SnapshotTable(self.spark, self.path, store=self.store)]
+        handles += [handles[0].branch(b) for b in handles[0].branches()]
+        for h in handles:
+            for v in range(1, h.current_version() + 1):
+                try:
+                    for e in h._load_manifest(v)["files"]:
+                        live.add(e["path"])
+                        if e.get("dv"):
+                            live.add(e["dv"]["path"])  # referenced DV blobs stay
+                except FileNotFoundError:
+                    continue  # expired manifest
         removed = 0
         now = time.time()
         data_root = join_path(self.path, "data")

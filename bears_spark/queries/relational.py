@@ -5540,3 +5540,98 @@ ORDER BY point
 
 QUERIES["orders_rename_evolution"] = orders_rename_evolution
 ORACLES["orders_rename_evolution"] = ORDERS_RENAME_EVOLUTION_SQL
+
+
+# orders_wap_publish: write-audit-publish graded end-to-end on the native
+# snapshot table's BRANCH/TAG refs (Iceberg's refs model; the reference has
+# no snapshot layer, SURVEY.md §1.2). A dirty batch lands on an isolated
+# branch (zero-copy fork — main's readers never see it), the audit finds the
+# corrupted rows, the repair deletes them ON THE BRANCH, and publish
+# fast-forwards main in one atomic commit with no data movement. Four graded
+# points: main's state while the branch is dirty (isolation), the dirty
+# branch state, the audit hit-list, and the published final state — each an
+# aggregate hash-matched against relational SQL over the same parquet.
+def orders_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    root = tempfile.mkdtemp(prefix="wap_")
+    try:
+        t = SnapshotTable(spark, _os.path.join(root, "t"))
+        t.overwrite(o.filter(F.col("o_orderkey") % 4 == 0).repartition(2))
+
+        # WRITE: the ingest batch lands on a branch; keys = 1 (mod 8) arrive
+        # corrupted (sign-flipped totals — the deterministic "bad feed")
+        b = t.create_branch("ingest")
+        batch = o.filter(F.col("o_orderkey") % 4 == 1).select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 8 == 1, -F.col("o_totalprice")
+            ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        )
+        b.append(batch.repartition(2))
+
+        def agg(df: DataFrame, label: str):
+            r = df.agg(
+                F.count("*").alias("n"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double"),
+                    6,
+                ).alias("total"),
+            ).first()
+            return (label, r["n"], float(r["total"]))
+
+        rows = [
+            agg(t.read(), "main_while_dirty"),  # isolation: fork never leaks
+            agg(b.read(), "branch_dirty"),
+        ]
+
+        # AUDIT on the branch, repair ON the branch, tag the audited state
+        rows.append(agg(b.read().filter(F.col("o_totalprice") < 0), "audit_bad"))
+        b.delete_where("o_totalprice", "<", 0, mode="cow")
+
+        # PUBLISH: atomic fast-forward of main onto the audited branch head
+        t.publish_branch("ingest")
+        t.create_tag("published-r11")
+        t.drop_branch("ingest")
+        assert t.branches() == [] and t.tags() == {"published-r11": 2}
+        rows.append(agg(t.read("published-r11"), "published"))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "point string, n bigint, total double"
+    ).orderBy("point")
+
+
+ORDERS_WAP_PUBLISH_SQL = """
+WITH base AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 8 = 1 THEN -o_totalprice
+              ELSE o_totalprice END AS price,
+         o_orderkey % 4 AS m4, o_orderkey % 8 AS m8
+  FROM orders WHERE o_orderkey % 4 IN (0, 1)
+)
+SELECT 'audit_bad' AS point, count(*) AS n,
+       round(CAST(sum(CAST(price AS DECIMAL(30,6))) AS DOUBLE), 6) AS total
+FROM base WHERE m8 = 1
+UNION ALL
+SELECT 'branch_dirty', count(*),
+       round(CAST(sum(CAST(price AS DECIMAL(30,6))) AS DOUBLE), 6)
+FROM base
+UNION ALL
+SELECT 'main_while_dirty', count(*),
+       round(CAST(sum(CAST(price AS DECIMAL(30,6))) AS DOUBLE), 6)
+FROM base WHERE m4 = 0
+UNION ALL
+SELECT 'published', count(*),
+       round(CAST(sum(CAST(price AS DECIMAL(30,6))) AS DOUBLE), 6)
+FROM base WHERE m8 <> 1
+ORDER BY point
+"""
+
+QUERIES["orders_wap_publish"] = orders_wap_publish
+ORACLES["orders_wap_publish"] = ORDERS_WAP_PUBLISH_SQL
