@@ -353,6 +353,7 @@ ROUND11_NEVER_GRADED: list[str] = [
 ROUND12_NEVER_GRADED: list[str] = [
     "orders_rename_evolution",
     "orders_wap_publish",
+    "orders_type_widening",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

@@ -951,6 +951,28 @@ def export_delta_log(
     fs.mkdirs(log_dir)
     entries = {os.path.basename(e.path): e for e in table.files()}
     mapping = table.column_mapping() if hasattr(table, "column_mapping") else None
+    # type widening guard: the exported files are hard links, so a file whose
+    # PHYSICAL type is narrower than the declared (widened) schema would need
+    # Delta's typeWidening reader feature — which most external readers lack.
+    # Refuse honestly; a full rewrite (table.overwrite(table.read()), or
+    # compact() once every small file is touched) upgrades the physical types
+    # and makes the export a plain, maximally readable table. The Iceberg
+    # exporter has no such gate: type promotion is core Iceberg semantics.
+    for c in mapping or []:
+        if c.get("dropped") or "widened_from" not in c:
+            continue
+        stale = [
+            os.path.basename(e.path) for e in entries.values()
+            if (getattr(e, "types", None) or {}).get(c["physical"]) != c["type"]
+        ]
+        if stale:
+            raise DeltaLogError(
+                f"column {c['name']!r} was widened ({c['widened_from']} -> "
+                f"{c['type']}) but {len(stale)} data file(s) still carry the "
+                f"narrow physical type (e.g. {stale[0]}); rewrite them "
+                f"(table.overwrite(table.read())) before a Delta export, or "
+                f"replicate to Iceberg, whose spec widens natively"
+            )
     if entries:
         schema_str = _mapped_schema_string(table, mapping)
     elif existing:

@@ -177,15 +177,22 @@ def dv_anti_join(
     )
 
 
-def scan_with_dvs(spark: SparkSession, entries, merge_schema: bool = True) -> DataFrame:
+def scan_with_dvs(spark: SparkSession, entries, merge_schema: bool = True,
+                  read_schema: str | None = None) -> DataFrame:
     """Distributed scan of SnapshotTable file entries with their deletion
     vectors applied. Entries without DVs take the plain parquet read (zero
     overhead — byte-identical plan to the pre-DV engine); any DV-bearing
-    entry switches the scan to metadata-tagged merge-on-read."""
+    entry switches the scan to metadata-tagged merge-on-read.
+    ``read_schema`` overrides schema inference entirely (type-widening:
+    Spark 4's parquet readers upcast narrow physical types to the declared
+    schema; mergeSchema cannot reconcile mixed widths)."""
     from bears_spark.io.metafs import spark_path
 
     paths = [spark_path(e.path) for e in entries]
-    reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
+    if read_schema is not None:
+        reader = spark.read.schema(read_schema)
+    else:
+        reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
     dvs = [(dv_join_key(e.path), e.dv) for e in entries if e.dv]
     if not dvs:
         return reader.parquet(*paths)

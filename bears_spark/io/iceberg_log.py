@@ -874,9 +874,23 @@ class IcebergTableReader:
         if not self._renames_detected():
             from pyspark.sql import functions as F
 
-            df = self.spark.read.option("mergeSchema", "true").parquet(
-                *[spark_path(p) for p in paths]
-            )
+            # the snapshot schema — not footer merging — is the read
+            # authority (Iceberg spec): an explicit-schema scan null-fills
+            # added columns, ignores dropped ones, and WIDENS promoted types
+            # (int32 files under a promoted long column; mergeSchema cannot
+            # reconcile the mixed widths). Externally-written metadata may
+            # carry an EMPTY or exotic-typed schema (nested types) — those
+            # tables fall back to the footer-merged read, their pre-widening
+            # behavior (widening requires a reconstructable schema anyway).
+            try:
+                explicit = self._spark_schema(snapshot_id=snapshot_id)
+            except IcebergLogError:
+                explicit = None
+            if explicit is not None and len(explicit.fields) > 0:
+                reader = self.spark.read.schema(explicit)
+            else:
+                reader = self.spark.read.option("mergeSchema", "true")
+            df = reader.parquet(*[spark_path(p) for p in paths])
             if tag_metadata:
                 df = self._tag_metadata(df)
             raw_names = {
@@ -910,7 +924,22 @@ class IcebergTableReader:
         parts = []
         for mapping, ps in sorted(groups.items()):
             phys_by_id = {fid: name for name, fid in mapping}
-            df = self.spark.read.parquet(*[spark_path(x) for x in ps])
+            # explicit per-group read schema in PHYSICAL names with the
+            # LOGICAL types: a type-promoted column (int->long) reads its
+            # narrow old files widened; grouping is by (name, id) so widths
+            # may differ within one group
+            from pyspark.sql import types as T
+
+            group_fields = [
+                T.StructField(
+                    phys_by_id[int(f.metadata["parquet.field.id"])], f.dataType, True
+                )
+                for f in logical.fields
+                if int(f.metadata["parquet.field.id"]) in phys_by_id
+            ]
+            df = self.spark.read.schema(T.StructType(group_fields)).parquet(
+                *[spark_path(x) for x in ps]
+            )
             cols = []
             for f in logical.fields:
                 phys = phys_by_id.get(int(f.metadata["parquet.field.id"]))
@@ -1068,6 +1097,9 @@ class IcebergTableReader:
         fields = []
         for f in schema.get("fields", []):
             t = f["type"]
+            if isinstance(t, str) and t.replace(" ", "").startswith("decimal("):
+                p, sc = (int(x) for x in t.replace(" ", "")[8:-1].split(","))
+                _ICE2SPARK = dict(_ICE2SPARK, **{t: T.DecimalType(p, sc)})
             if not isinstance(t, str) or t not in _ICE2SPARK:
                 raise IcebergLogError(
                     f"unsupported Iceberg type {t!r} for a reconstructed read schema"

@@ -194,6 +194,11 @@ class FileEntry:
     # new delete writes a fresh one, so (path, dv.path) is a snapshot-stable
     # identity for conflict detection and incremental consumers.
     dv: dict | None = None
+    # physical column name -> Spark DDL type the file was WRITTEN with —
+    # powers alter_column_type's explicit-schema reads and the Delta
+    # exporter's physical/declared type match check. Empty on files written
+    # before type tracking (treated as unknown, conservatively).
+    types: dict = field(default_factory=dict)
 
     @property
     def live_rows(self) -> int:
@@ -487,12 +492,18 @@ class SnapshotTable:
         return df.select(*cols)
 
     @staticmethod
-    def _extend_mapping(mapping: list[dict], df_columns: list[str]) -> list[dict]:
+    def _extend_mapping(mapping: list[dict], df_columns: list[str],
+                        df_types: dict[str, str] | None = None) -> list[dict]:
         """Additive evolution under a mapping: unseen df columns join the
         mapping with fresh ids (physical = logical, like mergeSchema appends
-        on an unmapped table)."""
+        on an unmapped table). On a FULLY TYPED mapping (post
+        alter_column_type — every live entry carries a type, switching scans
+        to the explicit-schema path) the new entries must carry their type
+        too, taken from ``df_types``; an untyped mapping stays untyped so
+        pre-widening subset-scan semantics are untouched."""
         known = {c["name"] for c in mapping if not c.get("dropped")}
         reserved = {c["physical"] for c in mapping}
+        typed = all("type" in c for c in mapping if not c.get("dropped"))
         out = [dict(c) for c in mapping]
         next_id = max((int(c["id"]) for c in mapping), default=0) + 1
         for name in df_columns:
@@ -503,7 +514,15 @@ class SnapshotTable:
                     f"column name {name!r} is retired (the physical name of a "
                     f"dropped or renamed column); pick a different name"
                 )
-            out.append({"id": next_id, "name": name, "physical": name})
+            entry = {"id": next_id, "name": name, "physical": name}
+            if typed:
+                if not df_types or name not in df_types:
+                    raise ValueError(
+                        f"cannot add column {name!r} to a type-widened table "
+                        f"without its type (explicit-schema reads need it)"
+                    )
+                entry["type"] = df_types[name]
+            out.append(entry)
             next_id += 1
         return out
 
@@ -577,6 +596,92 @@ class SnapshotTable:
             lambda parent_m: [FileEntry(**e) for e in parent_m["files"]],
             build_columns=build_cols,
         )
+
+    # type-widening promotions: Iceberg's legal set (also what Spark 4's
+    # parquet readers natively widen when handed an explicit read schema) —
+    # integer chain, float->double, decimal precision increase at same scale
+    _WIDEN_RULES = {
+        "tinyint": {"smallint", "int", "bigint"},
+        "smallint": {"int", "bigint"},
+        "int": {"bigint"},
+        "float": {"double"},
+    }
+
+    @classmethod
+    def _widen_ok(cls, old: str, new: str) -> bool:
+        old, new = old.lower(), new.lower()
+        if new in cls._WIDEN_RULES.get(old, ()):
+            return True
+        if old.startswith("decimal(") and new.startswith("decimal("):
+            po, so = (int(x) for x in old[8:-1].split(","))
+            pn, sn = (int(x) for x in new[8:-1].split(","))
+            return sn == so and pn > po
+        return False
+
+    def alter_column_type(self, col: str, new_type: str) -> int:
+        """Metadata-only type WIDENING (Iceberg type promotion / Delta type
+        widening): no data file is rewritten — old files keep their narrow
+        physical type and every scan reads through an explicit widened
+        schema (Spark 4's parquet readers upcast int32->int64 etc. natively).
+        Legal promotions: tinyint->smallint->int->bigint, float->double,
+        decimal(p,s)->decimal(p+,s). The first widen materializes the full
+        per-column type map into the manifest mapping, switching all
+        subsequent scans off mergeSchema (which cannot reconcile mixed
+        widths) onto the explicit schema."""
+        self.spark.createDataFrame([], f"`__probe__` {new_type}")  # DDL check
+
+        def build_cols(parent_m: dict) -> list[dict]:
+            mapping = parent_m.get("columns") or self._synthesize_mapping(parent_m)
+            live = self._live_cols(mapping)
+            names = [c["name"] for c in live]
+            if col not in names:
+                raise ValueError(f"unknown column {col!r} (live columns: {names})")
+            out = [dict(c) for c in mapping]
+            # first widen: fill in the current type of EVERY live column so
+            # the explicit-schema read path covers the whole projection
+            if any("type" not in c for c in out if not c.get("dropped")):
+                files = [FileEntry(**e) for e in parent_m["files"]]
+                if not files:
+                    raise ValueError("cannot widen a column on an empty table")
+                phys_types = {
+                    f.name: f.dataType.simpleString()
+                    for f in self._scan(files).schema.fields
+                }
+                for c in out:
+                    if not c.get("dropped") and "type" not in c:
+                        c["type"] = phys_types[c["physical"]]
+            target = next(c for c in out if not c.get("dropped") and c["name"] == col)
+            old = target["type"]
+            if not self._widen_ok(old, new_type):
+                raise ValueError(
+                    f"cannot alter {col!r} from {old} to {new_type}: only "
+                    f"widening promotions are supported (int chain up to "
+                    f"bigint, float->double, decimal precision increase)"
+                )
+            target["type"] = new_type
+            target.setdefault("widened_from", old)  # keep the ORIGINAL width
+            return out
+
+        return self._commit(
+            "alter-column-type",
+            lambda parent_m: [FileEntry(**e) for e in parent_m["files"]],
+            build_columns=build_cols,
+        )
+
+    @staticmethod
+    def _read_schema_from_mapping(mapping: list[dict] | None) -> str | None:
+        """Explicit physical read schema (DDL string) when the mapping
+        carries a type for every live column (true after the first
+        alter_column_type) — the scan then reads every file through the
+        widened schema instead of mergeSchema, which cannot reconcile a
+        mixed-width file set. None = pre-widening mapping: scans keep their
+        original mergeSchema behavior, byte-identical plans."""
+        if not mapping:
+            return None
+        live = [c for c in mapping if not c.get("dropped")]
+        if any("type" not in c for c in live):
+            return None
+        return ", ".join(f"`{c['physical']}` {c['type']}" for c in live)
 
     def drop_column(self, col: str) -> int:
         """Metadata-only column drop: the physical data stays in every
@@ -672,7 +777,10 @@ class SnapshotTable:
 
         if not entries or not cons:
             return
-        df = self._project_mapping(self._scan(entries), mapping)
+        df = self._project_mapping(
+            self._scan(entries, read_schema=self._read_schema_from_mapping(mapping)),
+            mapping,
+        )
         aggs = [
             F.sum(
                 F.when(F.expr(e).eqNullSafe(F.lit(False)), 1).otherwise(0)
@@ -698,7 +806,10 @@ class SnapshotTable:
         if not cons:
             return
         entries = [FileEntry(**e) for e in parent_m["files"]]
-        probe = self._project_mapping(self._scan(entries), new_mapping).limit(0)
+        probe = self._project_mapping(
+            self._scan(entries, read_schema=self._read_schema_from_mapping(new_mapping)),
+            new_mapping,
+        ).limit(0)
         for cname, cexpr in cons.items():
             try:
                 # select, NOT filter: the analyzer back-fills missing
@@ -880,6 +991,10 @@ class SnapshotTable:
         mapping = self._load_manifest().get("columns")
         if to_physical:
             df = self._to_physical_df(df, mapping)
+        # per-file physical column types power the type-widening read path
+        # (explicit-schema scans) and the Delta exporter's all-files-match
+        # check; recorded at write time — footer-free at read time
+        ptypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         subdir = join_path(self.path, "data", uuid.uuid4().hex)
         df.write.mode("overwrite").parquet(spark_path(subdir))
         entries = []
@@ -924,7 +1039,10 @@ class SnapshotTable:
                         if kmx > _decode_stat(cur["max"]):
                             cur["max"] = mx
             entries.append(
-                FileEntry(path=fpath, rows=md.num_rows, stats=_truncate_string_stats(stats))
+                FileEntry(
+                    path=fpath, rows=md.num_rows,
+                    stats=_truncate_string_stats(stats), types=dict(ptypes),
+                )
             )
         self._attach_blooms(subdir, entries, mapping)
         return entries
@@ -1073,6 +1191,7 @@ class SnapshotTable:
         Under a column mapping, surviving logical names keep their ids and
         physical names (exports stay field-id-stable); absent ones drop."""
         df_cols = list(df.columns)
+        df_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         new = self._write_files(df)
 
         def build_cols(parent_m: dict):
@@ -1087,18 +1206,20 @@ class SnapshotTable:
                 else dict(c)
                 for c in mapping
             ]
-            return self._extend_mapping(kept, df_cols)
+            return self._extend_mapping(kept, df_cols, df_types)
 
         return self._commit("overwrite", lambda parent_m: new, txn=txn,
                             build_columns=build_cols)
 
     def append(self, df: DataFrame) -> int:
         df_cols = list(df.columns)
+        df_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         new = self._write_files(df)  # written once; CAS retries only re-list the parent
 
         def build_cols(parent_m: dict):
             mapping = parent_m.get("columns")
-            return None if mapping is None else self._extend_mapping(mapping, df_cols)
+            return (None if mapping is None
+                    else self._extend_mapping(mapping, df_cols, df_types))
 
         return self._commit(
             "append",
@@ -1142,8 +1263,9 @@ class SnapshotTable:
             rewrite = [e for e in prior if e.may_match(col, op, value)]
             new = []
             if rewrite:
+                rs = self._read_schema_from_mapping(parent_m.get("columns"))
                 pred = _OPS[op](F.col(col), F.lit(value))
-                survivors = self._scan(rewrite, merge_schema=False).filter(
+                survivors = self._scan(rewrite, merge_schema=False, read_schema=rs).filter(
                     ~pred | F.col(col).isNull()
                 )
                 new = self._write_files(survivors, to_physical=False)
@@ -1207,9 +1329,11 @@ class SnapshotTable:
                     "delete-mor", lambda m: [FileEntry(**e) for e in m["files"]], txn=txn
                 )
             norm = spark_file_norm(F.col("_metadata.file_path"))
+            rs = self._read_schema_from_mapping(parent_m.get("columns"))
+            rdr = (self.spark.read.schema(rs) if rs is not None
+                   else self.spark.read.option("mergeSchema", "true"))
             matches = (
-                self.spark.read.option("mergeSchema", "true")
-                .parquet(*[spark_path(e.path) for e in affected])
+                rdr.parquet(*[spark_path(e.path) for e in affected])
                 .select(
                     norm.alias("__fp__"),
                     F.col("_metadata.row_index").alias("__pos__"),
@@ -1339,7 +1463,8 @@ class SnapshotTable:
                     keep.append(e)
             new = []
             if rewrite:
-                survivors = self._scan(rewrite, merge_schema=False).filter(
+                rs = self._read_schema_from_mapping(parent_m.get("columns"))
+                survivors = self._scan(rewrite, merge_schema=False, read_schema=rs).filter(
                     ~F.col(col).isin(key_vals) | F.col(col).isNull()
                 )
                 new = self._write_files(survivors, to_physical=False)
@@ -1374,6 +1499,7 @@ class SnapshotTable:
         from bears_spark.functions.sketch import zorder_layout, zorder_quantize
 
         df_cols = list(df.columns)
+        df_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         mapping = self._load_manifest().get("columns")
         df = self._to_physical_df(df, mapping)
         pcols = [
@@ -1402,7 +1528,7 @@ class SnapshotTable:
                 else dict(c)
                 for c in m
             ]
-            return self._extend_mapping(kept, df_cols)
+            return self._extend_mapping(kept, df_cols, df_types)
 
         return self._commit("overwrite-clustered", lambda parent_m: new,
                             build_columns=build_cols)
@@ -1427,6 +1553,7 @@ class SnapshotTable:
         # translate the LOGICAL-named source (and key) to physical names
         # once; the rewrite then joins physical target against physical source
         src_cols = list(source.columns)
+        src_types = {f.name: f.dataType.simpleString() for f in source.schema.fields}
         mapping = self._load_manifest().get("columns")
         source = self._to_physical_df(source, mapping)
         key = self._physical_col(key, mapping) if mapping else key
@@ -1443,7 +1570,8 @@ class SnapshotTable:
             keep = [e for e in prior if not overlaps(e)]
             hit = [e for e in prior if overlaps(e)]
             if hit:
-                target = self._scan(hit, merge_schema=False)
+                rs = self._read_schema_from_mapping(parent_m.get("columns"))
+                target = self._scan(hit, merge_schema=False, read_schema=rs)
                 merged = merge_into(target, source, on=key)
             else:
                 merged = source
@@ -1451,7 +1579,7 @@ class SnapshotTable:
 
         def build_cols(parent_m: dict):
             m = parent_m.get("columns")
-            return None if m is None else self._extend_mapping(m, src_cols)
+            return None if m is None else self._extend_mapping(m, src_cols, src_types)
 
         return self._commit("merge", build, txn=txn, build_columns=build_cols)
 
@@ -1523,7 +1651,12 @@ class SnapshotTable:
             small = [e for e in entries if e.live_rows < target_rows_per_file or e.dv]
             if len(small) <= 1 and not any(e.dv for e in small):
                 return self.current_version()  # nothing to gain
-            merged = self._scan(small, merge_schema=False)
+            merged = self._scan(
+                small, merge_schema=False,
+                read_schema=self._read_schema_from_mapping(
+                    self._load_manifest().get("columns")
+                ),
+            )
             n_out = max(1, math.ceil(sum(e.live_rows for e in small) / target_rows_per_file))
             if cluster_cols:
                 from pyspark.sql import functions as F
@@ -1617,6 +1750,9 @@ class SnapshotTable:
                 pass  # replay after checkpoint recovery: already committed
             else:
                 batch_cols = list(batch_df.columns)
+                batch_types = {
+                    f.name: f.dataType.simpleString() for f in batch_df.schema.fields
+                }
                 new = self._write_files(batch_df)
                 self._commit(
                     "stream-append",
@@ -1624,7 +1760,9 @@ class SnapshotTable:
                     txn=(app, batch_id),
                     build_columns=lambda parent_m: (
                         None if parent_m.get("columns") is None
-                        else self._extend_mapping(parent_m["columns"], batch_cols)
+                        else self._extend_mapping(
+                            parent_m["columns"], batch_cols, batch_types
+                        )
                     ),
                 )
             if export_delta_to is not None:
@@ -1720,13 +1858,18 @@ class SnapshotTable:
         return w.start()
 
     # -- read operations ----------------------------------------------------
-    def _scan(self, entries: list[FileEntry], merge_schema: bool = True) -> DataFrame:
+    def _scan(self, entries: list[FileEntry], merge_schema: bool = True,
+              read_schema: str | None = None) -> DataFrame:
         """Distributed scan of file entries with their deletion vectors
         applied (io/dv.py). DV-free entries keep the plain parquet read —
-        byte-identical plan to the pre-DV engine."""
+        byte-identical plan to the pre-DV engine. ``read_schema`` (a DDL
+        string) reads every file through an explicit schema — the
+        type-widening path, where mergeSchema cannot reconcile the mixed
+        physical widths."""
         from bears_spark.io.dv import scan_with_dvs
 
-        return scan_with_dvs(self.spark, entries, merge_schema=merge_schema)
+        return scan_with_dvs(self.spark, entries, merge_schema=merge_schema,
+                             read_schema=read_schema)
 
     def version_as_of(self, timestamp_ms: int) -> int:
         """Version current AS OF ``timestamp_ms``: the latest non-expired
@@ -1774,16 +1917,20 @@ class SnapshotTable:
                 # every file provably excluded: empty result over the FULL
                 # merged snapshot schema (footer-only read), so pruning stays
                 # semantically invisible even after schema evolution
+                rs = self._read_schema_from_mapping(mapping)
+                rdr = (self.spark.read.schema(rs) if rs is not None
+                       else self.spark.read.option("mergeSchema", "true"))
                 return self._project_mapping(
-                    self.spark.read.option("mergeSchema", "true")
-                    .parquet(*[spark_path(e.path) for e in all_entries])
-                    .limit(0),
+                    rdr.parquet(*[spark_path(e.path) for e in all_entries]).limit(0),
                     mapping,
                 )
         # mergeSchema: appends may evolve the schema (new nullable columns);
         # older files surface nulls for columns they predate, and a
         # time-travel read of an old version sees that version's schema.
-        df = self._project_mapping(self._scan(entries), mapping)
+        df = self._project_mapping(
+            self._scan(entries, read_schema=self._read_schema_from_mapping(mapping)),
+            mapping,
+        )
         if where is not None:
             col, op, value = where
             df = df.filter(_OPS[op](F.col(col), F.lit(value)))
@@ -1806,7 +1953,11 @@ class SnapshotTable:
         new = [e for e in cur if e.path not in base]
         if not new:
             return self.read().limit(0)
-        return self._project_mapping(self._scan(new), cur_m.get("columns"))
+        cur_map = cur_m.get("columns")
+        return self._project_mapping(
+            self._scan(new, read_schema=self._read_schema_from_mapping(cur_map)),
+            cur_map,
+        )
 
     def change_feed(self, key: str, from_version: int, to_version: int | None = None) -> DataFrame:
         """Typed row-level change feed between two snapshots: full-outer join

@@ -5635,3 +5635,88 @@ ORDER BY point
 
 QUERIES["orders_wap_publish"] = orders_wap_publish
 ORACLES["orders_wap_publish"] = ORDERS_WAP_PUBLISH_SQL
+
+
+# orders_type_widening: metadata-only type promotion graded end-to-end —
+# alter_column_type("o_qty", int -> bigint) rewrites NOTHING (at 100 TB a
+# rewrite-based type change is a full-corpus job); every scan reads the
+# mixed-width file set through an explicit widened schema (Spark 4 parquet
+# upcast); the Iceberg replica evolves the SAME field id (spec promotion)
+# and serves the pre-widen snapshot under the narrow type. Graded points:
+# the widened native table after a beyond-int32 append (values that only fit
+# post-widen), the Iceberg replica of the same state, and the pre-widen
+# snapshot — each hash-matched against relational SQL.
+def orders_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from bears_spark.io.iceberg_log import IcebergTableReader, export_iceberg_metadata
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").cast("int").alias("o_qty")
+    )
+    root = tempfile.mkdtemp(prefix="widen_")
+    try:
+        t = SnapshotTable(spark, _os.path.join(root, "t"))
+        t.overwrite(o.filter(F.col("o_orderkey") % 4 == 0).repartition(2))
+        v1 = t.current_version()
+        ice_out = _os.path.join(root, "ice")
+        export_iceberg_metadata(t, ice_out)  # pre-widen snapshot
+
+        t.alter_column_type("o_qty", "bigint")  # metadata-only
+        # the appended values exceed int32 — they only fit BECAUSE of the widen
+        t.append(
+            o.filter(F.col("o_orderkey") % 4 == 1)
+            .select("o_orderkey", (F.col("o_qty").cast("bigint") + F.lit(2**33)).alias("o_qty"))
+            .repartition(2)
+        )
+        export_iceberg_metadata(t, ice_out)  # field-id promotion snapshot
+
+        native = t.read()
+        assert native.schema["o_qty"].dataType.simpleString() == "bigint"
+        assert t.read(v1).schema["o_qty"].dataType.simpleString() == "int"
+        ice_r = IcebergTableReader(spark, ice_out)
+        ice = ice_r.read()
+        assert ice.schema["o_qty"].dataType.simpleString() == "bigint"
+        assert ice_r.read(snapshot_id=1).schema["o_qty"].dataType.simpleString() == "int"
+
+        def agg(df: DataFrame, label: str):
+            r = df.agg(
+                F.count("*").alias("n"), F.sum("o_qty").cast("long").alias("qty_sum")
+            ).first()
+            return (label, r["n"], r["qty_sum"])
+
+        rows = [
+            agg(native, "native_widened"),
+            agg(ice, "iceberg_widened"),
+            agg(t.read(v1), "native_pre_widen"),
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "point string, n bigint, qty_sum bigint"
+    ).orderBy("point")
+
+
+ORDERS_TYPE_WIDENING_SQL = """
+WITH base AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 4 = 1
+              THEN CAST(o_custkey AS BIGINT) + 8589934592
+              ELSE CAST(o_custkey AS BIGINT) END AS qty,
+         o_orderkey % 4 AS m4
+  FROM orders WHERE o_orderkey % 4 IN (0, 1)
+)
+SELECT 'iceberg_widened' AS point, count(*) AS n,
+       CAST(sum(qty) AS BIGINT) AS qty_sum FROM base
+UNION ALL
+SELECT 'native_pre_widen', count(*), CAST(sum(qty) AS BIGINT) FROM base WHERE m4 = 0
+UNION ALL
+SELECT 'native_widened', count(*), CAST(sum(qty) AS BIGINT) FROM base
+ORDER BY point
+"""
+
+QUERIES["orders_type_widening"] = orders_type_widening
+ORACLES["orders_type_widening"] = ORDERS_TYPE_WIDENING_SQL
