@@ -957,7 +957,10 @@ class SnapshotTable:
         :class:`BranchConflictError` when main advanced past the fork point
         (the audit ran against a stale base) unless ``force=True``. The
         branch's txn stamps merge into main, so exactly-once writers survive
-        the publish. The branch itself is left intact; drop it when done."""
+        the publish. The branch itself is left intact; drop it when done.
+        A branch is SINGLE-publish: the publish commit itself advances main
+        past the fork point, so a second publish of the same branch refuses
+        — re-fork per ingest batch (the WAP cadence)."""
         if self.branch_name is not None:
             raise ValueError("publish from the main handle")
         bt = self.branch(name)

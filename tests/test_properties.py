@@ -1581,3 +1581,158 @@ def test_schema_evolution_sequence_matches_model(spark, tmp_path, case):
         assert df.columns == vcols, (v, df.columns, vcols)
         got = {r["id"]: {c: r[c] for c in vcols} for r in df.collect()}
         assert got == vrows, (v, case)
+
+
+# Type widening + DML interleavings vs a typed pure-Python model: widen is
+# metadata-only, so the file set mixes physical widths after it — every op
+# (append beyond-int32 values, CoW/MoR delete, merge, compact) must read the
+# mix through the explicit widened schema, and time travel must serve each
+# version's OWN width (VERDICT-style refs: io/snapshot_table.py
+# alter_column_type).
+
+
+@st.composite
+def _widen_case(draw):
+    return draw(st.lists(
+        st.one_of(
+            st.tuples(st.just("append"), st.integers(0, 50)),
+            st.tuples(st.just("widen_v"), st.just(0)),
+            st.tuples(st.just("rename_v"), st.just(0)),
+            st.tuples(st.just("merge"), st.integers(0, 50)),
+            st.tuples(st.just("del_ge"), st.integers(0, 9)),
+            st.tuples(st.just("del_mor"), st.integers(0, 9)),
+            st.tuples(st.just("compact"), st.just(0)),
+        ),
+        min_size=3, max_size=7,
+    ))
+
+
+@given(_widen_case())
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_type_widening_sequence_matches_model(spark, tmp_path, case):
+    import uuid
+
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    root = tmp_path / uuid.uuid4().hex
+    t = SnapshotTable(spark, str(root))
+    vname, vtype = "v", "int"  # logical name + declared type of the value col
+    rows = {i: i * 2 for i in range(6)}  # id -> v
+    t.overwrite(spark.createDataFrame(
+        sorted(rows.items()), "id int, v int"
+    ).coalesce(1))
+    history = {t.current_version(): (vname, vtype, dict(rows))}
+    nid = 1000
+    for op, arg in case:
+        if op == "append":
+            # beyond-int32 values ONLY once widened — the point of the widen
+            val = (2**40 + arg) if vtype == "bigint" else arg
+            nid += 1
+            t.append(spark.createDataFrame(
+                [(nid, val)], f"id int, {vname} {'long' if vtype == 'bigint' else 'int'}"
+            ).coalesce(1))
+            rows[nid] = val
+        elif op == "widen_v":
+            if vtype == "bigint":
+                continue
+            t.alter_column_type(vname, "bigint")
+            vtype = "bigint"
+        elif op == "rename_v":
+            new = vname + "x"
+            t.rename_column(vname, new)
+            vname = new
+        elif op == "merge":
+            val = (2**41 + arg) if vtype == "bigint" else (500 + arg)
+            src = spark.createDataFrame(
+                [(0, val), (nid + 7000, val)],
+                f"id int, {vname} {'long' if vtype == 'bigint' else 'int'}",
+            ).coalesce(1)
+            t.merge(src, key="id")
+            rows[0] = val
+            rows[nid + 7000] = val
+        elif op == "del_ge":
+            cut = 1002 + arg
+            t.delete_where("id", ">=", cut)
+            rows = {i: v for i, v in rows.items() if i < cut}
+        elif op == "del_mor":
+            t.delete_keys("id", [arg], mode="mor")
+            rows.pop(arg, None)
+        else:
+            t.compact(target_rows_per_file=100)
+        history[t.current_version()] = (vname, vtype, dict(rows))
+        df = t.read()
+        assert df.schema[vname].dataType.simpleString() == vtype, (op, arg)
+        got = {r["id"]: r[vname] for r in df.collect()}
+        assert got == rows, (op, arg, got, rows)
+    # time travel: every version serves its OWN name, width and rows
+    for ver, (name, typ, vrows) in history.items():
+        df = t.read(version=ver)
+        assert df.schema[name].dataType.simpleString() == typ, (ver, case)
+        got = {r["id"]: r[name] for r in df.collect()}
+        assert got == vrows, (ver, case)
+
+
+# Branch/publish semantics vs a model: fork copies state; main and branch
+# evolve independently; publish fast-forwards ONLY when main is still at the
+# fork point, else raises BranchConflictError — whatever the interleaving
+# (io/snapshot_table.py publish_branch).
+
+
+@st.composite
+def _wap_case(draw):
+    return draw(st.lists(
+        st.one_of(
+            st.tuples(st.just("main_append"), st.integers(0, 30)),
+            st.tuples(st.just("branch_append"), st.integers(0, 30)),
+            st.tuples(st.just("branch_del"), st.integers(0, 5)),
+            st.tuples(st.just("publish"), st.just(0)),
+        ),
+        min_size=2, max_size=8,
+    ))
+
+
+@given(_wap_case())
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_branch_publish_matches_model(spark, tmp_path, case):
+    import uuid
+
+    from bears_spark.io.snapshot_table import BranchConflictError, SnapshotTable
+
+    root = tmp_path / uuid.uuid4().hex
+    t = SnapshotTable(spark, str(root))
+    main = {i: i * 10 for i in range(4)}
+    t.overwrite(spark.createDataFrame(sorted(main.items()), "id int, v int").coalesce(1))
+    b = t.create_branch("wap")
+    branch = dict(main)
+    main_moved = False  # has main advanced past the fork point?
+    nid = 100
+    for op, arg in case:
+        if op == "main_append":
+            nid += 1
+            t.append(spark.createDataFrame([(nid, arg)], "id int, v int").coalesce(1))
+            main[nid] = arg
+            main_moved = True
+        elif op == "branch_append":
+            nid += 1
+            b.append(spark.createDataFrame([(nid, arg)], "id int, v int").coalesce(1))
+            branch[nid] = arg
+        elif op == "branch_del":
+            b.delete_keys("id", [arg], mode="cow")
+            branch.pop(arg, None)
+        else:  # publish
+            if main_moved:
+                with pytest.raises(BranchConflictError):
+                    t.publish_branch("wap")
+            else:
+                t.publish_branch("wap")
+                main = dict(branch)
+                # publish itself advances main past the fork point: a branch
+                # is single-publish — re-fork to continue (Iceberg's WAP
+                # shape is fork-per-ingest-batch)
+                main_moved = True
+        got_main = {r["id"]: r["v"] for r in t.read().collect()}
+        got_branch = {r["id"]: r["v"] for r in b.read().collect()}
+        assert got_main == main, (op, arg, got_main, main)
+        assert got_branch == branch, (op, arg, got_branch, branch)
