@@ -1042,11 +1042,18 @@ class IcebergTableReader:
             df = df.drop("__ice_fp__", "__ice_pos__")
         return df
 
+    def refs(self) -> dict[str, dict]:
+        """The table's named refs (spec v2): ``{name: {"snapshot-id", "type"
+        in branch/tag}}``. The SnapshotTable exporter replicates source tags
+        here; absent on metadata without refs."""
+        return dict(self.meta.get("refs") or {})
+
     def read(
         self,
         snapshot_id: int | None = None,
         where: tuple | None = None,
         as_of_timestamp_ms: int | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """Distributed scan of the snapshot's live data files, with Iceberg
         v2 row-level deletes applied merge-on-read: positional delete files
@@ -1061,6 +1068,13 @@ class IcebergTableReader:
         mergeSchema."""
         from pyspark.sql import functions as F
 
+        if ref is not None:
+            if snapshot_id is not None or as_of_timestamp_ms is not None:
+                raise ValueError("pass ref OR snapshot_id/as_of_timestamp_ms")
+            r = self.refs().get(ref)
+            if r is None:
+                raise ValueError(f"unknown ref {ref!r} (have: {sorted(self.refs())})")
+            snapshot_id = int(r["snapshot-id"])
         if as_of_timestamp_ms is not None:
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id OR as_of_timestamp_ms, not both")
@@ -1629,6 +1643,10 @@ def export_iceberg_metadata(table, out_path: str, partition_by: tuple | None = N
             "summary": {
                 "operation": "overwrite" if (gone or dv_pairs or prior_had_deletes) else "append",
                 "dv-fingerprint": dv_fingerprint,
+                # which SOURCE table version this snapshot replicates — lets
+                # the refs export below resolve tag versions to snapshot ids
+                "source-version": int(table.current_version())
+                if hasattr(table, "current_version") else None,
             },
         }
     )
@@ -1655,6 +1673,23 @@ def export_iceberg_metadata(table, out_path: str, partition_by: tuple | None = N
         "schemas": schemas,
         "current-schema-id": current_schema_id,
     }
+    # refs (spec v2): main, plus the source table's TAGS resolved to exported
+    # snapshot ids via the source-version stamped in each snapshot summary.
+    # Rebuilt fresh each export, so a deleted tag disappears from the
+    # replica; a tag whose version was never exported (the replication
+    # cadence skipped it) is omitted rather than mis-pinned.
+    refs: dict = {"main": {"snapshot-id": new_sid, "type": "branch"}}
+    if hasattr(table, "tags"):
+        by_src = {}
+        for s in snapshots:
+            sv = (s.get("summary") or {}).get("source-version")
+            if sv is not None:
+                by_src[int(sv)] = int(s["snapshot-id"])
+        for tag_name, tag_v in sorted(table.tags().items()):
+            sid = by_src.get(int(tag_v))
+            if sid is not None:
+                refs[tag_name] = {"snapshot-id": sid, "type": "tag"}
+    meta["refs"] = refs
     properties = dict((prior_meta or {}).get("properties") or {})
     if mapping:
         # the exported data files are hard links WITHOUT parquet field ids

@@ -183,3 +183,35 @@ def test_branch_time_travel_and_change_feed(spark, tmp_path):
     assert b.read(1).count() == 2  # fork snapshot
     feed = {r["id"]: r["change_type"] for r in b.change_feed("id", 1, 2).collect()}
     assert feed == {2: "changed", 3: "added"}
+
+
+def test_tags_export_as_iceberg_refs(spark, tmp_path):
+    """Source tags replicate as Iceberg refs (spec v2): each snapshot stamps
+    its source version, so a tag resolves to the exported snapshot id; a tag
+    whose version the replication cadence skipped is omitted rather than
+    mis-pinned, and a deleted tag disappears on the next tick."""
+    from bears_spark.io.iceberg_log import IcebergTableReader, export_iceberg_metadata
+
+    t = _mk(spark, tmp_path)
+    out = str(tmp_path / "ice")
+    export_iceberg_metadata(t, out)  # snapshot 1 <- version 1
+    t.create_tag("rel1")             # tags version 1 (already exported)
+    t.append(spark.createDataFrame([(3, 30)], "id long, v long").coalesce(1))
+    t.create_tag("skipped", version=2)  # version 2 never gets its own export
+    t.append(spark.createDataFrame([(4, 40)], "id long, v long").coalesce(1))
+    export_iceberg_metadata(t, out)  # snapshot 2 <- version 3
+
+    r = IcebergTableReader(spark, out)
+    refs = r.refs()
+    assert refs["main"] == {"snapshot-id": 2, "type": "branch"}
+    assert refs["rel1"] == {"snapshot-id": 1, "type": "tag"}
+    assert "skipped" not in refs
+    assert r.read(ref="rel1").count() == 2
+    assert r.read(ref="main").count() == 4
+    with pytest.raises(ValueError, match="unknown ref"):
+        r.read(ref="nope")
+
+    t.delete_tag("rel1")
+    t.append(spark.createDataFrame([(5, 50)], "id long, v long").coalesce(1))
+    export_iceberg_metadata(t, out)
+    assert "rel1" not in IcebergTableReader(spark, out).refs()
