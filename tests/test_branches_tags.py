@@ -215,3 +215,46 @@ def test_tags_export_as_iceberg_refs(spark, tmp_path):
     t.append(spark.createDataFrame([(5, 50)], "id long, v long").coalesce(1))
     export_iceberg_metadata(t, out)
     assert "rel1" not in IcebergTableReader(spark, out).refs()
+
+
+def test_streaming_wap_ingest_to_branch_then_publish(spark, tmp_path):
+    """Streaming write-audit-publish: the exactly-once micro-batch sink runs
+    ON A BRANCH HANDLE unchanged (it is all manifest commits), main's
+    readers never see in-flight batches, the audit runs over the quiesced
+    branch, and publish fast-forwards main atomically — WITH the stream's
+    txn stamps merged, so a checkpoint replay against the published main is
+    still a no-op."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = _mk(spark, tmp_path)
+    b = t.create_branch("ingest")
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table({"id": [10, 11, 12], "v": [100, 110, -999]}), str(src / "a.parquet")
+    )
+    stream = (
+        spark.readStream.schema("id long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/")
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = b.streaming_append(stream, ckpt)
+    q.awaitTermination(120)
+    assert b.read().count() == 5
+    assert t.read().count() == 2  # main never saw the stream
+
+    # audit + repair on the branch, then publish
+    assert b.read().filter(F.col("v") < 0).count() == 1
+    b.delete_keys("id", [12], mode="cow")
+    t.publish_branch("ingest")
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 10, 11]
+
+    # replaying the stream's checkpoint AGAINST MAIN is a no-op: the txn
+    # stamps published with the branch state make the epoch a known batch
+    before = t.current_version()
+    q2 = t.streaming_append(stream, ckpt)
+    q2.awaitTermination(120)
+    assert t.current_version() == before
+    assert t.read().count() == 4

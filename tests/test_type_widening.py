@@ -169,3 +169,18 @@ def test_pruning_stats_stay_correct_across_widen(spark, tmp_path):
     assert [r["id"] for r in got.collect()] == [3]
     narrow = t.read(where=("v", "<=", 20))
     assert sorted(r["id"] for r in narrow.collect()) == [1, 2]
+
+
+def test_bloom_point_lookup_sound_across_widen(spark, tmp_path):
+    """Per-file Blooms hash the CAST-TO-STRING rendering, so int 41 and
+    bigint 41 light the same positions — a widen can never make a bloom
+    falsely prune a pre-widen file, and pruning still bites."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), bloom_cols=["v"])
+    t.overwrite(spark.createDataFrame([(1, 41), (2, 52)], "id int, v int").coalesce(1))
+    t.alter_column_type("v", "bigint")
+    t.append(spark.createDataFrame([(3, 2**40)], "id int, v long").coalesce(1))
+    # pre-widen file still matches its own value through the bloom...
+    assert [r["id"] for r in t.read(where=("v", "=", 41)).collect()] == [1]
+    # ...and a miss-everywhere probe prunes every file
+    assert t.files(where=("v", "=", 43)) == []
+    assert [r["id"] for r in t.read(where=("v", "=", 2**40)).collect()] == [3]
