@@ -1484,10 +1484,16 @@ class SnapshotTable:
         has been expired."""
         target = self._load_manifest(version)
         files = [FileEntry(**e) for e in target["files"]]
-        # RESTORE rolls back schema evolution too: the restored snapshot's
-        # column mapping (possibly none) becomes current
-        return self._commit("restore", lambda parent_m: files,
-                            build_columns=lambda parent_m: target.get("columns"))
+        # RESTORE rolls back schema evolution AND the constraint set: the
+        # restored snapshot's mapping/constraints (possibly none) become
+        # current — Delta RESTORE's full-metadata semantics. Restored files
+        # are validated against the TARGET set, never the abandoned one, so
+        # a rollback can't be blocked by a constraint added after ``version``.
+        return self._commit(
+            "restore", lambda parent_m: files,
+            build_columns=lambda parent_m: target.get("columns"),
+            build_constraints=lambda parent_m: target.get("constraints") or {},
+        )
 
     def overwrite_clustered(self, df: DataFrame, cluster_cols: list[str], bits: int = 8, num_files: int | None = None) -> int:
         """Z-order-clustered overwrite: quantize the cluster columns from

@@ -213,3 +213,22 @@ def test_validation_scans_only_added_files(spark, tmp_path):
     assert len(spy) == 1 and len(spy[0]) == 1  # exactly the one added file
     assert spy[0][0].path not in {e.path for e in entries_all}
     del one
+
+
+def test_restore_rolls_back_constraints(spark, tmp_path):
+    """RESTORE reinstates the target version's constraint set (Delta's
+    full-metadata semantics): a rollback is never blocked by a constraint
+    added after the target, and the abandoned constraint disappears."""
+    t = _mk(spark, tmp_path)
+    v_clean = t.current_version()  # contains v = None rows (see _mk)
+    t.delete_keys("id", [3], mode="cow")  # drop the null row
+    t.add_check_constraint("v_nn", "v IS NOT NULL")
+    # rolling back to v_clean reintroduces a NULL row — legal, because the
+    # constraint rolls back with it
+    t.restore(v_clean)
+    assert t.constraints() == {}
+    assert t.read().count() == 3
+    # and a restore FORWARD to the constrained version reinstates the set
+    t.restore(v_clean + 2)
+    assert t.constraints() == {"v_nn": "v IS NOT NULL"}
+    assert t.read().count() == 2
