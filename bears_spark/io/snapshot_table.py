@@ -1134,6 +1134,14 @@ class SnapshotTable:
         for _ in range(self.max_commit_retries + 1):
             parent_m = self._load_manifest()
             parent = parent_m["version"]
+            if self.branch_name is not None and parent == 0:
+                # a branch ALWAYS starts at v1 (create_branch): an empty
+                # namespace means the branch was dropped — refuse, or a
+                # zombie writer would resurrect it with partial state
+                raise ValueError(
+                    f"branch {self.branch_name!r} was dropped; this handle "
+                    f"is stale (re-fork to continue)"
+                )
             if txn is not None and parent_m.get("txns", {}).get(txn[0], -1) >= txn[1]:
                 return parent  # another committer already landed this batch
             files = build_files(parent_m)

@@ -258,3 +258,16 @@ def test_streaming_wap_ingest_to_branch_then_publish(spark, tmp_path):
     q2.awaitTermination(120)
     assert t.current_version() == before
     assert t.read().count() == 4
+
+
+def test_zombie_writer_cannot_resurrect_dropped_branch(spark, tmp_path):
+    """A handle onto a branch that was dropped underneath it refuses to
+    commit (a branch never legitimately sits at version 0) — without the
+    guard, the zombie's append would silently recreate the branch holding
+    ONLY its own rows. Reads also fail rather than serving an empty table."""
+    t = _mk(spark, tmp_path)
+    b = t.create_branch("wap")
+    t.drop_branch("wap")
+    with pytest.raises(ValueError, match="dropped"):
+        b.append(spark.createDataFrame([(9, 90)], "id long, v long").coalesce(1))
+    assert t.branches() == []  # nothing resurrected
