@@ -354,6 +354,7 @@ ROUND12_NEVER_GRADED: list[str] = [
     "orders_rename_evolution",
     "orders_wap_publish",
     "orders_type_widening",
+    "orders_constraints_gate",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

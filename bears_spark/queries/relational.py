@@ -5720,3 +5720,91 @@ ORDER BY point
 
 QUERIES["orders_type_widening"] = orders_type_widening
 ORACLES["orders_type_widening"] = ORDERS_TYPE_WIDENING_SQL
+
+
+# orders_constraints_gate: named CHECK constraints graded end-to-end — the
+# quality gate every ingest pipeline wants at the TABLE boundary instead of
+# in each job. A constraint is added (validating existing rows in one
+# aggregate pass), a violating batch is REFUSED atomically (table unchanged
+# — the graded point proves it), a clean batch lands, and the Delta replica
+# carries delta.constraints.* so external writers inherit the contract.
+# Enforcement scans only each commit's added files (O(churn) at 100 TB).
+def orders_constraints_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from bears_spark.io.delta_log import DeltaTableReader, export_delta_log
+    from bears_spark.io.snapshot_table import ConstraintViolationError, SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    root = tempfile.mkdtemp(prefix="ck_")
+    try:
+        t = SnapshotTable(spark, _os.path.join(root, "t"))
+        t.overwrite(o.filter(F.col("o_orderkey") % 4 == 0).repartition(2))
+        t.add_check_constraint("price_pos", "o_totalprice > 0")
+
+        # a batch with sign-flipped rows (keys = 1 mod 8) is refused WHOLE
+        dirty = o.filter(F.col("o_orderkey") % 4 == 1).select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 8 == 1, -F.col("o_totalprice"))
+            .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        )
+        refused = False
+        try:
+            t.append(dirty.repartition(2))
+        except ConstraintViolationError:
+            refused = True
+        assert refused
+
+        def agg(df: DataFrame, label: str):
+            r = df.agg(
+                F.count("*").alias("n"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double"),
+                    6,
+                ).alias("total"),
+            ).first()
+            return (label, r["n"], float(r["total"]))
+
+        rows = [agg(t.read(), "after_refusal")]  # atomic: table unchanged
+
+        # the cleaned batch lands; the Delta replica carries the constraint
+        t.append(dirty.filter(F.col("o_totalprice") > 0).repartition(2))
+        delta_out = _os.path.join(root, "delta")
+        export_delta_log(t, delta_out)
+        reader = DeltaTableReader(spark, delta_out)
+        meta, _ = reader._snapshot()
+        assert (meta.get("configuration") or {})["delta.constraints.price_pos"] == (
+            "o_totalprice > 0"
+        )
+        rows.append(agg(t.read(), "after_clean_batch"))
+        rows.append(agg(reader.read(), "delta_replica"))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "point string, n bigint, total double"
+    ).orderBy("point")
+
+
+ORDERS_CONSTRAINTS_GATE_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_totalprice, o_orderkey % 4 AS m4, o_orderkey % 8 AS m8
+  FROM orders WHERE o_orderkey % 4 IN (0, 1)
+)
+SELECT 'after_clean_batch' AS point, count(*) AS n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 6) AS total
+FROM base WHERE m4 = 0 OR m8 <> 1
+UNION ALL
+SELECT 'after_refusal', count(*),
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 6)
+FROM base WHERE m4 = 0
+UNION ALL
+SELECT 'delta_replica', count(*),
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 6)
+FROM base WHERE m4 = 0 OR m8 <> 1
+ORDER BY point
+"""
+
+QUERIES["orders_constraints_gate"] = orders_constraints_gate
+ORACLES["orders_constraints_gate"] = ORDERS_CONSTRAINTS_GATE_SQL
