@@ -97,16 +97,22 @@ class IncrementalAggView:
         # deletion vectors (io/dv.py) for the signed delta to be exact
         from bears_spark.io.dv import scan_with_dvs
 
-        df = scan_with_dvs(self.spark, entries, merge_schema=True)
         # schema-evolved base (rename/drop/add): files store PHYSICAL names;
         # the view's group/agg columns are LOGICAL — project through the
         # base's CURRENT mapping (physical names are immutable, so this is
         # correct for files of every base version), and fail with a named
         # diagnosis when a view column no longer exists (renamed/dropped
-        # after the view was created)
+        # after the view was created). A type-WIDENED base additionally
+        # needs the explicit read schema — its file set mixes physical
+        # widths, which mergeSchema cannot reconcile.
         mapping = (
             self.base.column_mapping() if hasattr(self.base, "column_mapping") else None
         )
+        rs = (
+            self.base._read_schema_from_mapping(mapping)
+            if hasattr(self.base, "_read_schema_from_mapping") else None
+        )
+        df = scan_with_dvs(self.spark, entries, merge_schema=True, read_schema=rs)
         if mapping is not None:
             df = self.base._project_mapping(df, mapping)
             want = set(self.group_cols) | set(self.sum_cols) | set(self.minmax_cols)

@@ -184,3 +184,26 @@ def test_bloom_point_lookup_sound_across_widen(spark, tmp_path):
     # ...and a miss-everywhere probe prunes every file
     assert t.files(where=("v", "=", 43)) == []
     assert [r["id"] for r in t.read(where=("v", "=", 2**40)).collect()] == [3]
+
+
+def test_incremental_view_refreshes_over_widened_base(spark, tmp_path):
+    """IVM legs scan base files directly — a widened base's mixed-width file
+    set must read through the explicit schema, and the refreshed rollup must
+    carry the beyond-int32 values exactly."""
+    from bears_spark.io.incremental_view import IncrementalAggView
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 10), (1, 20), (2, 30)], "g int, v int"
+        ).coalesce(1)
+    )
+    view = IncrementalAggView(
+        spark, t, str(tmp_path / "view"), group_cols=["g"], sum_cols=["v"]
+    )
+    view.refresh()
+    t.alter_column_type("v", "bigint")
+    t.append(spark.createDataFrame([(2, 2**40)], "g int, v long").coalesce(1))
+    view.refresh()
+    got = {r["g"]: r["v_sum"] for r in view.read().collect()}
+    assert got == {1: 30, 2: 30 + 2**40}, got
