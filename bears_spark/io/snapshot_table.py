@@ -1006,6 +1006,12 @@ class SnapshotTable:
                 continue
             fpath = join_path(subdir, name)
             md = parquet_metadata(fpath, self.fs)
+            if md.num_rows == 0:
+                # an empty output split (e.g. a CoW rewrite whose partition
+                # lost every row): a zero-row entry can never match yet can
+                # never be pruned (no stats), so it would tax every future
+                # scan/export — drop it; vacuum reclaims the stray file
+                continue
             stats: dict = {}
             dropped: set[str] = set()
             for rg in range(md.num_row_groups):
@@ -1296,7 +1302,8 @@ class SnapshotTable:
 
     def _delete_mor(
         self, col: str, match_entry, match_rows, max_rebuild_attempts: int = 3,
-        txn: tuple[str, int] | None = None,
+        txn: tuple[str, int] | None = None, operation: str = "delete-mor",
+        extra_files=None,
     ) -> int:
         """Merge-on-read delete core (see delete_where / delete_keys). Each
         attempt reads the current snapshot, computes matching (file,
@@ -1310,7 +1317,9 @@ class SnapshotTable:
         parent it commits against — a concurrent writer that rewrote or
         re-deleted one of them forces a rebuild, exactly compact()'s
         conflict rule, so two racing MoR deletes can never lose each other's
-        tombstones."""
+        tombstones. ``extra_files(affected_entries, parent_manifest) ->
+        list[FileEntry]`` (MoR UPDATE) appends per-attempt-built files in
+        the same commit, covered by the same stale-input rule."""
         import pandas as pd  # noqa: F401 — applyInPandas ships the closure
         from pyspark.sql import functions as F
 
@@ -1335,9 +1344,9 @@ class SnapshotTable:
             prior = [FileEntry(**e) for e in parent_m["files"]]
             affected = [e for e in prior if match_entry(e)]
             if not affected:
-                # SQL DELETE still commits a (no-op) version, like the CoW path
+                # SQL DELETE/UPDATE still commits a (no-op) version, like CoW
                 return self._commit(
-                    "delete-mor", lambda m: [FileEntry(**e) for e in m["files"]], txn=txn
+                    operation, lambda m: [FileEntry(**e) for e in m["files"]], txn=txn
                 )
             norm = spark_file_norm(F.col("_metadata.file_path"))
             rs = self._read_schema_from_mapping(parent_m.get("columns"))
@@ -1388,8 +1397,10 @@ class SnapshotTable:
                 .collect()
             }
             affected_ids = {e.identity() for e in affected}
+            extra = extra_files(affected, parent_m) if extra_files is not None else []
 
-            def build(parent_m2: dict, built=built, affected_ids=affected_ids) -> list[FileEntry]:
+            def build(parent_m2: dict, built=built, affected_ids=affected_ids,
+                      extra=extra) -> list[FileEntry]:
                 prior2 = [FileEntry(**e) for e in parent_m2["files"]]
                 present = {e.identity() for e in prior2}
                 if not affected_ids <= present:
@@ -1412,14 +1423,14 @@ class SnapshotTable:
                                     "cardinality": int(r["card"])},
                             )
                         )
-                return out
+                return out + extra
 
             try:
-                return self._commit("delete-mor", build, txn=txn)
+                return self._commit(operation, build, txn=txn)
             except _Stale:
                 continue
         raise CommitConflictError(
-            f"merge-on-read delete inputs were concurrently rewritten "
+            f"merge-on-read {operation} inputs were concurrently rewritten "
             f"{max_rebuild_attempts} times; giving up"
         )
 
@@ -1482,6 +1493,114 @@ class SnapshotTable:
             return keep + new
 
         return self._commit("delete-keys", build, txn=txn)
+
+    def update_where(self, col: str, op: str, value, set: dict,
+                     mode: str = "cow") -> int:
+        """SQL UPDATE: rows matching ``col op value`` get the ``set``
+        assignments applied; all other rows are carried unchanged. ``set``
+        maps LOGICAL column names to a literal or a pyspark Column built
+        over LOGICAL names (``{"price": F.col("price") * 1.1}``), and each
+        assignment is implicitly cast to the column's current type (the
+        Delta/Spark UPDATE contract). A NULL predicate key never matches,
+        so null-keyed rows stay unchanged, per SQL. Reference UPDATE
+        surface: bears has none (ScalableDataFrame is immutable); this is
+        the table-format verb Delta calls UPDATE.
+
+        ``mode="cow"`` (default): files whose stats prove no match are
+        carried by reference; overlapping files are rewritten with the
+        assignments applied under ``F.when(pred, ...)`` — existing deletion
+        vectors on touched files are materialized away by the rewrite, like
+        CoW delete.
+
+        ``mode="mor"``: deletion-vector update — ONE commit that tombstones
+        the matched positions on the affected files AND appends new files
+        holding the updated rows. Cost is O(matched rows), not O(affected
+        bytes) — the shape for sparse updates on huge tables. Same
+        stale-input conflict rule as MoR delete: if a concurrent writer
+        rewrites an affected file, the attempt rebuilds.
+
+        Rewritten/appended rows are validated against the table's CHECK
+        constraints by the commit path — an UPDATE that would break a
+        constraint aborts with :class:`ConstraintViolationError`."""
+        from pyspark.sql import Column
+        from pyspark.sql import functions as F
+
+        if not set:
+            raise ValueError("update_where needs at least one SET assignment")
+
+        def _apply_set(df_logical: DataFrame) -> DataFrame:
+            """pred + assignments on a LOGICAL-named df; unmatched rows (and
+            NULL-pred rows) keep their original values via otherwise()."""
+            pred = _OPS[op](F.col(col), F.lit(value))
+            types = {f.name: f.dataType for f in df_logical.schema.fields}
+            missing = [c for c in set if c not in types]
+            if missing:
+                raise ValueError(
+                    f"update_where SET names unknown column(s) {missing}; "
+                    f"table columns: {list(types)}"
+                )
+            out = df_logical
+            for c, v in set.items():
+                expr = v if isinstance(v, Column) else F.lit(v)
+                out = out.withColumn(
+                    c, F.when(pred, expr.cast(types[c])).otherwise(F.col(c))
+                )
+            return out
+
+        # stats/files speak PHYSICAL names; the predicate column arrives logical
+        pcol = self._physical_col(col, self._load_manifest().get("columns"))
+        if mode == "mor":
+            return self._update_where_mor(col, pcol, op, value, _apply_set)
+        if mode != "cow":
+            raise ValueError(f"unknown update mode {mode!r} (use 'cow' or 'mor')")
+
+        def build(parent_m: dict) -> list[FileEntry]:
+            mapping = parent_m.get("columns")
+            prior = [FileEntry(**e) for e in parent_m["files"]]
+            keep = [e for e in prior if not e.may_match(pcol, op, value)]
+            rewrite = [e for e in prior if e.may_match(pcol, op, value)]
+            new = []
+            if rewrite:
+                rs = self._read_schema_from_mapping(mapping)
+                scanned = self._scan(rewrite, merge_schema=False, read_schema=rs)
+                updated = _apply_set(self._project_mapping(scanned, mapping))
+                new = self._write_files(
+                    self._to_physical_df(updated, mapping), to_physical=False
+                )
+            return keep + new
+
+        return self._commit("update", build)
+
+    def _update_where_mor(self, col: str, pcol: str, op: str, value,
+                          apply_set, max_rebuild_attempts: int = 3) -> int:
+        """Deletion-vector UPDATE core: per attempt, (1) DV-tombstone the
+        matched live positions of stats-affected files (delegating position
+        math to the shared MoR machinery via ``extra_files``-aware
+        :meth:`_delete_mor`), (2) append files holding the updated rows —
+        scanned DV-APPLIED so already-deleted rows can't be resurrected as
+        updates — in the SAME commit."""
+        from pyspark.sql import functions as F
+
+        def extra_files(affected, parent_m) -> list:
+            mapping = parent_m.get("columns")
+            rs = self._read_schema_from_mapping(mapping)
+            scanned = self._scan(affected, merge_schema=False, read_schema=rs)
+            logical = self._project_mapping(scanned, mapping)
+            pred = _OPS[op](F.col(col), F.lit(value))
+            matched = logical.filter(pred & F.col(col).isNotNull())
+            updated = apply_set(matched)
+            return self._write_files(
+                self._to_physical_df(updated, mapping), to_physical=False
+            )
+
+        return self._delete_mor(
+            pcol,
+            lambda e: e.may_match(pcol, op, value),
+            lambda c: _OPS[op](c, F.lit(value)),
+            max_rebuild_attempts=max_rebuild_attempts,
+            operation="update-mor",
+            extra_files=extra_files,
+        )
 
     def restore(self, version: int) -> int:
         """Delta-style RESTORE: roll the table back to ``version`` as a NEW
@@ -2046,6 +2165,90 @@ class SnapshotTable:
             col = self._physical_col(col, m.get("columns"))
             entries = [e for e in entries if e.may_match(col, op, value)]
         return entries
+
+    # -- metadata-only aggregates -------------------------------------------
+    def count_rows(self, version: int | str | None = None) -> int:
+        """Exact ``COUNT(*)`` from the manifest alone — O(files), zero data
+        bytes read (the Iceberg/Delta "answer from metadata" optimization;
+        the reference computes this with a full scan). ``live_rows`` already
+        nets out merge-on-read deletion-vector tombstones."""
+        return sum(e.live_rows for e in self.files(version))
+
+    def stats_minmax(self, col: str, return_scanned: bool = False):
+        """Exact ``(MIN(col), MAX(col))`` served from per-file manifest stats
+        wherever they are trustworthy, scanning ONLY the files whose stats
+        cannot stand in for the data: DV-bearing files (a tombstoned row may
+        have held the extreme), string stats at the truncation width (the
+        stored bound is a prefix, not the value), temporal stats whose
+        logical type isn't recorded, and files missing the column's stats
+        (including all-null files — the footer stores no bound). At 100 TB
+        this is O(manifest) + a scan of the churned sliver, not a corpus
+        aggregate. SQL semantics: MIN/MAX ignore NULLs; an empty/all-null
+        table yields ``(None, None)``. ``return_scanned`` appends the count
+        of files that needed the data fallback (observability + tests)."""
+        import datetime as _dt
+
+        from pyspark.sql import functions as F
+
+        m = self._load_manifest()
+        mapping = m.get("columns")
+        if mapping is not None:
+            live = {c["name"] for c in self._live_cols(mapping)}
+            if col not in live:
+                raise ValueError(
+                    f"unknown column {col!r}; table columns: {sorted(live)}"
+                )
+        pcol = self._physical_col(col, mapping)
+        mapped_type = None
+        if mapping is not None:
+            for c in mapping:
+                if c["name"] == col and not c.get("dropped"):
+                    mapped_type = c.get("type")
+        entries = [FileEntry(**e) for e in m["files"]]
+
+        def _decode(v, e):
+            """Stat value -> exact python value, or None if the stat cannot
+            be decoded exactly (caller scans the file instead)."""
+            if isinstance(v, dict):
+                if v.get("t") == "dec":
+                    return decimal.Decimal(v["v"])
+                if v.get("t") == "ts":
+                    typ = (e.types or {}).get(pcol) or mapped_type
+                    if typ == "date":
+                        return _EPOCH_D + _dt.timedelta(
+                            days=int(v["v"]) // 86_400_000_000
+                        )
+                    if typ and typ.startswith("timestamp"):
+                        # naive UTC, matching what a UTC-session scan returns
+                        return _dt.datetime(1970, 1, 1) + int(v["v"]) * _US
+                    return None  # temporal flavor unknown: scan
+                return None
+            if isinstance(v, str) and len(v) >= STAT_STRING_PREFIX:
+                return None  # at the truncation width: a prefix, not the value
+            return v
+
+        mins, maxs, scan_set = [], [], []
+        for e in entries:
+            s = e.stats.get(pcol) if isinstance(e.stats, dict) else None
+            lo = hi = None
+            if e.dv is None and isinstance(s, dict):
+                lo, hi = _decode(s.get("min"), e), _decode(s.get("max"), e)
+            if lo is None or hi is None:
+                scan_set.append(e)
+            else:
+                mins.append(lo)
+                maxs.append(hi)
+        if scan_set:
+            rs = self._read_schema_from_mapping(mapping)
+            scanned = self._project_mapping(
+                self._scan(scan_set, merge_schema=False, read_schema=rs), mapping
+            )
+            r = scanned.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+            if r["lo"] is not None:
+                mins.append(r["lo"])
+                maxs.append(r["hi"])
+        out = (min(mins) if mins else None, max(maxs) if maxs else None)
+        return (*out, len(scan_set)) if return_scanned else out
 
     def expire_snapshots(self, keep_last: int = 1, older_than_ms: int | None = None) -> list[int]:
         """Drop the manifests of all but the newest ``keep_last`` versions

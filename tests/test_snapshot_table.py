@@ -714,7 +714,7 @@ def test_snapshot_table_model_fuzz(spark, tmp_path):
 
     checkpoints = {}
     for step in range(12):
-        op = rng.choice(["append", "delete", "merge", "compact", "overwrite"])
+        op = rng.choice(["append", "delete", "merge", "compact", "overwrite", "update"])
         if op == "append":
             rows = mk_rows(rng.randint(1, 10))
             tbl.append(to_df(rows))
@@ -741,6 +741,15 @@ def test_snapshot_table_model_fuzz(spark, tmp_path):
             )
         elif op == "compact":
             tbl.compact(target_rows_per_file=50)
+        elif op == "update":
+            cut = rng.randint(0, 30)
+            bump = rng.randint(1, 50)
+            tbl.update_where("k", ">=", cut, set={"v": F.col("v") + bump},
+                             mode=rng.choice(["cow", "mor"]))
+            # SQL UPDATE: NULL keys never match; unmatched rows unchanged
+            model = model.copy()
+            hit = (model["k"] >= cut) & model["k"].notna()
+            model.loc[hit, "v"] = model.loc[hit, "v"] + bump
         else:
             rows = mk_rows(rng.randint(5, 15))
             tbl.overwrite(to_df(rows))
