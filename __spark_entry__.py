@@ -355,6 +355,8 @@ ROUND12_NEVER_GRADED: list[str] = [
     "orders_wap_publish",
     "orders_type_widening",
     "orders_constraints_gate",
+    "orders_update_where",
+    "orders_metadata_agg",
 ]
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45

@@ -5808,3 +5808,149 @@ ORDER BY point
 
 QUERIES["orders_constraints_gate"] = orders_constraints_gate
 ORACLES["orders_constraints_gate"] = ORDERS_CONSTRAINTS_GATE_SQL
+
+
+# orders_update_where: the SQL UPDATE verb graded end-to-end — both cost
+# shapes on one table: a copy-on-write range update (files whose o_orderkey
+# stats prove no overlap are carried by reference — O(overlap), never
+# O(table)) and a merge-on-read single-key update (ONE commit: deletion
+# vector on the matched position + a one-row appended file — O(matched
+# rows), the sparse-update shape at 100 TB). The MoR target key comes from
+# stats_minmax (a metadata read), and the final corpus is hash-matched
+# against the equivalent CASE WHEN relational SQL. Reference: bears has no
+# mutable table layer (SURVEY.md §1.2); this is Delta's UPDATE.
+def orders_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="updw_")
+    try:
+        t = SnapshotTable(spark, _os.path.join(root, "t"))
+        t.overwrite(o.repartitionByRange(4, "o_orderkey"))
+        # CoW: bulk adjustment over a key range — stats-pruned rewrite
+        t.update_where(
+            "o_orderkey", "<=", 20000, set={"cents": F.col("cents") + 500}
+        )
+        # MoR: surgical single-key correction — DV + one appended row
+        min_k = t.stats_minmax("o_orderkey")[0]
+        t.update_where("o_orderkey", "=", min_k, set={"cents": 0}, mode="mor")
+        assert sum(1 for e in t.files() if e.dv) == 1, "MoR update must DV, not rewrite"
+        rows = (
+            t.read()
+            .groupBy((F.col("o_orderkey") % 7).cast("long").alias("bucket"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("cents").cast("long").alias("cents_sum"),
+            )
+            .orderBy("bucket")
+            .collect()  # hermetic: materialize before the fixture is removed
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "bucket bigint, n bigint, cents_sum bigint")
+
+
+ORDERS_UPDATE_WHERE_SQL = """
+WITH base AS (
+  SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 3 = 0
+), upd AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey = (SELECT min(o_orderkey) FROM base) THEN 0
+              WHEN o_orderkey <= 20000 THEN cents + 500
+              ELSE cents END AS cents
+  FROM base
+)
+SELECT CAST(o_orderkey % 7 AS BIGINT) AS bucket, count(*) AS n,
+       CAST(sum(cents) AS BIGINT) AS cents_sum
+FROM upd GROUP BY bucket ORDER BY bucket
+"""
+
+QUERIES["orders_update_where"] = orders_update_where
+ORACLES["orders_update_where"] = ORDERS_UPDATE_WHERE_SQL
+
+
+# orders_metadata_agg: manifest-served aggregates graded end-to-end —
+# COUNT(*) and MIN/MAX answered from per-file stats (count_rows /
+# stats_minmax), scanning ONLY the files whose stats can't stand in for the
+# data (here: the DV-bearing file left by a merge-on-read delete of the
+# rows holding the max). At 100 TB this turns a corpus aggregate into
+# O(manifest) + O(churn); the in-query assertion pins that exactly the
+# DV-bearing files hit the data fallback, and the numbers are hash-matched
+# against the equivalent relational SQL. Reference: bears computes these
+# with a full scan (ScalableSeries min/max).
+def orders_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            "o_orderdate",
+        )
+    )
+    root = tempfile.mkdtemp(prefix="magg_")
+    try:
+        t = SnapshotTable(spark, _os.path.join(root, "t"))
+        t.overwrite(o.repartitionByRange(4, "o_orderkey"))
+        # CoW delete of the bottom key quartile (bounds from a metadata
+        # read, so the query is SF-relative), then MoR-tombstone every row
+        # holding the current max cents: that file's stats now OVERSTATE it
+        k_lo, k_hi = t.stats_minmax("o_orderkey")
+        t.delete_where("o_orderkey", "<=", k_lo + (k_hi - k_lo) // 4, mode="cow")
+        mx = t.stats_minmax("cents")[1]
+        t.delete_where("cents", "=", mx, mode="mor")
+        dv_files = sum(1 for e in t.files() if e.dv)
+        assert dv_files >= 1, "MoR delete must leave a DV-bearing file"
+        n = t.count_rows()  # exact from the manifest, DVs netted out
+        mn_c, mx_c, scanned_c = t.stats_minmax("cents", return_scanned=True)
+        mn_d, mx_d, scanned_d = t.stats_minmax("o_orderdate", return_scanned=True)
+        # metadata-only except for the churned sliver
+        assert scanned_c == dv_files and scanned_d == dv_files, (
+            scanned_c, scanned_d, dv_files,
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n, mn_c, mx_c, mn_d, mx_d)],
+        "n bigint, min_cents bigint, max_cents bigint, min_date timestamp, max_date timestamp",
+    )
+
+
+ORDERS_METADATA_AGG_SQL = """
+WITH base0 AS (
+  SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderdate
+  FROM orders WHERE o_orderkey % 5 = 0
+), base AS (
+  SELECT * FROM base0 WHERE o_orderkey >
+    (SELECT min(o_orderkey) + (max(o_orderkey) - min(o_orderkey)) // 4 FROM base0)
+), kept AS (
+  SELECT * FROM base WHERE cents <> (SELECT max(cents) FROM base)
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(min(cents) AS BIGINT) AS min_cents,
+       CAST(max(cents) AS BIGINT) AS max_cents,
+       min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
+FROM kept
+"""
+
+QUERIES["orders_metadata_agg"] = orders_metadata_agg
+ORACLES["orders_metadata_agg"] = ORDERS_METADATA_AGG_SQL
