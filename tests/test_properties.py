@@ -1494,6 +1494,7 @@ def _schema_evo_case(draw):
             st.tuples(st.just("drop"), st.integers(0, 9)),
             st.tuples(st.just("del_ge"), st.integers(0, 90)),
             st.tuples(st.just("del_mor_keys"), st.integers(0, 90)),
+            st.tuples(st.just("upd_ge"), st.integers(0, 90)),
             st.tuples(st.just("compact"), st.just(0)),
         ),
         min_size=2, max_size=6,
@@ -1560,6 +1561,18 @@ def test_schema_evolution_sequence_matches_model(spark, tmp_path, case):
                 ks = [arg + 900, arg + 901]
                 t.delete_keys("id", ks, mode="mor")
                 rows = {i: r for i, r in rows.items() if i not in ks}
+            elif op == "upd_ge":
+                # UPDATE targets the LAST live column under its CURRENT
+                # logical name — update across rename/drop/add interleavings
+                target = cols[-1]
+                if target == "id":
+                    continue
+                t.update_where("id", ">=", arg + 900,
+                               set={target: F.lit(arg)},
+                               mode="mor" if arg % 2 else "cow")
+                for i, r in rows.items():
+                    if i >= arg + 900:
+                        r[target] = arg
             else:
                 t.compact(target_rows_per_file=100)
             history[t.current_version()] = (
@@ -1601,6 +1614,7 @@ def _widen_case(draw):
             st.tuples(st.just("merge"), st.integers(0, 50)),
             st.tuples(st.just("del_ge"), st.integers(0, 9)),
             st.tuples(st.just("del_mor"), st.integers(0, 9)),
+            st.tuples(st.just("upd_ge"), st.integers(0, 9)),
             st.tuples(st.just("compact"), st.just(0)),
         ),
         min_size=3, max_size=7,
@@ -1658,6 +1672,12 @@ def test_type_widening_sequence_matches_model(spark, tmp_path, case):
         elif op == "del_mor":
             t.delete_keys("id", [arg], mode="mor")
             rows.pop(arg, None)
+        elif op == "upd_ge":
+            # update the value column under its CURRENT logical name across
+            # the rename/widen interleavings; matched rows bump by 7
+            t.update_where("id", ">=", arg, set={vname: F.col(vname) + 7},
+                           mode="mor" if arg % 2 else "cow")
+            rows = {i: (v + 7 if i >= arg else v) for i, v in rows.items()}
         else:
             t.compact(target_rows_per_file=100)
         history[t.current_version()] = (vname, vtype, dict(rows))

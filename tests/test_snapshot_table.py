@@ -1144,6 +1144,8 @@ def _apply_model(state: dict, op: tuple) -> dict:
             out.pop(k, None)
     elif kind == "delete_where_ge":
         out = {k: v for k, v in out.items() if not (k >= op[1])}
+    elif kind == "update_ge":
+        out = {k: (v + op[2] if k >= op[1] else v) for k, v in out.items()}
     return out
 
 
@@ -1158,6 +1160,8 @@ def _run_op(t, spark, op: tuple) -> None:
         t.delete_keys("id", list(op[1]), mode=op[2])
     elif kind == "delete_where_ge":
         t.delete_where("id", ">=", op[1], mode=op[2])
+    elif kind == "update_ge":
+        t.update_where("id", ">=", op[1], set={"v": F.col("v") + op[2]}, mode=op[3])
 
 
 # the write-write semantic conflict matrix (VERDICT r10 "Next round" #4):
@@ -1187,6 +1191,23 @@ _CONFLICT_MATRIX = [
     ("merge_vs_merge",
      ("merge", {2: 222, 3: 333}),
      ("merge", {3: 933, 4: 944})),
+    # UPDATE joins the matrix: both modes as victim and interloper — a CoW
+    # update rebuilds from the fresh parent per CAS attempt; an update-mor
+    # victim must rebuild BOTH its tombstones and its updated-row files
+    # when the interloper rewrote an affected file (_Stale), or the update
+    # would be computed from pre-interloper values (lost update)
+    ("update_cow_vs_mor_delete",
+     ("update_ge", 5, 1000, "cow"),
+     ("delete_keys", [7], "mor")),
+    ("update_mor_vs_merge",
+     ("update_ge", 3, 1000, "mor"),
+     ("merge", {3: 303, 4: 404})),
+    ("merge_vs_update_mor",
+     ("merge", {2: 222, 9: 999}),
+     ("update_ge", 8, 50, "mor")),
+    ("update_mor_vs_update_cow",
+     ("update_ge", 0, 7, "mor"),
+     ("update_ge", 5, 11, "cow")),
 ]
 
 

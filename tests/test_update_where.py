@@ -194,3 +194,28 @@ def test_mor_update_exports_to_delta_and_iceberg(spark, tmp_path):
     got_d = sorted((r["id"], r["v"]) for r in DeltaTableReader(spark, d_out).read().collect())
     got_i = sorted((r["id"], r["v"]) for r in IcebergTableReader(spark, i_out).read().collect())
     assert got_d == expected and got_i == expected
+
+
+def test_update_on_branch_then_publish(spark, tmp_path):
+    """UPDATE participates in write-audit-publish like every other verb:
+    staged on the branch, invisible on main, fast-forwarded by publish."""
+    t = _mk(spark, tmp_path)
+    before = _rows(t)
+    b = t.create_branch("audit")
+    b.update_where("id", "=", 1, set={"v": 111}, mode="mor")
+    assert _rows(t) == before  # main untouched while the audit runs
+    assert sorted((r["id"], r["v"]) for r in b.read().collect())[0] == (1, 111)
+    t.publish_branch("audit")
+    assert dict(_rows(t))[1] == 111
+
+
+def test_change_feed_sees_update_as_changed(spark, tmp_path):
+    """Row-level CDC classifies an UPDATE as 'changed' under the key —
+    neither added nor removed — in both modes."""
+    t = _mk(spark, tmp_path)
+    v0 = t.current_version()
+    t.update_where("id", "=", 2, set={"v": 21})
+    t.update_where("id", "=", 100, set={"v": 1001}, mode="mor")
+    feed = {r["id"]: r["change_type"]
+            for r in t.change_feed("id", from_version=v0).collect()}
+    assert feed == {2: "changed", 100: "changed"}, feed
