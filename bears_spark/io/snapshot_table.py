@@ -1006,12 +1006,6 @@ class SnapshotTable:
                 continue
             fpath = join_path(subdir, name)
             md = parquet_metadata(fpath, self.fs)
-            if md.num_rows == 0:
-                # an empty output split (e.g. a CoW rewrite whose partition
-                # lost every row): a zero-row entry can never match yet can
-                # never be pruned (no stats), so it would tax every future
-                # scan/export — drop it; vacuum reclaims the stray file
-                continue
             stats: dict = {}
             dropped: set[str] = set()
             for rg in range(md.num_row_groups):
@@ -1053,6 +1047,14 @@ class SnapshotTable:
                     stats=_truncate_string_stats(stats), types=dict(ptypes),
                 )
             )
+        # zero-row output splits (a CoW rewrite whose partition lost every
+        # row): a stat-less empty entry can never match yet can never be
+        # pruned, so it would tax every future scan/export/metadata answer —
+        # drop them. When EVERY output is empty, keep exactly one as the
+        # schema carrier: an intentionally-empty write (empty-seed
+        # overwrite, an IVM view that emptied) must stay readable.
+        nonempty = [e for e in entries if e.rows > 0]
+        entries = nonempty or entries[:1]
         self._attach_blooms(subdir, entries, mapping)
         return entries
 
@@ -1530,7 +1532,9 @@ class SnapshotTable:
 
         def _apply_set(df_logical: DataFrame) -> DataFrame:
             """pred + assignments on a LOGICAL-named df; unmatched rows (and
-            NULL-pred rows) keep their original values via otherwise()."""
+            NULL-pred rows) keep their original values via otherwise(). ONE
+            projection, so every RHS reads the OLD row — SQL UPDATE
+            semantics: SET a = b, b = a swaps, it doesn't chain."""
             pred = _OPS[op](F.col(col), F.lit(value))
             types = {f.name: f.dataType for f in df_logical.schema.fields}
             missing = [c for c in set if c not in types]
@@ -1539,13 +1543,17 @@ class SnapshotTable:
                     f"update_where SET names unknown column(s) {missing}; "
                     f"table columns: {list(types)}"
                 )
-            out = df_logical
-            for c, v in set.items():
-                expr = v if isinstance(v, Column) else F.lit(v)
-                out = out.withColumn(
-                    c, F.when(pred, expr.cast(types[c])).otherwise(F.col(c))
-                )
-            return out
+            exprs = []
+            for c in df_logical.columns:
+                if c in set:
+                    v = set[c]
+                    expr = v if isinstance(v, Column) else F.lit(v)
+                    exprs.append(
+                        F.when(pred, expr.cast(types[c])).otherwise(F.col(c)).alias(c)
+                    )
+                else:
+                    exprs.append(F.col(c))
+            return df_logical.select(exprs)
 
         # stats/files speak PHYSICAL names; the predicate column arrives logical
         pcol = self._physical_col(col, self._load_manifest().get("columns"))
@@ -2174,7 +2182,8 @@ class SnapshotTable:
         nets out merge-on-read deletion-vector tombstones."""
         return sum(e.live_rows for e in self.files(version))
 
-    def stats_minmax(self, col: str, return_scanned: bool = False):
+    def stats_minmax(self, col: str, version: int | str | None = None,
+                     return_scanned: bool = False):
         """Exact ``(MIN(col), MAX(col))`` served from per-file manifest stats
         wherever they are trustworthy, scanning ONLY the files whose stats
         cannot stand in for the data: DV-bearing files (a tombstoned row may
@@ -2185,12 +2194,14 @@ class SnapshotTable:
         this is O(manifest) + a scan of the churned sliver, not a corpus
         aggregate. SQL semantics: MIN/MAX ignore NULLs; an empty/all-null
         table yields ``(None, None)``. ``return_scanned`` appends the count
-        of files that needed the data fallback (observability + tests)."""
+        of files that needed the data fallback (observability + tests).
+        ``version`` (or a tag name) time-travels the answer, like
+        :meth:`count_rows` — each snapshot's own mapping resolves ``col``."""
         import datetime as _dt
 
         from pyspark.sql import functions as F
 
-        m = self._load_manifest()
+        m = self._load_manifest(version)
         mapping = m.get("columns")
         if mapping is not None:
             live = {c["name"] for c in self._live_cols(mapping)}
@@ -2229,6 +2240,8 @@ class SnapshotTable:
 
         mins, maxs, scan_set = [], [], []
         for e in entries:
+            if e.rows == 0:
+                continue  # schema-carrying empty file: nothing to aggregate
             s = e.stats.get(pcol) if isinstance(e.stats, dict) else None
             lo = hi = None
             if e.dv is None and isinstance(s, dict):

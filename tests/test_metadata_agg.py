@@ -117,3 +117,17 @@ def test_minmax_matches_scan_over_mixed_history(spark, tmp_path):
         r = t.read().agg(F.min("v"), F.max("v"), F.count("*")).first()
         assert t.stats_minmax("v") == (r[0], r[1])
         assert t.count_rows() == r[2]
+
+
+def test_minmax_time_travels_with_versions_and_tags(spark, tmp_path):
+    """stats_minmax(version=) answers from THAT snapshot's manifest (and
+    mapping: a later rename doesn't confuse the old name), like count_rows."""
+    t = _mk(spark, tmp_path)
+    v0 = t.current_version()
+    t.create_tag("baseline")
+    t.update_where("v", "=", 2000, set={"v": 5})
+    t.rename_column("v", "amount")
+    assert t.stats_minmax("amount") == (5, 1000)
+    assert t.stats_minmax("v", version=v0) == (10, 2000)
+    assert t.stats_minmax("v", version="baseline") == (10, 2000)
+    assert t.count_rows(v0) == 4

@@ -219,3 +219,57 @@ def test_change_feed_sees_update_as_changed(spark, tmp_path):
     feed = {r["id"]: r["change_type"]
             for r in t.change_feed("id", from_version=v0).collect()}
     assert feed == {2: "changed", 100: "changed"}, feed
+
+
+def test_vacuum_reclaims_aborted_update_mor_outputs(spark, tmp_path):
+    """A _Stale update-mor attempt strands its updated-row files (and DV) —
+    written but never referenced by any manifest. vacuum() must reclaim
+    them, and the rebuilt update must reflect the interloper's merge."""
+    import os as _os
+
+    from tests.test_snapshot_table import _RacingStore
+
+    holder = [None]
+    store = _RacingStore(holder)
+    path = str(tmp_path / "updv")
+    t1 = SnapshotTable(spark, path, store=store)
+    t2 = SnapshotTable(spark, path, store=store)
+    t1.overwrite(
+        spark.createDataFrame([(i, i * 10) for i in range(8)], "id long, v long").coalesce(1)
+    )
+    # interloper rewrites the file containing id=3 right before t1's CAS
+    holder[0] = lambda: t2.merge(
+        spark.createDataFrame([(3, 999)], "id long, v long").coalesce(1), key="id"
+    )
+    t1.update_where("id", "=", 3, set={"v": F.col("v") + 1}, mode="mor")
+    # serial order interloper-then-victim: 999 + 1, not 30 + 1
+    assert {r["id"]: r["v"] for r in t1.read().collect()}[3] == 1000
+    data_root = _os.path.join(path, "data")
+    on_disk = {
+        _os.path.join(data_root, sub, n)
+        for sub in _os.listdir(data_root)
+        for n in _os.listdir(_os.path.join(data_root, sub))
+        if n.endswith(".parquet")
+    }
+    historically_live = set()
+    for ver in range(1, t1.current_version() + 1):
+        historically_live |= {e.path for e in t1.files(version=ver)}
+    orphans = on_disk - historically_live
+    assert orphans  # the aborted attempt really did strand updated-row files
+    t1.expire_snapshots(keep_last=1)
+    removed = t1.vacuum()
+    assert removed >= len(orphans)
+    assert {r["id"]: r["v"] for r in t1.read().collect()}[3] == 1000  # unharmed
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_update_set_reads_old_row_values(spark, tmp_path, mode):
+    """SQL UPDATE evaluates every SET RHS against the OLD row: SET v = w,
+    w = v swaps — it must not chain through the first assignment."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame([(1, 10, 20), (2, 30, 40)], "id int, v int, w int").coalesce(1)
+    )
+    t.update_where("id", "=", 1, set={"v": F.col("w"), "w": F.col("v")}, mode=mode)
+    got = sorted((r["id"], r["v"], r["w"]) for r in t.read().collect())
+    assert got == [(1, 20, 10), (2, 30, 40)], got
