@@ -1579,35 +1579,125 @@ class SnapshotTable:
 
         return self._commit("update", build)
 
-    def _update_where_mor(self, col: str, pcol: str, op: str, value,
-                          apply_set, max_rebuild_attempts: int = 3) -> int:
-        """Deletion-vector UPDATE core: per attempt, (1) DV-tombstone the
-        matched live positions of stats-affected files (delegating position
-        math to the shared MoR machinery via ``extra_files``-aware
-        :meth:`_delete_mor`), (2) append files holding the updated rows —
-        scanned DV-APPLIED so already-deleted rows can't be resurrected as
-        updates — in the SAME commit."""
+    def update_keys(self, col: str, keys, set: dict, mode: str = "cow") -> int:
+        """Bulk keyed UPDATE — the GDPR right-to-RECTIFICATION twin of
+        :meth:`delete_keys` (e.g. pseudonymize or correct the rows of a
+        bounded key list): only files that can contain any key are touched
+        (Bloom filters prove absence on unclustered keys, min/max on
+        clustered ones), the ``set`` assignments follow
+        :meth:`update_where`'s contract (old-row RHS, implicit cast, CHECK
+        constraints), null-keyed rows never match. ``mode="mor"`` tombstones
+        the matched positions and appends the updated rows in one commit —
+        O(matched rows) for a sparse key list on a huge table. ``keys``: a
+        list of values or a 1-column DataFrame (collected — bounded by
+        contract, like a forget-list)."""
+        from pyspark.sql import Column
         from pyspark.sql import functions as F
+
+        if not set:
+            raise ValueError("update_keys needs at least one SET assignment")
+        if isinstance(keys, DataFrame):
+            kcol = keys.columns[0]
+            key_vals = [r[kcol] for r in keys.select(kcol).distinct().collect()]
+        else:
+            key_vals = list(dict.fromkeys(keys))
+        key_vals = [k for k in key_vals if k is not None]
+        mapping = self._load_manifest().get("columns")
+        pcol = self._physical_col(col, mapping)
+        if not key_vals:
+            return self.current_version()  # nothing to rectify, no commit
+
+        def _apply_set(df_logical: DataFrame) -> DataFrame:
+            pred = F.col(col).isin(key_vals)
+            types = {f.name: f.dataType for f in df_logical.schema.fields}
+            missing = [c for c in set if c not in types]
+            if missing:
+                raise ValueError(
+                    f"update_keys SET names unknown column(s) {missing}; "
+                    f"table columns: {list(types)}"
+                )
+            exprs = []
+            for c in df_logical.columns:
+                if c in set:
+                    v = set[c]
+                    expr = v if isinstance(v, Column) else F.lit(v)
+                    exprs.append(
+                        F.when(pred, expr.cast(types[c])).otherwise(F.col(c)).alias(c)
+                    )
+                else:
+                    exprs.append(F.col(c))
+            return df_logical.select(exprs)
+
+        def _match_entry(e: "FileEntry") -> bool:
+            return any(e.may_match(pcol, "=", k) for k in key_vals)
+
+        if mode == "mor":
+            return self._update_mor_core(
+                pcol, _match_entry, lambda c: c.isin(key_vals),
+                lambda logical: _apply_set(
+                    logical.filter(F.col(col).isin(key_vals) & F.col(col).isNotNull())
+                ),
+            )
+        if mode != "cow":
+            raise ValueError(f"unknown update mode {mode!r} (use 'cow' or 'mor')")
+
+        def build(parent_m: dict) -> list[FileEntry]:
+            m2 = parent_m.get("columns")
+            prior = [FileEntry(**e) for e in parent_m["files"]]
+            keep = [e for e in prior if not _match_entry(e)]
+            rewrite = [e for e in prior if _match_entry(e)]
+            new = []
+            if rewrite:
+                rs = self._read_schema_from_mapping(m2)
+                scanned = self._scan(rewrite, merge_schema=False, read_schema=rs)
+                updated = _apply_set(self._project_mapping(scanned, m2))
+                new = self._write_files(
+                    self._to_physical_df(updated, m2), to_physical=False
+                )
+            return keep + new
+
+        return self._commit("update", build)
+
+    def _update_mor_core(self, pcol: str, match_entry, match_rows,
+                         build_updated_rows, max_rebuild_attempts: int = 3) -> int:
+        """Shared deletion-vector UPDATE core: DV-tombstone matched live
+        positions + append the files ``build_updated_rows(logical_df)``
+        produces from the DV-applied affected scan, in ONE commit."""
 
         def extra_files(affected, parent_m) -> list:
             mapping = parent_m.get("columns")
             rs = self._read_schema_from_mapping(mapping)
             scanned = self._scan(affected, merge_schema=False, read_schema=rs)
             logical = self._project_mapping(scanned, mapping)
-            pred = _OPS[op](F.col(col), F.lit(value))
-            matched = logical.filter(pred & F.col(col).isNotNull())
-            updated = apply_set(matched)
+            updated = build_updated_rows(logical)
             return self._write_files(
                 self._to_physical_df(updated, mapping), to_physical=False
             )
 
         return self._delete_mor(
+            pcol, match_entry, match_rows,
+            max_rebuild_attempts=max_rebuild_attempts,
+            operation="update-mor", extra_files=extra_files,
+        )
+
+    def _update_where_mor(self, col: str, pcol: str, op: str, value,
+                          apply_set, max_rebuild_attempts: int = 3) -> int:
+        """Deletion-vector UPDATE for a range/point predicate: DV-tombstone
+        the matched live positions + append the updated rows — scanned
+        DV-APPLIED so already-deleted rows can't be resurrected — in the
+        SAME commit (see :meth:`_update_mor_core`)."""
+        from pyspark.sql import functions as F
+
+        return self._update_mor_core(
             pcol,
             lambda e: e.may_match(pcol, op, value),
             lambda c: _OPS[op](c, F.lit(value)),
+            lambda logical: apply_set(
+                logical.filter(
+                    _OPS[op](F.col(col), F.lit(value)) & F.col(col).isNotNull()
+                )
+            ),
             max_rebuild_attempts=max_rebuild_attempts,
-            operation="update-mor",
-            extra_files=extra_files,
         )
 
     def restore(self, version: int) -> int:

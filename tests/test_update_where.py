@@ -273,3 +273,32 @@ def test_update_set_reads_old_row_values(spark, tmp_path, mode):
     t.update_where("id", "=", 1, set={"v": F.col("w"), "w": F.col("v")}, mode=mode)
     got = sorted((r["id"], r["v"], r["w"]) for r in t.read().collect())
     assert got == [(1, 20, 10), (2, 30, 40)], got
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_update_keys_rectification(spark, tmp_path, mode):
+    """Bulk keyed UPDATE (right-to-rectification): only listed keys change,
+    null keys and unlisted keys survive untouched, dup keys dedup."""
+    t = _mk(spark, tmp_path)
+    t.update_keys("id", [1, 200, 200, None], set={"v": F.lit(0)}, mode=mode)
+    assert _rows(t) == [(1, 0), (2, 20), (100, 1000), (200, 0)]
+
+
+def test_update_keys_prunes_with_blooms_or_stats(spark, tmp_path):
+    """Files that can't contain any listed key are carried by reference."""
+    t = _mk(spark, tmp_path)
+    untouched = {e.path for e in t.files()
+                 if not any(e.may_match("id", "=", k) for k in (1, 2))}
+    assert untouched  # the hi-range file provably holds neither key
+    t.update_keys("id", [1, 2], set={"v": F.col("v") + 1})
+    assert untouched <= {e.path for e in t.files()}
+    assert _rows(t) == [(1, 11), (2, 21), (100, 1000), (200, 2000)]
+
+
+def test_update_keys_empty_and_df_input(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    v = t.current_version()
+    assert t.update_keys("id", [], set={"v": 0}) == v  # nothing to rectify
+    keys_df = spark.createDataFrame([(100,), (100,)], "id int")
+    t.update_keys("id", keys_df, set={"v": -1}, mode="mor")
+    assert _rows(t) == [(1, 10), (2, 20), (100, -1), (200, 2000)]
