@@ -714,7 +714,8 @@ def test_snapshot_table_model_fuzz(spark, tmp_path):
 
     checkpoints = {}
     for step in range(12):
-        op = rng.choice(["append", "delete", "merge", "compact", "overwrite", "update"])
+        op = rng.choice(["append", "delete", "merge", "compact", "overwrite",
+                         "update", "update_keys"])
         if op == "append":
             rows = mk_rows(rng.randint(1, 10))
             tbl.append(to_df(rows))
@@ -750,6 +751,14 @@ def test_snapshot_table_model_fuzz(spark, tmp_path):
             model = model.copy()
             hit = (model["k"] >= cut) & model["k"].notna()
             model.loc[hit, "v"] = model.loc[hit, "v"] + bump
+        elif op == "update_keys":
+            ks = rng.sample(range(0, 35), rng.randint(1, 4))
+            newv = rng.randint(0, 999)
+            tbl.update_keys("k", ks, set={"v": newv},
+                            mode=rng.choice(["cow", "mor"]))
+            model = model.copy()
+            hit = model["k"].isin(ks)
+            model.loc[hit, "v"] = newv
         else:
             rows = mk_rows(rng.randint(5, 15))
             tbl.overwrite(to_df(rows))
