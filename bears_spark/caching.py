@@ -20,10 +20,21 @@ from pyspark.sql import DataFrame
 _SCOPED: list[DataFrame] = []
 
 
-def scoped_persist(df: DataFrame, storage_level=None) -> DataFrame:
-    """persist() + register for a later release_scoped_caches() drain."""
+def scoped_persist(df: DataFrame, storage_level=None, eager: bool = False) -> DataFrame:
+    """persist() + register for a later release_scoped_caches() drain.
+
+    ``eager=True`` materializes the cache NOW (one count()). Use it when the
+    consumers fan out as CONCURRENT jobs (AQE stage materialization,
+    broadcast subqueries): Spark's cache locking is per-block and concurrent
+    jobs do not share in-flight stages, so each racing job recomputes the
+    whole upstream pipeline of any block it cannot lock — measured 12
+    re-runs of a tokenize+explode scan under dedup_ngram_jaccard's 11-way
+    job fan-out. One eager pass builds every block once; the racers then
+    only read."""
     df = df.persist(storage_level) if storage_level is not None else df.persist()
     _SCOPED.append(df)
+    if eager:
+        df.count()
     return df
 
 

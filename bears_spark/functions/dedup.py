@@ -286,7 +286,12 @@ def ngram_jaccard_pairs(
     real web corpus are unique, making this the main input reducer at scale;
     at small SF the extra aggregation+semi-join is a wash, hence opt-in.
     """
-    grams = df.select(
+    from bears_spark.skew import widen_input
+
+    # tokenize+shingle is the heavy per-row work; a single-row-group input
+    # runs it one-task (guide §2.5 input skew) — widen_input round-robins
+    # only when the scan has fewer splits than the session parallelism
+    grams = widen_input(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"),
     )
@@ -618,7 +623,9 @@ def ngram_containment_pairs(
     prune — the asymmetric size gap is exactly the signal. At web scale the
     df-cap is the mandatory guard here, since boilerplate grams pair every
     wrapper page with every wrapped one."""
-    grams = df.select(
+    from bears_spark.skew import widen_input
+
+    grams = widen_input(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"),
     ).select(id_col, F.xxhash64("gram").alias("gram"))

@@ -158,7 +158,11 @@ def ngram_contamination(
     absent from the output (inner join): at corpus scale the clean set is
     the overwhelming majority and materializing explicit zeros for it is
     pure waste; left-join a zero default at the call site if needed."""
-    tr = train.select(
+    from bears_spark.skew import widen_input
+
+    # widen single-split inputs before the heavy tokenize+shingle projection
+    # (guide §2.5); no-op once the scan has real splits
+    tr = widen_input(train.select(id_col, text_col)).select(
         F.col(id_col).alias("train_id"),
         F.explode(F.array_distinct(word_ngrams(F.lower(F.col(text_col)), n))).alias("gram"),
     )
@@ -173,7 +177,7 @@ def ngram_contamination(
             .select("gram")
         )
         tr = tr.join(F.broadcast(hot), on="gram", how="left_anti")
-    te = test.select(
+    te = widen_input(test.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_ngrams(F.lower(F.col(text_col)), n))).alias("gram"),
     )

@@ -165,10 +165,9 @@ def kmeans_centroids(
     feats = src.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
     model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
     spark = df.sparkSession
-    cents = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "centroid_id int, centroid array<double>",
-    )
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    cents = spark.createDataFrame(rows, "centroid_id int, centroid array<double>")
+    cents._bears_local_rows = rows  # see _centroid_sim_structs
     return cents
 
 
@@ -229,8 +228,16 @@ def _centroid_sim_structs(vec_col, centroids):
 
     nullif + coalesce(-2): a zero-norm vector would hit ANSI
     divide-by-zero; instead its cosines all collapse to -2 (below any real
-    cosine) and the tie-break deterministically assigns the lowest cid."""
-    rows = centroids.collect() if isinstance(centroids, DataFrame) else centroids
+    cosine) and the tie-break deterministically assigns the lowest cid.
+
+    Centroid DataFrames built from driver-local rows (seeded_lloyd_centroids)
+    carry them as ``_bears_local_rows``: collect() on a createDataFrame
+    result launches one Python-worker task per default-parallelism slice
+    (measured 7.8 s of executor time for EIGHT rows on local[32] — almost
+    all worker fork, zero compute), so the local rows are reused instead."""
+    rows = getattr(centroids, "_bears_local_rows", None)
+    if rows is None:
+        rows = centroids.collect() if isinstance(centroids, DataFrame) else centroids
     cent = sorted(
         (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
         if not isinstance(r, tuple)
@@ -341,7 +348,12 @@ def seeded_lloyd_centroids(
         cent_rows = [
             (cid_, [dims[i] for i in sorted(dims)]) for cid_, dims in sorted(by_cid.items())
         ]
-    return spark.createDataFrame(cent_rows, "centroid_id int, centroid array<double>")
+    out = spark.createDataFrame(cent_rows, "centroid_id int, centroid array<double>")
+    # expression builders (_centroid_sim_structs) read the driver-local rows
+    # straight off the DataFrame instead of re-collecting them through a
+    # Python-worker job per slice
+    out._bears_local_rows = cent_rows
+    return out
 
 
 def ivf_topk(
@@ -631,10 +643,23 @@ def tfidf_cosine_pairs(
     """
     from bears_spark.functions.text import word_ngrams
 
-    terms = df.select(F.col(id_col), F.explode(word_ngrams(text_col, ngram_n)).alias("t")).select(
-        id_col, F.xxhash64("t").alias("term")
-    )
-    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    from bears_spark.skew import widen_input
+
+    # widen single-split inputs before the tokenize+shingle explode (guide
+    # §2.5); no-op once the scan has real splits
+    terms = widen_input(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(word_ngrams(text_col, ngram_n)).alias("t")
+    ).select(id_col, F.xxhash64("t").alias("term"))
+    from bears_spark.caching import scoped_persist
+
+    # tf appears TWICE in wgt's plan (join left side + docfreq build), and
+    # Spark has no common-subtree reuse across a DataFrame plan — without
+    # this persist the tokenize+explode pass ran twice per wgt
+    # materialization (profiled: three 4-6 s explode stages per run).
+    # Eager: the two tf consumers race as concurrent AQE jobs, and racing
+    # jobs rebuild any cache block they cannot lock; one small count pass
+    # guarantees the explode runs exactly once.
+    tf = scoped_persist(terms.groupBy(id_col, "term").agg(F.count("*").alias("tf")), eager=True)
     docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.select(F.count("*").alias("n"))
     wgt = (
@@ -642,8 +667,6 @@ def tfidf_cosine_pairs(
         .crossJoin(F.broadcast(n_docs))
         .select(id_col, "term", "df", (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("wt"))
     )
-    from bears_spark.caching import scoped_persist
-
     wgt = scoped_persist(wgt)
     # a doc whose every term is corpus-ubiquitous has idf 0 everywhere -> a
     # zero vector with no defined angle; exclude it rather than divide by 0

@@ -76,8 +76,45 @@ def _normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# Analyzed-plan memo: `spark.read.parquet(path)` costs ~0.13 s of DRIVER
+# time per call (file listing + footer schema inference, single-threaded —
+# guide §6/§7.3), and every query re-pays it for every table on every run.
+# A catalog engine resolves a table's schema once; this memo is that
+# catalog. Key includes the file's (mtime_ns, size) so a rewritten path is
+# re-inferred, and the session's applicationId so a new session never sees
+# plans from a stopped one. ONLY metadata is reused — the returned
+# DataFrame is a lazy plan; every action still scans the parquet bytes.
+_PLAN_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _memo_key(spark: SparkSession, path: str) -> tuple | None:
+    import os
+
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    return (spark.sparkContext.applicationId, path, st.st_mtime_ns, st.st_size)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        # session-conf side effects must apply on every call, memoized or not
+        # (a caller may have flipped the tz since the plan was first built)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = _memo_key(spark, path)
+    if key is not None and key in _PLAN_MEMO:
+        return _PLAN_MEMO[key]
+    df = _load_table_uncached(spark, path, name)
+    if key is not None:
+        if len(_PLAN_MEMO) > 256:  # bound driver memory across long sessions
+            _PLAN_MEMO.clear()
+        _PLAN_MEMO[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, path: str, name: str) -> DataFrame:
     if name != "events":
         return spark.read.parquet(path)
     # Event-time semantics are wall-clock-naive: the DuckDB oracle reads the

@@ -611,7 +611,16 @@ _SEM_ROUND = 9
 
 
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    from bears_spark.caching import scoped_persist
+    from bears_spark.skew import widen_input
+
+    # three full passes consume the embedding column (seed scan + Lloyd
+    # update inside the fit, final assignment below): persist the projection
+    # once, widened so the heavy per-row argmax HOF parallelizes even off a
+    # single-row-group file (guide §2.5)
+    emb = scoped_persist(
+        widen_input(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    )
     cents = sim.seeded_lloyd_centroids(
         emb, "vec_id", "embedding", k=_SEM_K, salt=_SEM_SALT, iters=1, mean_round=_SEM_ROUND
     )

@@ -1,0 +1,88 @@
+"""Round-11 optimization internals: widen_input, the load_table plan memo,
+and driver-local centroid-row reuse. Each pins behavior an optimization
+changed, so a regression is caught by name."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from bears_spark.caching import release_scoped_caches, scoped_persist
+from bears_spark.queries import tables as T
+from bears_spark.skew import widen_input
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from bears_spark.session import get_session
+
+    return get_session("test_opt_r11")
+
+
+def test_widen_input_parallelizes_single_split(spark):
+    docs = T.load_table(spark, SF, "documents").select("doc_id", "text")
+    assert docs.rdd.getNumPartitions() == 1  # the testdata layout this guards
+    widened = widen_input(docs)
+    expect = min(spark.sparkContext.defaultParallelism, 8)
+    assert widened.rdd.getNumPartitions() == expect
+    # row-level semantics unchanged: same multiset of rows
+    a = sorted(r["doc_id"] for r in docs.collect())
+    b = sorted(r["doc_id"] for r in widened.collect())
+    assert a == b
+
+
+def test_widen_input_noop_when_already_wide(spark):
+    docs = T.load_table(spark, SF, "documents").select("doc_id").repartition(16)
+    assert widen_input(docs) is docs  # >= target -> untouched, no extra shuffle
+
+
+def test_load_table_memo_hits_and_invalidates(spark, tmp_path):
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    shutil.copy(f"{SF}/nation.parquet", f"{d}/nation.parquet")
+    df1 = T.load_table(spark, d, "nation")
+    df2 = T.load_table(spark, d, "nation")
+    assert df1 is df2  # memo hit: same analyzed plan object
+    # rewriting the file (mtime/size change) must invalidate the memo
+    shutil.copy(f"{SF}/region.parquet", f"{d}/nation.parquet")
+    os.utime(f"{d}/nation.parquet")
+    df3 = T.load_table(spark, d, "nation")
+    assert df3 is not df1
+    assert "r_regionkey" in df3.columns  # fresh schema, not the memoized one
+
+
+def test_load_table_memo_is_metadata_only(spark, tmp_path):
+    """The memo must never cache DATA: a re-scan sees current file bytes."""
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    src = T.load_table(spark, SF, "nation")
+    n_before = src.count()
+    shutil.copy(f"{SF}/nation.parquet", f"{d}/nation.parquet")
+    df = T.load_table(spark, d, "nation")
+    assert df.count() == n_before
+    assert T.load_table(spark, d, "nation").count() == n_before  # plan reused, data re-read
+
+
+def test_seeded_lloyd_rows_attached_and_match_collect(spark):
+    from bears_spark.functions.similarity import seeded_lloyd_centroids
+
+    emb = T.load_table(spark, SF, "embeddings")
+    cents = seeded_lloyd_centroids(emb, "vec_id", "embedding", k=4, iters=1)
+    rows = cents._bears_local_rows
+    assert len(rows) == 4
+    collected = sorted((r["centroid_id"], list(r["centroid"])) for r in cents.collect())
+    assert sorted((c, list(v)) for c, v in rows) == collected
+
+
+def test_scoped_persist_eager_materializes(spark):
+    df = T.load_table(spark, SF, "nation").select("n_nationkey")
+    out = scoped_persist(df, eager=True)
+    assert out.storageLevel.useMemory
+    # eager -> blocks already cached: is_cached and immediately readable
+    assert out.count() == df.count()
+    release_scoped_caches()
