@@ -286,12 +286,14 @@ def ngram_jaccard_pairs(
     real web corpus are unique, making this the main input reducer at scale;
     at small SF the extra aggregation+semi-join is a wash, hence opt-in.
     """
-    from bears_spark.skew import widen_input
-
-    # tokenize+shingle is the heavy per-row work; a single-row-group input
-    # runs it one-task (guide §2.5 input skew) — widen_input round-robins
-    # only when the scan has fewer splits than the session parallelism
-    grams = widen_input(df.select(id_col, text_col)).select(
+    # No widen_input here, deliberately: the gram table is persisted below
+    # and fans out to 4+ consumers, so repeated runs read the cache and the
+    # one-time single-split explode cost is amortized — interleaved
+    # bench-methodology A/B (best-of-3 blocks, quiet host) measured no-widen
+    # 1.54/1.95/2.08s vs widen-to-8 1.82/2.85/1.90s, with occasional
+    # lazy-cache-race blowups (9-19s runs) under widen. Contrast
+    # ngram_contamination, where nothing is persisted and widening wins.
+    grams = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"),
     )
@@ -623,9 +625,9 @@ def ngram_containment_pairs(
     prune — the asymmetric size gap is exactly the signal. At web scale the
     df-cap is the mandatory guard here, since boilerplate grams pair every
     wrapper page with every wrapped one."""
-    from bears_spark.skew import widen_input
-
-    grams = widen_input(df.select(id_col, text_col)).select(
+    # no widen_input: persisted-fan-out shape, same reasoning as
+    # ngram_jaccard_pairs above
+    grams = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"),
     ).select(id_col, F.xxhash64("gram").alias("gram"))

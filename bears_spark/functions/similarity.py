@@ -643,23 +643,21 @@ def tfidf_cosine_pairs(
     """
     from bears_spark.functions.text import word_ngrams
 
-    from bears_spark.skew import widen_input
-
-    # widen single-split inputs before the tokenize+shingle explode (guide
-    # §2.5); no-op once the scan has real splits
-    terms = widen_input(df.select(id_col, text_col)).select(
-        F.col(id_col), F.explode(word_ngrams(text_col, ngram_n)).alias("t")
-    ).select(id_col, F.xxhash64("t").alias("term"))
+    terms = df.select(F.col(id_col), F.explode(word_ngrams(text_col, ngram_n)).alias("t")).select(
+        id_col, F.xxhash64("t").alias("term")
+    )
     from bears_spark.caching import scoped_persist
 
     # tf appears TWICE in wgt's plan (join left side + docfreq build), and
     # Spark has no common-subtree reuse across a DataFrame plan — without
     # this persist the tokenize+explode pass ran twice per wgt
     # materialization (profiled: three 4-6 s explode stages per run).
-    # Eager: the two tf consumers race as concurrent AQE jobs, and racing
-    # jobs rebuild any cache block they cannot lock; one small count pass
-    # guarantees the explode runs exactly once.
-    tf = scoped_persist(terms.groupBy(id_col, "term").agg(F.count("*").alias("tf")), eager=True)
+    # Lazy, not eager: interleaved bench-methodology A/B measured lazy
+    # 1.41/1.82/1.83s vs eager 1.77/1.92/2.02s — the eager count() job per
+    # run costs more than the rare cache-build race it prevents. No
+    # widen_input for the same reason as ngram_jaccard_pairs (persisted
+    # fan-out; cache reuse across runs amortizes the single-split explode).
+    tf = scoped_persist(terms.groupBy(id_col, "term").agg(F.count("*").alias("tf")))
     docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.select(F.count("*").alias("n"))
     wgt = (

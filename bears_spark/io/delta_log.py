@@ -673,7 +673,14 @@ class DeltaTableReader:
             (dv_join_key(join_path(self.path, unquote(p))), self._dv_bytes(d))
             for p, d in sorted(dvs.items())
         ]
-        return dv_anti_join(self.spark, df, blobs, "__dl_fp__", "__dl_pos__")
+        # descriptor cardinality is the summed delete count, known here at
+        # manifest cost — lets dv_anti_join broadcast small delete sets
+        # instead of shuffle-sorting the whole scan (io/dv.py)
+        total = sum(int(d.get("cardinality", 0)) for d in dvs.values())
+        return dv_anti_join(
+            self.spark, df, blobs, "__dl_fp__", "__dl_pos__",
+            total_positions=total if total > 0 else None,
+        )
 
 
 def _export_dv_descriptor(table_root: str, dv: dict) -> dict:

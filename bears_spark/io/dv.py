@@ -157,18 +157,36 @@ def positions_df(spark: SparkSession, blobs: list[tuple[str, bytes]]) -> DataFra
     return dvdf.mapInPandas(_explode, "__dv_path__ string, __dv_pos__ long")
 
 
+# Broadcast the exploded position set when the TOTAL deleted-row count is
+# at or below this (env-overridable). The planner cannot size a MapInPandas
+# output, so without the hint every MoR read shuffle-sorts the ENTIRE data
+# scan against a usually-tiny delete set (plan: 2 Exchanges + 2 Sorts +
+# SortMergeJoin). Sparse deletes — the case DVs exist for — stay far below
+# the cap even on 100-TB tables; a mass-delete beyond it falls back to the
+# shuffled anti-join, so the knob is scale-adaptive, not local-tuned.
+_DV_BROADCAST_MAX_POS = int(os.environ.get("BEARS_DV_BROADCAST_MAX_POS", 1_000_000))
+
+
 def dv_anti_join(
     spark: SparkSession,
     tagged: DataFrame,
     blobs: list[tuple[str, bytes]],
     file_col: str,
     pos_col: str,
+    total_positions: int | None = None,
 ) -> DataFrame:
     """Remove deleted positions from a metadata-tagged scan: left-anti join
     on (data file path, row position). ``tagged`` must carry ``file_col``
     (from ``_metadata.file_path``) and ``pos_col`` (``_metadata.row_index``);
-    file:/-URI forms are normalized so they compare with plain paths."""
+    file:/-URI forms are normalized so they compare with plain paths.
+
+    ``total_positions`` (the summed DV cardinality, known driver-side from
+    the descriptors) chooses the join strategy: small delete sets broadcast
+    (BroadcastHashJoin LeftAnti — the big scan is never shuffled), large or
+    unknown ones take the shuffled join."""
     positions = positions_df(spark, blobs)
+    if total_positions is not None and total_positions <= _DV_BROADCAST_MAX_POS:
+        positions = F.broadcast(positions)
     norm = spark_file_norm(F.col(file_col))
     return tagged.join(
         positions,
@@ -202,6 +220,8 @@ def scan_with_dvs(spark: SparkSession, entries, merge_schema: bool = True,
         F.col("_metadata.row_index").alias("__st_pos__"),
     )
     blobs = [(p, read_dv_blob(dv)) for p, dv in sorted(dvs)]
-    return dv_anti_join(spark, df, blobs, "__st_fp__", "__st_pos__").drop(
-        "__st_fp__", "__st_pos__"
-    )
+    total = sum(int(dv.get("cardinality", 0)) for _p, dv in dvs)
+    return dv_anti_join(
+        spark, df, blobs, "__st_fp__", "__st_pos__",
+        total_positions=total if total > 0 else None,
+    ).drop("__st_fp__", "__st_pos__")

@@ -106,14 +106,18 @@ def widen_input(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     downstream).
 
     The default target is min(defaultParallelism, 8), NOT the full core
-    count: the widened frame is typically persisted and then read by many
-    (often concurrent) downstream jobs, and every cache partition costs
-    each consumer stage one task of fixed overhead. Measured on the
-    dedup_ngram_jaccard fan-out (5 consumers): widen-to-8 ≈ 1.9 s end to
-    end vs widen-to-32 ≈ 4.7 s vs no-widen ≈ 2.6 s — 8 tasks capture most
-    of the build parallelism without inflating every downstream stage.
-    Override per call with ``min_parts`` when the built artifact is
-    consumed exactly once."""
+    count: every downstream stage consuming the widened frame pays one task
+    of fixed overhead per partition, so past ~8 the added task overhead
+    eats the build parallelism (widen-to-32 measured ~2x worse than
+    widen-to-8 on the ngram_contamination shape). Do NOT widen a frame
+    that is persisted and fanned out to several consumers: repeat runs
+    read the cache, amortizing the one-time single-split build, and the
+    wider cache makes every consumer slower — interleaved bench-style A/B
+    on dedup_ngram_jaccard / tfidf_cosine_pairs measured no-widen faster
+    (1.54 vs 1.82 s, 1.41 vs 1.60 s) with occasional lazy-cache-race
+    blowups under widen. Measured wins are the UNPERSISTED heavy
+    projections: doc_decontaminate 1.05 -> 0.69 s, dedup_semantic_clusters
+    1.86 -> 1.48 s (persisted, but consumers are sequential)."""
     sc = df.sparkSession.sparkContext
     target = min_parts or min(sc.defaultParallelism, 8)
     if target <= 1 or df.rdd.getNumPartitions() >= target:

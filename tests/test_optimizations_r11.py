@@ -79,6 +79,45 @@ def test_seeded_lloyd_rows_attached_and_match_collect(spark):
     assert sorted((c, list(v)) for c, v in rows) == collected
 
 
+def test_dv_anti_join_broadcasts_small_delete_sets(spark, tmp_path):
+    """A sparse MoR delete must plan as BroadcastHashJoin LeftAnti (the DV
+    cardinality is known driver-side); the big scan is never shuffle-sorted.
+    Results stay identical either way — also asserted."""
+    from pyspark.sql import functions as F
+
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "dvb"))
+    df = spark.range(0, 200).select(F.col("id"), (F.col("id") * 2.0).alias("v"))
+    t.overwrite(df.repartition(2))
+    t.delete_where("id", "<", 50, mode="mor")
+    rd = t.read()
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert sorted(x["id"] for x in rd.collect()) == list(range(50, 200))
+
+
+def test_dv_anti_join_falls_back_past_broadcast_cap(spark, tmp_path, monkeypatch):
+    """Above the cardinality cap the join must NOT broadcast (a mass delete
+    on a 100-TB table would OOM the driver) — falls back to the shuffled
+    anti-join with identical results."""
+    from pyspark.sql import functions as F
+
+    import bears_spark.io.dv as dvmod
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    monkeypatch.setattr(dvmod, "_DV_BROADCAST_MAX_POS", 10)
+    t = SnapshotTable(spark, str(tmp_path / "dvb2"))
+    df = spark.range(0, 200).select(F.col("id"), (F.col("id") * 2.0).alias("v"))
+    t.overwrite(df.repartition(2))
+    t.delete_where("id", "<", 50, mode="mor")  # 50 deleted > cap of 10
+    rd = t.read()
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    assert sorted(x["id"] for x in rd.collect()) == list(range(50, 200))
+
+
 def test_scoped_persist_eager_materializes(spark):
     df = T.load_table(spark, SF, "nation").select("n_nationkey")
     out = scoped_persist(df, eager=True)

@@ -121,12 +121,7 @@ MAX_EXCHANGES = {
     "dedup_ngram_jaccard": 65,      # measured 46 (30 + the lossless
                                     # prune_unique_grams df-agg + semi-join)
     "part_item_recs": 90,           # measured 61
-    "tfidf_cosine_pairs": 90,       # measured 44; 70 after the r11
-                                    # widen_input repartition — ONE real
-                                    # exchange, but the tf/wgt subtree it
-                                    # sits in is textually repeated (a/b
-                                    # self-join sides + norms) in the
-                                    # formatted dump, so it counts ~6x
+    "tfidf_cosine_pairs": 66,       # measured 44
     "doc_decontaminate": 16,        # measured 8
     "dedup_semantic_clusters": 8,   # measured 4
 }
