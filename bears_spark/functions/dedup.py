@@ -309,18 +309,21 @@ def ngram_jaccard_pairs(
         from bears_spark.caching import scoped_persist
 
         grams = scoped_persist(grams)
+    # grams are distinct per doc, so count(*) per gram == document
+    # frequency. ONE per-gram df aggregation serves BOTH consumers — the
+    # >cap hot set (broadcast anti-join; survivors are few by construction)
+    # and the df>=2 shared set for prune_unique_grams below. Previously the
+    # shared set re-aggregated the whole gram table a second time; deriving
+    # both from the same gram_df lets Spark reuse the aggregation exchange
+    # (one pass over the gram table instead of two — guide §2.4).
+    gram_df = None
+    if max_doc_freq is not None or prune_unique_grams:
+        gram_df = grams.groupBy("gram").agg(F.count("*").alias("__df__"))
     if max_doc_freq is not None:
-        # grams are distinct per doc, so count(*) per gram == document
-        # frequency; the >cap survivors are few — broadcast them. The
-        # filtered view is NOT persisted: each consumer applies the cheap
-        # broadcast anti-join over the already-persisted gram table, which
-        # beats materializing a second near-copy of it.
-        hot = (
-            grams.groupBy("gram")
-            .agg(F.count("*").alias("__df__"))
-            .filter(F.col("__df__") > max_doc_freq)
-            .select("gram")
-        )
+        # The filtered view is NOT persisted: each consumer applies the
+        # cheap broadcast anti-join over the already-persisted gram table,
+        # which beats materializing a second near-copy of it.
+        hot = gram_df.filter(F.col("__df__") > max_doc_freq).select("gram")
         grams = grams.join(F.broadcast(hot), on="gram", how="left_anti")
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
 
@@ -339,14 +342,15 @@ def ngram_jaccard_pairs(
         # a gram in exactly one doc can never match in the self-join; on web
         # corpora most shingles are df=1, so dropping them cuts the join
         # input several-fold. Results are IDENTICAL (sizes keep counting
-        # them; they contribute zero intersections). Costs one extra gram
-        # aggregation + semi-join, so it's opt-in: a wash at small SF
-        # (measured 1.90s -> 2.00s at sf0.1, where the synthetic corpus has
-        # few unique grams), the dominant win at web scale.
-        shared = (
-            grams.groupBy("gram").agg(F.count("*").alias("__df2__")).filter(F.col("__df2__") >= 2).select("gram")
-        )
-        gs = gs.join(shared, "gram", "left_semi")
+        # them; they contribute zero intersections). The shared set filters
+        # the SAME gram_df as the hot set above (df over raw grams equals df
+        # over capped grams for every surviving gram — dropping a hot gram
+        # removes its whole group, never another gram's count), so the cap
+        # condition re-applies here rather than re-aggregating post-cap.
+        shared = gram_df.filter(F.col("__df__") >= 2)
+        if max_doc_freq is not None:
+            shared = shared.filter(F.col("__df__") <= max_doc_freq)
+        gs = gs.join(shared.select("gram"), "gram", "left_semi")
     a, b = gs.alias("a"), gs.alias("b")
     cond = (
         (F.col("a.gram") == F.col("b.gram"))

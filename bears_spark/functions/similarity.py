@@ -18,6 +18,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bears_spark.localframe import local_df
+
 from bears_spark.functions.vectors import cosine_similarity, dot, l2_norm
 
 
@@ -166,7 +168,7 @@ def kmeans_centroids(
     model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
     spark = df.sparkSession
     rows = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
-    cents = spark.createDataFrame(rows, "centroid_id int, centroid array<double>")
+    cents = local_df(spark, rows, "centroid_id int, centroid array<double>")
     cents._bears_local_rows = rows  # see _centroid_sim_structs
     return cents
 
@@ -348,7 +350,7 @@ def seeded_lloyd_centroids(
         cent_rows = [
             (cid_, [dims[i] for i in sorted(dims)]) for cid_, dims in sorted(by_cid.items())
         ]
-    out = spark.createDataFrame(cent_rows, "centroid_id int, centroid array<double>")
+    out = local_df(spark, cent_rows, "centroid_id int, centroid array<double>")
     # expression builders (_centroid_sim_structs) read the driver-local rows
     # straight off the DataFrame instead of re-collecting them through a
     # Python-worker job per slice

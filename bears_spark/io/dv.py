@@ -30,6 +30,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bears_spark.localframe import local_df
+
 from bears_spark.io.roaring import (
     DV_FILE_FORMAT_VERSION,
     frame_dv,
@@ -139,7 +141,7 @@ def positions_df(spark: SparkSession, blobs: list[tuple[str, bytes]]) -> DataFra
     is [(data file path, rba bytes)] — one small binary row per file."""
     import pandas as pd
 
-    dvdf = spark.createDataFrame(blobs, "__dv_path__ string, __dv_blob__ binary")
+    dvdf = local_df(spark, blobs, "__dv_path__ string, __dv_blob__ binary")
     if len(blobs) > 1:
         dvdf = dvdf.repartition(min(len(blobs), 64))
 
@@ -187,6 +189,15 @@ def dv_anti_join(
     positions = positions_df(spark, blobs)
     if total_positions is not None and total_positions <= _DV_BROADCAST_MAX_POS:
         positions = F.broadcast(positions)
+    else:
+        # Past the cap (or with unknown cardinality) the positions side must
+        # NOT be broadcast: the planner sizes it from the COMPRESSED roaring
+        # blobs (local_df's Arrow path carries an accurate blob-size
+        # estimate), but the explode fans each blob out ~8-64x, so a
+        # "10 MB" build side can hydrate to hundreds of MB on every
+        # executor. The merge hint pins the shuffled join for both the
+        # static planner and AQE's runtime rewrite.
+        positions = positions.hint("merge")
     norm = spark_file_norm(F.col(file_col))
     return tagged.join(
         positions,

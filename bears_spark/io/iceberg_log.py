@@ -44,6 +44,8 @@ from urllib.parse import urlparse, unquote
 
 from pyspark.sql import DataFrame, SparkSession
 
+from bears_spark.localframe import local_df
+
 from bears_spark.io.avro_generic import read_container
 from bears_spark.io.metafs import is_uri, metafs_for, spark_path
 
@@ -692,7 +694,7 @@ class IcebergTableReader:
         # the localized side must speak _metadata.file_path's URI encoding
         # (spaces/%/non-ASCII in table roots), or the anti-join matches
         # nothing and deleted rows silently come back
-        mapping = self.spark.createDataFrame(
+        mapping = local_df(self.spark, 
             [(rec, spark_uri_path(loc)) for rec, loc, *_ in data_entries],
             "__rec__ string, __loc__ string",
         )
@@ -740,7 +742,7 @@ class IcebergTableReader:
 
         from bears_spark.io.dv import spark_uri_path
 
-        seq_map = self.spark.createDataFrame(
+        seq_map = local_df(self.spark, 
             [(spark_uri_path(loc), seq) for _, loc, seq, *_ in data_entries],
             "__seqf__ string, __seq__ long",
         )

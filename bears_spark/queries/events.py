@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bears_spark.localframe import local_df
 from bears_spark.queries.tables import events_ts_encoding, load_table
 
 
@@ -1949,7 +1950,7 @@ def ev_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = (a["m"] - b["m"]) / (se2a + se2b) ** 0.5
     dof = (se2a + se2b) ** 2 / (se2a**2 / (na - 1) + se2b**2 / (nb - 1))
     srm = (na - nb) ** 2 / (na + nb)  # chi-square vs the designed 50/50
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(na, nb, round(a["m"], 6), round(b["m"], 6), round(t, 6), round(dof, 6), round(srm, 6))],
         "n_a bigint, n_b bigint, mean_a double, mean_b double, t_stat double, dof double, srm_chisq double",
     )
@@ -2023,7 +2024,7 @@ def ev_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (m1 - m2) / (v1 / n1 + v2 / n2) ** 0.5
 
     var_adj = adj.agg(F.var_samp("y_adj").alias("v")).first()["v"]
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 round(theta, 6),
@@ -2092,7 +2093,7 @@ def ev_ab_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = q.filter(F.col("arm") == "A").first()
     b = q.filter(F.col("arm") == "B").first()
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 a["n"], b["n"],
@@ -2168,7 +2169,7 @@ def ev_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool = (a["conv"] + b["conv"]) / (a["n"] + b["n"])
     z = (p1 - p2) / (pool * (1 - pool) * (1 / a["n"] + 1 / b["n"])) ** 0.5
     did = (b["post"] - b["pre"]) - (a["post"] - a["pre"])
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 a["n"], b["n"],
@@ -3630,7 +3631,7 @@ def events_hive_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     finally:
         shutil.rmtree(out.rsplit("/", 1)[0], ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(r["day"], r["event_type"], r["n"], r["n_users"]) for r in rows],
         "day string, event_type string, n bigint, n_users bigint",
     ).orderBy("day", "event_type")
@@ -3899,7 +3900,7 @@ def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sum in ascending src order — the same order the SQL oracle's
         # ordered aggregation produces
         v = [sum(v[i] * P[i][j] for i in range(k)) for j in range(k)]
-    return ev.sparkSession.createDataFrame(
+    return local_df(ev.sparkSession, 
         [(t, round(v[idx[t]], 6)) for t in types],
         "event_type string, stationary_p double",
     ).orderBy("event_type")

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bears_spark.localframe import local_df
 from bears_spark.queries.tables import load_table
 
 QUERIES: dict = {}
@@ -381,7 +382,7 @@ def supplier_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         n_edges = edges.count()
         out_rows.append((rnd, survivors, n_edges))
-    return ps.sparkSession.createDataFrame(
+    return local_df(ps.sparkSession, 
         out_rows, "round int, n_nodes bigint, n_edges bigint"
     ).orderBy("round")
 

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from bears_spark.frame import SparkFrame
 from bears_spark.pipeline import DataPipeline, PipelineStepConfig
+from bears_spark.localframe import local_df
 from bears_spark.queries.tables import load_table
 
 
@@ -622,7 +623,7 @@ def emb_covariance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = (gram - n * np.outer(mean, mean)) / (n - 1)
     pairs = [(0, 0), (0, 1), (2, 3), (10, 40), (63, 63)]
     rows = [(int(i), int(j), float(round(cov[i, j], 8))) for i, j in pairs]
-    return spark.createDataFrame(rows, "i int, j int, cov double")
+    return local_df(spark, rows, "i int, j int, cov double")
 
 
 EMB_COVARIANCE_SQL = """

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bears_spark.localframe import local_df
 from bears_spark.queries.tables import load_table
 
 
@@ -594,7 +595,7 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (c, row[f"{c}__n"], row[f"{c}__nulls"], row[f"{c}__distinct"], row[f"{c}__min"], row[f"{c}__max"])
         for c in cols
     ]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "col_name string, n bigint, nulls bigint, n_distinct bigint, min_s string, max_s string"
     ).orderBy("col_name")
 
@@ -1115,7 +1116,7 @@ def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = orders.groupBy(d.cast("int").alias("digit")).agg(F.count("*").alias("n"))
     total = orders.count()
     expected = {dd: math.log10(1 + 1 / dd) for dd in range(1, 10)}
-    exp_df = spark.createDataFrame([(k, float(round(v, 6))) for k, v in expected.items()], "digit int, benford double")
+    exp_df = local_df(spark, [(k, float(round(v, 6))) for k, v in expected.items()], "digit int, benford double")
     return (
         obs.join(F.broadcast(exp_df), "digit")
         .select(
@@ -1352,7 +1353,7 @@ def orders_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows.append((v, agg["n_rows"], float(agg["total"])))
     finally:
         shutil.rmtree(t.path, ignore_errors=True)
-    return spark.createDataFrame(rows, "version bigint, n_rows bigint, total double")
+    return local_df(spark, rows, "version bigint, n_rows bigint, total double")
 
 
 ORDERS_SNAPSHOT_TT_SQL = f"""
@@ -1456,7 +1457,7 @@ def orders_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
     finally:
         shutil.rmtree(t.path, ignore_errors=True)
-    return spark.createDataFrame(rows, "o_orderstatus string, n bigint, total double")
+    return local_df(spark, rows, "o_orderstatus string, n bigint, total double")
 
 
 ORDERS_CHANGE_FEED_SQL = f"""
@@ -1515,7 +1516,7 @@ def orders_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "o_orderstatus string, n bigint, total double, avg_price double"
     )
 
@@ -1565,7 +1566,7 @@ def orders_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, "o_orderstatus string, n bigint, total double")
+    return local_df(spark, rows, "o_orderstatus string, n bigint, total double")
 
 
 ORDERS_DELTA_RT_SQL = """
@@ -1665,7 +1666,7 @@ def orders_delta_dv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, "o_orderstatus string, n bigint, total double")
+    return local_df(spark, rows, "o_orderstatus string, n bigint, total double")
 
 
 QUERIES["orders_delta_dv_roundtrip"] = orders_delta_dv_roundtrip
@@ -1763,7 +1764,7 @@ def orders_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, "o_orderstatus string, n bigint, total double")
+    return local_df(spark, rows, "o_orderstatus string, n bigint, total double")
 
 
 ORDERS_ICEBERG_RT_SQL = ORDERS_DELTA_RT_SQL
@@ -1882,7 +1883,7 @@ def orders_iceberg_v2_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, "o_orderstatus string, n bigint, total double")
+    return local_df(spark, rows, "o_orderstatus string, n bigint, total double")
 
 
 ORDERS_ICEBERG_V2_SQL = """
@@ -2089,7 +2090,7 @@ def orders_delta_s3_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(data_root, ignore_errors=True)
-    return spark.createDataFrame(rows, "o_orderpriority string, n bigint, total double")
+    return local_df(spark, rows, "o_orderpriority string, n bigint, total double")
 
 
 ORDERS_DELTA_S3_SQL = """
@@ -2217,7 +2218,7 @@ def orders_iceberg_renamed_col(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "o_orderstatus string, n bigint, total_price_sum double"
     )
 
@@ -2286,7 +2287,7 @@ def orders_optimize_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "o_orderstatus string, n bigint, total double, files_skipped boolean"
     )
 
@@ -2712,7 +2713,7 @@ def orders_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
     finally:
         shutil.rmtree(t.path, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "o_orderstatus string, n bigint, total double, n_files_scanned int"
     )
 
@@ -2768,7 +2769,7 @@ def orders_arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(out.rsplit("/", 1)[0], ignore_errors=True)
-    return spark.createDataFrame(rows, "o_orderstatus string, n bigint, n_cust bigint, total double")
+    return local_df(spark, rows, "o_orderstatus string, n bigint, n_cust bigint, total double")
 
 
 ORDERS_ARROW_RT_SQL = """
@@ -2909,7 +2910,7 @@ def orders_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows,
         "column string, n_files bigint, n_row_groups bigint, total_rows bigint, "
         "overlapping_rgs bigint, key_min bigint, key_max bigint",
@@ -4261,7 +4262,7 @@ def orders_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(out.rsplit("/", 1)[0], ignore_errors=True)
-    return spark.createDataFrame(rows, "o_orderstatus string, n bigint, n_cust bigint, total double")
+    return local_df(spark, rows, "o_orderstatus string, n bigint, n_cust bigint, total double")
 
 
 ORDERS_ORC_RT_SQL = """
@@ -4307,7 +4308,7 @@ def orders_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, "o_orderpriority string, n bigint, total double")
+    return local_df(spark, rows, "o_orderpriority string, n bigint, total double")
 
 
 ORDERS_MOR_DELETE_SQL = """
@@ -4375,7 +4376,7 @@ def orders_mor_fileuri_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ], "compact changed the result"
     finally:
         shutil.rmtree(local_root, ignore_errors=True)
-    return spark.createDataFrame(rows, "o_orderstatus string, n bigint, total double")
+    return local_df(spark, rows, "o_orderstatus string, n bigint, total double")
 
 
 ORDERS_MOR_FILEURI_SQL = """
@@ -4451,7 +4452,7 @@ def streaming_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, "o_orderpriority string, n bigint, total double")
+    return local_df(spark, rows, "o_orderpriority string, n bigint, total double")
 
 
 STREAMING_GDPR_SQL = """
@@ -4613,7 +4614,7 @@ def orders_iceberg_bucket_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, "o_orderstatus string, n bigint, total double")
+    return local_df(spark, rows, "o_orderstatus string, n bigint, total double")
 
 
 ORDERS_ICE_BUCKET_SQL = """
@@ -4666,7 +4667,7 @@ def orders_iceberg_truncate_pruned(spark: SparkSession, sf_dir: str) -> DataFram
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, "o_orderstatus string, n bigint, total double")
+    return local_df(spark, rows, "o_orderstatus string, n bigint, total double")
 
 
 ORDERS_ICE_TRUNC_SQL = """
@@ -4747,7 +4748,7 @@ def orders_delta_export_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, "o_orderstatus string, n bigint, total double")
+    return local_df(spark, rows, "o_orderstatus string, n bigint, total double")
 
 
 ORDERS_DELTA_CADENCE_SQL = """
@@ -4805,7 +4806,7 @@ def orders_ivm_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "o_orderpriority string, n bigint, total double, pmin double, pmax double"
     )
 
@@ -4888,7 +4889,7 @@ def orders_iceberg_export_snapshots(spark: SparkSession, sf_dir: str) -> DataFra
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, "o_orderstatus string, n bigint, total double")
+    return local_df(spark, rows, "o_orderstatus string, n bigint, total double")
 
 
 ORDERS_ICE_CONT_SQL = """
@@ -4967,7 +4968,7 @@ def orders_streaming_replicated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, "o_orderstatus string, n bigint, total double")
+    return local_df(spark, rows, "o_orderstatus string, n bigint, total double")
 
 
 ORDERS_STREAM_REPL_SQL = """
@@ -5035,7 +5036,7 @@ def orders_iceberg_day_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, "o_orderstatus string, n bigint, total double")
+    return local_df(spark, rows, "o_orderstatus string, n bigint, total double")
 
 
 ORDERS_ICE_DAY_SQL = """
@@ -5104,7 +5105,7 @@ def orders_iceberg_ts_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows.append((label, agg["n"], agg["total"]))
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, "point string, n bigint, total double")
+    return local_df(spark, rows, "point string, n bigint, total double")
 
 
 ORDERS_ICE_TS_TRAVEL_SQL = """
@@ -5157,7 +5158,7 @@ def orders_snapshot_history_report(spark: SparkSession, sf_dir: str) -> DataFram
         ]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "version int, operation string, n_files int, n_rows bigint"
     )
 
@@ -5265,7 +5266,7 @@ def orders_streaming_replicated_iceberg(spark: SparkSession, sf_dir: str) -> Dat
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, "o_orderstatus string, n bigint, total double")
+    return local_df(spark, rows, "o_orderstatus string, n bigint, total double")
 
 
 ORDERS_STREAM_REPL_ICE_SQL = """
@@ -5329,7 +5330,7 @@ def orders_retention_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, "o_orderstatus string, n bigint, total double")
+    return local_df(spark, rows, "o_orderstatus string, n bigint, total double")
 
 
 ORDERS_RETENTION_SQL = """
@@ -5411,7 +5412,7 @@ def orders_delta_ts_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows.append((label, agg["n"], agg["total"]))
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, "point string, n bigint, total double")
+    return local_df(spark, rows, "point string, n bigint, total double")
 
 
 ORDERS_DELTA_TS_TRAVEL_SQL = """
@@ -5517,7 +5518,7 @@ def orders_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(("native_v1", r1["n"], r1["total"]))
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "point string, n bigint, total double"
     ).orderBy("point")
 
@@ -5602,7 +5603,7 @@ def orders_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(agg(t.read("published-r11"), "published"))
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "point string, n bigint, total double"
     ).orderBy("point")
 
@@ -5695,7 +5696,7 @@ def orders_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "point string, n bigint, qty_sum bigint"
     ).orderBy("point")
 
@@ -5782,7 +5783,7 @@ def orders_constraints_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(agg(reader.read(), "delta_replica"))
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "point string, n bigint, total double"
     ).orderBy("point")
 
@@ -5858,7 +5859,7 @@ def orders_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, "bucket bigint, n bigint, cents_sum bigint")
+    return local_df(spark, rows, "bucket bigint, n bigint, cents_sum bigint")
 
 
 ORDERS_UPDATE_WHERE_SQL = """
@@ -5928,7 +5929,7 @@ def orders_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(n, mn_c, mx_c, mn_d, mx_d)],
         "n bigint, min_cents bigint, max_cents bigint, min_date timestamp, max_date timestamp",
     )

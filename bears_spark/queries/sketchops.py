@@ -24,6 +24,7 @@ from bears_spark.functions.sketch import (
     zorder_key,
     zorder_quantize,
 )
+from bears_spark.localframe import local_df
 from bears_spark.queries.tables import load_table
 
 # DuckDB text of md5_hash64(x, salt) — keep in lockstep with hashing.py.
@@ -289,7 +290,7 @@ def ev_value_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = equiwidth_histogram(ev, "value", _HQ_BINS, vmin, vmax)
     rows = [(int(r["bin"]), int(r["cnt"])) for r in hist.collect()]  # <= bins rows (fit state)
     qv = histogram_quantiles(rows, _HQ_QS, _HQ_BINS, vmin, vmax)
-    out = spark.createDataFrame(qv, "q double, value double")
+    out = local_df(spark, qv, "q double, value double")
     return out.select("q", F.round("value", 6).alias("value")).orderBy("q")
 
 

@@ -21,6 +21,7 @@ from bears_spark.functions.text import (
     stopword_ratio,
     token_count,
 )
+from bears_spark.localframe import local_df
 from bears_spark.queries.tables import load_table
 
 # shared SQL fragments for the oracles
@@ -2124,9 +2125,12 @@ def doc_bm25_queryset(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bears_spark.functions.text import bm25_topk_queries
 
     docs = load_table(spark, sf_dir, "documents")
-    qdf = spark.createDataFrame(_QSET, "query_id: int, terms: array<string>")
+    # the query set goes in as the driver-local list: bm25_topk_queries
+    # collects it into plan literals either way, and a DataFrame round-trip
+    # here cost one 32-slice Python-worker collect per run (~10 s of
+    # executor wall for 3 rows under load — guide §4/§5)
     return bm25_topk_queries(
-        docs, "doc_id", "text", qdf, k=_QSET_K, score_round=6
+        docs, "doc_id", "text", _QSET, k=_QSET_K, score_round=6
     ).orderBy("query_id", "rank")
 
 
@@ -2473,8 +2477,8 @@ def retrieval_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bears_spark.functions.text import bm25_topk_queries, tokenize
 
     docs = load_table(spark, sf_dir, "documents")
-    qdf = spark.createDataFrame(_QSET, "query_id: int, terms: array<string>")
-    sys_rank = bm25_topk_queries(docs, "doc_id", "text", qdf, k=_QSET_K, score_round=6)
+    qdf = local_df(spark, _QSET, "query_id: int, terms: array<string>")
+    sys_rank = bm25_topk_queries(docs, "doc_id", "text", _QSET, k=_QSET_K, score_round=6)
 
     qterms = qdf.select("query_id", F.explode("terms").alias("term")).select(
         "query_id", F.lower("term").alias("term")
@@ -2589,8 +2593,8 @@ def dedup_lsh_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     finally:
         shutil.rmtree(idx.path, ignore_errors=True)
-    out = spark.createDataFrame(pairs, "new_id bigint, index_id bigint") if pairs else (
-        spark.createDataFrame([], "new_id bigint, index_id bigint")
+    out = local_df(spark, pairs, "new_id bigint, index_id bigint") if pairs else (
+        local_df(spark, [], "new_id bigint, index_id bigint")
     )
     return out.orderBy("new_id", "index_id")
 
@@ -3282,7 +3286,7 @@ def source_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 na = sum(x * x for x in va) ** 0.5
                 nb = sum(x * x for x in vb) ** 0.5
                 rows.append((a, b, round(dot / (na * nb), 6)))
-    return emb.sparkSession.createDataFrame(
+    return local_df(emb.sparkSession, 
         rows, "src_a int, src_b int, centroid_cosine double"
     ).orderBy("src_a", "src_b")
 
@@ -3338,7 +3342,7 @@ def emb_exact_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(int(stats["dup_groups"]), int(stats["excess_vectors"]), r["rep_vec_id"], r["n"]) for r in top]
     if not rows:
         rows = [(0, 0, None, None)]
-    return emb.sparkSession.createDataFrame(
+    return local_df(emb.sparkSession, 
         rows, "dup_groups bigint, excess_vectors bigint, rep_vec_id bigint, group_size bigint"
     ).orderBy(F.desc("group_size"), "rep_vec_id")
 

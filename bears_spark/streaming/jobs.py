@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bears_spark.localframe import local_df
+
 EVENTS_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
 
 
@@ -380,7 +382,7 @@ def bounded_replay_source(spark, df: DataFrame, flush_rows: list, path: str, fil
     df.coalesce(files).write.parquet(stage)
     for i, part in enumerate(sorted(_glob.glob(stage + "/part-*.parquet"))):
         shutil.move(part, os.path.join(in_dir, f"{i:03d}-data.parquet"))
-    sent = spark.createDataFrame(flush_rows, df.schema)
+    sent = local_df(spark, flush_rows, df.schema)
     for i in (1, 2):
         sstage = os.path.join(path, f"s{i}")
         sent.coalesce(1).write.parquet(sstage)

@@ -125,3 +125,58 @@ def test_scoped_persist_eager_materializes(spark):
     # eager -> blocks already cached: is_cached and immediately readable
     assert out.count() == df.count()
     release_scoped_caches()
+
+
+def test_local_df_matches_createdataframe_and_avoids_python_scan(spark):
+    """local_df routes tiny driver-local frames through the Arrow/pandas
+    path: values identical to createDataFrame (null/array/timestamp), no
+    pickled-row scan (partition count follows rows, not cores), and a NaN
+    row falls back to the classic path (Arrow would null it)."""
+    import datetime
+
+    from bears_spark.localframe import local_df
+
+    rows = [
+        ("A", 1, None, ["x", "y"], datetime.datetime(2020, 1, 1, 12)),
+        (None, 2, 3.5, [], datetime.datetime(2021, 6, 30, 23, 59, 59)),
+    ]
+    sch = "s string, n bigint, t double, a array<string>, ts timestamp"
+    fast = local_df(spark, rows, sch)
+    ref = spark.createDataFrame(rows, sch)
+    assert fast.collect() == ref.collect()
+    assert fast.schema == ref.schema
+    # the whole point: one partition, not one pickled slice per core
+    assert fast.rdd.getNumPartitions() == 1
+    # NaN must take the classic path (Arrow's from_pandas maps NaN -> null)
+    nan_rows = [("A", float("nan"))]
+    got = local_df(spark, nan_rows, "s string, t double").collect()[0]["t"]
+    assert got != got  # still NaN, not null
+    # empty input keeps the declared schema
+    empty = local_df(spark, [], "x int, y string")
+    assert empty.collect() == [] and empty.schema == ref.select(
+        F.lit(None).cast("int").alias("x"), F.lit(None).cast("string").alias("y")
+    ).schema
+
+
+def test_dv_anti_join_past_cap_pins_shuffled_join(spark, tmp_path):
+    """Past the broadcast cap the positions side carries a merge hint, so
+    neither the static planner (which now sees an accurate — but
+    pre-explode — size for the Arrow-built blob frame) nor AQE's runtime
+    rewrite can turn the anti-join into a broadcast of a mass-delete set."""
+    import bears_spark.io.dv as dvmod
+    from bears_spark.io.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "dvhint"))
+    df = spark.range(0, 300).select(F.col("id"), (F.col("id") * 1.5).alias("v"))
+    t.overwrite(df.repartition(2))
+    old = dvmod._DV_BROADCAST_MAX_POS
+    dvmod._DV_BROADCAST_MAX_POS = 10
+    try:
+        t.delete_where("id", "<", 100, mode="mor")
+        rd = t.read()
+        rd.count()  # force AQE finalization
+        plan = rd._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        dvmod._DV_BROADCAST_MAX_POS = old
