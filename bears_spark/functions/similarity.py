@@ -338,6 +338,12 @@ def seeded_lloyd_centroids(
         # expressions and drops the struct field names inside the argmax
         # lambda (FIELD_NOT_FOUND on `negid`)
         assigned = df.select(cid.alias("__cid"), F.col(vec_col).cast("array<double>").alias("__v"))
+        # (r11 A/B, kept explode: replacing posexplode+groupBy(cid, i) with
+        # k*dim per-dimension column aggregates — avg(__v[0..dim)) — measured
+        # ~10% SLOWER at sf0.1 (2.18-2.46 s vs 2.02-2.17 s on
+        # dedup_semantic_clusters, interleaved blocks): 64 getItem+avg
+        # buffers per row lose to the explode's codegen'd generator even
+        # counting the (rows*dim) shuffle it avoids.)
         rows = (
             assigned.select("__cid", F.posexplode("__v").alias("__i", "__x"))
             .groupBy("__cid", "__i")
@@ -667,14 +673,18 @@ def tfidf_cosine_pairs(
         .crossJoin(F.broadcast(n_docs))
         .select(id_col, "term", "df", (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("wt"))
     )
+    # Carry each doc's norm ON its term rows (full-partition window by id)
+    # so cosine computes inside the pair aggregation via first(na)/first(nb)
+    # — the same trick ngram_jaccard_pairs uses for set sizes. This removes
+    # TWO joins of the (potentially huge) pair table against a norms table
+    # plus the per-run norms aggregation job: the window runs ONCE, inside
+    # the cached plan (one extra exchange at cache build), while the joins
+    # it replaces ran over the pair table every materialization (guide
+    # §2.3/§2.4 — the pair table is the heavy side; decide with small rows).
+    from pyspark.sql import Window
+
+    wgt = wgt.withColumn("nrm", F.sqrt(F.sum(F.col("wt") * F.col("wt")).over(Window.partitionBy(id_col))))
     wgt = scoped_persist(wgt)
-    # a doc whose every term is corpus-ubiquitous has idf 0 everywhere -> a
-    # zero vector with no defined angle; exclude it rather than divide by 0
-    norms = (
-        wgt.groupBy(id_col)
-        .agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"))
-        .filter(F.col("nrm") > 0)
-    )
     # a term in exactly one document can never match in the self-join, and
     # on a real web corpus most n-grams are df=1 — dropping them shrinks the
     # join input several-fold for free (df is already on the row). Norms are
@@ -682,16 +692,18 @@ def tfidf_cosine_pairs(
     # cosine value is unchanged.
     shared = wgt.filter(F.col("df") >= 2)
     a, b = shared.alias("a"), shared.alias("b")
-    dots = (
+    return (
         a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.sum(F.col("a.wt") * F.col("b.wt")).alias("dot"))
-    )
-    na = norms.select(F.col(id_col).alias("id_a"), F.col("nrm").alias("na"))
-    nb = norms.select(F.col(id_col).alias("id_b"), F.col("nrm").alias("nb"))
-    return (
-        dots.join(na, "id_a")
-        .join(nb, "id_b")
+        .agg(
+            F.sum(F.col("a.wt") * F.col("b.wt")).alias("dot"),
+            F.first("a.nrm").alias("na"),  # constant within the group
+            F.first("b.nrm").alias("nb"),
+        )
+        # a doc whose every term is corpus-ubiquitous has idf 0 everywhere ->
+        # a zero vector with no defined angle; exclude it rather than divide
+        # by 0 (the old norms inner join dropped exactly these pairs)
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
         .withColumn("cosine", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

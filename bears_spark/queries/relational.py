@@ -3391,8 +3391,18 @@ def part_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # ps and owned each feed multiple downstream plans (pair join + freq;
     # top-10 fit + the per-customer sets) — persist once, scoped-drained
+    # Carry each part's corpus frequency ON the li rows (full-partition
+    # window, computed ONCE inside the cached plan) so the similarity
+    # denominator computes inside the pair aggregation via first(na)/
+    # first(nb) — removing the per-run freq aggregation job and TWO joins of
+    # the pair table against it (same carry-sizes-on-rows discipline as
+    # ngram_jaccard_pairs / tfidf_cosine_pairs; guide §2.3 — decide with
+    # small rows, never re-join the heavy pair table for a scalar).
     li = scoped_persist(
-        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .withColumn("nf", F.count("*").over(Window.partitionBy("l_partkey")))
     )
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     owned = scoped_persist(
@@ -3407,7 +3417,6 @@ def part_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("o_custkey")
     )
-    freq = li.groupBy("l_partkey").agg(F.count("*").alias("nf"))
     # only the 10 selected customers ever reach `scored`, so BOTH the
     # ownership probe and the already-owned exclusion run against the tiny
     # broadcast per-customer sets — the anti join must not rescan the full
@@ -3420,23 +3429,21 @@ def part_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # symmetric half-pairs (part_item_cosine keeps the full-catalog variant)
     p_parts = cust_owned.select("l_partkey").distinct()
     a = li.join(F.broadcast(p_parts), "l_partkey").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"), F.col("nf").alias("na")
     )
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"), F.col("nf").alias("nb"))
     pairs = (
         a.join(b, "ok")
         .where(F.col("pa") != F.col("pb"))
         .groupBy("pa", "pb")
-        .agg(F.count("*").alias("cooc"))
+        .agg(
+            F.count("*").alias("cooc"),
+            F.first("na").alias("na"),  # constant within the group
+            F.first("nb").alias("nb"),
+        )
         .where(F.col("cooc") >= 2)
     )
-    fa = freq.select(F.col("l_partkey").alias("pa"), F.col("nf").alias("na"))
-    fb = freq.select(F.col("l_partkey").alias("pb"), F.col("nf").alias("nb"))
-    sims = (
-        pairs.join(fa, "pa")
-        .join(fb, "pb")
-        .select("pa", "pb", (F.col("cooc") / F.sqrt(F.col("na") * F.col("nb"))).alias("sim"))
-    )
+    sims = pairs.select("pa", "pb", (F.col("cooc") / F.sqrt(F.col("na") * F.col("nb"))).alias("sim"))
     scored = (
         cust_owned.join(sims, cust_owned.l_partkey == sims.pa)
         .join(
