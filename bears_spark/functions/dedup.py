@@ -293,7 +293,9 @@ def ngram_jaccard_pairs(
     # 1.54/1.95/2.08s vs widen-to-8 1.82/2.85/1.90s, with occasional
     # lazy-cache-race blowups (9-19s runs) under widen. Contrast
     # ngram_contamination, where nothing is persisted and widening wins.
-    grams = df.select(
+    from bears_spark.skew import widen_input
+
+    grams = widen_input(df.select(id_col, text_col), 4, trigger_below=2).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"),
     )

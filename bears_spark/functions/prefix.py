@@ -68,6 +68,20 @@ def _order_exprs(order_cols) -> list:
     return [F.col(c) if isinstance(c, str) else c for c in order_cols]
 
 
+def _range_parts(df: DataFrame, num_partitions: int | None) -> int:
+    """Range-partition count for the prefix scans: the caller's explicit
+    value, else min(defaultParallelism, input partition count). Every range
+    partition costs one Python-runner task in BOTH passes (offsets +
+    mapInPandas) at ~0.1-0.3 s of per-task protocol overhead regardless of
+    rows, so fanning a 1-split local input out to 32 ranges pays 64 tasks of
+    overhead to cumsum rows a single pandas call handles in <1 ms (guide §4:
+    the boundary is the cost; pay it proportionally to the data). Production
+    inputs carry many splits and keep full parallelism — scale-adaptive, not
+    a local constant. The plan-time getNumPartitions costs ~50 ms, no job."""
+    sc = df.sparkSession.sparkContext
+    return num_partitions or max(1, min(sc.defaultParallelism, df.rdd.getNumPartitions()))
+
+
 def _carry(series: pd.Series, prev):
     """Null-safe running carry: the last non-null cumulative value, or the
     previous carry when the batch tail (or whole batch) is null — matching
@@ -100,7 +114,7 @@ def partitioned_cumsum(
     The ranged input is persisted: the offsets pass and the main pass must
     see the SAME partition boundaries (range sampling is not re-run)."""
     spark = df.sparkSession
-    n = num_partitions or spark.sparkContext.defaultParallelism
+    n = _range_parts(df, num_partitions)
     ranged = _cache_ranged(
         df.repartitionByRange(n, *_order_exprs(order_cols)).sortWithinPartitions(*_order_exprs(order_cols))
     )
@@ -161,7 +175,7 @@ def partitioned_scan(
             if fn not in _SCAN_FNS:
                 raise ValueError(f"unsupported scan fn {fn!r} (have {sorted(_SCAN_FNS)})")
     spark = df.sparkSession
-    n = num_partitions or spark.sparkContext.defaultParallelism
+    n = _range_parts(df, num_partitions)
     ranged = _cache_ranged(
         df.repartitionByRange(n, *_order_exprs(order_cols)).sortWithinPartitions(*_order_exprs(order_cols))
     )
@@ -237,7 +251,7 @@ def distributed_row_number(
     local row_number + offset. Same machinery as partitioned_cumsum with a
     constant-1 value, but counts come from the cheap groupBy, not a scan."""
     spark = df.sparkSession
-    n = num_partitions or spark.sparkContext.defaultParallelism
+    n = _range_parts(df, num_partitions)
     ranged = _cache_ranged(
         df.repartitionByRange(n, *_order_exprs(order_cols)).sortWithinPartitions(*_order_exprs(order_cols))
     )
@@ -276,7 +290,7 @@ def partitioned_ntile(
     ``order_cols`` may mix names and sort expressions (``F.desc(...)``);
     include a unique tiebreaker for a total order."""
     spark = df.sparkSession
-    n = num_partitions or spark.sparkContext.defaultParallelism
+    n = _range_parts(df, num_partitions)
     ranged = _cache_ranged(
         df.repartitionByRange(n, *_order_exprs(order_cols)).sortWithinPartitions(*_order_exprs(order_cols))
     )
@@ -347,7 +361,7 @@ def partitioned_fill(
     the order reversed (pass ``F.desc(...)`` specs). Output schema is the
     input schema (fill never changes a column's type)."""
     spark = df.sparkSession
-    n = num_partitions or spark.sparkContext.defaultParallelism
+    n = _range_parts(df, num_partitions)
     ranged = _cache_ranged(
         df.repartitionByRange(n, *_order_exprs(order_cols)).sortWithinPartitions(*_order_exprs(order_cols))
     )
@@ -466,7 +480,7 @@ def global_rolling(
             f"state — partition the rolling computation instead"
         )
     spark = df.sparkSession
-    n = num_partitions or spark.sparkContext.defaultParallelism
+    n = _range_parts(df, num_partitions)
     ranged = _cache_ranged(
         df.repartitionByRange(n, *_order_exprs(order_cols)).sortWithinPartitions(*_order_exprs(order_cols))
     )

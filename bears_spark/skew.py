@@ -88,7 +88,7 @@ def salted_join(
     return big_s.join(F.broadcast(small_r), on=[on, "__salt__"], how=how).drop("__salt__")
 
 
-def widen_input(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+def widen_input(df: DataFrame, min_parts: int | None = None, trigger_below: int | None = None) -> DataFrame:
     """Input-skew guard (guide §2.5): when a scan cannot parallelize on its
     own — one unsplittable file / a single parquet row group gives the whole
     downstream chain ONE task — round-robin repartition right after the read
@@ -117,9 +117,21 @@ def widen_input(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     (1.54 vs 1.82 s, 1.41 vs 1.60 s) with occasional lazy-cache-race
     blowups under widen. Measured wins are the UNPERSISTED heavy
     projections: doc_decontaminate 1.05 -> 0.69 s, dedup_semantic_clusters
-    1.86 -> 1.48 s (persisted, but consumers are sequential)."""
+    1.86 -> 1.48 s (persisted, but consumers are sequential).
+
+    ``trigger_below`` decouples WHEN to widen from HOW WIDE: with
+    ``trigger_below=2`` only a truly serial (single-split) input is widened
+    to ``min_parts`` — an input that already carries 2+ splits keeps its
+    layout. Measured on dedup_ngram_jaccard's persisted gram build: a
+    1-split sf0.1 scan widened-to-4 wins (warm 1.9-2.3 -> 1.5-1.7 s), but
+    widening the 2-split sf1 scan destabilized cache reuse across runs
+    (warm 10.6-13.4 -> 16.7-20.2 s) — so that call site widens only the
+    degenerate case."""
     sc = df.sparkSession.sparkContext
     target = min_parts or min(sc.defaultParallelism, 8)
-    if target <= 1 or df.rdd.getNumPartitions() >= target:
+    if target <= 1:
+        return df
+    have = df.rdd.getNumPartitions()
+    if have >= target or have >= (trigger_below or target):
         return df
     return df.repartition(target)

@@ -17,11 +17,13 @@ from bears_spark.skew import widen_input
 SF = "/root/testdata/sf0.001"
 
 
-@pytest.fixture(scope="module")
-def spark():
-    from bears_spark.session import get_session
-
-    return get_session("test_opt_r11")
+# No module-local get_session() here: creating the session first with a
+# different master than conftest's local[4] leaks into every later test
+# file (getOrCreate reuses the first session), and at local[32] a 40-row
+# range spreads one-row-per-file so a MoR delete drops whole files instead
+# of writing DVs — which broke test_delta_log's protocol-upgrade assertion
+# whenever this module ran first. The conftest session-scoped fixture is
+# the single session owner; every assertion below is parallelism-relative.
 
 
 def test_widen_input_parallelizes_single_split(spark):
@@ -39,6 +41,17 @@ def test_widen_input_parallelizes_single_split(spark):
 def test_widen_input_noop_when_already_wide(spark):
     docs = T.load_table(spark, SF, "documents").select("doc_id").repartition(16)
     assert widen_input(docs) is docs  # >= target -> untouched, no extra shuffle
+
+
+def test_widen_input_trigger_below_only_widens_serial_inputs(spark):
+    """trigger_below=2: a single-split input widens to the target, but a
+    2-split input keeps its layout (the ngram gram-build contract — widening
+    an already-parallel scan destabilized cache reuse at sf1)."""
+    docs = T.load_table(spark, SF, "documents").select("doc_id")
+    assert docs.rdd.getNumPartitions() == 1
+    assert widen_input(docs, 4, trigger_below=2).rdd.getNumPartitions() == 4
+    two = docs.repartition(2)
+    assert widen_input(two, 4, trigger_below=2) is two  # 2 splits -> untouched
 
 
 def test_load_table_memo_hits_and_invalidates(spark, tmp_path):

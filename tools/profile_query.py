@@ -30,6 +30,11 @@ def _get(url: str):
 
 def main() -> None:
     names = sys.argv[1:]
+    # --warm: run the query twice first WITHOUT draining scoped caches, then
+    # profile the third (warm-cache) run — the one bench.py's min measures.
+    warm = "--warm" in names
+    if warm:
+        names.remove("--warm")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_session("profile", **{"spark.ui.enabled": "true", "spark.ui.port": "4049"})
     spark.sparkContext.setLogLevel("ERROR")
@@ -42,6 +47,9 @@ def main() -> None:
         fn = allq[name]
         fn(spark, "/root/testdata/sf0.001").count()  # warm-up
         release_scoped_caches()
+        if warm:
+            fn(spark, sf_dir).count()
+            fn(spark, sf_dir).count()
         before = {s["stageId"] for s in _get(f"{ui}/api/v1/applications/{app_id}/stages")}
         spark.sparkContext.setJobDescription(name)
         t0 = time.perf_counter()
