@@ -50,7 +50,8 @@ def main() -> int:
         release_scoped_caches()
         return min(runs)
 
-    print("| query | sf0.01 s | sf0.1 s | ratio (data 10x) |")
+    lbl_s, lbl_b = os.path.basename(small.rstrip("/")), os.path.basename(big.rstrip("/"))
+    print(f"| query | {lbl_s} s | {lbl_b} s | ratio (data 10x) |")
     print("|---|---|---|---|")
     for name, fn in qs.items():
         try:
