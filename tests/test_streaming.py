@@ -25,6 +25,11 @@ def events_dir(tmp_path_factory):
 def _run_stream(stream_df, mode="append"):
     q = stream_df.writeStream.format("memory").queryName("t_out").outputMode(mode).trigger(availableNow=True).start()
     q.awaitTermination(120)
+    # a query that did NOT terminate in time must be stopped, not leaked: a
+    # live ProcessingTimeTimeout stream schedules no-data micro-batches
+    # forever, dragging every later test in the session
+    if q.isActive:
+        q.stop()
     spark = stream_df.sparkSession
     out = spark.sql("SELECT * FROM t_out").collect()
     spark.catalog.dropTempView("t_out")
@@ -72,9 +77,15 @@ def test_dedup_stream(spark, events_dir):
 def test_running_user_totals_stateful(spark, events_dir):
     from bears_spark.streaming.jobs import running_user_totals_stream
 
-    # two triggers -> state carries across micro-batches
+    # two triggers -> state carries across micro-batches. timeout_minutes=
+    # None (NoTimeout) so the availableNow run DRAINS AND TERMINATES — with
+    # the ProcessingTimeTimeout default the engine schedules no-data
+    # timeout-check batches forever and this test burned its full 120 s
+    # awaitTermination window doing nothing (state-carry semantics are
+    # identical; the timeout path is pinned by
+    # test_running_totals_no_timeout_terminates' contrast)
     ev = read_events_stream(spark, events_dir, max_files_per_trigger=2)
-    rows = _run_stream(running_user_totals_stream(ev), mode="append")
+    rows = _run_stream(running_user_totals_stream(ev, timeout_minutes=None), mode="append")
     assert rows, "stateful op emitted nothing"
     per_user = {}
     for r in rows:
