@@ -85,15 +85,22 @@ _TPCH_ORACLES = {
 
 # --------------------------------------------------------------------------
 # The driver grades the FIRST 50 queries() entries in iteration order, so
-# order is a coverage budget. Round-11 rotation (VERDICT r10 "Next round"
-# #1): coverage is complete, so the window's job stays FRESHNESS —
-#   * the same 8 regression anchors as rounds 8-10,
-#   * the 6 rows of ROUND11_NEVER_GRADED (round-10 additions, never
+# order is a coverage budget. Round-12 rotation (VERDICT r11 "Next round"
+# #4): this optimization round's window must grade the paths the optimizer
+# REWROTE, so ground truth — not the builder's self-reported gate — covers
+# every semantics-sensitive change:
+#   * the same 8 regression anchors as rounds 8-11,
+#   * the 6 rows of ROUND12_NEVER_GRADED (round-11 additions, never
 #     driver-graded),
-#   * all 10 rows last graded in round 2 (the adapted TPC-H bodies),
-#   * 26 of the 39 rows last graded in round 3, preferring ones whose
-#     implementation modules (dedup/text/quality, heavy TPC-H joins) are
-#     exercised by this round's scale + plan-guard work.
+#   * the 7 paths round 11 rewrote that its window missed
+#     (tfidf_cosine_pairs, part_item_recs, dedup_semantic_clusters,
+#     orders_delta_dv_read, orders_global_cumsum, doc_pack_assignments,
+#     doc_bm25_queryset) — part_item_recs and the prefix consumers are
+#     rewritten AGAIN this round (freq de-skew, eager gram persists),
+#   * the 2 headline paths round 12 restructures (ann_ivfpq_topk,
+#     ev_cusum_alarm),
+#   * 27 freshness re-anchors: the 13 rows last graded in round 3 plus the
+#     14 alphabetically-first rows last graded in round 4.
 # Oracle-less queries (doc_compression_quality) are EXCLUDED from every
 # window: the driver can only record `err: no_oracle` for them, wasting a
 # grading slot (VERDICT r7 "What's wrong" #1). Enforced by the assertion in
@@ -108,53 +115,53 @@ GRADED_WINDOW = [
     "streaming_running_totals",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
-    # --- never driver-graded: ROUND11_NEVER_GRADED (6, ledger order) ---
-    "orders_iceberg_day_pruned",
-    "orders_iceberg_ts_travel",
-    "orders_snapshot_history_report",
-    "orders_streaming_replicated_iceberg",
-    "orders_retention_maintenance",
-    "orders_delta_ts_travel",
-    # --- re-anchors: every row last graded in round 2 (10) ---
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q11_important_stock",
-    "q12_priority_class",
-    "q14_promo_effect",
-    "q16_parts_supplier_cnt",
-    "q19_discounted_revenue",
-    "q22_sales_opportunity",
-    # --- re-anchors: 26 of the 39 rows last graded in round 3, dedup/
-    # text/quality + heavy-join rows first (their modules are touched by
-    # this round's plan-shape guards and sf1 scale runs) ---
-    "dedup_ngram_jaccard",
-    "dedup_components",
-    "dedup_verified_pairs",
-    "doc_decontaminate",
-    "doc_gopher_quality",
-    "doc_pack_sequences",
-    "text_stats",
-    "tfidf_doc_terms",
-    "ann_ivf_label_topk",
-    "cms_user_counts",
-    "hll_distinct_orderkeys",
-    "ev_asof_purchase",
-    "ev_cohort_retention",
-    "ev_ewm_value",
-    "ev_funnel_conversion",
-    "ev_range_window_counts",
-    "ev_resample_hourly",
-    "ev_rolling_stats",
-    "segment_zscore_grouped_map",
-    "q5_local_supplier_volume",
-    "q9_product_profit",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q20_excess_stock",
-    "q21_waiting_supplier",
+    # --- never driver-graded: ROUND12_NEVER_GRADED (6, ledger order) ---
+    "orders_rename_evolution",
+    "orders_wap_publish",
+    "orders_type_widening",
+    "orders_constraints_gate",
+    "orders_update_where",
+    "orders_metadata_agg",
+    # --- round-11 rewrites the r11 window missed (7) ---
+    "tfidf_cosine_pairs",
+    "part_item_recs",
+    "dedup_semantic_clusters",
+    "orders_delta_dv_read",
+    "orders_global_cumsum",
+    "doc_pack_assignments",
+    "doc_bm25_queryset",
+    # --- round-12 restructured paths (2) ---
+    "ann_ivfpq_topk",
+    "ev_cusum_alarm",
+    # --- freshness re-anchors: all 13 rows last graded in round 3 ---
+    "assembled_features",
+    "cust_balance_quartiles",
+    "customer_name_parse",
+    "doc_balanced_sample",
+    "ev_hopping_windows",
+    "ev_lag_lead_delta",
+    "ev_value_hist_quantiles",
+    "lang_label_encode",
+    "nations_set_ops",
+    "part_melt",
+    "pii_redact_contacts",
+    "stream_shard_keys",
+    "value_mean_imputation",
+    # --- freshness re-anchors: 14 rows last graded in round 4 ---
+    "ann_lsh_topk",
+    "bloom_pruned_nation_volume",
+    "corpus_mixture_by_source",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_simhash",
+    "doc_bpe_tokens",
+    "doc_budget_selection",
+    "doc_concat_affix",
+    "doc_fingerprint",
+    "doc_hash_sample_rates",
+    "doc_hashed_features",
+    "doc_heavy_hitter_words",
+    "doc_nfc_normalize",
 ]
 assert len(GRADED_WINDOW) == 50, len(GRADED_WINDOW)
 
@@ -358,6 +365,12 @@ ROUND12_NEVER_GRADED: list[str] = [
     "orders_update_where",
     "orders_metadata_agg",
 ]
+
+# ROUND-13 ROTATION LEDGER: round 12's window carries all six
+# ROUND12_NEVER_GRADED rows, and round 12 is an optimization round (no new
+# queries), so nothing accrues — driver coverage is complete and the
+# round-13 window is free to re-anchor by staleness.
+ROUND13_NEVER_GRADED: list[str] = []
 
 # Historical: the round-6 rotation source (67 = 22 round-5 overflow + 45
 # round-5 additions). Kept so the rotation provenance is auditable.

@@ -23,13 +23,12 @@ def test_queries_and_oracles_aligned():
 
 
 def test_graded_window_invariants():
-    """VERDICT r7 #1 / r10 #1+#8: the 50-slot driver window must contain only
+    """VERDICT r7 #1 / r11 #4: the 50-slot driver window must contain only
     queries with a real DuckDB oracle (an oracle-less row can only grade
-    `err: no_oracle`), no duplicates; round 11 carries the six
-    ROUND11_NEVER_GRADED rows first (driver coverage stays complete), then
-    spends every remaining slot re-anchoring the stalest rows (all 10
-    round-2 rows + 26 round-3 rows), and the round-12 ledger (new round-11
-    additions) stays within the headroom."""
+    `err: no_oracle`), no duplicates; round 12 carries the six
+    ROUND12_NEVER_GRADED rows first (driver coverage stays complete), then
+    every path the round-11/12 optimizer rewrote without driver grading,
+    then freshness re-anchors (the stalest round-3/4 rows)."""
     win = entrymod.GRADED_WINDOW
     q, o = entrymod.queries(), entrymod.oracle_sql()
     assert len(win) == 50
@@ -38,23 +37,20 @@ def test_graded_window_invariants():
         assert name in q, name
         sql = o.get(name)
         assert isinstance(sql, str) and sql.strip(), f"{name} lacks a real oracle"
-    # window = 8 anchors + the full ROUND11 ledger, in order, + re-anchors
-    # (VERDICT r10 "Next round" #1)
-    assert win[8:14] == entrymod.ROUND11_NEVER_GRADED
-    # all 10 rows last graded in round 2 are re-anchored
-    round2_rows = {
-        "q2_min_cost_supplier", "q4_order_priority", "q7_nation_volume",
-        "q8_market_share", "q11_important_stock", "q12_priority_class",
-        "q14_promo_effect", "q16_parts_supplier_cnt",
-        "q19_discounted_revenue", "q22_sales_opportunity",
+    # window = 8 anchors + the full ROUND12 ledger, in order, + rewritten
+    # paths + re-anchors (VERDICT r11 "Next round" #4)
+    assert win[8:14] == entrymod.ROUND12_NEVER_GRADED
+    # every path the r11 optimizer rewrote that r11's window missed, plus
+    # the paths r12 restructures, must be driver-graded this round
+    rewritten = {
+        "tfidf_cosine_pairs", "part_item_recs", "dedup_semantic_clusters",
+        "orders_delta_dv_read", "orders_global_cumsum",
+        "doc_pack_assignments", "doc_bm25_queryset",
+        "ann_ivfpq_topk", "ev_cusum_alarm",
     }
-    assert round2_rows <= set(win)
-    # additions implemented in round 11 are capped at the rotation headroom
-    # (VERDICT r10 "Next round" #8)
-    assert len(entrymod.ROUND12_NEVER_GRADED) <= 6
-    for name in entrymod.ROUND12_NEVER_GRADED:
-        assert name in q, name
-        assert name not in win, name
+    assert rewritten <= set(win)
+    # round 12 is an optimization round: no new queries, empty ledger
+    assert entrymod.ROUND13_NEVER_GRADED == []
 
 
 def test_readme_query_count_matches_declared():
