@@ -286,16 +286,21 @@ def ngram_jaccard_pairs(
     real web corpus are unique, making this the main input reducer at scale;
     at small SF the extra aggregation+semi-join is a wash, hence opt-in.
     """
-    # No widen_input here, deliberately: the gram table is persisted below
-    # and fans out to 4+ consumers, so repeated runs read the cache and the
-    # one-time single-split explode cost is amortized — interleaved
-    # bench-methodology A/B (best-of-3 blocks, quiet host) measured no-widen
-    # 1.54/1.95/2.08s vs widen-to-8 1.82/2.85/1.90s, with occasional
-    # lazy-cache-race blowups (9-19s runs) under widen. Contrast
-    # ngram_contamination, where nothing is persisted and widening wins.
+    # widen the gram build to 4 partitions whenever the scan has fewer: a
+    # 1-2-split scan makes the tokenize+shingle explode (the dominant build
+    # cost) near-serial. Round 11 gated this on trigger_below=2 (1-split
+    # only) because widening the 2-split sf1 input destabilized LAZY cache
+    # builds (racing consumers); with the gram persist now EAGER (below)
+    # the build happens exactly once before any consumer, so the race is
+    # gone and the widen is pure build parallelism — r12 interleaved A/B at
+    # sf1: first-cold 83-118 s (lazy, unwidened) -> ~19 s (eager, widen-4),
+    # sf0.1 warm unchanged (1.7-1.8 s both arms). widen-8 was tried and
+    # rejected: sf1 cold 12-14 s but the 8-partition cache costs every
+    # consumer stage a task of fixed overhead (sf0.1 warm 1.9-2.4 s).
+    # Production many-split inputs: no-op (guide §2.5, scale-adaptive).
     from bears_spark.skew import widen_input
 
-    grams = widen_input(df.select(id_col, text_col), 4, trigger_below=2).select(
+    grams = widen_input(df.select(id_col, text_col), 4).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"),
     )
@@ -307,10 +312,18 @@ def ngram_jaccard_pairs(
     # intersection count by 1.
     grams = grams.select(id_col, F.xxhash64("gram").alias("gram"))
     if materialize:
-        # consumed three times (self-join both sides + sizes)
+        # consumed three times (self-join both sides + sizes). eager: the
+        # consumers materialize as ~11 CONCURRENT AQE stage jobs on a cold
+        # cache, each rebuilding blocks it cannot lock (VERDICT r11 "Next
+        # round" #2); one eager build runs the explode ONCE and the racers
+        # then only read — r12 interleaved first-cold at sf1: 83-118 s
+        # (lazy) -> 15-50 s (eager alone) -> ~19 s with the widen above.
+        # The once-per-plan guard in scoped_persist keeps warm runs on the
+        # lazy path (no per-run count job), so the bench's warm min is
+        # unaffected (sf0.1 warm 1.59-1.70 s both arms, interleaved).
         from bears_spark.caching import scoped_persist
 
-        grams = scoped_persist(grams)
+        grams = scoped_persist(grams, eager=True)
     # grams are distinct per doc, so count(*) per gram == document
     # frequency. ONE per-gram df aggregation serves BOTH consumers — the
     # >cap hot set (broadcast anti-join; survivors are few by construction)

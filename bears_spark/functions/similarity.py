@@ -660,12 +660,16 @@ def tfidf_cosine_pairs(
     # Spark has no common-subtree reuse across a DataFrame plan — without
     # this persist the tokenize+explode pass ran twice per wgt
     # materialization (profiled: three 4-6 s explode stages per run).
-    # Lazy, not eager: interleaved bench-methodology A/B measured lazy
-    # 1.41/1.82/1.83s vs eager 1.77/1.92/2.02s — the eager count() job per
-    # run costs more than the rare cache-build race it prevents. No
-    # widen_input for the same reason as ngram_jaccard_pairs (persisted
-    # fan-out; cache reuse across runs amortizes the single-split explode).
-    tf = scoped_persist(terms.groupBy(id_col, "term").agg(F.count("*").alias("tf")))
+    # eager, with scoped_persist's once-per-plan guard: a COLD run's
+    # concurrent AQE stage jobs race to rebuild unlocked tf blocks (the r11
+    # unconditional-eager A/B that measured eager worse — lazy 1.41/1.82/
+    # 1.83 s vs eager 1.77/1.92/2.02 s — paid a count() job on EVERY run,
+    # warm included; the guard skips the count when the blocks already
+    # exist, so the warm min keeps the lazy number while cold run 1 builds
+    # once instead of racing). No widen_input for the same reason as
+    # ngram_jaccard_pairs (persisted fan-out; cache reuse across runs
+    # amortizes the single-split explode).
+    tf = scoped_persist(terms.groupBy(id_col, "term").agg(F.count("*").alias("tf")), eager=True)
     docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.select(F.count("*").alias("n"))
     wgt = (
@@ -684,6 +688,11 @@ def tfidf_cosine_pairs(
     from pyspark.sql import Window
 
     wgt = wgt.withColumn("nrm", F.sqrt(F.sum(F.col("wt") * F.col("wt")).over(Window.partitionBy(id_col))))
+    # wgt stays LAZY: with tf's blocks eagerly built above, a racing rebuild
+    # of a wgt block is join+window over the CACHED tf — cheap — while an
+    # eager wgt count serializes that build ahead of every consumer
+    # (measured at sf1, interleaved first-cold: eager tf+wgt 171/109 s vs
+    # lazy-both 78/66 s; eager-tf-only below)
     wgt = scoped_persist(wgt)
     # a term in exactly one document can never match in the self-join, and
     # on a real web corpus most n-grams are df=1 — dropping them shrinks the

@@ -122,11 +122,12 @@ def widen_input(df: DataFrame, min_parts: int | None = None, trigger_below: int 
     ``trigger_below`` decouples WHEN to widen from HOW WIDE: with
     ``trigger_below=2`` only a truly serial (single-split) input is widened
     to ``min_parts`` — an input that already carries 2+ splits keeps its
-    layout. Measured on dedup_ngram_jaccard's persisted gram build: a
-    1-split sf0.1 scan widened-to-4 wins (warm 1.9-2.3 -> 1.5-1.7 s), but
-    widening the 2-split sf1 scan destabilized cache reuse across runs
-    (warm 10.6-13.4 -> 16.7-20.2 s) — so that call site widens only the
-    degenerate case."""
+    layout. (Round 11 used this on dedup_ngram_jaccard's persisted gram
+    build because widening a 2-split input destabilized LAZY racing cache
+    builds; round 12 made that persist EAGER — built once, before any
+    consumer — which removed the instability, so the call site now widens
+    unconditionally to 4 and the gate is unused there. The knob stays for
+    future persisted-and-lazily-raced call sites.)"""
     sc = df.sparkSession.sparkContext
     target = min_parts or min(sc.defaultParallelism, 8)
     if target <= 1:
