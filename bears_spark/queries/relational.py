@@ -3391,18 +3391,26 @@ def part_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # ps and owned each feed multiple downstream plans (pair join + freq;
     # top-10 fit + the per-customer sets) — persist once, scoped-drained
-    # Carry each part's corpus frequency ON the li rows (full-partition
-    # window, computed ONCE inside the cached plan) so the similarity
-    # denominator computes inside the pair aggregation via first(na)/
-    # first(nb) — removing the per-run freq aggregation job and TWO joins of
-    # the pair table against it (same carry-sizes-on-rows discipline as
+    # Carry each part's corpus frequency ON the li rows (groupBy + join,
+    # computed ONCE inside the cached plan) so the similarity denominator
+    # computes inside the pair aggregation via first(na)/first(nb) —
+    # removing the per-run freq aggregation job and TWO joins of the pair
+    # table against it (same carry-sizes-on-rows discipline as
     # ngram_jaccard_pairs / tfidf_cosine_pairs; guide §2.3 — decide with
     # small rows, never re-join the heavy pair table for a scalar).
-    li = scoped_persist(
+    # groupBy+join rather than count().over(Window.partitionBy(partkey)):
+    # the window form ships EVERY row of a part to one window task with no
+    # partial aggregation — a single hot part on a Zipf catalog serializes
+    # one reducer at scale — while the groupBy keeps map-side combine and
+    # the join back is AQE-skew-protected (guide §2.5; VERDICT r11 #4).
+    # Same per-run plan either way: both run once, inside the cached plan.
+    li_distinct = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-        .withColumn("nf", F.count("*").over(Window.partitionBy("l_partkey")))
+    )
+    li = scoped_persist(
+        li_distinct.join(li_distinct.groupBy("l_partkey").agg(F.count("*").alias("nf")), "l_partkey")
     )
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     owned = scoped_persist(
