@@ -367,29 +367,45 @@ def bm25_topk(
     matching document unranked-cut (callers that re-rank on a rounded score
     need the full list so their cut and this one can't disagree on ties).
 
-    Plan: the term filter lands BEFORE any aggregation (the exploded token
-    stream keeps only query terms — a ~|query|/|vocab| reduction at the
-    source), per-term document frequencies are a |query|-row aggregate
+    Plan: tokenize ONCE into a scoped-persisted staging frame shared by the
+    corpus-stats pass and the survivor explode (the regex split dominates
+    per-doc cost; the previous shape re-derived it THREE times per run —
+    stats pass, explode pass, and a corpus-sized dl join), the term filter
+    lands BEFORE any aggregation (the exploded token stream keeps only
+    query terms — a ~|query|/|vocab| reduction at the source), document
+    length rides ALONG the exploded tokens (max(dl) per (doc, term) group —
+    dl is constant per doc) so scoring needs NO join back to a corpus-sized
+    length table, per-term document frequencies are a |query|-row aggregate
     joined back via broadcast, and the two corpus scalars (N, avg doc
     length) are collected once and baked as literals — exactly the
     processor fit pattern, so no 1-row cross join appears in the plan.
     Top-k resolves as TakeOrderedAndProject with (score, id) total order.
+    (Same staging discipline as bm25_topk_queries; size(__toks) ==
+    token_count(text) because token_count IS size(tokenize(text)) and
+    lower() can't change whitespace boundaries.)
     """
-    docs_len = df.select(F.col(id_col), token_count(text_col).alias("dl"))
-    row = docs_len.agg(F.count("*").alias("n"), F.sum("dl").alias("s")).first()
+    from bears_spark.caching import scoped_persist
+
+    staged = scoped_persist(
+        df.select(F.col(id_col), tokenize(F.lower(F.col(text_col))).alias("__toks"))
+    )
+    row = staged.agg(F.count("*").alias("n"), F.sum(F.size("__toks")).alias("s")).first()
     if not row["n"]:
         # empty corpus: a well-typed empty result, not a ZeroDivisionError
         return df.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
     n_docs, avgdl = row["n"], float(row["s"]) / row["n"]
-    toks = df.select(
-        F.col(id_col), F.explode(tokenize(F.lower(F.col(text_col)))).alias("term")
+    toks = staged.select(
+        F.col(id_col),
+        F.size("__toks").alias("dl"),
+        F.explode("__toks").alias("term"),
     ).filter(F.col("term").isin([t.lower() for t in query_terms]))
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # dl is constant per document: max() re-derives it after the groupBy,
+    # avoiding a join against a corpus-sized length table
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
     idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5))
     scored = (
         tf.join(F.broadcast(dfreq), "term")
-        .join(docs_len, id_col)
         .select(
             F.col(id_col),
             (
