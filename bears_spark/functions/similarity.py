@@ -24,7 +24,9 @@ from bears_spark.functions.vectors import cosine_similarity, dot, l2_norm
 
 
 def _query_lit(query_vec: Sequence[float]):
-    return F.lit([float(v) for v in query_vec])  # one literal, not dim lit() calls
+    from bears_spark.functions.litutil import double_lit
+
+    return double_lit([float(v) for v in query_vec])  # ONE py4j call, not dim lit() calls
 
 
 def cosine_topk(df: DataFrame, id_col: str, vec_col: str, query_vec: Sequence[float], k: int = 10) -> DataFrame:
@@ -247,7 +249,9 @@ def _centroid_sim_structs(vec_col, centroids):
         for r in rows
     )
     cids = [cid for cid, _ in cent]
-    cmat_lit = F.lit([c for _, c in cent])
+    from bears_spark.functions.litutil import double_lit
+
+    cmat_lit = double_lit([c for _, c in cent])
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     vnorm = F.sqrt(
         F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
@@ -495,7 +499,9 @@ def pq_topk(
     q = np.asarray(list(query_vec), dtype=np.float64).reshape(m, dsub)
     cents = np.asarray(codebooks)  # [m, k, dsub]
     table = ((cents - q[:, None, :]) ** 2).sum(axis=2)  # [m, k]
-    tbl_lit = F.lit([[float(d) for d in row] for row in table])  # one lit, not m*k
+    from bears_spark.functions.litutil import double_lit
+
+    tbl_lit = double_lit([[float(d) for d in row] for row in table])  # ONE py4j call, not m*k
     dist = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0.0),
@@ -574,7 +580,9 @@ def ivfpq_topk(
     for _, c in cent_rows:
         nrm = math.sqrt(sum(x * x for x in c))
         cmat.append([x / nrm for x in c])
-    cmat_lit = F.lit(cmat)
+    from bears_spark.functions.litutil import double_lit
+
+    cmat_lit = double_lit(cmat)
     v = F.col(vec_col)
     # per-centroid dot via a positional transform; arg-max with lowest-id
     # tiebreak via lexicographic struct max over (dot, -index)
@@ -602,7 +610,7 @@ def ivfpq_topk(
     qarr = np.asarray(qv, dtype=np.float64).reshape(m, dsub)
     cents = np.asarray(codebooks)  # [m, k, dsub]
     table = ((cents - qarr[:, None, :]) ** 2).sum(axis=2)  # [m, k] exact ADC table
-    tbl_lit = F.lit([[float(d) for d in row] for row in table])
+    tbl_lit = double_lit([[float(d) for d in row] for row in table])
     dist = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0.0),
@@ -770,7 +778,9 @@ def ivfpq_residual_topk(
     # assignment expression: arg-max dot with L2-normalized centroids
     # (|v| cancels; lowest-id tiebreak via (dot, -idx) struct max)
     norm_rows = cmat / np.sqrt((cmat**2).sum(axis=1, keepdims=True))
-    cmat_lit = F.lit([[float(x) for x in row] for row in norm_rows])
+    from bears_spark.functions.litutil import double_lit
+
+    cmat_lit = double_lit([[float(x) for x in row] for row in norm_rows])
     v = F.col(vec_col)
     sims = F.transform(
         cmat_lit,
@@ -790,7 +800,7 @@ def ivfpq_residual_topk(
     best_pos = (-F.array_max(sims)["negid"]).cast("int")
     cid_list = [cid for cid, _ in cent_rows]
     best_cid = F.element_at(F.lit(cid_list), best_pos + F.lit(1))
-    raw_cmat_lit = F.lit([[float(x) for x in c] for _, c in cent_rows])
+    raw_cmat_lit = double_lit([[float(x) for x in c] for _, c in cent_rows])
     residual = F.zip_with(
         v, F.element_at(raw_cmat_lit, best_pos + F.lit(1)), lambda x, y: x.cast("double") - y
     )
@@ -840,7 +850,7 @@ def ivfpq_residual_topk(
         qres = (qarr - id2vec[cid]).reshape(m, dsub)
         tables.append(((cents_np - qres[:, None, :]) ** 2).sum(axis=2))  # [m, k]
     slot_lit = F.lit(slot)
-    tbl_lit = F.lit([[[float(d) for d in row] for row in t] for t in tables])
+    tbl_lit = double_lit([[[float(d) for d in row] for row in t] for t in tables])
     my_tbl = F.element_at(tbl_lit, F.element_at(slot_lit, F.col("centroid_id") + F.lit(1)) + F.lit(1))
     dist = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),

@@ -22,6 +22,7 @@ from bears_spark.functions.text import (
     token_count,
 )
 from bears_spark.localframe import local_df
+from bears_spark.functions.litutil import double_lit
 from bears_spark.queries.tables import load_table
 
 # shared SQL fragments for the oracles
@@ -344,7 +345,7 @@ def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     mins, maxs = vec.fit_scalar_quantization(emb, "embedding")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    qlit = F.lit([float(v) for v in qvec])
+    qlit = double_lit([float(v) for v in qvec])
     corpus = emb.filter(F.col("vec_id") != 0).select(
         "vec_id",
         vec.scalar_dequantize_expr(
@@ -1003,7 +1004,7 @@ def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("features")
         .first()["features"]
     )
-    qlit = F.lit([float(v) for v in qvec])
+    qlit = double_lit([float(v) for v in qvec])
     scored = feats.filter(~((F.col("doc_id") == 0) & (F.col("chunk_id") == 0))).select(
         "doc_id",
         "chunk_id",
@@ -1128,7 +1129,7 @@ def doc_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = hashing_vectorize(docs, "text", out_col="features", dim=16)
     qvec = feats.filter(F.col("doc_id") == 0).select("features").first()["features"]
-    qlit = F.lit([float(v) for v in qvec])
+    qlit = double_lit([float(v) for v in qvec])
     dense = (
         feats.filter(F.col("doc_id") != 0)
         .select("doc_id", F.round(cosine_similarity("features", qlit), 6).alias("ds"))
@@ -2349,7 +2350,7 @@ def ann_ivfpq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    qlit = F.lit(qvec)
+    qlit = double_lit([float(v) for v in qvec])
     exact = (
         emb.filter(F.col("vec_id") != 0)
         .select(

@@ -112,3 +112,32 @@ def test_bm25_topk_single_tokenize_staging(spark):
     assert [(r["doc_id"], round(r["score"], 9)) for r in rows] == [
         (r["doc_id"], round(r["score"], 9)) for r in ref
     ]
+
+
+def test_double_lit_bit_exact_and_single_call(spark):
+    """double_lit must reproduce F.lit's values BIT-exactly (repr round-trips
+    through Java's correctly-rounded parseDouble) for scalars, nested
+    matrices, subnormals, -0.0, and fall back to F.lit for non-finite."""
+    import math
+    import random
+    import struct
+
+    from bears_spark.functions.litutil import double_lit
+
+    random.seed(7)
+    tricky = [0.1, -0.0, 6.416238216462445e-05, 1e300, 5e-324, 1.7976931348623157e308]
+    rnd = [struct.unpack("<d", struct.pack("<q", random.getrandbits(63)))[0] for _ in range(64)]
+    vec = tricky + [x for x in rnd if math.isfinite(x)]
+    a = spark.range(1).select(double_lit(vec).alias("v")).collect()[0]["v"]
+    b = spark.range(1).select(F.lit([float(x) for x in vec]).alias("v")).collect()[0]["v"]
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert x == y and math.copysign(1, x) == math.copysign(1, y), (x, y)
+    m = [vec[:5], vec[5:10]]
+    assert (
+        spark.range(1).select(double_lit(m).alias("v")).collect()
+        == spark.range(1).select(F.lit(m).alias("v")).collect()
+    )
+    nf = [1.0, float("inf"), float("nan")]
+    got = spark.range(1).select(double_lit(nf).alias("v")).collect()[0]["v"]
+    assert got[0] == 1.0 and got[1] == float("inf") and math.isnan(got[2])
