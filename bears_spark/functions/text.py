@@ -377,8 +377,11 @@ def bm25_topk(
     dl is constant per doc) so scoring needs NO join back to a corpus-sized
     length table, per-term document frequencies are a |query|-row aggregate
     joined back via broadcast, and the two corpus scalars (N, avg doc
-    length) are collected once and baked as literals — exactly the
-    processor fit pattern, so no 1-row cross join appears in the plan.
+    length) ride in as a broadcast 1-row cross join — NOT a per-run
+    .first() collect: the driver round-trip cost one blocking job per
+    invocation (~0.1 s at bench scale) while the broadcast build overlaps
+    the main job. The values are identical: sum(bigint)/count in Spark and
+    float(s)/n in Python are the same correctly-rounded double division.
     Top-k resolves as TakeOrderedAndProject with (score, id) total order.
     (Same staging discipline as bm25_topk_queries; size(__toks) ==
     token_count(text) because token_count IS size(tokenize(text)) and
@@ -386,14 +389,20 @@ def bm25_topk(
     """
     from bears_spark.caching import scoped_persist
 
+    # eager (once-per-plan): the stats broadcast and the survivor explode
+    # both read the staged cache; building it before either removes the
+    # lazy-race rebuild, and warm runs skip the count via the guard
     staged = scoped_persist(
-        df.select(F.col(id_col), tokenize(F.lower(F.col(text_col))).alias("__toks"))
+        df.select(F.col(id_col), tokenize(F.lower(F.col(text_col))).alias("__toks")),
+        eager=True,
     )
-    row = staged.agg(F.count("*").alias("n"), F.sum(F.size("__toks")).alias("s")).first()
-    if not row["n"]:
-        # empty corpus: a well-typed empty result, not a ZeroDivisionError
-        return df.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
-    n_docs, avgdl = row["n"], float(row["s"]) / row["n"]
+    # the two corpus scalars as a broadcast 1-row dim; an empty corpus
+    # yields zero token rows downstream, so no explicit n==0 early return
+    # is needed (the n/avgdl columns are simply never consumed)
+    stats = staged.agg(
+        F.count("*").cast("double").alias("__n__"),
+        (F.sum(F.size("__toks")) / F.count("*")).alias("__avgdl__"),
+    )
     toks = staged.select(
         F.col(id_col),
         F.size("__toks").alias("dl"),
@@ -403,15 +412,16 @@ def bm25_topk(
     # avoiding a join against a corpus-sized length table
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
-    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5))
+    idf = F.log(F.lit(1.0) + (F.col("__n__") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5))
     scored = (
         tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
         .select(
             F.col(id_col),
             (
                 idf
                 * (F.col("tf") * (k1 + 1.0))
-                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl__")))
             ).alias("s"),
         )
         .groupBy(id_col)
@@ -438,7 +448,7 @@ def bm25_topk_queries(
 
     ``queries_df`` has columns (query_id, terms array<string>); an eval set
     is tiny BY CONTRACT, so it is collected once and baked into the plan as
-    fit state (same pattern as the corpus scalars):
+    fit state (the corpus scalars ride in as a broadcast 1-row cross join):
 
     * the corpus token stream filters with an isin() over the union of all
       query terms — pushed into the scan, ~|vocab ∩ terms| survivors,
@@ -477,11 +487,14 @@ def bm25_topk_queries(
     # trade (MEMORY_AND_DISK of one corpus-sized token column for one pass).
     from bears_spark.caching import scoped_persist
 
+    # eager (once-per-plan guard): the stats broadcast and the survivor
+    # explode both read the staged cache; building it before either removes
+    # the lazy-race rebuild, and warm runs skip the count
     staged = scoped_persist(
-        df.select(F.col(id_col), tokenize(F.lower(F.col(text_col))).alias("__toks"))
+        df.select(F.col(id_col), tokenize(F.lower(F.col(text_col))).alias("__toks")),
+        eager=True,
     )
-    row = staged.agg(F.count("*").alias("n"), F.sum(F.size("__toks")).alias("s")).first()
-    if not row["n"] or not all_terms:
+    if not all_terms:
         return (
             df.select(
                 F.lit(0).alias("query_id"),
@@ -490,7 +503,15 @@ def bm25_topk_queries(
                 F.lit(0).alias("rank"),
             ).limit(0)
         )
-    n_docs, avgdl = row["n"], float(row["s"]) / row["n"]
+    # corpus scalars ride in as a broadcast 1-row cross join instead of a
+    # per-run .first() collect (one blocking driver job per invocation,
+    # ~0.1 s at bench scale, for two scalars); sum(bigint)/count is the
+    # same correctly-rounded double division float(s)/n was. An empty
+    # corpus yields zero token rows, so no n==0 early return is needed.
+    stats = staged.agg(
+        F.count("*").cast("double").alias("__n__"),
+        (F.sum(F.size("__toks")) / F.count("*")).alias("__avgdl__"),
+    )
 
     toks = staged.select(
         F.col(id_col),
@@ -501,19 +522,20 @@ def bm25_topk_queries(
     # avoiding a join against a corpus-sized length table
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
-    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5))
+    idf = F.log(F.lit(1.0) + (F.col("__n__") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5))
     qmap = F.create_map(
         *[c for t in all_terms for c in (F.lit(t), F.lit(term_to_qids[t]))]
     )
     scored = (
         tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
         .select(
             F.col(id_col),
             F.explode(F.element_at(qmap, F.col("term"))).alias("query_id"),
             (
                 idf
                 * (F.col("tf") * (k1 + 1.0))
-                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl__")))
             ).alias("s"),
         )
         .groupBy("query_id", id_col)
