@@ -2197,9 +2197,21 @@ _IVFPQ_CSALT = "ivfseed"
 _IVFPQ_PSALT = "pqseed"
 
 
-def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bears_spark.functions.hashing import md5_hash64
+# Plan memo for the ivfpq fit frame — METADATA only, same class as the
+# load_table analyzed-plan memo (queries/tables.py): the union-of-branches
+# PLAN is static per (applicationId, embeddings file identity), while the
+# collect() that EXECUTES it still runs on every invocation, reading the
+# parquet bytes. Rebuilding the plan cost ~0.1 s of py4j chatter per run.
+_IVFPQ_FIT_PLAN: dict[tuple, DataFrame] = {}
 
+
+def _ivfpq_fit_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bears_spark.functions.hashing import md5_hash64
+    from bears_spark.queries.tables import _memo_key
+
+    key = _memo_key(spark, f"{sf_dir}/embeddings.parquet")
+    if key is not None and key in _IVFPQ_FIT_PLAN:
+        return _IVFPQ_FIT_PLAN[key]
     emb = load_table(spark, sf_dir, "embeddings")
 
     # ONE fit-collect job for all three tiny states (coarse seeds, PQ seeds,
@@ -2226,8 +2238,19 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("q").alias("role"), "vec_id", "embedding", F.lit(0).cast("bigint").alias("h")
             )
         )
-        .collect()
     )
+    if key is not None:
+        if len(_IVFPQ_FIT_PLAN) > 64:
+            _IVFPQ_FIT_PLAN.clear()
+        _IVFPQ_FIT_PLAN[key] = fit
+    return fit
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # the fit EXECUTES here on every invocation (fresh values from the
+    # current parquet bytes); only the lazy plan object above is reused
+    fit = _ivfpq_fit_frame(spark, sf_dir).collect()
     cseeds = sorted((r for r in fit if r["role"] == "c"), key=lambda r: (r["h"], r["vec_id"]))
     pseeds = sorted((r for r in fit if r["role"] == "p"), key=lambda r: (r["h"], r["vec_id"]))
     centroids = [(i, [float(x) for x in r["embedding"]]) for i, r in enumerate(cseeds)]
